@@ -1,13 +1,199 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory each
+  * entry covers. Every `queries` key has an `oracleSql` twin (ANSI SQL for
+  * DuckDB over the same parquet tables) unless the operator is not
+  * SQL-expressible, in which case the driver records a rows-only check and
+  * a ScalaTest covers semantics (recall / determinism / plan shape).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * TPC-H Q5 shape: 5-way star join + aggregation with broadcast dims. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.regionRevenue(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Relational core (§2 items 1–8)
+    "q_pricing_summary"   -> Relational.pricingSummary _,
+    "q_scan_filter"       -> Relational.scanFilter _,
+    "q_topn_orders"       -> ((s: SparkSession, d: String) => Relational.topNOrders(s, d)),
+    "q_star_join"         -> Relational.starJoin _,
+    "q_region_revenue"    -> Relational.regionRevenue _,
+    "q_part_supp_join"    -> Relational.partSuppJoin _,
+    "q_semi_join"         -> Relational.semiJoin _,
+    "q_anti_join"         -> Relational.antiJoin _,
+    "q_agg_having"        -> Relational.aggHaving _,
+    "q_window_rank"       -> Relational.windowRank _,
+    "q_running_sum"       -> Relational.runningSum _,
+    "q_distinct_segments" -> Relational.distinctSegments _,
+    "q_set_ops"           -> Relational.setOps _,
+    // Catalog / metadata (§2 items 9–12)
+    "q_catalog_tables"    -> CatalogOps.catalogTables _,
+    "q_catalog_schema"    -> CatalogOps.catalogSchema _,
+    "q_profile_lineitem"  -> ((s: SparkSession, d: String) => CatalogOps.profile(s, d, "lineitem",
+        Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+    "q_profile_documents" -> ((s: SparkSession, d: String) => CatalogOps.profile(s, d, "documents",
+        Seq("doc_id", "n_chars"))),
+    "q_file_metadata"     -> CatalogOps.fileMetadata _,
+    // Events analytics (§2 items 13–14)
+    "q_events_hourly"     -> EventOps.hourly _,
+    "q_events_sessions"   -> EventOps.sessions _,
+    "q_events_funnel"     -> EventOps.funnel _,
+    "q_events_json"       -> EventOps.jsonProps _,
+  )
+
+  /** DuckDB-runnable ANSI SQL twin for each query (same column names, same
+    * ORDER BY). Money math goes through decimal(18,2) on both sides so
+    * results are bit-identical — see SURVEY.md §6. */
+  def oracleSql: Map[String, String] = Map(
+    "q_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  round(cast(sum(cast(l_extendedprice AS decimal(18,2))) AS double), 2) AS sum_base_price,
+        |  round(cast(sum(cast(l_extendedprice AS decimal(18,2)) * (cast(1 AS decimal(18,2)) - cast(l_discount AS decimal(18,2)))) AS double), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_scan_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-07-01'
+        |  AND l_quantity < 10
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_topn_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+    "q_star_join" ->
+      """SELECT o_orderkey, o_orderdate,
+        |  round(cast(sum(cast(l_extendedprice AS decimal(18,2)) * (cast(1 AS decimal(18,2)) - cast(l_discount AS decimal(18,2)))) AS double), 2) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1998-01-01' AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_region_revenue" ->
+      """SELECT n_name,
+        |  round(cast(sum(cast(l_extendedprice AS decimal(18,2)) * (cast(1 AS decimal(18,2)) - cast(l_discount AS decimal(18,2)))) AS double), 2) AS revenue
+        |FROM lineitem, orders, customer, supplier, nation, region
+        |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_part_supp_join" ->
+      """SELECT p_brand,
+        |  sum(l_quantity) AS sum_qty,
+        |  round(cast(sum(cast(l_extendedprice AS decimal(18,2)) * (cast(1 AS decimal(18,2)) - cast(l_discount AS decimal(18,2)))) AS double), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem, part, supplier
+        |WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_agg_having" ->
+      """SELECT n_name, count(*) AS n_customers,
+        |  round(cast(sum(cast(c_acctbal AS decimal(18,2))) AS double) / count(*), 4) AS avg_acctbal
+        |FROM customer, nation WHERE c_nationkey = n_nationkey
+        |GROUP BY n_name HAVING count(*) >= 3
+        |ORDER BY n_name""".stripMargin,
+    "q_window_rank" ->
+      """SELECT * FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    cast(rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS bigint) AS rnk
+        |  FROM orders) t
+        |WHERE rnk <= 3 ORDER BY o_custkey, rnk, o_orderkey""".stripMargin,
+    "q_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(cast(sum(cast(o_totalprice AS decimal(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS double), 2) AS cum_spend
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_distinct_segments" ->
+      "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment",
+    "q_set_ops" ->
+      """SELECT custkey FROM (
+        |  (SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |   UNION
+        |   SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '2-HIGH')
+        |  EXCEPT
+        |  (SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'P')) t
+        |ORDER BY custkey""".stripMargin,
+    "q_catalog_tables" ->
+      ("SELECT * FROM (" +
+        Lake.tableNames.map(t =>
+          s"SELECT '$t' AS table_name, count(*) AS row_count FROM $t")
+          .mkString(" UNION ALL ") +
+        ") t ORDER BY table_name"),
+    "q_catalog_schema" ->
+      s"""SELECT table_name, column_name,
+         |  cast(ordinal_position AS bigint) AS ordinal,
+         |  replace(data_type, 'TIMESTAMP_NS', 'TIMESTAMP') AS data_type
+         |FROM information_schema.columns
+         |WHERE table_name IN (${Lake.tableNames.map(t => s"'$t'").mkString(", ")})
+         |ORDER BY table_name, ordinal""".stripMargin,
+    "q_profile_lineitem" -> profileOracle("lineitem",
+      Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_discount", "l_tax")),
+    "q_profile_documents" -> profileOracle("documents", Seq("doc_id", "n_chars")),
+    "q_events_hourly" ->
+      """SELECT cast(date_trunc('hour', ts) AS timestamp) AS bucket, event_type,
+        |  count(*) AS n_events,
+        |  round(cast(sum(cast(value AS decimal(18,2))) AS double), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
+    "q_events_sessions" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL 1800 SECOND
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT user_id, event_type,
+        |    cast(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bigint) AS session_id
+        |  FROM g)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  cast(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS bigint) AS n_purchases
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+    "q_events_funnel" ->
+      """SELECT user_id FROM (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+        |    min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        |  FROM events GROUP BY user_id) t
+        |WHERE t_view < t_click AND t_click < t_purchase
+        |ORDER BY user_id""".stripMargin,
+    "q_events_json" ->
+      """SELECT event_type, count(k) AS n,
+        |  round(cast(sum(k) AS double) / count(k), 4) AS avg_k
+        |FROM (SELECT event_type, cast(json_extract_string(props, '$.k') AS bigint) AS k FROM events) t
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+  )
+
+  /** Oracle twin of CatalogOps.profile: one UNION ALL branch per column. */
+  private def profileOracle(table: String, columns: Seq[String]): String =
+    "SELECT * FROM (" + columns.map { c =>
+      s"""SELECT '$c' AS column_name, cast(min($c) AS double) AS min_val,
+         |  cast(max($c) AS double) AS max_val,
+         |  count(*) - count($c) AS null_count,
+         |  count(DISTINCT $c) AS ndv FROM $table""".stripMargin
+    }.mkString(" UNION ALL ") + ") t ORDER BY column_name"
 }

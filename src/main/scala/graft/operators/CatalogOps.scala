@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Lake
+
+/** Catalog / metadata extraction (SURVEY.md §2 items 9–12) — the data-lake
+  * API surface: list datasets, extract schemas, profile columns, and report
+  * file-level metadata.
+  *
+  * Scale notes: table listing and schema extraction are O(#tables) driver
+  * metadata operations. Column profiling is ONE aggregate pass per table
+  * computing every column's stats in a single job (struct-per-column, then
+  * unpivoted) — never a job per column. Exact NDV is used at test SF for
+  * oracle parity; at 100 TB flip `exactNdv=false` for
+  * approx_count_distinct (same plan shape, HLL sketch, no extra shuffle).
+  */
+object CatalogOps {
+
+  /** Dataset listing with row counts. Counts run as one tiny parquet
+    * metadata-only job per table (count(*) reads footers, not data). */
+  def catalogTables(spark: SparkSession, dir: String): DataFrame =
+    Lake.tableNames.map { name =>
+      Lake.table(spark, dir, name)
+        .agg(count(lit(1)).as("row_count"))
+        .select(lit(name).as("table_name"), col("row_count"))
+    }.reduce(_.union(_)).orderBy(col("table_name"))
+
+  /** Spark SQL type → portable (DuckDB-style) type name, so the schema
+    * catalog is comparable across engines. */
+  private def portableType(dt: DataType): String = dt match {
+    case LongType => "BIGINT"
+    case IntegerType => "INTEGER"
+    case DoubleType => "DOUBLE"
+    case FloatType => "FLOAT"
+    case StringType => "VARCHAR"
+    case BooleanType => "BOOLEAN"
+    case TimestampType => "TIMESTAMP"
+    // parquet timestamps with isAdjustedToUTC=false surface as NTZ
+    case TimestampNTZType => "TIMESTAMP"
+    case DateType => "DATE"
+    case BinaryType => "BLOB"
+    case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+    case ArrayType(e, _) => portableType(e) + "[]"
+    case other => other.sql
+  }
+
+  /** Schema extraction: (table_name, column_name, ordinal, data_type) for
+    * every table in the lake. Pure metadata — no data read. */
+  def catalogSchema(spark: SparkSession, dir: String): DataFrame = {
+    val rows = Lake.tableNames.flatMap { name =>
+      Lake.table(spark, dir, name).schema.fields.zipWithIndex.map {
+        case (f, i) => Row(name, f.name, (i + 1).toLong, portableType(f.dataType))
+      }
+    }
+    val schema = StructType(Seq(
+      StructField("table_name", StringType, nullable = false),
+      StructField("column_name", StringType, nullable = false),
+      StructField("ordinal", LongType, nullable = false),
+      StructField("data_type", StringType, nullable = false)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+      .orderBy(col("table_name"), col("ordinal"))
+  }
+
+  /** Column profile for a set of orderable columns of one table, in a
+    * single aggregate pass: min/max (as double), null count, NDV.
+    * Output: one row per column, unpivoted via stack(). */
+  def profile(spark: SparkSession, dir: String, table: String,
+              columns: Seq[String], exactNdv: Boolean = true): DataFrame = {
+    val df = Lake.table(spark, dir, table)
+    val aggs = columns.flatMap { c =>
+      Seq(
+        min(col(c)).cast("double").as(s"${c}__min"),
+        max(col(c)).cast("double").as(s"${c}__max"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        (if (exactNdv) countDistinct(col(c))
+         else approx_count_distinct(col(c), 0.02)).as(s"${c}__ndv"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stackExpr = columns.map { c =>
+      s"'$c', `${c}__min`, `${c}__max`, `${c}__nulls`, `${c}__ndv`"
+    }.mkString(s"stack(${columns.size}, ", ", ", ")")
+    wide.select(expr(
+      s"$stackExpr as (column_name, min_val, max_val, null_count, ndv)"))
+      .orderBy(col("column_name"))
+  }
+
+  /** File-level metadata: per table, number of files and total bytes, from
+    * the filesystem (driver-side listing, O(#files) — at 100 TB this is the
+    * catalog's manifest scan, not a data read). */
+  def fileMetadata(spark: SparkSession, dir: String): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rows = Lake.tableNames.map { name =>
+      val p = new Path(s"$dir/$name.parquet")
+      val fs = p.getFileSystem(conf)
+      val summary = fs.getContentSummary(p)
+      Row(name, summary.getFileCount, summary.getLength)
+    }
+    val schema = StructType(Seq(
+      StructField("table_name", StringType, nullable = false),
+      StructField("n_files", LongType, nullable = false),
+      StructField("total_bytes", LongType, nullable = false)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+      .orderBy(col("table_name"))
+  }
+}

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Lake
+
+/** Event-stream analytics over the `events` table (SURVEY.md §2 items
+  * 13–14): time-bucketed aggregation, gap-based sessionization, funnel
+  * analysis, and JSON property extraction.
+  *
+  * Scale notes: everything partitions by `user_id` (high cardinality — no
+  * skew hot-spot) or by time bucket. Sessionization is the classic
+  * lag + cumulative-sum formulation: exactly two window passes over one
+  * user-partitioned shuffle, no self-join. The streaming twin
+  * (graft.streaming.SessionizeStream) shares the same gap semantics for
+  * unbounded input.
+  */
+object EventOps {
+
+  private val dec2 = DecimalType(18, 2)
+  val SessionGapSeconds = 1800L
+
+  /** Hourly time buckets × event type: count + exact value sums. */
+  def hourly(spark: SparkSession, dir: String): DataFrame =
+    Lake.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value").cast(dec2)).cast("double"), 2).as("sum_value"))
+      .orderBy(col("bucket"), col("event_type"))
+
+  /** Events with a session id assigned per user: a new session starts when
+    * the gap since the previous event exceeds `SessionGapSeconds`. */
+  def withSessionIds(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gap = col("ts").cast("double") - lag(col("ts").cast("double"), 1).over(byUser)
+    Lake.events(spark, dir)
+      .withColumn("new_session",
+        when(gap.isNull || gap > SessionGapSeconds, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Per-(user, session) rollup: event count and purchase count. */
+  def sessions(spark: SparkSession, dir: String): DataFrame =
+    withSessionIds(spark, dir)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchases"))
+      .orderBy(col("user_id"), col("session_id"))
+
+  /** Funnel: users whose first view precedes their first click precedes
+    * their first purchase. One aggregation pass, no self-joins. */
+  def funnel(spark: SparkSession, dir: String): DataFrame =
+    Lake.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+        min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+      .filter(col("t_view") < col("t_click") && col("t_click") < col("t_purchase"))
+      .select(col("user_id"))
+      .orderBy(col("user_id"))
+
+  /** JSON property extraction from `props` (semi-structured column):
+    * average of $.k per event type. get_json_object is codegen'd. */
+  def jsonProps(spark: SparkSession, dir: String): DataFrame =
+    Lake.events(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(col("k")).as("n"),
+        round(sum(col("k")).cast("double") / count(col("k")), 4).as("avg_k"))
+      .orderBy(col("event_type"))
+}

@@ -1,0 +1,195 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Lake
+
+/** Relational query core (SURVEY.md §2 items 1–8).
+  *
+  * Scale/correctness conventions used throughout:
+  *  - Money arithmetic runs in decimal(18,2): exact and associative, so
+  *    Spark's unordered partial aggregation and DuckDB's sequential sum
+  *    produce bit-identical results; the final value is cast to double and
+  *    rounded so output schemas stay plain doubles.
+  *  - True dimension tables (region/nation/supplier/part) are broadcast
+  *    explicitly; fact⨝fact joins (lineitem⨝orders) shuffle on the join key
+  *    and are left to AQE for skew/coalesce handling at scale.
+  *  - Top-K is orderBy().limit(k): Spark plans TakeOrderedAndProject
+  *    (per-partition heaps, driver merges k rows) — never a global sort.
+  *  - Every query ends in an explicit orderBy with a unique tie-break key so
+  *    results are deterministic for the driver's hash compare.
+  */
+object Relational {
+
+  private val dec2 = DecimalType(18, 2)
+  /** Exact money column: decimal(18,2) cast. */
+  private def m(c: Column): Column = c.cast(dec2)
+  /** revenue term l_extendedprice * (1 - l_discount), exact decimal. */
+  private def revenueTerm: Column =
+    m(col("l_extendedprice")) * (m(lit(1)) - m(col("l_discount")))
+
+  /** TPC-H Q1 shape: pricing summary over lineitem with a ship-date filter.
+    * One shuffle (group-by), partial aggregation map-side. */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Lake.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        // quantities are integer-valued doubles: exact under reordering
+        sum(col("l_quantity")).as("sum_qty"),
+        round(sum(m(col("l_extendedprice"))).cast("double"), 2).as("sum_base_price"),
+        round(sum(revenueTerm).cast("double"), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Scan + filter + project: exercises parquet predicate pushdown and
+    * column pruning (asserted in PlanShapeSpec). */
+  def scanFilter(spark: SparkSession, dir: String): DataFrame =
+    Lake.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1997-07-01").cast("timestamp") &&
+              col("l_quantity") < 10)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+              col("l_extendedprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** Top-K without a global sort: TakeOrderedAndProject. */
+  def topNOrders(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
+    Lake.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(k)
+
+  /** TPC-H Q3 shape (flagship candidate): customer⨝orders⨝lineitem,
+    * revenue per undelivered order, top 10. Customer is left to
+    * Catalyst/AQE (it is NOT broadcast-safe at 100 TB); orders⨝lineitem
+    * shuffles on orderkey. */
+  def starJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1998-01-01").cast("timestamp")
+    val cust = Lake.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val ord = Lake.orders(spark, dir)
+      .filter(col("o_orderdate") < cutoff)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val li = Lake.lineitem(spark, dir)
+      .filter(col("l_shipdate") > cutoff)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    cust.join(ord, col("c_custkey") === col("o_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(round(sum(revenueTerm).cast("double"), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5 shape: revenue per nation for one region and date range,
+    * customer and supplier in the same nation. region/nation/supplier are
+    * broadcast (bounded size at any SF). */
+  def regionRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val reg = Lake.region(spark, dir).filter(col("r_name") === "ASIA")
+    val nat = Lake.nation(spark, dir)
+    val sup = Lake.supplier(spark, dir)
+    val cust = Lake.customer(spark, dir)
+    val ord = Lake.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1998-01-01").cast("timestamp"))
+    val li = Lake.lineitem(spark, dir)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup),
+        col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(revenueTerm).cast("double"), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** lineitem with broadcast part + supplier dims: qty/revenue per brand. */
+  def partSuppJoin(spark: SparkSession, dir: String): DataFrame =
+    Lake.lineitem(spark, dir)
+      .join(broadcast(Lake.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Lake.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        round(sum(revenueTerm).cast("double"), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("p_brand"))
+
+  /** Left-semi join: customers with at least one high-value order. */
+  def semiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val bigOrders = Lake.orders(spark, dir).filter(col("o_totalprice") > 300000)
+    Lake.customer(spark, dir)
+      .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Left-anti join: customers who never placed an urgent order. */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val urgent = Lake.orders(spark, dir).filter(col("o_orderpriority") === "1-URGENT")
+    Lake.customer(spark, dir)
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Group-by + HAVING: nations with enough customers. nation broadcast. */
+  def aggHaving(spark: SparkSession, dir: String): DataFrame =
+    Lake.customer(spark, dir)
+      .join(broadcast(Lake.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        round(sum(m(col("c_acctbal"))).cast("double") / count(lit(1)), 4).as("avg_acctbal"))
+      .filter(col("n_customers") >= 3)
+      .orderBy(col("n_name"))
+
+  /** Window rank: top 3 orders per customer by totalprice. */
+  def windowRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Lake.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+              rank().over(w).cast("long").as("rnk"))
+      .filter(col("rnk") <= 3)
+      .orderBy(col("o_custkey"), col("rnk"), col("o_orderkey"))
+  }
+
+  /** Running (cumulative) sum per customer over order date. */
+  def runningSum(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Lake.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+              round(sum(m(col("o_totalprice"))).over(w).cast("double"), 2)
+                .as("cum_spend"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** Distinct values of a low-cardinality column. */
+  def distinctSegments(spark: SparkSession, dir: String): DataFrame =
+    Lake.customer(spark, dir)
+      .select(col("c_mktsegment"))
+      .distinct()
+      .orderBy(col("c_mktsegment"))
+
+  /** Set ops: (urgent ∪ high priority customers) minus open-status ones. */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Lake.orders(spark, dir)
+    val urgent = ord.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+    val high   = ord.filter(col("o_orderpriority") === "2-HIGH").select(col("o_custkey"))
+    val open   = ord.filter(col("o_orderstatus") === "P").select(col("o_custkey"))
+    urgent.union(high).distinct().except(open)
+      .withColumnRenamed("o_custkey", "custkey")
+      .orderBy(col("custkey"))
+  }
+}
