@@ -46,7 +46,25 @@ object SparkEntry {
     "q_events_sessions"   -> EventOps.sessions _,
     "q_events_funnel"     -> EventOps.funnel _,
     "q_events_json"       -> EventOps.jsonProps _,
+    // Dedup (§2 items 15–18)
+    "q_dedup_exact"       -> DedupOps.dedupExact _,
+    "q_neardup_pairs"     -> ((s: SparkSession, d: String) => DedupOps.nearDupPairs(s, d)),
+    "q_simhash"           -> DedupOps.simhash _,
+    // Similarity search / embeddings (§2 items 19–21)
+    "q_ann_bruteforce"    -> ((s: SparkSession, d: String) => AnnOps.bruteForce(s, d)),
+    "q_ann_lsh"           -> ((s: SparkSession, d: String) => AnnOps.lsh(s, d)),
+    "q_embedding_stats"   -> AnnOps.embeddingStats _,
+    // Text analysis (§2 items 22–24)
+    "q_token_stats"       -> TextOps.tokenStats _,
+    "q_lang_quality"      -> TextOps.langQuality _,
+    "q_doc_quality"       -> TextOps.docQuality _,
+    "q_fingerprint"       -> TextOps.fingerprint _,
+    // Multimodal (§2 item 25)
+    "q_multimodal_meta"   -> MultimodalOps.multimodalMeta _,
+    "q_multimodal_decode" -> ((s: SparkSession, d: String) => MultimodalOps.decodeFeatures(s, d)),
   )
+
+  private val stopList = TextOps.Stopwords.map(s => s"'$s'").mkString(", ")
 
   /** DuckDB-runnable ANSI SQL twin for each query (same column names, same
     * ORDER BY). Money math goes through decimal(18,2) on both sides so
@@ -186,6 +204,81 @@ object SparkEntry {
         |  round(cast(sum(k) AS double) / count(k), 4) AS avg_k
         |FROM (SELECT event_type, cast(json_extract_string(props, '$.k') AS bigint) AS k FROM events) t
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS keeper, sha256(text) AS content_hash, count(*) AS n_copies
+        |FROM documents GROUP BY sha256(text) ORDER BY keeper""".stripMargin,
+    // Semantic ground truth for near-dedup: the oracle may brute-force the
+    // quadratic jaccard (DuckDB, 500 docs); the engine must NOT (LSH).
+    "q_neardup_pairs" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) >= 3
+        |      THEN list_distinct(list_transform(range(1, len(t) - 1),
+        |             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        |      ELSE [array_to_string(t, ' ')] END AS s
+        |  FROM tok)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  round(len(list_intersect(a.s, b.s)) * 1.0 / len(list_distinct(a.s || b.s)), 4) AS jaccard
+        |FROM sh a, sh b
+        |WHERE a.doc_id < b.doc_id
+        |  AND len(list_intersect(a.s, b.s)) * 1.0 / len(list_distinct(a.s || b.s)) >= 0.6
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_ann_bruteforce" ->
+      """SELECT q_id, neighbor_id, round(sim_raw, 4) AS sim, cast(rnk AS bigint) AS rnk
+        |FROM (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+        |    list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) AS sim_raw,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC,
+        |        c.vec_id) AS rnk
+        |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 8) t
+        |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    "q_embedding_stats" ->
+      """SELECT label, count(*) AS n_vecs,
+        |  round(cast(sum(cast(sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum')) AS decimal(18,8))) AS double) / count(*), 4) AS avg_norm,
+        |  round(cast(sum(cast(CAST(embedding[1] AS double) AS decimal(18,8))) AS double) / count(*), 4) AS avg_dim0
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+    "q_token_stats" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  len(list_distinct(string_split(text, ' '))) AS n_distinct,
+        |  round(len(list_distinct(string_split(text, ' '))) * 1.0 / len(string_split(text, ' ')), 4) AS ttr,
+        |  round((len(text) - len(string_split(text, ' ')) + 1) * 1.0 / len(string_split(text, ' ')), 4) AS avg_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_lang_quality" ->
+      s"""SELECT doc_id, lang, n_stop, stop_ratio,
+         |  CASE WHEN stop_ratio >= 0.03 THEN 'en' ELSE 'und' END AS lang_pred
+         |FROM (
+         |  SELECT doc_id, lang,
+         |    len(list_filter(string_split(text, ' '), t -> t IN ($stopList))) AS n_stop,
+         |    round(len(list_filter(string_split(text, ' '), t -> t IN ($stopList))) * 1.0
+         |      / len(string_split(text, ' ')), 4) AS stop_ratio
+         |  FROM documents) t
+         |ORDER BY doc_id""".stripMargin,
+    "q_doc_quality" ->
+      s"""SELECT doc_id, n_tokens, quality,
+         |  CASE WHEN quality >= 0.7 THEN 'high'
+         |       WHEN quality >= 0.4 THEN 'medium' ELSE 'low' END AS quality_bucket
+         |FROM (
+         |  SELECT doc_id, n_tokens,
+         |    round(0.4 * least(1.0, n_tokens / 100.0)
+         |        + 0.4 * (n_distinct * 1.0 / n_tokens)
+         |        + 0.2 * least(1.0, (n_stop * 1.0 / n_tokens) * 10.0), 4) AS quality
+         |  FROM (
+         |    SELECT doc_id,
+         |      len(string_split(text, ' ')) AS n_tokens,
+         |      len(list_distinct(string_split(text, ' '))) AS n_distinct,
+         |      len(list_filter(string_split(text, ' '), t -> t IN ($stopList))) AS n_stop
+         |    FROM documents) u) t
+         |ORDER BY doc_id""".stripMargin,
+    "q_multimodal_meta" ->
+      """SELECT source, count(*) AS n_docs,
+        |  cast(sum(octet_length(encode(text))) AS bigint) AS total_bytes,
+        |  round(cast(sum(octet_length(encode(text))) AS double) / count(*), 4) AS avg_bytes,
+        |  cast(max(octet_length(encode(text))) AS bigint) AS max_bytes
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
   )
 
   /** Oracle twin of CatalogOps.profile: one UNION ALL branch per column. */

@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Lake
+import graft.functions.VectorFunctions.{cosineSimilarity, dotProductF}
+
+/** Similarity search over the `embeddings` table (SURVEY.md §2 items
+  * 19–21): brute-force cosine top-k as the exact baseline, multi-table
+  * random-hyperplane LSH as the approximate scale path, and embedding
+  * column statistics.
+  *
+  * Scale design: brute-force broadcasts the (bounded) query set and scans
+  * the corpus once — linear, no shuffle of the corpus. The LSH path
+  * shuffles the corpus once keyed by (table, bucket) and only scores
+  * within-bucket candidates — never an all-pairs product (asserted in
+  * AnnSpec). Cosine runs in the custom codegen'd [[graft.functions.CosineSimilarity]]
+  * expression, so scoring stays inside whole-stage codegen.
+  */
+object AnnOps {
+
+  /** Exact top-k neighbors for each query vector (vec_id < nQueries used as
+    * the query set). */
+  def bruteForce(spark: SparkSession, dir: String,
+                 k: Int = 5, nQueries: Int = 8): DataFrame = {
+    val emb = Lake.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val scored = emb.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .withColumn("sim_raw", cosineSimilarity(col("embedding"), col("q_emb")))
+    topK(scored, k)
+  }
+
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim_raw").desc, col("vec_id"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        round(col("sim_raw"), 4).as("sim"), col("rnk"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** Default LSH parameters, tuned for near-uniform vectors (the synthetic
+    * corpus): many small tables. Clustered real-world embeddings get the
+    * same recall from fewer, wider tables — both are O(corpus × L) work. */
+  val Tables = 16
+  val BitsPerTable = 4
+
+  /** Deterministic Gaussian hyperplanes: table `l`, bit `b`, dimension `d`. */
+  def hyperplanes(dim: Int, tables: Int = Tables,
+                  bits: Int = BitsPerTable): IndexedSeq[IndexedSeq[Array[Float]]] =
+    (0 until tables).map { l =>
+      (0 until bits).map { b =>
+        val rng = new scala.util.Random(1000L * l + b)
+        Array.fill(dim)(rng.nextGaussian().toFloat)
+      }
+    }
+
+  /** One row per (vector, table) with the vector's bucket in that table:
+    * bucket = table-id prefix + sign bits of the hyperplane dots. */
+  private def withBuckets(df: DataFrame, dim: Int): DataFrame = {
+    val hp = hyperplanes(dim)
+    val bucketCols: Seq[Column] = (0 until Tables).map { l =>
+      val code = (0 until BitsPerTable).map { b =>
+        when(dotProductF(col("embedding"), typedLit(hp(l)(b).toSeq)) > 0d,
+          lit(1 << b)).otherwise(lit(0))
+      }.reduce(_ + _)
+      (code + lit(l << BitsPerTable)).cast("int")
+    }
+    df.select(col("*"), explode(array(bucketCols: _*)).as("bucket"))
+  }
+
+  /** Approximate top-k via multi-table hyperplane LSH: candidates are
+    * vectors sharing any table's bucket with the query; scored with exact
+    * cosine; deduped across tables before ranking. */
+  def lsh(spark: SparkSession, dir: String,
+          k: Int = 5, nQueries: Int = 8, dim: Int = 64): DataFrame = {
+    val emb = Lake.embeddings(spark, dir)
+    val corpus = withBuckets(emb, dim)
+    val queries = withBuckets(
+      emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        .withColumnRenamed("q_emb", "embedding"), dim)
+      .withColumnRenamed("embedding", "q_emb")
+      .withColumnRenamed("bucket", "q_bucket")
+    val cand = corpus.join(broadcast(queries),
+        col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(first(col("embedding")).as("embedding"), first(col("q_emb")).as("q_emb"))
+      .withColumn("sim_raw", cosineSimilarity(col("embedding"), col("q_emb")))
+    topK(cand, k)
+  }
+
+  /** Per-label embedding statistics: count, mean L2 norm, mean first
+    * component. Norms go through decimal so the mean is order-independent
+    * and oracle-exact (SURVEY.md §6). */
+  def embeddingStats(spark: SparkSession, dir: String): DataFrame = {
+    val dec8 = DecimalType(18, 8)
+    val sumSq = expr(
+      "aggregate(transform(cast(embedding as array<double>), x -> x * x), " +
+      "cast(0 as double), (acc, x) -> acc + x)")
+    Lake.embeddings(spark, dir)
+      .select(col("label"),
+        sqrt(sumSq).cast(dec8).as("norm"),
+        element_at(col("embedding"), 1).cast("double").cast(dec8).as("dim0"))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        round(sum(col("norm")).cast("double") / count(lit(1)), 4).as("avg_norm"),
+        round(sum(col("dim0")).cast("double") / count(lit(1)), 4).as("avg_dim0"))
+      .orderBy(col("label"))
+  }
+}

@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Lake
+
+/** Deduplication over the `documents` table (SURVEY.md §2 items 15–18):
+  * exact content-hash dedup, MinHash + banded-LSH near-dedup with exact
+  * n-gram-Jaccard verification, and 64-bit SimHash.
+  *
+  * Scale design: nothing here is all-pairs. Candidate generation is a
+  * self-equi-join keyed by (band, band_hash) — a hash-partitioned shuffle
+  * whose per-bucket pair count is bounded by the banding parameters, never a
+  * CartesianProduct (asserted by DedupSpec against the executed plan).
+  * MinHash signatures are one shuffle (distinct shingles) + one partial-agg
+  * group-by; at 100 TB both scale linearly with corpus size.
+  */
+object DedupOps {
+
+  /** Default MinHash parameters: 64 permutations in 16 bands of 4 rows —
+    * LSH detection threshold ≈ (1/16)^(1/4) ≈ 0.5 Jaccard. */
+  val NumPerms = 64
+  val Bands = 16
+  val RowsPerBand: Int = NumPerms / Bands
+
+  /** Exact dedup: group by sha256(text); keeper = lowest doc_id of each
+    * content group. Output is every distinct content with its copy count —
+    * the kept corpus after exact dedup. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Lake.documents(spark, dir)
+      .groupBy(sha2(col("text"), 256).as("content_hash"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+      .select(col("keeper"), col("content_hash"), col("n_copies"))
+      .orderBy(col("keeper"))
+
+  /** Distinct (doc_id, word-n-gram shingle) pairs. */
+  def shingled(spark: SparkSession, dir: String, n: Int = 3): DataFrame =
+    Lake.documents(spark, dir)
+      .select(col("doc_id"), explode(TextOps.shingleCol(n)).as("shingle"))
+      .distinct()
+
+  /** MinHash signatures: for permutation i, min over the doc's shingles of
+    * xxhash64(i, shingle). One group-by computes all `NumPerms` mins in a
+    * single partial-aggregated pass. */
+  def minhashSignatures(sh: DataFrame): DataFrame = {
+    val mins = (0 until NumPerms).map(i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"m$i"))
+    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH banding: one row per (doc, band) with the band's combined hash. */
+  def bandedBuckets(sigs: DataFrame): DataFrame = {
+    val bandHashes = (0 until Bands).map { b =>
+      val cols = (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}"))
+      xxhash64(lit(b) +: cols: _*)
+    }
+    sigs.select(col("doc_id"), posexplode(array(bandHashes: _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+  }
+
+  /** Near-duplicate pairs: banded-LSH candidates, then exact word-3-gram
+    * Jaccard verification at `threshold`. The self-join is equi-keyed on
+    * (band, band_hash); candidate pairs are deduped across bands before the
+    * (exact, per-pair) verify. */
+  def nearDupPairs(spark: SparkSession, dir: String,
+                   threshold: Double = 0.6): DataFrame = {
+    val sh = shingled(spark, dir)
+    val buckets = bandedBuckets(minhashSignatures(sh))
+    val candidates = buckets.as("x")
+      .join(buckets.as("y"),
+        col("x.band") === col("y.band") &&
+        col("x.band_hash") === col("y.band_hash") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sets = sh.groupBy(col("doc_id")).agg(collect_set(col("shingle")).as("sh"))
+    candidates
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))) /
+        size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** 64-bit SimHash per document: bit j of the signature is the sign of
+    * sum over tokens of (term frequency × ±1 by bit j of xxhash64(token)).
+    * Computed as 64 conditional sums in one group-by pass. */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Lake.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("cnt"))
+      .withColumn("h", xxhash64(col("token")))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, col("cnt"))
+        .otherwise(-col("cnt"))).as(s"b$j")
+    }
+    val wide = tf.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64).map { j =>
+      shiftleft(when(col(s"b$j") > 0, 1L).otherwise(0L), j)
+    }.reduce(_.bitwiseOR(_))
+    wide.select(col("doc_id"), sig.as("simhash")).orderBy(col("doc_id"))
+  }
+
+  /** SimHash near-dup candidates: 4 bands of 16 bits each (any pair within
+    * hamming distance 3 shares at least one intact band), verified with
+    * bit_count(xor) ≤ maxHamming. Same bucketed-join shape as MinHash-LSH. */
+  def simhashPairs(spark: SparkSession, dir: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sigs = simhash(spark, dir)
+    val bands = sigs.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") &&
+        col("x.band_key") === col("y.band_key") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+}

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Lake
+
+/** Opaque payload for the batched decode path. */
+final case class MediaPayload(doc_id: Long, payload: Array[Byte])
+
+/** Decoded (stubbed) per-item features; `batch_size` records the actual
+  * decoder batch the item rode in, proving the batching plumbing. */
+final case class MediaFeatures(doc_id: Long, n_bytes: Int, batch_size: Int,
+                               features: Array[Float])
+
+/** Multimodal column support (SURVEY.md §2 item 25): media payloads as
+  * opaque `binary` columns with typed metadata, plus batched decode
+  * plumbing shaped like a real vectorized decoder.
+  *
+  * The container has no image/audio libraries, so the decode kernel is a
+  * clearly-marked deterministic STUB — but the Spark side is real: binary
+  * schema, metadata struct, `mapPartitions` with bounded decoder batches
+  * (the shape a JNI/FFI decode call needs), and partition-parallel
+  * execution with no driver materialization.
+  */
+object MultimodalOps {
+
+  /** Documents as binary payloads + typed metadata struct. In a real lake
+    * the payload column is the image/audio bytes; here it is the UTF-8 text
+    * bytes, which keeps every byte-level operator real. */
+  def payloads(spark: SparkSession, dir: String): DataFrame =
+    Lake.documents(spark, dir).select(
+      col("doc_id"), col("source"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(
+        lit("text/plain").as("mime"),
+        octet_length(col("text")).cast("long").as("n_bytes")).as("meta"))
+
+  /** Per-source payload statistics over the binary column. */
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
+    payloads(spark, dir)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(col("payload"))).as("total_bytes"),
+        round(sum(length(col("payload"))).cast("double") / count(lit(1)), 4)
+          .as("avg_bytes"),
+        max(length(col("payload"))).cast("long").as("max_bytes"))
+      .orderBy(col("source"))
+
+  /** STUB decode kernel: a real implementation hands the whole batch to a
+    * vectorized decoder (e.g. JNI image decode); this deterministic fake
+    * derives 8 "features" from the first payload bytes so tests can assert
+    * plumbing end-to-end. */
+  private def stubDecode(payload: Array[Byte]): Array[Float] =
+    Array.tabulate(8)(i =>
+      if (i < payload.length) payload(i).toFloat / 128f else 0f)
+
+  /** Batched feature extraction: partitions stream through the decoder in
+    * bounded batches (`batchSize`), exactly the call shape a native decoder
+    * needs — no per-row call overhead, no whole-partition materialization. */
+  def decodeFeatures(spark: SparkSession, dir: String,
+                     batchSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    payloads(spark, dir).select(col("doc_id"), col("payload"))
+      .as[MediaPayload]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          // one decoder invocation per batch (stubbed)
+          batch.map(p =>
+            MediaFeatures(p.doc_id, p.payload.length, batch.size,
+              stubDecode(p.payload)))
+        }
+      }
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+}

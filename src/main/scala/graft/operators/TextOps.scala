@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Lake
+
+/** Text analysis over the `documents` table (SURVEY.md §2 items 22–24):
+  * tokenization + per-doc token statistics, a stopword-ratio language/quality
+  * heuristic, composite document quality scoring, and shingle-based document
+  * fingerprinting.
+  *
+  * Everything is built from codegen'd `functions._` (split / higher-order
+  * array functions / xxhash64) — one narrow map stage per operator, no Scala
+  * UDFs, no shuffle except the final presentation sort. At 100 TB these run
+  * as pure map tasks over the parquet scan.
+  */
+object TextOps {
+
+  /** Tiny English stopword list used by the language heuristic. */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  private def toks: Column = split(col("text"), " ")
+
+  /** Per-doc token statistics: counts, type-token ratio, token lengths.
+    * `avg_token_len` exploits the single-space tokenization:
+    * total token chars = len(text) - (n_tokens - 1). */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    Lake.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        toks.as("tok"),
+        length(col("text")).cast("long").as("text_len"))
+      .select(
+        col("doc_id"),
+        size(col("tok")).cast("long").as("n_tokens"),
+        size(array_distinct(col("tok"))).cast("long").as("n_distinct"),
+        col("text_len"))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        col("n_distinct"),
+        round(col("n_distinct") / col("n_tokens"), 4).as("ttr"),
+        round((col("text_len") - col("n_tokens") + 1) / col("n_tokens"), 4)
+          .as("avg_token_len"))
+      .orderBy(col("doc_id"))
+
+  private def stopFilterSql: String =
+    s"size(filter(split(text, ' '), t -> t IN (${Stopwords.map(s => s"'$s'").mkString(", ")})))"
+
+  /** Language-ID heuristic: stopword ratio over the token stream; docs with
+    * enough English stopwords are tagged 'en', the rest 'und'. Emitted next
+    * to the dataset's own `lang` label for audit. */
+  def langQuality(spark: SparkSession, dir: String): DataFrame =
+    Lake.documents(spark, dir)
+      .select(
+        col("doc_id"), col("lang"),
+        expr(stopFilterSql).cast("long").as("n_stop"),
+        size(toks).cast("long").as("n_tokens"))
+      .select(
+        col("doc_id"), col("lang"), col("n_stop"),
+        round(col("n_stop") / col("n_tokens"), 4).as("stop_ratio"))
+      .withColumn("lang_pred",
+        when(col("stop_ratio") >= 0.03, lit("en")).otherwise(lit("und")))
+      .orderBy(col("doc_id"))
+
+  /** Composite quality score in [0,1]: length component (saturating at 100
+    * tokens), lexical diversity (type-token ratio), stopword presence.
+    * Same arithmetic on the oracle side so doubles round identically. */
+  def docQuality(spark: SparkSession, dir: String): DataFrame =
+    Lake.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"),
+        expr(stopFilterSql).cast("long").as("n_stop"))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        round(
+          lit(0.4) * least(lit(1.0), col("n_tokens") / 100.0) +
+          lit(0.4) * (col("n_distinct") / col("n_tokens")) +
+          lit(0.2) * least(lit(1.0), (col("n_stop") / col("n_tokens")) * 10.0),
+          4).as("quality"))
+      .withColumn("quality_bucket",
+        when(col("quality") >= 0.7, "high")
+          .when(col("quality") >= 0.4, "medium")
+          .otherwise("low"))
+      .orderBy(col("doc_id"))
+
+  /** Word n-gram shingles of `text` as an array column (used by dedup and
+    * fingerprinting). Docs shorter than `n` tokens shingle to the whole text. */
+  def shingleCol(n: Int): Column =
+    when(size(toks) >= n,
+      expr(s"transform(sequence(0, size(split(text, ' ')) - $n), " +
+           s"i -> concat_ws(' ', slice(split(text, ' '), i + 1, $n)))"))
+      .otherwise(array(col("text")))
+
+  /** Document fingerprint: min-sampled 64-bit hash over word-3-gram shingles
+    * (winnowing-style representative hash). Deterministic — same text, same
+    * fingerprint — and near-duplicate docs collide with high probability
+    * (asserted in TextOpsSpec). Not SQL-expressible (xxhash64): rows-only. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Lake.documents(spark, dir)
+      .select(col("doc_id"), shingleCol(3).as("sh"))
+      .select(
+        col("doc_id"),
+        array_min(transform(col("sh"), s => xxhash64(s))).as("fingerprint"),
+        size(col("sh")).cast("long").as("n_shingles"))
+      .orderBy(col("doc_id"))
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+import graft.operators.AnnOps
+
+/** Similarity-search semantics: custom expression correctness and LSH
+  * recall against the exact brute-force baseline. */
+class AnnSpec extends SparkSpecBase {
+
+  test("CosineSimilarity expression matches a driver-side reference") {
+    val rows = Lake.embeddings(spark, Sf).limit(10).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def ref(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val emb = Lake.embeddings(spark, Sf).limit(10)
+    val byId = rows.toMap
+    val sims = emb.select(col("vec_id").as("a_id"), col("embedding").as("a"))
+      .crossJoin(emb.select(col("vec_id").as("b_id"), col("embedding").as("b")))
+      .select(col("a_id"), col("b_id"),
+        VectorFunctions.cosineSimilarity(col("a"), col("b")).as("sim"))
+      .collect()
+    for (r <- sims) {
+      val e = ref(byId(r.getLong(0)), byId(r.getLong(1)))
+      assert(math.abs(r.getDouble(2) - e) < 1e-12,
+        s"(${r.getLong(0)},${r.getLong(1)}): ${r.getDouble(2)} vs $e")
+    }
+  }
+
+  test("LSH ANN reaches recall >= 0.8 against exact brute force") {
+    def neighborSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1))
+        .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val exact = neighborSets(AnnOps.bruteForce(spark, Sf))
+    val approx = neighborSets(AnnOps.lsh(spark, Sf))
+    val recalls = exact.map { case (q, truth) =>
+      (approx.getOrElse(q, Set.empty) & truth).size.toDouble / truth.size
+    }
+    val recall = recalls.sum / recalls.size
+    assert(recall >= 0.8, s"LSH recall $recall < 0.8 (per-query: $recalls)")
+  }
+
+  test("LSH ANN scores far fewer candidates than brute force") {
+    // the whole point of the bucketed path: candidate set << corpus
+    val emb = Lake.embeddings(spark, Sf)
+    val corpusSize = emb.count()
+    val nQueries = 8
+    // count deduped candidate pairs scored by the LSH path
+    val cand = AnnOps.lsh(spark, Sf, k = Int.MaxValue, nQueries = nQueries)
+    val scored = cand.count()
+    assert(scored < corpusSize * nQueries,
+      s"LSH scored $scored pairs — not fewer than brute force ${corpusSize * nQueries}")
+  }
+}

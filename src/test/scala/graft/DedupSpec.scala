@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.DedupOps
+
+/** Semantics of the dedup operators against brute-force ground truth
+  * computed driver-side over the tiny sf0.001 corpus. */
+class DedupSpec extends SparkSpecBase {
+
+  /** Brute-force word-3-gram Jaccard over all pairs (test-only!). */
+  private lazy val groundTruth: Map[(Long, Long), Double] = {
+    val docs = Lake.documents(spark, Sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq.sortBy(_._1)
+    def shingles(t: String): Set[String] = {
+      val w = t.split(" ")
+      if (w.length >= 3) w.sliding(3).map(_.mkString(" ")).toSet else Set(t)
+    }
+    val sh = docs.map { case (id, t) => id -> shingles(t) }
+    (for {
+      (a, sa) <- sh; (b, sb) <- sh if a < b
+      j = (sa & sb).size.toDouble / (sa | sb).size
+      if j >= 0.6
+    } yield (a, b) -> j).toMap
+  }
+
+  test("MinHash-LSH near-dedup finds exactly the true pairs at threshold 0.6") {
+    val found = DedupOps.nearDupPairs(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(found.keySet == groundTruth.keySet,
+      s"missed: ${groundTruth.keySet -- found.keySet}; spurious: ${found.keySet -- groundTruth.keySet}")
+    // verification stage reports the *exact* jaccard, not an estimate
+    for ((pair, j) <- groundTruth)
+      assert(math.abs(found(pair) - j) < 5e-5, s"pair $pair jaccard off: ${found(pair)} vs $j")
+  }
+
+  test("exact dedup groups by content hash with stable keepers") {
+    val rows = DedupOps.dedupExact(spark, Sf).collect()
+    val nDocs = Lake.documents(spark, Sf).count()
+    assert(rows.map(_.getLong(2)).sum == nDocs, "copy counts must partition the corpus")
+    assert(rows.map(_.getString(1)).distinct.length == rows.length, "hash groups must be unique")
+  }
+
+  test("simhash is deterministic across runs") {
+    val a = DedupOps.simhash(spark, Sf).collect().map(r => r.getLong(0) -> r.getLong(1))
+    val b = DedupOps.simhash(spark, Sf).collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(a.sameElements(b))
+  }
+
+  test("near-duplicate docs have close simhashes; random pairs do not") {
+    val sig = DedupOps.simhash(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    val dupHam = groundTruth.keySet.toSeq.map { case (a, b) => hamming(sig(a), sig(b)) }
+    val ids = sig.keys.toSeq.sorted.take(60)
+    val randHam = for (a <- ids; b <- ids if a < b && !groundTruth.contains((a, b)))
+      yield hamming(sig(a), sig(b))
+    assert(dupHam.nonEmpty)
+    val dupMax = dupHam.max
+    val randAvg = randHam.sum.toDouble / randHam.size
+    assert(dupMax < randAvg,
+      s"near-dup hamming (max $dupMax) should beat random average ($randAvg)")
+  }
+}

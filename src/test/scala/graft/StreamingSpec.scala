@@ -1,0 +1,69 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.streaming.{SEvent, SessionizeStream}
+
+/** Streaming sessionization: gap semantics shared with the batch operator,
+  * driven through MemoryStream micro-batches. */
+class StreamingSpec extends SparkSpecBase {
+
+  private def ts(min: Long): Timestamp = new Timestamp(min * 60000L)
+
+  test("closed sessions are emitted with batch-identical rollups") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[SEvent]
+    val out = SessionizeStream.sessionize(input.toDS(), gapSec = 1800)
+    val query = out.writeStream
+      .format("memory").queryName("sessions_out")
+      .outputMode("append").start()
+    try {
+      // NOTE: event times start well past the epoch — the stateful operator
+      // drops rows at/before the current watermark, which starts at 0.
+      // user 1: two events, then a 40-minute gap closes session 1
+      // user 2: events 15 min apart — one open session, no emit
+      input.addData(
+        SEvent(1L, 1L, ts(100), "view"),
+        SEvent(1L, 2L, ts(110), "purchase"),
+        SEvent(2L, 3L, ts(105), "view"))
+      query.processAllAvailable()
+      input.addData(
+        SEvent(1L, 4L, ts(150), "click"), // 40 min > 30 min gap → closes session 1
+        SEvent(2L, 5L, ts(120), "purchase")) // 15 min gap → same session
+      query.processAllAvailable()
+
+      val rows = spark.sql("SELECT * FROM sessions_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(rows.toSet == Set((1L, 1L, 2L, 1L)),
+        s"expected user 1 session 1 (2 events, 1 purchase) closed; got ${rows.toSeq}")
+    } finally query.stop()
+  }
+
+  test("event-time timeout flushes idle sessions once the watermark passes") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[SEvent]
+    val out = SessionizeStream.sessionize(input.toDS(), gapSec = 1800, watermark = "0 seconds")
+    val query = out.writeStream
+      .format("memory").queryName("sessions_timeout")
+      .outputMode("append").start()
+    try {
+      input.addData(SEvent(7L, 1L, ts(100), "view"), SEvent(7L, 2L, ts(110), "purchase"))
+      query.processAllAvailable()
+      // an unrelated user far in the future advances the watermark past
+      // user 7's gap horizon → the open session times out and flushes
+      input.addData(SEvent(8L, 3L, ts(700), "view"))
+      query.processAllAvailable()
+      input.addData(SEvent(9L, 4L, ts(1300), "view"))
+      query.processAllAvailable()
+
+      val rows = spark.sql("SELECT * FROM sessions_timeout").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(rows.contains((7L, 1L, 2L, 1L)),
+        s"user 7's idle session should flush on timeout; got ${rows.toSeq}")
+    } finally query.stop()
+  }
+}
