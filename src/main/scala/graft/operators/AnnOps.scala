@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.Lake
-import graft.functions.VectorFunctions.{cosineSimilarity, dotProductF}
+import graft.functions.VectorFunctions.cosineSimilarity
 
 /** Similarity search over the `embeddings` table (SURVEY.md §2 items
   * 19–21): brute-force cosine top-k as the exact baseline, multi-table
@@ -51,29 +51,15 @@ object AnnOps {
   val Tables = 16
   val BitsPerTable = 4
 
-  /** Deterministic Gaussian hyperplanes: table `l`, bit `b`, dimension `d`. */
-  def hyperplanes(dim: Int, tables: Int = Tables,
-                  bits: Int = BitsPerTable): IndexedSeq[IndexedSeq[Array[Float]]] =
-    (0 until tables).map { l =>
-      (0 until bits).map { b =>
-        val rng = new scala.util.Random(1000L * l + b)
-        Array.fill(dim)(rng.nextGaussian().toFloat)
-      }
-    }
-
   /** One row per (vector, table) with the vector's bucket in that table:
-    * bucket = table-id prefix + sign bits of the hyperplane dots. */
-  private def withBuckets(df: DataFrame, dim: Int): DataFrame = {
-    val hp = hyperplanes(dim)
-    val bucketCols: Seq[Column] = (0 until Tables).map { l =>
-      val code = (0 until BitsPerTable).map { b =>
-        when(dotProductF(col("embedding"), typedLit(hp(l)(b).toSeq)) > 0d,
-          lit(1 << b)).otherwise(lit(0))
-      }.reduce(_ + _)
-      (code + lit(l << BitsPerTable)).cast("int")
-    }
-    df.select(col("*"), explode(array(bucketCols: _*)).as("bucket"))
-  }
+    * bucket = table-id prefix + sign bits of the hyperplane dots, all
+    * computed by the single codegen'd [[graft.functions.LshBuckets]]
+    * expression (hyperplanes ride along as a reference object, keeping the
+    * plan and generated code tiny). */
+  private def withBuckets(df: DataFrame, dim: Int): DataFrame =
+    df.select(col("*"),
+      explode(graft.functions.LshBuckets.buckets(
+        col("embedding"), dim, Tables, BitsPerTable)).as("bucket"))
 
   /** Approximate top-k via multi-table hyperplane LSH: candidates are
     * vectors sharing any table's bucket with the query; scored with exact
@@ -88,11 +74,15 @@ object AnnOps {
         .withColumnRenamed("q_emb", "embedding"), dim)
       .withColumnRenamed("embedding", "q_emb")
       .withColumnRenamed("bucket", "q_bucket")
+    // score on collision, then dedup across tables on the scalar only —
+    // cosine is idempotent and far cheaper than shuffling the float arrays
+    // through the dedup group-by
     val cand = corpus.join(broadcast(queries),
         col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosineSimilarity(col("embedding"), col("q_emb")).as("sim"))
       .groupBy(col("q_id"), col("vec_id"))
-      .agg(first(col("embedding")).as("embedding"), first(col("q_emb")).as("q_emb"))
-      .withColumn("sim_raw", cosineSimilarity(col("embedding"), col("q_emb")))
+      .agg(max(col("sim")).as("sim_raw"))
     topK(cand, k)
   }
 

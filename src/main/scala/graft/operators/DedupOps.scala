@@ -34,19 +34,24 @@ object DedupOps {
       .select(col("keeper"), col("content_hash"), col("n_copies"))
       .orderBy(col("keeper"))
 
-  /** Distinct (doc_id, word-n-gram shingle) pairs. */
+  /** Distinct (doc_id, word-n-gram shingle) pairs. Dedup happens per-doc
+    * with array_distinct BEFORE the explode — a map-side operation — so no
+    * corpus-wide distinct shuffle is ever needed. */
   def shingled(spark: SparkSession, dir: String, n: Int = 3): DataFrame =
     Lake.documents(spark, dir)
-      .select(col("doc_id"), explode(TextOps.shingleCol(n)).as("shingle"))
-      .distinct()
+      .select(col("doc_id"),
+        explode(array_distinct(TextOps.shingleCol(n))).as("shingle"))
 
   /** MinHash signatures: for permutation i, min over the doc's shingles of
     * xxhash64(i, shingle). One group-by computes all `NumPerms` mins in a
-    * single partial-aggregated pass. */
-  def minhashSignatures(sh: DataFrame): DataFrame = {
-    val mins = (0 until NumPerms).map(i =>
+    * single partial-aggregated pass; `withSets=true` piggybacks the doc's
+    * full shingle set on the same shuffle (used by the verify stage — one
+    * corpus pass total instead of two). */
+  def minhashSignatures(sh: DataFrame, withSets: Boolean = false): DataFrame = {
+    val mins: Seq[org.apache.spark.sql.Column] = (0 until NumPerms).map(i =>
       min(xxhash64(lit(i), col("shingle"))).as(s"m$i"))
-    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    val aggs = if (withSets) mins :+ collect_set(col("shingle")).as("sh") else mins
+    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH banding: one row per (doc, band) with the band's combined hash. */
@@ -65,8 +70,10 @@ object DedupOps {
     * (exact, per-pair) verify. */
   def nearDupPairs(spark: SparkSession, dir: String,
                    threshold: Double = 0.6): DataFrame = {
-    val sh = shingled(spark, dir)
-    val buckets = bandedBuckets(minhashSignatures(sh))
+    // one corpus pass: signatures + shingle sets from the same shuffle
+    val sigs = minhashSignatures(shingled(spark, dir), withSets = true)
+    val sets = sigs.select(col("doc_id"), col("sh"))
+    val buckets = bandedBuckets(sigs)
     val candidates = buckets.as("x")
       .join(buckets.as("y"),
         col("x.band") === col("y.band") &&
@@ -74,7 +81,6 @@ object DedupOps {
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val sets = sh.groupBy(col("doc_id")).agg(collect_set(col("shingle")).as("sh"))
     candidates
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
