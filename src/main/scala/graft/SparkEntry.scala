@@ -33,6 +33,10 @@ object SparkEntry {
     "q_running_sum"       -> Relational.runningSum _,
     "q_distinct_segments" -> Relational.distinctSegments _,
     "q_set_ops"           -> Relational.setOps _,
+    "q_rollup_orders"     -> Relational.rollupOrders _,
+    "q_cross_join"        -> Relational.crossJoinRegions _,
+    "q_string_funcs"      -> Relational.stringFuncs _,
+    "q_date_funcs"        -> Relational.dateFuncs _,
     // Catalog / metadata (§2 items 9–12)
     "q_catalog_tables"    -> CatalogOps.catalogTables _,
     "q_catalog_schema"    -> CatalogOps.catalogSchema _,
@@ -41,11 +45,18 @@ object SparkEntry {
     "q_profile_documents" -> ((s: SparkSession, d: String) => CatalogOps.profile(s, d, "documents",
         Seq("doc_id", "n_chars"))),
     "q_file_metadata"     -> CatalogOps.fileMetadata _,
+    "q_profile_doc_strings" -> ((s: SparkSession, d: String) =>
+      CatalogOps.profileStrings(s, d, "documents", Seq("lang", "source"))),
+    // Sources/sinks beyond parquet (CSV / JSONL round-trips)
+    "q_csv_agg"           -> graft.sources.Sources.csvAgg _,
+    "q_jsonl_agg"         -> graft.sources.Sources.jsonlAgg _,
     // Events analytics (§2 items 13–14)
     "q_events_hourly"     -> EventOps.hourly _,
     "q_events_sessions"   -> EventOps.sessions _,
     "q_events_funnel"     -> EventOps.funnel _,
     "q_events_json"       -> EventOps.jsonProps _,
+    "q_events_asof"       -> EventOps.asofLastView _,
+    "q_events_pivot"      -> EventOps.pivotCounts _,
     // Dedup (§2 items 15–18)
     "q_dedup_exact"       -> DedupOps.dedupExact _,
     "q_neardup_pairs"     -> ((s: SparkSession, d: String) => DedupOps.nearDupPairs(s, d)),
@@ -153,6 +164,47 @@ object SparkEntry {
         |  EXCEPT
         |  (SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'P')) t
         |ORDER BY custkey""".stripMargin,
+    "q_rollup_orders" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        |  round(cast(sum(cast(o_totalprice AS decimal(18,2))) AS double), 2) AS total_revenue
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+    "q_cross_join" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin,
+    "q_string_funcs" ->
+      """SELECT c_custkey,
+        |  upper(substr(c_name, 1, 8)) AS name8,
+        |  len(c_name) AS name_len,
+        |  regexp_extract(c_name, '[0-9]+') AS name_digits,
+        |  concat_ws('/', c_mktsegment, substr(lower(c_name), 1, 10)) AS seg_note,
+        |  lpad(cast(c_custkey AS varchar), 10, '0') AS key_padded
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_date_funcs" ->
+      """SELECT o_orderkey,
+        |  year(o_orderdate) AS yr,
+        |  quarter(o_orderdate) AS qtr,
+        |  month(o_orderdate) AS mo,
+        |  CAST(date_trunc('month', o_orderdate) AS timestamp) AS month_start,
+        |  date_diff('day', CAST(o_orderdate AS date), DATE '1998-12-31') AS days_to_cutoff
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_events_asof" ->
+      """SELECT event_id, user_id, ts, last_view_ts,
+        |  epoch_us(ts) - epoch_us(last_view_ts) AS micros_since_view
+        |FROM (
+        |  SELECT event_id, user_id, CAST(ts AS timestamp) AS ts, event_type,
+        |    max(CASE WHEN event_type = 'view' THEN CAST(ts AS timestamp) END) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view_ts
+        |  FROM events) t
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    "q_events_pivot" ->
+      """SELECT user_id,
+        |  count(CASE WHEN event_type = 'view' THEN 1 END) AS "view",
+        |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  count(CASE WHEN event_type = 'error' THEN 1 END) AS error
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_catalog_tables" ->
       ("SELECT * FROM (" +
         Lake.tableNames.map(t =>
@@ -166,6 +218,21 @@ object SparkEntry {
          |FROM information_schema.columns
          |WHERE table_name IN (${Lake.tableNames.map(t => s"'$t'").mkString(", ")})
          |ORDER BY table_name, ordinal""".stripMargin,
+    "q_profile_doc_strings" ->
+      ("SELECT * FROM (" + Seq("lang", "source").map { c =>
+        s"""SELECT '$c' AS column_name, min($c) AS min_val, max($c) AS max_val,
+           |  count(*) - count($c) AS null_count, count(DISTINCT $c) AS ndv,
+           |  round(cast(sum(len($c)) AS double) / count($c), 4) AS avg_len
+           |FROM documents""".stripMargin
+      }.mkString(" UNION ALL ") + ") t ORDER BY column_name"),
+    "q_csv_agg" ->
+      """SELECT c_mktsegment, count(*) AS n_customers,
+        |  round(cast(sum(cast(c_acctbal AS decimal(18,2))) AS double), 2) AS total_acctbal
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_jsonl_agg" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  round(cast(sum(cast(o_totalprice AS decimal(18,2))) AS double), 2) AS total_price
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_profile_lineitem" -> profileOracle("lineitem",
       Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_discount", "l_tax")),
     "q_profile_documents" -> profileOracle("documents", Seq("doc_id", "n_chars")),

@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graft.Bridge
+
+/** SQL-surface registration for the custom Catalyst expressions, so
+  * `spark.sql("SELECT cosine_similarity(a, b) ...")` works alongside the
+  * Column API. Two paths:
+  *
+  *  - [[GraftFunctions.register]]: imperative, session-scoped (temp
+  *    functions) — for notebook/library users with an existing session.
+  *  - [[GraftExtensions]]: a `spark.sql.extensions` class for spark-submit
+  *    (`--conf spark.sql.extensions=graft.functions.GraftExtensions`) —
+  *    injects the same functions at session build time.
+  */
+object GraftFunctions {
+
+  private def arity(name: String, n: Int)(es: Seq[Expression]): Seq[Expression] = {
+    if (es.length != n) throw new IllegalArgumentException(
+      s"$name expects $n arguments, got ${es.length}")
+    es
+  }
+
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "cosine_similarity" ->
+      (es => { arity("cosine_similarity", 2)(es); CosineSimilarity(es(0), es(1)) }),
+    "dot_product_f" ->
+      (es => { arity("dot_product_f", 2)(es); DotProductF(es(0), es(1)) }),
+    "lsh_buckets" -> { es0 =>
+      val es = arity("lsh_buckets", 4)(es0)
+      // (embedding, dim, tables, bits) — trailing args must be int literals
+      def intArg(e: Expression, what: String): Int = e.eval() match {
+        case i: Int => i
+        case other => throw new IllegalArgumentException(
+          s"lsh_buckets: $what must be an integer literal, got $other")
+      }
+      LshBuckets(es.head, intArg(es(1), "dim"), intArg(es(2), "tables"),
+        intArg(es(3), "bits"))
+    })
+
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, builder) =>
+      Bridge.registerFunction(spark, name, builder)
+    }
+}
+
+/** `spark.sql.extensions` entry point injecting the graft functions. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name),
+        builder))
+    }
+}

@@ -88,6 +88,30 @@ object CatalogOps {
       .orderBy(col("column_name"))
   }
 
+  /** String-column profile (lexicographic min/max, null count, NDV, mean
+    * length) — same single-pass / unpivot shape as the numeric profile. */
+  def profileStrings(spark: SparkSession, dir: String, table: String,
+                     columns: Seq[String], exactNdv: Boolean = true): DataFrame = {
+    val df = Lake.table(spark, dir, table)
+    val aggs = columns.flatMap { c =>
+      Seq(
+        min(col(c)).as(s"${c}__min"),
+        max(col(c)).as(s"${c}__max"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        (if (exactNdv) countDistinct(col(c))
+         else approx_count_distinct(col(c), 0.02)).as(s"${c}__ndv"),
+        round(sum(length(col(c)).cast("long")).cast("double") / count(col(c)), 4)
+          .as(s"${c}__avglen"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stackExpr = columns.map { c =>
+      s"'$c', `${c}__min`, `${c}__max`, `${c}__nulls`, `${c}__ndv`, `${c}__avglen`"
+    }.mkString(s"stack(${columns.size}, ", ", ", ")")
+    wide.select(expr(
+      s"$stackExpr as (column_name, min_val, max_val, null_count, ndv, avg_len)"))
+      .orderBy(col("column_name"))
+  }
+
   /** File-level metadata: per table, number of files and total bytes, from
     * the filesystem (driver-side listing, O(#files) — at 100 TB this is the
     * catalog's manifest scan, not a data read). */

@@ -69,6 +69,34 @@ object EventOps {
       .select(col("user_id"))
       .orderBy(col("user_id"))
 
+  /** As-of join (time-travel lookup) expressed as a bounded window — for
+    * every purchase, the most recent strictly-preceding view by the same
+    * user. One user-partitioned shuffle; no self-join, no range explosion. */
+  def asofLastView(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Lake.events(spark, dir)
+      .withColumn("last_view_ts",
+        max(when(col("event_type") === "view", col("ts"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("event_id"), col("user_id"), col("ts"), col("last_view_ts"),
+        (unix_micros(col("ts")) - unix_micros(col("last_view_ts")))
+          .as("micros_since_view"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Pivot: per-user event-type counts as columns (fixed value list — the
+    * scale-safe form: no driver-side distinct scan to discover columns). */
+  def pivotCounts(spark: SparkSession, dir: String): DataFrame =
+    Lake.events(spark, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("view", "click", "purchase", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("user_id"))
+
   /** JSON property extraction from `props` (semi-structured column):
     * average of $.k per event type. get_json_object is codegen'd. */
   def jsonProps(spark: SparkSession, dir: String): DataFrame =

@@ -182,6 +182,48 @@ object Relational {
       .distinct()
       .orderBy(col("c_mktsegment"))
 
+  /** ROLLUP aggregation: order counts + revenue at (status, priority),
+    * (status) and grand-total levels — one shuffle, Expand-based. */
+  def rollupOrders(spark: SparkSession, dir: String): DataFrame =
+    Lake.orders(spark, dir)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(sum(m(col("o_totalprice"))).cast("double"), 2).as("total_revenue"))
+      .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+
+  /** Explicit cross join (the only legitimate cartesian: two bounded dims). */
+  def crossJoinRegions(spark: SparkSession, dir: String): DataFrame =
+    Lake.region(spark, dir).select(col("r_name"))
+      .crossJoin(Lake.nation(spark, dir).select(col("n_name")))
+      .orderBy(col("r_name"), col("n_name"))
+
+  /** String expression battery over customer (all codegen'd builtins). */
+  def stringFuncs(spark: SparkSession, dir: String): DataFrame =
+    Lake.customer(spark, dir)
+      .select(
+        col("c_custkey"),
+        upper(substring(col("c_name"), 1, 8)).as("name8"),
+        length(col("c_name")).cast("long").as("name_len"),
+        regexp_extract(col("c_name"), "[0-9]+", 0).as("name_digits"),
+        concat_ws("/", col("c_mktsegment"), lower(col("c_name")).substr(1, 10))
+          .as("seg_note"),
+        lpad(col("c_custkey").cast("string"), 10, "0").as("key_padded"))
+      .orderBy(col("c_custkey"))
+
+  /** Date/time expression battery over orders. */
+  def dateFuncs(spark: SparkSession, dir: String): DataFrame =
+    Lake.orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        quarter(col("o_orderdate")).cast("long").as("qtr"),
+        month(col("o_orderdate")).cast("long").as("mo"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        datediff(lit("1998-12-31").cast("date"), col("o_orderdate").cast("date"))
+          .cast("long").as("days_to_cutoff"))
+      .orderBy(col("o_orderkey"))
+
   /** Set ops: (urgent ∪ high priority customers) minus open-status ones. */
   def setOps(spark: SparkSession, dir: String): DataFrame = {
     val ord = Lake.orders(spark, dir)

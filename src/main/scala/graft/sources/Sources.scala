@@ -1,0 +1,74 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink layer beyond parquet: CSV and JSONL readers/writers and
+  * partitioned parquet with pruning-friendly layout.
+  *
+  * Scale conventions:
+  *  - Readers take an explicit schema — `inferSchema` is a full extra pass
+  *    over the data and is never acceptable at lake scale.
+  *  - Writers avoid `coalesce(1)`; file count follows upstream parallelism.
+  *  - Partitioned parquet uses low-cardinality partition columns only, so
+  *    the filesystem fan-out stays bounded and partition pruning applies
+  *    (asserted in SourcesSpec).
+  */
+object Sources {
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
+
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  def writePartitionedParquet(df: DataFrame, path: String,
+                              partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.types.DecimalType
+
+  private def cacheDir = s"${System.getProperty("java.io.tmpdir")}/graft_source_cache"
+
+  /** End-to-end CSV source/sink exercise: customer → CSV → read back with
+    * explicit schema → aggregate. Values must round-trip bit-exactly
+    * (Spark writes shortest-round-trip doubles), which the oracle checks
+    * against the original parquet. */
+  def csvAgg(spark: SparkSession, dir: String): DataFrame = {
+    val cust = graft.Lake.customer(spark, dir)
+    val path = s"$cacheDir/customer_csv"
+    writeCsv(cust, path)
+    readCsv(spark, path, cust.schema)
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        round(sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double"), 2)
+          .as("total_acctbal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** End-to-end JSONL source/sink exercise: orders → JSONL (timestamps as
+    * ISO strings) → read back with explicit schema → aggregate. */
+  def jsonlAgg(spark: SparkSession, dir: String): DataFrame = {
+    val ord = graft.Lake.orders(spark, dir)
+    val path = s"$cacheDir/orders_jsonl"
+    writeJsonl(ord, path)
+    readJsonl(spark, path, ord.schema)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double"), 2)
+          .as("total_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+}
