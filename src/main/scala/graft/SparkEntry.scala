@@ -34,6 +34,7 @@ object SparkEntry {
     "q_distinct_segments" -> Relational.distinctSegments _,
     "q_set_ops"           -> Relational.setOps _,
     "q_rollup_orders"     -> Relational.rollupOrders _,
+    "q_histogram_orders"  -> ((s: SparkSession, d: String) => Relational.histogramOrders(s, d)),
     "q_cross_join"        -> Relational.crossJoinRegions _,
     "q_string_funcs"      -> Relational.stringFuncs _,
     "q_date_funcs"        -> Relational.dateFuncs _,
@@ -47,6 +48,9 @@ object SparkEntry {
     "q_file_metadata"     -> CatalogOps.fileMetadata _,
     "q_profile_doc_strings" -> ((s: SparkSession, d: String) =>
       CatalogOps.profileStrings(s, d, "documents", Seq("lang", "source"))),
+    "q_quantiles_lineitem" -> ((s: SparkSession, d: String) =>
+      CatalogOps.quantiles(s, d, "lineitem",
+        Seq("l_quantity", "l_extendedprice", "l_discount"))),
     // Sources/sinks beyond parquet (CSV / JSONL round-trips)
     "q_csv_agg"           -> graft.sources.Sources.csvAgg _,
     "q_jsonl_agg"         -> graft.sources.Sources.jsonlAgg _,
@@ -57,6 +61,7 @@ object SparkEntry {
     "q_events_json"       -> EventOps.jsonProps _,
     "q_events_asof"       -> EventOps.asofLastView _,
     "q_events_pivot"      -> EventOps.pivotCounts _,
+    "q_events_latest"     -> EventOps.latestState _,
     // Dedup (§2 items 15–18)
     "q_dedup_exact"       -> DedupOps.dedupExact _,
     "q_neardup_pairs"     -> ((s: SparkSession, d: String) => DedupOps.nearDupPairs(s, d)),
@@ -225,6 +230,26 @@ object SparkEntry {
            |  round(cast(sum(len($c)) AS double) / count($c), 4) AS avg_len
            |FROM documents""".stripMargin
       }.mkString(" UNION ALL ") + ") t ORDER BY column_name"),
+    "q_histogram_orders" ->
+      """SELECT cast(floor(o_totalprice / 50000.0) AS bigint) AS bin,
+        |  cast(floor(o_totalprice / 50000.0) AS bigint) * 50000.0 AS bin_lo,
+        |  count(*) AS n_orders
+        |FROM orders GROUP BY 1, 2 ORDER BY bin""".stripMargin,
+    "q_events_latest" ->
+      """SELECT user_id, CAST(ts AS timestamp) AS last_ts,
+        |  event_type AS last_type, value AS last_value
+        |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        |ORDER BY user_id""".stripMargin,
+    "q_quantiles_lineitem" ->
+      ("SELECT * FROM (" +
+        Seq("l_quantity", "l_extendedprice", "l_discount").map { c =>
+          s"""SELECT '$c' AS column_name,
+             |  round(quantile_cont($c, 0.25), 4) AS q25,
+             |  round(quantile_cont($c, 0.5), 4) AS q50,
+             |  round(quantile_cont($c, 0.75), 4) AS q75
+             |FROM lineitem""".stripMargin
+        }.mkString(" UNION ALL ") + ") t ORDER BY column_name"),
     "q_csv_agg" ->
       """SELECT c_mktsegment, count(*) AS n_customers,
         |  round(cast(sum(cast(c_acctbal AS decimal(18,2))) AS double), 2) AS total_acctbal

@@ -88,6 +88,26 @@ object CatalogOps {
       .orderBy(col("column_name"))
   }
 
+  /** Exact quartiles per numeric column in one aggregate pass (unpivoted
+    * like the other profiles). Exact `percentile` is the oracle-parity
+    * path; at 100 TB flip to `approx_percentile` — same plan shape, t-digest
+    * sketch, no buffered sort. */
+  def quantiles(spark: SparkSession, dir: String, table: String,
+                columns: Seq[String]): DataFrame = {
+    val df = Lake.table(spark, dir, table)
+    val aggs = columns.flatMap { c =>
+      Seq(0.25, 0.5, 0.75).zip(Seq("q25", "q50", "q75")).map { case (p, n) =>
+        round(expr(s"percentile($c, ${p}D)"), 4).as(s"${c}__$n")
+      }
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stackExpr = columns.map { c =>
+      s"'$c', `${c}__q25`, `${c}__q50`, `${c}__q75`"
+    }.mkString(s"stack(${columns.size}, ", ", ", ")")
+    wide.select(expr(s"$stackExpr as (column_name, q25, q50, q75)"))
+      .orderBy(col("column_name"))
+  }
+
   /** String-column profile (lexicographic min/max, null count, NDV, mean
     * length) — same single-pass / unpivot shape as the numeric profile. */
   def profileStrings(spark: SparkSession, dir: String, table: String,

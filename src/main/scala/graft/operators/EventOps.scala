@@ -87,6 +87,20 @@ object EventOps {
       .orderBy(col("event_id"))
   }
 
+  /** Latest-state-per-key (the upsert/compaction read pattern): each
+    * user's most recent event wins. One user-partitioned shuffle + rank —
+    * the standard merge-on-read dedup at lake scale. */
+  def latestState(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Lake.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("ts").as("last_ts"),
+        col("event_type").as("last_type"), col("value").as("last_value"))
+      .orderBy(col("user_id"))
+  }
+
   /** Pivot: per-user event-type counts as columns (fixed value list — the
     * scale-safe form: no driver-side distinct scan to discover columns). */
   def pivotCounts(spark: SparkSession, dir: String): DataFrame =

@@ -224,6 +224,18 @@ object Relational {
           .cast("long").as("days_to_cutoff"))
       .orderBy(col("o_orderkey"))
 
+  /** Fixed-width histogram of order values: one group-by on the bin id
+    * (map-side combinable; bin count bounded regardless of data size). */
+  def histogramOrders(spark: SparkSession, dir: String,
+                      binWidth: Double = 50000.0): DataFrame =
+    Lake.orders(spark, dir)
+      .select(floor(col("o_totalprice") / binWidth).cast("long").as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_orders"))
+      .withColumn("bin_lo", (col("bin") * binWidth).cast("double"))
+      .select(col("bin"), col("bin_lo"), col("n_orders"))
+      .orderBy(col("bin"))
+
   /** Set ops: (urgent ∪ high priority customers) minus open-status ones. */
   def setOps(spark: SparkSession, dir: String): DataFrame = {
     val ord = Lake.orders(spark, dir)
