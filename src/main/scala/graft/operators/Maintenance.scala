@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Lake
+
+/** Lake maintenance — the write-side half of a data-lake API: small-file
+  * compaction, sort-clustering for scan pruning, dedup-on-ingest, and the
+  * per-file statistics index that makes file skipping work.
+  *
+  * Scale notes: compaction and clustering are one repartition(ByRange) +
+  * write — a single shuffle sized by `targetFileCount`, no driver
+  * materialization. Ingest dedup is a broadcast-able left-anti join on the
+  * content hash (the existing-hash side is hashes only, never payloads).
+  * File stats aggregate by `input_file_name()` — O(files) output rows.
+  */
+object Maintenance {
+
+  /** Compact a fragmented table directory into `targetFileCount` files.
+    * Round-robin repartition balances sizes regardless of input skew. */
+  def compact(spark: SparkSession, tableDir: String, outDir: String,
+              targetFileCount: Int): Unit =
+    spark.read.parquet(tableDir)
+      .repartition(targetFileCount)
+      .write.mode(SaveMode.Overwrite).parquet(outDir)
+
+  /** Cluster a table by range on `sortCols`: each output file owns a
+    * narrow, disjoint key range, so min/max file stats prune reads on
+    * those keys (the poor man's Z-order for a single sort dimension). */
+  def clusterBy(spark: SparkSession, tableDir: String, outDir: String,
+                sortCols: Seq[String], targetFileCount: Int): Unit = {
+    val df = spark.read.parquet(tableDir)
+    df.repartitionByRange(targetFileCount, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite).parquet(outDir)
+  }
+
+  /** Append only the rows of `batch` whose content hash is not already in
+    * the target — exact-dedup-on-ingest. The probe side carries hashes
+    * only; at a 100 TB target the hash set still broadcasts or shuffles as
+    * a narrow column. */
+  def ingestDedup(spark: SparkSession, targetDir: String, batch: DataFrame,
+                  hashCol: String = "text"): Long = {
+    val existing =
+      if (exists(spark, targetDir))
+        spark.read.parquet(targetDir)
+          .select(sha2(col(hashCol), 256).as("__h")).distinct()
+      else spark.emptyDataFrame.withColumn("__h", lit(""))
+    val fresh = batch
+      .withColumn("__h", sha2(col(hashCol), 256))
+      .join(existing, Seq("__h"), "left_anti")
+      .drop("__h")
+    val n = fresh.count()
+    if (n > 0) fresh.write.mode(SaveMode.Append).parquet(targetDir)
+    n
+  }
+
+  private def exists(spark: SparkSession, dir: String): Boolean = {
+    val p = new Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Per-file statistics index for one column: row count + min/max — the
+    * information a catalog needs to skip files on a range predicate. */
+  def fileStats(spark: SparkSession, tableDir: String,
+                statCol: String): DataFrame =
+    spark.read.parquet(tableDir)
+      .groupBy(input_file_name().as("file"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col(statCol)).as("min_val"),
+        max(col(statCol)).as("max_val"))
+      .orderBy(col("file"))
+
+  /** Fraction of files a range predicate `[lo, hi]` on `statCol` could
+    * skip, judged from the file-stats index (driver-side over O(files)). */
+  def skipRatio(stats: DataFrame, lo: Any, hi: Any): Double = {
+    val rows = stats.collect()
+    val skippable = rows.count { r =>
+      val mn = r.get(2).toString.toDouble
+      val mx = r.get(3).toString.toDouble
+      mx < lo.toString.toDouble || mn > hi.toString.toDouble
+    }
+    if (rows.isEmpty) 0.0 else skippable.toDouble / rows.length
+  }
+}

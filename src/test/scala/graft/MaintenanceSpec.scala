@@ -1,0 +1,61 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Maintenance
+
+/** Lake-maintenance semantics: compaction, clustering-for-pruning, and
+  * dedup-on-ingest, all against temp table dirs. */
+class MaintenanceSpec extends SparkSpecBase {
+
+  private lazy val tmp = Files.createTempDirectory("graft_maint").toString
+
+  test("compaction reduces file count without changing data") {
+    val frag = s"$tmp/frag"
+    Lake.orders(spark, Sf).repartition(40).write.parquet(frag)
+    val before = new java.io.File(frag).listFiles().count(_.getName.endsWith(".parquet"))
+    Maintenance.compact(spark, frag, s"$tmp/compacted", targetFileCount = 4)
+    val after = new java.io.File(s"$tmp/compacted").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(before == 40 && after == 4, s"$before -> $after files")
+    val a = spark.read.parquet(frag)
+    val b = spark.read.parquet(s"$tmp/compacted")
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+
+  test("range clustering gives files disjoint key ranges that a filter can skip") {
+    Maintenance.clusterBy(spark, s"$tmp/frag", s"$tmp/clustered",
+      Seq("o_totalprice"), targetFileCount = 8)
+    val stats = Maintenance.fileStats(spark, s"$tmp/clustered", "o_totalprice")
+    val rows = stats.collect()
+    assert(rows.length == 8)
+    // disjoint ranges: sorted by min, each file's min exceeds the previous max
+    val ranges = rows.map(r => (r.get(2).toString.toDouble, r.get(3).toString.toDouble))
+      .sortBy(_._1)
+    assert(ranges.sliding(2).forall {
+      case Array((_, aMax), (bMin, _)) => bMin >= aMax
+      case _ => true
+    }, s"overlapping file ranges: ${ranges.toSeq}")
+    // a narrow range predicate should be able to skip most files
+    val mid = ranges(ranges.length / 2)
+    val ratio = Maintenance.skipRatio(stats, mid._1, mid._1 + 1.0)
+    assert(ratio >= 0.75, s"skip ratio $ratio too low for a point-ish predicate")
+  }
+
+  test("ingest dedup appends only unseen content") {
+    val target = s"$tmp/docs_target"
+    val docs = Lake.documents(spark, Sf)
+    val first = Maintenance.ingestDedup(spark, target, docs.limit(300))
+    assert(first == 300)
+    // re-ingesting an overlapping batch appends only the new rows
+    val second = Maintenance.ingestDedup(spark, target, docs)
+    val total = spark.read.parquet(target).count()
+    assert(second == 200, s"expected 200 fresh rows, got $second")
+    assert(total == 500, s"expected 500 total rows, got $total")
+    // fully-seen batch is a no-op
+    val third = Maintenance.ingestDedup(spark, target, docs.limit(100))
+    assert(third == 0)
+  }
+}
