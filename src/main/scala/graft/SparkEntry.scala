@@ -69,9 +69,11 @@ object SparkEntry {
     // Similarity search / embeddings (§2 items 19–21)
     "q_ann_bruteforce"    -> ((s: SparkSession, d: String) => AnnOps.bruteForce(s, d)),
     "q_ann_lsh"           -> ((s: SparkSession, d: String) => AnnOps.lsh(s, d)),
+    "q_ann_ivf"           -> ((s: SparkSession, d: String) => AnnOps.ivf(s, d)),
     "q_embedding_stats"   -> AnnOps.embeddingStats _,
     // Text analysis (§2 items 22–24)
     "q_token_stats"       -> TextOps.tokenStats _,
+    "q_term_stats"        -> TextOps.termStats _,
     "q_lang_quality"      -> TextOps.langQuality _,
     "q_doc_quality"       -> TextOps.docQuality _,
     "q_fingerprint"       -> TextOps.fingerprint _,
@@ -339,6 +341,14 @@ object SparkEntry {
         |  round(len(list_distinct(string_split(text, ' '))) * 1.0 / len(string_split(text, ' ')), 4) AS ttr,
         |  round((len(text) - len(string_split(text, ' ')) + 1) * 1.0 / len(string_split(text, ' ')), 4) AS avg_token_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_term_stats" ->
+      """SELECT token, df, tf_total,
+        |  round(ln(((SELECT count(*) FROM documents) + 1.0) / (df + 1.0)), 4) AS idf
+        |FROM (
+        |  SELECT token, count(DISTINCT doc_id) AS df, count(*) AS tf_total
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) u
+        |  GROUP BY token) t
+        |ORDER BY token""".stripMargin,
     "q_lang_quality" ->
       s"""SELECT doc_id, lang, n_stop, stop_ratio,
          |  CASE WHEN stop_ratio >= 0.03 THEN 'en' ELSE 'und' END AS lang_pred

@@ -86,6 +86,45 @@ object AnnOps {
     topK(cand, k)
   }
 
+  /** IVF-style ANN: a coarse quantizer (sampled centroids) partitions the
+    * corpus; queries probe their `nProbes` nearest centroids and score only
+    * those cells with exact cosine. Unlike hyperplane LSH this adapts to
+    * the data distribution (centroids are corpus points), and the corpus
+    * shuffles once, keyed by cell id.
+    *
+    * Centroid choice is a deterministic stride sample — at 100 TB swap in
+    * a k-means pass over a sample; the query/cell plumbing is unchanged. */
+  def ivf(spark: SparkSession, dir: String,
+          k: Int = 5, nQueries: Int = 8,
+          nCentroids: Int = 16, nProbes: Int = 6): DataFrame = {
+    val emb = Lake.embeddings(spark, dir)
+    // deterministic stride sample, disjoint from the query-id range
+    val centroids = emb.filter(pmod(col("vec_id"), lit(31)) === 9)
+      .limit(nCentroids)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    def assign(df: DataFrame, idCol: String, embCol: String, probes: Int): DataFrame = {
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("c_sim").desc, col("c_id"))
+      df.join(broadcast(centroids))
+        .withColumn("c_sim", cosineSimilarity(col(embCol), col("c_emb")))
+        .withColumn("c_rank", row_number().over(w))
+        .filter(col("c_rank") <= probes)
+        .drop("c_emb", "c_sim", "c_rank")
+    }
+    val corpusCells = assign(emb, "vec_id", "embedding", probes = 1)
+    val queryCells = assign(
+      emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+      "q_id", "q_emb", probes = nProbes)
+    val cand = corpusCells.join(broadcast(queryCells),
+        corpusCells("c_id") === queryCells("c_id") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosineSimilarity(col("embedding"), col("q_emb")).as("sim"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(max(col("sim")).as("sim_raw"))
+    topK(cand, k)
+  }
+
   /** Per-label embedding statistics: count, mean L2 norm, mean first
     * component. Norms go through decimal so the mean is order-independent
     * and oracle-exact (SURVEY.md §6). */

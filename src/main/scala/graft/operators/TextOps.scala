@@ -95,6 +95,23 @@ object TextOps {
            s"i -> concat_ws(' ', slice(split(text, ' '), i + 1, $n)))"))
       .otherwise(array(col("text")))
 
+  /** Corpus-level term statistics (the inverted-index summary): per token,
+    * document frequency, total term frequency, and smoothed IDF. One
+    * explode + one group-by — linear in corpus token count; df/tf partial-
+    * aggregate map-side. */
+  def termStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Lake.documents(spark, dir)
+    val nDocs = docs.count() // O(1) parquet-footer count, used as a literal
+    docs.select(col("doc_id"), explode(toks).as("token"))
+      .groupBy(col("token"))
+      .agg(
+        countDistinct(col("doc_id")).as("df"),
+        count(lit(1)).as("tf_total"))
+      .withColumn("idf",
+        round(log(lit(nDocs.toDouble + 1.0) / (col("df") + 1.0)), 4))
+      .orderBy(col("token"))
+  }
+
   /** Document fingerprint: min-sampled 64-bit hash over word-3-gram shingles
     * (winnowing-style representative hash). Deterministic — same text, same
     * fingerprint — and near-duplicate docs collide with high probability

@@ -48,6 +48,24 @@ class AnnSpec extends SparkSpecBase {
     assert(recall >= 0.8, s"LSH recall $recall < 0.8 (per-query: $recalls)")
   }
 
+  test("IVF ANN reaches recall >= 0.6 probing a quarter of the cells") {
+    def neighborSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1))
+        .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val exact = neighborSets(AnnOps.bruteForce(spark, Sf))
+    val approx = neighborSets(AnnOps.ivf(spark, Sf))
+    val recalls = exact.map { case (q, truth) =>
+      (approx.getOrElse(q, Set.empty) & truth).size.toDouble / truth.size
+    }
+    val recall = recalls.sum / recalls.size
+    // near-uniform synthetic vectors are the worst case for IVF: probing
+    // 4/16 cells bounds attainable recall; clustered real data does better
+    assert(recall >= 0.6, s"IVF recall $recall < 0.6 (per-query: $recalls)")
+    // and it must actually bound the scored candidates
+    val scored = AnnOps.ivf(spark, Sf, k = Int.MaxValue).count()
+    assert(scored < 500L * 8, s"IVF scored $scored pairs — not fewer than brute force")
+  }
+
   test("LSH ANN scores far fewer candidates than brute force") {
     // the whole point of the bucketed path: candidate set << corpus
     val emb = Lake.embeddings(spark, Sf)
