@@ -95,14 +95,14 @@ object CatalogOps {
   def quantiles(spark: SparkSession, dir: String, table: String,
                 columns: Seq[String]): DataFrame = {
     val df = Lake.table(spark, dir, table)
-    val aggs = columns.flatMap { c =>
-      Seq(0.25, 0.5, 0.75).zip(Seq("q25", "q50", "q75")).map { case (p, n) =>
-        round(expr(s"percentile($c, ${p}D)"), 4).as(s"${c}__$n")
-      }
+    // ONE percentile buffer per column (array of probabilities), not one
+    // per (column, probability) — 3× less aggregation state and row work
+    val aggs = columns.map { c =>
+      expr(s"percentile($c, array(0.25D, 0.5D, 0.75D))").as(s"${c}__qs")
     }
     val wide = df.agg(aggs.head, aggs.tail: _*)
     val stackExpr = columns.map { c =>
-      s"'$c', `${c}__q25`, `${c}__q50`, `${c}__q75`"
+      s"'$c', round(`${c}__qs`[0], 4), round(`${c}__qs`[1], 4), round(`${c}__qs`[2], 4)"
     }.mkString(s"stack(${columns.size}, ", ", ", ")")
     wide.select(expr(s"$stackExpr as (column_name, q25, q50, q75)"))
       .orderBy(col("column_name"))

@@ -42,16 +42,20 @@ object DedupOps {
       .select(col("doc_id"),
         explode(array_distinct(TextOps.shingleCol(n))).as("shingle"))
 
-  /** MinHash signatures: for permutation i, min over the doc's shingles of
-    * xxhash64(i, shingle). One group-by computes all `NumPerms` mins in a
+  /** MinHash signatures: each shingle string is hashed ONCE (xxhash64);
+    * the `NumPerms` permutations then re-hash that fixed-width long with a
+    * per-permutation seed — far cheaper than hashing the variable-length
+    * string 64 times, and ANSI-safe (a*h+b linear perms overflow under
+    * Spark 4's ANSI arithmetic). One group-by computes all mins in a
     * single partial-aggregated pass; `withSets=true` piggybacks the doc's
     * full shingle set on the same shuffle (used by the verify stage — one
     * corpus pass total instead of two). */
   def minhashSignatures(sh: DataFrame, withSets: Boolean = false): DataFrame = {
+    val hashed = sh.withColumn("h", xxhash64(col("shingle")))
     val mins: Seq[org.apache.spark.sql.Column] = (0 until NumPerms).map(i =>
-      min(xxhash64(lit(i), col("shingle"))).as(s"m$i"))
+      min(xxhash64(lit(i), col("h"))).as(s"m$i"))
     val aggs = if (withSets) mins :+ collect_set(col("shingle")).as("sh") else mins
-    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH banding: one row per (doc, band) with the band's combined hash. */
