@@ -22,17 +22,24 @@ import graft.functions.VectorFunctions.cosineSimilarity
   */
 object AnnOps {
 
-  /** Exact top-k neighbors for each query vector (vec_id < nQueries used as
-    * the query set). */
-  def bruteForce(spark: SparkSession, dir: String,
-                 k: Int = 5, nQueries: Int = 8): DataFrame = {
-    val emb = Lake.embeddings(spark, dir)
-    val queries = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val scored = emb.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+  /** Exact top-k neighbors of each query vector. `corpus` needs
+    * (vec_id, embedding); `queries` needs (q_id, q_emb). */
+  def bruteForce(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val scored = corpus.join(broadcast(queries), col("vec_id") =!= col("q_id"))
       .withColumn("sim_raw", cosineSimilarity(col("embedding"), col("q_emb")))
     topK(scored, k)
   }
+
+  /** Lake-bound form: vec_id < nQueries is the query set. */
+  def bruteForce(spark: SparkSession, dir: String,
+                 k: Int = 5, nQueries: Int = 8): DataFrame = {
+    val emb = Lake.embeddings(spark, dir)
+    bruteForce(emb, defaultQueries(emb, nQueries), k)
+  }
+
+  private def defaultQueries(emb: DataFrame, nQueries: Int): DataFrame =
+    emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
 
   private def topK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("q_id"))
@@ -64,14 +71,11 @@ object AnnOps {
   /** Approximate top-k via multi-table hyperplane LSH: candidates are
     * vectors sharing any table's bucket with the query; scored with exact
     * cosine; deduped across tables before ranking. */
-  def lsh(spark: SparkSession, dir: String,
-          k: Int = 5, nQueries: Int = 8, dim: Int = 64): DataFrame = {
-    val emb = Lake.embeddings(spark, dir)
-    val corpus = withBuckets(emb, dim)
+  def lsh(corpusIn: DataFrame, queriesIn: DataFrame,
+          k: Int, dim: Int): DataFrame = {
+    val corpus = withBuckets(corpusIn, dim)
     val queries = withBuckets(
-      emb.filter(col("vec_id") < nQueries)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-        .withColumnRenamed("q_emb", "embedding"), dim)
+      queriesIn.withColumnRenamed("q_emb", "embedding"), dim)
       .withColumnRenamed("embedding", "q_emb")
       .withColumnRenamed("bucket", "q_bucket")
     // score on collision, then dedup across tables on the scalar only —
@@ -86,6 +90,12 @@ object AnnOps {
     topK(cand, k)
   }
 
+  def lsh(spark: SparkSession, dir: String,
+          k: Int = 5, nQueries: Int = 8, dim: Int = 64): DataFrame = {
+    val emb = Lake.embeddings(spark, dir)
+    lsh(emb, defaultQueries(emb, nQueries), k, dim)
+  }
+
   /** IVF-style ANN: a coarse quantizer (sampled centroids) partitions the
     * corpus; queries probe their `nProbes` nearest centroids and score only
     * those cells with exact cosine. Unlike hyperplane LSH this adapts to
@@ -94,10 +104,8 @@ object AnnOps {
     *
     * Centroid choice is a deterministic stride sample — at 100 TB swap in
     * a k-means pass over a sample; the query/cell plumbing is unchanged. */
-  def ivf(spark: SparkSession, dir: String,
-          k: Int = 5, nQueries: Int = 8,
-          nCentroids: Int = 16, nProbes: Int = 6): DataFrame = {
-    val emb = Lake.embeddings(spark, dir)
+  def ivf(emb: DataFrame, queriesIn: DataFrame, k: Int,
+          nCentroids: Int, nProbes: Int): DataFrame = {
     // deterministic stride sample, disjoint from the query-id range
     val centroids = emb.filter(pmod(col("vec_id"), lit(31)) === 9)
       .limit(nCentroids)
@@ -112,10 +120,7 @@ object AnnOps {
         .drop("c_emb", "c_sim", "c_rank")
     }
     val corpusCells = assign(emb, "vec_id", "embedding", probes = 1)
-    val queryCells = assign(
-      emb.filter(col("vec_id") < nQueries)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
-      "q_id", "q_emb", probes = nProbes)
+    val queryCells = assign(queriesIn, "q_id", "q_emb", probes = nProbes)
     val cand = corpusCells.join(broadcast(queryCells),
         corpusCells("c_id") === queryCells("c_id") && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
@@ -125,15 +130,22 @@ object AnnOps {
     topK(cand, k)
   }
 
+  def ivf(spark: SparkSession, dir: String,
+          k: Int = 5, nQueries: Int = 8,
+          nCentroids: Int = 16, nProbes: Int = 6): DataFrame = {
+    val emb = Lake.embeddings(spark, dir)
+    ivf(emb, defaultQueries(emb, nQueries), k, nCentroids, nProbes)
+  }
+
   /** Per-label embedding statistics: count, mean L2 norm, mean first
     * component. Norms go through decimal so the mean is order-independent
     * and oracle-exact (SURVEY.md §6). */
-  def embeddingStats(spark: SparkSession, dir: String): DataFrame = {
+  def embeddingStats(emb: DataFrame): DataFrame = {
     val dec8 = DecimalType(18, 8)
     val sumSq = expr(
       "aggregate(transform(cast(embedding as array<double>), x -> x * x), " +
       "cast(0 as double), (acc, x) -> acc + x)")
-    Lake.embeddings(spark, dir)
+    emb
       .select(col("label"),
         sqrt(sumSq).cast(dec8).as("norm"),
         element_at(col("embedding"), 1).cast("double").cast(dec8).as("dim0"))
@@ -144,4 +156,7 @@ object AnnOps {
         round(sum(col("dim0")).cast("double") / count(lit(1)), 4).as("avg_dim0"))
       .orderBy(col("label"))
   }
+
+  def embeddingStats(spark: SparkSession, dir: String): DataFrame =
+    embeddingStats(Lake.embeddings(spark, dir))
 }

@@ -27,20 +27,26 @@ object DedupOps {
   /** Exact dedup: group by sha256(text); keeper = lowest doc_id of each
     * content group. Output is every distinct content with its copy count —
     * the kept corpus after exact dedup. */
-  def dedupExact(spark: SparkSession, dir: String): DataFrame =
-    Lake.documents(spark, dir)
+  def dedupExact(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
       .groupBy(sha2(col("text"), 256).as("content_hash"))
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
       .select(col("keeper"), col("content_hash"), col("n_copies"))
       .orderBy(col("keeper"))
 
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    dedupExact(Lake.documents(spark, dir))
+
   /** Distinct (doc_id, word-n-gram shingle) pairs. Dedup happens per-doc
     * with array_distinct BEFORE the explode — a map-side operation — so no
     * corpus-wide distinct shuffle is ever needed. */
-  def shingled(spark: SparkSession, dir: String, n: Int = 3): DataFrame =
-    Lake.documents(spark, dir)
+  def shingled(docs: DataFrame, n: Int = 3): DataFrame =
+    docs.filter(col("text").isNotNull)
       .select(col("doc_id"),
         explode(array_distinct(TextOps.shingleCol(n))).as("shingle"))
+
+  def shingled(spark: SparkSession, dir: String): DataFrame =
+    shingled(Lake.documents(spark, dir))
 
   /** MinHash signatures: each shingle string is hashed ONCE (xxhash64);
     * the `NumPerms` permutations then re-hash that fixed-width long with a
@@ -72,10 +78,9 @@ object DedupOps {
     * Jaccard verification at `threshold`. The self-join is equi-keyed on
     * (band, band_hash); candidate pairs are deduped across bands before the
     * (exact, per-pair) verify. */
-  def nearDupPairs(spark: SparkSession, dir: String,
-                   threshold: Double = 0.6): DataFrame = {
+  def nearDupPairs(docs: DataFrame, threshold: Double = 0.6): DataFrame = {
     // one corpus pass: signatures + shingle sets from the same shuffle
-    val sigs = minhashSignatures(shingled(spark, dir), withSets = true)
+    val sigs = minhashSignatures(shingled(docs), withSets = true)
     val sets = sigs.select(col("doc_id"), col("sh"))
     val buckets = bandedBuckets(sigs)
     val candidates = buckets.as("x")
@@ -96,11 +101,14 @@ object DedupOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  def nearDupPairs(spark: SparkSession, dir: String): DataFrame =
+    nearDupPairs(Lake.documents(spark, dir))
+
   /** 64-bit SimHash per document: bit j of the signature is the sign of
     * sum over tokens of (term frequency × ±1 by bit j of xxhash64(token)).
     * Computed as 64 conditional sums in one group-by pass. */
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val tf = Lake.documents(spark, dir)
+  def simhash(docs: DataFrame): DataFrame = {
+    val tf = docs.filter(col("text").isNotNull)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("cnt"))
       .withColumn("h", xxhash64(col("token")))
@@ -115,12 +123,14 @@ object DedupOps {
     wide.select(col("doc_id"), sig.as("simhash")).orderBy(col("doc_id"))
   }
 
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    simhash(Lake.documents(spark, dir))
+
   /** SimHash near-dup candidates: 4 bands of 16 bits each (any pair within
     * hamming distance 3 shares at least one intact band), verified with
     * bit_count(xor) ≤ maxHamming. Same bucketed-join shape as MinHash-LSH. */
-  def simhashPairs(spark: SparkSession, dir: String,
-                   maxHamming: Int = 3): DataFrame = {
-    val sigs = simhash(spark, dir)
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sigs = simhash(docs)
     val bands = sigs.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*)))
@@ -135,4 +145,7 @@ object DedupOps {
       .filter(col("hamming") <= maxHamming)
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame =
+    simhashPairs(Lake.documents(spark, dir))
 }

@@ -5,15 +5,20 @@ import org.apache.spark.sql.functions._
 
 import graft.Lake
 
-/** Text analysis over the `documents` table (SURVEY.md §2 items 22–24):
-  * tokenization + per-doc token statistics, a stopword-ratio language/quality
-  * heuristic, composite document quality scoring, and shingle-based document
-  * fingerprinting.
+/** Text analysis (SURVEY.md §2 items 22–24): tokenization + per-doc token
+  * statistics, a stopword-ratio language/quality heuristic, composite
+  * document quality scoring, shingle fingerprinting, and corpus term
+  * statistics.
+  *
+  * DataFrame-first API: every operator's primary overload takes any
+  * DataFrame with (`doc_id`, `text`) columns; the `(SparkSession, lakeDir)`
+  * overloads bind to the lake's `documents` table. Null `text` rows are
+  * dropped up front (split(null) would otherwise poison downstream sizes).
   *
   * Everything is built from codegen'd `functions._` (split / higher-order
-  * array functions / xxhash64) — one narrow map stage per operator, no Scala
-  * UDFs, no shuffle except the final presentation sort. At 100 TB these run
-  * as pure map tasks over the parquet scan.
+  * array functions / xxhash64) — one narrow map stage per operator, no
+  * Scala UDFs, no shuffle except the final presentation sort. At 100 TB
+  * these run as pure map tasks over the parquet scan.
   */
 object TextOps {
 
@@ -22,11 +27,14 @@ object TextOps {
 
   private def toks: Column = split(col("text"), " ")
 
+  private def nonNull(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
+
   /** Per-doc token statistics: counts, type-token ratio, token lengths.
     * `avg_token_len` exploits the single-space tokenization:
     * total token chars = len(text) - (n_tokens - 1). */
-  def tokenStats(spark: SparkSession, dir: String): DataFrame =
-    Lake.documents(spark, dir)
+  def tokenStats(docs: DataFrame): DataFrame =
+    nonNull(docs)
       .select(
         col("doc_id"),
         toks.as("tok"),
@@ -45,14 +53,17 @@ object TextOps {
           .as("avg_token_len"))
       .orderBy(col("doc_id"))
 
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    tokenStats(Lake.documents(spark, dir))
+
   private def stopFilterSql: String =
     s"size(filter(split(text, ' '), t -> t IN (${Stopwords.map(s => s"'$s'").mkString(", ")})))"
 
   /** Language-ID heuristic: stopword ratio over the token stream; docs with
     * enough English stopwords are tagged 'en', the rest 'und'. Emitted next
     * to the dataset's own `lang` label for audit. */
-  def langQuality(spark: SparkSession, dir: String): DataFrame =
-    Lake.documents(spark, dir)
+  def langQuality(docs: DataFrame): DataFrame =
+    nonNull(docs)
       .select(
         col("doc_id"), col("lang"),
         expr(stopFilterSql).cast("long").as("n_stop"),
@@ -64,11 +75,14 @@ object TextOps {
         when(col("stop_ratio") >= 0.03, lit("en")).otherwise(lit("und")))
       .orderBy(col("doc_id"))
 
+  def langQuality(spark: SparkSession, dir: String): DataFrame =
+    langQuality(Lake.documents(spark, dir))
+
   /** Composite quality score in [0,1]: length component (saturating at 100
     * tokens), lexical diversity (type-token ratio), stopword presence.
     * Same arithmetic on the oracle side so doubles round identically. */
-  def docQuality(spark: SparkSession, dir: String): DataFrame =
-    Lake.documents(spark, dir)
+  def docQuality(docs: DataFrame): DataFrame =
+    nonNull(docs)
       .select(
         col("doc_id"),
         size(toks).cast("long").as("n_tokens"),
@@ -87,22 +101,17 @@ object TextOps {
           .otherwise("low"))
       .orderBy(col("doc_id"))
 
-  /** Word n-gram shingles of `text` as an array column (used by dedup and
-    * fingerprinting). Docs shorter than `n` tokens shingle to the whole text. */
-  def shingleCol(n: Int): Column =
-    when(size(toks) >= n,
-      expr(s"transform(sequence(0, size(split(text, ' ')) - $n), " +
-           s"i -> concat_ws(' ', slice(split(text, ' '), i + 1, $n)))"))
-      .otherwise(array(col("text")))
+  def docQuality(spark: SparkSession, dir: String): DataFrame =
+    docQuality(Lake.documents(spark, dir))
 
   /** Corpus-level term statistics (the inverted-index summary): per token,
     * document frequency, total term frequency, and smoothed IDF. One
     * explode + one group-by — linear in corpus token count; df/tf partial-
     * aggregate map-side. */
-  def termStats(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Lake.documents(spark, dir)
-    val nDocs = docs.count() // O(1) parquet-footer count, used as a literal
-    docs.select(col("doc_id"), explode(toks).as("token"))
+  def termStats(docs: DataFrame): DataFrame = {
+    val clean = nonNull(docs)
+    val nDocs = clean.count() // O(1) parquet-footer count, used as a literal
+    clean.select(col("doc_id"), explode(toks).as("token"))
       .groupBy(col("token"))
       .agg(
         countDistinct(col("doc_id")).as("df"),
@@ -112,16 +121,30 @@ object TextOps {
       .orderBy(col("token"))
   }
 
+  def termStats(spark: SparkSession, dir: String): DataFrame =
+    termStats(Lake.documents(spark, dir))
+
+  /** Word n-gram shingles of `text` as an array column (used by dedup and
+    * fingerprinting). Docs shorter than `n` tokens shingle to the whole text. */
+  def shingleCol(n: Int): Column =
+    when(size(toks) >= n,
+      expr(s"transform(sequence(0, size(split(text, ' ')) - $n), " +
+           s"i -> concat_ws(' ', slice(split(text, ' '), i + 1, $n)))"))
+      .otherwise(array(col("text")))
+
   /** Document fingerprint: min-sampled 64-bit hash over word-3-gram shingles
     * (winnowing-style representative hash). Deterministic — same text, same
     * fingerprint — and near-duplicate docs collide with high probability
     * (asserted in TextOpsSpec). Not SQL-expressible (xxhash64): rows-only. */
-  def fingerprint(spark: SparkSession, dir: String): DataFrame =
-    Lake.documents(spark, dir)
+  def fingerprint(docs: DataFrame): DataFrame =
+    nonNull(docs)
       .select(col("doc_id"), shingleCol(3).as("sh"))
       .select(
         col("doc_id"),
         array_min(transform(col("sh"), s => xxhash64(s))).as("fingerprint"),
         size(col("sh")).cast("long").as("n_shingles"))
       .orderBy(col("doc_id"))
+
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    fingerprint(Lake.documents(spark, dir))
 }
