@@ -65,7 +65,8 @@ object SparkEntry {
     // Dedup (§2 items 15–18)
     "q_dedup_exact"       -> DedupOps.dedupExact _,
     "q_neardup_pairs"     -> ((s: SparkSession, d: String) => DedupOps.nearDupPairs(s, d)),
-    "q_simhash"           -> DedupOps.simhash _,
+    "q_simhash"           -> ((s: SparkSession, d: String) => DedupOps.simhash(s, d)),
+    "q_embedding_neardups" -> ((s: SparkSession, d: String) => DedupOps.embeddingNearDups(s, d)),
     // Similarity search / embeddings (§2 items 19–21)
     "q_ann_bruteforce"    -> ((s: SparkSession, d: String) => AnnOps.bruteForce(s, d)),
     "q_ann_lsh"           -> ((s: SparkSession, d: String) => AnnOps.lsh(s, d)),

@@ -137,6 +137,24 @@ object AnnOps {
     ivf(emb, defaultQueries(emb, nQueries), k, nCentroids, nProbes)
   }
 
+  /** All within-bucket vector pairs with their exact cosine — the
+    * candidate generator for embedding-based near-dedup. Self-join is
+    * equi-keyed on the LSH bucket; pairs dedup across tables on the
+    * scalar similarity. */
+  def bucketedPairs(emb: DataFrame, dim: Int): DataFrame = {
+    val b = withBuckets(emb, dim)
+    val left = b.select(col("vec_id").as("vec_a"),
+      col("embedding").as("emb_a"), col("bucket"))
+    val right = b.select(col("vec_id").as("vec_b"),
+      col("embedding").as("emb_b"), col("bucket"))
+    left.join(right,
+        left("bucket") === right("bucket") && col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        cosineSimilarity(col("emb_a"), col("emb_b")).as("sim"))
+      .groupBy(col("vec_a"), col("vec_b"))
+      .agg(max(col("sim")).as("cos_sim"))
+  }
+
   /** Per-label embedding statistics: count, mean L2 norm, mean first
     * component. Norms go through decimal so the mean is order-independent
     * and oracle-exact (SURVEY.md §6). */

@@ -148,4 +148,21 @@ object DedupOps {
 
   def simhashPairs(spark: SparkSession, dir: String): DataFrame =
     simhashPairs(Lake.documents(spark, dir))
+
+  /** Embedding-cosine near-duplicates: vector pairs whose cosine exceeds
+    * `threshold`, found through the multi-table hyperplane-LSH buckets of
+    * [[AnnOps]] — candidates only ever form inside a shared bucket, then
+    * exact cosine verifies. The semantic-dedup companion to the lexical
+    * (MinHash/SimHash) paths: catches paraphrases that share no n-grams. */
+  def embeddingNearDups(emb: DataFrame, threshold: Double,
+                        dim: Int = 64): DataFrame =
+    AnnOps.bucketedPairs(emb, dim)
+      .filter(col("cos_sim") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cos_sim"), 4).as("cos_sim"))
+      .orderBy(col("vec_a"), col("vec_b"))
+
+  /** Lake-bound form; 0.4 suits the near-uniform synthetic vectors (real
+    * embedding spaces use 0.85–0.95). */
+  def embeddingNearDups(spark: SparkSession, dir: String): DataFrame =
+    embeddingNearDups(Lake.embeddings(spark, dir), threshold = 0.4)
 }

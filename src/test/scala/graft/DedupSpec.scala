@@ -48,6 +48,27 @@ class DedupSpec extends SparkSpecBase {
     assert(a.sameElements(b))
   }
 
+  test("embedding near-dups: bucketed pairs match brute force at high precision") {
+    import org.apache.spark.sql.functions.{broadcast => bc}
+    val emb = Lake.embeddings(spark, Sf)
+    val found = DedupOps.embeddingNearDups(emb, threshold = 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // brute-force ground truth (test-only cross join on 500 vectors)
+    val l = emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val r = emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    val truth = l.join(bc(r), col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        graft.functions.VectorFunctions.cosineSimilarity(col("ea"), col("eb")).as("s"))
+      .filter(col("s") >= 0.4).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(truth.nonEmpty, "ground truth should contain some high-cosine pairs")
+    // precision 1.0: every reported pair is a true pair
+    assert(found.keySet.subsetOf(truth), s"spurious pairs: ${found.keySet -- truth}")
+    // multi-table LSH recall on near-uniform vectors
+    val recall = found.size.toDouble / truth.size
+    assert(recall >= 0.5, s"embedding near-dup recall $recall < 0.5 (${found.size}/${truth.size})")
+  }
+
   test("near-duplicate docs have close simhashes; random pairs do not") {
     val sig = DedupOps.simhash(spark, Sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
