@@ -93,12 +93,15 @@ object CatalogOps {
     * path; at 100 TB flip to `approx_percentile` — same plan shape, t-digest
     * sketch, no buffered sort. */
   def quantiles(spark: SparkSession, dir: String, table: String,
-                columns: Seq[String]): DataFrame = {
+                columns: Seq[String], exact: Boolean = true): DataFrame = {
     val df = Lake.table(spark, dir, table)
     // ONE percentile buffer per column (array of probabilities), not one
-    // per (column, probability) — 3× less aggregation state and row work
+    // per (column, probability) — 3× less aggregation state and row work.
+    // exact=false → approx_percentile (t-digest): the 100 TB path, same
+    // plan shape, bounded sketch memory instead of a buffered sort.
+    val fn = if (exact) "percentile" else "approx_percentile"
     val aggs = columns.map { c =>
-      expr(s"percentile($c, array(0.25D, 0.5D, 0.75D))").as(s"${c}__qs")
+      expr(s"$fn($c, array(0.25D, 0.5D, 0.75D))").as(s"${c}__qs")
     }
     val wide = df.agg(aggs.head, aggs.tail: _*)
     val stackExpr = columns.map { c =>

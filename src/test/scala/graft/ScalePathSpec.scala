@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.CatalogOps
+
+/** The documented 100 TB paths must actually run and approximate well —
+  * not just exist as a flag. */
+class ScalePathSpec extends SparkSpecBase {
+
+  test("approx NDV profile tracks the exact profile within sketch error") {
+    val cols = Seq("l_orderkey", "l_quantity", "l_extendedprice")
+    val exact = CatalogOps.profile(spark, Sf, "lineitem", cols, exactNdv = true)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    val approx = CatalogOps.profile(spark, Sf, "lineitem", cols, exactNdv = false)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    for ((c, e) <- exact) {
+      val a = approx(c)
+      assert(math.abs(a - e).toDouble / e <= 0.1,
+        s"$c: approx NDV $a vs exact $e drifts > 10%")
+    }
+  }
+
+  test("approx percentile quartiles track exact within 5% of the IQR") {
+    val cols = Seq("l_quantity", "l_extendedprice")
+    def asMap(exact: Boolean) =
+      CatalogOps.quantiles(spark, Sf, "lineitem", cols, exact)
+        .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val e = asMap(true); val a = asMap(false)
+    for (c <- cols) {
+      val iqr = e(c)._3 - e(c)._1
+      for ((ev, av) <- Seq(e(c)._1 -> a(c)._1, e(c)._2 -> a(c)._2, e(c)._3 -> a(c)._3))
+        assert(math.abs(ev - av) <= 0.05 * iqr + 1e-9,
+          s"$c: approx $av vs exact $ev off by more than 5% of IQR $iqr")
+    }
+  }
+
+  test("dedup and text operators tolerate empty and single-row corpora") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.operators.DedupOps.nearDupPairs(empty).count() == 0)
+    assert(graft.operators.DedupOps.dedupExact(empty).count() == 0)
+    assert(graft.operators.TextOps.tokenStats(empty).count() == 0)
+    val single = Seq((1L, "just one tiny document")).toDF("doc_id", "text")
+    assert(graft.operators.DedupOps.nearDupPairs(single).count() == 0)
+    assert(graft.operators.DedupOps.simhash(single).count() == 1)
+    assert(graft.operators.TextOps.fingerprint(single).count() == 1)
+  }
+}
