@@ -18,11 +18,16 @@ object Lake {
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     // events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to map
-    // to TimestampType. Read it as raw nanos and truncate to microseconds
-    // (Spark's native timestamp precision) in place.
+    // to TimestampType. An explicit LongType schema reads the raw nanos
+    // (no session-global legacy conf mutated), then truncate to
+    // microseconds — Spark's native timestamp precision — in place.
     if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
+      import org.apache.spark.sql.types._
+      val eventsSchema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      spark.read.schema(eventsSchema).parquet(s"$dir/$name.parquet")
         .withColumn("ts", org.apache.spark.sql.functions.expr(
           "timestamp_micros(ts div 1000)"))
     } else spark.read.parquet(s"$dir/$name.parquet")

@@ -301,11 +301,12 @@ object SparkEntry {
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keeper, sha256(text) AS content_hash, count(*) AS n_copies
-        |FROM documents GROUP BY sha256(text) ORDER BY keeper""".stripMargin,
+        |FROM documents WHERE text IS NOT NULL
+        |GROUP BY sha256(text) ORDER BY keeper""".stripMargin,
     // Semantic ground truth for near-dedup: the oracle may brute-force the
     // quadratic jaccard (DuckDB, 500 docs); the engine must NOT (LSH).
     "q_neardup_pairs" ->
-      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE text IS NOT NULL),
         |sh AS (
         |  SELECT doc_id,
         |    CASE WHEN len(t) >= 3
@@ -344,10 +345,10 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_term_stats" ->
       """SELECT token, df, tf_total,
-        |  round(ln(((SELECT count(*) FROM documents) + 1.0) / (df + 1.0)), 4) AS idf
+        |  round(ln(((SELECT count(text) FROM documents) + 1.0) / (df + 1.0)), 4) AS idf
         |FROM (
         |  SELECT token, count(DISTINCT doc_id) AS df, count(*) AS tf_total
-        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) u
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents WHERE text IS NOT NULL) u
         |  GROUP BY token) t
         |ORDER BY token""".stripMargin,
     "q_lang_quality" ->
@@ -358,7 +359,7 @@ object SparkEntry {
          |    len(list_filter(string_split(text, ' '), t -> t IN ($stopList))) AS n_stop,
          |    round(len(list_filter(string_split(text, ' '), t -> t IN ($stopList))) * 1.0
          |      / len(string_split(text, ' ')), 4) AS stop_ratio
-         |  FROM documents) t
+         |  FROM documents WHERE text IS NOT NULL) t
          |ORDER BY doc_id""".stripMargin,
     "q_doc_quality" ->
       s"""SELECT doc_id, n_tokens, quality,
@@ -374,7 +375,7 @@ object SparkEntry {
          |      len(string_split(text, ' ')) AS n_tokens,
          |      len(list_distinct(string_split(text, ' '))) AS n_distinct,
          |      len(list_filter(string_split(text, ' '), t -> t IN ($stopList))) AS n_stop
-         |    FROM documents) u) t
+         |    FROM documents WHERE text IS NOT NULL) u) t
          |ORDER BY doc_id""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT source, count(*) AS n_docs,

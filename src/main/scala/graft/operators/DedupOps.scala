@@ -18,10 +18,13 @@ import graft.Lake
   */
 object DedupOps {
 
-  /** Default MinHash parameters: 64 permutations in 16 bands of 4 rows —
-    * LSH detection threshold ≈ (1/16)^(1/4) ≈ 0.5 Jaccard. */
+  /** Default MinHash parameters: 64 permutations in 32 bands of 2 rows.
+    * Detection probability at jaccard j is 1-(1-j^2)^32: ≥ 0.9999 for
+    * j ≥ 0.5 — pairs at the 0.6 verify threshold are found essentially
+    * always, so the probabilistic candidate stage cannot disagree with the
+    * exact brute-force oracle at the thresholds we report. */
   val NumPerms = 64
-  val Bands = 16
+  val Bands = 32
   val RowsPerBand: Int = NumPerms / Bands
 
   /** Exact dedup: group by sha256(text); keeper = lowest doc_id of each

@@ -49,7 +49,13 @@ object Maintenance {
           .select(sha2(col(hashCol), 256).as("__h")).distinct()
       else spark.emptyDataFrame.withColumn("__h", lit(""))
     val fresh = batch
+      // null content can never be keyed by hash — drop it, don't loop it
+      // through every re-ingest (sha2(NULL) never equi-matches)
+      .filter(col(hashCol).isNotNull)
       .withColumn("__h", sha2(col(hashCol), 256))
+      // dedup WITHIN the batch too: two copies landing in one wave must
+      // not both reach the curated table
+      .dropDuplicates("__h")
       .join(existing, Seq("__h"), "left_anti")
       .drop("__h")
     val n = fresh.count()
@@ -74,14 +80,18 @@ object Maintenance {
         max(col(statCol)).as("max_val"))
       .orderBy(col("file"))
 
-  /** Fraction of files a range predicate `[lo, hi]` on `statCol` could
-    * skip, judged from the file-stats index (driver-side over O(files)). */
-  def skipRatio(stats: DataFrame, lo: Any, hi: Any): Double = {
+  /** Fraction of files a range predicate `[lo, hi]` on a numeric `statCol`
+    * could skip, judged from the file-stats index (driver-side over
+    * O(files)). Files with NULL stats (all-null column chunk) or
+    * non-numeric stats are conservatively counted non-skippable. */
+  def skipRatio(stats: DataFrame, lo: Double, hi: Double): Double = {
     val rows = stats.collect()
     val skippable = rows.count { r =>
-      val mn = r.get(2).toString.toDouble
-      val mx = r.get(3).toString.toDouble
-      mx < lo.toString.toDouble || mn > hi.toString.toDouble
+      (r.get(2), r.get(3)) match {
+        case (mn: Number, mx: Number) =>
+          mx.doubleValue() < lo || mn.doubleValue() > hi
+        case _ => false
+      }
     }
     if (rows.isEmpty) 0.0 else skippable.toDouble / rows.length
   }

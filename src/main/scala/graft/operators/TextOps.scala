@@ -110,14 +110,18 @@ object TextOps {
     * aggregate map-side. */
   def termStats(docs: DataFrame): DataFrame = {
     val clean = nonNull(docs)
-    val nDocs = clean.count() // O(1) parquet-footer count, used as a literal
+    // corpus size as a lazy one-row aggregate broadcast into the plan —
+    // no eager driver-side count at DataFrame-construction time
+    val nDocs = clean.select(count(lit(1)).cast("double").as("__n_docs"))
     clean.select(col("doc_id"), explode(toks).as("token"))
       .groupBy(col("token"))
       .agg(
         countDistinct(col("doc_id")).as("df"),
         count(lit(1)).as("tf_total"))
+      .crossJoin(broadcast(nDocs))
       .withColumn("idf",
-        round(log(lit(nDocs.toDouble + 1.0) / (col("df") + 1.0)), 4))
+        round(log((col("__n_docs") + 1.0) / (col("df") + 1.0)), 4))
+      .drop("__n_docs")
       .orderBy(col("token"))
   }
 

@@ -38,7 +38,11 @@ object Sources {
   import org.apache.spark.sql.functions._
   import org.apache.spark.sql.types.DecimalType
 
-  private def cacheDir = s"${System.getProperty("java.io.tmpdir")}/graft_source_cache"
+  /** Per-JVM unique scratch dir: concurrent processes (e.g. Verify and
+    * Bench on one host) must not overwrite each other's round-trip files
+    * mid-read. */
+  private lazy val cacheDir =
+    s"${System.getProperty("java.io.tmpdir")}/graft_source_cache_${java.util.UUID.randomUUID()}"
 
   /** End-to-end CSV source/sink exercise: customer → CSV → read back with
     * explicit schema → aggregate. Values must round-trip bit-exactly

@@ -54,14 +54,24 @@ object SessionizeStream {
                       state: GroupState[OpenSession],
                       gapSec: Long): Iterator[SessionOut] = {
     if (state.hasTimedOut) {
-      val out = state.getOption.map(close(userId, _)).iterator
-      state.remove()
+      // Close the open session but KEEP the session counter: removing all
+      // state would restart session ids at 1 for this user's next burst,
+      // colliding with the already-emitted (user_id, session_id) keys and
+      // diverging from the batch numbering. The tombstone (nEvents=0) is
+      // ~40 bytes per ever-seen user — the price of batch-identical
+      // sequential ids. (Key sessions by start_ts instead if even that
+      // state is too much at your scale.)
+      val out = state.getOption.filter(_.nEvents > 0).map(close(userId, _)).iterator
+      state.getOption.foreach { s =>
+        state.update(OpenSession(s.sessionIdx, s.lastMs, s.lastMs, 0L, 0L))
+      }
       return out
     }
     val gapMs = gapSec * 1000L
     // Per-trigger batch for one user: bounded by trigger size; sort by time
     // (cross-trigger order is guaranteed by the watermark dropping late data).
     val events = it.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+    // nEvents == 0 is a closed-session tombstone: only the counter survives
     var open = state.getOption.orNull
     val closed = Vector.newBuilder[SessionOut]
     for (e <- events) {
@@ -69,6 +79,8 @@ object SessionizeStream {
       val p = if (e.event_type == "purchase") 1L else 0L
       if (open == null) {
         open = OpenSession(1L, t, t, 1L, p)
+      } else if (open.nEvents == 0L) {
+        open = OpenSession(open.sessionIdx + 1, t, t, 1L, p)
       } else if (t - open.lastMs > gapMs) {
         closed += close(userId, open)
         open = OpenSession(open.sessionIdx + 1, t, t, 1L, p)
@@ -79,8 +91,9 @@ object SessionizeStream {
     }
     if (open != null) {
       state.update(open)
-      // fires once the event-time watermark passes the session's gap horizon
-      state.setTimeoutTimestamp(open.lastMs + gapMs)
+      // fires once the event-time watermark passes the session's gap
+      // horizon; tombstones register no timeout (nothing left to flush)
+      if (open.nEvents > 0L) state.setTimeoutTimestamp(open.lastMs + gapMs)
     }
     closed.result().iterator
   }

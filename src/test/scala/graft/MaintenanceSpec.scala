@@ -58,4 +58,19 @@ class MaintenanceSpec extends SparkSpecBase {
     val third = Maintenance.ingestDedup(spark, target, docs.limit(100))
     assert(third == 0)
   }
+
+  test("ingest dedup handles within-batch duplicates and null content") {
+    import spark.implicits._
+    val target = s"$tmp/dup_target"
+    val batch = Seq(
+      (1L, "same content"), (2L, "same content"), // within-batch dup
+      (3L, "unique content"), (4L, null.asInstanceOf[String])) // null text
+      .toDF("doc_id", "text")
+    val n1 = Maintenance.ingestDedup(spark, target, batch)
+    assert(n1 == 2, s"one copy of the dup + the unique row = 2, got $n1")
+    // re-ingesting the same batch (incl. the null row) is a strict no-op
+    val n2 = Maintenance.ingestDedup(spark, target, batch)
+    assert(n2 == 0, s"re-ingest must be a no-op, got $n2 fresh rows")
+    assert(spark.read.parquet(target).count() == 2)
+  }
 }

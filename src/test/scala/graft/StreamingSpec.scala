@@ -64,6 +64,17 @@ class StreamingSpec extends SparkSpecBase {
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       assert(rows.contains((7L, 1L, 2L, 1L)),
         s"user 7's idle session should flush on timeout; got ${rows.toSeq}")
+
+      // after a timeout-flushed session, the NEXT session must continue the
+      // per-user numbering (id 2), not restart at 1
+      input.addData(
+        SEvent(7L, 10L, ts(1400), "view"),
+        SEvent(7L, 11L, ts(1500), "click")) // 100 min gap closes session 2 in-batch
+      query.processAllAvailable()
+      val rows2 = spark.sql("SELECT * FROM sessions_timeout").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(rows2.contains((7L, 2L, 1L, 0L)),
+        s"post-timeout session should be id 2; got ${rows2.toSeq}")
     } finally query.stop()
   }
 }
