@@ -34,6 +34,8 @@ object SparkEntry {
     "q_distinct_segments" -> Relational.distinctSegments _,
     "q_set_ops"           -> Relational.setOps _,
     "q_rollup_orders"     -> Relational.rollupOrders _,
+    "q_cube_orders"       -> Relational.cubeOrders _,
+    "q_window_dist"       -> Relational.windowDistribution _,
     "q_histogram_orders"  -> ((s: SparkSession, d: String) => Relational.histogramOrders(s, d)),
     "q_cross_join"        -> Relational.crossJoinRegions _,
     "q_string_funcs"      -> Relational.stringFuncs _,
@@ -75,6 +77,7 @@ object SparkEntry {
     // Text analysis (§2 items 22–24)
     "q_token_stats"       -> TextOps.tokenStats _,
     "q_term_stats"        -> TextOps.termStats _,
+    "q_bpe_tokens"        -> TextOps.bpeTokenCounts _,
     "q_lang_quality"      -> TextOps.langQuality _,
     "q_doc_quality"       -> TextOps.docQuality _,
     "q_fingerprint"       -> TextOps.fingerprint _,
@@ -177,6 +180,22 @@ object SparkEntry {
         |  round(cast(sum(cast(o_totalprice AS decimal(18,2))) AS double), 2) AS total_revenue
         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+    "q_cube_orders" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+    "q_window_dist" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  cast(ntile(4) OVER w AS bigint) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_bpe_tokens" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_subwords,
+        |  len(list_distinct(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS n_distinct_subwords
+        |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin,
     "q_cross_join" ->
       """SELECT r_name, n_name FROM region CROSS JOIN nation
         |ORDER BY r_name, n_name""".stripMargin,

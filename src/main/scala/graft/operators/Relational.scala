@@ -192,6 +192,26 @@ object Relational {
         round(sum(m(col("o_totalprice"))).cast("double"), 2).as("total_revenue"))
       .orderBy(col("o_orderstatus"), col("o_orderpriority"))
 
+  /** CUBE aggregation: all grouping-set combinations of (status, priority). */
+  def cubeOrders(spark: SparkSession, dir: String): DataFrame =
+    Lake.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+
+  /** Distribution windows: quartile bucket (ntile) and percent_rank of
+    * each order within its status group. */
+  def windowDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Lake.orders(spark, dir)
+      .select(
+        col("o_orderkey"), col("o_orderstatus"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Explicit cross join (the only legitimate cartesian: two bounded dims). */
   def crossJoinRegions(spark: SparkSession, dir: String): DataFrame =
     Lake.region(spark, dir).select(col("r_name"))

@@ -128,6 +128,24 @@ object TextOps {
   def termStats(spark: SparkSession, dir: String): DataFrame =
     termStats(Lake.documents(spark, dir))
 
+  /** Subword ("BPE-ish") token counting: a regex lexer splitting into
+    * letter runs, digit runs, and single punctuation marks — the cheap
+    * stand-in for a real BPE vocabulary when budgeting token counts at
+    * corpus scale. Codegen'd regexp_extract_all, pure map stage. */
+  def bpeTokenCounts(docs: DataFrame): DataFrame =
+    nonNull(docs)
+      .select(
+        col("doc_id"),
+        expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)").as("tk"))
+      .select(
+        col("doc_id"),
+        size(col("tk")).cast("long").as("n_subwords"),
+        size(array_distinct(col("tk"))).cast("long").as("n_distinct_subwords"))
+      .orderBy(col("doc_id"))
+
+  def bpeTokenCounts(spark: SparkSession, dir: String): DataFrame =
+    bpeTokenCounts(Lake.documents(spark, dir))
+
   /** Word n-gram shingles of `text` as an array column (used by dedup and
     * fingerprinting). Docs shorter than `n` tokens shingle to the whole text. */
   def shingleCol(n: Int): Column =
