@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Opinionated SparkSession builder for the graft engine: the settings
+  * every deployment should start from, sized by an explicit parallelism
+  * hint instead of Spark's legacy defaults.
+  *
+  *  - shuffle partitions ≈ 2× total cores (AQE coalesces down at runtime;
+  *    the legacy fixed 200 is wrong in both directions at most scales)
+  *  - AQE on with skew-join splitting (fact⨝fact skew handled at runtime)
+  *  - broadcast threshold left at default 10 MB — dimension tables
+  *    broadcast, fact tables never accidentally do
+  *  - UTC session timezone (lake timestamps are zone-less instants)
+  *  - graft's SQL functions registered on create
+  */
+object GraftSession {
+
+  def builder(appName: String = "graft",
+              master: Option[String] = None,
+              cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession.Builder = {
+    val b = SparkSession.builder()
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", math.max(2 * cores, 4).toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+    master.fold(b)(b.master)
+  }
+
+  /** Build (or reuse) the session and register graft's SQL functions. */
+  def create(appName: String = "graft",
+             master: Option[String] = None,
+             cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val spark = builder(appName, master, cores).getOrCreate()
+    graft.functions.GraftFunctions.register(spark)
+    spark
+  }
+}

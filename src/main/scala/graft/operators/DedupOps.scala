@@ -22,7 +22,14 @@ object DedupOps {
     * Detection probability at jaccard j is 1-(1-j^2)^32: ≥ 0.9999 for
     * j ≥ 0.5 — pairs at the 0.6 verify threshold are found essentially
     * always, so the probabilistic candidate stage cannot disagree with the
-    * exact brute-force oracle at the thresholds we report. */
+    * exact brute-force oracle at the thresholds we report.
+    *
+    * Tradeoff: short bands admit more low-similarity candidate pairs into
+    * the exact-verify stage (p ≈ 0.27 at ambient j=0.1), which is the
+    * right default when missed duplicates cost more than verify compute.
+    * For corpora where ambient similarity is high or verify cost
+    * dominates, widen the bands (e.g. 16×4 ⇒ detect ≥ 0.5 w.p. ~0.9)
+    * by changing these constants. */
   val NumPerms = 64
   val Bands = 32
   val RowsPerBand: Int = NumPerms / Bands

@@ -37,6 +37,45 @@ object Maintenance {
       .write.mode(SaveMode.Overwrite).parquet(outDir)
   }
 
+  /** Z-order clustering over MULTIPLE columns: each column is normalized
+    * to a `bitsPerDim`-bit integer rank (linear min/max scaling — switch
+    * to quantile ranks for heavily skewed keys), the bits are interleaved
+    * into a single Z-value, and the table is range-partitioned + sorted on
+    * it. Every output file then covers a small hyper-rectangle of the key
+    * space, so min/max file stats prune on ANY of the clustered columns —
+    * which single-column range clustering cannot do for the others. */
+  def clusterByZorder(spark: SparkSession, tableDir: String, outDir: String,
+                      zCols: Seq[String], targetFileCount: Int,
+                      bitsPerDim: Int = 16): Unit = {
+    require(zCols.nonEmpty && zCols.length * bitsPerDim <= 63,
+      "z-value must fit in a long")
+    val df = spark.read.parquet(tableDir)
+    val bounds = df.agg(
+      lit(1).as("__one"),
+      zCols.flatMap(c => Seq(
+        min(col(c)).cast("double").as(s"${c}__min"),
+        max(col(c)).cast("double").as(s"${c}__max"))): _*).collect()(0)
+    val maxRank = (1L << bitsPerDim) - 1
+    val ranks = zCols.map { c =>
+      val lo = bounds.getAs[Double](s"${c}__min")
+      val hi = bounds.getAs[Double](s"${c}__max")
+      val span = if (hi > lo) hi - lo else 1.0
+      least(lit(maxRank), greatest(lit(0L),
+        ((col(c).cast("double") - lit(lo)) / lit(span) * maxRank).cast("long")))
+    }
+    val n = zCols.length
+    val zval = (0 until bitsPerDim).flatMap { i =>
+      ranks.zipWithIndex.map { case (r, d) =>
+        shiftleft(shiftright(r, i).bitwiseAND(1), i * n + d)
+      }
+    }.reduce(_.bitwiseOR(_))
+    df.withColumn("__z", zval)
+      .repartitionByRange(targetFileCount, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(outDir)
+  }
+
   /** Append only the rows of `batch` whose content hash is not already in
     * the target — exact-dedup-on-ingest. The probe side carries hashes
     * only; at a 100 TB target the hash set still broadcasts or shuffles as

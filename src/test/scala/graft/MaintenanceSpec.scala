@@ -44,6 +44,30 @@ class MaintenanceSpec extends SparkSpecBase {
     assert(ratio >= 0.75, s"skip ratio $ratio too low for a point-ish predicate")
   }
 
+  test("z-order clustering prunes on BOTH columns; single-dim only on its own") {
+    val src = s"$tmp/z_src"
+    Lake.lineitem(spark, Sf).repartition(8).write.parquet(src)
+    // single-dim baseline: range-cluster on partkey only
+    Maintenance.clusterBy(spark, src, s"$tmp/z_single", Seq("l_partkey"), 16)
+    // z-order on (partkey, suppkey)
+    Maintenance.clusterByZorder(spark, src, s"$tmp/z_multi",
+      Seq("l_partkey", "l_suppkey"), 16)
+    def skip(dir: String, c: String, lo: Double, hi: Double): Double =
+      Maintenance.skipRatio(Maintenance.fileStats(spark, dir, c), lo, hi)
+    // narrow predicate on each dimension (key domains are small at sf0.001)
+    val single_pk = skip(s"$tmp/z_single", "l_partkey", 100, 110)
+    val single_sk = skip(s"$tmp/z_single", "l_suppkey", 5, 6)
+    val multi_pk = skip(s"$tmp/z_multi", "l_partkey", 100, 110)
+    val multi_sk = skip(s"$tmp/z_multi", "l_suppkey", 5, 6)
+    assert(single_pk >= 0.8, s"single-dim must prune its own column: $single_pk")
+    assert(single_sk == 0.0, s"single-dim cannot prune the other column: $single_sk")
+    assert(multi_pk >= 0.4, s"z-order should prune partkey: $multi_pk")
+    assert(multi_sk >= 0.4, s"z-order should prune suppkey: $multi_sk")
+    // data unchanged
+    val a = spark.read.parquet(src); val b = spark.read.parquet(s"$tmp/z_multi")
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+
   test("ingest dedup appends only unseen content") {
     val target = s"$tmp/docs_target"
     val docs = Lake.documents(spark, Sf)
