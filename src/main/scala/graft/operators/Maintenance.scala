@@ -107,6 +107,30 @@ object Maintenance {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** Save a DataFrame as a bucketed+sorted managed table: both sides of a
+    * recurring fact⨝fact join bucketed on the join key hash-partition
+    * identically on disk, so the join plans with ZERO shuffle exchanges
+    * (asserted in MaintenanceSpec) — at 100 TB this converts every
+    * repeated lineitem⨝orders-style join from a full network shuffle into
+    * local stitching of co-located buckets. */
+  def writeBucketed(df: DataFrame, tableName: String, bucketCol: String,
+                    nBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    // Overwrite semantics even when a previous process left the managed
+    // location behind without a catalog entry (in-memory catalogs forget
+    // tables across restarts; the warehouse dir persists)
+    spark.sql(s"DROP TABLE IF EXISTS `$tableName`")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new Path(warehouse, tableName.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(tableName) // managed table under spark.sql.warehouse.dir
+  }
+
   /** Per-file statistics index for one column: row count + min/max — the
     * information a catalog needs to skip files on a range predicate. */
   def fileStats(spark: SparkSession, tableDir: String,

@@ -68,6 +68,38 @@ class MaintenanceSpec extends SparkSpecBase {
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
   }
 
+  test("bucketed tables join with zero shuffle exchanges") {
+    import org.apache.spark.sql.functions._
+    Maintenance.writeBucketed(Lake.orders(spark, Sf), "b_orders", "o_orderkey", 8)
+    Maintenance.writeBucketed(
+      Lake.lineitem(spark, Sf)
+        .select("l_orderkey", "l_quantity", "l_extendedprice"),
+      "b_lineitem", "l_orderkey", 8)
+    // forbid broadcast so the test exercises the co-located merge path the
+    // feature exists for (at real scale neither fact side broadcasts)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val joined = try {
+      spark.table("b_lineitem")
+        .join(spark.table("b_orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("l_quantity")).as("qty"))
+    } finally {}
+    val plan = joined.queryExecution.executedPlan.toString
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    assert(plan.contains("SortMergeJoin"), s"expected a sort-merge join:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning(l_orderkey") &&
+           !plan.contains("Exchange hashpartitioning(o_orderkey"),
+      s"bucketed join must not shuffle the join keys:\n$plan")
+    // and it returns the same result as the plain-parquet join
+    val expected = Lake.lineitem(spark, Sf)
+      .join(Lake.orders(spark, Sf), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority")).agg(sum(col("l_quantity")).as("qty"))
+    assert(joined.exceptAll(expected).count() == 0 &&
+           expected.exceptAll(joined).count() == 0)
+  }
+
   test("ingest dedup appends only unseen content") {
     val target = s"$tmp/docs_target"
     val docs = Lake.documents(spark, Sf)
