@@ -1,0 +1,49 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.SnapshotTable
+
+/** Snapshot-table semantics: versioned commits, time travel, vacuum. */
+class SnapshotTableSpec extends SparkSpecBase {
+
+  test("commits version, time-travels, and vacuums old versions") {
+    val dir = Files.createTempDirectory("graft_snap").toString + "/tbl"
+    val docs = Lake.documents(spark, Sf)
+
+    assert(SnapshotTable.latestVersion(spark, dir).isEmpty)
+    val v0 = SnapshotTable.write(spark, dir, docs.filter("doc_id < 100"))
+    val v1 = SnapshotTable.write(spark, dir, docs.filter("doc_id < 300"))
+    val v2 = SnapshotTable.write(spark, dir, docs)
+    assert((v0, v1, v2) == (0L, 1L, 2L))
+
+    // latest reads v2; explicit versions time-travel
+    assert(SnapshotTable.read(spark, dir).count() == 500)
+    assert(SnapshotTable.read(spark, dir, Some(0L)).count() == 100)
+    assert(SnapshotTable.read(spark, dir, Some(1L)).count() == 300)
+
+    // a reader holding v1 still works after a new commit
+    val heldV1 = SnapshotTable.read(spark, dir, Some(1L))
+    SnapshotTable.write(spark, dir, docs.filter("doc_id < 50"))
+    assert(heldV1.count() == 300, "old version must stay readable after commits")
+    assert(SnapshotTable.read(spark, dir).count() == 50)
+
+    // vacuum keeps the latest two versions
+    val dropped = SnapshotTable.vacuum(spark, dir, keepLast = 2)
+    assert(dropped == Seq(0L, 1L), s"expected to drop v0,v1; dropped $dropped")
+    assert(SnapshotTable.read(spark, dir).count() == 50)
+    intercept[Exception](SnapshotTable.read(spark, dir, Some(0L)).count())
+  }
+
+  test("schema evolution: later versions may add columns; reads stay version-exact") {
+    val dir = Files.createTempDirectory("graft_snap_ev").toString + "/tbl"
+    val base = Lake.documents(spark, Sf).select("doc_id", "text")
+    SnapshotTable.write(spark, dir, base)
+    SnapshotTable.write(spark, dir,
+      base.withColumn("quality", length(col("text")).cast("double")))
+    assert(!SnapshotTable.read(spark, dir, Some(0L)).columns.contains("quality"))
+    assert(SnapshotTable.read(spark, dir).columns.contains("quality"))
+  }
+}
