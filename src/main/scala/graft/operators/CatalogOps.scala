@@ -135,6 +135,23 @@ object CatalogOps {
       .orderBy(col("column_name"))
   }
 
+  /** Mergeable NDV statistics: one HLL sketch binary per group. Sketches
+    * union WITHOUT rescanning the rows that produced them — the building
+    * block for incremental catalog stats: sketch each new ingest batch (or
+    * snapshot version), union with the stored sketches, never re-read
+    * history. */
+  def ndvSketches(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(
+        hll_sketch_agg(col(valueCol)).as("ndv_sketch"),
+        count(col(valueCol)).as("n_rows"))
+
+  /** Union a set of sketch rows into a single NDV estimate. */
+  def mergeNdv(sketches: DataFrame): DataFrame =
+    sketches.agg(
+      hll_sketch_estimate(hll_union_agg(col("ndv_sketch"))).as("ndv_estimate"),
+      sum(col("n_rows")).as("n_rows"))
+
   /** File-level metadata: per table, number of files and total bytes, from
     * the filesystem (driver-side listing, O(#files) — at 100 TB this is the
     * catalog's manifest scan, not a data read). */

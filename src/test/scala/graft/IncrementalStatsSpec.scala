@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.CatalogOps
+
+/** Incremental statistics: HLL sketches of separate ingest batches union
+  * to the same estimate as a full rescan — history never re-read. */
+class IncrementalStatsSpec extends SparkSpecBase {
+
+  test("batch sketches union to the full-scan estimate") {
+    val docs = Lake.documents(spark, Sf)
+    val batch1 = docs.filter("doc_id < 300")
+    val batch2 = docs.filter("doc_id >= 300")
+
+    val s1 = CatalogOps.ndvSketches(batch1, "lang", "doc_id")
+    val s2 = CatalogOps.ndvSketches(batch2, "lang", "doc_id")
+    val merged = CatalogOps.mergeNdv(s1.union(s2)).collect()(0)
+    val fullScan = CatalogOps.mergeNdv(
+      CatalogOps.ndvSketches(docs, "lang", "doc_id")).collect()(0)
+    val exact = docs.select(countDistinct(col("doc_id"))).collect()(0).getLong(0)
+
+    assert(merged.getLong(1) == 500, "row counts sum exactly")
+    // sketch-of-union vs union-of-sketches may differ by a hair (sparse
+    // buffer promotion order); both must stay in the same error envelope
+    assert(math.abs(merged.getLong(0) - fullScan.getLong(0)).toDouble
+             / fullScan.getLong(0) <= 0.01,
+      s"incremental union (${merged.getLong(0)}) deviates from the full rescan (${fullScan.getLong(0)})")
+    assert(math.abs(merged.getLong(0) - exact).toDouble / exact <= 0.05,
+      s"estimate ${merged.getLong(0)} drifts >5% from exact $exact")
+  }
+
+  test("per-group sketches estimate group NDVs") {
+    val sk = CatalogOps.ndvSketches(Lake.documents(spark, Sf), "lang", "doc_id")
+      .withColumn("ndv", hll_sketch_estimate(col("ndv_sketch")))
+      .select("lang", "ndv", "n_rows").collect()
+    for (r <- sk) {
+      // doc_ids are unique, so per-language NDV == row count
+      assert(math.abs(r.getLong(1) - r.getLong(2)).toDouble / r.getLong(2) <= 0.05,
+        s"${r.getString(0)}: ndv ${r.getLong(1)} vs rows ${r.getLong(2)}")
+    }
+  }
+}
