@@ -64,6 +64,7 @@ object SparkEntry {
     "q_events_asof"       -> EventOps.asofLastView _,
     "q_events_pivot"      -> EventOps.pivotCounts _,
     "q_events_latest"     -> EventOps.latestState _,
+    "q_outer_join"        -> EventOps.viewsVsPurchases _,
     // Dedup (§2 items 15–18)
     "q_dedup_exact"       -> DedupOps.dedupExact _,
     "q_neardup_pairs"     -> ((s: SparkSession, d: String) => DedupOps.nearDupPairs(s, d)),
@@ -263,6 +264,16 @@ object SparkEntry {
         |FROM events
         |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
         |ORDER BY user_id""".stripMargin,
+    "q_outer_join" ->
+      """SELECT coalesce(v.user_id, p.user_id) AS uid,
+        |  coalesce(n_views, 0) AS n_views,
+        |  coalesce(n_purchases, 0) AS n_purchases
+        |FROM (SELECT user_id, count(*) AS n_views FROM events
+        |      WHERE event_type = 'view' AND value > 200 GROUP BY user_id) v
+        |FULL OUTER JOIN (SELECT user_id, count(*) AS n_purchases FROM events
+        |      WHERE event_type = 'purchase' AND value > 200 GROUP BY user_id) p
+        |ON v.user_id = p.user_id
+        |ORDER BY uid""".stripMargin,
     "q_quantiles_lineitem" ->
       ("SELECT * FROM (" +
         Seq("l_quantity", "l_extendedprice", "l_discount").map { c =>

@@ -87,6 +87,28 @@ object EventOps {
       .orderBy(col("event_id"))
   }
 
+  /** Full outer join of two per-user aggregates (viewers vs purchasers):
+    * genuine outer semantics — users appearing on either side only —
+    * with null-coalesced counts. */
+  def viewsVsPurchases(spark: SparkSession, dir: String): DataFrame = {
+    // high-value events only: the rarity makes the two sides genuinely
+    // asymmetric (users on one side but not the other), so the outer join
+    // actually exercises both null branches
+    val ev = Lake.events(spark, dir).filter(col("value") > 200)
+    def perUser(t: String, as: String) =
+      ev.filter(col("event_type") === t)
+        .groupBy(col("user_id")).agg(count(lit(1)).as(as))
+    val v = perUser("view", "n_views")
+    val p = perUser("purchase", "n_purchases")
+      .withColumnRenamed("user_id", "p_user_id")
+    v.join(p, col("user_id") === col("p_user_id"), "full_outer")
+      .select(
+        coalesce(col("user_id"), col("p_user_id")).as("uid"),
+        coalesce(col("n_views"), lit(0L)).as("n_views"),
+        coalesce(col("n_purchases"), lit(0L)).as("n_purchases"))
+      .orderBy(col("uid"))
+  }
+
   /** Latest-state-per-key (the upsert/compaction read pattern): each
     * user's most recent event wins. One user-partitioned shuffle + rank —
     * the standard merge-on-read dedup at lake scale. */
