@@ -202,8 +202,8 @@ object SparkEntry {
         |ORDER BY r_name, n_name""".stripMargin,
     "q_string_funcs" ->
       """SELECT c_custkey,
-        |  upper(substr(c_name, 1, 8)) AS name8,
-        |  len(c_name) AS name_len,
+        |  upper(substr(c_name, -6, 6)) AS name_tail,
+        |  strpos(c_name, '1') AS first_one_pos,
         |  regexp_extract(c_name, '[0-9]+') AS name_digits,
         |  concat_ws('/', c_mktsegment, substr(lower(c_name), 1, 10)) AS seg_note,
         |  lpad(cast(c_custkey AS varchar), 10, '0') AS key_padded

@@ -223,8 +223,10 @@ object Relational {
     Lake.customer(spark, dir)
       .select(
         col("c_custkey"),
-        upper(substring(col("c_name"), 1, 8)).as("name8"),
-        length(col("c_name")).cast("long").as("name_len"),
+        // slice the VARYING digit region (names share a constant prefix,
+        // so substr(1,8) would test nothing)
+        upper(substring(col("c_name"), -6, 6)).as("name_tail"),
+        instr(col("c_name"), "1").cast("long").as("first_one_pos"),
         regexp_extract(col("c_name"), "[0-9]+", 0).as("name_digits"),
         concat_ws("/", col("c_mktsegment"), lower(col("c_name")).substr(1, 10))
           .as("seg_note"),
