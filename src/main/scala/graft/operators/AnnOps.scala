@@ -110,6 +110,55 @@ object AnnOps {
     val centroids = emb.filter(pmod(col("vec_id"), lit(31)) === 9)
       .limit(nCentroids)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    ivfWithCentroids(emb, queriesIn, centroids, k, nProbes)
+  }
+
+  /** K-means-trained coarse quantizer: Lloyd's iterations over a bounded
+    * sample, run driver-side (the sample is bounded regardless of corpus
+    * size — the standard way IVF quantizers are trained), then the same
+    * cell-probing plumbing as [[ivf]]. Produces tighter cells than stride
+    * sampling on clustered data. */
+  def ivfKmeans(emb: DataFrame, queriesIn: DataFrame, k: Int,
+                nCentroids: Int, nProbes: Int,
+                sampleN: Int = 2048, iters: Int = 5): DataFrame = {
+    val sample = emb.orderBy(col("vec_id")).limit(sampleN)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    val dim = sample.head.length
+    // init: evenly strided sample points
+    var cents = Array.tabulate(nCentroids)(i =>
+      sample((i.toLong * sample.length / nCentroids).toInt).clone())
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < dim) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      val den = math.sqrt(na) * math.sqrt(nb); if (den == 0) 0 else d / den
+    }
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(nCentroids)(new Array[Double](dim))
+      val counts = new Array[Int](nCentroids)
+      for (v <- sample) {
+        var best = 0; var bestSim = Double.MinValue
+        for (c <- 0 until nCentroids) {
+          val s = cos(v, cents(c)); if (s > bestSim) { bestSim = s; best = c }
+        }
+        counts(best) += 1
+        var i = 0; while (i < dim) { sums(best)(i) += v(i); i += 1 }
+      }
+      cents = Array.tabulate(nCentroids)(c =>
+        if (counts(c) == 0) cents(c)
+        else Array.tabulate(dim)(i => (sums(c)(i) / counts(c)).toFloat))
+    }
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val centroids = cents.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toSeq
+      .toDF("c_id", "c_emb")
+    ivfWithCentroids(emb, queriesIn, centroids, k, nProbes)
+  }
+
+  private def ivfWithCentroids(emb: DataFrame, queriesIn: DataFrame,
+                               centroids: DataFrame, k: Int,
+                               nProbes: Int): DataFrame = {
     def assign(df: DataFrame, idCol: String, embCol: String, probes: Int): DataFrame = {
       val w = Window.partitionBy(col(idCol))
         .orderBy(col("c_sim").desc, col("c_id"))

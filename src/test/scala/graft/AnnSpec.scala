@@ -66,6 +66,27 @@ class AnnSpec extends SparkSpecBase {
     assert(scored < 500L * 8, s"IVF scored $scored pairs — not fewer than brute force")
   }
 
+  test("k-means IVF is at least as good as stride-sampled IVF") {
+    import org.apache.spark.sql.functions.col
+    def neighborSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1))
+        .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val emb = Lake.embeddings(spark, Sf)
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val exact = neighborSets(AnnOps.bruteForce(spark, Sf))
+      val approx = neighborSets(df)
+      val rs = exact.map { case (q, t) => (approx.getOrElse(q, Set.empty) & t).size.toDouble / t.size }
+      rs.sum / rs.size
+    }
+    val stride = recallOf(AnnOps.ivf(emb, queries, 5, 16, 6))
+    val kmeans = recallOf(AnnOps.ivfKmeans(emb, queries, 5, 16, 6))
+    assert(kmeans >= stride - 0.051,
+      s"k-means IVF recall $kmeans should not trail stride IVF $stride")
+    assert(kmeans >= 0.6, s"k-means IVF recall $kmeans < 0.6")
+  }
+
   test("LSH ANN scores far fewer candidates than brute force") {
     // the whole point of the bucketed path: candidate set << corpus
     val emb = Lake.embeddings(spark, Sf)
