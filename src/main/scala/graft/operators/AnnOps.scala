@@ -124,6 +124,8 @@ object AnnOps {
     val sample = emb.orderBy(col("vec_id")).limit(sampleN)
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).toArray)
+    // empty corpus: degrade exactly like the stride path (empty result)
+    if (sample.isEmpty) return ivf(emb, queriesIn, k, nCentroids, nProbes)
     val dim = sample.head.length
     // init: evenly strided sample points
     var cents = Array.tabulate(nCentroids)(i =>

@@ -144,7 +144,9 @@ object CatalogOps {
     df.groupBy(col(groupCol))
       .agg(
         hll_sketch_agg(col(valueCol)).as("ndv_sketch"),
-        count(col(valueCol)).as("n_rows"))
+        // count(*): the row total a catalog reports (count(valueCol)
+        // would silently skip nulls)
+        count(lit(1)).as("n_rows"))
 
   /** Union a set of sketch rows into a single NDV estimate. */
   def mergeNdv(sketches: DataFrame): DataFrame =

@@ -50,6 +50,10 @@ object Maintenance {
     require(zCols.nonEmpty && zCols.length * bitsPerDim <= 63,
       "z-value must fit in a long")
     val df = spark.read.parquet(tableDir)
+    zCols.foreach { c =>
+      require(df.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"z-order column $c must be numeric, got ${df.schema(c).dataType}")
+    }
     val bounds = df.agg(
       lit(1).as("__one"),
       zCols.flatMap(c => Seq(
@@ -57,6 +61,8 @@ object Maintenance {
         max(col(c)).cast("double").as(s"${c}__max"))): _*).collect()(0)
     val maxRank = (1L << bitsPerDim) - 1
     val ranks = zCols.map { c =>
+      require(!bounds.isNullAt(bounds.fieldIndex(s"${c}__min")),
+        s"z-order column $c has no non-null values (or the table is empty)")
       val lo = bounds.getAs[Double](s"${c}__min")
       val hi = bounds.getAs[Double](s"${c}__max")
       val span = if (hi > lo) hi - lo else 1.0

@@ -3,48 +3,50 @@ package graft.sources
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Versioned ("time travel") parquet tables: every write lands in an
-  * immutable `v=N` directory and atomically advances a tiny `_latest`
-  * pointer file. Readers resolve either the pointer (latest) or an
-  * explicit version — concurrent readers of older versions are never
-  * disturbed by new writes, and a crashed write leaves the pointer (and
-  * therefore every reader) on the last complete version.
+/** Versioned ("time travel") parquet tables: every write lands in a
+  * `v=N` directory and is published by atomically CREATING a `_commit_N`
+  * marker file — the latest version is the highest marker present.
+  * There is no delete-then-rename window: markers are only ever created
+  * (and removed by vacuum), so a crash at any point leaves every already-
+  * committed version readable and the table writable.
+  *
+  * Crash analysis:
+  *  - crash before the data write finishes → no marker; the orphan
+  *    `v=N` data is clobbered by the next writer (mode Overwrite) because
+  *    it was never committed;
+  *  - crash after marker creation → the commit is complete.
   *
   * This is the minimal snapshot-isolation layout (the idea behind
-  * Delta/Iceberg manifests, reduced to a pointer file): data files are
-  * immutable, commits are a single pointer rename, history is retained
-  * until `vacuum`.
+  * Delta/Iceberg manifests reduced to marker files). Single-writer;
+  * concurrent writers need a coordinating lock or conditional-put.
   */
 object SnapshotTable {
+
+  private val MarkerPrefix = "_commit_"
 
   private def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def pointer(dir: String) = new Path(dir, "_latest")
-
   /** Highest committed version, or None for an empty table. */
   def latestVersion(spark: SparkSession, dir: String): Option[Long] = {
     val f = fs(spark, dir)
-    if (!f.exists(pointer(dir))) None
-    else {
-      val in = f.open(pointer(dir))
-      try Some(new String(in.readAllBytes(), "UTF-8").trim.toLong)
-      finally in.close()
-    }
+    val p = new Path(dir)
+    if (!f.exists(p)) return None
+    val versions = f.listStatus(p).iterator.map(_.getPath.getName)
+      .filter(_.startsWith(MarkerPrefix))
+      .map(_.stripPrefix(MarkerPrefix).toLong)
+    if (versions.isEmpty) None else Some(versions.max)
   }
 
   /** Commit `df` as the next version; returns the new version number. */
   def write(spark: SparkSession, dir: String, df: DataFrame): Long = {
     val next = latestVersion(spark, dir).fold(0L)(_ + 1L)
-    df.write.parquet(s"$dir/v=$next")
-    // single-file pointer swap: write aside, rename over (atomic on HDFS
-    // and local; object stores need a conditional-put variant)
+    // Overwrite clobbers only ever-uncommitted orphans (no marker exists
+    // for `next`), so committed versions stay immutable
+    df.write.mode("overwrite").parquet(s"$dir/v=$next")
     val f = fs(spark, dir)
-    val tmp = new Path(dir, s"_latest.tmp.$next")
-    val out = f.create(tmp, true)
-    try out.write(next.toString.getBytes("UTF-8")) finally out.close()
-    if (f.exists(pointer(dir))) f.delete(pointer(dir), false)
-    f.rename(tmp, pointer(dir))
+    val out = f.create(new Path(dir, s"$MarkerPrefix$next"), false)
+    out.close()
     next
   }
 
@@ -52,18 +54,30 @@ object SnapshotTable {
   def read(spark: SparkSession, dir: String, version: Option[Long] = None): DataFrame = {
     val v = version.orElse(latestVersion(spark, dir)).getOrElse(
       throw new IllegalArgumentException(s"snapshot table $dir has no committed version"))
+    version.foreach { req =>
+      if (!fs(spark, dir).exists(new Path(dir, s"$MarkerPrefix$req")))
+        throw new IllegalArgumentException(
+          s"snapshot table $dir has no committed version $req (vacuumed or never written)")
+    }
     spark.read.parquet(s"$dir/v=$v")
   }
 
-  /** Drop all versions older than `keepLast` (never the current one). */
+  /** Drop all versions older than the `keepLast` most recent (never the
+    * current one — `keepLast` must be ≥ 1). */
   def vacuum(spark: SparkSession, dir: String, keepLast: Int = 1): Seq[Long] = {
+    require(keepLast >= 1, "vacuum must keep at least the current version")
     val latest = latestVersion(spark, dir).getOrElse(return Seq.empty)
     val f = fs(spark, dir)
     val dropBelow = latest - (keepLast - 1)
-    val dropped = (0L until dropBelow).filter { v =>
-      val p = new Path(dir, s"v=$v")
-      f.exists(p) && f.delete(p, true)
+    (0L until dropBelow).filter { v =>
+      val marker = new Path(dir, s"$MarkerPrefix$v")
+      if (f.exists(marker)) {
+        // remove the marker FIRST so a crash mid-vacuum never leaves a
+        // committed pointer at missing data
+        f.delete(marker, false)
+        f.delete(new Path(dir, s"v=$v"), true)
+        true
+      } else false
     }
-    dropped
   }
 }

@@ -74,8 +74,8 @@ class AnnSpec extends SparkSpecBase {
     val emb = Lake.embeddings(spark, Sf)
     val queries = emb.filter(col("vec_id") < 8)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val exact = neighborSets(AnnOps.bruteForce(spark, Sf))
     def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
-      val exact = neighborSets(AnnOps.bruteForce(spark, Sf))
       val approx = neighborSets(df)
       val rs = exact.map { case (q, t) => (approx.getOrElse(q, Set.empty) & t).size.toDouble / t.size }
       rs.sum / rs.size

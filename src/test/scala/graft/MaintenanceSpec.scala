@@ -79,15 +79,14 @@ class MaintenanceSpec extends SparkSpecBase {
     // feature exists for (at real scale neither fact side broadcasts)
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    val joined = try {
-      spark.table("b_lineitem")
+    val (joined, plan) = try {
+      val j = spark.table("b_lineitem")
         .join(spark.table("b_orders"),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderpriority"))
         .agg(sum(col("l_quantity")).as("qty"))
-    } finally {}
-    val plan = joined.queryExecution.executedPlan.toString
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      (j, j.queryExecution.executedPlan.toString)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
     assert(plan.contains("SortMergeJoin"), s"expected a sort-merge join:\n$plan")
     assert(!plan.contains("Exchange hashpartitioning(l_orderkey") &&
            !plan.contains("Exchange hashpartitioning(o_orderkey"),

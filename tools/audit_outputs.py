@@ -34,11 +34,11 @@ def main():
                 ).fetchone()
             except Exception:
                 continue  # non-comparable types (arrays etc.)
-            if n > 3 and dv <= 1:
+            if nulls == n:
+                issues.append(f"{name}.{c}: entirely null ({n} rows)")
+            elif n > 3 and dv <= 1:
                 issues.append(
                     f"{name}.{c}: constant ({dv} distinct over {n} rows, {nulls} null)")
-            elif nulls == n:
-                issues.append(f"{name}.{c}: entirely null")
     print(f"audited {len(dirs)} query outputs")
     for i in issues:
         print("FLAG", i)
