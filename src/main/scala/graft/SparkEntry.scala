@@ -75,6 +75,8 @@ object SparkEntry {
     "q_ann_lsh"           -> ((s: SparkSession, d: String) => AnnOps.lsh(s, d)),
     "q_ann_ivf"           -> ((s: SparkSession, d: String) => AnnOps.ivf(s, d)),
     "q_embedding_stats"   -> AnnOps.embeddingStats _,
+    "q_array_ops"         -> AnnOps.arrayOps _,
+    "q_unpivot"           -> Relational.unpivotLineitem _,
     // Text analysis (§2 items 22–24)
     "q_token_stats"       -> TextOps.tokenStats _,
     "q_term_stats"        -> TextOps.termStats _,
@@ -366,6 +368,25 @@ object SparkEntry {
         |  round(cast(sum(cast(sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum')) AS decimal(18,8))) AS double) / count(*), 4) AS avg_norm,
         |  round(cast(sum(cast(CAST(embedding[1] AS double) AS decimal(18,8))) AS double) / count(*), 4) AS avg_dim0
         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+    "q_array_ops" ->
+      """SELECT vec_id,
+        |  len(embedding) AS dim,
+        |  round(CAST(list_max(embedding) AS double), 4) AS max_comp,
+        |  round(CAST(list_min(embedding) AS double), 4) AS min_comp,
+        |  round(CAST(embedding[1] AS double), 4) AS first_comp,
+        |  round(CAST(embedding[-1] AS double), 4) AS last_comp,
+        |  len(list_filter(embedding, x -> x > 0)) AS n_positive
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, metric, value
+        |FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem) t
+        |WHERE l_orderkey < 100
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
     "q_token_stats" ->
       """SELECT doc_id,
         |  len(string_split(text, ' ')) AS n_tokens,

@@ -206,6 +206,21 @@ object AnnOps {
       .agg(max(col("sim")).as("cos_sim"))
   }
 
+  /** Collection-function battery over the embedding arrays: size, extrema,
+    * slices, element tests — the array-column surface a lake user touches
+    * daily, all codegen'd builtins. */
+  def arrayOps(spark: SparkSession, dir: String): DataFrame =
+    Lake.embeddings(spark, dir)
+      .select(
+        col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        round(array_max(col("embedding")).cast("double"), 4).as("max_comp"),
+        round(array_min(col("embedding")).cast("double"), 4).as("min_comp"),
+        round(element_at(col("embedding"), 1).cast("double"), 4).as("first_comp"),
+        round(element_at(col("embedding"), -1).cast("double"), 4).as("last_comp"),
+        size(filter(col("embedding"), x => x > 0f)).cast("long").as("n_positive"))
+      .orderBy(col("vec_id"))
+
   /** Per-label embedding statistics: count, mean L2 norm, mean first
     * component. Norms go through decimal so the mean is order-independent
     * and oracle-exact (SURVEY.md §6). */

@@ -246,6 +246,18 @@ object Relational {
           .cast("long").as("days_to_cutoff"))
       .orderBy(col("o_orderkey"))
 
+  /** Unpivot (melt): lineitem's numeric measures to long form
+    * (key, metric, value) — the schema-normalization operator feeding
+    * generic metric pipelines. Pure map stage (Expand), no shuffle. */
+  def unpivotLineitem(spark: SparkSession, dir: String): DataFrame =
+    Lake.lineitem(spark, dir)
+      .filter(col("l_orderkey") < 100)
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "metric", "value")
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"))
+
   /** Fixed-width histogram of order values: one group-by on the bin id
     * (map-side combinable; bin count bounded regardless of data size). */
   def histogramOrders(spark: SparkSession, dir: String,
