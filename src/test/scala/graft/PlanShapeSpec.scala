@@ -60,4 +60,26 @@ class PlanShapeSpec extends SparkSpecBase {
     val plan = planOf(DedupOps.simhashPairs(spark, Sf))
     assert(!plan.contains("CartesianProduct"), "cartesian product in simhash pairs")
   }
+
+  test("no registered query plans an unintended product join") {
+    // the broad regression net: every SparkEntry query's physical plan is
+    // free of CartesianProduct, except where the product IS the semantics
+    // (explicit cross join) or a broadcast nested loop over a bounded
+    // broadcast side is the intended linear plan (brute-force ANN)
+    val intendedProducts = Set("q_cross_join")
+    // intended bounded-broadcast nested loops: q_term_stats (one-row
+    // corpus count), q_ann_ivf (16 centroid rows against the corpus for
+    // cell assignment), q_ann_bruteforce (8 query rows)
+    val intendedBnlj =
+      Set("q_cross_join", "q_ann_bruteforce", "q_term_stats", "q_ann_ivf")
+    for ((name, fn) <- SparkEntry.queries) {
+      val plan = planOf(fn(spark, Sf))
+      if (!intendedProducts(name))
+        assert(!plan.contains("CartesianProduct"),
+          s"$name plans a CartesianProduct")
+      if (!intendedBnlj(name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name plans a BroadcastNestedLoopJoin")
+    }
+  }
 }
