@@ -86,7 +86,7 @@ object SparkEntry {
     "q_fingerprint"       -> TextOps.fingerprint _,
     // Multimodal (§2 item 25)
     "q_multimodal_meta"   -> MultimodalOps.multimodalMeta _,
-    "q_multimodal_decode" -> ((s: SparkSession, d: String) => MultimodalOps.decodeFeatures(s, d)),
+    "q_multimodal_decode" -> ((s: SparkSession, d: String) => MultimodalOps.decodeDigest(s, d)),
   )
 
   private val stopList = TextOps.Stopwords.map(s => s"'$s'").mkString(", ")
@@ -428,6 +428,19 @@ object SparkEntry {
          |      len(list_filter(string_split(text, ' '), t -> t IN ($stopList))) AS n_stop
          |    FROM documents WHERE text IS NOT NULL) u) t
          |ORDER BY doc_id""".stripMargin,
+    // The stub decoder emits feature i = byte[i]/128f; the digest rescales
+    // back to the byte code, which for the (all-ASCII) corpus equals the
+    // codepoint of character i — reconstructible in ANSI SQL.
+    "q_multimodal_decode" ->
+      ("""SELECT doc_id,
+        |  cast(octet_length(encode(text)) AS bigint) AS n_bytes,
+        |  concat_ws(',', """.stripMargin +
+        (1 to 8).map(i =>
+          s"CASE WHEN length(text) >= $i THEN unicode(substr(text, $i, 1)) ELSE 0 END")
+          .mkString(", ") +
+        """) AS feat_digest
+        |FROM documents WHERE text IS NOT NULL
+        |ORDER BY doc_id""".stripMargin),
     "q_multimodal_meta" ->
       """SELECT source, count(*) AS n_docs,
         |  cast(sum(octet_length(encode(text))) AS bigint) AS total_bytes,

@@ -52,30 +52,46 @@ object AnnOps {
       .orderBy(col("q_id"), col("rnk"))
   }
 
-  /** Default LSH parameters, tuned for near-uniform vectors (the synthetic
-    * corpus): many small tables. Clustered real-world embeddings get the
-    * same recall from fewer, wider tables — both are O(corpus × L) work. */
-  val Tables = 16
-  val BitsPerTable = 4
+  /** Default LSH parameters, tuned for near-uniform vectors at test scale
+    * (≈10³ vectors): many small tables. These are DEFAULTS, not constants —
+    * at corpus scale pass `bits = bitsForCorpus(n)` so the bucket count
+    * grows with N and per-bucket work stays bounded. Clustered real-world
+    * embeddings get the same recall from fewer, wider tables — both are
+    * O(corpus × L) work. */
+  val DefaultTables = 16
+  val DefaultBitsPerTable = 4
+
+  /** Bucket width scaled to corpus size: enough sign bits that the
+    * EXPECTED bucket holds ~`targetBucketSize` vectors (2^bits buckets per
+    * table). This is the knob that keeps within-bucket pair generation
+    * linear-ish in N — with fixed bits it is O(N²/2^bits), quadratic. */
+  def bitsForCorpus(n: Long, targetBucketSize: Int = 256): Int = {
+    require(n >= 0 && targetBucketSize > 0)
+    val needed = math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetBucketSize)) / math.log(2.0)).toInt
+    math.min(30, math.max(DefaultBitsPerTable, needed))
+  }
 
   /** One row per (vector, table) with the vector's bucket in that table:
     * bucket = table-id prefix + sign bits of the hyperplane dots, all
     * computed by the single codegen'd [[graft.functions.LshBuckets]]
     * expression (hyperplanes ride along as a reference object, keeping the
     * plan and generated code tiny). */
-  private def withBuckets(df: DataFrame, dim: Int): DataFrame =
+  private def withBuckets(df: DataFrame, dim: Int,
+                          tables: Int, bits: Int): DataFrame =
     df.select(col("*"),
       explode(graft.functions.LshBuckets.buckets(
-        col("embedding"), dim, Tables, BitsPerTable)).as("bucket"))
+        col("embedding"), dim, tables, bits)).as("bucket"))
 
   /** Approximate top-k via multi-table hyperplane LSH: candidates are
     * vectors sharing any table's bucket with the query; scored with exact
     * cosine; deduped across tables before ranking. */
   def lsh(corpusIn: DataFrame, queriesIn: DataFrame,
-          k: Int, dim: Int): DataFrame = {
-    val corpus = withBuckets(corpusIn, dim)
+          k: Int, dim: Int,
+          tables: Int, bits: Int): DataFrame = {
+    val corpus = withBuckets(corpusIn, dim, tables, bits)
     val queries = withBuckets(
-      queriesIn.withColumnRenamed("q_emb", "embedding"), dim)
+      queriesIn.withColumnRenamed("q_emb", "embedding"), dim, tables, bits)
       .withColumnRenamed("embedding", "q_emb")
       .withColumnRenamed("bucket", "q_bucket")
     // score on collision, then dedup across tables on the scalar only —
@@ -91,9 +107,11 @@ object AnnOps {
   }
 
   def lsh(spark: SparkSession, dir: String,
-          k: Int = 5, nQueries: Int = 8, dim: Int = 64): DataFrame = {
+          k: Int = 5, nQueries: Int = 8, dim: Int = 64,
+          tables: Int = DefaultTables,
+          bits: Int = DefaultBitsPerTable): DataFrame = {
     val emb = Lake.embeddings(spark, dir)
-    lsh(emb, defaultQueries(emb, nQueries), k, dim)
+    lsh(emb, defaultQueries(emb, nQueries), k, dim, tables, bits)
   }
 
   /** IVF-style ANN: a coarse quantizer (sampled centroids) partitions the
@@ -106,8 +124,11 @@ object AnnOps {
     * a k-means pass over a sample; the query/cell plumbing is unchanged. */
   def ivf(emb: DataFrame, queriesIn: DataFrame, k: Int,
           nCentroids: Int, nProbes: Int): DataFrame = {
-    // deterministic stride sample, disjoint from the query-id range
+    // deterministic stride sample, disjoint from the query-id range; the
+    // orderBy pins WHICH stride hits survive the limit (limit without sort
+    // is partitioning-dependent)
     val centroids = emb.filter(pmod(col("vec_id"), lit(31)) === 9)
+      .orderBy(col("vec_id"))
       .limit(nCentroids)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
     ivfWithCentroids(emb, queriesIn, centroids, k, nProbes)
@@ -191,20 +212,55 @@ object AnnOps {
   /** All within-bucket vector pairs with their exact cosine — the
     * candidate generator for embedding-based near-dedup. Self-join is
     * equi-keyed on the LSH bucket; pairs dedup across tables on the
-    * scalar similarity. */
-  def bucketedPairs(emb: DataFrame, dim: Int): DataFrame = {
-    val b = withBuckets(emb, dim)
-    val left = b.select(col("vec_id").as("vec_a"),
-      col("embedding").as("emb_a"), col("bucket"))
-    val right = b.select(col("vec_id").as("vec_b"),
-      col("embedding").as("emb_b"), col("bucket"))
+    * scalar similarity.
+    *
+    * Hot-bucket guard: within-bucket pairing is quadratic IN THE BUCKET, so
+    * a degenerate bucket (e.g. a corpus of near-identical boilerplate
+    * vectors all hashing together) is dropped once it exceeds
+    * `maxBucketSize` rows. The drop is never silent: run
+    * [[oversizedBuckets]] — the audit query over the same bucketing — to
+    * see exactly which buckets were skipped and how big they were.
+    * Near-identical content inside a dropped hot bucket is exact-dup
+    * territory; route it through hash dedup, don't pair it. */
+  def bucketedPairs(emb: DataFrame, dim: Int,
+                    tables: Int = DefaultTables,
+                    bits: Int = DefaultBitsPerTable,
+                    maxBucketSize: Int = 4096): DataFrame = {
+    val capped = cappedBuckets(emb, dim, tables, bits, maxBucketSize)
+    val left = capped.select(col("vec_id").as("vec_a"),
+      col("embedding").as("emb_a"), col("bucket")).alias("bl")
+    val right = capped.select(col("vec_id").as("vec_b"),
+      col("embedding").as("emb_b"), col("bucket")).alias("br")
     left.join(right,
-        left("bucket") === right("bucket") && col("vec_a") < col("vec_b"))
+        col("bl.bucket") === col("br.bucket") && col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
         cosineSimilarity(col("emb_a"), col("emb_b")).as("sim"))
       .groupBy(col("vec_a"), col("vec_b"))
       .agg(max(col("sim")).as("cos_sim"))
   }
+
+  /** Bucketed rows with oversized buckets filtered out. The per-bucket
+    * count is a window over the same (bucket) key the downstream join
+    * shuffles on, so the exchange is shared — no extra corpus pass. */
+  private def cappedBuckets(emb: DataFrame, dim: Int, tables: Int,
+                            bits: Int, maxBucketSize: Int): DataFrame = {
+    require(maxBucketSize > 1, "maxBucketSize must allow at least one pair")
+    withBuckets(emb, dim, tables, bits)
+      .withColumn("__bn", count(lit(1)).over(Window.partitionBy(col("bucket"))))
+      .filter(col("__bn") <= maxBucketSize)
+      .drop("__bn")
+  }
+
+  /** Audit query for [[bucketedPairs]]'s hot-bucket guard: every bucket
+    * over `maxBucketSize` with its size — what the cap dropped and why. */
+  def oversizedBuckets(emb: DataFrame, dim: Int,
+                       tables: Int = DefaultTables,
+                       bits: Int = DefaultBitsPerTable,
+                       maxBucketSize: Int = 4096): DataFrame =
+    withBuckets(emb, dim, tables, bits)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("bucket_size"))
+      .filter(col("bucket_size") > maxBucketSize)
+      .orderBy(col("bucket_size").desc, col("bucket"))
 
   /** Collection-function battery over the embedding arrays: size, extrema,
     * slices, element tests — the array-column surface a lake user touches

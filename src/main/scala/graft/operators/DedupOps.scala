@@ -87,19 +87,46 @@ object DedupOps {
   /** Near-duplicate pairs: banded-LSH candidates, then exact word-3-gram
     * Jaccard verification at `threshold`. The self-join is equi-keyed on
     * (band, band_hash); candidate pairs are deduped across bands before the
-    * (exact, per-pair) verify. */
-  def nearDupPairs(docs: DataFrame, threshold: Double = 0.6): DataFrame = {
-    // one corpus pass: signatures + shingle sets from the same shuffle
-    val sigs = minhashSignatures(shingled(docs), withSets = true)
-    val sets = sigs.select(col("doc_id"), col("sh"))
-    val buckets = bandedBuckets(sigs)
-    val candidates = buckets.as("x")
-      .join(buckets.as("y"),
+    * (exact, per-pair) verify.
+    *
+    * Shuffle discipline: the signature pass carries ONLY the 64 minhash
+    * longs — never the shingle arrays. The verify stage re-shingles JUST
+    * the candidate docs (a left-semi prune on candidate ids), so full
+    * shingle sets ship for the handful of docs that LSH actually paired,
+    * not the whole corpus. Both occurrences of the candidate subplan hash
+    * into the same exchanges, so Spark's ReuseExchange computes it once.
+    *
+    * Hot-bucket guard: a (band, band_hash) bucket bigger than
+    * `maxBucketSize` docs — boilerplate-heavy corpora: memes, license
+    * headers, identical templates — would make the within-bucket join
+    * quadratic, so it is dropped from candidate generation. Never silent:
+    * [[oversizedBands]] is the audit query listing what the cap skipped.
+    * Content that hot is exact-dup / template territory (route through
+    * [[dedupExact]]); pairing it is the wrong tool at any scale. */
+  def nearDupPairs(docs: DataFrame, threshold: Double = 0.6,
+                   maxBucketSize: Int = 1024): DataFrame = {
+    require(maxBucketSize > 1, "maxBucketSize must allow at least one pair")
+    val sigs = minhashSignatures(shingled(docs))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("band_hash"))
+    val capped = bandedBuckets(sigs)
+      .withColumn("__bn", count(lit(1)).over(w))
+      .filter(col("__bn") <= maxBucketSize)
+      .drop("__bn")
+    val candidates = capped.as("x")
+      .join(capped.as("y"),
         col("x.band") === col("y.band") &&
         col("x.band_hash") === col("y.band_hash") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+    // second, pruned shingle pass: sets only for docs LSH actually paired
+    val candDocs = candidates.select(col("doc_a").as("doc_id"))
+      .union(candidates.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val sets = shingled(docs)
+      .join(candDocs, Seq("doc_id"), "left_semi")
+      .groupBy(col("doc_id")).agg(collect_set(col("shingle")).as("sh"))
     candidates
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
@@ -110,6 +137,15 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** Audit query for [[nearDupPairs]]'s hot-bucket guard: every
+    * (band, band_hash) bucket over `maxBucketSize` with its size. */
+  def oversizedBands(docs: DataFrame, maxBucketSize: Int = 1024): DataFrame =
+    bandedBuckets(minhashSignatures(shingled(docs)))
+      .groupBy(col("band"), col("band_hash"))
+      .agg(count(lit(1)).as("bucket_size"))
+      .filter(col("bucket_size") > maxBucketSize)
+      .orderBy(col("bucket_size").desc, col("band"), col("band_hash"))
 
   def nearDupPairs(spark: SparkSession, dir: String): DataFrame =
     nearDupPairs(Lake.documents(spark, dir))
@@ -165,8 +201,11 @@ object DedupOps {
     * exact cosine verifies. The semantic-dedup companion to the lexical
     * (MinHash/SimHash) paths: catches paraphrases that share no n-grams. */
   def embeddingNearDups(emb: DataFrame, threshold: Double,
-                        dim: Int = 64): DataFrame =
-    AnnOps.bucketedPairs(emb, dim)
+                        dim: Int = 64,
+                        tables: Int = AnnOps.DefaultTables,
+                        bits: Int = AnnOps.DefaultBitsPerTable,
+                        maxBucketSize: Int = 4096): DataFrame =
+    AnnOps.bucketedPairs(emb, dim, tables, bits, maxBucketSize)
       .filter(col("cos_sim") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cos_sim"), 4).as("cos_sim"))
       .orderBy(col("vec_a"), col("vec_b"))

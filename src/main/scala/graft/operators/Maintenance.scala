@@ -103,9 +103,15 @@ object Maintenance {
       .dropDuplicates("__h")
       .join(existing, Seq("__h"), "left_anti")
       .drop("__h")
-    val n = fresh.count()
-    if (n > 0) fresh.write.mode(SaveMode.Append).parquet(targetDir)
-    n
+    // persist so the count and the write are ONE execution of the
+    // hash-join pipeline, not two (the count gate exists because an
+    // all-duplicate batch must not append an empty-but-present dir)
+    fresh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = fresh.count()
+      if (n > 0) fresh.write.mode(SaveMode.Append).parquet(targetDir)
+      n
+    } finally fresh.unpersist()
   }
 
   private def exists(spark: SparkSession, dir: String): Boolean = {

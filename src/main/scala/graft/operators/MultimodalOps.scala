@@ -75,4 +75,18 @@ object MultimodalOps {
       .toDF()
       .orderBy(col("doc_id"))
   }
+
+  /** Driver-comparable projection of [[decodeFeatures]]: the float features
+    * are rescaled back to their integer byte codes and joined into one
+    * sortable string — pandas/DuckDB can hash a string where they cannot
+    * hash a raw array<float>. `batch_size` is partitioning-dependent so it
+    * stays out of the comparable projection (MultimodalSpec covers it). */
+  def decodeDigest(spark: SparkSession, dir: String): DataFrame =
+    decodeFeatures(spark, dir)
+      .select(
+        col("doc_id"),
+        col("n_bytes").cast("long").as("n_bytes"),
+        concat_ws(",", transform(col("features"),
+          f => (f * lit(128f)).cast("int").cast("string"))).as("feat_digest"))
+      .orderBy(col("doc_id"))
 }

@@ -19,16 +19,22 @@ object Skew {
                  bigKey: String, smallKey: String,
                  buckets: Int): DataFrame = {
     require(buckets > 0)
-    // deterministic per-row salt: hash of the key and a disambiguator that
-    // exists on every row (partition id ⊕ local row position via
-    // monotonically_increasing_id is stable within one execution)
+    // deterministic per-row salt: hash of the FULL row content, so a task
+    // retry after a fetch failure re-salts every row identically (a salt
+    // from monotonically_increasing_id or rand can move rows between
+    // buckets across retries — the classic silent dup/loss hazard of
+    // nondeterministic repartitioning). Fully identical rows share a salt;
+    // they are indistinguishable anyway, and hot KEYS still spread because
+    // their payloads differ.
     val salted = big.withColumn("__salt",
-      pmod(xxhash64(col(bigKey), monotonically_increasing_id()), lit(buckets.toLong)))
+      pmod(xxhash64(big.columns.map(col): _*), lit(buckets.toLong)))
+      .alias("__gbig")
     val replicated = small.withColumn("__salt",
       explode(array((0 until buckets).map(i => lit(i.toLong)): _*)))
+      .alias("__gsmall")
     salted.join(replicated,
-        salted("__salt") === replicated("__salt") &&
-        big(bigKey) === small(smallKey))
+        col("__gbig.__salt") === col("__gsmall.__salt") &&
+        col(s"__gbig.$bigKey") === col(s"__gsmall.$smallKey"))
       .drop("__salt")
   }
 

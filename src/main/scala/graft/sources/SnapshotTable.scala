@@ -32,9 +32,13 @@ object SnapshotTable {
     val f = fs(spark, dir)
     val p = new Path(dir)
     if (!f.exists(p)) return None
+    // only all-digit suffixes count — a stray `_commit_foo.tmp` must not
+    // make the whole table unreadable with NumberFormatException
     val versions = f.listStatus(p).iterator.map(_.getPath.getName)
       .filter(_.startsWith(MarkerPrefix))
-      .map(_.stripPrefix(MarkerPrefix).toLong)
+      .map(_.stripPrefix(MarkerPrefix))
+      .filter(s => s.nonEmpty && s.forall(_.isDigit))
+      .map(_.toLong)
     if (versions.isEmpty) None else Some(versions.max)
   }
 

@@ -87,6 +87,41 @@ class AnnSpec extends SparkSpecBase {
     assert(kmeans >= 0.6, s"k-means IVF recall $kmeans < 0.6")
   }
 
+  test("hot-bucket cap keeps bucketedPairs sub-quadratic on clone-heavy corpora") {
+    import spark.implicits._
+    val dim = 8
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(dim)(rnd.nextFloat() - 0.5f)
+    // 600 near-identical "clones": same hyperplane signs → one hot bucket
+    // per table, the boilerplate-corpus failure mode
+    val clones = (0 until 600).map { i =>
+      val v = base.clone(); v(0) += i * 1e-6f; (1000L + i, v)
+    }
+    val diverse = (0 until 50).map(i => (i.toLong, Array.fill(dim)(rnd.nextFloat() - 0.5f)))
+    val emb = (clones ++ diverse).toDF("vec_id", "embedding")
+    val capped = AnnOps.bucketedPairs(emb, dim, tables = 4, bits = 4,
+      maxBucketSize = 100)
+    val nPairs = capped.count()
+    // quadratic blow-up would be 600*599/2 ≈ 180k clone-clone pairs alone
+    assert(nPairs < 5000, s"cap failed: $nPairs pairs (quadratic ≈ 180k)")
+    val cloneIds = clones.map(_._1).toSet
+    val clonePairs = capped.collect().count(r =>
+      cloneIds(r.getLong(0)) && cloneIds(r.getLong(1)))
+    assert(clonePairs == 0, s"$clonePairs clone-clone pairs leaked past the cap")
+    // and the drop is auditable, never silent
+    val audit = AnnOps.oversizedBuckets(emb, dim, tables = 4, bits = 4,
+      maxBucketSize = 100).collect()
+    assert(audit.nonEmpty, "audit query must report the dropped hot buckets")
+    assert(audit.forall(_.getLong(1) > 100))
+  }
+
+  test("bitsForCorpus widens buckets logarithmically with corpus size") {
+    assert(AnnOps.bitsForCorpus(500) == AnnOps.DefaultBitsPerTable)
+    assert(AnnOps.bitsForCorpus(1L << 20, targetBucketSize = 256) == 12)
+    assert(AnnOps.bitsForCorpus(1L << 30, targetBucketSize = 256) == 22)
+    assert(AnnOps.bitsForCorpus(0) == AnnOps.DefaultBitsPerTable)
+  }
+
   test("LSH ANN scores far fewer candidates than brute force") {
     // the whole point of the bucketed path: candidate set << corpus
     val emb = Lake.embeddings(spark, Sf)

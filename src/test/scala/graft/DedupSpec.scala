@@ -35,6 +35,34 @@ class DedupSpec extends SparkSpecBase {
       assert(math.abs(found(pair) - j) < 5e-5, s"pair $pair jaccard off: ${found(pair)} vs $j")
   }
 
+  test("hot-bucket cap bounds MinHash-LSH candidates on boilerplate corpora") {
+    import spark.implicits._
+    val boiler = "license header all rights reserved do not remove this notice ever"
+    // 500 identical boilerplate copies: every band bucket holds all 500 —
+    // uncapped, candidate generation alone is 500*499/2 ≈ 125k pairs
+    val copies = (0 until 500).map(i => (1000L + i, boiler))
+    // one genuine near-dup pair, distinct from the boilerplate
+    val words = (1 to 50).map(i => s"w$i")
+    val docA = (2000L, words.mkString(" "))
+    val docB = (2001L, (words.dropRight(1) :+ "changed").mkString(" "))
+    val fillers = (0 until 20).map(i =>
+      (3000L + i, (1 to 20).map(j => s"f${i}_$j").mkString(" ")))
+    val docs = (copies ++ Seq(docA, docB) ++ fillers).toDF("doc_id", "text")
+    val found = DedupOps.nearDupPairs(docs, threshold = 0.6, maxBucketSize = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the hot bucket is dropped (exact-dup territory), the true pair survives
+    assert(found == Set((2000L, 2001L)),
+      s"expected only the planted near-dup pair, got ${found.size} pairs")
+    // the exact-dedup path is where the boilerplate belongs — and finds it
+    val exact = DedupOps.dedupExact(docs).collect()
+    assert(exact.exists(_.getLong(2) == 500L),
+      "dedupExact must report the 500-copy boilerplate group")
+    // the drop is auditable, never silent
+    val audit = DedupOps.oversizedBands(docs, maxBucketSize = 100).collect()
+    assert(audit.nonEmpty && audit.forall(_.getLong(2) > 100),
+      "audit query must report the dropped hot band-buckets")
+  }
+
   test("exact dedup groups by content hash with stable keepers") {
     val rows = DedupOps.dedupExact(spark, Sf).collect()
     val nDocs = Lake.documents(spark, Sf).count()
