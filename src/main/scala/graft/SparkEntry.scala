@@ -84,6 +84,11 @@ object SparkEntry {
     "q_lang_quality"      -> TextOps.langQuality _,
     "q_doc_quality"       -> TextOps.docQuality _,
     "q_fingerprint"       -> TextOps.fingerprint _,
+    // Lake write-side surfaces made driver-visible (§2 items 42, 53, 54)
+    "q_snapshot_read"     -> graft.sources.SnapshotTable.timeTravelQuery _,
+    "q_file_stats_orders" -> ((s: SparkSession, d: String) =>
+      Maintenance.fileStatsSummary(s, s"$d/orders.parquet", "o_totalprice")),
+    "q_incremental_ndv"   -> CatalogOps.incrementalNdv _,
     // Multimodal (§2 item 25)
     "q_multimodal_meta"   -> MultimodalOps.multimodalMeta _,
     "q_multimodal_decode" -> ((s: SparkSession, d: String) => MultimodalOps.decodeDigest(s, d)),
@@ -428,6 +433,26 @@ object SparkEntry {
          |      len(list_filter(string_split(text, ' '), t -> t IN ($stopList))) AS n_stop
          |    FROM documents WHERE text IS NOT NULL) u) t
          |ORDER BY doc_id""".stripMargin,
+    // The engine aggregates the TIME-TRAVELED v0 snapshot (doc_id < 250);
+    // the oracle states the same facts directly over the source predicate.
+    "q_snapshot_read" ->
+      """SELECT source, count(*) AS n_docs, max(doc_id) AS max_doc
+        |FROM documents WHERE doc_id < 250
+        |GROUP BY source ORDER BY source""".stripMargin,
+    // The engine re-aggregates its per-file stats index; the oracle is the
+    // direct table scan the index must agree with.
+    "q_file_stats_orders" ->
+      """SELECT count(*) AS total_rows,
+        |  min(o_totalprice) AS min_val,
+        |  max(o_totalprice) AS max_val
+        |FROM orders""".stripMargin,
+    // The engine merges per-batch HLL sketches and checks the estimate
+    // against its own exact rescan; the oracle supplies the exact facts
+    // and expects the within-5% flag to hold.
+    "q_incremental_ndv" ->
+      """SELECT count(*) AS n_rows, count(DISTINCT text) AS ndv_exact,
+        |  true AS ndv_ok
+        |FROM documents""".stripMargin,
     // The stub decoder emits feature i = byte[i]/128f; the digest rescales
     // back to the byte code, which for the (all-ASCII) corpus equals the
     // codepoint of character i — reconstructible in ANSI SQL.

@@ -154,6 +154,26 @@ object CatalogOps {
       hll_sketch_estimate(hll_union_agg(col("ndv_sketch"))).as("ndv_estimate"),
       sum(col("n_rows")).as("n_rows"))
 
+  /** Driver-visible incremental-stats query: sketch the documents table in
+    * 4 independent batches (as ingest would), merge the sketches, and
+    * check the merged estimate against the exact NDV of a full rescan —
+    * the "union of batch sketches ≡ rescan" contract incremental catalog
+    * stats depend on. `ndv_ok` is deterministic: HLL sketches are
+    * order-independent and their estimate is a pure function of the value
+    * set (well within the 5% tolerance at any test SF). */
+  def incrementalNdv(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Lake.documents(spark, dir)
+    val sketches = ndvSketches(
+      docs.withColumn("batch", pmod(col("doc_id"), lit(4L))), "batch", "text")
+    val merged = mergeNdv(sketches)
+    val exact = docs.agg(countDistinct(col("text")).as("ndv_exact"))
+    merged.crossJoin(exact).select(
+      col("n_rows"),
+      col("ndv_exact"),
+      (abs(col("ndv_estimate") - col("ndv_exact")) <=
+        col("ndv_exact") * lit(0.05)).as("ndv_ok"))
+  }
+
   /** File-level metadata: per table, number of files and total bytes, from
     * the filesystem (driver-side listing, O(#files) — at 100 TB this is the
     * catalog's manifest scan, not a data read). */

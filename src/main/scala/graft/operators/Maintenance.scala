@@ -155,6 +155,17 @@ object Maintenance {
         max(col(statCol)).as("max_val"))
       .orderBy(col("file"))
 
+  /** Driver-visible consistency summary of the file-stats index:
+    * re-aggregating the per-file stats must reproduce the stats a direct
+    * table scan yields — the invariant that makes file skipping sound. */
+  def fileStatsSummary(spark: SparkSession, tableDir: String,
+                       statCol: String): DataFrame =
+    fileStats(spark, tableDir, statCol)
+      .agg(
+        sum(col("n_rows")).as("total_rows"),
+        min(col("min_val")).cast("double").as("min_val"),
+        max(col("max_val")).cast("double").as("max_val"))
+
   /** Fraction of files a range predicate `[lo, hi]` on a numeric `statCol`
     * could skip, judged from the file-stats index (driver-side over
     * O(files)). Files with NULL stats (all-null column chunk) or

@@ -17,12 +17,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - crash after marker creation → the commit is complete.
   *
   * This is the minimal snapshot-isolation layout (the idea behind
-  * Delta/Iceberg manifests reduced to marker files). Single-writer;
-  * concurrent writers need a coordinating lock or conditional-put.
+  * Delta/Iceberg manifests reduced to marker files).
+  *
+  * Concurrent writers: a writer CLAIMS its version number first by
+  * exclusively creating `_claim_N` (same atomic create(…, false) that
+  * publishes commits), writes data under the claimed `v=N`, then publishes
+  * `_commit_N` and drops the claim. Two simultaneous writers race on the
+  * claim, the loser advances to N+1 — both commits land, each marker
+  * points at its own writer's data. A writer that crashes after claiming
+  * leaves an orphan claim: that version number is skipped forever (version
+  * gaps are benign — readers only follow commit markers). On HDFS/local fs
+  * the exclusive create is atomic; on object stores map it to a
+  * conditional put (if-none-match), same protocol.
   */
 object SnapshotTable {
 
   private val MarkerPrefix = "_commit_"
+  private val ClaimPrefix = "_claim_"
 
   private def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -42,16 +53,47 @@ object SnapshotTable {
     if (versions.isEmpty) None else Some(versions.max)
   }
 
-  /** Commit `df` as the next version; returns the new version number. */
+  /** Smallest version number no commit or claim has used yet. */
+  private def nextFree(f: org.apache.hadoop.fs.FileSystem, base: Path): Long = {
+    if (!f.exists(base)) return 0L
+    val used = f.listStatus(base).iterator.map(_.getPath.getName)
+      .flatMap { n =>
+        val suffix =
+          if (n.startsWith(MarkerPrefix)) n.stripPrefix(MarkerPrefix)
+          else if (n.startsWith(ClaimPrefix)) n.stripPrefix(ClaimPrefix)
+          else ""
+        if (suffix.nonEmpty && suffix.forall(_.isDigit)) Some(suffix.toLong)
+        else None
+      }.toSeq
+    if (used.isEmpty) 0L else used.max + 1L
+  }
+
+  /** Commit `df` as the next version; returns the version number.
+    * Safe under concurrent writers — see the claim protocol above. */
   def write(spark: SparkSession, dir: String, df: DataFrame): Long = {
-    val next = latestVersion(spark, dir).fold(0L)(_ + 1L)
-    // Overwrite clobbers only ever-uncommitted orphans (no marker exists
-    // for `next`), so committed versions stay immutable
-    df.write.mode("overwrite").parquet(s"$dir/v=$next")
     val f = fs(spark, dir)
-    val out = f.create(new Path(dir, s"$MarkerPrefix$next"), false)
-    out.close()
-    next
+    val base = new Path(dir)
+    if (!f.exists(base)) f.mkdirs(base)
+    var v = nextFree(f, base)
+    var claimed = false
+    var attempts = 0
+    while (!claimed) {
+      try { f.create(new Path(base, s"$ClaimPrefix$v"), false).close(); claimed = true }
+      catch {
+        case e: java.io.IOException =>
+          attempts += 1
+          if (attempts > 100) throw new java.io.IOException(
+            s"could not claim a snapshot version in $dir after $attempts attempts", e)
+          // lost the race: another writer holds this claim — move past it
+          v = math.max(v + 1L, nextFree(f, base))
+      }
+    }
+    // the claim makes v=N exclusively ours; Overwrite clobbers only
+    // orphan data from a crashed former claimant of this same number
+    df.write.mode("overwrite").parquet(s"$dir/v=$v")
+    f.create(new Path(base, s"$MarkerPrefix$v"), false).close()
+    f.delete(new Path(base, s"$ClaimPrefix$v"), false)
+    v
   }
 
   /** Read the latest version (or a specific one for time travel). */
@@ -64,6 +106,24 @@ object SnapshotTable {
           s"snapshot table $dir has no committed version $req (vacuumed or never written)")
     }
     spark.read.parquet(s"$dir/v=$v")
+  }
+
+  /** Driver-visible time-travel query: commit two versions of the lake's
+    * documents table into a scratch snapshot dir (v0 = doc_id < 250,
+    * v1 = everything), then aggregate the TIME-TRAVELED v0 — so the result
+    * proves the old version stayed intact and readable after a newer
+    * commit. SQL-equivalent: the same aggregate over the v0 predicate. */
+  def timeTravelQuery(spark: SparkSession, lakeDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_snap_q").toString + "/tbl"
+    val docs = graft.Lake.documents(spark, lakeDir)
+    write(spark, tmp, docs.filter(col("doc_id") < 250))
+    write(spark, tmp, docs)
+    read(spark, tmp, Some(0L))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), max(col("doc_id")).as("max_doc"))
+      .orderBy(col("source"))
   }
 
   /** Drop all versions older than the `keepLast` most recent (never the

@@ -37,6 +37,41 @@ class SnapshotTableSpec extends SparkSpecBase {
     intercept[Exception](SnapshotTable.read(spark, dir, Some(0L)).count())
   }
 
+  test("concurrent writers both commit, each marker pointing at its own data") {
+    val dir = Files.createTempDirectory("graft_snap_cc").toString + "/tbl"
+    val docs = Lake.documents(spark, Sf)
+    SnapshotTable.write(spark, dir, docs.filter("doc_id < 10"))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fa = Future(SnapshotTable.write(spark, dir, docs.filter("doc_id < 100")))
+    val fb = Future(SnapshotTable.write(spark, dir, docs.filter("doc_id < 200")))
+    val va = Await.result(fa, 120.seconds)
+    val vb = Await.result(fb, 120.seconds)
+    assert(va != vb, "concurrent writers must land on distinct versions")
+    val counts = Set(SnapshotTable.read(spark, dir, Some(va)).count(),
+                     SnapshotTable.read(spark, dir, Some(vb)).count())
+    assert(counts == Set(100L, 200L),
+      s"each version must hold exactly its writer's data, got $counts")
+    assert(SnapshotTable.latestVersion(spark, dir).contains(math.max(va, vb)))
+  }
+
+  test("a claim conflict advances the writer past the contested version") {
+    val dir = Files.createTempDirectory("graft_snap_claim").toString + "/tbl"
+    val docs = Lake.documents(spark, Sf)
+    SnapshotTable.write(spark, dir, docs.filter("doc_id < 10")) // v0
+    // simulate a concurrent (or crashed) writer holding the claim on v1
+    val p = new org.apache.hadoop.fs.Path(dir, "_claim_1")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(p, false).close()
+    val v = SnapshotTable.write(spark, dir, docs.filter("doc_id < 100"))
+    assert(v == 2L, s"writer must skip the claimed v1, got v$v")
+    assert(SnapshotTable.read(spark, dir, Some(2L)).count() == 100)
+    assert(SnapshotTable.latestVersion(spark, dir).contains(2L))
+    // the orphan claim never becomes a readable version
+    intercept[Exception](SnapshotTable.read(spark, dir, Some(1L)).count())
+  }
+
   test("schema evolution: later versions may add columns; reads stay version-exact") {
     val dir = Files.createTempDirectory("graft_snap_ev").toString + "/tbl"
     val base = Lake.documents(spark, Sf).select("doc_id", "text")
