@@ -16,16 +16,29 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
+  /** Production streaming state-store provider: RocksDB keeps per-key
+    * streaming state (session maps, dedup hash sets) on local disk instead
+    * of the executor heap — the difference between "exact dedup-forever"
+    * being a guarantee and being an OOM. Changelog checkpointing uploads
+    * only per-batch deltas, not full snapshots. */
+  val RocksDbProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
   def builder(appName: String = "graft",
               master: Option[String] = None,
-              cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession.Builder = {
+              cores: Int = Runtime.getRuntime.availableProcessors(),
+              rocksDbStreamingState: Boolean = false): SparkSession.Builder = {
     val b = SparkSession.builder()
       .appName(appName)
       .config("spark.sql.shuffle.partitions", math.max(2 * cores, 4).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
-    master.fold(b)(b.master)
+    val withState = if (rocksDbStreamingState)
+      b.config("spark.sql.streaming.stateStore.providerClass", RocksDbProvider)
+        .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    else b
+    master.fold(withState)(withState.master)
   }
 
   /** Build (or reuse) the session and register graft's SQL functions. */

@@ -38,7 +38,28 @@ object GraftFunctions {
       }
       LshBuckets(es.head, intArg(es(1), "dim"), intArg(es(2), "tables"),
         intArg(es(3), "bits"))
-    })
+    },
+    // mergeable quantile sketches (see graft.functions.KllSketch)
+    "kll_sketch_agg" -> { es =>
+      val k = es match {
+        case Seq(_) => KllFunctions.DefaultK
+        case Seq(_, kExpr) => kExpr.eval() match {
+          case i: Int => i
+          case other => throw new IllegalArgumentException(
+            s"kll_sketch_agg: k must be an integer literal, got $other")
+        }
+        case _ => throw new IllegalArgumentException(
+          s"kll_sketch_agg expects 1 or 2 arguments, got ${es.length}")
+      }
+      // explicit numeric→double cast (implicit-cast traits are private[sql])
+      KllSketchAgg(org.apache.spark.sql.catalyst.expressions.Cast(
+        es.head, org.apache.spark.sql.types.DoubleType), k).toAggregateExpression()
+    },
+    "kll_merge_agg" ->
+      (es => { arity("kll_merge_agg", 1)(es)
+        KllMergeAgg(es.head, KllFunctions.DefaultK).toAggregateExpression() }),
+    "kll_quantiles" ->
+      (es => { arity("kll_quantiles", 2)(es); KllQuantiles(es(0), es(1)) }))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, builder) =>

@@ -154,6 +154,28 @@ object CatalogOps {
       hll_sketch_estimate(hll_union_agg(col("ndv_sketch"))).as("ndv_estimate"),
       sum(col("n_rows")).as("n_rows"))
 
+  /** Mergeable quantile statistics: one KLL sketch binary per group — the
+    * quantile half of incremental catalog stats (HLL covers NDV). Sketch
+    * each ingest batch / snapshot version once, persist the bytes, and
+    * refresh the table profile by merging sketches: history is never
+    * re-read, and a merged sketch carries the same error bounds as one
+    * built over all the rows. */
+  def quantileSketches(df: DataFrame, groupCol: String, valueCol: String,
+                       k: Int = graft.functions.KllFunctions.DefaultK): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(
+        graft.functions.KllFunctions.kllSketchAgg(col(valueCol), k).as("q_sketch"),
+        count(lit(1)).as("n_rows"))
+
+  /** Union a set of quantile-sketch rows into one estimated profile. */
+  def mergeQuantiles(sketches: DataFrame,
+                     ranks: Seq[Double] = Seq(0.25, 0.5, 0.75)): DataFrame =
+    sketches.agg(
+      graft.functions.KllFunctions.kllQuantiles(
+        graft.functions.KllFunctions.kllMergeAgg(col("q_sketch")), ranks)
+        .as("quantiles"),
+      sum(col("n_rows")).as("n_rows"))
+
   /** Driver-visible incremental-stats query: sketch the documents table in
     * 4 independent batches (as ingest would), merge the sketches, and
     * check the merged estimate against the exact NDV of a full rescan —

@@ -68,6 +68,23 @@ object SnapshotTable {
     if (used.isEmpty) 0L else used.max + 1L
   }
 
+  /** Atomic exclusive create of an empty marker: false if it already
+    * exists. Hadoop's LOCAL `create(path, overwrite=false)` is a
+    * check-then-create (two racing writers can both pass the check), so
+    * the local scheme goes through NIO's O_CREAT|O_EXCL createFile; HDFS
+    * `create` is atomic on the namenode as-is; object stores map this to
+    * a conditional put (if-none-match). */
+  private def atomicCreate(f: org.apache.hadoop.fs.FileSystem, p: Path): Boolean =
+    try {
+      if ("file" == f.getUri.getScheme) {
+        java.nio.file.Files.createFile(java.nio.file.Paths.get(p.toUri.getPath))
+      } else f.create(p, false).close()
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+    }
+
   /** Commit `df` as the next version; returns the version number.
     * Safe under concurrent writers — see the claim protocol above. */
   def write(spark: SparkSession, dir: String, df: DataFrame): Long = {
@@ -75,23 +92,20 @@ object SnapshotTable {
     val base = new Path(dir)
     if (!f.exists(base)) f.mkdirs(base)
     var v = nextFree(f, base)
-    var claimed = false
     var attempts = 0
-    while (!claimed) {
-      try { f.create(new Path(base, s"$ClaimPrefix$v"), false).close(); claimed = true }
-      catch {
-        case e: java.io.IOException =>
-          attempts += 1
-          if (attempts > 100) throw new java.io.IOException(
-            s"could not claim a snapshot version in $dir after $attempts attempts", e)
-          // lost the race: another writer holds this claim — move past it
-          v = math.max(v + 1L, nextFree(f, base))
-      }
+    // lost race → another writer holds that claim → move past it
+    while (!atomicCreate(f, new Path(base, s"$ClaimPrefix$v"))) {
+      attempts += 1
+      if (attempts > 100) throw new java.io.IOException(
+        s"could not claim a snapshot version in $dir after $attempts attempts")
+      v = math.max(v + 1L, nextFree(f, base))
     }
     // the claim makes v=N exclusively ours; Overwrite clobbers only
     // orphan data from a crashed former claimant of this same number
     df.write.mode("overwrite").parquet(s"$dir/v=$v")
-    f.create(new Path(base, s"$MarkerPrefix$v"), false).close()
+    if (!atomicCreate(f, new Path(base, s"$MarkerPrefix$v")))
+      throw new IllegalStateException(
+        s"commit marker for v=$v already exists in $dir despite our claim")
     f.delete(new Path(base, s"$ClaimPrefix$v"), false)
     v
   }

@@ -30,6 +30,41 @@ class IncrementalStatsSpec extends SparkSpecBase {
       s"estimate ${merged.getLong(0)} drifts >5% from exact $exact")
   }
 
+  test("per-batch KLL quantile sketches merge to rescan-grade quantiles") {
+    val li = Lake.lineitem(spark, Sf).select(col("l_extendedprice").as("v"))
+    // four independent "ingest batches"
+    val batches = (0 until 4).map(i =>
+      CatalogOps.quantileSketches(
+        li.filter(pmod(col("v").cast("long"), lit(4L)) === i)
+          .withColumn("g", lit(1)), "g", "v"))
+    val merged = CatalogOps.mergeQuantiles(
+      batches.reduce(_.union(_)), Seq(0.25, 0.5, 0.75)).collect()(0)
+    val qs = merged.getSeq[Double](0)
+    val nRows = merged.getLong(1)
+    assert(nRows == li.count(), "row counts must sum exactly")
+    // KLL guarantees RANK error (~1.65% at k=200): each estimated quantile
+    // value must sit within ±3% rank of its target — measured against the
+    // actual data, i.e. the same check a full rescan would pass
+    val n = nRows.toDouble
+    for ((q, p) <- qs.zip(Seq(0.25, 0.5, 0.75))) {
+      val rank = li.filter(col("v") <= q).count() / n
+      assert(math.abs(rank - p) <= 0.03,
+        s"quantile $p estimate $q sits at rank $rank (off by ${math.abs(rank - p)})")
+    }
+  }
+
+  test("KLL sketches are SQL-surfaced and group-mergeable") {
+    graft.functions.GraftFunctions.register(spark)
+    Lake.lineitem(spark, Sf).createOrReplaceTempView("li_kll")
+    val row = spark.sql(
+      """SELECT kll_quantiles(kll_merge_agg(s), array(0.5D)) AS med
+        |FROM (SELECT kll_sketch_agg(l_quantity, 200) AS s
+        |      FROM li_kll GROUP BY l_linenumber)""".stripMargin).collect()(0)
+    val med = row.getSeq[Double](0).head
+    // l_quantity is uniform-ish over [1, 50]
+    assert(med > 10 && med < 40, s"median l_quantity estimate $med implausible")
+  }
+
   test("per-group sketches estimate group NDVs") {
     val sk = CatalogOps.ndvSketches(Lake.documents(spark, Sf), "lang", "doc_id")
       .withColumn("ndv", hll_sketch_estimate(col("ndv_sketch")))

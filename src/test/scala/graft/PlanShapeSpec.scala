@@ -69,9 +69,11 @@ class PlanShapeSpec extends SparkSpecBase {
     val intendedProducts = Set("q_cross_join")
     // intended bounded-broadcast nested loops: q_term_stats (one-row
     // corpus count), q_ann_ivf (16 centroid rows against the corpus for
-    // cell assignment), q_ann_bruteforce (8 query rows)
+    // cell assignment), q_ann_bruteforce (8 query rows), q_incremental_ndv
+    // (one-row merged estimate × one-row exact NDV)
     val intendedBnlj =
-      Set("q_cross_join", "q_ann_bruteforce", "q_term_stats", "q_ann_ivf")
+      Set("q_cross_join", "q_ann_bruteforce", "q_term_stats", "q_ann_ivf",
+        "q_incremental_ndv")
     for ((name, fn) <- SparkEntry.queries) {
       val plan = planOf(fn(spark, Sf))
       if (!intendedProducts(name))

@@ -29,6 +29,7 @@ class SqlFunctionsSpec extends SparkSpecBase {
     new GraftExtensions().apply(ext)
     // builders must construct resolvable expressions
     val names = GraftFunctions.all.map(_._1)
-    assert(names == Seq("cosine_similarity", "dot_product_f", "lsh_buckets"))
+    assert(names == Seq("cosine_similarity", "dot_product_f", "lsh_buckets",
+      "kll_sketch_agg", "kll_merge_agg", "kll_quantiles"))
   }
 }
