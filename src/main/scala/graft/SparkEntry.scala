@@ -89,6 +89,10 @@ object SparkEntry {
     "q_file_stats_orders" -> ((s: SparkSession, d: String) =>
       Maintenance.fileStatsSummary(s, s"$d/orders.parquet", "o_totalprice")),
     "q_incremental_ndv"   -> CatalogOps.incrementalNdv _,
+    // Training-corpus preparation (§2 items 57–59)
+    "q_decontam"          -> ((s: SparkSession, d: String) => CorpusOps.contamination(s, d)),
+    "q_chunks"            -> ((s: SparkSession, d: String) => CorpusOps.chunk(s, d)),
+    "q_split_counts"      -> CorpusOps.splitCounts _,
     // Multimodal (§2 item 25)
     "q_multimodal_meta"   -> MultimodalOps.multimodalMeta _,
     "q_multimodal_decode" -> ((s: SparkSession, d: String) => MultimodalOps.decodeDigest(s, d)),
@@ -433,6 +437,38 @@ object SparkEntry {
          |      len(list_filter(string_split(text, ' '), t -> t IN ($stopList))) AS n_stop
          |    FROM documents WHERE text IS NOT NULL) u) t
          |ORDER BY doc_id""".stripMargin,
+    // Decontamination: the oracle brute-forces the 5-gram set intersection
+    // (fine in DuckDB at test SF); the engine must broadcast-probe instead.
+    "q_decontam" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+        |             FROM documents WHERE text IS NOT NULL),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) >= 5
+        |      THEN list_distinct(list_transform(range(1, len(t) - 3),
+        |             i -> array_to_string(t[i:i+4], ' ')))
+        |      ELSE [array_to_string(t, ' ')] END AS s
+        |  FROM tok)
+        |SELECT c.doc_id, b.doc_id AS bench_id,
+        |  len(list_intersect(c.s, b.s)) AS n_shared
+        |FROM sh c, sh b
+        |WHERE c.doc_id >= 50 AND b.doc_id < 50
+        |  AND len(list_intersect(c.s, b.s)) > 0
+        |ORDER BY 1, 2""".stripMargin,
+    // Chunking: 32-token windows, 8-token overlap (stride 24);
+    // nChunks = max(1, ceil((nTokens - 8) / 24)), last chunk may be short.
+    "q_chunks" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+        |             FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT doc_id, t,
+        |        greatest(1, cast(ceil((len(t) - 8) / 24.0) AS bigint)) AS nc
+        |      FROM tok),
+        |e AS (SELECT doc_id, t, unnest(range(0, nc)) AS i FROM c)
+        |SELECT doc_id, i AS chunk_idx,
+        |  len(t[(i*24+1):(i*24+32)]) AS n_tokens,
+        |  t[(i*24+1):(i*24+32)][1] AS first_token,
+        |  t[(i*24+1):(i*24+32)][-1] AS last_token
+        |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
     // The engine aggregates the TIME-TRAVELED v0 snapshot (doc_id < 250);
     // the oracle states the same facts directly over the source predicate.
     "q_snapshot_read" ->

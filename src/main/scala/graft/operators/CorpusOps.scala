@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Lake
+
+/** Training-corpus preparation (SURVEY.md §2 items 57–59): benchmark
+  * decontamination, token-window chunking, and deterministic dataset
+  * splits — the steps between "deduplicated lake" and "training samples"
+  * in an LLM data pipeline.
+  *
+  * Scale design: contamination broadcasts the benchmark side (eval sets
+  * are small by nature) so the corpus streams through one shingle pass
+  * with a broadcast-hash probe — the only shuffle is the final aggregation
+  * over MATCHING rows (a vanishing fraction of the corpus). Chunking and
+  * splitting are pure map stages (explode / hash), no shuffle at all.
+  */
+object CorpusOps {
+
+  /** Benchmark-contamination screen: every (corpus doc, benchmark doc)
+    * pair sharing at least one word-`n`-gram, with the count of shared
+    * distinct n-grams. Training corpora must drop (or at least flag) docs
+    * that leak eval benchmarks; n-gram overlap is the standard screen.
+    * Both sides' shingles are per-doc distinct, so `n_shared` equals the
+    * size of the n-gram set intersection — exactly what the DuckDB oracle
+    * computes by brute force. */
+  def contamination(corpus: DataFrame, bench: DataFrame, n: Int = 5): DataFrame = {
+    def sh(df: DataFrame, idAs: String): DataFrame =
+      df.filter(col("text").isNotNull)
+        .select(col("doc_id").as(idAs),
+          explode(array_distinct(TextOps.shingleCol(n))).as("shingle"))
+    sh(corpus, "doc_id")
+      .join(broadcast(sh(bench, "bench_id")), "shingle")
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("doc_id"), col("bench_id"))
+  }
+
+  /** Lake-bound form: docs 0–49 stand in for the benchmark set. */
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Lake.documents(spark, dir)
+    contamination(docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50))
+  }
+
+  /** Fixed-size token-window chunking with overlap — doc → training-sample
+    * windows. Stride = chunkSize − overlap; a doc yields
+    * max(1, ceil((nTokens − overlap) / stride)) chunks, the last one
+    * possibly short. Emits chunk stats + boundary tokens (not the chunk
+    * text itself, so the result stays narrow; slice the tokens the same
+    * way to materialize text). Pure codegen'd array ops, map-side only. */
+  def chunk(docs: DataFrame, chunkSize: Int = 32, overlap: Int = 8): DataFrame = {
+    require(overlap >= 0 && overlap < chunkSize, "need 0 <= overlap < chunkSize")
+    val stride = chunkSize - overlap
+    val t = split(col("text"), " ")
+    val nChunks = greatest(lit(1L),
+      ceil((size(t).cast("double") - overlap) / stride).cast("long"))
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), t.as("t"), nChunks.as("nc"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0L), col("nc") - 1),
+          i => slice(col("t"), (i * stride + 1).cast("int"), lit(chunkSize)))))
+      .select(
+        col("doc_id"),
+        col("pos").cast("long").as("chunk_idx"),
+        size(col("col")).cast("long").as("n_tokens"),
+        element_at(col("col"), 1).as("first_token"),
+        element_at(col("col"), -1).as("last_token"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  def chunk(spark: SparkSession, dir: String): DataFrame =
+    chunk(Lake.documents(spark, dir))
+
+  /** Deterministic train/val/test assignment: bucket = hash of the stable
+    * doc id, NOT `rand()` (re-drawn on task retry → rows silently change
+    * split) and NOT `doc_id % 100` (correlated with any id-ordered
+    * property). Same doc → same split, on any cluster, forever. Percents
+    * are integer points of 100. */
+  def withSplit(docs: DataFrame, trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      "need train + val < 100 with a nonempty test remainder")
+    val bucket = pmod(xxhash64(col("doc_id")), lit(100L))
+    docs.withColumn("split",
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
+  /** Rows-only driver query: split sizes (hash values are not
+    * SQL-expressible in the oracle; semantics covered by CorpusOpsSpec). */
+  def splitCounts(spark: SparkSession, dir: String): DataFrame =
+    withSplit(Lake.documents(spark, dir))
+      .groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("split"))
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.CorpusOps
+
+/** Training-corpus preparation semantics: contamination screening against
+  * brute-force ground truth, chunking invariants, split determinism. */
+class CorpusOpsSpec extends SparkSpecBase {
+
+  test("contamination matches brute-force 5-gram intersection and broadcasts the benchmark") {
+    val docs = Lake.documents(spark, Sf)
+    val found = CorpusOps.contamination(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // brute force driver-side
+    def grams(t: String): Set[String] = {
+      val w = t.split(" ")
+      if (w.length >= 5) w.sliding(5).map(_.mkString(" ")).toSet else Set(t)
+    }
+    val all = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> grams(r.getString(1)))
+    val bench = all.filter(_._1 < 50)
+    val corpus = all.filter(_._1 >= 50)
+    val truth = (for {
+      (c, cs) <- corpus; (b, bs) <- bench
+      shared = (cs & bs).size if shared > 0
+    } yield (c, b) -> shared.toLong).toMap
+    assert(found == truth,
+      s"missed: ${truth.keySet -- found.keySet}; spurious: ${found.keySet -- truth.keySet}")
+    // scale shape: benchmark side broadcast, never a product join
+    val plan = CorpusOps.contamination(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"benchmark not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("chunking covers every token with the declared window and stride") {
+    val docs = Lake.documents(spark, Sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ")).toMap
+    val chunks = CorpusOps.chunk(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))
+      .groupBy(_._1)
+    assert(chunks.keySet == docs.keySet, "every doc must chunk")
+    for ((id, toks) <- docs) {
+      val cs = chunks(id).sortBy(_._2)
+      val expected = math.max(1, math.ceil((toks.length - 8) / 24.0).toInt)
+      assert(cs.length == expected, s"doc $id: ${cs.length} chunks, expected $expected")
+      assert(cs.head._4 == toks.head, s"doc $id: first chunk must start at token 0")
+      assert(cs.last._5 == toks.last, s"doc $id: last chunk must end at the last token")
+      for ((c, k) <- cs.zipWithIndex) {
+        assert(c._2 == k, s"doc $id: chunk indices must be dense")
+        assert(c._3 <= 32 && c._3 > 0, s"doc $id chunk $k: bad size ${c._3}")
+        assert(c._4 == toks(k * 24), s"doc $id chunk $k: wrong window start")
+      }
+    }
+  }
+
+  test("splits are deterministic, partitioning-independent, and complete") {
+    val docs = Lake.documents(spark, Sf)
+    def assignments(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
+      CorpusOps.withSplit(df).select("doc_id", "split").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val a = assignments(docs)
+    val b = assignments(docs.repartition(7)) // layout must not matter
+    assert(a == b, "split assignment must be independent of partitioning")
+    assert(a.size == docs.count(), "every doc gets exactly one split")
+    val frac = a.values.groupBy(identity).view.mapValues(_.size.toDouble / a.size).toMap
+    assert(frac.keySet == Set("train", "val", "test"), s"got splits ${frac.keySet}")
+    assert(math.abs(frac("train") - 0.90) < 0.05, s"train fraction ${frac("train")}")
+    assert(frac("val") > 0 && frac("test") > 0)
+  }
+}
