@@ -13,8 +13,8 @@ import graft.Lake
   * self-equi-join keyed by (band, band_hash) — a hash-partitioned shuffle
   * whose per-bucket pair count is bounded by the banding parameters, never a
   * CartesianProduct (asserted by DedupSpec against the executed plan).
-  * MinHash signatures are one shuffle (distinct shingles) + one partial-agg
-  * group-by; at 100 TB both scale linearly with corpus size.
+  * MinHash signatures are a shuffle-free map stage (per-doc shingle arrays
+  * hashed in place); at 100 TB everything scales linearly with corpus size.
   */
 object DedupOps {
 
@@ -58,26 +58,27 @@ object DedupOps {
   def shingled(spark: SparkSession, dir: String): DataFrame =
     shingled(Lake.documents(spark, dir))
 
-  /** MinHash signatures: each shingle string is hashed ONCE (xxhash64);
-    * the `NumPerms` permutations then re-hash that fixed-width long with a
-    * per-permutation seed — far cheaper than hashing the variable-length
-    * string 64 times, and ANSI-safe (a*h+b linear perms overflow under
-    * Spark 4's ANSI arithmetic). One group-by computes all mins in a
-    * single partial-aggregated pass; `withSets=true` piggybacks the doc's
-    * full shingle set on the same shuffle (used by the verify stage — one
-    * corpus pass total instead of two). */
-  def minhashSignatures(sh: DataFrame, withSets: Boolean = false): DataFrame = {
-    val hashed = sh.withColumn("h", xxhash64(col("shingle")))
-    val mins: Seq[org.apache.spark.sql.Column] = (0 until NumPerms).map(i =>
-      min(xxhash64(lit(i), col("h"))).as(s"m$i"))
-    val aggs = if (withSets) mins :+ collect_set(col("shingle")).as("sh") else mins
-    hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-  }
+  /** Map-side MinHash signatures: (doc_id, sig array<long> of `NumPerms`
+    * per-permutation mins), computed by the codegen'd
+    * [[graft.functions.MinhashSig]] expression — each distinct shingle
+    * hashed once, all permutation minima folded in one tight loop.
+    *
+    * NO shuffle: shingles are already per-doc arrays, so signatures are a
+    * pure map stage over the corpus scan. (An earlier version exploded
+    * shingles and ran a 64-column min group-by — a full corpus shuffle
+    * plus a 64-buffer hash aggregate that bought nothing; at 100 TB it was
+    * the dedup pipeline's dominant shuffle.) */
+  def minhashSignatures(docs: DataFrame, n: Int = 3): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        graft.functions.MinhashSig.signature(
+          array_distinct(TextOps.shingleCol(n)), NumPerms).as("sig"))
 
   /** LSH banding: one row per (doc, band) with the band's combined hash. */
   def bandedBuckets(sigs: DataFrame): DataFrame = {
     val bandHashes = (0 until Bands).map { b =>
-      val cols = (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}"))
+      val cols = (0 until RowsPerBand).map(r =>
+        element_at(col("sig"), b * RowsPerBand + r + 1))
       xxhash64(lit(b) +: cols: _*)
     }
     sigs.select(col("doc_id"), posexplode(array(bandHashes: _*)))
@@ -93,8 +94,13 @@ object DedupOps {
     * longs — never the shingle arrays. The verify stage re-shingles JUST
     * the candidate docs (a left-semi prune on candidate ids), so full
     * shingle sets ship for the handful of docs that LSH actually paired,
-    * not the whole corpus. Both occurrences of the candidate subplan hash
-    * into the same exchanges, so Spark's ReuseExchange computes it once.
+    * not the whole corpus. The candidate pairs feed FOUR consumers (the
+    * id-union prune and both verify joins), so they are persisted —
+    * relying on ReuseExchange proved fragile (round-3 bench showed the
+    * minhash pipeline re-running); an explicit MEMORY_AND_DISK cache of
+    * the tiny pair set guarantees the heavy signature+join subplan
+    * executes once. Spark's ContextCleaner unpersists it when the frame
+    * is garbage collected, so callers need no explicit release.
     *
     * Hot-bucket guard: a (band, band_hash) bucket bigger than
     * `maxBucketSize` docs — boilerplate-heavy corpora: memes, license
@@ -106,7 +112,7 @@ object DedupOps {
   def nearDupPairs(docs: DataFrame, threshold: Double = 0.6,
                    maxBucketSize: Int = 1024): DataFrame = {
     require(maxBucketSize > 1, "maxBucketSize must allow at least one pair")
-    val sigs = minhashSignatures(shingled(docs))
+    val sigs = minhashSignatures(docs)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("band"), col("band_hash"))
     val capped = bandedBuckets(sigs)
@@ -120,13 +126,17 @@ object DedupOps {
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // second, pruned shingle pass: sets only for docs LSH actually paired
     val candDocs = candidates.select(col("doc_a").as("doc_id"))
       .union(candidates.select(col("doc_b").as("doc_id")))
       .distinct()
+    // persisted too: both verify joins read it, and without the cache each
+    // would redo the pruned shingle pass (and through it the corpus scan)
     val sets = shingled(docs)
       .join(candDocs, Seq("doc_id"), "left_semi")
       .groupBy(col("doc_id")).agg(collect_set(col("shingle")).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     candidates
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
@@ -141,7 +151,7 @@ object DedupOps {
   /** Audit query for [[nearDupPairs]]'s hot-bucket guard: every
     * (band, band_hash) bucket over `maxBucketSize` with its size. */
   def oversizedBands(docs: DataFrame, maxBucketSize: Int = 1024): DataFrame =
-    bandedBuckets(minhashSignatures(shingled(docs)))
+    bandedBuckets(minhashSignatures(docs))
       .groupBy(col("band"), col("band_hash"))
       .agg(count(lit(1)).as("bucket_size"))
       .filter(col("bucket_size") > maxBucketSize)
