@@ -68,6 +68,7 @@ object SparkEntry {
     // Dedup (§2 items 15–18)
     "q_dedup_exact"       -> DedupOps.dedupExact _,
     "q_neardup_pairs"     -> ((s: SparkSession, d: String) => DedupOps.nearDupPairs(s, d)),
+    "q_neardup_keep"      -> ((s: SparkSession, d: String) => DedupOps.nearDupClusters(s, d)),
     "q_simhash"           -> ((s: SparkSession, d: String) => DedupOps.simhash(s, d)),
     "q_embedding_neardups" -> ((s: SparkSession, d: String) => DedupOps.embeddingNearDups(s, d)),
     // Similarity search / embeddings (§2 items 19–21)
@@ -361,6 +362,33 @@ object SparkEntry {
         |WHERE a.doc_id < b.doc_id
         |  AND len(list_intersect(a.s, b.s)) * 1.0 / len(list_distinct(a.s || b.s)) >= 0.6
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // Connected components over the verified near-dup pair graph: the
+    // oracle brute-forces the pairs, then computes the transitive closure
+    // with a recursive CTE and takes each node's reachable minimum.
+    "q_neardup_keep" ->
+      """WITH RECURSIVE
+        |tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE text IS NOT NULL),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) >= 3
+        |      THEN list_distinct(list_transform(range(1, len(t) - 1),
+        |             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        |      ELSE [array_to_string(t, ' ')] END AS s
+        |  FROM tok),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a, sh b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND len(list_intersect(a.s, b.s)) * 1.0 / len(list_distinct(a.s || b.s)) >= 0.6),
+        |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+        |      UNION ALL SELECT doc_b, doc_a FROM p),
+        |r AS (
+        |  SELECT DISTINCT src AS doc_id, src AS reach FROM e
+        |  UNION
+        |  SELECT r.doc_id, e.dst FROM r JOIN e ON r.reach = e.src
+        |)
+        |SELECT doc_id, min(reach) AS keeper FROM r
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_ann_bruteforce" ->
       """SELECT q_id, neighbor_id, round(sim_raw, 4) AS sim, cast(rnk AS bigint) AS rnk
         |FROM (

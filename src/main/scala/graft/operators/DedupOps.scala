@@ -148,6 +148,75 @@ object DedupOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Near-duplicate CLUSTERS: connected components over the verified
+    * [[nearDupPairs]] graph, one row per clustered doc with its cluster's
+    * keeper (= the component's smallest doc_id). This closes the loop from
+    * "similarity report" to "training corpus": transitive chains A~B~C
+    * collapse into ONE cluster even when A and C share no n-grams, which
+    * pair lists alone cannot express.
+    *
+    * Algorithm: iterative min-label propagation — each round every node
+    * takes the min of its own label and its neighbors' labels; converges
+    * in O(component diameter) rounds. No external graph dependency, and
+    * each round is one equi-join + one partial-agg group-by over the PAIR
+    * graph (thousands of rows when the corpus is millions — near-dup
+    * graphs are sparse by construction), so the driver-side loop is
+    * orchestrating tiny jobs, not moving data. Labels persist per round
+    * (lineage stays bounded); convergence is an exists-a-change probe,
+    * not a full count. `maxIters` bounds pathological chain topologies;
+    * real duplicate clusters are dense (variants of one template) with
+    * diameters of 2–3. */
+  def nearDupClusters(docs: DataFrame, threshold: Double = 0.6,
+                      maxIters: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val pairs = nearDupPairs(docs, threshold).select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst")
+      .persist(MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("doc_id"))
+      .distinct()
+      .withColumn("keeper", col("doc_id"))
+      .persist(MEMORY_AND_DISK)
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("src"), col("keeper")), "src")
+        .groupBy(col("dst")).agg(min(col("keeper")).as("nbr_min"))
+        .select(col("dst").as("doc_id"), col("nbr_min"))
+      val next = labels.as("l")
+        .join(nbrMin.as("p"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("keeper"), coalesce(col("nbr_min"), col("keeper"))).as("keeper"))
+        .persist(MEMORY_AND_DISK)
+      val changed = next.as("n")
+        .join(labels.as("o"), Seq("doc_id"))
+        .filter(col("n.keeper") =!= col("o.keeper"))
+        .limit(1).count()
+      labels.unpersist()
+      labels = next
+      done = changed == 0L
+      iter += 1
+    }
+    edges.unpersist()
+    labels.orderBy(col("doc_id"))
+  }
+
+  def nearDupClusters(spark: SparkSession, dir: String): DataFrame =
+    nearDupClusters(Lake.documents(spark, dir))
+
+  /** The kept corpus after near-dedup: every doc except non-keeper cluster
+    * members — [[nearDupClusters]] distilled to the filter a training
+    * pipeline actually applies. A left-anti join against the (tiny) loser
+    * set; the corpus itself streams through unshuffled. */
+  def dedupNear(docs: DataFrame, threshold: Double = 0.6): DataFrame = {
+    val losers = nearDupClusters(docs, threshold)
+      .filter(col("doc_id") =!= col("keeper"))
+      .select(col("doc_id"))
+    docs.join(losers, Seq("doc_id"), "left_anti")
+  }
+
   /** Audit query for [[nearDupPairs]]'s hot-bucket guard: every
     * (band, band_hash) bucket over `maxBucketSize` with its size. */
   def oversizedBands(docs: DataFrame, maxBucketSize: Int = 1024): DataFrame =

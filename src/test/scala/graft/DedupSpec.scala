@@ -63,6 +63,30 @@ class DedupSpec extends SparkSpecBase {
       "audit query must report the dropped hot band-buckets")
   }
 
+  test("near-dup clusters collapse transitive chains; dedupNear keeps one per cluster") {
+    import spark.implicits._
+    // A~B and B~C exceed the 0.6 jaccard threshold, A~C does not (0.4):
+    // only transitive clustering puts all three in one component
+    val words = (1 to 30).map(i => s"w$i")
+    val a = (1L, words.mkString(" "))
+    val b = (2L, (words.take(24) ++ (1 to 6).map(i => s"x$i")).mkString(" "))
+    val c = (3L, ((1 to 6).map(i => s"y$i") ++ words.slice(6, 24) ++ (1 to 6).map(i => s"x$i")).mkString(" "))
+    val fillers = (0 until 10).map(i =>
+      (100L + i, (1 to 25).map(j => s"f${i}_$j").mkString(" ")))
+    val docs = (Seq(a, b, c) ++ fillers).toDF("doc_id", "text")
+    val pairs = DedupOps.nearDupPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (2L, 3L)),
+      s"planted chain should verify exactly A~B and B~C, got $pairs")
+    val clusters = DedupOps.nearDupClusters(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L),
+      s"chain must collapse to one cluster with keeper 1, got $clusters")
+    val kept = DedupOps.dedupNear(docs).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == (Set(1L) ++ fillers.map(_._1)),
+      s"dedupNear must keep the keeper and untouched docs, got $kept")
+  }
+
   test("exact dedup groups by content hash with stable keepers") {
     val rows = DedupOps.dedupExact(spark, Sf).collect()
     val nDocs = Lake.documents(spark, Sf).count()
