@@ -92,6 +92,7 @@ object SparkEntry {
     "q_incremental_ndv"   -> CatalogOps.incrementalNdv _,
     // Training-corpus preparation (§2 items 57–59)
     "q_decontam"          -> ((s: SparkSession, d: String) => CorpusOps.contamination(s, d)),
+    "q_decontam_keep"     -> CorpusOps.decontaminateQuery _,
     "q_chunks"            -> ((s: SparkSession, d: String) => CorpusOps.chunk(s, d)),
     "q_split_counts"      -> CorpusOps.splitCounts _,
     // Multimodal (§2 item 25)
@@ -483,6 +484,26 @@ object SparkEntry {
         |WHERE c.doc_id >= 50 AND b.doc_id < 50
         |  AND len(list_intersect(c.s, b.s)) > 0
         |ORDER BY 1, 2""".stripMargin,
+    // The clean corpus after decontamination: NOT EXISTS over the same
+    // brute-force 5-gram intersection the q_decontam oracle uses.
+    "q_decontam_keep" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+        |             FROM documents WHERE text IS NOT NULL),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) >= 5
+        |      THEN list_distinct(list_transform(range(1, len(t) - 3),
+        |             i -> array_to_string(t[i:i+4], ' ')))
+        |      ELSE [array_to_string(t, ' ')] END AS s
+        |  FROM tok)
+        |SELECT d.doc_id, d.source, d.n_chars
+        |FROM documents d
+        |WHERE d.doc_id >= 50
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM sh c, sh b
+        |    WHERE c.doc_id = d.doc_id AND b.doc_id < 50
+        |      AND len(list_intersect(c.s, b.s)) >= 1)
+        |ORDER BY doc_id""".stripMargin,
     // Chunking: 32-token windows, 8-token overlap (stride 24);
     // nChunks = max(1, ceil((nTokens - 8) / 24)), last chunk may be short.
     "q_chunks" ->

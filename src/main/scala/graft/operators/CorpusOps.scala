@@ -25,22 +25,69 @@ object CorpusOps {
     * Both sides' shingles are per-doc distinct, so `n_shared` equals the
     * size of the n-gram set intersection — exactly what the DuckDB oracle
     * computes by brute force. */
-  def contamination(corpus: DataFrame, bench: DataFrame, n: Int = 5): DataFrame = {
-    def sh(df: DataFrame, idAs: String): DataFrame =
-      df.filter(col("text").isNotNull)
-        .select(col("doc_id").as(idAs),
-          explode(array_distinct(TextOps.shingleCol(n))).as("shingle"))
-    sh(corpus, "doc_id")
-      .join(broadcast(sh(bench, "bench_id")), "shingle")
+  /** (doc_id, n-gram) pairs for one side of the screen. */
+  private def benchShingles(df: DataFrame, idAs: String, n: Int): DataFrame =
+    df.filter(col("text").isNotNull)
+      .select(col("doc_id").as(idAs),
+        explode(array_distinct(TextOps.shingleCol(n))).as("shingle"))
+
+  /** Hot-shingle guard: a benchmark n-gram present in more than
+    * `maxBenchDf` bench docs is boilerplate (license lines, shared
+    * prompts), carries no contamination signal, and would multiply every
+    * matching corpus row by its document frequency. Dropped from the
+    * probe — never silently: [[hotBenchShingles]] audits what the cap
+    * removed. The window runs over the (small, broadcastable) bench side
+    * only. */
+  private def cappedBenchShingles(bench: DataFrame, n: Int, maxBenchDf: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))
+    benchShingles(bench, "bench_id", n)
+      .withColumn("__df", count(lit(1)).over(w))
+      .filter(col("__df") <= maxBenchDf)
+      .drop("__df")
+  }
+
+  /** Audit query for [[contamination]]'s hot-shingle guard: every bench
+    * n-gram the cap dropped, with its bench document frequency. */
+  def hotBenchShingles(bench: DataFrame, n: Int = 5, maxBenchDf: Int = 16): DataFrame =
+    benchShingles(bench, "bench_id", n)
+      .groupBy(col("shingle")).agg(count(lit(1)).as("bench_df"))
+      .filter(col("bench_df") > maxBenchDf)
+      .orderBy(col("bench_df").desc, col("shingle"))
+
+  def contamination(corpus: DataFrame, bench: DataFrame, n: Int = 5,
+                    maxBenchDf: Int = 16): DataFrame =
+    benchShingles(corpus, "doc_id", n)
+      .join(broadcast(cappedBenchShingles(bench, n, maxBenchDf)), "shingle")
       .groupBy(col("doc_id"), col("bench_id"))
       .agg(count(lit(1)).as("n_shared"))
       .orderBy(col("doc_id"), col("bench_id"))
-  }
 
   /** Lake-bound form: docs 0–49 stand in for the benchmark set. */
   def contamination(spark: SparkSession, dir: String): DataFrame = {
     val docs = Lake.documents(spark, dir)
     contamination(docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50))
+  }
+
+  /** The CLEAN corpus: every corpus row sharing at least `minShared`
+    * n-grams with some benchmark doc is dropped (left-anti against the
+    * contaminated id set — tiny, since contamination is rare by
+    * construction); everything else streams through untouched. The
+    * filter-shaped counterpart of the [[contamination]] report. */
+  def decontaminate(corpus: DataFrame, bench: DataFrame, minShared: Int = 1,
+                    n: Int = 5, maxBenchDf: Int = 16): DataFrame = {
+    val contaminated = contamination(corpus, bench, n, maxBenchDf)
+      .filter(col("n_shared") >= minShared)
+      .select(col("doc_id")).distinct()
+    corpus.join(contaminated, Seq("doc_id"), "left_anti")
+  }
+
+  /** Lake-bound driver form of [[decontaminate]]: the clean corpus rows
+    * (narrow projection, stable order). */
+  def decontaminateQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Lake.documents(spark, dir)
+    decontaminate(docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50))
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
   }
 
   /** Fixed-size token-window chunking with overlap — doc → training-sample

@@ -34,6 +34,40 @@ class CorpusOpsSpec extends SparkSpecBase {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("hot benchmark shingles are capped with an audit; decontaminate drops exactly the leaked docs") {
+    import spark.implicits._
+    // every bench doc shares one boilerplate 5-gram ("answer the question
+    // as follows please"); uncapped, each corpus doc containing it would
+    // join against ALL bench docs
+    val boiler = "answer the question as follows please"
+    val bench = (0L until 30L).map(i =>
+      (i, s"$boiler bench unique ${i} content ${(1 to 10).map(j => s"b${i}_$j").mkString(" ")}"))
+    // corpus doc 100 contains the boilerplate only; 101 genuinely leaks
+    // bench doc 7's unique content; 102+ are clean
+    val corpus = Seq(
+      (100L, s"some preface then $boiler and unrelated tail words here"),
+      (101L, s"bench unique 7 content ${(1 to 10).map(j => s"b7_$j").mkString(" ")} copied verbatim")) ++
+      (102L until 112L).map(i => (i, (1 to 20).map(j => s"c${i}_$j").mkString(" ")))
+    val benchDf = bench.toDF("doc_id", "text")
+    val corpusDf = corpus.toDF("doc_id", "text")
+    // cap of 16 < 30 bench docs: the boilerplate shingles drop, so doc 100
+    // reports nothing and doc 101 pairs only with bench doc 7
+    val contam = CorpusOps.contamination(corpusDf, benchDf, maxBenchDf = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(contam.forall(_._1 == 101L),
+      s"boilerplate-only matches must be capped away, got $contam")
+    assert(contam.contains((101L, 7L)), "the genuine leak must survive the cap")
+    // the cap is auditable, never silent
+    val audit = CorpusOps.hotBenchShingles(benchDf, maxBenchDf = 16).collect()
+    assert(audit.nonEmpty && audit.forall(_.getLong(1) > 16),
+      "audit must list the dropped boilerplate shingles with their bench df")
+    // decontaminate removes exactly the leaked doc, keeps the rest
+    val kept = CorpusOps.decontaminate(corpusDf, benchDf, maxBenchDf = 16)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == corpus.map(_._1).toSet - 101L,
+      s"decontaminate must drop only the leaked doc, kept $kept")
+  }
+
   test("chunking covers every token with the declared window and stride") {
     val docs = Lake.documents(spark, Sf).select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1).split(" ")).toMap
