@@ -90,6 +90,7 @@ object SparkEntry {
     "q_file_stats_orders" -> ((s: SparkSession, d: String) =>
       Maintenance.fileStatsSummary(s, s"$d/orders.parquet", "o_totalprice")),
     "q_incremental_ndv"   -> CatalogOps.incrementalNdv _,
+    "q_incremental_quantiles" -> CatalogOps.incrementalQuantiles _,
     // Training-corpus preparation (§2 items 57–59)
     "q_decontam"          -> ((s: SparkSession, d: String) => CorpusOps.contamination(s, d)),
     "q_decontam_keep"     -> CorpusOps.decontaminateQuery _,
@@ -538,6 +539,16 @@ object SparkEntry {
       """SELECT count(*) AS n_rows, count(DISTINCT text) AS ndv_exact,
         |  true AS ndv_ok
         |FROM documents""".stripMargin,
+    // The engine merges per-batch KLL sketches and rank-checks their
+    // estimates against its own exact CDF; the oracle supplies the exact
+    // quartiles and expects the within-tolerance flag to hold.
+    "q_incremental_quantiles" ->
+      """SELECT count(*) AS n_rows,
+        |  round(quantile_cont(l_extendedprice, 0.25), 4) AS q25,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS q50,
+        |  round(quantile_cont(l_extendedprice, 0.75), 4) AS q75,
+        |  true AS qs_ok
+        |FROM lineitem""".stripMargin,
     // The stub decoder emits feature i = byte[i]/128f; the digest rescales
     // back to the byte code, which for the (all-ASCII) corpus equals the
     // codepoint of character i — reconstructible in ANSI SQL.

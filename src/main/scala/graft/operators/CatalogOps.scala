@@ -196,6 +196,44 @@ object CatalogOps {
         col("ndv_exact") * lit(0.05)).as("ndv_ok"))
   }
 
+  /** Driver-visible incremental-quantiles query, the KLL twin of
+    * [[incrementalNdv]]: sketch lineitem's l_extendedprice in 4
+    * independent batches (as ingest would), merge the per-batch sketches,
+    * and verify the merged estimates land within rank tolerance of the
+    * exact distribution — the "union of batch sketches ≡ rescan" contract
+    * for the quantile half of incremental catalog stats. The emitted
+    * quartiles are the EXACT ones (deterministic, oracle-comparable);
+    * `qs_ok` reports whether each sketch estimate's true rank (one extra
+    * CDF pass) is within ±0.05 of its target — 3× KLL's ≈1.65% rank error
+    * at k=200, so the flag is stable despite KLL's internal randomness. */
+  def incrementalQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val li = Lake.lineitem(spark, dir)
+    val sketches = quantileSketches(
+      li.withColumn("batch", pmod(col("l_orderkey"), lit(4L))),
+      "batch", "l_extendedprice")
+    val est = mergeQuantiles(sketches).select(
+      col("n_rows"),
+      element_at(col("quantiles"), 1).as("e25"),
+      element_at(col("quantiles"), 2).as("e50"),
+      element_at(col("quantiles"), 3).as("e75"))
+    li.select(col("l_extendedprice").as("v"))
+      .crossJoin(broadcast(est))
+      .agg(
+        first(col("n_rows")).as("n_rows"),
+        expr("percentile(v, array(0.25D, 0.5D, 0.75D))").as("qs"),
+        avg(when(col("v") <= col("e25"), 1.0d).otherwise(0.0d)).as("r25"),
+        avg(when(col("v") <= col("e50"), 1.0d).otherwise(0.0d)).as("r50"),
+        avg(when(col("v") <= col("e75"), 1.0d).otherwise(0.0d)).as("r75"))
+      .select(
+        col("n_rows"),
+        round(element_at(col("qs"), 1), 4).as("q25"),
+        round(element_at(col("qs"), 2), 4).as("q50"),
+        round(element_at(col("qs"), 3), 4).as("q75"),
+        (abs(col("r25") - 0.25) <= 0.05 &&
+         abs(col("r50") - 0.50) <= 0.05 &&
+         abs(col("r75") - 0.75) <= 0.05).as("qs_ok"))
+  }
+
   /** File-level metadata: per table, number of files and total bytes, from
     * the filesystem (driver-side listing, O(#files) — at 100 TB this is the
     * catalog's manifest scan, not a data read). */

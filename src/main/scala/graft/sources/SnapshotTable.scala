@@ -122,15 +122,40 @@ object SnapshotTable {
     spark.read.parquet(s"$dir/v=$v")
   }
 
+  /** Schema-evolved time travel: read `version` aligned to the LATEST
+    * committed schema — columns added by newer commits surface as NULL in
+    * older versions (parquet-style additive evolution), so a reader can
+    * scan any version with one uniform schema. Version-exact [[read]]
+    * stays the default; this is the merge-schema path for consumers that
+    * union across versions. */
+  def readEvolved(spark: SparkSession, dir: String,
+                  version: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val latest = read(spark, dir)
+    val old = read(spark, dir, version)
+    val have = old.columns.toSet
+    val aligned = latest.schema.fields.map { f =>
+      if (have(f.name)) col(f.name) else lit(null).cast(f.dataType).as(f.name)
+    }
+    old.select(aligned.toSeq: _*)
+  }
+
   /** Driver-visible time-travel query: commit two versions of the lake's
     * documents table into a scratch snapshot dir (v0 = doc_id < 250,
     * v1 = everything), then aggregate the TIME-TRAVELED v0 — so the result
     * proves the old version stayed intact and readable after a newer
-    * commit. SQL-equivalent: the same aggregate over the v0 predicate. */
+    * commit. SQL-equivalent: the same aggregate over the v0 predicate.
+    *
+    * The scratch location is FIXED per JVM (deleted and rewritten on each
+    * invocation), so repeated Verify/Bench runs never accumulate temp
+    * dirs. */
   def timeTravelQuery(spark: SparkSession, lakeDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft_snap_q").toString + "/tbl"
+    val scratch = new Path(
+      sys.props("java.io.tmpdir"), "graft_snap_q_scratch")
+    val f = fs(spark, scratch.toString)
+    f.delete(scratch, true)
+    val tmp = s"$scratch/tbl"
     val docs = graft.Lake.documents(spark, lakeDir)
     write(spark, tmp, docs.filter(col("doc_id") < 250))
     write(spark, tmp, docs)

@@ -80,5 +80,27 @@ class SnapshotTableSpec extends SparkSpecBase {
       base.withColumn("quality", length(col("text")).cast("double")))
     assert(!SnapshotTable.read(spark, dir, Some(0L)).columns.contains("quality"))
     assert(SnapshotTable.read(spark, dir).columns.contains("quality"))
+    // the merge-schema path: v0 under the latest schema — added column
+    // surfaces as NULL, data and types otherwise intact
+    val evolved = SnapshotTable.readEvolved(spark, dir, Some(0L))
+    assert(evolved.columns.toSeq == SnapshotTable.read(spark, dir).columns.toSeq)
+    assert(evolved.schema("quality").dataType.typeName == "double")
+    assert(evolved.filter(col("quality").isNotNull).count() == 0)
+    assert(evolved.count() == base.count())
+    // and a version-evolved union across commits is well-typed
+    val unioned = evolved.union(SnapshotTable.readEvolved(spark, dir, Some(1L)))
+    assert(unioned.count() == 2 * base.count())
+  }
+
+  test("timeTravelQuery reuses one scratch dir across invocations") {
+    val tmpRoot = new java.io.File(sys.props("java.io.tmpdir"))
+    def snapDirs() = tmpRoot.listFiles()
+      .count(_.getName.startsWith("graft_snap_q"))
+    assert(SnapshotTable.timeTravelQuery(spark, Sf).count() > 0)
+    val after1 = snapDirs()
+    SnapshotTable.timeTravelQuery(spark, Sf).count()
+    SnapshotTable.timeTravelQuery(spark, Sf).count()
+    assert(snapDirs() == after1,
+      "repeated invocations must not accumulate scratch dirs")
   }
 }
