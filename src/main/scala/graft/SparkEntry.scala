@@ -70,6 +70,7 @@ object SparkEntry {
     "q_neardup_pairs"     -> ((s: SparkSession, d: String) => DedupOps.nearDupPairs(s, d)),
     "q_neardup_keep"      -> ((s: SparkSession, d: String) => DedupOps.nearDupClusters(s, d)),
     "q_simhash"           -> ((s: SparkSession, d: String) => DedupOps.simhash(s, d)),
+    "q_simhash_pairs"     -> ((s: SparkSession, d: String) => DedupOps.simhashPairs(s, d)),
     "q_embedding_neardups" -> ((s: SparkSession, d: String) => DedupOps.embeddingNearDups(s, d)),
     // Similarity search / embeddings (§2 items 19–21)
     "q_ann_bruteforce"    -> ((s: SparkSession, d: String) => AnnOps.bruteForce(s, d)),
