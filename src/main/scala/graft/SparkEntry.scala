@@ -86,6 +86,7 @@ object SparkEntry {
     "q_lang_quality"      -> TextOps.langQuality _,
     "q_doc_quality"       -> TextOps.docQuality _,
     "q_fingerprint"       -> TextOps.fingerprint _,
+    "q_quality_rules"     -> ((s: SparkSession, d: String) => TextOps.qualityRules(s, d)),
     // Lake write-side surfaces made driver-visible (§2 items 42, 53, 54)
     "q_snapshot_read"     -> graft.sources.SnapshotTable.timeTravelQuery _,
     "q_file_stats_orders" -> ((s: SparkSession, d: String) =>
@@ -97,6 +98,7 @@ object SparkEntry {
     "q_decontam_keep"     -> CorpusOps.decontaminateQuery _,
     "q_chunks"            -> ((s: SparkSession, d: String) => CorpusOps.chunk(s, d)),
     "q_split_counts"      -> CorpusOps.splitCounts _,
+    "q_stratified_sample" -> CorpusOps.stratifiedSampleQuery _,
     // Multimodal (§2 item 25)
     "q_multimodal_meta"   -> MultimodalOps.multimodalMeta _,
     "q_multimodal_decode" -> ((s: SparkSession, d: String) => MultimodalOps.decodeDigest(s, d)),
@@ -468,6 +470,26 @@ object SparkEntry {
          |      len(list_filter(string_split(text, ' '), t -> t IN ($stopList))) AS n_stop
          |    FROM documents WHERE text IS NOT NULL) u) t
          |ORDER BY doc_id""".stripMargin,
+    // Rule-based quality filter: every ratio is an exact integer division
+    // (bit-identical doubles), so the keep booleans agree across engines.
+    "q_quality_rules" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS tok
+        |           FROM documents WHERE text IS NOT NULL),
+        |m AS (
+        |  SELECT doc_id,
+        |    len(tok) AS n_tokens,
+        |    (SELECT max(c) FROM (SELECT count(*) AS c FROM unnest(tok) AS u(x) GROUP BY x)) * 1.0
+        |      / len(tok) AS top_ratio,
+        |    CASE WHEN len(tok) >= 3 THEN
+        |      1.0 - len(list_distinct(list_transform(range(1, len(tok) - 1),
+        |              i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2]))) * 1.0 / (len(tok) - 2)
+        |    ELSE 0.0 END AS dup3
+        |  FROM t)
+        |SELECT doc_id, n_tokens,
+        |  round(top_ratio, 4) AS top_token_ratio,
+        |  round(dup3, 4) AS dup_trigram_ratio,
+        |  (n_tokens BETWEEN 25 AND 10000 AND top_ratio <= 0.12 AND dup3 <= 0.02) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
     // Decontamination: the oracle brute-forces the 5-gram set intersection
     // (fine in DuckDB at test SF); the engine must broadcast-probe instead.
     "q_decontam" ->
@@ -520,6 +542,14 @@ object SparkEntry {
         |  t[(i*24+1):(i*24+32)][1] AS first_token,
         |  t[(i*24+1):(i*24+32)][-1] AS last_token
         |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
+    // Stratified sampling: the keep decision is plain integer arithmetic
+    // (Lehmer step mod 10000 vs the stratum's basis-point rate), so the
+    // oracle reproduces the exact kept set.
+    "q_stratified_sample" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE ((doc_id * 48271) % 2147483647) % 10000 <
+        |      (cast(substr(source, 4) AS int) % 4 + 1) * 2500
+        |ORDER BY doc_id""".stripMargin,
     // The engine aggregates the TIME-TRAVELED v0 snapshot (doc_id < 250);
     // the oracle states the same facts directly over the source predicate.
     "q_snapshot_read" ->

@@ -140,4 +140,44 @@ object CorpusOps {
     withSplit(Lake.documents(spark, dir))
       .groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
       .orderBy(col("split"))
+
+  /** Stable per-doc sampling bucket in [0, 10000): a Lehmer/MINSTD step
+    * ((id * 48271) mod 2^31−1) reduced mod 10000 — plain integer
+    * arithmetic any engine reproduces exactly, so sampling decisions are
+    * portable and verifiable, unlike `rand()` (re-drawn on task retry →
+    * silent row changes) or `doc_id % N` (correlated with id order).
+    * Ids must stay below 2^63 / 48271 ≈ 1.9·10^14 — comfortably above any
+    * real corpus. */
+  def sampleBucket: org.apache.spark.sql.Column =
+    pmod(col("doc_id") * lit(48271L), lit(2147483647L)) % 10000
+
+  /** Domain mixing / deterministic stratified downsampling: keep each row
+    * of stratum s iff its [[sampleBucket]] < rates(s)·10000 — the
+    * "re-weight sources for training" step of a data pipeline. The rate
+    * table is broadcast (strata counts are tiny by nature); rows of
+    * strata absent from `rates` are dropped. Pure map-side decision: no
+    * shuffle, retry-stable, and the same doc set is kept on ANY cluster
+    * or partitioning. Rates are basis points of 10000, so quarter-percent
+    * granularity is exact in integer space. */
+  def stratifiedSample(docs: DataFrame, rates: Map[String, Double],
+                       strataCol: String = "source"): DataFrame = {
+    require(rates.values.forall(r => r >= 0.0 && r <= 1.0),
+      "sampling rates must be within [0, 1]")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rateRows = rates.toSeq.toDF(strataCol, "__rate")
+    docs.join(broadcast(rateRows), strataCol)
+      .filter(sampleBucket < (col("__rate") * 10000).cast("long"))
+      .drop("__rate")
+  }
+
+  /** Lake-bound driver form: src0–src19 sampled at 25/50/75/100% by
+    * numeric suffix mod 4 — every rate tier exercised, every decision
+    * reproducible by the oracle's integer arithmetic. */
+  def stratifiedSampleQuery(spark: SparkSession, dir: String): DataFrame = {
+    val rates = (0 until 20).map(i => s"src$i" -> ((i % 4 + 1) * 0.25)).toMap
+    stratifiedSample(Lake.documents(spark, dir), rates)
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
 }

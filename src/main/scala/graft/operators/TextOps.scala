@@ -146,6 +146,58 @@ object TextOps {
   def bpeTokenCounts(spark: SparkSession, dir: String): DataFrame =
     bpeTokenCounts(Lake.documents(spark, dir))
 
+  /** Rule-based quality filter (C4/Gopher-style): per doc, the repetition
+    * and length metrics those pipelines gate on, plus the combined `keep`
+    * verdict. Emitted metrics are the ones that vary on real text —
+    * length, top-token concentration, duplicate-trigram ratio; symbol /
+    * digit ratio gates are parameters too (`maxSymbolRatio`,
+    * `maxDigitRatio`) for corpora that need them.
+    *
+    * Shape at scale: trigram metrics are a pure map stage; the top-token
+    * count shuffles per-doc DISTINCT tokens once, partial-aggregated
+    * map-side — never the raw token stream. All ratios are exact integer
+    * divisions (bit-identical across engines, so the booleans are
+    * oracle-stable). */
+  def qualityRules(docs: DataFrame,
+                   minTokens: Int = 25, maxTokens: Int = 10000,
+                   maxTopTokenRatio: Double = 0.12,
+                   maxDupTrigramRatio: Double = 0.02,
+                   maxSymbolRatio: Double = 1.0,
+                   maxDigitRatio: Double = 1.0): DataFrame = {
+    val clean = nonNull(docs)
+    val topTok = clean
+      .select(col("doc_id"), explode(toks).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id")).agg(max(col("cnt")).as("top_cnt"))
+    val grams = shingleCol(3)
+    val metrics = clean.select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      when(size(toks) >= 3,
+        lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams))
+        .otherwise(lit(0.0)).as("dup3"),
+      (length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("double") /
+        length(col("text"))).as("symbol_ratio"),
+      (length(regexp_replace(col("text"), "[^0-9]", "")).cast("double") /
+        length(col("text"))).as("digit_ratio"))
+    metrics.join(topTok, "doc_id")
+      .withColumn("top_ratio", col("top_cnt").cast("double") / col("n_tokens"))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        round(col("top_ratio"), 4).as("top_token_ratio"),
+        round(col("dup3"), 4).as("dup_trigram_ratio"),
+        (col("n_tokens").between(minTokens, maxTokens) &&
+         col("top_ratio") <= maxTopTokenRatio &&
+         col("dup3") <= maxDupTrigramRatio &&
+         col("symbol_ratio") <= maxSymbolRatio &&
+         col("digit_ratio") <= maxDigitRatio).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  def qualityRules(spark: SparkSession, dir: String): DataFrame =
+    qualityRules(Lake.documents(spark, dir))
+
   /** Word n-gram shingles of `text` as an array column (used by dedup and
     * fingerprinting). Docs shorter than `n` tokens shingle to the whole text. */
   def shingleCol(n: Int): Column =

@@ -89,6 +89,26 @@ class CorpusOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("stratified sampling keeps a deterministic per-stratum subset at the target rate") {
+    import spark.implicits._
+    val docs = (0L until 2000L).map(i => (i, s"s${i % 4}", s"text $i"))
+      .toDF("doc_id", "source", "text")
+    val rates = Map("s0" -> 1.0, "s1" -> 0.5, "s2" -> 0.25, "s3" -> 0.0)
+    def keptIds(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      CorpusOps.stratifiedSample(df, rates).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+    val a = keptIds(docs)
+    val b = keptIds(docs.repartition(7)) // layout must not matter
+    assert(a == b, "sampling decisions must be independent of partitioning")
+    val bySrc = docs.filter(col("doc_id").isin(a.toSeq: _*))
+      .groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc.getOrElse("s0", 0L) == 500L, "rate-1.0 stratum must keep every row")
+    assert(!bySrc.contains("s3"), "rate-0 stratum must keep nothing")
+    // hash buckets are uniform: observed fractions track the rates
+    assert(math.abs(bySrc("s1") / 500.0 - 0.5) < 0.08, s"s1 kept ${bySrc("s1")}/500")
+    assert(math.abs(bySrc("s2") / 500.0 - 0.25) < 0.08, s"s2 kept ${bySrc("s2")}/500")
+  }
+
   test("splits are deterministic, partitioning-independent, and complete") {
     val docs = Lake.documents(spark, Sf)
     def assignments(df: org.apache.spark.sql.DataFrame): Map[Long, String] =

@@ -70,10 +70,12 @@ class PlanShapeSpec extends SparkSpecBase {
     // intended bounded-broadcast nested loops: q_term_stats (one-row
     // corpus count), q_ann_ivf (16 centroid rows against the corpus for
     // cell assignment), q_ann_bruteforce (8 query rows), q_incremental_ndv
-    // (one-row merged estimate × one-row exact NDV)
+    // (one-row merged estimate × one-row exact NDV),
+    // q_incremental_quantiles (one-row merged sketch estimates × the
+    // rank-check scan)
     val intendedBnlj =
       Set("q_cross_join", "q_ann_bruteforce", "q_term_stats", "q_ann_ivf",
-        "q_incremental_ndv")
+        "q_incremental_ndv", "q_incremental_quantiles")
     for ((name, fn) <- SparkEntry.queries) {
       val plan = planOf(fn(spark, Sf))
       if (!intendedProducts(name))
