@@ -93,6 +93,7 @@ object SparkEntry {
       Maintenance.fileStatsSummary(s, s"$d/orders.parquet", "o_totalprice")),
     "q_incremental_ndv"   -> CatalogOps.incrementalNdv _,
     "q_incremental_quantiles" -> CatalogOps.incrementalQuantiles _,
+    "q_heavy_hitters"     -> ((s: SparkSession, d: String) => CatalogOps.heavyHitters(s, d)),
     // Training-corpus preparation (§2 items 57–59)
     "q_decontam"          -> ((s: SparkSession, d: String) => CorpusOps.contamination(s, d)),
     "q_decontam_keep"     -> CorpusOps.decontaminateQuery _,
@@ -570,6 +571,16 @@ object SparkEntry {
       """SELECT count(*) AS n_rows, count(DISTINCT text) AS ndv_exact,
         |  true AS ndv_ok
         |FROM documents""".stripMargin,
+    // The engine merges per-batch Misra-Gries sketches; with the corpus
+    // vocabulary far inside the sketch map the estimates are exact, so
+    // the oracle is the plain exact top-k.
+    "q_heavy_hitters" ->
+      """SELECT token, est_count FROM (
+        |  SELECT token, count(*) AS est_count
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS token
+        |        FROM documents WHERE text IS NOT NULL) u
+        |  GROUP BY token) t
+        |ORDER BY est_count DESC, token LIMIT 10""".stripMargin,
     // The engine merges per-batch KLL sketches and rank-checks their
     // estimates against its own exact CDF; the oracle supplies the exact
     // quartiles and expects the within-tolerance flag to hold.

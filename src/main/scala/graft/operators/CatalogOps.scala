@@ -196,6 +196,37 @@ object CatalogOps {
         col("ndv_exact") * lit(0.05)).as("ndv_ok"))
   }
 
+  /** Mergeable frequent-items statistics: one Misra-Gries sketch binary
+    * per group — the "top values" third leg of incremental catalog stats
+    * (HLL counts distinct, KLL ranks, this one names the heavy hitters).
+    * Same contract: sketch each batch once, merge forever. */
+  def freqSketches(df: DataFrame, groupCol: String, valueCol: String,
+                   maxMapSize: Int = graft.functions.FreqFunctions.DefaultMapSize): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(
+        graft.functions.FreqFunctions.freqSketchAgg(col(valueCol), maxMapSize).as("freq_sketch"),
+        count(lit(1)).as("n_rows"))
+
+  /** Driver-visible heavy-hitters query: sketch the token stream in 4
+    * batches, merge, and report the top `k` tokens with their estimated
+    * counts. While the value domain fits the sketch map (any categorical
+    * column; this corpus's vocabulary) the estimates are EXACT, so the
+    * DuckDB oracle is plain GROUP BY / ORDER BY / LIMIT; at 100 TB the
+    * same plan yields bounded-error heavy hitters. */
+  def heavyHitters(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val toks = Lake.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(pmod(col("doc_id"), lit(4L)).as("batch"),
+        explode(split(col("text"), " ")).as("token"))
+    val merged = freqSketches(toks, "batch", "token")
+      .agg(graft.functions.FreqFunctions.freqMergeAgg(col("freq_sketch")).as("sk"))
+    merged
+      .select(explode(graft.functions.FreqFunctions.freqTopItems(col("sk"))).as("f"))
+      .select(col("f.item").as("token"), col("f.est").as("est_count"))
+      .orderBy(col("est_count").desc, col("token"))
+      .limit(k)
+  }
+
   /** Driver-visible incremental-quantiles query, the KLL twin of
     * [[incrementalNdv]]: sketch lineitem's l_extendedprice in 4
     * independent batches (as ingest would), merge the per-batch sketches,

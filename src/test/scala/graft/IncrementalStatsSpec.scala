@@ -65,6 +65,34 @@ class IncrementalStatsSpec extends SparkSpecBase {
     assert(med > 10 && med < 40, s"median l_quantity estimate $med implausible")
   }
 
+  test("per-batch frequent-items sketches merge to exact heavy hitters while the map holds") {
+    import spark.implicits._
+    import graft.functions.FreqFunctions
+    // skewed stream: value v_i appears i*10 times, i = 1..40 (400 distinct-
+    // slot budget of 256 is NOT exceeded: 40 distinct values → exact)
+    val rows = (1 to 40).flatMap(i => Seq.fill(i * 10)((i % 4, s"v$i")))
+    val df = rows.toDF("batch", "value")
+    val merged = CatalogOps.freqSketches(df, "batch", "value")
+      .agg(FreqFunctions.freqMergeAgg(col("freq_sketch")).as("sk"))
+      .select(explode(FreqFunctions.freqTopItems(col("sk"))).as("f"))
+      .select(col("f.item"), col("f.est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (i <- 1 to 40)
+      assert(merged(s"v$i") == i * 10L, s"v$i: ${merged.get(s"v$i")} != ${i * 10}")
+    // overflow regime: 5000 distinct values through a 64-slot map still
+    // surfaces the planted heavy hitter within the documented error bound
+    val noisy = ((1 to 5000).map(i => s"rare$i") ++ Seq.fill(2000)("hot")).toDF("value")
+      .withColumn("batch", lit(1))
+    val hot = CatalogOps.freqSketches(noisy, "batch", "value", maxMapSize = 64)
+      .select(explode(FreqFunctions.freqTopItems(col("freq_sketch"))).as("f"))
+      .select(col("f.item"), col("f.est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = 7000.0
+    assert(hot.contains("hot"), "planted heavy hitter must survive the purges")
+    assert(math.abs(hot("hot") - 2000) <= 3.5 * n / 64,
+      s"estimate ${hot("hot")} outside the Misra-Gries error bound")
+  }
+
   test("per-group sketches estimate group NDVs") {
     val sk = CatalogOps.ndvSketches(Lake.documents(spark, Sf), "lang", "doc_id")
       .withColumn("ndv", hll_sketch_estimate(col("ndv_sketch")))
