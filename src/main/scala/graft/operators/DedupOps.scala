@@ -155,17 +155,24 @@ object DedupOps {
     * collapse into ONE cluster even when A and C share no n-grams, which
     * pair lists alone cannot express.
     *
-    * Algorithm: iterative min-label propagation — each round every node
-    * takes the min of its own label and its neighbors' labels; converges
-    * in O(component diameter) rounds. No external graph dependency, and
-    * each round is one equi-join + one partial-agg group-by over the PAIR
-    * graph (thousands of rows when the corpus is millions — near-dup
-    * graphs are sparse by construction), so the driver-side loop is
-    * orchestrating tiny jobs, not moving data. Labels persist per round
-    * (lineage stays bounded); convergence is an exists-a-change probe,
-    * not a full count. `maxIters` bounds pathological chain topologies;
-    * real duplicate clusters are dense (variants of one template) with
-    * diameters of 2–3. */
+    * Algorithm: min-label propagation with pointer jumping — each round
+    * every node takes the min of its own label, its neighbors' labels,
+    * AND its current label's label (path compression), so convergence is
+    * O(log diameter) rounds, not O(diameter): a 20-link variant chain
+    * resolves in ~5 rounds. No external graph dependency; each round is
+    * two equi-joins + one partial-agg group-by over the PAIR graph
+    * (thousands of rows when the corpus is millions — near-dup graphs are
+    * sparse by construction), so the driver-side loop orchestrates tiny
+    * jobs, not data movement.
+    *
+    * Iterative-DataFrame discipline: every round ends in an EAGER
+    * `localCheckpoint`, truncating the logical plan to the materialized
+    * partitions. Without it the self-referential lineage doubles each
+    * round and Catalyst analysis time grows exponentially — caching alone
+    * does not help, because cache substitution happens *after* the
+    * ever-growing plan is analyzed. (On a multi-node cluster prefer
+    * `checkpoint()` with a reliable dir: localCheckpoint trades executor-
+    * loss recovery for speed.) `maxIters` bounds adversarial topologies. */
   def nearDupClusters(docs: DataFrame, threshold: Double = 0.6,
                       maxIters: Int = 20): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -177,7 +184,7 @@ object DedupOps {
     var labels = edges.select(col("src").as("doc_id"))
       .distinct()
       .withColumn("keeper", col("doc_id"))
-      .persist(MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var iter = 0
     var done = false
     while (!done && iter < maxIters) {
@@ -185,16 +192,22 @@ object DedupOps {
         .join(labels.select(col("doc_id").as("src"), col("keeper")), "src")
         .groupBy(col("dst")).agg(min(col("keeper")).as("nbr_min"))
         .select(col("dst").as("doc_id"), col("nbr_min"))
-      val next = labels.as("l")
+      val oneHop = labels.as("l")
         .join(nbrMin.as("p"), Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("keeper"), coalesce(col("nbr_min"), col("keeper"))).as("keeper"))
-        .persist(MEMORY_AND_DISK)
+        .localCheckpoint(true)
+      // pointer jump: keeper := min(keeper, keeper's keeper). Every label
+      // IS a node id, so the lookup join always matches.
+      val next = oneHop.as("a")
+        .join(oneHop.select(col("doc_id").as("k"), col("keeper").as("kk")).as("b"),
+          col("a.keeper") === col("k"))
+        .select(col("doc_id"), least(col("keeper"), col("kk")).as("keeper"))
+        .localCheckpoint(true)
       val changed = next.as("n")
         .join(labels.as("o"), Seq("doc_id"))
         .filter(col("n.keeper") =!= col("o.keeper"))
         .limit(1).count()
-      labels.unpersist()
       labels = next
       done = changed == 0L
       iter += 1
