@@ -35,6 +35,7 @@ object SparkEntry {
     "q_set_ops"           -> Relational.setOps _,
     "q_rollup_orders"     -> Relational.rollupOrders _,
     "q_cube_orders"       -> Relational.cubeOrders _,
+    "q_grouping_sets"     -> Relational.groupingSetsOrders _,
     "q_window_dist"       -> Relational.windowDistribution _,
     "q_histogram_orders"  -> ((s: SparkSession, d: String) => Relational.histogramOrders(s, d)),
     "q_cross_join"        -> Relational.crossJoinRegions _,
@@ -202,6 +203,12 @@ object SparkEntry {
     "q_cube_orders" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        |  round(cast(sum(cast(o_totalprice AS decimal(18,2))) AS double), 2) AS total_revenue
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), (o_orderpriority))
         |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
     "q_window_dist" ->
       """SELECT o_orderkey, o_orderstatus,

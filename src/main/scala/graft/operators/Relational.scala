@@ -199,6 +199,23 @@ object Relational {
       .agg(count(lit(1)).as("n_orders"))
       .orderBy(col("o_orderstatus"), col("o_orderpriority"))
 
+  /** Arbitrary GROUPING SETS — the general form ROLLUP/CUBE specialize:
+    * per-(status,priority), per-status, and per-priority aggregates in
+    * ONE Expand-based pass (one shuffle), where three separate group-bys
+    * would scan and shuffle three times. */
+  def groupingSetsOrders(spark: SparkSession, dir: String): DataFrame =
+    Lake.orders(spark, dir)
+      .groupingSets(
+        Seq(
+          Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderstatus")),
+          Seq(col("o_orderpriority"))),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(sum(m(col("o_totalprice"))).cast("double"), 2).as("total_revenue"))
+      .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+
   /** Distribution windows: quartile bucket (ntile) and percent_rank of
     * each order within its status group. */
   def windowDistribution(spark: SparkSession, dir: String): DataFrame = {

@@ -38,20 +38,23 @@ object SnapshotTable {
   private def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Highest committed version, or None for an empty table. */
-  def latestVersion(spark: SparkSession, dir: String): Option[Long] = {
+  /** All committed versions, ascending (empty for an empty table). */
+  def versions(spark: SparkSession, dir: String): Seq[Long] = {
     val f = fs(spark, dir)
     val p = new Path(dir)
-    if (!f.exists(p)) return None
+    if (!f.exists(p)) return Seq.empty
     // only all-digit suffixes count — a stray `_commit_foo.tmp` must not
     // make the whole table unreadable with NumberFormatException
-    val versions = f.listStatus(p).iterator.map(_.getPath.getName)
+    f.listStatus(p).iterator.map(_.getPath.getName)
       .filter(_.startsWith(MarkerPrefix))
       .map(_.stripPrefix(MarkerPrefix))
       .filter(s => s.nonEmpty && s.forall(_.isDigit))
-      .map(_.toLong)
-    if (versions.isEmpty) None else Some(versions.max)
+      .map(_.toLong).toSeq.sorted
   }
+
+  /** Highest committed version, or None for an empty table. */
+  def latestVersion(spark: SparkSession, dir: String): Option[Long] =
+    versions(spark, dir).lastOption
 
   /** Smallest version number no commit or claim has used yet. */
   private def nextFree(f: org.apache.hadoop.fs.FileSystem, base: Path): Long = {

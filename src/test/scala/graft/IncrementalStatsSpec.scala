@@ -93,6 +93,41 @@ class IncrementalStatsSpec extends SparkSpecBase {
       s"estimate ${hot("hot")} outside the Misra-Gries error bound")
   }
 
+  test("snapshot-table stats sidecar refreshes incrementally and profiles without rescans") {
+    import graft.operators.IncrementalTableStats
+    import graft.sources.SnapshotTable
+    val root = java.nio.file.Files.createTempDirectory("graft_inc_stats").toString
+    val tableDir = s"$root/tbl"; val statsDir = s"$root/stats"
+    val docs = Lake.documents(spark, Sf)
+
+    SnapshotTable.write(spark, tableDir, docs.filter("doc_id < 200"))
+    val first = IncrementalTableStats.refresh(spark, tableDir, statsDir, "source", "n_chars")
+    assert(first == Seq(0L), s"first refresh must sketch v0, got $first")
+
+    SnapshotTable.write(spark, tableDir, docs.filter("doc_id >= 200"))
+    val second = IncrementalTableStats.refresh(spark, tableDir, statsDir, "source", "n_chars")
+    assert(second == Seq(1L), s"second refresh must sketch ONLY the new v1, got $second")
+    assert(IncrementalTableStats.refresh(spark, tableDir, statsDir, "source", "n_chars").isEmpty,
+      "an up-to-date sidecar must refresh nothing")
+
+    val p = IncrementalTableStats.profile(spark, statsDir).collect()(0)
+    assert(p.getLong(0) == docs.count(), "total rows must sum exactly across versions")
+    val exactNdv = docs.select(countDistinct(col("source"))).collect()(0).getLong(0)
+    assert(math.abs(p.getLong(1) - exactNdv).toDouble / exactNdv <= 0.05,
+      s"merged NDV ${p.getLong(1)} vs exact $exactNdv")
+    // merged quantiles sit within KLL rank tolerance of the full data
+    val n = docs.count().toDouble
+    for ((q, t) <- p.getSeq[Double](2).zip(Seq(0.25, 0.5, 0.75))) {
+      val rank = docs.filter(col("n_chars") <= q).count() / n
+      assert(math.abs(rank - t) <= 0.03, s"quantile $t estimate $q at rank $rank")
+    }
+    // top values: exact while the value domain fits the sketch map
+    val top = p.getSeq[org.apache.spark.sql.Row](3).map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactCounts = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(top == exactCounts, s"merged top values $top vs exact $exactCounts")
+  }
+
   test("per-group sketches estimate group NDVs") {
     val sk = CatalogOps.ndvSketches(Lake.documents(spark, Sf), "lang", "doc_id")
       .withColumn("ndv", hll_sketch_estimate(col("ndv_sketch")))
