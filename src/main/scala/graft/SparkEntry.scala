@@ -66,6 +66,7 @@ object SparkEntry {
     "q_events_pivot"      -> EventOps.pivotCounts _,
     "q_events_latest"     -> EventOps.latestState _,
     "q_outer_join"        -> EventOps.viewsVsPurchases _,
+    "q_events_retention"  -> EventOps.retention _,
     // Dedup (§2 items 15–18)
     "q_dedup_exact"       -> DedupOps.dedupExact _,
     "q_neardup_pairs"     -> ((s: SparkSession, d: String) => DedupOps.nearDupPairs(s, d)),
@@ -101,8 +102,10 @@ object SparkEntry {
     "q_chunks"            -> ((s: SparkSession, d: String) => CorpusOps.chunk(s, d)),
     "q_split_counts"      -> CorpusOps.splitCounts _,
     "q_stratified_sample" -> CorpusOps.stratifiedSampleQuery _,
+    "q_packing_plan"      -> ((s: SparkSession, d: String) => CorpusOps.packingPlan(s, d)),
     // Multimodal (§2 item 25)
     "q_multimodal_meta"   -> MultimodalOps.multimodalMeta _,
+    "q_multimodal_frames" -> ((s: SparkSession, d: String) => MultimodalOps.frameSample(s, d)),
     "q_multimodal_decode" -> ((s: SparkSession, d: String) => MultimodalOps.decodeDigest(s, d)),
   )
 
@@ -299,6 +302,43 @@ object SparkEntry {
         |      WHERE event_type = 'purchase' AND value > 200 GROUP BY user_id) p
         |ON v.user_id = p.user_id
         |ORDER BY uid""".stripMargin,
+    "q_events_retention" ->
+      """WITH f AS (SELECT user_id, date_trunc('day', min(CAST(ts AS timestamp))) AS cohort_day
+        |           FROM events GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, date_trunc('day', CAST(ts AS timestamp)) AS activity_day
+        |      FROM events)
+        |SELECT CAST(f.cohort_day AS timestamp) AS cohort_day,
+        |  date_diff('day', CAST(f.cohort_day AS date), CAST(a.activity_day AS date)) AS day_offset,
+        |  count(DISTINCT a.user_id) AS n_users
+        |FROM a JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Concat-and-chunk packing layout; sequences never cross 100-doc
+    // buckets, so the oracle's window partitions identically.
+    "q_packing_plan" ->
+      """SELECT doc_id, doc_id // 100 AS bucket, n_tokens, start_offset,
+        |  start_offset // 128 AS first_seq,
+        |  (start_offset + n_tokens - 1) // 128 AS last_seq
+        |FROM (
+        |  SELECT doc_id,
+        |    len(string_split(text, ' ')) AS n_tokens,
+        |    coalesce(sum(len(string_split(text, ' '))) OVER (
+        |      PARTITION BY doc_id // 100 ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+        |  FROM documents WHERE text IS NOT NULL) t
+        |ORDER BY doc_id""".stripMargin,
+    // Frame sampling: stride-16 byte offsets, 8-byte frames, hex digests
+    // over the same payload bytes (encode(text)). DuckDB cannot slice a
+    // BLOB directly, but slicing its hex string (2 chars per byte) is the
+    // same digest.
+    "q_multimodal_frames" ->
+      """WITH p AS (SELECT doc_id, hex(encode(text)) AS payload_hex
+        |           FROM documents WHERE text IS NOT NULL),
+        |f AS (SELECT doc_id, payload_hex,
+        |        unnest(range(0, (len(payload_hex) // 2 - 8) // 16 + 1)) AS frame_idx
+        |      FROM p WHERE len(payload_hex) >= 16)
+        |SELECT doc_id, frame_idx, frame_idx * 16 AS byte_offset,
+        |  substr(payload_hex, cast(frame_idx * 32 + 1 AS int), 16) AS frame_hex
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
     "q_quantiles_lineitem" ->
       ("SELECT * FROM (" +
         Seq("l_quantity", "l_extendedprice", "l_discount").map { c =>

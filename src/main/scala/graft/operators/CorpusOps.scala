@@ -141,6 +141,39 @@ object CorpusOps {
       .groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
       .orderBy(col("split"))
 
+  /** Sequence-packing plan: where each doc's tokens land when the corpus
+    * is concatenated in doc order and cut into fixed `seqLen` training
+    * sequences — per doc, its start offset in the packed stream and the
+    * first/last sequence it spans (the concat-and-chunk layout GPT-style
+    * pretraining uses; docs cross sequence boundaries rather than pad).
+    *
+    * Scale shape: a GLOBAL prefix sum is inherently sequential, so the
+    * stream is sharded into `bucketSize`-doc buckets and sequences never
+    * cross bucket boundaries — the window partitions by bucket and runs
+    * fully parallel, at the cost of one partial sequence per bucket
+    * (negligible padding at any real bucket size). */
+  def packingPlan(docs: DataFrame, seqLen: Int = 128,
+                  bucketSize: Int = 100): DataFrame = {
+    require(seqLen > 0 && bucketSize > 0, "seqLen and bucketSize must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        // integer `div`, not double `/`: exact at any stream length
+        expr(s"doc_id div $bucketSize").as("bucket"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("start_offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(
+        col("doc_id"), col("bucket"), col("n_tokens"), col("start_offset"),
+        expr(s"start_offset div $seqLen").as("first_seq"),
+        expr(s"(start_offset + n_tokens - 1) div $seqLen").as("last_seq"))
+      .orderBy(col("doc_id"))
+  }
+
+  def packingPlan(spark: SparkSession, dir: String): DataFrame =
+    packingPlan(Lake.documents(spark, dir))
+
   /** Stable per-doc sampling bucket in [0, 10000): a Lehmer/MINSTD step
     * ((id * 48271) mod 2^31−1) reduced mod 10000 — plain integer
     * arithmetic any engine reproduces exactly, so sampling decisions are

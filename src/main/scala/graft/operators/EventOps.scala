@@ -90,6 +90,26 @@ object EventOps {
   /** Full outer join of two per-user aggregates (viewers vs purchasers):
     * genuine outer semantics — users appearing on either side only —
     * with null-coalesced counts. */
+  /** Cohort retention: users grouped by first-seen day, counted on every
+    * day they return, by offset from their cohort day. Both aggregations
+    * key on `user_id`, so the two shuffles co-partition; the per-(user,
+    * day) distinct partial-aggregates map-side, so the join input is
+    * bounded by users × active days, not raw events. */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Lake.events(spark, dir)
+    val cohorts = ev.groupBy(col("user_id"))
+      .agg(date_trunc("day", min(col("ts"))).as("cohort_day"))
+    val active = ev
+      .select(col("user_id"), date_trunc("day", col("ts")).as("activity_day"))
+      .distinct()
+    active.join(cohorts, "user_id")
+      .groupBy(col("cohort_day"),
+        datediff(col("activity_day"), col("cohort_day")).cast("long")
+          .as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
   def viewsVsPurchases(spark: SparkSession, dir: String): DataFrame = {
     // high-value events only: the rarity makes the two sides genuinely
     // asymmetric (users on one side but not the other), so the outer join

@@ -76,6 +76,32 @@ object MultimodalOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Fixed-stride frame sampling over the binary payload — the "every Nth
+    * video frame" / "audio window" access pattern as pure byte-range ops:
+    * one row per (doc, frame) with its byte offset and the frame bytes'
+    * hex digest. Codegen'd sequence/substring over the binary column, a
+    * map-only stage; a real decoder would replace the hex digest with the
+    * decoded frame tensor, everything else stays as-is. Payloads shorter
+    * than one frame yield no rows (never a negative-length sequence). */
+  def frameSample(spark: SparkSession, dir: String,
+                  stride: Int = 16, frameLen: Int = 8): DataFrame = {
+    require(stride > 0 && frameLen > 0, "stride and frameLen must be positive")
+    payloads(spark, dir)
+      .select(col("doc_id"), col("payload"),
+        length(col("payload")).as("n_bytes"))
+      .filter(col("n_bytes") >= frameLen)
+      .select(col("doc_id"), col("payload"),
+        posexplode(sequence(lit(0L),
+          floor((col("n_bytes") - frameLen) / stride).cast("long"))))
+      .select(
+        col("doc_id"),
+        col("pos").cast("long").as("frame_idx"),
+        (col("pos") * stride).cast("long").as("byte_offset"),
+        hex(col("payload").substr(
+          (col("pos") * stride + 1).cast("int"), lit(frameLen))).as("frame_hex"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   /** Driver-comparable projection of [[decodeFeatures]]: the float features
     * are rescaled back to their integer byte codes and joined into one
     * sortable string — pandas/DuckDB can hash a string where they cannot
