@@ -59,7 +59,26 @@ object GraftFunctions {
       (es => { arity("kll_merge_agg", 1)(es)
         KllMergeAgg(es.head, KllFunctions.DefaultK).toAggregateExpression() }),
     "kll_quantiles" ->
-      (es => { arity("kll_quantiles", 2)(es); KllQuantiles(es(0), es(1)) }))
+      (es => { arity("kll_quantiles", 2)(es); KllQuantiles(es(0), es(1)) }),
+    // all MinHash permutation minima in one pass (see MinhashSig)
+    "minhash_sig" -> { es0 =>
+      val es = arity("minhash_sig", 2)(es0)
+      val n = es(1).eval() match {
+        case i: Int => i
+        case other => throw new IllegalArgumentException(
+          s"minhash_sig: numPerms must be an integer literal, got $other")
+      }
+      MinhashSig(es.head, n)
+    },
+    // mergeable frequent-items sketches (see graft.functions.FreqSketch)
+    "freq_sketch_agg" ->
+      (es => { arity("freq_sketch_agg", 1)(es)
+        FreqSketchAgg(es.head, FreqFunctions.DefaultMapSize).toAggregateExpression() }),
+    "freq_merge_agg" ->
+      (es => { arity("freq_merge_agg", 1)(es)
+        FreqMergeAgg(es.head, FreqFunctions.DefaultMapSize).toAggregateExpression() }),
+    "freq_top_items" ->
+      (es => { arity("freq_top_items", 1)(es); FreqTopItems(es.head) }))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, builder) =>

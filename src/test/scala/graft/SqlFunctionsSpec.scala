@@ -24,12 +24,29 @@ class SqlFunctionsSpec extends SparkSpecBase {
     }
   }
 
+  test("minhash and frequent-items expressions are SQL-surfaced") {
+    GraftFunctions.register(spark)
+    Lake.documents(spark, Sf).createOrReplaceTempView("docs_t")
+    val sig = spark.sql(
+      """SELECT size(minhash_sig(split(text, ' '), 64)) AS n
+        |FROM docs_t WHERE text IS NOT NULL LIMIT 5""".stripMargin).collect()
+    assert(sig.nonEmpty && sig.forall(_.getInt(0) == 64))
+    val top = spark.sql(
+      """SELECT freq_top_items(freq_merge_agg(s)) AS items FROM (
+        |  SELECT freq_sketch_agg(source) AS s FROM docs_t GROUP BY doc_id % 2)""".stripMargin)
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+    val nDocs = Lake.documents(spark, Sf).count()
+    assert(top.map(_.getLong(1)).sum == nDocs,
+      "merged per-batch counts must cover every doc exactly")
+  }
+
   test("extension class injects the same function set") {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext)
     // builders must construct resolvable expressions
     val names = GraftFunctions.all.map(_._1)
     assert(names == Seq("cosine_similarity", "dot_product_f", "lsh_buckets",
-      "kll_sketch_agg", "kll_merge_agg", "kll_quantiles"))
+      "kll_sketch_agg", "kll_merge_agg", "kll_quantiles",
+      "minhash_sig", "freq_sketch_agg", "freq_merge_agg", "freq_top_items"))
   }
 }
