@@ -96,6 +96,7 @@ object SparkEntry {
     "q_incremental_ndv"   -> CatalogOps.incrementalNdv _,
     "q_incremental_quantiles" -> CatalogOps.incrementalQuantiles _,
     "q_heavy_hitters"     -> ((s: SparkSession, d: String) => CatalogOps.heavyHitters(s, d)),
+    "q_set_overlap"       -> CatalogOps.setOverlap _,
     // Training-corpus preparation (§2 items 57–59)
     "q_decontam"          -> ((s: SparkSession, d: String) => CorpusOps.contamination(s, d)),
     "q_decontam_keep"     -> CorpusOps.decontaminateQuery _,
@@ -618,6 +619,20 @@ object SparkEntry {
       """SELECT count(*) AS n_rows, count(DISTINCT text) AS ndv_exact,
         |  true AS ndv_ok
         |FROM documents""".stripMargin,
+    // The engine answers with theta-sketch set expressions and checks
+    // them against its own exact pass; the oracle supplies the exact
+    // segment cardinalities and expects the within-5% flag to hold.
+    "q_set_overlap" ->
+      """SELECT cast(sum(in_a) AS bigint) AS n_a, cast(sum(in_b) AS bigint) AS n_b,
+        |  cast(sum(greatest(in_a, in_b)) AS bigint) AS n_union,
+        |  cast(sum(in_a * in_b) AS bigint) AS n_inter,
+        |  cast(sum(in_a * (1 - in_b)) AS bigint) AS n_anotb,
+        |  true AS theta_ok
+        |FROM (
+        |  SELECT o_custkey,
+        |    max(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS in_a,
+        |    max(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS in_b
+        |  FROM orders GROUP BY o_custkey) t""".stripMargin,
     // The engine merges per-batch Misra-Gries sketches; with the corpus
     // vocabulary far inside the sketch map the estimates are exact, so
     // the oracle is the plain exact top-k.

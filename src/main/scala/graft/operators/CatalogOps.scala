@@ -207,6 +207,48 @@ object CatalogOps {
         graft.functions.FreqFunctions.freqSketchAgg(col(valueCol), maxMapSize).as("freq_sketch"),
         count(lit(1)).as("n_rows"))
 
+  /** Driver-visible set-expression NDV query (Theta sketches): the
+    * distinct customers ordering in status F, in status O, and their
+    * union / intersection / difference — computed from TWO per-segment
+    * sketches plus set operations, never a re-scan. This is the question
+    * class HLL cannot answer (HLL unions but never intersects). Emitted
+    * counts are the EXACT ones (one co-partitioned group-by pass);
+    * `theta_ok` reports every sketch estimate within 5% of them — below
+    * the sketch's nominal entries the estimates are exactly equal, and at
+    * 100 TB the same plan degrades to published error bounds. */
+  def setOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ThetaFunctions._
+    val o = Lake.orders(spark, dir)
+    val sk = o.agg(
+      thetaSketchAgg(when(col("o_orderstatus") === "F",
+        col("o_custkey").cast("string"))).as("sk_a"),
+      thetaSketchAgg(when(col("o_orderstatus") === "O",
+        col("o_custkey").cast("string"))).as("sk_b"))
+    val est = sk.select(
+      thetaEstimate(col("sk_a")).as("e_a"),
+      thetaEstimate(col("sk_b")).as("e_b"),
+      thetaEstimate(thetaUnion(col("sk_a"), col("sk_b"))).as("e_union"),
+      thetaEstimate(thetaIntersect(col("sk_a"), col("sk_b"))).as("e_inter"),
+      thetaEstimate(thetaAnotB(col("sk_a"), col("sk_b"))).as("e_anotb"))
+    val exact = o.groupBy(col("o_custkey"))
+      .agg(
+        max(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("in_a"),
+        max(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("in_b"))
+      .agg(
+        sum(col("in_a")).as("n_a"),
+        sum(col("in_b")).as("n_b"),
+        sum(greatest(col("in_a"), col("in_b"))).as("n_union"),
+        sum(col("in_a") * col("in_b")).as("n_inter"),
+        sum(col("in_a") * (lit(1L) - col("in_b"))).as("n_anotb"))
+    def ok(e: org.apache.spark.sql.Column, x: org.apache.spark.sql.Column) =
+      abs(e - x) <= x * lit(0.05)
+    exact.crossJoin(broadcast(est)).select(
+      col("n_a"), col("n_b"), col("n_union"), col("n_inter"), col("n_anotb"),
+      (ok(col("e_a"), col("n_a")) && ok(col("e_b"), col("n_b")) &&
+       ok(col("e_union"), col("n_union")) && ok(col("e_inter"), col("n_inter")) &&
+       ok(col("e_anotb"), col("n_anotb"))).as("theta_ok"))
+  }
+
   /** Driver-visible heavy-hitters query: sketch the token stream in 4
     * batches, merge, and report the top `k` tokens with their estimated
     * counts. While the value domain fits the sketch map (any categorical

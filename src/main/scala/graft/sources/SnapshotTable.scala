@@ -168,6 +168,16 @@ object SnapshotTable {
       .orderBy(col("source"))
   }
 
+  /** Compact the latest version into a NEW commit with `targetFiles`
+    * files — small-file hygiene with snapshot isolation: concurrent
+    * readers keep their version until vacuum, and a crash mid-compaction
+    * leaves the table exactly as it was (the claim/marker protocol covers
+    * the rewrite like any other write). Returns the new version. */
+  def compact(spark: SparkSession, dir: String, targetFiles: Int = 4): Long = {
+    require(targetFiles > 0, "targetFiles must be positive")
+    write(spark, dir, read(spark, dir).repartition(targetFiles))
+  }
+
   /** Drop all versions older than the `keepLast` most recent (never the
     * current one — `keepLast` must be ≥ 1). */
   def vacuum(spark: SparkSession, dir: String, keepLast: Int = 1): Seq[Long] = {

@@ -93,6 +93,27 @@ class IncrementalStatsSpec extends SparkSpecBase {
       s"estimate ${hot("hot")} outside the Misra-Gries error bound")
   }
 
+  test("theta sketches answer exact set expressions below nominal entries") {
+    import spark.implicits._
+    import graft.functions.ThetaFunctions._
+    // A = 1..1000, B = 500..1500: |A|=1000, |B|=1001, |A∪B|=1500,
+    // |A∩B|=501, |A\B|=499 — all below the 4096-entry exact threshold
+    val df = ((1 to 1000).map(i => ("a", s"k$i")) ++
+              (500 to 1500).map(i => ("b", s"k$i"))).toDF("side", "k")
+    val sk = df.agg(
+      thetaSketchAgg(when(col("side") === "a", col("k"))).as("sa"),
+      thetaSketchAgg(when(col("side") === "b", col("k"))).as("sb"))
+    val r = sk.select(
+      thetaEstimate(col("sa")).as("a"),
+      thetaEstimate(col("sb")).as("b"),
+      thetaEstimate(thetaUnion(col("sa"), col("sb"))).as("u"),
+      thetaEstimate(thetaIntersect(col("sa"), col("sb"))).as("i"),
+      thetaEstimate(thetaAnotB(col("sa"), col("sb"))).as("d")).collect()(0)
+    assert((r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      == ((1000.0, 1001.0, 1500.0, 501.0, 499.0)),
+      s"exact-regime theta set expressions must be exact, got $r")
+  }
+
   test("snapshot-table stats sidecar refreshes incrementally and profiles without rescans") {
     import graft.operators.IncrementalTableStats
     import graft.sources.SnapshotTable

@@ -92,6 +92,24 @@ class SnapshotTableSpec extends SparkSpecBase {
     assert(unioned.count() == 2 * base.count())
   }
 
+  test("compaction commits a new version with fewer files, data intact") {
+    val dir = Files.createTempDirectory("graft_snap_cpt").toString + "/tbl"
+    val docs = Lake.documents(spark, Sf)
+    SnapshotTable.write(spark, dir, docs.repartition(40))
+    def nFiles(v: Long) = new java.io.File(s"$dir/v=$v")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(nFiles(0) == 40)
+    val v = SnapshotTable.compact(spark, dir, targetFiles = 4)
+    assert(v == 1L && nFiles(1) == 4, s"compaction must rewrite into 4 files")
+    assert(SnapshotTable.read(spark, dir).count() == docs.count())
+    // snapshot isolation: the pre-compaction version is untouched
+    assert(SnapshotTable.read(spark, dir, Some(0L)).count() == docs.count())
+    assert(nFiles(0) == 40)
+    // content identical, not just counts
+    assert(SnapshotTable.read(spark, dir).exceptAll(
+      SnapshotTable.read(spark, dir, Some(0L))).isEmpty)
+  }
+
   test("timeTravelQuery reuses one scratch dir across invocations") {
     val tmpRoot = new java.io.File(sys.props("java.io.tmpdir"))
     def snapDirs() = tmpRoot.listFiles()
