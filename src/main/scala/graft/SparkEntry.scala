@@ -36,6 +36,7 @@ object SparkEntry {
     "q_rollup_orders"     -> Relational.rollupOrders _,
     "q_cube_orders"       -> Relational.cubeOrders _,
     "q_grouping_sets"     -> Relational.groupingSetsOrders _,
+    "q_small_qty_revenue" -> Relational.smallQtyRevenue _,
     "q_window_dist"       -> Relational.windowDistribution _,
     "q_histogram_orders"  -> ((s: SparkSession, d: String) => Relational.histogramOrders(s, d)),
     "q_cross_join"        -> Relational.crossJoinRegions _,
@@ -221,6 +222,16 @@ object SparkEntry {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
         |ORDER BY o_orderkey""".stripMargin,
+    // Q17 shape: the oracle states the correlated average as the same
+    // window; quantities are integers so the threshold is bit-stable.
+    "q_small_qty_revenue" ->
+      """SELECT cast(count(*) AS bigint) AS n_items,
+        |  round(cast(sum(cast(l_extendedprice AS decimal(18,2))) AS double) / 7.0, 2) AS avg_yearly
+        |FROM (
+        |  SELECT l_quantity, l_extendedprice,
+        |    avg(l_quantity) OVER (PARTITION BY l_partkey) AS avg_qty
+        |  FROM lineitem) t
+        |WHERE l_quantity < 0.2 * avg_qty""".stripMargin,
     "q_bpe_tokens" ->
       """SELECT doc_id,
         |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_subwords,

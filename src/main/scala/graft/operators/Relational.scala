@@ -199,6 +199,26 @@ object Relational {
       .agg(count(lit(1)).as("n_orders"))
       .orderBy(col("o_orderstatus"), col("o_orderpriority"))
 
+  /** TPC-H Q17 shape: revenue locked in small-quantity orders — lineitems
+    * under 20% of their part's average quantity. The correlated scalar
+    * subquery ("this part's average") is planned Spark-first as a window
+    * average per part: ONE shuffle keyed on l_partkey, where the naive
+    * self-join formulation scans and shuffles lineitem twice. The filter
+    * threshold is deterministic across engines: quantities are small
+    * integers, so their window sums are exact in double at any
+    * aggregation order. */
+  def smallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_partkey"))
+    Lake.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .withColumn("avg_qty", avg(col("l_quantity")).over(w))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        round(sum(m(col("l_extendedprice"))).cast("double") / 7.0, 2)
+          .as("avg_yearly"))
+  }
+
   /** Arbitrary GROUPING SETS — the general form ROLLUP/CUBE specialize:
     * per-(status,priority), per-status, and per-priority aggregates in
     * ONE Expand-based pass (one shuffle), where three separate group-bys

@@ -1,0 +1,88 @@
+package graft
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.operators.{CorpusOps, DedupOps}
+
+/** Property-based invariants over generated corpora — the guarantees that
+  * must hold for EVERY input shape, not just the lake fixtures:
+  * chunk() tiles exactly, and split/sample decisions are pure per-row
+  * functions (dropping other rows never changes them — the property
+  * `rand()`-based implementations violate under retry or repartition). */
+object GraftProperties extends Properties("graft") {
+
+  override def overrideParameters(p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private lazy val spark = {
+    val s = GraftSession.builder("graft-props", Some("local[4]"), 4)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private val genCorpus: Gen[List[(Long, String)]] = for {
+    n <- Gen.choose(1, 25)
+    lens <- Gen.listOfN(n, Gen.choose(1, 90))
+  } yield lens.zipWithIndex.map { case (len, i) =>
+    (i.toLong, (1 to len).map(j => s"t${(i * 7 + j) % 50}").mkString(" "))
+  }
+
+  property("chunk tiles every doc: dense indices, declared stride, exact count") =
+    forAll(genCorpus) { corpus =>
+      import spark.implicits._
+      val byDoc = CorpusOps.chunk(corpus.toDF("doc_id", "text"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))
+        .groupBy(_._1)
+      corpus.forall { case (id, text) =>
+        val toks = text.split(" ")
+        val cs = byDoc(id).sortBy(_._2)
+        val expected = math.max(1, math.ceil((toks.length - 8) / 24.0).toInt)
+        cs.length == expected &&
+          cs.zipWithIndex.forall { case (c, k) => c._2 == k && c._4 == toks(k * 24) } &&
+          cs.last._5 == toks.last &&
+          cs.forall(c => c._3 > 0 && c._3 <= 32)
+      }
+    }
+
+  private val genIds: Gen[List[Long]] =
+    Gen.choose(2, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0L, 100000L))).map(_.distinct)
+
+  property("split assignment is a pure per-row function (subset-invariant)") =
+    forAll(genIds) { ids =>
+      import spark.implicits._
+      def assign(xs: List[Long]): Map[Long, String] =
+        CorpusOps.withSplit(xs.map(i => (i, s"text $i")).toDF("doc_id", "text"))
+          .select("doc_id", "split").collect()
+          .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val full = assign(ids)
+      val sub = assign(ids.take(ids.length / 2 + 1))
+      sub.forall { case (id, s) => full(id) == s }
+    }
+
+  property("stratified sampling decisions are per-row (subset-invariant)") =
+    forAll(genIds) { ids =>
+      import spark.implicits._
+      val rates = Map("s0" -> 0.5, "s1" -> 0.25)
+      def kept(xs: List[Long]): Set[Long] =
+        CorpusOps.stratifiedSample(
+          xs.map(i => (i, s"s${i % 2}", "x")).toDF("doc_id", "source", "text"), rates)
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+      val full = kept(ids)
+      val half = ids.take(ids.length / 2 + 1)
+      kept(half) == (full intersect half.toSet)
+    }
+
+  property("minhash signatures are deterministic with one min per permutation") =
+    forAll(genCorpus) { corpus =>
+      import spark.implicits._
+      val df = corpus.toDF("doc_id", "text")
+      def sigs = DedupOps.minhashSignatures(df).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val a = sigs
+      a.values.forall(_.length == DedupOps.NumPerms) && sigs == a
+    }
+}
