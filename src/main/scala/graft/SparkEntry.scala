@@ -90,6 +90,7 @@ object SparkEntry {
     "q_doc_quality"       -> TextOps.docQuality _,
     "q_fingerprint"       -> TextOps.fingerprint _,
     "q_quality_rules"     -> ((s: SparkSession, d: String) => TextOps.qualityRules(s, d)),
+    "q_surprisal"         -> TextOps.unigramSurprisal _,
     // Lake write-side surfaces made driver-visible (§2 items 42, 53, 54)
     "q_snapshot_read"     -> graft.sources.SnapshotTable.timeTravelQuery _,
     "q_file_stats_orders" -> ((s: SparkSession, d: String) =>
@@ -530,6 +531,21 @@ object SparkEntry {
          |      len(list_filter(string_split(text, ' '), t -> t IN ($stopList))) AS n_stop
          |    FROM documents WHERE text IS NOT NULL) u) t
          |ORDER BY doc_id""".stripMargin,
+    // Unigram surprisal: per-token -ln p rounds to 6 decimals and sums as
+    // decimal(18,6), so the unordered Spark aggregation and DuckDB's
+    // sequential sum agree bit-for-bit (ln agrees to ~1 ulp, far inside
+    // the rounding).
+    "q_surprisal" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |             FROM documents WHERE text IS NOT NULL),
+        |tf AS (SELECT token, count(*) AS tf FROM tok GROUP BY token),
+        |tot AS (SELECT count(*) * 1.0 AS n FROM tok),
+        |lp AS (SELECT token, cast(round(-ln(tf / n), 6) AS decimal(18,6)) AS neg_logp
+        |       FROM tf, tot)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(cast(sum(neg_logp) AS double) / count(*), 4) AS avg_surprisal
+        |FROM tok JOIN lp USING (token)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Rule-based quality filter: every ratio is an exact integer division
     // (bit-identical doubles), so the keep booleans agree across engines.
     "q_quality_rules" ->

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.Lake
 
@@ -145,6 +146,41 @@ object TextOps {
 
   def bpeTokenCounts(spark: SparkSession, dir: String): DataFrame =
     bpeTokenCounts(Lake.documents(spark, dir))
+
+  /** Unigram surprisal scoring — the language-model-proxy quality signal:
+    * each doc's mean −ln p(token) under the corpus's own unigram
+    * distribution. Rare-word-heavy (or garbled) docs score high, boiler-
+    * plate scores low; the standard cheap stand-in for model-based
+    * perplexity filtering at corpus scale.
+    *
+    * Two shuffles, both partial-aggregated: corpus term frequencies
+    * (keyed token), then tokens re-keyed by doc for the per-doc mean.
+    * Cross-engine determinism: per-token surprisal is rounded to 6
+    * decimals and summed as decimal(18,6) — exact and associative, so
+    * Spark's unordered partial aggregation and the oracle's sequential
+    * sum agree bit-for-bit (raw double sums would not, and ln() itself
+    * agrees across engines to ~1 ulp, far inside the rounding). */
+  def unigramSurprisal(docs: DataFrame): DataFrame = {
+    val tokRows = nonNull(docs).select(col("doc_id"), explode(toks).as("token"))
+    val total = tokRows.select(count(lit(1)).cast("double").as("__n_total"))
+    val logp = tokRows.groupBy(col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .crossJoin(broadcast(total))
+      .select(col("token"),
+        round(-log(col("tf") / col("__n_total")), 6)
+          .cast(DecimalType(18, 6)).as("neg_logp"))
+    tokRows.join(logp, "token")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("neg_logp")).as("total_surprisal"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("total_surprisal").cast("double") / col("n_tokens"), 4)
+          .as("avg_surprisal"))
+      .orderBy(col("doc_id"))
+  }
+
+  def unigramSurprisal(spark: SparkSession, dir: String): DataFrame =
+    unigramSurprisal(Lake.documents(spark, dir))
 
   /** Rule-based quality filter (C4/Gopher-style): per doc, the repetition
     * and length metrics those pipelines gate on, plus the combined `keep`
