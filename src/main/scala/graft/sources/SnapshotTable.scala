@@ -168,6 +168,27 @@ object SnapshotTable {
       .orderBy(col("source"))
   }
 
+  /** MERGE (upsert) by key: rows of `updates` replace same-key rows of
+    * the latest version; new keys append. One left-anti join (updates are
+    * typically small → broadcast) + union, committed as a new version —
+    * copy-on-write merge with full snapshot isolation, the Delta/Iceberg
+    * MERGE INTO reduced to its data plan. Returns the new version. */
+  def merge(spark: SparkSession, dir: String, updates: DataFrame,
+            key: String): Long = {
+    val current = read(spark, dir)
+    require(current.columns.toSeq == updates.columns.toSeq,
+      s"merge schema mismatch: table ${current.columns.toSeq} vs updates ${updates.columns.toSeq}")
+    val kept = current.join(
+      org.apache.spark.sql.functions.broadcast(updates.select(key)), Seq(key), "left_anti")
+    write(spark, dir, kept.unionByName(updates))
+  }
+
+  /** DELETE by predicate: commit a new version without the matching rows
+    * (copy-on-write; the GDPR-style erase). Returns the new version. */
+  def delete(spark: SparkSession, dir: String,
+             predicate: org.apache.spark.sql.Column): Long =
+    write(spark, dir, read(spark, dir).filter(!predicate))
+
   /** Compact the latest version into a NEW commit with `targetFiles`
     * files — small-file hygiene with snapshot isolation: concurrent
     * readers keep their version until vacuum, and a crash mid-compaction

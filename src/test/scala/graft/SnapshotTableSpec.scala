@@ -92,6 +92,60 @@ class SnapshotTableSpec extends SparkSpecBase {
     assert(unioned.count() == 2 * base.count())
   }
 
+  test("merge upserts by key and delete erases by predicate, both copy-on-write") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_snap_merge").toString + "/tbl"
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "name", "score")
+    SnapshotTable.write(spark, dir, base)
+    // update id=2, insert id=4
+    val updates = Seq((2L, "b2", 25.0), (4L, "d", 40.0)).toDF("id", "name", "score")
+    val v1 = SnapshotTable.merge(spark, dir, updates, "id")
+    assert(v1 == 1L)
+    val after = SnapshotTable.read(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    assert(after == Map(1L -> ("a", 10.0), 2L -> ("b2", 25.0),
+      3L -> ("c", 30.0), 4L -> ("d", 40.0)))
+    // snapshot isolation: v0 still has the pre-merge rows
+    assert(SnapshotTable.read(spark, dir, Some(0L)).count() == 3)
+    // schema drift is rejected, not silently merged
+    intercept[IllegalArgumentException](
+      SnapshotTable.merge(spark, dir, updates.withColumnRenamed("score", "s"), "id"))
+    // delete id <= 1: new version without it, old versions intact
+    val v2 = SnapshotTable.delete(spark, dir, col("id") <= 1)
+    assert(v2 == 2L)
+    assert(SnapshotTable.read(spark, dir).select("id").collect()
+      .map(_.getLong(0)).toSet == Set(2L, 3L, 4L))
+    assert(SnapshotTable.read(spark, dir, Some(1L)).count() == 4)
+  }
+
+  test("streaming micro-batches upsert into a snapshot table via foreachBatch") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = Files.createTempDirectory("graft_snap_stream").toString + "/tbl"
+    SnapshotTable.write(spark, dir,
+      Seq((0L, 0.0)).toDF("id", "score"))
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Double)]
+    val q = input.toDF().toDF("id", "score")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) SnapshotTable.merge(spark, dir, batch, "id"): Unit
+      }
+      .start()
+    input.addData((1L, 1.0), (2L, 2.0))
+    q.processAllAvailable()
+    input.addData((2L, 22.0), (3L, 3.0)) // second batch updates id=2
+    q.processAllAvailable()
+    q.stop()
+    val finalRows = SnapshotTable.read(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(finalRows == Map(0L -> 0.0, 1L -> 1.0, 2L -> 22.0, 3L -> 3.0),
+      s"streamed upserts must land with last-write-wins per key, got $finalRows")
+    // each non-empty micro-batch committed its own version
+    assert(SnapshotTable.versions(spark, dir).length >= 2)
+  }
+
   test("compaction commits a new version with fewer files, data intact") {
     val dir = Files.createTempDirectory("graft_snap_cpt").toString + "/tbl"
     val docs = Lake.documents(spark, Sf)
