@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+import graft.operators._
+
+/** The cohesive user-facing handle over one lake directory — the facade a
+  * caller of a data-lake/catalog API actually holds, delegating to the
+  * operator modules so the library surface reads as one API:
+  *
+  * {{{
+  * val lake = DataLake(spark, "s3://bucket/lake")
+  * lake.tables.show()
+  * lake.profile("lineitem", Seq("l_quantity"))
+  * lake.nearDupPairs().show()
+  * val clean = lake.cleanCorpus()   // dedup → decontaminate → quality
+  * }}}
+  *
+  * Every method returns a plain DataFrame (or a version number for
+  * write-side calls), so results compose with arbitrary Spark code.
+  */
+final case class DataLake(spark: SparkSession, dir: String) {
+
+  // ---- catalog ----
+  def tables: DataFrame = CatalogOps.catalogTables(spark, dir)
+  def schema: DataFrame = CatalogOps.catalogSchema(spark, dir)
+  def profile(table: String, columns: Seq[String], exactNdv: Boolean = true): DataFrame =
+    CatalogOps.profile(spark, dir, table, columns, exactNdv)
+  def quantiles(table: String, columns: Seq[String], exact: Boolean = true): DataFrame =
+    CatalogOps.quantiles(spark, dir, table, columns, exact)
+  def fileMetadata: DataFrame = CatalogOps.fileMetadata(spark, dir)
+
+  // ---- raw tables ----
+  def table(name: String): DataFrame = Lake.table(spark, dir, name)
+  def documents: DataFrame = Lake.documents(spark, dir)
+  def embeddings: DataFrame = Lake.embeddings(spark, dir)
+
+  // ---- dedup / similarity ----
+  def dedupExact(): DataFrame = DedupOps.dedupExact(spark, dir)
+  def nearDupPairs(threshold: Double = 0.6): DataFrame =
+    DedupOps.nearDupPairs(documents, threshold)
+  def nearDupClusters(threshold: Double = 0.6): DataFrame =
+    DedupOps.nearDupClusters(documents, threshold)
+  def dedupNear(threshold: Double = 0.6): DataFrame =
+    DedupOps.dedupNear(documents, threshold)
+  def annSearch(k: Int = 5): DataFrame = AnnOps.lsh(spark, dir)
+
+  // ---- corpus preparation ----
+  def decontaminate(bench: DataFrame, minShared: Int = 1): DataFrame =
+    CorpusOps.decontaminate(documents, bench, minShared)
+  def chunk(chunkSize: Int = 32, overlap: Int = 8): DataFrame =
+    CorpusOps.chunk(documents, chunkSize, overlap)
+  def withSplit(trainPct: Int = 90, valPct: Int = 5): DataFrame =
+    CorpusOps.withSplit(documents, trainPct, valPct)
+  def stratifiedSample(rates: Map[String, Double]): DataFrame =
+    CorpusOps.stratifiedSample(documents, rates)
+  def qualityRules(): DataFrame = TextOps.qualityRules(documents)
+  def surprisal(): DataFrame = TextOps.unigramSurprisal(documents)
+
+  /** The end-to-end corpus cleaning a training pipeline runs: exact-dup
+    * removal (keepers only) → near-dup cluster removal → quality-rule
+    * filter. Each stage is a left-anti/semi join against a SMALL id set,
+    * so the corpus streams through once per stage with no wide shuffle. */
+  def cleanCorpus(threshold: Double = 0.6): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val docs = documents.filter(col("text").isNotNull)
+    val exactKeepers = DedupOps.dedupExact(docs)
+      .select(col("keeper").as("doc_id"))
+    val afterExact = docs.join(exactKeepers, Seq("doc_id"), "left_semi")
+    val afterNear = DedupOps.dedupNear(afterExact, threshold)
+    val lowQuality = TextOps.qualityRules(afterNear)
+      .filter(!col("keep")).select(col("doc_id"))
+    afterNear.join(lowQuality, Seq("doc_id"), "left_anti")
+  }
+}

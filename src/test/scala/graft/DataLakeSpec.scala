@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The facade delegates faithfully and the end-to-end corpus clean
+  * composes its stages in the documented order. */
+class DataLakeSpec extends SparkSpecBase {
+
+  private lazy val lake = DataLake(spark, Sf)
+
+  test("facade delegates match the operator modules") {
+    assert(lake.tables.collect().map(_.getString(0)).toSeq == Lake.tableNames.sorted)
+    assert(lake.dedupExact().count() ==
+      graft.operators.DedupOps.dedupExact(spark, Sf).count())
+    assert(lake.qualityRules().columns.contains("keep"))
+  }
+
+  test("cleanCorpus drops exact dups, near dups, and low-quality docs") {
+    val docs = lake.documents.filter(col("text").isNotNull)
+    val cleaned = lake.cleanCorpus()
+    assert(cleaned.count() > 0 && cleaned.count() <= docs.count())
+    // no near-dup pair survives inside the cleaned corpus
+    val survivors = graft.operators.DedupOps.nearDupPairs(cleaned).count()
+    assert(survivors == 0, s"$survivors near-dup pairs survived cleaning")
+    // every survivor passes the quality rules
+    val bad = graft.operators.TextOps.qualityRules(cleaned)
+      .filter(!col("keep")).count()
+    assert(bad == 0, s"$bad low-quality docs survived cleaning")
+  }
+}
