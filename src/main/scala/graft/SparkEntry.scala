@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 import graft.operators._
 
@@ -91,6 +92,11 @@ object SparkEntry {
     "q_fingerprint"       -> TextOps.fingerprint _,
     "q_quality_rules"     -> ((s: SparkSession, d: String) => TextOps.qualityRules(s, d)),
     "q_surprisal"         -> TextOps.unigramSurprisal _,
+    // Full composed pipeline: exact dedup → near-dup clusters → quality
+    "q_clean_corpus"      -> ((s: SparkSession, d: String) =>
+      graft.DataLake(s, d).cleanCorpus()
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))),
     // Lake write-side surfaces made driver-visible (§2 items 42, 53, 54)
     "q_snapshot_read"     -> graft.sources.SnapshotTable.timeTravelQuery _,
     "q_file_stats_orders" -> ((s: SparkSession, d: String) =>
@@ -428,6 +434,52 @@ object SparkEntry {
         |WHERE a.doc_id < b.doc_id
         |  AND len(list_intersect(a.s, b.s)) * 1.0 / len(list_distinct(a.s || b.s)) >= 0.6
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // The composed cleaning pipeline, re-stated stage by stage in SQL:
+    // sha256 keepers → brute-force Jaccard pairs on the deduped corpus →
+    // recursive-CTE clusters → losers dropped → quality rules applied.
+    "q_clean_corpus" ->
+      """WITH RECURSIVE
+        |nn AS (SELECT * FROM documents WHERE text IS NOT NULL),
+        |keepers AS (SELECT min(doc_id) AS doc_id FROM nn GROUP BY sha256(text)),
+        |ae AS (SELECT nn.* FROM nn JOIN keepers USING (doc_id)),
+        |tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM ae),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) >= 3
+        |      THEN list_distinct(list_transform(range(1, len(t) - 1),
+        |             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        |      ELSE [array_to_string(t, ' ')] END AS s
+        |  FROM tok),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a, sh b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND len(list_intersect(a.s, b.s)) * 1.0 / len(list_distinct(a.s || b.s)) >= 0.6),
+        |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+        |      UNION ALL SELECT doc_b, doc_a FROM p),
+        |r AS (
+        |  SELECT DISTINCT src AS doc_id, src AS reach FROM e
+        |  UNION
+        |  SELECT r.doc_id, e.dst FROM r JOIN e ON r.reach = e.src
+        |),
+        |losers AS (
+        |  SELECT doc_id FROM (SELECT doc_id, min(reach) AS keeper FROM r GROUP BY doc_id) c
+        |  WHERE doc_id <> keeper),
+        |an AS (SELECT * FROM ae WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+        |qt AS (SELECT doc_id, source, string_split(text, ' ') AS tok FROM an),
+        |qm AS (
+        |  SELECT doc_id, source,
+        |    len(tok) AS n_tokens,
+        |    (SELECT max(c) FROM (SELECT count(*) AS c FROM unnest(tok) AS u(x) GROUP BY x)) * 1.0
+        |      / len(tok) AS top_ratio,
+        |    CASE WHEN len(tok) >= 3 THEN
+        |      1.0 - len(list_distinct(list_transform(range(1, len(tok) - 1),
+        |              i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2]))) * 1.0 / (len(tok) - 2)
+        |    ELSE 0.0 END AS dup3
+        |  FROM qt)
+        |SELECT doc_id, source FROM qm
+        |WHERE n_tokens BETWEEN 25 AND 10000 AND top_ratio <= 0.12 AND dup3 <= 0.02
+        |ORDER BY doc_id""".stripMargin,
     // Connected components over the verified near-dup pair graph: the
     // oracle brute-forces the pairs, then computes the transitive closure
     // with a recursive CTE and takes each node's reachable minimum.
