@@ -63,11 +63,17 @@ final case class DataLake(spark: SparkSession, dir: String) {
     * so the corpus streams through once per stage with no wide shuffle. */
   def cleanCorpus(threshold: Double = 0.6): DataFrame = {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val docs = documents.filter(col("text").isNotNull)
     val exactKeepers = DedupOps.dedupExact(docs)
       .select(col("keeper").as("doc_id"))
+    // each working corpus feeds several downstream scans (signature pass,
+    // verify pass, quality metrics, the final anti join) — persist so the
+    // sha256 group-by / cluster loop run once, not per consumer
     val afterExact = docs.join(exactKeepers, Seq("doc_id"), "left_semi")
+      .persist(MEMORY_AND_DISK)
     val afterNear = DedupOps.dedupNear(afterExact, threshold)
+      .persist(MEMORY_AND_DISK)
     val lowQuality = TextOps.qualityRules(afterNear)
       .filter(!col("keep")).select(col("doc_id"))
     afterNear.join(lowQuality, Seq("doc_id"), "left_anti")

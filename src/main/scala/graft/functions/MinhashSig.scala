@@ -103,3 +103,68 @@ object MinhashSig {
   def signature(shingles: Column, numPerms: Int): Column =
     Bridge.column(MinhashSig(Bridge.expression(shingles), numPerms))
 }
+
+/** All LSH band hashes of a minhash signature in one pass:
+  * `array<long>` signature → `array<long>` of `bands` hashes, band b
+  * combining its `rowsPerBand` signature slots via seeded XXH64 chaining
+  * (seed 42 → band id → each slot). One tiny expression instead of a
+  * `bands × rowsPerBand`-wide hash tree — the band stage's generated
+  * code is O(1) in the banding parameters, so Janino compiles in
+  * microseconds where the literal tree took the bulk of the LSH
+  * pipeline's per-plan compile time. */
+case class MinhashBands(child: Expression, bands: Int, rowsPerBand: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<long> input, got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_bands"
+
+  private def compute(sig: ArrayData): GenericArrayData = {
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = XXH64.hashInt(b, 42L)
+      var r = 0
+      while (r < rowsPerBand) {
+        h = XXH64.hashLong(sig.getLong(b * rowsPerBand + r), h)
+        r += 1
+      }
+      out(b) = h
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, sig => {
+      val out = ctx.freshName("out"); val b = ctx.freshName("b")
+      val r = ctx.freshName("r"); val h = ctx.freshName("h")
+      s"""
+         |long[] $out = new long[$bands];
+         |for (int $b = 0; $b < $bands; $b++) {
+         |  long $h = org.apache.spark.sql.catalyst.expressions.XXH64.hashInt($b, 42L);
+         |  for (int $r = 0; $r < $rowsPerBand; $r++) {
+         |    $h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(
+         |      $sig.getLong($b * $rowsPerBand + $r), $h);
+         |  }
+         |  $out[$b] = $h;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinhashBands {
+  def bands(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    Bridge.column(MinhashBands(Bridge.expression(sig), bands, rowsPerBand))
+}

@@ -74,16 +74,14 @@ object DedupOps {
         graft.functions.MinhashSig.signature(
           array_distinct(TextOps.shingleCol(n)), NumPerms).as("sig"))
 
-  /** LSH banding: one row per (doc, band) with the band's combined hash. */
-  def bandedBuckets(sigs: DataFrame): DataFrame = {
-    val bandHashes = (0 until Bands).map { b =>
-      val cols = (0 until RowsPerBand).map(r =>
-        element_at(col("sig"), b * RowsPerBand + r + 1))
-      xxhash64(lit(b) +: cols: _*)
-    }
-    sigs.select(col("doc_id"), posexplode(array(bandHashes: _*)))
+  /** LSH banding: one row per (doc, band) with the band's combined hash —
+    * all band hashes from one codegen'd [[graft.functions.MinhashBands]]
+    * pass (a 32-wide literal hash tree here measurably dominated the
+    * pipeline's per-plan Janino compile time). */
+  def bandedBuckets(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"), posexplode(
+      graft.functions.MinhashBands.bands(col("sig"), Bands, RowsPerBand)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
-  }
 
   /** Near-duplicate pairs: banded-LSH candidates, then exact word-3-gram
     * Jaccard verification at `threshold`. The self-join is equi-keyed on
