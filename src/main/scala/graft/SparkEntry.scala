@@ -80,6 +80,7 @@ object SparkEntry {
     "q_ann_bruteforce"    -> ((s: SparkSession, d: String) => AnnOps.bruteForce(s, d)),
     "q_ann_lsh"           -> ((s: SparkSession, d: String) => AnnOps.lsh(s, d)),
     "q_ann_ivf"           -> ((s: SparkSession, d: String) => AnnOps.ivf(s, d)),
+    "q_ann_filtered"      -> ((s: SparkSession, d: String) => AnnOps.filteredAnn(s, d)),
     "q_embedding_stats"   -> AnnOps.embeddingStats _,
     "q_array_ops"         -> AnnOps.arrayOps _,
     "q_unpivot"           -> Relational.unpivotLineitem _,
@@ -516,6 +517,20 @@ object SparkEntry {
         |      ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC,
         |        c.vec_id) AS rnk
         |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 8) t
+        |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    // Pre-filtered exact vector search: the oracle applies the same
+    // metadata predicate before ranking.
+    "q_ann_filtered" ->
+      """SELECT q_id, neighbor_id, round(sim_raw, 4) AS sim, cast(rnk AS bigint) AS rnk
+        |FROM (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+        |    list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) AS sim_raw,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC,
+        |        c.vec_id) AS rnk
+        |  FROM embeddings q JOIN embeddings c
+        |    ON c.vec_id <> q.vec_id AND c.label IN (0, 1, 2)
         |  WHERE q.vec_id < 8) t
         |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
     "q_embedding_stats" ->

@@ -114,6 +114,33 @@ object AnnOps {
     lsh(emb, defaultQueries(emb, nQueries), k, dim, tables, bits)
   }
 
+  /** Filtered vector search — the metadata-predicate + ANN combination a
+    * retrieval system serves ("nearest docs WHERE label IN …").
+    * PRE-filtering: the predicate prunes the corpus BEFORE scoring, so
+    * top-k is exact over the filtered set; post-filtering k unfiltered
+    * results and hoping enough survive is the classic recall bug this
+    * avoids. The predicate reaches the parquet scan (pushdown), so a
+    * selective filter shrinks the scan itself, not just the scoring. */
+  def filteredBruteForce(corpus: DataFrame, queries: DataFrame,
+                         predicate: Column, k: Int): DataFrame =
+    bruteForce(corpus.filter(predicate), queries, k)
+
+  /** LSH variant of the same: only the filtered corpus is bucketed, so
+    * selective predicates shrink the index, never the recall. */
+  def filteredLsh(corpus: DataFrame, queries: DataFrame, predicate: Column,
+                  k: Int, dim: Int,
+                  tables: Int = DefaultTables,
+                  bits: Int = DefaultBitsPerTable): DataFrame =
+    lsh(corpus.filter(predicate), queries, k, dim, tables, bits)
+
+  /** Lake-bound driver form: neighbors among labels {0,1,2} only. */
+  def filteredAnn(spark: SparkSession, dir: String,
+                  k: Int = 5, nQueries: Int = 8): DataFrame = {
+    val emb = Lake.embeddings(spark, dir)
+    filteredBruteForce(emb, defaultQueries(emb, nQueries),
+      col("label").isin(0, 1, 2), k)
+  }
+
   /** IVF-style ANN: a coarse quantizer (sampled centroids) partitions the
     * corpus; queries probe their `nProbes` nearest centroids and score only
     * those cells with exact cosine. Unlike hyperplane LSH this adapts to

@@ -48,6 +48,29 @@ class AnnSpec extends SparkSpecBase {
     assert(recall >= 0.8, s"LSH recall $recall < 0.8 (per-query: $recalls)")
   }
 
+  test("filtered ANN: every neighbor satisfies the predicate; LSH variant keeps recall") {
+    import org.apache.spark.sql.functions.col
+    val emb = Lake.embeddings(spark, Sf)
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val pred = col("label").isin(0, 1, 2)
+    val allowed = emb.filter(pred).select("vec_id").collect().map(_.getLong(0)).toSet
+    def neighborSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1))
+        .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val exact = neighborSets(AnnOps.filteredBruteForce(emb, queries, pred, k = 5))
+    assert(exact.values.flatten.toSet.subsetOf(allowed),
+      "pre-filtering must never return a neighbor outside the predicate")
+    val approx = neighborSets(
+      AnnOps.filteredLsh(emb, queries, pred, k = 5, dim = 64))
+    assert(approx.values.flatten.toSet.subsetOf(allowed))
+    val recalls = exact.map { case (q, truth) =>
+      (approx.getOrElse(q, Set.empty) & truth).size.toDouble / truth.size
+    }
+    val recall = recalls.sum / recalls.size
+    assert(recall >= 0.7, s"filtered-LSH recall $recall < 0.7")
+  }
+
   test("IVF ANN reaches recall >= 0.6 probing a quarter of the cells") {
     def neighborSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
       df.collect().map(r => r.getLong(0) -> r.getLong(1))
