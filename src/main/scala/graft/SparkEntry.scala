@@ -69,6 +69,7 @@ object SparkEntry {
     "q_events_latest"     -> EventOps.latestState _,
     "q_outer_join"        -> EventOps.viewsVsPurchases _,
     "q_events_retention"  -> EventOps.retention _,
+    "q_event_paths"       -> ((s: SparkSession, d: String) => EventOps.sessionPaths(s, d)),
     // Dedup (§2 items 15–18)
     "q_dedup_exact"       -> DedupOps.dedupExact _,
     "q_neardup_pairs"     -> ((s: SparkSession, d: String) => DedupOps.nearDupPairs(s, d)),
@@ -400,6 +401,26 @@ object SparkEntry {
         |  cast(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS bigint) AS n_purchases
         |FROM s GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+    // Same session assignment as q_events_sessions, then ordered
+    // string_agg per session and a bounded top-k of paths.
+    "q_event_paths" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL 1800 SECOND
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM g
+        |), p AS (
+        |  SELECT string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        |  FROM s GROUP BY user_id, session_id
+        |)
+        |SELECT path, count(*) AS n_sessions FROM p GROUP BY path
+        |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
     "q_events_funnel" ->
       """SELECT user_id FROM (
         |  SELECT user_id,

@@ -90,6 +90,23 @@ object EventOps {
   /** Full outer join of two per-user aggregates (viewers vs purchasers):
     * genuine outer semantics — users appearing on either side only —
     * with null-coalesced counts. */
+  /** Session path analysis: the most common event-type sequences across
+    * sessions — the funnel generalized to arbitrary paths. Events gather
+    * per session via sort_array(collect_list(struct(ts, event_id, type)))
+    * (bare collect_list order is partition-dependent — the classic
+    * nondeterminism bug), then paths aggregate with a bounded top-k.
+    * Two shuffles: sessionize by user, then count by path. */
+  def sessionPaths(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
+    withSessionIds(spark, dir)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(sort_array(collect_list(
+        struct(col("ts"), col("event_id"), col("event_type")))).as("evs"))
+      .select(concat_ws(">", transform(col("evs"), e => e("event_type"))).as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(k)
+
   /** Cohort retention: users grouped by first-seen day, counted on every
     * day they return, by offset from their cohort day. Both aggregations
     * key on `user_id`, so the two shuffles co-partition; the per-(user,
