@@ -76,9 +76,9 @@ class PlanShapeSpec extends SparkSpecBase {
     // ... q_set_overlap (one-row sketch estimates × one-row exact pass),
     // q_surprisal (one-row corpus token total)
     val intendedBnlj =
-      Set("q_cross_join", "q_ann_bruteforce", "q_term_stats", "q_ann_ivf",
-        "q_incremental_ndv", "q_incremental_quantiles", "q_set_overlap",
-        "q_surprisal")
+      Set("q_cross_join", "q_ann_bruteforce", "q_ann_filtered", "q_term_stats",
+        "q_ann_ivf", "q_incremental_ndv", "q_incremental_quantiles",
+        "q_set_overlap", "q_surprisal")
     for ((name, fn) <- SparkEntry.queries) {
       val plan = planOf(fn(spark, Sf))
       if (!intendedProducts(name))
