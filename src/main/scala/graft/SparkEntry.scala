@@ -65,6 +65,7 @@ object SparkEntry {
     "q_events_funnel"     -> EventOps.funnel _,
     "q_events_json"       -> EventOps.jsonProps _,
     "q_events_asof"       -> EventOps.asofLastView _,
+    "q_events_asof_native" -> EventOps.asofLastViewNative _,
     "q_events_pivot"      -> EventOps.pivotCounts _,
     "q_events_latest"     -> EventOps.latestState _,
     "q_outer_join"        -> EventOps.viewsVsPurchases _,
@@ -266,6 +267,18 @@ object SparkEntry {
         |  date_diff('day', CAST(o_orderdate AS date), DATE '1998-12-31') AS days_to_cutoff
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_events_asof" ->
+      """SELECT event_id, user_id, ts, last_view_ts,
+        |  epoch_us(ts) - epoch_us(last_view_ts) AS micros_since_view
+        |FROM (
+        |  SELECT event_id, user_id, CAST(ts AS timestamp) AS ts, event_type,
+        |    max(CASE WHEN event_type = 'view' THEN CAST(ts AS timestamp) END) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view_ts
+        |  FROM events) t
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    // Same semantics as q_events_asof, computed by the native sort-merge
+    // as-of operator — the oracle is identical by design.
+    "q_events_asof_native" ->
       """SELECT event_id, user_id, ts, last_view_ts,
         |  epoch_us(ts) - epoch_us(last_view_ts) AS micros_since_view
         |FROM (

@@ -87,6 +87,28 @@ object EventOps {
       .orderBy(col("event_id"))
   }
 
+  /** The same as-of semantics through the NATIVE sort-merge as-of join
+    * ([[graft.plans.AsofJoin]]): purchases as-of-joined to the latest
+    * preceding view per user. Time key is struct(ts, event_id), so ties
+    * on ts break exactly like the window formulation's (ts, event_id)
+    * ordering. One shuffle per side, one merge pass — at scale this
+    * replaces carrying every payload column through a window sort. */
+  def asofLastViewNative(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Lake.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        struct(col("ts"), col("event_id")).as("tkey"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"),
+        struct(col("ts"), col("event_id")).as("v_tkey"))
+    graft.plans.AsofJoin(purchases, views, "user_id", "v_user", "tkey", "v_tkey")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("view_ts").as("last_view_ts"),
+        (unix_micros(col("ts")) - unix_micros(col("view_ts")))
+          .as("micros_since_view"))
+      .orderBy(col("event_id"))
+  }
+
   /** Full outer join of two per-user aggregates (viewers vs purchasers):
     * genuine outer semantics — users appearing on either side only —
     * with null-coalesced counts. */
