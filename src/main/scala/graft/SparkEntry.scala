@@ -38,6 +38,7 @@ object SparkEntry {
     "q_cube_orders"       -> Relational.cubeOrders _,
     "q_grouping_sets"     -> Relational.groupingSetsOrders _,
     "q_small_qty_revenue" -> Relational.smallQtyRevenue _,
+    "q_interval_overlap"  -> ((s: SparkSession, d: String) => Relational.intervalOverlap(s, d)),
     "q_window_dist"       -> Relational.windowDistribution _,
     "q_histogram_orders"  -> ((s: SparkSession, d: String) => Relational.histogramOrders(s, d)),
     "q_cross_join"        -> Relational.crossJoinRegions _,
@@ -232,6 +233,16 @@ object SparkEntry {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
         |ORDER BY o_orderkey""".stripMargin,
+    // Range join: the oracle brute-forces the BETWEEN; the engine must
+    // not (bucketized equi join, asserted product-free by the plan sweep).
+    "q_interval_overlap" ->
+      """SELECT day, count(*) AS n_open_orders
+        |FROM (SELECT DISTINCT CAST(date_trunc('day', l_shipdate) AS date) AS day
+        |      FROM lineitem) d
+        |JOIN orders o
+        |  ON d.day BETWEEN CAST(o.o_orderdate AS date)
+        |             AND CAST(o.o_orderdate AS date) + 7
+        |GROUP BY day ORDER BY day""".stripMargin,
     // Q17 shape: the oracle states the correlated average as the same
     // window; quantities are integers so the threshold is bit-stable.
     "q_small_qty_revenue" ->

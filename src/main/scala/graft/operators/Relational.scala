@@ -199,6 +199,45 @@ object Relational {
       .agg(count(lit(1)).as("n_orders"))
       .orderBy(col("o_orderstatus"), col("o_orderpriority"))
 
+  /** Bucketized RANGE JOIN: points joined to the intervals containing
+    * them WITHOUT the BroadcastNestedLoopJoin stock Spark plans for
+    * big×big non-equi joins. Intervals explode to the fixed-width
+    * buckets they overlap (bounded fan-out: interval span / bucket + 2),
+    * points land in one bucket, and the join is EQUI on bucket with the
+    * exact BETWEEN as a post-filter — a hash-partitioned shuffle at any
+    * scale. `points` needs a date column `p`, `intervals` date columns
+    * (`lo`, `hi`); output is every (point, interval) containment pair. */
+  def rangeJoin(points: DataFrame, intervals: DataFrame,
+                bucketDays: Int = 8): DataFrame = {
+    require(bucketDays > 0, "bucketDays must be positive")
+    val pb = points.withColumn("__b",
+      expr(s"datediff(p, DATE '1970-01-01') div $bucketDays"))
+    val ib = intervals.withColumn("__b",
+      explode(sequence(
+        expr(s"datediff(lo, DATE '1970-01-01') div $bucketDays"),
+        expr(s"datediff(hi, DATE '1970-01-01') div $bucketDays"))))
+    pb.join(ib, Seq("__b"))
+      .filter(col("p").between(col("lo"), col("hi")))
+      .drop("__b")
+  }
+
+  /** Driver form: for every distinct ship day, how many 7-day order
+    * windows are open — "active intervals per point", the classic range
+    * join that would otherwise be a nested-loop over orders×days. */
+  def intervalOverlap(spark: SparkSession, dir: String,
+                      windowDays: Int = 7): DataFrame = {
+    val days = Lake.lineitem(spark, dir)
+      .select(to_date(col("l_shipdate")).as("p")).distinct()
+    val windows = Lake.orders(spark, dir).select(
+      to_date(col("o_orderdate")).as("lo"),
+      date_add(to_date(col("o_orderdate")), windowDays).as("hi"))
+    rangeJoin(days, windows)
+      .groupBy(col("p").as("day"))
+      .agg(count(lit(1)).as("n_open_orders"))
+      .select(col("day"), col("n_open_orders"))
+      .orderBy(col("day"))
+  }
+
   /** TPC-H Q17 shape: revenue locked in small-quantity orders — lineitems
     * under 20% of their part's average quantity. The correlated scalar
     * subquery ("this part's average") is planned Spark-first as a window
