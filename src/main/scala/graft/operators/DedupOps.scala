@@ -16,7 +16,7 @@ import graft.Lake
   * MinHash signatures are a shuffle-free map stage (per-doc shingle arrays
   * hashed in place); at 100 TB everything scales linearly with corpus size.
   */
-object DedupOps {
+object DedupOps extends org.apache.spark.internal.Logging {
 
   /** Default MinHash parameters: 64 permutations in 32 bands of 2 rows.
     * Detection probability at jaccard j is 1-(1-j^2)^32: ≥ 0.9999 for
@@ -210,6 +210,9 @@ object DedupOps {
       done = changed == 0L
       iter += 1
     }
+    if (!done) logWarning(
+      s"nearDupClusters stopped after $maxIters rounds without converging " +
+        "— an adversarial chain topology; keepers may split one component")
     edges.unpersist()
     labels.orderBy(col("doc_id"))
   }

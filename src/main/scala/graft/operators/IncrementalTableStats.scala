@@ -24,7 +24,9 @@ import graft.sources.SnapshotTable
   */
 object IncrementalTableStats {
 
-  /** Versions that already have a sidecar row. */
+  /** Versions that already have a COMPLETE sidecar row: the `v=N` dir
+    * must carry parquet's `_SUCCESS` commit marker, so a refresh that
+    * crashed mid-write is redone (mode Overwrite), never skipped. */
   def sketchedVersions(spark: SparkSession, statsDir: String): Set[Long] = {
     val p = new Path(statsDir)
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -33,7 +35,9 @@ object IncrementalTableStats {
       .filter(_.startsWith("v="))
       .map(_.stripPrefix("v="))
       .filter(s => s.nonEmpty && s.forall(_.isDigit))
-      .map(_.toLong).toSet
+      .map(_.toLong)
+      .filter(v => f.exists(new Path(p, s"v=$v/_SUCCESS")))
+      .toSet
   }
 
   /** Sketch every committed table version not yet in the sidecar; one
