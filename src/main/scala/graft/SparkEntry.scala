@@ -85,6 +85,7 @@ object SparkEntry {
     "q_ann_ivf"           -> ((s: SparkSession, d: String) => AnnOps.ivf(s, d)),
     "q_ann_filtered"      -> ((s: SparkSession, d: String) => AnnOps.filteredAnn(s, d)),
     "q_embedding_stats"   -> AnnOps.embeddingStats _,
+    "q_label_centroids"   -> AnnOps.labelCentroids _,
     "q_array_ops"         -> AnnOps.arrayOps _,
     "q_unpivot"           -> Relational.unpivotLineitem _,
     // Text analysis (§2 items 22–24)
@@ -583,6 +584,16 @@ object SparkEntry {
         |  round(cast(sum(cast(sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum')) AS decimal(18,8))) AS double) / count(*), 4) AS avg_norm,
         |  round(cast(sum(cast(CAST(embedding[1] AS double) AS decimal(18,8))) AS double) / count(*), 4) AS avg_dim0
         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+    // Per-label elementwise means; the same double → decimal(18,8)
+    // routing as q_embedding_stats keeps float sums order-independent.
+    "q_label_centroids" ->
+      """SELECT label, cast(i - 1 AS bigint) AS dim,
+        |  round(cast(sum(cast(CAST(embedding[i] AS double) AS decimal(18,8))) AS double)
+        |    / count(*), 6) AS mean_comp
+        |FROM (SELECT label, embedding,
+        |        unnest(range(1, len(embedding) + 1)) AS i
+        |      FROM embeddings) t
+        |GROUP BY label, dim ORDER BY label, dim""".stripMargin,
     "q_array_ops" ->
       """SELECT vec_id,
         |  len(embedding) AS dim,

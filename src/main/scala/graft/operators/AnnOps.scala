@@ -114,6 +114,21 @@ object AnnOps {
     lsh(emb, defaultQueries(emb, nQueries), k, dim, tables, bits)
   }
 
+  /** Per-label centroid components — the class-prototype table a
+    * classifier head or ANN warm-start consumes. Elementwise mean via
+    * posexplode + group-by (label, dim): ONE partial-aggregated shuffle
+    * whose width is labels × dims, never vectors. Float components route
+    * double → decimal(18,8) before summing, so the unordered aggregation
+    * is exact and cross-engine stable. */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame =
+    Lake.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")))
+      .groupBy(col("label"), col("pos").cast("long").as("dim"))
+      .agg(round(
+        sum(col("col").cast("double").cast(DecimalType(18, 8))).cast("double")
+          / count(lit(1)), 6).as("mean_comp"))
+      .orderBy(col("label"), col("dim"))
+
   /** Filtered vector search — the metadata-predicate + ANN combination a
     * retrieval system serves ("nearest docs WHERE label IN …").
     * PRE-filtering: the predicate prunes the corpus BEFORE scoring, so
