@@ -25,4 +25,17 @@ object IngestStream {
       .parquet(landingDir)
       .withColumn("content_hash", sha2(col("text"), 256))
       .dropDuplicates("content_hash")
+
+  /** Watermark-BOUNDED streaming dedup: duplicates arriving within
+    * `ttl` of each other collapse, and state for hashes older than the
+    * watermark is evicted — the state-size guarantee the unbounded form
+    * trades away. The right default for high-volume ingest where
+    * duplicates cluster in time (retries, replays, crawler revisits);
+    * keep [[dedupedDocs]] for the authoritative exact-forever set. */
+  def dedupedDocsWithTtl(stream: DataFrame, tsCol: String,
+                         ttl: String = "10 minutes"): DataFrame =
+    stream
+      .withColumn("content_hash", sha2(col("text"), 256))
+      .withWatermark(tsCol, ttl)
+      .dropDuplicatesWithinWatermark("content_hash")
 }
