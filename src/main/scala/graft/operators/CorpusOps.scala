@@ -18,13 +18,6 @@ import graft.Lake
   */
 object CorpusOps {
 
-  /** Benchmark-contamination screen: every (corpus doc, benchmark doc)
-    * pair sharing at least one word-`n`-gram, with the count of shared
-    * distinct n-grams. Training corpora must drop (or at least flag) docs
-    * that leak eval benchmarks; n-gram overlap is the standard screen.
-    * Both sides' shingles are per-doc distinct, so `n_shared` equals the
-    * size of the n-gram set intersection — exactly what the DuckDB oracle
-    * computes by brute force. */
   /** (doc_id, n-gram) pairs for one side of the screen. */
   private def benchShingles(df: DataFrame, idAs: String, n: Int): DataFrame =
     df.filter(col("text").isNotNull)
@@ -54,6 +47,13 @@ object CorpusOps {
       .filter(col("bench_df") > maxBenchDf)
       .orderBy(col("bench_df").desc, col("shingle"))
 
+  /** Benchmark-contamination screen: every (corpus doc, benchmark doc)
+    * pair sharing at least one word-`n`-gram, with the count of shared
+    * distinct n-grams. Training corpora must drop (or at least flag) docs
+    * that leak eval benchmarks; n-gram overlap is the standard screen.
+    * Both sides' shingles are per-doc distinct, so `n_shared` equals the
+    * size of the n-gram set intersection — exactly what the DuckDB oracle
+    * computes by brute force. */
   def contamination(corpus: DataFrame, bench: DataFrame, n: Int = 5,
                     maxBenchDf: Int = 16): DataFrame =
     benchShingles(corpus, "doc_id", n)

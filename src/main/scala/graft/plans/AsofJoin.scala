@@ -119,7 +119,13 @@ case class AsofJoinExec(
                 val ht = rt.eval(head)
                 if (ht == null) { rBuf.next(); () }
                 else if (timeOrd.compare(ht.asInstanceOf[AnyRef], t.asInstanceOf[AnyRef]) <= 0) {
-                  lastMatch = rBuf.next().copy(); matchKey = k
+                  lastMatch = rBuf.next().copy()
+                  // struct keys are nested views into the iterator's
+                  // reused row buffer — copy before holding across rows
+                  matchKey = k match {
+                    case r: InternalRow => r.copy()
+                    case other => other
+                  }
                 } else advancing = false
               } else advancing = false
             }
