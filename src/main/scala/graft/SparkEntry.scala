@@ -52,6 +52,7 @@ object SparkEntry {
     "q_profile_documents" -> ((s: SparkSession, d: String) => CatalogOps.profile(s, d, "documents",
         Seq("doc_id", "n_chars"))),
     "q_file_metadata"     -> CatalogOps.fileMetadata _,
+    "q_quality_checks"    -> CatalogOps.constraintChecks _,
     "q_profile_doc_strings" -> ((s: SparkSession, d: String) =>
       CatalogOps.profileStrings(s, d, "documents", Seq("lang", "source"))),
     "q_quantiles_lineitem" -> ((s: SparkSession, d: String) =>
@@ -402,6 +403,30 @@ object SparkEntry {
       """SELECT o_orderpriority, count(*) AS n_orders,
         |  round(cast(sum(cast(o_totalprice AS decimal(18,2))) AS double), 2) AS total_price
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // Constraint checks: zero is a PASS, not an absence — every rule
+    // reports. The totalprice range is set so real violations exist
+    // (orders above 300k), keeping the column non-vacuous.
+    "q_quality_checks" ->
+      """SELECT rule, n_violations FROM (
+        |  SELECT 'orderkey_not_null' AS rule,
+        |    cast(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS bigint) AS n_violations
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'orderkey_unique', count(*) - count(DISTINCT o_orderkey) FROM orders
+        |  UNION ALL
+        |  SELECT 'totalprice_in_range',
+        |    cast(sum(CASE WHEN o_totalprice <= 0 OR o_totalprice > 300000 THEN 1 ELSE 0 END) AS bigint)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'orderdate_in_range',
+        |    cast(sum(CASE WHEN o_orderdate < TIMESTAMP '1992-01-01'
+        |                    OR o_orderdate >= TIMESTAMP '1999-01-01' THEN 1 ELSE 0 END) AS bigint)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'custkey_fk_exists',
+        |    (SELECT count(*) FROM orders o
+        |     WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |) t ORDER BY rule""".stripMargin,
     "q_profile_lineitem" -> profileOracle("lineitem",
       Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_discount", "l_tax")),
     "q_profile_documents" -> profileOracle("documents", Seq("doc_id", "n_chars")),

@@ -307,6 +307,37 @@ object CatalogOps {
          abs(col("r75") - 0.75) <= 0.05).as("qs_ok"))
   }
 
+  /** Data-quality constraint checks — the "expectations" surface of a
+    * lake API: named rules over a table, each reporting its violation
+    * count. Scalar rules (null / unique / range) share ONE aggregate
+    * pass; the referential rule is a broadcast-probe anti-join count.
+    * Zero is a PASS, not an absence — every rule always reports. */
+  def constraintChecks(spark: SparkSession, dir: String): DataFrame = {
+    val o = Lake.orders(spark, dir)
+    val scalarChecks = o.agg(
+      sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("orderkey_null"),
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("orderkey_dup"),
+      sum(when(col("o_totalprice") <= 0 || col("o_totalprice") > 300000, 1L)
+        .otherwise(0L)).as("totalprice_range"),
+      sum(when(col("o_orderdate") < to_timestamp(lit("1992-01-01")) ||
+               col("o_orderdate") >= to_timestamp(lit("1999-01-01")), 1L)
+        .otherwise(0L)).as("orderdate_range"))
+    val fkOrphans = o.join(
+      broadcast(Lake.customer(spark, dir).select(col("c_custkey").as("o_custkey"))),
+      Seq("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("custkey_fk"))
+    scalarChecks.crossJoin(broadcast(fkOrphans))
+      .select(expr(
+        """stack(5,
+          |  'custkey_fk_exists', custkey_fk,
+          |  'orderdate_in_range', orderdate_range,
+          |  'orderkey_not_null', orderkey_null,
+          |  'orderkey_unique', orderkey_dup,
+          |  'totalprice_in_range', totalprice_range
+          |) as (rule, n_violations)""".stripMargin))
+      .orderBy(col("rule"))
+  }
+
   /** File-level metadata: per table, number of files and total bytes, from
     * the filesystem (driver-side listing, O(#files) — at 100 TB this is the
     * catalog's manifest scan, not a data read). */
