@@ -325,16 +325,17 @@ object CatalogOps {
     val fkOrphans = o.join(
       broadcast(Lake.customer(spark, dir).select(col("c_custkey").as("o_custkey"))),
       Seq("o_custkey"), "left_anti")
-      .agg(count(lit(1)).as("custkey_fk"))
-    scalarChecks.crossJoin(broadcast(fkOrphans))
+      .agg(count(lit(1)).as("n_violations"))
+      .select(lit("custkey_fk_exists").as("rule"), col("n_violations"))
+    scalarChecks
       .select(expr(
-        """stack(5,
-          |  'custkey_fk_exists', custkey_fk,
+        """stack(4,
           |  'orderdate_in_range', orderdate_range,
           |  'orderkey_not_null', orderkey_null,
           |  'orderkey_unique', orderkey_dup,
           |  'totalprice_in_range', totalprice_range
           |) as (rule, n_violations)""".stripMargin))
+      .unionByName(fkOrphans)
       .orderBy(col("rule"))
   }
 

@@ -61,6 +61,24 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!plan.contains("CartesianProduct"), "cartesian product in simhash pairs")
   }
 
+  test("window-based operators still prune the scan to the columns they use") {
+    // Q17 window: lineitem has 16 columns; only 3 may reach the scan
+    val q17 = planOf(Relational.smallQtyRevenue(spark, Sf))
+    val rs = q17.indexOf("ReadSchema")
+    assert(rs >= 0, s"no ReadSchema in:\n$q17")
+    val schema = q17.substring(rs, math.min(rs + 300, q17.length))
+    assert(schema.contains("l_partkey") && schema.contains("l_quantity") &&
+      schema.contains("l_extendedprice") && !schema.contains("l_shipdate"),
+      s"Q17 scan not pruned to its 3 columns: $schema")
+    // packing plan reads only (doc_id, text)
+    val pack = planOf(graft.operators.CorpusOps.packingPlan(spark, Sf))
+    val prs = pack.indexOf("ReadSchema")
+    val pschema = pack.substring(prs, math.min(prs + 200, pack.length))
+    assert(pschema.contains("doc_id") && pschema.contains("text") &&
+      !pschema.contains("lang") && !pschema.contains("source"),
+      s"packing scan not pruned: $pschema")
+  }
+
   test("no registered query plans an unintended product join") {
     // the broad regression net: every SparkEntry query's physical plan is
     // free of CartesianProduct, except where the product IS the semantics
