@@ -233,10 +233,15 @@ object AnnOps {
         .filter(col("c_rank") <= probes)
         .drop("c_emb", "c_sim", "c_rank")
     }
+    // Rename each side's cell id: both descend from the same broadcast
+    // centroids frame, so c_id === c_id would resolve to one attribute
+    // (the "trivially true predicate" self-join hazard).
     val corpusCells = assign(emb, "vec_id", "embedding", probes = 1)
+      .withColumnRenamed("c_id", "cell")
     val queryCells = assign(queriesIn, "q_id", "q_emb", probes = nProbes)
+      .withColumnRenamed("c_id", "q_cell")
     val cand = corpusCells.join(broadcast(queryCells),
-        corpusCells("c_id") === queryCells("c_id") && col("vec_id") =!= col("q_id"))
+        col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         cosineSimilarity(col("embedding"), col("q_emb")).as("sim"))
       .groupBy(col("q_id"), col("vec_id"))

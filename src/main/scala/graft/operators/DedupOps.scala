@@ -153,15 +153,26 @@ object DedupOps extends org.apache.spark.internal.Logging {
     * collapse into ONE cluster even when A and C share no n-grams, which
     * pair lists alone cannot express.
     *
-    * Algorithm: min-label propagation with pointer jumping — each round
-    * every node takes the min of its own label, its neighbors' labels,
-    * AND its current label's label (path compression), so convergence is
-    * O(log diameter) rounds, not O(diameter): a 20-link variant chain
-    * resolves in ~5 rounds. No external graph dependency; each round is
-    * two equi-joins + one partial-agg group-by over the PAIR graph
-    * (thousands of rows when the corpus is millions — near-dup graphs are
-    * sparse by construction), so the driver-side loop orchestrates tiny
-    * jobs, not data movement.
+    * Adaptive execution: the verified pair graph is orders of magnitude
+    * smaller than the corpus (near-dup graphs are sparse by construction),
+    * so when it fits in bounded driver memory (`maxDriverEdges`, ~16 B/
+    * edge) a driver-side union-find resolves components in one pass — the
+    * same bounded-collect precedent as the IVF k-means sample. A
+    * million-edge graph costs ~16 MB; the distributed min-label loop below
+    * it costs ~4 Spark jobs per round in scheduling + codegen alone, which
+    * dominates end-to-end time whenever the graph is small. Both paths
+    * produce identical (doc_id, keeper=component min) output and both are
+    * test-covered; corpora whose pair graph exceeds the cap take the
+    * distributed path automatically.
+    *
+    * Distributed path: min-label propagation with pointer jumping — each
+    * round every node takes the min of its own label, its neighbors'
+    * labels, AND its current label's label (path compression), so
+    * convergence is O(log diameter) rounds, not O(diameter): a 20-link
+    * variant chain resolves in ~5 rounds. No external graph dependency;
+    * each round is two equi-joins + one partial-agg group-by over the
+    * PAIR graph, so the driver-side loop orchestrates tiny jobs, not data
+    * movement.
     *
     * Iterative-DataFrame discipline: every round ends in an EAGER
     * `localCheckpoint`, truncating the logical plan to the materialized
@@ -172,9 +183,16 @@ object DedupOps extends org.apache.spark.internal.Logging {
     * `checkpoint()` with a reliable dir: localCheckpoint trades executor-
     * loss recovery for speed.) `maxIters` bounds adversarial topologies. */
   def nearDupClusters(docs: DataFrame, threshold: Double = 0.6,
-                      maxIters: Int = 20): DataFrame = {
+                      maxIters: Int = 20,
+                      maxDriverEdges: Long = 4L << 20): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val pairs = nearDupPairs(docs, threshold).select(col("doc_a"), col("doc_b"))
+      .persist(MEMORY_AND_DISK)
+    if (pairs.count() <= maxDriverEdges) {
+      val out = driverUnionFind(docs.sparkSession, pairs.collect().map(r => (r.getLong(0), r.getLong(1))))
+      pairs.unpersist()
+      return out
+    }
     val edges = pairs
       .union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst")
@@ -183,6 +201,12 @@ object DedupOps extends org.apache.spark.internal.Logging {
       .distinct()
       .withColumn("keeper", col("doc_id"))
       .localCheckpoint(true)
+    // Labels are monotone non-increasing under min-propagation, so the
+    // fixpoint is reached exactly when sum(keeper) stops changing — one
+    // single-frame aggregate per round instead of a join-based diff.
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum(col("keeper"))).first().getLong(0)
+    var prevSum = labelSum(labels)
     var iter = 0
     var done = false
     while (!done && iter < maxIters) {
@@ -190,11 +214,14 @@ object DedupOps extends org.apache.spark.internal.Logging {
         .join(labels.select(col("doc_id").as("src"), col("keeper")), "src")
         .groupBy(col("dst")).agg(min(col("keeper")).as("nbr_min"))
         .select(col("dst").as("doc_id"), col("nbr_min"))
+      // NOT checkpointed: its lineage is one round deep (rooted at the
+      // checkpointed labels), and recomputing it for the pointer-jump
+      // join's two sides inside ONE job is cheaper than scheduling a
+      // separate materialization job per round for a tiny frame.
       val oneHop = labels.as("l")
         .join(nbrMin.as("p"), Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("keeper"), coalesce(col("nbr_min"), col("keeper"))).as("keeper"))
-        .localCheckpoint(true)
       // pointer jump: keeper := min(keeper, keeper's keeper). Every label
       // IS a node id, so the lookup join always matches.
       val next = oneHop.as("a")
@@ -202,23 +229,48 @@ object DedupOps extends org.apache.spark.internal.Logging {
           col("a.keeper") === col("k"))
         .select(col("doc_id"), least(col("keeper"), col("kk")).as("keeper"))
         .localCheckpoint(true)
-      val changed = next.as("n")
-        .join(labels.as("o"), Seq("doc_id"))
-        .filter(col("n.keeper") =!= col("o.keeper"))
-        .limit(1).count()
+      val s = labelSum(next)
       labels = next
-      done = changed == 0L
+      done = s == prevSum
+      prevSum = s
       iter += 1
     }
     if (!done) logWarning(
       s"nearDupClusters stopped after $maxIters rounds without converging " +
         "— an adversarial chain topology; keepers may split one component")
     edges.unpersist()
+    pairs.unpersist()
     labels.orderBy(col("doc_id"))
   }
 
   def nearDupClusters(spark: SparkSession, dir: String): DataFrame =
     nearDupClusters(Lake.documents(spark, dir))
+
+  /** Small-graph path of [[nearDupClusters]]: union-find with path halving
+    * over a bounded, already-collected edge list; keeper = component min
+    * falls out of union-by-smaller-root. LongMap keeps the table unboxed
+    * (~16 B/edge). Output contract matches the distributed loop exactly. */
+  private[operators] def driverUnionFind(spark: SparkSession,
+                                         edges: Array[(Long, Long)]): DataFrame = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent(x) != x) {
+        val gp = parent(parent(x)); parent(x) = gp; x = gp
+      }
+      x
+    }
+    for ((a, b) <- edges) {
+      if (!parent.contains(a)) parent(a) = a
+      if (!parent.contains(b)) parent(b) = b
+      val ra = find(a); val rb = find(b)
+      if (ra < rb) parent(rb) = ra
+      else if (rb < ra) parent(ra) = rb
+    }
+    val rows = parent.keys.toSeq.sorted.map(id => (id, find(id)))
+    import spark.implicits._
+    rows.toDF("doc_id", "keeper").orderBy(col("doc_id"))
+  }
 
   /** The kept corpus after near-dedup: every doc except non-keeper cluster
     * members — [[nearDupClusters]] distilled to the filter a training

@@ -82,6 +82,12 @@ class DedupSpec extends SparkSpecBase {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L),
       s"chain must collapse to one cluster with keeper 1, got $clusters")
+    // the distributed min-label path (forced by maxDriverEdges=0) must
+    // agree with the driver union-find path exactly
+    val distributed = DedupOps.nearDupClusters(docs, maxDriverEdges = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(distributed == clusters,
+      s"distributed path must match union-find path, got $distributed")
     val kept = DedupOps.dedupNear(docs).select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == (Set(1L) ++ fillers.map(_._1)),
       s"dedupNear must keep the keeper and untouched docs, got $kept")
