@@ -122,7 +122,25 @@ object SparkEntry {
     "q_multimodal_meta"   -> MultimodalOps.multimodalMeta _,
     "q_multimodal_frames" -> ((s: SparkSession, d: String) => MultimodalOps.frameSample(s, d)),
     "q_multimodal_decode" -> ((s: SparkSession, d: String) => MultimodalOps.decodeDigest(s, d)),
+    // Pattern scan / redaction (PII machinery over corpus-bearing classes)
+    "q_pattern_scan"      -> ((s: SparkSession, d: String) =>
+      TextOps.patternScan(Lake.documents(s, d), ScanPatterns)),
+    "q_redact"            -> ((s: SparkSession, d: String) =>
+      TextOps.redact(Lake.documents(s, d), Seq("tech" -> "\\b(spark|table)\\b"))
+        .select(col("doc_id"),
+          org.apache.spark.sql.functions.length(col("text")).cast("long").as("red_len"))
+        .orderBy(col("doc_id"))),
+    // Snapshot change-data-feed + ORC source round-trip
+    "q_snapshot_diff"     -> graft.sources.SnapshotTable.diffQuery _,
+    "q_orc_agg"           -> graft.sources.Sources.orcAgg _,
   )
+
+  /** [[TextOps.patternScan]] dictionary for the driver query: token
+    * classes the synthetic corpus actually contains (the PII dictionary
+    * would match nothing here — it is exercised by planted-data specs). */
+  private val ScanPatterns: Seq[(String, String)] = Seq(
+    "db_ops" -> "\\b(scan|sort|merge|join|filter)\\b",
+    "engine" -> "\\b(spark|query|table)\\b")
 
   private val stopList = TextOps.Stopwords.map(s => s"'$s'").mkString(", ")
 
@@ -847,6 +865,40 @@ object SparkEntry {
         |  round(cast(sum(octet_length(encode(text))) AS double) / count(*), 4) AS avg_bytes,
         |  cast(max(octet_length(encode(text))) AS bigint) AS max_bytes
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // Non-E-quoted DuckDB strings keep backslashes literal, so the regexes
+    // below reach RE2 exactly as Spark's Java regex engine sees them; both
+    // engines count non-overlapping leftmost whole-pattern matches.
+    "q_pattern_scan" ->
+      """SELECT doc_id, pattern, n_matches FROM (
+        |  SELECT doc_id, 'db_ops' AS pattern,
+        |    cast(len(regexp_extract_all(text, '\b(scan|sort|merge|join|filter)\b')) AS bigint) AS n_matches
+        |  FROM documents WHERE text IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id, 'engine',
+        |    cast(len(regexp_extract_all(text, '\b(spark|query|table)\b')) AS bigint)
+        |  FROM documents WHERE text IS NOT NULL
+        |) ORDER BY doc_id, pattern""".stripMargin,
+    "q_redact" ->
+      """SELECT doc_id,
+        |  cast(length(regexp_replace(text, '\b(spark|table)\b', '[TECH]', 'g')) AS bigint) AS red_len
+        |FROM documents WHERE text IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
+    // Reconstructs the diff classification straight off the version
+    // predicates diffQuery committed (v0: id<300; v1: id>=50 with 50..99
+    // rewritten).
+    "q_snapshot_diff" ->
+      """SELECT change_type, n_rows FROM (
+        |  SELECT 'added' AS change_type, count(*) AS n_rows FROM documents WHERE doc_id >= 300
+        |  UNION ALL
+        |  SELECT 'removed', count(*) FROM documents WHERE doc_id < 50
+        |  UNION ALL
+        |  SELECT 'updated', count(*) FROM documents WHERE doc_id >= 50 AND doc_id < 100
+        |) ORDER BY change_type""".stripMargin,
+    "q_orc_agg" ->
+      """SELECT l_linestatus, count(*) AS n_items,
+        |  round(cast(sum(cast(l_extendedprice AS decimal(18,2))) AS double), 2) AS total_price
+        |FROM lineitem WHERE l_discount > 0.05
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
   )
 
   /** Oracle twin of CatalogOps.profile: one UNION ALL branch per column. */

@@ -257,4 +257,52 @@ object TextOps {
 
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     fingerprint(Lake.documents(spark, dir))
+
+  /** PII dictionary for [[piiScan]]/[[redact]]: email, IPv4, phone-shaped
+    * digit runs, 16-digit card-shaped numbers. RE2-compatible (no
+    * lookaround, no backreferences) so the same strings run unchanged in
+    * RE2-based screens. The synthetic lake corpus contains no PII, so
+    * these are exercised by planted-data specs; the driver-checked query
+    * scans for token classes the corpus does contain. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "card" -> "\\b(?:\\d{4}[ -]){3}\\d{4}\\b",
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ipv4" -> "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b",
+    "phone" -> "\\+\\d[\\d() -]{6,}\\d")
+
+  /** Pattern scan: per-doc occurrence counts for a dictionary of named
+    * regexes — the mechanism behind PII detection, policy screens, and
+    * content tagging. One codegen'd map stage (`regexp_extract_all` per
+    * pattern, whole-match group), no shuffle; long-format output
+    * (doc_id, pattern, n_matches) so adding patterns never changes the
+    * schema. At 100 TB this is a pure map over the corpus scan. */
+  def patternScan(docs: DataFrame, patterns: Seq[(String, String)]): DataFrame = {
+    require(patterns.nonEmpty, "patternScan needs at least one pattern")
+    val hits = patterns.map { case (name, re) =>
+      struct(lit(name).as("pattern"),
+        size(regexp_extract_all(col("text"), lit(re), lit(0)))
+          .cast("long").as("n_matches"))
+    }
+    nonNull(docs)
+      .select(col("doc_id"), explode(array(hits: _*)).as("m"))
+      .select(col("doc_id"), col("m.pattern").as("pattern"),
+        col("m.n_matches").as("n_matches"))
+      .orderBy(col("doc_id"), col("pattern"))
+  }
+
+  /** PII occurrence counts per doc over [[PiiPatterns]]. */
+  def piiScan(docs: DataFrame): DataFrame = patternScan(docs, PiiPatterns)
+
+  /** Redaction: every match of every pattern replaced by its `[NAME]` tag
+    * — chained global `regexp_replace`, still one shuffle-free map stage.
+    * Patterns apply in dictionary order, so earlier tags are not re-matched
+    * by later patterns (card before phone matters: a card number IS a
+    * phone-shaped digit run). */
+  def redact(docs: DataFrame,
+             patterns: Seq[(String, String)] = PiiPatterns): DataFrame = {
+    val redacted = patterns.foldLeft(col("text")) { case (c, (name, re)) =>
+      regexp_replace(c, lit(re), lit(s"[${name.toUpperCase}]"))
+    }
+    nonNull(docs).withColumn("text", redacted)
+  }
 }

@@ -168,6 +168,58 @@ object SnapshotTable {
       .orderBy(col("source"))
   }
 
+  /** Change-data-feed between two committed versions: one row per changed
+    * key with change_type ∈ added | removed | updated (unchanged rows are
+    * not emitted — at lake scale the diff must be proportional to the
+    * change, not the table). Full-outer equi-join on `key`; change
+    * detection null-safe-compares the non-key columns as one struct, so
+    * any schema works without per-column code. Both sides are single
+    * version-pruned parquet scans — the join shuffles the two compared
+    * versions and nothing else. */
+  def diff(spark: SparkSession, dir: String, vOld: Long, vNew: Long,
+           key: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val oldV = read(spark, dir, Some(vOld))
+    val newV = read(spark, dir, Some(vNew))
+    require(oldV.columns.toSeq == newV.columns.toSeq,
+      s"diff schema mismatch: v$vOld ${oldV.columns.toSeq} vs v$vNew ${newV.columns.toSeq}"
+        + " (use readEvolved to align schemas first)")
+    val nonKey = oldV.columns.filterNot(_ == key).toSeq
+    val o = oldV.select(col(key), struct(nonKey.map(col): _*).as("old_row"))
+    val n = newV.select(col(key), struct(nonKey.map(col): _*).as("new_row"))
+    o.join(n, Seq(key), "full_outer")
+      .withColumn("change_type",
+        when(col("old_row").isNull, lit("added"))
+          .when(col("new_row").isNull, lit("removed"))
+          .when(!(col("old_row") <=> col("new_row")), lit("updated")))
+      .filter(col("change_type").isNotNull)
+      .select(col(key), col("change_type"))
+  }
+
+  /** Driver-visible change-data-feed query: commit two versions of the
+    * lake's documents table into a per-JVM scratch snapshot (v0 = doc_id
+    * < 300; v1 drops doc_id < 50, rewrites n_chars for 50 ≤ doc_id < 100,
+    * and adds everything ≥ 300), then count [[diff]] rows by change_type —
+    * so added, removed AND updated are all non-trivially exercised.
+    * SQL-equivalent: the same three counts straight off the predicates. */
+  def diffQuery(spark: SparkSession, lakeDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val scratch = new Path(sys.props("java.io.tmpdir"), "graft_snap_diff_scratch")
+    val f = fs(spark, scratch.toString)
+    f.delete(scratch, true)
+    val tmp = s"$scratch/tbl"
+    val docs = graft.Lake.documents(spark, lakeDir)
+    write(spark, tmp, docs.filter(col("doc_id") < 300))
+    write(spark, tmp, docs.filter(col("doc_id") >= 50)
+      .withColumn("n_chars",
+        when(col("doc_id") < 100, col("n_chars") + 1000L)
+          .otherwise(col("n_chars"))))
+    diff(spark, tmp, 0L, 1L, "doc_id")
+      .groupBy(col("change_type"))
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy(col("change_type"))
+  }
+
   /** MERGE (upsert) by key: rows of `updates` replace same-key rows of
     * the latest version; new keys append. One left-anti join (updates are
     * typically small → broadcast) + union, committed as a new version —

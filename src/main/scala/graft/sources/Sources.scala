@@ -61,6 +61,31 @@ object Sources {
       .orderBy(col("c_mktsegment"))
   }
 
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** End-to-end ORC source/sink exercise: lineitem → ORC → read back →
+    * aggregate. ORC is self-describing (schema in the footer, like
+    * parquet), so no explicit schema is needed and the round-trip is
+    * lossless — which is what lets the parquet-based oracle check it
+    * exactly. Pushdown/pruning apply to ORC scans the same as parquet. */
+  def orcAgg(spark: SparkSession, dir: String): DataFrame = {
+    val li = graft.Lake.lineitem(spark, dir)
+    val path = s"$cacheDir/lineitem_orc"
+    writeOrc(li, path)
+    readOrc(spark, path)
+      .filter(col("l_discount") > 0.05)
+      .groupBy(col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double"), 2)
+          .as("total_price"))
+      .orderBy(col("l_linestatus"))
+  }
+
   /** End-to-end JSONL source/sink exercise: orders → JSONL (timestamps as
     * ISO strings) → read back with explicit schema → aggregate. */
   def jsonlAgg(spark: SparkSession, dir: String): DataFrame = {

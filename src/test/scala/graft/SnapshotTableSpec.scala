@@ -119,6 +119,28 @@ class SnapshotTableSpec extends SparkSpecBase {
     assert(SnapshotTable.read(spark, dir, Some(1L)).count() == 4)
   }
 
+  test("diff emits exactly the added/removed/updated keys between versions") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_snap_diff").toString + "/tbl"
+    val v0 = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "name", "score")
+    val v1 = Seq((2L, "b", 20.0), (3L, "c2", 30.0), (4L, "d", 40.0))
+      .toDF("id", "name", "score")
+    SnapshotTable.write(spark, dir, v0)
+    SnapshotTable.write(spark, dir, v1)
+    val d = SnapshotTable.diff(spark, dir, 0L, 1L, "id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // 2L unchanged → absent; diff is proportional to the change
+    assert(d == Map(1L -> "removed", 3L -> "updated", 4L -> "added"), s"got $d")
+    // diff is directional: reversed versions swap added/removed
+    val rev = SnapshotTable.diff(spark, dir, 1L, 0L, "id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rev == Map(1L -> "added", 3L -> "updated", 4L -> "removed"), s"got $rev")
+    // schema drift between compared versions is rejected
+    SnapshotTable.write(spark, dir, v1.withColumnRenamed("score", "s"))
+    intercept[IllegalArgumentException](SnapshotTable.diff(spark, dir, 0L, 2L, "id"))
+  }
+
   test("streaming micro-batches upsert into a snapshot table via foreachBatch") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

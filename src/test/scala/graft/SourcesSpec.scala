@@ -26,6 +26,23 @@ class SourcesSpec extends SparkSpecBase {
     assert(back.exceptAll(orig).count() == 0 && orig.exceptAll(back).count() == 0)
   }
 
+  test("ORC round-trip is lossless and its scan pushes filters down") {
+    val orig = Lake.lineitem(spark, Sf)
+    val path = s"$tmp/lineitem_orc"
+    Sources.writeOrc(orig, path)
+    val back = Sources.readOrc(spark, path)
+    assert(back.schema == orig.schema, "ORC must round-trip the schema")
+    assert(back.count() == orig.count())
+    assert(back.exceptAll(orig).isEmpty && orig.exceptAll(back).isEmpty,
+      "ORC round-trip must preserve every row bit-exactly")
+    // pushdown + pruning reach the ORC scan just like parquet
+    val plan = back.filter(col("l_quantity") < 5)
+      .select("l_orderkey", "l_quantity")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), LessThan(l_quantity,5"),
+      s"filter must reach the ORC scan:\n$plan")
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     Sources.writePartitionedParquet(
       Lake.lineitem(spark, Sf), s"$tmp/li_part", Seq("l_returnflag"))

@@ -58,4 +58,32 @@ class TextOpsSpec extends SparkSpecBase {
       assert(if (ratio >= 0.03) pred == "en" else pred == "und")
     }
   }
+
+  test("piiScan counts planted PII and redact removes every occurrence") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "contact me at alice.smith+work@example.co.uk or bob@test.io today"),
+      (2L, "server 10.0.255.3 talked to 192.168.1.1; call +1 (555) 123-4567"),
+      (3L, "card 4111 1111-1111 1111 on file"),
+      (4L, "nothing sensitive here at all")).toDF("doc_id", "text")
+    val counts = TextOps.piiScan(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(counts((1L, "email")) == 2, s"emails: $counts")
+    assert(counts((2L, "ipv4")) == 2 && counts((2L, "phone")) == 1, s"doc2: $counts")
+    assert(counts((3L, "card")) == 1, s"card: $counts")
+    assert(counts((4L, "email")) == 0 && counts((4L, "ipv4")) == 0 &&
+      counts((4L, "phone")) == 0 && counts((4L, "card")) == 0, s"doc4 clean: $counts")
+    val redacted = TextOps.redact(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(redacted(1L).contains("[EMAIL]") && !redacted(1L).contains("@"),
+      s"emails must be gone: ${redacted(1L)}")
+    assert(redacted(2L).contains("[IPV4]") && redacted(2L).contains("[PHONE]"),
+      s"ip+phone tags expected: ${redacted(2L)}")
+    assert(redacted(3L).contains("[CARD]"), s"card tag expected: ${redacted(3L)}")
+    assert(redacted(4L) == "nothing sensitive here at all",
+      "clean docs must pass through untouched")
+    // redacted corpus re-scans clean — the screen's fixed point
+    val rescan = TextOps.piiScan(TextOps.redact(docs)).collect()
+    assert(rescan.forall(_.getLong(2) == 0L), "redacted corpus must scan clean")
+  }
 }
