@@ -133,6 +133,10 @@ object SparkEntry {
     // Snapshot change-data-feed + ORC source round-trip
     "q_snapshot_diff"     -> graft.sources.SnapshotTable.diffQuery _,
     "q_orc_agg"           -> graft.sources.Sources.orcAgg _,
+    // Correlated EXISTS / NOT EXISTS (TPC-H Q21 shape) as semi/anti joins
+    "q_sole_fault"        -> Relational.soleFaultSuppliers _,
+    // Catalog: inclusion-dependency (FK-candidate) discovery
+    "q_fk_discovery"      -> CatalogOps.fkDiscovery _,
   )
 
   /** [[TextOps.patternScan]] dictionary for the driver query: token
@@ -899,6 +903,35 @@ object SparkEntry {
         |  round(cast(sum(cast(l_extendedprice AS decimal(18,2))) AS double), 2) AS total_price
         |FROM lineitem WHERE l_discount > 0.05
         |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "q_sole_fault" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM lineitem l1
+        |JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+        |JOIN supplier ON s_suppkey = l1.l_suppkey
+        |WHERE l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_returnflag = 'R')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name""".stripMargin,
+    "q_fk_discovery" -> {
+      def pair(ct: String, cc: String, pt: String, pc: String) =
+        s"""SELECT '$ct' AS child_table, '$cc' AS child_col,
+           |  '$pt' AS parent_table, '$pc' AS parent_col,
+           |  count(*) AS n_child_distinct,
+           |  cast(sum(CASE WHEN pk IS NOT NULL THEN 1 ELSE 0 END) AS bigint) AS n_contained,
+           |  round(cast(sum(CASE WHEN pk IS NOT NULL THEN 1 ELSE 0 END) AS double) / count(*), 4) AS containment
+           |FROM (SELECT DISTINCT $cc AS k FROM $ct WHERE $cc IS NOT NULL) c
+           |LEFT JOIN (SELECT DISTINCT $pc AS pk FROM $pt WHERE $pc IS NOT NULL) p ON k = pk""".stripMargin
+      Seq(
+        pair("nation", "n_regionkey", "region", "r_regionkey"),
+        pair("orders", "o_custkey", "customer", "c_custkey"),
+        pair("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        pair("orders", "o_orderkey", "lineitem", "l_orderkey"))
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY child_table, child_col, parent_table")
+    },
   )
 
   /** Oracle twin of CatalogOps.profile: one UNION ALL branch per column. */

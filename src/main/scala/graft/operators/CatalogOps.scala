@@ -339,6 +339,51 @@ object CatalogOps {
       .orderBy(col("rule"))
   }
 
+  /** Inclusion-dependency (FK-candidate) discovery: for each candidate
+    * (child.col → parent.col) pair, the fraction of distinct child values
+    * present in the parent — containment 1.0 marks a foreign-key
+    * candidate, fractional containment measures partial coverage (e.g.
+    * customers who never ordered). Scale shape: both sides reduce to
+    * DISTINCT key sets first (map-side partial agg, cardinality of the
+    * KEY not the table), then one left join per pair. No forced broadcast:
+    * a dimension-sized parent key set auto-broadcasts under the planner
+    * threshold, while a fact-sized parent (orders→lineitem below) must be
+    * free to sort-merge at scale. Candidates are explicit: schema-wide
+    * pair mining is O(columns²) scans and belongs in an offline profiler,
+    * not here. */
+  def inclusionDependencies(spark: SparkSession, dir: String,
+      candidates: Seq[((String, String), (String, String))]): DataFrame = {
+    require(candidates.nonEmpty, "need at least one candidate pair")
+    val results = candidates.map { case ((ct, cc), (pt, pc)) =>
+      val child = Lake.table(spark, dir, ct).select(col(cc).as("k"))
+        .filter(col("k").isNotNull).distinct()
+      val parent = Lake.table(spark, dir, pt).select(col(pc).as("pk"))
+        .filter(col("pk").isNotNull).distinct()
+      child.join(parent, col("k") === col("pk"), "left")
+        .agg(
+          count(lit(1)).as("n_child_distinct"),
+          sum(when(col("pk").isNotNull, 1L).otherwise(0L)).as("n_contained"))
+        .select(
+          lit(ct).as("child_table"), lit(cc).as("child_col"),
+          lit(pt).as("parent_table"), lit(pc).as("parent_col"),
+          col("n_child_distinct"), col("n_contained"),
+          round(col("n_contained").cast("double") / col("n_child_distinct"), 4)
+            .as("containment"))
+    }
+    results.reduce(_ unionByName _)
+      .orderBy(col("child_table"), col("child_col"), col("parent_table"))
+  }
+
+  /** Driver binding of [[inclusionDependencies]] over the lake's real FK
+    * edges plus one deliberately partial pair (orders→lineitem: orders
+    * with no lineitems keep containment < 1 in this lake). */
+  def fkDiscovery(spark: SparkSession, dir: String): DataFrame =
+    inclusionDependencies(spark, dir, Seq(
+      ("nation", "n_regionkey") -> ("region", "r_regionkey"),
+      ("orders", "o_custkey") -> ("customer", "c_custkey"),
+      ("lineitem", "l_orderkey") -> ("orders", "o_orderkey"),
+      ("orders", "o_orderkey") -> ("lineitem", "l_orderkey")))
+
   /** File-level metadata: per table, number of files and total bytes, from
     * the filesystem (driver-side listing, O(#files) — at 100 TB this is the
     * catalog's manifest scan, not a data read). */

@@ -258,6 +258,37 @@ object Relational {
           .as("avg_yearly"))
   }
 
+  /** TPC-H Q21 shape: suppliers SOLELY at fault in multi-supplier finished
+    * orders — their item came back returned while EXISTS another supplier
+    * in the order and NOT EXISTS another supplier with a returned item.
+    * The two correlated subqueries plan Spark-first as a left-SEMI and a
+    * left-ANTI join, both equi-keyed on l_orderkey with the supplier
+    * inequality as a residual post-filter — no decorrelation machinery,
+    * no re-scan per outer row; lineitem shuffles once per side on the
+    * join key. Supplier is a broadcast dim. */
+  def soleFaultSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val li = Lake.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+    val l1 = li.filter(col("l_returnflag") === "R").as("l1")
+    val others = li.select(col("l_orderkey"), col("l_suppkey")).as("l2")
+    val failedOthers = li.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_suppkey")).as("l3")
+    val finished = Lake.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
+    l1.join(finished, col("l1.l_orderkey") === col("o_orderkey"))
+      .join(others,
+        col("l1.l_orderkey") === col("l2.l_orderkey") &&
+          col("l1.l_suppkey") =!= col("l2.l_suppkey"), "left_semi")
+      .join(failedOthers,
+        col("l1.l_orderkey") === col("l3.l_orderkey") &&
+          col("l1.l_suppkey") =!= col("l3.l_suppkey"), "left_anti")
+      .join(broadcast(Lake.supplier(spark, dir)),
+        col("l1.l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+  }
+
   /** Arbitrary GROUPING SETS — the general form ROLLUP/CUBE specialize:
     * per-(status,priority), per-status, and per-priority aggregates in
     * ONE Expand-based pass (one shuffle), where three separate group-bys

@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Stream–stream join: correlate two unbounded event streams (views and
+  * purchases here) on a key within a bounded event-time window —
+  * "purchase within `horizon` after the view", the attribution join of
+  * clickstream pipelines.
+  *
+  * Scale design: BOTH streams carry a watermark and the join condition
+  * bounds event-time distance in BOTH directions, so Spark derives a
+  * state-eviction horizon for each side — without the time bound the
+  * join would buffer both streams forever (unbounded state). Inner
+  * joins emit as matches arrive; the state store holds only rows whose
+  * event time is within the watermark horizon. Keyed by user_id (high
+  * cardinality → even state distribution across partitions).
+  */
+object StreamJoin {
+
+  /** views ⋈ purchases on user within (0, horizon] after the view.
+    * Both inputs need columns (user_id, event_id, ts). */
+  def viewToPurchase(views: DataFrame, purchases: DataFrame,
+                     watermark: String = "10 minutes",
+                     horizon: String = "30 minutes"): DataFrame = {
+    val v = views.withWatermark("ts", watermark)
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    v.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") > col("view_ts") &&
+        col("purchase_ts") <= col("view_ts") + expr(s"INTERVAL $horizon"))
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        col("view_ts"), col("purchase_ts"))
+  }
+
+  /** State-store metrics of the most recent micro-batch, as a DataFrame —
+    * the observability surface a lake operator watches to catch state
+    * growth before it kills a streaming job (rows held, rows updated,
+    * memory). One row per stateful operator in the query. */
+  def stateMetrics(spark: org.apache.spark.sql.SparkSession,
+                   query: org.apache.spark.sql.streaming.StreamingQuery): DataFrame = {
+    import spark.implicits._
+    val rows = Option(query.lastProgress).toSeq.flatMap { prog =>
+      prog.stateOperators.toSeq.map { op =>
+        (prog.batchId, op.operatorName, op.numRowsTotal, op.numRowsUpdated,
+          op.numRowsRemoved, op.memoryUsedBytes)
+      }
+    }
+    rows.toDF("batch_id", "operator", "state_rows_total", "state_rows_updated",
+      "state_rows_removed", "state_memory_bytes")
+  }
+}

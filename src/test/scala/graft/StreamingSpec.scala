@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
-import graft.streaming.{SEvent, SessionizeStream}
+import graft.streaming.{SEvent, SessionizeStream, StreamJoin}
 
 /** Streaming sessionization: gap semantics shared with the batch operator,
   * driven through MemoryStream micro-batches. */
@@ -75,6 +75,39 @@ class StreamingSpec extends SparkSpecBase {
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       assert(rows2.contains((7L, 2L, 1L, 0L)),
         s"post-timeout session should be id 2; got ${rows2.toSeq}")
+    } finally query.stop()
+  }
+
+  test("stream-stream join attributes purchases to views within the horizon") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val views = MemoryStream[SEvent]
+    val purchases = MemoryStream[SEvent]
+    val joined = StreamJoin.viewToPurchase(
+      views.toDF(), purchases.toDF(), watermark = "10 minutes", horizon = "30 minutes")
+    val query = joined.writeStream
+      .format("memory").queryName("attrib_out")
+      .outputMode("append").start()
+    try {
+      views.addData(
+        SEvent(1L, 10L, ts(100), "view"),   // purchase at 120 → within 30 min
+        SEvent(2L, 11L, ts(100), "view"),   // purchase at 140 → outside 30 min
+        SEvent(3L, 12L, ts(100), "view"))   // no purchase
+      purchases.addData(
+        SEvent(1L, 20L, ts(120), "purchase"),
+        SEvent(2L, 21L, ts(140), "purchase"),
+        SEvent(4L, 22L, ts(90), "purchase")) // purchase BEFORE any view
+      query.processAllAvailable()
+      val rows = spark.sql("SELECT user_id, view_id, purchase_id FROM attrib_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(rows.toSet == Set((1L, 10L, 20L)),
+        s"only user 1's purchase is within the attribution window; got ${rows.toSeq}")
+      // the state-metrics surface reports the join's buffered state
+      val metrics = StreamJoin.stateMetrics(spark, query).collect()
+      assert(metrics.nonEmpty, "state metrics must report the join operator")
+      assert(metrics.exists(m => m.getString(1).contains("symmetricHashJoin") &&
+        m.getLong(2) > 0L),
+        s"join state should hold buffered rows; got ${metrics.toSeq}")
     } finally query.stop()
   }
 }
