@@ -137,6 +137,11 @@ object SparkEntry {
     "q_sole_fault"        -> Relational.soleFaultSuppliers _,
     // Catalog: inclusion-dependency (FK-candidate) discovery
     "q_fk_discovery"      -> CatalogOps.fkDiscovery _,
+    // Domain-mixing rate plan (budgeted stratified-sampling planner)
+    "q_mix_plan"          -> CorpusOps.mixPlanQuery _,
+    // Data quality: Tukey-fence outlier screen per group
+    "q_outliers"          -> ((s: SparkSession, d: String) =>
+      CatalogOps.iqrOutliers(s, d, "orders", "o_totalprice", "o_orderstatus")),
   )
 
   /** [[TextOps.patternScan]] dictionary for the driver query: token
@@ -932,6 +937,33 @@ object SparkEntry {
         pair("orders", "o_orderkey", "lineitem", "l_orderkey"))
         .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY child_table, child_col, parent_table")
     },
+    // target_frac recomputed from the source suffix with explicit double
+    // casts (a bare 0.02 literal would be DECIMAL in DuckDB and diverge).
+    "q_mix_plan" ->
+      """SELECT source, n_docs, n_tokens,
+        |  (cast(substr(source, 4) AS int) % 4 + 1) / cast(50 AS double) AS target_frac,
+        |  round(least(cast(1 AS double),
+        |    cast(20000 AS double) * ((cast(substr(source, 4) AS int) % 4 + 1) / cast(50 AS double)) / n_tokens), 6) AS rate,
+        |  cast(floor(least(cast(n_tokens AS double),
+        |    cast(20000 AS double) * ((cast(substr(source, 4) AS int) % 4 + 1) / cast(50 AS double)))) AS bigint) AS planned_tokens
+        |FROM (
+        |  SELECT source, count(*) AS n_docs,
+        |    cast(sum(len(string_split(text, ' '))) AS bigint) AS n_tokens
+        |  FROM documents WHERE text IS NOT NULL GROUP BY source
+        |) ORDER BY source""".stripMargin,
+    "q_outliers" ->
+      """SELECT o_orderstatus, count(*) AS n_rows,
+        |  cast(sum(CASE WHEN o_totalprice < q1 - 1.5 * (q3 - q1)
+        |                  OR o_totalprice > q3 + 1.5 * (q3 - q1) THEN 1 ELSE 0 END) AS bigint) AS n_outliers,
+        |  round(q1, 4) AS q1, round(q3, 4) AS q3
+        |FROM (
+        |  SELECT o_orderstatus, o_totalprice,
+        |    quantile_cont(o_totalprice, 0.25) OVER (PARTITION BY o_orderstatus) AS q1,
+        |    quantile_cont(o_totalprice, 0.75) OVER (PARTITION BY o_orderstatus) AS q3
+        |  FROM orders
+        |)
+        |GROUP BY o_orderstatus, q1, q3
+        |ORDER BY o_orderstatus""".stripMargin,
   )
 
   /** Oracle twin of CatalogOps.profile: one UNION ALL branch per column. */

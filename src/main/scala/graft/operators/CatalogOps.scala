@@ -111,6 +111,34 @@ object CatalogOps {
       .orderBy(col("column_name"))
   }
 
+  /** IQR outlier screen per group: Tukey fences (k·IQR beyond the
+    * quartiles) over a value column — the data-quality scan that flags
+    * anomalous rows before they poison downstream stats. Two passes by
+    * necessity (fences are an order statistic of the WHOLE group): one
+    * per-group quantile aggregate (group cardinality, tiny), broadcast
+    * back onto the table, one counting pass. `percentile` here mirrors
+    * [[quantiles]]; swap to approx_percentile at 100 TB — same plan. */
+  def iqrOutliers(spark: SparkSession, dir: String, table: String,
+                  valueCol: String, groupCol: String,
+                  k: Double = 1.5): DataFrame = {
+    val df = Lake.table(spark, dir, table)
+    val fences = df.groupBy(col(groupCol))
+      .agg(expr(s"percentile($valueCol, array(0.25D, 0.75D))").as("qs"))
+      .select(col(groupCol),
+        element_at(col("qs"), 1).as("q1"), element_at(col("qs"), 2).as("q3"))
+      .withColumn("lo", col("q1") - lit(k) * (col("q3") - col("q1")))
+      .withColumn("hi", col("q3") + lit(k) * (col("q3") - col("q1")))
+    df.join(broadcast(fences), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col(valueCol) < col("lo") || col(valueCol) > col("hi"), 1L)
+          .otherwise(0L)).as("n_outliers"),
+        round(first(col("q1")), 4).as("q1"),
+        round(first(col("q3")), 4).as("q3"))
+      .orderBy(col(groupCol))
+  }
+
   /** String-column profile (lexicographic min/max, null count, NDV, mean
     * length) — same single-pass / unpivot shape as the numeric profile. */
   def profileStrings(spark: SparkSession, dir: String, table: String,

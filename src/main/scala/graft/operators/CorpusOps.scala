@@ -174,6 +174,50 @@ object CorpusOps {
   def packingPlan(spark: SparkSession, dir: String): DataFrame =
     packingPlan(Lake.documents(spark, dir))
 
+  /** Domain-mixing rate plan: given target mixture fractions per stratum
+    * and a total token budget, the per-stratum sampling rate that hits
+    * the budget — the planning step a pipeline runs BEFORE
+    * [[stratifiedSample]]. rate = min(1, budget·frac / stock): a stratum
+    * short of its allocation keeps everything (mixing cannot mint data;
+    * the shortfall surfaces in planned_tokens rather than silently
+    * re-normalizing). One aggregate pass over the corpus (map-side
+    * partial agg to stratum cardinality) + a broadcast of the tiny
+    * target table; strata absent from `targets` get no row (rate 0).
+    * Entirely SQL-expressible, so the plan is oracle-checkable. */
+  def mixPlan(docs: DataFrame, targets: Map[String, Double],
+              tokenBudget: Long, strataCol: String = "source"): DataFrame = {
+    require(tokenBudget > 0, "tokenBudget must be positive")
+    require(targets.values.forall(f => f >= 0.0 && f <= 1.0) &&
+      math.abs(targets.values.sum - 1.0) < 1e-9,
+      "target fractions must form a distribution")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val t = targets.toSeq.toDF(strataCol, "target_frac")
+    docs.filter(col("text").isNotNull)
+      .groupBy(col(strataCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+      .join(broadcast(t), Seq(strataCol))
+      .select(
+        col(strataCol), col("n_docs"), col("n_tokens"), col("target_frac"),
+        round(least(lit(1.0),
+          lit(tokenBudget.toDouble) * col("target_frac") / col("n_tokens")), 6)
+          .as("rate"),
+        floor(least(col("n_tokens").cast("double"),
+          lit(tokenBudget.toDouble) * col("target_frac"))).cast("long")
+          .as("planned_tokens"))
+      .orderBy(col(strataCol))
+  }
+
+  /** Lake-bound driver form: targets proportional to (suffix mod 4 + 1)
+    * over the 20 sources (sums to 1 exactly), budget small enough that
+    * high-stock strata cap while low-stock strata keep everything. */
+  def mixPlanQuery(spark: SparkSession, dir: String): DataFrame = {
+    val targets = (0 until 20).map(i => s"src$i" -> (i % 4 + 1) / 50.0).toMap
+    mixPlan(Lake.documents(spark, dir), targets, tokenBudget = 20000L)
+  }
+
   /** Stable per-doc sampling bucket in [0, 10000): a Lehmer/MINSTD step
     * ((id * 48271) mod 2^31−1) reduced mod 10000 — plain integer
     * arithmetic any engine reproduces exactly, so sampling decisions are

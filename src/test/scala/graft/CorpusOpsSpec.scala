@@ -123,4 +123,24 @@ class CorpusOpsSpec extends SparkSpecBase {
     assert(math.abs(frac("train") - 0.90) < 0.05, s"train fraction ${frac("train")}")
     assert(frac("val") > 0 && frac("test") > 0)
   }
+
+  test("mixPlan allocates the budget by target fraction and caps at stock") {
+    import spark.implicits._
+    // three strata: "big" has plenty of tokens, "tiny" cannot fill its share
+    val docs = (
+      (1 to 50).map(i => (i.toLong, ("w " * 100).trim, "big")) ++
+      (51 to 60).map(i => (i.toLong, ("w " * 100).trim, "mid")) ++
+      Seq((61L, "one two three", "tiny"))).toDF("doc_id", "text", "source")
+    val plan = CorpusOps.mixPlan(docs,
+      Map("big" -> 0.2, "mid" -> 0.3, "tiny" -> 0.5), tokenBudget = 2000L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getDouble(4), r.getLong(5)))).toMap
+    // big: 0.2*2000=400 of 5000 → rate 0.08; mid: 600 of 1000 → 0.6;
+    // tiny: 1000 wanted, 3 in stock → rate caps at 1, keeps all 3
+    assert(plan("big") == ((5000L, 0.08, 400L)), s"big: ${plan("big")}")
+    assert(plan("mid") == ((1000L, 0.6, 600L)), s"mid: ${plan("mid")}")
+    assert(plan("tiny") == ((3L, 1.0, 3L)), s"tiny: ${plan("tiny")}")
+    // an under-filled stratum surfaces as a shortfall, never re-normalizes
+    assert(plan.values.map(_._3).sum < 2000L)
+  }
 }
