@@ -142,6 +142,15 @@ object SparkEntry {
     // Data quality: Tukey-fence outlier screen per group
     "q_outliers"          -> ((s: SparkSession, d: String) =>
       CatalogOps.iqrOutliers(s, d, "orders", "o_totalprice", "o_orderstatus")),
+    // Tokenizer-prep: vocab coverage / OOV per language (16 of the
+    // corpus's 31 distinct tokens → meaningfully partial coverage)
+    "q_vocab_coverage"    -> ((s: SparkSession, d: String) =>
+      TextOps.vocabCoverage(Lake.documents(s, d), vocabSize = 16)),
+    // ANN scale path: int8 quantization calibration parameters
+    "q_embedding_quant"   -> ((s: SparkSession, d: String) =>
+      AnnOps.quantParams(s, d)),
+    // Governance: keyed pseudonymization
+    "q_pseudonymize"      -> Governance.pseudonymizeQuery _,
   )
 
   /** [[TextOps.patternScan]] dictionary for the driver query: token
@@ -951,6 +960,31 @@ object SparkEntry {
         |    cast(sum(len(string_split(text, ' '))) AS bigint) AS n_tokens
         |  FROM documents WHERE text IS NOT NULL GROUP BY source
         |) ORDER BY source""".stripMargin,
+    "q_vocab_coverage" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS token
+        |  FROM documents WHERE text IS NOT NULL
+        |), vocab AS (
+        |  SELECT token FROM (
+        |    SELECT token, count(*) AS cnt FROM toks GROUP BY token
+        |    ORDER BY cnt DESC, token LIMIT 16)
+        |)
+        |SELECT lang, count(*) AS n_tokens,
+        |  cast(sum(CASE WHEN token IN (SELECT token FROM vocab) THEN 1 ELSE 0 END) AS bigint) AS n_covered,
+        |  round(1.0 - cast(sum(CASE WHEN token IN (SELECT token FROM vocab) THEN 1 ELSE 0 END) AS double) / count(*), 6) AS oov_rate
+        |FROM toks GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_embedding_quant" ->
+      """SELECT i - 1 AS dim,
+        |  round(cast(min(embedding[i]) AS double), 6) AS lo,
+        |  round(cast(max(embedding[i]) AS double), 6) AS hi,
+        |  round((cast(max(embedding[i]) AS double) - cast(min(embedding[i]) AS double)) / 255.0, 8) AS scale
+        |FROM embeddings CROSS JOIN range(1, 65) t(i)
+        |GROUP BY i ORDER BY dim""".stripMargin,
+    "q_pseudonymize" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_name IS NOT NULL THEN sha256('graft-salt' || c_name) END AS c_name,
+        |  c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "q_outliers" ->
       """SELECT o_orderstatus, count(*) AS n_rows,
         |  cast(sum(CASE WHEN o_totalprice < q1 - 1.5 * (q3 - q1)

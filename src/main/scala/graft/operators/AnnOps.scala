@@ -309,6 +309,51 @@ object AnnOps {
       .filter(col("bucket_size") > maxBucketSize)
       .orderBy(col("bucket_size").desc, col("bucket"))
 
+  /** Per-dimension affine int8 quantization parameters: lo (= min),
+    * scale = (max − min)/255, so x ≈ lo + scale·q with q ∈ [0, 255].
+    * ONE pass: posexplode + per-dim min/max (64 groups — the dimension
+    * count, not the corpus). At 100 TB this is the calibration scan of an
+    * int8 ANN index: 4× smaller vectors, 4× more of the corpus resident
+    * per executor; [[QuantizeSpec recall assertions]] bound the accuracy
+    * cost. Degenerate dims (max == min) get scale 0 and dequantize to the
+    * constant — guarded in [[quantize]]. */
+  def quantParams(emb: DataFrame): DataFrame =
+    emb.select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("dim"))
+      .agg(min(col("v")).cast("double").as("lo"), max(col("v")).cast("double").as("hi"))
+      .select(col("dim").cast("long").as("dim"),
+        round(col("lo"), 6).as("lo"), round(col("hi"), 6).as("hi"),
+        round((col("hi") - col("lo")) / 255.0, 8).as("scale"))
+      .orderBy(col("dim"))
+
+  def quantParams(spark: SparkSession, dir: String): DataFrame =
+    quantParams(Lake.embeddings(spark, dir))
+
+  /** Int8-quantized embeddings: per-dim affine codes from [[quantParams]].
+    * The (64-row) parameter table rides along as one broadcast array
+    * column zipped against each vector — no per-dim join, no driver
+    * collect; the corpus streams through one map stage. Output keeps the
+    * original for side-by-side evaluation; drop it in production. */
+  def quantize(emb: DataFrame): DataFrame = {
+    val params = quantParams(emb)
+      .agg(sort_array(collect_list(struct(col("dim"), col("lo"), col("scale"))))
+        .as("qp"))
+    emb.join(broadcast(params))
+      .select(col("vec_id"), col("embedding"),
+        zip_with(col("embedding"), col("qp"), (x, p) =>
+          when(p.getField("scale") === 0d, lit(0))
+            .otherwise(round((x.cast("double") - p.getField("lo")) / p.getField("scale"))
+              .cast("int"))).as("codes"),
+        col("qp"))
+  }
+
+  /** Dequantized vectors (lo + scale·code) for accuracy evaluation. */
+  def dequantize(quantized: DataFrame): DataFrame =
+    quantized.select(col("vec_id"),
+      zip_with(col("codes"), col("qp"), (c, p) =>
+        (p.getField("lo") + p.getField("scale") * c.cast("double"))
+          .cast("float")).as("embedding"))
+
   /** Collection-function battery over the embedding arrays: size, extrema,
     * slices, element tests — the array-column surface a lake user touches
     * daily, all codegen'd builtins. */

@@ -258,6 +258,39 @@ object TextOps {
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     fingerprint(Lake.documents(spark, dir))
 
+  /** Vocabulary coverage: build the top-`vocabSize` token vocabulary by
+    * corpus frequency (ties broken lexicographically for determinism),
+    * then per language report what fraction of token OCCURRENCES the
+    * vocab covers — the go/no-go metric before committing a tokenizer
+    * vocab. Scale shape: one token-frequency aggregate (map-side partial
+    * agg to vocabulary cardinality, not corpus size), top-N via
+    * sort+limit on the FREQUENCY table, vocab broadcast back into a
+    * per-token semi probe. OOV rate = 1 − coverage. */
+  def vocabCoverage(docs: DataFrame, vocabSize: Int = 30): DataFrame = {
+    require(vocabSize > 0, "vocabSize must be positive")
+    val tokens = nonNull(docs)
+      .select(col("lang"), explode(toks).as("token"))
+    val vocab = tokens.groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(vocabSize)
+      .select(col("token"))
+    tokens
+      .join(broadcast(vocab.withColumn("__in_vocab", lit(1L))),
+        Seq("token"), "left")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("__in_vocab"), lit(0L))).as("n_covered"))
+      .select(col("lang"), col("n_tokens"), col("n_covered"),
+        round(lit(1.0) - col("n_covered").cast("double") / col("n_tokens"), 6)
+          .as("oov_rate"))
+      .orderBy(col("lang"))
+  }
+
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame =
+    vocabCoverage(Lake.documents(spark, dir))
+
   /** PII dictionary for [[piiScan]]/[[redact]]: email, IPv4, phone-shaped
     * digit runs, 16-digit card-shaped numbers. RE2-compatible (no
     * lookaround, no backreferences) so the same strings run unchanged in

@@ -110,6 +110,39 @@ class AnnSpec extends SparkSpecBase {
     assert(kmeans >= 0.6, s"k-means IVF recall $kmeans < 0.6")
   }
 
+  test("int8 quantization round-trips within half a step and keeps top-k recall") {
+    val emb = Lake.embeddings(spark, Sf)
+    val q = AnnOps.quantize(emb)
+    // every code is a byte and round-trip error is bounded by scale/2
+    val err = AnnOps.dequantize(q).select(col("vec_id"), col("embedding").as("deq"))
+      .join(emb, "vec_id")
+      .select(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.aggregate(
+          org.apache.spark.sql.functions.zip_with(
+            col("embedding"), col("deq"), (a, b) => abs(a - b)),
+          org.apache.spark.sql.functions.lit(0f),
+          (acc, x) => org.apache.spark.sql.functions.greatest(acc, x))))
+      .first().getFloat(0)
+    val maxScale = AnnOps.quantParams(emb).agg(
+      org.apache.spark.sql.functions.max(col("scale"))).first().getDouble(0)
+    assert(err <= maxScale / 2 + 1e-6, s"round-trip error $err > step/2 $maxScale")
+    val codes = q.select(explode(col("codes"))).collect().map(_.getInt(0))
+    assert(codes.forall(c => c >= 0 && c <= 255), "codes must fit uint8")
+    // exact search over dequantized vectors still finds the true neighbors
+    def sets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1))
+        .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).toSet }
+    val exact = sets(AnnOps.bruteForce(spark, Sf))
+    val deq = AnnOps.dequantize(q)
+    val approx = sets(AnnOps.bruteForce(deq,
+      deq.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")), 5))
+    val recalls = exact.map { case (k, truth) =>
+      (approx.getOrElse(k, Set.empty) & truth).size.toDouble / truth.size }
+    val recall = recalls.sum / recalls.size
+    assert(recall >= 0.8, s"quantized recall $recall < 0.8")
+  }
+
   test("hot-bucket cap keeps bucketedPairs sub-quadratic on clone-heavy corpora") {
     import spark.implicits._
     val dim = 8
