@@ -151,6 +151,19 @@ object SparkEntry {
       AnnOps.quantParams(s, d)),
     // Governance: keyed pseudonymization
     "q_pseudonymize"      -> Governance.pseudonymizeQuery _,
+    // Time-series resample: zero-filled dense hourly grid
+    "q_gap_fill"          -> EventOps.hourlyGapFilled _,
+    // Catalog: pairwise Pearson correlations in one pass
+    "q_correlations"      -> ((s: SparkSession, d: String) =>
+      CatalogOps.correlations(s, d, "lineitem", Seq(
+        "l_quantity" -> "l_extendedprice",
+        "l_extendedprice" -> "l_tax",
+        "l_quantity" -> "l_discount"))),
+    // Exact-N deterministic per-stratum sample (portable hash rank)
+    "q_fixed_sample"      -> ((s: SparkSession, d: String) =>
+      CorpusOps.fixedSample(Lake.documents(s, d), n = 5)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))),
   )
 
   /** [[TextOps.patternScan]] dictionary for the driver query: token
@@ -985,6 +998,38 @@ object SparkEntry {
         |  CASE WHEN c_name IS NOT NULL THEN sha256('graft-salt' || c_name) END AS c_name,
         |  c_mktsegment
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_gap_fill" ->
+      """WITH spine AS (
+        |  SELECT unnest(generate_series(
+        |    cast(date_trunc('hour', (SELECT min(ts) FROM events)) AS timestamp),
+        |    cast(date_trunc('hour', (SELECT max(ts) FROM events)) AS timestamp),
+        |    INTERVAL 1 HOUR)) AS bucket
+        |), agg AS (
+        |  SELECT cast(date_trunc('hour', ts) AS timestamp) AS bucket, event_type,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT spine.bucket, t.event_type, coalesce(agg.n, 0) AS n_events
+        |FROM spine
+        |CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+        |LEFT JOIN agg ON agg.bucket = spine.bucket AND agg.event_type = t.event_type
+        |ORDER BY spine.bucket, t.event_type""".stripMargin,
+    "q_correlations" ->
+      """SELECT col_a, col_b, round(pearson_r, 4) AS pearson_r FROM (
+        |  SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+        |    corr(l_quantity, l_extendedprice) AS pearson_r FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', 'l_tax', corr(l_extendedprice, l_tax) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_quantity', 'l_discount', corr(l_quantity, l_discount) FROM lineitem
+        |) ORDER BY col_a, col_b""".stripMargin,
+    "q_fixed_sample" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source, row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY ((doc_id * 48271) % 2147483647) % 10000, doc_id) AS r
+        |  FROM documents
+        |) WHERE r <= 5 ORDER BY doc_id""".stripMargin,
     "q_outliers" ->
       """SELECT o_orderstatus, count(*) AS n_rows,
         |  cast(sum(CASE WHEN o_totalprice < q1 - 1.5 * (q3 - q1)

@@ -111,6 +111,28 @@ object CatalogOps {
       .orderBy(col("column_name"))
   }
 
+  /** Pairwise Pearson correlations for a list of numeric column pairs —
+    * the relationship half of profiling (is discount coupled to quantity?
+    * does price predict tax?). ALL pairs ride ONE aggregate pass over the
+    * table (each `corr` keeps its own co-moment buffer; map-side partial
+    * agg merges them associatively), then unpivot to long format. Rounded
+    * to 4: co-moment merge order varies with partitioning and the last
+    * float bits with it. */
+  def correlations(spark: SparkSession, dir: String, table: String,
+                   pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "need at least one column pair")
+    val df = Lake.table(spark, dir, table)
+    val aggs = pairs.zipWithIndex.map { case ((a, b), i) =>
+      corr(col(a), col(b)).as(s"__c$i")
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stackExpr = pairs.zipWithIndex.map { case ((a, b), i) =>
+      s"'$a', '$b', round(__c$i, 4)"
+    }.mkString(s"stack(${pairs.size}, ", ", ", ")")
+    wide.select(expr(s"$stackExpr as (col_a, col_b, pearson_r)"))
+      .orderBy(col("col_a"), col("col_b"))
+  }
+
   /** IQR outlier screen per group: Tukey fences (k·IQR beyond the
     * quartiles) over a value column — the data-quality scan that flags
     * anomalous rows before they poison downstream stats. Two passes by

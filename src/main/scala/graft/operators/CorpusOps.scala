@@ -228,6 +228,23 @@ object CorpusOps {
   def sampleBucket: org.apache.spark.sql.Column =
     pmod(col("doc_id") * lit(48271L), lit(2147483647L)) % 10000
 
+  /** Exact-size deterministic sample per stratum: rank rows within each
+    * stratum by the portable [[sampleBucket]] (doc_id tie-break) and keep
+    * the first `n` — when the contract is "exactly N docs per source"
+    * rather than [[stratifiedSample]]'s "rate r of each source". One
+    * window shuffle keyed by stratum; the hash order makes the pick
+    * uniform-ish, retry-stable, partitioning-independent, and — unlike
+    * rand()-based reservoirs — reproducible by any engine. */
+  def fixedSample(docs: DataFrame, n: Int,
+                  strataCol: String = "source"): DataFrame = {
+    require(n > 0, "sample size must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(sampleBucket, col("doc_id"))
+    docs.withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= n)
+      .drop("__r")
+  }
+
   /** Domain mixing / deterministic stratified downsampling: keep each row
     * of stratum s iff its [[sampleBucket]] < rates(s)·10000 — the
     * "re-weight sources for training" step of a data pipeline. The rate

@@ -32,6 +32,32 @@ object EventOps {
         round(sum(col("value").cast(dec2)).cast("double"), 2).as("sum_value"))
       .orderBy(col("bucket"), col("event_type"))
 
+  /** Gap-filled hourly series: every hour between the corpus min and max
+    * gets a row per event type, zero-filled where nothing happened — the
+    * resample step charting and anomaly detection need (a missing bucket
+    * and a zero bucket are different signals). The dense (hour × type)
+    * spine is `sequence()` over the global time bounds (one tiny
+    * aggregate) cross-joined with the distinct types — both sides
+    * broadcast-sized by nature (hours in a retention window × event
+    * types), never corpus-sized; the real aggregate left-joins onto the
+    * spine. */
+  def hourlyGapFilled(spark: SparkSession, dir: String): DataFrame = {
+    val agg = Lake.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val bounds = Lake.events(spark, dir)
+      .agg(date_trunc("hour", min(col("ts"))).as("lo"),
+        date_trunc("hour", max(col("ts"))).as("hi"))
+    val hours = bounds.select(
+      explode(expr("sequence(lo, hi, interval 1 hour)")).as("bucket"))
+    val types = Lake.events(spark, dir).select(col("event_type")).distinct()
+    hours.crossJoin(broadcast(types))
+      .join(agg, Seq("bucket", "event_type"), "left")
+      .select(col("bucket"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n_events"))
+      .orderBy(col("bucket"), col("event_type"))
+  }
+
   /** Events with a session id assigned per user: a new session starts when
     * the gap since the previous event exceeds `SessionGapSeconds`. */
   def withSessionIds(spark: SparkSession, dir: String): DataFrame = {

@@ -92,11 +92,13 @@ class PlanShapeSpec extends SparkSpecBase {
     // q_incremental_quantiles (one-row merged sketch estimates × the
     // rank-check scan)
     // ... q_set_overlap (one-row sketch estimates × one-row exact pass),
-    // q_surprisal (one-row corpus token total)
+    // q_surprisal (one-row corpus token total), q_gap_fill (the dense
+    // hour × event-type spine: both sides bounded by nature, the product
+    // IS the resample grid)
     val intendedBnlj =
       Set("q_cross_join", "q_ann_bruteforce", "q_ann_filtered", "q_term_stats",
         "q_ann_ivf", "q_incremental_ndv", "q_incremental_quantiles",
-        "q_set_overlap", "q_surprisal")
+        "q_set_overlap", "q_surprisal", "q_gap_fill")
     for ((name, fn) <- SparkEntry.queries) {
       val plan = planOf(fn(spark, Sf))
       if (!intendedProducts(name))
