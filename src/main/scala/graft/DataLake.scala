@@ -29,6 +29,12 @@ final case class DataLake(spark: SparkSession, dir: String) {
   def quantiles(table: String, columns: Seq[String], exact: Boolean = true): DataFrame =
     CatalogOps.quantiles(spark, dir, table, columns, exact)
   def fileMetadata: DataFrame = CatalogOps.fileMetadata(spark, dir)
+  def correlations(table: String, pairs: Seq[(String, String)]): DataFrame =
+    CatalogOps.correlations(spark, dir, table, pairs)
+  def outliers(table: String, valueCol: String, groupCol: String): DataFrame =
+    CatalogOps.iqrOutliers(spark, dir, table, valueCol, groupCol)
+  def fkCandidates(candidates: Seq[((String, String), (String, String))]): DataFrame =
+    CatalogOps.inclusionDependencies(spark, dir, candidates)
 
   // ---- raw tables ----
   def table(name: String): DataFrame = Lake.table(spark, dir, name)
@@ -56,6 +62,17 @@ final case class DataLake(spark: SparkSession, dir: String) {
     CorpusOps.stratifiedSample(documents, rates)
   def qualityRules(): DataFrame = TextOps.qualityRules(documents)
   def surprisal(): DataFrame = TextOps.unigramSurprisal(documents)
+  def normalize(): DataFrame = TextOps.normalize(documents)
+  def piiScan(): DataFrame = TextOps.piiScan(documents)
+  def redact(patterns: Seq[(String, String)] = TextOps.PiiPatterns): DataFrame =
+    TextOps.redact(documents, patterns)
+  def vocabCoverage(vocabSize: Int = 30): DataFrame =
+    TextOps.vocabCoverage(documents, vocabSize)
+  def mixPlan(targets: Map[String, Double], tokenBudget: Long): DataFrame =
+    CorpusOps.mixPlan(documents, targets, tokenBudget)
+  def fixedSample(n: Int): DataFrame = CorpusOps.fixedSample(documents, n)
+  def pseudonymize(table: String, cols: Seq[String], salt: String): DataFrame =
+    Governance.pseudonymize(Lake.table(spark, dir, table), cols, salt)
 
   /** The end-to-end corpus cleaning a training pipeline runs: exact-dup
     * removal (keepers only) → near-dup cluster removal → quality-rule

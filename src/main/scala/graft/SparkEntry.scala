@@ -164,6 +164,12 @@ object SparkEntry {
       CorpusOps.fixedSample(Lake.documents(s, d), n = 5)
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))),
+    // Equi-depth binning (exact ntile; approx cutpoints at 100 TB)
+    "q_quantile_bins"     -> ((s: SparkSession, d: String) =>
+      CatalogOps.quantileBins(s, d)),
+    // RANGE-frame (event-time) trailing moving average
+    "q_moving_avg"        -> ((s: SparkSession, d: String) =>
+      EventOps.movingAverage(s, d)),
   )
 
   /** [[TextOps.patternScan]] dictionary for the driver query: token
@@ -1030,6 +1036,25 @@ object SparkEntry {
         |    ORDER BY ((doc_id * 48271) % 2147483647) % 10000, doc_id) AS r
         |  FROM documents
         |) WHERE r <= 5 ORDER BY doc_id""".stripMargin,
+    "q_quantile_bins" ->
+      """SELECT bin, count(*) AS n_rows,
+        |  round(min(l_extendedprice), 2) AS lo,
+        |  round(max(l_extendedprice), 2) AS hi
+        |FROM (
+        |  SELECT l_extendedprice, ntile(10) OVER (
+        |    ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS bin
+        |  FROM lineitem
+        |) GROUP BY bin ORDER BY bin""".stripMargin,
+    "q_moving_avg" ->
+      """SELECT bucket, event_type, n_events,
+        |  round(avg(n_events) OVER (
+        |    PARTITION BY event_type ORDER BY bucket
+        |    RANGE BETWEEN INTERVAL 2 HOUR PRECEDING AND CURRENT ROW), 4) AS moving_avg
+        |FROM (
+        |  SELECT cast(date_trunc('hour', ts) AS timestamp) AS bucket, event_type,
+        |    count(*) AS n_events
+        |  FROM events GROUP BY 1, 2
+        |) ORDER BY bucket, event_type""".stripMargin,
     "q_outliers" ->
       """SELECT o_orderstatus, count(*) AS n_rows,
         |  cast(sum(CASE WHEN o_totalprice < q1 - 1.5 * (q3 - q1)

@@ -111,6 +111,29 @@ object CatalogOps {
       .orderBy(col("column_name"))
   }
 
+  /** Equi-depth (quantile) binning: rows ranked into `nBins` equal-count
+    * bins with per-bin bounds — the feature-transform twin of the
+    * equi-width histogram. ntile is an exact GLOBAL order statistic, so
+    * this plan has a single-partition sort window: correct at any size
+    * but serial at the sort. The 100 TB path swaps the exact ntile for
+    * [[quantiles]]-derived cut points (approx_percentile) + width_bucket
+    * — same output contract, fully parallel; keep the exact form where
+    * bin-count equality must be exact (the tie-broken order makes it
+    * deterministic and engine-reproducible). */
+  def quantileBins(spark: SparkSession, dir: String, nBins: Int = 10): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    Lake.table(spark, dir, "lineitem")
+      .select(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      .withColumn("bin", ntile(nBins).over(w))
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        round(min(col("l_extendedprice")), 2).as("lo"),
+        round(max(col("l_extendedprice")), 2).as("hi"))
+      .orderBy(col("bin"))
+  }
+
   /** Pairwise Pearson correlations for a list of numeric column pairs —
     * the relationship half of profiling (is discount coupled to quantity?
     * does price predict tax?). ALL pairs ride ONE aggregate pass over the

@@ -32,6 +32,25 @@ object EventOps {
         round(sum(col("value").cast(dec2)).cast("double"), 2).as("sum_value"))
       .orderBy(col("bucket"), col("event_type"))
 
+  /** Trailing moving average over event-TIME (a RANGE frame, not a ROWS
+    * frame): each hourly bucket averages the counts of the last `hours`
+    * hours that actually exist — hour gaps shrink the frame, which a
+    * ROWS frame would silently paper over. Spark range frames need a
+    * numeric ordering key, so the frame runs over epoch seconds; one
+    * shuffle keyed by event_type (the series count), then a linear
+    * window pass. */
+  def movingAverage(spark: SparkSession, dir: String, hours: Int = 3): DataFrame = {
+    val hourly = Lake.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(unix_timestamp(col("bucket")))
+      .rangeBetween(-(hours - 1) * 3600L, 0L)
+    hourly
+      .withColumn("moving_avg", round(avg(col("n_events")).over(w), 4))
+      .orderBy(col("bucket"), col("event_type"))
+  }
+
   /** Gap-filled hourly series: every hour between the corpus min and max
     * gets a row per event type, zero-filled where nothing happened — the
     * resample step charting and anomaly detection need (a missing bucket

@@ -258,6 +258,18 @@ object TextOps {
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     fingerprint(Lake.documents(spark, dir))
 
+  /** C4-style text normalization: lowercase, strip punctuation to spaces,
+    * collapse whitespace runs, trim — the canonical form exact-dedup and
+    * n-gram ops should see (e.g. "Hello, World!" and "hello world" are
+    * the same document for dedup purposes). One codegen'd map stage.
+    * Normalization HALVES then FEEDS the pipeline: `dedupExact(normalize
+    * (docs))` catches case/punctuation variants the raw pass misses. */
+  def normalize(docs: DataFrame): DataFrame =
+    nonNull(docs).withColumn("text",
+      trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
+        " +", " ")))
+
   /** Vocabulary coverage: build the top-`vocabSize` token vocabulary by
     * corpus frequency (ties broken lexicographically for determinism),
     * then per language report what fraction of token OCCURRENCES the

@@ -59,6 +59,26 @@ class TextOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("normalize canonicalizes case/punct/whitespace so exact dedup catches variants") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Hello,   World!"),
+      (2L, "hello world"),
+      (3L, "HELLO... WORLD"),
+      (4L, "a genuinely different document")).toDF("doc_id", "text")
+    val norm = TextOps.normalize(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(norm(1L) == "hello world" && norm(3L) == "hello world",
+      s"variants must canonicalize: $norm")
+    assert(norm(2L) == "hello world", "already-canonical text must pass through")
+    // normalization feeds dedup: three variants collapse to one group
+    val groups = graft.operators.DedupOps.dedupExact(TextOps.normalize(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(groups.exists(_._2 == 3L),
+      s"normalized dedup must find the 3-variant group, got ${groups.toSeq}")
+    assert(groups.length == 2, "two distinct contents after normalization")
+  }
+
   test("piiScan counts planted PII and redact removes every occurrence") {
     import spark.implicits._
     val docs = Seq(
