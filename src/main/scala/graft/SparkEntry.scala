@@ -170,6 +170,8 @@ object SparkEntry {
     // RANGE-frame (event-time) trailing moving average
     "q_moving_avg"        -> ((s: SparkSession, d: String) =>
       EventOps.movingAverage(s, d)),
+    // Bigram (conditional) surprisal — transition-aware LM-proxy score
+    "q_bigram_surprisal"  -> TextOps.bigramSurprisal _,
   )
 
   /** [[TextOps.patternScan]] dictionary for the driver query: token
@@ -1036,6 +1038,23 @@ object SparkEntry {
         |    ORDER BY ((doc_id * 48271) % 2147483647) % 10000, doc_id) AS r
         |  FROM documents
         |) WHERE r <= 5 ORDER BY doc_id""".stripMargin,
+    // Same decimal routing as q_surprisal: per-bigram -ln p rounded to 6
+    // then decimal-summed -> order-independent, ln() agrees to ~1 ulp.
+    "q_bigram_surprisal" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+        |             FROM documents
+        |             WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 2),
+        |e AS (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM tok),
+        |bi AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS bigram, t[i] AS w1 FROM e),
+        |bc AS (SELECT w1, bigram, count(*) AS bc FROM bi GROUP BY w1, bigram),
+        |pc AS (SELECT w1, sum(bc) AS pc FROM bc GROUP BY w1),
+        |lp AS (SELECT bigram,
+        |         cast(round(-ln(cast(bc AS double) / pc), 6) AS decimal(18,6)) AS neg_logp
+        |       FROM bc JOIN pc USING (w1))
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(cast(sum(neg_logp) AS double) / count(*), 4) AS avg_surprisal
+        |FROM bi JOIN lp USING (bigram)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_quantile_bins" ->
       """SELECT bin, count(*) AS n_rows,
         |  round(min(l_extendedprice), 2) AS lo,

@@ -181,4 +181,37 @@ object Maintenance {
     }
     if (rows.isEmpty) 0.0 else skippable.toDouble / rows.length
   }
+
+  /** Point-lookup file index — the bloom-filter complement of [[fileStats]]
+    * for columns min/max cannot help with (high-cardinality keys written
+    * unsorted: every file spans the whole range). Per file: the SET of
+    * occupied hash buckets (xxhash64 mod `buckets`), distinct-aggregated
+    * then array-packed — at most `buckets` ints per file, one scan, no
+    * false negatives. A key whose bucket is absent from a file's set is
+    * PROVABLY not in that file (hash-collision false positives only read
+    * an extra file — same contract as a bloom filter at m bits / k=1). */
+  def pointIndex(spark: SparkSession, tableDir: String, keyCol: String,
+                 buckets: Int = 8192): DataFrame = {
+    require(buckets > 0, "bucket count must be positive")
+    spark.read.parquet(tableDir)
+      .groupBy(input_file_name().as("file"),
+        // cast to long so probe-side literals hash identically (xxhash64
+        // is type-sensitive: int and bigint encodings differ)
+        pmod(xxhash64(col(keyCol).cast("long")), lit(buckets.toLong)).as("__b"))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col("file"))
+      .agg(sort_array(collect_set(col("__b"))).as("occupied"))
+  }
+
+  /** Files that may contain `key`, per the [[pointIndex]] — the scan list
+    * for a point lookup. The index is O(files) rows; the probe is a
+    * driver-free filter on it. */
+  def candidateFiles(index: DataFrame, keyCol: String, key: Long,
+                     buckets: Int = 8192): DataFrame = {
+    val b = index.sparkSession.range(1).select(
+      pmod(xxhash64(lit(key).cast("long")), lit(buckets.toLong)).as("__kb"))
+    index.crossJoin(broadcast(b))
+      .filter(array_contains(col("occupied"), col("__kb")))
+      .select(col("file"))
+  }
 }

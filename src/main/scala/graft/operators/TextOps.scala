@@ -182,6 +182,40 @@ object TextOps {
   def unigramSurprisal(spark: SparkSession, dir: String): DataFrame =
     unigramSurprisal(Lake.documents(spark, dir))
 
+  /** Bigram (conditional) surprisal: mean −ln p(wᵢ | wᵢ₋₁) per doc under
+    * the corpus bigram model — a sharper LM-proxy quality score than
+    * [[unigramSurprisal]] (it penalizes unusual TRANSITIONS, not just
+    * rare words; shuffled word salad scores high even when every word is
+    * common). p(w₂|w₁) = c(w₁w₂) / Σ_w c(w₁w), both counts from one
+    * bigram aggregate. Same determinism routing as the unigram form:
+    * per-bigram −ln p rounded then decimal-summed, so the per-doc mean is
+    * aggregation-order-independent and oracle-exact. Docs need ≥ 2
+    * tokens. Scale: the bigram count table is vocab²-bounded (language
+    * bigrams, not corpus rows); the probe join shuffles by bigram key. */
+  def bigramSurprisal(docs: DataFrame): DataFrame = {
+    val withBi = nonNull(docs).filter(size(toks) >= 2)
+      .select(col("doc_id"), explode(shingleCol(2)).as("bigram"))
+    val counts = withBi
+      .select(substring_index(col("bigram"), " ", 1).as("w1"), col("bigram"))
+      .groupBy(col("w1"), col("bigram")).agg(count(lit(1)).as("bc"))
+    val prefix = counts.groupBy(col("w1")).agg(sum(col("bc")).as("pc"))
+    val logp = counts.join(prefix, "w1")
+      .select(col("bigram"),
+        round(-log(col("bc") / col("pc")), 6)
+          .cast(DecimalType(18, 6)).as("neg_logp"))
+    withBi.join(logp, "bigram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("neg_logp")).as("total"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("total").cast("double") / col("n_bigrams"), 4)
+          .as("avg_surprisal"))
+      .orderBy(col("doc_id"))
+  }
+
+  def bigramSurprisal(spark: SparkSession, dir: String): DataFrame =
+    bigramSurprisal(Lake.documents(spark, dir))
+
   /** Rule-based quality filter (C4/Gopher-style): per doc, the repetition
     * and length metrics those pipelines gate on, plus the combined `keep`
     * verdict. Emitted metrics are the ones that vary on real text —

@@ -251,6 +251,47 @@ object SnapshotTable {
     write(spark, dir, read(spark, dir).repartition(targetFiles))
   }
 
+  private val TagPrefix = "_tag_"
+
+  /** Tag a committed version with a stable name (Iceberg/Delta-style
+    * refs): `prod`, `exp-2026-08`, … — readers pin to the NAME while
+    * writers keep committing. A tag is one marker file whose content is
+    * the version number; re-tagging overwrites atomically via
+    * write-temp + rename. Tag names: [A-Za-z0-9._-]. */
+  def tag(spark: SparkSession, dir: String, name: String, version: Long): Unit = {
+    require(name.nonEmpty && name.forall(c =>
+      c.isLetterOrDigit || c == '.' || c == '_' || c == '-'),
+      s"invalid tag name '$name'")
+    require(versions(spark, dir).contains(version),
+      s"cannot tag uncommitted version $version of $dir")
+    val f = fs(spark, dir)
+    val tmp = new Path(dir, s".$TagPrefix$name.tmp")
+    val out = f.create(tmp, true)
+    try out.write(version.toString.getBytes("UTF-8")) finally out.close()
+    val dst = new Path(dir, s"$TagPrefix$name")
+    f.delete(dst, false)
+    if (!f.rename(tmp, dst))
+      throw new java.io.IOException(s"could not publish tag $name in $dir")
+  }
+
+  /** Version a tag points at, or None. Tags at vacuumed versions resolve
+    * but [[read]] then rejects them — stale-tag detection, not silence. */
+  def tagVersion(spark: SparkSession, dir: String, name: String): Option[Long] = {
+    val f = fs(spark, dir)
+    val p = new Path(dir, s"$TagPrefix$name")
+    if (!f.exists(p)) return None
+    val in = f.open(p)
+    try {
+      val s = scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      if (s.nonEmpty && s.forall(_.isDigit)) Some(s.toLong) else None
+    } finally in.close()
+  }
+
+  /** Read the version a tag names. */
+  def readTag(spark: SparkSession, dir: String, name: String): DataFrame =
+    read(spark, dir, Some(tagVersion(spark, dir, name).getOrElse(
+      throw new IllegalArgumentException(s"no tag '$name' in $dir"))))
+
   /** Drop all versions older than the `keepLast` most recent (never the
     * current one — `keepLast` must be ≥ 1). */
   def vacuum(spark: SparkSession, dir: String, keepLast: Int = 1): Seq[Long] = {

@@ -99,6 +99,34 @@ class MaintenanceSpec extends SparkSpecBase {
            expected.exceptAll(joined).count() == 0)
   }
 
+  test("point index prunes files for key lookups with zero false negatives") {
+    val dir = s"$tmp/point_idx"
+    // 20 unsorted files over a high-cardinality key: min/max zone maps are
+    // useless here (every file spans the whole keyspace)
+    Lake.orders(spark, Sf).repartition(20).write.parquet(dir)
+    val stats = Maintenance.fileStats(spark, dir, "o_orderkey")
+    assert(Maintenance.skipRatio(stats, 500.0, 600.0) == 0.0,
+      "precondition: zone maps must be useless on this layout")
+    val index = Maintenance.pointIndex(spark, dir, "o_orderkey", buckets = 4096)
+    val nFiles = index.count()
+    assert(nFiles == 20, s"one index row per file, got $nFiles")
+    val keys = Seq(1L, 777L, 4242L, 9999L)
+    for (k <- keys) {
+      val cand = Maintenance.candidateFiles(index, "o_orderkey", k, buckets = 4096)
+        .collect().map(_.getString(0)).toSet
+      // no false negatives: every file that truly holds the key is a candidate
+      val truth = spark.read.parquet(dir)
+        .filter(col("o_orderkey") === k)
+        .select(input_file_name()).distinct()
+        .collect().map(_.getString(0)).toSet
+      assert(truth.subsetOf(cand), s"key $k: index missed files ${truth -- cand}")
+      // and the index actually prunes (each file holds ~750 of 15000 keys
+      // → ~18% bucket occupancy at 4096 buckets; a candidate list as big
+      // as the file list would make the index pointless)
+      assert(cand.size < 20, s"key $k: index pruned nothing")
+    }
+  }
+
   test("ingest dedup appends only unseen content") {
     val target = s"$tmp/docs_target"
     val docs = Lake.documents(spark, Sf)

@@ -119,6 +119,26 @@ class SnapshotTableSpec extends SparkSpecBase {
     assert(SnapshotTable.read(spark, dir, Some(1L)).count() == 4)
   }
 
+  test("tags name versions; re-tag moves the ref; stale names rejected") {
+    val dir = Files.createTempDirectory("graft_snap_tag").toString + "/tbl"
+    val docs = Lake.documents(spark, Sf)
+    SnapshotTable.write(spark, dir, docs.filter("doc_id < 100")) // v0
+    SnapshotTable.write(spark, dir, docs.filter("doc_id < 300")) // v1
+    SnapshotTable.tag(spark, dir, "prod", 0L)
+    assert(SnapshotTable.tagVersion(spark, dir, "prod").contains(0L))
+    assert(SnapshotTable.readTag(spark, dir, "prod").count() == 100)
+    // readers pinned to the tag are unaffected by newer commits
+    SnapshotTable.write(spark, dir, docs) // v2
+    assert(SnapshotTable.readTag(spark, dir, "prod").count() == 100)
+    // re-tag moves the ref atomically
+    SnapshotTable.tag(spark, dir, "prod", 2L)
+    assert(SnapshotTable.readTag(spark, dir, "prod").count() == 500)
+    // tagging an uncommitted version or using a bad name is rejected
+    intercept[IllegalArgumentException](SnapshotTable.tag(spark, dir, "x", 9L))
+    intercept[IllegalArgumentException](SnapshotTable.tag(spark, dir, "a/b", 0L))
+    intercept[IllegalArgumentException](SnapshotTable.readTag(spark, dir, "nope"))
+  }
+
   test("diff emits exactly the added/removed/updated keys between versions") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_snap_diff").toString + "/tbl"
