@@ -172,6 +172,8 @@ object SparkEntry {
       EventOps.movingAverage(s, d)),
     // Bigram (conditional) surprisal — transition-aware LM-proxy score
     "q_bigram_surprisal"  -> TextOps.bigramSurprisal _,
+    // BM25 keyword retrieval — sparse top-k (dense side: q_ann_*)
+    "q_bm25"              -> TextOps.bm25TopK _,
   )
 
   /** [[TextOps.patternScan]] dictionary for the driver query: token
@@ -1055,6 +1057,28 @@ object SparkEntry {
         |  round(cast(sum(neg_logp) AS double) / count(*), 4) AS avg_surprisal
         |FROM bi JOIN lp USING (bigram)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // BM25 with Lucene idf; same decimal routing as the surprisal pair.
+    // Literals 2.2/0.25 equal Spark's k1+1.0/1.0-b bit-for-bit.
+    "q_bm25" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+        |             FROM documents WHERE text IS NOT NULL),
+        |dl AS (SELECT doc_id, len(t) AS dl FROM tok),
+        |stats AS (SELECT cast(count(*) AS double) AS n,
+        |                 cast(sum(dl) AS double) / count(*) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, tk AS token, count(*) AS tf
+        |       FROM (SELECT doc_id, unnest(t) AS tk FROM tok)
+        |       WHERE tk IN ('spark', 'hash', 'join') GROUP BY doc_id, tk),
+        |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |sc AS (SELECT doc_id,
+        |         cast(round(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * (tf * 2.2)
+        |           / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6)
+        |           AS decimal(18,6)) AS s
+        |       FROM tf JOIN df USING (token) JOIN dl USING (doc_id)
+        |       CROSS JOIN stats)
+        |SELECT doc_id, count(*) AS n_terms_hit,
+        |  round(cast(sum(s) AS double), 4) AS score
+        |FROM sc GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     "q_quantile_bins" ->
       """SELECT bin, count(*) AS n_rows,
         |  round(min(l_extendedprice), 2) AS lo,

@@ -216,6 +216,58 @@ object TextOps {
   def bigramSurprisal(spark: SparkSession, dir: String): DataFrame =
     bigramSurprisal(Lake.documents(spark, dir))
 
+  /** BM25 keyword retrieval — the sparse complement to the dense ANN
+    * operators (AnnOps): rank documents for a bag-of-words query by
+    * Okapi BM25 with the Lucene idf form,
+    * `idf = ln(1 + (N − df + 0.5)/(df + 0.5))`,
+    * `tf_norm = tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))`.
+    *
+    * Scale shape: tokens are filtered to the query terms BEFORE the
+    * shuffle, so only matching (doc, term) rows leave the map stage —
+    * the aggregate state is O(matching docs × query terms), never
+    * O(corpus tokens). df comes from that same tiny frame; N and avgdl
+    * are a one-row broadcast aggregate. Top-k is a bounded
+    * TakeOrderedAndProject.
+    *
+    * Determinism: per-(doc,term) score is a pure scalar of longs and two
+    * corpus doubles, rounded to 6 decimals and decimal-summed across
+    * query terms (order-independent, oracle-exact); ties broken by
+    * doc_id. */
+  def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int = 20,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "BM25 needs at least one query term")
+    val clean = nonNull(docs)
+    val dl = clean.select(col("doc_id"), size(toks).cast("long").as("dl"))
+    val stats = dl.agg(
+      count(lit(1)).cast("double").as("__n"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("__avgdl"))
+    val tf = clean.select(col("doc_id"), explode(toks).as("token"))
+      .filter(col("token").isin(queryTerms: _*))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    tf.join(df, "token").join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        round(log(lit(1.0) + (col("__n") - col("df") + 0.5) / (col("df") + 0.5)) *
+            (col("tf") * lit(k1 + 1.0)) /
+            (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("__avgdl"))),
+          6).cast(DecimalType(18, 6)).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms_hit"),
+        sum(col("s")).as("total"))
+      .select(col("doc_id"), col("n_terms_hit"),
+        round(col("total").cast("double"), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame =
+    bm25TopK(Lake.documents(spark, dir), Bm25Query)
+
+  /** Fixed query for the driver entry — common corpus words with spread
+    * document frequencies, so idf actually differentiates. */
+  val Bm25Query: Seq[String] = Seq("spark", "hash", "join")
+
   /** Rule-based quality filter (C4/Gopher-style): per doc, the repetition
     * and length metrics those pipelines gate on, plus the combined `keep`
     * verdict. Emitted metrics are the ones that vary on real text —

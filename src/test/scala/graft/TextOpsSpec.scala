@@ -106,4 +106,28 @@ class TextOpsSpec extends SparkSpecBase {
     val rescan = TextOps.piiScan(TextOps.redact(docs)).collect()
     assert(rescan.forall(_.getLong(2) == 0L), "redacted corpus must scan clean")
   }
+
+  test("bm25 ranks by tf, penalizes long docs, rewards rare terms") {
+    import spark.implicits._
+    val filler = Seq.fill(40)("pad").mkString(" ")
+    val docs = Seq(
+      (1L, "spark spark spark runs fast"),       // high tf
+      (2L, "spark runs somewhere else"),         // low tf, same length ballpark
+      (3L, s"spark $filler"),                    // same tf as 2 but much longer
+      (4L, "quartz is a rare mineral"),          // rare term only
+      (5L, "quartz quartz everywhere quartz"),
+      (6L, "no match at all here")).toDF("doc_id", "text")
+    val hits = TextOps.bm25TopK(docs, Seq("spark", "quartz"), k = 10).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(!hits.contains(6L), "docs with no query term must not appear")
+    assert(hits(1L) > hits(2L), s"tf must raise the score: $hits")
+    assert(hits(2L) > hits(3L), s"length normalization must penalize doc 3: $hits")
+    // quartz (df=2 of 6) outranks spark (df=3 of 6) at equal tf=1
+    assert(hits(4L) > hits(2L), s"rarer term must score higher at tf=1: $hits")
+    // k truncates deterministically: the same two highest scorers
+    val best2 = hits.toSeq.sortBy { case (id, s) => (-s, id) }.take(2).map(_._1).toSet
+    val top2 = TextOps.bm25TopK(docs, Seq("spark", "quartz"), k = 2).collect()
+    assert(top2.length == 2 && top2.map(_.getLong(0)).toSet == best2,
+      s"top-2 must be the two highest scorers: ${top2.mkString(",")}")
+  }
 }
