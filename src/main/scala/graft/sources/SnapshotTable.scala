@@ -56,7 +56,9 @@ object SnapshotTable {
   def latestVersion(spark: SparkSession, dir: String): Option[Long] =
     versions(spark, dir).lastOption
 
-  /** Smallest version number no commit or claim has used yet. */
+  /** Smallest version number no commit, claim, or staged branch head has
+    * used yet (staged versions hold data with the claim already dropped —
+    * reusing their number would clobber an unpublished branch). */
   private def nextFree(f: org.apache.hadoop.fs.FileSystem, base: Path): Long = {
     if (!f.exists(base)) return 0L
     val used = f.listStatus(base).iterator.map(_.getPath.getName)
@@ -64,6 +66,7 @@ object SnapshotTable {
         val suffix =
           if (n.startsWith(MarkerPrefix)) n.stripPrefix(MarkerPrefix)
           else if (n.startsWith(ClaimPrefix)) n.stripPrefix(ClaimPrefix)
+          else if (n.startsWith(StagedPrefix)) n.stripPrefix(StagedPrefix)
           else ""
         if (suffix.nonEmpty && suffix.forall(_.isDigit)) Some(suffix.toLong)
         else None
@@ -253,32 +256,45 @@ object SnapshotTable {
 
   private val TagPrefix = "_tag_"
 
+  private def requireRefName(name: String): Unit =
+    require(name.nonEmpty && name.forall(c =>
+      c.isLetterOrDigit || c == '.' || c == '_' || c == '-'),
+      s"invalid ref name '$name'")
+
   /** Tag a committed version with a stable name (Iceberg/Delta-style
     * refs): `prod`, `exp-2026-08`, … — readers pin to the NAME while
     * writers keep committing. A tag is one marker file whose content is
     * the version number; re-tagging overwrites atomically via
     * write-temp + rename. Tag names: [A-Za-z0-9._-]. */
   def tag(spark: SparkSession, dir: String, name: String, version: Long): Unit = {
-    require(name.nonEmpty && name.forall(c =>
-      c.isLetterOrDigit || c == '.' || c == '_' || c == '-'),
-      s"invalid tag name '$name'")
+    requireRefName(name)
     require(versions(spark, dir).contains(version),
       s"cannot tag uncommitted version $version of $dir")
-    val f = fs(spark, dir)
-    val tmp = new Path(dir, s".$TagPrefix$name.tmp")
+    setRef(fs(spark, dir), dir, s"$TagPrefix$name", version)
+  }
+
+  /** Atomically point ref file `refName` at `version` (write-temp +
+    * rename — readers see the old target or the new one, never a torn
+    * file). */
+  private def setRef(f: org.apache.hadoop.fs.FileSystem, dir: String,
+                     refName: String, version: Long): Unit = {
+    val tmp = new Path(dir, s".$refName.tmp")
     val out = f.create(tmp, true)
     try out.write(version.toString.getBytes("UTF-8")) finally out.close()
-    val dst = new Path(dir, s"$TagPrefix$name")
+    val dst = new Path(dir, refName)
     f.delete(dst, false)
     if (!f.rename(tmp, dst))
-      throw new java.io.IOException(s"could not publish tag $name in $dir")
+      throw new java.io.IOException(s"could not move ref $refName in $dir")
   }
 
   /** Version a tag points at, or None. Tags at vacuumed versions resolve
     * but [[read]] then rejects them — stale-tag detection, not silence. */
-  def tagVersion(spark: SparkSession, dir: String, name: String): Option[Long] = {
-    val f = fs(spark, dir)
-    val p = new Path(dir, s"$TagPrefix$name")
+  def tagVersion(spark: SparkSession, dir: String, name: String): Option[Long] =
+    refVersion(fs(spark, dir), dir, s"$TagPrefix$name")
+
+  private def refVersion(f: org.apache.hadoop.fs.FileSystem, dir: String,
+                         refName: String): Option[Long] = {
+    val p = new Path(dir, refName)
     if (!f.exists(p)) return None
     val in = f.open(p)
     try {
@@ -291,6 +307,129 @@ object SnapshotTable {
   def readTag(spark: SparkSession, dir: String, name: String): DataFrame =
     read(spark, dir, Some(tagVersion(spark, dir, name).getOrElse(
       throw new IllegalArgumentException(s"no tag '$name' in $dir"))))
+
+  private val BranchPrefix = "_branch_"
+  private val StagedPrefix = "_staged_"
+
+  /** Create branch `name` at `from` (default: latest main version) — the
+    * write-audit-publish workflow: [[writeBranch]] commits data that main
+    * readers never see, audits run against [[readBranch]], and
+    * [[publishBranch]] fast-forwards main to the audited head. Branch
+    * commits claim version numbers from the SAME pool as main writers
+    * (the `_claim_N` protocol), so branch and main writes never collide;
+    * a branch head is published by `_staged_N` → `_commit_N` marker
+    * promotion — no data is rewritten at publish time. */
+  def createBranch(spark: SparkSession, dir: String, name: String,
+                   from: Option[Long] = None): Long = {
+    requireRefName(name)
+    val v = from.orElse(latestVersion(spark, dir)).getOrElse(
+      throw new IllegalArgumentException(
+        s"cannot branch an empty snapshot table $dir"))
+    require(versions(spark, dir).contains(v),
+      s"cannot branch from uncommitted version $v of $dir")
+    val f = fs(spark, dir)
+    if (!atomicCreate(f, new Path(dir, s"$BranchPrefix$name")))
+      throw new IllegalArgumentException(s"branch '$name' already exists in $dir")
+    setRef(f, dir, s"$BranchPrefix$name", v)
+    v
+  }
+
+  /** Version a branch head points at, or None if no such branch. */
+  def branchVersion(spark: SparkSession, dir: String, name: String): Option[Long] =
+    refVersion(fs(spark, dir), dir, s"$BranchPrefix$name")
+
+  /** Commit `df` to the branch: the data lands as a STAGED version —
+    * invisible to main readers ([[versions]]/[[read]] follow `_commit_`
+    * markers only) until [[publishBranch]]. Returns the staged version. */
+  def writeBranch(spark: SparkSession, dir: String, name: String,
+                  df: DataFrame): Long = {
+    val f = fs(spark, dir)
+    if (branchVersion(spark, dir, name).isEmpty)
+      throw new IllegalArgumentException(s"no branch '$name' in $dir")
+    val base = new Path(dir)
+    var v = nextFree(f, base)
+    var attempts = 0
+    while (!atomicCreate(f, new Path(base, s"$ClaimPrefix$v"))) {
+      attempts += 1
+      if (attempts > 100) throw new java.io.IOException(
+        s"could not claim a snapshot version in $dir after $attempts attempts")
+      v = math.max(v + 1L, nextFree(f, base))
+    }
+    df.write.mode("overwrite").parquet(s"$dir/v=$v")
+    if (!atomicCreate(f, new Path(base, s"$StagedPrefix$v")))
+      throw new IllegalStateException(
+        s"staged marker for v=$v already exists in $dir despite our claim")
+    f.delete(new Path(base, s"$ClaimPrefix$v"), false)
+    setRef(f, dir, s"$BranchPrefix$name", v)
+    v
+  }
+
+  /** Read the branch head (staged or, before any branch write, the
+    * committed version it branched from). */
+  def readBranch(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val v = branchVersion(spark, dir, name).getOrElse(
+      throw new IllegalArgumentException(s"no branch '$name' in $dir"))
+    val f = fs(spark, dir)
+    if (!f.exists(new Path(dir, s"$StagedPrefix$v")) &&
+        !f.exists(new Path(dir, s"$MarkerPrefix$v")))
+      throw new IllegalStateException(
+        s"branch '$name' head v=$v of $dir has neither staged nor commit marker")
+    spark.read.parquet(s"$dir/v=$v")
+  }
+
+  /** Publish the branch head to main — fast-forward only: if main
+    * committed past the branch head since the branch was written, the
+    * publish is rejected (re-write the branch from current main and
+    * re-audit; silently promoting stale data would drop main's commits).
+    * Marker promotion only, no data rewrite. Returns the published
+    * version. */
+  def publishBranch(spark: SparkSession, dir: String, name: String): Long = {
+    val v = branchVersion(spark, dir, name).getOrElse(
+      throw new IllegalArgumentException(s"no branch '$name' in $dir"))
+    val f = fs(spark, dir)
+    if (!f.exists(new Path(dir, s"$StagedPrefix$v")))
+      throw new IllegalStateException(
+        s"branch '$name' head v=$v is not staged (nothing to publish)")
+    latestVersion(spark, dir).foreach { main =>
+      if (main > v) throw new IllegalStateException(
+        s"main of $dir advanced to v=$main past branch '$name' head v=$v; " +
+          "re-write the branch from current main before publishing")
+    }
+    if (!atomicCreate(f, new Path(dir, s"$MarkerPrefix$v")))
+      throw new IllegalStateException(s"v=$v of $dir is already committed")
+    f.delete(new Path(dir, s"$StagedPrefix$v"), false)
+    v
+  }
+
+  /** Delete a branch ref. Its staged data stays on disk until
+    * [[vacuumStaged]]. */
+  def dropBranch(spark: SparkSession, dir: String, name: String): Unit = {
+    val f = fs(spark, dir)
+    if (!f.delete(new Path(dir, s"$BranchPrefix$name"), false))
+      throw new IllegalArgumentException(s"no branch '$name' in $dir")
+  }
+
+  /** Drop staged versions no branch ref points at — superseded branch
+    * heads and dropped branches. Marker first, then data (a crash
+    * mid-vacuum leaves an orphan data dir, never a readable marker with
+    * missing data). Returns the versions removed. */
+  def vacuumStaged(spark: SparkSession, dir: String): Seq[Long] = {
+    val f = fs(spark, dir)
+    val base = new Path(dir)
+    if (!f.exists(base)) return Seq.empty
+    val names = f.listStatus(base).iterator.map(_.getPath.getName).toSeq
+    val live = names.filter(_.startsWith(BranchPrefix))
+      .flatMap(n => refVersion(f, dir, n)).toSet
+    val staged = names.filter(_.startsWith(StagedPrefix))
+      .map(_.stripPrefix(StagedPrefix))
+      .filter(s => s.nonEmpty && s.forall(_.isDigit)).map(_.toLong)
+    val drop = staged.filterNot(live).sorted
+    drop.foreach { v =>
+      f.delete(new Path(base, s"$StagedPrefix$v"), false)
+      f.delete(new Path(base, s"v=$v"), true)
+    }
+    drop
+  }
 
   /** Drop all versions older than the `keepLast` most recent (never the
     * current one — `keepLast` must be ≥ 1). */

@@ -139,6 +139,41 @@ class SnapshotTableSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](SnapshotTable.readTag(spark, dir, "nope"))
   }
 
+  test("branches stage writes invisibly to main, publish fast-forward only") {
+    val dir = Files.createTempDirectory("graft_snap_branch").toString + "/tbl"
+    val docs = Lake.documents(spark, Sf)
+    SnapshotTable.write(spark, dir, docs.filter("doc_id < 100"))  // v0 (main)
+    SnapshotTable.createBranch(spark, dir, "audit")
+    // before any branch write, the branch reads its fork point
+    assert(SnapshotTable.readBranch(spark, dir, "audit").count() == 100)
+    // two branch writes: both staged, main never moves
+    val s1 = SnapshotTable.writeBranch(spark, dir, "audit", docs.filter("doc_id < 200"))
+    val s2 = SnapshotTable.writeBranch(spark, dir, "audit", docs.filter("doc_id < 300"))
+    assert(s2 > s1 && s1 > 0L, s"staged versions must be fresh numbers: $s1, $s2")
+    assert(SnapshotTable.latestVersion(spark, dir).contains(0L),
+      "main must not see staged branch commits")
+    assert(SnapshotTable.read(spark, dir).count() == 100)
+    assert(SnapshotTable.readBranch(spark, dir, "audit").count() == 300)
+    // a main write AFTER the branch head blocks fast-forward publish
+    SnapshotTable.write(spark, dir, docs.filter("doc_id < 150"))  // claims s2+1
+    intercept[IllegalStateException](SnapshotTable.publishBranch(spark, dir, "audit"))
+    // a re-write of the branch past main's head publishes cleanly
+    val s3 = SnapshotTable.writeBranch(spark, dir, "audit", docs.filter("doc_id < 400"))
+    assert(SnapshotTable.publishBranch(spark, dir, "audit") == s3)
+    assert(SnapshotTable.latestVersion(spark, dir).contains(s3))
+    assert(SnapshotTable.read(spark, dir).count() == 400)
+    // double publish is rejected; vacuumStaged drops the superseded heads
+    intercept[IllegalStateException](SnapshotTable.publishBranch(spark, dir, "audit"))
+    SnapshotTable.dropBranch(spark, dir, "audit")
+    val dropped = SnapshotTable.vacuumStaged(spark, dir)
+    assert(dropped == Seq(s1, s2), s"superseded staged heads must go: $dropped")
+    // published + main history is untouched by the staged vacuum
+    assert(SnapshotTable.versions(spark, dir) == Seq(0L, s2 + 1, s3))
+    assert(SnapshotTable.read(spark, dir, Some(0L)).count() == 100)
+    intercept[IllegalArgumentException](SnapshotTable.readBranch(spark, dir, "audit"))
+    intercept[IllegalArgumentException](SnapshotTable.createBranch(spark, dir, "x", Some(99L)))
+  }
+
   test("diff emits exactly the added/removed/updated keys between versions") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_snap_diff").toString + "/tbl"
