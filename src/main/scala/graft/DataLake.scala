@@ -49,7 +49,7 @@ final case class DataLake(spark: SparkSession, dir: String) {
     DedupOps.nearDupClusters(documents, threshold)
   def dedupNear(threshold: Double = 0.6): DataFrame =
     DedupOps.dedupNear(documents, threshold)
-  def annSearch(k: Int = 5): DataFrame = AnnOps.lsh(spark, dir)
+  def annSearch(k: Int = 5): DataFrame = AnnOps.lsh(spark, dir, k = k)
 
   // ---- corpus preparation ----
   def decontaminate(bench: DataFrame, minShared: Int = 1): DataFrame =
@@ -93,6 +93,14 @@ final case class DataLake(spark: SparkSession, dir: String) {
       .persist(MEMORY_AND_DISK)
     val lowQuality = TextOps.qualityRules(afterNear)
       .filter(!col("keep")).select(col("doc_id"))
-    afterNear.join(lowQuality, Seq("doc_id"), "left_anti")
+    // materialize the final frame (localCheckpoint truncates the lineage to
+    // the computed partitions), then release the two corpus-sized caches —
+    // repeated facade calls in a long-lived session must not accumulate
+    // cached frames until the ContextCleaner happens to collect them
+    val cleaned = afterNear.join(lowQuality, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    afterNear.unpersist(false)
+    afterExact.unpersist(false)
+    cleaned
   }
 }

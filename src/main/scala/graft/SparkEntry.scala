@@ -427,9 +427,13 @@ object SparkEntry {
         |FROM (
         |  SELECT doc_id,
         |    len(string_split(text, ' ')) AS n_tokens,
-        |    coalesce(sum(len(string_split(text, ' '))) OVER (
+        |    -- DuckDB 1.0 sum(BIGINT) returns HUGEINT (→ float64 in the
+        |    -- comparison harness); cast back so start_offset and its //128
+        |    -- derivatives stay BIGINT like the engine's.
+        |    CAST(coalesce(sum(len(string_split(text, ' '))) OVER (
         |      PARTITION BY doc_id // 100 ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS start_offset
         |  FROM documents WHERE text IS NOT NULL) t
         |ORDER BY doc_id""".stripMargin,
     // Frame sampling: stride-16 byte offsets, 8-byte frames, hex digests
@@ -773,8 +777,11 @@ object SparkEntry {
         |  round(dup3, 4) AS dup_trigram_ratio,
         |  (n_tokens BETWEEN 25 AND 10000 AND top_ratio <= 0.12 AND dup3 <= 0.02) AS keep
         |FROM m ORDER BY doc_id""".stripMargin,
-    // Decontamination: the oracle brute-forces the 5-gram set intersection
-    // (fine in DuckDB at test SF); the engine must broadcast-probe instead.
+    // Decontamination: the oracle replicates the engine exactly — per-doc
+    // distinct 5-gram shingles exploded to rows, the bench side capped at
+    // bench-df <= 16 (the engine's maxBenchDf hot-shingle guard; without
+    // it the oracle only matches while the synthetic bench set happens to
+    // contain no hot shingle), then an equi-join + group count.
     "q_decontam" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
         |             FROM documents WHERE text IS NOT NULL),
@@ -784,15 +791,21 @@ object SparkEntry {
         |      THEN list_distinct(list_transform(range(1, len(t) - 3),
         |             i -> array_to_string(t[i:i+4], ' ')))
         |      ELSE [array_to_string(t, ' ')] END AS s
-        |  FROM tok)
-        |SELECT c.doc_id, b.doc_id AS bench_id,
-        |  len(list_intersect(c.s, b.s)) AS n_shared
-        |FROM sh c, sh b
-        |WHERE c.doc_id >= 50 AND b.doc_id < 50
-        |  AND len(list_intersect(c.s, b.s)) > 0
+        |  FROM tok),
+        |bexp AS (SELECT doc_id AS bench_id, unnest(s) AS shingle
+        |         FROM sh WHERE doc_id < 50),
+        |bcap AS (SELECT bench_id, shingle FROM (
+        |           SELECT bench_id, shingle,
+        |             count(*) OVER (PARTITION BY shingle) AS bench_df
+        |           FROM bexp) WHERE bench_df <= 16),
+        |cexp AS (SELECT doc_id, unnest(s) AS shingle
+        |         FROM sh WHERE doc_id >= 50)
+        |SELECT c.doc_id, b.bench_id, count(*) AS n_shared
+        |FROM cexp c JOIN bcap b USING (shingle)
+        |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
     // The clean corpus after decontamination: NOT EXISTS over the same
-    // brute-force 5-gram intersection the q_decontam oracle uses.
+    // capped shingle join the q_decontam oracle uses.
     "q_decontam_keep" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
         |             FROM documents WHERE text IS NOT NULL),
@@ -802,14 +815,21 @@ object SparkEntry {
         |      THEN list_distinct(list_transform(range(1, len(t) - 3),
         |             i -> array_to_string(t[i:i+4], ' ')))
         |      ELSE [array_to_string(t, ' ')] END AS s
-        |  FROM tok)
+        |  FROM tok),
+        |bexp AS (SELECT doc_id AS bench_id, unnest(s) AS shingle
+        |         FROM sh WHERE doc_id < 50),
+        |bcap AS (SELECT bench_id, shingle FROM (
+        |           SELECT bench_id, shingle,
+        |             count(*) OVER (PARTITION BY shingle) AS bench_df
+        |           FROM bexp) WHERE bench_df <= 16),
+        |cexp AS (SELECT doc_id, unnest(s) AS shingle
+        |         FROM sh WHERE doc_id >= 50)
         |SELECT d.doc_id, d.source, d.n_chars
         |FROM documents d
         |WHERE d.doc_id >= 50
         |  AND NOT EXISTS (
-        |    SELECT 1 FROM sh c, sh b
-        |    WHERE c.doc_id = d.doc_id AND b.doc_id < 50
-        |      AND len(list_intersect(c.s, b.s)) >= 1)
+        |    SELECT 1 FROM cexp c JOIN bcap b USING (shingle)
+        |    WHERE c.doc_id = d.doc_id)
         |ORDER BY doc_id""".stripMargin,
     // Chunking: 32-token windows, 8-token overlap (stride 24);
     // nChunks = max(1, ceil((nTokens - 8) / 24)), last chunk may be short.

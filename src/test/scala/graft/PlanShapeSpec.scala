@@ -94,11 +94,12 @@ class PlanShapeSpec extends SparkSpecBase {
     // ... q_set_overlap (one-row sketch estimates × one-row exact pass),
     // q_surprisal (one-row corpus token total), q_gap_fill (the dense
     // hour × event-type spine: both sides bounded by nature, the product
-    // IS the resample grid)
+    // IS the resample grid), q_bm25 (one-row N/avgdl corpus-stats
+    // broadcast, same pattern as q_surprisal/q_term_stats)
     val intendedBnlj =
       Set("q_cross_join", "q_ann_bruteforce", "q_ann_filtered", "q_term_stats",
         "q_ann_ivf", "q_incremental_ndv", "q_incremental_quantiles",
-        "q_set_overlap", "q_surprisal", "q_gap_fill")
+        "q_set_overlap", "q_surprisal", "q_gap_fill", "q_bm25")
     for ((name, fn) <- SparkEntry.queries) {
       val plan = planOf(fn(spark, Sf))
       if (!intendedProducts(name))
