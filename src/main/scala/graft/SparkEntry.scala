@@ -167,6 +167,10 @@ object SparkEntry {
     // Equi-depth binning (exact ntile; approx cutpoints at 100 TB)
     "q_quantile_bins"     -> ((s: SparkSession, d: String) =>
       CatalogOps.quantileBins(s, d)),
+    // Equi-depth binning, parallel form: cutpoint aggregate + map-side
+    // assignment — the scale path, no single-partition window
+    "q_quantile_bins_par" -> ((s: SparkSession, d: String) =>
+      CatalogOps.quantileBinsApprox(s, d)),
     // RANGE-frame (event-time) trailing moving average
     "q_moving_avg"        -> ((s: SparkSession, d: String) =>
       EventOps.movingAverage(s, d)),
@@ -185,10 +189,118 @@ object SparkEntry {
 
   private val stopList = TextOps.Stopwords.map(s => s"'$s'").mkString(", ")
 
+  /** Shared CTE prefix for the LSH oracles: the engine's hyperplane
+    * constants ([[graft.functions.LshBuckets.planes]], widened to double
+    * exactly as the codegen'd dot loop does) rendered as a VALUES list, so
+    * DuckDB reproduces bucket assignment bit-for-bit — generated from the
+    * SAME code path the engine uses, not copied numbers. dim/tables/bits
+    * mirror the registered queries' defaults. */
+  private def lshOracleCtes: String = {
+    val dim = 64
+    val tables = graft.operators.AnnOps.DefaultTables
+    val bits = graft.operators.AnnOps.DefaultBitsPerTable
+    val planes = graft.functions.LshBuckets.planes(dim, tables, bits)
+    val rows = for (l <- 0 until tables; b <- 0 until bits) yield {
+      val base = (l * bits + b) * dim
+      val list = (0 until dim).map(d => planes(base + d).toDouble.toString)
+        .mkString("[", ", ", "]")
+      s"($l, $b, $list::DOUBLE[])"
+    }
+    s"""planes(tbl, bit, w) AS (VALUES
+       |  ${rows.mkString(",\n  ")}),
+       |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |dots AS (SELECT vec_id, tbl, bit, list_dot_product(e, w) AS dot
+       |         FROM emb CROSS JOIN planes),
+       |bk AS (SELECT vec_id,
+       |         CAST(tbl * ${1 << bits} +
+       |              sum(CASE WHEN dot > 0 THEN (1 << bit) ELSE 0 END) AS int) AS bucket
+       |       FROM dots GROUP BY vec_id, tbl)""".stripMargin
+  }
+
   /** DuckDB-runnable ANSI SQL twin for each query (same column names, same
     * ORDER BY). Money math goes through decimal(18,2) on both sides so
     * results are bit-identical — see SURVEY.md §6. */
   def oracleSql: Map[String, String] = Map(
+    // Portable double-Lehmer split buckets — plain BIGINT arithmetic,
+    // identical in any engine (see CorpusOps.withSplit).
+    "q_split_counts" ->
+      """SELECT split, count(*) AS n_docs FROM (
+        |  SELECT CASE WHEN b < 90 THEN 'train'
+        |              WHEN b < 95 THEN 'val'
+        |              ELSE 'test' END AS split
+        |  FROM (SELECT ((doc_id * 48271) % 2147483647) * 48271
+        |               % 2147483647 % 100 AS b
+        |        FROM documents))
+        |GROUP BY split ORDER BY split""".stripMargin,
+    // Multi-table hyperplane LSH, replicated end-to-end: buckets from the
+    // engine's own hyperplane constants, candidates on shared bucket,
+    // exact-cosine rank. Candidate sets (not just scores) must agree.
+    "q_ann_lsh" ->
+      s"""WITH $lshOracleCtes,
+         |cand AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS neighbor_id
+         |         FROM bk q JOIN bk c
+         |           ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+         |         WHERE q.vec_id < 8),
+         |sc AS (SELECT q_id, neighbor_id,
+         |         list_cosine_similarity(ce.e, qe.e) AS sim_raw
+         |       FROM cand JOIN emb qe ON qe.vec_id = cand.q_id
+         |                 JOIN emb ce ON ce.vec_id = cand.neighbor_id)
+         |SELECT q_id, neighbor_id, round(sim_raw, 4) AS sim,
+         |  cast(rnk AS bigint) AS rnk
+         |FROM (SELECT q_id, neighbor_id, sim_raw,
+         |        row_number() OVER (PARTITION BY q_id
+         |          ORDER BY sim_raw DESC, neighbor_id) AS rnk
+         |      FROM sc) t
+         |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    // IVF ANN, replicated: stride-sampled centroids (vec_id % 31 = 9,
+    // ordered, first 16), nearest-cell assignment (1 probe corpus /
+    // 6 probes query), exact cosine rank within probed cells.
+    "q_ann_ivf" ->
+      """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |             FROM embeddings),
+        |cent AS (SELECT vec_id AS c_id, e AS ce FROM emb
+        |         WHERE vec_id % 31 = 9 ORDER BY vec_id LIMIT 16),
+        |corp AS (SELECT vec_id, cell FROM (
+        |           SELECT emb.vec_id, cent.c_id AS cell,
+        |             row_number() OVER (PARTITION BY emb.vec_id
+        |               ORDER BY list_cosine_similarity(e, ce) DESC, c_id) AS cr
+        |           FROM emb CROSS JOIN cent) WHERE cr = 1),
+        |qc AS (SELECT q_id, cell FROM (
+        |         SELECT emb.vec_id AS q_id, cent.c_id AS cell,
+        |           row_number() OVER (PARTITION BY emb.vec_id
+        |             ORDER BY list_cosine_similarity(e, ce) DESC, c_id) AS cr
+        |         FROM emb CROSS JOIN cent WHERE emb.vec_id < 8) WHERE cr <= 6),
+        |cand AS (SELECT DISTINCT qc.q_id, corp.vec_id AS neighbor_id
+        |         FROM corp JOIN qc
+        |           ON corp.cell = qc.cell AND corp.vec_id <> qc.q_id),
+        |sc AS (SELECT q_id, neighbor_id,
+        |         list_cosine_similarity(a.e, b.e) AS sim_raw
+        |       FROM cand JOIN emb a ON a.vec_id = cand.q_id
+        |                 JOIN emb b ON b.vec_id = cand.neighbor_id)
+        |SELECT q_id, neighbor_id, round(sim_raw, 4) AS sim,
+        |  cast(rnk AS bigint) AS rnk
+        |FROM (SELECT q_id, neighbor_id, sim_raw,
+        |        row_number() OVER (PARTITION BY q_id
+        |          ORDER BY sim_raw DESC, neighbor_id) AS rnk
+        |      FROM sc) t
+        |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    // Embedding near-dups through the same bucket CTEs + the engine's
+    // 4096 hot-bucket cap; threshold on the UNROUNDED cosine.
+    "q_embedding_neardups" ->
+      s"""WITH $lshOracleCtes,
+         |bkc AS (SELECT vec_id, bucket FROM (
+         |          SELECT vec_id, bucket,
+         |            count(*) OVER (PARTITION BY bucket) AS bn
+         |          FROM bk) WHERE bn <= 4096),
+         |pairs AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |          FROM bkc a JOIN bkc b
+         |            ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |sc AS (SELECT vec_a, vec_b,
+         |         list_cosine_similarity(ea.e, eb.e) AS s
+         |       FROM pairs JOIN emb ea ON ea.vec_id = pairs.vec_a
+         |                  JOIN emb eb ON eb.vec_id = pairs.vec_b)
+         |SELECT vec_a, vec_b, round(s, 4) AS cos_sim
+         |FROM sc WHERE s >= 0.4 ORDER BY vec_a, vec_b""".stripMargin,
     "q_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,
@@ -1108,6 +1220,23 @@ object SparkEntry {
         |    ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS bin
         |  FROM lineitem
         |) GROUP BY bin ORDER BY bin""".stripMargin,
+    // Parallel equi-depth form: decile cut points (quantile_cont ==
+    // Spark's exact percentile at round(4)), bin = 1 + #cuts strictly
+    // below the value. No window on either side.
+    "q_quantile_bins_par" ->
+      """WITH cl AS (
+        |  SELECT quantile_cont(l_extendedprice,
+        |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cuts
+        |  FROM lineitem)
+        |SELECT bin, count(*) AS n_rows,
+        |  round(min(l_extendedprice), 2) AS lo,
+        |  round(max(l_extendedprice), 2) AS hi
+        |FROM (
+        |  SELECT l_extendedprice,
+        |    1 + len(list_filter(cuts,
+        |      c -> CAST(l_extendedprice AS double) > round(c, 4))) AS bin
+        |  FROM lineitem, cl)
+        |GROUP BY bin ORDER BY bin""".stripMargin,
     "q_moving_avg" ->
       """SELECT bucket, event_type, n_events,
         |  round(avg(n_events) OVER (

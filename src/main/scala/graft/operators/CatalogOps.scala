@@ -134,6 +134,42 @@ object CatalogOps {
       .orderBy(col("bin"))
   }
 
+  /** Equi-depth binning, the PARALLEL form: quantile cut points from ONE
+    * aggregate pass (exact `percentile` here for oracle reproducibility;
+    * `exact=false` swaps in `approx_percentile` — identical plan shape,
+    * bounded sketch memory, the 100 TB default), then a codegen'd
+    * comparison chain assigns bins map-side. No window, no global sort —
+    * the serial single-partition ntile of [[quantileBins]] never appears.
+    * The nBins−1 cut points are collected to the driver (bounded by
+    * construction, like the IVF quantizer sample); rounded to 4 dp, the
+    * scale at which Spark `percentile` and DuckDB `quantile_cont` agree.
+    * Bin k = 1 + |{cuts strictly below the value}| — rows equal to a cut
+    * point land in the lower bin on both engines. Counts are equal only
+    * up to ties at the cut points (the price of parallelism); bounds are
+    * exact. */
+  def quantileBinsApprox(spark: SparkSession, dir: String, nBins: Int = 10,
+                         exact: Boolean = true): DataFrame = {
+    val li = Lake.table(spark, dir, "lineitem").select(col("l_extendedprice"))
+    val probs = (1 until nBins).map(i => i.toDouble / nBins)
+    val fn = if (exact) "percentile" else "approx_percentile"
+    val cuts: Seq[Double] = li
+      .agg(expr(s"$fn(l_extendedprice, array(${probs.map(_ + "D").mkString(",")}))")
+        .as("cuts"))
+      .head().getSeq[Double](0)
+      .map(c => BigDecimal(c).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val v = col("l_extendedprice").cast("double")
+    val bin = cuts.foldLeft(lit(1)) { (acc, c) =>
+      acc + when(v > lit(c), 1).otherwise(0)
+    }
+    li.withColumn("bin", bin.cast("long"))
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        round(min(col("l_extendedprice")), 2).as("lo"),
+        round(max(col("l_extendedprice")), 2).as("hi"))
+      .orderBy(col("bin"))
+  }
+
   /** Pairwise Pearson correlations for a list of numeric column pairs —
     * the relationship half of profiling (is discount coupled to quantity?
     * does price predict tax?). ALL pairs ride ONE aggregate pass over the

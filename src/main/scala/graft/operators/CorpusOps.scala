@@ -127,15 +127,21 @@ object CorpusOps {
   def withSplit(docs: DataFrame, trainPct: Int = 90, valPct: Int = 5): DataFrame = {
     require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
       "need train + val < 100 with a nonempty test remainder")
-    val bucket = pmod(xxhash64(col("doc_id")), lit(100L))
+    // TWO Lehmer/MINSTD steps (plain 63-bit-safe integer arithmetic any
+    // engine reproduces exactly — same portability argument as
+    // [[sampleBucket]]) rather than xxhash64: split assignment becomes
+    // oracle-verifiable, and the second step decorrelates the split from
+    // the sampling bucket so "in the sample" never biases "in val".
+    val step1 = pmod(col("doc_id") * lit(48271L), lit(2147483647L))
+    val bucket = pmod(step1 * lit(48271L), lit(2147483647L)) % 100
     docs.withColumn("split",
       when(bucket < trainPct, "train")
         .when(bucket < trainPct + valPct, "val")
         .otherwise("test"))
   }
 
-  /** Rows-only driver query: split sizes (hash values are not
-    * SQL-expressible in the oracle; semantics covered by CorpusOpsSpec). */
+  /** Driver query: split sizes (portable-hash assignment, so the DuckDB
+    * oracle reproduces the exact same buckets). */
   def splitCounts(spark: SparkSession, dir: String): DataFrame =
     withSplit(Lake.documents(spark, dir))
       .groupBy(col("split")).agg(count(lit(1)).as("n_docs"))

@@ -79,6 +79,13 @@ class PlanShapeSpec extends SparkSpecBase {
       s"packing scan not pruned: $pschema")
   }
 
+  test("parallel equi-depth binning plans no window (serial sort) at all") {
+    // the exact ntile form is the oracle twin; the parallel form must keep
+    // the whole plan window-free: cutpoint aggregate + map-side CASE chain
+    val plan = planOf(CatalogOps.quantileBinsApprox(spark, Sf))
+    assert(!plan.contains("Window"), s"window in parallel binning plan:\n$plan")
+  }
+
   test("no registered query plans an unintended product join") {
     // the broad regression net: every SparkEntry query's physical plan is
     // free of CartesianProduct, except where the product IS the semantics
