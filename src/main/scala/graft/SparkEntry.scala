@@ -178,6 +178,9 @@ object SparkEntry {
     "q_bigram_surprisal"  -> TextOps.bigramSurprisal _,
     // BM25 keyword retrieval — sparse top-k (dense side: q_ann_*)
     "q_bm25"              -> TextOps.bm25TopK _,
+    // REAL BPE tokenization (ranked-merges vocabulary, GPT-2 file format)
+    "q_bpe_real"          -> ((s: SparkSession, d: String) =>
+      TextOps.bpeTokenize(s, d)),
   )
 
   /** [[TextOps.patternScan]] dictionary for the driver query: token
@@ -217,6 +220,22 @@ object SparkEntry {
        |       FROM dots GROUP BY vec_id, tbl)""".stripMargin
   }
 
+  /** The BPE oracle's merge application, generated from the SAME ranked
+    * merge list the engine uses ([[graft.functions.BpeVocab]]): tokens are
+    * chr(1)-delimited ("<s>tok<s>" per token), and each merge in rank
+    * order becomes one left-to-right `replace` of "<s>a<s><s>b<s>" with
+    * "<s>ab<s>". Sequential rank-order application equals the engine's
+    * greedy priority BPE because the merge list keeps BPE's learned-order
+    * invariant (asserted corpus-wide in BpeSpec). */
+  private def bpeChainSql(inner: String): String =
+    graft.functions.BpeVocab.merges.foldLeft(inner) { case (acc, (a, b)) =>
+      s"replace($acc, chr(1)||'$a'||chr(1)||chr(1)||'$b'||chr(1), chr(1)||'$a$b'||chr(1))"
+    }
+
+  /** A word rendered as its chr(1)-delimited character tokens. */
+  private def bpeCharsSql(word: String): String =
+    s"chr(1) || array_to_string(list_transform(range(1, len($word)+1), i -> $word[i]), chr(1)||chr(1)) || chr(1)"
+
   /** DuckDB-runnable ANSI SQL twin for each query (same column names, same
     * ORDER BY). Money math goes through decimal(18,2) on both sides so
     * results are bit-identical — see SURVEY.md §6. */
@@ -232,6 +251,28 @@ object SparkEntry {
         |               % 2147483647 % 100 AS b
         |        FROM documents))
         |GROUP BY split ORDER BY split""".stripMargin,
+    // Real BPE: per-word merge chain generated from the engine's own
+    // ranked merges; counts from delimiter arithmetic, boundary tokens
+    // from the first/last word's chains.
+    "q_bpe_real" ->
+      s"""WITH d AS (SELECT doc_id,
+         |             list_filter(string_split(text, ' '), w -> w <> '') AS words
+         |           FROM documents WHERE text IS NOT NULL),
+         |d2 AS (SELECT doc_id, words FROM d WHERE len(words) > 0),
+         |t AS (SELECT doc_id, ${bpeChainSql(bpeCharsSql("word"))} AS s
+         |      FROM (SELECT doc_id, unnest(words) AS word FROM d2)),
+         |cnt AS (SELECT doc_id,
+         |          CAST(sum((len(s) - len(replace(s, chr(1), ''))) // 2) AS bigint)
+         |            AS n_bpe_tokens,
+         |          count(*) AS n_words
+         |        FROM t GROUP BY doc_id),
+         |ft AS (SELECT doc_id,
+         |         string_split(${bpeChainSql(bpeCharsSql("words[1]"))}, chr(1))[2] AS first_token,
+         |         string_split(${bpeChainSql(bpeCharsSql("words[-1]"))}, chr(1))[-2] AS last_token
+         |       FROM d2)
+         |SELECT cnt.doc_id, n_bpe_tokens, n_words, first_token, last_token
+         |FROM cnt JOIN ft USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     // Multi-table hyperplane LSH, replicated end-to-end: buckets from the
     // engine's own hyperplane constants, candidates on shared bucket,
     // exact-cosine rank. Candidate sets (not just scores) must agree.

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Lake
@@ -96,10 +96,11 @@ object CorpusOps {
     * possibly short. Emits chunk stats + boundary tokens (not the chunk
     * text itself, so the result stays narrow; slice the tokens the same
     * way to materialize text). Pure codegen'd array ops, map-side only. */
-  def chunk(docs: DataFrame, chunkSize: Int = 32, overlap: Int = 8): DataFrame = {
+  def chunk(docs: DataFrame, chunkSize: Int = 32, overlap: Int = 8,
+            tokens: Column = split(col("text"), " ")): DataFrame = {
     require(overlap >= 0 && overlap < chunkSize, "need 0 <= overlap < chunkSize")
     val stride = chunkSize - overlap
-    val t = split(col("text"), " ")
+    val t = tokens
     val nChunks = greatest(lit(1L),
       ceil((size(t).cast("double") - overlap) / stride).cast("long"))
     docs.filter(col("text").isNotNull)
@@ -159,7 +160,9 @@ object CorpusOps {
     * fully parallel, at the cost of one partial sequence per bucket
     * (negligible padding at any real bucket size). */
   def packingPlan(docs: DataFrame, seqLen: Int = 128,
-                  bucketSize: Int = 100): DataFrame = {
+                  bucketSize: Int = 100,
+                  tokenCount: Column =
+                    size(split(col("text"), " ")).cast("long")): DataFrame = {
     require(seqLen > 0 && bucketSize > 0, "seqLen and bucketSize must be positive")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("bucket")).orderBy(col("doc_id"))
@@ -168,7 +171,7 @@ object CorpusOps {
       .select(col("doc_id"),
         // integer `div`, not double `/`: exact at any stream length
         expr(s"doc_id div $bucketSize").as("bucket"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        tokenCount.as("n_tokens"))
       .withColumn("start_offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .select(
         col("doc_id"), col("bucket"), col("n_tokens"), col("start_offset"),
@@ -191,7 +194,9 @@ object CorpusOps {
     * target table; strata absent from `targets` get no row (rate 0).
     * Entirely SQL-expressible, so the plan is oracle-checkable. */
   def mixPlan(docs: DataFrame, targets: Map[String, Double],
-              tokenBudget: Long, strataCol: String = "source"): DataFrame = {
+              tokenBudget: Long, strataCol: String = "source",
+              tokenCount: Column =
+                size(split(col("text"), " ")).cast("long")): DataFrame = {
     require(tokenBudget > 0, "tokenBudget must be positive")
     require(targets.values.forall(f => f >= 0.0 && f <= 1.0) &&
       math.abs(targets.values.sum - 1.0) < 1e-9,
@@ -203,7 +208,7 @@ object CorpusOps {
       .groupBy(col(strataCol))
       .agg(
         count(lit(1)).as("n_docs"),
-        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+        sum(tokenCount).as("n_tokens"))
       .join(broadcast(t), Seq(strataCol))
       .select(
         col(strataCol), col("n_docs"), col("n_tokens"), col("target_frac"),

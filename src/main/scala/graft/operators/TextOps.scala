@@ -147,6 +147,29 @@ object TextOps {
   def bpeTokenCounts(spark: SparkSession, dir: String): DataFrame =
     bpeTokenCounts(Lake.documents(spark, dir))
 
+  /** REAL byte-pair encoding over the [[graft.functions.BpeVocab]] merge
+    * ranks (public GPT-2 merges.txt format): whitespace pre-tokenization,
+    * then greedy priority merges per word inside the single
+    * [[graft.functions.BpeTokens]] expression — a map-only stage, no
+    * shuffle until the final sort. Emits the per-doc token count the
+    * chunk/packing/mix planners consume, plus boundary tokens so the
+    * oracle checks actual tokenization, not just arithmetic. */
+  def bpeTokenize(docs: DataFrame): DataFrame =
+    nonNull(docs)
+      .withColumn("toks", graft.functions.BpeTokens.tokens(col("text")))
+      .withColumn("words", filter(split(col("text"), " "), w => w =!= ""))
+      .filter(size(col("words")) > 0)
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_bpe_tokens"),
+        size(col("words")).cast("long").as("n_words"),
+        element_at(col("toks"), 1).as("first_token"),
+        element_at(col("toks"), -1).as("last_token"))
+      .orderBy(col("doc_id"))
+
+  def bpeTokenize(spark: SparkSession, dir: String): DataFrame =
+    bpeTokenize(Lake.documents(spark, dir))
+
   /** Unigram surprisal scoring — the language-model-proxy quality signal:
     * each doc's mean −ln p(token) under the corpus's own unigram
     * distribution. Rare-word-heavy (or garbled) docs score high, boiler-
