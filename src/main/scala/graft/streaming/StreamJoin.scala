@@ -19,10 +19,21 @@ import org.apache.spark.sql.functions._
 object StreamJoin {
 
   /** views ⋈ purchases on user within (0, horizon] after the view.
-    * Both inputs need columns (user_id, event_id, ts). */
+    * Both inputs need columns (user_id, event_id, ts).
+    *
+    * `joinType` "inner" emits matches as they arrive. "left_outer" ALSO
+    * emits each never-matched view exactly once, null-padded, when the
+    * watermark passes the point where a match is no longer possible
+    * (view_ts + horizon + watermark delay) — the production case inner
+    * attribution misses: most views never convert, and a funnel that
+    * silently drops them under-reports every denominator. The same
+    * two-sided time bound that lets Spark evict matched-side state is
+    * what gives the null-completion a deadline, so state stays bounded
+    * either way. */
   def viewToPurchase(views: DataFrame, purchases: DataFrame,
                      watermark: String = "10 minutes",
-                     horizon: String = "30 minutes"): DataFrame = {
+                     horizon: String = "30 minutes",
+                     joinType: String = "inner"): DataFrame = {
     val v = views.withWatermark("ts", watermark)
       .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
     val p = purchases.withWatermark("ts", watermark)
@@ -31,10 +42,19 @@ object StreamJoin {
     v.join(p,
       col("user_id") === col("p_user_id") &&
         col("purchase_ts") > col("view_ts") &&
-        col("purchase_ts") <= col("view_ts") + expr(s"INTERVAL $horizon"))
+        col("purchase_ts") <= col("view_ts") + expr(s"INTERVAL $horizon"),
+      joinType)
       .select(col("user_id"), col("view_id"), col("purchase_id"),
         col("view_ts"), col("purchase_ts"))
   }
+
+  /** Left-outer attribution: every view exactly once — matched views with
+    * their purchase, never-matched views null-padded after the watermark
+    * closes their horizon. */
+  def viewToPurchaseOuter(views: DataFrame, purchases: DataFrame,
+                          watermark: String = "10 minutes",
+                          horizon: String = "30 minutes"): DataFrame =
+    viewToPurchase(views, purchases, watermark, horizon, joinType = "left_outer")
 
   /** State-store metrics of the most recent micro-batch, as a DataFrame —
     * the observability surface a lake operator watches to catch state

@@ -110,4 +110,52 @@ class StreamingSpec extends SparkSpecBase {
         s"join state should hold buffered rows; got ${metrics.toSeq}")
     } finally query.stop()
   }
+
+  test("left-outer stream-stream join null-completes never-matched views exactly once") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val views = MemoryStream[SEvent]
+    val purchases = MemoryStream[SEvent]
+    val joined = StreamJoin.viewToPurchaseOuter(
+      views.toDF(), purchases.toDF(), watermark = "10 minutes", horizon = "30 minutes")
+    val query = joined.writeStream
+      .format("memory").queryName("attrib_outer")
+      .outputMode("append").start()
+    try {
+      views.addData(
+        SEvent(1L, 10L, ts(100), "view"),   // purchase at 120 → match
+        SEvent(2L, 11L, ts(100), "view"),   // purchase at 140 → outside horizon
+        SEvent(3L, 12L, ts(100), "view"))   // no purchase at all
+      purchases.addData(
+        SEvent(1L, 20L, ts(120), "purchase"),
+        SEvent(2L, 21L, ts(140), "purchase"))
+      query.processAllAvailable()
+
+      // advance BOTH watermarks past view_ts + horizon + delay (100+30+10),
+      // then nudge one more batch — outer null-completion emits on the
+      // batch AFTER the watermark moves
+      views.addData(SEvent(9L, 90L, ts(200), "view"))
+      purchases.addData(SEvent(9L, 91L, ts(200), "purchase"))
+      query.processAllAvailable()
+      views.addData(SEvent(9L, 92L, ts(210), "view"))
+      purchases.addData(SEvent(9L, 93L, ts(210), "purchase"))
+      query.processAllAvailable()
+
+      def result() = spark.sql(
+        "SELECT view_id, purchase_id FROM attrib_outer WHERE user_id IN (1,2,3)")
+        .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      val rows = result()
+      assert(rows.toSet == Set((10L, 20L), (11L, -1L), (12L, -1L)),
+        s"matched view once with its purchase, never-matched views null-padded; got ${rows.toSeq}")
+      assert(rows.length == 3,
+        s"each view must emit EXACTLY once; got ${rows.toSeq}")
+
+      // a would-be match arriving after null-completion is behind the
+      // purchases watermark → dropped, never a duplicate emission
+      purchases.addData(SEvent(3L, 30L, ts(115), "purchase"))
+      query.processAllAvailable()
+      assert(result().length == 3,
+        "late purchase behind the watermark must not re-emit or duplicate")
+    } finally query.stop()
+  }
 }
