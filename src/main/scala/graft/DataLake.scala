@@ -50,6 +50,13 @@ final case class DataLake(spark: SparkSession, dir: String) {
   def dedupNear(threshold: Double = 0.6): DataFrame =
     DedupOps.dedupNear(documents, threshold)
   def annSearch(k: Int = 5): DataFrame = AnnOps.lsh(spark, dir, k = k)
+  def buildAnnIndex(indexDir: String, nCentroids: Int = 16): Long =
+    AnnIndex.build(spark, indexDir, embeddings, nCentroids = nCentroids)
+  def refreshAnnIndex(indexDir: String): Option[Long] =
+    AnnIndex.refresh(spark, indexDir, embeddings)
+  def annSearchIndexed(indexDir: String, queries: DataFrame,
+                       k: Int = 5, nProbes: Int = 6): DataFrame =
+    AnnIndex.searchIvf(spark, indexDir, embeddings, queries, k, nProbes)
 
   // ---- corpus preparation ----
   def decontaminate(bench: DataFrame, minShared: Int = 1): DataFrame =

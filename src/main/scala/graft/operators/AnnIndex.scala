@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted ANN index artifacts: the trained pieces of a similarity
+  * search — IVF quantizer centroids and LSH layout parameters — stored as
+  * a versioned sidecar so queries REUSE them instead of re-training per
+  * call (a real lake API ships the index with the table; per-query
+  * k-means both wastes a training job and silently changes the cell
+  * layout between calls).
+  *
+  * Layout mirrors [[IncrementalTableStats]]: `<indexDir>/v=N/` holding
+  * `centroids` (c_id, c_emb) and a one-row `params` parquet, with
+  * parquet's `_SUCCESS` marker gating completeness — a build that crashed
+  * mid-write is redone, never trusted. [[refresh]] appends version N+1
+  * from current data (e.g. after new embeddings land); readers default to
+  * the LATEST complete version, and old versions stay readable for
+  * reproducing past query results.
+  */
+object AnnIndex {
+
+  /** Complete (both artifacts committed) versions, ascending. */
+  def versions(spark: SparkSession, indexDir: String): Seq[Long] = {
+    val p = new Path(indexDir)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) return Seq.empty
+    f.listStatus(p).iterator.map(_.getPath.getName)
+      .filter(_.startsWith("v="))
+      .map(_.stripPrefix("v="))
+      .filter(s => s.nonEmpty && s.forall(_.isDigit))
+      .map(_.toLong)
+      .filter(v => f.exists(new Path(p, s"v=$v/centroids/_SUCCESS")) &&
+        f.exists(new Path(p, s"v=$v/params/_SUCCESS")))
+      .toSeq.sorted
+  }
+
+  /** Train on the CURRENT corpus and commit the next index version:
+    * k-means centroids (bounded driver-side sample — the standard IVF
+    * quantizer recipe) plus the LSH layout sized to the corpus via
+    * [[AnnOps.bitsForCorpus]]. Returns the committed version. */
+  def build(spark: SparkSession, indexDir: String, emb: DataFrame,
+            dim: Int = 64, nCentroids: Int = 16,
+            tables: Int = AnnOps.DefaultTables,
+            sampleN: Int = 2048, iters: Int = 5): Long = {
+    import spark.implicits._
+    val v = versions(spark, indexDir).lastOption.map(_ + 1).getOrElse(0L)
+    val cents = AnnOps.kmeansCentroids(emb, nCentroids, sampleN, iters)
+    require(cents.nonEmpty, "cannot build an ANN index over an empty corpus")
+    val n = emb.count()
+    val bits = AnnOps.bitsForCorpus(n)
+    cents.toDF("c_id", "c_emb")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexDir/v=$v/centroids")
+    Seq((dim, nCentroids, tables, bits, sampleN, iters, n))
+      .toDF("dim", "n_centroids", "tables", "bits", "sample_n", "iters",
+        "n_vectors")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexDir/v=$v/params")
+    v
+  }
+
+  /** Rebuild iff the corpus changed since the latest build (row-count
+    * staleness probe — callers holding a better change signal, e.g. a
+    * snapshot version, can call [[build]] directly). Returns the new
+    * version, or None when the index is already current. */
+  def refresh(spark: SparkSession, indexDir: String, emb: DataFrame,
+              dim: Int = 64, nCentroids: Int = 16): Option[Long] = {
+    versions(spark, indexDir).lastOption match {
+      case Some(v) =>
+        val builtN = params(spark, indexDir, Some(v)).getAs[Long]("n_vectors")
+        if (emb.count() == builtN) None
+        else Some(build(spark, indexDir, emb, dim, nCentroids))
+      case None => Some(build(spark, indexDir, emb, dim, nCentroids))
+    }
+  }
+
+  /** Stored centroids of `version` (default: latest). */
+  def centroids(spark: SparkSession, indexDir: String,
+                version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(versions(spark, indexDir).lastOption)
+      .getOrElse(sys.error(s"no complete ANN index at $indexDir"))
+    spark.read.parquet(s"$indexDir/v=$v/centroids")
+  }
+
+  private def params(spark: SparkSession, indexDir: String,
+                     version: Option[Long]): org.apache.spark.sql.Row = {
+    val v = version.orElse(versions(spark, indexDir).lastOption)
+      .getOrElse(sys.error(s"no complete ANN index at $indexDir"))
+    spark.read.parquet(s"$indexDir/v=$v/params").head()
+  }
+
+  /** IVF search against the STORED quantizer: identical results to
+    * [[AnnOps.ivfKmeans]] with the same parameters, with zero training
+    * work at query time. */
+  def searchIvf(spark: SparkSession, indexDir: String,
+                emb: DataFrame, queries: DataFrame,
+                k: Int, nProbes: Int,
+                version: Option[Long] = None): DataFrame =
+    AnnOps.ivfWithCentroids(emb, queries, centroids(spark, indexDir, version),
+      k, nProbes)
+
+  /** LSH search with the STORED layout (tables/bits sized at build time),
+    * so every caller probes the same buckets. */
+  def searchLsh(spark: SparkSession, indexDir: String,
+                emb: DataFrame, queries: DataFrame,
+                k: Int, version: Option[Long] = None): DataFrame = {
+    val p = params(spark, indexDir, version)
+    AnnOps.lsh(emb, queries, k,
+      dim = p.getAs[Int]("dim"),
+      tables = p.getAs[Int]("tables"),
+      bits = p.getAs[Int]("bits"))
+  }
+}

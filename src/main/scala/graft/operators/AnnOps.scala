@@ -184,11 +184,24 @@ object AnnOps {
   def ivfKmeans(emb: DataFrame, queriesIn: DataFrame, k: Int,
                 nCentroids: Int, nProbes: Int,
                 sampleN: Int = 2048, iters: Int = 5): DataFrame = {
+    val cents = kmeansCentroids(emb, nCentroids, sampleN, iters)
+    // empty corpus: degrade exactly like the stride path (empty result)
+    if (cents.isEmpty) return ivf(emb, queriesIn, k, nCentroids, nProbes)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val centroids = cents.toDF("c_id", "c_emb")
+    ivfWithCentroids(emb, queriesIn, centroids, k, nProbes)
+  }
+
+  /** Lloyd's iterations over a bounded driver-side sample — the quantizer
+    * training [[ivfKmeans]] runs inline and [[AnnIndex]] persists. Empty
+    * corpus → empty result. */
+  def kmeansCentroids(emb: DataFrame, nCentroids: Int,
+                      sampleN: Int = 2048, iters: Int = 5): Seq[(Long, Array[Float])] = {
     val sample = emb.orderBy(col("vec_id")).limit(sampleN)
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).toArray)
-    // empty corpus: degrade exactly like the stride path (empty result)
-    if (sample.isEmpty) return ivf(emb, queriesIn, k, nCentroids, nProbes)
+    if (sample.isEmpty) return Seq.empty
     val dim = sample.head.length
     // init: evenly strided sample points
     var cents = Array.tabulate(nCentroids)(i =>
@@ -213,15 +226,10 @@ object AnnOps {
         if (counts(c) == 0) cents(c)
         else Array.tabulate(dim)(i => (sums(c)(i) / counts(c)).toFloat))
     }
-    val spark = emb.sparkSession
-    import spark.implicits._
-    val centroids = cents.zipWithIndex
-      .map { case (v, i) => (i.toLong, v) }.toSeq
-      .toDF("c_id", "c_emb")
-    ivfWithCentroids(emb, queriesIn, centroids, k, nProbes)
+    cents.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq
   }
 
-  private def ivfWithCentroids(emb: DataFrame, queriesIn: DataFrame,
+  private[operators] def ivfWithCentroids(emb: DataFrame, queriesIn: DataFrame,
                                centroids: DataFrame, k: Int,
                                nProbes: Int): DataFrame = {
     def assign(df: DataFrame, idCol: String, embCol: String, probes: Int): DataFrame = {

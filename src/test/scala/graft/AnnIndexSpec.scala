@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AnnIndex, AnnOps}
+
+/** Persisted ANN index artifacts: stored-quantizer search must equal the
+  * inline-trained path, versions advance on refresh-with-change only, and
+  * incomplete builds are never trusted. */
+class AnnIndexSpec extends SparkSpecBase {
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def queries(emb: org.apache.spark.sql.DataFrame, n: Int = 8) =
+    emb.filter(col("vec_id") < n)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+
+  test("stored-centroid IVF search equals inline k-means with zero retraining") {
+    val emb = Lake.embeddings(spark, Sf)
+    val dir = tmpDir("ann_index")
+    val v = AnnIndex.build(spark, dir, emb, nCentroids = 8)
+    assert(v == 0L)
+    assert(AnnIndex.versions(spark, dir) == Seq(0L))
+
+    val stored = AnnIndex.searchIvf(spark, dir, emb, queries(emb), k = 5, nProbes = 4)
+      .collect().toSeq
+    val inline = AnnOps.ivfKmeans(emb, queries(emb), k = 5,
+      nCentroids = 8, nProbes = 4).collect().toSeq
+    assert(stored == inline,
+      "stored-quantizer search must reproduce the inline-trained results")
+
+    // repeat searches against the artifact are identical (no retraining
+    // drift between calls)
+    val again = AnnIndex.searchIvf(spark, dir, emb, queries(emb), k = 5, nProbes = 4)
+      .collect().toSeq
+    assert(again == stored)
+  }
+
+  test("stored LSH layout reproduces the parameterized search") {
+    val emb = Lake.embeddings(spark, Sf)
+    val dir = tmpDir("ann_index_lsh")
+    AnnIndex.build(spark, dir, emb)
+    val bits = AnnOps.bitsForCorpus(emb.count())
+    val stored = AnnIndex.searchLsh(spark, dir, emb, queries(emb), k = 5)
+      .collect().toSeq
+    val direct = AnnOps.lsh(emb, queries(emb), k = 5, dim = 64,
+      tables = AnnOps.DefaultTables, bits = bits).collect().toSeq
+    assert(stored == direct)
+  }
+
+  test("refresh is a no-op on unchanged data and re-versions on change") {
+    val emb = Lake.embeddings(spark, Sf)
+    val dir = tmpDir("ann_index_refresh")
+    assert(AnnIndex.refresh(spark, dir, emb).contains(0L), "first refresh builds v0")
+    assert(AnnIndex.refresh(spark, dir, emb).isEmpty, "unchanged corpus → no rebuild")
+    val grown = emb.union(emb.limit(3)
+      .withColumn("vec_id", col("vec_id") + 1000000L))
+    assert(AnnIndex.refresh(spark, dir, grown).contains(1L), "grown corpus → v1")
+    assert(AnnIndex.versions(spark, dir) == Seq(0L, 1L))
+    // old version stays readable for reproducing past results
+    assert(AnnIndex.centroids(spark, dir, Some(0L)).count() == 16L)
+  }
+
+  test("an incomplete build (missing _SUCCESS) is not a usable version") {
+    val emb = Lake.embeddings(spark, Sf)
+    val dir = tmpDir("ann_index_crash")
+    AnnIndex.build(spark, dir, emb)
+    // simulate a crashed build of v1: centroids written, params missing
+    AnnIndex.centroids(spark, dir).write.parquet(s"$dir/v=1/centroids")
+    assert(AnnIndex.versions(spark, dir) == Seq(0L),
+      "half-written version must not be listed")
+    // latest-complete resolution still serves v0
+    assert(AnnIndex.searchIvf(spark, dir, emb, queries(emb), k = 3, nProbes = 2)
+      .count() > 0)
+  }
+}
