@@ -181,6 +181,10 @@ object SparkEntry {
     // REAL BPE tokenization (ranked-merges vocabulary, GPT-2 file format)
     "q_bpe_real"          -> ((s: SparkSession, d: String) =>
       TextOps.bpeTokenize(s, d)),
+    // Functional-dependency discovery (exact, explicit candidates)
+    "q_fd_discovery"      -> CatalogOps.fdDiscovery _,
+    // Enum / dictionary-column detection with bounded dictionary collect
+    "q_enum_columns"      -> CatalogOps.enumDiscovery _,
   )
 
   /** [[TextOps.patternScan]] dictionary for the driver query: token
@@ -240,6 +244,26 @@ object SparkEntry {
     * ORDER BY). Money math goes through decimal(18,2) on both sides so
     * results are bit-identical — see SURVEY.md §6. */
   def oracleSql: Map[String, String] = Map(
+    // FD check: |distinct A| vs |distinct (A,B)| per candidate, generated
+    // from the same candidate list the engine binds (no drift possible).
+    "q_fd_discovery" -> (CatalogOps.FdCandidates.map { case (t, det, dep) =>
+      s"""SELECT '$t' AS tbl, '$det' AS determinant, '$dep' AS dependent,
+         |  (SELECT count(DISTINCT $det) FROM $t) AS n_determinant,
+         |  (SELECT count(*) FROM (SELECT DISTINCT $det, $dep FROM $t)) AS n_pairs,
+         |  (SELECT count(DISTINCT $det) FROM $t) =
+         |    (SELECT count(*) FROM (SELECT DISTINCT $det, $dep FROM $t)) AS holds""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY tbl, determinant, dependent")),
+    // Enum detection: exact NDV + full dictionary when ndv <= 32, same
+    // candidate list as the engine.
+    "q_enum_columns" -> (CatalogOps.EnumCandidates.map { case (t, c) =>
+      val ndv = s"(SELECT count(DISTINCT $c) FROM $t WHERE $c IS NOT NULL)"
+      s"""SELECT '$t' AS tbl, '$c' AS column_name,
+         |  $ndv AS ndv, $ndv <= 32 AS is_enum,
+         |  CASE WHEN $ndv <= 32
+         |    THEN (SELECT list_sort(list(DISTINCT CAST($c AS varchar)))
+         |          FROM $t WHERE $c IS NOT NULL)
+         |    ELSE []::VARCHAR[] END AS dictionary""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY tbl, column_name")),
     // Portable double-Lehmer split buckets — plain BIGINT arithmetic,
     // identical in any engine (see CorpusOps.withSplit).
     "q_split_counts" ->

@@ -493,6 +493,91 @@ object CatalogOps {
       ("lineitem", "l_orderkey") -> ("orders", "o_orderkey"),
       ("orders", "o_orderkey") -> ("lineitem", "l_orderkey")))
 
+  /** Exact functional-dependency check over explicit candidates: A → B
+    * holds iff |distinct A| = |distinct (A, B)| — the catalog signal that
+    * reveals keys, denormalized copies, and derivable columns. One
+    * distinct-aggregate pass per candidate (map-side partial agg to the
+    * determinant's cardinality, never the table's); the struct count uses
+    * tuple distinctness so null dependents count like any other value,
+    * matching the oracle's DISTINCT-subquery semantics. Candidates are
+    * explicit for the same reason as [[inclusionDependencies]]: schema-wide
+    * mining is O(columns²) scans and belongs in an offline profiler. */
+  def functionalDependencies(spark: SparkSession, dir: String,
+      candidates: Seq[(String, String, String)]): DataFrame = {
+    require(candidates.nonEmpty, "need at least one candidate")
+    val results = candidates.map { case (t, det, dep) =>
+      Lake.table(spark, dir, t)
+        .agg(
+          countDistinct(col(det)).as("n_determinant"),
+          countDistinct(struct(col(det), col(dep))).as("n_pairs"))
+        .select(
+          lit(t).as("tbl"), lit(det).as("determinant"), lit(dep).as("dependent"),
+          col("n_determinant"), col("n_pairs"),
+          (col("n_determinant") === col("n_pairs")).as("holds"))
+    }
+    results.reduce(_ unionByName _)
+      .orderBy(col("tbl"), col("determinant"), col("dependent"))
+  }
+
+  /** [[fdDiscovery]] candidates — shared with the oracle generator so
+    * engine and oracle can never drift. */
+  val FdCandidates: Seq[(String, String, String)] = Seq(
+    ("customer", "c_custkey", "c_nationkey"),
+    ("customer", "c_mktsegment", "c_nationkey"),
+    ("orders", "o_orderkey", "o_custkey"),
+    ("lineitem", "l_partkey", "l_suppkey"),
+    ("events", "user_id", "event_type"),
+    ("documents", "doc_id", "source"))
+
+  /** Driver binding of [[functionalDependencies]]: keys that must hold,
+    * plus deliberately failing candidates (a part has several suppliers;
+    * a user emits several event types). */
+  def fdDiscovery(spark: SparkSession, dir: String): DataFrame =
+    functionalDependencies(spark, dir, FdCandidates)
+
+  /** Enum / dictionary-column detection: columns whose exact NDV is at
+    * most `maxCard` are enumerable — the catalog then stores the full
+    * dictionary (driving UI filters, dictionary encodings, and constraint
+    * suggestions). Scale shape: each column first reduces to its DISTINCT
+    * value set (map-side partial agg; shuffle cardinality = NDV, not
+    * rows); the dictionary is collected only from a `maxCard + 1`-row
+    * ordered head of that set, so a high-cardinality column can never
+    * materialize an unbounded array — its head is discarded by the
+    * `is_enum` guard, never grown. */
+  def enumColumns(spark: SparkSession, dir: String,
+                  candidates: Seq[(String, String)],
+                  maxCard: Int = 32): DataFrame = {
+    require(candidates.nonEmpty, "need at least one candidate column")
+    val results = candidates.map { case (t, c) =>
+      val d = Lake.table(spark, dir, t)
+        .select(col(c).cast("string").as("v"))
+        .filter(col("v").isNotNull).distinct()
+      val ndv = d.agg(count(lit(1)).as("ndv"))
+      val head = d.orderBy(col("v")).limit(maxCard + 1)
+        .agg(sort_array(collect_list(col("v"))).as("head_vals"))
+      ndv.crossJoin(head).select(
+        lit(t).as("tbl"), lit(c).as("column_name"), col("ndv"),
+        (col("ndv") <= maxCard).as("is_enum"),
+        when(col("ndv") <= maxCard, col("head_vals"))
+          .otherwise(array().cast("array<string>")).as("dictionary"))
+    }
+    results.reduce(_ unionByName _)
+      .orderBy(col("tbl"), col("column_name"))
+  }
+
+  /** [[enumDiscovery]] candidates — shared with the oracle generator. */
+  val EnumCandidates: Seq[(String, String)] = Seq(
+    ("lineitem", "l_returnflag"), ("lineitem", "l_linestatus"),
+    ("orders", "o_orderstatus"), ("orders", "o_orderpriority"),
+    ("events", "event_type"), ("documents", "lang"),
+    ("documents", "source"), ("customer", "c_mktsegment"),
+    ("customer", "c_name"), ("orders", "o_orderkey"))
+
+  /** Driver binding of [[enumColumns]]: the lake's flag/status/segment
+    * columns plus two that must NOT be enums (a key, a name). */
+  def enumDiscovery(spark: SparkSession, dir: String): DataFrame =
+    enumColumns(spark, dir, EnumCandidates)
+
   /** File-level metadata: per table, number of files and total bytes, from
     * the filesystem (driver-side listing, O(#files) — at 100 TB this is the
     * catalog's manifest scan, not a data read). */

@@ -102,11 +102,13 @@ class PlanShapeSpec extends SparkSpecBase {
     // q_surprisal (one-row corpus token total), q_gap_fill (the dense
     // hour × event-type spine: both sides bounded by nature, the product
     // IS the resample grid), q_bm25 (one-row N/avgdl corpus-stats
-    // broadcast, same pattern as q_surprisal/q_term_stats)
+    // broadcast, same pattern as q_surprisal/q_term_stats), q_enum_columns
+    // (one-row ndv × one-row bounded dictionary head per candidate)
     val intendedBnlj =
       Set("q_cross_join", "q_ann_bruteforce", "q_ann_filtered", "q_term_stats",
         "q_ann_ivf", "q_incremental_ndv", "q_incremental_quantiles",
-        "q_set_overlap", "q_surprisal", "q_gap_fill", "q_bm25")
+        "q_set_overlap", "q_surprisal", "q_gap_fill", "q_bm25",
+        "q_enum_columns")
     for ((name, fn) <- SparkEntry.queries) {
       val plan = planOf(fn(spark, Sf))
       if (!intendedProducts(name))
