@@ -321,7 +321,10 @@ object DedupOps extends org.apache.spark.internal.Logging {
     * hamming distance 3 shares at least one intact band), verified with
     * bit_count(xor) ≤ maxHamming. Same bucketed-join shape as MinHash-LSH. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    // the banded self-join reads the signatures twice; persist the narrow
+    // (doc_id, simhash) frame so the 64-bit-sum aggregate runs once
     val sigs = simhash(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = sigs.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*)))

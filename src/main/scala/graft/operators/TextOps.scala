@@ -184,7 +184,12 @@ object TextOps {
     * sum agree bit-for-bit (raw double sums would not, and ln() itself
     * agrees across engines to ~1 ulp, far inside the rounding). */
   def unigramSurprisal(docs: DataFrame): DataFrame = {
+    // three consumers (corpus total, per-token counts, the probe join) —
+    // persist so the tokenize+explode pass runs once, not per consumer
+    // (ReuseExchange is not reliable across these shapes; ContextCleaner
+    // releases the cache when the frame is collected)
     val tokRows = nonNull(docs).select(col("doc_id"), explode(toks).as("token"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val total = tokRows.select(count(lit(1)).cast("double").as("__n_total"))
     val logp = tokRows.groupBy(col("token"))
       .agg(count(lit(1)).as("tf"))
@@ -216,8 +221,12 @@ object TextOps {
     * tokens. Scale: the bigram count table is vocab²-bounded (language
     * bigrams, not corpus rows); the probe join shuffles by bigram key. */
   def bigramSurprisal(docs: DataFrame): DataFrame = {
+    // two consumers (bigram counts, the probe join) — persist the exploded
+    // bigrams so the corpus is shingled once, same discipline as
+    // unigramSurprisal's tokRows
     val withBi = nonNull(docs).filter(size(toks) >= 2)
       .select(col("doc_id"), explode(shingleCol(2)).as("bigram"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = withBi
       .select(substring_index(col("bigram"), " ", 1).as("w1"), col("bigram"))
       .groupBy(col("w1"), col("bigram")).agg(count(lit(1)).as("bc"))
