@@ -185,6 +185,8 @@ object SparkEntry {
     "q_fd_discovery"      -> CatalogOps.fdDiscovery _,
     // Enum / dictionary-column detection with bounded dictionary collect
     "q_enum_columns"      -> CatalogOps.enumDiscovery _,
+    // Semantic typing of string columns (json / id / code / phrase)
+    "q_semantic_types"    -> CatalogOps.semanticTypeDiscovery _,
   )
 
   /** [[TextOps.patternScan]] dictionary for the driver query: token
@@ -263,6 +265,20 @@ object SparkEntry {
          |    THEN (SELECT list_sort(list(DISTINCT CAST($c AS varchar)))
          |          FROM $t WHERE $c IS NOT NULL)
          |    ELSE []::VARCHAR[] END AS dictionary""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY tbl, column_name")),
+    // Semantic typing: anchored-regex match shares + priority-ordered
+    // inference, generated from the engine's own class/candidate lists.
+    "q_semantic_types" -> (CatalogOps.SemanticCandidates.map { case (t, c) =>
+      val pcts = CatalogOps.SemanticClasses.map { case (label, re) =>
+        s"round(CAST(sum(CASE WHEN regexp_matches(CAST($c AS varchar), '$re') THEN 1 ELSE 0 END) AS double) / count(*), 4) AS pct_$label"
+      }.mkString(",\n  ")
+      val inferred = CatalogOps.SemanticClasses.map { case (label, re) =>
+        s"WHEN CAST(sum(CASE WHEN regexp_matches(CAST($c AS varchar), '$re') THEN 1 ELSE 0 END) AS double) / count(*) >= 0.9 THEN '$label'"
+      }.mkString("CASE ", " ", " ELSE 'text' END")
+      s"""SELECT '$t' AS tbl, '$c' AS column_name, count(*) AS n_values,
+         |  $pcts,
+         |  $inferred AS inferred_type
+         |FROM $t WHERE $c IS NOT NULL""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY tbl, column_name")),
     // Portable double-Lehmer split buckets — plain BIGINT arithmetic,
     // identical in any engine (see CorpusOps.withSplit).

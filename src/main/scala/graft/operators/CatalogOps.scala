@@ -578,6 +578,64 @@ object CatalogOps {
   def enumDiscovery(spark: SparkSession, dir: String): DataFrame =
     enumColumns(spark, dir, EnumCandidates)
 
+  /** Semantic-type classes for [[semanticTypes]]: (label, anchored regex),
+    * checked in priority order. Shared with the oracle generator. */
+  val SemanticClasses: Seq[(String, String)] = Seq(
+    "json"        -> "^\\{.*\\}$",
+    "prefixed_id" -> "^[A-Za-z]+#[0-9]+$",
+    "upper_code"  -> "^[A-Z_0-9]+$",
+    "code"        -> "^[a-z]{2,8}$",
+    "phrase"      -> "^.* .*$")
+
+  /** [[semanticTypeDiscovery]] candidates — shared with the oracle. */
+  val SemanticCandidates: Seq[(String, String)] = Seq(
+    ("events", "props"), ("customer", "c_name"), ("supplier", "s_name"),
+    ("documents", "lang"), ("events", "event_type"), ("part", "p_type"),
+    ("part", "p_name"), ("region", "r_name"), ("nation", "n_name"))
+
+  /** Semantic typing of string columns — the catalog step above physical
+    * types: what a column MEANS (JSON payload, prefixed id, enum-ish
+    * code, free phrase), inferred from anchored-regex match shares over
+    * non-null values. One aggregate pass per candidate (codegen'd rlike,
+    * map-side partial agg — no shuffle beyond the one-row result); the
+    * inferred label is the first class in priority order matching ≥ 90%
+    * of values, else 'text'. Match shares ride along so a catalog UI can
+    * show WHY (and how confidently) a column was typed. */
+  def semanticTypes(spark: SparkSession, dir: String,
+                    candidates: Seq[(String, String)],
+                    threshold: Double = 0.9): DataFrame = {
+    require(candidates.nonEmpty, "need at least one candidate column")
+    val results = candidates.map { case (t, c) =>
+      val v = col(c).cast("string")
+      val matchSums = SemanticClasses.map { case (label, re) =>
+        sum(when(v.rlike(re), 1L).otherwise(0L)).as(s"__m_$label")
+      }
+      val agged = Lake.table(spark, dir, t)
+        .filter(v.isNotNull)
+        .agg(count(lit(1)).as("n_values"), matchSums: _*)
+      val shares = SemanticClasses.map { case (label, _) =>
+        round(col(s"__m_$label").cast("double") / col("n_values"), 4)
+          .as(s"pct_$label")
+      }
+      val inferred = SemanticClasses.foldRight(lit("text")) {
+        case ((label, _), other) =>
+          when(col(s"__m_$label").cast("double") / col("n_values") >= threshold,
+            label).otherwise(other)
+      }
+      agged.select(
+        (lit(t).as("tbl") +: lit(c).as("column_name") +: col("n_values") +:
+          shares :+ inferred.as("inferred_type")): _*)
+    }
+    results.reduce(_ unionByName _)
+      .orderBy(col("tbl"), col("column_name"))
+  }
+
+  /** Driver binding of [[semanticTypes]] over the lake's string columns:
+    * JSON props, two prefixed ids, language/event codes, two upper-case
+    * enum codes, and free phrases. */
+  def semanticTypeDiscovery(spark: SparkSession, dir: String): DataFrame =
+    semanticTypes(spark, dir, SemanticCandidates)
+
   /** File-level metadata: per table, number of files and total bytes, from
     * the filesystem (driver-side listing, O(#files) — at 100 TB this is the
     * catalog's manifest scan, not a data read). */

@@ -56,6 +56,17 @@ object StreamJoin {
                           horizon: String = "30 minutes"): DataFrame =
     viewToPurchase(views, purchases, watermark, horizon, joinType = "left_outer")
 
+  /** Stream–static enrichment: each micro-batch left-joins a broadcast
+    * snapshot of the dimension — the "attach customer attributes to the
+    * event firehose" join. No state store involved (the static side is
+    * re-resolved per batch, so a dimension backed by a lake table picks
+    * up slowly-changing updates between batches); unknown keys keep
+    * null attributes rather than dropping events, so late dimension
+    * arrivals can be reconciled downstream instead of silently losing
+    * fact rows. */
+  def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
   /** State-store metrics of the most recent micro-batch, as a DataFrame —
     * the observability surface a lake operator watches to catch state
     * growth before it kills a streaming job (rows held, rows updated,

@@ -111,6 +111,28 @@ class StreamingSpec extends SparkSpecBase {
     } finally query.stop()
   }
 
+  test("stream-static enrichment broadcasts the dimension and keeps unknown keys") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val events = MemoryStream[SEvent]
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val enriched = StreamJoin.enrich(events.toDF(), dim, "user_id")
+    val query = enriched.writeStream
+      .format("memory").queryName("enriched_out")
+      .outputMode("append").start()
+    try {
+      events.addData(
+        SEvent(1L, 1L, ts(100), "view"),
+        SEvent(2L, 2L, ts(101), "view"),
+        SEvent(7L, 3L, ts(102), "view")) // no dimension row
+      query.processAllAvailable()
+      val rows = spark.sql("SELECT user_id, event_id, tier FROM enriched_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)).getOrElse("?")))
+      assert(rows.toSet == Set((1L, 1L, "gold"), (2L, 2L, "basic"), (7L, 3L, "?")),
+        s"left enrichment must keep unknown keys with null attributes; got ${rows.toSeq}")
+    } finally query.stop()
+  }
+
   test("left-outer stream-stream join null-completes never-matched views exactly once") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
