@@ -187,6 +187,8 @@ object SparkEntry {
     "q_enum_columns"      -> CatalogOps.enumDiscovery _,
     // Semantic typing of string columns (json / id / code / phrase)
     "q_semantic_types"    -> CatalogOps.semanticTypeDiscovery _,
+    // Exact join cardinality + skew signal from per-key counts only
+    "q_join_cardinality"  -> CatalogOps.joinCardDiscovery _,
   )
 
   /** [[TextOps.patternScan]] dictionary for the driver query: token
@@ -266,6 +268,25 @@ object SparkEntry {
          |          FROM $t WHERE $c IS NOT NULL)
          |    ELSE []::VARCHAR[] END AS dictionary""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY tbl, column_name")),
+    // Join cardinality: the oracle counts the MATERIALIZED join — an
+    // independent formulation of the engine's key-count-product sum —
+    // while the multiplicity maxima replicate the key-count shape.
+    "q_join_cardinality" -> (CatalogOps.JoinCardCandidates.map {
+      case ((lt, lk), (rt, rk)) =>
+        s"""SELECT '$lt' AS left_table, '$lk' AS left_key,
+           |  '$rt' AS right_table, '$rk' AS right_key,
+           |  (SELECT count(*) FROM $lt JOIN $rt ON $lt.$lk = $rt.$rk) AS join_rows,
+           |  (SELECT CAST(coalesce(max(lc), 0) AS bigint) FROM
+           |     (SELECT $lk AS k, count(*) AS lc FROM $lt
+           |      WHERE $lk IS NOT NULL GROUP BY 1) l
+           |   WHERE EXISTS (SELECT 1 FROM $rt WHERE $rt.$rk = l.k))
+           |    AS max_left_multiplicity,
+           |  (SELECT CAST(coalesce(max(rc), 0) AS bigint) FROM
+           |     (SELECT $rk AS k, count(*) AS rc FROM $rt
+           |      WHERE $rk IS NOT NULL GROUP BY 1) r
+           |   WHERE EXISTS (SELECT 1 FROM $lt WHERE $lt.$lk = r.k))
+           |    AS max_right_multiplicity""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY left_table, left_key, right_table")),
     // Semantic typing: anchored-regex match shares + priority-ordered
     // inference, generated from the engine's own class/candidate lists.
     "q_semantic_types" -> (CatalogOps.SemanticCandidates.map { case (t, c) =>

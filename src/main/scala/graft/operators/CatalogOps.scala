@@ -578,6 +578,49 @@ object CatalogOps {
   def enumDiscovery(spark: SparkSession, dir: String): DataFrame =
     enumColumns(spark, dir, EnumCandidates)
 
+  /** [[joinCardinalities]] candidates — shared with the oracle. */
+  val JoinCardCandidates: Seq[((String, String), (String, String))] = Seq(
+    ("orders", "o_custkey") -> ("customer", "c_custkey"),
+    ("lineitem", "l_orderkey") -> ("orders", "o_orderkey"),
+    ("lineitem", "l_partkey") -> ("part", "p_partkey"),
+    ("events", "user_id") -> ("customer", "c_custkey"))
+
+  /** EXACT equi-join cardinality without materializing the join — the
+    * optimizer-stats service a catalog exposes for join planning:
+    * |A ⋈ B| = Σ_k cA(k)·cB(k). Each side reduces to per-key counts
+    * first (map-side partial agg to KEY cardinality, not table size),
+    * then a key-count join and one sum — the join that would produce N
+    * rows is costed by touching only its distinct keys. Also emits both
+    * sides' max key multiplicity, the skew signal that decides whether
+    * the real join needs salting ([[Skew]]). */
+  def joinCardinalities(spark: SparkSession, dir: String,
+      candidates: Seq[((String, String), (String, String))]): DataFrame = {
+    require(candidates.nonEmpty, "need at least one candidate join")
+    val results = candidates.map { case ((lt, lk), (rt, rk)) =>
+      val l = Lake.table(spark, dir, lt).filter(col(lk).isNotNull)
+        .groupBy(col(lk).as("k")).agg(count(lit(1)).as("lc"))
+      val r = Lake.table(spark, dir, rt).filter(col(rk).isNotNull)
+        .groupBy(col(rk).as("k")).agg(count(lit(1)).as("rc"))
+      l.join(r, "k")
+        .agg(
+          coalesce(sum(col("lc") * col("rc")), lit(0L)).as("join_rows"),
+          coalesce(max(col("lc")), lit(0L)).as("max_left_multiplicity"),
+          coalesce(max(col("rc")), lit(0L)).as("max_right_multiplicity"))
+        .select(
+          lit(lt).as("left_table"), lit(lk).as("left_key"),
+          lit(rt).as("right_table"), lit(rk).as("right_key"),
+          col("join_rows"), col("max_left_multiplicity"),
+          col("max_right_multiplicity"))
+    }
+    results.reduce(_ unionByName _)
+      .orderBy(col("left_table"), col("left_key"), col("right_table"))
+  }
+
+  /** Driver binding of [[joinCardinalities]] over the lake's join edges
+    * (events→customer is the deliberately partial one). */
+  def joinCardDiscovery(spark: SparkSession, dir: String): DataFrame =
+    joinCardinalities(spark, dir, JoinCardCandidates)
+
   /** Semantic-type classes for [[semanticTypes]]: (label, anchored regex),
     * checked in priority order. Shared with the oracle generator. */
   val SemanticClasses: Seq[(String, String)] = Seq(

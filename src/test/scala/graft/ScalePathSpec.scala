@@ -35,6 +35,22 @@ class ScalePathSpec extends SparkSpecBase {
     }
   }
 
+  test("approx-cutpoint binning stays near equi-depth (the 100 TB path's drift bound)") {
+    val exact = CatalogOps.quantileBinsApprox(spark, Sf, exact = true).collect()
+    val approx = CatalogOps.quantileBinsApprox(spark, Sf, exact = false).collect()
+    val n = exact.map(_.getLong(1)).sum
+    assert(approx.map(_.getLong(1)).sum == n, "binning must never drop rows")
+    assert(approx.length == 10, "all ten bins must be populated")
+    // with sketched cutpoints, each bin holds n/10 within the sketch's
+    // rank error plus tie mass; 25% of the ideal depth is a loose but
+    // meaningful ceiling (exact cutpoints at this SF land within ties)
+    val ideal = n.toDouble / 10
+    approx.foreach { r =>
+      assert(math.abs(r.getLong(1) - ideal) <= 0.25 * ideal + 1,
+        s"bin ${r.getLong(0)} holds ${r.getLong(1)} rows vs ideal $ideal")
+    }
+  }
+
   test("dedup and text operators tolerate empty and single-row corpora") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
