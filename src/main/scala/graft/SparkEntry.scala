@@ -189,6 +189,9 @@ object SparkEntry {
     "q_semantic_types"    -> CatalogOps.semanticTypeDiscovery _,
     // Exact join cardinality + skew signal from per-key counts only
     "q_join_cardinality"  -> CatalogOps.joinCardDiscovery _,
+    // Q22 shape: global-aggregate threshold + anti join (exact compare)
+    "q_idle_rich"         -> ((s: SparkSession, d: String) =>
+      Relational.idleRichCustomers(s, d)),
   )
 
   /** [[TextOps.patternScan]] dictionary for the driver query: token
@@ -268,6 +271,18 @@ object SparkEntry {
          |          FROM $t WHERE $c IS NOT NULL)
          |    ELSE []::VARCHAR[] END AS dictionary""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY tbl, column_name")),
+    // Q22 shape: threshold in exact integer space (bal * n > sum) so no
+    // engine's avg-division rounding can flip a boundary row.
+    "q_idle_rich" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  CAST(c_acctbal AS decimal(18,2)) AS acctbal
+        |FROM customer
+        |WHERE CAST(c_acctbal AS decimal(18,2)) * (SELECT count(*) FROM customer)
+        |      > (SELECT sum(CAST(c_acctbal AS decimal(18,2))) FROM customer)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '1998-01-01')
+        |ORDER BY c_custkey""".stripMargin,
     // Join cardinality: the oracle counts the MATERIALIZED join — an
     // independent formulation of the engine's key-count-product sum —
     // while the multiplicity maxima replicate the key-count shape.

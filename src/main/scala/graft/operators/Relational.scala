@@ -289,6 +289,33 @@ object Relational {
       .orderBy(col("numwait").desc, col("s_name"))
   }
 
+  /** TPC-H Q22 shape — a global-aggregate threshold feeding an anti join:
+    * above-average-balance customers DORMANT since a cutoff (the "idle
+    * rich" churn-risk list). The one-row (sum, count) aggregate
+    * broadcasts; the threshold compares in exact integer space
+    * (bal·n > sum, both exact decimals) rather than against a divided
+    * average, so no engine's division rounding can flip a boundary row —
+    * the cross-engine trap of `x > avg(x)`. Anti join against the
+    * DISTINCT recent-orderer key set (the date predicate pushes to the
+    * orders scan). */
+  def idleRichCustomers(spark: SparkSession, dir: String,
+                        dormantSince: String = "1998-01-01"): DataFrame = {
+    val cust = Lake.customer(spark, dir)
+    val stats = cust.agg(
+      sum(col("c_acctbal").cast(DecimalType(18, 2))).as("total_bal"),
+      count(lit(1)).as("n_cust"))
+    val recent = Lake.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit(dormantSince).cast("timestamp"))
+      .select(col("o_custkey")).distinct()
+    cust.crossJoin(broadcast(stats))
+      .filter(col("c_acctbal").cast(DecimalType(18, 2)) * col("n_cust") >
+        col("total_bal"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_mktsegment"),
+        col("c_acctbal").cast(DecimalType(18, 2)).as("acctbal"))
+      .orderBy(col("c_custkey"))
+  }
+
   /** Arbitrary GROUPING SETS — the general form ROLLUP/CUBE specialize:
     * per-(status,priority), per-status, and per-priority aggregates in
     * ONE Expand-based pass (one shuffle), where three separate group-bys

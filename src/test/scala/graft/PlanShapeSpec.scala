@@ -104,11 +104,13 @@ class PlanShapeSpec extends SparkSpecBase {
     // IS the resample grid), q_bm25 (one-row N/avgdl corpus-stats
     // broadcast, same pattern as q_surprisal/q_term_stats), q_enum_columns
     // (one-row ndv × one-row bounded dictionary head per candidate)
+    // ... q_idle_rich (one-row balance-stats broadcast, Q22's scalar
+    // threshold)
     val intendedBnlj =
       Set("q_cross_join", "q_ann_bruteforce", "q_ann_filtered", "q_term_stats",
         "q_ann_ivf", "q_incremental_ndv", "q_incremental_quantiles",
         "q_set_overlap", "q_surprisal", "q_gap_fill", "q_bm25",
-        "q_enum_columns")
+        "q_enum_columns", "q_idle_rich")
     for ((name, fn) <- SparkEntry.queries) {
       val plan = planOf(fn(spark, Sf))
       if (!intendedProducts(name))
