@@ -192,6 +192,9 @@ object SparkEntry {
     // Q22 shape: global-aggregate threshold + anti join (exact compare)
     "q_idle_rich"         -> ((s: SparkSession, d: String) =>
       Relational.idleRichCustomers(s, d)),
+    // Weighted sampling without replacement (Efraimidis-Spirakis,
+    // portable-hash draw, TakeOrderedAndProject plan)
+    "q_weighted_sample"   -> CorpusOps.weightedSampleQuery _,
   )
 
   /** [[TextOps.patternScan]] dictionary for the driver query: token
@@ -271,6 +274,18 @@ object SparkEntry {
          |          FROM $t WHERE $c IS NOT NULL)
          |    ELSE []::VARCHAR[] END AS dictionary""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY tbl, column_name")),
+    // Weighted sample: same Lehmer u, same ln-key formulation; ln()
+    // agrees across engines to ~1 ulp, far inside the round(8).
+    "q_weighted_sample" ->
+      """SELECT doc_id, source, weight, sample_key FROM (
+        |  SELECT doc_id, source,
+        |    len(string_split(text, ' ')) AS weight,
+        |    round(ln((CAST((doc_id * 48271) % 2147483647 % 10000 AS double) + 0.5)
+        |             / 10000.0)
+        |          / len(string_split(text, ' ')), 8) AS sample_key
+        |  FROM documents WHERE text IS NOT NULL)
+        |WHERE weight > 0
+        |ORDER BY sample_key DESC, doc_id LIMIT 100""".stripMargin,
     // Q22 shape: threshold in exact integer space (bal * n > sum) so no
     // engine's avg-division rounding can flip a boundary row.
     "q_idle_rich" ->

@@ -256,6 +256,31 @@ object CorpusOps {
       .drop("__r")
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement
+    * (Efraimidis–Spirakis): each doc draws key = ln(u)/w from a portable
+    * uniform u (the [[sampleBucket]] Lehmer hash, so the draw is
+    * retry-stable and engine-reproducible) and the n LARGEST keys win —
+    * inclusion probability proportional to weight, here token count
+    * ("longer docs carry more training signal"). The plan is a map stage
+    * + TakeOrderedAndProject: no shuffle of the corpus, no global sort.
+    * Keys are rounded to 8 dp before ranking so the cross-engine ln()
+    * agreement (~1 ulp) can never reorder the cutoff. */
+  def weightedSample(docs: DataFrame, n: Int,
+                     weight: Column =
+                       size(split(col("text"), " ")).cast("long")): DataFrame = {
+    require(n > 0, "sample size must be positive")
+    val u = (sampleBucket.cast("double") + lit(0.5)) / lit(10000.0)
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"), weight.as("weight"),
+        round(log(u) / weight.cast("double"), 8).as("sample_key"))
+      .filter(col("weight") > 0)
+      .orderBy(col("sample_key").desc, col("doc_id"))
+      .limit(n)
+  }
+
+  def weightedSampleQuery(spark: SparkSession, dir: String): DataFrame =
+    weightedSample(Lake.documents(spark, dir), n = 100)
+
   /** Domain mixing / deterministic stratified downsampling: keep each row
     * of stratum s iff its [[sampleBucket]] < rates(s)·10000 — the
     * "re-weight sources for training" step of a data pipeline. The rate

@@ -109,6 +109,22 @@ class CorpusOpsSpec extends SparkSpecBase {
     assert(math.abs(bySrc("s2") / 500.0 - 0.25) < 0.08, s"s2 kept ${bySrc("s2")}/500")
   }
 
+  test("weighted sample is deterministic and overrepresents heavy docs") {
+    import org.apache.spark.sql.functions._
+    val docs = Lake.documents(spark, Sf)
+    val a = CorpusOps.weightedSample(docs, n = 100).collect().map(_.getLong(0)).toSeq
+    val b = CorpusOps.weightedSample(docs.repartition(7), n = 100)
+      .collect().map(_.getLong(0)).toSeq
+    assert(a == b, "weighted sample must be partitioning-independent")
+    assert(a.distinct.size == a.size, "sampling is without replacement")
+    val sampleMean = CorpusOps.weightedSample(docs, n = 100)
+      .agg(avg(col("weight"))).head().getDouble(0)
+    val corpusMean = docs.filter(col("text").isNotNull)
+      .agg(avg(size(split(col("text"), " ")))).head().getDouble(0)
+    assert(sampleMean > corpusMean,
+      s"token-weighted sample mean $sampleMean should exceed corpus mean $corpusMean")
+  }
+
   test("splits are deterministic, partitioning-independent, and complete") {
     val docs = Lake.documents(spark, Sf)
     def assignments(df: org.apache.spark.sql.DataFrame): Map[Long, String] =

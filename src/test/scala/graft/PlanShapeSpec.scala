@@ -86,6 +86,12 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!plan.contains("Window"), s"window in parallel binning plan:\n$plan")
   }
 
+  test("weighted sample plans TakeOrderedAndProject, not a global sort") {
+    val plan = planOf(CorpusOps.weightedSampleQuery(spark, Sf))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"weighted sample must rank via top-K, got:\n$plan")
+  }
+
   test("no registered query plans an unintended product join") {
     // the broad regression net: every SparkEntry query's physical plan is
     // free of CartesianProduct, except where the product IS the semantics
