@@ -195,6 +195,8 @@ object SparkEntry {
     // Weighted sampling without replacement (Efraimidis-Spirakis,
     // portable-hash draw, TakeOrderedAndProject plan)
     "q_weighted_sample"   -> CorpusOps.weightedSampleQuery _,
+    // k-anonymity release gate over quasi-identifiers
+    "q_k_anonymity"       -> Governance.kAnonymityQuery _,
   )
 
   /** [[TextOps.patternScan]] dictionary for the driver query: token
@@ -274,6 +276,18 @@ object SparkEntry {
          |          FROM $t WHERE $c IS NOT NULL)
          |    ELSE []::VARCHAR[] END AS dictionary""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY tbl, column_name")),
+    // k-anonymity: group-size floor over the quasi-identifier set.
+    "q_k_anonymity" ->
+      """WITH g AS (SELECT c_nationkey, c_mktsegment, count(*) AS n
+        |           FROM customer GROUP BY 1, 2)
+        |SELECT CAST(10 AS bigint) AS k, count(*) AS n_groups,
+        |  min(n) AS min_group_size,
+        |  CAST(sum(CASE WHEN n < 10 THEN 1 ELSE 0 END) AS bigint)
+        |    AS n_violating_groups,
+        |  CAST(sum(CASE WHEN n < 10 THEN n ELSE 0 END) AS bigint)
+        |    AS n_risky_rows,
+        |  min(n) >= 10 AS is_k_anonymous
+        |FROM g""".stripMargin,
     // Weighted sample: same Lehmer u, same ln-key formulation; ln()
     // agrees across engines to ~1 ulp, far inside the round(8).
     "q_weighted_sample" ->

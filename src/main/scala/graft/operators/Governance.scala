@@ -39,4 +39,30 @@ object Governance {
     pseudonymize(Lake.customer(spark, dir), Seq("c_name"), salt = "graft-salt")
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
       .orderBy(col("c_custkey"))
+
+  /** k-anonymity audit over a quasi-identifier column set: the release
+    * gate a governance pipeline runs before data leaves the boundary —
+    * every combination of quasi-identifiers must describe at least `k`
+    * rows, or those rows re-identify individuals. One group-by to the
+    * quasi-identifier cardinality (map-side partial agg), one tiny
+    * re-aggregate; reports the floor, the violating-group count, and the
+    * at-risk row mass so the caller knows whether to generalize columns
+    * or suppress rows. */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Int): DataFrame = {
+    require(quasiCols.nonEmpty && k > 1, "need quasi-identifier columns and k > 1")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .agg(
+        lit(k.toLong).as("k"),
+        count(lit(1)).as("n_groups"),
+        min(col("n")).as("min_group_size"),
+        sum(when(col("n") < k, 1L).otherwise(0L)).as("n_violating_groups"),
+        sum(when(col("n") < k, col("n")).otherwise(0L)).as("n_risky_rows"),
+        (min(col("n")) >= k).as("is_k_anonymous"))
+  }
+
+  /** Driver query: is (nation, segment) 10-anonymous over customers? */
+  def kAnonymityQuery(spark: SparkSession, dir: String): DataFrame =
+    kAnonymity(Lake.customer(spark, dir),
+      Seq("c_nationkey", "c_mktsegment"), k = 10)
 }
