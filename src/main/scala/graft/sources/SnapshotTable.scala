@@ -146,6 +146,32 @@ object SnapshotTable {
     old.select(aligned.toSeq: _*)
   }
 
+  /** Schema drift between two committed versions — the catalog's "what
+    * changed structurally" report a consumer checks before pointing a job
+    * at a newer version: added / removed / retyped columns, one row per
+    * change (schemas come from parquet footers — no data read). Pairs
+    * with [[diff]] (row-level changes) and [[readEvolved]] (how additive
+    * drift is absorbed). */
+  def schemaDiff(spark: SparkSession, dir: String,
+                 vOld: Long, vNew: Long): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val o = read(spark, dir, Some(vOld)).schema
+      .map(f => f.name -> f.dataType.simpleString).toMap
+    val n = read(spark, dir, Some(vNew)).schema
+      .map(f => f.name -> f.dataType.simpleString).toMap
+    val added = (n.keySet -- o.keySet).toSeq.sorted
+      .map(c => ("added", c, null: String, n(c)))
+    val removed = (o.keySet -- n.keySet).toSeq.sorted
+      .map(c => ("removed", c, o(c), null: String))
+    val retyped = (o.keySet & n.keySet).toSeq.sorted
+      .filter(c => o(c) != n(c))
+      .map(c => ("retyped", c, o(c), n(c)))
+    (added ++ removed ++ retyped)
+      .toDF("change", "column_name", "old_type", "new_type")
+      .orderBy(col("change"), col("column_name"))
+  }
+
   /** Driver-visible time-travel query: commit two versions of the lake's
     * documents table into a scratch snapshot dir (v0 = doc_id < 250,
     * v1 = everything), then aggregate the TIME-TRAVELED v0 — so the result

@@ -76,6 +76,39 @@ object GraftProperties extends Properties("graft") {
       kept(half) == (full intersect half.toSet)
     }
 
+  private val genWord: Gen[String] = for {
+    n <- Gen.choose(1, 14)
+    cs <- Gen.listOfN(n, Gen.frequency(
+      9 -> Gen.alphaLowerChar, 1 -> Gen.oneOf('#', '9', '!')))
+  } yield cs.mkString
+
+  property("BPE: priority == rank-order sequential; tokens reassemble the word") =
+    forAll(Gen.listOf(genWord)) { words =>
+      // the equivalence the DuckDB oracle's replace chain relies on must
+      // hold for EVERY word, not just the corpus fixtures
+      words.forall { w =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        graft.functions.BpeVocab.applyWord(w, out)
+        out.toSeq == graft.functions.BpeVocab.applyWordSequential(w) &&
+          out.mkString == w
+      }
+    }
+
+  property("weighted sample is subset-stable at the kept set's keys") =
+    forAll(genIds) { ids =>
+      import spark.implicits._
+      // E-S keys are per-row pure: computing them on any superset yields
+      // the same per-doc key, so rank order among surviving docs is fixed
+      def keys(xs: List[Long]): Map[Long, Double] =
+        CorpusOps.weightedSample(
+          xs.map(i => (i, "s", ("x " * (i % 7 + 1).toInt).trim)).toDF("doc_id", "source", "text"),
+          n = xs.length.max(1))
+          .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+      val full = keys(ids)
+      val half = ids.take(ids.length / 2 + 1)
+      keys(half).forall { case (id, k) => full.get(id).contains(k) }
+    }
+
   property("minhash signatures are deterministic with one min per permutation") =
     forAll(genCorpus) { corpus =>
       import spark.implicits._

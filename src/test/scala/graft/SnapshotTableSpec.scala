@@ -92,6 +92,25 @@ class SnapshotTableSpec extends SparkSpecBase {
     assert(unioned.count() == 2 * base.count())
   }
 
+  test("schemaDiff reports added, removed, and retyped columns between versions") {
+    val dir = Files.createTempDirectory("graft_snap_sd").toString + "/tbl"
+    val base = Lake.documents(spark, Sf).select("doc_id", "text", "n_chars")
+    SnapshotTable.write(spark, dir, base)
+    SnapshotTable.write(spark, dir, base
+      .drop("n_chars")                                   // removed
+      .withColumn("doc_id", col("doc_id").cast("int"))   // retyped
+      .withColumn("quality", length(col("text")).cast("double"))) // added
+    val changes = SnapshotTable.schemaDiff(spark, dir, 0L, 1L).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(changes.toSet == Set(
+      ("added", "quality", null, "double"),
+      ("removed", "n_chars", "bigint", null),
+      ("retyped", "doc_id", "bigint", "int")),
+      s"schema diff wrong: ${changes.toSeq}")
+    // identical versions → empty report
+    assert(SnapshotTable.schemaDiff(spark, dir, 1L, 1L).count() == 0)
+  }
+
   test("merge upserts by key and delete erases by predicate, both copy-on-write") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_snap_merge").toString + "/tbl"
