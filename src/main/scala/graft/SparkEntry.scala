@@ -197,6 +197,9 @@ object SparkEntry {
     "q_weighted_sample"   -> CorpusOps.weightedSampleQuery _,
     // k-anonymity release gate over quasi-identifiers
     "q_k_anonymity"       -> Governance.kAnonymityQuery _,
+    // Sequenced time-bounded funnel (two chained windows, one shuffle)
+    "q_funnel_within"     -> ((s: SparkSession, d: String) =>
+      EventOps.funnelWithin(s, d)),
   )
 
   /** [[TextOps.patternScan]] dictionary for the driver query: token
@@ -276,6 +279,19 @@ object SparkEntry {
          |          FROM $t WHERE $c IS NOT NULL)
          |    ELSE []::VARCHAR[] END AS dictionary""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY tbl, column_name")),
+    // Sequenced bounded funnel: the oracle brute-forces the EXISTS triple
+    // (fine at test SF) — an independent formulation of the engine's
+    // chained-window scan.
+    "q_funnel_within" ->
+      """SELECT DISTINCT p.user_id FROM events p
+        |WHERE p.event_type = 'purchase' AND EXISTS (
+        |  SELECT 1 FROM events c, events v
+        |  WHERE c.user_id = p.user_id AND v.user_id = p.user_id
+        |    AND c.event_type = 'click' AND v.event_type = 'view'
+        |    AND v.ts < c.ts AND c.ts < p.ts
+        |    AND c.ts <= v.ts + INTERVAL 24 HOUR
+        |    AND p.ts <= c.ts + INTERVAL 24 HOUR)
+        |ORDER BY user_id""".stripMargin,
     // k-anonymity: group-size floor over the quasi-identifier set.
     "q_k_anonymity" ->
       """WITH g AS (SELECT c_nationkey, c_mktsegment, count(*) AS n

@@ -114,6 +114,39 @@ object EventOps {
       .select(col("user_id"))
       .orderBy(col("user_id"))
 
+  /** SEQUENCED, TIME-BOUNDED funnel: users with some view → click →
+    * purchase chain where each step follows the previous within
+    * `horizonHours` — the product-analytics conversion window the
+    * min-per-step [[funnel]] cannot express (min-based ordering also
+    * misses valid chains when an earlier out-of-order step exists; this
+    * form finds ANY qualifying chain). Two chained window passes over ONE
+    * user-partitioned sort — no self-join, no range explosion: pass 1
+    * carries the latest preceding view time, pass 2 the latest preceding
+    * QUALIFIED click (a click within horizon of a strictly earlier view);
+    * a purchase within horizon of a qualified click converts. O(events)
+    * work after one shuffle, at any horizon. */
+  def funnelWithin(spark: SparkSession, dir: String,
+                   horizonHours: Int = 24): DataFrame = {
+    val horizonUs = horizonHours * 3600L * 1000000L
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Lake.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("last_view_us",
+        max(when(col("event_type") === "view", col("us"))).over(w))
+      .withColumn("q_click_us",
+        max(when(col("event_type") === "click" &&
+          col("last_view_us") < col("us") &&
+          col("us") - col("last_view_us") <= horizonUs, col("us"))).over(w))
+      .filter(col("event_type") === "purchase" &&
+        col("q_click_us") < col("us") &&
+        col("us") - col("q_click_us") <= horizonUs)
+      .select(col("user_id")).distinct()
+      .orderBy(col("user_id"))
+  }
+
   /** As-of join (time-travel lookup) expressed as a bounded window — for
     * every purchase, the most recent strictly-preceding view by the same
     * user. One user-partitioned shuffle; no self-join, no range explosion. */
