@@ -52,8 +52,9 @@ final case class DataLake(spark: SparkSession, dir: String) {
   def annSearch(k: Int = 5): DataFrame = AnnOps.lsh(spark, dir, k = k)
   def buildAnnIndex(indexDir: String, nCentroids: Int = 16): Long =
     AnnIndex.build(spark, indexDir, embeddings, nCentroids = nCentroids)
-  def refreshAnnIndex(indexDir: String): Option[Long] =
-    AnnIndex.refresh(spark, indexDir, embeddings)
+  def refreshAnnIndex(indexDir: String,
+                      sourceVersion: Option[Long] = None): Option[Long] =
+    AnnIndex.refresh(spark, indexDir, embeddings, sourceVersion = sourceVersion)
   def annSearchIndexed(indexDir: String, queries: DataFrame,
                        k: Int = 5, nProbes: Int = 6): DataFrame =
     AnnIndex.searchIvf(spark, indexDir, embeddings, queries, k, nProbes)

@@ -275,9 +275,10 @@ object SparkEntry {
       s"""SELECT '$t' AS tbl, '$c' AS column_name,
          |  $ndv AS ndv, $ndv <= 32 AS is_enum,
          |  CASE WHEN $ndv <= 32
-         |    THEN (SELECT list_sort(list(DISTINCT CAST($c AS varchar)))
+         |    THEN (SELECT array_to_string(
+         |            list_sort(list(DISTINCT CAST($c AS varchar))), ',')
          |          FROM $t WHERE $c IS NOT NULL)
-         |    ELSE []::VARCHAR[] END AS dictionary""".stripMargin
+         |    ELSE '' END AS dictionary""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY tbl, column_name")),
     // Sequenced bounded funnel: the oracle brute-forces the EXISTS triple
     // (fine at test SF) — an independent formulation of the engine's

@@ -39,11 +39,15 @@ object AnnIndex {
   /** Train on the CURRENT corpus and commit the next index version:
     * k-means centroids (bounded driver-side sample — the standard IVF
     * quantizer recipe) plus the LSH layout sized to the corpus via
-    * [[AnnOps.bitsForCorpus]]. Returns the committed version. */
+    * [[AnnOps.bitsForCorpus]]. `sourceVersion` records the committed
+    * version of the source table the index was trained on (e.g. a
+    * [[graft.sources.SnapshotTable]] version) so [[refresh]] can detect
+    * in-place updates a row count cannot. Returns the committed version. */
   def build(spark: SparkSession, indexDir: String, emb: DataFrame,
             dim: Int = 64, nCentroids: Int = 16,
             tables: Int = AnnOps.DefaultTables,
-            sampleN: Int = 2048, iters: Int = 5): Long = {
+            sampleN: Int = 2048, iters: Int = 5,
+            sourceVersion: Option[Long] = None): Long = {
     import spark.implicits._
     val v = versions(spark, indexDir).lastOption.map(_ + 1).getOrElse(0L)
     val cents = AnnOps.kmeansCentroids(emb, nCentroids, sampleN, iters)
@@ -53,26 +57,40 @@ object AnnIndex {
     cents.toDF("c_id", "c_emb")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$indexDir/v=$v/centroids")
-    Seq((dim, nCentroids, tables, bits, sampleN, iters, n))
+    Seq((dim, nCentroids, tables, bits, sampleN, iters, n,
+        sourceVersion.getOrElse(-1L)))
       .toDF("dim", "n_centroids", "tables", "bits", "sample_n", "iters",
-        "n_vectors")
+        "n_vectors", "source_version")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$indexDir/v=$v/params")
     v
   }
 
-  /** Rebuild iff the corpus changed since the latest build (row-count
-    * staleness probe — callers holding a better change signal, e.g. a
-    * snapshot version, can call [[build]] directly). Returns the new
-    * version, or None when the index is already current. */
+  /** Rebuild iff the corpus changed since the latest build. Staleness is
+    * keyed on the source table's committed version when BOTH the caller
+    * and the stored params carry one — a row count misses in-place
+    * updates (same cardinality, new vectors) — and falls back to the
+    * row-count probe otherwise. Returns the new version, or None when the
+    * index is already current. */
   def refresh(spark: SparkSession, indexDir: String, emb: DataFrame,
-              dim: Int = 64, nCentroids: Int = 16): Option[Long] = {
+              dim: Int = 64, nCentroids: Int = 16,
+              sourceVersion: Option[Long] = None): Option[Long] = {
     versions(spark, indexDir).lastOption match {
       case Some(v) =>
-        val builtN = params(spark, indexDir, Some(v)).getAs[Long]("n_vectors")
-        if (emb.count() == builtN) None
-        else Some(build(spark, indexDir, emb, dim, nCentroids))
-      case None => Some(build(spark, indexDir, emb, dim, nCentroids))
+        val p = params(spark, indexDir, Some(v))
+        val builtSource =
+          if (p.schema.fieldNames.contains("source_version"))
+            p.getAs[Long]("source_version")
+          else -1L
+        val current = (sourceVersion, builtSource) match {
+          case (Some(sv), bs) if bs >= 0L => sv == bs
+          case _ => emb.count() == p.getAs[Long]("n_vectors")
+        }
+        if (current) None
+        else Some(build(spark, indexDir, emb, dim, nCentroids,
+          sourceVersion = sourceVersion))
+      case None => Some(build(spark, indexDir, emb, dim, nCentroids,
+        sourceVersion = sourceVersion))
     }
   }
 

@@ -561,11 +561,13 @@ object CatalogOps {
       val ndv = d.agg(count(lit(1)).as("ndv"))
       val head = d.orderBy(col("v")).limit(maxCard + 1)
         .agg(sort_array(collect_list(col("v"))).as("head_vals"))
+      // Dictionary is emitted as one comma-joined scalar (not array<string>):
+      // scalar columns hash/sort portably in any downstream engine.
       ndv.crossJoin(head).select(
         lit(t).as("tbl"), lit(c).as("column_name"), col("ndv"),
         (col("ndv") <= maxCard).as("is_enum"),
-        when(col("ndv") <= maxCard, col("head_vals"))
-          .otherwise(array().cast("array<string>")).as("dictionary"))
+        when(col("ndv") <= maxCard, concat_ws(",", col("head_vals")))
+          .otherwise(lit("")).as("dictionary"))
     }
     results.reduce(_ unionByName _)
       .orderBy(col("tbl"), col("column_name"))

@@ -126,12 +126,19 @@ object EventOps {
     * a purchase within horizon of a qualified click converts. O(events)
     * work after one shuffle, at any horizon. */
   def funnelWithin(spark: SparkSession, dir: String,
-                   horizonHours: Int = 24): DataFrame = {
+                   horizonHours: Int = 24): DataFrame =
+    funnelWithin(Lake.events(spark, dir), horizonHours)
+
+  def funnelWithin(events: DataFrame, horizonHours: Int): DataFrame = {
     val horizonUs = horizonHours * 3600L * 1000000L
+    // RANGE frame on `us`, not ROWS: "strictly earlier" must exclude
+    // same-microsecond events entirely, or a tied view/click (us' == us)
+    // would win the max, fail the strict `<` filter, and mask a genuinely
+    // earlier qualifying event.
     val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("us"), col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    Lake.events(spark, dir)
+      .orderBy(col("us"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    events
       .select(col("user_id"), col("event_type"), col("event_id"),
         unix_micros(col("ts")).as("us"))
       .withColumn("last_view_us",

@@ -186,8 +186,7 @@ object TextOps {
   def unigramSurprisal(docs: DataFrame): DataFrame = {
     // three consumers (corpus total, per-token counts, the probe join) —
     // persist so the tokenize+explode pass runs once, not per consumer
-    // (ReuseExchange is not reliable across these shapes; ContextCleaner
-    // releases the cache when the frame is collected)
+    // (ReuseExchange is not reliable across these shapes)
     val tokRows = nonNull(docs).select(col("doc_id"), explode(toks).as("token"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val total = tokRows.select(count(lit(1)).cast("double").as("__n_total"))
@@ -197,7 +196,12 @@ object TextOps {
       .select(col("token"),
         round(-log(col("tf") / col("__n_total")), 6)
           .cast(DecimalType(18, 6)).as("neg_logp"))
-    tokRows.join(logp, "token")
+    // materialize the per-doc result (O(docs), far smaller than the
+    // exploded tokens) and release the corpus-sized cache NOW — repeated
+    // calls in a long-lived session must not pile up caches until the
+    // ContextCleaner happens to collect them (same discipline as
+    // DataLake.cleanCorpus)
+    val out = tokRows.join(logp, "token")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
         sum(col("neg_logp")).as("total_surprisal"))
@@ -205,6 +209,9 @@ object TextOps {
         round(col("total_surprisal").cast("double") / col("n_tokens"), 4)
           .as("avg_surprisal"))
       .orderBy(col("doc_id"))
+      .localCheckpoint(true)
+    tokRows.unpersist(false)
+    out
   }
 
   def unigramSurprisal(spark: SparkSession, dir: String): DataFrame =
@@ -235,7 +242,8 @@ object TextOps {
       .select(col("bigram"),
         round(-log(col("bc") / col("pc")), 6)
           .cast(DecimalType(18, 6)).as("neg_logp"))
-    withBi.join(logp, "bigram")
+    // materialize + release, mirroring unigramSurprisal
+    val out = withBi.join(logp, "bigram")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
         sum(col("neg_logp")).as("total"))
@@ -243,6 +251,9 @@ object TextOps {
         round(col("total").cast("double") / col("n_bigrams"), 4)
           .as("avg_surprisal"))
       .orderBy(col("doc_id"))
+      .localCheckpoint(true)
+    withBi.unpersist(false)
+    out
   }
 
   def bigramSurprisal(spark: SparkSession, dir: String): DataFrame =

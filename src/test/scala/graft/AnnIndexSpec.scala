@@ -62,6 +62,25 @@ class AnnIndexSpec extends SparkSpecBase {
     assert(AnnIndex.centroids(spark, dir, Some(0L)).count() == 16L)
   }
 
+  test("version-keyed refresh catches in-place updates a row count misses") {
+    val emb = Lake.embeddings(spark, Sf)
+    val dir = tmpDir("ann_index_src_version")
+    assert(AnnIndex.refresh(spark, dir, emb, sourceVersion = Some(3L))
+      .contains(0L), "first refresh builds v0 stamped with source v3")
+    assert(AnnIndex.refresh(spark, dir, emb, sourceVersion = Some(3L)).isEmpty,
+      "same source version → current")
+    // vectors replaced IN PLACE: same count, new source version — the
+    // count probe would wrongly report current, the version probe must not
+    val replaced = emb.withColumn("embedding",
+      transform(col("embedding"), x => -x))
+    assert(replaced.count() == emb.count())
+    assert(AnnIndex.refresh(spark, dir, replaced, sourceVersion = Some(4L))
+      .contains(1L), "new source version → rebuild even at equal count")
+    // callers without a version signal still get the count fallback
+    assert(AnnIndex.refresh(spark, dir, replaced).isEmpty,
+      "no version signal + equal count → count fallback reports current")
+  }
+
   test("an incomplete build (missing _SUCCESS) is not a usable version") {
     val emb = Lake.embeddings(spark, Sf)
     val dir = tmpDir("ann_index_crash")
