@@ -79,11 +79,13 @@ object SparkEntry {
     "q_neardup_keep"      -> ((s: SparkSession, d: String) => DedupOps.nearDupClusters(s, d)),
     "q_simhash"           -> ((s: SparkSession, d: String) => DedupOps.simhash(s, d)),
     "q_simhash_pairs"     -> ((s: SparkSession, d: String) => DedupOps.simhashPairs(s, d)),
+    "q_setsim_pairs"      -> ((s: SparkSession, d: String) => DedupOps.setSimilarityJoin(s, d)),
     "q_embedding_neardups" -> ((s: SparkSession, d: String) => DedupOps.embeddingNearDups(s, d)),
     // Similarity search / embeddings (§2 items 19–21)
     "q_ann_bruteforce"    -> ((s: SparkSession, d: String) => AnnOps.bruteForce(s, d)),
     "q_ann_lsh"           -> ((s: SparkSession, d: String) => AnnOps.lsh(s, d)),
     "q_ann_ivf"           -> ((s: SparkSession, d: String) => AnnOps.ivf(s, d)),
+    "q_ann_indexed"       -> ((s: SparkSession, d: String) => AnnIndex.ivfIndexedQuery(s, d)),
     "q_ann_filtered"      -> ((s: SparkSession, d: String) => AnnOps.filteredAnn(s, d)),
     "q_embedding_stats"   -> AnnOps.embeddingStats _,
     "q_label_centroids"   -> AnnOps.labelCentroids _,
@@ -98,6 +100,8 @@ object SparkEntry {
     "q_fingerprint"       -> TextOps.fingerprint _,
     "q_quality_rules"     -> ((s: SparkSession, d: String) => TextOps.qualityRules(s, d)),
     "q_surprisal"         -> TextOps.unigramSurprisal _,
+    "q_boilerplate"       -> ((s: SparkSession, d: String) => TextOps.boilerplateNgrams(s, d)),
+    "q_boilerplate_density" -> ((s: SparkSession, d: String) => TextOps.boilerplateDensity(s, d)),
     // Full composed pipeline: exact dedup → near-dup clusters → quality
     "q_clean_corpus"      -> ((s: SparkSession, d: String) =>
       graft.DataLake(s, d).cleanCorpus()
@@ -200,6 +204,15 @@ object SparkEntry {
     // Sequenced time-bounded funnel (two chained windows, one shuffle)
     "q_funnel_within"     -> ((s: SparkSession, d: String) =>
       EventOps.funnelWithin(s, d)),
+    // Q11 shape: revenue share vs a global one-row threshold (exact decimal)
+    "q_supplier_share"    -> ((s: SparkSession, d: String) =>
+      Relational.supplierShare(s, d)),
+    // Q15 shape: argmax with ties via one-row max re-join
+    "q_top_supplier"      -> ((s: SparkSession, d: String) =>
+      Relational.topSupplier(s, d)),
+    // Rolling z-score anomaly screen over the gap-filled hourly series
+    "q_anomalies"         -> ((s: SparkSession, d: String) =>
+      EventOps.anomalies(s, d)),
   )
 
   /** [[TextOps.patternScan]] dictionary for the driver query: token
@@ -252,6 +265,38 @@ object SparkEntry {
     }
 
   /** A word rendered as its chr(1)-delimited character tokens. */
+  /** Shared by q_ann_ivf and q_ann_indexed (the stored-artifact search is
+    * definitionally the same computation). */
+  private val ivfOracleSql: String =
+    """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+      |             FROM embeddings),
+      |cent AS (SELECT vec_id AS c_id, e AS ce FROM emb
+      |         WHERE vec_id % 31 = 9 ORDER BY vec_id LIMIT 16),
+      |corp AS (SELECT vec_id, cell FROM (
+      |           SELECT emb.vec_id, cent.c_id AS cell,
+      |             row_number() OVER (PARTITION BY emb.vec_id
+      |               ORDER BY list_cosine_similarity(e, ce) DESC, c_id) AS cr
+      |           FROM emb CROSS JOIN cent) WHERE cr = 1),
+      |qc AS (SELECT q_id, cell FROM (
+      |         SELECT emb.vec_id AS q_id, cent.c_id AS cell,
+      |           row_number() OVER (PARTITION BY emb.vec_id
+      |             ORDER BY list_cosine_similarity(e, ce) DESC, c_id) AS cr
+      |         FROM emb CROSS JOIN cent WHERE emb.vec_id < 8) WHERE cr <= 6),
+      |cand AS (SELECT DISTINCT qc.q_id, corp.vec_id AS neighbor_id
+      |         FROM corp JOIN qc
+      |           ON corp.cell = qc.cell AND corp.vec_id <> qc.q_id),
+      |sc AS (SELECT q_id, neighbor_id,
+      |         list_cosine_similarity(a.e, b.e) AS sim_raw
+      |       FROM cand JOIN emb a ON a.vec_id = cand.q_id
+      |                 JOIN emb b ON b.vec_id = cand.neighbor_id)
+      |SELECT q_id, neighbor_id, round(sim_raw, 4) AS sim,
+      |  cast(rnk AS bigint) AS rnk
+      |FROM (SELECT q_id, neighbor_id, sim_raw,
+      |        row_number() OVER (PARTITION BY q_id
+      |          ORDER BY sim_raw DESC, neighbor_id) AS rnk
+      |      FROM sc) t
+      |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+
   private def bpeCharsSql(word: String): String =
     s"chr(1) || array_to_string(list_transform(range(1, len($word)+1), i -> $word[i]), chr(1)||chr(1)) || chr(1)"
 
@@ -317,6 +362,131 @@ object SparkEntry {
         |  FROM documents WHERE text IS NOT NULL)
         |WHERE weight > 0
         |ORDER BY sample_key DESC, doc_id LIMIT 100""".stripMargin,
+    // Q11 shape: share test in exact decimal space (rev * 200 > total),
+    // same discipline as q_idle_rich.
+    "q_supplier_share" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    sum(CAST(l_extendedprice AS decimal(18,2)) *
+        |        (CAST(1 AS decimal(18,2)) - CAST(l_discount AS decimal(18,2))))
+        |      AS rev
+        |  FROM lineitem GROUP BY 1)
+        |SELECT s_suppkey, s_name, round(CAST(rev AS double), 2) AS revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rev * 200 > (SELECT sum(rev) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    // Q15 shape: argmax with ties kept, equality in exact decimal space.
+    "q_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    sum(CAST(l_extendedprice AS decimal(18,2)) *
+        |        (CAST(1 AS decimal(18,2)) - CAST(l_discount AS decimal(18,2))))
+        |      AS rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate <  TIMESTAMP '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, round(CAST(rev AS double), 2) AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rev = (SELECT max(rev) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    // Rolling z-score anomalies: the window carries only exact integer
+    // sums; mean/var/z are the IDENTICAL double expression on both sides
+    // (a windowed stddev would accumulate in engine-dependent order).
+    "q_anomalies" ->
+      """WITH spine AS (
+        |  SELECT unnest(generate_series(
+        |    cast(date_trunc('hour', (SELECT min(ts) FROM events)) AS timestamp),
+        |    cast(date_trunc('hour', (SELECT max(ts) FROM events)) AS timestamp),
+        |    INTERVAL 1 HOUR)) AS bucket
+        |), agg AS (
+        |  SELECT cast(date_trunc('hour', ts) AS timestamp) AS bucket,
+        |    event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), dense AS (
+        |  SELECT spine.bucket, t.event_type, coalesce(agg.n, 0) AS n_events
+        |  FROM spine
+        |  CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+        |  LEFT JOIN agg ON agg.bucket = spine.bucket AND agg.event_type = t.event_type
+        |), win AS (
+        |  SELECT bucket, event_type, n_events,
+        |    sum(n_events) OVER w AS s1,
+        |    sum(n_events * n_events) OVER w AS s2,
+        |    count(*) OVER w AS w
+        |  FROM dense
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+        |               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT bucket, event_type, n_events,
+        |  round((n_events - CAST(s1 AS DOUBLE) / w) /
+        |        sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / w)
+        |             / (w - 1)), 4) AS z_score
+        |FROM win
+        |WHERE w = 24
+        |  AND (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / w)
+        |      / (w - 1) > 0
+        |  AND abs((n_events - CAST(s1 AS DOUBLE) / w) /
+        |        sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / w)
+        |             / (w - 1))) >= 3.0
+        |ORDER BY bucket, event_type""".stripMargin,
+    // Boilerplate trigrams: document frequency over per-doc DISTINCT
+    // 3-grams, deterministic (df desc, ngram asc) top-K cut.
+    "q_boilerplate" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+        |             FROM documents WHERE text IS NOT NULL),
+        |ngr AS (SELECT doc_id,
+        |          unnest(list_distinct(list_transform(range(1, len(t) - 1),
+        |            i -> array_to_string(t[i:i+2], ' ')))) AS ngram
+        |        FROM tok WHERE len(t) >= 3)
+        |SELECT ngram, count(*) AS df
+        |FROM ngr GROUP BY ngram
+        |HAVING count(*) >= 2
+        |ORDER BY df DESC, ngram
+        |LIMIT 10""".stripMargin,
+    // Per-doc boilerplate load against the same top-K list (occurrences,
+    // not distinct — repeats inside one doc count).
+    "q_boilerplate_density" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+        |             FROM documents WHERE text IS NOT NULL),
+        |ngr AS (SELECT doc_id,
+        |          unnest(list_distinct(list_transform(range(1, len(t) - 1),
+        |            i -> array_to_string(t[i:i+2], ' ')))) AS ngram
+        |        FROM tok WHERE len(t) >= 3),
+        |top AS (SELECT ngram FROM (
+        |          SELECT ngram, count(*) AS df FROM ngr GROUP BY ngram
+        |          HAVING count(*) >= 2
+        |          ORDER BY df DESC, ngram LIMIT 10)),
+        |occ_all AS (SELECT doc_id,
+        |              unnest(list_transform(range(1, len(t) - 1),
+        |                i -> array_to_string(t[i:i+2], ' '))) AS ngram
+        |            FROM tok WHERE len(t) >= 3),
+        |occ AS (SELECT doc_id, count(*) AS o
+        |        FROM occ_all JOIN top USING (ngram) GROUP BY 1),
+        |base AS (SELECT doc_id, len(t) AS n_tokens FROM tok WHERE len(t) >= 3)
+        |SELECT base.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  coalesce(o, 0) AS n_boilerplate,
+        |  round(coalesce(o, 0) * 3 / n_tokens, 4) AS bp_density
+        |FROM base LEFT JOIN occ USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // Exact set-similarity join: brute-force all-pairs trigram-set
+    // Jaccard (fine at oracle SF) — an independent formulation of the
+    // engine's prefix-filtered join, which must be lossless.
+    "q_setsim_pairs" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+        |             FROM documents WHERE text IS NOT NULL),
+        |sh AS (SELECT doc_id,
+        |         CASE WHEN len(t) >= 3
+        |           THEN list_distinct(list_transform(range(1, len(t) - 1),
+        |                  i -> array_to_string(t[i:i+2], ' ')))
+        |           ELSE [array_to_string(t, ' ')] END AS s
+        |       FROM tok),
+        |tk AS (SELECT doc_id, s, len(s) AS sz FROM sh),
+        |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         len(list_intersect(a.s, b.s)) AS i, a.sz AS sa, b.sz AS sb
+        |       FROM tk a JOIN tk b ON a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, round(i / (sa + sb - i), 6) AS jaccard
+        |FROM pr
+        |WHERE i / (sa + sb - i) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // Q22 shape: threshold in exact integer space (bal * n > sum) so no
     // engine's avg-division rounding can flip a boundary row.
     "q_idle_rich" ->
@@ -418,35 +588,11 @@ object SparkEntry {
     // IVF ANN, replicated: stride-sampled centroids (vec_id % 31 = 9,
     // ordered, first 16), nearest-cell assignment (1 probe corpus /
     // 6 probes query), exact cosine rank within probed cells.
-    "q_ann_ivf" ->
-      """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
-        |             FROM embeddings),
-        |cent AS (SELECT vec_id AS c_id, e AS ce FROM emb
-        |         WHERE vec_id % 31 = 9 ORDER BY vec_id LIMIT 16),
-        |corp AS (SELECT vec_id, cell FROM (
-        |           SELECT emb.vec_id, cent.c_id AS cell,
-        |             row_number() OVER (PARTITION BY emb.vec_id
-        |               ORDER BY list_cosine_similarity(e, ce) DESC, c_id) AS cr
-        |           FROM emb CROSS JOIN cent) WHERE cr = 1),
-        |qc AS (SELECT q_id, cell FROM (
-        |         SELECT emb.vec_id AS q_id, cent.c_id AS cell,
-        |           row_number() OVER (PARTITION BY emb.vec_id
-        |             ORDER BY list_cosine_similarity(e, ce) DESC, c_id) AS cr
-        |         FROM emb CROSS JOIN cent WHERE emb.vec_id < 8) WHERE cr <= 6),
-        |cand AS (SELECT DISTINCT qc.q_id, corp.vec_id AS neighbor_id
-        |         FROM corp JOIN qc
-        |           ON corp.cell = qc.cell AND corp.vec_id <> qc.q_id),
-        |sc AS (SELECT q_id, neighbor_id,
-        |         list_cosine_similarity(a.e, b.e) AS sim_raw
-        |       FROM cand JOIN emb a ON a.vec_id = cand.q_id
-        |                 JOIN emb b ON b.vec_id = cand.neighbor_id)
-        |SELECT q_id, neighbor_id, round(sim_raw, 4) AS sim,
-        |  cast(rnk AS bigint) AS rnk
-        |FROM (SELECT q_id, neighbor_id, sim_raw,
-        |        row_number() OVER (PARTITION BY q_id
-        |          ORDER BY sim_raw DESC, neighbor_id) AS rnk
-        |      FROM sc) t
-        |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    "q_ann_ivf" -> ivfOracleSql,
+    // The persisted-index search MUST answer exactly like the inline IVF
+    // path (same stride centroids through the stored sidecar) — one
+    // oracle verifies both the algorithm and the persist→load round trip.
+    "q_ann_indexed" -> ivfOracleSql,
     // Embedding near-dups through the same bucket CTEs + the engine's
     // 4096 hot-bucket cap; threshold on the UNROUNDED cosine.
     "q_embedding_neardups" ->

@@ -66,6 +66,48 @@ object AnnIndex {
     v
   }
 
+  /** Commit an index version from PRE-TRAINED centroids (`c_id`, `c_emb`)
+    * — the build path when training is separated from indexing (a stride
+    * quantizer, or centroids trained by an external job). Same layout and
+    * `_SUCCESS` gating as [[build]]. */
+  def buildFromCentroids(spark: SparkSession, indexDir: String,
+                         centroids: DataFrame, nVectors: Long,
+                         dim: Int = 64, tables: Int = AnnOps.DefaultTables,
+                         sourceVersion: Option[Long] = None): Long = {
+    import spark.implicits._
+    val v = versions(spark, indexDir).lastOption.map(_ + 1).getOrElse(0L)
+    val n = centroids.count()
+    require(n > 0, "cannot build an ANN index with zero centroids")
+    centroids.select(col("c_id"), col("c_emb"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexDir/v=$v/centroids")
+    Seq((dim, n.toInt, tables, AnnOps.bitsForCorpus(nVectors), 0, 0,
+        nVectors, sourceVersion.getOrElse(-1L)))
+      .toDF("dim", "n_centroids", "tables", "bits", "sample_n", "iters",
+        "n_vectors", "source_version")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexDir/v=$v/params")
+    v
+  }
+
+  /** Registered-query form: commit a stride-centroid index version into a
+    * fresh sidecar, then answer ONLY through the stored artifacts. The
+    * result is definitionally identical to the inline [[AnnOps.ivf]] path
+    * (same centroids, same probing), so the persist→load→search path gets
+    * the same DuckDB oracle — the storage layer itself is value-verified,
+    * not just test-asserted. */
+  def ivfIndexedQuery(spark: SparkSession, dir: String,
+                      k: Int = 5, nQueries: Int = 8,
+                      nCentroids: Int = 16, nProbes: Int = 6): DataFrame = {
+    val emb = graft.Lake.embeddings(spark, dir)
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_ann_index").toString
+    buildFromCentroids(spark, idxDir,
+      AnnOps.strideCentroids(emb, nCentroids), emb.count())
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    searchIvf(spark, idxDir, emb, queries, k, nProbes)
+  }
+
   /** Rebuild iff the corpus changed since the latest build. Staleness is
     * keyed on the source table's committed version when BOTH the caller
     * and the stored params carry one — a row count misses in-place

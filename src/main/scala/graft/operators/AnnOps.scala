@@ -165,16 +165,18 @@ object AnnOps {
     * Centroid choice is a deterministic stride sample — at 100 TB swap in
     * a k-means pass over a sample; the query/cell plumbing is unchanged. */
   def ivf(emb: DataFrame, queriesIn: DataFrame, k: Int,
-          nCentroids: Int, nProbes: Int): DataFrame = {
-    // deterministic stride sample, disjoint from the query-id range; the
-    // orderBy pins WHICH stride hits survive the limit (limit without sort
-    // is partitioning-dependent)
-    val centroids = emb.filter(pmod(col("vec_id"), lit(31)) === 9)
+          nCentroids: Int, nProbes: Int): DataFrame =
+    ivfWithCentroids(emb, queriesIn, strideCentroids(emb, nCentroids), k, nProbes)
+
+  /** Deterministic stride centroid sample, disjoint from the query-id
+    * range; the orderBy pins WHICH stride hits survive the limit (limit
+    * without sort is partitioning-dependent). Shared by the inline
+    * [[ivf]] path and [[AnnIndex]]'s oracle-parity build. */
+  def strideCentroids(emb: DataFrame, nCentroids: Int): DataFrame =
+    emb.filter(pmod(col("vec_id"), lit(31)) === 9)
       .orderBy(col("vec_id"))
       .limit(nCentroids)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
-    ivfWithCentroids(emb, queriesIn, centroids, k, nProbes)
-  }
 
   /** K-means-trained coarse quantizer: Lloyd's iterations over a bounded
     * sample, run driver-side (the sample is bounded regardless of corpus

@@ -362,4 +362,65 @@ object DedupOps extends org.apache.spark.internal.Logging {
     * embedding spaces use 0.85–0.95). */
   def embeddingNearDups(spark: SparkSession, dir: String): DataFrame =
     embeddingNearDups(Lake.embeddings(spark, dir), threshold = 0.4)
+
+  /** EXACT set-similarity self-join (AllPairs/PPJoin prefix filter): every
+    * doc pair whose word-`n`-gram shingle-set Jaccard ≥ `threshold` — the
+    * deterministic complement to the probabilistic MinHash path
+    * ([[nearDupPairs]]): no banding parameters, no recall argument, every
+    * qualifying pair found by construction. (Shingle sets, not unigram
+    * sets: over a small vocabulary unigram Jaccard saturates — nearly all
+    * pairs qualify — while n-grams keep sets discriminative.)
+    *
+    * Never all-pairs. Prefix-filtering principle (Chaudhuri et al.
+    * SSJoin / Xiao et al. PPJoin): order every token set by a global
+    * total order and keep only the first `|x| − ⌈t·|x|⌉ + 1` tokens as
+    * its prefix; two sets with Jaccard ≥ t MUST share a prefix token, so
+    * the equi-join on prefix tokens is a lossless candidate generator.
+    * The global order is (df asc, token asc) — RAREST FIRST — which is
+    * also the skew defense: prefixes are dominated by rare tokens, so
+    * the join key fan-out stays small ("the" never lands in a prefix of
+    * a doc with any rare token). Candidates then verify with the exact
+    * intersection; the ≥ t test is one double division from integer
+    * sizes, identical in any engine.
+    *
+    * Shape: one token shuffle (df counts), one doc shuffle (set
+    * assembly), the prefix equi-join, and a bounded re-join of candidate
+    * ids to token arrays. Scales linearly in corpus + output size. */
+  def setSimilarityJoin(docs: DataFrame, threshold: Double = 0.5,
+                        n: Int = 3): DataFrame = {
+    val docSh = shingled(docs, n)
+    val dfCounts = docSh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    // per-doc shingle list in global (df, shingle) order + its prefix
+    val ordered = docSh.join(dfCounts, "shingle")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("shingle"))))
+        .as("by_rarity"))
+      .select(col("doc_id"),
+        expr("transform(by_rarity, s -> s.shingle)").as("tokens"),
+        size(col("by_rarity")).as("sz"))
+      .withColumn("prefix", expr(
+        s"slice(tokens, 1, size(tokens) - CAST(ceil($threshold * size(tokens)) AS INT) + 1)"))
+    val pref = ordered.select(col("doc_id"), col("sz"), explode(col("prefix")).as("token"))
+    val pa = pref.select(col("token"), col("doc_id").as("doc_a"), col("sz").as("sa"))
+    val pb = pref.select(col("token"), col("doc_id").as("doc_b"), col("sz").as("sb"))
+    val cand = pa.join(pb, "token")
+      .filter(col("doc_a") < col("doc_b") &&
+        least(col("sa"), col("sb")) >= lit(threshold) * greatest(col("sa"), col("sb")))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val sets = ordered.select(col("doc_id"), col("tokens"), col("sz"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("tokens").as("ta"),
+        col("sz").as("sa")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("tokens").as("tb"),
+        col("sz").as("sb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
+      .withColumn("jaccard",
+        col("inter") / (col("sa") + col("sb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  def setSimilarityJoin(spark: SparkSession, dir: String): DataFrame =
+    setSimilarityJoin(Lake.documents(spark, dir), threshold = 0.5, n = 3)
 }

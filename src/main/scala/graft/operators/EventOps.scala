@@ -77,6 +77,40 @@ object EventOps {
       .orderBy(col("bucket"), col("event_type"))
   }
 
+  /** Rolling z-score anomaly screen over the gap-filled hourly series:
+    * each (hour, type) bucket is scored against the TRAILING `baseline`
+    * hours (current excluded — a spike must not inflate its own
+    * baseline); |z| ≥ `zThreshold` rows are the anomalies. Runs on the
+    * dense spine, so a silent outage hour scores as a zero, not a
+    * missing row — exactly the case an anomaly screen exists to catch.
+    *
+    * Determinism discipline: the window carries only EXACT integer sums
+    * (Σx, Σx², w); mean/variance/z are then derived in one fixed double
+    * expression per row, so any engine computing the same formula over
+    * the same integers agrees bit-for-bit — windowed stddev_samp would
+    * not (its accumulation order is engine-dependent). One shuffle keyed
+    * by event_type, then a linear pass; scales with series count. */
+  def anomalies(spark: SparkSession, dir: String,
+                baseline: Int = 24, zThreshold: Double = 3.0): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("bucket"))
+      .rowsBetween(-baseline, -1)
+    val mean = col("s1").cast("double") / col("w")
+    val variance = (col("s2").cast("double") -
+      col("s1").cast("double") * col("s1").cast("double") / col("w")) /
+      (col("w") - lit(1))
+    hourlyGapFilled(spark, dir)
+      .withColumn("s1", sum(col("n_events")).over(w))
+      .withColumn("s2", sum(col("n_events") * col("n_events")).over(w))
+      .withColumn("w", count(lit(1)).over(w))
+      .filter(col("w") === baseline && variance > 0)
+      .withColumn("z", (col("n_events").cast("double") - mean) / sqrt(variance))
+      .filter(abs(col("z")) >= zThreshold)
+      .select(col("bucket"), col("event_type"), col("n_events"),
+        round(col("z"), 4).as("z_score"))
+      .orderBy(col("bucket"), col("event_type"))
+  }
+
   /** Events with a session id assigned per user: a new session starts when
     * the gap since the previous event exceeds `SessionGapSeconds`. */
   def withSessionIds(spark: SparkSession, dir: String): DataFrame = {

@@ -414,4 +414,48 @@ object Relational {
       .withColumnRenamed("o_custkey", "custkey")
       .orderBy(col("custkey"))
   }
+
+  /** TPC-H Q11 shape: suppliers whose revenue exceeds a FRACTION of the
+    * global total (share > 1/shareDenom). The global threshold is a
+    * one-row aggregate broadcast back over the per-supplier aggregate
+    * (the same bounded-BNLJ pattern as [[idleRichCustomers]]); the share
+    * test runs in exact decimal space (`rev · shareDenom > total`), never
+    * against a divided fraction. One lineitem shuffle, supplier dim
+    * broadcast — holds at any SF. */
+  def supplierShare(spark: SparkSession, dir: String,
+                    shareDenom: Int = 200): DataFrame = {
+    val rev = Lake.lineitem(spark, dir)
+      .groupBy(col("l_suppkey"))
+      .agg(sum(revenueTerm).as("rev"))
+    val total = rev.agg(sum(col("rev")).as("total_rev"))
+    rev.crossJoin(broadcast(total))
+      .filter(col("rev") * shareDenom > col("total_rev"))
+      .join(broadcast(Lake.supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        round(col("rev").cast("double"), 2).as("revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** TPC-H Q15 shape: the top supplier(s) by revenue over one ship-date
+    * window, TIES KEPT — argmax as a one-row max broadcast joined back on
+    * exact decimal equality (a window rank would carry every group through
+    * a sort; the max re-join touches each row once). */
+  def topSupplier(spark: SparkSession, dir: String,
+                  from: String = "1996-01-01",
+                  until: String = "1996-04-01"): DataFrame = {
+    val rev = Lake.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
+              col("l_shipdate") <  lit(until).cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(revenueTerm).as("rev"))
+    val mx = rev.agg(max(col("rev")).as("max_rev"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("rev") === col("max_rev"))
+      .join(broadcast(Lake.supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        round(col("rev").cast("double"), 2).as("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
 }

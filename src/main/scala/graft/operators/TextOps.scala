@@ -259,6 +259,64 @@ object TextOps {
   def bigramSurprisal(spark: SparkSession, dir: String): DataFrame =
     bigramSurprisal(Lake.documents(spark, dir))
 
+  /** Cross-document boilerplate n-grams: the `topK` word n-grams ranked by
+    * DOCUMENT frequency (each doc counts an n-gram once — repetition
+    * inside one doc is that doc's problem, boilerplate is what repeats
+    * ACROSS docs: headers, footers, license blurbs, nav text). The
+    * RefinedWeb/CCNet-style detection pass feeding [[scrubBoilerplate]].
+    * One explode + one shuffle on the n-gram key (map-side combinable);
+    * (df desc, ngram asc) ordering makes the top-K cut deterministic. */
+  def boilerplateNgrams(docs: DataFrame, n: Int = 3, topK: Int = 10,
+                        minDf: Int = 2): DataFrame =
+    nonNull(docs).filter(size(toks) >= n)
+      .select(col("doc_id"), explode(array_distinct(shingleCol(n))).as("ngram"))
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .orderBy(col("df").desc, col("ngram"))
+      .limit(topK)
+
+  def boilerplateNgrams(spark: SparkSession, dir: String): DataFrame =
+    boilerplateNgrams(Lake.documents(spark, dir))
+
+  /** Per-doc boilerplate load against the [[boilerplateNgrams]] top-K
+    * list: occurrence count and covered-token share (`n·occ / n_tokens` —
+    * an upper bound when occurrences overlap, which is what a filter
+    * threshold wants). The bounded top-K list broadcasts; the corpus
+    * passes once, map-side. */
+  def boilerplateDensity(docs: DataFrame, n: Int = 3, topK: Int = 10,
+                         minDf: Int = 2): DataFrame = {
+    val bp = boilerplateNgrams(docs, n, topK, minDf).select(col("ngram"))
+    val base = nonNull(docs).filter(size(toks) >= n)
+      .select(col("doc_id"), size(toks).cast("long").as("n_tokens"))
+    val occ = nonNull(docs).filter(size(toks) >= n)
+      .select(col("doc_id"), explode(shingleCol(n)).as("ngram"))
+      .join(broadcast(bp), "ngram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("occ"))
+    base.join(occ, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("occ"), lit(0L)).as("n_boilerplate"),
+        round(coalesce(col("occ"), lit(0L)) * lit(n) / col("n_tokens"), 4)
+          .as("bp_density"))
+      .orderBy(col("doc_id"))
+  }
+
+  def boilerplateDensity(spark: SparkSession, dir: String): DataFrame =
+    boilerplateDensity(Lake.documents(spark, dir))
+
+  /** Remove every occurrence of the given phrases from each doc (word-
+    * boundary anchored, applied in list order), then collapse the spacing
+    * — the rewrite stage downstream of [[boilerplateNgrams]]. Pure map
+    * stage; phrases are regex-escaped so any literal n-gram is safe. */
+  def scrubBoilerplate(docs: DataFrame, phrases: Seq[String]): DataFrame = {
+    val scrubbed = phrases.foldLeft(col("text")) { (c, p) =>
+      regexp_replace(c, "\\b" + java.util.regex.Pattern.quote(p) + "\\b", "")
+    }
+    nonNull(docs).withColumn("text",
+      trim(regexp_replace(scrubbed, " {2,}", " ")))
+  }
+
   /** BM25 keyword retrieval — the sparse complement to the dense ANN
     * operators (AnnOps): rank documents for a bag-of-words query by
     * Okapi BM25 with the Lucene idf form,

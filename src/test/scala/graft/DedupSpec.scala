@@ -127,6 +127,30 @@ class DedupSpec extends SparkSpecBase {
     assert(recall >= 0.5, s"embedding near-dup recall $recall < 0.5 (${found.size}/${truth.size})")
   }
 
+  test("set-similarity join is lossless vs brute force and exact on planted pairs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // doc 1/2: 9 of 10 shared trigrams (J = 9/11); doc 3 unrelated;
+    // doc 4/5: identical (J = 1); doc 6: shorter prefix edge case
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l"),
+      (2L, "a b c d e f g h i j k z"),
+      (3L, "q r s t u v w x y z zz zy"),
+      (4L, "m n o p m n o p m n o p"),
+      (5L, "m n o p m n o p m n o p"),
+      (6L, "a b c")).toDF("doc_id", "text")
+    val got = DedupOps.setSimilarityJoin(docs, threshold = 0.5, n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet == Set((1L, 2L), (4L, 5L)), s"pairs: $got")
+    assert(math.abs(got((1L, 2L)) - 9.0 / 11.0) < 1e-6)
+    assert(got((4L, 5L)) == 1.0)
+    // the plan must stay an equi-join on prefix shingles — never all-pairs
+    val plan = DedupOps.setSimilarityJoin(docs, 0.5, 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"non-equi plan:\n$plan")
+  }
+
   test("near-duplicate docs have close simhashes; random pairs do not") {
     val sig = DedupOps.simhash(spark, Sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -111,12 +111,17 @@ class PlanShapeSpec extends SparkSpecBase {
     // broadcast, same pattern as q_surprisal/q_term_stats), q_enum_columns
     // (one-row ndv × one-row bounded dictionary head per candidate)
     // ... q_idle_rich (one-row balance-stats broadcast, Q22's scalar
-    // threshold)
+    // threshold), q_ann_indexed (the stored-centroid twin of q_ann_ivf —
+    // same 16-row centroid broadcast for cell assignment),
+    // q_supplier_share / q_top_supplier (one-row global total / max
+    // broadcast, the Q11/Q15 scalar thresholds), q_anomalies (inherits
+    // q_gap_fill's bounded hour × event-type spine)
     val intendedBnlj =
       Set("q_cross_join", "q_ann_bruteforce", "q_ann_filtered", "q_term_stats",
         "q_ann_ivf", "q_incremental_ndv", "q_incremental_quantiles",
         "q_set_overlap", "q_surprisal", "q_gap_fill", "q_bm25",
-        "q_enum_columns", "q_idle_rich")
+        "q_enum_columns", "q_idle_rich", "q_ann_indexed",
+        "q_supplier_share", "q_top_supplier", "q_anomalies")
     for ((name, fn) <- SparkEntry.queries) {
       val plan = planOf(fn(spark, Sf))
       if (!intendedProducts(name))

@@ -79,6 +79,35 @@ class TextOpsSpec extends SparkSpecBase {
     assert(groups.length == 2, "two distinct contents after normalization")
   }
 
+  test("boilerplate detection finds the planted cross-doc n-gram and scrub removes it") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "click here to subscribe fresh analysis of spark plans"),
+      (2L, "weekly digest follows click here to subscribe and more"),
+      (3L, "click here to subscribe this week we cover shuffles"),
+      (4L, "an organic article with no repeated footer at all"),
+      (5L, "short doc")).toDF("doc_id", "text")
+    val top = TextOps.boilerplateNgrams(docs, n = 4, topK = 3, minDf = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(top.head == ("click here to subscribe", 3L),
+      s"the 3-doc footer must rank first: ${top.toSeq}")
+    val density = TextOps.boilerplateDensity(docs, n = 4, topK = 3, minDf = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(density(1L) >= 1L && density(4L) == 0L,
+      s"footer docs carry occurrences, organic doc none: $density")
+    val scrubbed = TextOps.scrubBoilerplate(docs, Seq("click here to subscribe"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(scrubbed(1L) == "fresh analysis of spark plans", s"got: $scrubbed")
+    assert(scrubbed(2L) == "weekly digest follows and more")
+    assert(scrubbed(4L) == "an organic article with no repeated footer at all",
+      "clean docs must pass through unchanged")
+    // scrub → rescan fixed point: the phrase is gone everywhere
+    val rescanned = TextOps.boilerplateNgrams(
+      TextOps.scrubBoilerplate(docs, Seq("click here to subscribe")),
+      n = 4, topK = 3, minDf = 2).collect()
+    assert(!rescanned.exists(_.getString(0) == "click here to subscribe"))
+  }
+
   test("piiScan counts planted PII and redact removes every occurrence") {
     import spark.implicits._
     val docs = Seq(
