@@ -207,6 +207,16 @@ object SnapshotTable {
     * versions and nothing else. */
   def diff(spark: SparkSession, dir: String, vOld: Long, vNew: Long,
            key: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    rowDiff(spark, dir, vOld, vNew, key).select(col(key), col("change_type"))
+  }
+
+  /** [[diff]] with payloads: (key, change_type, old_row, new_row) — the
+    * change-data-feed rows downstream incremental maintenance consumes
+    * (e.g. [[graft.operators.MaterializedAgg.refresh]]). `old_row` is
+    * null for adds, `new_row` for removes; updates carry both. */
+  def rowDiff(spark: SparkSession, dir: String, vOld: Long, vNew: Long,
+              key: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val oldV = read(spark, dir, Some(vOld))
     val newV = read(spark, dir, Some(vNew))
@@ -222,7 +232,7 @@ object SnapshotTable {
           .when(col("new_row").isNull, lit("removed"))
           .when(!(col("old_row") <=> col("new_row")), lit("updated")))
       .filter(col("change_type").isNotNull)
-      .select(col(key), col("change_type"))
+      .select(col(key), col("change_type"), col("old_row"), col("new_row"))
   }
 
   /** Driver-visible change-data-feed query: commit two versions of the

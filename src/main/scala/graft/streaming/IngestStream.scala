@@ -26,6 +26,38 @@ object IngestStream {
       .withColumn("content_hash", sha2(col("text"), 256))
       .dropDuplicates("content_hash")
 
+  /** The reference side of the streaming NEAR-dup screen: the static
+    * corpus's distinct MinHash-LSH band buckets. Build once (or refresh
+    * on corpus commits — pair with [[graft.operators.AnnIndex]]'s sidecar
+    * discipline) and reuse across micro-batches; at scale, persist it as
+    * a parquet table keyed by (band, band_hash). */
+  def referenceBuckets(reference: DataFrame): DataFrame = {
+    import graft.operators.DedupOps
+    DedupOps.bandedBuckets(DedupOps.minhashSignatures(reference))
+      .select(col("band"), col("band_hash")).distinct()
+  }
+
+  /** Per-micro-batch near-dup screen for a foreachBatch sink (the same
+    * escape hatch the streaming upsert uses): drop every arriving doc
+    * whose LSH bands collide with a [[referenceBuckets]] bucket. One
+    * equi semi-join per batch — NO streaming state, and the reference
+    * table may be arbitrarily large (regular shuffle/broadcast join).
+    *
+    * Candidate-level semantics, deliberately: a band collision is the
+    * batch pipeline's candidate test, so this screen drops exactly what
+    * batch near-dedup would PAIR with the corpus (at the banding's
+    * detection probability — ≥ 0.9999 at jaccard 0.5 with 32×2 bands).
+    * It admits the banding's false-positive rate; when that matters,
+    * route screened-out docs through the exact verify offline instead
+    * of inflating every micro-batch with per-pair Jaccard work. */
+  def screenNearDups(batch: DataFrame, refBuckets: DataFrame): DataFrame = {
+    import graft.operators.DedupOps
+    val hits = DedupOps.bandedBuckets(DedupOps.minhashSignatures(batch))
+      .join(refBuckets, Seq("band", "band_hash"), "left_semi")
+      .select(col("doc_id")).distinct()
+    batch.join(hits, Seq("doc_id"), "left_anti")
+  }
+
   /** Watermark-BOUNDED streaming dedup: duplicates arriving within
     * `ttl` of each other collapse, and state for hashes older than the
     * watermark is evicted — the state-size guarantee the unbounded form

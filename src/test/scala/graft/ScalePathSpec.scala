@@ -51,6 +51,23 @@ class ScalePathSpec extends SparkSpecBase {
     }
   }
 
+  test("approx binning drift bound HOLDS at 10× the base SF (sf0.01)") {
+    // same invariant as above, re-proved on 10× the data — sketch rank
+    // error must not grow with scale (it is a fraction of n by contract)
+    val bigSf = "/root/testdata/sf0.01"
+    val approx = CatalogOps.quantileBinsApprox(spark, bigSf, exact = false).collect()
+    val n = approx.map(_.getLong(1)).sum
+    val exactN = CatalogOps.quantileBinsApprox(spark, bigSf, exact = true)
+      .collect().map(_.getLong(1)).sum
+    assert(n == exactN, "approx and exact binning must cover the same rows")
+    assert(approx.length == 10, "all ten bins must be populated")
+    val ideal = n.toDouble / 10
+    approx.foreach { r =>
+      assert(math.abs(r.getLong(1) - ideal) <= 0.25 * ideal + 1,
+        s"bin ${r.getLong(0)} holds ${r.getLong(1)} rows vs ideal $ideal at sf0.01")
+    }
+  }
+
   test("dedup and text operators tolerate empty and single-row corpora") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")

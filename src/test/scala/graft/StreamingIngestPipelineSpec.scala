@@ -37,4 +37,49 @@ class StreamingIngestPipelineSpec extends SparkSpecBase {
       assert(out.select("doc_id").distinct().count() == 500, "no doc duplicated")
     } finally query.stop()
   }
+
+  test("streaming near-dup screen drops corpus collisions, keeps novel docs") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_neardup_stream").toString
+    // reference corpus: the first 100 lake docs
+    val reference = Lake.documents(spark, Sf).filter("doc_id < 100")
+    val refBuckets = IngestStream.referenceBuckets(reference)
+      .persist() // reused every micro-batch — build once
+    refBuckets.count()
+
+    // arriving docs: 5 exact copies of reference docs (ids shifted),
+    // 5 near-dups (one token changed), and 5 genuinely novel docs
+    val refTexts = reference.filter("doc_id < 5")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val arriving =
+      refTexts.map { case (id, t) => (10000L + id, t) } ++
+      refTexts.map { case (id, t) =>
+        (20000L + id, t.replaceFirst("^\\S+", "zzznovel")) } ++
+      (0 until 5).map(i => (30000L + i,
+        s"entirely fresh document number $i with unrepeated novel words w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f"))
+    val landing = s"$tmp/landing"
+    arriving.toSeq.toDF("doc_id", "text").write.parquet(landing)
+
+    val outDir = s"$tmp/screened"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val query = spark.readStream.schema(schema).parquet(landing)
+      .writeStream
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        IngestStream.screenNearDups(batch, refBuckets)
+          .write.mode("append").parquet(outDir): Unit
+      }
+      .start()
+    try {
+      query.processAllAvailable()
+      val kept = spark.read.parquet(outDir).select("doc_id")
+        .as[Long].collect().toSet
+      assert(kept.forall(_ >= 30000L),
+        s"exact copies and near-dups must be screened out, kept: $kept")
+      assert((0 until 5).forall(i => kept(30000L + i)),
+        s"novel docs must pass the screen, kept: $kept")
+    } finally { query.stop(); refBuckets.unpersist() }
+  }
 }
