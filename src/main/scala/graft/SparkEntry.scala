@@ -136,6 +136,8 @@ object SparkEntry {
         .orderBy(col("doc_id"))),
     // Snapshot change-data-feed + ORC source round-trip
     "q_snapshot_diff"     -> graft.sources.SnapshotTable.diffQuery _,
+    // Incremental view maintenance from the change feed (delta rules)
+    "q_mv_refresh"        -> graft.sources.SnapshotTable.mvRefreshQuery _,
     "q_orc_agg"           -> graft.sources.Sources.orcAgg _,
     // Correlated EXISTS / NOT EXISTS (TPC-H Q21 shape) as semi/anti joins
     "q_sole_fault"        -> Relational.soleFaultSuppliers _,
@@ -1376,6 +1378,16 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 'updated', count(*) FROM documents WHERE doc_id >= 50 AND doc_id < 100
         |) ORDER BY change_type""".stripMargin,
+    // Incrementally-maintained view ≡ plain group-by over v1, which the
+    // oracle reconstructs from the same predicates (DuckDB sum(BIGINT)
+    // is HUGEINT — cast, the recorded parity trap).
+    "q_mv_refresh" ->
+      """SELECT source,
+        |  CAST(sum(CASE WHEN doc_id < 100 THEN n_chars + 1000 ELSE n_chars END)
+        |       AS BIGINT) AS sum_value,
+        |  count(*) AS n_rows
+        |FROM documents WHERE doc_id >= 50
+        |GROUP BY source ORDER BY source""".stripMargin,
     "q_orc_agg" ->
       """SELECT l_linestatus, count(*) AS n_items,
         |  round(cast(sum(cast(l_extendedprice AS decimal(18,2))) AS double), 2) AS total_price

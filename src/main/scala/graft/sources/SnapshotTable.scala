@@ -259,6 +259,35 @@ object SnapshotTable {
       .orderBy(col("change_type"))
   }
 
+  /** Driver-visible incremental-view-maintenance query: commit the same
+    * two scratch versions as [[diffQuery]], define a (source, sum n_chars,
+    * count) view on v0, then REFRESH it from the v0→v1 change feed alone
+    * ([[graft.operators.MaterializedAgg.refresh]] — the base table is
+    * never re-read). Because delta-rule maintenance is exact, the result
+    * must equal a plain group-by over v1, which is what the SQL oracle
+    * computes from the same predicates — any drift in the delta algebra
+    * hash-mismatches. */
+  def mvRefreshQuery(spark: SparkSession, lakeDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val scratch = new Path(sys.props("java.io.tmpdir"), "graft_mv_refresh_scratch")
+    val f = fs(spark, scratch.toString)
+    f.delete(scratch, true)
+    val tmp = s"$scratch/tbl"
+    val docs = graft.Lake.documents(spark, lakeDir)
+    val v0 = docs.filter(col("doc_id") < 300)
+    write(spark, tmp, v0)
+    write(spark, tmp, docs.filter(col("doc_id") >= 50)
+      .withColumn("n_chars",
+        when(col("doc_id") < 100, col("n_chars") + 1000L)
+          .otherwise(col("n_chars"))))
+    val mv0 = graft.operators.MaterializedAgg.define(v0, "source", "n_chars")
+    graft.operators.MaterializedAgg
+      .refresh(mv0, rowDiff(spark, tmp, 0L, 1L, "doc_id"), "source", "n_chars")
+      .select(col("source"), col("sum_value").cast("long").as("sum_value"),
+        col("n_rows"))
+      .orderBy(col("source"))
+  }
+
   /** MERGE (upsert) by key: rows of `updates` replace same-key rows of
     * the latest version; new keys append. One left-anti join (updates are
     * typically small → broadcast) + union, committed as a new version —
