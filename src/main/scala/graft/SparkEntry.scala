@@ -215,6 +215,8 @@ object SparkEntry {
     // Rolling z-score anomaly screen over the gap-filled hourly series
     "q_anomalies"         -> ((s: SparkSession, d: String) =>
       EventOps.anomalies(s, d)),
+    // Distribution drift (PSI) between two cohorts of one table
+    "q_drift"             -> CatalogOps.driftQuery _,
   )
 
   /** [[TextOps.patternScan]] dictionary for the driver query: token
@@ -489,6 +491,28 @@ object SparkEntry {
         |FROM pr
         |WHERE i / (sa + sb - i) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // PSI drift: smoothed shares from exact integer counts through one
+    // fixed double expression — engines agree bit-for-bit before round.
+    "q_drift" ->
+      """WITH b AS (
+        |  SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bin,
+        |    CASE WHEN o_orderdate < TIMESTAMP '1997-01-01' THEN 1 ELSE 0 END AS ina,
+        |    CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01' THEN 1 ELSE 0 END AS inb
+        |  FROM orders
+        |  WHERE o_orderdate < TIMESTAMP '1997-01-01'
+        |     OR o_orderdate >= TIMESTAMP '1997-01-01'),
+        |g AS (SELECT bin, CAST(sum(ina) AS BIGINT) AS n_a,
+        |        CAST(sum(inb) AS BIGINT) AS n_b FROM b GROUP BY bin),
+        |t AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta,
+        |        CAST(sum(n_b) AS BIGINT) AS tb, count(*) AS nbins FROM g)
+        |SELECT bin, bin * 50000.0 AS bin_lo, n_a, n_b,
+        |  round((n_a + 0.5) / (ta + 0.5 * nbins), 6) AS p_a,
+        |  round((n_b + 0.5) / (tb + 0.5 * nbins), 6) AS p_b,
+        |  round(((n_a + 0.5) / (ta + 0.5 * nbins) - (n_b + 0.5) / (tb + 0.5 * nbins))
+        |        * ln(((n_a + 0.5) / (ta + 0.5 * nbins))
+        |             / ((n_b + 0.5) / (tb + 0.5 * nbins))), 6) AS psi_term
+        |FROM g CROSS JOIN t
+        |ORDER BY bin""".stripMargin,
     // Q22 shape: threshold in exact integer space (bal * n > sum) so no
     // engine's avg-division rounding can flip a boundary row.
     "q_idle_rich" ->

@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -175,6 +175,47 @@ object CatalogOps {
         round(max(col("l_extendedprice")), 2).as("hi"))
       .orderBy(col("bin"))
   }
+
+  /** Distribution drift between two row slices of one table — the
+    * monitor a training-data lake runs when a new crawl/batch lands: does
+    * `valueCol`'s distribution in slice B still look like slice A? Emits
+    * per-bin counts, smoothed shares, and PSI terms over a fixed-width
+    * binning (Σ psi_term is the population-stability index; > 0.25 is
+    * the conventional "investigate" line). Laplace-smoothed shares
+    * ((n + 0.5) / (total + 0.5·bins)) keep empty bins finite on both
+    * engines.
+    *
+    * One scan (both slice memberships evaluated per row), one bounded
+    * group-by on bin id, one one-row totals broadcast — the histogram's
+    * scale shape, at any table size. All shares derive from exact integer
+    * counts through one fixed double expression, so engines agree. */
+  def distributionDrift(spark: SparkSession, dir: String, table: String,
+                        valueCol: String, sliceA: Column, sliceB: Column,
+                        binWidth: Double): DataFrame = {
+    val src = Lake.table(spark, dir, table).filter(sliceA || sliceB)
+      .select(floor(col(valueCol) / binWidth).cast("long").as("bin"),
+        when(sliceA, 1L).otherwise(0L).as("ina"),
+        when(sliceB, 1L).otherwise(0L).as("inb"))
+    val g = src.groupBy(col("bin"))
+      .agg(sum(col("ina")).as("n_a"), sum(col("inb")).as("n_b"))
+    val t = g.agg(sum(col("n_a")).as("ta"), sum(col("n_b")).as("tb"),
+      count(lit(1)).as("nbins"))
+    val pa = (col("n_a") + lit(0.5)) / (col("ta") + lit(0.5) * col("nbins"))
+    val pb = (col("n_b") + lit(0.5)) / (col("tb") + lit(0.5) * col("nbins"))
+    g.crossJoin(broadcast(t))
+      .select(col("bin"), (col("bin") * binWidth).cast("double").as("bin_lo"),
+        col("n_a"), col("n_b"),
+        round(pa, 6).as("p_a"), round(pb, 6).as("p_b"),
+        round((pa - pb) * log(pa / pb), 6).as("psi_term"))
+      .orderBy(col("bin"))
+  }
+
+  /** Driver binding: order-value drift, 1996 cohort vs 1997+ cohort. */
+  def driftQuery(spark: SparkSession, dir: String): DataFrame =
+    distributionDrift(spark, dir, "orders", "o_totalprice",
+      col("o_orderdate") < lit("1997-01-01").cast("timestamp"),
+      col("o_orderdate") >= lit("1997-01-01").cast("timestamp"),
+      binWidth = 50000.0)
 
   /** Pairwise Pearson correlations for a list of numeric column pairs —
     * the relationship half of profiling (is discount coupled to quantity?

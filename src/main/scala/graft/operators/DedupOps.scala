@@ -390,7 +390,12 @@ object DedupOps extends org.apache.spark.internal.Logging {
                         n: Int = 3): DataFrame = {
     val docSh = shingled(docs, n)
     val dfCounts = docSh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    // per-doc shingle list in global (df, shingle) order + its prefix
+    // per-doc shingle list in global (df, shingle) order + its prefix.
+    // Persisted: BOTH the candidate path (prefix explode) and the verify
+    // path (set re-join) consume it — unpersisted, the shingle+df+sort
+    // subplan runs twice (ReuseExchange is not reliable across the two
+    // shapes; same discipline as nearDupPairs' candidate cache, released
+    // by the ContextCleaner with the frame).
     val ordered = docSh.join(dfCounts, "shingle")
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("df"), col("shingle"))))
@@ -400,6 +405,7 @@ object DedupOps extends org.apache.spark.internal.Logging {
         size(col("by_rarity")).as("sz"))
       .withColumn("prefix", expr(
         s"slice(tokens, 1, size(tokens) - CAST(ceil($threshold * size(tokens)) AS INT) + 1)"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pref = ordered.select(col("doc_id"), col("sz"), explode(col("prefix")).as("token"))
     val pa = pref.select(col("token"), col("doc_id").as("doc_a"), col("sz").as("sa"))
     val pb = pref.select(col("token"), col("doc_id").as("doc_b"), col("sz").as("sb"))

@@ -424,9 +424,13 @@ object Relational {
     * broadcast — holds at any SF. */
   def supplierShare(spark: SparkSession, dir: String,
                     shareDenom: Int = 200): DataFrame = {
+    // persisted: the supplier-count-sized aggregate feeds both the global
+    // total and the share filter — without the cache the lineitem
+    // scan+agg runs twice (ContextCleaner releases it with the frame)
     val rev = Lake.lineitem(spark, dir)
       .groupBy(col("l_suppkey"))
       .agg(sum(revenueTerm).as("rev"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val total = rev.agg(sum(col("rev")).as("total_rev"))
     rev.crossJoin(broadcast(total))
       .filter(col("rev") * shareDenom > col("total_rev"))
@@ -449,6 +453,7 @@ object Relational {
               col("l_shipdate") <  lit(until).cast("timestamp"))
       .groupBy(col("l_suppkey"))
       .agg(sum(revenueTerm).as("rev"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mx = rev.agg(max(col("rev")).as("max_rev"))
     rev.crossJoin(broadcast(mx))
       .filter(col("rev") === col("max_rev"))

@@ -121,7 +121,8 @@ class PlanShapeSpec extends SparkSpecBase {
         "q_ann_ivf", "q_incremental_ndv", "q_incremental_quantiles",
         "q_set_overlap", "q_surprisal", "q_gap_fill", "q_bm25",
         "q_enum_columns", "q_idle_rich", "q_ann_indexed",
-        "q_supplier_share", "q_top_supplier", "q_anomalies")
+        "q_supplier_share", "q_top_supplier", "q_anomalies",
+        "q_drift") // q_drift: one-row totals broadcast over bounded bins
     for ((name, fn) <- SparkEntry.queries) {
       val plan = planOf(fn(spark, Sf))
       if (!intendedProducts(name))
