@@ -35,6 +35,11 @@ final case class DataLake(spark: SparkSession, dir: String) {
     CatalogOps.iqrOutliers(spark, dir, table, valueCol, groupCol)
   def fkCandidates(candidates: Seq[((String, String), (String, String))]): DataFrame =
     CatalogOps.inclusionDependencies(spark, dir, candidates)
+  def drift(table: String, valueCol: String, sliceA: Column, sliceB: Column,
+            binWidth: Double): DataFrame =
+    CatalogOps.distributionDrift(spark, dir, table, valueCol, sliceA, sliceB, binWidth)
+  def anomalies(baseline: Int = 24, zThreshold: Double = 3.0): DataFrame =
+    EventOps.anomalies(spark, dir, baseline, zThreshold)
 
   // ---- raw tables ----
   def table(name: String): DataFrame = Lake.table(spark, dir, name)
@@ -49,6 +54,8 @@ final case class DataLake(spark: SparkSession, dir: String) {
     DedupOps.nearDupClusters(documents, threshold)
   def dedupNear(threshold: Double = 0.6): DataFrame =
     DedupOps.dedupNear(documents, threshold)
+  def setSimPairs(threshold: Double = 0.5, n: Int = 3): DataFrame =
+    DedupOps.setSimilarityJoin(documents, threshold, n)
   def annSearch(k: Int = 5): DataFrame = AnnOps.lsh(spark, dir, k = k)
   def buildAnnIndex(indexDir: String, nCentroids: Int = 16): Long =
     AnnIndex.build(spark, indexDir, embeddings, nCentroids = nCentroids)
@@ -76,6 +83,12 @@ final case class DataLake(spark: SparkSession, dir: String) {
     TextOps.redact(documents, patterns)
   def vocabCoverage(vocabSize: Int = 30): DataFrame =
     TextOps.vocabCoverage(documents, vocabSize)
+  def boilerplate(n: Int = 3, topK: Int = 10, minDf: Int = 2): DataFrame =
+    TextOps.boilerplateNgrams(documents, n, topK, minDf)
+  def boilerplateDensity(n: Int = 3, topK: Int = 10, minDf: Int = 2): DataFrame =
+    TextOps.boilerplateDensity(documents, n, topK, minDf)
+  def scrubBoilerplate(phrases: Seq[String]): DataFrame =
+    TextOps.scrubBoilerplate(documents, phrases)
   def mixPlan(targets: Map[String, Double], tokenBudget: Long): DataFrame =
     CorpusOps.mixPlan(documents, targets, tokenBudget)
   def fixedSample(n: Int): DataFrame = CorpusOps.fixedSample(documents, n)

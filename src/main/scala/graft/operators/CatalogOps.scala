@@ -191,11 +191,25 @@ object CatalogOps {
     * counts through one fixed double expression, so engines agree. */
   def distributionDrift(spark: SparkSession, dir: String, table: String,
                         valueCol: String, sliceA: Column, sliceB: Column,
-                        binWidth: Double): DataFrame = {
-    val src = Lake.table(spark, dir, table).filter(sliceA || sliceB)
+                        binWidth: Double): DataFrame =
+    driftCore(Lake.table(spark, dir, table).filter(sliceA || sliceB)
       .select(floor(col(valueCol) / binWidth).cast("long").as("bin"),
         when(sliceA, 1L).otherwise(0L).as("ina"),
-        when(sliceB, 1L).otherwise(0L).as("inb"))
+        when(sliceB, 1L).otherwise(0L).as("inb")), binWidth)
+
+  /** Drift between two separate frames (e.g. two snapshot-table versions
+    * via [[graft.sources.SnapshotTable.read]], or last month's corpus vs
+    * this crawl): same per-bin PSI report, populations tagged by side. */
+  def distributionDrift(a: DataFrame, b: DataFrame, valueCol: String,
+                        binWidth: Double): DataFrame =
+    driftCore(
+      a.select(floor(col(valueCol) / binWidth).cast("long").as("bin"),
+          lit(1L).as("ina"), lit(0L).as("inb"))
+        .unionByName(
+          b.select(floor(col(valueCol) / binWidth).cast("long").as("bin"),
+            lit(0L).as("ina"), lit(1L).as("inb"))), binWidth)
+
+  private def driftCore(src: DataFrame, binWidth: Double): DataFrame = {
     val g = src.groupBy(col("bin"))
       .agg(sum(col("ina")).as("n_a"), sum(col("inb")).as("n_b"))
     val t = g.agg(sum(col("n_a")).as("ta"), sum(col("n_b")).as("tb"),

@@ -288,6 +288,16 @@ object SnapshotTable {
       .orderBy(col("source"))
   }
 
+  /** Distribution drift of `valueCol` between two committed versions —
+    * [[graft.operators.CatalogOps.distributionDrift]] over time travel:
+    * the "did this commit shift the data?" check a lake runs next to
+    * [[schemaDiff]] (structure) and [[diff]] (rows). */
+  def versionDrift(spark: SparkSession, dir: String, vOld: Long, vNew: Long,
+                   valueCol: String, binWidth: Double): DataFrame =
+    graft.operators.CatalogOps.distributionDrift(
+      read(spark, dir, Some(vOld)), read(spark, dir, Some(vNew)),
+      valueCol, binWidth)
+
   /** MERGE (upsert) by key: rows of `updates` replace same-key rows of
     * the latest version; new keys append. One left-anti join (updates are
     * typically small → broadcast) + union, committed as a new version —

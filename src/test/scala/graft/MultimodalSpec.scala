@@ -29,4 +29,23 @@ class MultimodalSpec extends SparkSpecBase {
     val fb = b.map(r => (r.getLong(0), r.getSeq[Float](3))).toMap
     assert(fa == fb, "stub decode must be deterministic")
   }
+
+  test("batched decode throughput is reported and clears a sanity floor") {
+    // informational bench for the round report: bytes through the
+    // mapPartitions decode path per second at sf0.01 (stub kernel, so
+    // this measures the Spark-side plumbing cost, not codec work). The
+    // floor only guards against a pathological regression (e.g. per-row
+    // decoder invocation re-entering the JVM boundary per element).
+    val sf = "/root/testdata/sf0.01"
+    import org.apache.spark.sql.functions._
+    val totalBytes = MultimodalOps.payloads(spark, sf)
+      .agg(sum(length(col("payload")))).head().getLong(0)
+    MultimodalOps.decodeFeatures(spark, sf).count() // warm
+    val t0 = System.nanoTime()
+    val n = MultimodalOps.decodeFeatures(spark, sf).count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    val mbps = totalBytes / 1e6 / secs
+    info(f"decode plumbing: $n rows, ${totalBytes / 1e6}%.2f MB in $secs%.3f s = $mbps%.1f MB/s")
+    assert(mbps > 0.5, f"decode throughput collapsed: $mbps%.2f MB/s")
+  }
 }

@@ -215,6 +215,23 @@ class SnapshotTableSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](SnapshotTable.diff(spark, dir, 0L, 2L, "id"))
   }
 
+  test("versionDrift flags a shifted commit and clears an unchanged one") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_snap_drift").toString + "/tbl"
+    val base = (1 to 1000).map(i => (i.toLong, (i % 100).toDouble))
+    SnapshotTable.write(spark, dir, base.toDF("id", "v"))
+    SnapshotTable.write(spark, dir, base.toDF("id", "v")) // v1 identical
+    SnapshotTable.write(spark, dir, // v2: mass shifted up by 50
+      base.map { case (id, v) => (id, v + 50.0) }.toDF("id", "v"))
+    def psi(vOld: Long, vNew: Long): Double =
+      SnapshotTable.versionDrift(spark, dir, vOld, vNew, "v", 25.0)
+        .agg(org.apache.spark.sql.functions.sum("psi_term")).head().getDouble(0)
+    assert(math.abs(psi(0L, 1L)) < 0.01,
+      s"identical versions must show ~zero PSI, got ${psi(0L, 1L)}")
+    assert(psi(0L, 2L) > 0.25,
+      s"a 50-point shift must cross the PSI investigate line, got ${psi(0L, 2L)}")
+  }
+
   test("streaming micro-batches upsert into a snapshot table via foreachBatch") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
