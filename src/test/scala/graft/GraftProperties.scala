@@ -118,4 +118,26 @@ object GraftProperties extends Properties("graft") {
       val a = sigs
       a.values.forall(_.length == DedupOps.NumPerms) && sigs == a
     }
+
+  property("set-similarity join == brute-force Jaccard on EVERY corpus shape") =
+    forAll(genCorpus, Gen.oneOf(0.3, 0.5, 0.7)) { (corpus, t) =>
+      import spark.implicits._
+      // the prefix filter's losslessness claim, checked against a direct
+      // Scala reimplementation of shingle-set Jaccard over all pairs
+      def shingles(text: String): Set[String] = {
+        val toks = text.split(" ")
+        if (toks.length >= 3) toks.sliding(3).map(_.mkString(" ")).toSet
+        else Set(text)
+      }
+      val truth = (for {
+        (a, ta) <- corpus; (b, tb) <- corpus if a < b
+        sa = shingles(ta); sb = shingles(tb)
+        j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+        if j >= t
+      } yield (a, b) -> j).toMap
+      val got = DedupOps.setSimilarityJoin(corpus.toDF("doc_id", "text"), t, 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      got.keySet == truth.keySet &&
+        truth.forall { case (k, j) => math.abs(got(k) - j) < 1e-5 }
+    }
 }
