@@ -203,6 +203,8 @@ object SparkEntry {
     "q_weighted_sample"   -> CorpusOps.weightedSampleQuery _,
     // k-anonymity release gate over quasi-identifiers
     "q_k_anonymity"       -> Governance.kAnonymityQuery _,
+    // l-diversity: the homogeneity-attack complement
+    "q_l_diversity"       -> Governance.lDiversityQuery _,
     // Sequenced time-bounded funnel (two chained windows, one shuffle)
     "q_funnel_within"     -> ((s: SparkSession, d: String) =>
       EventOps.funnelWithin(s, d)),
@@ -353,6 +355,18 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN n < 10 THEN n ELSE 0 END) AS bigint)
         |    AS n_risky_rows,
         |  min(n) >= 10 AS is_k_anonymous
+        |FROM g""".stripMargin,
+    "q_l_diversity" ->
+      """WITH g AS (SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |             count(DISTINCT o_custkey) AS nd
+        |           FROM orders GROUP BY 1, 2)
+        |SELECT CAST(10 AS bigint) AS l, count(*) AS n_groups,
+        |  min(nd) AS min_diversity,
+        |  CAST(sum(CASE WHEN nd < 10 THEN 1 ELSE 0 END) AS bigint)
+        |    AS n_violating_groups,
+        |  CAST(sum(CASE WHEN nd < 10 THEN n ELSE 0 END) AS bigint)
+        |    AS n_risky_rows,
+        |  min(nd) >= 10 AS is_l_diverse
         |FROM g""".stripMargin,
     // Weighted sample: same Lehmer u, same ln-key formulation; ln()
     // agrees across engines to ~1 ulp, far inside the round(8).

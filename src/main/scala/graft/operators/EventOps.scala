@@ -91,7 +91,15 @@ object EventOps {
     * not (its accumulation order is engine-dependent). One shuffle keyed
     * by event_type, then a linear pass; scales with series count. */
   def anomalies(spark: SparkSession, dir: String,
-                baseline: Int = 24, zThreshold: Double = 3.0): DataFrame = {
+                baseline: Int = 24, zThreshold: Double = 3.0): DataFrame =
+    anomaliesOn(hourlyGapFilled(spark, dir), baseline, zThreshold)
+
+  /** The scorer over ANY dense (bucket, event_type, n_events) series —
+    * the batch [[anomalies]] feeds it the gap-filled lake aggregate, the
+    * streaming pipeline feeds it the watermarked hourly sink
+    * ([[graft.streaming.AnomalyStream]]). */
+  def anomaliesOn(dense: DataFrame, baseline: Int,
+                  zThreshold: Double): DataFrame = {
     val w = Window.partitionBy(col("event_type"))
       .orderBy(col("bucket"))
       .rowsBetween(-baseline, -1)
@@ -99,7 +107,7 @@ object EventOps {
     val variance = (col("s2").cast("double") -
       col("s1").cast("double") * col("s1").cast("double") / col("w")) /
       (col("w") - lit(1))
-    hourlyGapFilled(spark, dir)
+    dense
       .withColumn("s1", sum(col("n_events")).over(w))
       .withColumn("s2", sum(col("n_events") * col("n_events")).over(w))
       .withColumn("w", count(lit(1)).over(w))

@@ -65,4 +65,32 @@ object Governance {
   def kAnonymityQuery(spark: SparkSession, dir: String): DataFrame =
     kAnonymity(Lake.customer(spark, dir),
       Seq("c_nationkey", "c_mktsegment"), k = 10)
+
+  /** l-diversity audit — k-anonymity's complement: a group can be large
+    * (k-anonymous) yet still leak if every member SHARES the sensitive
+    * value (the homogeneity attack). Each quasi-identifier group must
+    * contain at least `l` DISTINCT sensitive values. Same two-aggregate
+    * shape as [[kAnonymity]]: group-by to per-group distinct-sensitive
+    * cardinality, then one tiny re-aggregate reporting the floor, the
+    * violating groups, and the row mass at risk. */
+  def lDiversity(df: DataFrame, quasiCols: Seq[String],
+                 sensitiveCol: String, l: Int): DataFrame = {
+    require(quasiCols.nonEmpty && l > 1, "need quasi-identifier columns and l > 1")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col(sensitiveCol)).as("nd"))
+      .agg(
+        lit(l.toLong).as("l"),
+        count(lit(1)).as("n_groups"),
+        min(col("nd")).as("min_diversity"),
+        sum(when(col("nd") < l, 1L).otherwise(0L)).as("n_violating_groups"),
+        sum(when(col("nd") < l, col("n")).otherwise(0L)).as("n_risky_rows"),
+        (min(col("nd")) >= l).as("is_l_diverse"))
+  }
+
+  /** Driver query: does every (status, priority) order group span at
+    * least 10 distinct customers, or would a release pinpoint buyers? */
+  def lDiversityQuery(spark: SparkSession, dir: String): DataFrame =
+    lDiversity(Lake.orders(spark, dir),
+      Seq("o_orderstatus", "o_orderpriority"), "o_custkey", l = 10)
 }

@@ -44,4 +44,28 @@ object Skew {
     df.groupBy(col(key)).count()
       .orderBy(col("count").desc, col(key))
       .limit(topN)
+
+  /** Stats-driven join: measure the big side's hottest key (the
+    * [[keyHistogram]] probe, one map-combinable aggregate), salt only
+    * when it exceeds `saltThreshold` rows, else plain equi-join — the
+    * decision the engine should make so callers don't hand-tune.
+    * Bucket count scales with how far past the threshold the hot key is
+    * (capped at `maxBuckets` — the small side is replicated per bucket,
+    * so buckets are not free). Returns the join plus which path ran and
+    * the measured hot-key mass, so pipelines can log the decision. */
+  def autoJoin(big: DataFrame, small: DataFrame,
+               bigKey: String, smallKey: String,
+               saltThreshold: Long = 1000000L,
+               maxBuckets: Int = 32): (DataFrame, Boolean, Long) = {
+    require(saltThreshold > 0 && maxBuckets > 0)
+    val hot = big.groupBy(col(bigKey)).count()
+      .agg(max(col("count"))).head().getLong(0)
+    if (hot <= saltThreshold)
+      (big.join(small, big(bigKey) === small(smallKey)), false, hot)
+    else {
+      val buckets = math.min(maxBuckets.toLong,
+        (hot + saltThreshold - 1) / saltThreshold).toInt
+      (saltedJoin(big, small, bigKey, smallKey, buckets), true, hot)
+    }
+  }
 }

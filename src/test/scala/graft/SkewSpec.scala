@@ -24,4 +24,31 @@ class SkewSpec extends SparkSpecBase {
     assert(h.length == 5)
     assert(h.map(_.getLong(1)).sliding(2).forall(p => p(0) >= p(1)), "descending counts")
   }
+
+  test("autoJoin salts on planted skew, stays plain on uniform keys, same rows either way") {
+    import spark.implicits._
+    // uniform: every key appears 5× — far under the threshold
+    val uniformBig = (1 to 200).flatMap(k => (1 to 5).map(i => (k.toLong, i)))
+      .toDF("k", "payload")
+    // skewed: key 7 carries 3000 rows
+    val skewedBig = uniformBig
+      .union((1 to 3000).map(i => (7L, i)).toDF("k", "payload"))
+    val small = (1 to 200).map(k => (k.toLong, s"dim$k")).toDF("sk", "attr")
+
+    val (plainJoined, saltedA, hotA) =
+      Skew.autoJoin(uniformBig, small, "k", "sk", saltThreshold = 1000L)
+    assert(!saltedA && hotA == 5L, s"uniform keys must not salt (hot=$hotA)")
+
+    val (saltedJoined, saltedB, hotB) =
+      Skew.autoJoin(skewedBig, small, "k", "sk", saltThreshold = 1000L)
+    assert(saltedB && hotB == 3005L, s"planted hot key must trigger salting (hot=$hotB)")
+
+    // both paths return exactly the plain join's rows
+    val expect = skewedBig.join(small, col("k") === col("sk"))
+      .select(col("k"), col("payload"), col("attr"))
+    val got = saltedJoined.select(col("k"), col("payload"), col("attr"))
+    assert(got.count() == expect.count())
+    assert(got.exceptAll(expect).count() == 0 && expect.exceptAll(got).count() == 0)
+    assert(plainJoined.count() == uniformBig.count(), "every uniform row keeps its dim match")
+  }
 }
