@@ -100,7 +100,14 @@ object AnnIndex {
                       k: Int = 5, nQueries: Int = 8,
                       nCentroids: Int = 16, nProbes: Int = 6): DataFrame = {
     val emb = graft.Lake.embeddings(spark, dir)
-    val idxDir = java.nio.file.Files.createTempDirectory("graft_ann_index").toString
+    // ONE per-JVM scratch sidecar, rebuilt per call (same discipline as
+    // SnapshotTable.diffQuery) — a fresh temp dir per invocation would
+    // accumulate artifacts across a long-lived session's repeated calls
+    val idxDir = new Path(sys.props("java.io.tmpdir"),
+      "graft_ann_indexed_scratch").toString
+    val f = new Path(idxDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new Path(idxDir), true)
     buildFromCentroids(spark, idxDir,
       AnnOps.strideCentroids(emb, nCentroids), emb.count())
     val queries = emb.filter(col("vec_id") < nQueries)

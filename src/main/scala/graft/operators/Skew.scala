@@ -58,8 +58,9 @@ object Skew {
                saltThreshold: Long = 1000000L,
                maxBuckets: Int = 32): (DataFrame, Boolean, Long) = {
     require(saltThreshold > 0 && maxBuckets > 0)
+    // coalesce: max over an EMPTY big side is null, not zero
     val hot = big.groupBy(col(bigKey)).count()
-      .agg(max(col("count"))).head().getLong(0)
+      .agg(coalesce(max(col("count")), lit(0L))).head().getLong(0)
     if (hot <= saltThreshold)
       (big.join(small, big(bigKey) === small(smallKey)), false, hot)
     else {

@@ -50,5 +50,10 @@ class SkewSpec extends SparkSpecBase {
     assert(got.count() == expect.count())
     assert(got.exceptAll(expect).count() == 0 && expect.exceptAll(got).count() == 0)
     assert(plainJoined.count() == uniformBig.count(), "every uniform row keeps its dim match")
+
+    // empty big side: no rows, no salting, no crash
+    val (emptyJoined, saltedC, hotC) =
+      Skew.autoJoin(uniformBig.filter(lit(false)), small, "k", "sk", 1000L)
+    assert(!saltedC && hotC == 0L && emptyJoined.count() == 0)
   }
 }
