@@ -217,12 +217,20 @@ object SnapshotTable {
     * null for adds, `new_row` for removes; updates carry both. */
   def rowDiff(spark: SparkSession, dir: String, vOld: Long, vNew: Long,
               key: String): DataFrame = {
-    import org.apache.spark.sql.functions._
     val oldV = read(spark, dir, Some(vOld))
     val newV = read(spark, dir, Some(vNew))
     require(oldV.columns.toSeq == newV.columns.toSeq,
       s"diff schema mismatch: v$vOld ${oldV.columns.toSeq} vs v$vNew ${newV.columns.toSeq}"
         + " (use readEvolved to align schemas first)")
+    frameDiff(oldV, newV, key)
+  }
+
+  /** The change-data computation itself, over any two same-schema frames
+    * — [[rowDiff]] binds it to committed versions; callers holding frames
+    * from elsewhere (a staging table vs production, two branches) use it
+    * directly. */
+  def frameDiff(oldV: DataFrame, newV: DataFrame, key: String): DataFrame = {
+    import org.apache.spark.sql.functions._
     val nonKey = oldV.columns.filterNot(_ == key).toSeq
     val o = oldV.select(col(key), struct(nonKey.map(col): _*).as("old_row"))
     val n = newV.select(col(key), struct(nonKey.map(col): _*).as("new_row"))

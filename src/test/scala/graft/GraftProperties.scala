@@ -119,6 +119,32 @@ object GraftProperties extends Properties("graft") {
       a.values.forall(_.length == DedupOps.NumPerms) && sigs == a
     }
 
+  property("incremental MV refresh == full recompute for EVERY change set") =
+    forAll(Gen.choose(1, 30), Gen.choose(0L, 9999L)) { (n, seed) =>
+      import spark.implicits._
+      // deterministic pseudo-random base and mutation from the seed: any
+      // mix of deletes, value updates, group moves, and inserts
+      def row(id: Long, salt: Long) =
+        (id, s"g${(id * 7 + salt) % 5}", (id * 31 + salt) % 100)
+      val base = (0L until n.toLong).map(row(_, seed))
+      val next = base.flatMap { case (id, _, _) =>
+        (id + seed) % 4 match {
+          case 0 => None                       // delete
+          case 1 => Some(row(id, seed + 1))    // update (value and/or group)
+          case _ => Some(row(id, seed))        // unchanged
+        }
+      } ++ (n.toLong until n.toLong + (seed % 3)).map(row(_, seed)) // inserts
+      val baseDf = base.toDF("id", "g", "v")
+      val nextDf = next.toDF("id", "g", "v")
+      val refreshed = graft.operators.MaterializedAgg.refresh(
+        graft.operators.MaterializedAgg.define(baseDf, "g", "v"),
+        graft.sources.SnapshotTable.frameDiff(baseDf, nextDf, "id"), "g", "v")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val recomputed = graft.operators.MaterializedAgg.define(nextDf, "g", "v")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      refreshed == recomputed
+    }
+
   property("set-similarity join == brute-force Jaccard on EVERY corpus shape") =
     forAll(genCorpus, Gen.oneOf(0.3, 0.5, 0.7)) { (corpus, t) =>
       import spark.implicits._
