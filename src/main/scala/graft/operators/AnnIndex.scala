@@ -143,6 +143,22 @@ object AnnIndex {
     }
   }
 
+  /** Delete all but the newest `keepLast` COMPLETE versions (and any
+    * incomplete directories older than the kept set) — the retention
+    * sweep that pairs with [[refresh]]'s version growth, mirroring
+    * SnapshotTable.vacuum: old versions stay readable until vacuumed,
+    * then their storage is reclaimed. Returns the versions removed. */
+  def vacuum(spark: SparkSession, indexDir: String,
+             keepLast: Int = 2): Seq[Long] = {
+    require(keepLast >= 1, "must keep at least the latest version")
+    val all = versions(spark, indexDir)
+    val drop = all.dropRight(keepLast)
+    val f = new Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    drop.foreach(v => f.delete(new Path(indexDir, s"v=$v"), true))
+    drop
+  }
+
   /** Stored centroids of `version` (default: latest). */
   def centroids(spark: SparkSession, indexDir: String,
                 version: Option[Long] = None): DataFrame = {

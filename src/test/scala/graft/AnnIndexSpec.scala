@@ -81,6 +81,20 @@ class AnnIndexSpec extends SparkSpecBase {
       "no version signal + equal count → count fallback reports current")
   }
 
+  test("vacuum keeps the newest versions and reclaims the rest") {
+    val emb = Lake.embeddings(spark, Sf)
+    val dir = tmpDir("ann_index_vacuum")
+    AnnIndex.build(spark, dir, emb, nCentroids = 4)
+    AnnIndex.build(spark, dir, emb, nCentroids = 4)
+    AnnIndex.build(spark, dir, emb, nCentroids = 4)
+    assert(AnnIndex.versions(spark, dir) == Seq(0L, 1L, 2L))
+    assert(AnnIndex.vacuum(spark, dir, keepLast = 2) == Seq(0L))
+    assert(AnnIndex.versions(spark, dir) == Seq(1L, 2L))
+    // kept versions still serve searches
+    assert(AnnIndex.searchIvf(spark, dir, emb, queries(emb), k = 3, nProbes = 2)
+      .count() > 0)
+  }
+
   test("an incomplete build (missing _SUCCESS) is not a usable version") {
     val emb = Lake.embeddings(spark, Sf)
     val dir = tmpDir("ann_index_crash")
