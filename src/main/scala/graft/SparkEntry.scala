@@ -81,6 +81,7 @@ object SparkEntry {
     "q_simhash_pairs"     -> ((s: SparkSession, d: String) => DedupOps.simhashPairs(s, d)),
     "q_setsim_pairs"      -> ((s: SparkSession, d: String) => DedupOps.setSimilarityJoin(s, d)),
     "q_embedding_neardups" -> ((s: SparkSession, d: String) => DedupOps.embeddingNearDups(s, d)),
+    "q_semantic_clusters" -> ((s: SparkSession, d: String) => DedupOps.semanticClusters(s, d)),
     // Similarity search / embeddings (§2 items 19–21)
     "q_ann_bruteforce"    -> ((s: SparkSession, d: String) => AnnOps.bruteForce(s, d)),
     "q_ann_lsh"           -> ((s: SparkSession, d: String) => AnnOps.lsh(s, d)),
@@ -650,6 +651,32 @@ object SparkEntry {
          |                  JOIN emb eb ON eb.vec_id = pairs.vec_b)
          |SELECT vec_a, vec_b, round(s, 4) AS cos_sim
          |FROM sc WHERE s >= 0.4 ORDER BY vec_a, vec_b""".stripMargin,
+    // Semantic clusters: recursive-CTE transitive closure over the SAME
+    // thresholded pair graph the q_embedding_neardups oracle builds —
+    // keeper = min reachable vec_id, mirroring the lexical q_neardup_keep.
+    "q_semantic_clusters" ->
+      s"""WITH RECURSIVE $lshOracleCtes,
+         |bkc AS (SELECT vec_id, bucket FROM (
+         |          SELECT vec_id, bucket,
+         |            count(*) OVER (PARTITION BY bucket) AS bn
+         |          FROM bk) WHERE bn <= 4096),
+         |pairs AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |          FROM bkc a JOIN bkc b
+         |            ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |sc AS (SELECT vec_a, vec_b,
+         |         list_cosine_similarity(ea.e, eb.e) AS s
+         |       FROM pairs JOIN emb ea ON ea.vec_id = pairs.vec_a
+         |                  JOIN emb eb ON eb.vec_id = pairs.vec_b),
+         |p AS (SELECT vec_a, vec_b FROM sc WHERE s >= 0.4),
+         |e AS (SELECT vec_a AS src, vec_b AS dst FROM p
+         |      UNION ALL SELECT vec_b, vec_a FROM p),
+         |r AS (
+         |  SELECT DISTINCT src AS vec_id, src AS reach FROM e
+         |  UNION
+         |  SELECT r.vec_id, e.dst FROM r JOIN e ON r.reach = e.src
+         |)
+         |SELECT vec_id, min(reach) AS keeper FROM r
+         |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "q_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,

@@ -184,12 +184,22 @@ object DedupOps extends org.apache.spark.internal.Logging {
     * loss recovery for speed.) `maxIters` bounds adversarial topologies. */
   def nearDupClusters(docs: DataFrame, threshold: Double = 0.6,
                       maxIters: Int = 20,
-                      maxDriverEdges: Long = 4L << 20): DataFrame = {
+                      maxDriverEdges: Long = 4L << 20): DataFrame =
+    clustersFromPairs(
+      nearDupPairs(docs, threshold).select(col("doc_a"), col("doc_b")),
+      maxIters, maxDriverEdges)
+
+  /** Connected components over ANY (doc_a, doc_b) pair graph — the
+    * engine [[nearDupClusters]] feeds the lexical MinHash pairs and
+    * [[semanticClusters]] the embedding-cosine pairs; same adaptive
+    * driver-union-find / distributed-min-label machinery either way. */
+  def clustersFromPairs(pairsIn: DataFrame, maxIters: Int = 20,
+                        maxDriverEdges: Long = 4L << 20): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val pairs = nearDupPairs(docs, threshold).select(col("doc_a"), col("doc_b"))
+    val pairs = pairsIn.select(col("doc_a"), col("doc_b"))
       .persist(MEMORY_AND_DISK)
     if (pairs.count() <= maxDriverEdges) {
-      val out = driverUnionFind(docs.sparkSession, pairs.collect().map(r => (r.getLong(0), r.getLong(1))))
+      val out = driverUnionFind(pairsIn.sparkSession, pairs.collect().map(r => (r.getLong(0), r.getLong(1))))
       pairs.unpersist()
       return out
     }
@@ -362,6 +372,20 @@ object DedupOps extends org.apache.spark.internal.Logging {
     * embedding spaces use 0.85–0.95). */
   def embeddingNearDups(spark: SparkSession, dir: String): DataFrame =
     embeddingNearDups(Lake.embeddings(spark, dir), threshold = 0.4)
+
+  /** SEMANTIC near-dup clusters: connected components over the
+    * embedding-cosine pair graph ([[embeddingNearDups]]) — the
+    * paraphrase-level twin of the lexical [[nearDupClusters]]: two docs
+    * sharing no n-gram still cluster when their embeddings agree.
+    * keeper = lowest vec_id per component, same convention as the
+    * lexical path, so downstream keep/drop joins are interchangeable. */
+  def semanticClusters(emb: DataFrame, threshold: Double = 0.4): DataFrame =
+    clustersFromPairs(embeddingNearDups(emb, threshold)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      .select(col("doc_id").as("vec_id"), col("keeper"))
+
+  def semanticClusters(spark: SparkSession, dir: String): DataFrame =
+    semanticClusters(Lake.embeddings(spark, dir))
 
   /** EXACT set-similarity self-join (AllPairs/PPJoin prefix filter): every
     * doc pair whose word-`n`-gram shingle-set Jaccard ≥ `threshold` — the

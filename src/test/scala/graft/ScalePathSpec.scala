@@ -78,5 +78,13 @@ class ScalePathSpec extends SparkSpecBase {
     assert(graft.operators.DedupOps.nearDupPairs(single).count() == 0)
     assert(graft.operators.DedupOps.simhash(single).count() == 1)
     assert(graft.operators.TextOps.fingerprint(single).count() == 1)
+    // round-6 operators under the same degenerate shapes
+    assert(graft.operators.DedupOps.setSimilarityJoin(empty).count() == 0)
+    assert(graft.operators.DedupOps.setSimilarityJoin(single).count() == 0)
+    assert(graft.operators.TextOps.boilerplateNgrams(empty).count() == 0)
+    assert(graft.operators.TextOps.boilerplateDensity(single).count() == 1)
+    val emptySeries = Seq.empty[(java.sql.Timestamp, String, Long)]
+      .toDF("bucket", "event_type", "n_events")
+    assert(graft.operators.EventOps.anomaliesOn(emptySeries, 24, 3.0).count() == 0)
   }
 }
