@@ -103,6 +103,7 @@ object SparkEntry {
     "q_surprisal"         -> TextOps.unigramSurprisal _,
     "q_boilerplate"       -> ((s: SparkSession, d: String) => TextOps.boilerplateNgrams(s, d)),
     "q_boilerplate_density" -> ((s: SparkSession, d: String) => TextOps.boilerplateDensity(s, d)),
+    "q_zipf"              -> ((s: SparkSession, d: String) => TextOps.zipfFit(s, d)),
     // Full composed pipeline: exact dedup → near-dup clusters → quality
     "q_clean_corpus"      -> ((s: SparkSession, d: String) =>
       graft.DataLake(s, d).cleanCorpus()
@@ -506,6 +507,40 @@ object SparkEntry {
         |FROM pr
         |WHERE i / (sa + sb - i) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // Zipf fit: each ln() rounded to 6 and decimal-summed (the surprisal
+    // discipline), slope/intercept then divide identical exact numbers.
+    "q_zipf" ->
+      """WITH f AS (
+        |  SELECT t AS token, count(*) AS freq FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS t
+        |    FROM documents WHERE text IS NOT NULL)
+        |  WHERE t <> '' GROUP BY t),
+        |c AS (SELECT count(*) AS vocab_size,
+        |        CAST(sum(freq) AS BIGINT) AS total_tokens FROM f),
+        |top AS (SELECT freq,
+        |          row_number() OVER (ORDER BY freq DESC, token) AS rank
+        |        FROM f ORDER BY freq DESC, token LIMIT 1000),
+        |s AS (SELECT count(*) AS n_fit,
+        |  sum(CAST(round(ln(CAST(rank AS DOUBLE)), 6) AS decimal(18,6))) AS sx,
+        |  sum(CAST(round(ln(CAST(freq AS DOUBLE)), 6) AS decimal(18,6))) AS sy,
+        |  sum(CAST(round(ln(CAST(rank AS DOUBLE)), 6) AS decimal(18,6)) *
+        |      CAST(round(ln(CAST(freq AS DOUBLE)), 6) AS decimal(18,6))) AS sxy,
+        |  sum(CAST(round(ln(CAST(rank AS DOUBLE)), 6) AS decimal(18,6)) *
+        |      CAST(round(ln(CAST(rank AS DOUBLE)), 6) AS decimal(18,6))) AS sxx
+        |  FROM top)
+        |SELECT n_fit, vocab_size, total_tokens,
+        |  round((CAST(n_fit AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |        / (CAST(n_fit AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 4) AS zipf_slope,
+        |  round((CAST(sy AS DOUBLE)
+        |         - ((CAST(n_fit AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |            / (CAST(n_fit AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+        |           * CAST(sx AS DOUBLE)) / CAST(n_fit AS DOUBLE), 4)
+        |    AS zipf_intercept
+        |FROM s CROSS JOIN c""".stripMargin,
     // PSI drift: smoothed shares from exact integer counts through one
     // fixed double expression — engines agree bit-for-bit before round.
     "q_drift" ->

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -258,6 +259,51 @@ object TextOps {
 
   def bigramSurprisal(spark: SparkSession, dir: String): DataFrame =
     bigramSurprisal(Lake.documents(spark, dir))
+
+  /** Zipf fit over the corpus unigram distribution — the corpus-health
+    * diagnostic tokenizer and mixing work starts from: natural language
+    * follows freq ∝ rank^slope with slope ≈ −1; a far-off slope flags
+    * TEMPLATE/BOILERPLATE corpora (too steep) or ID/hash soup (too
+    * flat). Least-squares on (ln rank, ln freq) over the top `fitTerms`
+    * terms — the head is where Zipf holds and fitting it keeps the rank
+    * window BOUNDED (the full vocab rank would be an unbounded global
+    * sort at web scale; the top-K cut is TakeOrdered).
+    *
+    * Determinism: each ln() is rounded to 6 decimals and summed as
+    * decimal (exact + associative — the surprisal discipline), so the
+    * slope's closed form divides identical numbers in any engine. */
+  def zipfFit(docs: DataFrame, fitTerms: Int = 1000): DataFrame = {
+    val freqs = nonNull(docs)
+      .select(explode(toks).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+    val corpus = freqs.agg(
+      count(lit(1)).as("vocab_size"),
+      sum(col("freq")).as("total_tokens"))
+    val top = freqs.orderBy(col("freq").desc, col("token")).limit(fitTerms)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("freq").desc, col("token"))))
+    val x = round(log(col("rank").cast("double")), 6).cast(DecimalType(18, 6))
+    val y = round(log(col("freq").cast("double")), 6).cast(DecimalType(18, 6))
+    val fit = top.select(
+        x.as("x"), y.as("y"), (x * y).as("xy"), (x * x).as("xx"))
+      .agg(count(lit(1)).as("n_fit"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("xy")).as("sxy"),
+        sum(col("xx")).as("sxx"))
+    val n = col("n_fit").cast("double")
+    val slope = (n * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")) /
+      (n * col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double"))
+    fit.crossJoin(broadcast(corpus))
+      .select(col("n_fit"), col("vocab_size"), col("total_tokens"),
+        round(slope, 4).as("zipf_slope"),
+        round((col("sy").cast("double") - slope * col("sx").cast("double")) / n, 4)
+          .as("zipf_intercept"))
+  }
+
+  def zipfFit(spark: SparkSession, dir: String): DataFrame =
+    zipfFit(Lake.documents(spark, dir))
 
   /** Cross-document boilerplate n-grams: the `topK` word n-grams ranked by
     * DOCUMENT frequency (each doc counts an n-gram once — repetition

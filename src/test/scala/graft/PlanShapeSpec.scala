@@ -122,7 +122,9 @@ class PlanShapeSpec extends SparkSpecBase {
         "q_set_overlap", "q_surprisal", "q_gap_fill", "q_bm25",
         "q_enum_columns", "q_idle_rich", "q_ann_indexed",
         "q_supplier_share", "q_top_supplier", "q_anomalies",
-        "q_drift") // q_drift: one-row totals broadcast over bounded bins
+        // q_drift / q_zipf: one-row aggregate broadcasts (bin totals /
+        // corpus vocab stats)
+        "q_drift", "q_zipf")
     for ((name, fn) <- SparkEntry.queries) {
       val plan = planOf(fn(spark, Sf))
       if (!intendedProducts(name))
