@@ -56,6 +56,8 @@ final case class DataLake(spark: SparkSession, dir: String) {
     DedupOps.dedupNear(documents, threshold)
   def setSimPairs(threshold: Double = 0.5, n: Int = 3): DataFrame =
     DedupOps.setSimilarityJoin(documents, threshold, n)
+  def semanticClusters(threshold: Double = 0.4): DataFrame =
+    DedupOps.semanticClusters(embeddings, threshold)
   def annSearch(k: Int = 5): DataFrame = AnnOps.lsh(spark, dir, k = k)
   def buildAnnIndex(indexDir: String, nCentroids: Int = 16): Long =
     AnnIndex.build(spark, indexDir, embeddings, nCentroids = nCentroids)
@@ -89,6 +91,7 @@ final case class DataLake(spark: SparkSession, dir: String) {
     TextOps.boilerplateDensity(documents, n, topK, minDf)
   def scrubBoilerplate(phrases: Seq[String]): DataFrame =
     TextOps.scrubBoilerplate(documents, phrases)
+  def zipf(fitTerms: Int = 1000): DataFrame = TextOps.zipfFit(documents, fitTerms)
   def mixPlan(targets: Map[String, Double], tokenBudget: Long): DataFrame =
     CorpusOps.mixPlan(documents, targets, tokenBudget)
   def fixedSample(n: Int): DataFrame = CorpusOps.fixedSample(documents, n)
