@@ -273,10 +273,14 @@ object TextOps {
     * decimal (exact + associative — the surprisal discipline), so the
     * slope's closed form divides identical numbers in any engine. */
   def zipfFit(docs: DataFrame, fitTerms: Int = 1000): DataFrame = {
+    // two consumers (corpus totals, the top-K fit) — persist the
+    // vocab-sized frequency table so the explode+group pass runs once
+    // (ContextCleaner releases it with the frame)
     val freqs = nonNull(docs)
       .select(explode(toks).as("token"))
       .filter(col("token") =!= "")
       .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val corpus = freqs.agg(
       count(lit(1)).as("vocab_size"),
       sum(col("freq")).as("total_tokens"))
