@@ -79,6 +79,28 @@ class PlanShapeSpec extends SparkSpecBase {
       s"packing scan not pruned: $pschema")
   }
 
+  test("round-6 operators prune their scans and keep the scale-safe shapes") {
+    // drift reads only the binned value + the slice column from orders
+    val drift = planOf(CatalogOps.driftQuery(spark, Sf))
+    val drs = drift.indexOf("ReadSchema")
+    assert(drs >= 0, s"no ReadSchema in:\n$drift")
+    val dschema = drift.substring(drs, math.min(drs + 250, drift.length))
+    assert(dschema.contains("o_totalprice") && dschema.contains("o_orderdate") &&
+      !dschema.contains("o_comment") && !dschema.contains("o_custkey"),
+      s"drift scan not pruned to its 2 columns: $dschema")
+    // supplier share: one lineitem scan pruned to the 3 revenue columns
+    val share = planOf(Relational.supplierShare(spark, Sf))
+    val srs = share.indexOf("ReadSchema")
+    val sschema = share.substring(srs, math.min(srs + 300, share.length))
+    assert(sschema.contains("l_suppkey") && sschema.contains("l_extendedprice") &&
+      !sschema.contains("l_shipdate"),
+      s"supplier-share scan not pruned: $sschema")
+    // zipf fit ranks through TakeOrdered, never a full-vocab global sort
+    val zipf = planOf(graft.operators.TextOps.zipfFit(spark, Sf))
+    assert(zipf.contains("TakeOrderedAndProject"),
+      s"zipf head cut must be top-K, got:\n$zipf")
+  }
+
   test("parallel equi-depth binning plans no window (serial sort) at all") {
     // the exact ntile form is the oracle twin; the parallel form must keep
     // the whole plan window-free: cutpoint aggregate + map-side CASE chain
