@@ -231,6 +231,39 @@ object AnnOps {
     cents.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq
   }
 
+  /** DISTRIBUTED quantizer training — the 100 TB path the driver-side
+    * [[kmeansCentroids]] recipe documents: MLlib k-means over the FULL
+    * corpus (k-means|| init, seeded), executed as Spark aggregations —
+    * no bounded driver sample, no single-machine memory ceiling. Returns
+    * the same (c_id, c_emb) centroid frame [[ivfWithCentroids]] and
+    * [[AnnIndex.buildFromCentroids]] consume, so the cell-probing
+    * plumbing and the index sidecar are identical whichever trainer ran.
+    * (At oracle SF the sampled trainer is cheaper and equally good; this
+    * path exists for corpora where 2048 samples no longer describe the
+    * distribution.) */
+  def kmeansCentroidsDistributed(emb: DataFrame, nCentroids: Int,
+                                 iters: Int = 5, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val feat = emb.select(
+      array_to_vector(col("embedding").cast("array<double>")).as("features"))
+    val model = new KMeans()
+      .setK(nCentroids).setMaxIter(iters).setSeed(seed)
+      .fit(feat)
+    model.clusterCenters.zipWithIndex.toSeq
+      .map { case (v, i) => (i.toLong, v.toArray.map(_.toFloat)) }
+      .toDF("c_id", "c_emb")
+  }
+
+  /** IVF search with the distributed-trained quantizer. */
+  def ivfKmeansDistributed(emb: DataFrame, queriesIn: DataFrame, k: Int,
+                           nCentroids: Int, nProbes: Int,
+                           iters: Int = 5, seed: Long = 42L): DataFrame =
+    ivfWithCentroids(emb, queriesIn,
+      kmeansCentroidsDistributed(emb, nCentroids, iters, seed), k, nProbes)
+
   private[operators] def ivfWithCentroids(emb: DataFrame, queriesIn: DataFrame,
                                centroids: DataFrame, k: Int,
                                nProbes: Int): DataFrame = {

@@ -110,6 +110,33 @@ class AnnSpec extends SparkSpecBase {
     assert(kmeans >= 0.6, s"k-means IVF recall $kmeans < 0.6")
   }
 
+  test("distributed (MLlib) k-means quantizer matches the sampled trainer's quality") {
+    import org.apache.spark.sql.functions.col
+    def neighborSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1))
+        .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val emb = Lake.embeddings(spark, Sf)
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val exact = neighborSets(AnnOps.bruteForce(spark, Sf))
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val approx = neighborSets(df)
+      val rs = exact.map { case (q, t) => (approx.getOrElse(q, Set.empty) & t).size.toDouble / t.size }
+      rs.sum / rs.size
+    }
+    val cents = AnnOps.kmeansCentroidsDistributed(emb, nCentroids = 16)
+    assert(cents.count() == 16L)
+    val stride = recallOf(AnnOps.ivf(emb, queries, 5, 16, 6))
+    val dist = recallOf(AnnOps.ivfKmeansDistributed(emb, queries, 5, 16, 6))
+    assert(dist >= stride - 0.051,
+      s"distributed-kmeans IVF recall $dist should not trail stride IVF $stride")
+    // the distributed-trained centroids feed the SAME index sidecar path
+    val dir = java.nio.file.Files.createTempDirectory("ann_dist_idx").toString
+    graft.operators.AnnIndex.buildFromCentroids(spark, dir, cents, emb.count())
+    assert(graft.operators.AnnIndex
+      .searchIvf(spark, dir, emb, queries, k = 5, nProbes = 6).count() > 0)
+  }
+
   test("int8 quantization round-trips within half a step and keeps top-k recall") {
     val emb = Lake.embeddings(spark, Sf)
     val q = AnnOps.quantize(emb)
