@@ -430,12 +430,27 @@ object DedupOps extends org.apache.spark.internal.Logging {
       .withColumn("prefix", expr(
         s"slice(tokens, 1, size(tokens) - CAST(ceil($threshold * size(tokens)) AS INT) + 1)"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pref = ordered.select(col("doc_id"), col("sz"), explode(col("prefix")).as("token"))
-    val pa = pref.select(col("token"), col("doc_id").as("doc_a"), col("sz").as("sa"))
-    val pb = pref.select(col("token"), col("doc_id").as("doc_b"), col("sz").as("sb"))
+    // prefix positions ride along for PPJoin's POSITION filter below
+    val pref = ordered.select(col("doc_id"), col("sz"),
+      posexplode(col("prefix")).as(Seq("pos0", "token")))
+      .withColumn("pos", col("pos0") + 1).drop("pos0")
+    val pa = pref.select(col("token"), col("doc_id").as("doc_a"),
+      col("sz").as("sa"), col("pos").as("pos_a"))
+    val pb = pref.select(col("token"), col("doc_id").as("doc_b"),
+      col("sz").as("sb"), col("pos").as("pos_b"))
+    // PPJoin position filter: a shared prefix token at (1-based) positions
+    // (i, j) caps the overlap at min(|x|−i, |y|−j) + 1 — if that cap is
+    // below the Jaccard-implied overlap floor ⌈t/(1+t)·(|x|+|y|)⌉ the
+    // pair cannot qualify THROUGH THIS TOKEN. Exact (PPJoin, Xiao et
+    // al.); the 1e-9 slack only loosens the floor when the float product
+    // sits on an integer, so the filter can never become lossy. The
+    // ScalaCheck brute-force-equality property guards this claim.
+    val minOverlap =
+      ceil(lit(threshold / (1 + threshold)) * (col("sa") + col("sb")) - lit(1e-9))
     val cand = pa.join(pb, "token")
       .filter(col("doc_a") < col("doc_b") &&
-        least(col("sa"), col("sb")) >= lit(threshold) * greatest(col("sa"), col("sb")))
+        least(col("sa"), col("sb")) >= lit(threshold) * greatest(col("sa"), col("sb")) &&
+        least(col("sa") - col("pos_a"), col("sb") - col("pos_b")) + 1 >= minOverlap)
       .select(col("doc_a"), col("doc_b")).distinct()
     val sets = ordered.select(col("doc_id"), col("tokens"), col("sz"))
     cand
