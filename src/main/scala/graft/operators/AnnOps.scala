@@ -247,6 +247,10 @@ object AnnOps {
     import org.apache.spark.ml.functions.array_to_vector
     val spark = emb.sparkSession
     import spark.implicits._
+    // empty corpus degrades to an empty centroid frame (downstream joins
+    // then yield empty results), like the stride/sampled paths — MLlib
+    // would otherwise throw out of fit()
+    if (emb.isEmpty) return Seq.empty[(Long, Array[Float])].toDF("c_id", "c_emb")
     val feat = emb.select(
       array_to_vector(col("embedding").cast("array<double>")).as("features"))
     val model = new KMeans()

@@ -300,6 +300,7 @@ object TextOps {
       (n * col("sxx").cast("double") -
         col("sx").cast("double") * col("sx").cast("double"))
     fit.crossJoin(broadcast(corpus))
+      .filter(col("n_fit") > 0) // empty corpus → no fit row, not a null row
       .select(col("n_fit"), col("vocab_size"), col("total_tokens"),
         round(slope, 4).as("zipf_slope"),
         round((col("sy").cast("double") - slope * col("sx").cast("double")) / n, 4)

@@ -86,5 +86,8 @@ class ScalePathSpec extends SparkSpecBase {
     val emptySeries = Seq.empty[(java.sql.Timestamp, String, Long)]
       .toDF("bucket", "event_type", "n_events")
     assert(graft.operators.EventOps.anomaliesOn(emptySeries, 24, 3.0).count() == 0)
+    assert(graft.operators.TextOps.zipfFit(empty).count() == 0)
+    val emptyEmb = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(graft.operators.AnnOps.kmeansCentroidsDistributed(emptyEmb, 4).count() == 0)
   }
 }
