@@ -308,6 +308,35 @@ object SparkEntry {
   private def bpeCharsSql(word: String): String =
     s"chr(1) || array_to_string(list_transform(range(1, len($word)+1), i -> $word[i]), chr(1)||chr(1)) || chr(1)"
 
+  /** The portable 60-bit digest in DuckDB form — definitionally identical
+    * to [[graft.operators.TextOps.portableHash60]] (same md5, same 15-hex
+    * slice, same unsigned range inside a signed 64-bit long). */
+  private def ph60Sql(inner: String): String =
+    s"CAST(concat('0x', substr(md5($inner), 1, 15)) AS BIGINT)"
+
+  /** SimHash signature CTEs, generated from the SAME bit-width constants
+    * the engine uses ([[graft.operators.DedupOps.SimhashBits]]) — 60
+    * conditional bit sums over per-(doc, token) counts, sign per bit,
+    * bits OR'd into the signature. Ends with `sig(doc_id, simhash)`. */
+  private def simhashSigCtes: String = {
+    val bits = graft.operators.DedupOps.SimhashBits
+    val bitSums = (0 until bits).map(j =>
+      s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN cnt ELSE -cnt END) AS b$j")
+      .mkString(",\n    ")
+    val sig = (0 until bits).map(j =>
+      s"(CASE WHEN b$j > 0 THEN 1::BIGINT ELSE 0::BIGINT END << $j)")
+      .mkString(" | ")
+    s"""tf AS (SELECT doc_id, token, count(*) AS cnt
+       |      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+       |            FROM documents WHERE text IS NOT NULL)
+       |      GROUP BY doc_id, token),
+       |th AS (SELECT doc_id, cnt, ${ph60Sql("token")} AS h FROM tf),
+       |bitsums AS (SELECT doc_id,
+       |    $bitSums
+       |  FROM th GROUP BY doc_id),
+       |sig AS (SELECT doc_id, $sig AS simhash FROM bitsums)""".stripMargin
+  }
+
   /** DuckDB-runnable ANSI SQL twin for each query (same column names, same
     * ORDER BY). Money math goes through decimal(18,2) on both sides so
     * results are bit-identical — see SURVEY.md §6. */
@@ -1092,6 +1121,41 @@ object SparkEntry {
         |WHERE a.doc_id < b.doc_id
         |  AND len(list_intersect(a.s, b.s)) * 1.0 / len(list_distinct(a.s || b.s)) >= 0.6
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // Portable-hash (md5-slice) twins: fingerprint and simhash were
+    // rows-only while they hashed with xxhash64 (no DuckDB equivalent);
+    // portableHash60 makes every value engine-reproducible.
+    "q_fingerprint" ->
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE text IS NOT NULL),
+         |sh AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(t) >= 3
+         |      THEN list_transform(range(1, len(t) - 1),
+         |             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+         |      ELSE [array_to_string(t, ' ')] END AS s
+         |  FROM tok)
+         |SELECT doc_id,
+         |  list_min(list_transform(s, x -> ${ph60Sql("x")})) AS fingerprint,
+         |  CAST(len(s) AS BIGINT) AS n_shingles
+         |FROM sh ORDER BY doc_id""".stripMargin,
+    "q_simhash" ->
+      s"""WITH $simhashSigCtes
+         |SELECT doc_id, simhash FROM sig ORDER BY doc_id""".stripMargin,
+    "q_simhash_pairs" -> {
+      val bb = graft.operators.DedupOps.SimhashBandBits
+      val nb = graft.operators.DedupOps.SimhashBands
+      val mask = (1L << bb) - 1
+      s"""WITH $simhashSigCtes,
+         |bands AS (SELECT doc_id, simhash, b.band,
+         |            (simhash >> (b.band * $bb)) & $mask AS band_key
+         |          FROM sig CROSS JOIN (VALUES ${(0 until nb).map(b => s"($b)").mkString(", ")}) b(band)),
+         |pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |            CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+         |          FROM bands x JOIN bands y
+         |            ON x.band = y.band AND x.band_key = y.band_key
+         |               AND x.doc_id < y.doc_id)
+         |SELECT doc_a, doc_b, hamming FROM pairs
+         |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
+    },
     // The composed cleaning pipeline, re-stated stage by stage in SQL:
     // sha256 keepers → brute-force Jaccard pairs on the deduped corpus →
     // recursive-CTE clusters → losers dropped → quality rules applied.
@@ -1433,16 +1497,26 @@ object SparkEntry {
     // The stub decoder emits feature i = byte[i]/128f; the digest rescales
     // back to the byte code, which for the (all-ASCII) corpus equals the
     // codepoint of character i — reconstructible in ANSI SQL.
+    // The engine wraps each doc's bytes as a spec-compliant P6 PPM and
+    // REALLY parses it back (header ints + pixel plane); the oracle
+    // reconstructs every feature from the same layout arithmetic: header
+    // "P6\n16 <h>\n255\n" = 11 + digits(h) bytes, plane = 48·h zero-padded
+    // bytes, ASCII byte sums from unicode() (corpus is ASCII: len == octets).
     "q_multimodal_decode" ->
-      ("""SELECT doc_id,
-        |  cast(octet_length(encode(text)) AS bigint) AS n_bytes,
-        |  concat_ws(',', """.stripMargin +
-        (1 to 8).map(i =>
-          s"CASE WHEN length(text) >= $i THEN unicode(substr(text, $i, 1)) ELSE 0 END")
-          .mkString(", ") +
-        """) AS feat_digest
-        |FROM documents WHERE text IS NOT NULL
-        |ORDER BY doc_id""".stripMargin),
+      """WITH d AS (SELECT doc_id, text,
+        |             octet_length(encode(text)) AS n,
+        |             greatest(1, (octet_length(encode(text)) + 47) // 48) AS h
+        |           FROM documents WHERE text IS NOT NULL)
+        |SELECT doc_id,
+        |  CAST(11 + len(CAST(h AS VARCHAR)) + 48 * h AS BIGINT) AS n_bytes,
+        |  concat_ws(',', 16, h, 255, 48 * h,
+        |    coalesce(list_aggregate(list_transform(range(1, CAST(len(text) + 1 AS BIGINT)),
+        |      i -> unicode(text[i])), 'sum'), 0),
+        |    48 * h - n,
+        |    CASE WHEN n > 0 THEN unicode(substr(text, 1, 1)) ELSE 0 END,
+        |    CASE WHEN n > 0 THEN unicode(substr(text, len(text), 1)) ELSE 0 END
+        |  ) AS feat_digest
+        |FROM d ORDER BY doc_id""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT source, count(*) AS n_docs,
         |  cast(sum(octet_length(encode(text))) AS bigint) AS total_bytes,

@@ -100,11 +100,12 @@ object AnnIndex {
                       k: Int = 5, nQueries: Int = 8,
                       nCentroids: Int = 16, nProbes: Int = 6): DataFrame = {
     val emb = graft.Lake.embeddings(spark, dir)
-    // ONE per-JVM scratch sidecar, rebuilt per call (same discipline as
-    // SnapshotTable.diffQuery) — a fresh temp dir per invocation would
-    // accumulate artifacts across a long-lived session's repeated calls
+    // ONE scratch sidecar PER SESSION (app-id-keyed, rebuilt per call;
+    // same discipline as SnapshotTable.diffQuery) — a fresh temp dir per
+    // invocation would accumulate artifacts across repeated calls, and a
+    // fixed per-JVM name would race concurrent sessions on one machine
     val idxDir = new Path(sys.props("java.io.tmpdir"),
-      "graft_ann_indexed_scratch").toString
+      s"graft_ann_indexed_scratch_${spark.sparkContext.applicationId}").toString
     val f = new Path(idxDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     f.delete(new Path(idxDir), true)
@@ -112,7 +113,9 @@ object AnnIndex {
       AnnOps.strideCentroids(emb, nCentroids), emb.count())
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    searchIvf(spark, idxDir, emb, queries, k, nProbes)
+    // eagerly materialize: the lazy plan reads scratch files the NEXT call
+    // deletes, so a frame returned earlier must not depend on them
+    searchIvf(spark, idxDir, emb, queries, k, nProbes).localCheckpoint(true)
   }
 
   /** Rebuild iff the corpus changed since the latest build. Staleness is
@@ -151,10 +154,17 @@ object AnnIndex {
   def vacuum(spark: SparkSession, indexDir: String,
              keepLast: Int = 2): Seq[Long] = {
     require(keepLast >= 1, "must keep at least the latest version")
-    val all = versions(spark, indexDir)
-    val drop = all.dropRight(keepLast)
+    val kept = versions(spark, indexDir).takeRight(keepLast).toSet
     val f = new Path(indexDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // sweep v=* directories from the FILESYSTEM, not versions() — that
+    // list filters to complete builds, so crashed (incomplete) version
+    // dirs would otherwise leak storage forever
+    val onDisk = f.listStatus(new Path(indexDir)).toSeq
+      .map(_.getPath.getName)
+      .collect { case s if s.startsWith("v=") => s.stripPrefix("v=").toLong }
+      .sorted
+    val drop = onDisk.filterNot(kept)
     drop.foreach(v => f.delete(new Path(indexDir, s"v=$v"), true))
     drop
   }

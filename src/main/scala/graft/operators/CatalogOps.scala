@@ -192,10 +192,18 @@ object CatalogOps {
   def distributionDrift(spark: SparkSession, dir: String, table: String,
                         valueCol: String, sliceA: Column, sliceB: Column,
                         binWidth: Double): DataFrame =
+    distributionDrift(spark, dir, table, valueCol, sliceA, sliceB, binWidth,
+      materialize = true)
+
+  private[graft] def distributionDrift(spark: SparkSession, dir: String,
+                                       table: String, valueCol: String,
+                                       sliceA: Column, sliceB: Column,
+                                       binWidth: Double,
+                                       materialize: Boolean): DataFrame =
     driftCore(Lake.table(spark, dir, table).filter(sliceA || sliceB)
       .select(floor(col(valueCol) / binWidth).cast("long").as("bin"),
         when(sliceA, 1L).otherwise(0L).as("ina"),
-        when(sliceB, 1L).otherwise(0L).as("inb")), binWidth)
+        when(sliceB, 1L).otherwise(0L).as("inb")), binWidth, materialize)
 
   /** Drift between two separate frames (e.g. two snapshot-table versions
     * via [[graft.sources.SnapshotTable.read]], or last month's corpus vs
@@ -209,20 +217,46 @@ object CatalogOps {
           b.select(floor(col(valueCol) / binWidth).cast("long").as("bin"),
             lit(0L).as("ina"), lit(1L).as("inb"))), binWidth)
 
-  private def driftCore(src: DataFrame, binWidth: Double): DataFrame = {
-    val g = src.groupBy(col("bin"))
+  private def driftCore(src: DataFrame, binWidth: Double): DataFrame =
+    driftCore(src, binWidth, materialize = true)
+
+  /** `materialize = true` (every public path): persist the BOUNDED
+    * bin-count frame so the source scan + group-by runs once for its two
+    * consumers ("one scan" as documented; same discipline as
+    * supplierShare's rev cache), then localCheckpoint the O(bins) report
+    * and release the cache immediately. `materialize = false` exists for
+    * plan inspection only (PlanShapeSpec reads the scan shape, which a
+    * checkpoint would hide). */
+  private[graft] def driftCore(src: DataFrame, binWidth: Double,
+                               materialize: Boolean): DataFrame = {
+    val gBase = src.groupBy(col("bin"))
       .agg(sum(col("ina")).as("n_a"), sum(col("inb")).as("n_b"))
+    val g = if (materialize)
+      gBase.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else gBase
     val t = g.agg(sum(col("n_a")).as("ta"), sum(col("n_b")).as("tb"),
       count(lit(1)).as("nbins"))
     val pa = (col("n_a") + lit(0.5)) / (col("ta") + lit(0.5) * col("nbins"))
     val pb = (col("n_b") + lit(0.5)) / (col("tb") + lit(0.5) * col("nbins"))
-    g.crossJoin(broadcast(t))
+    val out = g.crossJoin(broadcast(t))
       .select(col("bin"), (col("bin") * binWidth).cast("double").as("bin_lo"),
         col("n_a"), col("n_b"),
         round(pa, 6).as("p_a"), round(pb, 6).as("p_b"),
         round((pa - pb) * log(pa / pb), 6).as("psi_term"))
       .orderBy(col("bin"))
+    if (materialize) {
+      val cp = out.localCheckpoint(true)
+      g.unpersist(false)
+      cp
+    } else out
   }
+
+  /** [[driftQuery]] without persist/checkpoint — plan inspection only. */
+  private[graft] def driftQueryLazy(spark: SparkSession, dir: String): DataFrame =
+    distributionDrift(spark, dir, "orders", "o_totalprice",
+      col("o_orderdate") < lit("1997-01-01").cast("timestamp"),
+      col("o_orderdate") >= lit("1997-01-01").cast("timestamp"),
+      binWidth = 50000.0, materialize = false)
 
   /** Driver binding: order-value drift, 1996 cohort vs 1997+ cohort. */
   def driftQuery(spark: SparkSession, dir: String): DataFrame =

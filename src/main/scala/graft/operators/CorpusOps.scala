@@ -21,8 +21,10 @@ object CorpusOps {
   /** (doc_id, n-gram) pairs for one side of the screen. */
   private def benchShingles(df: DataFrame, idAs: String, n: Int): DataFrame =
     df.filter(col("text").isNotNull)
-      .select(col("doc_id").as(idAs),
-        explode(array_distinct(TextOps.shingleCol(n))).as("shingle"))
+      .select(col("doc_id").as(idAs), split(col("text"), " ").as("__toks"))
+      .select(col(idAs),
+        explode(array_distinct(TextOps.shinglesOf(col("__toks"), n)))
+          .as("shingle"))
 
   /** Hot-shingle guard: a benchmark n-gram present in more than
     * `maxBenchDf` bench docs is boilerplate (license lines, shared

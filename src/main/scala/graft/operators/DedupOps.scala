@@ -52,8 +52,10 @@ object DedupOps extends org.apache.spark.internal.Logging {
     * corpus-wide distinct shuffle is ever needed. */
   def shingled(docs: DataFrame, n: Int = 3): DataFrame =
     docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("__toks"))
       .select(col("doc_id"),
-        explode(array_distinct(TextOps.shingleCol(n))).as("shingle"))
+        explode(array_distinct(TextOps.shinglesOf(col("__toks"), n)))
+          .as("shingle"))
 
   def shingled(spark: SparkSession, dir: String): DataFrame =
     shingled(Lake.documents(spark, dir))
@@ -70,9 +72,11 @@ object DedupOps extends org.apache.spark.internal.Logging {
     * the dedup pipeline's dominant shuffle.) */
   def minhashSignatures(docs: DataFrame, n: Int = 3): DataFrame =
     docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("__toks"))
       .select(col("doc_id"),
         graft.functions.MinhashSig.signature(
-          array_distinct(TextOps.shingleCol(n)), NumPerms).as("sig"))
+          array_distinct(TextOps.shinglesOf(col("__toks"), n)), NumPerms)
+          .as("sig"))
 
   /** LSH banding: one row per (doc, band) with the band's combined hash —
     * all band hashes from one codegen'd [[graft.functions.MinhashBands]]
@@ -305,20 +309,29 @@ object DedupOps extends org.apache.spark.internal.Logging {
   def nearDupPairs(spark: SparkSession, dir: String): DataFrame =
     nearDupPairs(Lake.documents(spark, dir))
 
-  /** 64-bit SimHash per document: bit j of the signature is the sign of
-    * sum over tokens of (term frequency × ±1 by bit j of xxhash64(token)).
-    * Computed as 64 conditional sums in one group-by pass. */
+  /** SimHash bit width and banding layout: 60 bits ([[TextOps
+    * .portableHash60]] md5-slice token hashes — oracle-reproducible in any
+    * engine, unlike xxhash64) split into 4 bands of 15 bits; any pair
+    * within hamming distance 3 leaves at least one band intact
+    * (pigeonhole), so the banded equi-join is lossless at maxHamming 3. */
+  val SimhashBits = 60
+  val SimhashBands = 4
+  val SimhashBandBits: Int = SimhashBits / SimhashBands
+
+  /** 60-bit SimHash per document: bit j of the signature is the sign of
+    * sum over tokens of (term frequency × ±1 by bit j of the portable
+    * token hash). Computed as 60 conditional sums in one group-by pass. */
   def simhash(docs: DataFrame): DataFrame = {
     val tf = docs.filter(col("text").isNotNull)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("cnt"))
-      .withColumn("h", xxhash64(col("token")))
-    val bitSums = (0 until 64).map { j =>
+      .withColumn("h", TextOps.portableHash60(col("token")))
+    val bitSums = (0 until SimhashBits).map { j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, col("cnt"))
         .otherwise(-col("cnt"))).as(s"b$j")
     }
     val wide = tf.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 64).map { j =>
+    val sig = (0 until SimhashBits).map { j =>
       shiftleft(when(col(s"b$j") > 0, 1L).otherwise(0L), j)
     }.reduce(_.bitwiseOR(_))
     wide.select(col("doc_id"), sig.as("simhash")).orderBy(col("doc_id"))
@@ -327,19 +340,24 @@ object DedupOps extends org.apache.spark.internal.Logging {
   def simhash(spark: SparkSession, dir: String): DataFrame =
     simhash(Lake.documents(spark, dir))
 
-  /** SimHash near-dup candidates: 4 bands of 16 bits each (any pair within
-    * hamming distance 3 shares at least one intact band), verified with
-    * bit_count(xor) ≤ maxHamming. Same bucketed-join shape as MinHash-LSH. */
+  /** SimHash near-dup candidates: [[SimhashBands]] bands of
+    * [[SimhashBandBits]] bits each (any pair within hamming distance 3
+    * shares at least one intact band), verified with bit_count(xor) ≤
+    * maxHamming. Same bucketed-join shape as MinHash-LSH. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     // the banded self-join reads the signatures twice; persist the narrow
-    // (doc_id, simhash) frame so the 64-bit-sum aggregate runs once
+    // (doc_id, simhash) frame so the 60-bit-sum aggregate runs once
     val sigs = simhash(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandMask = (1L << SimhashBandBits) - 1
     val bands = sigs.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*)))
+      posexplode(array((0 until SimhashBands).map(b =>
+        shiftright(col("simhash"), b * SimhashBandBits).bitwiseAND(bandMask)): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
-    bands.as("x").join(bands.as("y"),
+    // materialize the bounded pair result and release the signature cache
+    // immediately (surprisal discipline) — long-lived sessions must not
+    // accumulate per-call caches until the ContextCleaner runs
+    val out = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") &&
         col("x.band_key") === col("y.band_key") &&
         col("x.doc_id") < col("y.doc_id"))
@@ -348,6 +366,9 @@ object DedupOps extends org.apache.spark.internal.Logging {
       .distinct()
       .filter(col("hamming") <= maxHamming)
       .orderBy(col("doc_a"), col("doc_b"))
+      .localCheckpoint(true)
+    sigs.unpersist(false)
+    out
   }
 
   def simhashPairs(spark: SparkSession, dir: String): DataFrame =
@@ -412,14 +433,17 @@ object DedupOps extends org.apache.spark.internal.Logging {
     * ids to token arrays. Scales linearly in corpus + output size. */
   def setSimilarityJoin(docs: DataFrame, threshold: Double = 0.5,
                         n: Int = 3): DataFrame = {
+    // two consumers (df counts, the ordered-set assembly join) — persist so
+    // the tokenize+shingle explode runs once; released as soon as `ordered`
+    // materializes below
     val docSh = shingled(docs, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfCounts = docSh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     // per-doc shingle list in global (df, shingle) order + its prefix.
     // Persisted: BOTH the candidate path (prefix explode) and the verify
     // path (set re-join) consume it — unpersisted, the shingle+df+sort
     // subplan runs twice (ReuseExchange is not reliable across the two
-    // shapes; same discipline as nearDupPairs' candidate cache, released
-    // by the ContextCleaner with the frame).
+    // shapes). Explicitly released after the result materializes below.
     val ordered = docSh.join(dfCounts, "shingle")
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("df"), col("shingle"))))
@@ -427,9 +451,19 @@ object DedupOps extends org.apache.spark.internal.Logging {
       .select(col("doc_id"),
         expr("transform(by_rarity, s -> s.shingle)").as("tokens"),
         size(col("by_rarity")).as("sz"))
+      // 1e-9 slack mirrors minOverlap: when t*size lands exactly on an
+      // integer but its double product rounds a hair ABOVE it (t=0.1,
+      // size=70 → 7.000000000000001), an unslacked ceil would shorten the
+      // prefix below the lossless bound and silently drop boundary pairs.
+      // Slack only ever lengthens the prefix → extra candidates, never loss.
       .withColumn("prefix", expr(
-        s"slice(tokens, 1, size(tokens) - CAST(ceil($threshold * size(tokens)) AS INT) + 1)"))
+        s"slice(tokens, 1, size(tokens) - CAST(ceil($threshold * size(tokens) - 1e-9) AS INT) + 1)"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // force the cache NOW (one O(docs) job) so the shingle frame can be
+    // dropped before the join fan-out starts — both downstream consumers
+    // then read the cached token arrays, never the raw corpus
+    ordered.count()
+    docSh.unpersist(false)
     // prefix positions ride along for PPJoin's POSITION filter below
     val pref = ordered.select(col("doc_id"), col("sz"),
       posexplode(col("prefix")).as(Seq("pos0", "token")))
@@ -449,11 +483,20 @@ object DedupOps extends org.apache.spark.internal.Logging {
       ceil(lit(threshold / (1 + threshold)) * (col("sa") + col("sb")) - lit(1e-9))
     val cand = pa.join(pb, "token")
       .filter(col("doc_a") < col("doc_b") &&
-        least(col("sa"), col("sb")) >= lit(threshold) * greatest(col("sa"), col("sb")) &&
+        // same 1e-9 slack as the prefix: |a|=7 vs |b|=70 at t=0.1 has
+        // Jaccard exactly 0.1 but 0.1*70 rounds above 7.0 — the unslacked
+        // filter would prune a qualifying boundary pair. Verify below
+        // enforces the exact threshold, so slack only admits candidates.
+        least(col("sa"), col("sb")) >=
+          lit(threshold) * greatest(col("sa"), col("sb")) - lit(1e-9) &&
         least(col("sa") - col("pos_a"), col("sb") - col("pos_b")) + 1 >= minOverlap)
       .select(col("doc_a"), col("doc_b")).distinct()
     val sets = ordered.select(col("doc_id"), col("tokens"), col("sz"))
-    cand
+    // materialize the pair result (O(output), tiny next to the token-array
+    // cache) and release `ordered` NOW — in a long-lived session repeated
+    // calls must not strand corpus-sized MEMORY_AND_DISK frames until the
+    // ContextCleaner runs (the surprisal/cleanCorpus discipline)
+    val out = cand
       .join(sets.select(col("doc_id").as("doc_a"), col("tokens").as("ta"),
         col("sz").as("sa")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("tokens").as("tb"),
@@ -464,6 +507,9 @@ object DedupOps extends org.apache.spark.internal.Logging {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
+      .localCheckpoint(true)
+    ordered.unpersist(false)
+    out
   }
 
   def setSimilarityJoin(spark: SparkSession, dir: String): DataFrame =

@@ -14,14 +14,17 @@ final case class MediaFeatures(doc_id: Long, n_bytes: Int, batch_size: Int,
                                features: Array[Float])
 
 /** Multimodal column support (SURVEY.md §2 item 25): media payloads as
-  * opaque `binary` columns with typed metadata, plus batched decode
-  * plumbing shaped like a real vectorized decoder.
+  * opaque `binary` columns with typed metadata, plus a batched decode path
+  * with a REAL public-format kernel.
   *
-  * The container has no image/audio libraries, so the decode kernel is a
-  * clearly-marked deterministic STUB — but the Spark side is real: binary
-  * schema, metadata struct, `mapPartitions` with bounded decoder batches
-  * (the shape a JNI/FFI decode call needs), and partition-parallel
-  * execution with no driver materialization.
+  * The container has no image/audio libraries, so the decode kernel parses
+  * PPM (P6) — a public Netpbm format simple enough to implement from spec
+  * in pure JVM: magic, whitespace/comment-tolerant header integers, raw
+  * RGB pixel plane. The Spark side is the real production shape either
+  * way: binary schema, metadata struct, `mapPartitions` with bounded
+  * decoder batches (the call shape a JNI/FFI decoder needs), and
+  * partition-parallel execution with no driver materialization. Swapping
+  * PPM for JPEG decode changes only the kernel body.
   */
 object MultimodalOps {
 
@@ -48,28 +51,106 @@ object MultimodalOps {
         max(length(col("payload"))).cast("long").as("max_bytes"))
       .orderBy(col("source"))
 
-  /** STUB decode kernel: a real implementation hands the whole batch to a
-    * vectorized decoder (e.g. JNI image decode); this deterministic fake
-    * derives 8 "features" from the first payload bytes so tests can assert
-    * plumbing end-to-end. */
-  private def stubDecode(payload: Array[Byte]): Array[Float] =
-    Array.tabulate(8)(i =>
-      if (i < payload.length) payload(i).toFloat / 128f else 0f)
+  /** Image width of the synthesized PPM payloads (16 RGB pixels per row =
+    * 48 data bytes per row). */
+  val PpmWidth = 16
 
-  /** Batched feature extraction: partitions stream through the decoder in
-    * bounded batches (`batchSize`), exactly the call shape a native decoder
-    * needs — no per-row call overhead, no whole-partition materialization. */
-  def decodeFeatures(spark: SparkSession, dir: String,
-                     batchSize: Int = 64): DataFrame = {
+  /** Spec-compliant PPM (P6) encoder: wraps `data` as the pixel plane of a
+    * [[PpmWidth]]-wide RGB image, zero-padding the final row block. The
+    * output is a real Netpbm file — feh/GIMP/ImageMagick open it. */
+  private[graft] def ppmEncode(data: Array[Byte]): Array[Byte] = {
+    val w = PpmWidth
+    val h = math.max(1, (data.length + 3 * w - 1) / (3 * w))
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + w * h * 3)
+    System.arraycopy(header, 0, out, 0, header.length)
+    System.arraycopy(data, 0, out, header.length, data.length)
+    out
+  }
+
+  /** REAL P6 parser (Netpbm spec): magic check, whitespace- and
+    * comment-tolerant header integers (width, height, maxval), single
+    * whitespace, then the raw `3·w·h`-byte pixel plane. */
+  private[graft] def decodePpm(ppm: Array[Byte]): (Int, Int, Int, Array[Byte]) = {
+    require(ppm.length >= 2 && ppm(0) == 'P' && ppm(1) == '6',
+      "not a P6 PPM stream")
+    var i = 2
+    def skipWs(): Unit = {
+      while (i < ppm.length &&
+        (ppm(i) == ' ' || ppm(i) == '\n' || ppm(i) == '\r' || ppm(i) == '\t'))
+        i += 1
+      if (i < ppm.length && ppm(i) == '#') { // spec: '#'-to-EOL comments
+        while (i < ppm.length && ppm(i) != '\n') i += 1
+        skipWs()
+      }
+    }
+    def headerInt(): Int = {
+      skipWs()
+      var v = 0
+      require(i < ppm.length && ppm(i) >= '0' && ppm(i) <= '9',
+        s"malformed PPM header at byte $i")
+      while (i < ppm.length && ppm(i) >= '0' && ppm(i) <= '9') {
+        v = v * 10 + (ppm(i) - '0'); i += 1
+      }
+      v
+    }
+    val w = headerInt(); val h = headerInt(); val maxval = headerInt()
+    require(maxval > 0 && maxval < 65536, s"PPM maxval out of range: $maxval")
+    i += 1 // exactly one whitespace byte separates maxval from the plane
+    require(ppm.length - i >= w * h * 3,
+      s"truncated pixel plane: ${ppm.length - i} < ${w * h * 3}")
+    (w, h, maxval, java.util.Arrays.copyOfRange(ppm, i, i + w * h * 3))
+  }
+
+  /** Decode kernel: real PPM parse + integer-valued image features (all
+    * exactly representable as floats at any plausible payload size):
+    * width, height, maxval, pixel-plane bytes, unsigned byte sum, zero
+    * (padding) count, first pixel byte, last nonzero pixel byte. */
+  private def ppmFeatures(payload: Array[Byte]): Array[Float] = {
+    val (w, h, maxval, px) = decodePpm(payload)
+    var sum = 0L; var zeros = 0; var lastNz = 0
+    var i = 0
+    while (i < px.length) {
+      val b = px(i) & 0xFF
+      sum += b
+      if (b == 0) zeros += 1 else lastNz = b
+      i += 1
+    }
+    val first = if (px.length > 0) px(0) & 0xFF else 0
+    Array(w.toFloat, h.toFloat, maxval.toFloat, px.length.toFloat,
+      sum.toFloat, zeros.toFloat, first.toFloat, lastNz.toFloat)
+  }
+
+  /** Documents as REAL image payloads: each doc's bytes as the pixel plane
+    * of a spec-compliant P6 PPM (encode itself runs batched, same shape as
+    * decode). */
+  def ppmPayloads(spark: SparkSession, dir: String,
+                  batchSize: Int = 64): DataFrame = {
     import spark.implicits._
     payloads(spark, dir).select(col("doc_id"), col("payload"))
       .as[MediaPayload]
       .mapPartitions { it =>
+        it.grouped(batchSize).flatMap(_.map(p =>
+          MediaPayload(p.doc_id, ppmEncode(p.payload))))
+      }
+      .toDF()
+  }
+
+  /** Batched feature extraction: partitions stream through the REAL PPM
+    * decoder in bounded batches (`batchSize`), exactly the call shape a
+    * native decoder needs — no per-row call overhead, no whole-partition
+    * materialization. */
+  def decodeFeatures(spark: SparkSession, dir: String,
+                     batchSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    ppmPayloads(spark, dir, batchSize).select(col("doc_id"), col("payload"))
+      .as[MediaPayload]
+      .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
-          // one decoder invocation per batch (stubbed)
+          // one decoder invocation per batch
           batch.map(p =>
             MediaFeatures(p.doc_id, p.payload.length, batch.size,
-              stubDecode(p.payload)))
+              ppmFeatures(p.payload)))
         }
       }
       .toDF()
@@ -102,17 +183,20 @@ object MultimodalOps {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
-  /** Driver-comparable projection of [[decodeFeatures]]: the float features
-    * are rescaled back to their integer byte codes and joined into one
-    * sortable string — pandas/DuckDB can hash a string where they cannot
-    * hash a raw array<float>. `batch_size` is partitioning-dependent so it
-    * stays out of the comparable projection (MultimodalSpec covers it). */
+  /** Driver-comparable projection of [[decodeFeatures]]: the (integer-
+    * valued) float features joined into one sortable string —
+    * pandas/DuckDB can hash a string where they cannot hash a raw
+    * array<float>. The DuckDB oracle reconstructs every feature from the
+    * PPM layout arithmetic (header size, padded plane, ASCII byte sums) —
+    * so the encode→parse→feature path is value-verified end to end.
+    * `batch_size` is partitioning-dependent so it stays out of the
+    * comparable projection (MultimodalSpec covers it). */
   def decodeDigest(spark: SparkSession, dir: String): DataFrame =
     decodeFeatures(spark, dir)
       .select(
         col("doc_id"),
         col("n_bytes").cast("long").as("n_bytes"),
         concat_ws(",", transform(col("features"),
-          f => (f * lit(128f)).cast("int").cast("string"))).as("feat_digest"))
+          f => f.cast("int").cast("string"))).as("feat_digest"))
       .orderBy(col("doc_id"))
 }

@@ -233,7 +233,8 @@ object TextOps {
     // bigrams so the corpus is shingled once, same discipline as
     // unigramSurprisal's tokRows
     val withBi = nonNull(docs).filter(size(toks) >= 2)
-      .select(col("doc_id"), explode(shingleCol(2)).as("bigram"))
+      .select(col("doc_id"), toks.as("__toks"))
+      .select(col("doc_id"), explode(shinglesOf(col("__toks"), 2)).as("bigram"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = withBi
       .select(substring_index(col("bigram"), " ", 1).as("w1"), col("bigram"))
@@ -272,15 +273,25 @@ object TextOps {
     * Determinism: each ln() is rounded to 6 decimals and summed as
     * decimal (exact + associative — the surprisal discipline), so the
     * slope's closed form divides identical numbers in any engine. */
-  def zipfFit(docs: DataFrame, fitTerms: Int = 1000): DataFrame = {
-    // two consumers (corpus totals, the top-K fit) — persist the
-    // vocab-sized frequency table so the explode+group pass runs once
-    // (ContextCleaner releases it with the frame)
-    val freqs = nonNull(docs)
+  def zipfFit(docs: DataFrame, fitTerms: Int = 1000): DataFrame =
+    zipfFit(docs, fitTerms, materialize = true)
+
+  /** `materialize = true` (the public path): persist the vocab-sized
+    * frequency table so the explode+group pass runs once for its two
+    * consumers (corpus totals, the top-K fit), then localCheckpoint the
+    * one-row fit and release the cache immediately (surprisal
+    * discipline). `materialize = false` is for plan inspection only —
+    * PlanShapeSpec asserts the TakeOrdered head cut, which a checkpoint
+    * would hide. */
+  private[graft] def zipfFit(docs: DataFrame, fitTerms: Int,
+                             materialize: Boolean): DataFrame = {
+    val freqsBase = nonNull(docs)
       .select(explode(toks).as("token"))
       .filter(col("token") =!= "")
       .groupBy(col("token")).agg(count(lit(1)).as("freq"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val freqs = if (materialize)
+      freqsBase.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else freqsBase
     val corpus = freqs.agg(
       count(lit(1)).as("vocab_size"),
       sum(col("freq")).as("total_tokens"))
@@ -299,12 +310,17 @@ object TextOps {
       col("sx").cast("double") * col("sy").cast("double")) /
       (n * col("sxx").cast("double") -
         col("sx").cast("double") * col("sx").cast("double"))
-    fit.crossJoin(broadcast(corpus))
+    val out = fit.crossJoin(broadcast(corpus))
       .filter(col("n_fit") > 0) // empty corpus → no fit row, not a null row
       .select(col("n_fit"), col("vocab_size"), col("total_tokens"),
         round(slope, 4).as("zipf_slope"),
         round((col("sy").cast("double") - slope * col("sx").cast("double")) / n, 4)
           .as("zipf_intercept"))
+    if (materialize) {
+      val cp = out.localCheckpoint(true)
+      freqs.unpersist(false)
+      cp
+    } else out
   }
 
   def zipfFit(spark: SparkSession, dir: String): DataFrame =
@@ -320,7 +336,9 @@ object TextOps {
   def boilerplateNgrams(docs: DataFrame, n: Int = 3, topK: Int = 10,
                         minDf: Int = 2): DataFrame =
     nonNull(docs).filter(size(toks) >= n)
-      .select(col("doc_id"), explode(array_distinct(shingleCol(n))).as("ngram"))
+      .select(col("doc_id"), toks.as("__toks"))
+      .select(col("doc_id"),
+        explode(array_distinct(shinglesOf(col("__toks"), n))).as("ngram"))
       .groupBy(col("ngram"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
@@ -341,7 +359,8 @@ object TextOps {
     val base = nonNull(docs).filter(size(toks) >= n)
       .select(col("doc_id"), size(toks).cast("long").as("n_tokens"))
     val occ = nonNull(docs).filter(size(toks) >= n)
-      .select(col("doc_id"), explode(shingleCol(n)).as("ngram"))
+      .select(col("doc_id"), toks.as("__toks"))
+      .select(col("doc_id"), explode(shinglesOf(col("__toks"), n)).as("ngram"))
       .join(broadcast(bp), "ngram")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("occ"))
@@ -443,12 +462,18 @@ object TextOps {
       .select(col("doc_id"), explode(toks).as("token"))
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("cnt"))
       .groupBy(col("doc_id")).agg(max(col("cnt")).as("top_cnt"))
-    val grams = shingleCol(3)
-    val metrics = clean.select(
+    // token array then the gram array each materialized ONCE per row —
+    // the gram transform is referenced twice (distinct size / raw size)
+    val metrics = clean
+      .select(col("doc_id"), col("text"), toks.as("__toks"))
+      .select(col("doc_id"), col("text"), col("__toks"),
+        shinglesOf(col("__toks"), 3).as("__grams"))
+      .select(
       col("doc_id"),
-      size(toks).cast("long").as("n_tokens"),
-      when(size(toks) >= 3,
-        lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams))
+      size(col("__toks")).cast("long").as("n_tokens"),
+      when(size(col("__toks")) >= 3,
+        lit(1.0) - size(array_distinct(col("__grams"))).cast("double") /
+          size(col("__grams")))
         .otherwise(lit(0.0)).as("dup3"),
       (length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("double") /
         length(col("text"))).as("symbol_ratio"),
@@ -472,24 +497,46 @@ object TextOps {
   def qualityRules(spark: SparkSession, dir: String): DataFrame =
     qualityRules(Lake.documents(spark, dir))
 
-  /** Word n-gram shingles of `text` as an array column (used by dedup and
-    * fingerprinting). Docs shorter than `n` tokens shingle to the whole text. */
-  def shingleCol(n: Int): Column =
-    when(size(toks) >= n,
-      expr(s"transform(sequence(0, size(split(text, ' ')) - $n), " +
-           s"i -> concat_ws(' ', slice(split(text, ' '), i + 1, $n)))"))
-      .otherwise(array(col("text")))
+  /** Word n-gram shingles over an already-materialized token-array COLUMN
+    * (used by dedup, fingerprinting, boilerplate, surprisal). Docs shorter
+    * than `n` tokens shingle to the whole text (`concat_ws` over the tokens
+    * reconstructs it exactly under split-on-space, empties included).
+    *
+    * The lambda must close over an ATTRIBUTE, not an expression: an earlier
+    * form inlined `split(text)` into the transform body, which re-evaluates
+    * the split once PER SHINGLE — O(tokens²) per doc, measured 3× slower
+    * across every shingle consumer at sf0.1. Callers therefore project the
+    * token array in a separate select first (Catalyst keeps the projection:
+    * CollapseProject never inlines a non-trivial alias referenced more than
+    * once). */
+  /** 60-bit portable digest: the first 15 hex chars of md5 as a long.
+    * md5 is bit-identical in every engine (unlike xxhash64, which has no
+    * DuckDB twin), and 60 bits keeps every downstream shift/mask inside a
+    * signed 64-bit integer in any SQL dialect — which is what makes
+    * [[fingerprint]] and [[DedupOps.simhash]] oracle-verifiable.
+    * Spark: conv(substr(md5(s),1,15),16,10); DuckDB:
+    * ('0x' || substr(md5(s),1,15))::BIGINT — same value by construction. */
+  def portableHash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
-  /** Document fingerprint: min-sampled 64-bit hash over word-3-gram shingles
+  def shinglesOf(tokens: Column, n: Int): Column =
+    when(size(tokens) >= n,
+      transform(sequence(lit(0), size(tokens) - n),
+        i => concat_ws(" ", slice(tokens, i + lit(1), lit(n)))))
+      .otherwise(array(concat_ws(" ", tokens)))
+
+  /** Document fingerprint: min-sampled 60-bit hash over word-3-gram shingles
     * (winnowing-style representative hash). Deterministic — same text, same
     * fingerprint — and near-duplicate docs collide with high probability
-    * (asserted in TextOpsSpec). Not SQL-expressible (xxhash64): rows-only. */
+    * (asserted in TextOpsSpec). Hashes via [[portableHash60]] (md5 slice),
+    * so the DuckDB oracle reproduces every value exactly. */
   def fingerprint(docs: DataFrame): DataFrame =
     nonNull(docs)
-      .select(col("doc_id"), shingleCol(3).as("sh"))
+      .select(col("doc_id"), toks.as("__toks"))
+      .select(col("doc_id"), shinglesOf(col("__toks"), 3).as("sh"))
       .select(
         col("doc_id"),
-        array_min(transform(col("sh"), s => xxhash64(s))).as("fingerprint"),
+        array_min(transform(col("sh"), s => portableHash60(s))).as("fingerprint"),
         size(col("sh")).cast("long").as("n_shingles"))
       .orderBy(col("doc_id"))
 

@@ -181,10 +181,17 @@ object SnapshotTable {
     * The scratch location is FIXED per JVM (deleted and rewritten on each
     * invocation), so repeated Verify/Bench runs never accumulate temp
     * dirs. */
+  /** Session-keyed scratch root: one dir per (purpose, Spark app) —
+    * rebuilt per call so repeated runs never accumulate temp dirs, and
+    * app-id-keyed so concurrent sessions on one machine cannot race on
+    * (or delete under) each other's scratch files. */
+  private def scratchPath(spark: SparkSession, name: String): Path =
+    new Path(sys.props("java.io.tmpdir"),
+      s"${name}_${spark.sparkContext.applicationId}")
+
   def timeTravelQuery(spark: SparkSession, lakeDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val scratch = new Path(
-      sys.props("java.io.tmpdir"), "graft_snap_q_scratch")
+    val scratch = scratchPath(spark, "graft_snap_q_scratch")
     val f = fs(spark, scratch.toString)
     f.delete(scratch, true)
     val tmp = s"$scratch/tbl"
@@ -251,7 +258,7 @@ object SnapshotTable {
     * SQL-equivalent: the same three counts straight off the predicates. */
   def diffQuery(spark: SparkSession, lakeDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val scratch = new Path(sys.props("java.io.tmpdir"), "graft_snap_diff_scratch")
+    val scratch = scratchPath(spark, "graft_snap_diff_scratch")
     val f = fs(spark, scratch.toString)
     f.delete(scratch, true)
     val tmp = s"$scratch/tbl"
@@ -277,7 +284,7 @@ object SnapshotTable {
     * hash-mismatches. */
   def mvRefreshQuery(spark: SparkSession, lakeDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val scratch = new Path(sys.props("java.io.tmpdir"), "graft_mv_refresh_scratch")
+    val scratch = scratchPath(spark, "graft_mv_refresh_scratch")
     val f = fs(spark, scratch.toString)
     f.delete(scratch, true)
     val tmp = s"$scratch/tbl"

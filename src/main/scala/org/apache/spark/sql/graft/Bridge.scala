@@ -32,6 +32,13 @@ object Bridge {
   def analyzed(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].queryExecution.analyzed
 
+  /** Drain the async listener bus so every QueryExecutionListener callback
+    * for already-finished actions has fired (`listenerBus.waitUntilEmpty`
+    * is `private[spark]`, hence bridged — used by plan-shape tests that
+    * collect executed plans through a listener). */
+  def flushListenerBus(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
   /** Idempotently add a planner strategy to the session (the imperative
     * counterpart of `SparkSessionExtensions.injectPlannerStrategy`). */
   def addStrategy(spark: org.apache.spark.sql.SparkSession,

@@ -144,11 +144,30 @@ class DedupSpec extends SparkSpecBase {
     assert(got.keySet == Set((1L, 2L), (4L, 5L)), s"pairs: $got")
     assert(math.abs(got((1L, 2L)) - 9.0 / 11.0) < 1e-6)
     assert(got((4L, 5L)) == 1.0)
-    // the plan must stay an equi-join on prefix shingles — never all-pairs
-    val plan = DedupOps.setSimilarityJoin(docs, 0.5, 3)
-      .queryExecution.executedPlan.toString
-    assert(!plan.contains("CartesianProduct") &&
-      !plan.contains("BroadcastNestedLoopJoin"), s"non-equi plan:\n$plan")
+    // the plan must stay an equi-join on prefix shingles — never all-pairs.
+    // Checkpointing operator: assert over interior (listener-captured)
+    // plans; the returned frame is an RDD-scan facade.
+    for (plan <- allPlansOf(DedupOps.setSimilarityJoin(docs, 0.5, 3)))
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"), s"non-equi plan:\n$plan")
+  }
+
+  test("set-similarity join keeps boundary pairs where t*size rounds above an integer") {
+    import spark.implicits._
+    // t=0.1 with |b|=70 shingles: 0.1*70 = 7.000000000000001 in doubles, so
+    // an unslacked ceil shortens b's prefix below the lossless bound AND the
+    // unslacked size filter rejects |a|=7 vs |b|=70 — yet a ⊂ b there has
+    // Jaccard exactly 7/70 = 0.1, a qualifying pair. 9 words → 7 trigrams;
+    // 72 words (the same 9 + 63 fresh) → 70 trigrams containing a's 7.
+    val aWords = (1 to 9).map(i => s"w$i")
+    val bWords = aWords ++ (1 to 63).map(i => s"x$i")
+    val docs = Seq(
+      (1L, aWords.mkString(" ")),
+      (2L, bWords.mkString(" "))).toDF("doc_id", "text")
+    val got = DedupOps.setSimilarityJoin(docs, threshold = 0.1, n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet == Set((1L, 2L)), s"boundary pair lost: $got")
+    assert(math.abs(got((1L, 2L)) - 0.1) < 1e-9)
   }
 
   test("near-duplicate docs have close simhashes; random pairs do not") {

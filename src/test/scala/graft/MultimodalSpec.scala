@@ -3,8 +3,30 @@ package graft
 import graft.operators.MultimodalOps
 
 /** Multimodal plumbing: binary payloads, typed metadata, and the batched
-  * decode path (stubbed kernel, real Spark mechanics). */
+  * decode path with the real PPM (P6) kernel. */
 class MultimodalSpec extends SparkSpecBase {
+
+  test("PPM kernel really parses the Netpbm format (magic, comments, header, plane)") {
+    // hand-built 2×2 P6 with a header comment — not an encoder round-trip,
+    // so the parser is exercised against the SPEC, not our own writer
+    val img = "P6\n# hand-made\n2 2\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](10, 20, 30, 40, 50, 60, 0, 0, 0, 7, 8, 9)
+    val (w, h, maxval, px) = MultimodalOps.decodePpm(img)
+    assert(w == 2 && h == 2 && maxval == 255 && px.length == 12)
+    assert(px(0) == 10 && px(11) == 9)
+    // encoder emits spec-compliant bytes the parser round-trips losslessly
+    val data = "hello ppm decode".getBytes("US-ASCII")
+    val (w2, h2, mv2, px2) = MultimodalOps.decodePpm(MultimodalOps.ppmEncode(data))
+    assert(w2 == MultimodalOps.PpmWidth && h2 == 1 && mv2 == 255)
+    assert(px2.take(data.length).sameElements(data), "pixel plane must carry the payload")
+    assert(px2.drop(data.length).forall(_ == 0), "padding must be zero")
+    // non-PPM bytes are rejected, not mis-parsed
+    intercept[IllegalArgumentException](
+      MultimodalOps.decodePpm("JFIF not a ppm".getBytes("US-ASCII")))
+    // truncated plane is rejected
+    intercept[IllegalArgumentException](
+      MultimodalOps.decodePpm("P6\n4 4\n255\nxy".getBytes("US-ASCII")))
+  }
 
   test("payloads carry the exact UTF-8 bytes and typed metadata") {
     val rows = MultimodalOps.payloads(spark, Sf)
@@ -31,12 +53,13 @@ class MultimodalSpec extends SparkSpecBase {
   }
 
   test("batched decode throughput is reported and clears a sanity floor") {
-    // informational bench for the round report: bytes through the
-    // mapPartitions decode path per second at sf0.01 (stub kernel, so
-    // this measures the Spark-side plumbing cost, not codec work). The
-    // floor only guards against a pathological regression (e.g. per-row
-    // decoder invocation re-entering the JVM boundary per element).
-    val sf = "/root/testdata/sf0.01"
+    // informational bench for the round report: bytes through the chained
+    // encode→parse mapPartitions path per second. Measured at sf0.1 —
+    // enough bytes that per-job latency (two Dataset stages) stops
+    // dominating the MB/s figure. The floor only guards against a
+    // pathological regression (e.g. per-row decoder invocation
+    // re-entering the JVM boundary per element).
+    val sf = "/root/testdata/sf0.1"
     import org.apache.spark.sql.functions._
     val totalBytes = MultimodalOps.payloads(spark, sf)
       .agg(sum(length(col("payload")))).head().getLong(0)

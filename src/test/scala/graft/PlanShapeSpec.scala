@@ -11,6 +11,8 @@ class PlanShapeSpec extends SparkSpecBase {
   private def planOf(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  // allPlansOf comes from SparkSpecBase (shared with DedupSpec)
+
   test("scan+filter pushes predicates and prunes columns at the parquet scan") {
     val plan = planOf(Relational.scanFilter(spark, Sf))
     // scan nodes render as one long (possibly truncated) line — slice the
@@ -57,8 +59,10 @@ class PlanShapeSpec extends SparkSpecBase {
   }
 
   test("simhash candidate pairs join equi-keyed on band") {
-    val plan = planOf(DedupOps.simhashPairs(spark, Sf))
-    assert(!plan.contains("CartesianProduct"), "cartesian product in simhash pairs")
+    // checkpointing operator: assert over the interior (listener-captured)
+    // plans, not the RDD-scan facade of the returned frame
+    for (plan <- allPlansOf(DedupOps.simhashPairs(spark, Sf)))
+      assert(!plan.contains("CartesianProduct"), "cartesian product in simhash pairs")
   }
 
   test("window-based operators still prune the scan to the columns they use") {
@@ -81,7 +85,9 @@ class PlanShapeSpec extends SparkSpecBase {
 
   test("round-6 operators prune their scans and keep the scale-safe shapes") {
     // drift reads only the binned value + the slice column from orders
-    val drift = planOf(CatalogOps.driftQuery(spark, Sf))
+    // (lazy variant: the public path localCheckpoints its bounded report,
+    // which hides the scan from the executed plan)
+    val drift = planOf(CatalogOps.driftQueryLazy(spark, Sf))
     val drs = drift.indexOf("ReadSchema")
     assert(drs >= 0, s"no ReadSchema in:\n$drift")
     val dschema = drift.substring(drs, math.min(drs + 250, drift.length))
@@ -96,7 +102,9 @@ class PlanShapeSpec extends SparkSpecBase {
       !sschema.contains("l_shipdate"),
       s"supplier-share scan not pruned: $sschema")
     // zipf fit ranks through TakeOrdered, never a full-vocab global sort
-    val zipf = planOf(graft.operators.TextOps.zipfFit(spark, Sf))
+    // (lazy variant, same reason as drift above)
+    val zipf = planOf(graft.operators.TextOps.zipfFit(
+      Lake.documents(spark, Sf), 1000, materialize = false))
     assert(zipf.contains("TakeOrderedAndProject"),
       s"zipf head cut must be top-K, got:\n$zipf")
   }
@@ -148,13 +156,16 @@ class PlanShapeSpec extends SparkSpecBase {
         // corpus vocab stats)
         "q_drift", "q_zipf")
     for ((name, fn) <- SparkEntry.queries) {
-      val plan = planOf(fn(spark, Sf))
-      if (!intendedProducts(name))
-        assert(!plan.contains("CartesianProduct"),
-          s"$name plans a CartesianProduct")
-      if (!intendedBnlj(name))
-        assert(!plan.contains("BroadcastNestedLoopJoin"),
-          s"$name plans a BroadcastNestedLoopJoin")
+      // interior plans included: checkpointing operators execute their
+      // real joins during construction and return an RDD-scan facade
+      for (plan <- allPlansOf(fn(spark, Sf))) {
+        if (!intendedProducts(name))
+          assert(!plan.contains("CartesianProduct"),
+            s"$name plans a CartesianProduct")
+        if (!intendedBnlj(name))
+          assert(!plan.contains("BroadcastNestedLoopJoin"),
+            s"$name plans a BroadcastNestedLoopJoin")
+      }
     }
   }
 }
