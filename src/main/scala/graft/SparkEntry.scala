@@ -221,6 +221,10 @@ object SparkEntry {
       EventOps.anomalies(s, d)),
     // Distribution drift (PSI) between two cohorts of one table
     "q_drift"             -> CatalogOps.driftQuery _,
+    // Windowed PSI: per-day value-distribution drift vs a reference week —
+    // the batch scorer the streaming DriftStream sink feeds
+    "q_windowed_psi"      -> ((s: SparkSession, d: String) =>
+      graft.streaming.DriftStream.windowedPsiQuery(s, d)),
   )
 
   /** [[TextOps.patternScan]] dictionary for the driver query: token
@@ -592,6 +596,36 @@ object SparkEntry {
         |             / ((n_b + 0.5) / (tb + 0.5 * nbins))), 6) AS psi_term
         |FROM g CROSS JOIN t
         |ORDER BY bin""".stripMargin,
+    // Windowed PSI: bin universe per bucket = reference bins ∪ observed
+    // bins; per-bin terms rounded then decimal-summed so the per-bucket
+    // PSI is aggregation-order-independent in both engines.
+    "q_windowed_psi" ->
+      """WITH w AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+        |             CAST(floor(value / 20.0) AS BIGINT) AS bin, count(*) AS n_w
+        |           FROM events GROUP BY 1, 2),
+        |r AS (SELECT CAST(floor(value / 20.0) AS BIGINT) AS bin, count(*) AS n_r
+        |      FROM events WHERE ts < TIMESTAMP '2024-01-08' GROUP BY 1),
+        |grid AS (SELECT b.bucket, r.bin, r.n_r
+        |         FROM (SELECT DISTINCT bucket FROM w) b CROSS JOIN r),
+        |base AS (SELECT coalesce(g.bucket, w.bucket) AS bucket,
+        |           coalesce(g.bin, w.bin) AS bin,
+        |           coalesce(w.n_w, 0) AS n_w, coalesce(g.n_r, 0) AS n_r
+        |         FROM grid g FULL OUTER JOIN w
+        |           ON g.bucket = w.bucket AND g.bin = w.bin),
+        |tot AS (SELECT bucket, CAST(sum(n_w) AS BIGINT) AS tw,
+        |          CAST(sum(n_r) AS BIGINT) AS tr, count(*) AS nbins
+        |        FROM base GROUP BY bucket),
+        |terms AS (SELECT base.bucket, n_w,
+        |            CAST(round(((n_w + 0.5) / (tw + 0.5 * nbins)
+        |                        - (n_r + 0.5) / (tr + 0.5 * nbins))
+        |              * ln(((n_w + 0.5) / (tw + 0.5 * nbins))
+        |                   / ((n_r + 0.5) / (tr + 0.5 * nbins))), 6)
+        |              AS DECIMAL(18,6)) AS term
+        |          FROM base JOIN tot ON base.bucket = tot.bucket)
+        |SELECT bucket, CAST(sum(n_w) AS BIGINT) AS n_events,
+        |  round(CAST(sum(term) AS DOUBLE), 6) AS psi,
+        |  CAST(sum(term) AS DOUBLE) >= 0.25 AS alarm
+        |FROM terms GROUP BY bucket ORDER BY bucket""".stripMargin,
     // Q22 shape: threshold in exact integer space (bal * n > sum) so no
     // engine's avg-division rounding can flip a boundary row.
     "q_idle_rich" ->
