@@ -80,12 +80,14 @@ object SparkEntry {
     "q_simhash"           -> ((s: SparkSession, d: String) => DedupOps.simhash(s, d)),
     "q_simhash_pairs"     -> ((s: SparkSession, d: String) => DedupOps.simhashPairs(s, d)),
     "q_setsim_pairs"      -> ((s: SparkSession, d: String) => DedupOps.setSimilarityJoin(s, d)),
+    "q_setsim_pressure"   -> ((s: SparkSession, d: String) => DedupOps.prefixPressure(s, d)),
     "q_embedding_neardups" -> ((s: SparkSession, d: String) => DedupOps.embeddingNearDups(s, d)),
     "q_semantic_clusters" -> ((s: SparkSession, d: String) => DedupOps.semanticClusters(s, d)),
     // Similarity search / embeddings (§2 items 19–21)
     "q_ann_bruteforce"    -> ((s: SparkSession, d: String) => AnnOps.bruteForce(s, d)),
     "q_ann_lsh"           -> ((s: SparkSession, d: String) => AnnOps.lsh(s, d)),
     "q_ann_ivf"           -> ((s: SparkSession, d: String) => AnnOps.ivf(s, d)),
+    "q_ann_adc"           -> ((s: SparkSession, d: String) => AnnOps.ivfAdc(s, d)),
     "q_ann_indexed"       -> ((s: SparkSession, d: String) => AnnIndex.ivfIndexedQuery(s, d)),
     "q_ann_filtered"      -> ((s: SparkSession, d: String) => AnnOps.filteredAnn(s, d)),
     "q_embedding_stats"   -> AnnOps.embeddingStats _,
@@ -207,6 +209,8 @@ object SparkEntry {
     "q_k_anonymity"       -> Governance.kAnonymityQuery _,
     // l-diversity: the homogeneity-attack complement
     "q_l_diversity"       -> Governance.lDiversityQuery _,
+    // t-closeness: the distribution-distance completion of the pair
+    "q_t_closeness"       -> Governance.tClosenessQuery _,
     // Sequenced time-bounded funnel (two chained windows, one shuffle)
     "q_funnel_within"     -> ((s: SparkSession, d: String) =>
       EventOps.funnelWithin(s, d)),
@@ -403,6 +407,34 @@ object SparkEntry {
         |    AS n_risky_rows,
         |  min(nd) >= 10 AS is_l_diverse
         |FROM g""".stripMargin,
+    // t-closeness: TVD numerators in exact integer space (HUGEINT /
+    // decimal(38,0)), one double division per group — engine-identical.
+    "q_t_closeness" ->
+      """WITH base AS (SELECT c_nationkey AS q1, c_mktsegment AS v
+        |              FROM customer WHERE c_mktsegment IS NOT NULL),
+        |gv AS (SELECT q1, v, count(*) AS n_gv FROM base GROUP BY 1, 2),
+        |g AS (SELECT q1, CAST(sum(n_gv) AS BIGINT) AS n_g FROM gv GROUP BY 1),
+        |vals AS (SELECT v, count(*) AS n_v FROM base GROUP BY 1),
+        |n AS (SELECT count(*) AS n_total FROM base),
+        |grid AS (SELECT g.q1, g.n_g, vals.v, vals.n_v, n.n_total
+        |         FROM g CROSS JOIN vals CROSS JOIN n),
+        |fullg AS (SELECT grid.q1, grid.n_g, grid.n_total, grid.n_v,
+        |            coalesce(gv.n_gv, 0) AS n_gv
+        |          FROM grid LEFT JOIN gv
+        |            ON gv.q1 = grid.q1 AND gv.v = grid.v),
+        |tvd AS (SELECT q1, n_g, n_total,
+        |          CAST(sum(abs(CAST(n_gv AS HUGEINT) * n_total
+        |                       - CAST(n_v AS HUGEINT) * n_g)) AS DOUBLE)
+        |            / (2.0 * n_g * n_total) AS tvd
+        |        FROM fullg GROUP BY q1, n_g, n_total)
+        |SELECT CAST(0.05 AS DOUBLE) AS t, count(*) AS n_groups,
+        |  round(max(tvd), 6) AS max_tvd,
+        |  CAST(sum(CASE WHEN tvd > 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_violating_groups,
+        |  CAST(sum(CASE WHEN tvd > 0.05 THEN n_g ELSE 0 END) AS BIGINT)
+        |    AS n_risky_rows,
+        |  max(tvd) <= 0.05 AS is_t_close
+        |FROM tvd""".stripMargin,
     // Weighted sample: same Lehmer u, same ln-key formulation; ln()
     // agrees across engines to ~1 ulp, far inside the round(8).
     "q_weighted_sample" ->
@@ -540,6 +572,29 @@ object SparkEntry {
         |FROM pr
         |WHERE i / (sa + sb - i) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // Prefix-pressure audit: the engine's rarest-first prefix replicated
+    // via a per-doc (df, shingle) rank window; prefix length carries the
+    // same 1e-9 ceil slack as the join.
+    "q_setsim_pressure" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+        |             FROM documents WHERE text IS NOT NULL),
+        |sh AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+        |           THEN list_distinct(list_transform(range(1, len(t) - 1),
+        |                  i -> array_to_string(t[i:i+2], ' ')))
+        |           ELSE [array_to_string(t, ' ')] END) AS shingle
+        |       FROM tok),
+        |df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+        |o AS (SELECT sh.doc_id, sh.shingle,
+        |        row_number() OVER (PARTITION BY sh.doc_id
+        |          ORDER BY df.df, sh.shingle) AS rn,
+        |        count(*) OVER (PARTITION BY sh.doc_id) AS sz
+        |      FROM sh JOIN df ON sh.shingle = df.shingle),
+        |p AS (SELECT shingle FROM o
+        |      WHERE rn <= sz - CAST(ceil(0.5 * sz - 1e-9) AS INT) + 1)
+        |SELECT shingle AS token, count(*) AS prefix_df,
+        |  count(*) * (count(*) - 1) // 2 AS cand_pairs
+        |FROM p GROUP BY shingle HAVING count(*) >= 2
+        |ORDER BY cand_pairs DESC, token""".stripMargin,
     // Zipf fit: each ln() rounded to 6 and decimal-summed (the surprisal
     // discipline), slope/intercept then divide identical exact numbers.
     "q_zipf" ->
@@ -732,6 +787,63 @@ object SparkEntry {
     // path (same stride centroids through the stored sidecar) — one
     // oracle verifies both the algorithm and the persist→load round trip.
     "q_ann_indexed" -> ivfOracleSql,
+    // ADC: int8 codes from the q_embedding_quant calibration arithmetic,
+    // dequantized candidates scored in doubles (identical in any engine),
+    // top-20 shortlist rescored with the exact full-precision cosine.
+    "q_ann_adc" ->
+      """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |             FROM embeddings),
+        |qp AS (SELECT i,
+        |         round(cast(min(embedding[i]) AS double), 6) AS lo,
+        |         round((cast(max(embedding[i]) AS double)
+        |                - cast(min(embedding[i]) AS double)) / 255.0, 8) AS scale
+        |       FROM embeddings CROSS JOIN range(1, 65) t(i) GROUP BY i),
+        |qpl AS (SELECT list(lo ORDER BY i) AS lo,
+        |          list(scale ORDER BY i) AS scale FROM qp),
+        |dq AS (SELECT vec_id, list_transform(range(1, 65), i ->
+        |         CASE WHEN qpl.scale[i] = 0 THEN qpl.lo[i]
+        |              ELSE qpl.lo[i] + qpl.scale[i]
+        |                   * round((e[i] - qpl.lo[i]) / qpl.scale[i]) END) AS de
+        |       FROM emb CROSS JOIN qpl),
+        |cent AS (SELECT vec_id AS c_id, e AS ce FROM emb
+        |         WHERE vec_id % 31 = 9 ORDER BY vec_id LIMIT 16),
+        |corp AS (SELECT vec_id, cell FROM (
+        |           SELECT emb.vec_id, cent.c_id AS cell,
+        |             row_number() OVER (PARTITION BY emb.vec_id
+        |               ORDER BY list_cosine_similarity(e, ce) DESC, c_id) AS cr
+        |           FROM emb CROSS JOIN cent) WHERE cr = 1),
+        |qc AS (SELECT q_id, cell FROM (
+        |         SELECT emb.vec_id AS q_id, cent.c_id AS cell,
+        |           row_number() OVER (PARTITION BY emb.vec_id
+        |             ORDER BY list_cosine_similarity(e, ce) DESC, c_id) AS cr
+        |         FROM emb CROSS JOIN cent WHERE emb.vec_id < 8) WHERE cr <= 6),
+        |cand AS (SELECT DISTINCT qc.q_id, corp.vec_id
+        |         FROM corp JOIN qc
+        |           ON corp.cell = qc.cell AND corp.vec_id <> qc.q_id),
+        |adc AS (SELECT cand.q_id, cand.vec_id,
+        |          list_aggregate(list_transform(range(1, 65),
+        |            i -> q.e[i] * d.de[i]), 'sum')
+        |          / (sqrt(list_aggregate(list_transform(range(1, 65),
+        |               i -> q.e[i] * q.e[i]), 'sum'))
+        |             * sqrt(list_aggregate(list_transform(range(1, 65),
+        |                 i -> d.de[i] * d.de[i]), 'sum'))) AS adc_sim
+        |        FROM cand JOIN emb q ON q.vec_id = cand.q_id
+        |                  JOIN dq d ON d.vec_id = cand.vec_id),
+        |short AS (SELECT q_id, vec_id FROM (
+        |            SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+        |              ORDER BY adc_sim DESC, vec_id) AS ar FROM adc)
+        |          WHERE ar <= 20),
+        |sc AS (SELECT short.q_id, short.vec_id AS neighbor_id,
+        |         list_cosine_similarity(a.e, b.e) AS sim_raw
+        |       FROM short JOIN emb a ON a.vec_id = short.q_id
+        |                  JOIN emb b ON b.vec_id = short.vec_id)
+        |SELECT q_id, neighbor_id, round(sim_raw, 4) AS sim,
+        |  cast(rnk AS bigint) AS rnk
+        |FROM (SELECT q_id, neighbor_id, sim_raw,
+        |        row_number() OVER (PARTITION BY q_id
+        |          ORDER BY sim_raw DESC, neighbor_id) AS rnk
+        |      FROM sc) t
+        |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
     // Embedding near-dups through the same bucket CTEs + the engine's
     // 4096 hot-bucket cap; threshold on the UNROUNDED cosine.
     "q_embedding_neardups" ->

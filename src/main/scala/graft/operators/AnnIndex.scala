@@ -177,6 +177,52 @@ object AnnIndex {
     spark.read.parquet(s"$indexDir/v=$v/centroids")
   }
 
+  /** Commit the int8 ADC calibration (per-dim lo/hi/scale from
+    * [[AnnOps.quantParams]]) into an existing index version — the third
+    * artifact slot next to centroids and params. Stored per version so a
+    * time-traveled search dequantizes with the calibration its codes were
+    * built under (mixing versions silently corrupts every distance). */
+  def writeQuantCalibration(spark: SparkSession, indexDir: String,
+                            emb: DataFrame,
+                            version: Option[Long] = None): Long = {
+    val v = version.orElse(versions(spark, indexDir).lastOption)
+      .getOrElse(sys.error(s"no complete ANN index at $indexDir"))
+    AnnOps.quantParams(emb)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexDir/v=$v/quant")
+    v
+  }
+
+  /** Stored ADC calibration of `version` (default: latest). */
+  def quantCalibration(spark: SparkSession, indexDir: String,
+                       version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(versions(spark, indexDir).lastOption)
+      .getOrElse(sys.error(s"no complete ANN index at $indexDir"))
+    spark.read.parquet(s"$indexDir/v=$v/quant")
+  }
+
+  /** ADC search against the STORED quantizer AND stored calibration:
+    * identical results to [[AnnOps.ivfAdc]] with the same parameters —
+    * the corpus is re-coded with the persisted per-dim lo/scale, so the
+    * serving path needs no calibration scan. */
+  def searchIvfAdc(spark: SparkSession, indexDir: String,
+                   emb: DataFrame, queries: DataFrame,
+                   k: Int, nProbes: Int, rerank: Int = 20,
+                   version: Option[Long] = None): DataFrame = {
+    val cal = quantCalibration(spark, indexDir, version)
+      .agg(sort_array(collect_list(struct(col("dim"), col("lo"), col("scale"))))
+        .as("qp"))
+    val coded = emb.join(broadcast(cal))
+      .select(col("vec_id"),
+        zip_with(col("embedding"), col("qp"), (x, p) =>
+          when(p.getField("scale") === 0d, lit(0))
+            .otherwise(round((x.cast("double") - p.getField("lo"))
+              / p.getField("scale")).cast("int"))).as("codes"),
+        col("qp"))
+    AnnOps.ivfAdcWithArtifacts(emb, coded, queries,
+      centroids(spark, indexDir, version), k, nProbes, rerank)
+  }
+
   private def params(spark: SparkSession, indexDir: String,
                      version: Option[Long]): org.apache.spark.sql.Row = {
     val v = version.orElse(versions(spark, indexDir).lastOption)

@@ -268,24 +268,29 @@ object AnnOps {
     ivfWithCentroids(emb, queriesIn,
       kmeansCentroidsDistributed(emb, nCentroids, iters, seed), k, nProbes)
 
+  /** Nearest-`probes` centroid assignment; the per-key window frame is
+    * nCentroids rows (bounded), so the rank never sorts more than the
+    * centroid count per vector at any scale. */
+  private def assignCells(df: DataFrame, idCol: String, embCol: String,
+                          centroids: DataFrame, probes: Int): DataFrame = {
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("c_sim").desc, col("c_id"))
+    df.join(broadcast(centroids))
+      .withColumn("c_sim", cosineSimilarity(col(embCol), col("c_emb")))
+      .withColumn("c_rank", row_number().over(w))
+      .filter(col("c_rank") <= probes)
+      .drop("c_emb", "c_sim", "c_rank")
+  }
+
   private[operators] def ivfWithCentroids(emb: DataFrame, queriesIn: DataFrame,
                                centroids: DataFrame, k: Int,
                                nProbes: Int): DataFrame = {
-    def assign(df: DataFrame, idCol: String, embCol: String, probes: Int): DataFrame = {
-      val w = Window.partitionBy(col(idCol))
-        .orderBy(col("c_sim").desc, col("c_id"))
-      df.join(broadcast(centroids))
-        .withColumn("c_sim", cosineSimilarity(col(embCol), col("c_emb")))
-        .withColumn("c_rank", row_number().over(w))
-        .filter(col("c_rank") <= probes)
-        .drop("c_emb", "c_sim", "c_rank")
-    }
     // Rename each side's cell id: both descend from the same broadcast
     // centroids frame, so c_id === c_id would resolve to one attribute
     // (the "trivially true predicate" self-join hazard).
-    val corpusCells = assign(emb, "vec_id", "embedding", probes = 1)
+    val corpusCells = assignCells(emb, "vec_id", "embedding", centroids, probes = 1)
       .withColumnRenamed("c_id", "cell")
-    val queryCells = assign(queriesIn, "q_id", "q_emb", probes = nProbes)
+    val queryCells = assignCells(queriesIn, "q_id", "q_emb", centroids, probes = nProbes)
       .withColumnRenamed("c_id", "q_cell")
     val cand = corpusCells.join(broadcast(queryCells),
         col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
@@ -400,6 +405,83 @@ object AnnOps {
       zip_with(col("codes"), col("qp"), (c, p) =>
         (p.getField("lo") + p.getField("scale") * c.cast("double"))
           .cast("float")).as("embedding"))
+
+  /** ADC (asymmetric-distance) IVF search — the memory-bound 100 TB
+    * serving shape: the probed corpus lives as int8 codes (4× smaller, so
+    * 4× more corpus resident per executor), queries stay full-precision.
+    * Probed-cell candidates are scored against the DEQUANTIZED codes
+    * entirely in doubles (approximation error bounded by the quantization
+    * step; all-double arithmetic so any engine reproduces the ranking
+    * bit-for-bit), the top `rerank` per query are rescored with the EXACT
+    * full-precision cosine from the original vectors (a bounded
+    * point-lookup join — rerank × queries rows), and the final top-k
+    * comes from the exact scores. Composes [[quantize]]'s calibration with
+    * [[ivf]]'s cell plumbing; [[AnnIndex]] persists both artifacts. */
+  def ivfAdc(emb: DataFrame, queriesIn: DataFrame, k: Int,
+             nCentroids: Int, nProbes: Int, rerank: Int): DataFrame =
+    ivfAdcWithArtifacts(emb,
+      quantize(emb).select(col("vec_id"), col("codes"), col("qp")),
+      queriesIn, strideCentroids(emb, nCentroids), k, nProbes, rerank)
+
+  /** The search itself over PRE-BUILT artifacts (codes + calibration and
+    * centroids) — [[ivfAdc]] builds them inline; [[AnnIndex.searchIvfAdc]]
+    * loads them from the versioned sidecar. */
+  private[operators] def ivfAdcWithArtifacts(emb: DataFrame, coded: DataFrame,
+                                             queriesIn: DataFrame,
+                                             centroids: DataFrame, k: Int,
+                                             nProbes: Int,
+                                             rerank: Int): DataFrame = {
+    // cell assignment from the ORIGINAL vectors — the index-build step; at
+    // serving time only the codes are resident
+    val corpusCells = assignCells(emb.select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", centroids, probes = 1)
+      .withColumnRenamed("c_id", "cell")
+      .drop("embedding")
+      .join(coded, "vec_id")
+    val queryCells = assignCells(queriesIn, "q_id", "q_emb", centroids,
+        probes = nProbes)
+      .withColumnRenamed("c_id", "q_cell")
+    // dequantized candidate + cosine vs the double-cast query, all in
+    // doubles and in array order — engine- and oracle-identical
+    val de = zip_with(col("codes"), col("qp"), (c, p) =>
+      when(p.getField("scale") === 0d, p.getField("lo"))
+        .otherwise(p.getField("lo") + p.getField("scale") * c.cast("double")))
+    val adc = corpusCells.join(broadcast(queryCells),
+        col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
+      .withColumn("qd", col("q_emb").cast("array<double>"))
+      .withColumn("de", de)
+      .withColumn("dot", expr(
+        "aggregate(zip_with(qd, de, (a, b) -> a * b), 0d, (acc, x) -> acc + x)"))
+      .withColumn("nq", expr(
+        "aggregate(transform(qd, x -> x * x), 0d, (acc, x) -> acc + x)"))
+      .withColumn("nd", expr(
+        "aggregate(transform(de, x -> x * x), 0d, (acc, x) -> acc + x)"))
+      .withColumn("adc_sim",
+        when(col("nq") === 0d || col("nd") === 0d, lit(0d))
+          .otherwise(col("dot") / (sqrt(col("nq")) * sqrt(col("nd")))))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(max(col("adc_sim")).as("adc_sim"))
+    val rw = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc_sim").desc, col("vec_id"))
+    val shortlist = adc.withColumn("ar", row_number().over(rw))
+      .filter(col("ar") <= rerank)
+      .select(col("q_id"), col("vec_id"))
+    // exact rescore: bounded point-lookups of the original vectors
+    val rescored = shortlist
+      .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(broadcast(queriesIn), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        cosineSimilarity(col("embedding"), col("q_emb")).as("sim_raw"))
+    topK(rescored, k)
+  }
+
+  /** Lake-bound registered-query form of [[ivfAdc]]. */
+  def ivfAdc(spark: SparkSession, dir: String,
+             k: Int = 5, nQueries: Int = 8, nCentroids: Int = 16,
+             nProbes: Int = 6, rerank: Int = 20): DataFrame = {
+    val emb = Lake.embeddings(spark, dir)
+    ivfAdc(emb, defaultQueries(emb, nQueries), k, nCentroids, nProbes, rerank)
+  }
 
   /** Collection-function battery over the embedding arrays: size, extrema,
     * slices, element tests — the array-column surface a lake user touches

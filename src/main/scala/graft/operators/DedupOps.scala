@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Lake
@@ -514,4 +515,41 @@ object DedupOps extends org.apache.spark.internal.Logging {
 
   def setSimilarityJoin(spark: SparkSession, dir: String): DataFrame =
     setSimilarityJoin(Lake.documents(spark, dir), threshold = 0.5, n = 3)
+
+  /** Audit for [[setSimilarityJoin]]'s candidate stage — the
+    * [[oversizedBands]] analogue: per-token PREFIX document frequency,
+    * i.e. the equi-join key fan-out. Candidate pairs generated THROUGH a
+    * token grow as C(prefix_df, 2), so verify-stage pressure at a larger
+    * SF is observable here BEFORE it hurts: a token whose prefix-df blows
+    * up is where the rarest-first global order has run out of rare
+    * shingles (boilerplate-heavy corpora). Report is bounded by the
+    * number of tokens that ever enter a prefix; `minPrefixDf` trims the
+    * df-1 tail (tokens that can generate no pair at all). */
+  def prefixPressure(docs: DataFrame, threshold: Double = 0.5, n: Int = 3,
+                     minPrefixDf: Int = 2): DataFrame = {
+    // rank formulation of the same prefix definition as [[orderedSets]]
+    // (first |x| − ⌈t·|x|⌉ + 1 shingles in (df, shingle) order): a window
+    // over the per-doc frame (bounded by shingles-per-doc) counts prefix
+    // membership without materializing the sorted token arrays the join
+    // itself needs — the audit is ~3× cheaper than the operator it audits
+    val docSh = shingled(docs, n)
+    val dfCounts = docSh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val byDoc = Window.partitionBy(col("doc_id"))
+    val ranked = docSh.join(dfCounts, "shingle")
+      .withColumn("rn", row_number().over(
+        byDoc.orderBy(col("df"), col("shingle"))))
+      .withColumn("sz", count(lit(1)).over(byDoc))
+      .filter(col("rn") <=
+        col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)).cast("int") + 1)
+    ranked.groupBy(col("shingle").as("token"))
+      .agg(count(lit(1)).as("prefix_df"))
+      .filter(col("prefix_df") >= minPrefixDf)
+      .select(col("token"), col("prefix_df"),
+        (col("prefix_df") * (col("prefix_df") - 1) / lit(2)).cast("long")
+          .as("cand_pairs"))
+      .orderBy(col("cand_pairs").desc, col("token"))
+  }
+
+  def prefixPressure(spark: SparkSession, dir: String): DataFrame =
+    prefixPressure(Lake.documents(spark, dir))
 }

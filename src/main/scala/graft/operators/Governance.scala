@@ -93,4 +93,61 @@ object Governance {
   def lDiversityQuery(spark: SparkSession, dir: String): DataFrame =
     lDiversity(Lake.orders(spark, dir),
       Seq("o_orderstatus", "o_orderpriority"), "o_custkey", l = 10)
+
+  /** t-closeness audit — the distribution-distance completion of the
+    * [[kAnonymity]]/[[lDiversity]] pair: a group can be large AND diverse
+    * yet still leak when its sensitive-value DISTRIBUTION deviates from
+    * the table's (a group that is 90% one diagnosis reveals plenty even
+    * with l distinct values present). Each quasi-identifier group's
+    * sensitive distribution must sit within total-variation distance `t`
+    * of the global distribution (TVD = ½·Σ|p_g(v) − p(v)| — the standard
+    * categorical t-closeness metric; the skew analogue of the PSI drift
+    * monitor, with the same per-group-vs-global shape).
+    *
+    * Determinism: TVD numerators stay in EXACT integer space
+    * (Σ|n_gv·n − n_v·n_g|, decimal-summed) — one final double division
+    * per group, identical in any engine. Null sensitive values are
+    * excluded from both distributions. Report is O(groups); the grid
+    * stage is O(groups × sensitive-NDV), both bounded by nature. */
+  def tCloseness(df: DataFrame, quasiCols: Seq[String],
+                 sensitiveCol: String, t: Double): DataFrame = {
+    require(quasiCols.nonEmpty && t > 0 && t < 1,
+      "need quasi-identifier columns and 0 < t < 1")
+    import org.apache.spark.sql.types.DecimalType
+    val base = df.filter(col(sensitiveCol).isNotNull)
+    val gv = base.groupBy((quasiCols.map(col) :+ col(sensitiveCol)): _*)
+      .agg(count(lit(1)).as("n_gv"))
+      .withColumnRenamed(sensitiveCol, "__v")
+    val g = gv.groupBy(quasiCols.map(col): _*).agg(sum(col("n_gv")).as("n_g"))
+    val vals = base.groupBy(col(sensitiveCol).as("__v"))
+      .agg(count(lit(1)).as("n_v"))
+    val total = base.agg(count(lit(1)).as("n_total"))
+    // groups × the full sensitive-value universe (a value ABSENT from a
+    // group still contributes |0 − p(v)| — that absence IS the skew)
+    val grid = g.crossJoin(broadcast(vals))
+    val full = grid.join(gv, quasiCols :+ "__v", "left")
+      .withColumn("n_gv", coalesce(col("n_gv"), lit(0L)))
+      .crossJoin(broadcast(total))
+      .withColumn("num", abs(
+        col("n_gv").cast(DecimalType(38, 0)) * col("n_total") -
+          col("n_v").cast(DecimalType(38, 0)) * col("n_g")))
+    val tvd = full
+      .groupBy((quasiCols.map(col) :+ col("n_g") :+ col("n_total")): _*)
+      .agg(sum(col("num")).as("num_sum"))
+      .withColumn("tvd", col("num_sum").cast("double") /
+        (lit(2.0) * col("n_g").cast("double") * col("n_total").cast("double")))
+    tvd.agg(
+      lit(t).as("t"),
+      count(lit(1)).as("n_groups"),
+      round(max(col("tvd")), 6).as("max_tvd"),
+      sum(when(col("tvd") > t, 1L).otherwise(0L)).as("n_violating_groups"),
+      sum(when(col("tvd") > t, col("n_g")).otherwise(0L)).as("n_risky_rows"),
+      (max(col("tvd")) <= t).as("is_t_close"))
+  }
+
+  /** Driver query: is each nation's market-segment mix within TVD 0.05 of
+    * the global mix, or does nationality predict segment? */
+  def tClosenessQuery(spark: SparkSession, dir: String): DataFrame =
+    tCloseness(Lake.customer(spark, dir),
+      Seq("c_nationkey"), "c_mktsegment", t = 0.05)
 }

@@ -37,6 +37,22 @@ class AnnIndexSpec extends SparkSpecBase {
     assert(again == stored)
   }
 
+  test("stored ADC calibration reproduces the inline ADC search with zero rescan") {
+    val emb = Lake.embeddings(spark, Sf)
+    val dir = tmpDir("ann_index_adc")
+    AnnIndex.buildFromCentroids(spark, dir,
+      AnnOps.strideCentroids(emb, 16), emb.count())
+    AnnIndex.writeQuantCalibration(spark, dir, emb)
+    // the calibration artifact holds one row per dimension
+    assert(AnnIndex.quantCalibration(spark, dir).count() == 64)
+    val stored = AnnIndex.searchIvfAdc(spark, dir, emb, queries(emb),
+      k = 5, nProbes = 6).collect().toSeq
+    val inline = AnnOps.ivfAdc(emb, queries(emb), k = 5,
+      nCentroids = 16, nProbes = 6, rerank = 20).collect().toSeq
+    assert(stored == inline,
+      "stored-calibration ADC search must reproduce the inline path")
+  }
+
   test("stored LSH layout reproduces the parameterized search") {
     val emb = Lake.embeddings(spark, Sf)
     val dir = tmpDir("ann_index_lsh")

@@ -71,6 +71,29 @@ class AnnSpec extends SparkSpecBase {
     assert(recall >= 0.7, s"filtered-LSH recall $recall < 0.7")
   }
 
+  test("ADC search holds >= 0.8 recall vs exact IVF and the IVF bound vs brute force") {
+    def neighborSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1))
+        .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    // vs the exact-scored IVF with identical probing: the only loss is the
+    // int8 quantization, and the exact rerank must keep it >= the LSH bar
+    val ivfExact = neighborSets(AnnOps.ivf(spark, Sf))
+    val adc = neighborSets(AnnOps.ivfAdc(spark, Sf))
+    val vsIvf = ivfExact.map { case (q, truth) =>
+      (adc.getOrElse(q, Set.empty) & truth).size.toDouble / truth.size
+    }
+    val rIvf = vsIvf.sum / vsIvf.size
+    assert(rIvf >= 0.8, s"ADC vs exact-IVF recall $rIvf < 0.8 (per-query: $vsIvf)")
+    // vs brute force, ADC inherits IVF's probing bound on this worst-case
+    // near-uniform corpus
+    val exact = neighborSets(AnnOps.bruteForce(spark, Sf))
+    val vsExact = exact.map { case (q, truth) =>
+      (adc.getOrElse(q, Set.empty) & truth).size.toDouble / truth.size
+    }
+    val rExact = vsExact.sum / vsExact.size
+    assert(rExact >= 0.6, s"ADC vs brute-force recall $rExact < 0.6")
+  }
+
   test("IVF ANN reaches recall >= 0.6 probing a quarter of the cells") {
     def neighborSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
       df.collect().map(r => r.getLong(0) -> r.getLong(1))

@@ -25,6 +25,30 @@ class GovernanceSpec extends SparkSpecBase {
     assert(l.getAs[Long]("n_risky_rows") == 10L)
   }
 
+  test("t-closeness flags a distribution-skewed group that k-anonymity AND l-diversity pass") {
+    import spark.implicits._
+    // group A: 90 rows, 45:45 x/y; group B: 10 rows, 9:1 — global is
+    // 54:46, so TVD(A) = 0.04 (close) and TVD(B) = ½(0.36+0.36) = 0.36:
+    // B is large (k ok) and 2-diverse (l ok) but distribution-SKEWED
+    val rows = (1 to 90).map(i => ("A", i.toLong, if (i <= 45) "x" else "y")) ++
+      (1 to 10).map(i => ("B", 100L + i, if (i <= 9) "x" else "y"))
+    val df = rows.toDF("qi", "id", "sensitive")
+    assert(Governance.kAnonymity(df, Seq("qi"), k = 10)
+      .head().getAs[Boolean]("is_k_anonymous"))
+    assert(Governance.lDiversity(df, Seq("qi"), "sensitive", l = 2)
+      .head().getAs[Boolean]("is_l_diverse"))
+    val t = Governance.tCloseness(df, Seq("qi"), "sensitive", t = 0.2).head()
+    assert(!t.getAs[Boolean]("is_t_close"), "group B leaks via distribution skew")
+    assert(t.getAs[Long]("n_violating_groups") == 1L)
+    assert(t.getAs[Long]("n_risky_rows") == 10L)
+    assert(math.abs(t.getAs[Double]("max_tvd") - 0.36) < 1e-9,
+      s"TVD(B) must be exactly 0.36: ${t.getAs[Double]("max_tvd")}")
+    // a mirrored-only frame is 0-distance by construction
+    val mirrored = rows.filter(_._1 == "A").toDF("qi", "id", "sensitive")
+    val t2 = Governance.tCloseness(mirrored, Seq("qi"), "sensitive", t = 0.05).head()
+    assert(t2.getAs[Boolean]("is_t_close") && t2.getAs[Double]("max_tvd") == 0.0)
+  }
+
   test("pseudonyms are deterministic, join-compatible, and null-preserving") {
     import spark.implicits._
     val a = Seq((1L, "alice"), (2L, "bob"), (3L, null.asInstanceOf[String]))

@@ -153,8 +153,12 @@ class PlanShapeSpec extends SparkSpecBase {
         "q_enum_columns", "q_idle_rich", "q_ann_indexed",
         "q_supplier_share", "q_top_supplier", "q_anomalies",
         // q_drift / q_zipf: one-row aggregate broadcasts (bin totals /
-        // corpus vocab stats)
-        "q_drift", "q_zipf")
+        // corpus vocab stats); q_ann_adc: 16-row centroid broadcast (as
+        // q_ann_ivf) + the one-row calibration-array broadcast;
+        // q_windowed_psi: bounded buckets × reference-bins grid;
+        // q_t_closeness: bounded groups × sensitive-values grid + one-row
+        // total
+        "q_drift", "q_zipf", "q_ann_adc", "q_windowed_psi", "q_t_closeness")
     for ((name, fn) <- SparkEntry.queries) {
       // interior plans included: checkpointing operators execute their
       // real joins during construction and return an RDD-scan facade
