@@ -229,6 +229,9 @@ object SparkEntry {
     // the batch scorer the streaming DriftStream sink feeds
     "q_windowed_psi"      -> ((s: SparkSession, d: String) =>
       graft.streaming.DriftStream.windowedPsiQuery(s, d)),
+    // Rolling-reference PSI: each day vs its own trailing week
+    "q_rolling_psi"       -> ((s: SparkSession, d: String) =>
+      graft.streaming.DriftStream.rollingPsiQuery(s, d)),
   )
 
   /** [[TextOps.patternScan]] dictionary for the driver query: token
@@ -651,6 +654,39 @@ object SparkEntry {
         |             / ((n_b + 0.5) / (tb + 0.5 * nbins))), 6) AS psi_term
         |FROM g CROSS JOIN t
         |ORDER BY bin""".stripMargin,
+    // Rolling PSI: trailing-week reference via a RANGE-frame window per
+    // bin over the dense day × bin grid; same smoothed decimal-summed
+    // term math as the fixed-reference form.
+    "q_rolling_psi" ->
+      """WITH w AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+        |             CAST(floor(value / 20.0) AS BIGINT) AS bin, count(*) AS n
+        |           FROM events GROUP BY 1, 2),
+        |grid AS (SELECT b.bucket, bb.bin, coalesce(w.n, 0) AS n
+        |         FROM (SELECT DISTINCT bucket FROM w) b
+        |         CROSS JOIN (SELECT DISTINCT bin FROM w) bb
+        |         LEFT JOIN w ON w.bucket = b.bucket AND w.bin = bb.bin),
+        |tr AS (SELECT bucket, bin, n,
+        |         coalesce(sum(n) OVER (PARTITION BY bin
+        |           ORDER BY CAST(epoch(bucket) AS BIGINT)
+        |           RANGE BETWEEN 604800 PRECEDING AND 86400 PRECEDING), 0)
+        |           AS n_ref
+        |       FROM grid),
+        |flt AS (SELECT * FROM tr WHERE n > 0 OR n_ref > 0),
+        |tot AS (SELECT bucket, CAST(sum(n) AS BIGINT) AS tw,
+        |          CAST(sum(n_ref) AS BIGINT) AS trt, count(*) AS nbins
+        |        FROM flt GROUP BY bucket),
+        |terms AS (SELECT flt.bucket, n, trt,
+        |            CAST(round(((n + 0.5) / (tw + 0.5 * nbins)
+        |                        - (n_ref + 0.5) / (trt + 0.5 * nbins))
+        |              * ln(((n + 0.5) / (tw + 0.5 * nbins))
+        |                   / ((n_ref + 0.5) / (trt + 0.5 * nbins))), 6)
+        |              AS DECIMAL(18,6)) AS term
+        |          FROM flt JOIN tot ON flt.bucket = tot.bucket)
+        |SELECT bucket, CAST(sum(n) AS BIGINT) AS n_events,
+        |  CAST(max(trt) AS BIGINT) AS ref_events,
+        |  round(CAST(sum(term) AS DOUBLE), 6) AS psi,
+        |  (max(trt) > 0 AND CAST(sum(term) AS DOUBLE) >= 0.25) AS alarm
+        |FROM terms GROUP BY bucket ORDER BY bucket""".stripMargin,
     // Windowed PSI: bin universe per bucket = reference bins ∪ observed
     // bins; per-bin terms rounded then decimal-summed so the per-bucket
     // PSI is aggregation-order-independent in both engines.

@@ -74,6 +74,66 @@ object DriftStream {
       .orderBy(col("bucket"))
   }
 
+  /** ROLLING-reference PSI: each bucket scored against the aggregate
+    * distribution of its own TRAILING `refWindows` buckets (excluding
+    * itself) — the self-healing form of [[windowedPsi]]: a fixed
+    * reference flags honest seasonal change forever, a rolling one alarms
+    * AT an abrupt shift and then adapts once the reference window rolls
+    * past it (asserted in DriftStreamSpec). Buckets whose trailing
+    * reference is empty report `alarm = false` (nothing to compare
+    * against — the monitor's warm-up period).
+    *
+    * The trailing sums are one RANGE-frame window per bin over the dense
+    * bucket × bin grid (both bounded), then the identical smoothed
+    * decimal-summed PSI math as the fixed-reference form. */
+  def rollingPsi(windows: DataFrame, refWindows: Int, windowSeconds: Long,
+                 alarmAt: Double = 0.25): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val w = windows.select(col("bucket"), col("bin"),
+      col("n").cast("long").as("n"))
+    val grid = w.select(col("bucket")).distinct()
+      .crossJoin(w.select(col("bin")).distinct())
+      .join(w, Seq("bucket", "bin"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("sec", col("bucket").cast("long"))
+    val trail = W.partitionBy(col("bin")).orderBy(col("sec"))
+      .rangeBetween(-refWindows.toLong * windowSeconds, -windowSeconds)
+    val base = grid
+      .withColumn("n_ref", coalesce(sum(col("n")).over(trail), lit(0L)))
+      .filter(col("n") > 0 || col("n_ref") > 0)
+    val tot = base.groupBy(col("bucket"))
+      .agg(sum(col("n")).as("tw"), sum(col("n_ref")).as("trt"),
+        count(lit(1)).as("nbins"))
+    val pw = (col("n") + lit(0.5)) / (col("tw") + lit(0.5) * col("nbins"))
+    val pr = (col("n_ref") + lit(0.5)) / (col("trt") + lit(0.5) * col("nbins"))
+    base.join(broadcast(tot), "bucket")
+      .select(col("bucket"), col("n"), col("trt"),
+        round((pw - pr) * log(pw / pr), 6)
+          .cast(DecimalType(18, 6)).as("term"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("n")).as("n_events"),
+        max(col("trt")).as("ref_events"),
+        sum(col("term")).as("psi_sum"))
+      .select(col("bucket"), col("n_events"), col("ref_events"),
+        round(col("psi_sum").cast("double"), 6).as("psi"),
+        (col("ref_events") > 0 &&
+          col("psi_sum").cast("double") >= alarmAt).as("alarm"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Lake-bound registered form of [[rollingPsi]]: daily events `value`
+    * distribution vs its trailing week. */
+  def rollingPsiQuery(spark: SparkSession, dir: String,
+                      binWidth: Double = 20.0): DataFrame = {
+    val ev = graft.Lake.table(spark, dir, "events")
+    val windows = ev
+      .select(date_trunc("day", col("ts")).as("bucket"),
+        floor(col("value") / binWidth).cast("long").as("bin"))
+      .groupBy(col("bucket"), col("bin"))
+      .agg(count(lit(1)).as("n"))
+    rollingPsi(windows, refWindows = 7, windowSeconds = 86400L)
+  }
+
   /** Lake-bound registered query: daily `value`-distribution PSI of the
     * events table against the first week's reference distribution — the
     * batch twin of the streaming monitor (same [[windowedPsi]] scorer the

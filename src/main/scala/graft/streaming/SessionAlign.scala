@@ -66,9 +66,13 @@ object SessionAlign {
   }
 
   /** The foreachBatch body: micro-batch ∪ pending → align against the
-    * session sink → append matches, overwrite pending with the rest.
-    * Stateless by construction — every input is re-read per batch, so a
-    * restart replays cleanly from the sinks. */
+    * session sink → append matches not already in the aligned sink,
+    * overwrite pending with the rest. Stateless by construction — every
+    * input is re-read per batch, so a restart replays cleanly from the
+    * sinks — and IDEMPOTENT under batch re-delivery: the anti-join on the
+    * probe row identity (all probe columns) means a replayed batch, or a
+    * crash between the aligned append and the pending overwrite, can
+    * never align the same probe row twice. */
   def alignBatch(spark: SparkSession, sessionsPath: String,
                  alignedPath: String, pendingPath: String)
                 (batch: DataFrame, batchId: Long): Unit = {
@@ -86,10 +90,18 @@ object SessionAlign {
       StructField("n_events", LongType))))
     val probe = batch.unionByName(readOrEmpty(pendingPath, batch.schema))
     val (aligned, pending) = alignOnSessions(probe, sessions)
-    aligned.write.mode("append").parquet(alignedPath)
-    // materialize BEFORE overwriting: pending's plan reads the same
-    // directory the write replaces
-    val still = pending.localCheckpoint(true)
+    // replay guard: drop rows whose probe identity already landed
+    val probeCols = batch.columns.toSeq
+    val seen = readOrEmpty(alignedPath, batch.schema).select(probeCols.map(col): _*)
+    val fresh = aligned.join(seen, probeCols, "left_anti")
+      // materialize BEFORE appending: the anti-join's plan reads the same
+      // directory the append extends
+      .localCheckpoint(true)
+    fresh.write.mode("append").parquet(alignedPath)
+    // same materialize-then-overwrite rule for the pending rewrite; the
+    // pending SET is identity-distinct (a replayed batch re-contributes
+    // rows the pending file already holds)
+    val still = pending.dropDuplicates(probeCols).localCheckpoint(true)
     still.write.mode("overwrite").parquet(pendingPath)
   }
 

@@ -11,6 +11,34 @@ import graft.streaming.DriftStream
   * for exactly the windows after a planted distribution shift. */
 class DriftStreamSpec extends SparkSpecBase {
 
+  test("rolling-reference PSI alarms at the shift, then adapts once the reference rolls past it") {
+    import spark.implicits._
+    // hours 0–19: bins 0–4 uniform; hours 20–29: bins 20–24 uniform.
+    // Trailing 6-hour reference: alarm at hours 20–24 (reference mostly
+    // the old regime; by hour 25 it is 5/6 new and PSI drops under the
+    // threshold), silent from 25 on — the self-healing property a FIXED
+    // reference cannot have. Warm-up hour 0 has no reference → alarm
+    // false by flag.
+    val rows = for {
+      h <- 0 until 30
+      b <- 0 until 5
+    } yield (Timestamp.from(Instant.ofEpochSecond(h * 3600L)),
+      (if (h < 20) b else 20 + b).toLong, 4L)
+    val windows = rows.toDF("bucket", "bin", "n")
+    val scored = graft.streaming.DriftStream
+      .rollingPsi(windows, refWindows = 6, windowSeconds = 3600L)
+      .collect()
+      .map(r => ((r.getTimestamp(0).toInstant.getEpochSecond / 3600L).toInt,
+        r.getLong(2), r.getBoolean(4)))
+      .sortBy(_._1)
+    assert(scored.map(_._1).toSeq == (0 until 30).toSeq)
+    assert(scored.head._2 == 0L, "hour 0 has an empty trailing reference")
+    assert(!scored.head._3, "empty reference must never alarm")
+    val alarmed = scored.filter(_._3).map(_._1).toSeq
+    assert(alarmed == (20 until 25).toSeq,
+      s"alarm must span exactly the reference-contaminated window: $alarmed")
+  }
+
   test("windowed PSI over the streamed sink crosses the 0.25 alarm exactly at the planted shift") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

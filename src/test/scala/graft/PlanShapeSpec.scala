@@ -158,7 +158,9 @@ class PlanShapeSpec extends SparkSpecBase {
         // q_windowed_psi: bounded buckets × reference-bins grid;
         // q_t_closeness: bounded groups × sensitive-values grid + one-row
         // total
-        "q_drift", "q_zipf", "q_ann_adc", "q_windowed_psi", "q_t_closeness")
+        // q_rolling_psi: bounded buckets × bins grid (as q_windowed_psi)
+        "q_drift", "q_zipf", "q_ann_adc", "q_windowed_psi", "q_t_closeness",
+        "q_rolling_psi")
     for ((name, fn) <- SparkEntry.queries) {
       // interior plans included: checkpointing operators execute their
       // real joins during construction and return an RDD-scan facade

@@ -16,6 +16,28 @@ class SessionAlignSpec extends SparkSpecBase {
   private def ts(min: Long): Timestamp =
     Timestamp.from(Instant.ofEpochSecond(min * 60))
 
+  test("a re-delivered batch never aligns the same probe row twice") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_align_replay").toString
+    // one closed session on disk
+    Seq((1L, ts(0), ts(15), 3L))
+      .toDF("user_id", "session_start", "session_end", "n_events")
+      .write.parquet(s"$tmp/sessions")
+    val batch = Seq((1L, 101L, ts(4)), (1L, 102L, ts(30)))
+      .toDF("user_id", "conv_id", "ts")
+    val run = SessionAlign.alignBatch(spark, s"$tmp/sessions",
+      s"$tmp/aligned", s"$tmp/pending") _
+    run(batch, 0L)
+    run(batch, 0L) // crash-replay: the SAME batch delivered again
+    val aligned = spark.read.parquet(s"$tmp/aligned")
+      .select("conv_id").as[Long].collect().toSeq
+    assert(aligned == Seq(101L),
+      s"replay must not duplicate or misalign: $aligned")
+    val pending = spark.read.parquet(s"$tmp/pending")
+      .select("conv_id").as[Long].collect().toSeq
+    assert(pending == Seq(102L), s"sessionless row stays pending once: $pending")
+  }
+
   test("two planted streams align on gap-sessions with bounded state and a pending re-probe") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
