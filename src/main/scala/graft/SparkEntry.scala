@@ -88,6 +88,8 @@ object SparkEntry {
     "q_ann_lsh"           -> ((s: SparkSession, d: String) => AnnOps.lsh(s, d)),
     "q_ann_ivf"           -> ((s: SparkSession, d: String) => AnnOps.ivf(s, d)),
     "q_ann_adc"           -> ((s: SparkSession, d: String) => AnnOps.ivfAdc(s, d)),
+    // IVF-PQ shape: per-cell residual int8 codes + exact rerank
+    "q_ann_pq"            -> ((s: SparkSession, d: String) => AnnOps.ivfAdcResidual(s, d)),
     "q_ann_indexed"       -> ((s: SparkSession, d: String) => AnnIndex.ivfIndexedQuery(s, d)),
     "q_ann_filtered"      -> ((s: SparkSession, d: String) => AnnOps.filteredAnn(s, d)),
     "q_embedding_stats"   -> AnnOps.embeddingStats _,
@@ -856,6 +858,68 @@ object SparkEntry {
         |cand AS (SELECT DISTINCT qc.q_id, corp.vec_id
         |         FROM corp JOIN qc
         |           ON corp.cell = qc.cell AND corp.vec_id <> qc.q_id),
+        |adc AS (SELECT cand.q_id, cand.vec_id,
+        |          list_aggregate(list_transform(range(1, 65),
+        |            i -> q.e[i] * d.de[i]), 'sum')
+        |          / (sqrt(list_aggregate(list_transform(range(1, 65),
+        |               i -> q.e[i] * q.e[i]), 'sum'))
+        |             * sqrt(list_aggregate(list_transform(range(1, 65),
+        |                 i -> d.de[i] * d.de[i]), 'sum'))) AS adc_sim
+        |        FROM cand JOIN emb q ON q.vec_id = cand.q_id
+        |                  JOIN dq d ON d.vec_id = cand.vec_id),
+        |short AS (SELECT q_id, vec_id FROM (
+        |            SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+        |              ORDER BY adc_sim DESC, vec_id) AS ar FROM adc)
+        |          WHERE ar <= 20),
+        |sc AS (SELECT short.q_id, short.vec_id AS neighbor_id,
+        |         list_cosine_similarity(a.e, b.e) AS sim_raw
+        |       FROM short JOIN emb a ON a.vec_id = short.q_id
+        |                  JOIN emb b ON b.vec_id = short.vec_id)
+        |SELECT q_id, neighbor_id, round(sim_raw, 4) AS sim,
+        |  cast(rnk AS bigint) AS rnk
+        |FROM (SELECT q_id, neighbor_id, sim_raw,
+        |        row_number() OVER (PARTITION BY q_id
+        |          ORDER BY sim_raw DESC, neighbor_id) AS rnk
+        |      FROM sc) t
+        |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    // Residual (IVF-PQ-shaped) ADC: identical skeleton to q_ann_adc, but
+    // codes cover r = e − centroid with per-(cell, dim) lo/scale; the
+    // dequantized value re-adds the centroid component, association
+    // mirroring the engine ((lo + scale·code) + ce).
+    "q_ann_pq" ->
+      """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |             FROM embeddings),
+        |cent AS (SELECT vec_id AS c_id, e AS ce FROM emb
+        |         WHERE vec_id % 31 = 9 ORDER BY vec_id LIMIT 16),
+        |corp AS (SELECT vec_id, cell FROM (
+        |           SELECT emb.vec_id, cent.c_id AS cell,
+        |             row_number() OVER (PARTITION BY emb.vec_id
+        |               ORDER BY list_cosine_similarity(e, ce) DESC, c_id) AS cr
+        |           FROM emb CROSS JOIN cent) WHERE cr = 1),
+        |res AS (SELECT corp.vec_id, corp.cell,
+        |          list_transform(range(1, 65), i -> emb.e[i] - cent.ce[i]) AS r
+        |        FROM corp JOIN emb ON emb.vec_id = corp.vec_id
+        |                  JOIN cent ON cent.c_id = corp.cell),
+        |rq AS (SELECT cell, i, round(min(r[i]), 6) AS lo,
+        |         round((max(r[i]) - min(r[i])) / 255.0, 8) AS scale
+        |       FROM res CROSS JOIN range(1, 65) t(i) GROUP BY cell, i),
+        |rql AS (SELECT cell, list(lo ORDER BY i) AS lo,
+        |          list(scale ORDER BY i) AS scale FROM rq GROUP BY cell),
+        |dq AS (SELECT res.vec_id, res.cell, list_transform(range(1, 65), i ->
+        |         CASE WHEN rql.scale[i] = 0 THEN rql.lo[i] + cent.ce[i]
+        |              ELSE (rql.lo[i] + rql.scale[i]
+        |                    * round((r[i] - rql.lo[i]) / rql.scale[i]))
+        |                   + cent.ce[i] END) AS de
+        |       FROM res JOIN rql ON rql.cell = res.cell
+        |                JOIN cent ON cent.c_id = res.cell),
+        |qc AS (SELECT q_id, cell FROM (
+        |         SELECT emb.vec_id AS q_id, cent.c_id AS cell,
+        |           row_number() OVER (PARTITION BY emb.vec_id
+        |             ORDER BY list_cosine_similarity(e, ce) DESC, c_id) AS cr
+        |         FROM emb CROSS JOIN cent WHERE emb.vec_id < 8) WHERE cr <= 6),
+        |cand AS (SELECT DISTINCT qc.q_id, dq.vec_id
+        |         FROM dq JOIN qc
+        |           ON dq.cell = qc.cell AND dq.vec_id <> qc.q_id),
         |adc AS (SELECT cand.q_id, cand.vec_id,
         |          list_aggregate(list_transform(range(1, 65),
         |            i -> q.e[i] * d.de[i]), 'sum')

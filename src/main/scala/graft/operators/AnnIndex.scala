@@ -223,6 +223,42 @@ object AnnIndex {
       centroids(spark, indexDir, version), k, nProbes, rerank)
   }
 
+  /** Commit the per-cell RESIDUAL calibration ([[AnnOps.residualQuantParams]]
+    * against this version's stored centroids) — the fourth artifact slot,
+    * for the IVF-PQ-shaped [[searchIvfAdcResidual]]. Per version for the
+    * same reason as [[writeQuantCalibration]]: codes decode only under the
+    * calibration (and centroids) they were built with. */
+  def writeResidualCalibration(spark: SparkSession, indexDir: String,
+                               emb: DataFrame,
+                               version: Option[Long] = None): Long = {
+    val v = version.orElse(versions(spark, indexDir).lastOption)
+      .getOrElse(sys.error(s"no complete ANN index at $indexDir"))
+    AnnOps.residualQuantParams(emb, centroids(spark, indexDir, Some(v)))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexDir/v=$v/rquant")
+    v
+  }
+
+  /** Stored residual calibration of `version` (default: latest). */
+  def residualCalibration(spark: SparkSession, indexDir: String,
+                          version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(versions(spark, indexDir).lastOption)
+      .getOrElse(sys.error(s"no complete ANN index at $indexDir"))
+    spark.read.parquet(s"$indexDir/v=$v/rquant")
+  }
+
+  /** Residual-ADC search against the STORED centroids and stored per-cell
+    * calibration: identical results to [[AnnOps.ivfAdcResidual]] built on
+    * the same centroids — the serving path re-codes the corpus under the
+    * persisted calibration and never re-calibrates. */
+  def searchIvfAdcResidual(spark: SparkSession, indexDir: String,
+                           emb: DataFrame, queries: DataFrame,
+                           k: Int, nProbes: Int, rerank: Int = 20,
+                           version: Option[Long] = None): DataFrame =
+    AnnOps.ivfAdcResidualWithArtifacts(emb, queries,
+      centroids(spark, indexDir, version),
+      residualCalibration(spark, indexDir, version), k, nProbes, rerank)
+
   private def params(spark: SparkSession, indexDir: String,
                      version: Option[Long]): org.apache.spark.sql.Row = {
     val v = version.orElse(versions(spark, indexDir).lastOption)

@@ -432,24 +432,35 @@ object AnnOps {
                                              nProbes: Int,
                                              rerank: Int): DataFrame = {
     // cell assignment from the ORIGINAL vectors — the index-build step; at
-    // serving time only the codes are resident
-    val corpusCells = assignCells(emb.select(col("vec_id"), col("embedding")),
+    // serving time only the codes are resident. Dequantize per CORPUS row
+    // (codes + global calibration) BEFORE the candidate join fans it out.
+    val corpusDe = assignCells(emb.select(col("vec_id"), col("embedding")),
         "vec_id", "embedding", centroids, probes = 1)
       .withColumnRenamed("c_id", "cell")
       .drop("embedding")
       .join(coded, "vec_id")
+      .withColumn("de", zip_with(col("codes"), col("qp"), (c, p) =>
+        when(p.getField("scale") === 0d, p.getField("lo"))
+          .otherwise(p.getField("lo") + p.getField("scale") * c.cast("double"))))
+      .select(col("vec_id"), col("cell"), col("de"))
+    adcSearch(corpusDe, emb, queriesIn, centroids, k, nProbes, rerank)
+  }
+
+  /** Shared ADC tail: score probed-cell candidates against a precomputed
+    * dequantized-corpus frame (vec_id, cell, de: array&lt;double&gt;) in
+    * all-double arithmetic, shortlist the top `rerank` per query, rescore
+    * the shortlist with the EXACT full-precision cosine, return the final
+    * top-k. Serves both the global-calibration [[ivfAdcWithArtifacts]] and
+    * the per-cell residual [[ivfAdcResidualWithArtifacts]]. */
+  private def adcSearch(corpusDe: DataFrame, emb: DataFrame,
+                        queriesIn: DataFrame, centroids: DataFrame,
+                        k: Int, nProbes: Int, rerank: Int): DataFrame = {
     val queryCells = assignCells(queriesIn, "q_id", "q_emb", centroids,
         probes = nProbes)
       .withColumnRenamed("c_id", "q_cell")
-    // dequantized candidate + cosine vs the double-cast query, all in
-    // doubles and in array order — engine- and oracle-identical
-    val de = zip_with(col("codes"), col("qp"), (c, p) =>
-      when(p.getField("scale") === 0d, p.getField("lo"))
-        .otherwise(p.getField("lo") + p.getField("scale") * c.cast("double")))
-    val adc = corpusCells.join(broadcast(queryCells),
+    val adc = corpusDe.join(broadcast(queryCells),
         col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
       .withColumn("qd", col("q_emb").cast("array<double>"))
-      .withColumn("de", de)
       .withColumn("dot", expr(
         "aggregate(zip_with(qd, de, (a, b) -> a * b), 0d, (acc, x) -> acc + x)"))
       .withColumn("nq", expr(
@@ -473,6 +484,83 @@ object AnnOps {
       .select(col("q_id"), col("vec_id"),
         cosineSimilarity(col("embedding"), col("q_emb")).as("sim_raw"))
     topK(rescored, k)
+  }
+
+  /** Per-CELL residual int8 calibration — the residual-quantization step
+    * of IVF-PQ: codes cover r = x − centroid(cell) instead of x, with
+    * lo/scale calibrated per (cell, dim). Because each cell's per-dim
+    * value range is a subset of the global range, every per-cell step is
+    * ≤ the global [[quantParams]] step (asserted in AnnSpec), so the same
+    * 8 bits carry strictly finer resolution — the reason FAISS-style
+    * indexes quantize residuals. (Scalar per-dim codebooks rather than
+    * product sub-codebooks: same memory, deterministic, and expressible
+    * in the DuckDB oracle.) Output is BOUNDED: nCells × dim rows. */
+  def residualQuantParams(emb: DataFrame, centroids: DataFrame): DataFrame =
+    residualFrame(emb, centroids)
+      .select(col("cell"), posexplode(col("res")).as(Seq("dim", "v")))
+      .groupBy(col("cell"), col("dim"))
+      .agg(min(col("v")).as("lo_raw"), max(col("v")).as("hi_raw"))
+      .select(col("cell"), col("dim").cast("long").as("dim"),
+        round(col("lo_raw"), 6).as("lo"), round(col("hi_raw"), 6).as("hi"),
+        round((col("hi_raw") - col("lo_raw")) / 255.0, 8).as("scale"))
+      .orderBy(col("cell"), col("dim"))
+
+  /** Residuals vs the assigned (probes = 1) cell, in doubles: one corpus
+    * map stage plus a broadcast of the bounded centroid frame. */
+  private def residualFrame(emb: DataFrame, centroids: DataFrame): DataFrame =
+    assignCells(emb.select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", centroids, probes = 1)
+      .withColumnRenamed("c_id", "cell")
+      .join(broadcast(centroids.select(col("c_id").as("cell"),
+        col("c_emb").cast("array<double>").as("cd"))), "cell")
+      .select(col("vec_id"), col("cell"), col("cd"),
+        zip_with(col("embedding").cast("array<double>"), col("cd"),
+          (x, c) => x - c).as("res"))
+
+  /** IVF-PQ-shaped ADC search: per-cell residual int8 codes, full-precision
+    * queries, exact top-`rerank` rescore — [[ivfAdc]] with the residual
+    * quantizer in place of the global one. */
+  def ivfAdcResidual(emb: DataFrame, queriesIn: DataFrame, k: Int,
+                     nCentroids: Int, nProbes: Int, rerank: Int): DataFrame = {
+    val centroids = strideCentroids(emb, nCentroids)
+    ivfAdcResidualWithArtifacts(emb, queriesIn, centroids,
+      residualQuantParams(emb, centroids), k, nProbes, rerank)
+  }
+
+  /** Residual-ADC search over PRE-BUILT artifacts (centroids + per-cell
+    * calibration) — [[ivfAdcResidual]] builds them inline;
+    * [[AnnIndex.searchIvfAdcResidual]] loads them from the sidecar.
+    * Dequantized value = (lo + scale·code) + centroid component, per cell,
+    * all in doubles and in array order — engine- and oracle-identical. */
+  private[operators] def ivfAdcResidualWithArtifacts(emb: DataFrame,
+      queriesIn: DataFrame, centroids: DataFrame, residualCal: DataFrame,
+      k: Int, nProbes: Int, rerank: Int): DataFrame = {
+    // per-cell calibration rides as one sorted struct array per cell —
+    // a broadcast join on the (bounded) cell key, no per-dim join
+    val rql = residualCal.groupBy(col("cell"))
+      .agg(sort_array(collect_list(struct(col("dim"), col("lo"), col("scale"))))
+        .as("rqp"))
+    val corpusDe = residualFrame(emb, centroids)
+      .join(broadcast(rql), "cell")
+      .withColumn("codes", zip_with(col("res"), col("rqp"), (x, p) =>
+        when(p.getField("scale") === 0d, lit(0))
+          .otherwise(round((x - p.getField("lo")) / p.getField("scale"))
+            .cast("int"))))
+      .withColumn("de_res", zip_with(col("codes"), col("rqp"), (c, p) =>
+        when(p.getField("scale") === 0d, p.getField("lo"))
+          .otherwise(p.getField("lo") + p.getField("scale") * c.cast("double"))))
+      .withColumn("de", zip_with(col("de_res"), col("cd"), (r, c) => r + c))
+      .select(col("vec_id"), col("cell"), col("de"))
+    adcSearch(corpusDe, emb, queriesIn, centroids, k, nProbes, rerank)
+  }
+
+  /** Lake-bound registered-query form of [[ivfAdcResidual]]. */
+  def ivfAdcResidual(spark: SparkSession, dir: String,
+                     k: Int = 5, nQueries: Int = 8, nCentroids: Int = 16,
+                     nProbes: Int = 6, rerank: Int = 20): DataFrame = {
+    val emb = Lake.embeddings(spark, dir)
+    ivfAdcResidual(emb, defaultQueries(emb, nQueries), k, nCentroids,
+      nProbes, rerank)
   }
 
   /** Lake-bound registered-query form of [[ivfAdc]]. */

@@ -53,6 +53,23 @@ class AnnIndexSpec extends SparkSpecBase {
       "stored-calibration ADC search must reproduce the inline path")
   }
 
+  test("stored residual calibration reproduces the inline residual-ADC search") {
+    val emb = Lake.embeddings(spark, Sf)
+    val dir = tmpDir("ann_index_rq")
+    AnnIndex.buildFromCentroids(spark, dir,
+      AnnOps.strideCentroids(emb, 16), emb.count())
+    AnnIndex.writeResidualCalibration(spark, dir, emb)
+    // one row per (cell, dim); every corpus vector's cell is calibrated
+    assert(AnnIndex.residualCalibration(spark, dir).count() % 64 == 0)
+    assert(AnnIndex.residualCalibration(spark, dir).count() > 0)
+    val stored = AnnIndex.searchIvfAdcResidual(spark, dir, emb, queries(emb),
+      k = 5, nProbes = 6).collect().toSeq
+    val inline = AnnOps.ivfAdcResidual(emb, queries(emb), k = 5,
+      nCentroids = 16, nProbes = 6, rerank = 20).collect().toSeq
+    assert(stored == inline,
+      "stored residual calibration must reproduce the inline IVF-PQ path")
+  }
+
   test("stored LSH layout reproduces the parameterized search") {
     val emb = Lake.embeddings(spark, Sf)
     val dir = tmpDir("ann_index_lsh")

@@ -94,6 +94,40 @@ class AnnSpec extends SparkSpecBase {
     assert(rExact >= 0.6, s"ADC vs brute-force recall $rExact < 0.6")
   }
 
+  test("residual (IVF-PQ) ADC: per-cell steps never exceed the global step, recall holds the ADC bars") {
+    val emb = Lake.embeddings(spark, Sf)
+    val centroids = AnnOps.strideCentroids(emb, 16)
+    // theorem check: each cell's per-dim value range is a subset of the
+    // global range (a shift does not change width), so every per-cell
+    // residual step must be <= the global calibration's step for that dim
+    val globalScale = AnnOps.quantParams(emb).collect()
+      .map(r => r.getAs[Long]("dim") -> r.getAs[Double]("scale")).toMap
+    val rq = AnnOps.residualQuantParams(emb, centroids).collect()
+    assert(rq.nonEmpty)
+    for (r <- rq) {
+      val (cell, dim, scale) = (r.getAs[Long]("cell"), r.getAs[Long]("dim"),
+        r.getAs[Double]("scale"))
+      assert(scale <= globalScale(dim) + 1e-7,
+        s"cell $cell dim $dim: residual step $scale > global ${globalScale(dim)}")
+    }
+    def neighborSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1))
+        .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val ivfExact = neighborSets(AnnOps.ivf(spark, Sf))
+    val pq = neighborSets(AnnOps.ivfAdcResidual(spark, Sf))
+    val vsIvf = ivfExact.map { case (q, truth) =>
+      (pq.getOrElse(q, Set.empty) & truth).size.toDouble / truth.size
+    }
+    val rIvf = vsIvf.sum / vsIvf.size
+    assert(rIvf >= 0.8, s"residual-ADC vs exact-IVF recall $rIvf < 0.8 (per-query: $vsIvf)")
+    val exact = neighborSets(AnnOps.bruteForce(spark, Sf))
+    val vsExact = exact.map { case (q, truth) =>
+      (pq.getOrElse(q, Set.empty) & truth).size.toDouble / truth.size
+    }
+    val rExact = vsExact.sum / vsExact.size
+    assert(rExact >= 0.6, s"residual-ADC vs brute-force recall $rExact < 0.6")
+  }
+
   test("IVF ANN reaches recall >= 0.6 probing a quarter of the cells") {
     def neighborSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
       df.collect().map(r => r.getLong(0) -> r.getLong(1))
