@@ -234,6 +234,14 @@ object SparkEntry {
     // Rolling-reference PSI: each day vs its own trailing week
     "q_rolling_psi"       -> ((s: SparkSession, d: String) =>
       graft.streaming.DriftStream.rollingPsiQuery(s, d)),
+    // Within-doc repetition profile (Gopher-style top/dup n-gram fractions)
+    "q_repetition"        -> TextOps.repetitionProfile _,
+    // BPE merge learning, step one: weighted adjacent-pair statistics
+    "q_bpe_learn"         -> TextOps.bpePairCounts _,
+    // kNN graph: every vector's top-k LSH-candidate neighbors
+    "q_knn_graph"         -> ((s: SparkSession, d: String) => AnnOps.knnGraph(s, d)),
+    // DP-style noisy count release (deterministic Laplace inverse-CDF)
+    "q_dp_counts"         -> Governance.dpCountsQuery _,
   )
 
   /** [[TextOps.patternScan]] dictionary for the driver query: token
@@ -689,6 +697,49 @@ object SparkEntry {
         |  round(CAST(sum(term) AS DOUBLE), 6) AS psi,
         |  (max(trt) > 0 AND CAST(sum(term) AS DOUBLE) >= 0.25) AS alarm
         |FROM terms GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // Repetition profile: per-(doc, n) gram counts, top/dup fractions;
+    // docs shorter than n contribute no row for that n (engine parity).
+    "q_repetition" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |           FROM documents WHERE text IS NOT NULL),
+        |g AS (SELECT doc_id, n, unnest(list_transform(range(1, len(tk) - n + 2),
+        |         i -> array_to_string(tk[i:i+n-1], ' '))) AS gram
+        |      FROM d CROSS JOIN (VALUES (2), (3), (4)) nn(n)
+        |      WHERE len(tk) >= n),
+        |c AS (SELECT doc_id, n, gram, count(*) AS c
+        |      FROM g GROUP BY doc_id, n, gram)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n,
+        |  CAST(sum(c) AS BIGINT) AS n_grams,
+        |  round(max(c) / sum(c), 4) AS top_frac,
+        |  round(sum(CASE WHEN c > 1 THEN c ELSE 0 END) / sum(c), 4) AS dup_frac
+        |FROM c GROUP BY doc_id, n ORDER BY doc_id, n""".stripMargin,
+    // BPE pair learning: word frequencies, then weighted adjacent char
+    // pairs via substr(word, i, 2); top-20 with lexicographic tie-break.
+    "q_bpe_learn" ->
+      """WITH w AS (SELECT wd AS word, count(*) AS wf FROM (
+        |        SELECT unnest(string_split(text, ' ')) AS wd
+        |        FROM documents WHERE text IS NOT NULL) t
+        |      WHERE wd <> '' GROUP BY wd),
+        |p AS (SELECT unnest(list_transform(range(1, length(word)),
+        |         i -> substr(word, i, 2))) AS pair, wf
+        |      FROM w WHERE length(word) >= 2)
+        |SELECT pair, CAST(sum(wf) AS BIGINT) AS cnt
+        |FROM p GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
+    // DP noisy counts: the engine's Laplace inverse-CDF transform of the
+    // md5-slice hash, replicated term for term (same clamp, same order).
+    "q_dp_counts" ->
+      """WITH g AS (SELECT o_orderpriority, count(*) AS n
+        |           FROM orders GROUP BY 1),
+        |u AS (SELECT o_orderpriority, n,
+        |        CAST(concat('0x', substr(md5('graft-dp|' || o_orderpriority),
+        |                                 1, 15)) AS BIGINT)
+        |          / 1152921504606846976.0 - 0.5 AS uu
+        |      FROM g)
+        |SELECT o_orderpriority,
+        |  round(n + (-(1.0 / 1.0) * sign(uu)
+        |             * ln(greatest(1e-15, 1 - 2 * abs(uu)))), 4) AS noisy_n,
+        |  CAST(1.0 AS DOUBLE) AS eps
+        |FROM u ORDER BY o_orderpriority""".stripMargin,
     // Windowed PSI: bin universe per bucket = reference bins ∪ observed
     // bins; per-bin terms rounded then decimal-summed so the per-bucket
     // PSI is aggregation-order-independent in both engines.
@@ -961,6 +1012,27 @@ object SparkEntry {
          |                  JOIN emb eb ON eb.vec_id = pairs.vec_b)
          |SELECT vec_a, vec_b, round(s, 4) AS cos_sim
          |FROM sc WHERE s >= 0.4 ORDER BY vec_a, vec_b""".stripMargin,
+    // kNN graph: the same capped-bucket pair CTEs, symmetrized, ranked
+    // per source vector (sim DESC, dst tie-break — the topK convention).
+    "q_knn_graph" ->
+      s"""WITH $lshOracleCtes,
+         |bkc AS (SELECT vec_id, bucket FROM (
+         |          SELECT vec_id, bucket,
+         |            count(*) OVER (PARTITION BY bucket) AS bn
+         |          FROM bk) WHERE bn <= 4096),
+         |pairs AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |          FROM bkc a JOIN bkc b
+         |            ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |sc AS (SELECT vec_a, vec_b,
+         |         list_cosine_similarity(ea.e, eb.e) AS s
+         |       FROM pairs JOIN emb ea ON ea.vec_id = pairs.vec_a
+         |                  JOIN emb eb ON eb.vec_id = pairs.vec_b),
+         |sym AS (SELECT vec_a AS src, vec_b AS dst, s FROM sc
+         |        UNION ALL SELECT vec_b, vec_a, s FROM sc)
+         |SELECT src, dst, round(s, 4) AS sim, CAST(rnk AS BIGINT) AS rnk
+         |FROM (SELECT src, dst, s, row_number() OVER (PARTITION BY src
+         |        ORDER BY s DESC, dst) AS rnk FROM sym) t
+         |WHERE rnk <= 5 ORDER BY src, rnk""".stripMargin,
     // Semantic clusters: recursive-CTE transitive closure over the SAME
     // thresholded pair graph the q_embedding_neardups oracle builds —
     // keeper = min reachable vec_id, mirroring the lexical q_neardup_keep.

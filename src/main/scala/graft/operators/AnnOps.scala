@@ -338,6 +338,39 @@ object AnnOps {
       .agg(max(col("sim")).as("cos_sim"))
   }
 
+  /** k-nearest-neighbor GRAPH over the corpus: every vector's top-k
+    * neighbors among its LSH-bucket candidates — the all-vectors twin of
+    * the query-set [[lsh]] search, and the input shape graph clustering /
+    * diversity sampling / kNN-classification consume. Reuses
+    * [[bucketedPairs]] (one corpus shuffle keyed by bucket, hot-bucket cap,
+    * exact cosine on candidates), symmetrizes the undirected pairs, and
+    * ranks per source vector — the per-key window frame is bounded by the
+    * candidate count, and output is ≤ k rows per vector. Never all-pairs:
+    * a vector sharing no bucket contributes nothing (and isolated vectors
+    * emit no rows — kNN over LSH candidates is approximate by design;
+    * recall is asserted against brute force in AnnSpec). */
+  def knnGraph(emb: DataFrame, k: Int, dim: Int,
+               tables: Int = DefaultTables,
+               bits: Int = DefaultBitsPerTable,
+               maxBucketSize: Int = 4096): DataFrame = {
+    val pairs = bucketedPairs(emb, dim, tables, bits, maxBucketSize)
+    val both = pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"),
+        col("cos_sim").as("sim_raw"))
+      .unionByName(pairs.select(col("vec_b").as("src"), col("vec_a").as("dst"),
+        col("cos_sim").as("sim_raw")))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("sim_raw").desc, col("dst"))
+    both.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("src"), col("dst"),
+        round(col("sim_raw"), 4).as("sim"), col("rnk"))
+      .orderBy(col("src"), col("rnk"))
+  }
+
+  /** Lake-bound registered form: 5-NN graph over the embeddings table. */
+  def knnGraph(spark: SparkSession, dir: String): DataFrame =
+    knnGraph(Lake.embeddings(spark, dir), k = 5, dim = 64)
+
   /** Bucketed rows with oversized buckets filtered out. The per-bucket
     * count is a window over the same (bucket) key the downstream join
     * shuffles on, so the exchange is shared — no extra corpus pass. */

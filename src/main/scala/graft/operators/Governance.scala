@@ -150,4 +150,40 @@ object Governance {
   def tClosenessQuery(spark: SparkSession, dir: String): DataFrame =
     tCloseness(Lake.customer(spark, dir),
       Seq("c_nationkey"), "c_mktsegment", t = 0.05)
+
+  /** Differentially-private-style noisy count release: each group count is
+    * published with Laplace(1/eps) noise — the ε-DP mechanism for counting
+    * queries — so a release reveals aggregate shape, not exact membership
+    * (an adversary diffing two releases cannot pin a single row's
+    * presence). The draw is a DETERMINISTIC per-(salt, group) inverse-CDF
+    * transform of the portable 60-bit hash: u = h/2⁶⁰ − ½ ∈ [−½, ½), noise
+    * = −(1/ε)·sign(u)·ln(1 − 2|u|) — exactly Laplace-distributed over the
+    * hash's uniformity, reproducible in any engine (the q_split_counts
+    * portability argument), and retry-stable. Formal DP additionally needs
+    * the salt kept secret and rotated per release — with a public salt
+    * this is reproducible noise, not a privacy proof; the trade is
+    * documented, not hidden. One group-by (map-side combinable) + a
+    * per-group map stage; output is O(groups). */
+  def dpCounts(df: DataFrame, groupCols: Seq[String], eps: Double,
+               salt: String = "graft-dp"): DataFrame = {
+    require(groupCols.nonEmpty && eps > 0, "need group columns and eps > 0")
+    val key = concat_ws("|",
+      (lit(salt) +: groupCols.map(c => col(c).cast("string"))): _*)
+    val u = TextOps.portableHash60(key).cast("double") /
+      lit((1L << 60).toDouble) - lit(0.5)
+    // 1 − 2|u| can reach 0 only at the single hash value 0; the clamp
+    // keeps ln() finite and is identical in both engines
+    val noise = -(lit(1.0) / eps) * signum(u) *
+      log(greatest(lit(1e-15), lit(1.0) - lit(2.0) * abs(u)))
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .select((groupCols.map(col) :+
+        round(col("__n") + noise, 4).as("noisy_n") :+
+        lit(eps).as("eps")): _*)
+      .orderBy(groupCols.map(col): _*)
+  }
+
+  /** Driver query: order counts per priority released under ε = 1. */
+  def dpCountsQuery(spark: SparkSession, dir: String): DataFrame =
+    dpCounts(Lake.orders(spark, dir), Seq("o_orderpriority"), eps = 1.0)
 }

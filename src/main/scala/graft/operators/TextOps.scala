@@ -171,6 +171,83 @@ object TextOps {
   def bpeTokenize(spark: SparkSession, dir: String): DataFrame =
     bpeTokenize(Lake.documents(spark, dir))
 
+  /** BPE merge LEARNING, step one: corpus-wide adjacent character-pair
+    * statistics over the word-frequency table — the quantity a BPE trainer
+    * maximizes each iteration (the most frequent pair becomes the next
+    * merge). Two bounded aggregations: word frequencies (vocabulary-sized,
+    * map-side combinable), then pair counts weighted by word frequency
+    * (pair space ≤ alphabet², tiny) — the corpus itself is scanned once,
+    * never re-tokenized per iteration. Top-K by count with a
+    * lexicographic tie-break so the ranking is engine-exact. */
+  def bpePairCounts(docs: DataFrame, topK: Int = 20): DataFrame =
+    nonNull(docs)
+      .select(explode(filter(split(col("text"), " "), w => w =!= "")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("wf"))
+      .filter(length(col("word")) >= 2)
+      .select(col("wf"), explode(
+        transform(sequence(lit(1), length(col("word")) - 1),
+          i => col("word").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair"))
+      .agg(sum(col("wf")).cast("long").as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(topK)
+
+  def bpePairCounts(spark: SparkSession, dir: String): DataFrame =
+    bpePairCounts(Lake.documents(spark, dir))
+
+  /** Full BPE merge-list trainer: aggregate the word-frequency table in
+    * Spark (one corpus scan, capped at the top `maxVocab` words — the
+    * table is vocabulary-bounded regardless of corpus size, the same
+    * bounded-driver-material argument as [[AnnOps.kmeansCentroids]]), then
+    * run the classic merge loop driver-side: each iteration fuses the
+    * highest-count adjacent symbol pair (ties broken lexicographically, so
+    * training is deterministic), until `nMerges` merges or no pair repeats.
+    * Returns merges in rank order — the exact format
+    * [[graft.functions.BpeVocab]] consumes, so a learned vocabulary drops
+    * into the codegen'd [[bpeTokenize]] path unchanged. Iteration one's
+    * pair ranking equals [[bpePairCounts]] by construction (asserted in
+    * BpeSpec). */
+  def bpeLearn(docs: DataFrame, nMerges: Int,
+               maxVocab: Int = 65536): IndexedSeq[(String, String)] = {
+    require(nMerges > 0, "need at least one merge")
+    val wordFreqs = nonNull(docs)
+      .select(explode(filter(split(col("text"), " "), w => w =!= "")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("wf"))
+      .orderBy(col("wf").desc, col("word"))
+      .limit(maxVocab)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    var words: Array[(Array[String], Long)] =
+      wordFreqs.map { case (w, f) => (w.map(String.valueOf(_)).toArray, f) }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (!done && out.length < nMerges) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      for ((syms, f) <- words; j <- 0 until syms.length - 1) {
+        val p = (syms(j), syms(j + 1))
+        counts(p) = counts.getOrElse(p, 0L) + f
+      }
+      // a pair occurring once cannot be a merge worth learning
+      val best = counts.filter(_._2 >= 2).toSeq
+        .sortBy { case ((a, b), c) => (-c, a, b) }.headOption
+      best match {
+        case None => done = true
+        case Some(((a, b), _)) =>
+          out += ((a, b))
+          words = words.map { case (syms, f) =>
+            val merged = scala.collection.mutable.ArrayBuffer.empty[String]
+            var j = 0
+            while (j < syms.length) {
+              if (j < syms.length - 1 && syms(j) == a && syms(j + 1) == b) {
+                merged += (a + b); j += 2
+              } else { merged += syms(j); j += 1 }
+            }
+            (merged.toArray, f)
+          }
+      }
+    }
+    out.toIndexedSeq
+  }
+
   /** Unigram surprisal scoring — the language-model-proxy quality signal:
     * each doc's mean −ln p(token) under the corpus's own unigram
     * distribution. Rare-word-heavy (or garbled) docs score high, boiler-
@@ -542,6 +619,44 @@ object TextOps {
 
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     fingerprint(Lake.documents(spark, dir))
+
+  /** Within-document repetition profile (the Gopher-style repetition
+    * signals): for each n in `ns`, the fraction of the doc's n-grams
+    * claimed by its single most frequent n-gram (`top_frac` — catches
+    * "the same phrase over and over") and the fraction belonging to any
+    * n-gram that occurs more than once (`dup_frac` — catches diffuse
+    * internal repetition). Long-form output (doc_id, n, ...) so the gram
+    * sizes stay one query. The whole profile is two aggregations over the
+    * exploded shingles — per-doc gram counts, then per-(doc, n) stats —
+    * both map-side-combinable; nothing is held per doc beyond the bounded
+    * stats row. Docs shorter than an n contribute no row for that n
+    * (no grams to profile, mirroring [[shinglesOf]]'s degenerate case). */
+  def repetitionProfile(docs: DataFrame, ns: Seq[Int] = Seq(2, 3, 4)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 2), "gram sizes must be >= 2")
+    val tagged = nonNull(docs)
+      .select(col("doc_id"), toks.as("__toks"))
+      .select(col("doc_id"), explode(concat(ns.map(n =>
+        when(size(col("__toks")) >= n,
+          transform(shinglesOf(col("__toks"), n),
+            g => struct(lit(n).as("n"), g.as("gram"))))
+          .otherwise(array().cast("array<struct<n:int,gram:string>>"))): _*))
+        .as("tg"))
+      .select(col("doc_id"), col("tg.n").as("n"), col("tg.gram").as("gram"))
+    tagged.groupBy(col("doc_id"), col("n"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("n"))
+      .agg(sum(col("c")).as("n_grams"),
+        max(col("c")).as("top_c"),
+        sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as("dup_c"))
+      .select(col("doc_id"), col("n").cast("long").as("n"),
+        col("n_grams").cast("long").as("n_grams"),
+        round(col("top_c") / col("n_grams"), 4).as("top_frac"),
+        round(col("dup_c") / col("n_grams"), 4).as("dup_frac"))
+      .orderBy(col("doc_id"), col("n"))
+  }
+
+  def repetitionProfile(spark: SparkSession, dir: String): DataFrame =
+    repetitionProfile(Lake.documents(spark, dir))
 
   /** C4-style text normalization: lowercase, strip punctuation to spaces,
     * collapse whitespace runs, trim — the canonical form exact-dedup and

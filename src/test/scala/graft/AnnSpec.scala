@@ -194,6 +194,29 @@ class AnnSpec extends SparkSpecBase {
       .searchIvf(spark, dir, emb, queries, k = 5, nProbes = 6).count() > 0)
   }
 
+  test("kNN graph: bounded degree, symmetric candidate source, and recall vs brute force") {
+    import org.apache.spark.sql.functions.col
+    val emb = Lake.embeddings(spark, Sf)
+    val g = AnnOps.knnGraph(emb, k = 5, dim = 64).collect()
+    // degree bound and no self-edges
+    val bySrc = g.groupBy(_.getLong(0))
+    assert(bySrc.values.forall(_.length <= 5), "a vector exceeded k neighbors")
+    assert(g.forall(r => r.getLong(0) != r.getLong(1)), "self-edge in the kNN graph")
+    // ranks are 1..deg per source
+    for ((_, rows) <- bySrc)
+      assert(rows.map(_.getLong(3)).sorted.toSeq == (1L to rows.length).toSeq)
+    // recall vs the exact all-vectors kNN (brute force with the corpus as
+    // its own query set)
+    val allQ = emb.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val exact = AnnOps.bruteForce(emb, allQ, 5).collect()
+      .groupBy(_.getLong(0)).map { case (q, xs) => q -> xs.map(_.getLong(1)).toSet }
+    val approx = bySrc.map { case (s, xs) => s -> xs.map(_.getLong(1)).toSet }
+    val recalls = exact.map { case (q, truth) =>
+      (approx.getOrElse(q, Set.empty) & truth).size.toDouble / truth.size }
+    val recall = recalls.sum / recalls.size
+    assert(recall >= 0.6, s"kNN-graph recall $recall < 0.6")
+  }
+
   test("int8 quantization round-trips within half a step and keeps top-k recall") {
     val emb = Lake.embeddings(spark, Sf)
     val q = AnnOps.quantize(emb)

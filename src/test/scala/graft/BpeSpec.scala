@@ -123,6 +123,44 @@ class BpeSpec extends SparkSpecBase {
       .filter(col("n_tokens") =!= col("expect_tokens")).count() == 0)
   }
 
+  test("bpeLearn: iteration one equals the pair-count query, merges are prefix-stable and deterministic") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "low lower lowest low low"),
+      (2L, "new newer newest new"),
+      (3L, "low new wider wide")).toDF("doc_id", "text")
+    // iteration one maximizes exactly what bpePairCounts reports
+    val topPair = TextOps.bpePairCounts(docs, topK = 1).collect().head.getString(0)
+    val learned = TextOps.bpeLearn(docs, nMerges = 8)
+    assert(learned.nonEmpty)
+    assert(learned.head._1 + learned.head._2 == topPair,
+      s"first merge ${learned.head} must fuse the top pair $topPair")
+    // deterministic, and a shorter run is a prefix of a longer one (each
+    // iteration depends only on the merges before it)
+    assert(TextOps.bpeLearn(docs, nMerges = 8) == learned)
+    assert(TextOps.bpeLearn(docs, nMerges = 3) == learned.take(3))
+    // applying the learned merges in rank order compresses the corpus's
+    // own words below character level
+    def applySeq(word: String, merges: Seq[(String, String)]): Seq[String] = {
+      var toks: List[String] = word.map(String.valueOf(_)).toList
+      for ((a, b) <- merges) {
+        val out = ArrayBuffer.empty[String]
+        var rest = toks
+        while (rest.nonEmpty) rest match {
+          case x :: y :: tail if x == a && y == b => out += (a + b); rest = tail
+          case x :: tail => out += x; rest = tail
+          case Nil =>
+        }
+        toks = out.toList
+      }
+      toks
+    }
+    val words = Seq("low", "lower", "new", "newest")
+    val before = words.map(_.length).sum
+    val after = words.map(w => applySeq(w, learned).length).sum
+    assert(after < before, s"learned merges must compress: $after !< $before")
+  }
+
   test("bpe_tokens expression is null-safe and plan stays map-only") {
     import spark.implicits._
     val df = Seq((1L, "the forest"), (2L, null.asInstanceOf[String]))

@@ -49,6 +49,28 @@ class GovernanceSpec extends SparkSpecBase {
     assert(t2.getAs[Boolean]("is_t_close") && t2.getAs[Double]("max_tvd") == 0.0)
   }
 
+  test("DP noisy counts: deterministic per salt, fresh noise per salt, Laplace-bounded error") {
+    import spark.implicits._
+    val df = (1 to 1000).map(i => (i, s"g${i % 4}")).toDF("id", "grp")
+    val a = Governance.dpCounts(df, Seq("grp"), eps = 1.0).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // retry-stable: the release is a pure function of (salt, group)
+    val b = Governance.dpCounts(df, Seq("grp"), eps = 1.0).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(a == b, "same salt must reproduce the same release")
+    // a rotated salt draws fresh noise (the per-release requirement)
+    val c = Governance.dpCounts(df, Seq("grp"), eps = 1.0, salt = "other")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(a.keySet == c.keySet && a != c, "a new salt must re-draw the noise")
+    // every group got noise, and Laplace(1) error beyond 20 has mass e^-20
+    for ((g, noisy) <- a) {
+      val truth = 250.0
+      assert(noisy != truth, s"group $g released its exact count")
+      assert(math.abs(noisy - truth) < 20.0,
+        s"group $g noise ${noisy - truth} implausible for Laplace(1)")
+    }
+  }
+
   test("pseudonyms are deterministic, join-compatible, and null-preserving") {
     import spark.implicits._
     val a = Seq((1L, "alice"), (2L, "bob"), (3L, null.asInstanceOf[String]))

@@ -5,6 +5,28 @@ import graft.operators.TextOps
 /** Text-analysis semantics not covered by the SQL oracle. */
 class TextOpsSpec extends SparkSpecBase {
 
+  test("repetition profile: planted loop, clean doc, and too-short doc behave per spec") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a b"),          // bigrams: "a b"×3, "b a"×2 → all duplicated
+      (2L, "u v w x y z"),          // no repeated n-gram of any size
+      (3L, "p q")                    // has bigrams, but no 3- or 4-grams
+    ).toDF("doc_id", "text")
+    val rows = TextOps.repetitionProfile(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    // doc 1, n=2: 5 bigrams, top "a b" covers 3/5, every gram repeats
+    assert(rows((1L, 2L)) == ((5L, 0.6, 1.0)))
+    // doc 1, n=3: "a b a"×2, "b a b"×2 → top 0.5, dup 1.0
+    assert(rows((1L, 3L)) == ((4L, 0.5, 1.0)))
+    // clean doc: top gram covers exactly one slot, nothing duplicated
+    assert(rows((2L, 2L)) == ((5L, 0.2, 0.0)))
+    assert(rows((2L, 4L))._3 == 0.0)
+    // the 2-token doc profiles bigrams only — no degenerate 3/4-gram rows
+    assert(rows.contains((3L, 2L)))
+    assert(!rows.contains((3L, 3L)) && !rows.contains((3L, 4L)))
+  }
+
   test("token stats are internally consistent") {
     val rows = TextOps.tokenStats(spark, Sf).collect()
     assert(rows.length == Lake.documents(spark, Sf).count())
