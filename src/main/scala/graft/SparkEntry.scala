@@ -242,6 +242,8 @@ object SparkEntry {
     "q_knn_graph"         -> ((s: SparkSession, d: String) => AnnOps.knnGraph(s, d)),
     // DP-style noisy count release (deterministic Laplace inverse-CDF)
     "q_dp_counts"         -> Governance.dpCountsQuery _,
+    // Partial masking: display-safe identifiers (last-4 visible)
+    "q_mask"              -> Governance.maskQuery _,
   )
 
   /** [[TextOps.patternScan]] dictionary for the driver query: token
@@ -740,6 +742,16 @@ object SparkEntry {
         |             * ln(greatest(1e-15, 1 - 2 * abs(uu)))), 4) AS noisy_n,
         |  CAST(1.0 AS DOUBLE) AS eps
         |FROM u ORDER BY o_orderpriority""".stripMargin,
+    // Partial masking: stars for all but the last 4 chars, short values
+    // pass through (engine parity including the <= keep branch).
+    "q_mask" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_name IS NULL THEN NULL
+        |       WHEN length(c_name) <= 4 THEN c_name
+        |       ELSE repeat('*', CAST(length(c_name) - 4 AS INT))
+        |            || substr(c_name, length(c_name) - 3, 4) END AS c_name,
+        |  c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     // Windowed PSI: bin universe per bucket = reference bins ∪ observed
     // bins; per-bin terms rounded then decimal-summed so the per-bucket
     // PSI is aggregation-order-independent in both engines.

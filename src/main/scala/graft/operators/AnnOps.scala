@@ -268,6 +268,36 @@ object AnnOps {
     ivfWithCentroids(emb, queriesIn,
       kmeansCentroidsDistributed(emb, nCentroids, iters, seed), k, nProbes)
 
+  /** Distributed PCA trainer for embedding-dimension reduction — the
+    * standard pre-ANN compression when vectors carry correlated dims:
+    * MLlib PCA over the FULL corpus (covariance accumulated as Spark
+    * aggregations, eigendecomposition on the driver's dim × dim matrix —
+    * bounded by DIMENSION, not corpus). Pair with [[pcaProject]];
+    * explained-variance-vs-k is the go/no-go metric (AnnSpec asserts a
+    * planted low-rank corpus compresses 4× with ≥90% variance and intact
+    * neighbors). */
+  def pcaModel(emb: DataFrame,
+               dims: Int): org.apache.spark.ml.feature.PCAModel = {
+    import org.apache.spark.ml.functions.array_to_vector
+    new org.apache.spark.ml.feature.PCA()
+      .setInputCol("features").setOutputCol("proj").setK(dims)
+      .fit(emb.select(
+        array_to_vector(col("embedding").cast("array<double>")).as("features")))
+  }
+
+  /** Project embeddings through a trained [[pcaModel]] into the same
+    * (vec_id, embedding) shape every ANN operator consumes — reduced
+    * vectors drop into brute-force/LSH/IVF/quantization unchanged. One
+    * map stage (a broadcast matrix multiply per row). */
+  def pcaProject(emb: DataFrame,
+                 model: org.apache.spark.ml.feature.PCAModel): DataFrame = {
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    model.transform(emb.select(col("vec_id"),
+        array_to_vector(col("embedding").cast("array<double>")).as("features")))
+      .select(col("vec_id"),
+        vector_to_array(col("proj")).cast("array<float>").as("embedding"))
+  }
+
   /** Nearest-`probes` centroid assignment; the per-key window frame is
     * nCentroids rows (bounded), so the rank never sorts more than the
     * centroid count per vector at any scale. */

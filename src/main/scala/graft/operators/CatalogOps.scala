@@ -578,6 +578,43 @@ object CatalogOps {
       .orderBy(col("child_table"), col("child_col"), col("parent_table"))
   }
 
+  /** SKETCHED inclusion-dependency discovery — the 100 TB twin of
+    * [[inclusionDependencies]]: containment estimated from Theta sketches
+    * as 1 − est(child \ parent)/est(child), so each (table, column) is
+    * scanned ONCE into a mergeable sketch (map-side combined, bounded
+    * bytes) and every candidate pair is then answered by sketch set
+    * algebra — no distinct sets, no join, no second scan per pair. Below
+    * the sketch's nominal entries the estimates are exact and this agrees
+    * with the exact path to the digit (asserted in IncrementalStatsSpec);
+    * above, it degrades to published Theta error bounds — which is the
+    * right trade for schema-wide FK mining over fact tables. */
+  def inclusionDependenciesSketched(spark: SparkSession, dir: String,
+      candidates: Seq[((String, String), (String, String))]): DataFrame = {
+    import graft.functions.ThetaFunctions._
+    require(candidates.nonEmpty, "need at least one candidate pair")
+    // one sketch per DISTINCT column across all candidates — the pair
+    // list never re-scans a table
+    val cols = candidates.flatMap { case (c, p) => Seq(c, p) }.distinct
+    val sketches: Map[(String, String), DataFrame] = cols.map { case (t, c) =>
+      (t, c) -> Lake.table(spark, dir, t)
+        .agg(thetaSketchAgg(col(c).cast("string")).as("sk"))
+    }.toMap
+    val results = candidates.map { case ((ct, cc), (pt, pc)) =>
+      val cs = sketches((ct, cc)).select(col("sk").as("sk_c"))
+      val ps = sketches((pt, pc)).select(col("sk").as("sk_p"))
+      cs.crossJoin(ps).select(
+        lit(ct).as("child_table"), lit(cc).as("child_col"),
+        lit(pt).as("parent_table"), lit(pc).as("parent_col"),
+        round(thetaEstimate(col("sk_c")), 1).as("est_child_distinct"),
+        round(thetaEstimate(thetaAnotB(col("sk_c"), col("sk_p"))), 1)
+          .as("est_missing"),
+        round(lit(1.0) - thetaEstimate(thetaAnotB(col("sk_c"), col("sk_p")))
+          / thetaEstimate(col("sk_c")), 4).as("containment_est"))
+    }
+    results.reduce(_ unionByName _)
+      .orderBy(col("child_table"), col("child_col"), col("parent_table"))
+  }
+
   /** Driver binding of [[inclusionDependencies]] over the lake's real FK
     * edges plus one deliberately partial pair (orders→lineitem: orders
     * with no lineitems keep containment < 1 in this lake). */

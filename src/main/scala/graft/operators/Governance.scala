@@ -186,4 +186,61 @@ object Governance {
   /** Driver query: order counts per priority released under ε = 1. */
   def dpCountsQuery(spark: SparkSession, dir: String): DataFrame =
     dpCounts(Lake.orders(spark, dir), Seq("o_orderpriority"), eps = 1.0)
+
+  /** Partial masking: every character except the last `keep` becomes '*'
+    * — the display-safe form of an identifier (receipts, support tools)
+    * where [[pseudonym]] would destroy human recognizability. Values at
+    * or under `keep` chars pass through unchanged (there is nothing left
+    * to hide that the length doesn't already reveal); NULL stays NULL.
+    * Pure codegen'd string expression, rides the scan. */
+  def maskColumn(c: Column, keep: Int): Column = {
+    require(keep >= 0, "keep must be non-negative")
+    when(c.isNotNull,
+      when(length(c) <= keep, c)
+        .otherwise(concat(
+          repeat(lit("*"), (length(c) - keep).cast("int")),
+          c.substr(length(c) - keep + 1, lit(keep)))))
+  }
+
+  /** Replace each listed column with its masked form. */
+  def mask(df: DataFrame, cols: Seq[String], keep: Int = 4): DataFrame = {
+    require(cols.nonEmpty, "need at least one column to mask")
+    val bad = cols.filterNot(df.columns.contains)
+    require(bad.isEmpty, s"no such columns: $bad")
+    cols.foldLeft(df)((d, c) => d.withColumn(c, maskColumn(col(c), keep)))
+  }
+
+  /** Driver query: customer names masked to their last 4 characters. */
+  def maskQuery(spark: SparkSession, dir: String): DataFrame =
+    mask(Lake.customer(spark, dir), Seq("c_name"), keep = 4)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+
+  /** Reversible field-level encryption (AES-128/192/256 via Spark's
+    * builtin aes_encrypt): the third leg of the column-protection surface
+    * — [[pseudonymize]] is one-way, [[mask]] is display-only, this one
+    * round-trips for holders of the key. ECB mode is chosen DELIBERATELY:
+    * it is deterministic, so equal plaintexts encrypt equally and joins /
+    * group-bys keep working across tables sharing a key — the same trade
+    * every deterministic-encryption scheme (e.g. AEAD-SIV deployments)
+    * makes, at the documented cost that equality of ciphertexts leaks
+    * equality of plaintexts. Output is base64 text; NULL stays NULL. */
+  def encryptColumns(df: DataFrame, cols: Seq[String], key: String): DataFrame = {
+    require(Set(16, 24, 32).contains(key.length),
+      "AES key must be 16, 24, or 32 bytes")
+    val bad = cols.filterNot(df.columns.contains)
+    require(bad.isEmpty, s"no such columns: $bad")
+    cols.foldLeft(df)((d, c) => d.withColumn(c,
+      base64(aes_encrypt(col(c).cast("string").cast("binary"),
+        lit(key).cast("binary"), lit("ECB")))))
+  }
+
+  /** Inverse of [[encryptColumns]] (same key, same columns). */
+  def decryptColumns(df: DataFrame, cols: Seq[String], key: String): DataFrame = {
+    val bad = cols.filterNot(df.columns.contains)
+    require(bad.isEmpty, s"no such columns: $bad")
+    cols.foldLeft(df)((d, c) => d.withColumn(c,
+      aes_decrypt(unbase64(col(c)), lit(key).cast("binary"), lit("ECB"))
+        .cast("string")))
+  }
 }

@@ -250,6 +250,36 @@ class AnnSpec extends SparkSpecBase {
     assert(recall >= 0.8, s"quantized recall $recall < 0.8")
   }
 
+  test("PCA compresses a planted low-rank corpus 4x with >= 90% variance and intact neighbors") {
+    import spark.implicits._
+    val dim = 16
+    val rnd = new scala.util.Random(11)
+    // signal lives in dims 0-3 (10x the noise dims) — rank-4 structure
+    val vecs = (0 until 300).map { i =>
+      val v = Array.tabulate(dim)(d =>
+        if (d < 4) (rnd.nextFloat() - 0.5f) * 10f else (rnd.nextFloat() - 0.5f) * 0.1f)
+      (i.toLong, v)
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val model = AnnOps.pcaModel(emb, dims = 4)
+    val varSum = model.explainedVariance.toArray.sum
+    assert(varSum >= 0.9, s"4 components explain only $varSum of a rank-4 corpus")
+    // neighbors survive the projection
+    val proj = AnnOps.pcaProject(emb, model)
+    def sets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1))
+        .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    def queriesOf(d: org.apache.spark.sql.DataFrame) =
+      d.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val exact = sets(AnnOps.bruteForce(emb, queriesOf(emb), 5))
+    val projected = sets(AnnOps.bruteForce(proj, queriesOf(proj), 5))
+    val recalls = exact.map { case (q, truth) =>
+      (projected.getOrElse(q, Set.empty) & truth).size.toDouble / truth.size }
+    val recall = recalls.sum / recalls.size
+    assert(recall >= 0.8, s"post-PCA recall $recall < 0.8")
+  }
+
   test("hot-bucket cap keeps bucketedPairs sub-quadratic on clone-heavy corpora") {
     import spark.implicits._
     val dim = 8

@@ -71,6 +71,40 @@ class GovernanceSpec extends SparkSpecBase {
     }
   }
 
+  test("masking hides all but the tail, passes short values, preserves NULL") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "Customer#000000042"),
+      (2L, "abc"),
+      (3L, null.asInstanceOf[String])).toDF("id", "name")
+    val m = Governance.mask(df, Seq("name"), keep = 4)
+      .orderBy("id").collect().map(r => Option(r.getString(1)))
+    assert(m(0).get == "*".repeat(14) + "0042")
+    assert(m(0).get.length == "Customer#000000042".length,
+      "mask must preserve length (format-revealing by design)")
+    assert(m(1).get == "abc", "short values pass through")
+    assert(m(2).isEmpty, "NULL stays NULL")
+  }
+
+  test("field encryption round-trips, is join-deterministic, and actually hides plaintext") {
+    import spark.implicits._
+    val key = "0123456789abcdef" // 16-byte AES-128
+    val df = Seq((1L, "alice"), (2L, "bob"), (3L, "alice"),
+      (4L, null.asInstanceOf[String])).toDF("id", "name")
+    val enc = Governance.encryptColumns(df, Seq("name"), key)
+    val encRows = enc.orderBy("id").collect().map(r => Option(r.getString(1)))
+    assert(encRows.take(3).flatten.forall(c => c != null && !c.contains("alice")),
+      "ciphertext must not contain plaintext")
+    assert(encRows(0) == encRows(2),
+      "deterministic mode: equal plaintexts must encrypt equally (joinability)")
+    assert(encRows(0) != encRows(1))
+    assert(encRows(3).isEmpty, "NULL stays NULL")
+    // round trip restores the original column exactly
+    val dec = Governance.decryptColumns(enc, Seq("name"), key)
+      .orderBy("id").collect().map(r => Option(r.getString(1)))
+    assert(dec.toSeq == Seq(Some("alice"), Some("bob"), Some("alice"), None))
+  }
+
   test("pseudonyms are deterministic, join-compatible, and null-preserving") {
     import spark.implicits._
     val a = Seq((1L, "alice"), (2L, "bob"), (3L, null.asInstanceOf[String]))

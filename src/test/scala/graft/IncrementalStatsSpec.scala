@@ -114,6 +114,29 @@ class IncrementalStatsSpec extends SparkSpecBase {
       s"exact-regime theta set expressions must be exact, got $r")
   }
 
+  test("sketched inclusion discovery matches the exact path in the exact regime") {
+    val candidates = Seq(
+      ("nation", "n_regionkey") -> ("region", "r_regionkey"),
+      ("orders", "o_custkey") -> ("customer", "c_custkey"),
+      ("lineitem", "l_orderkey") -> ("orders", "o_orderkey"),
+      ("orders", "o_orderkey") -> ("lineitem", "l_orderkey"))
+    def byPair(df: org.apache.spark.sql.DataFrame, valueCol: String) =
+      df.collect().map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        r.getDouble(df.columns.indexOf(valueCol))).toMap
+    val exact = byPair(graft.operators.CatalogOps
+      .inclusionDependencies(spark, Sf, candidates), "containment")
+    val sketched = byPair(graft.operators.CatalogOps
+      .inclusionDependenciesSketched(spark, Sf, candidates), "containment_est")
+    assert(exact.keySet == sketched.keySet)
+    // below nominal entries theta estimates are exact → containment to
+    // the rounding digit; the deliberately partial pair stays partial
+    for ((k, e) <- exact)
+      assert(math.abs(sketched(k) - e) <= 0.0002, s"$k: ${sketched(k)} vs $e")
+    val partial = exact(("orders", "o_orderkey", "lineitem"))
+    assert(partial < 1.0, "fixture should keep one partial pair")
+    assert(sketched(("orders", "o_orderkey", "lineitem")) < 1.0)
+  }
+
   test("snapshot-table stats sidecar refreshes incrementally and profiles without rescans") {
     import graft.operators.IncrementalTableStats
     import graft.sources.SnapshotTable
