@@ -244,6 +244,13 @@ object SparkEntry {
     "q_dp_counts"         -> Governance.dpCountsQuery _,
     // Partial masking: display-safe identifiers (last-4 visible)
     "q_mask"              -> Governance.maskQuery _,
+    // Multimodal resize: factor-2 box-average thumbnail digests
+    "q_multimodal_resize" -> ((s: SparkSession, d: String) =>
+      MultimodalOps.resizeDigest(s, d)),
+    // Q2 shape: argmin-per-group with ties (cheapest supplier per part)
+    "q_cheapest_supplier" -> Relational.cheapestSupplier _,
+    // Q13 shape: count-of-counts incl. zero-order customers
+    "q_cust_distribution" -> Relational.custOrderDistribution _,
   )
 
   /** [[TextOps.patternScan]] dictionary for the driver query: token
@@ -294,6 +301,40 @@ object SparkEntry {
     graft.functions.BpeVocab.merges.foldLeft(inner) { case (acc, (a, b)) =>
       s"replace($acc, chr(1)||'$a'||chr(1)||chr(1)||'$b'||chr(1), chr(1)||'$a$b'||chr(1))"
     }
+
+  /** The resize oracle, GENERATED so the four block-corner reads share one
+    * rendering: the resized plane's value at output index j is the
+    * floor-mean of its 2×2 source block, where the source plane is the
+    * doc's UTF-8 bytes zero-padded to the 16-wide PPM geometry — the same
+    * layout arithmetic as the decode oracle, extended per block. Edge
+    * blocks (odd source height, h = 1) average their two in-bounds
+    * samples, mirroring the kernel's bounds check. */
+  private val resizeOracleSql: String = {
+    val c = "(j % 3)"; val q = "(j // 3)"
+    val ox = s"($q % 8)"; val oy = s"($q // 8)"
+    def v(x: String, y: String) =
+      s"(CASE WHEN (($y)*16 + ($x))*3 + $c < n " +
+        s"THEN unicode(text[(($y)*16 + ($x))*3 + $c + 1]) ELSE 0 END)"
+    val x0 = s"(2*$ox)"; val x1 = s"(2*$ox + 1)"
+    val y0 = s"(2*$oy)"; val y1 = s"(2*$oy + 1)"
+    val m = s"(CASE WHEN $y1 < h THEN (${v(x0, y0)} + ${v(x1, y0)} + " +
+      s"${v(x0, y1)} + ${v(x1, y1)}) // 4 " +
+      s"ELSE (${v(x0, y0)} + ${v(x1, y0)}) // 2 END)"
+    s"""WITH d AS (SELECT doc_id, text,
+       |             octet_length(encode(text)) AS n,
+       |             greatest(1, (octet_length(encode(text)) + 47) // 48) AS h
+       |           FROM documents WHERE text IS NOT NULL),
+       |r AS (SELECT doc_id, n, h, greatest(1, h // 2) AS oh,
+       |        list_transform(range(0, 8 * greatest(1, h // 2) * 3),
+       |          j -> $m) AS plane
+       |      FROM d)
+       |SELECT doc_id, CAST(16 AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+       |  CAST(8 AS BIGINT) AS ow, CAST(oh AS BIGINT) AS oh,
+       |  CAST(coalesce(list_aggregate(plane, 'sum'), 0) AS BIGINT) AS r_sum,
+       |  CAST(len(list_filter(plane, v -> v = 0)) AS BIGINT) AS r_zeros,
+       |  CAST(plane[1] AS BIGINT) AS r_first
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
 
   /** A word rendered as its chr(1)-delimited character tokens. */
   /** Shared by q_ann_ivf and q_ann_indexed (the stored-artifact search is
@@ -752,6 +793,24 @@ object SparkEntry {
         |            || substr(c_name, length(c_name) - 3, 4) END AS c_name,
         |  c_mktsegment
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_multimodal_resize" -> resizeOracleSql,
+    // Q2 argmin-per-group: per-part min price via group-by + equality
+    // re-join (the window's value twin); comparison only, no arithmetic.
+    "q_cheapest_supplier" ->
+      """WITH m AS (SELECT l_partkey, min(l_extendedprice) AS mp
+        |           FROM lineitem GROUP BY 1)
+        |SELECT DISTINCT l.l_partkey, l.l_suppkey,
+        |  round(m.mp, 2) AS min_price
+        |FROM lineitem l JOIN m ON l.l_partkey = m.l_partkey
+        |                      AND l.l_extendedprice = m.mp
+        |ORDER BY l.l_partkey, l.l_suppkey""".stripMargin,
+    // Q13 count-of-counts incl. zero-order customers (left join).
+    "q_cust_distribution" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+        |  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |  GROUP BY c.c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
     // Windowed PSI: bin universe per bucket = reference bins ∪ observed
     // bins; per-bin terms rounded then decimal-summed so the per-bucket
     // PSI is aggregation-order-independent in both engines.

@@ -13,6 +13,12 @@ final case class MediaPayload(doc_id: Long, payload: Array[Byte])
 final case class MediaFeatures(doc_id: Long, n_bytes: Int, batch_size: Int,
                                features: Array[Float])
 
+/** Resize result row: original and resized geometry + integer-valued
+  * digests of the resized pixel plane. */
+final case class MediaResized(doc_id: Long, w: Long, h: Long,
+                              ow: Long, oh: Long,
+                              r_sum: Long, r_zeros: Long, r_first: Long)
+
 /** Multimodal column support (SURVEY.md §2 item 25): media payloads as
   * opaque `binary` columns with typed metadata, plus a batched decode path
   * with a REAL public-format kernel.
@@ -152,6 +158,73 @@ object MultimodalOps {
             MediaFeatures(p.doc_id, p.payload.length, batch.size,
               ppmFeatures(p.payload)))
         }
+      }
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  /** Box-average integer downsample of a decoded P6 pixel plane — the
+    * "resize" leg of the multimodal surface: each output pixel is the
+    * floor-mean of its `factor`×`factor` source block (blocks clipped at
+    * the image edge average only their in-bounds samples). Real pixel
+    * arithmetic on the real parser's output; a JPEG thumbnailer would
+    * replace only this kernel body. */
+  private[graft] def resizePpm(ppm: Array[Byte],
+                               factor: Int): (Int, Int, Int, Int, Array[Byte]) = {
+    require(factor >= 1, "resize factor must be >= 1")
+    val (w, h, _, px) = decodePpm(ppm)
+    val ow = math.max(1, w / factor); val oh = math.max(1, h / factor)
+    val out = new Array[Byte](ow * oh * 3)
+    var oy = 0
+    while (oy < oh) {
+      var ox = 0
+      while (ox < ow) {
+        var c = 0
+        while (c < 3) {
+          var sum = 0; var n = 0; var dy = 0
+          while (dy < factor) {
+            val y = oy * factor + dy
+            var dx = 0
+            while (dx < factor) {
+              val x = ox * factor + dx
+              if (x < w && y < h) { sum += px((y * w + x) * 3 + c) & 0xFF; n += 1 }
+              dx += 1
+            }
+            dy += 1
+          }
+          out((oy * ow + ox) * 3 + c) = (sum / n).toByte
+          c += 1
+        }
+        ox += 1
+      }
+      oy += 1
+    }
+    (w, h, ow, oh, out)
+  }
+
+  /** Batched resize over the real PPM payloads (factor-2 thumbnail),
+    * emitting geometry plus integer digests of the resized plane — the
+    * driver-comparable projection whose oracle reconstructs every block
+    * mean from the payload layout arithmetic. Same bounded-batch
+    * `mapPartitions` shape as [[decodeFeatures]]. */
+  def resizeDigest(spark: SparkSession, dir: String,
+                   factor: Int = 2, batchSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    ppmPayloads(spark, dir, batchSize).select(col("doc_id"), col("payload"))
+      .as[MediaPayload]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap(_.map { p =>
+          val (w, h, ow, oh, out) = resizePpm(p.payload, factor)
+          var sum = 0L; var zeros = 0L
+          var i = 0
+          while (i < out.length) {
+            val v = out(i) & 0xFF
+            sum += v; if (v == 0) zeros += 1
+            i += 1
+          }
+          MediaResized(p.doc_id, w, h, ow, oh, sum, zeros,
+            if (out.nonEmpty) (out(0) & 0xFF).toLong else 0L)
+        })
       }
       .toDF()
       .orderBy(col("doc_id"))

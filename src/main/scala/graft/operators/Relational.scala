@@ -463,4 +463,38 @@ object Relational {
         round(col("rev").cast("double"), 2).as("total_revenue"))
       .orderBy(col("s_suppkey"))
   }
+
+  /** TPC-H Q2's argmin-per-group shape on the lake's fact table: for each
+    * part, the supplier(s) charging its MINIMAL extended price, ties kept
+    * — a min-window then an exact equality re-filter (comparison only, no
+    * arithmetic, so double equality is deterministic in any engine). One
+    * shuffle keyed by part; no self-join re-scan (the Q17 window
+    * discipline applied to argmin). */
+  def cheapestSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val l = Lake.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+    val w = Window.partitionBy(col("l_partkey"))
+    l.withColumn("min_price", min(col("l_extendedprice")).over(w))
+      .filter(col("l_extendedprice") === col("min_price"))
+      .select(col("l_partkey"), col("l_suppkey"),
+        round(col("min_price"), 2).as("min_price"))
+      .distinct()
+      .orderBy(col("l_partkey"), col("l_suppkey"))
+  }
+
+  /** TPC-H Q13 shape: the distribution of per-customer order counts,
+    * INCLUDING never-ordered customers — the left outer join no inner
+    * form can express, then a count-of-counts re-aggregate. Both
+    * aggregations are map-side combinable; output is bounded by the
+    * maximum order count per customer. */
+  def custOrderDistribution(spark: SparkSession, dir: String): DataFrame =
+    Lake.customer(spark, dir).select(col("c_custkey"))
+      .join(Lake.orders(spark, dir)
+        .select(col("o_custkey"), col("o_orderkey")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
 }

@@ -28,6 +28,29 @@ class MultimodalSpec extends SparkSpecBase {
       MultimodalOps.decodePpm("P6\n4 4\n255\nxy".getBytes("US-ASCII")))
   }
 
+  test("resize kernel box-averages hand-computed blocks, clips edge blocks, caps at 1x1") {
+    // hand-built 4×4 P6: pixel (x, y) has R = 16y + 4x, G = R + 1, B = R + 2
+    val plane = (for (y <- 0 until 4; x <- 0 until 4; c <- 0 until 3)
+      yield (16 * y + 4 * x + c).toByte).toArray
+    val img = "P6\n4 4\n255\n".getBytes("US-ASCII") ++ plane
+    val (w, h, ow, oh, out) = MultimodalOps.resizePpm(img, 2)
+    assert(w == 4 && h == 4 && ow == 2 && oh == 2 && out.length == 12)
+    // top-left block R channel: mean(0, 4, 16, 20) = 10; G/B shift by 1/2
+    assert((out(0) & 0xFF) == 10 && (out(1) & 0xFF) == 11 && (out(2) & 0xFF) == 12)
+    // bottom-right block R: mean(40, 44, 56, 60) = 50
+    assert((out(9) & 0xFF) == 50)
+    // odd height: 4×3 image at factor 2 → 2×1 output, blocks complete
+    val img43 = "P6\n4 3\n255\n".getBytes("US-ASCII") ++ plane.take(36)
+    val (_, _, ow2, oh2, out2) = MultimodalOps.resizePpm(img43, 2)
+    assert(ow2 == 2 && oh2 == 1 && out2.length == 6)
+    // height-1 image: output clamps to 1 row, edge block averages the
+    // TWO in-bounds samples only (the kernel's bounds clip)
+    val img41 = "P6\n4 1\n255\n".getBytes("US-ASCII") ++ plane.take(12)
+    val (_, _, _, oh3, out3) = MultimodalOps.resizePpm(img41, 2)
+    assert(oh3 == 1)
+    assert((out3(0) & 0xFF) == (0 + 4) / 2, "edge block must mean in-bounds pixels only")
+  }
+
   test("payloads carry the exact UTF-8 bytes and typed metadata") {
     val rows = MultimodalOps.payloads(spark, Sf)
       .limit(20).collect()
