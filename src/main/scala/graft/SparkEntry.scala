@@ -247,6 +247,9 @@ object SparkEntry {
     // Multimodal resize: factor-2 box-average thumbnail digests
     "q_multimodal_resize" -> ((s: SparkSession, d: String) =>
       MultimodalOps.resizeDigest(s, d)),
+    // Audio-style windowed RMS + mean-centered zero crossings
+    "q_audio_features"    -> ((s: SparkSession, d: String) =>
+      MultimodalOps.audioFeatures(s, d)),
     // Q2 shape: argmin-per-group with ties (cheapest supplier per part)
     "q_cheapest_supplier" -> Relational.cheapestSupplier _,
     // Q13 shape: count-of-counts incl. zero-order customers
@@ -794,6 +797,29 @@ object SparkEntry {
         |  c_mktsegment
         |FROM customer ORDER BY c_custkey""".stripMargin,
     "q_multimodal_resize" -> resizeOracleSql,
+    // Audio features: per-window samples list, integral square sums, the
+    // same mean-centered crossing test (1-based s[i] ≡ engine's win[i-1]).
+    "q_audio_features" ->
+      """WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS n
+        |           FROM documents WHERE text IS NOT NULL),
+        |w AS (SELECT doc_id, text,
+        |        unnest(range(0, (n - 32) // 16 + 1)) AS p
+        |      FROM d WHERE n >= 32),
+        |s AS (SELECT doc_id, p,
+        |        list_transform(range(1, 33),
+        |          i -> unicode(text[p * 16 + i])) AS sm
+        |      FROM w),
+        |m AS (SELECT doc_id, p, sm,
+        |        list_aggregate(sm, 'sum') / 32.0 AS mean_v
+        |      FROM s)
+        |SELECT doc_id, CAST(p AS BIGINT) AS window_idx,
+        |  CAST(p * 16 AS BIGINT) AS byte_offset,
+        |  round(sqrt(list_aggregate(list_transform(sm,
+        |    v -> CAST(v AS BIGINT) * v), 'sum') / 32.0), 4) AS rms,
+        |  CAST(len(list_filter(range(1, 32),
+        |    i -> (sm[i] >= mean_v) != (sm[i + 1] >= mean_v))) AS BIGINT)
+        |    AS zero_crossings
+        |FROM m ORDER BY doc_id, window_idx""".stripMargin,
     // Q2 argmin-per-group: per-part min price via group-by + equality
     // re-join (the window's value twin); comparison only, no arithmetic.
     "q_cheapest_supplier" ->

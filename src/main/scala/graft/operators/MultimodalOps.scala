@@ -256,6 +256,46 @@ object MultimodalOps {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  /** Audio-style windowed feature extraction: the payload interpreted as
+    * unsigned 8-bit PCM samples, cut into hop-strided windows, each
+    * emitting the two classic cheap audio features — RMS energy and the
+    * zero-crossing count (sign changes around the unsigned midline 128).
+    * zero crossings are counted around the WINDOW MEAN (the standard ZCR
+    * definition for DC-biased signals — unsigned bytes never cross a
+    * fixed midline). Pure codegen'd byte arithmetic (sequence/transform/
+    * aggregate — a map-only stage, no UDF); a real codec would replace
+    * the sample-read expression only. Determinism: sums stay integral
+    * (squares of ints), mean comparisons and the single sqrt are the
+    * same doubles in both engines, rms rounded to 4 decimals. Payloads
+    * shorter than one window emit no rows. */
+  def audioFeatures(spark: SparkSession, dir: String,
+                    window: Int = 32, hop: Int = 16): DataFrame = {
+    require(window > 1 && hop > 0, "need window > 1 and hop > 0")
+    payloads(spark, dir)
+      .select(col("doc_id"), col("payload"),
+        length(col("payload")).as("n_bytes"))
+      .filter(col("n_bytes") >= window)
+      .select(col("doc_id"), col("payload"),
+        posexplode(sequence(lit(0L),
+          floor((col("n_bytes") - window) / hop).cast("long"))))
+      .withColumn("off", (col("pos") * hop).cast("long"))
+      .withColumn("win", expr(
+        s"transform(sequence(1, $window), i -> ascii(substr(CAST(payload AS STRING), CAST(off + i AS INT), 1)))"))
+      .withColumn("mean_v", expr("aggregate(win, 0L, (acc, v) -> acc + v)")
+        .cast("double") / window)
+      .select(
+        col("doc_id"),
+        col("pos").cast("long").as("window_idx"),
+        col("off").as("byte_offset"),
+        round(sqrt(expr(
+          s"aggregate(win, 0L, (acc, v) -> acc + CAST(v AS BIGINT) * v)")
+          .cast("double") / window), 4).as("rms"),
+        expr(s"""size(filter(sequence(1, ${window - 1}),
+                 i -> (win[i - 1] >= mean_v) != (win[i] >= mean_v)))""")
+          .cast("long").as("zero_crossings"))
+      .orderBy(col("doc_id"), col("window_idx"))
+  }
+
   /** Driver-comparable projection of [[decodeFeatures]]: the (integer-
     * valued) float features joined into one sortable string —
     * pandas/DuckDB can hash a string where they cannot hash a raw
