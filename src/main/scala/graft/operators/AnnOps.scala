@@ -383,18 +383,26 @@ object AnnOps {
                tables: Int = DefaultTables,
                bits: Int = DefaultBitsPerTable,
                maxBucketSize: Int = 4096): DataFrame = {
+    // the symmetrize-union consumes the pair subplan TWICE — persist the
+    // (candidate-bounded) pair frame so bucketing + scoring runs once,
+    // release it as soon as the bounded graph materializes (the
+    // setSimilarityJoin cache discipline)
     val pairs = bucketedPairs(emb, dim, tables, bits, maxBucketSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val both = pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"),
         col("cos_sim").as("sim_raw"))
       .unionByName(pairs.select(col("vec_b").as("src"), col("vec_a").as("dst"),
         col("cos_sim").as("sim_raw")))
     val w = Window.partitionBy(col("src"))
       .orderBy(col("sim_raw").desc, col("dst"))
-    both.withColumn("rnk", row_number().over(w).cast("long"))
+    val out = both.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("src"), col("dst"),
         round(col("sim_raw"), 4).as("sim"), col("rnk"))
       .orderBy(col("src"), col("rnk"))
+      .localCheckpoint(true)
+    pairs.unpersist(false)
+    out
   }
 
   /** Lake-bound registered form: 5-NN graph over the embeddings table. */

@@ -592,12 +592,14 @@ object CatalogOps {
       candidates: Seq[((String, String), (String, String))]): DataFrame = {
     import graft.functions.ThetaFunctions._
     require(candidates.nonEmpty, "need at least one candidate pair")
-    // one sketch per DISTINCT column across all candidates — the pair
-    // list never re-scans a table
+    // one sketch per DISTINCT column across all candidates, MATERIALIZED
+    // (a one-row frame) — a lazily-shared plan would re-scan the table
+    // each time the column appears in another candidate pair
     val cols = candidates.flatMap { case (c, p) => Seq(c, p) }.distinct
     val sketches: Map[(String, String), DataFrame] = cols.map { case (t, c) =>
       (t, c) -> Lake.table(spark, dir, t)
         .agg(thetaSketchAgg(col(c).cast("string")).as("sk"))
+        .localCheckpoint(true)
     }.toMap
     val results = candidates.map { case ((ct, cc), (pt, pc)) =>
       val cs = sketches((ct, cc)).select(col("sk").as("sk_c"))

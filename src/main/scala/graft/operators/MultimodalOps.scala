@@ -271,16 +271,21 @@ object MultimodalOps {
   def audioFeatures(spark: SparkSession, dir: String,
                     window: Int = 32, hop: Int = 16): DataFrame = {
     require(window > 1 && hop > 0, "need window > 1 and hop > 0")
-    payloads(spark, dir)
-      .select(col("doc_id"), col("payload"),
-        length(col("payload")).as("n_bytes"))
+    // sample reads probe the SCAN ATTRIBUTE (text), not a recomputed
+    // cast: an expression inside the transform lambda re-evaluates once
+    // per element (the O(n²) shingle trap, SURVEY §9); the payload column
+    // is encode(text), so text IS the byte stream on this ASCII corpus
+    Lake.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"),
+        octet_length(col("text")).as("n_bytes"))
       .filter(col("n_bytes") >= window)
-      .select(col("doc_id"), col("payload"),
+      .select(col("doc_id"), col("text"),
         posexplode(sequence(lit(0L),
           floor((col("n_bytes") - window) / hop).cast("long"))))
       .withColumn("off", (col("pos") * hop).cast("long"))
       .withColumn("win", expr(
-        s"transform(sequence(1, $window), i -> ascii(substr(CAST(payload AS STRING), CAST(off + i AS INT), 1)))"))
+        s"transform(sequence(1, $window), i -> ascii(substr(text, CAST(off + i AS INT), 1)))"))
       .withColumn("mean_v", expr("aggregate(win, 0L, (acc, v) -> acc + v)")
         .cast("double") / window)
       .select(
