@@ -254,6 +254,8 @@ object SparkEntry {
     "q_cheapest_supplier" -> Relational.cheapestSupplier _,
     // Q13 shape: count-of-counts incl. zero-order customers
     "q_cust_distribution" -> Relational.custOrderDistribution _,
+    // Winsorization: percentile clipping with an audit flag
+    "q_winsorize"         -> CatalogOps.winsorizeQuery _,
   )
 
   /** [[TextOps.patternScan]] dictionary for the driver query: token
@@ -837,6 +839,16 @@ object SparkEntry {
         |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
         |  GROUP BY c.c_custkey)
         |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    // Winsorize: interpolated percentiles (quantile_cont ≡ Spark
+    // percentile), clip in the same greatest/least order.
+    "q_winsorize" ->
+      """WITH f AS (SELECT quantile_cont(o_totalprice, 0.01) AS lo,
+        |                  quantile_cont(o_totalprice, 0.99) AS hi
+        |           FROM orders)
+        |SELECT o_orderkey, round(o_totalprice, 2) AS value,
+        |  round(greatest(f.lo, least(f.hi, o_totalprice)), 2) AS clipped,
+        |  (o_totalprice < f.lo OR o_totalprice > f.hi) AS was_clipped
+        |FROM orders CROSS JOIN f ORDER BY o_orderkey""".stripMargin,
     // Windowed PSI: bin universe per bucket = reference bins ∪ observed
     // bins; per-bin terms rounded then decimal-summed so the per-bucket
     // PSI is aggregation-order-independent in both engines.

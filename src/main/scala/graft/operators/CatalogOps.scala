@@ -315,6 +315,37 @@ object CatalogOps {
       .orderBy(col(groupCol))
   }
 
+  /** Winsorization (percentile clipping): values below p_lo / above p_hi
+    * are clipped to the fences — the standard outlier-robust
+    * feature-prep transform ([[iqrOutliers]] DETECTS, this one REPAIRS).
+    * One exact-percentile aggregate broadcast back over the table (the
+    * quantileBins twin: swap `percentile` for `approx_percentile` at
+    * 100 TB, same plan shape); emits per-row original and clipped value
+    * plus a flag, so downstream can audit exactly what moved. */
+  def winsorize(spark: SparkSession, dir: String, table: String,
+                keyCol: String, valueCol: String,
+                pLo: Double = 0.01, pHi: Double = 0.99): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, "need 0 <= pLo < pHi <= 1")
+    val df = Lake.table(spark, dir, table)
+    val fences = df.agg(
+      expr(s"percentile($valueCol, array(${pLo}D, ${pHi}D))").as("qs"))
+      .select(element_at(col("qs"), 1).as("lo"),
+        element_at(col("qs"), 2).as("hi"))
+    df.crossJoin(broadcast(fences))
+      .select(
+        col(keyCol),
+        round(col(valueCol), 2).as("value"),
+        round(greatest(col("lo"), least(col("hi"), col(valueCol))), 2)
+          .as("clipped"),
+        (col(valueCol) < col("lo") || col(valueCol) > col("hi"))
+          .as("was_clipped"))
+      .orderBy(col(keyCol))
+  }
+
+  /** Driver query: order totals winsorized at [p01, p99]. */
+  def winsorizeQuery(spark: SparkSession, dir: String): DataFrame =
+    winsorize(spark, dir, "orders", "o_orderkey", "o_totalprice")
+
   /** String-column profile (lexicographic min/max, null count, NDV, mean
     * length) — same single-pass / unpivot shape as the numeric profile. */
   def profileStrings(spark: SparkSession, dir: String, table: String,

@@ -161,8 +161,10 @@ class PlanShapeSpec extends SparkSpecBase {
         // q_rolling_psi: bounded buckets × bins grid (as q_windowed_psi)
         // q_ann_pq: 16-row centroid broadcast for cell assignment (as
         // q_ann_adc); the per-cell calibration joins on the cell KEY
+        // q_winsorize: one-row percentile-fence broadcast (the
+        // q_supplier_share scalar-threshold pattern)
         "q_drift", "q_zipf", "q_ann_adc", "q_windowed_psi", "q_t_closeness",
-        "q_rolling_psi", "q_ann_pq")
+        "q_rolling_psi", "q_ann_pq", "q_winsorize")
     for ((name, fn) <- SparkEntry.queries) {
       // interior plans included: checkpointing operators execute their
       // real joins during construction and return an RDD-scan facade
