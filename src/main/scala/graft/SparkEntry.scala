@@ -240,6 +240,8 @@ object SparkEntry {
     "q_bpe_learn"         -> TextOps.bpePairCounts _,
     // kNN graph: every vector's top-k LSH-candidate neighbors
     "q_knn_graph"         -> ((s: SparkSession, d: String) => AnnOps.knnGraph(s, d)),
+    // Contrastive hard negatives: nearest cross-label neighbors
+    "q_hard_negatives"    -> ((s: SparkSession, d: String) => AnnOps.hardNegatives(s, d)),
     // DP-style noisy count release (deterministic Laplace inverse-CDF)
     "q_dp_counts"         -> Governance.dpCountsQuery _,
     // Partial masking: display-safe identifiers (last-4 visible)
@@ -1142,6 +1144,34 @@ object SparkEntry {
          |FROM (SELECT src, dst, s, row_number() OVER (PARTITION BY src
          |        ORDER BY s DESC, dst) AS rnk FROM sym) t
          |WHERE rnk <= 5 ORDER BY src, rnk""".stripMargin,
+    // Hard negatives: the same pair CTEs with the cross-label filter
+    // BEFORE ranking (the engine's slot semantics).
+    "q_hard_negatives" ->
+      s"""WITH $lshOracleCtes,
+         |bkc AS (SELECT vec_id, bucket FROM (
+         |          SELECT vec_id, bucket,
+         |            count(*) OVER (PARTITION BY bucket) AS bn
+         |          FROM bk) WHERE bn <= 4096),
+         |pairs AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |          FROM bkc a JOIN bkc b
+         |            ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |sc AS (SELECT vec_a, vec_b,
+         |         list_cosine_similarity(ea.e, eb.e) AS s
+         |       FROM pairs JOIN emb ea ON ea.vec_id = pairs.vec_a
+         |                  JOIN emb eb ON eb.vec_id = pairs.vec_b),
+         |sym AS (SELECT vec_a AS src, vec_b AS dst, s FROM sc
+         |        UNION ALL SELECT vec_b, vec_a, s FROM sc),
+         |lab AS (SELECT sym.src, la.label AS src_label, sym.dst,
+         |          lb.label AS dst_label, sym.s
+         |        FROM sym JOIN embeddings la ON la.vec_id = sym.src
+         |                 JOIN embeddings lb ON lb.vec_id = sym.dst
+         |        WHERE la.label <> lb.label)
+         |SELECT src, src_label, dst, dst_label,
+         |  round(s, 4) AS sim, CAST(rnk AS BIGINT) AS rnk
+         |FROM (SELECT src, src_label, dst, dst_label, s,
+         |        row_number() OVER (PARTITION BY src
+         |          ORDER BY s DESC, dst) AS rnk FROM lab) t
+         |WHERE rnk <= 3 ORDER BY src, rnk""".stripMargin,
     // Semantic clusters: recursive-CTE transitive closure over the SAME
     // thresholded pair graph the q_embedding_neardups oracle builds —
     // keeper = min reachable vec_id, mirroring the lexical q_neardup_keep.

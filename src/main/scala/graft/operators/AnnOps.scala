@@ -409,6 +409,44 @@ object AnnOps {
   def knnGraph(spark: SparkSession, dir: String): DataFrame =
     knnGraph(Lake.embeddings(spark, dir), k = 5, dim = 64)
 
+  /** Hard-negative mining for contrastive training: each vector's top-k
+    * most similar neighbors that carry a DIFFERENT label — the pairs a
+    * contrastive loss learns most from (near in embedding space, apart in
+    * label space). Same bucketed candidate generation as [[knnGraph]]
+    * with the label filter applied BEFORE ranking, so the k slots go to
+    * cross-label neighbors, not to whatever same-label vectors crowd the
+    * top. Labels ride the bucketed pairs via two bounded id→label joins. */
+  def hardNegatives(emb: DataFrame, k: Int, dim: Int,
+                    tables: Int = DefaultTables,
+                    bits: Int = DefaultBitsPerTable,
+                    maxBucketSize: Int = 4096): DataFrame = {
+    val labels = emb.select(col("vec_id"), col("label"))
+    val pairs = bucketedPairs(emb.select(col("vec_id"), col("embedding")),
+        dim, tables, bits, maxBucketSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sym = pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"),
+        col("cos_sim").as("sim_raw"))
+      .unionByName(pairs.select(col("vec_b").as("src"), col("vec_a").as("dst"),
+        col("cos_sim").as("sim_raw")))
+      .join(labels.select(col("vec_id").as("src"), col("label").as("src_label")), "src")
+      .join(labels.select(col("vec_id").as("dst"), col("label").as("dst_label")), "dst")
+      .filter(col("src_label") =!= col("dst_label"))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("sim_raw").desc, col("dst"))
+    val out = sym.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("src"), col("src_label"), col("dst"), col("dst_label"),
+        round(col("sim_raw"), 4).as("sim"), col("rnk"))
+      .orderBy(col("src"), col("rnk"))
+      .localCheckpoint(true)
+    pairs.unpersist(false)
+    out
+  }
+
+  /** Lake-bound registered form: 3 hard negatives per vector. */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame =
+    hardNegatives(Lake.embeddings(spark, dir), k = 3, dim = 64)
+
   /** Bucketed rows with oversized buckets filtered out. The per-bucket
     * count is a window over the same (bucket) key the downstream join
     * shuffles on, so the exchange is shared — no extra corpus pass. */

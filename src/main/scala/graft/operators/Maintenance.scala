@@ -114,6 +114,27 @@ object Maintenance {
     } finally fresh.unpersist()
   }
 
+  /** Dynamic partition overwrite: rewrite ONLY the hive-style partitions
+    * present in `batch`, leaving every other partition's files untouched
+    * — the standard idempotent backfill/restatement write (a static
+    * overwrite would wipe the whole table; an append would duplicate the
+    * restated day). Scoped via the session conf for this one write, so
+    * callers' global settings are preserved. */
+  def overwritePartitions(spark: SparkSession, tableDir: String,
+                          batch: DataFrame, partitionCol: String): Unit = {
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try batch.write
+      .mode(SaveMode.Overwrite)
+      .partitionBy(partitionCol)
+      .parquet(tableDir)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   private def exists(spark: SparkSession, dir: String): Boolean = {
     val p = new Path(dir)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)

@@ -127,6 +127,30 @@ class MaintenanceSpec extends SparkSpecBase {
     }
   }
 
+  test("dynamic partition overwrite restates only the touched partitions") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpo").toString + "/t"
+    // initial table: three day-partitions
+    Seq((1L, "d1", 10L), (2L, "d2", 20L), (3L, "d3", 30L))
+      .toDF("id", "day", "v")
+      .write.partitionBy("day").parquet(dir)
+    // restate day d2 only (new value, new row count)
+    Maintenance.overwritePartitions(spark,
+      dir, Seq((20L, "d2", 99L), (21L, "d2", 98L)).toDF("id", "day", "v"), "day")
+    val after = spark.read.parquet(dir)
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getLong(1))).toSet
+    assert(after == Set((1L, "d1", 10L), (20L, "d2", 99L), (21L, "d2", 98L),
+      (3L, "d3", 30L)),
+      s"untouched partitions must survive, restated one must be replaced: $after")
+    // idempotent: the same restatement twice is a no-op
+    Maintenance.overwritePartitions(spark,
+      dir, Seq((20L, "d2", 99L), (21L, "d2", 98L)).toDF("id", "day", "v"), "day")
+    assert(spark.read.parquet(dir).count() == 4)
+    // the global conf is not left mutated
+    assert(!spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      .contains("dynamic"))
+  }
+
   test("ingest dedup appends only unseen content") {
     val target = s"$tmp/docs_target"
     val docs = Lake.documents(spark, Sf)
