@@ -258,6 +258,8 @@ object SparkEntry {
     "q_cust_distribution" -> Relational.custOrderDistribution _,
     // Winsorization: percentile clipping with an audit flag
     "q_winsorize"         -> CatalogOps.winsorizeQuery _,
+    // Feature-hashing text embedder (long form; dense feeds the ANN stack)
+    "q_hash_embed"        -> TextOps.hashEmbedLong _,
   )
 
   /** [[TextOps.patternScan]] dictionary for the driver query: token
@@ -841,6 +843,26 @@ object SparkEntry {
         |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
         |  GROUP BY c.c_custkey)
         |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    // Hash embedder: same md5-slice hash, bucket and sign arithmetic,
+    // integral sums, one sqrt — component-exact in both engines.
+    "q_hash_embed" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |             FROM documents WHERE text IS NOT NULL),
+        |h AS (SELECT doc_id,
+        |        CAST(CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) % 16
+        |             AS INT) AS dim,
+        |        CASE WHEN (CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)
+        |                   // 16) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+        |      FROM tok),
+        |s AS (SELECT doc_id, dim, CAST(sum(sgn) AS BIGINT) AS v
+        |      FROM h GROUP BY doc_id, dim),
+        |n AS (SELECT doc_id, sqrt(sum(CAST(v AS DOUBLE) * v)) AS nrm
+        |      FROM s GROUP BY doc_id)
+        |SELECT s.doc_id, CAST(dim AS BIGINT) AS dim,
+        |  CASE WHEN nrm = 0 THEN NULL
+        |       ELSE round(v / nrm, 4) END AS component
+        |FROM s JOIN n ON s.doc_id = n.doc_id
+        |ORDER BY s.doc_id, dim""".stripMargin,
     // Winsorize: interpolated percentiles (quantile_cont ≡ Spark
     // percentile), clip in the same greatest/least order.
     "q_winsorize" ->

@@ -658,6 +658,54 @@ object TextOps {
   def repetitionProfile(spark: SparkSession, dir: String): DataFrame =
     repetitionProfile(Lake.documents(spark, dir))
 
+  /** Feature-hashing text embedder (the hashing trick): each token lands
+    * in bucket `hash % dim` with a ±1 sign from the next hash bit (the
+    * standard bias-reduction), per-doc bucket sums are L2-normalized —
+    * a deterministic, model-free text vectorizer whose output feeds the
+    * ENTIRE ANN/dedup stack ([[graft.operators.AnnOps]] brute-force /
+    * LSH / kNN, embedding near-dup) directly. Hashes via
+    * [[portableHash60]], integral sums, one sqrt — engine- and
+    * oracle-exact. Long form (doc_id, dim, component) over TOUCHED
+    * buckets; [[hashEmbed]] densifies to the (vec_id, embedding) shape.
+    * One explode + two map-side-combinable aggregates; a doc whose signs
+    * fully cancel (norm 0) emits null components rather than a fake
+    * direction. */
+  def hashEmbedLong(docs: DataFrame, dim: Int = 16): DataFrame = {
+    require(dim > 0, "dim must be positive")
+    val s = nonNull(docs)
+      .select(col("doc_id"), explode(toks).as("token"))
+      .select(col("doc_id"), portableHash60(col("token")).as("__h"))
+      // integer div/mod on the long hash — Column./ would go through
+      // doubles and scramble the low bits at 2^60 magnitudes
+      .select(col("doc_id"), (col("__h") % dim).cast("int").as("dim"),
+        when(expr(s"(__h div $dim) % 2") === 0, lit(1L))
+          .otherwise(lit(-1L)).as("sgn"))
+      .groupBy(col("doc_id"), col("dim"))
+      .agg(sum(col("sgn")).as("v"))
+    val n = s.groupBy(col("doc_id"))
+      .agg(sqrt(sum(col("v").cast("double") * col("v"))).as("nrm"))
+    s.join(n, "doc_id")
+      .select(col("doc_id"), col("dim").cast("long").as("dim"),
+        when(col("nrm") === 0d, lit(null))
+          .otherwise(round(col("v") / col("nrm"), 4)).as("component"))
+      .orderBy(col("doc_id"), col("dim"))
+  }
+
+  def hashEmbedLong(spark: SparkSession, dir: String): DataFrame =
+    hashEmbedLong(Lake.documents(spark, dir))
+
+  /** Dense (vec_id, embedding array&lt;float&gt;) form of [[hashEmbedLong]]
+    * — drop-in input for every ANN operator (untouched buckets are 0). */
+  def hashEmbed(docs: DataFrame, dim: Int = 16): DataFrame =
+    hashEmbedLong(docs, dim)
+      .groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(
+        struct(col("dim").cast("int"), col("component")))).as("m"))
+      .select(col("doc_id").as("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => coalesce(element_at(col("m"), i), lit(0d)).cast("float"))
+          .as("embedding"))
+
   /** C4-style text normalization: lowercase, strip punctuation to spaces,
     * collapse whitespace runs, trim — the canonical form exact-dedup and
     * n-gram ops should see (e.g. "Hello, World!" and "hello world" are

@@ -5,6 +5,35 @@ import graft.operators.TextOps
 /** Text-analysis semantics not covered by the SQL oracle. */
 class TextOpsSpec extends SparkSpecBase {
 
+  test("hash embeddings are unit-norm, feed the ANN stack, and pull textual near-dups together") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "spark table scan join filter merge sort window"),
+      (2L, "spark table scan join filter merge sort group"), // 7/8 tokens shared
+      (3L, "alpha beta gamma delta epsilon zeta eta theta")
+    ).toDF("doc_id", "text")
+    val emb = TextOps.hashEmbed(docs)
+    val rows = emb.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    assert(rows.values.forall(_.length == 16), "dense 16-dim vectors")
+    for ((id, v) <- rows) {
+      val norm = math.sqrt(v.map(x => x.toDouble * x).sum)
+      assert(math.abs(norm - 1.0) < 0.01, s"doc $id norm $norm not ~1")
+    }
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => x.toDouble * y }.sum /
+        (math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum))
+    assert(cos(rows(1L), rows(2L)) > cos(rows(1L), rows(3L)) + 0.3,
+      "near-dup text must be far closer than unrelated text")
+    // the dense shape drops straight into the ANN operators
+    val q = emb.filter(col("vec_id") === 1L)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val nn = graft.operators.AnnOps.bruteForce(emb, q, k = 1).collect()
+    assert(nn.length == 1 && nn.head.getLong(1) == 2L,
+      s"doc 1's nearest hashed neighbor must be its near-copy: ${nn.toSeq}")
+  }
+
   test("repetition profile: planted loop, clean doc, and too-short doc behave per spec") {
     import spark.implicits._
     val docs = Seq(
