@@ -260,6 +260,15 @@ object SparkEntry {
     "q_winsorize"         -> CatalogOps.winsorizeQuery _,
     // Feature-hashing text embedder (long form; dense feeds the ANN stack)
     "q_hash_embed"        -> TextOps.hashEmbedLong _,
+    // Positional (U-shaped) multi-touch conversion attribution
+    "q_attribution"       -> ((s: SparkSession, d: String) =>
+      EventOps.attribution(s, d)),
+    // Exponential time-decay engagement score per user
+    "q_decay"             -> ((s: SparkSession, d: String) =>
+      EventOps.decayedEngagement(s, d)),
+    // CUSUM change-point screen over daily per-type counts
+    "q_cusum"             -> ((s: SparkSession, d: String) =>
+      EventOps.cusum(s, d)),
   )
 
   /** [[TextOps.patternScan]] dictionary for the driver query: token
@@ -863,6 +872,63 @@ object SparkEntry {
         |       ELSE round(v / nrm, 4) END AS component
         |FROM s JOIN n ON s.doc_id = n.doc_id
         |ORDER BY s.doc_id, dim""".stripMargin,
+    // Attribution: same backward purchase-count window, same 40/20/40
+    // credit expression, per-row round(10) → exact decimal sum.
+    "q_attribution" ->
+      """WITH g AS (
+        |  SELECT *, sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS conv_grp
+        |  FROM events),
+        |t AS (
+        |  SELECT *, count(*) OVER (PARTITION BY user_id, conv_grp) AS n_touch,
+        |    row_number() OVER (PARTITION BY user_id, conv_grp
+        |                       ORDER BY ts, event_id) AS pos
+        |  FROM g WHERE conv_grp > 0 AND event_type <> 'purchase')
+        |SELECT event_type, count(*) AS touches,
+        |  round(CAST(sum(CAST(round(
+        |    CASE WHEN n_touch = 1 THEN 1.0
+        |         WHEN n_touch = 2 THEN 0.5
+        |         WHEN pos = 1 OR pos = n_touch THEN 0.4
+        |         ELSE 0.2 / CAST(n_touch - 2 AS DOUBLE) END, 10)
+        |    AS DECIMAL(38,10))) AS DOUBLE), 4) AS credit
+        |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // Decay: exact-microsecond Δt, one pow(2,x) per row, round(8) terms
+    // decimal-summed — identical arithmetic order in both engines.
+    "q_decay" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  round(CAST(sum(CAST(round(value * pow(2.0,
+        |    -CAST(epoch_us(TIMESTAMP '2024-02-01') - epoch_us(ts) AS DOUBLE)
+        |      / 604800000000.0), 8) AS DECIMAL(38,8))) AS DOUBLE), 4)
+        |    AS decayed_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // CUSUM: z from exact integer sums, recursion replayed in day order
+    // by a recursive CTE — same operation sequence, bit-identical S_i.
+    "q_cusum" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT cast(date_trunc('day', ts) AS timestamp) AS day, event_type,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, sum(n) AS s1, sum(n * n) AS s2,
+        |         count(*) AS w FROM daily GROUP BY 1),
+        |z AS (
+        |  SELECT d.event_type, d.day,
+        |    (CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) / w) /
+        |      sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / w)
+        |           / (w - 1)) AS z,
+        |    row_number() OVER (PARTITION BY d.event_type ORDER BY d.day) AS i
+        |  FROM daily d JOIN st USING (event_type)
+        |  WHERE w > 1 AND (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / w)
+        |        / (w - 1) > 0),
+        |c AS (
+        |  SELECT event_type, day, i, z, greatest(0.0, z - 0.5) AS s
+        |  FROM z WHERE i = 1
+        |  UNION ALL
+        |  SELECT z.event_type, z.day, z.i, z.z, greatest(0.0, c.s + z.z - 0.5)
+        |  FROM c JOIN z ON z.event_type = c.event_type AND z.i = c.i + 1)
+        |SELECT event_type, day, round(z, 4) AS z, round(s, 4) AS cusum,
+        |  s >= 4.0 AS alarm
+        |FROM c ORDER BY event_type, day""".stripMargin,
     // Winsorize: interpolated percentiles (quantile_cont ≡ Spark
     // percentile), clip in the same greatest/least order.
     "q_winsorize" ->

@@ -330,4 +330,126 @@ object EventOps {
         count(col("k")).as("n"),
         round(sum(col("k")).cast("double") / count(col("k")), 4).as("avg_k"))
       .orderBy(col("event_type"))
+
+  /** Positional (U-shaped) multi-touch attribution: every non-purchase
+    * touch is assigned to the NEXT purchase of the same user (a
+    * backward-counting window sum of the purchase flag — touches after
+    * the user's last purchase never convert and are dropped), then
+    * credit for each conversion is split 40/20/40: sole touch 1.0, two
+    * touches 0.5 each, otherwise 0.4 to first and last and 0.2 shared
+    * evenly by the middles. Per-row credits are one fixed double
+    * division rounded to 10 decimals and summed as decimals, so the
+    * per-channel totals are order-independent and engine-exact.
+    *
+    * Two window passes over one user-partitioned shuffle (conversion
+    * grouping, then position within the conversion) + one
+    * map-side-combinable aggregate — the sessionization plan shape, no
+    * self-join, no skew hot-spot (user_id is high-cardinality). */
+  def attribution(events: DataFrame): DataFrame = {
+    val isP = when(col("event_type") === "purchase", 1L).otherwise(0L)
+    // #purchases at-or-after each row: purchases count themselves, so a
+    // touch shares the value of exactly the purchase it precedes
+    val wBack = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val touches = events
+      .withColumn("conv_grp", sum(isP).over(wBack))
+      .filter(col("conv_grp") > 0 && col("event_type") =!= "purchase")
+    val wConv = Window.partitionBy(col("user_id"), col("conv_grp"))
+    val wPos = wConv.orderBy(col("ts"), col("event_id"))
+    val n = col("n_touch")
+    val credit = when(n === 1, lit(1.0))
+      .when(n === 2, lit(0.5))
+      .when(col("pos") === 1 || col("pos") === n, lit(0.4))
+      .otherwise(lit(0.2) / (n - lit(2)).cast("double"))
+    touches
+      .withColumn("n_touch", count(lit(1)).over(wConv))
+      .withColumn("pos", row_number().over(wPos))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("touches"),
+        round(sum(round(credit, 10).cast(DecimalType(38, 10)))
+          .cast("double"), 4).as("credit"))
+      .orderBy(col("event_type"))
+  }
+
+  def attribution(spark: SparkSession, dir: String): DataFrame =
+    attribution(Lake.events(spark, dir))
+
+  /** Exponential time-decay engagement score: per user,
+    * Σ value · 2^(−Δt / halfLife) against a FIXED anchor instant (a
+    * constant, not max(ts) — retry-stable and identical across engines;
+    * events past the anchor amplify, by formula). Δt in exact
+    * microseconds (`unix_micros`), the decay a single pow(2, x) per
+    * row; per-row terms rounded to 8 decimals and decimal-summed so the
+    * per-user total is addition-order-independent. One
+    * map-side-combinable aggregate over one scan — nothing else. */
+  def decayedEngagement(events: DataFrame, halfLifeDays: Double = 7.0,
+                        anchor: String = "2024-02-01"): DataFrame = {
+    val anchorUs = unix_micros(to_timestamp(lit(anchor)))
+    val decay = pow(lit(2.0),
+      -(anchorUs - unix_micros(col("ts"))).cast("double") /
+        lit(halfLifeDays * 86400e6))
+    events
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(round(col("value") * decay, 8).cast(DecimalType(38, 8)))
+          .cast("double"), 4).as("decayed_value"))
+      .orderBy(col("user_id"))
+  }
+
+  def decayedEngagement(spark: SparkSession, dir: String): DataFrame =
+    decayedEngagement(Lake.events(spark, dir))
+
+  /** One-sided CUSUM change-point screen over the daily per-type count
+    * series: standardize each day against the series' own mean/variance
+    * (derived from EXACT integer sums — the [[anomaliesOn]] determinism
+    * discipline), then the classic recursion S_i = max(0, S_{i−1} + z_i
+    * − slack), alarming where S_i ≥ `threshold`. A rolling z-score
+    * ([[anomalies]]) flags isolated spikes; CUSUM accumulates evidence,
+    * catching small SUSTAINED level shifts a per-point screen misses.
+    *
+    * The recursion is not a window prefix-sum (max(0,·) at every step),
+    * so each series is packed into a sorted array and scanned with the
+    * higher-order `aggregate` — per-group state is one series (bounded
+    * by the time span, never by corpus size), and the scan itself is a
+    * single codegen'd expression. Same scan order on the oracle side
+    * (a recursive CTE) → bit-identical doubles. */
+  def cusum(events: DataFrame, slack: Double = 0.5,
+            threshold: Double = 4.0): DataFrame = {
+    val daily = events
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val stats = daily.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("s1"), sum(col("n") * col("n")).as("s2"),
+        count(lit(1)).as("w"))
+    val mean = col("s1").cast("double") / col("w")
+    val variance = (col("s2").cast("double") -
+      col("s1").cast("double") * col("s1").cast("double") / col("w")) /
+      (col("w") - lit(1))
+    val z = daily.join(broadcast(stats), "event_type")
+      .filter(col("w") > 1 && variance > 0)
+      .withColumn("z", (col("n").cast("double") - mean) / sqrt(variance))
+    z.groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("day"), col("z")))).as("seq"))
+      .withColumn("s_arr", expr(
+        s"""aggregate(seq,
+           |  struct(cast(0.0 AS double) AS s, cast(array() AS array<double>) AS out),
+           |  (acc, x) -> struct(
+           |    greatest(cast(0.0 AS double), acc.s + x.z - $slack) AS s,
+           |    array_append(acc.out,
+           |      greatest(cast(0.0 AS double), acc.s + x.z - $slack)) AS out),
+           |  acc -> acc.out)""".stripMargin))
+      .select(col("event_type"),
+        explode(arrays_zip(col("seq"), col("s_arr"))).as("r"))
+      .select(col("event_type"), col("r.seq.day").as("day"),
+        round(col("r.seq.z"), 4).as("z"),
+        round(col("r.s_arr"), 4).as("cusum"),
+        (col("r.s_arr") >= threshold).as("alarm"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  def cusum(spark: SparkSession, dir: String): DataFrame =
+    cusum(Lake.events(spark, dir))
 }

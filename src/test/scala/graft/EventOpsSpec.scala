@@ -30,4 +30,78 @@ class EventOpsSpec extends SparkSpecBase {
       .as[Long].collect().toSeq
     assert(out == Seq(1L, 3L))
   }
+
+  test("attribution: 40/20/40 split, post-purchase touches dropped, multi-conversion paths separate") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1, conversion 1: view → click → view → purchase
+      //   first (view) 0.4, middle (click) 0.2, last (view) 0.4
+      (1L, "view", 1L, 100L), (1L, "click", 2L, 200L),
+      (1L, "view", 3L, 300L), (1L, "purchase", 4L, 400L),
+      // user 1, conversion 2 (separate path): sole click → purchase = 1.0
+      (1L, "click", 5L, 500L), (1L, "purchase", 6L, 600L),
+      // user 1: a trailing view with no later purchase — no credit at all
+      (1L, "view", 7L, 700L),
+      // user 2: two touches → 0.5 each
+      (2L, "view", 8L, 100L), (2L, "click", 9L, 200L),
+      (2L, "purchase", 10L, 300L))
+      .toDF("user_id", "event_type", "event_id", "us_raw")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        timestamp_micros(col("us_raw")).as("ts"))
+    val out = EventOps.attribution(ev).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // views: 0.4 + 0.4 + 0.5 = 1.3 over 4 touches (one uncredited but
+    // counted? no — dropped rows never reach the aggregate: 3 touches)
+    assert(out("view") == (3L, 1.3), s"views: ${out("view")}")
+    // clicks: 0.2 (middle) + 1.0 (sole) + 0.5 = 1.7 over 3 touches
+    assert(out("click") == (3L, 1.7), s"clicks: ${out("click")}")
+    // total credit distributed = one unit per conversion (3 conversions)
+    assert(math.abs(out.values.map(_._2).sum - 3.0) < 1e-9)
+    assert(!out.contains("purchase"))
+  }
+
+  test("cusum accumulates a sustained small shift past the alarm that a 3-sigma point screen misses") {
+    import spark.implicits._
+    // 20 days at 10/day, then 10 days at 14/day: each shifted day is a
+    // mild ~+1.7σ point (never 3σ), but CUSUM piles them up
+    val rows = for {
+      day <- 0 until 30
+      n = if (day < 20) 10 else 14
+      i <- 0 until n
+    } yield (day.toLong * 1000 + i, "click",
+      day.toLong * 86400000000L + i * 1000000L)
+    val ev = rows.toDF("event_id", "event_type", "us_raw")
+      .select(col("event_id"), col("event_type"),
+        timestamp_micros(col("us_raw")).as("ts"),
+        lit(1L).as("user_id"), lit(0.0).as("value"), lit("{}").as("props"))
+    val out = EventOps.cusum(ev).collect()
+      .map(r => (r.getTimestamp(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4)))
+    assert(out.length == 30)
+    // no single day is a 3-sigma outlier…
+    assert(out.forall { case (_, z, _, _) => math.abs(z) < 3.0 })
+    // …but the cumulative screen alarms inside the shifted regime
+    val alarms = out.filter(_._4)
+    assert(alarms.nonEmpty, "sustained shift must trip the CUSUM alarm")
+    val firstAlarmDay = out.indexWhere(_._4)
+    assert(firstAlarmDay >= 20, s"alarm must not fire before the shift (day $firstAlarmDay)")
+    // pre-shift the statistic stays small (max(0,·) clamps drift)
+    assert(out.take(20).forall(_._3 < 4.0))
+  }
+
+  test("decayed engagement: halving per half-life, exact at the anchor") {
+    import spark.implicits._
+    val anchor = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
+    val week = 7L * 86400000000L
+    val ev = Seq(
+      // user 1: 8.0 AT the anchor (weight 1) + 8.0 one half-life earlier
+      // (weight 0.5) = 12.0
+      (1L, 0L, 8.0), (2L, -week, 8.0))
+      .map { case (id, off, v) => (id, 1L, "view", v,
+        java.time.Instant.ofEpochMilli(anchor.getTime).plusNanos(off * 1000)) }
+      .toDF("event_id", "user_id", "event_type", "value", "ts")
+    val out = EventOps.decayedEngagement(ev).collect()
+    assert(out.length == 1 && out.head.getLong(1) == 2L)
+    assert(math.abs(out.head.getDouble(2) - 12.0) < 1e-6,
+      s"got ${out.head.getDouble(2)}")
+  }
 }
