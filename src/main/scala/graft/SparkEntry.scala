@@ -269,6 +269,12 @@ object SparkEntry {
     // CUSUM change-point screen over daily per-type counts
     "q_cusum"             -> ((s: SparkSession, d: String) =>
       EventOps.cusum(s, d)),
+    // ExactSubstr-style duplicated-span coverage per doc
+    "q_dup_spans"         -> ((s: SparkSession, d: String) =>
+      TextOps.duplicatedSpans(s, d)),
+    // Per-source Wilson-lower-bound quality release gate
+    "q_domain_quality"    -> ((s: SparkSession, d: String) =>
+      TextOps.domainQuality(s, d)),
   )
 
   /** [[TextOps.patternScan]] dictionary for the driver query: token
@@ -929,6 +935,64 @@ object SparkEntry {
         |SELECT event_type, day, round(z, 4) AS z, round(s, 4) AS cusum,
         |  s >= 4.0 AS alarm
         |FROM c ORDER BY event_type, day""".stripMargin,
+    // Duplicated spans: same 60-bit gram hash, same global first-
+    // occurrence order (doc_id, pos), same ×n coverage expansion.
+    "q_dup_spans" ->
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+         |             FROM documents WHERE text IS NOT NULL),
+         |base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM tok),
+         |sh0 AS (
+         |  SELECT doc_id, list_transform(range(1, len(t) - 8),
+         |    i -> {'pos': i - 1,
+         |          'h': ${ph60Sql("array_to_string(t[i:i+9], ' ')")}}) AS ss
+         |  FROM tok WHERE len(t) >= 10),
+         |sh AS (SELECT doc_id, u.pos AS pos, u.h AS h
+         |       FROM (SELECT doc_id, unnest(ss) AS u FROM sh0)),
+         |d AS (SELECT doc_id, pos,
+         |        row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+         |      FROM sh),
+         |cov AS (SELECT doc_id, count(DISTINCT tpos) AS dup_tokens
+         |        FROM (SELECT doc_id, unnest(range(pos, pos + 10)) AS tpos
+         |              FROM d WHERE rn > 1)
+         |        GROUP BY doc_id)
+         |SELECT b.doc_id, b.n_tokens,
+         |  coalesce(dup_tokens, 0) AS dup_tokens,
+         |  round(coalesce(dup_tokens, 0) / b.n_tokens, 4) AS dup_frac
+         |FROM base b LEFT JOIN cov USING (doc_id)
+         |ORDER BY b.doc_id""".stripMargin,
+    // Domain gate: the q_quality_rules keep verdict aggregated by source,
+    // Wilson bound as one fixed double expression over integer counts.
+    "q_domain_quality" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS tok
+        |           FROM documents WHERE text IS NOT NULL),
+        |m AS (
+        |  SELECT doc_id, source,
+        |    len(tok) AS n_tokens,
+        |    (SELECT max(c) FROM (SELECT count(*) AS c FROM unnest(tok) AS u(x) GROUP BY x)) * 1.0
+        |      / len(tok) AS top_ratio,
+        |    CASE WHEN len(tok) >= 3 THEN
+        |      1.0 - len(list_distinct(list_transform(range(1, len(tok) - 1),
+        |              i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2]))) * 1.0 / (len(tok) - 2)
+        |    ELSE 0.0 END AS dup3
+        |  FROM t),
+        |g AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    sum(CASE WHEN n_tokens BETWEEN 25 AND 10000 AND top_ratio <= 0.12
+        |             AND dup3 <= 0.02 THEN 1 ELSE 0 END) AS n_keep
+        |  FROM m GROUP BY source)
+        |SELECT source, n_docs, CAST(n_keep AS BIGINT) AS n_keep,
+        |  round(CAST(n_keep AS DOUBLE) / n_docs, 4) AS keep_rate,
+        |  round((CAST(n_keep AS DOUBLE) / n_docs + (1.96 * 1.96) / (2 * CAST(n_docs AS DOUBLE))
+        |    - 1.96 * sqrt(CAST(n_keep AS DOUBLE) / n_docs * (1.0 - CAST(n_keep AS DOUBLE) / n_docs)
+        |        / CAST(n_docs AS DOUBLE)
+        |      + (1.96 * 1.96) / (4 * CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE))))
+        |    / (1.0 + (1.96 * 1.96) / CAST(n_docs AS DOUBLE)), 4) AS wilson_lo,
+        |  (CAST(n_keep AS DOUBLE) / n_docs + (1.96 * 1.96) / (2 * CAST(n_docs AS DOUBLE))
+        |    - 1.96 * sqrt(CAST(n_keep AS DOUBLE) / n_docs * (1.0 - CAST(n_keep AS DOUBLE) / n_docs)
+        |        / CAST(n_docs AS DOUBLE)
+        |      + (1.96 * 1.96) / (4 * CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE))))
+        |    / (1.0 + (1.96 * 1.96) / CAST(n_docs AS DOUBLE)) >= 0.5 AS source_kept
+        |FROM g ORDER BY source""".stripMargin,
     // Winsorize: interpolated percentiles (quantile_cont ≡ Spark
     // percentile), clip in the same greatest/least order.
     "q_winsorize" ->

@@ -706,6 +706,84 @@ object TextOps {
           i => coalesce(element_at(col("m"), i), lit(0d)).cast("float"))
           .as("embedding"))
 
+  /** ExactSubstr-style duplicated-span coverage (the "dedupe repeated
+    * passages, not just whole documents" screen): every word-`n`-gram
+    * occurrence that is NOT the globally first occurrence of that gram
+    * marks its `n` token positions as duplicated; per doc, the distinct
+    * covered positions over the token count is the duplicated-text
+    * fraction. Whole-doc exact dedup misses a copied paragraph inside an
+    * otherwise-unique page — this is the operator that sees it.
+    *
+    * Scale shape: one shuffle keyed by the 60-bit gram hash (high
+    * cardinality, no hot key wider than a boilerplate gram's occurrence
+    * list), first-occurrence via row_number — a window, not a self-join —
+    * then the coverage explode is a bounded ×n fan-out of only the
+    * DUPLICATE rows, counted distinct per doc. Docs shorter than `n`
+    * tokens have no spans (whole-doc dedup owns that regime). Hash is
+    * [[portableHash60]], so the oracle reproduces every value. */
+  def duplicatedSpans(docs: DataFrame, n: Int = 10): DataFrame = {
+    val base = nonNull(docs)
+      .select(col("doc_id"), size(toks).cast("long").as("n_tokens"))
+    val sh = nonNull(docs)
+      .select(col("doc_id"), toks.as("__toks"))
+      .filter(size(col("__toks")) >= n)
+      .select(col("doc_id"),
+        posexplode(shinglesOf(col("__toks"), n)).as(Seq("pos", "s")))
+      .select(col("doc_id"), col("pos"), portableHash60(col("s")).as("h"))
+    val w = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("pos"))
+    val covered = sh
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") > 1)
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("tpos"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("tpos")).as("dup_tokens"))
+    base.join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        round(coalesce(col("dup_tokens"), lit(0L)) / col("n_tokens"), 4)
+          .as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  def duplicatedSpans(spark: SparkSession, dir: String): DataFrame =
+    duplicatedSpans(Lake.documents(spark, dir))
+
+  /** Per-source (domain-level) quality release gate: aggregate the
+    * [[qualityRules]] per-doc keep verdicts by `source` and gate each
+    * source on the WILSON LOWER BOUND of its keep rate (z = 1.96) —
+    * the small-sample-honest statistic for "drop this domain wholesale":
+    * a 2-doc source at 50% observed keep is not evidence of anything,
+    * and the raw rate would claim it is. Closed-form doubles from exact
+    * integer counts, so engine-exact; one extra map-side-combinable
+    * aggregate over the per-doc frame. */
+  def domainQuality(docs: DataFrame, minRate: Double = 0.5): DataFrame = {
+    val z2 = 1.96 * 1.96
+    val perDoc = qualityRules(docs)
+      .select(col("doc_id"), col("keep"))
+      .join(nonNull(docs).select(col("doc_id"), col("source")), "doc_id")
+    val agg = perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"))
+    val p = col("n_keep").cast("double") / col("n_docs")
+    val nn = col("n_docs").cast("double")
+    // every product of small integers is exact in doubles, so the only
+    // order that matters vs the oracle is the additions/divisions — kept
+    // term-for-term identical
+    val wilsonLo = (p + lit(z2) / (lit(2.0) * nn) -
+      lit(1.96) * sqrt(p * (lit(1.0) - p) / nn +
+        lit(z2) / (lit(4.0) * nn * nn))) /
+      (lit(1.0) + lit(z2) / nn)
+    agg.select(col("source"), col("n_docs"), col("n_keep"),
+        round(p, 4).as("keep_rate"),
+        round(wilsonLo, 4).as("wilson_lo"),
+        (wilsonLo >= minRate).as("source_kept"))
+      .orderBy(col("source"))
+  }
+
+  def domainQuality(spark: SparkSession, dir: String): DataFrame =
+    domainQuality(Lake.documents(spark, dir))
+
   /** C4-style text normalization: lowercase, strip punctuation to spaces,
     * collapse whitespace runs, trim — the canonical form exact-dedup and
     * n-gram ops should see (e.g. "Hello, World!" and "hello world" are

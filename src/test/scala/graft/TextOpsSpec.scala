@@ -34,6 +34,53 @@ class TextOpsSpec extends SparkSpecBase {
       s"doc 1's nearest hashed neighbor must be its near-copy: ${nn.toSeq}")
   }
 
+  test("duplicated spans: copied passage marked in the copy only, first occurrence clean") {
+    import spark.implicits._
+    def words(prefix: String, n: Int): String =
+      (0 until n).map(i => s"$prefix$i").mkString(" ")
+    val passage = words("p", 12) // 12 shared tokens → three 10-gram starts
+    val docs = Seq(
+      // doc 1: the ORIGINAL — unique preamble + the passage
+      (1L, words("a", 8) + " " + passage),
+      // doc 2: copies the passage inside its own unique text
+      (2L, words("b", 8) + " " + passage + " " + words("c", 8)),
+      // doc 3: fully unique, long enough to shingle
+      (3L, words("d", 25)),
+      // doc 4: too short for any 10-gram span
+      (4L, words("e", 5))
+    ).toDF("doc_id", "text")
+    val out = TextOps.duplicatedSpans(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // first occurrence (doc 1, global (doc_id, pos) order) is never marked
+    assert(out(1L) == (20L, 0L, 0.0), s"doc1: ${out(1L)}")
+    // the copy: exactly the 12 passage tokens are covered (3 dup 10-gram
+    // starts at positions 8,9,10 → union covers positions 8..19)
+    assert(out(2L) == (28L, 12L, 0.4286), s"doc2: ${out(2L)}")
+    assert(out(3L) == (25L, 0L, 0.0))
+    assert(out(4L) == (5L, 0L, 0.0))
+  }
+
+  test("domain quality gate: Wilson bound keeps the evidenced source, withholds judgment on tiny samples") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // "good" text passes qualityRules (30 distinct tokens); "bad" is one
+    // token repeated (top_ratio 1.0)
+    def good(seed: Int): String = (0 until 30).map(i => s"w${seed}_$i").mkString(" ")
+    val bad = ("x " * 30).trim
+    val rows =
+      (0 until 40).map(i => (i.toLong, good(i), "solid.example")) ++       // 40/40 keep
+      Seq((100L, good(100), "tiny.example"), (101L, bad, "tiny.example")) ++ // 1/2 keep
+      (0 until 40).map(i => (200L + i, bad, "junk.example"))               // 0/40 keep
+    val docs = rows.toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en")).withColumn("n_chars", length(col("text")))
+    val out = TextOps.domainQuality(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(5))).toMap
+    assert(out("solid.example") == (40L, 40L, true))
+    // observed 50% on n=2 has a Wilson lower bound ~0.095 — NOT kept
+    assert(out("tiny.example") == (2L, 1L, false))
+    assert(out("junk.example") == (40L, 0L, false))
+  }
+
   test("repetition profile: planted loop, clean doc, and too-short doc behave per spec") {
     import spark.implicits._
     val docs = Seq(
