@@ -275,6 +275,8 @@ object SparkEntry {
     // Per-source Wilson-lower-bound quality release gate
     "q_domain_quality"    -> ((s: SparkSession, d: String) =>
       TextOps.domainQuality(s, d)),
+    // PageRank power iteration over the customer↔supplier trade graph
+    "q_pagerank"          -> GraphOps.pageRankQuery _,
   )
 
   /** [[TextOps.patternScan]] dictionary for the driver query: token
@@ -993,6 +995,32 @@ object SparkEntry {
         |      + (1.96 * 1.96) / (4 * CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE))))
         |    / (1.0 + (1.96 * 1.96) / CAST(n_docs AS DOUBLE)) >= 0.5 AS source_kept
         |FROM g ORDER BY source""".stripMargin,
+    // PageRank: the three power iterations unrolled as CTEs — identical
+    // contribution rounding (12), decimal sums, and rank expression.
+    "q_pagerank" -> {
+      def iter(prev: Int, cur: Int): String =
+        s"""c$cur AS (SELECT e.dst, sum(CAST(round(r.pr / r.deg, 12) AS DECIMAL(38,12))) AS m
+           |  FROM edges e JOIN r$prev r ON e.src = r.node GROUP BY e.dst),
+           |r$cur AS (SELECT d.node, d.deg,
+           |    round((1.0 - 0.85) / n + 0.85 * coalesce(CAST(m AS DOUBLE), 0.0), 12) AS pr
+           |  FROM deg d LEFT JOIN c$cur ON d.node = c$cur.dst CROSS JOIN nn)"""
+          .stripMargin
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS c,
+         |                  's' || CAST(l_suppkey AS VARCHAR) AS s
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |edges AS (SELECT c AS src, s AS dst FROM pairs
+         |          UNION ALL SELECT s, c FROM pairs),
+         |deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+         |r0 AS (SELECT node, deg, round(1.0 / n, 12) AS pr
+         |       FROM deg CROSS JOIN nn),
+         |${iter(0, 1)},
+         |${iter(1, 2)},
+         |${iter(2, 3)}
+         |SELECT node, deg, round(pr, 6) AS pagerank
+         |FROM r3 ORDER BY pr DESC, node LIMIT 20""".stripMargin
+    },
     // Winsorize: interpolated percentiles (quantile_cont ≡ Spark
     // percentile), clip in the same greatest/least order.
     "q_winsorize" ->

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.storage.StorageLevel
+
+import graft.Lake
+
+/** Graph analytics over lake-derived graphs (SURVEY.md §2 item 150).
+  *
+  * The connected-components machinery lives with dedup
+  * ([[DedupOps.clustersFromPairs]]); this module holds the
+  * rank/propagation family. Everything is edge-frame-shaped: a graph is
+  * just a DataFrame of (src, dst) rows, so any join/aggregate source —
+  * trade relationships, kNN neighborhoods, session transitions — drops
+  * in. */
+object GraphOps {
+
+  private val dec12 = DecimalType(38, 12)
+
+  /** PageRank by power iteration over an arbitrary symmetric edge frame:
+    * rank flows along edges, `damping` of it recycled each round plus the
+    * uniform teleport share. A FIXED iteration count (default 3) keeps
+    * the result closed-form enough for an exact oracle while showing the
+    * real distributed shape: each iteration is one edge⋈rank join + one
+    * aggregation — rank and degree frames are node-sized, edges stay
+    * distributed, the node count is a one-row broadcast. With symmetric
+    * edges every node has out-degree ≥ 1, so no dangling-mass correction
+    * is needed.
+    *
+    * Determinism discipline: per-edge contributions are one double
+    * division rounded to 12 decimals and summed as DECIMAL(38,12) —
+    * addition-order-independent — and each new rank is one fixed double
+    * expression of that exact sum, re-rounded to 12. Any engine replaying
+    * the same expressions over the same integers agrees bit-for-bit.
+    *
+    * The edge frame is persisted for the life of the loop (consumed
+    * `iters`+1 times) and released as soon as the bounded result is
+    * materialized — the setSimilarityJoin cache discipline. */
+  def pageRank(edges0: DataFrame, iters: Int = 3, damping: Double = 0.85,
+               k: Int = 20): DataFrame = {
+    require(iters >= 1, "pageRank needs at least one iteration")
+    val edges = edges0.persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .withColumnRenamed("src", "node")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nRow = deg.agg(count(lit(1)).cast("double").as("n"))
+    var pr = deg.crossJoin(broadcast(nRow))
+      .select(col("node"), col("deg"), round(lit(1.0) / col("n"), 12).as("pr"))
+    for (_ <- 1 to iters) {
+      val contribs = edges
+        .join(pr, edges("src") === pr("node"))
+        .select(col("dst"),
+          round(col("pr") / col("deg"), 12).cast(dec12).as("contrib"))
+        .groupBy(col("dst")).agg(sum(col("contrib")).as("m"))
+      pr = deg.join(contribs, col("node") === col("dst"), "left")
+        .crossJoin(broadcast(nRow))
+        .select(col("node"), col("deg"),
+          round(lit(1.0 - damping) / col("n") +
+            lit(damping) * coalesce(col("m").cast("double"), lit(0.0)),
+            12).as("pr"))
+    }
+    val out = pr
+      .select(col("node"), col("deg"), round(col("pr"), 6).as("pagerank"))
+      .orderBy(col("pagerank").desc, col("node"))
+      .limit(k)
+      .localCheckpoint(true)
+    deg.unpersist(false)
+    edges.unpersist(false)
+    out
+  }
+
+  /** The lake's trade graph: customer `c<key>` ↔ supplier `s<key>` with
+    * an edge per DISTINCT trading pair (orders ⋈ lineitem), symmetric so
+    * rank flows both ways. High-cardinality keys, no hot node beyond a
+    * genuinely popular supplier — which is exactly what the rank should
+    * surface. */
+  def tradeEdges(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Lake.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(Lake.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(concat(lit("c"), col("o_custkey").cast("string")).as("c"),
+        concat(lit("s"), col("l_suppkey").cast("string")).as("s"))
+      .distinct()
+    pairs.select(col("c").as("src"), col("s").as("dst"))
+      .unionByName(pairs.select(col("s").as("src"), col("c").as("dst")))
+  }
+
+  /** Registered query: top-20 PageRank nodes of the trade graph. */
+  def pageRankQuery(spark: SparkSession, dir: String): DataFrame =
+    pageRank(tradeEdges(spark, dir))
+}

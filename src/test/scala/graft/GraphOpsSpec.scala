@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.GraphOps
+
+/** PageRank semantics on planted graphs — structure the synthetic trade
+  * graph cannot pin down (exact symmetry, hub dominance, mass
+  * conservation). */
+class GraphOpsSpec extends SparkSpecBase {
+
+  private def sym(pairs: (String, String)*) = {
+    import spark.implicits._
+    val df = pairs.toDF("src", "dst")
+    df.unionByName(df.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  test("pageRank: hub out-ranks leaves, symmetric leaves tie, mass ≈ 1") {
+    // star: hub — 4 leaves, plus an isolated 2-clique
+    val edges = sym(("hub", "l1"), ("hub", "l2"), ("hub", "l3"), ("hub", "l4"),
+      ("a", "b"))
+    val out = GraphOps.pageRank(edges, k = 10).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(out.size == 7)
+    val leaves = Seq("l1", "l2", "l3", "l4").map(out)
+    assert(leaves.distinct.size == 1, s"symmetric leaves must tie: $leaves")
+    assert(out("hub") > leaves.head * 2,
+      s"hub ${out("hub")} must dominate a leaf ${leaves.head}")
+    assert(out("a") == out("b"))
+    // total rank stays a probability mass (teleport conserves it)
+    assert(math.abs(out.values.sum - 1.0) < 1e-3, s"mass ${out.values.sum}")
+  }
+
+  test("pageRank: top-k truncates by rank with node tie-break") {
+    val edges = sym(("h", "x1"), ("h", "x2"), ("h", "x3"))
+    val out = GraphOps.pageRank(edges, k = 2).collect()
+    assert(out.length == 2)
+    assert(out.head.getString(0) == "h")
+    assert(out(1).getString(0) == "x1") // equal-rank leaves: lexicographic
+  }
+
+  test("trade edges are symmetric and distinct") {
+    val e = GraphOps.tradeEdges(spark, Sf)
+    val n = e.count()
+    val nDistinct = e.distinct().count()
+    assert(n == nDistinct, "edge list must be pair-distinct")
+    val asym = e.select(col("src"), col("dst"))
+      .exceptAll(e.select(col("dst").as("src"), col("src").as("dst")))
+      .count()
+    assert(asym == 0, "every edge must have its reverse")
+  }
+}
