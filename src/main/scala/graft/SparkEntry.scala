@@ -277,6 +277,12 @@ object SparkEntry {
       TextOps.domainQuality(s, d)),
     // PageRank power iteration over the customer↔supplier trade graph
     "q_pagerank"          -> GraphOps.pageRankQuery _,
+    // Sessionized Markov transition matrix over event types
+    "q_transitions"       -> ((s: SparkSession, d: String) =>
+      EventOps.transitions(s, d)),
+    // Cross-source shingle-vocabulary overlap (Jaccard matrix)
+    "q_source_overlap"    -> ((s: SparkSession, d: String) =>
+      TextOps.sourceOverlap(s, d)),
   )
 
   /** [[TextOps.patternScan]] dictionary for the driver query: token
@@ -1021,6 +1027,54 @@ object SparkEntry {
          |SELECT node, deg, round(pr, 6) AS pagerank
          |FROM r3 ORDER BY pr DESC, node LIMIT 20""".stripMargin
     },
+    // Transitions: same session assignment as q_events_sessions, lead
+    // within the session window, per-from-type window total.
+    "q_transitions" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL 1800 SECOND
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM g
+        |), p AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id, session_id
+        |                           ORDER BY ts, event_id) AS to_type
+        |  FROM s
+        |), c AS (
+        |  SELECT from_type, to_type, count(*) AS n
+        |  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  round(n / sum(n) OVER (PARTITION BY from_type), 4) AS p
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
+    // Source overlap: same per-doc distinct shingles (short docs shingle
+    // to the whole text), distinct (source, shingle), exact pair counts.
+    "q_source_overlap" ->
+      """WITH tok AS (SELECT source, string_split(text, ' ') AS t
+        |             FROM documents WHERE text IS NOT NULL),
+        |sh0 AS (
+        |  SELECT source,
+        |    CASE WHEN len(t) >= 3
+        |      THEN list_distinct(list_transform(range(1, len(t) - 1),
+        |             i -> array_to_string(t[i:i+2], ' ')))
+        |      ELSE [array_to_string(t, ' ')] END AS ss
+        |  FROM tok),
+        |sh AS (SELECT DISTINCT source, unnest(ss) AS s FROM sh0),
+        |sizes AS (SELECT source, count(*) AS sz FROM sh GROUP BY 1),
+        |pc AS (
+        |  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT source_a, source_b, n_common,
+        |  round(n_common / (sa.sz + sb.sz - n_common), 4) AS jaccard
+        |FROM pc JOIN sizes sa ON pc.source_a = sa.source
+        |        JOIN sizes sb ON pc.source_b = sb.source
+        |ORDER BY source_a, source_b""".stripMargin,
     // Winsorize: interpolated percentiles (quantile_cont ≡ Spark
     // percentile), clip in the same greatest/least order.
     "q_winsorize" ->

@@ -452,4 +452,30 @@ object EventOps {
 
   def cusum(spark: SparkSession, dir: String): DataFrame =
     cusum(Lake.events(spark, dir))
+
+  /** Sessionized Markov transition matrix: P(next event type | current)
+    * over consecutive same-session event pairs ([[withSessionIds]]'s gap
+    * semantics — a transition never crosses a session boundary, which is
+    * what makes the matrix a behavioral model rather than an artifact of
+    * idle time). [[sessionPaths]] ranks whole journeys; this is the
+    * one-step model that generalizes — next-action prediction,
+    * anomaly-against-the-matrix scoring, and synthetic-journey
+    * generation all read from it.
+    *
+    * One lead() on the session window (the sessionization shuffle,
+    * reused), then a type-pair aggregate bounded by |types|² — the
+    * probability division is a single long/long per pair. */
+  def transitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("session_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = withSessionIds(spark, dir)
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    pairs
+      .withColumn("p",
+        round(col("n") / sum(col("n")).over(Window.partitionBy(col("from_type"))), 4))
+      .orderBy(col("from_type"), col("to_type"))
+  }
 }

@@ -784,6 +784,51 @@ object TextOps {
   def domainQuality(spark: SparkSession, dir: String): DataFrame =
     domainQuality(Lake.documents(spark, dir))
 
+  /** Cross-source overlap matrix: for every pair of sources, the exact
+    * Jaccard similarity of their word-`n`-gram shingle VOCABULARIES —
+    * the "how much does crawl A repeat crawl B" curation question asked
+    * before mixing sources. Emits only intersecting pairs (a pair with
+    * zero common shingles has nothing to report).
+    *
+    * Scale shape: NO self-join — (source, shingle) pairs deduplicate on
+    * one shuffle, then shingles group to their bounded source list
+    * (≤ |sources|) and pairs fan out as C(sources_per_shingle, 2), so
+    * even a boilerplate shingle present everywhere costs C(|sources|,2)
+    * rows, never corpus². Shingles stay strings for oracle exactness; at
+    * 100 TB swap in [[portableHash60]] for the group key (same plan, 8-
+    * byte key). Per-source sizes are a broadcast-sized dimension. */
+  def sourceOverlap(docs: DataFrame, n: Int = 3): DataFrame = {
+    val sh = nonNull(docs)
+      .select(col("source"), toks.as("__toks"))
+      .select(col("source"),
+        explode(array_distinct(shinglesOf(col("__toks"), n))).as("s"))
+      .distinct()
+    val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("sz"))
+    val pairs = sh.groupBy(col("s"))
+      .agg(sort_array(collect_set(col("source"))).as("srcs"))
+      .filter(size(col("srcs")) >= 2)
+      .select(expr(
+        """explode(flatten(transform(srcs, (x, i) ->
+          |  transform(slice(srcs, i + 2, size(srcs)),
+          |    y -> struct(x AS source_a, y AS source_b)))))""".stripMargin)
+        .as("p"))
+      .select(col("p.source_a"), col("p.source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(broadcast(sizes.select(col("source").as("source_a"),
+        col("sz").as("sza"))), "source_a")
+      .join(broadcast(sizes.select(col("source").as("source_b"),
+        col("sz").as("szb"))), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_common"),
+        round(col("n_common") / (col("sza") + col("szb") - col("n_common")), 4)
+          .as("jaccard"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame =
+    sourceOverlap(Lake.documents(spark, dir))
+
   /** C4-style text normalization: lowercase, strip punctuation to spaces,
     * collapse whitespace runs, trim — the canonical form exact-dedup and
     * n-gram ops should see (e.g. "Hello, World!" and "hello world" are

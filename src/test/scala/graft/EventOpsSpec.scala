@@ -88,6 +88,34 @@ class EventOpsSpec extends SparkSpecBase {
     assert(out.take(20).forall(_._3 < 4.0))
   }
 
+  test("transitions: session gaps break chains, rows are conditional probabilities") {
+    import spark.implicits._
+    val halfHour = 1800L * 1000000L
+    val ev = Seq(
+      // session 1: view → click → view (transitions view→click, click→view)
+      (1L, "view", 1L, 0L), (1L, "click", 2L, 1000000L),
+      (1L, "view", 3L, 2000000L),
+      // >30 min gap: view ↛ purchase must NOT count as a transition
+      (1L, "purchase", 4L, 2000000L + halfHour + 1000000L),
+      // second user: view → view
+      (2L, "view", 5L, 0L), (2L, "view", 6L, 1000000L))
+      .toDF("user_id", "event_type", "event_id", "us_raw")
+      // the lake stores events.ts as INT64 nanoseconds (TESTDATA shape) —
+      // Lake.events reads that raw-long schema and truncates to micros
+      .select(col("event_id"), (col("us_raw") * 1000L).as("ts"),
+        col("user_id"), col("event_type"),
+        lit(0.0).as("value"), lit("{}").as("props"))
+    // write a tiny lake so the (spark, dir) overload path is exercised
+    val dir = java.nio.file.Files.createTempDirectory("graft_trans").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = EventOps.transitions(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(out == Map(
+      ("view", "click") -> (1L, 0.5),
+      ("view", "view") -> (1L, 0.5),
+      ("click", "view") -> (1L, 1.0)), s"got $out")
+  }
+
   test("decayed engagement: halving per half-life, exact at the anchor") {
     import spark.implicits._
     val anchor = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")

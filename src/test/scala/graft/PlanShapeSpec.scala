@@ -164,7 +164,10 @@ class PlanShapeSpec extends SparkSpecBase {
         // q_winsorize: one-row percentile-fence broadcast (the
         // q_supplier_share scalar-threshold pattern)
         "q_drift", "q_zipf", "q_ann_adc", "q_windowed_psi", "q_t_closeness",
-        "q_rolling_psi", "q_ann_pq", "q_winsorize")
+        "q_rolling_psi", "q_ann_pq", "q_winsorize",
+        // q_pagerank: one-row node-count broadcast per iteration (the
+        // q_surprisal corpus-total pattern, ×iters)
+        "q_pagerank")
     for ((name, fn) <- SparkEntry.queries) {
       // interior plans included: checkpointing operators execute their
       // real joins during construction and return an RDD-scan facade

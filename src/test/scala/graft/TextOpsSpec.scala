@@ -81,6 +81,25 @@ class TextOpsSpec extends SparkSpecBase {
     assert(out("junk.example") == (40L, 0L, false))
   }
 
+  test("source overlap: exact pairwise Jaccard of shingle vocabularies, disjoint pairs absent") {
+    import spark.implicits._
+    // src A: shingles over "w0..w4" (3 shingles); src B shares A's text
+    // exactly (same 3) plus a disjoint doc (2 more); src C fully disjoint
+    val docs = Seq(
+      (1L, "w0 w1 w2 w3 w4", "A"),
+      (2L, "w0 w1 w2 w3 w4", "B"),
+      (3L, "x0 x1 x2 x3", "B"),
+      (4L, "z0 z1 z2", "C")
+    ).toDF("doc_id", "text", "source")
+    val out = TextOps.sourceOverlap(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    // A: 3 shingles; B: 3 + 2 = 5; common 3 → J = 3/(3+5-3) = 0.6
+    assert(out((
+      "A", "B")) == (3L, 0.6), s"got $out")
+    // C overlaps nothing → no row at all
+    assert(out.size == 1)
+  }
+
   test("repetition profile: planted loop, clean doc, and too-short doc behave per spec") {
     import spark.implicits._
     val docs = Seq(
