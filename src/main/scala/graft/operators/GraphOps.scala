@@ -46,26 +46,34 @@ object GraphOps {
       .withColumnRenamed("src", "node")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nRow = deg.agg(count(lit(1)).cast("double").as("n"))
+    // the contributing node's OUT-degree rides on the edge row itself, so
+    // each iteration is ONE edge⋈rank join + one aggregate — no per-round
+    // degree re-join. With symmetric edges every node receives at least
+    // one contribution (each neighbor has out-degree ≥ 1), so the
+    // aggregate's key set IS the node set and no outer join is needed.
+    val ewd = edges
+      .join(deg.select(col("node").as("src"), col("deg")), "src")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var pr = deg.crossJoin(broadcast(nRow))
-      .select(col("node"), col("deg"), round(lit(1.0) / col("n"), 12).as("pr"))
+      .select(col("node"), round(lit(1.0) / col("n"), 12).as("pr"))
     for (_ <- 1 to iters) {
-      val contribs = edges
-        .join(pr, edges("src") === pr("node"))
+      pr = ewd
+        .join(pr, ewd("src") === pr("node"))
         .select(col("dst"),
           round(col("pr") / col("deg"), 12).cast(dec12).as("contrib"))
         .groupBy(col("dst")).agg(sum(col("contrib")).as("m"))
-      pr = deg.join(contribs, col("node") === col("dst"), "left")
         .crossJoin(broadcast(nRow))
-        .select(col("node"), col("deg"),
+        .select(col("dst").as("node"),
           round(lit(1.0 - damping) / col("n") +
-            lit(damping) * coalesce(col("m").cast("double"), lit(0.0)),
-            12).as("pr"))
+            lit(damping) * col("m").cast("double"), 12).as("pr"))
     }
     val out = pr
+      .join(deg, "node") // reattach degree for the report only
       .select(col("node"), col("deg"), round(col("pr"), 6).as("pagerank"))
       .orderBy(col("pagerank").desc, col("node"))
       .limit(k)
       .localCheckpoint(true)
+    ewd.unpersist(false)
     deg.unpersist(false)
     edges.unpersist(false)
     out
