@@ -81,6 +81,7 @@ object SparkEntry {
     "q_simhash_pairs"     -> ((s: SparkSession, d: String) => DedupOps.simhashPairs(s, d)),
     "q_setsim_pairs"      -> ((s: SparkSession, d: String) => DedupOps.setSimilarityJoin(s, d)),
     "q_setsim_pressure"   -> ((s: SparkSession, d: String) => DedupOps.prefixPressure(s, d)),
+    "q_para_dedup"        -> ((s: SparkSession, d: String) => DedupOps.paragraphDedup(s, d)),
     "q_embedding_neardups" -> ((s: SparkSession, d: String) => DedupOps.embeddingNearDups(s, d)),
     "q_semantic_clusters" -> ((s: SparkSession, d: String) => DedupOps.semanticClusters(s, d)),
     // Similarity search / embeddings (§2 items 19–21)
@@ -128,6 +129,8 @@ object SparkEntry {
     "q_split_counts"      -> CorpusOps.splitCounts _,
     "q_stratified_sample" -> CorpusOps.stratifiedSampleQuery _,
     "q_packing_plan"      -> ((s: SparkSession, d: String) => CorpusOps.packingPlan(s, d)),
+    "q_leakage_split"     -> CorpusOps.leakageSplitQuery _,
+    "q_train_order"       -> CorpusOps.trainOrderQuery _,
     // Multimodal (§2 item 25)
     "q_multimodal_meta"   -> MultimodalOps.multimodalMeta _,
     "q_multimodal_frames" -> ((s: SparkSession, d: String) => MultimodalOps.frameSample(s, d)),
@@ -1920,6 +1923,74 @@ object SparkEntry {
         |)
         |SELECT doc_id, min(reach) AS keeper FROM r
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Leakage-safe split: q_neardup_keep's closure, keeper hashed with
+    // q_split_counts' two Lehmer steps; singletons fall back to doc_id.
+    "q_leakage_split" ->
+      """WITH RECURSIVE
+        |tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE text IS NOT NULL),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) >= 3
+        |      THEN list_distinct(list_transform(range(1, len(t) - 1),
+        |             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        |      ELSE [array_to_string(t, ' ')] END AS s
+        |  FROM tok),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a, sh b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND len(list_intersect(a.s, b.s)) * 1.0 / len(list_distinct(a.s || b.s)) >= 0.6),
+        |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+        |      UNION ALL SELECT doc_b, doc_a FROM p),
+        |r AS (
+        |  SELECT DISTINCT src AS doc_id, src AS reach FROM e
+        |  UNION
+        |  SELECT r.doc_id, e.dst FROM r JOIN e ON r.reach = e.src
+        |),
+        |cl AS (SELECT doc_id, min(reach) AS keeper FROM r GROUP BY doc_id),
+        |a AS (SELECT d.doc_id, coalesce(cl.keeper, d.doc_id) AS keeper
+        |      FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id)
+        |SELECT doc_id, keeper,
+        |  CASE WHEN ((keeper * 48271) % 2147483647) * 48271 % 2147483647 % 100 < 90 THEN 'train'
+        |       WHEN ((keeper * 48271) % 2147483647) * 48271 % 2147483647 % 100 < 95 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM a ORDER BY doc_id""".stripMargin,
+    // Paragraph dedup: same 16-word blocks via 1-based inclusive list
+    // slices, first occurrence by (doc_id, para_idx), ordered rebuild.
+    "q_para_dedup" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+        |             FROM documents WHERE text IS NOT NULL),
+        |par AS (
+        |  SELECT doc_id, CAST(ceil(len(t) / 16.0) AS BIGINT) AS n_paras,
+        |    unnest(range(0, CAST(ceil(len(t) / 16.0) AS BIGINT))) AS para_idx, t
+        |  FROM tok),
+        |par2 AS (
+        |  SELECT doc_id, n_paras, para_idx,
+        |    array_to_string(t[(para_idx * 16 + 1):(para_idx * 16 + 16)], ' ') AS para
+        |  FROM par),
+        |k AS (
+        |  SELECT doc_id, n_paras, para_idx, para,
+        |    row_number() OVER (PARTITION BY para ORDER BY doc_id, para_idx) AS rn
+        |  FROM par2)
+        |SELECT doc_id, n_paras, count(*) AS n_kept,
+        |  string_agg(para, ' ' ORDER BY para_idx) AS text_clean
+        |FROM k WHERE rn = 1
+        |GROUP BY doc_id, n_paras ORDER BY doc_id""".stripMargin,
+    // Training order: the oracle's global row_number() must equal the
+    // engine's broadcast-counts closed form — ordinal arithmetic proved
+    // by equality.
+    "q_train_order" ->
+      """WITH h AS (
+        |  SELECT doc_id, source,
+        |    ((((doc_id * 48271) % 2147483647) * 48271 % 2147483647) * 48271) % 2147483647 AS shuf
+        |  FROM documents),
+        |rk AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY shuf, doc_id) AS src_rank
+        |  FROM h)
+        |SELECT doc_id, source, src_rank,
+        |  row_number() OVER (ORDER BY src_rank, source) AS pos
+        |FROM rk ORDER BY pos""".stripMargin,
     "q_ann_bruteforce" ->
       """SELECT q_id, neighbor_id, round(sim_raw, 4) AS sim, cast(rnk AS bigint) AS rnk
         |FROM (

@@ -130,17 +130,21 @@ object CorpusOps {
   def withSplit(docs: DataFrame, trainPct: Int = 90, valPct: Int = 5): DataFrame = {
     require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
       "need train + val < 100 with a nonempty test remainder")
-    // TWO Lehmer/MINSTD steps (plain 63-bit-safe integer arithmetic any
-    // engine reproduces exactly — same portability argument as
-    // [[sampleBucket]]) rather than xxhash64: split assignment becomes
-    // oracle-verifiable, and the second step decorrelates the split from
-    // the sampling bucket so "in the sample" never biases "in val".
-    val step1 = pmod(col("doc_id") * lit(48271L), lit(2147483647L))
+    docs.withColumn("split", splitFor(col("doc_id"), trainPct, valPct))
+  }
+
+  /** The split assignment itself, as a column over ANY stable id — TWO
+    * Lehmer/MINSTD steps (plain 63-bit-safe integer arithmetic any
+    * engine reproduces exactly — same portability argument as
+    * [[sampleBucket]]) rather than xxhash64: split assignment becomes
+    * oracle-verifiable, and the second step decorrelates the split from
+    * the sampling bucket so "in the sample" never biases "in val". */
+  def splitFor(id: Column, trainPct: Int, valPct: Int): Column = {
+    val step1 = pmod(id * lit(48271L), lit(2147483647L))
     val bucket = pmod(step1 * lit(48271L), lit(2147483647L)) % 100
-    docs.withColumn("split",
-      when(bucket < trainPct, "train")
-        .when(bucket < trainPct + valPct, "val")
-        .otherwise("test"))
+    when(bucket < trainPct, "train")
+      .when(bucket < trainPct + valPct, "val")
+      .otherwise("test")
   }
 
   /** Driver query: split sizes (portable-hash assignment, so the DuckDB
@@ -312,4 +316,75 @@ object CorpusOps {
       .select(col("doc_id"), col("source"))
       .orderBy(col("doc_id"))
   }
+
+  /** Leakage-safe train/val/test split: hash the near-dup CLUSTER keeper,
+    * not the doc — every member of a near-duplicate cluster lands in the
+    * same split, so a paraphrase of a training doc can never leak into
+    * val/test and inflate eval (the contamination mode plain
+    * [[withSplit]] cannot prevent: two 0.9-Jaccard docs hash
+    * independently and straddle the boundary ~10% of the time).
+    * Singleton docs (no near-dup) keep keeper = doc_id, so their
+    * assignment is IDENTICAL to [[withSplit]] — adopting the leakage-safe
+    * split reshuffles only clustered docs.
+    *
+    * Scale shape: inherits [[DedupOps.nearDupClusters]]'s bucketed
+    * LSH + connected-components machinery (no all-pairs anywhere); the
+    * split itself is one broadcast-free left join on doc_id plus pure
+    * per-row arithmetic. */
+  def leakageSplit(docs: DataFrame, threshold: Double = 0.6,
+                   trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    val clusters = DedupOps.nearDupClusters(docs, threshold)
+      .select(col("doc_id"), col("keeper"))
+    docs.select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("keeper"), col("doc_id")).as("keeper"))
+      .withColumn("split", splitFor(col("keeper"), trainPct, valPct))
+      .orderBy(col("doc_id"))
+  }
+
+  def leakageSplitQuery(spark: SparkSession, dir: String): DataFrame =
+    leakageSplit(Lake.documents(spark, dir))
+
+  /** Deterministic training order: a reproducible global shuffle with
+    * exact round-robin source interleave — the step between "cleaned
+    * corpus" and "packed sequences" that fixes WHICH doc is seen when.
+    * Within each source, docs are permuted by a third Lehmer step of the
+    * id (decorrelated from both the sampling bucket and the split);
+    * across sources, position r of every source precedes position r+1 of
+    * any source, so no window of the stream over- or under-samples a
+    * source by more than the source-count imbalance.
+    *
+    * Scale shape: the global ordinal is NOT a global window (a
+    * single-partition sort at corpus scale). With per-source counts n_s
+    * (one tiny broadcast — source cardinality is bounded), the ordinal
+    * of (source s, rank r) is closed-form:
+    *   pos = Σ_{s'} min(r−1, n_{s'}) + #{s' < s : n_{s'} ≥ r} + 1
+    * — per-row arithmetic against a broadcast, fully parallel. The
+    * DuckDB oracle computes the same pos as a global row_number(), so
+    * the equality check PROVES the arithmetic. The per-source rank
+    * window shards like [[packingPlan]]'s buckets at 100 TB. */
+  def trainOrder(docs: DataFrame): DataFrame = {
+    val s1 = pmod(col("doc_id") * lit(48271L), lit(2147483647L))
+    val s2 = pmod(s1 * lit(48271L), lit(2147483647L))
+    val s3 = pmod(s2 * lit(48271L), lit(2147483647L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("__shuf"), col("doc_id"))
+    val ranked = docs
+      .select(col("doc_id"), col("source"), s3.as("__shuf"))
+      .withColumn("src_rank", row_number().over(w).cast("long"))
+      .drop("__shuf")
+    val cnts = ranked.groupBy(col("source").as("__src"))
+      .agg(count(lit(1)).as("__n"))
+    ranked.crossJoin(broadcast(cnts))
+      .groupBy(col("doc_id"), col("source"), col("src_rank"))
+      .agg((sum(least(col("src_rank") - 1, col("__n"))) +
+        sum(when(col("__src") < col("source") &&
+          col("__n") >= col("src_rank"), lit(1L)).otherwise(lit(0L))) +
+        lit(1L)).as("pos"))
+      .orderBy(col("pos"))
+  }
+
+  def trainOrderQuery(spark: SparkSession, dir: String): DataFrame =
+    trainOrder(Lake.documents(spark, dir))
 }

@@ -552,4 +552,53 @@ object DedupOps extends org.apache.spark.internal.Logging {
 
   def prefixPressure(spark: SparkSession, dir: String): DataFrame =
     prefixPressure(Lake.documents(spark, dir))
+
+  /** Paragraph-granularity dedup with document reconstruction: segment
+    * each doc, keep only the globally FIRST occurrence of every distinct
+    * paragraph (first = lowest (doc_id, para_idx)), and reassemble what
+    * survives in original order — the sub-document screen whole-doc dedup
+    * misses (boilerplate headers, licence blocks, syndicated passages
+    * repeated across otherwise-distinct pages). Docs whose every
+    * paragraph appeared earlier vanish from the output entirely.
+    *
+    * The lake's documents carry no newlines, so segmentation here is
+    * fixed `blockWords`-word blocks; the machinery is
+    * segmentation-agnostic (swap the block transform for a split on
+    * "\n\n" on real corpora).
+    *
+    * Scale shape: first-occurrence selection is a `min(struct(doc_id,
+    * para_idx))` AGGREGATE keyed by paragraph — partial-aggregable, so a
+    * boilerplate paragraph repeated in 100M docs combines map-side
+    * instead of sorting 100M rows in one window partition (the
+    * row_number formulation has no partial). One paragraph-keyed
+    * aggregate + one paragraph-keyed join back + one doc-keyed rebuild:
+    * three shuffles, all on high-cardinality keys, corpus-linear. */
+  def paragraphDedup(docs: DataFrame, blockWords: Int = 16): DataFrame = {
+    require(blockWords >= 1, "paragraph block must be at least one word")
+    val b = lit(blockWords)
+    val paras = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("__toks"))
+      .select(col("doc_id"),
+        floor((size(col("__toks")) + b - 1) / b).cast("long").as("n_paras"),
+        posexplode(transform(
+          sequence(lit(0), floor((size(col("__toks")) + b - 1) / b).cast("int") - 1),
+          i => array_join(slice(col("__toks"), i * b + 1, b), " "))))
+      .withColumnRenamed("pos", "para_idx")
+      .withColumnRenamed("col", "para")
+    val firsts = paras.groupBy(col("para"))
+      .agg(min(struct(col("doc_id"), col("para_idx"))).as("__first"))
+    paras.join(firsts, "para")
+      .filter(col("doc_id") === col("__first.doc_id") &&
+        col("para_idx") === col("__first.para_idx"))
+      .groupBy(col("doc_id"), col("n_paras"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("para_idx"), col("para")))),
+          p => p.getField("para")), " ").as("text_clean"))
+      .select(col("doc_id"), col("n_paras"), col("n_kept"), col("text_clean"))
+      .orderBy(col("doc_id"))
+  }
+
+  def paragraphDedup(spark: SparkSession, dir: String): DataFrame =
+    paragraphDedup(Lake.documents(spark, dir))
 }

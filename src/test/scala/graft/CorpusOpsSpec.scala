@@ -159,4 +159,51 @@ class CorpusOpsSpec extends SparkSpecBase {
     // an under-filled stratum surfaces as a shortfall, never re-normalizes
     assert(plan.values.map(_._3).sum < 2000L)
   }
+
+  test("leakage split keeps near-dup clusters whole; singletons match the plain split") {
+    import spark.implicits._
+    // plain-split assignment replayed driver-side to pick a doc pair that
+    // WOULD straddle the train/test boundary if hashed independently
+    def bucket(id: Long): Long = ((id * 48271) % 2147483647) * 48271 % 2147483647 % 100
+    def plainSplit(id: Long): String =
+      if (bucket(id) < 90) "train" else if (bucket(id) < 95) "val" else "test"
+    val ids = 1L to 200L
+    val trainId = ids.find(plainSplit(_) == "train").get
+    val testId = ids.find(plainSplit(_) == "test").get
+    val dupText = (1 to 30).map(i => s"w$i").mkString(" ")
+    val docs = (Seq((trainId, dupText), (testId, dupText)) ++
+      ids.filterNot(i => i == trainId || i == testId)
+        .map(i => i -> (1 to 20).map(j => s"u${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = CorpusOps.leakageSplit(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // the identical pair clusters under the lower id and shares ITS split
+    val keeper = math.min(trainId, testId)
+    assert(out(trainId) == ((keeper, plainSplit(keeper))))
+    assert(out(testId) == ((keeper, plainSplit(keeper))),
+      s"near-dup pair straddles splits: ${out(trainId)} vs ${out(testId)}")
+    // every singleton is its own keeper with the plain-split assignment
+    for (i <- ids if i != trainId && i != testId)
+      assert(out(i) == ((i, plainSplit(i))), s"singleton $i moved: ${out(i)}")
+  }
+
+  test("train order is a permutation interleaving sources round-robin") {
+    import spark.implicits._
+    // unequal sources: exhausted sources drop out of later rounds
+    val docs = (
+      (1 to 5).map(i => (i.toLong, "t", "srcA")) ++
+      (6 to 8).map(i => (i.toLong, "t", "srcB")) ++
+      Seq((9L, "t", "srcC"))).toDF("doc_id", "text", "source")
+    val out = CorpusOps.trainOrder(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.map(_._4).sorted.toSeq == (1L to 9L), s"pos not a permutation: ${out.toSeq}")
+    // closed-form ordinal ≡ global sort by (rank, source)
+    val expected = out.sortBy(t => (t._3, t._2)).map(_._1).toSeq
+    assert(out.sortBy(_._4).map(_._1).toSeq == expected)
+    // round-robin: every rank-r doc precedes every rank-(r+1) doc
+    val posByRank = out.groupBy(_._3).view.mapValues(_.map(_._4)).toMap
+    for (r <- 1L until posByRank.keys.max)
+      assert(posByRank(r).max < posByRank(r + 1).min,
+        s"rank $r does not fully precede rank ${r + 1}")
+  }
 }

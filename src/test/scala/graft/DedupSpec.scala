@@ -170,6 +170,28 @@ class DedupSpec extends SparkSpecBase {
     assert(math.abs(got((1L, 2L)) - 0.1) < 1e-9)
   }
 
+  test("paragraph dedup keeps first occurrences, rebuilds in order, drops emptied docs") {
+    import spark.implicits._
+    // block = 4 words. doc 1 owns P1 P2; doc 2 copies P1 then adds its
+    // own; doc 3 is entirely P1++P2; doc 4 is shorter than one block;
+    // doc 5 repeats its own paragraph within itself.
+    val p1 = "a b c d"; val p2 = "e f g h"
+    val docs = Seq(
+      (1L, s"$p1 $p2"),
+      (2L, s"$p1 x y z w"),
+      (3L, s"$p1 $p2"),
+      (4L, "q r"),
+      (5L, "m n o p m n o p")).toDF("doc_id", "text")
+    val out = DedupOps.paragraphDedup(docs, blockWords = 4).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out(1L) == ((2L, 2L, s"$p1 $p2")), s"original doc mangled: ${out.get(1L)}")
+    assert(out(2L) == ((2L, 1L, "x y z w")), s"copied paragraph kept: ${out.get(2L)}")
+    assert(!out.contains(3L), "fully-duplicate doc must vanish")
+    assert(out(4L) == ((1L, 1L, "q r")), "sub-block doc must survive whole")
+    assert(out(5L) == ((2L, 1L, "m n o p")), "within-doc repeat must collapse")
+  }
+
   test("near-duplicate docs have close simhashes; random pairs do not") {
     val sig = DedupOps.simhash(spark, Sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

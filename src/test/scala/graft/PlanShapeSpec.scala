@@ -167,7 +167,11 @@ class PlanShapeSpec extends SparkSpecBase {
         "q_rolling_psi", "q_ann_pq", "q_winsorize",
         // q_pagerank: one-row node-count broadcast per iteration (the
         // q_surprisal corpus-total pattern, ×iters)
-        "q_pagerank")
+        "q_pagerank",
+        // q_train_order: the per-source-counts broadcast (bounded by
+        // source cardinality) against which each row computes its
+        // closed-form global ordinal
+        "q_train_order")
     for ((name, fn) <- SparkEntry.queries) {
       // interior plans included: checkpointing operators execute their
       // real joins during construction and return an RDD-scan facade
