@@ -82,6 +82,7 @@ object SparkEntry {
     "q_setsim_pairs"      -> ((s: SparkSession, d: String) => DedupOps.setSimilarityJoin(s, d)),
     "q_setsim_pressure"   -> ((s: SparkSession, d: String) => DedupOps.prefixPressure(s, d)),
     "q_para_dedup"        -> ((s: SparkSession, d: String) => DedupOps.paragraphDedup(s, d)),
+    "q_incremental_neardup" -> ((s: SparkSession, d: String) => DedupOps.incrementalNearDups(s, d)),
     "q_embedding_neardups" -> ((s: SparkSession, d: String) => DedupOps.embeddingNearDups(s, d)),
     "q_semantic_clusters" -> ((s: SparkSession, d: String) => DedupOps.semanticClusters(s, d)),
     // Similarity search / embeddings (§2 items 19–21)
@@ -259,6 +260,11 @@ object SparkEntry {
     "q_cheapest_supplier" -> Relational.cheapestSupplier _,
     // Q13 shape: count-of-counts incl. zero-order customers
     "q_cust_distribution" -> Relational.custOrderDistribution _,
+    "q_market_share"      -> ((s: SparkSession, d: String) => Relational.marketShare(s, d)),
+    "q_nation_profit"     -> ((s: SparkSession, d: String) => Relational.nationProfit(s, d)),
+    "q_large_orders"      -> ((s: SparkSession, d: String) => Relational.largeOrders(s, d)),
+    "q_disjunctive"       -> Relational.disjunctiveRevenue _,
+    "q_excess_suppliers"  -> ((s: SparkSession, d: String) => Relational.excessSuppliers(s, d)),
     // Winsorization: percentile clipping with an audit flag
     "q_winsorize"         -> CatalogOps.winsorizeQuery _,
     // Feature-hashing text embedder (long form; dense feeds the ANN stack)
@@ -869,6 +875,107 @@ object SparkEntry {
         |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
         |  GROUP BY c.c_custkey)
         |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    // Q8 market share: decimal volume sums cast to double before the one
+    // division, same five-table star.
+    "q_market_share" ->
+      """WITH vol AS (
+        |  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+        |    sn.n_name AS supp_nation,
+        |    CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2))) AS vol
+        |  FROM lineitem l
+        |  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'STANDARD'
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        |  JOIN region r ON cn.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation sn ON s.s_nationkey = sn.n_nationkey)
+        |SELECT o_year,
+        |  round(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN vol
+        |                      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |        / CAST(sum(vol) AS DOUBLE), 6) AS mkt_share
+        |FROM vol GROUP BY o_year ORDER BY o_year""".stripMargin,
+    // Q9 profit in exact integer 1e-4-dollar space: cents × (100−disc%)
+    // − 60·retail-cents·qty, bigint sums, one double division.
+    "q_nation_profit" ->
+      """SELECT nation, o_year,
+        |  round(CAST(sum(amount4) AS DOUBLE) / 10000.0, 2) AS sum_profit
+        |FROM (
+        |  SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+        |    CAST(round(l.l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+        |    - CAST(round(p.p_retailprice * 100) AS BIGINT)
+        |      * CAST(l.l_quantity AS BIGINT) * 60 AS amount4
+        |  FROM lineitem l
+        |  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%red%'
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey)
+        |GROUP BY nation, o_year ORDER BY nation, o_year DESC""".stripMargin,
+    // Q18 having-subquery: per-order quantity totals, threshold, top-k by
+    // price with the unique order key as tie-break.
+    "q_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, sum(l_quantity) AS sum_qty
+        |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 180)
+        |SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+        |  CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
+        |  big.sum_qty
+        |FROM orders o
+        |JOIN big ON o.o_orderkey = big.l_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY o_totalprice DESC, o.o_orderkey LIMIT 100""".stripMargin,
+    // Q19 disjunctive brand/size/quantity predicate, one revenue scalar.
+    "q_disjunctive" ->
+      """SELECT round(CAST(sum(
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |  AS DOUBLE), 2) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |        AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 25
+        |        AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 50
+        |        AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    // Q20 nested chain: pattern parts → per-(part,supplier) shipped
+    // totals over threshold → qualifying suppliers.
+    "q_excess_suppliers" ->
+      """SELECT s.s_suppkey, s.s_name, s.s_nationkey
+        |FROM supplier s
+        |WHERE s.s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%blue%')
+        |  GROUP BY l_partkey, l_suppkey
+        |  HAVING sum(l_quantity) > 60)
+        |ORDER BY s.s_suppkey""".stripMargin,
+    // Incremental screen: brute-force fresh×base Jaccard, best base match
+    // per fresh doc by (jaccard DESC, base id ASC), null = kept.
+    "q_incremental_neardup" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+        |             FROM documents WHERE text IS NOT NULL),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) >= 3
+        |      THEN list_distinct(list_transform(range(1, len(t) - 1),
+        |             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        |      ELSE [array_to_string(t, ' ')] END AS s
+        |  FROM tok),
+        |mt AS (
+        |  SELECT f.doc_id AS doc_id, b.doc_id AS dup_of,
+        |    len(list_intersect(f.s, b.s)) * 1.0 / len(list_distinct(f.s || b.s)) AS j
+        |  FROM sh f JOIN sh b ON f.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+        |  WHERE len(list_intersect(f.s, b.s)) * 1.0 / len(list_distinct(f.s || b.s)) >= 0.6),
+        |best AS (
+        |  SELECT doc_id, dup_of, j,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY j DESC, dup_of) AS rn
+        |  FROM mt)
+        |SELECT d.doc_id, b.dup_of, round(b.j, 4) AS jaccard,
+        |  b.dup_of IS NULL AS kept
+        |FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
+        |WHERE d.doc_id % 5 = 0
+        |ORDER BY d.doc_id""".stripMargin,
     // Hash embedder: same md5-slice hash, bucket and sign arithmetic,
     // integral sums, one sqrt — component-exact in both engines.
     "q_hash_embed" ->

@@ -553,6 +553,81 @@ object DedupOps extends org.apache.spark.internal.Logging {
   def prefixPressure(spark: SparkSession, dir: String): DataFrame =
     prefixPressure(Lake.documents(spark, dir))
 
+  /** Incremental near-dup screen: a NEW batch checked against the
+    * EXISTING corpus — the decision table behind "which freshly-crawled
+    * docs are paraphrases of something we already hold". LSH buckets are
+    * built on both sides and candidates come ONLY from base×fresh bucket
+    * collisions: no fresh×fresh pairing (that is intra-batch dedup's
+    * job) and, critically, no base×base pairing — the 100 TB base side
+    * contributes one signature pass and one bucket shuffle, never a
+    * self-join. Each fresh doc reports its BEST base match (highest
+    * verified Jaccard, lowest base id on ties) or null = kept.
+    *
+    * Hot buckets are capped on the BASE side (boilerplate buckets there
+    * would fan every fresh doc out quadratically; route such content
+    * through [[dedupExact]]). Verify is exact n-gram Jaccard, so the
+    * probabilistic stage only proposes — precision is exact.
+    *
+    * Cache discipline: candidates and pruned shingle sets are consumed
+    * by multiple joins; both persist and both are RELEASED once the
+    * batch-sized result is materialized (the setSimilarityJoin rule). */
+  def incrementalNearDups(base: DataFrame, fresh: DataFrame,
+                          threshold: Double = 0.6,
+                          maxBucketSize: Int = 1024): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("band_hash"))
+    val baseBk = bandedBuckets(minhashSignatures(base))
+      .withColumn("__bn", count(lit(1)).over(w))
+      .filter(col("__bn") <= maxBucketSize)
+      .select(col("doc_id").as("__base_id"), col("band"), col("band_hash"))
+    val freshBk = bandedBuckets(minhashSignatures(fresh))
+    val candidates = freshBk.join(baseBk, Seq("band", "band_hash"))
+      .select(col("doc_id"), col("__base_id"))
+      .distinct()
+      .persist(MEMORY_AND_DISK)
+    val baseSets = shingled(base)
+      .join(candidates.select(col("__base_id").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+      .groupBy(col("doc_id")).agg(collect_set(col("shingle")).as("sh"))
+      .select(col("doc_id").as("__base_id"), col("sh").as("sh_b"))
+    val freshSets = shingled(fresh)
+      .join(candidates.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+      .groupBy(col("doc_id")).agg(collect_set(col("shingle")).as("sh_f"))
+      .persist(MEMORY_AND_DISK)
+    val best = candidates
+      .join(freshSets, "doc_id")
+      .join(baseSets, "__base_id")
+      .withColumn("j",
+        size(array_intersect(col("sh_f"), col("sh_b"))) /
+        size(array_union(col("sh_f"), col("sh_b"))))
+      .filter(col("j") >= threshold)
+      // best match = lexicographic max of (jaccard, -base_id): exact
+      // integer-ratio doubles compare identically on any engine
+      .groupBy(col("doc_id"))
+      .agg(max(struct(col("j"), (-col("__base_id")).as("neg"))).as("__m"))
+      .select(col("doc_id"), (-col("__m.neg")).as("dup_of"),
+        round(col("__m.j"), 4).as("jaccard"))
+    val out = fresh.select(col("doc_id"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of"), col("jaccard"),
+        col("dup_of").isNull.as("kept"))
+      .orderBy(col("doc_id"))
+      .localCheckpoint(true)
+    candidates.unpersist(false)
+    freshSets.unpersist(false)
+    out
+  }
+
+  /** Driver split: every fifth doc plays the "new batch", the rest the
+    * standing corpus. */
+  def incrementalNearDups(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Lake.documents(spark, dir)
+    incrementalNearDups(
+      docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(5)) === 0))
+  }
+
   /** Paragraph-granularity dedup with document reconstruction: segment
     * each doc, keep only the globally FIRST occurrence of every distinct
     * paragraph (first = lowest (doc_id, para_idx)), and reassemble what

@@ -497,4 +497,154 @@ object Relational {
       .groupBy(col("c_count"))
       .agg(count(lit(1)).as("custdist"))
       .orderBy(col("custdist").desc, col("c_count").desc)
+
+  /** TPC-H Q8 shape: one nation's market share inside one region's
+    * customer base, per order year — the conditional-aggregate ratio
+    * sum(CASE)/sum over a five-table star. Everything dimension-sized
+    * broadcasts (part filter, both nation legs, region); lineitem and
+    * orders shuffle once each on their join keys. Numerator and
+    * denominator are exact decimal sums; only the final ratio divides in
+    * double, rounded to 6 — deterministic on any engine. */
+  def marketShare(spark: SparkSession, dir: String,
+                  nation: String = "NATION_3",
+                  region: String = "ASIA",
+                  ptype: String = "STANDARD"): DataFrame = {
+    val custNation = Lake.nation(spark, dir)
+      .join(broadcast(Lake.region(spark, dir)
+        .filter(col("r_name") === region)), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("cn_key"))
+    val suppNation = Lake.nation(spark, dir)
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val vol = Lake.lineitem(spark, dir)
+      .join(broadcast(Lake.part(spark, dir).filter(col("p_type") === ptype)
+        .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
+      .join(Lake.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey"),
+          year(col("o_orderdate")).cast("long").as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Lake.customer(spark, dir).select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(custNation), col("c_nationkey") === col("cn_key"), "left_semi")
+      .join(broadcast(Lake.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(suppNation), col("s_nationkey") === col("sn_key"))
+      .select(col("o_year"), col("supp_nation"), revenueTerm.as("vol"))
+    // numerator and denominator are exact decimal sums cast to double
+    // BEFORE the one division — decimal-division scale rules differ
+    // across engines, double division of exact values does not
+    vol.groupBy(col("o_year"))
+      .agg(round(
+        sum(when(col("supp_nation") === nation, col("vol"))
+          .otherwise(m(lit(0)))).cast("double") /
+          sum(col("vol")).cast("double"), 6)
+        .as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
+  /** TPC-H Q9 shape: profit by supplier nation and order year over the
+    * part/supplier/orders star. The lake has no partsupp, so supply cost
+    * is proxied at 60% of the part's retail price — the SHAPE (five-way
+    * join, name-pattern part filter, expression aggregate) is Q9's.
+    *
+    * Arithmetic runs ENTIRELY in integer 10⁻⁴-dollar space: money
+    * columns are 2-dp doubles, so ·100 rounds to exact BIGINT cents, and
+    * revenue·(100−disc%) and 60·cost-cents·qty both land on the same
+    * 10⁻⁴ scale — bitwise-identical sums on any engine, no decimal
+    * precision-cap rules in play. One double division at the end. */
+  def nationProfit(spark: SparkSession, dir: String,
+                   namePattern: String = "%red%"): DataFrame = {
+    val extC = round(col("l_extendedprice") * 100).cast("long")
+    val discP = round(col("l_discount") * 100).cast("long")
+    val retailC = round(col("p_retailprice") * 100).cast("long")
+    val qty = col("l_quantity").cast("long")
+    Lake.lineitem(spark, dir)
+      .join(broadcast(Lake.part(spark, dir)
+        .filter(col("p_name").like(namePattern))
+        .select(col("p_partkey"), col("p_retailprice"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(Lake.orders(spark, dir)
+        .select(col("o_orderkey"), year(col("o_orderdate")).cast("long").as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Lake.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Lake.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name").as("nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("nation"), col("o_year"),
+        (extC * (lit(100L) - discP) - retailC * qty * lit(60L)).as("amount4"))
+      .groupBy(col("nation"), col("o_year"))
+      .agg(round(sum(col("amount4")).cast("double") / 10000.0, 2).as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** TPC-H Q18 shape: customers with at least one LARGE order (total
+    * quantity over the threshold) — the having-subquery filter planned as
+    * an aggregate-then-join, never a correlated re-scan. The per-order
+    * quantity aggregate is map-side combinable; only qualifying order
+    * keys (a vanishing fraction) reach the customer join. Top-k via
+    * TakeOrderedAndProject. */
+  def largeOrders(spark: SparkSession, dir: String,
+                  minQty: Double = 180.0, k: Int = 100): DataFrame = {
+    val big = Lake.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      // quantities are integer-valued doubles: exact under any order
+      .agg(sum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > minQty)
+    Lake.orders(spark, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Lake.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), m(col("o_totalprice")).cast("double").as("o_totalprice"),
+        col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(k)
+  }
+
+  /** TPC-H Q19 shape: revenue under a DISJUNCTION of brand/size/quantity
+    * conjunctions — the OR-of-ANDs predicate Catalyst pushes through the
+    * join as a partial filter on each side (brand+size prune the part
+    * scan, quantity bounds prune lineitem) before the exact residual
+    * applies post-join. One broadcast join, one scalar aggregate. */
+  def disjunctiveRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Lake.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"))
+    val p = Lake.part(spark, dir)
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 25) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 50) &&
+          col("l_quantity").between(20, 30)))
+      .agg(round(sum(revenueTerm).cast("double"), 2).as("revenue"))
+  }
+
+  /** TPC-H Q20 shape: suppliers who shipped an EXCESS quantity of any
+    * pattern-matched part — the nested subquery chain (parts → per
+    * (part, supplier) shipped totals → qualifying suppliers) planned as
+    * aggregate-then-semi-join. The lake has no partsupp/availqty, so
+    * "excess" is an absolute shipped-quantity threshold; the nesting
+    * depth and join shape are Q20's. Only qualifying (part, supplier)
+    * groups — a vanishing fraction — reach the semi join. */
+  def excessSuppliers(spark: SparkSession, dir: String,
+                      namePattern: String = "%blue%",
+                      minShipped: Double = 60.0): DataFrame = {
+    val qualifying = Lake.lineitem(spark, dir)
+      .join(broadcast(Lake.part(spark, dir)
+        .filter(col("p_name").like(namePattern)).select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity")).as("shipped"))
+      .filter(col("shipped") > minShipped)
+      .select(col("l_suppkey")).distinct()
+    Lake.supplier(spark, dir)
+      .join(qualifying, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+      .orderBy(col("s_suppkey"))
+  }
 }

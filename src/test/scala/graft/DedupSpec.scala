@@ -170,6 +170,29 @@ class DedupSpec extends SparkSpecBase {
     assert(math.abs(got((1L, 2L)) - 0.1) < 1e-9)
   }
 
+  test("incremental screen flags fresh-vs-base only and picks the best base match") {
+    import spark.implicits._
+    val a = (1 to 20).map(i => s"a$i").mkString(" ")
+    val cNew = (1 to 20).map(i => s"c$i").mkString(" ")
+    val base = Seq(
+      (1L, a),
+      (2L, (1 to 20).map(i => s"b$i").mkString(" "))).toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, a),     // exact copy of base 1 → dup_of 1
+      (15L, a),     // also base 1, never fresh 10 (no fresh×fresh)
+      (20L, cNew),  // fresh-only content → kept …
+      (25L, cNew),  // … and so is its intra-batch twin
+      (30L, (1 to 20).map(i => s"z$i").mkString(" "))).toDF("doc_id", "text")
+    val out = DedupOps.incrementalNearDups(base, fresh).collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.get(1)).map(_.asInstanceOf[Long]), r.getBoolean(3)))).toMap
+    assert(out(10L) == ((Some(1L), false)))
+    assert(out(15L) == ((Some(1L), false)), "fresh×fresh must not shadow the base match")
+    assert(out(20L) == ((None, true)), "fresh-only content must be kept")
+    assert(out(25L) == ((None, true)), "intra-batch twins are not this screen's job")
+    assert(out(30L) == ((None, true)))
+  }
+
   test("paragraph dedup keeps first occurrences, rebuilds in order, drops emptied docs") {
     import spark.implicits._
     // block = 4 words. doc 1 owns P1 P2; doc 2 copies P1 then adds its

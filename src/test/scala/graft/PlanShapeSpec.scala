@@ -29,6 +29,16 @@ class PlanShapeSpec extends SparkSpecBase {
       s"column pruning failed: $readSchema")
   }
 
+  test("disjunctive predicate pushes partial per-side filters to both scans") {
+    // OR-of-ANDs: Catalyst derives `brand ∈ {...}` for the part scan and
+    // the quantity hull for the lineitem scan before the exact residual
+    val plan = planOf(Relational.disjunctiveRevenue(spark, Sf))
+    assert(plan.contains("And(EqualTo(p_brand"),
+      s"no brand filter pushed to the part scan:\n$plan")
+    assert(plan.contains("And(GreaterThanOrEqual(l_quantity"),
+      s"no quantity disjunction pushed to the lineitem scan:\n$plan")
+  }
+
   test("dimension joins broadcast instead of shuffling the fact table") {
     val plan = planOf(Relational.regionRevenue(spark, Sf))
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
