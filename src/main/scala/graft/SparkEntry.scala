@@ -155,6 +155,7 @@ object SparkEntry {
     "q_fk_discovery"      -> CatalogOps.fkDiscovery _,
     // Domain-mixing rate plan (budgeted stratified-sampling planner)
     "q_mix_plan"          -> CorpusOps.mixPlanQuery _,
+    "q_mix_epochs"        -> CorpusOps.mixEpochsQuery _,
     // Data quality: Tukey-fence outlier screen per group
     "q_outliers"          -> ((s: SparkSession, d: String) =>
       CatalogOps.iqrOutliers(s, d, "orders", "o_totalprice", "o_orderstatus")),
@@ -2479,6 +2480,39 @@ object SparkEntry {
         |    cast(sum(len(string_split(text, ' '))) AS bigint) AS n_tokens
         |  FROM documents WHERE text IS NOT NULL GROUP BY source
         |) ORDER BY source""".stripMargin,
+    // Epoch-aware mix: same double arithmetic (budget·frac/stock capped
+    // at 4), unrounded fractional threshold, bucket-filtered top-up sum.
+    "q_mix_epochs" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+        |    (doc_id * 48271) % 2147483647 % 10000 AS bucket
+        |  FROM documents WHERE text IS NOT NULL),
+        |s AS (
+        |  SELECT source, count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS n_tokens
+        |  FROM d GROUP BY source),
+        |r AS (
+        |  SELECT source, n_docs, n_tokens,
+        |    least(CAST(600000 AS DOUBLE) *
+        |      ((CAST(substr(source, 4) AS INT) % 4 + 1) / CAST(50 AS DOUBLE))
+        |      / n_tokens, CAST(4 AS DOUBLE)) AS eff
+        |  FROM s),
+        |r2 AS (
+        |  SELECT source, n_docs, n_tokens,
+        |    CAST(floor(eff) AS BIGINT) AS full_epochs,
+        |    eff - floor(eff) AS topup,
+        |    CAST(floor((eff - floor(eff)) * 10000) AS BIGINT) AS th
+        |  FROM r),
+        |tu AS (
+        |  SELECT d.source,
+        |    CAST(coalesce(sum(CASE WHEN d.bucket < r2.th THEN d.tok END), 0)
+        |      AS BIGINT) AS topup_tokens
+        |  FROM d JOIN r2 ON d.source = r2.source GROUP BY d.source)
+        |SELECT r2.source, r2.n_docs, r2.n_tokens, r2.full_epochs,
+        |  round(r2.topup, 6) AS topup_rate, tu.topup_tokens,
+        |  r2.full_epochs * r2.n_tokens + tu.topup_tokens AS planned_tokens
+        |FROM r2 JOIN tu ON r2.source = tu.source
+        |ORDER BY r2.source""".stripMargin,
     "q_vocab_coverage" ->
       """WITH toks AS (
         |  SELECT lang, unnest(string_split(text, ' ')) AS token

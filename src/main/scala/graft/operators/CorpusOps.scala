@@ -235,6 +235,101 @@ object CorpusOps {
     mixPlan(Lake.documents(spark, dir), targets, tokenBudget = 20000L)
   }
 
+  /** Epoch-aware mixing: [[mixPlan]] caps each source's rate at 1.0 —
+    * this is its up-sampling complement for when a source's target
+    * EXCEEDS its stock (the low-resource-language / high-quality-source
+    * case): repeat the source in FULL epochs plus a deterministic
+    * fractional top-up epoch, capped at `maxEpochs` (unbounded repetition
+    * of a small source degrades models faster than it fills the budget).
+    * The top-up is doc-level and portable: a doc joins the partial epoch
+    * iff its [[sampleBucket]] clears the fractional threshold, so
+    * planned_tokens is an EXACT token count, not rate×stock arithmetic.
+    *
+    * Two corpus passes by necessity (the fractional threshold is a
+    * function of the per-source aggregate, so the top-up sum cannot fold
+    * into the same aggregation); both are map-side-combinable aggregates,
+    * and the rate table between them is broadcast-tiny. */
+  def mixEpochs(docs: DataFrame, targets: Map[String, Double],
+                tokenBudget: Long, maxEpochs: Int = 4,
+                strataCol: String = "source",
+                tokenCount: Column =
+                  size(split(col("text"), " ")).cast("long")): DataFrame = {
+    require(tokenBudget > 0, "tokenBudget must be positive")
+    require(maxEpochs >= 1, "need at least one epoch")
+    val d = docs.filter(col("text").isNotNull)
+      .select(col(strataCol), tokenCount.as("__tok"), sampleBucket.as("__bucket"))
+    val stock = epochRates(docs, targets, tokenBudget, maxEpochs, strataCol,
+      tokenCount)
+    val topup = d.join(broadcast(stock.select(col(strataCol), col("__th"))),
+        Seq(strataCol))
+      .groupBy(col(strataCol))
+      .agg(coalesce(sum(when(col("__bucket") < col("__th"), col("__tok"))),
+        lit(0L)).as("topup_tokens"))
+    stock.join(topup, Seq(strataCol))
+      .select(col(strataCol), col("n_docs"), col("n_tokens"),
+        col("full_epochs"), round(col("__topup"), 6).as("topup_rate"),
+        col("topup_tokens"),
+        (col("full_epochs") * col("n_tokens") + col("topup_tokens"))
+          .as("planned_tokens"))
+      .orderBy(col(strataCol))
+  }
+
+  /** The per-source rate table both [[mixEpochs]] and [[epochExpand]]
+    * derive from: effective epochs (capped), full epochs, and the
+    * UNROUNDED fractional-top-up bucket threshold — shared so the plan
+    * and the expansion can never disagree at a rounding boundary. */
+  private def epochRates(docs: DataFrame, targets: Map[String, Double],
+                         tokenBudget: Long, maxEpochs: Int,
+                         strataCol: String,
+                         tokenCount: Column): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val t = targets.toSeq.toDF(strataCol, "target_frac")
+    docs.filter(col("text").isNotNull)
+      .groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_docs"), sum(tokenCount).as("n_tokens"))
+      .join(broadcast(t), Seq(strataCol))
+      .select(col(strataCol), col("n_docs"), col("n_tokens"),
+        least(lit(tokenBudget.toDouble) * col("target_frac") / col("n_tokens"),
+          lit(maxEpochs.toDouble)).as("__eff"))
+      .select(col(strataCol), col("n_docs"), col("n_tokens"),
+        floor(col("__eff")).cast("long").as("full_epochs"),
+        (col("__eff") - floor(col("__eff"))).as("__topup"))
+      .withColumn("__th", floor(col("__topup") * 10000).cast("long"))
+  }
+
+  /** Doc-level expansion of [[mixEpochs]]: one (doc_id, copy_idx) row per
+    * planned copy — full epochs for every doc, plus the top-up copy for
+    * docs clearing the fractional threshold. Pure map-side explode
+    * against the broadcast rate table; per-source token sums equal the
+    * plan's planned_tokens exactly (spec-asserted). */
+  def epochExpand(docs: DataFrame, targets: Map[String, Double],
+                  tokenBudget: Long, maxEpochs: Int = 4,
+                  strataCol: String = "source",
+                  tokenCount: Column =
+                    size(split(col("text"), " ")).cast("long")): DataFrame = {
+    val plan = epochRates(docs, targets, tokenBudget, maxEpochs, strataCol,
+      tokenCount)
+      .select(col(strataCol), col("full_epochs"), col("__th"))
+    docs.filter(col("text").isNotNull)
+      .join(broadcast(plan), Seq(strataCol))
+      .withColumn("__n_copies",
+        col("full_epochs") +
+          when(sampleBucket < col("__th"), lit(1L)).otherwise(lit(0L)))
+      .filter(col("__n_copies") > 0)
+      .select(col("doc_id"), col(strataCol),
+        explode(sequence(lit(0L), col("__n_copies") - 1)).as("copy_idx"))
+  }
+
+  /** Lake-bound driver form: same suffix-proportional targets as
+    * [[mixPlanQuery]] but a 30× budget, so every source up-samples —
+    * high-target sources hit the 4-epoch cap, low-target ones land on
+    * full+fractional epochs. */
+  def mixEpochsQuery(spark: SparkSession, dir: String): DataFrame = {
+    val targets = (0 until 20).map(i => s"src$i" -> (i % 4 + 1) / 50.0).toMap
+    mixEpochs(Lake.documents(spark, dir), targets, tokenBudget = 600000L)
+  }
+
   /** Stable per-doc sampling bucket in [0, 10000): a Lehmer/MINSTD step
     * ((id * 48271) mod 2^31−1) reduced mod 10000 — plain integer
     * arithmetic any engine reproduces exactly, so sampling decisions are

@@ -160,6 +160,36 @@ class CorpusOpsSpec extends SparkSpecBase {
     assert(plan.values.map(_._3).sum < 2000L)
   }
 
+  test("epoch expansion realizes the mix plan token-exactly") {
+    val docs = Lake.documents(spark, Sf)
+    val targets = (0 until 20).map(i => s"src$i" -> (i % 4 + 1) / 50.0).toMap
+    // budget ~2× stock: some sources stay sub-epoch (full_epochs = 0,
+    // pure fractional top-up), others repeat with a partial extra epoch
+    val budget = 30000L
+    val plan = CorpusOps.mixEpochs(docs, targets, budget).collect()
+      .map(r => r.getString(0) -> ((r.getLong(3), r.getLong(5), r.getLong(6))))
+      .toMap
+    assert(plan.values.exists(_._1 == 0), "want a pure-fractional source")
+    assert(plan.values.exists(_._1 >= 1), "want a repeating source")
+    val tok = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").length.toLong).toMap
+    val exp = CorpusOps.epochExpand(docs, targets, budget).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // per-source expanded token mass equals the plan's planned_tokens
+    val bySource = exp.groupBy(_._2).view.mapValues(_.map(c => tok(c._1)).sum).toMap
+    for ((s, (_, _, planned)) <- plan)
+      assert(bySource.getOrElse(s, 0L) == planned,
+        s"$s expanded ${bySource.getOrElse(s, 0L)} tokens, plan says $planned")
+    // each doc's copies are consecutive 0..n-1 with n ∈ {full, full+1}
+    for ((doc, copies) <- exp.groupBy(_._1)) {
+      val idx = copies.map(_._3).sorted.toSeq
+      assert(idx == (0L until idx.size), s"doc $doc copy indices $idx")
+      val full = plan(copies.head._2)._1
+      assert(idx.size == full || idx.size == full + 1,
+        s"doc $doc has ${idx.size} copies, full epochs $full")
+    }
+  }
+
   test("leakage split keeps near-dup clusters whole; singletons match the plain split") {
     import spark.implicits._
     // plain-split assignment replayed driver-side to pick a doc pair that

@@ -39,6 +39,46 @@ class PlanShapeSpec extends SparkSpecBase {
       s"no quantity disjunction pushed to the lineitem scan:\n$plan")
   }
 
+  test("dynamic partition pruning: a filtered dim prunes the partitioned fact scan") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    Lake.events(spark, Sf).write.mode("overwrite")
+      .partitionBy("event_type").parquet(tmp)
+    val fact = spark.read.parquet(tmp)
+    val dim = Lake.events(spark, Sf).select(col("event_type")).distinct()
+      .filter(col("event_type").isin("click", "view"))
+    val q = fact.join(dim, Seq("event_type"))
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"partitioned fact scan not runtime-pruned by the dim filter:\n$plan")
+  }
+
+  test("runtime bloom filter from the selective side prunes the shuffle-join probe") {
+    import org.apache.spark.sql.functions._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.get(k))
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // test tables are tiny; drop the size gate so the rule fires
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+      val li = Lake.lineitem(spark, Sf)
+        .select(col("l_orderkey"), col("l_quantity"))
+      val sel = Lake.orders(spark, Sf)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val q = li.join(sel, col("l_orderkey") === col("o_orderkey"))
+        .agg(sum(col("l_quantity")).as("q"))
+      val plan = q.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain") || plan.contains("BloomFilter"),
+        s"no runtime bloom filter injected on the probe side:\n$plan")
+    } finally saved.foreach { case (k, v) => conf.set(k, v) }
+  }
+
   test("dimension joins broadcast instead of shuffling the fact table") {
     val plan = planOf(Relational.regionRevenue(spark, Sf))
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
