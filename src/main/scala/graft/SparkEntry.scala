@@ -156,6 +156,9 @@ object SparkEntry {
     // Domain-mixing rate plan (budgeted stratified-sampling planner)
     "q_mix_plan"          -> CorpusOps.mixPlanQuery _,
     "q_mix_epochs"        -> CorpusOps.mixEpochsQuery _,
+    "q_length_buckets"    -> CorpusOps.lengthBucketsQuery _,
+    "q_dup_rates"         -> ((s: SparkSession, d: String) => DedupOps.dupRates(s, d)),
+    "q_fertility"         -> TextOps.bpeFertility _,
     // Data quality: Tukey-fence outlier screen per group
     "q_outliers"          -> ((s: SparkSession, d: String) =>
       CatalogOps.iqrOutliers(s, d, "orders", "o_totalprice", "o_orderstatus")),
@@ -1304,6 +1307,28 @@ object SparkEntry {
          |SELECT cnt.doc_id, n_bpe_tokens, n_words, first_token, last_token
          |FROM cnt JOIN ft USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    // Fertility: q_bpe_real's per-doc counts re-aggregated per language
+    // from integer sums; one double division at the end.
+    "q_fertility" ->
+      s"""WITH d AS (SELECT doc_id, lang,
+         |             list_filter(string_split(text, ' '), w -> w <> '') AS words
+         |           FROM documents WHERE text IS NOT NULL),
+         |d2 AS (SELECT doc_id, lang, words FROM d WHERE len(words) > 0),
+         |t AS (SELECT doc_id, ${bpeChainSql(bpeCharsSql("word"))} AS s
+         |      FROM (SELECT doc_id, unnest(words) AS word FROM d2)),
+         |cnt AS (SELECT doc_id,
+         |          CAST(sum((len(s) - len(replace(s, chr(1), ''))) // 2) AS bigint)
+         |            AS n_bpe_tokens,
+         |          count(*) AS n_words
+         |        FROM t GROUP BY doc_id),
+         |j AS (SELECT d2.lang, cnt.n_bpe_tokens, cnt.n_words
+         |      FROM cnt JOIN d2 USING (doc_id))
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(sum(n_words) AS BIGINT) AS n_words,
+         |  round(CAST(sum(n_bpe_tokens) AS DOUBLE)
+         |        / CAST(sum(n_words) AS DOUBLE), 6) AS fertility
+         |FROM j GROUP BY lang ORDER BY lang""".stripMargin,
     // Multi-table hyperplane LSH, replicated end-to-end: buckets from the
     // engine's own hyperplane constants, candidates on shared bucket,
     // exact-cosine rank. Candidate sets (not just scores) must agree.
@@ -2513,6 +2538,61 @@ object SparkEntry {
         |  r2.full_epochs * r2.n_tokens + tu.topup_tokens AS planned_tokens
         |FROM r2 JOIN tu ON r2.source = tu.source
         |ORDER BY r2.source""".stripMargin,
+    // Length buckets: same CASE ladder, integer pad/truncate arithmetic.
+    "q_length_buckets" ->
+      """WITH d AS (
+        |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+        |  FROM documents WHERE text IS NOT NULL),
+        |b AS (
+        |  SELECT tok,
+        |    CASE WHEN tok <= 32 THEN 32 WHEN tok <= 64 THEN 64
+        |         WHEN tok <= 128 THEN 128 WHEN tok <= 256 THEN 256
+        |         ELSE 512 END AS bucket,
+        |    least(tok, CASE WHEN tok <= 32 THEN 32 WHEN tok <= 64 THEN 64
+        |         WHEN tok <= 128 THEN 128 WHEN tok <= 256 THEN 256
+        |         ELSE 512 END) AS kept
+        |  FROM d)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_docs,
+        |  CAST(sum(tok) AS BIGINT) AS sum_tokens,
+        |  CAST(sum(kept) AS BIGINT) AS kept_tokens,
+        |  CAST(sum(bucket - kept) AS BIGINT) AS pad_tokens,
+        |  CAST(sum(tok - kept) AS BIGINT) AS truncated_tokens,
+        |  round(CAST(sum(bucket - kept) AS DOUBLE) / (bucket * count(*)), 4)
+        |    AS pad_waste_rate
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // Dup rates: exact layer via count(distinct text); paragraph layer =
+    // q_para_dedup's segmentation + global first-occurrence rule.
+    "q_dup_rates" ->
+      """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS t
+        |           FROM documents WHERE text IS NOT NULL),
+        |ex AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    count(DISTINCT array_to_string(t, ' ')) AS n_uniq_texts
+        |  FROM d GROUP BY source),
+        |par AS (
+        |  SELECT doc_id, source,
+        |    unnest(range(0, CAST(ceil(len(t) / 16.0) AS BIGINT))) AS para_idx, t
+        |  FROM d),
+        |par2 AS (
+        |  SELECT doc_id, source, para_idx,
+        |    array_to_string(t[(para_idx * 16 + 1):(para_idx * 16 + 16)], ' ') AS para
+        |  FROM par),
+        |k AS (
+        |  SELECT source,
+        |    CASE WHEN row_number() OVER (PARTITION BY para ORDER BY doc_id, para_idx) = 1
+        |         THEN 0 ELSE 1 END AS is_dup
+        |  FROM par2),
+        |ps AS (
+        |  SELECT source, count(*) AS n_paras,
+        |    CAST(sum(is_dup) AS BIGINT) AS n_dup_paras
+        |  FROM k GROUP BY source)
+        |SELECT ex.source, ex.n_docs, ex.n_uniq_texts,
+        |  round(CAST(ex.n_docs - ex.n_uniq_texts AS DOUBLE) / ex.n_docs, 4)
+        |    AS exact_dup_rate,
+        |  ps.n_paras, ps.n_dup_paras,
+        |  round(CAST(ps.n_dup_paras AS DOUBLE) / ps.n_paras, 4) AS para_dup_rate
+        |FROM ex JOIN ps ON ex.source = ps.source
+        |ORDER BY ex.source""".stripMargin,
     "q_vocab_coverage" ->
       """WITH toks AS (
         |  SELECT lang, unnest(string_split(text, ' ')) AS token

@@ -330,6 +330,42 @@ object CorpusOps {
     mixEpochs(Lake.documents(spark, dir), targets, tokenBudget = 600000L)
   }
 
+  /** Sequence-length bucket report: docs assigned to power-of-two-ish
+    * length buckets (the dynamic-batching prep), with the padding waste
+    * a pad-to-bucket-bound batcher would pay and the token mass a
+    * truncate-at-the-largest-bound policy would cut. Everything is
+    * integer arithmetic over token counts — engine-exact — and one
+    * map-side-combinable aggregate; the bucket set is bounded by the
+    * edge list, not the corpus. */
+  def lengthBuckets(docs: DataFrame,
+                    edges: Seq[Long] = Seq(32L, 64L, 128L, 256L, 512L),
+                    tokenCount: Column =
+                      size(split(col("text"), " ")).cast("long")): DataFrame = {
+    require(edges.nonEmpty && edges == edges.sorted && edges.distinct == edges,
+      "bucket edges must be ascending and distinct")
+    val t = col("__tok")
+    val bound = edges.init.foldRight(lit(edges.last): Column)(
+      (e, acc) => when(t <= e, lit(e)).otherwise(acc))
+    docs.filter(col("text").isNotNull)
+      .select(tokenCount.as("__tok"))
+      .select(bound.as("bucket"), t)
+      .withColumn("__kept", least(t, col("bucket")))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(t).as("sum_tokens"),
+        sum(col("__kept")).as("kept_tokens"),
+        (sum(col("bucket") - col("__kept"))).as("pad_tokens"),
+        sum(t - col("__kept")).as("truncated_tokens"))
+      .select(col("bucket"), col("n_docs"), col("sum_tokens"),
+        col("kept_tokens"), col("pad_tokens"), col("truncated_tokens"),
+        round(col("pad_tokens").cast("double") /
+          (col("bucket") * col("n_docs")), 4).as("pad_waste_rate"))
+      .orderBy(col("bucket"))
+  }
+
+  def lengthBucketsQuery(spark: SparkSession, dir: String): DataFrame =
+    lengthBuckets(Lake.documents(spark, dir))
+
   /** Stable per-doc sampling bucket in [0, 10000): a Lehmer/MINSTD step
     * ((id * 48271) mod 2^31−1) reduced mod 10000 — plain integer
     * arithmetic any engine reproduces exactly, so sampling decisions are

@@ -650,16 +650,7 @@ object DedupOps extends org.apache.spark.internal.Logging {
     * three shuffles, all on high-cardinality keys, corpus-linear. */
   def paragraphDedup(docs: DataFrame, blockWords: Int = 16): DataFrame = {
     require(blockWords >= 1, "paragraph block must be at least one word")
-    val b = lit(blockWords)
-    val paras = docs.filter(col("text").isNotNull)
-      .select(col("doc_id"), split(col("text"), " ").as("__toks"))
-      .select(col("doc_id"),
-        floor((size(col("__toks")) + b - 1) / b).cast("long").as("n_paras"),
-        posexplode(transform(
-          sequence(lit(0), floor((size(col("__toks")) + b - 1) / b).cast("int") - 1),
-          i => array_join(slice(col("__toks"), i * b + 1, b), " "))))
-      .withColumnRenamed("pos", "para_idx")
-      .withColumnRenamed("col", "para")
+    val paras = segmented(docs, blockWords)
     val firsts = paras.groupBy(col("para"))
       .agg(min(struct(col("doc_id"), col("para_idx"))).as("__first"))
     paras.join(firsts, "para")
@@ -676,4 +667,60 @@ object DedupOps extends org.apache.spark.internal.Logging {
 
   def paragraphDedup(spark: SparkSession, dir: String): DataFrame =
     paragraphDedup(Lake.documents(spark, dir))
+
+  /** One row per `blockWords`-word paragraph: (doc_id, n_paras,
+    * para_idx, para) — the shared segmentation under [[paragraphDedup]]
+    * and [[dupRates]]. */
+  private def segmented(docs: DataFrame, blockWords: Int): DataFrame = {
+    val b = lit(blockWords)
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("__toks"))
+      .select(col("doc_id"),
+        floor((size(col("__toks")) + b - 1) / b).cast("long").as("n_paras"),
+        posexplode(transform(
+          sequence(lit(0), floor((size(col("__toks")) + b - 1) / b).cast("int") - 1),
+          i => array_join(slice(col("__toks"), i * b + 1, b), " "))))
+      .withColumnRenamed("pos", "para_idx")
+      .withColumnRenamed("col", "para")
+  }
+
+  /** Per-source duplication report — the health dashboard a corpus
+    * curator reads before deciding which crawls to keep: exact-copy rate
+    * (distinct texts vs docs) and paragraph-level duplication rate
+    * (non-first paragraph occurrences against the GLOBAL corpus, same
+    * segmentation and first-occurrence rule as [[paragraphDedup]]) per
+    * source. A source can be exact-clean yet paragraph-dirty — syndicated
+    * passages — which is exactly the gap between the two columns.
+    *
+    * Scale: the exact layer is one partial-aggregable group-by; the
+    * paragraph layer reuses the min-struct first-occurrence aggregate
+    * (map-side combinable, no window) + one join back, both keyed on the
+    * high-cardinality paragraph. */
+  def dupRates(docs: DataFrame, blockWords: Int = 16): DataFrame = {
+    val d = docs.filter(col("text").isNotNull)
+    val exact = d.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("text")).as("n_uniq_texts"))
+    val paras = segmented(d, blockWords)
+      .join(d.select(col("doc_id"), col("source")), "doc_id")
+    val firsts = paras.groupBy(col("para"))
+      .agg(min(struct(col("doc_id"), col("para_idx"))).as("__first"))
+    val paraStats = paras.join(firsts, "para")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when(col("doc_id") =!= col("__first.doc_id") ||
+          col("para_idx") =!= col("__first.para_idx"), lit(1L))
+          .otherwise(lit(0L))).as("n_dup_paras"))
+    exact.join(paraStats, "source")
+      .select(col("source"), col("n_docs"), col("n_uniq_texts"),
+        round((col("n_docs") - col("n_uniq_texts")).cast("double") /
+          col("n_docs"), 4).as("exact_dup_rate"),
+        col("n_paras"), col("n_dup_paras"),
+        round(col("n_dup_paras").cast("double") / col("n_paras"), 4)
+          .as("para_dup_rate"))
+      .orderBy(col("source"))
+  }
+
+  def dupRates(spark: SparkSession, dir: String): DataFrame =
+    dupRates(Lake.documents(spark, dir))
 }

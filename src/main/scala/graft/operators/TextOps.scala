@@ -171,6 +171,28 @@ object TextOps {
   def bpeTokenize(spark: SparkSession, dir: String): DataFrame =
     bpeTokenize(Lake.documents(spark, dir))
 
+  /** Tokenizer fertility by language: BPE tokens per whitespace word —
+    * the standard "how badly does this tokenizer fragment language X"
+    * diagnostic that drives per-language compute budgeting. Fertility is
+    * computed from per-language INTEGER sums (Σtokens / Σwords, one
+    * double division) rather than an average of per-doc ratios: integer
+    * sums are aggregation-order-exact on any engine, a mean of doubles
+    * is not. Map-only tokenize + one bounded group-by. */
+  def bpeFertility(docs: DataFrame): DataFrame =
+    bpeTokenize(docs)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bpe_tokens")).as("n_bpe_tokens"),
+        sum(col("n_words")).as("n_words"))
+      .select(col("lang"), col("n_docs"), col("n_bpe_tokens"), col("n_words"),
+        round(col("n_bpe_tokens").cast("double") /
+          col("n_words").cast("double"), 6).as("fertility"))
+      .orderBy(col("lang"))
+
+  def bpeFertility(spark: SparkSession, dir: String): DataFrame =
+    bpeFertility(Lake.documents(spark, dir))
+
   /** BPE merge LEARNING, step one: corpus-wide adjacent character-pair
     * statistics over the word-frequency table — the quantity a BPE trainer
     * maximizes each iteration (the most frequent pair becomes the next

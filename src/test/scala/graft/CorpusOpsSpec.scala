@@ -190,6 +190,21 @@ class CorpusOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("length buckets: pad and truncate arithmetic on planted lengths") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, ("w " * 10).trim),   // 10 tokens → bucket 32, pad 22
+      (2L, ("w " * 32).trim),   // boundary: exactly 32 stays in 32
+      (3L, ("w " * 600).trim)   // overflow: bucket 512, 88 truncated
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.lengthBuckets(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(out(32L) == ((2L, 42L, 42L, 22L, 0L)), s"bucket 32: ${out.get(32L)}")
+    assert(out(512L) == ((1L, 600L, 512L, 0L, 88L)), s"bucket 512: ${out.get(512L)}")
+    assert(!out.contains(64L) && !out.contains(128L))
+  }
+
   test("leakage split keeps near-dup clusters whole; singletons match the plain split") {
     import spark.implicits._
     // plain-split assignment replayed driver-side to pick a doc pair that

@@ -170,6 +170,24 @@ class DedupSpec extends SparkSpecBase {
     assert(math.abs(got((1L, 2L)) - 0.1) < 1e-9)
   }
 
+  test("dup rates: exact-clean but paragraph-dirty sources are told apart") {
+    import spark.implicits._
+    val p1 = "a b c d"
+    val docs = Seq(
+      (1L, s"$p1 e f g h", "srcA"),
+      (2L, s"$p1 e f g h", "srcA"),  // exact copy of 1 → A exact-dirty
+      (3L, s"$p1 x y z w", "srcB"),  // copies 1's first paragraph only
+      (4L, "m n o p q r s t", "srcB")
+    ).toDF("doc_id", "text", "source")
+    val out = DedupOps.dupRates(docs, blockWords = 4).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))).toMap
+    // srcA: 2 docs, 1 distinct text; 4 paras, doc 2's two are non-first
+    assert(out("srcA") == ((2L, 1L, 0.5, 4L, 2L, 0.5)), s"srcA: ${out.get("srcA")}")
+    // srcB: exact-clean (rate 0) yet paragraph-dirty (1 of 4 copied)
+    assert(out("srcB") == ((2L, 2L, 0.0, 4L, 1L, 0.25)), s"srcB: ${out.get("srcB")}")
+  }
+
   test("incremental screen flags fresh-vs-base only and picks the best base match") {
     import spark.implicits._
     val a = (1 to 20).map(i => s"a$i").mkString(" ")

@@ -215,9 +215,6 @@ class PlanShapeSpec extends SparkSpecBase {
         // q_supplier_share scalar-threshold pattern)
         "q_drift", "q_zipf", "q_ann_adc", "q_windowed_psi", "q_t_closeness",
         "q_rolling_psi", "q_ann_pq", "q_winsorize",
-        // q_pagerank: one-row node-count broadcast per iteration (the
-        // q_surprisal corpus-total pattern, ×iters)
-        "q_pagerank",
         // q_train_order: the per-source-counts broadcast (bounded by
         // source cardinality) against which each row computes its
         // closed-form global ordinal

@@ -276,4 +276,24 @@ class TextOpsSpec extends SparkSpecBase {
     assert(top2.length == 2 && top2.map(_.getLong(0)).toSet == best2,
       s"top-2 must be the two highest scorers: ${top2.mkString(",")}")
   }
+
+  test("fertility aggregates integer token/word sums per language, never a mean of ratios") {
+    val docs = Lake.documents(spark, Sf)
+    val out = TextOps.bpeFertility(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out.nonEmpty)
+    // ground truth from the per-doc tokenizer output, summed driver-side
+    val perDoc = TextOps.bpeTokenize(docs)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .select("lang", "n_bpe_tokens", "n_words").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    for ((lang, (nDocs, nBpe, nWords, fert)) <- out) {
+      val g = perDoc.filter(_._1 == lang)
+      assert(g.length == nDocs && g.map(_._2).sum == nBpe && g.map(_._3).sum == nWords,
+        s"$lang sums drifted")
+      assert(math.abs(fert - nBpe.toDouble / nWords) < 1e-6)
+      assert(fert >= 1.0, "BPE never merges across words, so fertility >= 1")
+    }
+  }
 }
