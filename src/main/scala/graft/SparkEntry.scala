@@ -159,6 +159,9 @@ object SparkEntry {
     "q_length_buckets"    -> CorpusOps.lengthBucketsQuery _,
     "q_dup_rates"         -> ((s: SparkSession, d: String) => DedupOps.dupRates(s, d)),
     "q_fertility"         -> TextOps.bpeFertility _,
+    "q_quality_sweep"     -> ((s: SparkSession, d: String) => TextOps.qualitySweep(s, d)),
+    "q_triangles"         -> GraphOps.trianglesQuery _,
+    "q_scene_cuts"        -> ((s: SparkSession, d: String) => MultimodalOps.sceneCuts(s, d)),
     // Data quality: Tukey-fence outlier screen per group
     "q_outliers"          -> ((s: SparkSession, d: String) =>
       CatalogOps.iqrOutliers(s, d, "orders", "o_totalprice", "o_orderstatus")),
@@ -862,6 +865,49 @@ object SparkEntry {
         |    i -> (sm[i] >= mean_v) != (sm[i + 1] >= mean_v))) AS BIGINT)
         |    AS zero_crossings
         |FROM m ORDER BY doc_id, window_idx""".stripMargin,
+    // Scene cuts: same frame slicing/mean arithmetic (sum of code points
+    // over a power-of-two frame → exact double mean), lag per payload.
+    "q_scene_cuts" ->
+      """WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS n
+        |           FROM documents WHERE text IS NOT NULL),
+        |f AS (SELECT doc_id, text, unnest(range(0, n // 16)) AS p
+        |      FROM d WHERE n >= 32),
+        |m AS (SELECT doc_id, p,
+        |        list_aggregate(list_transform(range(1, 17),
+        |          i -> unicode(text[p * 16 + i])), 'sum') / 16.0 AS mean_v
+        |      FROM f),
+        |l AS (SELECT doc_id, p,
+        |        abs(mean_v - lag(mean_v) OVER (PARTITION BY doc_id ORDER BY p))
+        |          AS delta
+        |      FROM m)
+        |SELECT doc_id, count(*) AS n_frames,
+        |  CAST(coalesce(sum(CASE WHEN delta > 4.0 THEN 1 END), 0) AS BIGINT)
+        |    AS n_cuts,
+        |  round(coalesce(max(delta), 0.0), 4) AS max_delta
+        |FROM l GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Quality sweep: the q_doc_quality score bucketed to 0.05 steps, then
+    // a reverse-cumulative keep curve over the bounded histogram.
+    "q_quality_sweep" ->
+      s"""WITH q AS (
+         |  SELECT round(0.4 * least(1.0, n_tokens / 100.0)
+         |       + 0.4 * (n_distinct * 1.0 / n_tokens)
+         |       + 0.2 * least(1.0, (n_stop * 1.0 / n_tokens) * 10.0), 4) AS quality
+         |  FROM (
+         |    SELECT len(string_split(text, ' ')) AS n_tokens,
+         |      len(list_distinct(string_split(text, ' '))) AS n_distinct,
+         |      len(list_filter(string_split(text, ' '), t -> t IN ($stopList))) AS n_stop
+         |    FROM documents WHERE text IS NOT NULL) u),
+         |h AS (SELECT CAST(floor(quality * 20) AS BIGINT) AS bucket,
+         |        count(*) AS n_docs
+         |      FROM q GROUP BY bucket),
+         |c AS (SELECT bucket, n_docs,
+         |        CAST(sum(n_docs) OVER (ORDER BY bucket DESC
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |          AS n_kept
+         |      FROM h)
+         |SELECT round(bucket / 20.0, 2) AS threshold, n_docs, n_kept,
+         |  round(n_kept * 1.0 / (SELECT count(*) FROM q), 4) AS keep_rate
+         |FROM c ORDER BY threshold""".stripMargin,
     // Q2 argmin-per-group: per-part min price via group-by + equality
     // re-join (the window's value twin); comparison only, no arithmetic.
     "q_cheapest_supplier" ->
@@ -1514,6 +1560,39 @@ object SparkEntry {
          |FROM (SELECT src, dst, s, row_number() OVER (PARTITION BY src
          |        ORDER BY s DESC, dst) AS rnk FROM sym) t
          |WHERE rnk <= 5 ORDER BY src, rnk""".stripMargin,
+    // Triangles: the kNN CTEs canonicalized to a<b edges, wedge join on
+    // the middle node, EXISTS-closed, per-node participation counts.
+    "q_triangles" ->
+      s"""WITH $lshOracleCtes,
+         |bkc AS (SELECT vec_id, bucket FROM (
+         |          SELECT vec_id, bucket,
+         |            count(*) OVER (PARTITION BY bucket) AS bn
+         |          FROM bk) WHERE bn <= 4096),
+         |pairs AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |          FROM bkc a JOIN bkc b
+         |            ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |sc AS (SELECT vec_a, vec_b,
+         |         list_cosine_similarity(ea.e, eb.e) AS s
+         |       FROM pairs JOIN emb ea ON ea.vec_id = pairs.vec_a
+         |                  JOIN emb eb ON eb.vec_id = pairs.vec_b),
+         |sym AS (SELECT vec_a AS src, vec_b AS dst, s FROM sc
+         |        UNION ALL SELECT vec_b, vec_a, s FROM sc),
+         |knn AS (SELECT src, dst FROM (SELECT src, dst,
+         |          row_number() OVER (PARTITION BY src ORDER BY s DESC, dst) AS rnk
+         |        FROM sym) t WHERE rnk <= 5),
+         |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |        FROM knn WHERE src <> dst),
+         |tri AS (SELECT e1.a, e1.b, e2.c
+         |        FROM und e1
+         |        JOIN (SELECT a AS b, b AS c FROM und) e2 ON e1.b = e2.b
+         |        WHERE EXISTS (SELECT 1 FROM und e3
+         |                      WHERE e3.a = e1.a AND e3.b = e2.c)),
+         |nodes AS (SELECT a AS node FROM tri
+         |          UNION ALL SELECT b FROM tri
+         |          UNION ALL SELECT c FROM tri)
+         |SELECT node, count(*) AS n_triangles
+         |FROM nodes GROUP BY node
+         |ORDER BY n_triangles DESC, node LIMIT 20""".stripMargin,
     // Hard negatives: the same pair CTEs with the cross-label filter
     // BEFORE ranking (the engine's slot semantics).
     "q_hard_negatives" ->

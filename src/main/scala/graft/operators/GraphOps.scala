@@ -109,4 +109,45 @@ object GraphOps {
   /** Registered query: top-20 PageRank nodes of the trade graph. */
   def pageRankQuery(spark: SparkSession, dir: String): DataFrame =
     pageRank(tradeEdges(spark, dir))
+
+  /** Per-node triangle participation over an arbitrary edge frame — the
+    * local-clustering signal (tight communities vs hub-and-spoke) that
+    * rank and components cannot see. Edges are canonicalized to a < b, so
+    * each triangle a<b<c is found EXACTLY once: wedge join on the middle
+    * node (e1=(a,b) ⋈ e2=(b,c)), closed by a LEFT-SEMI probe for (a,c) —
+    * the classic two-equi-join formulation, never an all-pairs product.
+    *
+    * Scale: wedge fan-out is Σ_b deg(b)² — linear for bounded-degree
+    * graphs (the kNN graph registered below has out-degree ≤ k and
+    * LSH-capped in-degree). For skewed graphs, cap or sample high-degree
+    * middles first (the oversizedBands pattern); the semi-join probe is
+    * edge-keyed and never expands. The canonical edge set is consumed
+    * three times, so it persists and is released once the node-bounded
+    * report materializes. */
+  def triangles(edges: DataFrame, k: Int = 20): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val wedges = und.as("e1")
+      .join(und.select(col("a").as("b"), col("b").as("c")).as("e2"), "b")
+    val tri = wedges
+      .join(und.select(col("a").as("ca"), col("b").as("cb")),
+        col("a") === col("ca") && col("c") === col("cb"), "left_semi")
+    val out = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+      .orderBy(col("n_triangles").desc, col("node"))
+      .limit(k)
+      .localCheckpoint(true)
+    und.unpersist(false)
+    out
+  }
+
+  /** Registered query: triangle hot-spots of the 5-NN embedding graph
+    * (the trade graph is bipartite, hence triangle-free by parity). */
+  def trianglesQuery(spark: SparkSession, dir: String): DataFrame =
+    triangles(AnnOps.knnGraph(spark, dir).select(col("src"), col("dst")))
 }

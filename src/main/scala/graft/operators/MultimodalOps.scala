@@ -317,4 +317,48 @@ object MultimodalOps {
         concat_ws(",", transform(col("features"),
           f => f.cast("int").cast("string"))).as("feat_digest"))
       .orderBy(col("doc_id"))
+
+  /** Scene-cut detection over the frame stream: per non-overlapping
+    * frame, the mean sample value; a CUT is a frame whose mean jumps more
+    * than `threshold` from its predecessor — the shot-boundary heuristic
+    * video pipelines run before picking keyframes. Per-payload report of
+    * frame count, cut count, and the largest jump.
+    *
+    * Determinism: frame sums are integral; `frameLen` is a power of two,
+    * so mean = sum/16 is EXACT in double, deltas are exact differences,
+    * and the threshold compare cannot straddle engines. The lag window
+    * partitions per payload (frames-per-payload bounded), then one
+    * map-side-combinable aggregate. Same sample-read discipline as
+    * [[audioFeatures]]: probe the scan attribute, never re-cast inside
+    * the lambda. */
+  def sceneCuts(spark: SparkSession, dir: String): DataFrame =
+    sceneCuts(Lake.documents(spark, dir))
+
+  def sceneCuts(docs: DataFrame, frameLen: Int = 16,
+                threshold: Double = 4.0): DataFrame = {
+    require(frameLen > 0 && (frameLen & (frameLen - 1)) == 0,
+      "frameLen must be a power of two so the mean stays exact")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"),
+        octet_length(col("text")).as("n_bytes"))
+      .filter(col("n_bytes") >= 2 * frameLen)
+      .select(col("doc_id"), col("text"),
+        posexplode(sequence(lit(0L),
+          floor(col("n_bytes") / frameLen).cast("long") - 1)))
+      .withColumn("off", (col("pos") * frameLen).cast("long"))
+      .withColumn("mean_v", expr(
+        s"aggregate(transform(sequence(1, $frameLen), " +
+          s"i -> ascii(substr(text, CAST(off + i AS INT), 1))), " +
+          s"0L, (acc, v) -> acc + v)").cast("double") / frameLen)
+      .withColumn("delta", abs(col("mean_v") - lag(col("mean_v"), 1).over(w)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        coalesce(sum(when(col("delta") > threshold, lit(1L))), lit(0L))
+          .as("n_cuts"),
+        round(coalesce(max(col("delta")), lit(0.0)), 4).as("max_delta"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -596,6 +596,32 @@ object TextOps {
   def qualityRules(spark: SparkSession, dir: String): DataFrame =
     qualityRules(Lake.documents(spark, dir))
 
+  /** Quality-threshold calibration sweep: for every 0.05 score step, how
+    * much of the corpus a `quality ≥ t` filter would keep — the curve a
+    * curator reads to PICK the threshold, rather than guessing one. One
+    * corpus aggregate to a ≤21-row bucket histogram, then a reverse
+    * cumulative window over those bounded rows (the tiny frame is the
+    * window's partition, not the corpus). Scores are already rounded to
+    * 4 decimals, so floor(score·20) buckets identically on any engine. */
+  def qualitySweep(docs: DataFrame): DataFrame = {
+    val scored = docQuality(docs).select(col("quality"))
+    val total = scored.count() // bounded one-row probe (autoJoin precedent)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bucket").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    scored
+      .select(floor(col("quality") * 20).cast("long").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("n_kept", sum(col("n_docs")).over(w))
+      .select(round(col("bucket") / 20.0, 2).as("threshold"),
+        col("n_docs"), col("n_kept"),
+        round(col("n_kept").cast("double") / total, 4).as("keep_rate"))
+      .orderBy(col("threshold"))
+  }
+
+  def qualitySweep(spark: SparkSession, dir: String): DataFrame =
+    qualitySweep(Lake.documents(spark, dir))
+
   /** Word n-gram shingles over an already-materialized token-array COLUMN
     * (used by dedup, fingerprinting, boilerplate, surprisal). Docs shorter
     * than `n` tokens shingle to the whole text (`concat_ws` over the tokens

@@ -39,6 +39,24 @@ class GraphOpsSpec extends SparkSpecBase {
     assert(out(1).getString(0) == "x1") // equal-rank leaves: lexicographic
   }
 
+  test("triangles: shared-node counts are exact; bipartite graphs are triangle-free") {
+    import spark.implicits._
+    // two triangles sharing node 3, plus a pendant edge 5–6; edges given
+    // in mixed directions and with a duplicate to exercise canonicalize
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L),     // triangle {1,2,3}
+      (3L, 4L), (5L, 4L), (3L, 5L),     // triangle {3,4,5}, one reversed
+      (2L, 1L),                          // duplicate of (1,2) reversed
+      (5L, 6L)                           // pendant, in no triangle
+    ).toDF("src", "dst")
+    val out = GraphOps.triangles(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(3L -> 2L, 1L -> 1L, 2L -> 1L, 4L -> 1L, 5L -> 1L),
+      s"wrong counts: $out")
+    // the trade graph is bipartite (customer↔supplier): no odd cycles
+    assert(GraphOps.triangles(GraphOps.tradeEdges(spark, Sf)).count() == 0)
+  }
+
   test("trade edges are symmetric and distinct") {
     val e = GraphOps.tradeEdges(spark, Sf)
     val n = e.count()

@@ -94,4 +94,18 @@ class MultimodalSpec extends SparkSpecBase {
     info(f"decode plumbing: $n rows, ${totalBytes / 1e6}%.2f MB in $secs%.3f s = $mbps%.1f MB/s")
     assert(mbps > 0.5, f"decode throughput collapsed: $mbps%.2f MB/s")
   }
+
+  test("scene cuts fire exactly at the planted intensity jump") {
+    import spark.implicits._
+    // frame means: 'a'*16 → 97, 'b'*16 → 98 (delta 1, below 4.0), then
+    // 'z'*16 → 122 (delta 24, a cut); constant doc → zero cuts
+    val docs = Seq(
+      (1L, "a" * 16 + "b" * 16 + "z" * 16),
+      (2L, "m" * 48)).toDF("doc_id", "text")
+    val out = MultimodalOps.sceneCuts(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out(1L) == ((3L, 1L, 24.0)), s"planted cut missed: ${out.get(1L)}")
+    assert(out(2L) == ((3L, 0L, 0.0)), s"constant doc cut: ${out.get(2L)}")
+  }
 }

@@ -277,6 +277,21 @@ class TextOpsSpec extends SparkSpecBase {
       s"top-2 must be the two highest scorers: ${top2.mkString(",")}")
   }
 
+  test("quality sweep is a proper reverse-cumulative keep curve") {
+    val docs = Lake.documents(spark, Sf)
+    val rows = TextOps.qualitySweep(docs).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val total = TextOps.docQuality(docs).count()
+    assert(rows.map(_._2).sum == total, "histogram must cover every doc")
+    assert(rows.head._3 == total && math.abs(rows.head._4 - 1.0) < 1e-9,
+      "the lowest threshold keeps everything")
+    // keep counts strictly reconstruct from the bucket histogram
+    val sorted = rows.sortBy(_._1)
+    for (i <- 1 until sorted.length)
+      assert(sorted(i)._3 == sorted(i - 1)._3 - sorted(i - 1)._2,
+        s"cumulative break at ${sorted(i)._1}")
+  }
+
   test("fertility aggregates integer token/word sums per language, never a mean of ratios") {
     val docs = Lake.documents(spark, Sf)
     val out = TextOps.bpeFertility(docs).collect()
