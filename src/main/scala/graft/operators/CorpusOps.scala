@@ -258,8 +258,13 @@ object CorpusOps {
     require(maxEpochs >= 1, "need at least one epoch")
     val d = docs.filter(col("text").isNotNull)
       .select(col(strataCol), tokenCount.as("__tok"), sampleBucket.as("__bucket"))
+    // the rate table is source-cardinality-bounded but derives from a
+    // corpus aggregate; persisted so its two consumers (top-up join +
+    // final join) pay that scan once (bounded frame — ContextCleaner
+    // reclaims it, the supplierShare precedent)
     val stock = epochRates(docs, targets, tokenBudget, maxEpochs, strataCol,
       tokenCount)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val topup = d.join(broadcast(stock.select(col(strataCol), col("__th"))),
         Seq(strataCol))
       .groupBy(col(strataCol))
@@ -505,7 +510,9 @@ object CorpusOps {
       .select(col("doc_id"), col("source"), s3.as("__shuf"))
       .withColumn("src_rank", row_number().over(w).cast("long"))
       .drop("__shuf")
-    val cnts = ranked.groupBy(col("source").as("__src"))
+    // counts come straight from the source column — deriving them from
+    // `ranked` would execute the rank window a second time
+    val cnts = docs.groupBy(col("source").as("__src"))
       .agg(count(lit(1)).as("__n"))
     ranked.crossJoin(broadcast(cnts))
       .groupBy(col("doc_id"), col("source"), col("src_rank"))
