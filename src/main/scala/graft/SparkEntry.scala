@@ -160,6 +160,8 @@ object SparkEntry {
     "q_dup_rates"         -> ((s: SparkSession, d: String) => DedupOps.dupRates(s, d)),
     "q_fertility"         -> TextOps.bpeFertility _,
     "q_quality_sweep"     -> ((s: SparkSession, d: String) => TextOps.qualitySweep(s, d)),
+    "q_lang_segments"     -> ((s: SparkSession, d: String) => TextOps.langSegments(s, d)),
+    "q_data_card"         -> ((s: SparkSession, d: String) => CatalogOps.dataCard(s, d)),
     "q_triangles"         -> GraphOps.trianglesQuery _,
     "q_scene_cuts"        -> ((s: SparkSession, d: String) => MultimodalOps.sceneCuts(s, d)),
     // Data quality: Tukey-fence outlier screen per group
@@ -908,6 +910,44 @@ object SparkEntry {
          |SELECT round(bucket / 20.0, 2) AS threshold, n_docs, n_kept,
          |  round(n_kept * 1.0 / (SELECT count(*) FROM q), 4) AS keep_rate
          |FROM c ORDER BY threshold""".stripMargin,
+    // Segment language screen: same block slices, integer-space
+    // stopword-ratio compare (100·n_stop ≥ 3·len), majority + mixed.
+    "q_lang_segments" ->
+      s"""WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS tk
+         |           FROM documents WHERE text IS NOT NULL),
+         |s AS (
+         |  SELECT doc_id, lang,
+         |    CAST(ceil(len(tk) / 16.0) AS BIGINT) AS n_segments,
+         |    CAST(len(list_filter(range(0, CAST(ceil(len(tk) / 16.0) AS BIGINT)),
+         |      i -> 100 * len(list_filter(tk[(i * 16 + 1):(i * 16 + 16)],
+         |             t -> t IN ($stopList)))
+         |           >= 3 * len(tk[(i * 16 + 1):(i * 16 + 16)]))) AS BIGINT)
+         |      AS n_en
+         |  FROM d)
+         |SELECT doc_id, lang, n_segments, n_en AS n_en_segments,
+         |  n_segments - n_en AS n_und_segments,
+         |  CASE WHEN 2 * n_en >= n_segments THEN 'en' ELSE 'und' END AS lang_pred,
+         |  n_en > 0 AND n_en < n_segments AS mixed
+         |FROM s ORDER BY doc_id""".stripMargin,
+    // Data card: one aggregate row fanned into (metric, value) pairs.
+    "q_data_card" ->
+      """WITH s AS (
+        |  SELECT count(*) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |    count(DISTINCT source) AS n_sources,
+        |    count(DISTINCT lang) AS n_langs,
+        |    count(DISTINCT text) AS n_uniq_texts
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT metric, value FROM (
+        |  SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM s
+        |  UNION ALL SELECT 'n_tokens', CAST(n_tokens AS DOUBLE) FROM s
+        |  UNION ALL SELECT 'n_sources', CAST(n_sources AS DOUBLE) FROM s
+        |  UNION ALL SELECT 'n_langs', CAST(n_langs AS DOUBLE) FROM s
+        |  UNION ALL SELECT 'mean_doc_tokens',
+        |    round(CAST(n_tokens AS DOUBLE) / n_docs, 4) FROM s
+        |  UNION ALL SELECT 'exact_dup_rate',
+        |    round(1.0 - CAST(n_uniq_texts AS DOUBLE) / n_docs, 4) FROM s)
+        |ORDER BY metric""".stripMargin,
     // Q2 argmin-per-group: per-part min price via group-by + equality
     // re-join (the window's value twin); comparison only, no arithmetic.
     "q_cheapest_supplier" ->

@@ -864,4 +864,37 @@ object CatalogOps {
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
       .orderBy(col("table_name"))
   }
+
+  /** The corpus data card: the headline numbers a dataset release ships
+    * with, as (metric, value) rows — docs, tokens, source/language
+    * breadth, mean length, exact-duplicate rate. ONE corpus scan into a
+    * one-row aggregate (count-distincts expand internally, all partial-
+    * aggregable), then a map-only explode into the card rows. */
+  def dataCard(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val agg = docs.filter(col("text").isNotNull).agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(split(col("text"), " "))).cast("long").as("n_tokens"),
+      countDistinct(col("source")).as("n_sources"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("text")).as("n_uniq_texts"))
+    agg.select(explode(array(
+      struct(lit("n_docs").as("metric"),
+        col("n_docs").cast("double").as("value")),
+      struct(lit("n_tokens").as("metric"),
+        col("n_tokens").cast("double").as("value")),
+      struct(lit("n_sources").as("metric"),
+        col("n_sources").cast("double").as("value")),
+      struct(lit("n_langs").as("metric"),
+        col("n_langs").cast("double").as("value")),
+      struct(lit("mean_doc_tokens").as("metric"),
+        round(col("n_tokens").cast("double") / col("n_docs"), 4).as("value")),
+      struct(lit("exact_dup_rate").as("metric"),
+        round(lit(1.0) - col("n_uniq_texts").cast("double") / col("n_docs"), 4)
+          .as("value")))).as("m"))
+      .select(col("m.metric").as("metric"), col("m.value").as("value"))
+      .orderBy(col("metric"))
+  }
+
+  def dataCard(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    dataCard(graft.Lake.documents(spark, dir))
 }

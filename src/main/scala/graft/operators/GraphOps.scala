@@ -106,9 +106,78 @@ object GraphOps {
       .unionByName(pairs.select(col("s").as("src"), col("c").as("dst")))
   }
 
-  /** Registered query: top-20 PageRank nodes of the trade graph. */
+  /** Degree-attached directed edges straight from the BIPARTITE pair
+    * frame: for customer↔supplier pairs, out-degree(c) = #pairs with
+    * that c and out-degree(s) = #pairs with that s, both computable from
+    * the distinct pair frame BEFORE mirroring — so the doubled edge list
+    * is two projections of ONE pair⋈degree join instead of a shuffle
+    * aggregate + join over the mirrored frame. Degree frames are
+    * node-sided and broadcast. Feeds [[pageRank]]'s pre-degreed fast
+    * path; produces exactly the (src, dst, deg) rows the generic
+    * edges→deg→ewd chain would. */
+  def tradeEdgesWithDeg(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // ONE linear plan — scan ⋈ scan → distinct → two count-windows →
+    // map-only explode mirror — so nothing is consumed twice and nothing
+    // needs a persist: both degrees ride each pair row, and the doubled
+    // edge list is an explode, not a union of two subplan copies
+    Lake.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(Lake.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(concat(lit("c"), col("o_custkey").cast("string")).as("c"),
+        concat(lit("s"), col("l_suppkey").cast("string")).as("s"))
+      .distinct()
+      .withColumn("cdeg", count(lit(1)).over(Window.partitionBy(col("c"))))
+      .withColumn("sdeg", count(lit(1)).over(Window.partitionBy(col("s"))))
+      .select(explode(array(
+        struct(col("c").as("src"), col("s").as("dst"), col("cdeg").as("deg")),
+        struct(col("s").as("src"), col("c").as("dst"), col("sdeg").as("deg"))))
+        .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"),
+        col("e.deg").as("deg"))
+  }
+
+  /** [[pageRank]] fast path for callers that already hold degree-attached
+    * (src, dst, deg) edges (e.g. [[tradeEdgesWithDeg]]): skips the
+    * generic degree aggregate + attach join entirely. Identical
+    * arithmetic, identical output. */
+  def pageRankPreDegreed(ewd0: DataFrame, iters: Int = 3,
+                         damping: Double = 0.85, k: Int = 20,
+                         maxBroadcastNodes: Long = 1L << 20): DataFrame = {
+    require(iters >= 1, "pageRank needs at least one iteration")
+    val ewd = ewd0.persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = ewd.select(col("src").as("node"), col("deg")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = deg.count()
+    var pr = deg.select(col("node"), round(lit(1.0 / n), 12).as("pr"))
+    for (_ <- 1 to iters) {
+      val prSide = if (n <= maxBroadcastNodes) broadcast(pr) else pr
+      pr = ewd
+        .join(prSide, ewd("src") === pr("node"))
+        .select(col("dst"),
+          round(col("pr") / col("deg"), 12).cast(dec12).as("contrib"))
+        .groupBy(col("dst")).agg(sum(col("contrib")).as("m"))
+        .select(col("dst").as("node"),
+          round(lit((1.0 - damping) / n) +
+            lit(damping) * col("m").cast("double"), 12).as("pr"))
+    }
+    val out = pr
+      .join(deg, "node")
+      .select(col("node"), col("deg"), round(col("pr"), 6).as("pagerank"))
+      .orderBy(col("pagerank").desc, col("node"))
+      .limit(k)
+      .localCheckpoint(true)
+    deg.unpersist(false)
+    ewd.unpersist(false)
+    out
+  }
+
+  /** Registered query: top-20 PageRank nodes of the trade graph (the
+    * pre-degreed construction — same output as the generic path,
+    * spec-asserted). */
   def pageRankQuery(spark: SparkSession, dir: String): DataFrame =
-    pageRank(tradeEdges(spark, dir))
+    pageRankPreDegreed(tradeEdgesWithDeg(spark, dir))
 
   /** Per-node triangle participation over an arbitrary edge frame — the
     * local-clustering signal (tight communities vs hub-and-spoke) that

@@ -80,6 +80,40 @@ object TextOps {
   def langQuality(spark: SparkSession, dir: String): DataFrame =
     langQuality(Lake.documents(spark, dir))
 
+  /** Segment-level language screen: the doc-level heuristic applied to
+    * every `blockWords`-word segment, reported per doc — catches the
+    * MIXED-language documents (an English page with embedded other-
+    * language blocks, or vice versa) that a whole-doc ratio averages
+    * away. A segment is 'en' when its stopword ratio clears the same
+    * 0.03 bar, compared in INTEGER space (100·n_stop ≥ 3·len — no
+    * double division to disagree across engines). Entirely map-only:
+    * the segments are a lambda over block indices, never exploded. */
+  def langSegments(docs: DataFrame, blockWords: Int = 16): DataFrame = {
+    val b = blockWords
+    val stopSet = Stopwords.map(s => s"'$s'").mkString(", ")
+    nonNull(docs)
+      .select(col("doc_id"), col("lang"), toks.as("tk"))
+      .withColumn("n_segments",
+        floor((size(col("tk")) + b - 1) / b).cast("long"))
+      .withColumn("n_en_segments", expr(
+        s"""size(filter(sequence(0, CAST(n_segments AS INT) - 1),
+           |  i -> 100 * size(filter(slice(tk, i * $b + 1, $b),
+           |         t -> t IN ($stopSet)))
+           |       >= 3 * size(slice(tk, i * $b + 1, $b))))"""
+          .stripMargin).cast("long"))
+      .select(col("doc_id"), col("lang"), col("n_segments"),
+        col("n_en_segments"),
+        (col("n_segments") - col("n_en_segments")).as("n_und_segments"),
+        when(col("n_en_segments") * 2 >= col("n_segments"), "en")
+          .otherwise("und").as("lang_pred"),
+        (col("n_en_segments") > 0 &&
+          col("n_en_segments") < col("n_segments")).as("mixed"))
+      .orderBy(col("doc_id"))
+  }
+
+  def langSegments(spark: SparkSession, dir: String): DataFrame =
+    langSegments(Lake.documents(spark, dir))
+
   /** Composite quality score in [0,1]: length component (saturating at 100
     * tokens), lexical diversity (type-token ratio), stopword presence.
     * Same arithmetic on the oracle side so doubles round identically. */

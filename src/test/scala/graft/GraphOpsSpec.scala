@@ -39,6 +39,14 @@ class GraphOpsSpec extends SparkSpecBase {
     assert(out(1).getString(0) == "x1") // equal-rank leaves: lexicographic
   }
 
+  test("pre-degreed fast path returns exactly the generic pageRank output") {
+    val generic = GraphOps.pageRank(GraphOps.tradeEdges(spark, Sf)).collect()
+    val fast = GraphOps.pageRankPreDegreed(
+      GraphOps.tradeEdgesWithDeg(spark, Sf)).collect()
+    assert(generic.map(_.toSeq).toSeq == fast.map(_.toSeq).toSeq,
+      "the two construction paths must be row-identical")
+  }
+
   test("triangles: shared-node counts are exact; bipartite graphs are triangle-free") {
     import spark.implicits._
     // two triangles sharing node 3, plus a pendant edge 5–6; edges given

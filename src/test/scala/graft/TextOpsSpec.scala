@@ -277,6 +277,28 @@ class TextOpsSpec extends SparkSpecBase {
       s"top-2 must be the two highest scorers: ${top2.mkString(",")}")
   }
 
+  test("segment language screen flags mixed docs the whole-doc ratio misses") {
+    import spark.implicits._
+    val en = ("the of and to " * 4).trim          // 16 stopword-heavy words
+    val und = (1 to 16).map(i => s"x$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$en $und", "en"),   // one en block + one und block → mixed
+      (2L, s"$und $und", "en"),  // no stopwords anywhere → und, unmixed
+      (3L, en, "en")             // single clean en block
+    ).toDF("doc_id", "text", "lang")
+    val out = TextOps.langSegments(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3),
+        r.getString(5), r.getBoolean(6)))).toMap
+    assert(out(1L) == ((2L, 1L, "en", true)), s"mixed doc: ${out.get(1L)}")
+    assert(out(2L) == ((2L, 0L, "und", false)), s"und doc: ${out.get(2L)}")
+    assert(out(3L) == ((1L, 1L, "en", false)), s"clean doc: ${out.get(3L)}")
+    // the whole-doc heuristic calls doc 1 plain 'en' — the segment screen
+    // is strictly more informative
+    val whole = TextOps.langQuality(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(whole(1L) == "en")
+  }
+
   test("quality sweep is a proper reverse-cumulative keep curve") {
     val docs = Lake.documents(spark, Sf)
     val rows = TextOps.qualitySweep(docs).collect()
