@@ -17,19 +17,37 @@ object Lake {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to map
-    // to TimestampType. An explicit LongType schema reads the raw nanos
-    // (no session-global legacy conf mutated), then truncate to
+    // events.ts has shipped as both TIMESTAMP(MICROS) and TIMESTAMP(NANOS)
+    // parquet across testdata generations. Spark 4 reads MICROS natively
+    // but refuses to map NANOS to TimestampType, so probe the footer
+    // schema first: if plain inference yields a timestamp column, use it;
+    // otherwise fall back to an explicit LongType schema that reads the
+    // raw nanos (no session-global legacy conf mutated) and truncate to
     // microseconds — Spark's native timestamp precision — in place.
     if (name == "events") {
       import org.apache.spark.sql.types._
-      val eventsSchema = StructType(Seq(
-        StructField("event_id", LongType), StructField("ts", LongType),
-        StructField("user_id", LongType), StructField("event_type", StringType),
-        StructField("value", DoubleType), StructField("props", StringType)))
-      spark.read.schema(eventsSchema).parquet(s"$dir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.expr(
-          "timestamp_micros(ts div 1000)"))
+      val plain =
+        try {
+          val df = spark.read.parquet(s"$dir/$name.parquet")
+          df.schema("ts").dataType match {
+            case TimestampType => Some(df)
+            case TimestampNTZType =>
+              // zone-less micros; session tz is pinned to UTC, so this
+              // cast is value-identity on the underlying epoch micros
+              Some(df.withColumn("ts",
+                org.apache.spark.sql.functions.col("ts").cast(TimestampType)))
+            case _ => None
+          }
+        } catch { case _: Throwable => None }
+      plain.getOrElse {
+        val eventsSchema = StructType(Seq(
+          StructField("event_id", LongType), StructField("ts", LongType),
+          StructField("user_id", LongType), StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("props", StringType)))
+        spark.read.schema(eventsSchema).parquet(s"$dir/$name.parquet")
+          .withColumn("ts", org.apache.spark.sql.functions.expr(
+            "timestamp_micros(ts div 1000)"))
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 

@@ -301,6 +301,31 @@ object SparkEntry {
     // Cross-source shingle-vocabulary overlap (Jaccard matrix)
     "q_source_overlap"    -> ((s: SparkSession, d: String) =>
       TextOps.sourceOverlap(s, d)),
+    // Record linkage: blocked + edit-distance-verified name matching over
+    // the part-name dictionary (NDV-bounded, never row×row)
+    "q_entity_match"      -> DedupOps.entityMatchQuery _,
+    // Market-basket frequent pairs: parts co-ordered ≥2 times, top-20
+    "q_copurchase"        -> ((s: SparkSession, d: String) =>
+      Relational.copurchase(s, d)),
+    // Two-sample KS screen over q_drift's cohorts and bins
+    "q_ks_drift"          -> CatalogOps.ksDriftQuery _,
+    // PMI collocations: top bigrams by pointwise mutual information
+    "q_collocations"      -> ((s: SparkSession, d: String) =>
+      TextOps.collocations(s, d)),
+    // Per-doc TF-IDF keyword extraction (top-3 terms per doc)
+    "q_doc_keywords"      -> ((s: SparkSession, d: String) =>
+      TextOps.docKeywords(s, d)),
+    // Distinct-n n-gram diversity per source (mode-collapse diagnostic)
+    "q_ngram_diversity"   -> ((s: SparkSession, d: String) =>
+      TextOps.ngramDiversity(s, d)),
+    // Heaps-law vocabulary growth curve over doc-id-percentile prefixes
+    "q_heaps"             -> ((s: SparkSession, d: String) =>
+      TextOps.heapsCurve(s, d)),
+    // Daily new/returning/cumulative user decomposition
+    "q_daily_users"       -> EventOps.dailyUsers _,
+    // Embedding outlier screen: per-label centroid-distance z-scores
+    "q_embedding_outliers" -> ((s: SparkSession, d: String) =>
+      AnnOps.embeddingOutliers(s, d)),
   )
 
   /** [[TextOps.patternScan]] dictionary for the driver query: token
@@ -2857,6 +2882,175 @@ object SparkEntry {
         |)
         |GROUP BY o_orderstatus, q1, q3
         |ORDER BY o_orderstatus""".stripMargin,
+    // Record linkage over the part-name dictionary: same block key
+    // (first token) and the same exact edit distance.
+    "q_entity_match" ->
+      """WITH names AS (SELECT p_name AS name, count(*) AS n
+        |               FROM part GROUP BY 1)
+        |SELECT a.name AS name_a, b.name AS name_b, a.n AS n_a, b.n AS n_b,
+        |  levenshtein(a.name, b.name) AS dist
+        |FROM names a JOIN names b
+        |  ON split_part(a.name, ' ', 1) = split_part(b.name, ' ', 1)
+        | AND a.name < b.name
+        |WHERE levenshtein(a.name, b.name) <= 3
+        |ORDER BY dist, name_a, name_b""".stripMargin,
+    // Independent formulation: the fact-table self-join the engine's
+    // per-basket pair fan-out avoids; DISTINCT order count absorbs
+    // repeated (order, part) lines exactly like the engine's collect_set.
+    "q_copurchase" ->
+      """SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |  count(DISTINCT a.l_orderkey) AS n_orders
+        |FROM lineitem a JOIN lineitem b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= 2
+        |ORDER BY n_orders DESC, part_a, part_b LIMIT 20""".stripMargin,
+    // KS: integer cumulative counts over the bounded bin grid, the two
+    // divisions on identical integers, gap flagged at its max.
+    "q_ks_drift" ->
+      """WITH g AS (
+        |  SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bin,
+        |    CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1997-01-01'
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01'
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |  FROM orders GROUP BY 1),
+        |c AS (
+        |  SELECT bin, n_a, n_b,
+        |    CAST(sum(n_a) OVER (ORDER BY bin) AS BIGINT) AS ca,
+        |    CAST(sum(n_b) OVER (ORDER BY bin) AS BIGINT) AS cb,
+        |    CAST(sum(n_a) OVER () AS BIGINT) AS ta,
+        |    CAST(sum(n_b) OVER () AS BIGINT) AS tb
+        |  FROM g)
+        |SELECT bin, CAST(bin * 50000.0 AS DOUBLE) AS bin_lo, n_a, n_b,
+        |  round(ca * 1.0 / ta, 6) AS cdf_a,
+        |  round(cb * 1.0 / tb, 6) AS cdf_b,
+        |  round(abs(ca * 1.0 / ta - cb * 1.0 / tb), 6) AS d,
+        |  round(abs(ca * 1.0 / ta - cb * 1.0 / tb), 6) =
+        |    max(round(abs(ca * 1.0 / ta - cb * 1.0 / tb), 6)) OVER ()
+        |    AS is_ks
+        |FROM c ORDER BY bin""".stripMargin,
+    // PMI collocations: unigram marginals re-aggregate the bigram-count
+    // frame (left positions), N = total bigrams; one ln, rounded.
+    "q_collocations" ->
+      """WITH tk AS (SELECT string_split(text, ' ') AS t
+        |            FROM documents WHERE text IS NOT NULL),
+        |bi AS (SELECT t[i] AS w1, t[i + 1] AS w2
+        |       FROM tk, unnest(range(1, len(t))) AS u(i)),
+        |bc AS (SELECT w1, w2, count(*) AS c_ab FROM bi GROUP BY 1, 2),
+        |uc AS (SELECT w1 AS w, CAST(sum(c_ab) AS BIGINT) AS c_w
+        |       FROM bc GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c_ab) AS BIGINT) AS n_bi FROM bc)
+        |SELECT bc.w2, bc.w1, bc.c_ab,
+        |  round(ln((CAST(bc.c_ab AS DOUBLE) * tot.n_bi) /
+        |           (CAST(u1.c_w AS DOUBLE) * u2.c_w)), 6) AS pmi
+        |FROM bc JOIN uc u1 ON bc.w1 = u1.w JOIN uc u2 ON bc.w2 = u2.w, tot
+        |WHERE bc.c_ab >= 5
+        |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin,
+    // TF-IDF keywords: idf rounded before the tf product (both engines),
+    // per-doc rank over (score desc, term).
+    "q_doc_keywords" ->
+      """WITH tf AS (
+        |  SELECT doc_id, u AS term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS u
+        |        FROM documents WHERE text IS NOT NULL)
+        |  GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs
+        |      FROM documents WHERE text IS NOT NULL),
+        |s AS (SELECT tf.doc_id, tf.term, tf.tf,
+        |        round(tf.tf * round(ln((n.n_docs + 1.0) / (df.df + 1.0)), 6),
+        |              6) AS score
+        |      FROM tf JOIN df USING (term), n),
+        |r AS (SELECT *, row_number() OVER (
+        |        PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+        |      FROM s)
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, score
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    // Distinct-n diversity: trigram fan-out, per-source exact NDV.
+    "q_ngram_diversity" ->
+      """SELECT source, count(*) AS n_grams,
+        |  count(DISTINCT gram) AS n_distinct,
+        |  round(count(DISTINCT gram) * 1.0 / count(*), 6) AS diversity
+        |FROM (
+        |  SELECT source, array_to_string(t[i:i + 2], ' ') AS gram
+        |  FROM (SELECT source, string_split(text, ' ') AS t
+        |        FROM documents WHERE text IS NOT NULL),
+        |    unnest(range(1, len(t) - 1)) AS u(i)
+        |  WHERE len(t) >= 3)
+        |GROUP BY source ORDER BY source""".stripMargin,
+    // Heaps curve: quantile_cont == Spark's exact percentile; the filter
+    // compares against the RAW cutoff, rounding only for display.
+    "q_heaps" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+        |cuts AS (
+        |  SELECT generate_subscripts(q, 1) AS step, unnest(q) AS cutoff
+        |  FROM (SELECT quantile_cont(doc_id,
+        |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 1.0]) AS q
+        |        FROM d)),
+        |fd AS (SELECT gram AS term, min(doc_id) AS first_doc
+        |       FROM (SELECT doc_id, array_to_string(t[i:i + 2], ' ') AS gram
+        |             FROM (SELECT doc_id, string_split(text, ' ') AS t
+        |                   FROM documents WHERE text IS NOT NULL),
+        |               unnest(range(1, len(t) - 1)) AS u(i)
+        |             WHERE len(t) >= 3)
+        |       GROUP BY 1)
+        |SELECT CAST(c.step AS BIGINT) AS step, round(c.cutoff, 4) AS cutoff,
+        |  (SELECT count(*) FROM d WHERE doc_id <= c.cutoff) AS n_docs,
+        |  (SELECT count(*) FROM fd WHERE first_doc <= c.cutoff) AS vocab
+        |FROM cuts c ORDER BY step""".stripMargin,
+    // Daily users: distinct (user, day) activity, first-day split, the
+    // cumulative sum windowed over the bounded day grid.
+    "q_daily_users" ->
+      """WITH ev AS (SELECT DISTINCT user_id,
+        |              CAST(date_trunc('day', CAST(ts AS timestamp)) AS DATE)
+        |                AS day
+        |            FROM events),
+        |f AS (SELECT min(day) AS day FROM ev GROUP BY user_id),
+        |nn AS (SELECT day, count(*) AS n_new FROM f GROUP BY 1),
+        |a AS (SELECT day, count(*) AS n_active FROM ev GROUP BY 1)
+        |SELECT a.day, a.n_active,
+        |  CAST(coalesce(nn.n_new, 0) AS BIGINT) AS n_new,
+        |  CAST(a.n_active - coalesce(nn.n_new, 0) AS BIGINT) AS n_returning,
+        |  CAST(sum(coalesce(nn.n_new, 0)) OVER (ORDER BY a.day) AS BIGINT)
+        |    AS cum_users
+        |FROM a LEFT JOIN nn ON a.day = nn.day ORDER BY a.day""".stripMargin,
+    // Embedding outliers: the engine's decimal-routed centroid/distance/
+    // moment arithmetic replicated term-for-term.
+    "q_embedding_outliers" ->
+      """WITH comps AS (
+        |  SELECT vec_id, label, CAST(i - 1 AS BIGINT) AS dim,
+        |    CAST(embedding[i] AS DOUBLE) AS x
+        |  FROM (SELECT vec_id, label, embedding,
+        |          unnest(range(1, len(embedding) + 1)) AS i
+        |        FROM embeddings)),
+        |cents AS (
+        |  SELECT label, dim,
+        |    round(CAST(sum(CAST(x AS DECIMAL(18,8))) AS DOUBLE) / count(*),
+        |          6) AS m
+        |  FROM comps GROUP BY 1, 2),
+        |dists AS (
+        |  SELECT vec_id, c.label,
+        |    round(sqrt(CAST(sum(CAST(round((x - m) * (x - m), 8)
+        |      AS DECIMAL(28,8))) AS DOUBLE)), 6) AS dist
+        |  FROM comps c JOIN cents ct ON c.label = ct.label AND c.dim = ct.dim
+        |  GROUP BY 1, 2),
+        |st AS (
+        |  SELECT label, count(*) AS n,
+        |    CAST(sum(CAST(dist AS DECIMAL(28,6))) AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(round(dist * dist, 8) AS DECIMAL(28,8)))
+        |      AS DOUBLE) AS s2
+        |  FROM dists GROUP BY 1)
+        |SELECT d.vec_id, d.label, d.dist,
+        |  CASE WHEN sqrt(s2 / n - (s1 / n) * (s1 / n)) > 0
+        |       THEN round((d.dist - s1 / n) /
+        |                  sqrt(s2 / n - (s1 / n) * (s1 / n)), 4)
+        |       ELSE 0.0 END AS z
+        |FROM dists d JOIN st USING (label)
+        |WHERE CASE WHEN sqrt(s2 / n - (s1 / n) * (s1 / n)) > 0
+        |           THEN round((d.dist - s1 / n) /
+        |                      sqrt(s2 / n - (s1 / n) * (s1 / n)), 4)
+        |           ELSE 0.0 END >= 2.0
+        |ORDER BY d.label, z DESC, d.vec_id""".stripMargin,
   )
 
   /** Oracle twin of CatalogOps.profile: one UNION ALL branch per column. */

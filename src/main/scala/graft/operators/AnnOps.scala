@@ -717,4 +717,47 @@ object AnnOps {
 
   def embeddingStats(spark: SparkSession, dir: String): DataFrame =
     embeddingStats(Lake.embeddings(spark, dir))
+
+  /** Embedding outlier screen: per-label centroid distance z-scores — the
+    * mislabeled-vector / corrupted-row detector run before training on an
+    * embedding column. Centroid means and all cross-row sums route
+    * through decimals on ROUNDED terms (the labelCentroids discipline),
+    * so every mean/std/z is an identical double in any engine. Shuffles
+    * are keyed by (label, dim) and label — both bounded — plus one
+    * vector-keyed distance aggregate; nothing is corpus-quadratic. */
+  def embeddingOutliers(emb: DataFrame, zThresh: Double = 2.0): DataFrame = {
+    val comps = emb
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("label"),
+        col("pos").cast("long").as("dim"), col("col").cast("double").as("x"))
+    val cents = comps.groupBy(col("label"), col("dim"))
+      .agg(round(sum(col("x").cast(DecimalType(18, 8))).cast("double")
+        / count(lit(1)), 6).as("m"))
+    val dists = comps.join(broadcast(cents), Seq("label", "dim"))
+      .withColumn("term", round((col("x") - col("m")) * (col("x") - col("m")), 8)
+        .cast(DecimalType(28, 8)))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(round(sqrt(sum(col("term")).cast("double")), 6).as("dist"))
+    val stats = dists.groupBy(col("label")).agg(
+        count(lit(1)).as("n"),
+        sum(col("dist").cast(DecimalType(28, 6))).cast("double").as("s1"),
+        sum(round(col("dist") * col("dist"), 8).cast(DecimalType(28, 8)))
+          .cast("double").as("s2"))
+      .select(col("label"), (col("s1") / col("n")).as("mean_d"),
+        sqrt(col("s2") / col("n") -
+          (col("s1") / col("n")) * (col("s1") / col("n"))).as("sd_d"))
+    dists.join(broadcast(stats), Seq("label"))
+      // a degenerate cluster (all rows equidistant from the centroid) has
+      // sd 0 and, by definition, no outliers — never a division by zero
+      .withColumn("z",
+        when(col("sd_d") > 0,
+          round((col("dist") - col("mean_d")) / col("sd_d"), 4))
+          .otherwise(lit(0.0)))
+      .filter(col("z") >= zThresh)
+      .select(col("vec_id"), col("label"), col("dist"), col("z"))
+      .orderBy(col("label"), col("z").desc, col("vec_id"))
+  }
+
+  def embeddingOutliers(spark: SparkSession, dir: String): DataFrame =
+    embeddingOutliers(Lake.embeddings(spark, dir))
 }

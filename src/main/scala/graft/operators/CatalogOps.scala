@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -897,4 +898,45 @@ object CatalogOps {
 
   def dataCard(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
     dataCard(graft.Lake.documents(spark, dir))
+
+  /** Two-sample Kolmogorov–Smirnov screen over binned distributions: the
+    * per-bin cumulative shares of two cohorts and their absolute gap; the
+    * KS statistic is the max gap, flagged on its bin. Complements PSI
+    * ([[distributionDrift]]): PSI weights per-bin ratio shifts, KS catches
+    * location shifts that PSI's symmetric terms smooth away. Bin counts
+    * and their running sums are exact integers; the only doubles are the
+    * two final divisions on identical integers in any engine. Both
+    * windows run over the BOUNDED bin grid, never the table. */
+  def ksDrift(spark: SparkSession, dir: String, table: String,
+              valueCol: String, sliceA: Column, sliceB: Column,
+              binWidth: Double): DataFrame = {
+    val g = Lake.table(spark, dir, table).filter(sliceA || sliceB)
+      .select(floor(col(valueCol) / binWidth).cast("long").as("bin"),
+        when(sliceA, 1L).otherwise(0L).as("ina"),
+        when(sliceB, 1L).otherwise(0L).as("inb"))
+      .groupBy(col("bin"))
+      .agg(sum(col("ina")).as("n_a"), sum(col("inb")).as("n_b"))
+    val wCum = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cdfA = sum(col("n_a")).over(wCum).cast("double") /
+      sum(col("n_a")).over(wAll)
+    val cdfB = sum(col("n_b")).over(wCum).cast("double") /
+      sum(col("n_b")).over(wAll)
+    g.select(col("bin"), (col("bin") * binWidth).cast("double").as("bin_lo"),
+        col("n_a"), col("n_b"),
+        round(cdfA, 6).as("cdf_a"), round(cdfB, 6).as("cdf_b"),
+        round(abs(cdfA - cdfB), 6).as("d"))
+      .withColumn("is_ks", col("d") === max(col("d")).over(wAll))
+      .orderBy(col("bin"))
+  }
+
+  /** Driver binding: order-value KS, 1996 cohort vs 1997+ (q_drift's
+    * cohorts on q_drift's bins, so the two monitors read side-by-side). */
+  def ksDriftQuery(spark: SparkSession, dir: String): DataFrame =
+    ksDrift(spark, dir, "orders", "o_totalprice",
+      col("o_orderdate") < lit("1997-01-01").cast("timestamp"),
+      col("o_orderdate") >= lit("1997-01-01").cast("timestamp"),
+      binWidth = 50000.0)
 }

@@ -723,4 +723,30 @@ object DedupOps extends org.apache.spark.internal.Logging {
 
   def dupRates(spark: SparkSession, dir: String): DataFrame =
     dupRates(Lake.documents(spark, dir))
+
+  /** Record-linkage / entity-resolution over a string-keyed dimension
+    * column: candidate pairs come from the DISTINCT value dictionary only
+    * (NDV-bounded — never row × row), blocked on the first whitespace
+    * token so the quadratic term is per-block, then verified with exact
+    * edit distance. Row multiplicities ride on each side so the caller
+    * can size the merge a match implies. At 100 TB the names frame is the
+    * column's NDV — dictionary-sized — so the blocked self-join stays a
+    * broadcast; the only corpus-wide work is the one counting group-by. */
+  def entityMatch(rows: DataFrame, nameCol: String, maxDist: Int): DataFrame = {
+    val names = rows.filter(col(nameCol).isNotNull)
+      .groupBy(col(nameCol).as("name")).agg(count(lit(1)).as("n"))
+    val a = names.select(col("name").as("name_a"), col("n").as("n_a"),
+      split(col("name"), " ").getItem(0).as("block_a"))
+    val b = names.select(col("name").as("name_b"), col("n").as("n_b"),
+      split(col("name"), " ").getItem(0).as("block_b"))
+    a.join(b, col("block_a") === col("block_b") && col("name_a") < col("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= maxDist)
+      .select(col("name_a"), col("name_b"), col("n_a"), col("n_b"), col("dist"))
+      .orderBy(col("dist"), col("name_a"), col("name_b"))
+  }
+
+  /** Driver binding: near-identical part names at edit distance ≤ 3. */
+  def entityMatchQuery(spark: SparkSession, dir: String): DataFrame =
+    entityMatch(Lake.part(spark, dir), "p_name", 3)
 }

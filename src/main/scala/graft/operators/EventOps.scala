@@ -478,4 +478,27 @@ object EventOps {
         round(col("n") / sum(col("n")).over(Window.partitionBy(col("from_type"))), 4))
       .orderBy(col("from_type"), col("to_type"))
   }
+
+  /** Daily audience decomposition: active users split into new (first-ever
+    * activity that day) vs returning, plus the cumulative user count — the
+    * growth-accounting view every product dashboard opens with. Two
+    * user-keyed aggregates (distinct activity days, first day) feed
+    * day-keyed counts; the cumulative sum windows over the BOUNDED day
+    * grid, never the event table. Integer counts only. */
+  def dailyUsers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Lake.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val firstDay = ev.groupBy(col("user_id")).agg(min(col("day")).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n_new"))
+    val active = ev.groupBy(col("day")).agg(count(lit(1)).as("n_active"))
+    val wCum = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    active.join(firstDay, Seq("day"), "left")
+      .na.fill(0L, Seq("n_new"))
+      .select(col("day"), col("n_active"), col("n_new"),
+        (col("n_active") - col("n_new")).as("n_returning"))
+      .withColumn("cum_users", sum(col("n_new")).over(wCum))
+      .orderBy(col("day"))
+  }
 }

@@ -647,4 +647,28 @@ object Relational {
       .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
       .orderBy(col("s_suppkey"))
   }
+
+  /** Market-basket co-occurrence (frequent-pair mining): part pairs that
+    * appear together in at least `minOrders` orders. Pairs fan out per
+    * order from its SORTED distinct item set, so the quadratic term is
+    * bounded by items-per-order (single digits here and in any real order
+    * table), never corpus-wide: ONE shuffle keyed by order id builds the
+    * baskets, then a pair-keyed partial-aggregated count and a bounded
+    * TakeOrderedAndProject head. The self-join formulation the oracle
+    * uses would shuffle the fact table twice. */
+  def copurchase(spark: SparkSession, dir: String,
+                 minOrders: Long = 2, topK: Int = 20): DataFrame = {
+    val baskets = Lake.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_set(col("l_partkey"))).as("items"))
+    baskets.select(explode(expr(
+        """flatten(transform(items, (x, i) ->
+          |  transform(slice(items, i + 2, size(items)),
+          |            y -> struct(x AS pa, y AS pb))))""".stripMargin)).as("p"))
+      .groupBy(col("p.pa").as("part_a"), col("p.pb").as("part_b"))
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= minOrders)
+      .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+      .limit(topK)
+  }
 }

@@ -1003,4 +1003,138 @@ object TextOps {
     }
     nonNull(docs).withColumn("text", redacted)
   }
+
+  /** Collocation extraction: the corpus's top bigrams by pointwise mutual
+    * information, PMI = ln(c_ab · N / (c_a · c_b)) with unigram counts
+    * taken over bigram-LEFT positions and N = total bigrams (one
+    * consistent sample space — the standard bigram-table convention).
+    * ONE pass over the corpus builds the bigram counts; the unigram
+    * marginals and the grand total re-aggregate the BOUNDED bigram-count
+    * frame, so the corpus is never scanned twice. All products are exact
+    * int64 (far under 2^53 as doubles) and the single ln is the only
+    * transcendental, rounded like q_zipf's. `minCount` keeps the PMI
+    * estimate out of the small-count noise regime. */
+  def collocations(docs: DataFrame, minCount: Long = 5,
+                   topK: Int = 20): DataFrame = {
+    val bc = nonNull(docs)
+      .select(toks.as("tk"))
+      .select(explode(expr(
+        """transform(slice(tk, 1, size(tk) - 1),
+          |          (w, i) -> struct(w AS w1, tk[i + 1] AS w2))"""
+          .stripMargin)).as("b"))
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("c_ab"))
+    val uc = bc.groupBy(col("w1").as("w")).agg(sum(col("c_ab")).as("c_w"))
+    val tot = bc.agg(sum(col("c_ab")).as("n_bi"))
+    bc.join(broadcast(uc.select(col("w").as("w1"), col("c_w").as("c_a"))),
+        Seq("w1"))
+      .join(broadcast(uc.select(col("w").as("w2"), col("c_w").as("c_b"))),
+        Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .filter(col("c_ab") >= minCount)
+      .select(col("w1"), col("w2"), col("c_ab"),
+        round(log((col("c_ab").cast("double") * col("n_bi")) /
+          (col("c_a").cast("double") * col("c_b"))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
+  def collocations(spark: SparkSession, dir: String): DataFrame =
+    collocations(Lake.documents(spark, dir))
+
+  /** Per-doc keyword extraction: top-`k` terms by TF-IDF. The idf is
+    * rounded BEFORE the tf product so the score is a product of an exact
+    * integer and a 6-digit double — engine-stable; ranking partitions by
+    * doc (per-doc frame bounded by the doc's distinct-term count). */
+  def docKeywords(docs: DataFrame, k: Int = 3): DataFrame = {
+    val clean = nonNull(docs)
+    val tf = clean.select(col("doc_id"), explode(toks).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = clean.select(count(lit(1)).cast("double").as("__n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        round(col("tf") *
+          round(log((col("__n_docs") + 1.0) / (col("df") + 1.0)), 6), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("score"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  def docKeywords(spark: SparkSession, dir: String): DataFrame =
+    docKeywords(Lake.documents(spark, dir))
+
+  /** N-gram diversity (distinct-n): per source, distinct n-grams over
+    * total n-grams — the repetitiveness/mode-collapse diagnostic reported
+    * for generated corpora. One map-side gram fan-out + one partial-
+    * aggregated group-by; output bounded by source cardinality. */
+  def ngramDiversity(docs: DataFrame, n: Int = 3,
+                     groupCol: String = "source"): DataFrame =
+    nonNull(docs)
+      .select(col(groupCol), toks.as("tk"))
+      .filter(size(col("tk")) >= n)
+      .select(col(groupCol), explode(expr(
+        s"""transform(slice(tk, 1, size(tk) - ${n - 1}),
+           |          (w, i) -> array_join(slice(tk, i + 1, $n), ' '))"""
+          .stripMargin)).as("gram"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_grams"),
+        countDistinct(col("gram")).as("n_distinct"))
+      .withColumn("diversity",
+        round(col("n_distinct").cast("double") / col("n_grams"), 6))
+      .orderBy(col(groupCol))
+
+  def ngramDiversity(spark: SparkSession, dir: String): DataFrame =
+    ngramDiversity(Lake.documents(spark, dir))
+
+  /** Heaps-law vocabulary growth curve: distinct-unit count after each
+    * `1/steps` fraction of the corpus in doc-id order. The unit is the
+    * word `n`-gram (n = 1 gives plain words; the default 3 keeps the
+    * curve informative even on a closed word vocabulary, where plain
+    * words saturate in the first prefix). No global row-number window:
+    * prefix cutoffs are exact doc-id percentiles (a bounded one-row
+    * aggregate), each unit contributes its FIRST doc id (a partial-
+    * aggregable min), and both curve counts are step-bounded fan-out
+    * aggregates. Pairs with [[zipfFit]]: Zipf reads the frequency head,
+    * Heaps the vocabulary's growth against corpus size. */
+  def heapsCurve(docs: DataFrame, steps: Int = 10, n: Int = 3): DataFrame = {
+    val clean = nonNull(docs)
+    val fracs = (1 to steps).map(i => i.toDouble / steps)
+    val cuts = clean
+      .select(posexplode(expr(
+        s"percentile(doc_id, array(${fracs.mkString(", ")}))")))
+      .select((col("pos") + 1).cast("long").as("step"),
+        col("col").as("cutoff"))
+    val units =
+      if (n == 1) clean.select(explode(toks).as("term"), col("doc_id"))
+      else clean.select(col("doc_id"), toks.as("tk"))
+        .filter(size(col("tk")) >= n)
+        .select(col("doc_id"), explode(expr(
+          s"""transform(slice(tk, 1, size(tk) - ${n - 1}),
+             |          (w, i) -> array_join(slice(tk, i + 1, $n), ' '))"""
+            .stripMargin)).as("term"))
+    val firstDoc = units
+      .groupBy(col("term")).agg(min(col("doc_id")).as("first_doc"))
+    val nDocs = clean.select(col("doc_id"))
+      .crossJoin(broadcast(cuts))
+      .filter(col("doc_id") <= col("cutoff"))
+      .groupBy(col("step"), col("cutoff"))
+      .agg(count(lit(1)).as("n_docs"))
+    val vocab = firstDoc
+      .crossJoin(broadcast(cuts))
+      .filter(col("first_doc") <= col("cutoff"))
+      .groupBy(col("step"), col("cutoff"))
+      .agg(count(lit(1)).as("vocab"))
+    nDocs.join(vocab, Seq("step", "cutoff"))
+      .select(col("step"), round(col("cutoff"), 4).as("cutoff"),
+        col("n_docs"), col("vocab"))
+      .orderBy(col("step"))
+  }
+
+  def heapsCurve(spark: SparkSession, dir: String): DataFrame =
+    heapsCurve(Lake.documents(spark, dir))
 }

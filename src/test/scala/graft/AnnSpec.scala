@@ -326,4 +326,20 @@ class AnnSpec extends SparkSpecBase {
     assert(scored < corpusSize * nQueries,
       s"LSH scored $scored pairs — not fewer than brute force ${corpusSize * nQueries}")
   }
+
+  test("embedding outliers: a planted far-out vector is flagged, the tight cluster is not") {
+    import spark.implicits._
+    // label 0: 20 vectors near the origin + one far outlier;
+    // label 1: a clean tight cluster elsewhere — must produce no flags
+    val tight0 = (1 to 20).map(i =>
+      (i.toLong, Array.fill(4)(0.1f + (i % 3) * 0.01f), 0))
+    val far = Seq((99L, Array.fill(4)(5.0f), 0))
+    val tight1 = (101 to 110).map(i =>
+      (i.toLong, Array.fill(4)(2.0f + (i % 2) * 0.01f), 1))
+    val emb = (tight0 ++ far ++ tight1).toDF("vec_id", "embedding", "label")
+    val out = AnnOps.embeddingOutliers(emb, zThresh = 2.0).collect()
+    assert(out.map(_.getLong(0)).toSet == Set(99L),
+      s"only the planted outlier flags, got ${out.map(_.getLong(0)).mkString(",")}")
+    assert(out.head.getInt(1) == 0 && out.head.getDouble(3) >= 2.0)
+  }
 }

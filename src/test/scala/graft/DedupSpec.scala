@@ -247,4 +247,22 @@ class DedupSpec extends SparkSpecBase {
     assert(dupMax < randAvg,
       s"near-dup hamming (max $dupMax) should beat random average ($randAvg)")
   }
+
+  test("entity match: blocked edit-distance linkage with multiplicities") {
+    import spark.implicits._
+    val rows = Seq(
+      "acme corp", "acme corp", "acme corp",  // canonical, n=3
+      "acme corpp",                           // typo, same block, dist 1
+      "acme industries",                      // same block, too far
+      "acne corp"                             // dist 1 but DIFFERENT block
+    ).map(Tuple1(_)).toDF("name")
+    val out = DedupOps.entityMatch(rows, "name", 2).collect()
+    val pairs = out.map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs == Set(("acme corp", "acme corpp")),
+      s"only the in-block typo pair should match, got $pairs")
+    val m = out.head
+    assert(m.getLong(2) == 3L && m.getLong(3) == 1L,
+      "multiplicities ride on the matched pair")
+    assert(m.getInt(4) == 1, "exact edit distance reported")
+  }
 }

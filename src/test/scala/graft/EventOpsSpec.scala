@@ -132,4 +132,22 @@ class EventOpsSpec extends SparkSpecBase {
     assert(math.abs(out.head.getDouble(2) - 12.0) < 1e-6,
       s"got ${out.head.getDouble(2)}")
   }
+
+  test("daily users: new/returning split and cumulative count on real data") {
+    val out = EventOps.dailyUsers(spark, Sf).collect()
+    assert(out.nonEmpty, "has days")
+    var cum = 0L
+    for (r <- out) {
+      val (active, nNew, ret, c) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(active == nNew + ret, "active always splits exactly")
+      assert(nNew >= 0 && ret >= 0)
+      cum += nNew
+      assert(c == cum, "cumulative is the running sum of new users")
+    }
+    assert(out.head.getLong(3) == 0, "day one has no returning users")
+    val totalUsers = graft.Lake.events(spark, Sf)
+      .select(org.apache.spark.sql.functions.col("user_id")).distinct().count()
+    assert(cum == totalUsers, "every user is new exactly once")
+  }
 }

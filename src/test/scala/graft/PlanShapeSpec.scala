@@ -218,7 +218,12 @@ class PlanShapeSpec extends SparkSpecBase {
         // q_train_order: the per-source-counts broadcast (bounded by
         // source cardinality) against which each row computes its
         // closed-form global ordinal
-        "q_train_order")
+        "q_train_order",
+        // q_collocations: one-row bigram-total broadcast (the PMI N);
+        // q_doc_keywords: one-row corpus-size broadcast (the idf N);
+        // q_heaps: the steps-row percentile-cutoff broadcast each doc /
+        // first-occurrence row compares against (bounded fan-out × steps)
+        "q_collocations", "q_doc_keywords", "q_heaps")
     for ((name, fn) <- SparkEntry.queries) {
       // interior plans included: checkpointing operators execute their
       // real joins during construction and return an RDD-scan facade

@@ -333,4 +333,73 @@ class TextOpsSpec extends SparkSpecBase {
       assert(fert >= 1.0, "BPE never merges across words, so fertility >= 1")
     }
   }
+
+  test("collocations: a glued pair tops PMI, a promiscuous word ranks below") {
+    import spark.implicits._
+    // "san francisco" always co-occur; "the" pairs with everything
+    val glue = (1 to 10).map(i => (i.toLong, "san francisco the end"))
+    val noise = (11 to 20).map(i => (i.toLong, s"the w$i san diego the x$i"))
+    val docs = (glue ++ noise).toDF("doc_id", "text")
+    val out = TextOps.collocations(docs, minCount = 5, topK = 5).collect()
+    assert(out.nonEmpty, "collocations found")
+    val top = (out.head.getString(0), out.head.getString(1))
+    assert(top == ("san", "francisco") || top == ("san", "diego"),
+      s"top PMI pair should be a glued bigram, got $top")
+    val pmis = out.map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    val theish = pmis.collect { case ((w1, _), p) if w1 == "the" => p }
+    for (p <- theish)
+      assert(p < pmis(top), "'the …' bigrams must rank below the glued pair")
+  }
+
+  test("doc keywords: a doc's rare repeated term beats its common terms") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark spark zeppelin zeppelin zeppelin spark table scan"),
+      (2L, "spark table scan join"),
+      (3L, "spark table scan merge"),
+      (4L, "spark table scan sort")
+    ).toDF("doc_id", "text")
+    val out = TextOps.docKeywords(docs, k = 2).collect()
+    val doc1 = out.filter(_.getLong(0) == 1L).sortBy(_.getLong(1))
+    assert(doc1.head.getString(2) == "zeppelin",
+      s"doc 1 top keyword should be the doc-specific term, got ${doc1.head.getString(2)}")
+    assert(out.groupBy(_.getLong(0)).forall(_._2.length <= 2), "at most k per doc")
+  }
+
+  test("ngram diversity: a looping source scores below a diverse one") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c a b c a b c a b c", "loop"),
+      (2L, "one two three four five six seven eight nine ten", "fresh")
+    ).toDF("doc_id", "text", "source")
+    val out = TextOps.ngramDiversity(docs).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(out("loop") < out("fresh"),
+      s"loop ${out("loop")} should be less diverse than fresh ${out("fresh")}")
+    assert(out("fresh") == 1.0, "all-distinct trigram source has diversity 1")
+  }
+
+  test("heaps curve: monotone vocabulary growth ending at the full vocab") {
+    val docs = graft.Lake.documents(spark, Sf)
+    val out = TextOps.heapsCurve(docs).collect()
+    assert(out.length == 10, "one row per decile")
+    val vocab = out.sortBy(_.getLong(0)).map(_.getLong(3))
+    assert(vocab.zip(vocab.tail).forall { case (a, b) => a <= b },
+      "vocabulary never shrinks along the curve")
+    assert(vocab.head < vocab.last,
+      "the n-gram vocabulary must still be growing across the corpus")
+    import org.apache.spark.sql.functions._
+    val full = docs.filter(col("text").isNotNull)
+      .select(split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(explode(expr(
+        "transform(slice(tk, 1, size(tk) - 2), " +
+          "(w, i) -> array_join(slice(tk, i + 1, 3), ' '))")).as("g"))
+      .select(countDistinct(col("g"))).head().getLong(0)
+    assert(vocab.last == full,
+      s"final point ${vocab.last} must equal total trigram vocab $full")
+    val nDocs = out.sortBy(_.getLong(0)).map(_.getLong(2))
+    assert(nDocs.last == docs.filter(org.apache.spark.sql.functions
+      .col("text").isNotNull).count(), "final prefix covers every doc")
+  }
 }
