@@ -326,6 +326,18 @@ object SparkEntry {
     // Embedding outlier screen: per-label centroid-distance z-scores
     "q_embedding_outliers" -> ((s: SparkSession, d: String) =>
       AnnOps.embeddingOutliers(s, d)),
+    // Perceptual average-hash of every decoded image plane (4×16-bit bands)
+    "q_image_hash"        -> ((s: SparkSession, d: String) =>
+      MultimodalOps.imageHash(s, d)),
+    // Image near-dups: banded aHash candidates + full-hamming verify
+    "q_image_neardups"    -> ((s: SparkSession, d: String) =>
+      MultimodalOps.imageNearDups(s, d)),
+    // Pairwise Jensen–Shannon divergence between source unigram dists
+    "q_source_jsd"        -> ((s: SparkSession, d: String) =>
+      TextOps.sourceJsd(s, d)),
+    // Seasonal hour-of-day anomaly screen (calendar twin of q_anomalies)
+    "q_seasonal"          -> ((s: SparkSession, d: String) =>
+      EventOps.seasonalAnomalies(s, d)),
   )
 
   /** [[TextOps.patternScan]] dictionary for the driver query: token
@@ -409,6 +421,42 @@ object SparkEntry {
        |  CAST(len(list_filter(plane, v -> v = 0)) AS BIGINT) AS r_zeros,
        |  CAST(plane[1] AS BIGINT) AS r_first
        |FROM r ORDER BY doc_id""".stripMargin
+  }
+
+  /** Shared CTE prefix for the image-hash oracles: the engine hashes the
+    * REAL decoded PPM plane; the oracle reconstructs the same 64-chunk
+    * average-hash from layout arithmetic (doc bytes zero-padded to the
+    * 16-wide geometry, chunk boundaries `(i·L)/64`, the bit compare in
+    * exact integer space `sum_i·L ≥ S·len_i`) — the decode/resize oracle
+    * convention extended to the perceptual hash. */
+  private val imageHashOracleCtes: String = {
+    val bandCols = (0 until 4).map { b =>
+      s"""CAST(list_aggregate(list_transform(range(0, 16),
+         |  j -> bits[j + ${b * 16 + 1}] * (1 << (15 - CAST(j AS INT)))),
+         |  'sum') AS BIGINT) AS b$b""".stripMargin
+    }.mkString(",\n        ")
+    s"""d0 AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+       |d AS (SELECT doc_id, text, octet_length(encode(text)) AS n,
+       |        48 * greatest(1, (octet_length(encode(text)) + 47) // 48) AS L
+       |      FROM d0),
+       |s AS (SELECT doc_id, text, n, L,
+       |        coalesce(list_aggregate(list_transform(range(0, n),
+       |          k -> unicode(text[k + 1])), 'sum'), 0) AS S
+       |      FROM d),
+       |bt AS (SELECT doc_id,
+       |        list_transform(range(0, 64), i ->
+       |          CASE WHEN ((i + 1) * L) // 64 > (i * L) // 64
+       |                 AND coalesce(list_aggregate(list_transform(
+       |                       range((i * L) // 64,
+       |                             least(((i + 1) * L) // 64, n)),
+       |                       k -> unicode(text[k + 1])), 'sum'), 0) * L
+       |                     >= S * (((i + 1) * L) // 64 - (i * L) // 64)
+       |               THEN 1 ELSE 0 END) AS bits
+       |       FROM s),
+       |hh AS (SELECT doc_id,
+       |        $bandCols,
+       |        CAST(list_aggregate(bits, 'sum') AS BIGINT) AS nbits
+       |       FROM bt)""".stripMargin
   }
 
   /** A word rendered as its chr(1)-delimited character tokens. */
@@ -3051,6 +3099,101 @@ object SparkEntry {
         |                      sqrt(s2 / n - (s1 / n) * (s1 / n)), 4)
         |           ELSE 0.0 END >= 2.0
         |ORDER BY d.label, z DESC, d.vec_id""".stripMargin,
+    "q_image_hash" ->
+      s"""WITH $imageHashOracleCtes
+         |SELECT doc_id, b0, b1, b2, b3, nbits FROM hh
+         |ORDER BY doc_id""".stripMargin,
+    // Banded candidates + full-hamming verify, hot-band cap replicated.
+    "q_image_neardups" ->
+      s"""WITH $imageHashOracleCtes,
+         |bl AS (SELECT doc_id, b0, b1, b2, b3, u.band,
+         |         CASE u.band WHEN 0 THEN b0 WHEN 1 THEN b1
+         |                     WHEN 2 THEN b2 ELSE b3 END AS band_key
+         |       FROM hh, unnest(range(0, 4)) AS u(band)),
+         |bc AS (SELECT * FROM (
+         |         SELECT bl.*, count(*) OVER (PARTITION BY band, band_key)
+         |           AS band_n FROM bl)
+         |       WHERE band_n <= 4096),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |           CAST(bit_count(xor(x.b0, y.b0)) +
+         |                bit_count(xor(x.b1, y.b1)) +
+         |                bit_count(xor(x.b2, y.b2)) +
+         |                bit_count(xor(x.b3, y.b3)) AS INT) AS hamming
+         |         FROM bc x JOIN bc y
+         |           ON x.band = y.band AND x.band_key = y.band_key
+         |          AND x.doc_id < y.doc_id)
+         |SELECT doc_a, doc_b, hamming FROM cand
+         |WHERE hamming <= 2 ORDER BY doc_a, doc_b""".stripMargin,
+    // JSD: shared-word terms in the engine's exact op order, the absent-
+    // word mass through the (2 − Σp − Σq) closed form, ln2 as the same
+    // literal double.
+    "q_source_jsd" ->
+      """WITH tk AS (SELECT source, unnest(string_split(text, ' ')) AS token
+        |            FROM documents WHERE text IS NOT NULL),
+        |vocab AS (SELECT token FROM (
+        |            SELECT token, count(*) AS c FROM tk GROUP BY 1
+        |            ORDER BY c DESC, token LIMIT 10000)),
+        |counts AS (SELECT source, tk.token, count(*) AS cnt
+        |           FROM tk JOIN vocab ON tk.token = vocab.token
+        |           GROUP BY 1, 2),
+        |tots AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS tot
+        |         FROM counts GROUP BY 1),
+        |c AS (SELECT counts.source, token, cnt, tot
+        |      FROM counts JOIN tots USING (source)),
+        |sh AS (SELECT a.source AS src_a, b.source AS src_b,
+        |         round((a.cnt * 1.0 / a.tot) *
+        |                 ln(2.0 * (a.cnt * 1.0 / a.tot) /
+        |                    ((a.cnt * 1.0 / a.tot) + (b.cnt * 1.0 / b.tot))) +
+        |               (b.cnt * 1.0 / b.tot) *
+        |                 ln(2.0 * (b.cnt * 1.0 / b.tot) /
+        |                    ((a.cnt * 1.0 / a.tot) + (b.cnt * 1.0 / b.tot))),
+        |               8) AS term,
+        |         round(a.cnt * 1.0 / a.tot, 8) AS pa,
+        |         round(b.cnt * 1.0 / b.tot, 8) AS qb
+        |       FROM c a JOIN c b
+        |         ON a.token = b.token AND a.source < b.source),
+        |ag AS (SELECT src_a, src_b,
+        |         CAST(sum(CAST(term AS DECIMAL(28,8))) AS DOUBLE) AS tsum,
+        |         CAST(sum(CAST(pa AS DECIMAL(28,8))) AS DOUBLE) AS psum,
+        |         CAST(sum(CAST(qb AS DECIMAL(28,8))) AS DOUBLE) AS qsum
+        |       FROM sh GROUP BY 1, 2)
+        |SELECT src_a, src_b,
+        |  round((tsum + 0.6931471805599453 * (2.0 - psum - qsum)) / 2.0, 6)
+        |    AS jsd
+        |FROM ag ORDER BY src_a, src_b""".stripMargin,
+    // Seasonal screen: q_gap_fill's dense spine, hour-of-day population
+    // baselines from exact integer sums, the engine's double op order.
+    "q_seasonal" ->
+      """WITH spine AS (
+        |  SELECT unnest(generate_series(
+        |    cast(date_trunc('hour', (SELECT min(ts) FROM events)) AS timestamp),
+        |    cast(date_trunc('hour', (SELECT max(ts) FROM events)) AS timestamp),
+        |    INTERVAL 1 HOUR)) AS bucket
+        |), agg AS (
+        |  SELECT cast(date_trunc('hour', ts) AS timestamp) AS bucket,
+        |    event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), dense AS (
+        |  SELECT spine.bucket, t.event_type,
+        |    CAST(coalesce(agg.n, 0) AS BIGINT) AS n_events
+        |  FROM spine
+        |  CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+        |  LEFT JOIN agg ON agg.bucket = spine.bucket
+        |              AND agg.event_type = t.event_type
+        |), base AS (
+        |  SELECT event_type, hour(bucket) AS hod, count(*) AS w,
+        |    CAST(sum(n_events) AS BIGINT) AS s1,
+        |    CAST(sum(n_events * n_events) AS BIGINT) AS s2
+        |  FROM dense GROUP BY 1, 2)
+        |SELECT d.bucket, d.event_type, d.n_events,
+        |  round((d.n_events - s1 * 1.0 / w) /
+        |        sqrt((s2 * 1.0 - s1 * 1.0 * s1 / w) / (w - 1)), 4) AS z_score
+        |FROM dense d JOIN base b
+        |  ON d.event_type = b.event_type AND hour(d.bucket) = b.hod
+        |WHERE w > 1 AND (s2 * 1.0 - s1 * 1.0 * s1 / w) / (w - 1) > 0
+        |  AND abs((d.n_events - s1 * 1.0 / w) /
+        |          sqrt((s2 * 1.0 - s1 * 1.0 * s1 / w) / (w - 1))) >= 3.0
+        |ORDER BY d.bucket, d.event_type""".stripMargin,
   )
 
   /** Oracle twin of CatalogOps.profile: one UNION ALL branch per column. */

@@ -119,6 +119,41 @@ object EventOps {
       .orderBy(col("bucket"), col("event_type"))
   }
 
+  /** Seasonal (hour-of-day) anomaly screen — the calendar-profile
+    * complement of the trailing-window [[anomalies]]: each (hour, type)
+    * bucket is scored against the population of SAME-hour-of-day buckets
+    * across all days, so a 3 am spike is judged against 3 am traffic, not
+    * against the preceding evening (which the trailing screen would).
+    * The baseline is a bounded aggregate (types × 24 rows, exact integer
+    * sums) broadcast back over the dense series; mean/variance/z derive
+    * in one fixed double order on identical integers in any engine. A
+    * degenerate cell (variance 0) is never divided by. */
+  def seasonalAnomaliesOn(dense: DataFrame, zThreshold: Double): DataFrame = {
+    val mean = col("s1").cast("double") / col("w")
+    val variance = (col("s2").cast("double") -
+      col("s1").cast("double") * col("s1").cast("double") / col("w")) /
+      (col("w") - lit(1))
+    val d = dense.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = d.groupBy(col("event_type"), hour(col("bucket")).as("hod"))
+      .agg(count(lit(1)).as("w"), sum(col("n_events")).as("s1"),
+        sum(col("n_events") * col("n_events")).as("s2"))
+    val out = d.withColumn("hod", hour(col("bucket")))
+      .join(broadcast(base), Seq("event_type", "hod"))
+      .filter(col("w") > 1 && variance > 0)
+      .withColumn("z", (col("n_events").cast("double") - mean) / sqrt(variance))
+      .filter(abs(col("z")) >= zThreshold)
+      .select(col("bucket"), col("event_type"), col("n_events"),
+        round(col("z"), 4).as("z_score"))
+      .orderBy(col("bucket"), col("event_type"))
+      .localCheckpoint(true)
+    d.unpersist(false)
+    out
+  }
+
+  def seasonalAnomalies(spark: SparkSession, dir: String,
+                        zThreshold: Double = 3.0): DataFrame =
+    seasonalAnomaliesOn(hourlyGapFilled(spark, dir), zThreshold)
+
   /** Events with a session id assigned per user: a new session starts when
     * the gap since the previous event exceeds `SessionGapSeconds`. */
   def withSessionIds(spark: SparkSession, dir: String): DataFrame = {

@@ -243,4 +243,30 @@ object Governance {
       aes_decrypt(unbase64(col(c)), lit(key).cast("binary"), lit("ECB"))
         .cast("string")))
   }
+
+  /** Right-to-be-forgotten cascade: erase every row matching `subjectIds`
+    * from EACH listed snapshot table (table dir → key column), as one
+    * copy-on-write delete commit per table. Returns (table dir, key
+    * column, rows erased) — the audit record an erasure request needs.
+    *
+    * Deliberately snapshot-table-based: plain parquet dirs cannot delete
+    * rows atomically; the snapshot commit gives isolation (concurrent
+    * readers keep their version) and the erasure becomes DURABLE only
+    * after [[graft.sources.SnapshotTable.vacuum]] reclaims the prior
+    * versions — both halves asserted in the spec. Per table the cost is
+    * one filtered rewrite; the subject set rides as a local `isin` for
+    * the typical single-digit request (swap in a broadcast anti-join for
+    * bulk erasure lists). */
+  def forget(spark: SparkSession, tables: Seq[(String, String)],
+             subjectIds: Seq[Any]): Seq[(String, String, Long)] = {
+    require(subjectIds.nonEmpty, "no subjects to forget")
+    tables.map { case (dir, keyCol) =>
+      val before = graft.sources.SnapshotTable.read(spark, dir)
+        .filter(col(keyCol).isin(subjectIds: _*)).count()
+      if (before > 0)
+        graft.sources.SnapshotTable.delete(spark, dir,
+          col(keyCol).isin(subjectIds: _*))
+      (dir, keyCol, before)
+    }
+  }
 }

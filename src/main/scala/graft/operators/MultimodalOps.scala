@@ -19,6 +19,11 @@ final case class MediaResized(doc_id: Long, w: Long, h: Long,
                               ow: Long, oh: Long,
                               r_sum: Long, r_zeros: Long, r_first: Long)
 
+/** 64-bit perceptual average-hash of a decoded pixel plane, packed as
+  * four 16-bit bands (the banded-candidate unit) + the set-bit count. */
+final case class MediaHash(doc_id: Long, b0: Long, b1: Long, b2: Long,
+                           b3: Long, nbits: Long)
+
 /** Multimodal column support (SURVEY.md §2 item 25): media payloads as
   * opaque `binary` columns with typed metadata, plus a batched decode path
   * with a REAL public-format kernel.
@@ -360,5 +365,98 @@ object MultimodalOps {
           .as("n_cuts"),
         round(coalesce(max(col("delta")), lit(0.0)), 4).as("max_delta"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Perceptual average-hash (aHash) of a decoded pixel plane: the plane
+    * is cut into 64 contiguous equal chunks (integer boundaries
+    * `(i·L)/64`), and chunk i's bit is 1 iff its mean is ≥ the plane
+    * mean — compared in EXACT integer space (`sum_i · L ≥ S · len_i`),
+    * never via division. A chunk that is empty because the plane is
+    * shorter than 64 bytes contributes 0. Bits pack big-endian into four
+    * 16-bit bands so near-dup candidates can form per band, pigeonhole-
+    * lossless at hamming ≤ 3 (the SimHash convention). */
+  private[graft] def aHash(px: Array[Byte]): (Array[Long], Long) = {
+    val L = px.length
+    var s = 0L; var i = 0
+    while (i < L) { s += px(i) & 0xFF; i += 1 }
+    val bits = new Array[Int](64)
+    var nbits = 0L
+    var c = 0
+    while (c < 64) {
+      val lo = (c.toLong * L / 64).toInt
+      val hi = ((c + 1).toLong * L / 64).toInt
+      if (hi > lo) {
+        var sum = 0L; var k = lo
+        while (k < hi) { sum += px(k) & 0xFF; k += 1 }
+        if (sum * L >= s * (hi - lo)) { bits(c) = 1; nbits += 1 }
+      }
+      c += 1
+    }
+    val bands = new Array[Long](4)
+    var b = 0
+    while (b < 4) {
+      var v = 0L; var j = 0
+      while (j < 16) { v = (v << 1) | bits(b * 16 + j); j += 1 }
+      bands(b) = v; b += 1
+    }
+    (bands, nbits)
+  }
+
+  /** Per-image perceptual hash over the REAL decoded plane — the image
+    * near-dup signature (the visual twin of text SimHash). Same bounded-
+    * batch `mapPartitions` shape as [[decodeFeatures]]. */
+  def imageHash(spark: SparkSession, dir: String,
+                batchSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    ppmPayloads(spark, dir, batchSize).select(col("doc_id"), col("payload"))
+      .as[MediaPayload]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap(_.map { p =>
+          val (_, _, _, px) = decodePpm(p.payload)
+          val (bands, nbits) = aHash(px)
+          MediaHash(p.doc_id, bands(0), bands(1), bands(2), bands(3), nbits)
+        })
+      }
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  /** Image near-duplicates: pairs whose perceptual hashes agree on at
+    * least one 16-bit band (candidate generation — never all-pairs) and
+    * whose full 64-bit hamming distance is ≤ `maxHamming`. Bands larger
+    * than `maxBand` images are dropped from candidate generation (their
+    * members still pair through their other bands) — the hot-bucket cap
+    * convention of the embedding near-dup path, because a saturated band
+    * (e.g. the all-ones band of bright images) would otherwise go
+    * quadratic. One shuffle keyed by (band, key); the pair count is
+    * bounded by band-group sizes, never the corpus. */
+  def imageNearDups(spark: SparkSession, dir: String,
+                    maxHamming: Int = 2, maxBand: Int = 4096,
+                    batchSize: Int = 64): DataFrame = {
+    val h = imageHash(spark, dir, batchSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = h.select(col("doc_id"), col("b0"), col("b1"), col("b2"),
+        col("b3"),
+        posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+      .withColumn("band_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("band_key"))))
+      .filter(col("band_n") <= maxBand)
+    val out = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") &&
+        col("x.band_key") === col("y.band_key") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        (bit_count(col("x.b0").bitwiseXOR(col("y.b0"))) +
+         bit_count(col("x.b1").bitwiseXOR(col("y.b1"))) +
+         bit_count(col("x.b2").bitwiseXOR(col("y.b2"))) +
+         bit_count(col("x.b3").bitwiseXOR(col("y.b3")))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("doc_a"), col("doc_b"))
+      .localCheckpoint(true)
+    h.unpersist(false)
+    out
   }
 }

@@ -1137,4 +1137,57 @@ object TextOps {
 
   def heapsCurve(spark: SparkSession, dir: String): DataFrame =
     heapsCurve(Lake.documents(spark, dir))
+
+  /** ln 2 as one shared literal so engine and oracle carry the identical
+    * double (never two libraries' ln(2) disagreeing in the last ulp). */
+  private val Ln2 = 0.6931471805599453
+
+  /** Pairwise Jensen–Shannon divergence between source unigram
+    * distributions — the frequency-aware complement of [[sourceOverlap]]
+    * (which sees only vocabulary SETS): two crawls using the same words
+    * at very different rates are distant here, identical there. Support
+    * is capped to the corpus top-`vocabCap` words (broadcast), and each
+    * source's distribution is renormalized over that capped support, so
+    * the per-pair work is bounded by sources² × cap at any corpus size.
+    * Words one source lacks contribute their closed-form `p·ln2 / 2`
+    * through the (2 − Σp − Σq) term — only SHARED words are ever
+    * joined. Each shared term is rounded then decimal-summed, so the
+    * pair sum is aggregation-order-independent; pairs sharing no capped
+    * vocabulary are absent (their JSD is the maximal ln 2), matching
+    * sourceOverlap's absent-disjoint-pair convention. */
+  def sourceJsd(docs: DataFrame, vocabCap: Int = 10000): DataFrame = {
+    val tokens = nonNull(docs).select(col("source"), explode(toks).as("token"))
+    val vocab = tokens.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(vocabCap)
+      .select(col("token"))
+    val counts = tokens.join(broadcast(vocab), Seq("token"), "left_semi")
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("cnt"))
+    val tots = counts.groupBy(col("source")).agg(sum(col("cnt")).as("tot"))
+    val c = counts.join(broadcast(tots), Seq("source"))
+    val a = c.select(col("source").as("src_a"), col("token"),
+      col("cnt").as("ca"), col("tot").as("ta"))
+    val b = c.select(col("source").as("src_b"), col("token"),
+      col("cnt").as("cb"), col("tot").as("tb"))
+    val dec = DecimalType(28, 8)
+    val p = col("ca").cast("double") / col("ta")
+    val q = col("cb").cast("double") / col("tb")
+    a.join(b, Seq("token")).filter(col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        round(p * log(lit(2.0) * p / (p + q)) +
+              q * log(lit(2.0) * q / (p + q)), 8).cast(dec).as("term"),
+        round(p, 8).cast(dec).as("pa"),
+        round(q, 8).cast(dec).as("qb"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(sum(col("term")).cast("double").as("tsum"),
+        sum(col("pa")).cast("double").as("psum"),
+        sum(col("qb")).cast("double").as("qsum"))
+      .select(col("src_a"), col("src_b"),
+        round((col("tsum") +
+          lit(Ln2) * (lit(2.0) - col("psum") - col("qsum"))) / 2.0, 6)
+          .as("jsd"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  def sourceJsd(spark: SparkSession, dir: String): DataFrame =
+    sourceJsd(Lake.documents(spark, dir))
 }

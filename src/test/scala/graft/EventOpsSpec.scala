@@ -150,4 +150,22 @@ class EventOpsSpec extends SparkSpecBase {
       .select(org.apache.spark.sql.functions.col("user_id")).distinct().count()
     assert(cum == totalUsers, "every user is new exactly once")
   }
+
+  test("seasonal screen: a spike day flags against its hour-of-day peers; a flat hour never does") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 25 days at 05:00 — 24 quiet (10 events) + one spike (100);
+    // 25 days at 09:00 — perfectly flat (variance 0, never scored)
+    val rows =
+      (0 until 25).map(d => (f"2024-01-${d + 1}%02d 05:00:00",
+        if (d == 12) 100L else 10L, "click")) ++
+      (0 until 25).map(d => (f"2024-01-${d + 1}%02d 09:00:00", 7L, "click"))
+    val dense = rows.toDF("bucket_s", "n_events", "event_type")
+      .select(col("bucket_s").cast("timestamp").as("bucket"),
+        col("event_type"), col("n_events"))
+    val out = EventOps.seasonalAnomaliesOn(dense, zThreshold = 3.0).collect()
+    assert(out.length == 1, s"exactly the spike flags, got ${out.length}")
+    assert(out.head.getTimestamp(0).toString.startsWith("2024-01-13 05"))
+    assert(out.head.getDouble(3) > 3.0, "spike z-score above threshold")
+  }
 }

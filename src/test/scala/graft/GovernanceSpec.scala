@@ -123,4 +123,36 @@ class GovernanceSpec extends SparkSpecBase {
     assert(pa.join(pc.select(col("name").as("n2")), pa("name") === col("n2"))
       .count() == 0)
   }
+
+  test("forget: cascade erasure across snapshot tables, durable only after vacuum") {
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    val base = java.nio.file.Files.createTempDirectory("graft_forget").toString
+    val evDir = s"$base/events"; val profDir = s"$base/profiles"
+    SnapshotTable.write(spark, evDir,
+      Seq((42L, "click"), (42L, "view"), (7L, "click")).toDF("user_id", "event_type"))
+    SnapshotTable.write(spark, profDir,
+      Seq((42L, "x"), (9L, "y")).toDF("uid", "name"))
+    val report = Governance.forget(spark,
+      Seq(evDir -> "user_id", profDir -> "uid"), Seq(42L))
+    assert(report.map { case (_, _, n) => n } == Seq(2L, 1L),
+      s"audit counts: $report")
+    // erased from the live version, everything else intact
+    assert(SnapshotTable.read(spark, evDir)
+      .filter(col("user_id") === 42L).count() == 0)
+    assert(SnapshotTable.read(spark, evDir).count() == 1)
+    assert(SnapshotTable.read(spark, profDir)
+      .filter(col("uid") === 42L).count() == 0)
+    // NOT yet durable: the pre-erasure version still holds the rows
+    val v0 = SnapshotTable.versions(spark, evDir).min
+    assert(SnapshotTable.read(spark, evDir, Some(v0))
+      .filter(col("user_id") === 42L).count() == 2,
+      "time travel still sees the subject before vacuum")
+    // vacuum makes it durable
+    SnapshotTable.vacuum(spark, evDir)
+    val left = SnapshotTable.versions(spark, evDir)
+    assert(left.size == 1, s"old versions reclaimed: $left")
+    assert(SnapshotTable.read(spark, evDir)
+      .filter(col("user_id") === 42L).count() == 0)
+  }
 }

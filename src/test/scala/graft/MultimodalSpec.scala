@@ -108,4 +108,27 @@ class MultimodalSpec extends SparkSpecBase {
     assert(out(1L) == ((3L, 1L, 24.0)), s"planted cut missed: ${out.get(1L)}")
     assert(out(2L) == ((3L, 0L, 0.0)), s"constant doc cut: ${out.get(2L)}")
   }
+
+  test("aHash: hand-computed plane, determinism, and near-dup sensitivity") {
+    // 128-byte plane: dark first half, bright second half → bits 0..31
+    // clear, 32..63 set → bands (0, 0, 0xFFFF, 0xFFFF), 32 bits set
+    val px = Array.fill(64)(0.toByte) ++ Array.fill(64)(255.toByte)
+    val (bands, nbits) = MultimodalOps.aHash(px)
+    assert(bands.toSeq == Seq(0L, 0L, 65535L, 65535L), bands.toSeq.toString)
+    assert(nbits == 32L)
+    // deterministic
+    assert(MultimodalOps.aHash(px)._1.toSeq == bands.toSeq)
+    // flipping a few bytes moves few bits; an unrelated plane moves many
+    val tweaked = px.clone(); tweaked(0) = 255.toByte; tweaked(1) = 255.toByte
+    val other = Array.tabulate(128)(i => (if (i % 2 == 0) 255 else 0).toByte)
+    def hamming(a: Array[Long], b: Array[Long]): Int =
+      a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+    val hTweak = hamming(MultimodalOps.aHash(tweaked)._1, bands)
+    val hOther = hamming(MultimodalOps.aHash(other)._1, bands)
+    assert(hTweak <= 2, s"two flipped bytes moved $hTweak bits")
+    assert(hOther > 10, s"an unrelated plane must be far ($hOther)")
+    // empty-chunk regime: planes shorter than 64 bytes still hash
+    val (tinyBands, tinyBits) = MultimodalOps.aHash(Array.fill(10)(7.toByte))
+    assert(tinyBits > 0 && tinyBands.length == 4)
+  }
 }

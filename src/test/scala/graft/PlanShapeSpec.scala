@@ -223,7 +223,10 @@ class PlanShapeSpec extends SparkSpecBase {
         // q_doc_keywords: one-row corpus-size broadcast (the idf N);
         // q_heaps: the steps-row percentile-cutoff broadcast each doc /
         // first-occurrence row compares against (bounded fan-out × steps)
-        "q_collocations", "q_doc_keywords", "q_heaps")
+        "q_collocations", "q_doc_keywords", "q_heaps",
+        // q_seasonal: inherits q_gap_fill's bounded hour × event-type
+        // spine (same dense series the rolling q_anomalies scores)
+        "q_seasonal")
     for ((name, fn) <- SparkEntry.queries) {
       // interior plans included: checkpointing operators execute their
       // real joins during construction and return an RDD-scan facade

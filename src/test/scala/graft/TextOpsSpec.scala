@@ -399,7 +399,26 @@ class TextOpsSpec extends SparkSpecBase {
     assert(vocab.last == full,
       s"final point ${vocab.last} must equal total trigram vocab $full")
     val nDocs = out.sortBy(_.getLong(0)).map(_.getLong(2))
-    assert(nDocs.last == docs.filter(org.apache.spark.sql.functions
-      .col("text").isNotNull).count(), "final prefix covers every doc")
+    assert(nDocs.last == docs.filter(col("text").isNotNull).count(),
+      "final prefix covers every doc")
+  }
+
+  test("source JSD: identical sources at 0, skewed rates between 0 and ln2, disjoint pairs absent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta alpha beta", "twin1"),
+      (2L, "alpha beta alpha beta", "twin2"),
+      (3L, "alpha alpha alpha beta", "skew"),
+      (4L, "gamma delta gamma delta", "other")
+    ).toDF("doc_id", "text", "source")
+    val out = TextOps.sourceJsd(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(out(("twin1", "twin2")) == 0.0, "identical distributions at 0")
+    val skew = out(("skew", "twin1"))
+    assert(skew > 0.0 && skew < 0.6931471805599453,
+      s"skewed same-vocab pair strictly inside (0, ln2): $skew")
+    assert(!out.contains(("other", "twin1")) && !out.contains(("twin1", "other")),
+      "a pair sharing no vocabulary is absent (JSD = ln2 by convention)")
+    assert(out(("skew", "twin2")) == skew, "symmetric by construction")
   }
 }
