@@ -650,10 +650,17 @@ object DedupOps extends org.apache.spark.internal.Logging {
     * three shuffles, all on high-cardinality keys, corpus-linear. */
   def paragraphDedup(docs: DataFrame, blockWords: Int = 16): DataFrame = {
     require(blockWords >= 1, "paragraph block must be at least one word")
+    // the segmentation feeds BOTH the first-occurrence aggregate and the
+    // join back; ReuseExchange does not unify the two shapes (measured:
+    // two parquet scans in the executed plan), so persist the segmented
+    // frame for the query's lifetime and release it eagerly once the
+    // result is materialized (the nearDupPairs discipline) — at corpus
+    // scale a second segmentation pass is a second full read
     val paras = segmented(docs, blockWords)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val firsts = paras.groupBy(col("para"))
       .agg(min(struct(col("doc_id"), col("para_idx"))).as("__first"))
-    paras.join(firsts, "para")
+    val out = paras.join(firsts, "para")
       .filter(col("doc_id") === col("__first.doc_id") &&
         col("para_idx") === col("__first.para_idx"))
       .groupBy(col("doc_id"), col("n_paras"))
@@ -663,6 +670,9 @@ object DedupOps extends org.apache.spark.internal.Logging {
           p => p.getField("para")), " ").as("text_clean"))
       .select(col("doc_id"), col("n_paras"), col("n_kept"), col("text_clean"))
       .orderBy(col("doc_id"))
+      .localCheckpoint(true)
+    paras.unpersist(false)
+    out
   }
 
   def paragraphDedup(spark: SparkSession, dir: String): DataFrame =
@@ -701,8 +711,11 @@ object DedupOps extends org.apache.spark.internal.Logging {
     val exact = d.groupBy(col("source")).agg(
       count(lit(1)).as("n_docs"),
       countDistinct(col("text")).as("n_uniq_texts"))
+    // same double consumption as paragraphDedup: persist the segmented
+    // frame, materialize the bounded per-source report, release eagerly
     val paras = segmented(d, blockWords)
       .join(d.select(col("doc_id"), col("source")), "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val firsts = paras.groupBy(col("para"))
       .agg(min(struct(col("doc_id"), col("para_idx"))).as("__first"))
     val paraStats = paras.join(firsts, "para")
@@ -711,7 +724,7 @@ object DedupOps extends org.apache.spark.internal.Logging {
         sum(when(col("doc_id") =!= col("__first.doc_id") ||
           col("para_idx") =!= col("__first.para_idx"), lit(1L))
           .otherwise(lit(0L))).as("n_dup_paras"))
-    exact.join(paraStats, "source")
+    val out = exact.join(paraStats, "source")
       .select(col("source"), col("n_docs"), col("n_uniq_texts"),
         round((col("n_docs") - col("n_uniq_texts")).cast("double") /
           col("n_docs"), 4).as("exact_dup_rate"),
@@ -719,6 +732,9 @@ object DedupOps extends org.apache.spark.internal.Logging {
         round(col("n_dup_paras").cast("double") / col("n_paras"), 4)
           .as("para_dup_rate"))
       .orderBy(col("source"))
+      .localCheckpoint(true)
+    paras.unpersist(false)
+    out
   }
 
   def dupRates(spark: SparkSession, dir: String): DataFrame =

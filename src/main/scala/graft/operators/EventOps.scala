@@ -521,19 +521,25 @@ object EventOps {
     * day-keyed counts; the cumulative sum windows over the BOUNDED day
     * grid, never the event table. Integer counts only. */
   def dailyUsers(spark: SparkSession, dir: String): DataFrame = {
+    // the distinct (user, day) frame feeds both day-keyed aggregates —
+    // persist it, materialize the bounded day report, release eagerly
     val ev = Lake.events(spark, dir)
       .select(col("user_id"), to_date(col("ts")).as("day"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val firstDay = ev.groupBy(col("user_id")).agg(min(col("day")).as("day"))
       .groupBy(col("day")).agg(count(lit(1)).as("n_new"))
     val active = ev.groupBy(col("day")).agg(count(lit(1)).as("n_active"))
     val wCum = Window.orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    active.join(firstDay, Seq("day"), "left")
+    val out = active.join(firstDay, Seq("day"), "left")
       .na.fill(0L, Seq("n_new"))
       .select(col("day"), col("n_active"), col("n_new"),
         (col("n_active") - col("n_new")).as("n_returning"))
       .withColumn("cum_users", sum(col("n_new")).over(wCum))
       .orderBy(col("day"))
+      .localCheckpoint(true)
+    ev.unpersist(false)
+    out
   }
 }

@@ -1016,6 +1016,9 @@ object TextOps {
     * estimate out of the small-count noise regime. */
   def collocations(docs: DataFrame, minCount: Long = 5,
                    topK: Int = 20): DataFrame = {
+    // the bigram-count frame feeds three consumers (marginals, total,
+    // join) — persist it for the query's lifetime, materialize the
+    // bounded top-k head, release eagerly (nearDupPairs discipline)
     val bc = nonNull(docs)
       .select(toks.as("tk"))
       .select(explode(expr(
@@ -1024,9 +1027,11 @@ object TextOps {
           .stripMargin)).as("b"))
       .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
       .agg(count(lit(1)).as("c_ab"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val uc = bc.groupBy(col("w1").as("w")).agg(sum(col("c_ab")).as("c_w"))
     val tot = bc.agg(sum(col("c_ab")).as("n_bi"))
-    bc.join(broadcast(uc.select(col("w").as("w1"), col("c_w").as("c_a"))),
+    val out = bc
+      .join(broadcast(uc.select(col("w").as("w1"), col("c_w").as("c_a"))),
         Seq("w1"))
       .join(broadcast(uc.select(col("w").as("w2"), col("c_w").as("c_b"))),
         Seq("w2"))
@@ -1037,6 +1042,9 @@ object TextOps {
           (col("c_a").cast("double") * col("c_b"))), 6).as("pmi"))
       .orderBy(col("pmi").desc, col("w1"), col("w2"))
       .limit(topK)
+      .localCheckpoint(true)
+    bc.unpersist(false)
+    out
   }
 
   def collocations(spark: SparkSession, dir: String): DataFrame =
@@ -1048,13 +1056,16 @@ object TextOps {
     * doc (per-doc frame bounded by the doc's distinct-term count). */
   def docKeywords(docs: DataFrame, k: Int = 3): DataFrame = {
     val clean = nonNull(docs)
+    // tf feeds both the df aggregate and the scoring join — persist,
+    // materialize, release (the paragraphDedup double-consumer pattern)
     val tf = clean.select(col("doc_id"), explode(toks).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = clean.select(count(lit(1)).cast("double").as("__n_docs"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term"))
-    tf.join(broadcast(df), Seq("term"))
+    val out = tf.join(broadcast(df), Seq("term"))
       .crossJoin(broadcast(nDocs))
       .withColumn("score",
         round(col("tf") *
@@ -1063,6 +1074,9 @@ object TextOps {
       .filter(col("rank") <= k)
       .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("score"))
       .orderBy(col("doc_id"), col("rank"))
+      .localCheckpoint(true)
+    tf.unpersist(false)
+    out
   }
 
   def docKeywords(spark: SparkSession, dir: String): DataFrame =
@@ -1156,12 +1170,19 @@ object TextOps {
     * vocabulary are absent (their JSD is the maximal ln 2), matching
     * sourceOverlap's absent-disjoint-pair convention. */
   def sourceJsd(docs: DataFrame, vocabCap: Int = 10000): DataFrame = {
-    val tokens = nonNull(docs).select(col("source"), explode(toks).as("token"))
-    val vocab = tokens.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("token")).limit(vocabCap)
-      .select(col("token"))
-    val counts = tokens.join(broadcast(vocab), Seq("token"), "left_semi")
+    // ONE corpus pass: the (source, token) count frame — bounded by
+    // sources × vocabulary, far below corpus size — is the only thing
+    // the corpus ever feeds; the top-N vocab, its filtered form, and the
+    // totals all re-aggregate it (persisted, released on materialize)
+    val countsAll = nonNull(docs)
+      .select(col("source"), explode(toks).as("token"))
       .groupBy(col("source"), col("token")).agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocab = countsAll.groupBy(col("token"))
+      .agg(sum(col("cnt")).as("c"))
+      .orderBy(col("c").desc, col("token")).limit(vocabCap)
+      .select(col("token"))
+    val counts = countsAll.join(broadcast(vocab), Seq("token"), "left_semi")
     val tots = counts.groupBy(col("source")).agg(sum(col("cnt")).as("tot"))
     val c = counts.join(broadcast(tots), Seq("source"))
     val a = c.select(col("source").as("src_a"), col("token"),
@@ -1171,7 +1192,7 @@ object TextOps {
     val dec = DecimalType(28, 8)
     val p = col("ca").cast("double") / col("ta")
     val q = col("cb").cast("double") / col("tb")
-    a.join(b, Seq("token")).filter(col("src_a") < col("src_b"))
+    val out = a.join(b, Seq("token")).filter(col("src_a") < col("src_b"))
       .select(col("src_a"), col("src_b"),
         round(p * log(lit(2.0) * p / (p + q)) +
               q * log(lit(2.0) * q / (p + q)), 8).cast(dec).as("term"),
@@ -1186,6 +1207,9 @@ object TextOps {
           lit(Ln2) * (lit(2.0) - col("psum") - col("qsum"))) / 2.0, 6)
           .as("jsd"))
       .orderBy(col("src_a"), col("src_b"))
+      .localCheckpoint(true)
+    countsAll.unpersist(false)
+    out
   }
 
   def sourceJsd(spark: SparkSession, dir: String): DataFrame =
