@@ -127,4 +127,41 @@ final case class DataLake(spark: SparkSession, dir: String) {
     afterExact.unpersist(false)
     cleaned
   }
+
+  // --- corpus diagnostics (the curator dashboard surface) ---
+  def collocations(minCount: Long = 5, topK: Int = 20): DataFrame =
+    TextOps.collocations(documents, minCount, topK)
+  def docKeywords(k: Int = 3): DataFrame = TextOps.docKeywords(documents, k)
+  def ngramDiversity(n: Int = 3): DataFrame =
+    TextOps.ngramDiversity(documents, n)
+  def heaps(steps: Int = 10, n: Int = 3): DataFrame =
+    TextOps.heapsCurve(documents, steps, n)
+  def sourceJsd(vocabCap: Int = 10000): DataFrame =
+    TextOps.sourceJsd(documents, vocabCap)
+
+  // --- structured-record and basket mining ---
+  def entityMatch(table: String, nameCol: String, maxDist: Int = 2): DataFrame =
+    DedupOps.entityMatch(Lake.table(spark, dir, table), nameCol, maxDist)
+  def copurchase(minOrders: Long = 2, topK: Int = 20): DataFrame =
+    graft.operators.Relational.copurchase(spark, dir, minOrders, topK)
+
+  // --- monitoring ---
+  def ksDrift(table: String, valueCol: String, sliceA: Column,
+              sliceB: Column, binWidth: Double): DataFrame =
+    CatalogOps.ksDrift(spark, dir, table, valueCol, sliceA, sliceB, binWidth)
+  def seasonalAnomalies(zThreshold: Double = 3.0): DataFrame =
+    graft.operators.EventOps.seasonalAnomalies(spark, dir, zThreshold)
+  def dailyUsers(): DataFrame = graft.operators.EventOps.dailyUsers(spark, dir)
+
+  // --- embeddings and images ---
+  def embeddingOutliers(zThresh: Double = 2.0): DataFrame =
+    AnnOps.embeddingOutliers(embeddings, zThresh)
+  def imageHash(): DataFrame = MultimodalOps.imageHash(spark, dir)
+  def imageNearDups(maxHamming: Int = 2): DataFrame =
+    MultimodalOps.imageNearDups(spark, dir, maxHamming)
+
+  /** Right-to-be-forgotten over snapshot tables (dir → key column). */
+  def forget(tables: Seq[(String, String)],
+             subjectIds: Seq[Any]): Seq[(String, String, Long)] =
+    Governance.forget(spark, tables, subjectIds)
 }

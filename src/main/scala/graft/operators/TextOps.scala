@@ -1214,4 +1214,43 @@ object TextOps {
 
   def sourceJsd(spark: SparkSession, dir: String): DataFrame =
     sourceJsd(Lake.documents(spark, dir))
+
+  /** Deflate compression ratio per doc — the model-free repetitiveness /
+    * entropy signal quality pipelines use alongside the rule screens:
+    * highly compressible text is repetitive or boilerplate-heavy, and
+    * near-incompressible text is noise or embedded binary. Runs as
+    * batched `mapPartitions` (the multimodal decode call shape) with one
+    * `java.util.zip.Deflater` reused per partition — a map-only stage,
+    * no shuffle until the presentation sort. Deflate output length is
+    * deterministic for a fixed input/level, but has no SQL twin → spec-
+    * verified invariants (bounds, planted repetition ordering,
+    * determinism) instead of a DuckDB oracle. */
+  def compressionRatio(docs: DataFrame, level: Int = 1): DataFrame = {
+    require(level >= 1 && level <= 9, "deflate level in [1, 9]")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    nonNull(docs).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(level)
+        val buf = new Array[Byte](1 << 16)
+        it.map { case (id, text) =>
+          val in = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          deflater.reset()
+          deflater.setInput(in)
+          deflater.finish()
+          var out = 0L
+          while (!deflater.finished()) out += deflater.deflate(buf)
+          val ratio =
+            if (in.length == 0) 1.0
+            else math.rint(out.toDouble / in.length * 10000) / 10000
+          (id, in.length.toLong, out, ratio)
+        }
+      }
+      .toDF("doc_id", "n_bytes", "n_compressed", "compression_ratio")
+      .orderBy(col("doc_id"))
+  }
+
+  def compressionRatio(spark: SparkSession, dir: String): DataFrame =
+    compressionRatio(Lake.documents(spark, dir))
 }

@@ -13,6 +13,14 @@ class DataLakeSpec extends SparkSpecBase {
     assert(lake.dedupExact().count() ==
       graft.operators.DedupOps.dedupExact(spark, Sf).count())
     assert(lake.qualityRules().columns.contains("keep"))
+    // the diagnostic / mining / image surface added this round
+    assert(lake.imageNearDups().columns.toSeq ==
+      Seq("doc_a", "doc_b", "hamming"))
+    assert(lake.entityMatch("part", "p_name", 3).count() ==
+      graft.operators.DedupOps
+        .entityMatch(Lake.part(spark, Sf), "p_name", 3).count())
+    assert(lake.sourceJsd().columns.contains("jsd"))
+    assert(lake.dailyUsers().columns.contains("cum_users"))
   }
 
   test("cleanCorpus drops exact dups, near dups, and low-quality docs") {

@@ -421,4 +421,24 @@ class TextOpsSpec extends SparkSpecBase {
       "a pair sharing no vocabulary is absent (JSD = ln2 by convention)")
     assert(out(("skew", "twin2")) == skew, "symmetric by construction")
   }
+
+  test("compression ratio: repetitive text compresses far below diverse text, deterministically") {
+    import spark.implicits._
+    val loop = ("spark table " * 200).trim
+    val fresh = (1 to 200).map(i => s"w${i * 7919 % 9973}x$i").mkString(" ")
+    val docs = Seq((1L, loop), (2L, fresh), (3L, "")).toDF("doc_id", "text")
+    val out = TextOps.compressionRatio(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    val (loopBytes, loopComp, loopRatio) = out(1L)
+    val (_, _, freshRatio) = out(2L)
+    assert(loopBytes == loop.length.toLong && loopComp > 0)
+    assert(loopRatio < 0.05, s"looping text must crush: $loopRatio")
+    assert(freshRatio > 3 * loopRatio,
+      s"diverse text compresses far worse: $freshRatio vs $loopRatio")
+    assert(out(3L)._3 == 1.0, "empty doc pins ratio at 1")
+    val again = TextOps.compressionRatio(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(again(1L) == loopRatio && again(2L) == freshRatio, "deterministic")
+  }
 }
