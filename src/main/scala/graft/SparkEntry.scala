@@ -338,6 +338,10 @@ object SparkEntry {
     // Seasonal hour-of-day anomaly screen (calendar twin of q_anomalies)
     "q_seasonal"          -> ((s: SparkSession, d: String) =>
       EventOps.seasonalAnomalies(s, d)),
+    // DP noisy SUM release (clipped, Laplace(clip/eps), deterministic)
+    "q_dp_sums"           -> Governance.dpSumsQuery _,
+    // SCD2 dimension history from the event change stream
+    "q_scd2"              -> EventOps.scd2Query _,
   )
 
   /** [[TextOps.patternScan]] dictionary for the driver query: token
@@ -3194,6 +3198,43 @@ object SparkEntry {
         |  AND abs((d.n_events - s1 * 1.0 / w) /
         |          sqrt((s2 * 1.0 - s1 * 1.0 * s1 / w) / (w - 1))) >= 3.0
         |ORDER BY d.bucket, d.event_type""".stripMargin,
+    // DP sums: the q_dp_counts transform with the sum salt, clip/eps
+    // scale, and the clipped decimal-routed base sum.
+    "q_dp_sums" ->
+      """WITH g AS (
+        |  SELECT o_orderpriority,
+        |    CAST(sum(CAST(least(50000.0, greatest(0.0, o_totalprice))
+        |      AS DECIMAL(18,2))) AS DOUBLE) AS s
+        |  FROM orders GROUP BY 1),
+        |u AS (SELECT o_orderpriority, s,
+        |        CAST(concat('0x',
+        |          substr(md5('graft-dp-sum|' || o_orderpriority), 1, 15))
+        |          AS BIGINT)
+        |          / 1152921504606846976.0 - 0.5 AS uu
+        |      FROM g)
+        |SELECT o_orderpriority,
+        |  round(s + (-(50000.0 / 1.0) * sign(uu)
+        |             * ln(greatest(1e-15, 1 - 2 * abs(uu)))), 4) AS noisy_sum,
+        |  CAST(1.0 AS DOUBLE) AS eps, CAST(50000.0 AS DOUBLE) AS clip
+        |FROM u ORDER BY o_orderpriority""".stripMargin,
+    // SCD2: change-collapse lag + interval lead, ties on event_id.
+    "q_scd2" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS timestamp) AS ts,
+        |             event_id
+        |           FROM events),
+        |ch AS (SELECT *, lag(event_type) OVER (
+        |         PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |       FROM e),
+        |f AS (SELECT user_id, event_type, ts, event_id FROM ch
+        |      WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id, event_type AS attr, ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS valid_to,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS BIGINT) AS version,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |    AS is_current
+        |FROM f ORDER BY user_id, version""".stripMargin,
   )
 
   /** Oracle twin of CatalogOps.profile: one UNION ALL branch per column. */

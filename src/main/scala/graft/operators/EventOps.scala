@@ -154,6 +154,35 @@ object EventOps {
                         zThreshold: Double = 3.0): DataFrame =
     seasonalAnomaliesOn(hourlyGapFilled(spark, dir), zThreshold)
 
+  /** SCD2 (slowly-changing-dimension type 2) history build from a change
+    * stream: consecutive equal values of `attrCol` per key collapse (a
+    * change-detection lag), and each surviving change opens a validity
+    * interval — `[valid_from, valid_to)` via lead(), the latest left
+    * open with `is_current` — the classic warehouse dimension-history
+    * shape, built here instead of hand-maintained MERGE logic. Two
+    * window stages, both keyed by the entity (high-cardinality), sharing
+    * one shuffle; ties on the timestamp break on `idCol` so the history
+    * is total-ordered and engine-reproducible. */
+  def scd2(events: DataFrame, keyCol: String, attrCol: String,
+           tsCol: String = "ts", idCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    val changes = events
+      .select(col(keyCol), col(attrCol), col(tsCol), col(idCol))
+      .withColumn("__prev", lag(col(attrCol), 1).over(w))
+      .filter(col("__prev").isNull || col("__prev") =!= col(attrCol))
+    changes
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .select(col(keyCol), col(attrCol).as("attr"),
+        col(tsCol).as("valid_from"), col("valid_to"), col("version"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy(col(keyCol), col("version"))
+  }
+
+  /** Driver binding: each user's event-type change history. */
+  def scd2Query(spark: SparkSession, dir: String): DataFrame =
+    scd2(Lake.events(spark, dir), "user_id", "event_type")
+
   /** Events with a session id assigned per user: a new session starts when
     * the gap since the previous event exceeds `SessionGapSeconds`. */
   def withSessionIds(spark: SparkSession, dir: String): DataFrame = {

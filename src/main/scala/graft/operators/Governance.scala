@@ -187,6 +187,41 @@ object Governance {
   def dpCountsQuery(spark: SparkSession, dir: String): DataFrame =
     dpCounts(Lake.orders(spark, dir), Seq("o_orderpriority"), eps = 1.0)
 
+  /** DP noisy SUM release — the aggregate companion of [[dpCounts]]:
+    * per-group sum of `valueCol` CLIPPED to [0, clip], plus
+    * Laplace(clip/ε) noise from the same deterministic inverse-CDF
+    * transform of the portable hash (salt rotation = a fresh draw).
+    * Clipping is what makes the release ε-DP — one row moves the sum by
+    * at most `clip`, so clip/ε noise suffices at any group size. The
+    * clipped values route through decimal(18,2) before summing (money
+    * semantics), so the released base sum is aggregation-order-exact and
+    * engine-identical; only then does the one noise term land. */
+  def dpSums(df: DataFrame, groupCols: Seq[String], valueCol: String,
+             clip: Double, eps: Double,
+             salt: String = "graft-dp-sum"): DataFrame = {
+    require(groupCols.nonEmpty && eps > 0 && clip > 0,
+      "need group columns, eps > 0, clip > 0")
+    val key = concat_ws("|",
+      (lit(salt) +: groupCols.map(c => col(c).cast("string"))): _*)
+    val u = TextOps.portableHash60(key).cast("double") /
+      lit((1L << 60).toDouble) - lit(0.5)
+    val noise = -(lit(clip) / eps) * signum(u) *
+      log(greatest(lit(1e-15), lit(1.0) - lit(2.0) * abs(u)))
+    val clipped = least(lit(clip), greatest(lit(0.0), col(valueCol)))
+    df.groupBy(groupCols.map(col): _*)
+      .agg(sum(clipped.cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+        .cast("double").as("__s"))
+      .select((groupCols.map(col) :+
+        round(col("__s") + noise, 4).as("noisy_sum") :+
+        lit(eps).as("eps") :+ lit(clip).as("clip")): _*)
+      .orderBy(groupCols.map(col): _*)
+  }
+
+  /** Driver query: order-value totals per priority, clip 50k, ε = 1. */
+  def dpSumsQuery(spark: SparkSession, dir: String): DataFrame =
+    dpSums(Lake.orders(spark, dir), Seq("o_orderpriority"), "o_totalprice",
+      clip = 50000.0, eps = 1.0)
+
   /** Partial masking: every character except the last `keep` becomes '*'
     * — the display-safe form of an identifier (receipts, support tools)
     * where [[pseudonym]] would destroy human recognizability. Values at

@@ -151,6 +151,32 @@ class EventOpsSpec extends SparkSpecBase {
     assert(cum == totalUsers, "every user is new exactly once")
   }
 
+  test("scd2: consecutive equals collapse, intervals chain, latest row open") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val ev = Seq(
+      (1L, "2024-01-01 00:00:00", 7L, "trial"),
+      (2L, "2024-01-02 00:00:00", 7L, "trial"),   // no change — collapses
+      (3L, "2024-01-03 00:00:00", 7L, "paid"),
+      (4L, "2024-01-04 00:00:00", 7L, "churned"),
+      (5L, "2024-01-01 00:00:00", 9L, "paid")
+    ).toDF("event_id", "ts_s", "user_id", "event_type")
+      .select(col("event_id"), col("ts_s").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"))
+    val out = EventOps.scd2(ev, "user_id", "event_type").collect()
+    val u7 = out.filter(_.getLong(0) == 7L)
+    assert(u7.map(_.getString(1)).toSeq == Seq("trial", "paid", "churned"),
+      "consecutive equal values collapse into one interval")
+    // intervals chain: each valid_to equals the next valid_from
+    for (i <- 0 until u7.length - 1)
+      assert(u7(i).getTimestamp(3) == u7(i + 1).getTimestamp(2),
+        "history has no gaps or overlaps")
+    assert(u7.last.isNullAt(3) && u7.last.getBoolean(5), "latest row open")
+    assert(u7.map(_.getLong(4)).toSeq == Seq(1L, 2L, 3L), "versions dense")
+    val u9 = out.filter(_.getLong(0) == 9L)
+    assert(u9.length == 1 && u9.head.getBoolean(5))
+  }
+
   test("seasonal screen: a spike day flags against its hour-of-day peers; a flat hour never does") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -124,6 +124,28 @@ class GovernanceSpec extends SparkSpecBase {
       .count() == 0)
   }
 
+  test("dp sums: clipped sensitivity, deterministic per salt, fresh noise per salt") {
+    import spark.implicits._
+    val df = Seq(("a", 10.0), ("a", 999999.0), ("b", 5.0), ("b", -50.0))
+      .toDF("grp", "v")
+    val rel = Governance.dpSums(df, Seq("grp"), "v", clip = 100.0, eps = 1.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // group a: 10 + min(100, 999999) = 110 base; noise Laplace(100)
+    assert(math.abs(rel("a") - 110.0) < 100.0 * 15,
+      s"released sum within plausible Laplace range: ${rel("a")}")
+    // negative values clip to 0: base for b is 5
+    assert(math.abs(rel("b") - 5.0) < 100.0 * 15)
+    // without clipping the 999999 outlier would dominate; with it the
+    // release cannot leak the outlier's magnitude
+    assert(rel("a") < 10000.0, "clipping bounds the single-row influence")
+    val again = Governance.dpSums(df, Seq("grp"), "v", 100.0, 1.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(again == rel, "same salt, same release — retry-stable")
+    val rotated = Governance.dpSums(df, Seq("grp"), "v", 100.0, 1.0, "other")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rotated != rel, "salt rotation draws fresh noise")
+  }
+
   test("forget: cascade erasure across snapshot tables, durable only after vacuum") {
     import spark.implicits._
     import graft.sources.SnapshotTable
