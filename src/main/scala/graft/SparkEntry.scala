@@ -342,6 +342,12 @@ object SparkEntry {
     "q_dp_sums"           -> Governance.dpSumsQuery _,
     // SCD2 dimension history from the event change stream
     "q_scd2"              -> EventOps.scd2Query _,
+    // Time-to-convert distribution (first view → first later purchase)
+    "q_time_to_convert"   -> ((s: SparkSession, d: String) =>
+      EventOps.timeToConvert(s, d)),
+    // Cross-source score normalization (per-source percent-rank)
+    "q_score_norm"        -> ((s: SparkSession, d: String) =>
+      TextOps.scoreNormalize(s, d)),
   )
 
   /** [[TextOps.patternScan]] dictionary for the driver query: token
@@ -3235,6 +3241,45 @@ object SparkEntry {
         |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
         |    AS is_current
         |FROM f ORDER BY user_id, version""".stripMargin,
+    // Time-to-convert: deltas from exact epoch micros; quantile_cont ==
+    // Spark's exact percentile (the winsorize precedent).
+    "q_time_to_convert" ->
+      """WITH f AS (SELECT user_id, min(CAST(ts AS timestamp)) AS t_from
+        |           FROM events WHERE event_type = 'view' GROUP BY 1),
+        |t AS (SELECT e.user_id, min(CAST(e.ts AS timestamp)) AS t_to
+        |      FROM events e JOIN f ON e.user_id = f.user_id
+        |      WHERE e.event_type = 'purchase'
+        |        AND CAST(e.ts AS timestamp) > f.t_from
+        |      GROUP BY 1),
+        |d AS (SELECT CAST(epoch_us(t_to) - epoch_us(t_from) AS DOUBLE)
+        |        / 3600000000.0 AS h
+        |      FROM t JOIN f USING (user_id))
+        |SELECT CAST(count(*) AS BIGINT) AS n_converted,
+        |  round(quantile_cont(h, 0.5), 4) AS median_hours,
+        |  round(quantile_cont(h, 0.9), 4) AS p90_hours
+        |FROM d""".stripMargin,
+    // Score normalization: the q_doc_quality arithmetic feeding a
+    // per-source percent_rank with the same (quality, doc_id) order.
+    "q_score_norm" ->
+      s"""WITH q AS (
+         |  SELECT doc_id,
+         |    round(0.4 * least(1.0, n_tokens / 100.0)
+         |        + 0.4 * (n_distinct * 1.0 / n_tokens)
+         |        + 0.2 * least(1.0, (n_stop * 1.0 / n_tokens) * 10.0), 4)
+         |      AS quality
+         |  FROM (
+         |    SELECT doc_id,
+         |      len(string_split(text, ' ')) AS n_tokens,
+         |      len(list_distinct(string_split(text, ' '))) AS n_distinct,
+         |      len(list_filter(string_split(text, ' '),
+         |          t -> t IN ($stopList))) AS n_stop
+         |    FROM documents WHERE text IS NOT NULL) u),
+         |j AS (SELECT q.doc_id, d.source, q.quality
+         |      FROM q JOIN documents d ON q.doc_id = d.doc_id)
+         |SELECT doc_id, source, quality,
+         |  round(percent_rank() OVER (
+         |    PARTITION BY source ORDER BY quality, doc_id), 6) AS norm_score
+         |FROM j ORDER BY doc_id""".stripMargin,
   )
 
   /** Oracle twin of CatalogOps.profile: one UNION ALL branch per column. */

@@ -1215,6 +1215,29 @@ object TextOps {
   def sourceJsd(spark: SparkSession, dir: String): DataFrame =
     sourceJsd(Lake.documents(spark, dir))
 
+  /** Cross-source score normalization: each doc's quality score replaced
+    * by its percent-rank WITHIN its source — the standard trick for
+    * mixing heterogeneously-scored sources (one crawl's 0.6 is another's
+    * 0.9; ranks are comparable where raw scores are not). One window per
+    * source partition (skew bounded by the largest source; at 100 TB the
+    * window-free cutpoint form of q_quantile_bins_par substitutes with
+    * the same output contract). Tie-break on doc_id so the rank is
+    * total-ordered and engine-reproducible. */
+  def scoreNormalize(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("quality"), col("doc_id"))
+    val scored = docQuality(nonNull(docs))
+      .select(col("doc_id"), col("quality"))
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+    scored
+      .withColumn("norm_score", round(percent_rank().over(w), 6))
+      .select(col("doc_id"), col("source"), col("quality"), col("norm_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  def scoreNormalize(spark: SparkSession, dir: String): DataFrame =
+    scoreNormalize(Lake.documents(spark, dir))
+
   /** Deflate compression ratio per doc — the model-free repetitiveness /
     * entropy signal quality pipelines use alongside the rule screens:
     * highly compressible text is repetitive or boilerplate-heavy, and

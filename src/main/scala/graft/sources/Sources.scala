@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** Source/sink layer beyond parquet: CSV and JSONL readers/writers and
   * partitioned parquet with pruning-friendly layout.
@@ -84,6 +84,37 @@ object Sources {
         round(sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double"), 2)
           .as("total_price"))
       .orderBy(col("l_linestatus"))
+  }
+
+  /** JSONL ingest with a quarantine lane: PERMISSIVE parse routes
+    * malformed lines into a corrupt-record column instead of failing the
+    * job or silently dropping them (the all-too-common default). Returns
+    * (good rows with the declared schema, quarantined raw lines) — the
+    * dead-letter pattern every production ingest needs: nothing is lost,
+    * bad lines stay replayable after a parser fix. Both frames are the
+    * SAME single pass over the files; no second read. */
+  def readJsonlQuarantined(spark: SparkSession, path: String,
+                           schema: StructType): (DataFrame, DataFrame) = {
+    val corruptCol = "__corrupt"
+    val withCorrupt = StructType(schema.fields :+
+      StructField(corruptCol, org.apache.spark.sql.types.StringType))
+    val parsed = spark.read
+      .schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .json(path)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize both lanes off the one parse, then release the cache
+    // eagerly (the repo-wide discipline: no per-call caches left for the
+    // ContextCleaner in a long-lived session)
+    val good = parsed.filter(col(corruptCol).isNull)
+      .select(schema.fieldNames.map(col): _*)
+      .localCheckpoint(true)
+    val quarantined = parsed.filter(col(corruptCol).isNotNull)
+      .select(col(corruptCol).as("raw_line"))
+      .localCheckpoint(true)
+    parsed.unpersist(false)
+    (good, quarantined)
   }
 
   /** End-to-end JSONL source/sink exercise: orders → JSONL (timestamps as

@@ -54,4 +54,27 @@ class SourcesSpec extends SparkSpecBase {
     val expected = Lake.lineitem(spark, Sf).filter(col("l_returnflag") === "R").count()
     assert(filtered.count() == expected)
   }
+
+  test("jsonl quarantine: malformed lines land in the dead-letter lane, nothing lost") {
+    import org.apache.spark.sql.types._
+    val path = s"$tmp/quarantine.jsonl"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+      """{"id": 1, "name": "ok"}
+        |{"id": 2 "name": "broken-json"}
+        |{"id": 3, "name": "fine"}
+        |not json at all
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    val (good, bad) = Sources.readJsonlQuarantined(spark, path, schema)
+    assert(good.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L),
+      "exactly the well-formed rows parse")
+    assert(good.columns.toSeq == Seq("id", "name"),
+      "good lane carries the declared schema only")
+    val raw = bad.collect().map(_.getString(0))
+    assert(raw.length == 2, s"both bad lines quarantined: ${raw.toSeq}")
+    assert(raw.exists(_.contains("broken-json")) &&
+      raw.exists(_.contains("not json at all")),
+      "quarantine preserves the original raw lines for replay")
+  }
 }
