@@ -166,4 +166,65 @@ object GraftProperties extends Properties("graft") {
       got.keySet == truth.keySet &&
         truth.forall { case (k, j) => math.abs(got(k) - j) < 1e-5 }
     }
+
+  private val genChangeStream: Gen[List[(Long, Long, String)]] = for {
+    n <- Gen.choose(1, 40)
+    rows <- Gen.listOfN(n, for {
+      key <- Gen.choose(1L, 4L)
+      attr <- Gen.oneOf("a", "b", "c")
+    } yield (key, attr))
+  } yield rows.zipWithIndex.map { case ((k, a), i) => (i.toLong, k, a) }
+
+  property("scd2 history partitions each key's timeline with collapsed changes") =
+    forAll(genChangeStream) { stream =>
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      // event_id doubles as the (strictly increasing) timestamp
+      val ev = stream.toDF("event_id", "user_id", "event_type")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("timestamp_micros(event_id * 1000000)").as("ts"))
+      val hist = graft.operators.EventOps.scd2(ev, "user_id", "event_type")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2),
+          Option(r.getTimestamp(3)), r.getLong(4), r.getBoolean(5)))
+        .groupBy(_._1)
+      stream.groupBy(_._2).forall { case (key, rows) =>
+        val attrs = rows.sortBy(_._1).map(_._3)
+        // reference change-collapse in plain Scala
+        val collapsed = attrs.foldLeft(List.empty[String]) {
+          case (acc, a) if acc.headOption.contains(a) => acc
+          case (acc, a) => a :: acc
+        }.reverse
+        val h = hist(key).sortBy(_._5)
+        h.map(_._2).toList == collapsed &&                  // same history
+        h.map(_._5).toList == (1L to h.length).toList &&     // dense versions
+        h.init.zip(h.tail).forall { case (a, b) =>           // chained
+          a._4.contains(b._3) } &&
+        h.last._4.isEmpty && h.last._6 &&                    // open current
+        h.init.forall(!_._6)
+      }
+    }
+
+  property("entity match finds exactly the in-block close pairs") =
+    forAll(Gen.listOfN(12, Gen.oneOf(
+      "acme corp", "acme corpp", "acme co", "apex corp", "apex labs",
+      "zenith inc", "zenith ink", "nova ltd")), Gen.choose(1, 3)) { (names, maxDist) =>
+      import spark.implicits._
+      def lev(a: String, b: String): Int = {
+        val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+          if (i == 0) j else if (j == 0) i else 0 }
+        for (i <- 1 to a.length; j <- 1 to b.length)
+          d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+            d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        d(a.length)(b.length)
+      }
+      val truth = (for {
+        a <- names.distinct; b <- names.distinct
+        if a < b && a.split(" ")(0) == b.split(" ")(0) && lev(a, b) <= maxDist
+      } yield (a, b)).toSet
+      val got = DedupOps.entityMatch(
+          names.map(Tuple1(_)).toDF("name"), "name", maxDist)
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      got == truth
+    }
 }
