@@ -348,6 +348,11 @@ object SparkEntry {
     // Cross-source score normalization (per-source percent-rank)
     "q_score_norm"        -> ((s: SparkSession, d: String) =>
       TextOps.scoreNormalize(s, d)),
+    // Freedman–Diaconis auto-binned histogram over order values
+    "q_auto_hist"         -> ((s: SparkSession, d: String) =>
+      Relational.autoHistogram(s, d, "orders", "o_totalprice")),
+    // Weekly cohort retention matrix (rates, not just counts)
+    "q_retention_weekly"  -> EventOps.retentionWeekly _,
   )
 
   /** [[TextOps.patternScan]] dictionary for the driver query: token
@@ -3280,6 +3285,43 @@ object SparkEntry {
          |  round(percent_rank() OVER (
          |    PARTITION BY source ORDER BY quality, doc_id), 6) AS norm_score
          |FROM j ORDER BY doc_id""".stripMargin,
+    // Freedman–Diaconis width from exact quartiles, rounded to 4 digits
+    // BEFORE binning (identical floors in both engines).
+    "q_auto_hist" ->
+      """WITH p AS (
+        |  SELECT round(2.0 * (quantile_cont(o_totalprice, 0.75)
+        |                      - quantile_cont(o_totalprice, 0.25))
+        |               / cbrt(CAST(count(*) AS DOUBLE)), 4) AS w
+        |  FROM orders)
+        |SELECT CAST(CASE WHEN w > 0 THEN floor(o_totalprice / w)
+        |                 ELSE 0 END AS BIGINT) AS bin,
+        |  w AS bin_width,
+        |  CAST((CASE WHEN w > 0 THEN floor(o_totalprice / w) ELSE 0 END) * w
+        |    AS DOUBLE) AS bin_lo,
+        |  count(*) AS n_rows
+        |FROM orders, p GROUP BY 1, 2, 3 ORDER BY bin""".stripMargin,
+    // Weekly retention: Monday-start weeks both engines, rate = active
+    // users over cohort size.
+    "q_retention_weekly" ->
+      """WITH c AS (SELECT user_id,
+        |             date_trunc('week', min(CAST(ts AS timestamp)))
+        |               AS cohort_week
+        |           FROM events GROUP BY 1),
+        |s AS (SELECT cohort_week, count(*) AS cohort_size FROM c GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id,
+        |        date_trunc('week', CAST(ts AS timestamp)) AS activity_week
+        |      FROM events),
+        |g AS (SELECT c.cohort_week,
+        |        CAST(date_diff('day', CAST(c.cohort_week AS date),
+        |                       CAST(a.activity_week AS date)) // 7
+        |          AS BIGINT) AS week_offset,
+        |        count(DISTINCT a.user_id) AS n_users
+        |      FROM a JOIN c USING (user_id) GROUP BY 1, 2)
+        |SELECT CAST(g.cohort_week AS timestamp) AS cohort_week, week_offset,
+        |  n_users, s.cohort_size,
+        |  round(n_users * 1.0 / s.cohort_size, 4) AS retention
+        |FROM g JOIN s USING (cohort_week)
+        |ORDER BY cohort_week, week_offset""".stripMargin,
   )
 
   /** Oracle twin of CatalogOps.profile: one UNION ALL branch per column. */

@@ -765,4 +765,25 @@ object DedupOps extends org.apache.spark.internal.Logging {
   /** Driver binding: near-identical part names at edit distance ≤ 3. */
   def entityMatchQuery(spark: SparkSession, dir: String): DataFrame =
     entityMatch(Lake.part(spark, dir), "p_name", 3)
+
+  /** Cross-TABLE record linkage — the A×B form of [[entityMatch]]: link
+    * one catalog's name dictionary against another's (vendor master vs
+    * purchase feed, crawl domain list vs blocklist). Same NDV-dictionary
+    * + first-token blocking + exact edit distance; no `a < b` constraint
+    * because the sides are distinct relations. */
+  def entityLink(left: DataFrame, right: DataFrame, nameCol: String,
+                 maxDist: Int): DataFrame = {
+    def dict(df: DataFrame, side: String) =
+      df.filter(col(nameCol).isNotNull)
+        .groupBy(col(nameCol).as(s"name_$side"))
+        .agg(count(lit(1)).as(s"n_$side"))
+        .withColumn(s"block_$side",
+          split(col(s"name_$side"), " ").getItem(0))
+    dict(left, "a").join(dict(right, "b"),
+        col("block_a") === col("block_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= maxDist)
+      .select(col("name_a"), col("name_b"), col("n_a"), col("n_b"), col("dist"))
+      .orderBy(col("dist"), col("name_a"), col("name_b"))
+  }
 }

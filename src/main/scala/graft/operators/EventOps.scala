@@ -363,6 +363,34 @@ object EventOps {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  /** Weekly cohort retention MATRIX — the rate form of [[retention]]:
+    * users bucketed by first-activity week, each later week's active
+    * share of the cohort reported as a rate (counts alone mislead when
+    * cohort sizes differ). Two user-keyed aggregates + a broadcast of
+    * the bounded cohort-size frame; week truncation is Monday-start in
+    * both engines. */
+  def retentionWeekly(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Lake.events(spark, dir)
+    val cohorts = ev.groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+    val sizes = cohorts.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("cohort_size"))
+    val active = ev
+      .select(col("user_id"), date_trunc("week", col("ts")).as("activity_week"))
+      .distinct()
+    active.join(cohorts, "user_id")
+      .groupBy(col("cohort_week"),
+        (datediff(col("activity_week"), col("cohort_week")) / 7)
+          .cast("long").as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .join(broadcast(sizes), "cohort_week")
+      .withColumn("retention",
+        round(col("n_users").cast("double") / col("cohort_size"), 4))
+      .select(col("cohort_week"), col("week_offset"), col("n_users"),
+        col("cohort_size"), col("retention"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
   def viewsVsPurchases(spark: SparkSession, dir: String): DataFrame = {
     // high-value events only: the rarity makes the two sides genuinely
     // asymmetric (users on one side but not the other), so the outer join

@@ -404,11 +404,13 @@ object MultimodalOps {
 
   /** Per-image perceptual hash over the REAL decoded plane — the image
     * near-dup signature (the visual twin of text SimHash). Same bounded-
-    * batch `mapPartitions` shape as [[decodeFeatures]]. */
-  def imageHash(spark: SparkSession, dir: String,
-                batchSize: Int = 64): DataFrame = {
+    * batch `mapPartitions` shape as [[decodeFeatures]]. Frame form takes
+    * any (doc_id, payload=PPM bytes) frame — batch tables and streaming
+    * micro-batches alike. */
+  def imageHashOf(payloads: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = payloads.sparkSession
     import spark.implicits._
-    ppmPayloads(spark, dir, batchSize).select(col("doc_id"), col("payload"))
+    payloads.select(col("doc_id"), col("payload"))
       .as[MediaPayload]
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap(_.map { p =>
@@ -418,7 +420,35 @@ object MultimodalOps {
         })
       }
       .toDF()
+  }
+
+  def imageHash(spark: SparkSession, dir: String,
+                batchSize: Int = 64): DataFrame =
+    imageHashOf(ppmPayloads(spark, dir, batchSize), batchSize)
       .orderBy(col("doc_id"))
+
+  private def bandsLongForm(hashes: DataFrame): DataFrame =
+    hashes.select(col("doc_id"),
+        posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("band_key"))
+
+  /** The standing corpus's aHash bands as a compact reference table —
+    * build once (or per index refresh), broadcast into every screening
+    * batch. Distinct (band, key) rows: bounded by 4 × corpus NDV. */
+  def referenceImageBands(hashes: DataFrame): DataFrame =
+    bandsLongForm(hashes).select(col("band"), col("band_key")).distinct()
+
+  /** Screen a batch of image hashes against the reference: any band
+    * collision marks the image as a near-dup CANDIDATE of the standing
+    * corpus and drops it; only visually-novel images survive. The exact
+    * mirror of the text LSH ingest screen ([[graft.streaming
+    * .IngestStream.screenNearDups]]): one equi semi-join per batch, zero
+    * streaming state. */
+  def screenImages(batchHashes: DataFrame, refBands: DataFrame): DataFrame = {
+    val hits = bandsLongForm(batchHashes)
+      .join(refBands, Seq("band", "band_key"), "left_semi")
+      .select(col("doc_id")).distinct()
+    batchHashes.join(hits, Seq("doc_id"), "left_anti")
   }
 
   /** Image near-duplicates: pairs whose perceptual hashes agree on at

@@ -404,6 +404,33 @@ object Relational {
       .select(col("bin"), col("bin_lo"), col("n_orders"))
       .orderBy(col("bin"))
 
+  /** Auto-binned histogram: the Freedman–Diaconis rule picks the bin
+    * width from the data (2·IQR/n^(1/3)) instead of a magic constant —
+    * the "just show me the distribution" profiling call. One bounded
+    * quantile/count aggregate chooses the width (broadcast as a one-row
+    * frame), then the usual single-scan bin group-by; the width is
+    * rounded to 4 digits BEFORE binning so engine and oracle floor
+    * identical doubles. Degenerate spread (IQR 0) falls back to one
+    * bin. */
+  def autoHistogram(spark: SparkSession, dir: String, table: String,
+                    valueCol: String): DataFrame = {
+    val src = Lake.table(spark, dir, table).select(col(valueCol).as("v"))
+    val params = src.agg(
+        expr("percentile(v, 0.25)").as("q1"),
+        expr("percentile(v, 0.75)").as("q3"),
+        count(lit(1)).as("n"))
+      .select(round((lit(2.0) * (col("q3") - col("q1"))) /
+        cbrt(col("n").cast("double")), 4).as("w"))
+    src.crossJoin(broadcast(params))
+      .select(when(col("w") > 0, floor(col("v") / col("w")).cast("long"))
+        .otherwise(lit(0L)).as("bin"), col("w"))
+      .groupBy(col("bin"), col("w"))
+      .agg(count(lit(1)).as("n_rows"))
+      .select(col("bin"), col("w").as("bin_width"),
+        (col("bin") * col("w")).cast("double").as("bin_lo"), col("n_rows"))
+      .orderBy(col("bin"))
+  }
+
   /** Set ops: (urgent ∪ high priority customers) minus open-status ones. */
   def setOps(spark: SparkSession, dir: String): DataFrame = {
     val ord = Lake.orders(spark, dir)

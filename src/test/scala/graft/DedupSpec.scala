@@ -265,4 +265,19 @@ class DedupSpec extends SparkSpecBase {
       "multiplicities ride on the matched pair")
     assert(m.getInt(4) == 1, "exact edit distance reported")
   }
+
+  test("entity link: cross-table A×B matching, exact matches included, no self-pairing rule") {
+    import spark.implicits._
+    val master = Seq("acme corp", "zenith inc", "nova ltd")
+      .map(Tuple1(_)).toDF("name")
+    val feed = Seq("acme corp", "acme corpp", "zenith ink", "orbit gmbh")
+      .map(Tuple1(_)).toDF("name")
+    val out = DedupOps.entityLink(master, feed, "name", 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(4)))
+    assert(out.toSet == Set(
+      ("acme corp", "acme corp", 0),     // exact cross-table match kept
+      ("acme corp", "acme corpp", 1),
+      ("zenith inc", "zenith ink", 1)),
+      s"got ${out.toSeq}")
+  }
 }

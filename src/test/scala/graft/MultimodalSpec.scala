@@ -131,4 +131,38 @@ class MultimodalSpec extends SparkSpecBase {
     val (tinyBands, tinyBits) = MultimodalOps.aHash(Array.fill(10)(7.toByte))
     assert(tinyBits > 0 && tinyBands.length == 4)
   }
+
+  test("streaming image screen: copies and near-dups drop per batch, novel images pass") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ppm(bytes: Array[Byte]): Array[Byte] = MultimodalOps.ppmEncode(bytes)
+    val imgA = Array.tabulate(256)(i => (i % 97).toByte)
+    val imgB = Array.fill(256)(200.toByte)
+    val ref = MultimodalOps.imageHashOf(
+      Seq((1L, ppm(imgA)), (2L, ppm(imgB))).toDF("doc_id", "payload"))
+    val refBands = MultimodalOps.referenceImageBands(ref)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nearA = imgA.clone(); nearA(0) = (nearA(0) + 1).toByte
+    val novel = Array.tabulate(512)(i => ((i * 31) % 251).toByte)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_img_screen").toString
+    val input = MemoryStream[(Long, Array[Byte])]
+    val query = input.toDF().toDF("doc_id", "payload")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        MultimodalOps.screenImages(MultimodalOps.imageHashOf(batch), refBands)
+          .write.mode("append").parquet(s"$tmp/novel")
+        ()
+      }.start()
+    try {
+      input.addData(Seq(
+        (10L, ppm(imgA)),   // exact copy of reference — drops
+        (11L, ppm(nearA)),  // one-byte tweak — band collision, drops
+        (12L, ppm(novel)))) // genuinely new — passes
+      query.processAllAvailable()
+      val survivors = spark.read.parquet(s"$tmp/novel")
+        .collect().map(_.getLong(0)).toSet
+      assert(survivors == Set(12L), s"only the novel image survives: $survivors")
+    } finally { query.stop(); refBands.unpersist() }
+  }
 }

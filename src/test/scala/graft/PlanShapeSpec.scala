@@ -226,7 +226,10 @@ class PlanShapeSpec extends SparkSpecBase {
         "q_collocations", "q_doc_keywords", "q_heaps",
         // q_seasonal: inherits q_gap_fill's bounded hour × event-type
         // spine (same dense series the rolling q_anomalies scores)
-        "q_seasonal")
+        "q_seasonal",
+        // q_auto_hist: one-row Freedman–Diaconis width broadcast (the
+        // q_winsorize scalar-threshold pattern)
+        "q_auto_hist")
     for ((name, fn) <- SparkEntry.queries) {
       // interior plans included: checkpointing operators execute their
       // real joins during construction and return an RDD-scan facade
