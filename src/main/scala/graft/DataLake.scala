@@ -164,4 +164,25 @@ final case class DataLake(spark: SparkSession, dir: String) {
   def forget(tables: Seq[(String, String)],
              subjectIds: Seq[Any]): Seq[(String, String, Long)] =
     Governance.forget(spark, tables, subjectIds)
+
+  def autoHistogram(table: String, valueCol: String): DataFrame =
+    Relational.autoHistogram(spark, dir, table, valueCol)
+  def retentionWeekly(): DataFrame = EventOps.retentionWeekly(spark, dir)
+  def timeToConvert(from: String = "view", to: String = "purchase"): DataFrame =
+    EventOps.timeToConvert(spark, dir, from, to)
+  def scd2(keyCol: String = "user_id",
+           attrCol: String = "event_type"): DataFrame =
+    EventOps.scd2(Lake.events(spark, dir), keyCol, attrCol)
+  def entityLink(leftTable: String, rightTable: String, nameCol: String,
+                 maxDist: Int = 2): DataFrame =
+    DedupOps.entityLink(Lake.table(spark, dir, leftTable),
+      Lake.table(spark, dir, rightTable), nameCol, maxDist)
+  def compressionRatio(): DataFrame = TextOps.compressionRatio(documents)
+  def scoreNormalize(): DataFrame = TextOps.scoreNormalize(documents)
+  def dpCounts(table: String, groupCols: Seq[String], eps: Double): DataFrame =
+    Governance.dpCounts(Lake.table(spark, dir, table), groupCols, eps)
+  def dpSums(table: String, groupCols: Seq[String], valueCol: String,
+             clip: Double, eps: Double): DataFrame =
+    Governance.dpSums(Lake.table(spark, dir, table), groupCols, valueCol,
+      clip, eps)
 }

@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Algebraic incremental maintenance of an equi-JOIN view — the join
+  * companion of [[MaterializedAgg]]: keep `A ⋈ B` materialized under
+  * APPEND-ONLY commits to either side without ever re-executing the full
+  * join.
+  *
+  * Insert-only delta rule, in its two-join form:
+  * {{{
+  *   ΔV = (ΔA ⋈ B_new) ∪ (A_old ⋈ ΔB)        // B_new = B_old ∪ ΔB
+  *   V_new = V ∪ ΔV
+  * }}}
+  * (The textbook three-term ΔA⋈B_old ∪ A_old⋈ΔB ∪ ΔA⋈ΔB collapses to
+  * this because ΔA⋈B_new = ΔA⋈B_old ∪ ΔA⋈ΔB.)
+  *
+  * Cost honesty: the deltas are commit-sized, so both joins broadcast
+  * the delta side and push its key set toward the base scan — refresh
+  * cost is Δ × matching base rows (key-filtered reads), never the
+  * |A ⋈ B| recompute. Fan-out is preserved exactly: duplicate join keys
+  * on either side multiply in the delta joins just as they do in the
+  * full join (property-checked on generated tables).
+  *
+  * Deliberately INSERT-ONLY: under deletes/updates a join view needs the
+  * counting algorithm (per-row multiplicities) to know when a derived
+  * row disappears; append-only fact tables — the overwhelmingly common
+  * lake case — never need it. Deletes route to the snapshot
+  * change-data-feed + recompute path instead. */
+object MaterializedJoin {
+
+  /** The view definition: plain equi join on `key`. */
+  def define(a: DataFrame, b: DataFrame, key: String): DataFrame =
+    a.join(b, Seq(key))
+
+  /** Fold append-only commits into the stored view. `aOld` is A BEFORE
+    * this commit, `bNew` is B AFTER it (asymmetry per the delta rule
+    * above); `deltaA` / `deltaB` are the appended rows (either may be
+    * empty). */
+  def refresh(view: DataFrame, aOld: DataFrame, deltaA: DataFrame,
+              bNew: DataFrame, deltaB: DataFrame, key: String): DataFrame =
+    view
+      .unionByName(define(deltaA, bNew, key))
+      .unionByName(define(aOld, deltaB, key))
+}

@@ -205,6 +205,28 @@ object GraftProperties extends Properties("graft") {
       }
     }
 
+  property("incremental JOIN-view refresh == full recompute under appends") =
+    forAll(
+      Gen.listOf(Gen.zip(Gen.choose(1L, 6L), Gen.choose(0, 99))),
+      Gen.listOf(Gen.zip(Gen.choose(1L, 6L), Gen.choose(100, 199))),
+      Gen.listOf(Gen.zip(Gen.choose(1L, 6L), Gen.choose(200, 299))),
+      Gen.listOf(Gen.zip(Gen.choose(1L, 6L), Gen.choose(300, 399)))
+    ) { (a0, da, b0, db) =>
+      import spark.implicits._
+      // duplicate keys on both sides exercise the fan-out preservation
+      val aOld = a0.toDF("k", "av"); val dA = da.toDF("k", "av")
+      val bOld = b0.toDF("k", "bv"); val dB = db.toDF("k", "bv")
+      def bag(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+          .groupBy(identity).view.mapValues(_.length).toMap
+      val view = graft.operators.MaterializedJoin.define(aOld, bOld, "k")
+      val refreshed = graft.operators.MaterializedJoin.refresh(
+        view, aOld, dA, bOld.unionByName(dB), dB, "k")
+      val recomputed = graft.operators.MaterializedJoin.define(
+        aOld.unionByName(dA), bOld.unionByName(dB), "k")
+      bag(refreshed) == bag(recomputed)
+    }
+
   property("entity match finds exactly the in-block close pairs") =
     forAll(Gen.listOfN(12, Gen.oneOf(
       "acme corp", "acme corpp", "acme co", "apex corp", "apex labs",
