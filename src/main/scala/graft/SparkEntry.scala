@@ -353,6 +353,11 @@ object SparkEntry {
       Relational.autoHistogram(s, d, "orders", "o_totalprice")),
     // Weekly cohort retention matrix (rates, not just counts)
     "q_retention_weekly"  -> EventOps.retentionWeekly _,
+    // Incremental JOIN-view refresh ≡ recompute on lake data
+    "q_mv_join_refresh"   -> MaterializedJoin.joinRefreshQuery _,
+    // Association rules: support / directed confidences / lift
+    "q_assoc_rules"       -> ((s: SparkSession, d: String) =>
+      Relational.assocRules(s, d)),
   )
 
   /** [[TextOps.patternScan]] dictionary for the driver query: token
@@ -3322,6 +3327,36 @@ object SparkEntry {
         |  round(n_users * 1.0 / s.cohort_size, 4) AS retention
         |FROM g JOIN s USING (cohort_week)
         |ORDER BY cohort_week, week_offset""".stripMargin,
+    // The oracle RECOMPUTES the maintained join view from scratch: final
+    // A = orderkey%10 ≤ 8 (the %10=9 slice never arrives), final B = all
+    // customers. Hash equality IS refresh ≡ recompute on lake data.
+    "q_mv_join_refresh" ->
+      """SELECT c.c_mktsegment, count(*) AS n_rows,
+        |  round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE),
+        |        2) AS revenue
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE o.o_orderkey % 10 <= 8
+        |GROUP BY 1 ORDER BY c.c_mktsegment""".stripMargin,
+    // Association rules: the q_copurchase self-join formulation extended
+    // with per-part order counts and the basket total.
+    "q_assoc_rules" ->
+      """WITH pc AS (
+        |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |    count(DISTINCT a.l_orderkey) AS n_ab
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= 2),
+        |ic AS (SELECT l_partkey AS part, count(DISTINCT l_orderkey) AS n
+        |       FROM lineitem GROUP BY 1),
+        |tot AS (SELECT count(DISTINCT l_orderkey) AS n_total FROM lineitem)
+        |SELECT part_a, part_b, n_ab,
+        |  round(n_ab * 1.0 / tot.n_total, 6) AS support,
+        |  round(n_ab * 1.0 / ia.n, 6) AS conf_a_to_b,
+        |  round(n_ab * 1.0 / ib.n, 6) AS conf_b_to_a,
+        |  round((n_ab * 1.0 * tot.n_total) / (ia.n * 1.0 * ib.n), 6) AS lift
+        |FROM pc JOIN ic ia ON pc.part_a = ia.part
+        |        JOIN ic ib ON pc.part_b = ib.part, tot
+        |ORDER BY lift DESC, part_a, part_b LIMIT 20""".stripMargin,
   )
 
   /** Oracle twin of CatalogOps.profile: one UNION ALL branch per column. */

@@ -42,4 +42,30 @@ object MaterializedJoin {
     view
       .unionByName(define(deltaA, bNew, key))
       .unionByName(define(aOld, deltaB, key))
+
+  /** Driver query: the orders ⋈ customer view maintained through one
+    * append to EACH side, then aggregated to a bounded per-segment
+    * report. The oracle recomputes the final join from scratch — the
+    * hash match IS the refresh ≡ recompute theorem on lake data (the
+    * ScalaCheck property proves it on generated shapes). */
+  def joinRefreshQuery(spark: org.apache.spark.sql.SparkSession,
+                       dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    val orders = graft.Lake.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    val cust = graft.Lake.customer(spark, dir)
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+    val aOld = orders.filter(pmod(col("o_orderkey"), lit(10)) < 7)
+    val dA = orders.filter(pmod(col("o_orderkey"), lit(10)).isin(7, 8))
+    val bOld = cust.filter(pmod(col("o_custkey"), lit(5)) =!= 0)
+    val dB = cust.filter(pmod(col("o_custkey"), lit(5)) === 0)
+    refresh(define(aOld, bOld, "o_custkey"), aOld, dA,
+        bOld.unionByName(dB), dB, "o_custkey")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast("double"), 2).as("revenue"))
+      .orderBy(col("c_mktsegment"))
+  }
 }

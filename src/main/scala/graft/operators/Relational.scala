@@ -404,6 +404,50 @@ object Relational {
       .select(col("bin"), col("bin_lo"), col("n_orders"))
       .orderBy(col("bin"))
 
+  /** Association rules over the co-purchase baskets: support, BOTH
+    * directed confidences, and lift for every part pair ordered together
+    * at least `minOrders` times. ONE basket-building shuffle feeds
+    * everything: the pair counts, the per-part order counts, and the
+    * basket total all re-aggregate the persisted basket frame (released
+    * on materialize). Lift's products are exact int64 (≪ 2^53 as
+    * doubles); each ratio is one double division of identical integers
+    * in any engine. Top-k by lift — the "surprisingly together" ranking
+    * support alone can't give (frequent ≠ correlated). */
+  def assocRules(spark: SparkSession, dir: String,
+                 minOrders: Long = 2, topK: Int = 20): DataFrame = {
+    val baskets = Lake.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_set(col("l_partkey"))).as("items"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairCounts = baskets.select(explode(expr(
+        """flatten(transform(items, (x, i) ->
+          |  transform(slice(items, i + 2, size(items)),
+          |            y -> struct(x AS pa, y AS pb))))""".stripMargin)).as("p"))
+      .groupBy(col("p.pa").as("part_a"), col("p.pb").as("part_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minOrders)
+    val itemCounts = baskets.select(explode(col("items")).as("part"))
+      .groupBy(col("part")).agg(count(lit(1)).as("n_orders"))
+    val total = baskets.agg(count(lit(1)).as("n_total"))
+    val out = pairCounts
+      .join(broadcast(itemCounts.select(col("part").as("part_a"),
+        col("n_orders").as("n_a"))), Seq("part_a"))
+      .join(broadcast(itemCounts.select(col("part").as("part_b"),
+        col("n_orders").as("n_b"))), Seq("part_b"))
+      .crossJoin(broadcast(total))
+      .select(col("part_a"), col("part_b"), col("n_ab"),
+        round(col("n_ab").cast("double") / col("n_total"), 6).as("support"),
+        round(col("n_ab").cast("double") / col("n_a"), 6).as("conf_a_to_b"),
+        round(col("n_ab").cast("double") / col("n_b"), 6).as("conf_b_to_a"),
+        round((col("n_ab").cast("double") * col("n_total")) /
+          (col("n_a").cast("double") * col("n_b")), 6).as("lift"))
+      .orderBy(col("lift").desc, col("part_a"), col("part_b"))
+      .limit(topK)
+      .localCheckpoint(true)
+    baskets.unpersist(false)
+    out
+  }
+
   /** Auto-binned histogram: the Freedman–Diaconis rule picks the bin
     * width from the data (2·IQR/n^(1/3)) instead of a magic constant —
     * the "just show me the distribution" profiling call. One bounded

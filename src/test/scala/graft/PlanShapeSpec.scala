@@ -229,7 +229,10 @@ class PlanShapeSpec extends SparkSpecBase {
         "q_seasonal",
         // q_auto_hist: one-row Freedman–Diaconis width broadcast (the
         // q_winsorize scalar-threshold pattern)
-        "q_auto_hist")
+        "q_auto_hist",
+        // q_assoc_rules: one-row basket-total broadcast (the lift/support
+        // denominator — the q_bm25 corpus-stats pattern)
+        "q_assoc_rules")
     for ((name, fn) <- SparkEntry.queries) {
       // interior plans included: checkpointing operators execute their
       // real joins during construction and return an RDD-scan facade
