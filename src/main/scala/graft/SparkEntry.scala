@@ -358,6 +358,10 @@ object SparkEntry {
     // Association rules: support / directed confidences / lift
     "q_assoc_rules"       -> ((s: SparkSession, d: String) =>
       Relational.assocRules(s, d)),
+    // Session-quality summary (bounce rate, duration distribution)
+    "q_session_stats"     -> EventOps.sessionStats _,
+    // Cohort lifetime-value curve (cumulative purchase value per user)
+    "q_cohort_ltv"        -> EventOps.cohortLtv _,
   )
 
   /** [[TextOps.patternScan]] dictionary for the driver query: token
@@ -3357,6 +3361,60 @@ object SparkEntry {
         |FROM pc JOIN ic ia ON pc.part_a = ia.part
         |        JOIN ic ib ON pc.part_b = ib.part, tot
         |ORDER BY lift DESC, part_a, part_b LIMIT 20""".stripMargin,
+    // Session stats: the q_transitions session CTE rolled up to the
+    // bounded quality summary; minutes from exact epoch micros.
+    "q_session_stats" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL 1800 SECOND
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT user_id, ts,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM g
+        |), ses AS (
+        |  SELECT user_id, session_id, count(*) AS n_events,
+        |    CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS DOUBLE)
+        |      / 60000000.0 AS minutes
+        |  FROM s GROUP BY 1, 2)
+        |SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+        |  round(CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*), 6) AS bounce_rate,
+        |  round(quantile_cont(minutes, 0.5), 4) AS median_minutes,
+        |  round(quantile_cont(minutes, 0.9), 4) AS p90_minutes,
+        |  round(avg(n_events), 4) AS avg_events
+        |FROM ses""".stripMargin,
+    // Cohort LTV: decimal week sums, decimal cumulative window over the
+    // bounded cohort × offset grid, per-user division on the ROUNDED
+    // cumulative (engine op order).
+    "q_cohort_ltv" ->
+      """WITH c AS (SELECT user_id,
+        |             date_trunc('week', min(CAST(ts AS timestamp)))
+        |               AS cohort_week
+        |           FROM events GROUP BY 1),
+        |sz AS (SELECT cohort_week, count(*) AS cohort_size FROM c GROUP BY 1),
+        |w AS (SELECT c.cohort_week,
+        |        CAST(date_diff('day', CAST(c.cohort_week AS date),
+        |          CAST(date_trunc('week', CAST(e.ts AS timestamp)) AS date))
+        |          // 7 AS BIGINT) AS week_offset,
+        |        sum(CAST(e.value AS DECIMAL(18,2))) AS wk_value
+        |      FROM events e JOIN c USING (user_id)
+        |      WHERE e.event_type = 'purchase' GROUP BY 1, 2),
+        |cu AS (SELECT cohort_week, week_offset, wk_value,
+        |        sum(wk_value) OVER (PARTITION BY cohort_week
+        |          ORDER BY week_offset
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |       FROM w)
+        |SELECT CAST(cu.cohort_week AS timestamp) AS cohort_week, week_offset,
+        |  round(CAST(wk_value AS DOUBLE), 2) AS week_value,
+        |  round(CAST(cum AS DOUBLE), 2) AS cum_value,
+        |  round(round(CAST(cum AS DOUBLE), 2) / sz.cohort_size, 4)
+        |    AS ltv_per_user
+        |FROM cu JOIN sz USING (cohort_week)
+        |ORDER BY cohort_week, week_offset""".stripMargin,
   )
 
   /** Oracle twin of CatalogOps.profile: one UNION ALL branch per column. */

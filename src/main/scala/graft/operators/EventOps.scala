@@ -363,6 +363,54 @@ object EventOps {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  /** Session-quality summary: session counts, bounce rate (one-event
+    * sessions), and the duration distribution (median / p90 minutes from
+    * exact epoch-µs spans) — the health metrics read next to the raw
+    * sessionization. One user-keyed session pass + one bounded global
+    * aggregate; durations are integer-µs-derived doubles, identical in
+    * any engine. */
+  def sessionStats(spark: SparkSession, dir: String): DataFrame =
+    withSessionIds(spark, dir)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        ((unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+          .cast("double") / 60000000.0).as("minutes"))
+      .agg(count(lit(1)).as("n_sessions"),
+        round(sum(when(col("n_events") === 1, 1L).otherwise(0L))
+          .cast("double") / count(lit(1)), 6).as("bounce_rate"),
+        round(expr("percentile(minutes, 0.5)"), 4).as("median_minutes"),
+        round(expr("percentile(minutes, 0.9)"), 4).as("p90_minutes"),
+        round(avg(col("n_events")), 4).as("avg_events"))
+
+  /** Cohort lifetime-value curve: cumulative per-user purchase value by
+    * weeks since the cohort's first activity — the money companion of
+    * the retention matrix (retained ≠ monetized). Purchase values route
+    * through decimal(18,2); the cumulative window runs over the bounded
+    * cohort × offset grid. */
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Lake.events(spark, dir)
+    val cohorts = ev.groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+    val sizes = cohorts.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("cohort_size"))
+    val wCum = Window.partitionBy(col("cohort_week")).orderBy(col("week_offset"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.filter(col("event_type") === "purchase")
+      .join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort_week"),
+        (datediff(date_trunc("week", col("ts")), col("cohort_week")) / 7)
+          .cast("long").as("week_offset"))
+      .agg(sum(col("value").cast(dec2)).as("wk_value"))
+      .withColumn("cum_value",
+        round(sum(col("wk_value")).over(wCum).cast("double"), 2))
+      .join(broadcast(sizes), Seq("cohort_week"))
+      .select(col("cohort_week"), col("week_offset"),
+        round(col("wk_value").cast("double"), 2).as("week_value"),
+        col("cum_value"),
+        round(col("cum_value") / col("cohort_size"), 4).as("ltv_per_user"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
   /** Weekly cohort retention MATRIX — the rate form of [[retention]]:
     * users bucketed by first-activity week, each later week's active
     * share of the cohort reported as a rate (counts alone mislead when
