@@ -362,6 +362,9 @@ object SparkEntry {
     "q_session_stats"     -> EventOps.sessionStats _,
     // Cohort lifetime-value curve (cumulative purchase value per user)
     "q_cohort_ltv"        -> EventOps.cohortLtv _,
+    // Adamic–Adar link prediction over the kNN graph
+    "q_link_predict"      -> ((s: SparkSession, d: String) =>
+      graft.operators.GraphOps.linkPredictQuery(s, d)),
   )
 
   /** [[TextOps.patternScan]] dictionary for the driver query: token
@@ -1730,6 +1733,45 @@ object SparkEntry {
          |SELECT node, count(*) AS n_triangles
          |FROM nodes GROUP BY node
          |ORDER BY n_triangles DESC, node LIMIT 20""".stripMargin,
+    // Adamic–Adar over the same kNN graph: wedge join + degree weights,
+    // existing edges anti-joined away, terms round(8)-decimal-summed.
+    "q_link_predict" ->
+      s"""WITH $lshOracleCtes,
+         |bkc AS (SELECT vec_id, bucket FROM (
+         |          SELECT vec_id, bucket,
+         |            count(*) OVER (PARTITION BY bucket) AS bn
+         |          FROM bk) WHERE bn <= 4096),
+         |prs AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |        FROM bkc a JOIN bkc b
+         |          ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |sc AS (SELECT vec_a, vec_b,
+         |         list_cosine_similarity(ea.e, eb.e) AS s
+         |       FROM prs JOIN emb ea ON ea.vec_id = prs.vec_a
+         |                JOIN emb eb ON eb.vec_id = prs.vec_b),
+         |symk AS (SELECT vec_a AS src, vec_b AS dst, s FROM sc
+         |         UNION ALL SELECT vec_b, vec_a, s FROM sc),
+         |knn AS (SELECT src, dst FROM (SELECT src, dst,
+         |          row_number() OVER (PARTITION BY src ORDER BY s DESC, dst)
+         |            AS rnk
+         |        FROM symk) t WHERE rnk <= 5),
+         |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |        FROM knn WHERE src <> dst),
+         |sym AS (SELECT a AS n, b AS m FROM und
+         |        UNION ALL SELECT b, a FROM und),
+         |dg AS (SELECT n AS z, count(*) AS deg FROM sym GROUP BY 1),
+         |wg AS (SELECT e1.n AS z, e1.m AS x, e2.m AS y
+         |       FROM sym e1 JOIN sym e2 ON e1.n = e2.n AND e1.m < e2.m),
+         |t AS (SELECT wg.x, wg.y,
+         |        round(1.0 / ln(CAST(dg.deg AS DOUBLE)), 8) AS term
+         |      FROM wg JOIN dg ON wg.z = dg.z
+         |      WHERE NOT EXISTS (SELECT 1 FROM und
+         |                        WHERE und.a = wg.x AND und.b = wg.y))
+         |SELECT x AS node_a, y AS node_b,
+         |  count(*) AS n_common,
+         |  round(CAST(sum(CAST(term AS DECIMAL(28,8))) AS DOUBLE), 6)
+         |    AS aa_score
+         |FROM t GROUP BY 1, 2
+         |ORDER BY aa_score DESC, node_a, node_b LIMIT 20""".stripMargin,
     // Hard negatives: the same pair CTEs with the cross-label filter
     // BEFORE ranking (the engine's slot semantics).
     "q_hard_negatives" ->

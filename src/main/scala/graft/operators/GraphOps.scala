@@ -219,4 +219,45 @@ object GraphOps {
     * (the trade graph is bipartite, hence triangle-free by parity). */
   def trianglesQuery(spark: SparkSession, dir: String): DataFrame =
     triangles(AnnOps.knnGraph(spark, dir).select(col("src"), col("dst")))
+
+  /** Adamic–Adar link prediction: for every 2-hop pair NOT already
+    * linked, score = Σ_z 1/ln(deg z) over the common neighbors z — the
+    * classic "who should be connected" feature (rare shared neighbors
+    * weigh more than hubs). Wedge join bounded by degree (the triangles
+    * machinery); a wedge center always has degree ≥ 2, so ln never
+    * vanishes. Each term rounds to 8 digits and decimal-sums, so the
+    * pair score is aggregation-order-exact; existing edges drop via one
+    * anti join. Top-k by score. */
+  def linkPredict(edges: DataFrame, k: Int = 20): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sym = und.select(col("a").as("n"), col("b").as("m"))
+      .unionByName(und.select(col("b").as("n"), col("a").as("m")))
+    val deg = sym.groupBy(col("n").as("z")).agg(count(lit(1)).as("deg"))
+    val wedges = sym.select(col("n").as("z"), col("m").as("x")).as("e1")
+      .join(sym.select(col("n").as("z"), col("m").as("y")).as("e2"), Seq("z"))
+      .filter(col("x") < col("y"))
+    val out = wedges
+      .join(deg, Seq("z"))
+      .withColumn("term",
+        round(lit(1.0) / log(col("deg").cast("double")), 8)
+          .cast(org.apache.spark.sql.types.DecimalType(28, 8)))
+      .join(und, col("x") === col("a") && col("y") === col("b"), "left_anti")
+      .groupBy(col("x").as("node_a"), col("y").as("node_b"))
+      .agg(count(lit(1)).as("n_common"),
+        round(sum(col("term")).cast("double"), 6).as("aa_score"))
+      .orderBy(col("aa_score").desc, col("node_a"), col("node_b"))
+      .limit(k)
+      .localCheckpoint(true)
+    und.unpersist(false)
+    out
+  }
+
+  /** Registered query: link prediction over the 5-NN embedding graph. */
+  def linkPredictQuery(spark: SparkSession, dir: String): DataFrame =
+    linkPredict(AnnOps.knnGraph(spark, dir).select(col("src"), col("dst")))
 }

@@ -75,4 +75,25 @@ class GraphOpsSpec extends SparkSpecBase {
       .count()
     assert(asym == 0, "every edge must have its reverse")
   }
+
+  test("link prediction: path endpoints predicted with the hand-computed AA score, edges never") {
+    import spark.implicits._
+    // path 1—2—3—4 plus hub 5 connected to 1,2,3,4
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (5L, 1L), (5L, 2L), (5L, 3L), (5L, 4L)).toDF("src", "dst")
+    val out = GraphOps.linkPredict(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    // (1,3): common neighbors 2 (deg 3) and 5 (deg 4) →
+    //        1/ln3 + 1/ln4 ≈ 0.910239 + 0.721348
+    val (n13, s13) = out((1L, 3L))
+    assert(n13 == 2L && math.abs(s13 - (math.rint(1 / math.log(3) * 1e8) / 1e8
+      + math.rint(1 / math.log(4) * 1e8) / 1e8)) < 1e-6, s"got $s13")
+    // (1,4): only the hub 5 in common → 1/ln4
+    assert(out((1L, 4L))._1 == 1L)
+    assert(out((1L, 4L))._2 < s13, "hub-only pair scores below close pair")
+    // no existing edge appears as a prediction
+    for (e <- Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 5L)))
+      assert(!out.contains(e), s"edge $e must not be predicted")
+  }
 }
