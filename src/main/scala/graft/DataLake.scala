@@ -185,4 +185,13 @@ final case class DataLake(spark: SparkSession, dir: String) {
              clip: Double, eps: Double): DataFrame =
     Governance.dpSums(Lake.table(spark, dir, table), groupCols, valueCol,
       clip, eps)
+
+  def assocRules(minOrders: Long = 2, topK: Int = 20): DataFrame =
+    Relational.assocRules(spark, dir, minOrders, topK)
+  def linkPredict(k: Int = 20): DataFrame =
+    GraphOps.linkPredict(AnnOps.knnGraph(spark, dir)
+      .select(org.apache.spark.sql.functions.col("src"),
+        org.apache.spark.sql.functions.col("dst")), k)
+  def sessionStats(): DataFrame = EventOps.sessionStats(spark, dir)
+  def cohortLtv(): DataFrame = EventOps.cohortLtv(spark, dir)
 }
