@@ -3357,7 +3357,7 @@ object SparkEntry {
       """WITH c AS (SELECT user_id,
         |             date_trunc('week', min(CAST(ts AS timestamp)))
         |               AS cohort_week
-        |           FROM events GROUP BY 1),
+        |           FROM events WHERE event_type = 'purchase' GROUP BY 1),
         |s AS (SELECT cohort_week, count(*) AS cohort_size FROM c GROUP BY 1),
         |a AS (SELECT DISTINCT user_id,
         |        date_trunc('week', CAST(ts AS timestamp)) AS activity_week
@@ -3436,7 +3436,7 @@ object SparkEntry {
       """WITH c AS (SELECT user_id,
         |             date_trunc('week', min(CAST(ts AS timestamp)))
         |               AS cohort_week
-        |           FROM events GROUP BY 1),
+        |           FROM events WHERE event_type = 'purchase' GROUP BY 1),
         |sz AS (SELECT cohort_week, count(*) AS cohort_size FROM c GROUP BY 1),
         |w AS (SELECT c.cohort_week,
         |        CAST(date_diff('day', CAST(c.cohort_week AS date),

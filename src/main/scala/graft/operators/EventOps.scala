@@ -383,13 +383,15 @@ object EventOps {
         round(avg(col("n_events")), 4).as("avg_events"))
 
   /** Cohort lifetime-value curve: cumulative per-user purchase value by
-    * weeks since the cohort's first activity — the money companion of
-    * the retention matrix (retained ≠ monetized). Purchase values route
-    * through decimal(18,2); the cumulative window runs over the bounded
-    * cohort × offset grid. */
+    * weeks since ACQUISITION (first purchase — the standard LTV cohort;
+    * visitors who never buy have no lifetime value to curve) — the
+    * money companion of the retention matrix (retained ≠ monetized).
+    * Purchase values route through decimal(18,2); the cumulative window
+    * runs over the bounded cohort × offset grid. */
   def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
     val ev = Lake.events(spark, dir)
-    val cohorts = ev.groupBy(col("user_id"))
+    val cohorts = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
       .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
     val sizes = cohorts.groupBy(col("cohort_week"))
       .agg(count(lit(1)).as("cohort_size"))
@@ -412,14 +414,17 @@ object EventOps {
   }
 
   /** Weekly cohort retention MATRIX — the rate form of [[retention]]:
-    * users bucketed by first-activity week, each later week's active
+    * users bucketed by ACQUISITION week (first purchase — the cohort an
+    * LTV/retention review pairs; first-touch weeks all collapse into the
+    * launch week on any always-on product), each later week's active
     * share of the cohort reported as a rate (counts alone mislead when
     * cohort sizes differ). Two user-keyed aggregates + a broadcast of
     * the bounded cohort-size frame; week truncation is Monday-start in
     * both engines. */
   def retentionWeekly(spark: SparkSession, dir: String): DataFrame = {
     val ev = Lake.events(spark, dir)
-    val cohorts = ev.groupBy(col("user_id"))
+    val cohorts = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
       .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
     val sizes = cohorts.groupBy(col("cohort_week"))
       .agg(count(lit(1)).as("cohort_size"))
