@@ -365,6 +365,9 @@ object SparkEntry {
     // Adamic–Adar link prediction over the kNN graph
     "q_link_predict"      -> ((s: SparkSession, d: String) =>
       graft.operators.GraphOps.linkPredictQuery(s, d)),
+    // Containment (asymmetric-Jaccard) join: quotation/subset screen
+    "q_containment"       -> ((s: SparkSession, d: String) =>
+      DedupOps.containmentJoin(s, d)),
   )
 
   /** [[TextOps.patternScan]] dictionary for the driver query: token
@@ -778,6 +781,26 @@ object SparkEntry {
         |FROM pr
         |WHERE i / (sa + sb - i) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // Containment: brute-force DIRECTED pairs — the oracle proves the
+    // prefix⋈index candidate generation lossless at the threshold.
+    "q_containment" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+        |             FROM documents WHERE text IS NOT NULL),
+        |sh AS (SELECT doc_id,
+        |         CASE WHEN len(t) >= 3
+        |           THEN list_distinct(list_transform(range(1, len(t) - 1),
+        |                  i -> array_to_string(t[i:i+2], ' ')))
+        |           ELSE [array_to_string(t, ' ')] END AS s
+        |       FROM tok),
+        |tk AS (SELECT doc_id, s, len(s) AS sz FROM sh),
+        |pr AS (SELECT a.doc_id AS doc_in, b.doc_id AS doc_out,
+        |         len(list_intersect(a.s, b.s)) AS i, a.sz AS s_in
+        |       FROM tk a JOIN tk b ON a.doc_id <> b.doc_id)
+        |SELECT doc_in, doc_out, CAST(s_in AS BIGINT) AS s_in,
+        |  CAST(i AS BIGINT) AS inter,
+        |  round(i / s_in, 6) AS containment
+        |FROM pr WHERE i / s_in >= 0.9
+        |ORDER BY doc_in, doc_out""".stripMargin,
     // Prefix-pressure audit: the engine's rarest-first prefix replicated
     // via a per-doc (df, shingle) rank window; prefix length carries the
     // same 1e-9 ceil slack as the join.

@@ -766,6 +766,65 @@ object DedupOps extends org.apache.spark.internal.Logging {
   def entityMatchQuery(spark: SparkSession, dir: String): DataFrame =
     entityMatch(Lake.part(spark, dir), "p_name", 3)
 
+  /** Containment (asymmetric-Jaccard) join: directed pairs where at
+    * least `threshold` of the INNER doc's shingles appear in the outer
+    * doc — the quotation/subset screen symmetric Jaccard is blind to (a
+    * paragraph quoted inside a long page has Jaccard ≈ |A|/|B| ≈ 0 but
+    * containment 1). Prefix filter on the inner side ONLY (rarest-first
+    * order, length |A| − ⌈t·|A|⌉ + 1, the setSimilarityJoin slack): a
+    * qualifying pair must share an inner-prefix shingle with the outer
+    * doc's FULL set, so candidates come from one prefix⋈index equi join
+    * — the classic containment-join shape, whose price is the outer side
+    * indexing every shingle (bounded by shingle df, never all-pairs).
+    * Exact intersect verifies; output is directed (both directions
+    * appear for exact dups). */
+  def containmentJoin(docs: DataFrame, threshold: Double = 0.9,
+                      n: Int = 3): DataFrame = {
+    val docSh = shingled(docs, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfCounts = docSh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val ordered = docSh.join(dfCounts, "shingle")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("shingle"))))
+        .as("by_rarity"))
+      .select(col("doc_id"),
+        expr("transform(by_rarity, s -> s.shingle)").as("tokens"),
+        size(col("by_rarity")).as("sz"))
+      .withColumn("prefix", expr(
+        s"slice(tokens, 1, size(tokens) - CAST(ceil($threshold * size(tokens) - 1e-9) AS INT) + 1)"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ordered.count()
+    docSh.unpersist(false)
+    val pa = ordered.select(col("doc_id").as("doc_in"), col("sz").as("s_in"),
+      explode(col("prefix")).as("token"))
+    val pb = ordered.select(col("doc_id").as("doc_out"),
+      explode(col("tokens")).as("token"))
+    val cand = pa.join(pb, "token")
+      .filter(col("doc_in") =!= col("doc_out"))
+      .select(col("doc_in"), col("doc_out"), col("s_in")).distinct()
+    val sets = ordered.select(col("doc_id"), col("tokens"))
+    val out = cand
+      .join(sets.select(col("doc_id").as("doc_in"),
+        col("tokens").as("t_in")), Seq("doc_in"))
+      .join(sets.select(col("doc_id").as("doc_out"),
+        col("tokens").as("t_out")), Seq("doc_out"))
+      .withColumn("inter",
+        size(array_intersect(col("t_in"), col("t_out"))))
+      .filter(col("inter").cast("double") / col("s_in") >= threshold)
+      .select(col("doc_in"), col("doc_out"),
+        col("s_in").cast("long").as("s_in"),
+        col("inter").cast("long").as("inter"),
+        round(col("inter").cast("double") / col("s_in"), 6)
+          .as("containment"))
+      .orderBy(col("doc_in"), col("doc_out"))
+      .localCheckpoint(true)
+    ordered.unpersist(false)
+    out
+  }
+
+  def containmentJoin(spark: SparkSession, dir: String): DataFrame =
+    containmentJoin(Lake.documents(spark, dir))
+
   /** Cross-TABLE record linkage — the A×B form of [[entityMatch]]: link
     * one catalog's name dictionary against another's (vendor master vs
     * purchase feed, crawl domain list vs blocklist). Same NDV-dictionary

@@ -167,6 +167,26 @@ object GraftProperties extends Properties("graft") {
         truth.forall { case (k, j) => math.abs(got(k) - j) < 1e-5 }
     }
 
+  property("containment join == brute-force directed containment on EVERY corpus shape") =
+    forAll(genCorpus, Gen.oneOf(0.5, 0.7, 0.9)) { (corpus, t) =>
+      import spark.implicits._
+      def shingles(text: String): Set[String] = {
+        val toks = text.split(" ")
+        if (toks.length >= 3) toks.sliding(3).map(_.mkString(" ")).toSet
+        else Set(text)
+      }
+      val truth = (for {
+        (a, ta) <- corpus; (b, tb) <- corpus if a != b
+        sa = shingles(ta); sb = shingles(tb)
+        c = sa.intersect(sb).size.toDouble / sa.size
+        if c >= t
+      } yield (a, b) -> c).toMap
+      val got = DedupOps.containmentJoin(corpus.toDF("doc_id", "text"), t, 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(4)).toMap
+      got.keySet == truth.keySet &&
+        truth.forall { case (k, c) => math.abs(got(k) - c) < 1e-5 }
+    }
+
   private val genChangeStream: Gen[List[(Long, Long, String)]] = for {
     n <- Gen.choose(1, 40)
     rows <- Gen.listOfN(n, for {
