@@ -16,6 +16,14 @@ object Lake {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** True iff the exception (or any cause in its chain) is Spark's
+    * parquet type-mapping refusal — the signature of TIMESTAMP(NANOS). */
+  private def isNanosRefusal(e: Throwable): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8).exists { t =>
+      val m = Option(t.getMessage).getOrElse("")
+      m.contains("Parquet type") || m.contains("PARQUET_TYPE")
+    }
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     // events.ts has shipped as both TIMESTAMP(MICROS) and TIMESTAMP(NANOS)
     // parquet across testdata generations. Spark 4 reads MICROS natively
@@ -38,7 +46,14 @@ object Lake {
                 org.apache.spark.sql.functions.col("ts").cast(TimestampType)))
             case _ => None
           }
-        } catch { case _: Throwable => None }
+        } catch {
+          // ONLY the schema-mapping refusal Spark raises for parquet
+          // TIMESTAMP(NANOS) ("Illegal Parquet type"). Anything else —
+          // missing file, corrupt footer, OOM — must propagate: swallowing
+          // it here would silently reroute a healthy MICROS generation
+          // through the raw-nanos path and shift every timestamp 1000×.
+          case e: Exception if isNanosRefusal(e) => None
+        }
       plain.getOrElse {
         val eventsSchema = StructType(Seq(
           StructField("event_id", LongType), StructField("ts", LongType),

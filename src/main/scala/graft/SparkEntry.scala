@@ -3395,6 +3395,7 @@ object SparkEntry {
         |  n_users, s.cohort_size,
         |  round(n_users * 1.0 / s.cohort_size, 4) AS retention
         |FROM g JOIN s USING (cohort_week)
+        |WHERE week_offset >= 0
         |ORDER BY cohort_week, week_offset""".stripMargin,
     // The oracle RECOMPUTES the maintained join view from scratch: final
     // A = orderkey%10 ≤ 8 (the %10=9 slice never arrives), final B = all

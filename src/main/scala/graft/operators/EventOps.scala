@@ -436,6 +436,9 @@ object EventOps {
         (datediff(col("activity_week"), col("cohort_week")) / 7)
           .cast("long").as("week_offset"))
       .agg(countDistinct(col("user_id")).as("n_users"))
+      // pre-acquisition activity (views before the first purchase) would
+      // surface as negative offsets — meaningless in a retention matrix
+      .filter(col("week_offset") >= 0)
       .join(broadcast(sizes), "cohort_week")
       .withColumn("retention",
         round(col("n_users").cast("double") / col("cohort_size"), 4))

@@ -191,6 +191,14 @@ object Governance {
     * per-group sum of `valueCol` CLIPPED to [0, clip], plus
     * Laplace(clip/ε) noise from the same deterministic inverse-CDF
     * transform of the portable hash (salt rotation = a fresh draw).
+    * PRIVACY ACCOUNTING: the ε guarantee is PER SALT. Noise is a pure
+    * function of (salt, group key), so re-releasing under the same salt
+    * is free (byte-identical, no new information), but each DISTINCT
+    * salt released is an independent draw and privacy loss composes:
+    * k rotated salts published together cost k·ε total (an analyst can
+    * average them and shrink the noise √k-fold). Budget accordingly —
+    * rotate salts to re-randomize, not to re-publish. Same caveat
+    * applies to [[dpCounts]].
     * Clipping is what makes the release ε-DP — one row moves the sum by
     * at most `clip`, so clip/ε noise suffices at any group size. The
     * clipped values route through decimal(18,2) before summing (money

@@ -632,24 +632,31 @@ object TextOps {
 
   /** Quality-threshold calibration sweep: for every 0.05 score step, how
     * much of the corpus a `quality ≥ t` filter would keep — the curve a
-    * curator reads to PICK the threshold, rather than guessing one. One
-    * corpus aggregate to a ≤21-row bucket histogram, then a reverse
-    * cumulative window over those bounded rows (the tiny frame is the
-    * window's partition, not the corpus). Scores are already rounded to
-    * 4 decimals, so floor(score·20) buckets identically on any engine. */
+    * curator reads to PICK the threshold, rather than guessing one.
+    * EXACTLY ONE corpus pass: the scoring pipeline aggregates straight
+    * into a ≤21-row bucket histogram, and BOTH the reverse-cumulative
+    * keep count and the corpus total are windows over that bounded frame
+    * (the tiny frame is the window's partition, not the corpus — the
+    * total is `sum(n_docs)` over all ≤21 rows, never a second
+    * `count()` through the scorer; that double scan benched 6.9 s and
+    * is regression-guarded in PlanShapeSpec). Scores are already rounded
+    * to 4 decimals, so floor(score·20) buckets identically on any
+    * engine. */
   def qualitySweep(docs: DataFrame): DataFrame = {
-    val scored = docQuality(docs).select(col("quality"))
-    val total = scored.count() // bounded one-row probe (autoJoin precedent)
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("bucket").desc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    scored
+    val W = org.apache.spark.sql.expressions.Window
+    val wCum = W.orderBy(col("bucket").desc)
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val wAll = W.orderBy(col("bucket").desc)
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    docQuality(docs)
       .select(floor(col("quality") * 20).cast("long").as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("n_docs"))
-      .withColumn("n_kept", sum(col("n_docs")).over(w))
+      .withColumn("n_kept", sum(col("n_docs")).over(wCum))
+      .withColumn("__total", sum(col("n_docs")).over(wAll))
       .select(round(col("bucket") / 20.0, 2).as("threshold"),
         col("n_docs"), col("n_kept"),
-        round(col("n_kept").cast("double") / total, 4).as("keep_rate"))
+        round(col("n_kept").cast("double") / col("__total"), 4)
+          .as("keep_rate"))
       .orderBy(col("threshold"))
   }
 

@@ -329,10 +329,18 @@ object SnapshotTable {
   }
 
   /** DELETE by predicate: commit a new version without the matching rows
-    * (copy-on-write; the GDPR-style erase). Returns the new version. */
+    * (copy-on-write; the GDPR-style erase). Returns the new version.
+    *
+    * Three-valued-logic safe: a predicate that evaluates to NULL (e.g.
+    * `key.isin(...)` on a NULL key) deletes NOTHING — the row is kept.
+    * Without the coalesce, `filter(!predicate)` would drop NULL-evaluating
+    * rows too (!NULL is NULL, and filter discards NULL), silently erasing
+    * more rows than the caller's own `predicate`-TRUE audit count. */
   def delete(spark: SparkSession, dir: String,
              predicate: org.apache.spark.sql.Column): Long =
-    write(spark, dir, read(spark, dir).filter(!predicate))
+    write(spark, dir, read(spark, dir)
+      .filter(!org.apache.spark.sql.functions.coalesce(
+        predicate, org.apache.spark.sql.functions.lit(false))))
 
   /** Compact the latest version into a NEW commit with `targetFiles`
     * files — small-file hygiene with snapshot isolation: concurrent

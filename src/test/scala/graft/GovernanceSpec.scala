@@ -152,17 +152,23 @@ class GovernanceSpec extends SparkSpecBase {
     val base = java.nio.file.Files.createTempDirectory("graft_forget").toString
     val evDir = s"$base/events"; val profDir = s"$base/profiles"
     SnapshotTable.write(spark, evDir,
-      Seq((42L, "click"), (42L, "view"), (7L, "click")).toDF("user_id", "event_type"))
+      Seq((Some(42L), "click"), (Some(42L), "view"), (Some(7L), "click"),
+        (Option.empty[Long], "anon")).toDF("user_id", "event_type"))
     SnapshotTable.write(spark, profDir,
       Seq((42L, "x"), (9L, "y")).toDF("uid", "name"))
     val report = Governance.forget(spark,
       Seq(evDir -> "user_id", profDir -> "uid"), Seq(42L))
     assert(report.map { case (_, _, n) => n } == Seq(2L, 1L),
       s"audit counts: $report")
-    // erased from the live version, everything else intact
+    // erased from the live version, everything else intact — including the
+    // NULL-keyed row (isin on NULL is NULL, not a match; erasing it would
+    // be collateral loss beyond the audit count)
     assert(SnapshotTable.read(spark, evDir)
       .filter(col("user_id") === 42L).count() == 0)
-    assert(SnapshotTable.read(spark, evDir).count() == 1)
+    assert(SnapshotTable.read(spark, evDir).count() == 2)
+    assert(SnapshotTable.read(spark, evDir)
+      .filter(col("user_id").isNull).count() == 1,
+      "NULL-keyed row survives erasure of other subjects")
     assert(SnapshotTable.read(spark, profDir)
       .filter(col("uid") === 42L).count() == 0)
     // NOT yet durable: the pre-erasure version still holds the rows

@@ -172,6 +172,19 @@ class PlanShapeSpec extends SparkSpecBase {
       s"weighted sample must rank via top-K, got:\n$plan")
   }
 
+  test("quality sweep reads the corpus exactly once (no probe double scan)") {
+    // third recurrence of the double-scan pattern (surprisal r5, caches
+    // r6, qualitySweep r7): a count()/head() probe that re-executes the
+    // full upstream pipeline. The sweep's denominator must come from the
+    // bounded bucket histogram, so the WHOLE computation — interior
+    // actions included — touches the documents parquet exactly once.
+    val plans = allPlansOf(TextOps.qualitySweep(spark, Sf))
+    val scans = plans.map(p =>
+      "documents\\.parquet".r.findAllIn(p).length).sum
+    assert(scans == 1, s"expected exactly 1 documents scan, saw $scans in " +
+      s"${plans.length} executed plan(s)")
+  }
+
   test("no registered query plans an unintended product join") {
     // the broad regression net: every SparkEntry query's physical plan is
     // free of CartesianProduct, except where the product IS the semantics

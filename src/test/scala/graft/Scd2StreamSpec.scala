@@ -60,6 +60,12 @@ class Scd2StreamSpec extends SparkSpecBase {
         .filter(col("user_id") === 7L)
         .orderBy(col("version")).collect()
       assert(old.last.getString(1) == "paid" && old.last.getBoolean(5))
+
+      // the change log is hash-bucket-partitioned so a batch's rebuild
+      // prunes to the touched buckets instead of scanning the whole log
+      val bucketDirs = new java.io.File(logDir).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("kbucket="))
+      assert(bucketDirs.nonEmpty, "log partitioned by key bucket")
     } finally query.stop()
   }
 }
