@@ -389,25 +389,36 @@ object AnnOps {
     // setSimilarityJoin cache discipline)
     val pairs = bucketedPairs(emb, dim, tables, bits, maxBucketSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = knnFromPairs(pairs, k).localCheckpoint(true)
+    pairs.unpersist(false)
+    out
+  }
+
+  /** Rank an already-materialized candidate-pairs frame (vec_a, vec_b,
+    * cos_sim) into the k-NN graph: symmetrize the undirected pairs and
+    * keep each source's top k. The cheap half of [[knnGraph]], split out
+    * so a persisted [[KnnGraphArtifact]] can feed it without re-running
+    * candidate generation. */
+  def knnFromPairs(pairs: DataFrame, k: Int): DataFrame = {
     val both = pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"),
         col("cos_sim").as("sim_raw"))
       .unionByName(pairs.select(col("vec_b").as("src"), col("vec_a").as("dst"),
         col("cos_sim").as("sim_raw")))
     val w = Window.partitionBy(col("src"))
       .orderBy(col("sim_raw").desc, col("dst"))
-    val out = both.withColumn("rnk", row_number().over(w).cast("long"))
+    both.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("src"), col("dst"),
         round(col("sim_raw"), 4).as("sim"), col("rnk"))
       .orderBy(col("src"), col("rnk"))
-      .localCheckpoint(true)
-    pairs.unpersist(false)
-    out
   }
 
-  /** Lake-bound registered form: 5-NN graph over the embeddings table. */
+  /** Lake-bound registered form: 5-NN graph over the embeddings table,
+    * ranked from the session-shared persisted pairs artifact — the graph
+    * family (kNN graph, triangles, link prediction, hard negatives) pays
+    * for candidate generation ONCE per session, not once per query. */
   def knnGraph(spark: SparkSession, dir: String): DataFrame =
-    knnGraph(Lake.embeddings(spark, dir), k = 5, dim = 64)
+    knnFromPairs(KnnGraphArtifact.sharedPairs(spark, dir), k = 5)
 
   /** Hard-negative mining for contrastive training: each vector's top-k
     * most similar neighbors that carry a DIFFERENT label — the pairs a
@@ -424,6 +435,18 @@ object AnnOps {
     val pairs = bucketedPairs(emb.select(col("vec_id"), col("embedding")),
         dim, tables, bits, maxBucketSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = hardNegativesFromPairs(pairs, labels, k).localCheckpoint(true)
+    pairs.unpersist(false)
+    out
+  }
+
+  /** The label-filtered ranking half of [[hardNegatives]], over an
+    * already-materialized pairs frame — the label filter applies to the
+    * CANDIDATES (before ranking), which is why the shared artifact is
+    * the pairs frame and not the ranked 5-NN graph: the graph would have
+    * already discarded the cross-label neighbors this query wants. */
+  def hardNegativesFromPairs(pairs: DataFrame, labels: DataFrame,
+                             k: Int): DataFrame = {
     val sym = pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"),
         col("cos_sim").as("sim_raw"))
       .unionByName(pairs.select(col("vec_b").as("src"), col("vec_a").as("dst"),
@@ -433,19 +456,18 @@ object AnnOps {
       .filter(col("src_label") =!= col("dst_label"))
     val w = Window.partitionBy(col("src"))
       .orderBy(col("sim_raw").desc, col("dst"))
-    val out = sym.withColumn("rnk", row_number().over(w).cast("long"))
+    sym.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("src"), col("src_label"), col("dst"), col("dst_label"),
         round(col("sim_raw"), 4).as("sim"), col("rnk"))
       .orderBy(col("src"), col("rnk"))
-      .localCheckpoint(true)
-    pairs.unpersist(false)
-    out
   }
 
-  /** Lake-bound registered form: 3 hard negatives per vector. */
+  /** Lake-bound registered form: 3 hard negatives per vector, candidates
+    * from the session-shared persisted pairs artifact. */
   def hardNegatives(spark: SparkSession, dir: String): DataFrame =
-    hardNegatives(Lake.embeddings(spark, dir), k = 3, dim = 64)
+    hardNegativesFromPairs(KnnGraphArtifact.sharedPairs(spark, dir),
+      Lake.embeddings(spark, dir).select(col("vec_id"), col("label")), k = 3)
 
   /** Bucketed rows with oversized buckets filtered out. The per-bucket
     * count is a window over the same (bucket) key the downstream join

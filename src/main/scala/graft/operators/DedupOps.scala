@@ -385,15 +385,24 @@ object DedupOps extends org.apache.spark.internal.Logging {
                         tables: Int = AnnOps.DefaultTables,
                         bits: Int = AnnOps.DefaultBitsPerTable,
                         maxBucketSize: Int = 4096): DataFrame =
-    AnnOps.bucketedPairs(emb, dim, tables, bits, maxBucketSize)
-      .filter(col("cos_sim") >= threshold)
+    nearDupsFromPairs(
+      AnnOps.bucketedPairs(emb, dim, tables, bits, maxBucketSize), threshold)
+
+  /** Threshold screen over an already-materialized candidate-pairs frame
+    * — lets the lake-bound form ride the session-shared
+    * [[KnnGraphArtifact]] pairs instead of re-bucketing. */
+  private def nearDupsFromPairs(pairs: DataFrame,
+                                threshold: Double): DataFrame =
+    pairs.filter(col("cos_sim") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cos_sim"), 4).as("cos_sim"))
       .orderBy(col("vec_a"), col("vec_b"))
 
   /** Lake-bound form; 0.4 suits the near-uniform synthetic vectors (real
-    * embedding spaces use 0.85–0.95). */
+    * embedding spaces use 0.85–0.95). Candidates come from the shared
+    * pairs artifact — same layout parameters, definitionally identical. */
   def embeddingNearDups(spark: SparkSession, dir: String): DataFrame =
-    embeddingNearDups(Lake.embeddings(spark, dir), threshold = 0.4)
+    nearDupsFromPairs(KnnGraphArtifact.sharedPairs(spark, dir),
+      threshold = 0.4)
 
   /** SEMANTIC near-dup clusters: connected components over the
     * embedding-cosine pair graph ([[embeddingNearDups]]) — the
@@ -407,7 +416,9 @@ object DedupOps extends org.apache.spark.internal.Logging {
       .select(col("doc_id").as("vec_id"), col("keeper"))
 
   def semanticClusters(spark: SparkSession, dir: String): DataFrame =
-    semanticClusters(Lake.embeddings(spark, dir))
+    clustersFromPairs(embeddingNearDups(spark, dir)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      .select(col("doc_id").as("vec_id"), col("keeper"))
 
   /** EXACT set-similarity self-join (AllPairs/PPJoin prefix filter): every
     * doc pair whose word-`n`-gram shingle-set Jaccard ≥ `threshold` — the

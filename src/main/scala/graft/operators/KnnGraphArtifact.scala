@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted kNN-graph artifact: the bucketed candidate PAIRS frame
+  * (`vec_a < vec_b`, exact cosine) stored once and shared by every
+  * graph-family consumer — kNN graph, triangle counting, link
+  * prediction, hard-negative mining.
+  *
+  * The pairs frame is the right artifact, not the ranked graph: it is
+  * the expensive piece (one corpus shuffle keyed by LSH bucket + exact
+  * cosine over candidates), and it is the LOWEST shared form — the 5-NN
+  * graph is a cheap bounded window over it, while hard negatives need
+  * the label filter BEFORE ranking, so the ranked graph would be lossy
+  * for them. Rebuilding these candidates inline per query tripled the
+  * graph family's cost (three full builds per sweep); at 100 TB the
+  * graph is built once per corpus version and every consumer reads the
+  * sidecar.
+  *
+  * Layout mirrors [[AnnIndex]]: `<artifactDir>/v=N/pairs` parquet plus a
+  * one-row `params` parquet, `_SUCCESS`-gated so a build that crashed
+  * mid-write is redone, never trusted. Old versions stay readable for
+  * reproducing past results; [[vacuum]] reclaims them.
+  */
+object KnnGraphArtifact {
+
+  /** Complete (both artifacts committed) versions, ascending. */
+  def versions(spark: SparkSession, artifactDir: String): Seq[Long] = {
+    val p = new Path(artifactDir)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) return Seq.empty
+    f.listStatus(p).iterator.map(_.getPath.getName)
+      .filter(_.startsWith("v="))
+      .map(_.stripPrefix("v="))
+      .filter(s => s.nonEmpty && s.forall(_.isDigit))
+      .map(_.toLong)
+      .filter(v => f.exists(new Path(p, s"v=$v/pairs/_SUCCESS")) &&
+        f.exists(new Path(p, s"v=$v/params/_SUCCESS")))
+      .toSeq.sorted
+  }
+
+  /** Materialize the bucketed candidate pairs of `emb` as the next
+    * committed version. Definitionally identical to the inline
+    * [[AnnOps.bucketedPairs]] under the same layout parameters, so every
+    * consumer keeps its oracle. Returns the committed version. */
+  def build(spark: SparkSession, artifactDir: String, emb: DataFrame,
+            dim: Int = 64, tables: Int = AnnOps.DefaultTables,
+            bits: Int = AnnOps.DefaultBitsPerTable,
+            maxBucketSize: Int = 4096): Long = {
+    import spark.implicits._
+    val v = versions(spark, artifactDir).lastOption.map(_ + 1).getOrElse(0L)
+    AnnOps.bucketedPairs(emb.select(col("vec_id"), col("embedding")),
+        dim, tables, bits, maxBucketSize)
+      .write.mode("overwrite").parquet(s"$artifactDir/v=$v/pairs")
+    Seq((dim, tables, bits, maxBucketSize))
+      .toDF("dim", "tables", "bits", "max_bucket_size")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$artifactDir/v=$v/params")
+    v
+  }
+
+  /** Candidate pairs of the given (default: latest complete) version. */
+  def pairs(spark: SparkSession, artifactDir: String,
+            version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(versions(spark, artifactDir).lastOption)
+      .getOrElse(throw new IllegalStateException(
+        s"no complete kNN-graph artifact under $artifactDir"))
+    spark.read.parquet(s"$artifactDir/v=$v/pairs")
+  }
+
+  /** Stored layout parameters of the given (default latest) version. */
+  def params(spark: SparkSession, artifactDir: String,
+             version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(versions(spark, artifactDir).lastOption)
+      .getOrElse(throw new IllegalStateException(
+        s"no complete kNN-graph artifact under $artifactDir"))
+    spark.read.parquet(s"$artifactDir/v=$v/params")
+  }
+
+  /** Drop all but the newest `keepLast` complete versions. */
+  def vacuum(spark: SparkSession, artifactDir: String,
+             keepLast: Int = 1): Seq[Long] = {
+    require(keepLast >= 1, "must keep at least one version")
+    val kept = versions(spark, artifactDir).takeRight(keepLast).toSet
+    val p = new Path(artifactDir)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) return Seq.empty
+    val dropped = f.listStatus(p).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("v="))
+      .filter { q =>
+        val s = q.getName.stripPrefix("v=")
+        // incomplete (crashed) builds are swept too
+        !(s.nonEmpty && s.forall(_.isDigit) && kept(s.toLong))
+      }
+    dropped.foreach(f.delete(_, true))
+    dropped.map(_.getName.stripPrefix("v="))
+      .filter(s => s.nonEmpty && s.forall(_.isDigit)).map(_.toLong).sorted
+  }
+
+  /** Build-once-per-session shared handle for the lake-bound registered
+    * queries: the first graph-family query of a session materializes the
+    * pairs artifact into an app-id-keyed scratch sidecar (the
+    * [[AnnIndex.ivfIndexedQuery]] discipline — app-id keying avoids
+    * cross-JVM races on a shared machine) and every later consumer reads
+    * it back. Keyed additionally by the lake dir so one session can scan
+    * multiple SFs without mixing corpora. JVM-synchronized: sbt runs test
+    * suites concurrently in one JVM, and two racing builders would
+    * double-write the same version directory. */
+  def sharedPairs(spark: SparkSession, lakeDir: String): DataFrame = {
+    val dir = sharedDir(spark, lakeDir)
+    this.synchronized {
+      if (versions(spark, dir).isEmpty)
+        build(spark, dir, graft.Lake.embeddings(spark, lakeDir))
+    }
+    pairs(spark, dir)
+  }
+
+  private[graft] def sharedDir(spark: SparkSession, lakeDir: String): String = {
+    val key = java.lang.Integer.toHexString(lakeDir.hashCode)
+    new Path(sys.props("java.io.tmpdir"),
+      s"graft_knn_pairs_${spark.sparkContext.applicationId}_$key").toString
+  }
+}
