@@ -58,6 +58,20 @@ object SparkEntry {
     "q_quantiles_lineitem" -> ((s: SparkSession, d: String) =>
       CatalogOps.quantiles(s, d, "lineitem",
         Seq("l_quantity", "l_extendedprice", "l_discount"))),
+    // The 100 TB twins of the two profiles above: HLL approx NDV and
+    // t-digest approx quantiles — THE paths that actually run at scale,
+    // registered so the driver exercises them every round. Sketch
+    // estimates are engine-specific, so these carry no DuckDB oracle
+    // (rows-only for the driver, like q_file_metadata); value accuracy
+    // vs the exact twins is asserted in ApproxProfileSpec instead.
+    "q_profile_approx"    -> ((s: SparkSession, d: String) =>
+      CatalogOps.profile(s, d, "lineitem",
+        Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_discount",
+          "l_tax"), exactNdv = false)),
+    "q_quantiles_approx"  -> ((s: SparkSession, d: String) =>
+      CatalogOps.quantiles(s, d, "lineitem",
+        Seq("l_quantity", "l_extendedprice", "l_discount"),
+        exact = false)),
     // Sources/sinks beyond parquet (CSV / JSONL round-trips)
     "q_csv_agg"           -> graft.sources.Sources.csvAgg _,
     "q_jsonl_agg"         -> graft.sources.Sources.jsonlAgg _,
@@ -368,6 +382,8 @@ object SparkEntry {
     // Containment (asymmetric-Jaccard) join: quotation/subset screen
     "q_containment"       -> ((s: SparkSession, d: String) =>
       DedupOps.containmentJoin(s, d)),
+    "q_containment_pressure" -> ((s: SparkSession, d: String) =>
+      DedupOps.containmentPressure(s, d)),
   )
 
   /** [[TextOps.patternScan]] dictionary for the driver query: token
@@ -823,6 +839,30 @@ object SparkEntry {
         |SELECT shingle AS token, count(*) AS prefix_df,
         |  count(*) * (count(*) - 1) // 2 AS cand_pairs
         |FROM p GROUP BY shingle HAVING count(*) >= 2
+        |ORDER BY cand_pairs DESC, token""".stripMargin,
+    // Containment-join pressure: DIRECTED fan-out — prefix_df × (df−1)
+    // candidates through a shingle (the outer side inverts EVERY
+    // shingle); prefix carries the containment threshold 0.9 and the
+    // same 1e-9 ceil slack as the join.
+    "q_containment_pressure" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+        |             FROM documents WHERE text IS NOT NULL),
+        |sh AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+        |           THEN list_distinct(list_transform(range(1, len(t) - 1),
+        |                  i -> array_to_string(t[i:i+2], ' ')))
+        |           ELSE [array_to_string(t, ' ')] END) AS shingle
+        |       FROM tok),
+        |df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+        |o AS (SELECT sh.doc_id, sh.shingle, df.df,
+        |        row_number() OVER (PARTITION BY sh.doc_id
+        |          ORDER BY df.df, sh.shingle) AS rn,
+        |        count(*) OVER (PARTITION BY sh.doc_id) AS sz
+        |      FROM sh JOIN df ON sh.shingle = df.shingle),
+        |p AS (SELECT shingle, df FROM o
+        |      WHERE rn <= sz - CAST(ceil(0.9 * sz - 1e-9) AS INT) + 1)
+        |SELECT shingle AS token, count(*) AS prefix_df, df,
+        |  count(*) * (df - 1) AS cand_pairs
+        |FROM p GROUP BY shingle, df HAVING count(*) * (df - 1) >= 1
         |ORDER BY cand_pairs DESC, token""".stripMargin,
     // Zipf fit: each ln() rounded to 6 and decimal-summed (the surprisal
     // discipline), slope/intercept then divide identical exact numbers.

@@ -790,7 +790,9 @@ object DedupOps extends org.apache.spark.internal.Logging {
     * Exact intersect verifies; output is directed (both directions
     * appear for exact dups). */
   def containmentJoin(docs: DataFrame, threshold: Double = 0.9,
-                      n: Int = 3): DataFrame = {
+                      n: Int = 3,
+                      maxShingleDf: Int = Int.MaxValue): DataFrame = {
+    require(maxShingleDf >= 2, "maxShingleDf must allow at least one pair")
     val docSh = shingled(docs, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfCounts = docSh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
@@ -800,6 +802,14 @@ object DedupOps extends org.apache.spark.internal.Logging {
         .as("by_rarity"))
       .select(col("doc_id"),
         expr("transform(by_rarity, s -> s.shingle)").as("tokens"),
+        // index-side tokens: the hot-shingle cap drops saturated
+        // stop-shingles from the OUTER index only (df-many fan-out each;
+        // see [[containmentPressure]] for the audit) — verify still runs
+        // on FULL sets, so surviving pairs stay exact; pairs whose ONLY
+        // shared inner-prefix shingle is hot may be missed (the
+        // hot-bucket-cap tradeoff, never silent)
+        expr(s"transform(filter(by_rarity, s -> s.df <= $maxShingleDf)," +
+          " s -> s.shingle)").as("idx_tokens"),
         size(col("by_rarity")).as("sz"))
       .withColumn("prefix", expr(
         s"slice(tokens, 1, size(tokens) - CAST(ceil($threshold * size(tokens) - 1e-9) AS INT) + 1)"))
@@ -809,7 +819,7 @@ object DedupOps extends org.apache.spark.internal.Logging {
     val pa = ordered.select(col("doc_id").as("doc_in"), col("sz").as("s_in"),
       explode(col("prefix")).as("token"))
     val pb = ordered.select(col("doc_id").as("doc_out"),
-      explode(col("tokens")).as("token"))
+      explode(col("idx_tokens")).as("token"))
     val cand = pa.join(pb, "token")
       .filter(col("doc_in") =!= col("doc_out"))
       .select(col("doc_in"), col("doc_out"), col("s_in")).distinct()
@@ -835,6 +845,38 @@ object DedupOps extends org.apache.spark.internal.Logging {
 
   def containmentJoin(spark: SparkSession, dir: String): DataFrame =
     containmentJoin(Lake.documents(spark, dir))
+
+  /** Audit for [[containmentJoin]]'s candidate stage — the
+    * [[prefixPressure]] analogue for the DIRECTED join: the outer side
+    * inverts EVERY shingle, so candidates generated through a shingle
+    * grow as prefix_df × (df − 1) (each inner prefix occurrence pairs
+    * with every OTHER doc holding the shingle), not C(prefix_df, 2).
+    * One saturated stop-shingle at 100 TB fans out df-many candidate
+    * rows per quoting doc — this report makes that observable BEFORE it
+    * hurts, and is the instrument that justifies flipping
+    * [[containmentJoin]]'s `maxShingleDf` cap on. Bounded by the number
+    * of shingles that ever enter an inner prefix. */
+  def containmentPressure(docs: DataFrame, threshold: Double = 0.9,
+                          n: Int = 3): DataFrame = {
+    val docSh = shingled(docs, n)
+    val dfCounts = docSh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val byDoc = Window.partitionBy(col("doc_id"))
+    val ranked = docSh.join(dfCounts, "shingle")
+      .withColumn("rn", row_number().over(
+        byDoc.orderBy(col("df"), col("shingle"))))
+      .withColumn("sz", count(lit(1)).over(byDoc))
+      .filter(col("rn") <=
+        col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)).cast("int") + 1)
+    ranked.groupBy(col("shingle").as("token"), col("df"))
+      .agg(count(lit(1)).as("prefix_df"))
+      .select(col("token"), col("prefix_df"), col("df"),
+        (col("prefix_df") * (col("df") - 1)).as("cand_pairs"))
+      .filter(col("cand_pairs") >= 1)
+      .orderBy(col("cand_pairs").desc, col("token"))
+  }
+
+  def containmentPressure(spark: SparkSession, dir: String): DataFrame =
+    containmentPressure(Lake.documents(spark, dir))
 
   /** Cross-TABLE record linkage — the A×B form of [[entityMatch]]: link
     * one catalog's name dictionary against another's (vendor master vs

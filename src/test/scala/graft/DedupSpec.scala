@@ -152,6 +152,27 @@ class DedupSpec extends SparkSpecBase {
         !plan.contains("BroadcastNestedLoopJoin"), s"non-equi plan:\n$plan")
   }
 
+  test("containment hot-shingle cap drops saturated index shingles; audit sees the fan-out") {
+    import spark.implicits._
+    // five identical docs: 3 shingles each, every shingle df = 5
+    val docs = (1L to 5L).map(i => (i, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val full = DedupOps.containmentJoin(docs, 0.9, 3)
+    assert(full.count() == 20, "all directed pairs of 5 exact dups")
+    // cap below the saturation level: the hot shingles leave the outer
+    // index, so no candidates form — fewer results, never wrong ones
+    val capped = DedupOps.containmentJoin(docs, 0.9, 3, maxShingleDf = 4)
+    assert(capped.count() == 0, "capped index generates no candidates")
+    // the audit reports exactly the pressure the cap responds to:
+    // prefix len 1 → rarest-first tie-break picks "alpha beta gamma";
+    // prefix_df 5, df 5 → 5·(5−1) = 20 implied directed candidates
+    val audit = DedupOps.containmentPressure(docs, 0.9, 3).collect()
+    assert(audit.length == 1, s"audit: ${audit.toSeq}")
+    val r = audit.head
+    assert(r.getString(0) == "alpha beta gamma" && r.getLong(1) == 5 &&
+      r.getLong(2) == 5 && r.getLong(3) == 20, s"audit row: $r")
+  }
+
   test("set-similarity join keeps boundary pairs where t*size rounds above an integer") {
     import spark.implicits._
     // t=0.1 with |b|=70 shingles: 0.1*70 = 7.000000000000001 in doubles, so
