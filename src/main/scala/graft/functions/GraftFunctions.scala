@@ -78,7 +78,32 @@ object GraftFunctions {
       (es => { arity("freq_merge_agg", 1)(es)
         FreqMergeAgg(es.head, FreqFunctions.DefaultMapSize).toAggregateExpression() }),
     "freq_top_items" ->
-      (es => { arity("freq_top_items", 1)(es); FreqTopItems(es.head) }))
+      (es => { arity("freq_top_items", 1)(es); FreqTopItems(es.head) }),
+    // the repo-wide portable 60-bit hash (md5 slice — bit-identical in
+    // DuckDB: conv(substring(md5(x),1,15),16,10)); composed from stock
+    // Catalyst expressions so it codegens like the Column form
+    "portable_hash60" -> { es0 =>
+      import org.apache.spark.sql.catalyst.expressions.{Cast, Conv, Literal, Md5, Substring}
+      import org.apache.spark.sql.types.{BinaryType, LongType}
+      val es = arity("portable_hash60", 1)(es0)
+      Cast(Conv(Substring(Md5(Cast(es.head, BinaryType)),
+        Literal(1), Literal(15)), Literal(16), Literal(10)), LongType)
+    },
+    // real ranked-merges BPE over the loaded vocab (see graft.functions.Bpe)
+    "bpe_tokens" ->
+      (es => { arity("bpe_tokens", 1)(es); BpeTokens(es.head) }),
+    // mergeable theta sketches: distinct-count set algebra in SQL
+    "theta_sketch_agg" ->
+      (es => { arity("theta_sketch_agg", 1)(es)
+        ThetaSketchAgg(es.head).toAggregateExpression() }),
+    "theta_union" ->
+      (es => { arity("theta_union", 2)(es); ThetaUnion(es(0), es(1)) }),
+    "theta_intersect" ->
+      (es => { arity("theta_intersect", 2)(es); ThetaIntersect(es(0), es(1)) }),
+    "theta_anotb" ->
+      (es => { arity("theta_anotb", 2)(es); ThetaAnotB(es(0), es(1)) }),
+    "theta_estimate" ->
+      (es => { arity("theta_estimate", 1)(es); ThetaEstimate(es.head) }))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, builder) =>
