@@ -150,6 +150,7 @@ object SparkEntry {
     "q_multimodal_meta"   -> MultimodalOps.multimodalMeta _,
     "q_multimodal_frames" -> ((s: SparkSession, d: String) => MultimodalOps.frameSample(s, d)),
     "q_multimodal_decode" -> ((s: SparkSession, d: String) => MultimodalOps.decodeDigest(s, d)),
+    "q_bmp_decode"        -> ((s: SparkSession, d: String) => MultimodalOps.decodeDigestBmp(s, d)),
     // Pattern scan / redaction (PII machinery over corpus-bearing classes)
     "q_pattern_scan"      -> ((s: SparkSession, d: String) =>
       TextOps.patternScan(Lake.documents(s, d), ScanPatterns)),
@@ -2725,6 +2726,24 @@ object SparkEntry {
         |           FROM documents WHERE text IS NOT NULL)
         |SELECT doc_id,
         |  CAST(11 + len(CAST(h AS VARCHAR)) + 48 * h AS BIGINT) AS n_bytes,
+        |  concat_ws(',', 16, h, 255, 48 * h,
+        |    coalesce(list_aggregate(list_transform(range(1, CAST(len(text) + 1 AS BIGINT)),
+        |      i -> unicode(text[i])), 'sum'), 0),
+        |    48 * h - n,
+        |    CASE WHEN n > 0 THEN unicode(substr(text, 1, 1)) ELSE 0 END,
+        |    CASE WHEN n > 0 THEN unicode(substr(text, len(text), 1)) ELSE 0 END
+        |  ) AS feat_digest
+        |FROM d ORDER BY doc_id""".stripMargin,
+    // BMP twin: same plane features (the codecs carry bytes verbatim);
+    // n_bytes is the bitmap layout — 54-byte headers + 48·h plane (width
+    // 16 ⇒ 48-byte stride, already 4-aligned, no row padding).
+    "q_bmp_decode" ->
+      """WITH d AS (SELECT doc_id, text,
+        |             octet_length(encode(text)) AS n,
+        |             greatest(1, (octet_length(encode(text)) + 47) // 48) AS h
+        |           FROM documents WHERE text IS NOT NULL)
+        |SELECT doc_id,
+        |  CAST(54 + 48 * h AS BIGINT) AS n_bytes,
         |  concat_ws(',', 16, h, 255, 48 * h,
         |    coalesce(list_aggregate(list_transform(range(1, CAST(len(text) + 1 AS BIGINT)),
         |      i -> unicode(text[i])), 'sum'), 0),

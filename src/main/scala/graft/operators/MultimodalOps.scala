@@ -113,12 +113,88 @@ object MultimodalOps {
     (w, h, maxval, java.util.Arrays.copyOfRange(ppm, i, i + w * h * 3))
   }
 
-  /** Decode kernel: real PPM parse + integer-valued image features (all
-    * exactly representable as floats at any plausible payload size):
-    * width, height, maxval, pixel-plane bytes, unsigned byte sum, zero
-    * (padding) count, first pixel byte, last nonzero pixel byte. */
+  /** Spec-compliant 24-bpp BMP encoder (BITMAPFILEHEADER + 40-byte
+    * BITMAPINFOHEADER, bottom-up rows): wraps `data` as the pixel plane
+    * of a [[PpmWidth]]-wide image — the SECOND real codec behind the same
+    * batched kernels. At width 16 the 48-byte row stride is already
+    * 4-aligned, so the stored plane is exactly the logical plane with
+    * rows in reverse order; a real viewer opens the output. The plane
+    * bytes are carried VERBATIM (no BGR reorder — same opaque-plane
+    * convention as [[ppmEncode]]), so decode(encode(x)) is identical
+    * across both codecs and every downstream feature agrees. */
+  private[graft] def bmpEncode(data: Array[Byte]): Array[Byte] = {
+    val w = PpmWidth
+    val h = math.max(1, (data.length + 3 * w - 1) / (3 * w))
+    val stride = ((w * 3 + 3) / 4) * 4
+    val off = 14 + 40
+    val out = new Array[Byte](off + stride * h)
+    def le16(p: Int, v: Int): Unit = {
+      out(p) = (v & 0xFF).toByte; out(p + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    def le32(p: Int, v: Int): Unit = { le16(p, v & 0xFFFF); le16(p + 2, v >>> 16) }
+    out(0) = 'B'; out(1) = 'M'
+    le32(2, out.length); le32(10, off)
+    le32(14, 40); le32(18, w); le32(22, h)
+    le16(26, 1); le16(28, 24); le32(30, 0); le32(34, stride * h)
+    var r = 0
+    while (r < h) {
+      val srcOff = r * 3 * w
+      val n = math.min(3 * w, math.max(0, data.length - srcOff))
+      if (n > 0) System.arraycopy(data, srcOff, out, off + (h - 1 - r) * stride, n)
+      r += 1
+    }
+    out
+  }
+
+  /** REAL BMP parser (Windows BITMAPINFOHEADER spec): validates the `BM`
+    * magic, reads the little-endian pixel-array offset, dimensions,
+    * planes = 1, 24 bpp, BI_RGB (uncompressed); handles both bottom-up
+    * (positive height) and top-down (negative height) storage and strips
+    * the 4-byte row padding, returning the logical top-down plane — the
+    * same (w, h, maxval, plane) shape [[decodePpm]] yields, so every
+    * kernel downstream is codec-blind. */
+  private[graft] def decodeBmp(bmp: Array[Byte]): (Int, Int, Int, Array[Byte]) = {
+    require(bmp.length >= 54 && bmp(0) == 'B' && bmp(1) == 'M',
+      "not a BM bitmap stream")
+    def le16(p: Int): Int = (bmp(p) & 0xFF) | ((bmp(p + 1) & 0xFF) << 8)
+    def le32(p: Int): Int = le16(p) | (le16(p + 2) << 16)
+    val off = le32(10)
+    require(le32(14) >= 40, s"unsupported DIB header size ${le32(14)}")
+    val w = le32(18)
+    val hRaw = le32(22)
+    val topDown = hRaw < 0
+    val h = math.abs(hRaw)
+    require(w > 0 && h > 0, s"bad dimensions ${w}x$hRaw")
+    require(le16(26) == 1, "planes must be 1")
+    require(le16(28) == 24, s"only 24 bpp supported, got ${le16(28)}")
+    require(le32(30) == 0, "only BI_RGB (uncompressed) supported")
+    val stride = ((w * 3 + 3) / 4) * 4
+    require(bmp.length - off >= stride * h,
+      s"truncated pixel array: ${bmp.length - off} < ${stride * h}")
+    val px = new Array[Byte](w * h * 3)
+    var r = 0
+    while (r < h) {
+      val srcRow = if (topDown) r else h - 1 - r
+      System.arraycopy(bmp, off + srcRow * stride, px, r * w * 3, w * 3)
+      r += 1
+    }
+    (w, h, 255, px)
+  }
+
+  /** Codec-sniffing decode: `P6` → Netpbm, `BM` → bitmap. Every pixel
+    * kernel (features, resize, aHash, scene cuts) accepts either. */
+  private[graft] def decodeImage(payload: Array[Byte]): (Int, Int, Int, Array[Byte]) =
+    if (payload.length >= 2 && payload(0) == 'B' && payload(1) == 'M')
+      decodeBmp(payload)
+    else decodePpm(payload)
+
+  /** Decode kernel: real image parse (PPM or BMP) + integer-valued image
+    * features (all exactly representable as floats at any plausible
+    * payload size): width, height, maxval, pixel-plane bytes, unsigned
+    * byte sum, zero (padding) count, first pixel byte, last nonzero
+    * pixel byte. */
   private def ppmFeatures(payload: Array[Byte]): Array[Float] = {
-    val (w, h, maxval, px) = decodePpm(payload)
+    val (w, h, maxval, px) = decodeImage(payload)
     var sum = 0L; var zeros = 0; var lastNz = 0
     var i = 0
     while (i < px.length) {
@@ -136,25 +212,37 @@ object MultimodalOps {
     * of a spec-compliant P6 PPM (encode itself runs batched, same shape as
     * decode). */
   def ppmPayloads(spark: SparkSession, dir: String,
-                  batchSize: Int = 64): DataFrame = {
+                  batchSize: Int = 64): DataFrame =
+    encodedPayloads(spark, dir, ppmEncode, batchSize)
+
+  /** Documents as REAL 24-bpp BMP payloads — the second codec, same
+    * batched encode shape. */
+  def bmpPayloads(spark: SparkSession, dir: String,
+                  batchSize: Int = 64): DataFrame =
+    encodedPayloads(spark, dir, bmpEncode, batchSize)
+
+  private def encodedPayloads(spark: SparkSession, dir: String,
+                              enc: Array[Byte] => Array[Byte],
+                              batchSize: Int): DataFrame = {
     import spark.implicits._
     payloads(spark, dir).select(col("doc_id"), col("payload"))
       .as[MediaPayload]
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap(_.map(p =>
-          MediaPayload(p.doc_id, ppmEncode(p.payload))))
+          MediaPayload(p.doc_id, enc(p.payload))))
       }
       .toDF()
   }
 
-  /** Batched feature extraction: partitions stream through the REAL PPM
-    * decoder in bounded batches (`batchSize`), exactly the call shape a
-    * native decoder needs — no per-row call overhead, no whole-partition
+  /** Batched feature extraction over any (doc_id, payload=image bytes)
+    * frame: partitions stream through the REAL decoders in bounded
+    * batches (`batchSize`), exactly the call shape a native decoder
+    * needs — no per-row call overhead, no whole-partition
     * materialization. */
-  def decodeFeatures(spark: SparkSession, dir: String,
-                     batchSize: Int = 64): DataFrame = {
+  def decodeFeaturesOf(imgPayloads: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = imgPayloads.sparkSession
     import spark.implicits._
-    ppmPayloads(spark, dir, batchSize).select(col("doc_id"), col("payload"))
+    imgPayloads.select(col("doc_id"), col("payload"))
       .as[MediaPayload]
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
@@ -168,6 +256,10 @@ object MultimodalOps {
       .orderBy(col("doc_id"))
   }
 
+  def decodeFeatures(spark: SparkSession, dir: String,
+                     batchSize: Int = 64): DataFrame =
+    decodeFeaturesOf(ppmPayloads(spark, dir, batchSize), batchSize)
+
   /** Box-average integer downsample of a decoded P6 pixel plane — the
     * "resize" leg of the multimodal surface: each output pixel is the
     * floor-mean of its `factor`×`factor` source block (blocks clipped at
@@ -177,7 +269,7 @@ object MultimodalOps {
   private[graft] def resizePpm(ppm: Array[Byte],
                                factor: Int): (Int, Int, Int, Int, Array[Byte]) = {
     require(factor >= 1, "resize factor must be >= 1")
-    val (w, h, _, px) = decodePpm(ppm)
+    val (w, h, _, px) = decodeImage(ppm)
     val ow = math.max(1, w / factor); val oh = math.max(1, h / factor)
     val out = new Array[Byte](ow * oh * 3)
     var oy = 0
@@ -315,7 +407,18 @@ object MultimodalOps {
     * `batch_size` is partitioning-dependent so it stays out of the
     * comparable projection (MultimodalSpec covers it). */
   def decodeDigest(spark: SparkSession, dir: String): DataFrame =
-    decodeFeatures(spark, dir)
+    digestOf(decodeFeatures(spark, dir))
+
+  /** The BMP twin of [[decodeDigest]]: encode→parse→feature through the
+    * bitmap codec. Identical feature values (the plane is carried
+    * verbatim by both codecs); only `n_bytes` differs — BMP's fixed
+    * 54-byte header + stride·h vs PPM's variable ASCII header — which is
+    * exactly what the layout-arithmetic oracle verifies. */
+  def decodeDigestBmp(spark: SparkSession, dir: String): DataFrame =
+    digestOf(decodeFeaturesOf(bmpPayloads(spark, dir)))
+
+  private def digestOf(features: DataFrame): DataFrame =
+    features
       .select(
         col("doc_id"),
         col("n_bytes").cast("long").as("n_bytes"),
@@ -414,7 +517,7 @@ object MultimodalOps {
       .as[MediaPayload]
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap(_.map { p =>
-          val (_, _, _, px) = decodePpm(p.payload)
+          val (_, _, _, px) = decodeImage(p.payload)
           val (bands, nbits) = aHash(px)
           MediaHash(p.doc_id, bands(0), bands(1), bands(2), bands(3), nbits)
         })

@@ -28,6 +28,50 @@ class MultimodalSpec extends SparkSpecBase {
       MultimodalOps.decodePpm("P6\n4 4\n255\nxy".getBytes("US-ASCII")))
   }
 
+  test("BMP kernel really parses the bitmap format (planted image, both row orders, rejects)") {
+    // hand-built 2×2 24-bpp bottom-up BMP (stride 8: 6 data + 2 pad per
+    // row) — built against the SPEC byte-by-byte, not our own encoder.
+    // Logical top row (10,20,30 | 40,50,60) is stored LAST.
+    def le16(v: Int) = Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    def le32(v: Int) = le16(v & 0xFFFF) ++ le16(v >>> 16)
+    val planted: Array[Byte] =
+      "BM".getBytes("US-ASCII") ++ le32(54 + 16) ++ le32(0) ++ le32(54) ++
+        le32(40) ++ le32(2) ++ le32(2) ++ le16(1) ++ le16(24) ++ le32(0) ++
+        le32(16) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0) ++
+        Array[Byte](70, 80, 90, 100, 110, 120, 0, 0) ++ // bottom row + pad
+        Array[Byte](10, 20, 30, 40, 50, 60, 0, 0)       // top row + pad
+    val (w, h, mv, px) = MultimodalOps.decodeBmp(planted)
+    assert(w == 2 && h == 2 && mv == 255 && px.length == 12)
+    assert(px(0) == 10 && px(5) == 60 && px(6) == 70 && px(11) == 120,
+      "bottom-up rows must come back in logical top-down order, pad stripped")
+    // top-down variant (negative height) parses to the SAME logical plane
+    val topDown: Array[Byte] =
+      "BM".getBytes("US-ASCII") ++ le32(54 + 16) ++ le32(0) ++ le32(54) ++
+        le32(40) ++ le32(2) ++ le32(-2) ++ le16(1) ++ le16(24) ++ le32(0) ++
+        le32(16) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0) ++
+        Array[Byte](10, 20, 30, 40, 50, 60, 0, 0) ++
+        Array[Byte](70, 80, 90, 100, 110, 120, 0, 0)
+    assert(MultimodalOps.decodeBmp(topDown)._4.sameElements(px))
+    // encoder emits spec bytes the parser round-trips losslessly
+    val data = "hello bmp decode".getBytes("US-ASCII")
+    val (w2, h2, _, px2) = MultimodalOps.decodeBmp(MultimodalOps.bmpEncode(data))
+    assert(w2 == MultimodalOps.PpmWidth && h2 == 1)
+    assert(px2.take(data.length).sameElements(data) &&
+      px2.drop(data.length).forall(_ == 0))
+    // and decodeImage sniffs the codec: BOTH wrappers of the same bytes
+    // yield the identical logical plane
+    val viaPpm = MultimodalOps.decodeImage(MultimodalOps.ppmEncode(data))
+    val viaBmp = MultimodalOps.decodeImage(MultimodalOps.bmpEncode(data))
+    assert(viaPpm._4.sameElements(viaBmp._4), "codec-blind kernels need equal planes")
+    // rejects: wrong magic, unsupported bpp, truncated pixel array
+    intercept[IllegalArgumentException](
+      MultimodalOps.decodeBmp("GIF89a nope nope nope nope nope nope nope nope nope nope".getBytes("US-ASCII")))
+    val bad8bpp = planted.clone(); bad8bpp(28) = 8
+    intercept[IllegalArgumentException](MultimodalOps.decodeBmp(bad8bpp))
+    intercept[IllegalArgumentException](
+      MultimodalOps.decodeBmp(planted.dropRight(4)))
+  }
+
   test("resize kernel box-averages hand-computed blocks, clips edge blocks, caps at 1x1") {
     // hand-built 4×4 P6: pixel (x, y) has R = 16y + 4x, G = R + 1, B = R + 2
     val plane = (for (y <- 0 until 4; x <- 0 until 4; c <- 0 until 3)
