@@ -218,6 +218,8 @@ object SparkEntry {
     "q_bigram_surprisal"  -> TextOps.bigramSurprisal _,
     // BM25 keyword retrieval — sparse top-k (dense side: q_ann_*)
     "q_bm25"              -> TextOps.bm25TopK _,
+    // Hybrid retrieval: BM25 + dense-cosine legs fused by RRF
+    "q_hybrid_retrieval"  -> ((s: SparkSession, d: String) => TextOps.hybridRetrieval(s, d)),
     // REAL BPE tokenization (ranked-merges vocabulary, GPT-2 file format)
     "q_bpe_real"          -> ((s: SparkSession, d: String) =>
       TextOps.bpeTokenize(s, d)),
@@ -289,6 +291,20 @@ object SparkEntry {
     "q_large_orders"      -> ((s: SparkSession, d: String) => Relational.largeOrders(s, d)),
     "q_disjunctive"       -> Relational.disjunctiveRevenue _,
     "q_excess_suppliers"  -> ((s: SparkSession, d: String) => Relational.excessSuppliers(s, d)),
+    // Q4 shape: priority counts of orders with a late line (EXISTS)
+    "q_order_priority"    -> Relational.orderPriority _,
+    // Q6 shape: scan-only conjunctive-predicate revenue scalar
+    "q_forecast_revenue"  -> Relational.forecastRevenue _,
+    // Q7 shape: bidirectional two-nation shipping volume by year
+    "q_volume_shipping"   -> ((s: SparkSession, d: String) => Relational.volumeShipping(s, d)),
+    // Q10 shape: returned-item revenue loss, top customers
+    "q_returned_items"    -> ((s: SparkSession, d: String) => Relational.returnedItems(s, d)),
+    // Q12 shape: late-line CASE-count pivot by line status
+    "q_ship_priority"     -> Relational.shipPriority _,
+    // Q14 shape: promo share of one month's revenue
+    "q_promo_share"       -> Relational.promoShare _,
+    // Q16 shape: distinct-supplier counts per part bucket, NOT IN excl.
+    "q_part_supp_counts"  -> Relational.partSupplierCounts _,
     // Winsorization: percentile clipping with an audit flag
     "q_winsorize"         -> CatalogOps.winsorizeQuery _,
     // Feature-hashing text embedder (long form; dense feeds the ANN stack)
@@ -302,6 +318,18 @@ object SparkEntry {
     // CUSUM change-point screen over daily per-type counts
     "q_cusum"             -> ((s: SparkSession, d: String) =>
       EventOps.cusum(s, d)),
+    // Finite-window EWMA (alpha=1/2, exact power-of-two weights)
+    "q_ewma"              -> ((s: SparkSession, d: String) =>
+      EventOps.ewma(s, d)),
+    // OLS daily-count trend per event type (exact integer sums)
+    "q_trend_lines"       -> ((s: SparkSession, d: String) =>
+      EventOps.trendLines(s, d)),
+    // Per-doc character-level Shannon entropy (nats)
+    "q_char_entropy"      -> ((s: SparkSession, d: String) =>
+      TextOps.charEntropy(s, d)),
+    // Deterministic hash-sampled revenue estimate (10% Bernoulli)
+    "q_sampled_revenue"   -> ((s: SparkSession, d: String) =>
+      Relational.sampledRevenue(s, d)),
     // ExactSubstr-style duplicated-span coverage per doc
     "q_dup_spans"         -> ((s: SparkSession, d: String) =>
       TextOps.duplicatedSpans(s, d)),
@@ -1204,6 +1232,103 @@ object SparkEntry {
         |  GROUP BY l_partkey, l_suppkey
         |  HAVING sum(l_quantity) > 60)
         |ORDER BY s.s_suppkey""".stripMargin,
+    // Q4 priority check: correlated EXISTS with the 60-day lateness
+    // inequality, quarter-filtered orders, 5-row priority histogram.
+    "q_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o.o_orderdate <  TIMESTAMP '1997-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // Q6 revenue in exact integer 1e-4-dollar space: cents × disc-%.
+    "q_forecast_revenue" ->
+      """SELECT round(CAST(sum(
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |    CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) / 10000.0, 2)
+        |  AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    // Q7 volume shipping: either-direction nation pair, decimal revenue.
+    "q_volume_shipping" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+        |  round(CAST(sum(
+        |    CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2))))
+        |  AS DOUBLE), 2) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+        |  AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+        |    OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // Q10 returned items: quarter orders × 'R' lines, top 20 by revenue.
+    "q_returned_items" ->
+      """SELECT c.c_custkey, c.c_name,
+        |  CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS c_acctbal,
+        |  n.n_name,
+        |  round(CAST(sum(
+        |    CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2))))
+        |  AS DOUBLE), 2) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE o.o_orderdate >= TIMESTAMP '1997-07-01'
+        |  AND o.o_orderdate <  TIMESTAMP '1997-10-01'
+        |  AND l.l_returnflag = 'R'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue DESC, c.c_custkey LIMIT 20""".stripMargin,
+    // Q12 priority pivot: late lines (>30 days) by line status.
+    "q_ship_priority" ->
+      """SELECT l.l_linestatus,
+        |  sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |           THEN 1 ELSE 0 END) AS high_line_count,
+        |  sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |           THEN 0 ELSE 1 END) AS low_line_count
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+        |  AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+        |GROUP BY l.l_linestatus ORDER BY l.l_linestatus""".stripMargin,
+    // Q14 promo share: decimal numerator/denominator, one double divide.
+    "q_promo_share" ->
+      """SELECT round(
+        |  CAST(sum(CASE WHEN p.p_type = 'PROMO'
+        |    THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))
+        |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) * 100.0 /
+        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2))))
+        |  AS DOUBLE), 6) AS promo_revenue
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+        |  AND l.l_shipdate <  TIMESTAMP '1997-10-01'""".stripMargin,
+    // Q16 bucket counts: observed (part,supplier) relationship minus
+    // complained suppliers (negative balance), NOT IN as anti join.
+    "q_part_supp_counts" ->
+      """SELECT p.p_brand, p.p_type, p.p_size,
+        |  count(DISTINCT ps.l_suppkey) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        |JOIN part p ON ps.l_partkey = p.p_partkey
+        |WHERE p.p_brand <> 'Brand#1'
+        |  AND p.p_size IN (1, 14, 23, 45, 19, 3, 36, 9)
+        |  AND ps.l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size""".stripMargin,
     // Incremental screen: brute-force fresh×base Jaccard, best base match
     // per fresh doc by (jaccard DESC, base id ASC), null = kept.
     "q_incremental_neardup" ->
@@ -1307,6 +1432,72 @@ object SparkEntry {
         |SELECT event_type, day, round(z, 4) AS z, round(s, 4) AS cusum,
         |  s >= 4.0 AS alarm
         |FROM c ORDER BY event_type, day""".stripMargin,
+    // EWMA: each source day fans out to its <=14 targets with exact
+    // power-of-two weights; BIGINT num/den, one double division.
+    "q_ewma" ->
+      """WITH daily AS (
+        |  SELECT cast(date_trunc('day', ts) AS timestamp) AS day, event_type,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |con AS (
+        |  SELECT event_type, day + k * INTERVAL 1 DAY AS t,
+        |    n * (1::BIGINT << (13 - k)) AS c, 1::BIGINT << (13 - k) AS wt
+        |  FROM daily CROSS JOIN (SELECT unnest(range(0, 14)) AS k) ks),
+        |sm AS (SELECT event_type, t AS day, sum(c) AS num, sum(wt) AS den
+        |       FROM con GROUP BY 1, 2)
+        |SELECT d.event_type, d.day, d.n,
+        |  round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 4) AS ewma
+        |FROM daily d JOIN sm ON d.event_type = sm.event_type AND d.day = sm.day
+        |ORDER BY d.event_type, d.day""".stripMargin,
+    // OLS trend: five exact BIGINT sums, two closed-form double
+    // divisions; x = days since the fixed epoch.
+    "q_trend_lines" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(date_diff('day', DATE '1995-01-01',
+        |      CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS x,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY event_type, date_trunc('day', ts)),
+        |s AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |    sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx, sum(x * y) AS sxy
+        |  FROM daily GROUP BY 1)
+        |SELECT event_type, n_days,
+        |  round(CAST(n_days * sxy - sx * sy AS DOUBLE) /
+        |        CAST(n_days * sxx - sx * sx AS DOUBLE), 6) AS slope,
+        |  round(CAST(sy * sxx - sx * sxy AS DOUBLE) /
+        |        CAST(n_days * sxx - sx * sx AS DOUBLE), 6) AS intercept
+        |FROM s WHERE n_days > 1 ORDER BY event_type""".stripMargin,
+    // Char entropy: per-class −p·ln p rounded to 6 decimals then
+    // decimal-summed (the surprisal discipline), final 4-decimal round.
+    "q_char_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '')) AS ch
+        |  FROM documents WHERE text IS NOT NULL),
+        |cnt AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS cnt
+        |        FROM ch GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, ch, cnt,
+        |          sum(cnt) OVER (PARTITION BY doc_id) AS total
+        |        FROM cnt)
+        |SELECT doc_id, CAST(max(total) AS BIGINT) AS n_chars,
+        |  CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(sum(CAST(round(
+        |    -(CAST(cnt AS DOUBLE) / total) * ln(CAST(cnt AS DOUBLE) / total),
+        |    6) AS DECIMAL(18,6))) AS DOUBLE) AS entropy
+        |FROM tot GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Sampled revenue: the split-hash double-Lehmer sample, integer
+    // 1e-4-dollar sums scaled by 100/pct before the one division.
+    "q_sampled_revenue" ->
+      """SELECT l_returnflag, count(*) AS n_sampled,
+        |  round(CAST(sum(rev4) * 10 AS DOUBLE) / 10000.0, 2) AS est_revenue
+        |FROM (
+        |  SELECT l_returnflag,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |      (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev4
+        |  FROM lineitem
+        |  WHERE ((l_orderkey * 8 + l_linenumber) * 48271) % 2147483647
+        |        * 48271 % 2147483647 % 100 < 10)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // Duplicated spans: same 60-bit gram hash, same global first-
     // occurrence order (doc_id, pos), same ×n coverage expansion.
     "q_dup_spans" ->
@@ -3029,6 +3220,46 @@ object SparkEntry {
         |  round(cast(sum(s) AS double), 4) AS score
         |FROM sc GROUP BY doc_id
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // Hybrid RRF: the q_bm25 CTEs verbatim as the sparse pool, a dense
+    // cosine pool vs query vector 0, reciprocal-rank terms in pure
+    // double of small-integer ranks.
+    "q_hybrid_retrieval" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+        |             FROM documents WHERE text IS NOT NULL),
+        |dl AS (SELECT doc_id, len(t) AS dl FROM tok),
+        |stats AS (SELECT cast(count(*) AS double) AS n,
+        |                 cast(sum(dl) AS double) / count(*) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, tk AS token, count(*) AS tf
+        |       FROM (SELECT doc_id, unnest(t) AS tk FROM tok)
+        |       WHERE tk IN ('spark', 'hash', 'join') GROUP BY doc_id, tk),
+        |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |sc AS (SELECT doc_id,
+        |         cast(round(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * (tf * 2.2)
+        |           / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6)
+        |           AS decimal(18,6)) AS s
+        |       FROM tf JOIN df USING (token) JOIN dl USING (doc_id)
+        |       CROSS JOIN stats),
+        |bm AS (SELECT doc_id, round(cast(sum(s) AS double), 4) AS score
+        |       FROM sc GROUP BY doc_id
+        |       ORDER BY score DESC, doc_id LIMIT 20),
+        |sp AS (SELECT doc_id,
+        |         row_number() OVER (ORDER BY score DESC, doc_id) AS r_sparse
+        |       FROM bm),
+        |dn0 AS (SELECT c.vec_id AS doc_id,
+        |          list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |                                 CAST(q.embedding AS DOUBLE[])) AS sim
+        |        FROM embeddings c JOIN embeddings q
+        |          ON q.vec_id = 0 AND c.vec_id <> 0
+        |        ORDER BY sim DESC, doc_id LIMIT 20),
+        |dn AS (SELECT doc_id,
+        |         row_number() OVER (ORDER BY sim DESC, doc_id) AS r_dense
+        |       FROM dn0)
+        |SELECT coalesce(sp.doc_id, dn.doc_id) AS doc_id,
+        |  sp.r_sparse, dn.r_dense,
+        |  round(coalesce(1.0 / (60.0 + sp.r_sparse), 0.0) +
+        |        coalesce(1.0 / (60.0 + dn.r_dense), 0.0), 6) AS rrf
+        |FROM sp FULL OUTER JOIN dn ON sp.doc_id = dn.doc_id
+        |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
     "q_quantile_bins" ->
       """SELECT bin, count(*) AS n_rows,
         |  round(min(l_extendedprice), 2) AS lo,

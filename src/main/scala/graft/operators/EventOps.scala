@@ -624,6 +624,76 @@ object EventOps {
   def cusum(spark: SparkSession, dir: String): DataFrame =
     cusum(Lake.events(spark, dir))
 
+  /** Finite-window EWMA (α = ½) smoothing of the per-type daily count
+    * series: `ewma_t = Σ_k n_{t−k}·2^(W−1−k) / Σ_k 2^(W−1−k)` over the
+    * trailing `windowDays` PRESENT days (missing days are skipped by the
+    * normalization, the standard NA-skipping adjusted form).
+    *
+    * α = ½ is chosen deliberately: the weights are exact powers of two,
+    * so numerator and denominator are exact BIGINT sums — no pow()
+    * library variance between engines — and the one double division is
+    * bit-identical anywhere. Distance-dependent weights don't fit a
+    * built-in window frame, so each source day EXPLODES to the ≤W target
+    * days it contributes to (bounded ×W fan-out of the tiny daily
+    * aggregate — never of raw events) and one equi-keyed shuffle
+    * re-aggregates; smoothing always runs aggregate-first at any scale. */
+  def ewma(events: DataFrame, windowDays: Int = 14): DataFrame = {
+    val daily = events
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val w = windowDays - 1
+    val contrib = daily
+      .select(col("event_type"), col("day"), col("n"),
+        explode(sequence(lit(0), lit(w))).as("k"))
+      .select(col("event_type"),
+        expr("day + make_interval(0, 0, 0, k)").as("t"),
+        (col("n") * expr(s"shiftleft(cast(1 AS bigint), $w - k)")).as("c"),
+        expr(s"shiftleft(cast(1 AS bigint), $w - k)").as("wt"))
+    val smoothed = contrib.groupBy(col("event_type"), col("t").as("day"))
+      .agg(sum(col("c")).as("num"), sum(col("wt")).as("den"))
+    daily.join(smoothed, Seq("event_type", "day"))
+      .select(col("event_type"), col("day"), col("n"),
+        round(col("num").cast("double") / col("den").cast("double"), 4)
+          .as("ewma"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  def ewma(spark: SparkSession, dir: String): DataFrame =
+    ewma(Lake.events(spark, dir))
+
+  /** Per-type linear trend of the daily count series: ordinary
+    * least-squares slope/intercept from the five classical sums
+    * (n, Σx, Σy, Σx², Σxy) with x = days since a fixed epoch — ALL exact
+    * BIGINT accumulations (order-free, map-side combinable, one shuffle
+    * keyed by type), then the two closed-form double divisions at the
+    * end. The fixed epoch avoids a second per-group min-day pass; it
+    * shifts the intercept's reference point, not the slope. */
+  def trendLines(events: DataFrame, epoch: String = "1995-01-01"): DataFrame = {
+    val daily = events
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("y"))
+      .select(col("event_type"),
+        datediff(col("day"), lit(epoch).cast("date")).cast("long").as("x"),
+        col("y"))
+    daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      .filter(col("n_days") > 1)
+      .select(col("event_type"), col("n_days"),
+        round((col("n_days") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (col("n_days") * col("sxx") - col("sx") * col("sx")).cast("double"),
+          6).as("slope"),
+        round((col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double") /
+              (col("n_days") * col("sxx") - col("sx") * col("sx")).cast("double"),
+          6).as("intercept"))
+      .orderBy(col("event_type"))
+  }
+
+  def trendLines(spark: SparkSession, dir: String): DataFrame =
+    trendLines(Lake.events(spark, dir))
+
   /** Sessionized Markov transition matrix: P(next event type | current)
     * over consecutive same-session event pairs ([[withSessionIds]]'s gap
     * semantics — a transition never crosses a session boundary, which is

@@ -719,6 +719,190 @@ object Relational {
       .orderBy(col("s_suppkey"))
   }
 
+  /** TPC-H Q4 shape: order-priority checking — count orders per priority
+    * in one quarter having AT LEAST ONE late line (EXISTS with a
+    * correlated inequality). The lake has no commit/receipt dates, so
+    * "late" is shipped >60 days after the order date; the shape — a
+    * correlated EXISTS planned as a left-semi join with an equi key plus
+    * inequality residual, never a per-row re-scan — is Q4's. The date
+    * filter prunes the orders scan; the semi join shuffles both facts
+    * once on orderkey; output is bounded (5 priorities). */
+  def orderPriority(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Lake.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1997-04-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val li = Lake.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+    ord.join(li,
+        col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** TPC-H Q6 shape: forecasting-revenue-change — one scan, a conjunctive
+    * range predicate (date window × discount band × quantity cap) pushed
+    * to the parquet reader, and a single scalar aggregate; no join, no
+    * shuffle beyond the final single-row reduce. Revenue accumulates in
+    * exact integer 10⁻⁴-dollar space (cents × discount-%), so partial
+    * aggregation order cannot perturb the sum. */
+  def forecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    Lake.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1998-01-01").cast("timestamp") &&
+              col("l_discount").between(0.05, 0.07) &&
+              col("l_quantity") < 24)
+      .select((round(col("l_extendedprice") * 100).cast("long") *
+               round(col("l_discount") * 100).cast("long")).as("rev4"))
+      .agg(round(sum(col("rev4")).cast("double") / 10000.0, 2).as("revenue"))
+
+  /** TPC-H Q7 shape: volume shipping between two nations — revenue per
+    * (supplier nation, customer nation, ship year) for the ordered pairs
+    * in EITHER direction. Both nation legs filter to the two nations
+    * BEFORE their joins (the supplier leg broadcasts; the customer leg
+    * semi-prunes the customer fact), so only qualifying rows reach the
+    * lineitem⨝orders shuffle; the disjunctive pair filter is then a
+    * residual on dimension columns. */
+  def volumeShipping(spark: SparkSession, dir: String,
+                     n1: String = "NATION_1", n2: String = "NATION_2"): DataFrame = {
+    val nat = Lake.nation(spark, dir)
+      .filter(col("n_name").isin(n1, n2))
+    val sup = Lake.supplier(spark, dir)
+      .join(broadcast(nat.select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val cust = Lake.customer(spark, dir)
+      .join(broadcast(nat.select(col("n_nationkey").as("cn_key"),
+        col("n_name").as("cust_nation"))), col("c_nationkey") === col("cn_key"))
+      .select(col("c_custkey"), col("cust_nation"))
+    Lake.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1998-01-01").cast("timestamp"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(Lake.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .filter((col("supp_nation") === n1 && col("cust_nation") === n2) ||
+              (col("supp_nation") === n2 && col("cust_nation") === n1))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(round(sum(revenueTerm).cast("double"), 2).as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** TPC-H Q10 shape: returned-item reporting — top customers by revenue
+    * lost to returns (l_returnflag = 'R') for orders placed in one
+    * quarter. The order-date filter prunes orders before the fact⨝fact
+    * shuffle; the return-flag filter prunes lineitem at the scan; nation
+    * broadcasts; top-k via TakeOrderedAndProject, never a global sort. */
+  def returnedItems(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val ord = Lake.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1997-07-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1997-10-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Lake.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(Lake.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Lake.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"),
+        m(col("c_acctbal")).cast("double").as("c_acctbal"), col("n_name"))
+      .agg(round(sum(revenueTerm).cast("double"), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(k)
+  }
+
+  /** TPC-H Q12 shape: shipping-priority classification — per line status
+    * (the lake's stand-in for ship mode), count late-shipped lines on
+    * high- vs low-priority orders in one ship year. The CASE-count pivot
+    * over a joined priority column is Q12's; "late" is shipped >30 days
+    * after the order date. One fact⨝fact shuffle; two-row output. */
+  def shipPriority(spark: SparkSession, dir: String): DataFrame = {
+    val li = Lake.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1998-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_linestatus"), col("l_shipdate"))
+    val ord = Lake.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAY"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+      .orderBy(col("l_linestatus"))
+  }
+
+  /** TPC-H Q14 shape: promotion-effect — promo types' share of one
+    * month's revenue as 100·sum(CASE)/sum, numerator and denominator
+    * exact decimal sums cast to double before the single division (the
+    * marketShare discipline). Part broadcasts; one scalar row out. */
+  def promoShare(spark: SparkSession, dir: String): DataFrame =
+    Lake.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-09-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1997-10-01").cast("timestamp"))
+      .join(broadcast(Lake.part(spark, dir).select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .agg(round(
+        (sum(when(col("p_type") === "PROMO", revenueTerm).otherwise(m(lit(0))))
+          .cast("double") * 100.0) / sum(revenueTerm).cast("double"), 6)
+        .as("promo_revenue"))
+
+  /** TPC-H Q16 shape: parts/supplier relationship counts — distinct
+    * suppliers per (brand, type, size) bucket for a filtered part set,
+    * EXCLUDING complained-about suppliers via NOT IN (planned as a
+    * broadcast anti join, never a per-row subquery). The lake has no
+    * partsupp, so the relationship is the distinct (part, supplier)
+    * pairs observed in lineitem — one distinct shuffle bounded by the
+    * true relationship cardinality; negative account balance stands in
+    * for the complaints predicate. */
+  def partSupplierCounts(spark: SparkSession, dir: String): DataFrame = {
+    val complaints = Lake.supplier(spark, dir)
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    val rel = Lake.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+      .join(broadcast(complaints), col("l_suppkey") === col("s_suppkey"), "left_anti")
+    rel.join(broadcast(Lake.part(spark, dir)
+        .filter(col("p_brand") =!= "Brand#1" &&
+                col("p_size").isin(1, 14, 23, 45, 19, 3, 36, 9))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  /** Deterministic hash-sampled revenue estimate: a `pct`% Bernoulli
+    * sample selected by the portable double-Lehmer integer hash of the
+    * unique line id (the split-hash discipline — no RNG, reproducible in
+    * any engine), aggregated per return flag and scaled by 100/pct.
+    * The scan reads only sampled rows' columns and the aggregate touches
+    * pct% of the data — the cheap-estimate path a 100 TB profiler runs
+    * BEFORE committing to an exact pass; the exact twin is
+    * [[pricingSummary]]. Revenue accumulates in exact integer
+    * 10⁻⁴-dollar space; the scale-up multiply stays integral. */
+  def sampledRevenue(spark: SparkSession, dir: String, pct: Int = 10): DataFrame = {
+    require(pct > 0 && 100 % pct == 0, "pct must divide 100")
+    val lineId = col("l_orderkey") * 8 + col("l_linenumber")
+    val bucket = ((lineId * 48271L) % 2147483647L) * 48271L % 2147483647L % 100
+    Lake.lineitem(spark, dir)
+      .filter(bucket < pct)
+      .select(col("l_returnflag"),
+        (round(col("l_extendedprice") * 100).cast("long") *
+         (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev4"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_sampled"),
+        round((sum(col("rev4")) * lit((100 / pct).toLong)).cast("double")
+          / 10000.0, 2).as("est_revenue"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Market-basket co-occurrence (frequent-pair mining): part pairs that
     * appear together in at least `minOrders` orders. Pairs fan out per
     * order from its SORTED distinct item set, so the quadratic term is

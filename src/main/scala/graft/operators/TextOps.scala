@@ -572,6 +572,94 @@ object TextOps {
     * document frequencies, so idf actually differentiates. */
   val Bm25Query: Seq[String] = Seq("spark", "hash", "join")
 
+  /** Hybrid (sparse + dense) retrieval with reciprocal-rank fusion — the
+    * RAG-pipeline shape that combines [[bm25TopK]]'s keyword leg with a
+    * dense cosine leg over the aligned embedding table (vec_id ≡ doc_id):
+    * `rrf = Σ_legs 1/(rrfK + rank)`, missing-leg contribution 0.
+    *
+    * Scale shape: each leg produces a bounded pool (top `poolK` via
+    * TakeOrderedAndProject — per-partition heaps, never a global sort);
+    * the fusion itself (full-outer join + rank windows) runs on ≤2·poolK
+    * rows, driver-safe at any corpus size. The dense leg broadcasts the
+    * one query vector against the corpus scan — one pass, no shuffle
+    * before the top-k heap.
+    *
+    * Determinism: both legs' ranks are row_numbers with doc-id
+    * tie-breaks; RRF terms are pure doubles of small-integer ranks —
+    * bit-identical in any engine. */
+  def hybridRetrieval(docs: DataFrame, emb: DataFrame,
+                      queryTerms: Seq[String], queryVecId: Long = 0L,
+                      k: Int = 10, poolK: Int = 20, rrfK: Int = 60): DataFrame = {
+    import graft.functions.VectorFunctions.cosineSimilarity
+    // bounded pools: windows below run on <= poolK rows (post-limit)
+    val sparse = bm25TopK(docs, queryTerms, poolK)
+      .select(col("doc_id"), col("score"))
+      .withColumn("r_sparse",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id")))
+          .cast("long"))
+      .select(col("doc_id"), col("r_sparse"))
+    val q = emb.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("q_emb"))
+    val dense = emb.filter(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id").as("doc_id"),
+        cosineSimilarity(col("embedding"), col("q_emb")).as("sim"))
+      .orderBy(col("sim").desc, col("doc_id")).limit(poolK)
+      .withColumn("r_dense",
+        row_number().over(Window.orderBy(col("sim").desc, col("doc_id")))
+          .cast("long"))
+      .select(col("doc_id"), col("r_dense"))
+    sparse.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("r_sparse"), col("r_dense"),
+        round(
+          coalesce(lit(1.0) / (lit(rrfK.toDouble) + col("r_sparse")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK.toDouble) + col("r_dense")), lit(0.0)),
+          6).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  def hybridRetrieval(spark: SparkSession, dir: String): DataFrame =
+    hybridRetrieval(Lake.documents(spark, dir), Lake.embeddings(spark, dir),
+      Bm25Query)
+
+  /** Per-doc character-level Shannon entropy (nats) — the
+    * distribution-shape quality signal beside the Deflate
+    * compression-ratio screen: machine-generated / repetitive text sits
+    * low, natural prose high, base64/hex blobs near the uniform ceiling.
+    *
+    * One explode of text into characters, one (doc, char) count shuffle
+    * (partial-aggregated map-side), then per-class terms
+    * `−p·ln p` rounded to 6 decimals and DECIMAL-summed (the surprisal
+    * discipline: per-term rounding absorbs libm ulp variance, decimal
+    * addition is order-free) with one final 4-decimal round. */
+  def charEntropy(docs: DataFrame): DataFrame = {
+    val counts = nonNull(docs)
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      // Java-regex split keeps a trailing "" the oracle's splitter never
+      // emits; drop zero-width classes so both engines count len(text)
+      .filter(col("ch") =!= "")
+      .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("cnt"))
+    counts
+      .withColumn("total", sum(col("cnt")).over(
+        Window.partitionBy(col("doc_id"))))
+      .select(col("doc_id"), col("total"),
+        round(-(col("cnt").cast("double") / col("total")) *
+          log(col("cnt").cast("double") / col("total")), 6)
+          .cast(DecimalType(18, 6)).as("term"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("total")).as("n_chars"),
+        count(lit(1)).as("n_classes"),
+        // the decimal sum is exact — emit it as-is; a final lossy round
+        // would reintroduce engine-specific double-rounding at exact .5
+        // boundaries (observed: 2.706450 → 2.7064 vs 2.7065)
+        sum(col("term")).cast("double").as("entropy"))
+      .orderBy(col("doc_id"))
+  }
+
+  def charEntropy(spark: SparkSession, dir: String): DataFrame =
+    charEntropy(Lake.documents(spark, dir))
+
   /** Rule-based quality filter (C4/Gopher-style): per doc, the repetition
     * and length metrics those pipelines gate on, plus the combined `keep`
     * verdict. Emitted metrics are the ones that vary on real text —
