@@ -413,6 +413,33 @@ object SparkEntry {
       DedupOps.containmentJoin(s, d)),
     "q_containment_pressure" -> ((s: SparkSession, d: String) =>
       DedupOps.containmentPressure(s, d)),
+    // Rolling 7-day distinct actives (WAU) per observed day
+    "q_rolling_actives"   -> ((s: SparkSession, d: String) =>
+      EventOps.rollingActives(s, d)),
+    // Deterministic hash-arm A/B experiment readout with z statistic
+    "q_ab_readout"        -> ((s: SparkSession, d: String) =>
+      EventOps.abReadout(s, d)),
+    // 2-D skyline (Pareto frontier) of parts: size max, price min
+    "q_skyline"           -> Relational.skylineParts _,
+    // ABC (80/95) cumulative revenue classification of parts
+    "q_abc_parts"         -> Relational.abcParts _,
+    // Per-market-segment Gini coefficient of customer revenue
+    "q_gini"              -> Relational.giniSegments _,
+    // Item–item cosine similarity from basket co-occurrence
+    "q_item_cosine"       -> ((s: SparkSession, d: String) =>
+      Relational.itemCosine(s, d)),
+    // Benford first-digit screen over order values
+    "q_benford"           -> ((s: SparkSession, d: String) =>
+      CatalogOps.benford(s, d, "orders", "o_totalprice")),
+    // MAD robust outlier screen per order status
+    "q_mad_outliers"      -> ((s: SparkSession, d: String) =>
+      CatalogOps.madOutliers(s, d, "orders", "o_totalprice", "o_orderstatus")),
+    // 2-hop reach over the shared 5-NN embedding graph
+    "q_two_hop"           -> GraphOps.twoHopQuery _,
+    // kNN hubness: top in-degree vectors of the 5-NN graph
+    "q_hubness"           -> GraphOps.hubnessQuery _,
+    // Neyman optimal-allocation sampling plan per source
+    "q_neyman"            -> CorpusOps.neymanQuery _,
   )
 
   /** [[TextOps.patternScan]] dictionary for the driver query: token
@@ -3771,6 +3798,224 @@ object SparkEntry {
         |    AS ltv_per_user
         |FROM cu JOIN sz USING (cohort_week)
         |ORDER BY cohort_week, week_offset""".stripMargin,
+    // Rolling 7-day actives: the bounded distinct (user, day) frame
+    // joined to the observed-day grid — count distinct per day.
+    "q_rolling_actives" ->
+      """WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+        |            FROM events),
+        |days AS (SELECT DISTINCT day FROM ud)
+        |SELECT days.day AS day, count(DISTINCT ud.user_id) AS wau
+        |FROM days JOIN ud ON ud.day BETWEEN days.day - 6 AND days.day
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // A/B readout: the third-Lehmer arm hash (16807 multiplier), exact
+    // integer counts, pooled two-proportion z over identical scalar trees.
+    "q_ab_readout" ->
+      """WITH pu AS (SELECT user_id,
+        |  CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |       >= 15 THEN 1 ELSE 0 END AS conv
+        |  FROM events GROUP BY user_id),
+        |arms AS (SELECT CASE WHEN ((user_id * 16807) % 2147483647) % 2 = 0
+        |                THEN 'A' ELSE 'B' END AS arm, conv FROM pu),
+        |agg AS (SELECT
+        |  CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |  CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |  CAST(sum(CASE WHEN arm = 'A' THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+        |  CAST(sum(CASE WHEN arm = 'B' THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+        |  FROM arms),
+        |r AS (SELECT n_a, n_b, conv_a, conv_b,
+        |  CAST(conv_a AS DOUBLE) / n_a AS rate_a,
+        |  CAST(conv_b AS DOUBLE) / n_b AS rate_b,
+        |  CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) AS pooled
+        |  FROM agg)
+        |SELECT n_a, n_b, conv_a, conv_b,
+        |  round(rate_a, 6) AS rate_a, round(rate_b, 6) AS rate_b,
+        |  round(rate_b - rate_a, 6) AS lift,
+        |  CASE WHEN pooled > 0 AND pooled < 1 THEN
+        |    round((rate_b - rate_a) / sqrt(pooled * (1.0 - pooled) *
+        |      (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 4)
+        |  END AS z_stat
+        |FROM r""".stripMargin,
+    // Skyline: per-size minimum price (bounded frame), strict running min
+    // over larger sizes, equality join labels the surviving parts.
+    "q_skyline" ->
+      """WITH ps AS (SELECT p_size,
+        |    min(CAST(p_retailprice AS DECIMAL(18,2))) AS min_price
+        |  FROM part GROUP BY p_size),
+        |fr AS (SELECT p_size, min_price,
+        |    min(min_price) OVER (ORDER BY p_size DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_larger
+        |  FROM ps)
+        |SELECT p.p_partkey, p.p_name, p.p_size,
+        |  round(CAST(CAST(p.p_retailprice AS DECIMAL(18,2)) AS DOUBLE), 2)
+        |    AS price
+        |FROM part p JOIN fr ON p.p_size = fr.p_size
+        |  AND CAST(p.p_retailprice AS DECIMAL(18,2)) = fr.min_price
+        |WHERE fr.best_larger IS NULL OR fr.min_price < fr.best_larger
+        |ORDER BY p.p_size DESC, p.p_partkey""".stripMargin,
+    // ABC classes: exact decimal revenue, cumulative share over the
+    // part-aggregated frame, 80/95 cut points.
+    "q_abc_parts" ->
+      """WITH pp AS (SELECT l_partkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |      AS rev
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT sum(rev) AS total_rev FROM pp),
+        |c AS (SELECT rev,
+        |    CAST(sum(rev) OVER (ORDER BY rev DESC, l_partkey) AS DOUBLE) /
+        |      CAST(total_rev AS DOUBLE) AS cum_share
+        |  FROM pp, t)
+        |SELECT CASE WHEN cum_share <= 0.80 THEN 'A'
+        |            WHEN cum_share <= 0.95 THEN 'B' ELSE 'C' END AS abc_class,
+        |  count(*) AS n_parts, round(CAST(sum(rev) AS DOUBLE), 2) AS class_revenue
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Gini: exact decimal customer revenue and rank products; the closed
+    // form's one division runs on identical exact inputs.
+    "q_gini" ->
+      """WITH pc AS (SELECT c_mktsegment, c_custkey,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+        |r AS (SELECT c_mktsegment, rev,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY rev, c_custkey) AS i
+        |  FROM pc)
+        |SELECT c_mktsegment, count(*) AS n_customers,
+        |  round(CAST(sum(rev) AS DOUBLE), 2) AS total_revenue,
+        |  round((2 * CAST(sum(rev * i) AS DOUBLE) -
+        |      (count(*) + 1) * CAST(sum(rev) AS DOUBLE)) /
+        |    (count(*) * CAST(sum(rev) AS DOUBLE)), 6) AS gini
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Item–item cosine: q_copurchase's pair counts normalized by
+    // per-item order counts — sqrt/division on exact integers.
+    "q_item_cosine" ->
+      """WITH itemn AS (SELECT l_partkey, count(DISTINCT l_orderkey) AS n_item
+        |  FROM lineitem GROUP BY 1),
+        |pairs AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |    count(DISTINCT a.l_orderkey) AS n_ab
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= 2)
+        |SELECT part_a, part_b, CAST(n_ab AS BIGINT) AS n_ab,
+        |  round(CAST(n_ab AS DOUBLE) /
+        |    sqrt(CAST(na.n_item * nb.n_item AS DOUBLE)), 6) AS cosine
+        |FROM pairs JOIN itemn na ON na.l_partkey = part_a
+        |           JOIN itemn nb ON nb.l_partkey = part_b
+        |ORDER BY cosine DESC, part_a, part_b LIMIT 20""".stripMargin,
+    // Benford: leading digit from the exact integer-cent string; expected
+    // shares as the same ln-expression; chi-square terms from unrounded
+    // shares.
+    "q_benford" ->
+      """WITH d AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100)
+        |      AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM orders WHERE o_totalprice > 0),
+        |g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM g),
+        |c AS (SELECT digit, n, n_total,
+        |    CAST(n AS DOUBLE) / n_total AS share,
+        |    ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0) AS expected
+        |  FROM g, t)
+        |SELECT digit, n, round(share, 6) AS share,
+        |  round(expected, 6) AS expected,
+        |  round(n_total * (share - expected) * (share - expected) / expected,
+        |    4) AS chi2_term
+        |FROM c ORDER BY digit""".stripMargin,
+    // MAD screen: two grouped exact medians, the robust fence constant
+    // rendered from the engine's own double arithmetic.
+    "q_mad_outliers" ->
+      s"""WITH med AS (SELECT o_orderstatus,
+         |    quantile_cont(o_totalprice, 0.5) AS med
+         |  FROM orders GROUP BY 1),
+         |md AS (SELECT o.o_orderstatus,
+         |    quantile_cont(abs(o.o_totalprice - m.med), 0.5) AS mad,
+         |    min(m.med) AS med
+         |  FROM orders o JOIN med m ON o.o_orderstatus = m.o_orderstatus
+         |  GROUP BY 1)
+         |SELECT o.o_orderstatus, count(*) AS n_rows,
+         |  CAST(sum(CASE WHEN abs(o.o_totalprice - d.med) >
+         |    ${3.0 * 1.4826} * d.mad THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_outliers,
+         |  round(min(d.med), 4) AS median, round(min(d.mad), 4) AS mad
+         |FROM orders o JOIN md d ON o.o_orderstatus = d.o_orderstatus
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // 2-hop reach: the kNN CTEs, one wedge expansion, direct edges
+    // stripped by NOT EXISTS, per-source distinct counts.
+    "q_two_hop" ->
+      s"""WITH $lshOracleCtes,
+         |bkc AS (SELECT vec_id, bucket FROM (
+         |          SELECT vec_id, bucket,
+         |            count(*) OVER (PARTITION BY bucket) AS bn
+         |          FROM bk) WHERE bn <= 4096),
+         |pairs AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |          FROM bkc a JOIN bkc b
+         |            ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |sc AS (SELECT vec_a, vec_b,
+         |         list_cosine_similarity(ea.e, eb.e) AS s
+         |       FROM pairs JOIN emb ea ON ea.vec_id = pairs.vec_a
+         |                  JOIN emb eb ON eb.vec_id = pairs.vec_b),
+         |sym AS (SELECT vec_a AS src, vec_b AS dst, s FROM sc
+         |        UNION ALL SELECT vec_b, vec_a, s FROM sc),
+         |knn AS (SELECT src, dst FROM (SELECT src, dst,
+         |          row_number() OVER (PARTITION BY src ORDER BY s DESC, dst) AS rnk
+         |        FROM sym) t WHERE rnk <= 5),
+         |two AS (SELECT DISTINCT e1.src AS src, e2.dst AS two
+         |        FROM knn e1 JOIN knn e2 ON e1.dst = e2.src
+         |        WHERE e2.dst <> e1.src),
+         |twox AS (SELECT src, two FROM two
+         |         WHERE NOT EXISTS (SELECT 1 FROM knn k
+         |           WHERE k.src = two.src AND k.dst = two.two)),
+         |dr AS (SELECT src, CAST(count(DISTINCT dst) AS BIGINT) AS n_direct
+         |       FROM knn GROUP BY 1),
+         |th AS (SELECT src, CAST(count(*) AS BIGINT) AS n_two_hop
+         |       FROM twox GROUP BY 1)
+         |SELECT dr.src, dr.n_direct,
+         |  CAST(coalesce(th.n_two_hop, 0) AS BIGINT) AS n_two_hop
+         |FROM dr LEFT JOIN th ON dr.src = th.src
+         |ORDER BY dr.src""".stripMargin,
+    // Hubness: kNN in-degree, top hubs.
+    "q_hubness" ->
+      s"""WITH $lshOracleCtes,
+         |bkc AS (SELECT vec_id, bucket FROM (
+         |          SELECT vec_id, bucket,
+         |            count(*) OVER (PARTITION BY bucket) AS bn
+         |          FROM bk) WHERE bn <= 4096),
+         |pairs AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |          FROM bkc a JOIN bkc b
+         |            ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |sc AS (SELECT vec_a, vec_b,
+         |         list_cosine_similarity(ea.e, eb.e) AS s
+         |       FROM pairs JOIN emb ea ON ea.vec_id = pairs.vec_a
+         |                  JOIN emb eb ON eb.vec_id = pairs.vec_b),
+         |sym AS (SELECT vec_a AS src, vec_b AS dst, s FROM sc
+         |        UNION ALL SELECT vec_b, vec_a, s FROM sc),
+         |knn AS (SELECT src, dst FROM (SELECT src, dst,
+         |          row_number() OVER (PARTITION BY src ORDER BY s DESC, dst) AS rnk
+         |        FROM sym) t WHERE rnk <= 5)
+         |SELECT dst AS vec_id, count(*) AS in_degree
+         |FROM knn GROUP BY 1
+         |ORDER BY in_degree DESC, vec_id LIMIT 20""".stripMargin,
+    // Neyman: exact integer moments, decimal(38,0) variance numerator,
+    // per-stratum terms rounded once and decimal-summed.
+    "q_neyman" ->
+      """WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS sx,
+        |    CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx
+        |  FROM documents GROUP BY 1),
+        |v AS (SELECT source, n_docs,
+        |    CAST(CAST(n_docs AS DECIMAL(38,0)) * CAST(sxx AS DECIMAL(38,0)) -
+        |      CAST(sx AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0)) AS DOUBLE)
+        |      AS var_num
+        |  FROM s),
+        |w AS (SELECT source, n_docs,
+        |    sqrt(var_num) / CAST(n_docs AS DOUBLE) AS sd FROM v),
+        |x AS (SELECT source, n_docs, sd,
+        |    CAST(round(n_docs * sd, 6) AS DECIMAL(28,6)) AS nh FROM w),
+        |t AS (SELECT sum(nh) AS total_ns FROM x)
+        |SELECT source, n_docs, round(sd, 4) AS sd,
+        |  round(CAST(nh AS DOUBLE) / CAST(total_ns AS DOUBLE), 6)
+        |    AS alloc_share,
+        |  CAST(round(CAST(nh AS DOUBLE) / CAST(total_ns AS DOUBLE) * 1000)
+        |    AS BIGINT) AS n_alloc
+        |FROM x, t ORDER BY source""".stripMargin,
   )
 
   /** Oracle twin of CatalogOps.profile: one UNION ALL branch per column. */

@@ -939,4 +939,65 @@ object CatalogOps {
       col("o_orderdate") < lit("1997-01-01").cast("timestamp"),
       col("o_orderdate") >= lit("1997-01-01").cast("timestamp"),
       binWidth = 50000.0)
+
+  /** Benford first-digit screen — the classic fabricated-/degenerate-data
+    * detector for positive amount columns: the observed leading-digit
+    * distribution vs Benford's law p(d) = ln(1+1/d)/ln(10), with each
+    * digit's chi-square contribution. The leading digit is taken from the
+    * INTEGER cent value's decimal string (exact; never floor(log10(x)) on
+    * a double, whose correctly-rounded-ness neither engine guarantees at
+    * boundaries like 999.9999…). One map + 9-row aggregate — map-side
+    * combinable at any scale. The expected shares are evaluated as the
+    * same ln-expression in both engines over exact integer counts. */
+  def benford(spark: SparkSession, dir: String, table: String,
+              valueCol: String): DataFrame = {
+    val cents = round(col(valueCol) * 100).cast("long")
+    val digits = Lake.table(spark, dir, table)
+      .filter(col(valueCol) > 0)
+      .select(substring(cents.cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val total = digits.agg(sum(col("n")).as("n_total"))
+    digits.crossJoin(broadcast(total))
+      .withColumn("share", col("n").cast("double") / col("n_total"))
+      .withColumn("expected",
+        log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0)))
+      .select(col("digit"), col("n"),
+        round(col("share"), 6).as("share"),
+        round(col("expected"), 6).as("expected"),
+        round(col("n_total") * (col("share") - col("expected")) *
+          (col("share") - col("expected")) / col("expected"), 4).as("chi2_term"))
+      .orderBy(col("digit"))
+  }
+
+  /** MAD (median-absolute-deviation) robust outlier screen per group —
+    * the heavy-tail-safe complement to the Tukey IQR fence: flag rows
+    * with |x − median| > k · 1.4826 · MAD (1.4826 scales MAD to σ under
+    * normality; k=3 ≈ a robust 3-sigma rule). Two grouped exact-percentile
+    * passes (median, then median of absolute deviations) with the
+    * bounded per-group constants broadcast back — the same two-pass
+    * shape as the Tukey screen; at 100 TB swap `percentile` for
+    * `approx_percentile` (same plan, t-digest). */
+  def madOutliers(spark: SparkSession, dir: String, table: String,
+                  valueCol: String, groupCol: String,
+                  k: Double = 3.0): DataFrame = {
+    val rows = Lake.table(spark, dir, table)
+      .select(col(groupCol), col(valueCol).as("v"))
+    val med = rows.groupBy(col(groupCol))
+      .agg(expr("percentile(v, 0.5D)").as("med"))
+    val mad = rows.join(broadcast(med), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(expr("percentile(abs(v - med), 0.5D)").as("mad"),
+        first(col("med")).as("med"))
+    rows.join(broadcast(mad), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"),
+        // one pre-computed double literal so the oracle can render the
+        // identical constant (k*1.4826 folded differently would move
+        // borderline rows)
+        sum(when(abs(col("v") - col("med")) > lit(k * 1.4826) * col("mad"),
+          1L).otherwise(0L)).as("n_outliers"),
+        round(first(col("med")), 4).as("median"),
+        round(first(col("mad")), 4).as("mad"))
+      .orderBy(col(groupCol))
+  }
 }

@@ -525,4 +525,46 @@ object CorpusOps {
 
   def trainOrderQuery(spark: SparkSession, dir: String): DataFrame =
     trainOrder(Lake.documents(spark, dir))
+
+  /** Neyman (optimal-allocation) sampling plan: for a total budget of `n`
+    * sampled docs, each stratum's share is proportional to N_h·σ_h — big
+    * AND internally-varied strata get more of the budget than
+    * proportional allocation would give, which minimizes the variance of
+    * the estimated corpus mean (the classical survey-sampling result).
+    * Complements [[mixPlan]] (budget split by POLICY weights) with a
+    * budget split by measured VARIANCE.
+    *
+    * Exactness: per-stratum Σx and Σx² accumulate as exact integers, the
+    * population variance numerator N·Σx² − (Σx)² is formed in
+    * decimal(38,0) (the square would overflow bigint), and each
+    * N_h·σ_h term is rounded once and re-summed in decimal — so the
+    * total is aggregation-order-free and the final share division is the
+    * only unordered double op, fed identical inputs in any engine. */
+  def neymanPlan(docs: DataFrame, budget: Long = 1000,
+                 valueCol: String = "n_chars",
+                 strataCol: String = "source"): DataFrame = {
+    val perSrc = docs.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(valueCol)).as("sx"),
+        sum(col(valueCol) * col(valueCol)).as("sxx"))
+      .withColumn("var_num",
+        col("n_docs").cast("decimal(38,0)") * col("sxx").cast("decimal(38,0)") -
+          col("sx").cast("decimal(38,0)") * col("sx").cast("decimal(38,0)"))
+      .withColumn("sd",
+        sqrt(col("var_num").cast("double")) / col("n_docs").cast("double"))
+      .withColumn("nh_sigma",
+        round(col("n_docs") * col("sd"), 6).cast("decimal(28,6)"))
+    val total = perSrc.agg(sum(col("nh_sigma")).as("total_ns"))
+    perSrc.crossJoin(broadcast(total))
+      .withColumn("alloc_share",
+        col("nh_sigma").cast("double") / col("total_ns").cast("double"))
+      .select(col(strataCol), col("n_docs"),
+        round(col("sd"), 4).as("sd"),
+        round(col("alloc_share"), 6).as("alloc_share"),
+        round(col("alloc_share") * budget).cast("long").as("n_alloc"))
+      .orderBy(col(strataCol))
+  }
+
+  def neymanQuery(spark: SparkSession, dir: String): DataFrame =
+    neymanPlan(Lake.documents(spark, dir))
 }

@@ -748,4 +748,81 @@ object EventOps {
     ev.unpersist(false)
     out
   }
+
+  /** Rolling 7-day active users (WAU) per day: for each observed day, the
+    * distinct users active in [day−6, day]. The scale shape is the
+    * equi-join form, NOT a range join: the distinct (user, day) frame —
+    * orders of magnitude below the event table — fans out exactly 7× via
+    * `explode(sequence(0,6))` onto the days it contributes to, then one
+    * day-keyed distinct count. No nested-loop join, no per-day rescans;
+    * a day with no events of its own reports no row (semi-join to the
+    * observed-day grid), matching the "per observed day" contract. */
+  def rollingActives(spark: SparkSession, dir: String,
+                     windowDays: Int = 7): DataFrame = {
+    val ud = Lake.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val days = ud.select(col("day")).distinct()
+    val out = ud
+      .select(col("user_id"),
+        explode(sequence(lit(0), lit(windowDays - 1))).as("off"),
+        col("day"))
+      .select(col("user_id"), date_add(col("day"), col("off")).as("day"))
+      .join(days, Seq("day"), "left_semi")
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+      .orderBy(col("day"))
+      .localCheckpoint(true)
+    ud.unpersist(false)
+    out
+  }
+
+  /** Deterministic A/B experiment readout: users are assigned to arms by
+    * a THIRD Lehmer/MINSTD step of the stable user id (16807 multiplier —
+    * decorrelated from the 48271-based split and sampling hashes, same
+    * portability argument: plain 63-bit-safe integer arithmetic any
+    * engine reproduces, so assignment is retry-stable and
+    * oracle-verifiable, never rand()). Conversion = heavy purchaser
+    * (≥ `convertAt` purchase events — on this always-on synthetic corpus
+    * EVERY user has a purchase, so presence-of-purchase is saturated and
+    * a z test would be 0/0; a count threshold is the metric with real
+    * between-user variance). One user-keyed aggregate → one 2-row arm
+    * aggregate → a single readout row with the two-proportion z statistic
+    * computed from exact integer counts (the pooled-variance form), so
+    * the handful of double ops evaluate the identical scalar tree in
+    * both engines. Degenerate pooled rates (0 or 1 — zero variance)
+    * yield a NULL z, not a division error. */
+  def abReadout(spark: SparkSession, dir: String,
+                convertAt: Long = 15): DataFrame = {
+    val perUser = Lake.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(when(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          >= convertAt, 1L).otherwise(0L)
+        .as("converted"))
+      .withColumn("arm",
+        when(pmod(col("user_id") * lit(16807L), lit(2147483647L)) % 2 === 0,
+          "A").otherwise("B"))
+    val arms = perUser.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_users"), sum(col("converted")).as("n_conv"))
+    val a = arms.filter(col("arm") === "A")
+      .select(col("n_users").as("n_a"), col("n_conv").as("conv_a"))
+    val b = arms.filter(col("arm") === "B")
+      .select(col("n_users").as("n_b"), col("n_conv").as("conv_b"))
+    a.crossJoin(b) // two one-row frames
+      .withColumn("rate_a", col("conv_a").cast("double") / col("n_a"))
+      .withColumn("rate_b", col("conv_b").cast("double") / col("n_b"))
+      .withColumn("pooled",
+        (col("conv_a") + col("conv_b")).cast("double") /
+          (col("n_a") + col("n_b")))
+      .select(col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+        round(col("rate_a"), 6).as("rate_a"),
+        round(col("rate_b"), 6).as("rate_b"),
+        round(col("rate_b") - col("rate_a"), 6).as("lift"),
+        when(col("pooled") > 0 && col("pooled") < 1,
+          round((col("rate_b") - col("rate_a")) /
+            sqrt(col("pooled") * (lit(1.0) - col("pooled")) *
+              (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 4))
+          .as("z_stat"))
+  }
 }

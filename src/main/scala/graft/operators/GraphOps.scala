@@ -260,4 +260,58 @@ object GraphOps {
   /** Registered query: link prediction over the 5-NN embedding graph. */
   def linkPredictQuery(spark: SparkSession, dir: String): DataFrame =
     linkPredict(AnnOps.knnGraph(spark, dir).select(col("src"), col("dst")))
+
+  /** 2-hop reach per node over a directed edge frame: how many DISTINCT
+    * nodes are exactly two hops away (reachable via a neighbor, not a
+    * direct neighbor, not the node itself) — the local-expansion
+    * diagnostic that separates tight clusters (2-hop ≈ 1-hop, neighbors
+    * share neighbors) from tree-like sprawl. One wedge self-join bounded
+    * by the graph's out-degree (≤ k² candidates per node on a k-NN
+    * graph), a distinct, and one anti-join to strip direct edges — no
+    * all-pairs anywhere. */
+  def twoHopReach(edges0: DataFrame): DataFrame = {
+    // wedge join consumes edges three times (two legs + the anti side) —
+    // persist the bounded edge list once, release after materializing
+    val edges = edges0.select(col("src"), col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val direct = edges.groupBy(col("src"))
+      .agg(countDistinct(col("dst")).as("n_direct"))
+    val hop2 = edges.as("e1")
+      .join(edges.as("e2"), col("e1.dst") === col("e2.src"))
+      .select(col("e1.src").as("src"), col("e2.dst").as("two"))
+      .filter(col("src") =!= col("two"))
+      .distinct()
+      .join(edges.select(col("src"), col("dst").as("two")),
+        Seq("src", "two"), "left_anti")
+      .groupBy(col("src")).agg(count(lit(1)).as("n_two_hop"))
+    val out = direct.join(hop2, Seq("src"), "left")
+      .na.fill(0L, Seq("n_two_hop"))
+      .orderBy(col("src"))
+      .localCheckpoint(true)
+    edges.unpersist(false)
+    out
+  }
+
+  /** Registered query: 2-hop reach over the 5-NN embedding graph (the
+    * shared [[KnnGraphArtifact]] pairs, so the sweep builds candidates
+    * once across the whole graph family). */
+  def twoHopQuery(spark: SparkSession, dir: String): DataFrame =
+    twoHopReach(AnnOps.knnGraph(spark, dir).select(col("src"), col("dst")))
+
+  /** Hubness diagnostic of a k-NN graph: IN-degree per node — how many
+    * other vectors list this one among their k nearest. High-hubness
+    * points are the curse-of-dimensionality symptom that silently skews
+    * ANN recall and kNN-classifier votes (they show up in "everyone's"
+    * neighbor list); the top-hub report is the thing to eyeball before
+    * trusting any kNN-derived artifact. One group-by over the bounded
+    * k·N-edge graph. */
+  def hubness(edges: DataFrame, topK: Int = 20): DataFrame =
+    edges.groupBy(col("dst").as("vec_id"))
+      .agg(count(lit(1)).as("in_degree"))
+      .orderBy(col("in_degree").desc, col("vec_id"))
+      .limit(topK)
+
+  /** Registered query: top in-degree hubs of the 5-NN embedding graph. */
+  def hubnessQuery(spark: SparkSession, dir: String): DataFrame =
+    hubness(AnnOps.knnGraph(spark, dir).select(col("src"), col("dst")))
 }

@@ -926,4 +926,138 @@ object Relational {
       .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
       .limit(topK)
   }
+
+  /** Item–item cosine similarity from market-basket co-occurrence:
+    * cos(a,b) = n_ab / sqrt(n_a · n_b), where n_x counts the orders
+    * containing part x and n_ab their co-occurrences. The normalized
+    * complement of [[copurchase]]'s raw counts — popular parts no longer
+    * dominate the ranking, which is what an item-to-item recommender
+    * actually consumes (Amazon's classic formulation).
+    *
+    * Scale shape: pair counts come from the same bounded per-basket
+    * fan-out as [[copurchase]] (k·(k−1)/2 per order, k = basket size);
+    * per-item counts are one group-by, joined twice — at dimension size,
+    * broadcastable. All counts are exact integers; the one sqrt+division
+    * runs on exact inputs, so both engines evaluate the identical scalar
+    * tree. */
+  def itemCosine(spark: SparkSession, dir: String,
+                 minOrders: Long = 2, topK: Int = 20): DataFrame = {
+    val li = Lake.lineitem(spark, dir)
+    val itemN = li.groupBy(col("l_partkey"))
+      .agg(countDistinct(col("l_orderkey")).as("n_item"))
+    val baskets = li
+      .groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_set(col("l_partkey"))).as("items"))
+    val pairN = baskets.select(explode(expr(
+        """flatten(transform(items, (x, i) ->
+          |  transform(slice(items, i + 2, size(items)),
+          |            y -> struct(x AS pa, y AS pb))))""".stripMargin)).as("p"))
+      .groupBy(col("p.pa").as("part_a"), col("p.pb").as("part_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minOrders)
+    pairN
+      .join(broadcast(itemN.withColumnRenamed("l_partkey", "part_a")
+        .withColumnRenamed("n_item", "n_a")), "part_a")
+      .join(broadcast(itemN.withColumnRenamed("l_partkey", "part_b")
+        .withColumnRenamed("n_item", "n_b")), "part_b")
+      .select(col("part_a"), col("part_b"), col("n_ab"),
+        round(col("n_ab") / sqrt(col("n_a") * col("n_b")), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("part_a"), col("part_b"))
+      .limit(topK)
+  }
+
+  /** 2-D skyline (Pareto frontier) of parts: maximize `p_size`, minimize
+    * `p_retailprice` — no other part is at least as large AND at least as
+    * cheap with one strict. The naive formulation is a non-equi self-join
+    * (quadratic); the scale shape reduces first: per-size minimum price
+    * (bounded by the size NDV — ~50 values), frontier membership via a
+    * running strict minimum over the DESC-size-ordered BOUNDED frame
+    * (window over ≤NDV rows, not over parts), then one broadcast
+    * semi-join labels the surviving parts. A part is on the skyline iff
+    * its price equals its size's minimum AND no larger size reaches that
+    * price — equal-(size, price) twins both survive (neither strictly
+    * dominates). */
+  def skylineParts(spark: SparkSession, dir: String): DataFrame = {
+    val parts = Lake.part(spark, dir)
+    val perSize = parts.groupBy(col("p_size"))
+      .agg(min(m(col("p_retailprice"))).as("min_price"))
+    // strict running min over larger sizes; NULL for the largest size
+    val wLarger = Window.orderBy(col("p_size").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = perSize
+      .withColumn("best_larger", min(col("min_price")).over(wLarger))
+      .filter(col("best_larger").isNull ||
+        col("min_price") < col("best_larger"))
+      .select(col("p_size"), col("min_price"))
+    parts.join(broadcast(frontier),
+        parts("p_size") === frontier("p_size") &&
+          m(parts("p_retailprice")) === frontier("min_price"),
+        "left_semi")
+      .select(col("p_partkey"), col("p_name"), col("p_size"),
+        round(m(col("p_retailprice")).cast("double"), 2).as("price"))
+      .orderBy(col("p_size").desc, col("p_partkey"))
+  }
+
+  /** ABC (Pareto 80/95) classification of parts by revenue: parts sorted
+    * by revenue DESC, class A while the cumulative revenue share is
+    * ≤ 80%, B to 95%, C for the tail; output is the 3-row class summary.
+    * Revenue sums run in exact decimal, so the cumulative shares are
+    * order-exact; the share division is the only double op.
+    *
+    * Scale note: the ranking window is over the part-AGGREGATED frame —
+    * dimension-sized, orders of magnitude below the fact table. A
+    * partition-less cumulative window on a dimension frame is the honest
+    * shape (the alternative, range-partitioned prefix sums, buys nothing
+    * until the dimension itself stops fitting a single task's sort). */
+  def abcParts(spark: SparkSession, dir: String): DataFrame = {
+    val perPart = Lake.lineitem(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg(sum(revenueTerm).as("rev"))
+    val total = perPart.agg(sum(col("rev")).as("total_rev"))
+    val wCum = Window.orderBy(col("rev").desc, col("l_partkey"))
+    perPart.crossJoin(broadcast(total))
+      .withColumn("cum_share",
+        sum(col("rev")).over(wCum).cast("double") /
+          col("total_rev").cast("double"))
+      .withColumn("abc_class",
+        when(col("cum_share") <= 0.80, "A")
+          .when(col("cum_share") <= 0.95, "B")
+          .otherwise("C"))
+      .groupBy(col("abc_class"))
+      .agg(count(lit(1)).as("n_parts"),
+        round(sum(col("rev")).cast("double"), 2).as("class_revenue"))
+      .orderBy(col("abc_class"))
+  }
+
+  /** Per-market-segment Gini coefficient of customer revenue — the
+    * inequality / concentration diagnostic (how top-heavy is each
+    * segment's spend). Closed form over ranked values:
+    * G = (2·Σ i·x_i − (n+1)·Σ x_i) / (n·Σ x_i), x ascending, i = 1..n.
+    * Revenue per customer is an exact decimal sum; the rank products stay
+    * decimal (exact), so both engines feed the final division identical
+    * integers. Ranking windows partition by segment — bounded fan-in per
+    * partition at any scale (customers per segment, not fact rows). */
+  def giniSegments(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Lake.orders(spark, dir)
+      .join(Lake.customer(spark, dir).select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("c_custkey"))
+      .agg(sum(m(col("o_totalprice"))).as("rev"))
+    val wRank = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("rev"), col("c_custkey"))
+    perCust
+      .withColumn("i", row_number().over(wRank).cast("long"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("rev")).as("total_rev"),
+        sum(col("rev") * col("i")).as("rank_weighted"))
+      .select(col("c_mktsegment"), col("n_customers"),
+        round(col("total_rev").cast("double"), 2).as("total_revenue"),
+        round((lit(2) * col("rank_weighted").cast("double") -
+            (col("n_customers") + lit(1)).cast("double") *
+              col("total_rev").cast("double")) /
+          (col("n_customers").cast("double") *
+            col("total_rev").cast("double")), 6).as("gini"))
+      .orderBy(col("c_mktsegment"))
+  }
 }

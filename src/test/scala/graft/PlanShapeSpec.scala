@@ -245,7 +245,15 @@ class PlanShapeSpec extends SparkSpecBase {
         "q_auto_hist",
         // q_assoc_rules: one-row basket-total broadcast (the lift/support
         // denominator — the q_bm25 corpus-stats pattern)
-        "q_assoc_rules")
+        "q_assoc_rules",
+        // q_hybrid_retrieval: inherits q_bm25's one-row N/avgdl broadcast
+        // in its sparse leg
+        "q_hybrid_retrieval",
+        // q_benford / q_abc_parts / q_neyman: one-row total broadcast
+        // (the q_supplier_share scalar-denominator pattern);
+        // q_ab_readout: the two one-row arm frames joined into the
+        // single readout row
+        "q_benford", "q_abc_parts", "q_neyman", "q_ab_readout")
     for ((name, fn) <- SparkEntry.queries) {
       // interior plans included: checkpointing operators execute their
       // real joins during construction and return an RDD-scan facade
