@@ -3860,11 +3860,10 @@ object SparkEntry {
         |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
         |      AS rev
         |  FROM lineitem GROUP BY 1),
-        |t AS (SELECT sum(rev) AS total_rev FROM pp),
         |c AS (SELECT rev,
         |    CAST(sum(rev) OVER (ORDER BY rev DESC, l_partkey) AS DOUBLE) /
-        |      CAST(total_rev AS DOUBLE) AS cum_share
-        |  FROM pp, t)
+        |      CAST(sum(rev) OVER () AS DOUBLE) AS cum_share
+        |  FROM pp)
         |SELECT CASE WHEN cum_share <= 0.80 THEN 'A'
         |            WHEN cum_share <= 0.95 THEN 'B' ELSE 'C' END AS abc_class,
         |  count(*) AS n_parts, round(CAST(sum(rev) AS DOUBLE), 2) AS class_revenue
@@ -3909,11 +3908,12 @@ object SparkEntry {
         |      AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
         |  FROM orders WHERE o_totalprice > 0),
         |g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
-        |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM g),
+        |gt AS (SELECT digit, n,
+        |    CAST(sum(n) OVER () AS BIGINT) AS n_total FROM g),
         |c AS (SELECT digit, n, n_total,
         |    CAST(n AS DOUBLE) / n_total AS share,
         |    ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0) AS expected
-        |  FROM g, t)
+        |  FROM gt)
         |SELECT digit, n, round(share, 6) AS share,
         |  round(expected, 6) AS expected,
         |  round(n_total * (share - expected) * (share - expected) / expected,
@@ -4009,13 +4009,14 @@ object SparkEntry {
         |    sqrt(var_num) / CAST(n_docs AS DOUBLE) AS sd FROM v),
         |x AS (SELECT source, n_docs, sd,
         |    CAST(round(n_docs * sd, 6) AS DECIMAL(28,6)) AS nh FROM w),
-        |t AS (SELECT sum(nh) AS total_ns FROM x)
+        |xt AS (SELECT source, n_docs, sd, nh,
+        |    sum(nh) OVER () AS total_ns FROM x)
         |SELECT source, n_docs, round(sd, 4) AS sd,
         |  round(CAST(nh AS DOUBLE) / CAST(total_ns AS DOUBLE), 6)
         |    AS alloc_share,
         |  CAST(round(CAST(nh AS DOUBLE) / CAST(total_ns AS DOUBLE) * 1000)
         |    AS BIGINT) AS n_alloc
-        |FROM x, t ORDER BY source""".stripMargin,
+        |FROM xt ORDER BY source""".stripMargin,
   )
 
   /** Oracle twin of CatalogOps.profile: one UNION ALL branch per column. */

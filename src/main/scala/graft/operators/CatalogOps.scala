@@ -956,8 +956,10 @@ object CatalogOps {
       .filter(col(valueCol) > 0)
       .select(substring(cents.cast("string"), 1, 1).cast("int").as("digit"))
       .groupBy(col("digit")).agg(count(lit(1)).as("n"))
-    val total = digits.agg(sum(col("n")).as("n_total"))
-    digits.crossJoin(broadcast(total))
+    // total via an unpartitioned window over the ≤9-row digit frame — a
+    // separate .agg() subplan would re-run the table scan + group-by
+    digits
+      .withColumn("n_total", sum(col("n")).over(Window.partitionBy()))
       .withColumn("share", col("n").cast("double") / col("n_total"))
       .withColumn("expected",
         log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0)))

@@ -554,8 +554,11 @@ object CorpusOps {
         sqrt(col("var_num").cast("double")) / col("n_docs").cast("double"))
       .withColumn("nh_sigma",
         round(col("n_docs") * col("sd"), 6).cast("decimal(28,6)"))
-    val total = perSrc.agg(sum(col("nh_sigma")).as("total_ns"))
-    perSrc.crossJoin(broadcast(total))
+    // total via an unpartitioned window over the stratum-count-bounded
+    // frame — a separate .agg() would re-run the corpus scan + group-by
+    perSrc
+      .withColumn("total_ns", sum(col("nh_sigma"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy()))
       .withColumn("alloc_share",
         col("nh_sigma").cast("double") / col("total_ns").cast("double"))
       .select(col(strataCol), col("n_docs"),

@@ -803,13 +803,14 @@ object EventOps {
       .withColumn("arm",
         when(pmod(col("user_id") * lit(16807L), lit(2147483647L)) % 2 === 0,
           "A").otherwise("B"))
-    val arms = perUser.groupBy(col("arm"))
-      .agg(count(lit(1)).as("n_users"), sum(col("converted")).as("n_conv"))
-    val a = arms.filter(col("arm") === "A")
-      .select(col("n_users").as("n_a"), col("n_conv").as("conv_a"))
-    val b = arms.filter(col("arm") === "B")
-      .select(col("n_users").as("n_b"), col("n_conv").as("conv_b"))
-    a.crossJoin(b) // two one-row frames
+    // ONE aggregate straight to the readout row — filtering a per-arm
+    // frame twice and cross-joining the halves would re-execute the
+    // event scan + user aggregate per arm (the double-scan trap)
+    perUser.agg(
+        sum(when(col("arm") === "A", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === "B", 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("arm") === "A", col("converted")).otherwise(0L)).as("conv_a"),
+        sum(when(col("arm") === "B", col("converted")).otherwise(0L)).as("conv_b"))
       .withColumn("rate_a", col("conv_a").cast("double") / col("n_a"))
       .withColumn("rate_b", col("conv_b").cast("double") / col("n_b"))
       .withColumn("pooled",

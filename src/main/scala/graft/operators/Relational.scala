@@ -942,12 +942,16 @@ object Relational {
     * tree. */
   def itemCosine(spark: SparkSession, dir: String,
                  minOrders: Long = 2, topK: Int = 20): DataFrame = {
-    val li = Lake.lineitem(spark, dir)
-    val itemN = li.groupBy(col("l_partkey"))
-      .agg(countDistinct(col("l_orderkey")).as("n_item"))
-    val baskets = li
+    // one fact scan: both the pair counts and the per-item counts derive
+    // from the persisted basket frame (item sets per order — the shuffle
+    // output both consumers need), released once the bounded top-K
+    // materializes
+    val baskets = Lake.lineitem(spark, dir)
       .groupBy(col("l_orderkey"))
       .agg(array_sort(collect_set(col("l_partkey"))).as("items"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val itemN = baskets.select(explode(col("items")).as("pk"))
+      .groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
     val pairN = baskets.select(explode(expr(
         """flatten(transform(items, (x, i) ->
           |  transform(slice(items, i + 2, size(items)),
@@ -955,15 +959,18 @@ object Relational {
       .groupBy(col("p.pa").as("part_a"), col("p.pb").as("part_b"))
       .agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= minOrders)
-    pairN
-      .join(broadcast(itemN.withColumnRenamed("l_partkey", "part_a")
-        .withColumnRenamed("n_item", "n_a")), "part_a")
-      .join(broadcast(itemN.withColumnRenamed("l_partkey", "part_b")
-        .withColumnRenamed("n_item", "n_b")), "part_b")
+    val out = pairN
+      .join(broadcast(itemN.select(col("pk").as("part_a"), col("n_item").as("n_a"))),
+        "part_a")
+      .join(broadcast(itemN.select(col("pk").as("part_b"), col("n_item").as("n_b"))),
+        "part_b")
       .select(col("part_a"), col("part_b"), col("n_ab"),
         round(col("n_ab") / sqrt(col("n_a") * col("n_b")), 6).as("cosine"))
       .orderBy(col("cosine").desc, col("part_a"), col("part_b"))
       .limit(topK)
+      .localCheckpoint(true)
+    baskets.unpersist(false)
+    out
   }
 
   /** 2-D skyline (Pareto frontier) of parts: maximize `p_size`, minimize
@@ -1013,12 +1020,15 @@ object Relational {
     val perPart = Lake.lineitem(spark, dir)
       .groupBy(col("l_partkey"))
       .agg(sum(revenueTerm).as("rev"))
-    val total = perPart.agg(sum(col("rev")).as("total_rev"))
+    // the grand total comes from an unpartitioned window over the SAME
+    // aggregated frame — a separate .agg() subplan would re-execute the
+    // fact scan + group-by a second time (the double-scan trap)
     val wCum = Window.orderBy(col("rev").desc, col("l_partkey"))
-    perPart.crossJoin(broadcast(total))
+    val wAll = Window.partitionBy()
+    perPart
       .withColumn("cum_share",
         sum(col("rev")).over(wCum).cast("double") /
-          col("total_rev").cast("double"))
+          sum(col("rev")).over(wAll).cast("double"))
       .withColumn("abc_class",
         when(col("cum_share") <= 0.80, "A")
           .when(col("cum_share") <= 0.95, "B")

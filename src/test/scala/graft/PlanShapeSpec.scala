@@ -185,6 +185,38 @@ class PlanShapeSpec extends SparkSpecBase {
       s"${plans.length} executed plan(s)")
   }
 
+  test("grand-total analytics read their fact table exactly once") {
+    // fourth recurrence risk of the double-scan pattern: a share/total
+    // denominator computed as a separate .agg() subplan re-executes the
+    // whole scan + aggregate. These operators must derive totals from an
+    // unpartitioned window (or one conditional aggregate) over the
+    // already-aggregated bounded frame — one fact scan, interior
+    // actions included.
+    val cases: Seq[(String, () => org.apache.spark.sql.DataFrame, String)] = Seq(
+      ("benford", () => graft.operators.CatalogOps.benford(
+        spark, Sf, "orders", "o_totalprice"), "orders\\.parquet"),
+      ("abcParts", () => graft.operators.Relational.abcParts(spark, Sf),
+        "lineitem\\.parquet"),
+      ("neyman", () => graft.operators.CorpusOps.neymanQuery(spark, Sf),
+        "documents\\.parquet"),
+      ("abReadout", () => graft.operators.EventOps.abReadout(spark, Sf),
+        "events\\.parquet"))
+    for ((name, build, scanRe) <- cases) {
+      val plans = allPlansOf(build())
+      val scans = plans.map(p => scanRe.r.findAllIn(p).length).sum
+      assert(scans == 1,
+        s"$name: expected exactly 1 fact scan, saw $scans in ${plans.length} plan(s)")
+    }
+    // itemCosine persists the basket frame for its two consumers, so the
+    // cached-plan TEXT repeats the FileScan — the observable that matters
+    // is that BOTH consumers read the cache (parquet filled once)
+    val icPlans = allPlansOf(graft.operators.Relational.itemCosine(spark, Sf))
+    val imts = icPlans.map(p =>
+      "InMemoryTableScan".r.findAllIn(p).length).sum
+    assert(imts >= 2,
+      s"itemCosine: both basket consumers must read the cache, saw $imts InMemoryTableScan(s)")
+  }
+
   test("no registered query plans an unintended product join") {
     // the broad regression net: every SparkEntry query's physical plan is
     // free of CartesianProduct, except where the product IS the semantics
@@ -248,12 +280,7 @@ class PlanShapeSpec extends SparkSpecBase {
         "q_assoc_rules",
         // q_hybrid_retrieval: inherits q_bm25's one-row N/avgdl broadcast
         // in its sparse leg
-        "q_hybrid_retrieval",
-        // q_benford / q_abc_parts / q_neyman: one-row total broadcast
-        // (the q_supplier_share scalar-denominator pattern);
-        // q_ab_readout: the two one-row arm frames joined into the
-        // single readout row
-        "q_benford", "q_abc_parts", "q_neyman", "q_ab_readout")
+        "q_hybrid_retrieval")
     for ((name, fn) <- SparkEntry.queries) {
       // interior plans included: checkpointing operators execute their
       // real joins during construction and return an RDD-scan facade
