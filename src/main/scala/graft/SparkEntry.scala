@@ -440,6 +440,32 @@ object SparkEntry {
     "q_hubness"           -> GraphOps.hubnessQuery _,
     // Neyman optimal-allocation sampling plan per source
     "q_neyman"            -> CorpusOps.neymanQuery _,
+    // ANN recall@k evaluation: LSH search vs exact brute force
+    "q_ann_recall"        -> ((s: SparkSession, d: String) =>
+      AnnOps.annRecall(s, d)),
+    // Keyword-in-context concordance for a corpus term
+    "q_concordance"       -> TextOps.concordanceQuery _,
+    // Flesch readability profile per source (exact integer counts)
+    "q_readability"       -> TextOps.readabilityQuery _,
+    // L28-style engagement histogram: users by distinct active days
+    "q_engagement_hist"   -> EventOps.engagementHist _,
+    // Stickiness: DAU over trailing-28-day actives per day
+    "q_stickiness"        -> ((s: SparkSession, d: String) =>
+      EventOps.stickiness(s, d)),
+    // Chi-square independence: market segment × order status
+    "q_chi2_indep"        -> CatalogOps.chi2Query _,
+    // Welch t-test between the 1996 and 1997+ order-value cohorts
+    "q_welch"             -> CatalogOps.welchQuery _,
+    // 3-round deterministic label propagation over the 5-NN graph
+    "q_label_prop"        -> GraphOps.labelPropQuery _,
+    // Seasonal-naive forecast backtest: per-type MAE over the test grid
+    "q_backtest"          -> ((s: SparkSession, d: String) =>
+      EventOps.forecastBacktest(s, d)),
+    // Sampled candidate-generation recall audit for banded-LSH dedup
+    "q_dedup_recall"      -> ((s: SparkSession, d: String) =>
+      DedupOps.dedupRecall(s, d)),
+    // Importance weights toward the uniform source mixture
+    "q_importance_weights" -> CorpusOps.importanceWeightsQuery _,
   )
 
   /** [[TextOps.patternScan]] dictionary for the driver query: token
@@ -4017,6 +4043,269 @@ object SparkEntry {
         |  CAST(round(CAST(nh AS DOUBLE) / CAST(total_ns AS DOUBLE) * 1000)
         |    AS BIGINT) AS n_alloc
         |FROM xt ORDER BY source""".stripMargin,
+    // ANN recall: the q_ann_lsh top-k left-joined onto the brute-force
+    // top-k, hits counted per query.
+    "q_ann_recall" ->
+      s"""WITH $lshOracleCtes,
+         |cand AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS neighbor_id
+         |         FROM bk q JOIN bk c
+         |           ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+         |         WHERE q.vec_id < 8),
+         |sc AS (SELECT q_id, neighbor_id,
+         |         list_cosine_similarity(ce.e, qe.e) AS s
+         |       FROM cand JOIN emb qe ON qe.vec_id = cand.q_id
+         |                 JOIN emb ce ON ce.vec_id = cand.neighbor_id),
+         |lshk AS (SELECT q_id, neighbor_id FROM (
+         |          SELECT q_id, neighbor_id,
+         |            row_number() OVER (PARTITION BY q_id
+         |              ORDER BY s DESC, neighbor_id) AS rnk
+         |          FROM sc) t WHERE rnk <= 5),
+         |bf AS (SELECT q_id, neighbor_id FROM (
+         |        SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+         |          row_number() OVER (PARTITION BY q.vec_id
+         |            ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+         |              CAST(q.embedding AS DOUBLE[])) DESC, c.vec_id) AS rnk
+         |        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+         |        WHERE q.vec_id < 8) t WHERE rnk <= 5)
+         |SELECT bf.q_id, CAST(count(lshk.neighbor_id) AS BIGINT) AS n_hit,
+         |  round(CAST(count(lshk.neighbor_id) AS DOUBLE) / count(*), 4)
+         |    AS recall
+         |FROM bf LEFT JOIN lshk
+         |  ON bf.q_id = lshk.q_id AND bf.neighbor_id = lshk.neighbor_id
+         |GROUP BY bf.q_id ORDER BY bf.q_id""".stripMargin,
+    // Concordance: 1-based positions from the token array, list slicing
+    // for the context windows.
+    "q_concordance" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+        |             FROM documents WHERE text IS NOT NULL),
+        |occ AS (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS pos
+        |        FROM tok)
+        |SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+        |  coalesce(array_to_string(t[greatest(1, pos - 3):pos - 1], ' '), '')
+        |    AS left_ctx,
+        |  coalesce(array_to_string(t[pos + 1:pos + 3], ' '), '') AS right_ctx
+        |FROM occ WHERE t[pos] = 'merge'
+        |ORDER BY doc_id, pos""".stripMargin,
+    // Readability: exact integer word/sentence/vowel-run sums; the
+    // Flesch constants and ratios form one identical scalar tree.
+    "q_readability" ->
+      """WITH d AS (SELECT source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+        |    CAST(1 + length(regexp_replace(text, '[^.!?]', '', 'g'))
+        |      AS BIGINT) AS s,
+        |    CAST(length(regexp_replace(text, '[aeiouAEIOU]+', 'V', 'g')) -
+        |         length(regexp_replace(text, '[aeiouAEIOU]+', '', 'g'))
+        |      AS BIGINT) AS y
+        |  FROM documents WHERE text IS NOT NULL),
+        |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(w) AS BIGINT) AS sw, CAST(sum(s) AS BIGINT) AS ss,
+        |    CAST(sum(y) AS BIGINT) AS sy
+        |  FROM d GROUP BY 1)
+        |SELECT source, n_docs,
+        |  round(CAST(sw AS DOUBLE) / ss, 4) AS words_per_sentence,
+        |  round(CAST(sy AS DOUBLE) / sw, 4) AS syllables_per_word,
+        |  round(206.835 - 1.015 * (CAST(sw AS DOUBLE) / ss) -
+        |    84.6 * (CAST(sy AS DOUBLE) / sw), 4) AS flesch
+        |FROM g ORDER BY source""".stripMargin,
+    // Engagement histogram: distinct user-days → per-user day counts →
+    // count-of-counts.
+    "q_engagement_hist" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |            FROM events),
+        |ad AS (SELECT user_id, CAST(count(*) AS BIGINT) AS active_days
+        |       FROM ud GROUP BY 1)
+        |SELECT active_days, CAST(count(*) AS BIGINT) AS n_users
+        |FROM ad GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Stickiness: DAU and trailing-28d distinct actives per observed day.
+    "q_stickiness" ->
+      """WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+        |            FROM events),
+        |days AS (SELECT DISTINCT day FROM ud),
+        |dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau
+        |        FROM ud GROUP BY 1),
+        |mau AS (SELECT days.day AS day,
+        |          CAST(count(DISTINCT ud.user_id) AS BIGINT) AS mau
+        |        FROM days JOIN ud ON ud.day BETWEEN days.day - 27 AND days.day
+        |        GROUP BY 1)
+        |SELECT dau.day AS day, dau.dau, mau.mau,
+        |  round(CAST(dau.dau AS DOUBLE) / mau.mau, 6) AS stickiness
+        |FROM dau JOIN mau ON dau.day = mau.day
+        |ORDER BY day""".stripMargin,
+    // Chi-square independence: window totals over the bounded cell frame,
+    // chi2 from 6-rounded decimal-summed terms.
+    "q_chi2_indep" ->
+      """WITH c AS (SELECT c_mktsegment, o_orderstatus,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+        |e AS (SELECT c_mktsegment, o_orderstatus, n,
+        |    (sum(n) OVER (PARTITION BY c_mktsegment) *
+        |     sum(n) OVER (PARTITION BY o_orderstatus)) /
+        |      sum(n) OVER () AS expected
+        |  FROM c),
+        |t AS (SELECT c_mktsegment, o_orderstatus, n, expected,
+        |    (n - expected) * (n - expected) / expected AS term FROM e)
+        |SELECT c_mktsegment, o_orderstatus, n,
+        |  round(expected, 4) AS expected, round(term, 6) AS chi2_term,
+        |  round(CAST(sum(CAST(round(term, 6) AS DECIMAL(18,6))) OVER ()
+        |    AS DOUBLE), 4) AS chi2
+        |FROM t ORDER BY c_mktsegment, o_orderstatus""".stripMargin,
+    // Welch t: exact decimal moments, then one scalar tree for means,
+    // variances, t and the Satterthwaite df.
+    "q_welch" ->
+      """WITH agg AS (SELECT
+        |  CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1997-01-01'
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |  CAST(sum(CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01'
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |  sum(CASE WHEN o_orderdate < TIMESTAMP '1997-01-01'
+        |           THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS sa,
+        |  sum(CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01'
+        |           THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS sb,
+        |  sum(CASE WHEN o_orderdate < TIMESTAMP '1997-01-01'
+        |           THEN CAST(o_totalprice AS DECIMAL(18,2)) *
+        |                CAST(o_totalprice AS DECIMAL(18,2)) END) AS qa,
+        |  sum(CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01'
+        |           THEN CAST(o_totalprice AS DECIMAL(18,2)) *
+        |                CAST(o_totalprice AS DECIMAL(18,2)) END) AS qb
+        |  FROM orders),
+        |m1 AS (SELECT n_a, n_b, qa, qb,
+        |    CAST(sa AS DOUBLE) / n_a AS m_a,
+        |    CAST(sb AS DOUBLE) / n_b AS m_b
+        |  FROM agg),
+        |m2 AS (SELECT n_a, n_b, m_a, m_b,
+        |    (CAST(qa AS DOUBLE) - CAST(n_a AS DOUBLE) * m_a * m_a) /
+        |      CAST(n_a - 1 AS DOUBLE) AS v_a,
+        |    (CAST(qb AS DOUBLE) - CAST(n_b AS DOUBLE) * m_b * m_b) /
+        |      CAST(n_b - 1 AS DOUBLE) AS v_b
+        |  FROM m1),
+        |m3 AS (SELECT n_a, n_b, m_a, m_b, v_a, v_b,
+        |    v_a / n_a + v_b / n_b AS se2 FROM m2)
+        |SELECT n_a, n_b,
+        |  round(m_a, 4) AS mean_a, round(m_b, 4) AS mean_b,
+        |  round((m_b - m_a) / sqrt(se2), 4) AS t_stat,
+        |  round(se2 * se2 /
+        |    ((v_a / n_a) * (v_a / n_a) / CAST(n_a - 1 AS DOUBLE) +
+        |     (v_b / n_b) * (v_b / n_b) / CAST(n_b - 1 AS DOUBLE)), 2)
+        |    AS welch_df
+        |FROM m3""".stripMargin,
+    // Label propagation: the kNN CTEs symmetrized, three unrolled
+    // adopt-the-modal-neighbor-label rounds (ties → min), community sizes.
+    "q_label_prop" ->
+      s"""WITH $lshOracleCtes,
+         |bkc AS (SELECT vec_id, bucket FROM (
+         |          SELECT vec_id, bucket,
+         |            count(*) OVER (PARTITION BY bucket) AS bn
+         |          FROM bk) WHERE bn <= 4096),
+         |pairs AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |          FROM bkc a JOIN bkc b
+         |            ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |sc AS (SELECT vec_a, vec_b,
+         |         list_cosine_similarity(ea.e, eb.e) AS s
+         |       FROM pairs JOIN emb ea ON ea.vec_id = pairs.vec_a
+         |                  JOIN emb eb ON eb.vec_id = pairs.vec_b),
+         |sym AS (SELECT vec_a AS src, vec_b AS dst, s FROM sc
+         |        UNION ALL SELECT vec_b, vec_a, s FROM sc),
+         |knn AS (SELECT src, dst FROM (SELECT src, dst,
+         |          row_number() OVER (PARTITION BY src ORDER BY s DESC, dst) AS rnk
+         |        FROM sym) t WHERE rnk <= 5),
+         |und AS (SELECT DISTINCT src, dst FROM (
+         |          SELECT src, dst FROM knn WHERE src <> dst
+         |          UNION ALL SELECT dst, src FROM knn WHERE src <> dst)),
+         |l0 AS (SELECT DISTINCT src AS node, src AS label FROM und),
+         |n1 AS (SELECT e.src AS node, l.label, count(*) AS c
+         |       FROM und e JOIN l0 l ON l.node = e.dst GROUP BY 1, 2),
+         |l1 AS (SELECT node, label FROM (SELECT node, label,
+         |         row_number() OVER (PARTITION BY node
+         |           ORDER BY c DESC, label) AS rn FROM n1) t WHERE rn = 1),
+         |n2 AS (SELECT e.src AS node, l.label, count(*) AS c
+         |       FROM und e JOIN l1 l ON l.node = e.dst GROUP BY 1, 2),
+         |l2 AS (SELECT node, label FROM (SELECT node, label,
+         |         row_number() OVER (PARTITION BY node
+         |           ORDER BY c DESC, label) AS rn FROM n2) t WHERE rn = 1),
+         |n3 AS (SELECT e.src AS node, l.label, count(*) AS c
+         |       FROM und e JOIN l2 l ON l.node = e.dst GROUP BY 1, 2),
+         |l3 AS (SELECT node, label FROM (SELECT node, label,
+         |         row_number() OVER (PARTITION BY node
+         |           ORDER BY c DESC, label) AS rn FROM n3) t WHERE rn = 1)
+         |SELECT label AS community, CAST(count(*) AS BIGINT) AS n_nodes
+         |FROM l3 GROUP BY 1
+         |ORDER BY n_nodes DESC, community LIMIT 20""".stripMargin,
+    // Backtest: per-(hod, type) train means, dense test grid with real
+    // zero-actual cells, MAE from 6-rounded decimal-summed terms.
+    "q_backtest" ->
+      """WITH ev AS (SELECT ts, event_type, CAST(ts AS DATE) AS day,
+        |    CAST(hour(ts) AS INT) AS hod FROM events),
+        |tr AS (SELECT * FROM ev WHERE ts < TIMESTAMP '2024-01-22'),
+        |te AS (SELECT * FROM ev WHERE ts >= TIMESTAMP '2024-01-22'),
+        |ntd AS (SELECT count(DISTINCT day) AS n FROM tr),
+        |tm AS (SELECT hod, event_type,
+        |    CAST(count(*) AS DOUBLE) / (SELECT n FROM ntd) AS forecast
+        |  FROM tr GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT day FROM te),
+        |types AS (SELECT DISTINCT event_type FROM ev),
+        |hods AS (SELECT CAST(unnest(range(0, 24)) AS INT) AS hod),
+        |grid AS (SELECT day, event_type, hod FROM days, types, hods),
+        |act AS (SELECT day, hod, event_type, CAST(count(*) AS BIGINT) AS actual
+        |        FROM te GROUP BY 1, 2, 3),
+        |j AS (SELECT g.event_type,
+        |        coalesce(a.actual, 0) AS actual,
+        |        coalesce(t.forecast, 0.0) AS forecast
+        |      FROM grid g
+        |      LEFT JOIN act a ON a.day = g.day AND a.hod = g.hod
+        |        AND a.event_type = g.event_type
+        |      LEFT JOIN tm t ON t.hod = g.hod AND t.event_type = g.event_type)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_cells,
+        |  CAST(sum(actual) AS BIGINT) AS n_actual,
+        |  round(CAST(sum(CAST(round(abs(actual - forecast), 6)
+        |    AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS mae
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Dedup recall: exact ground truth via the inverted shingle index on
+    // the hash-sampled docs; the banded-LSH + exact-verify pipeline is
+    // LOSSLESS on this corpus (q_neardup_pairs' brute-force oracle), so
+    // found ≡ true — any engine recall below 1.0 hash-mismatches here.
+    "q_dedup_recall" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+        |             FROM documents WHERE text IS NOT NULL),
+        |sh AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+        |           THEN list_distinct(list_transform(range(1, len(t) - 1),
+        |                  i -> array_to_string(t[i:i+2], ' ')))
+        |           ELSE [array_to_string(t, ' ')] END) AS shingle
+        |       FROM tok),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |samp AS (SELECT doc_id FROM documents WHERE text IS NOT NULL
+        |         AND ((doc_id * 48271) % 2147483647) % 10000 < 2000),
+        |shr AS (SELECT s.doc_id AS sd, o.doc_id AS od, count(*) AS shared
+        |        FROM sh s JOIN samp ON s.doc_id = samp.doc_id
+        |        JOIN sh o ON o.shingle = s.shingle AND o.doc_id <> s.doc_id
+        |        GROUP BY 1, 2),
+        |tp AS (SELECT DISTINCT least(sd, od) AS doc_a, greatest(sd, od) AS doc_b
+        |       FROM shr JOIN sz a ON a.doc_id = shr.sd
+        |                JOIN sz b ON b.doc_id = shr.od
+        |       WHERE CAST(shared AS DOUBLE) / (a.sz + b.sz - shared) >= 0.6),
+        |c AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM tp)
+        |SELECT n_true, n_true AS n_found,
+        |  CASE WHEN n_true > 0
+        |       THEN round(CAST(n_true AS DOUBLE) / n_true, 4) END AS recall
+        |FROM c""".stripMargin,
+    // Importance weights: one grouped count, totals via windows, the
+    // uniform-target ratio with a visible clip.
+    "q_importance_weights" ->
+      """WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY 1),
+        |w AS (SELECT source, n_docs,
+        |    CAST(sum(n_docs) OVER () AS BIGINT) AS n_total,
+        |    CAST(count(*) OVER () AS BIGINT) AS n_strata FROM s),
+        |x AS (SELECT source, n_docs,
+        |    CAST(n_docs AS DOUBLE) / n_total AS obs_share,
+        |    1.0 / CAST(n_strata AS DOUBLE) AS target_share FROM w),
+        |y AS (SELECT source, n_docs, obs_share, target_share,
+        |    target_share / obs_share AS raw_w FROM x)
+        |SELECT source, n_docs,
+        |  round(obs_share, 6) AS obs_share,
+        |  round(target_share, 6) AS target_share,
+        |  round(raw_w, 6) AS raw_w,
+        |  round(least(greatest(raw_w, 0.1), 10.0), 6) AS weight
+        |FROM y ORDER BY source""".stripMargin,
   )
 
   /** Oracle twin of CatalogOps.profile: one UNION ALL branch per column. */

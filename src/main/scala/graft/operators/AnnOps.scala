@@ -782,4 +782,26 @@ object AnnOps {
 
   def embeddingOutliers(spark: SparkSession, dir: String): DataFrame =
     embeddingOutliers(Lake.embeddings(spark, dir))
+
+  /** ANN recall evaluation — the harness that keeps the approximate path
+    * honest: per query, recall@k of the LSH search against the exact
+    * brute-force top-k (hits / k). This is the number an operator watches
+    * when tuning tables/bits at corpus scale; registering it makes the
+    * driver re-measure recall every round instead of trusting a one-time
+    * spec assertion. Cost = one LSH search + one brute-force search over
+    * the bounded query set — an EVAL query, priced accordingly. */
+  def annRecall(spark: SparkSession, dir: String,
+                k: Int = 5, nQueries: Int = 8): DataFrame = {
+    val exact = bruteForce(spark, dir, k, nQueries)
+      .select(col("q_id"), col("neighbor_id"))
+    val approx = lsh(spark, dir, k, nQueries)
+      .select(col("q_id"), col("neighbor_id"), lit(1L).as("hit"))
+    exact.join(approx, Seq("q_id", "neighbor_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("k_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("q_id"), col("n_hit"),
+        round(col("n_hit") / col("k_exact"), 4).as("recall"))
+      .orderBy(col("q_id"))
+  }
 }

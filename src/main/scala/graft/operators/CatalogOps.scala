@@ -940,6 +940,89 @@ object CatalogOps {
       col("o_orderdate") >= lit("1997-01-01").cast("timestamp"),
       binWidth = 50000.0)
 
+  /** Chi-square independence screen between two categorical columns (the
+    * association complement to the numeric drift monitors): the
+    * contingency table with expected counts under independence and each
+    * cell's chi-square contribution, plus the table-wide statistic. One
+    * grouped count; row totals, column totals, the grand total and the
+    * final χ² all come from windows over the BOUNDED cell frame (r×c
+    * rows) — never a second fact scan. Expected counts and cell terms
+    * are doubles from exact integers; the χ² total decimal-sums
+    * 6-rounded terms (the surprisal discipline) so it is
+    * aggregation-order-free. */
+  def chi2Independence(rows: DataFrame, colA: String, colB: String): DataFrame = {
+    val cells = rows.groupBy(col(colA), col(colB))
+      .agg(count(lit(1)).as("n"))
+    val wA = Window.partitionBy(col(colA))
+    val wB = Window.partitionBy(col(colB))
+    val wAll = Window.partitionBy()
+    val e = (sum(col("n")).over(wA) * sum(col("n")).over(wB)) /
+      sum(col("n")).over(wAll)
+    cells
+      .withColumn("expected", e)
+      .withColumn("term",
+        (col("n") - col("expected")) * (col("n") - col("expected")) /
+          col("expected"))
+      .withColumn("chi2",
+        sum(round(col("term"), 6).cast("decimal(18,6)")).over(wAll)
+          .cast("double"))
+      .select(col(colA), col(colB), col("n"),
+        round(col("expected"), 4).as("expected"),
+        round(col("term"), 6).as("chi2_term"),
+        round(col("chi2"), 4).as("chi2"))
+      .orderBy(col(colA), col(colB))
+  }
+
+  def chi2Query(spark: SparkSession, dir: String): DataFrame =
+    chi2Independence(
+      Lake.orders(spark, dir).join(
+        broadcast(Lake.customer(spark, dir)
+          .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey")),
+      "c_mktsegment", "o_orderstatus")
+
+  /** Welch two-sample t-test between two cohorts of a numeric column —
+    * the mean-shift complement to the KS (shape) and PSI (share) drift
+    * screens. ONE fact scan: per-cohort n, Σx and Σx² both accumulate in
+    * exact decimal (a double Σx² would be aggregation-order-dependent),
+    * then the means, variances, Welch's t and the Satterthwaite degrees
+    * of freedom are pure scalar arithmetic on the one-row frame —
+    * identical expression trees in any engine. */
+  def welch(rows: DataFrame, valueCol: String,
+            cohortA: Column, cohortB: Column): DataFrame = {
+    val x = col(valueCol).cast(DecimalType(18, 2))
+    val one = rows.agg(
+      sum(when(cohortA, 1L).otherwise(0L)).as("n_a"),
+      sum(when(cohortB, 1L).otherwise(0L)).as("n_b"),
+      sum(when(cohortA, x).otherwise(null)).as("sa"),
+      sum(when(cohortB, x).otherwise(null)).as("sb"),
+      sum(when(cohortA, x * x).otherwise(null)).as("qa"),
+      sum(when(cohortB, x * x).otherwise(null)).as("qb"))
+    def variance(q: Column, m: Column, n: Column): Column =
+      (q.cast("double") - n.cast("double") * m * m) /
+        (n - 1).cast("double")
+    one
+      .withColumn("m_a", col("sa").cast("double") / col("n_a"))
+      .withColumn("m_b", col("sb").cast("double") / col("n_b"))
+      .withColumn("v_a", variance(col("qa"), col("m_a"), col("n_a")))
+      .withColumn("v_b", variance(col("qb"), col("m_b"), col("n_b")))
+      .withColumn("se2",
+        col("v_a") / col("n_a") + col("v_b") / col("n_b"))
+      .select(col("n_a"), col("n_b"),
+        round(col("m_a"), 4).as("mean_a"), round(col("m_b"), 4).as("mean_b"),
+        round((col("m_b") - col("m_a")) / sqrt(col("se2")), 4).as("t_stat"),
+        round(col("se2") * col("se2") /
+          ((col("v_a") / col("n_a")) * (col("v_a") / col("n_a")) /
+            (col("n_a") - 1).cast("double") +
+           (col("v_b") / col("n_b")) * (col("v_b") / col("n_b")) /
+            (col("n_b") - 1).cast("double")), 2).as("welch_df"))
+  }
+
+  def welchQuery(spark: SparkSession, dir: String): DataFrame =
+    welch(Lake.orders(spark, dir), "o_totalprice",
+      col("o_orderdate") < lit("1997-01-01").cast("timestamp"),
+      col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+
   /** Benford first-digit screen — the classic fabricated-/degenerate-data
     * detector for positive amount columns: the observed leading-digit
     * distribution vs Benford's law p(d) = ln(1+1/d)/ln(10), with each

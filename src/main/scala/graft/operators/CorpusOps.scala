@@ -570,4 +570,36 @@ object CorpusOps {
 
   def neymanQuery(spark: SparkSession, dir: String): DataFrame =
     neymanPlan(Lake.documents(spark, dir))
+
+  /** Importance weights toward a TARGET mixture (domain-reweighting, the
+    * DoReMi-style knob): per stratum, weight = target_share /
+    * observed_share, clipped to [1/maxW, maxW] so no stratum explodes
+    * the variance of a weighted objective. Default target is the uniform
+    * mixture over observed strata — "every source counts equally" — with
+    * the target share derived from the stratum count via a window over
+    * the BOUNDED aggregated frame (one corpus scan total). The clip is
+    * reported next to the raw weight so the truncation is visible, not
+    * silent. */
+  def importanceWeights(docs: DataFrame, strataCol: String = "source",
+                        maxW: Double = 10.0): DataFrame = {
+    require(maxW >= 1.0, "the clip bound must be >= 1")
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    docs.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("n_total", sum(col("n_docs")).over(wAll))
+      .withColumn("n_strata", count(lit(1)).over(wAll))
+      .withColumn("obs_share", col("n_docs").cast("double") / col("n_total"))
+      .withColumn("target_share", lit(1.0) / col("n_strata"))
+      .withColumn("raw_w", col("target_share") / col("obs_share"))
+      .select(col(strataCol), col("n_docs"),
+        round(col("obs_share"), 6).as("obs_share"),
+        round(col("target_share"), 6).as("target_share"),
+        round(col("raw_w"), 6).as("raw_w"),
+        round(least(greatest(col("raw_w"), lit(1.0) / maxW), lit(maxW)), 6)
+          .as("weight"))
+      .orderBy(col(strataCol))
+  }
+
+  def importanceWeightsQuery(spark: SparkSession, dir: String): DataFrame =
+    importanceWeights(Lake.documents(spark, dir))
 }

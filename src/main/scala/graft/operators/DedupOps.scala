@@ -898,4 +898,54 @@ object DedupOps extends org.apache.spark.internal.Logging {
       .select(col("name_a"), col("name_b"), col("n_a"), col("n_b"), col("dist"))
       .orderBy(col("dist"), col("name_a"), col("name_b"))
   }
+
+  /** Sampled dedup-recall audit: does banded-LSH candidate generation
+    * actually find the true near-duplicate pairs? Ground truth cannot be
+    * all-pairs at scale, so the audit samples docs by the portable
+    * Lehmer bucket and computes their TRUE near-dup partners exactly via
+    * the inverted shingle index (sampled shingles ⋈ corpus shingles —
+    * bounded by the sampled side times shingle df, the containmentJoin
+    * shape, never corpus × corpus). The found side is the production
+    * [[nearDupPairs]] pipeline restricted to pairs touching a sampled
+    * doc. Exact verification makes found ⊆ true, so the single recall
+    * number is the banding loss — THE metric to watch when retuning
+    * bands/rows at a new corpus scale. */
+  def dedupRecall(docs: DataFrame, threshold: Double = 0.6,
+                  sampleBuckets: Int = 2000): DataFrame = {
+    val sampled = docs.filter(col("text").isNotNull)
+      .filter(CorpusOps.sampleBucket < sampleBuckets)
+      .select(col("doc_id"))
+    val sh = shingled(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val sShingle = sh.join(sampled, Seq("doc_id"), "left_semi")
+    val shared = sShingle.as("s")
+      .join(sh.as("o"), col("s.shingle") === col("o.shingle") &&
+        col("s.doc_id") =!= col("o.doc_id"))
+      .groupBy(col("s.doc_id").as("sd"), col("o.doc_id").as("od"))
+      .agg(count(lit(1)).as("shared"))
+    val truePairs = shared
+      .join(broadcast(sizes.select(col("doc_id").as("sd"), col("sz").as("sz_a"))), "sd")
+      .join(broadcast(sizes.select(col("doc_id").as("od"), col("sz").as("sz_b"))), "od")
+      .filter(col("shared") /
+        (col("sz_a") + col("sz_b") - col("shared")) >= threshold)
+      .select(least(col("sd"), col("od")).as("doc_a"),
+        greatest(col("sd"), col("od")).as("doc_b"))
+      .distinct()
+      .localCheckpoint(true)
+    sh.unpersist(false)
+    val found = nearDupPairs(docs, threshold)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("hit"))
+    truePairs
+      .join(found, Seq("doc_a", "doc_b"), "left")
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_found"))
+      .select(col("n_true"), col("n_found"),
+        // an empty ground truth yields NULL, not 0/0
+        when(col("n_true") > 0,
+          round(col("n_found") / col("n_true"), 4)).as("recall"))
+  }
+
+  def dedupRecall(spark: SparkSession, dir: String): DataFrame =
+    dedupRecall(Lake.documents(spark, dir))
 }

@@ -778,6 +778,105 @@ object EventOps {
     out
   }
 
+  /** Seasonal-naive forecast backtest: train on days before `cutoff`
+    * (per hour-of-day × event-type mean count, zeros included via the
+    * train-day denominator), forecast every test cell with its seasonal
+    * mean, and score MAE per event type over the DENSE test grid
+    * (test days × 24 hours × the type universe — absent cells are real
+    * zero-actuals, not missing rows). This is the eval loop behind any
+    * capacity/demand forecast: the seasonal-naive baseline is the
+    * number a fancier model must beat.
+    *
+    * Exactness: train totals and test counts are exact integers; the
+    * forecast is one division; each |actual − forecast| term is rounded
+    * once and decimal-summed per type (the surprisal discipline), so the
+    * MAE is aggregation-order-free. Grid sides are bounded (days × 24 ×
+    * types), so the spine cross-join is the q_gap_fill pattern. */
+  def forecastBacktest(spark: SparkSession, dir: String,
+                       cutoff: String = "2024-01-22"): DataFrame = {
+    val cut = lit(cutoff).cast("timestamp")
+    val ev = Lake.events(spark, dir)
+      .select(col("ts"), col("event_type"),
+        to_date(col("ts")).as("day"), hour(col("ts")).as("hod"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val train = ev.filter(col("ts") < cut)
+    val test = ev.filter(col("ts") >= cut)
+    // one distinct pass each for the bounded grid sides
+    val nTrainDays = train.select(col("day")).distinct().count()
+    require(nTrainDays > 0, "cutoff leaves no training days")
+    val trainMean = train.groupBy(col("hod"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("forecast", col("n").cast("double") / nTrainDays)
+      .select(col("hod"), col("event_type"), col("forecast"))
+    val testDays = test.select(col("day")).distinct()
+    val types = ev.select(col("event_type")).distinct()
+    val hods = spark.range(0, 24).select(col("id").cast("int").as("hod"))
+    val grid = testDays.crossJoin(broadcast(types)).crossJoin(broadcast(hods))
+    val actual = test.groupBy(col("day"), col("hod"), col("event_type"))
+      .agg(count(lit(1)).as("actual"))
+    val out = grid
+      .join(actual, Seq("day", "hod", "event_type"), "left")
+      .na.fill(0L, Seq("actual"))
+      .join(broadcast(trainMean), Seq("hod", "event_type"), "left")
+      .na.fill(0.0, Seq("forecast"))
+      .withColumn("term",
+        round(abs(col("actual") - col("forecast")), 6).cast("decimal(18,6)"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_cells"),
+        sum(col("actual")).as("n_actual"),
+        round(sum(col("term")).cast("double") / count(lit(1)), 4).as("mae"))
+      .orderBy(col("event_type"))
+      .localCheckpoint(true)
+    ev.unpersist(false)
+    out
+  }
+
+  /** Engagement (L28-style) histogram: how many users were active on
+    * exactly N distinct days — the power-user curve every growth team
+    * reads (a right-shifted hump = habitual product, a wall at 1 =
+    * drive-by traffic). Two shuffles over the BOUNDED distinct
+    * (user, day) frame, integer counts only. */
+  def engagementHist(spark: SparkSession, dir: String): DataFrame =
+    Lake.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("active_days"))
+      .groupBy(col("active_days"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("active_days"))
+
+  /** Stickiness (DAU/MAU-style) per day: daily actives over trailing
+    * 28-day actives — the habit-strength ratio. Both numerator and
+    * denominator derive from ONE persisted distinct (user, day) frame:
+    * the denominator via the [[rollingActives]] equi-join shape
+    * (bounded ×28 explode), the numerator as a plain day count; released
+    * once the bounded day report materializes. */
+  def stickiness(spark: SparkSession, dir: String,
+                 windowDays: Int = 28): DataFrame = {
+    val ud = Lake.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val days = ud.select(col("day")).distinct()
+    val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val mau = ud
+      .select(col("user_id"),
+        explode(sequence(lit(0), lit(windowDays - 1))).as("off"),
+        col("day"))
+      .select(col("user_id"), date_add(col("day"), col("off")).as("day"))
+      .join(days, Seq("day"), "left_semi")
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("mau"))
+    val out = dau.join(mau, Seq("day"))
+      .select(col("day"), col("dau"), col("mau"),
+        round(col("dau") / col("mau"), 6).as("stickiness"))
+      .orderBy(col("day"))
+      .localCheckpoint(true)
+    ud.unpersist(false)
+    out
+  }
+
   /** Deterministic A/B experiment readout: users are assigned to arms by
     * a THIRD Lehmer/MINSTD step of the stable user id (16807 multiplier —
     * decorrelated from the 48271-based split and sampling hashes, same

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.storage.StorageLevel
@@ -314,4 +315,53 @@ object GraphOps {
   /** Registered query: top in-degree hubs of the 5-NN embedding graph. */
   def hubnessQuery(spark: SparkSession, dir: String): DataFrame =
     hubness(AnnOps.knnGraph(spark, dir).select(col("src"), col("dst")))
+
+  /** Synchronous label propagation (community detection): every node
+    * starts as its own community, and each round adopts the most frequent
+    * label among its neighbors (ties → smallest label — fully
+    * deterministic, no RNG, so results are retry-stable and
+    * oracle-verifiable by unrolling the rounds). A fixed small round
+    * count is the honest scale choice: each round is one equi-join + one
+    * group-by + one per-node rank over the EDGE frame, and communities on
+    * bounded-degree graphs stabilize in a handful of rounds. Iterative
+    * frames follow the nearDupClusters discipline — every round ends in
+    * an eager localCheckpoint so lineage stays flat. Output: community
+    * sizes, largest first. */
+  def labelPropagation(edges0: DataFrame, iters: Int = 3,
+                       topK: Int = 20): DataFrame = {
+    require(iters >= 1, "need at least one propagation round")
+    val und = edges0.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+    val edges = und.unionByName(
+        und.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("c").desc, col("label"))
+    for (_ <- 1 to iters) {
+      labels = edges
+        .join(labels, edges("dst") === labels("node"))
+        .select(col("src"), col("label"))
+        .groupBy(col("src"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("src").as("node"), col("label"))
+        .localCheckpoint(true)
+    }
+    val out = labels.groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("n_nodes").desc, col("community"))
+      .limit(topK)
+      .localCheckpoint(true)
+    edges.unpersist(false)
+    out
+  }
+
+  /** Registered query: 3-round label propagation over the 5-NN graph. */
+  def labelPropQuery(spark: SparkSession, dir: String): DataFrame =
+    labelPropagation(AnnOps.knnGraph(spark, dir).select(col("src"), col("dst")))
 }

@@ -415,17 +415,11 @@ object Relational {
     * support alone can't give (frequent ≠ correlated). */
   def assocRules(spark: SparkSession, dir: String,
                  minOrders: Long = 2, topK: Int = 20): DataFrame = {
-    val baskets = Lake.lineitem(spark, dir)
-      .groupBy(col("l_orderkey"))
-      .agg(array_sort(collect_set(col("l_partkey"))).as("items"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairCounts = baskets.select(explode(expr(
-        """flatten(transform(items, (x, i) ->
-          |  transform(slice(items, i + 2, size(items)),
-          |            y -> struct(x AS pa, y AS pb))))""".stripMargin)).as("p"))
-      .groupBy(col("p.pa").as("part_a"), col("p.pb").as("part_b"))
-      .agg(count(lit(1)).as("n_ab"))
-      .filter(col("n_ab") >= minOrders)
+    // reads the shared basket artifact three times (pairs, item counts,
+    // total) — re-scanning the bounded materialized frame, never the
+    // fact table
+    val baskets = BasketArtifact.sharedBaskets(spark, dir)
+    val pairCounts = basketPairCounts(baskets, minOrders)
     val itemCounts = baskets.select(explode(col("items")).as("part"))
       .groupBy(col("part")).agg(count(lit(1)).as("n_orders"))
     val total = baskets.agg(count(lit(1)).as("n_total"))
@@ -443,8 +437,6 @@ object Relational {
           (col("n_a").cast("double") * col("n_b")), 6).as("lift"))
       .orderBy(col("lift").desc, col("part_a"), col("part_b"))
       .limit(topK)
-      .localCheckpoint(true)
-    baskets.unpersist(false)
     out
   }
 
@@ -911,21 +903,23 @@ object Relational {
     * baskets, then a pair-keyed partial-aggregated count and a bounded
     * TakeOrderedAndProject head. The self-join formulation the oracle
     * uses would shuffle the fact table twice. */
-  def copurchase(spark: SparkSession, dir: String,
-                 minOrders: Long = 2, topK: Int = 20): DataFrame = {
-    val baskets = Lake.lineitem(spark, dir)
-      .groupBy(col("l_orderkey"))
-      .agg(array_sort(collect_set(col("l_partkey"))).as("items"))
+  /** Per-basket ordered-pair fan-out shared by the market-basket family:
+    * k·(k−1)/2 struct rows per basket, grouped to pair counts. */
+  private def basketPairCounts(baskets: DataFrame, minOrders: Long): DataFrame =
     baskets.select(explode(expr(
         """flatten(transform(items, (x, i) ->
           |  transform(slice(items, i + 2, size(items)),
           |            y -> struct(x AS pa, y AS pb))))""".stripMargin)).as("p"))
       .groupBy(col("p.pa").as("part_a"), col("p.pb").as("part_b"))
-      .agg(count(lit(1)).as("n_orders"))
-      .filter(col("n_orders") >= minOrders)
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minOrders)
+
+  def copurchase(spark: SparkSession, dir: String,
+                 minOrders: Long = 2, topK: Int = 20): DataFrame =
+    basketPairCounts(BasketArtifact.sharedBaskets(spark, dir), minOrders)
+      .select(col("part_a"), col("part_b"), col("n_ab").as("n_orders"))
       .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
       .limit(topK)
-  }
 
   /** Item–item cosine similarity from market-basket co-occurrence:
     * cos(a,b) = n_ab / sqrt(n_a · n_b), where n_x counts the orders
@@ -942,24 +936,13 @@ object Relational {
     * tree. */
   def itemCosine(spark: SparkSession, dir: String,
                  minOrders: Long = 2, topK: Int = 20): DataFrame = {
-    // one fact scan: both the pair counts and the per-item counts derive
-    // from the persisted basket frame (item sets per order — the shuffle
-    // output both consumers need), released once the bounded top-K
-    // materializes
-    val baskets = Lake.lineitem(spark, dir)
-      .groupBy(col("l_orderkey"))
-      .agg(array_sort(collect_set(col("l_partkey"))).as("items"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one fact scan ever: both the pair counts and the per-item counts
+    // read the shared basket artifact (the materialized shuffle output
+    // every basket consumer needs)
+    val baskets = BasketArtifact.sharedBaskets(spark, dir)
     val itemN = baskets.select(explode(col("items")).as("pk"))
       .groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
-    val pairN = baskets.select(explode(expr(
-        """flatten(transform(items, (x, i) ->
-          |  transform(slice(items, i + 2, size(items)),
-          |            y -> struct(x AS pa, y AS pb))))""".stripMargin)).as("p"))
-      .groupBy(col("p.pa").as("part_a"), col("p.pb").as("part_b"))
-      .agg(count(lit(1)).as("n_ab"))
-      .filter(col("n_ab") >= minOrders)
-    val out = pairN
+    basketPairCounts(baskets, minOrders)
       .join(broadcast(itemN.select(col("pk").as("part_a"), col("n_item").as("n_a"))),
         "part_a")
       .join(broadcast(itemN.select(col("pk").as("part_b"), col("n_item").as("n_b"))),
@@ -968,9 +951,6 @@ object Relational {
         round(col("n_ab") / sqrt(col("n_a") * col("n_b")), 6).as("cosine"))
       .orderBy(col("cosine").desc, col("part_a"), col("part_b"))
       .limit(topK)
-      .localCheckpoint(true)
-    baskets.unpersist(false)
-    out
   }
 
   /** 2-D skyline (Pareto frontier) of parts: maximize `p_size`, minimize

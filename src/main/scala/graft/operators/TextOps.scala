@@ -1371,4 +1371,66 @@ object TextOps {
 
   def compressionRatio(spark: SparkSession, dir: String): DataFrame =
     compressionRatio(Lake.documents(spark, dir))
+
+  /** Keyword-in-context (KWIC) concordance — the corpus-inspection grep:
+    * every occurrence of `term` with `ctx` tokens of context either side.
+    * One token-array projection (kept as a multi-referenced alias — the
+    * §9 shingle lesson: never re-split inside per-token expressions), one
+    * posexplode bounded by token count, a filter that at scale would ride
+    * an inverted-index semi-join but as a scan is one pushdown-pruned
+    * pass. Positions are 1-based. */
+  def concordance(docs: DataFrame, term: String, ctx: Int = 3): DataFrame = {
+    require(ctx >= 0, "context width must be non-negative")
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), col("t"),
+        posexplode(col("t")).as(Seq("pos0", "token")))
+      .filter(col("token") === term)
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
+        concat_ws(" ", slice(col("t"),
+          greatest(lit(1), col("pos0") - ctx + 1),
+          least(lit(ctx), col("pos0")))).as("left_ctx"),
+        concat_ws(" ", slice(col("t"), col("pos0") + 2, lit(ctx)))
+          .as("right_ctx"))
+      .orderBy(col("doc_id"), col("pos"))
+  }
+
+  def concordanceQuery(spark: SparkSession, dir: String): DataFrame =
+    concordance(Lake.documents(spark, dir), term = "merge")
+
+  /** Readability profile per source: Flesch reading ease from exact
+    * integer counts — words (tokens), sentences (1 + terminal
+    * punctuation runs), and a vowel-run syllable proxy (the classic
+    * heuristic; real syllabification is dictionary work no engine does
+    * in a scan). All three sums are exact BIGINT and map-side
+    * combinable; the two ratios and the Flesch formula are the only
+    * double ops, evaluated as one identical scalar tree. On a
+    * punctuation-free corpus the sentence term degenerates to
+    * words-per-doc — a property of the data, reported as-is. */
+  def readability(docs: DataFrame): DataFrame = {
+    val d = docs.filter(col("text").isNotNull)
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_words"),
+        (lit(1) + length(regexp_replace(col("text"), "[^.!?]", ""))
+          ).cast("long").as("n_sents"),
+        // vowel RUNS (≈ syllables): collapsing each run to one char vs
+        // deleting all vowels differs by exactly the run count
+        (length(regexp_replace(col("text"), "[aeiouAEIOU]+", "V")) -
+          length(regexp_replace(col("text"), "[aeiouAEIOU]+", ""))
+          ).cast("long").as("n_syll"))
+    d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("sw"), sum(col("n_sents")).as("ss"),
+        sum(col("n_syll")).as("sy"))
+      .select(col("source"), col("n_docs"),
+        round(col("sw").cast("double") / col("ss"), 4).as("words_per_sentence"),
+        round(col("sy").cast("double") / col("sw"), 4).as("syllables_per_word"),
+        round(lit(206.835) -
+          lit(1.015) * (col("sw").cast("double") / col("ss")) -
+          lit(84.6) * (col("sy").cast("double") / col("sw")), 4).as("flesch"))
+      .orderBy(col("source"))
+  }
+
+  def readabilityQuery(spark: SparkSession, dir: String): DataFrame =
+    readability(Lake.documents(spark, dir))
 }

@@ -83,4 +83,27 @@ object StreamJoin {
     rows.toDF("batch_id", "operator", "state_rows_total", "state_rows_updated",
       "state_rows_removed", "state_memory_bytes")
   }
+
+  /** Late-data accounting across the query's whole progress history: per
+    * (batch, stateful operator), how many rows the watermark silently
+    * dropped. Watermark drops are CORRECT behavior — that is the
+    * contract — but unobserved drop counts are how a pipeline loses 2%
+    * of its events for a month before anyone notices; this is the
+    * dashboard number that makes the loss visible, next to each batch's
+    * watermark so the drop can be attributed to an ingest delay. One row
+    * per (batch, operator) with drops, cumulative across
+    * `recentProgress` (Spark keeps the last
+    * `spark.sql.streaming.numRecentProgressUpdates` batches). */
+  def lateDataMetrics(spark: org.apache.spark.sql.SparkSession,
+                      query: org.apache.spark.sql.streaming.StreamingQuery): DataFrame = {
+    import spark.implicits._
+    val rows = query.recentProgress.toSeq.flatMap { prog =>
+      val wm = Option(prog.eventTime).flatMap(m => Option(m.get("watermark")))
+        .getOrElse("")
+      prog.stateOperators.toSeq.map { op =>
+        (prog.batchId, op.operatorName, op.numRowsDroppedByWatermark, wm)
+      }
+    }
+    rows.toDF("batch_id", "operator", "rows_dropped_late", "watermark")
+  }
 }

@@ -189,6 +189,234 @@ class AnalyticsOpsSpec extends SparkSpecBase {
     for ((v, d) <- indeg if !listed(v)) assert(d <= cut)
   }
 
+  test("ann recall: hit counts equal the exact∩approx overlap and recall is sane") {
+    import graft.operators.AnnOps
+    val exact = AnnOps.bruteForce(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val approx = AnnOps.lsh(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = exact.groupBy(_._1).view
+      .mapValues(rows => rows.count(approx)).toMap
+    val got = AnnOps.annRecall(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._1).toSet == expected.keySet)
+    for ((q, hits, rec) <- got) {
+      assert(hits == expected(q), s"query $q: $hits vs ${expected(q)}")
+      assert(rec >= 0.0 && rec <= 1.0)
+      assert(math.abs(rec - hits / 5.0) < 1e-6)
+    }
+    assert(got.map(_._2).sum > 0, "LSH must recover at least some exact neighbors")
+  }
+
+  test("concordance matches a brute-force KWIC scan") {
+    import graft.operators.TextOps
+    val docs = Lake.documents(spark, Sf)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.flatMap { case (id, text) =>
+      val t = text.split(" ", -1)
+      t.zipWithIndex.collect { case ("merge", i) =>
+        (id, (i + 1).toLong,
+          t.slice(math.max(0, i - 3), i).mkString(" "),
+          t.slice(i + 1, i + 4).mkString(" "))
+      }
+    }.sortBy(r => (r._1, r._2))
+    val got = TextOps.concordanceQuery(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+    assert(got.toSeq == expected.toSeq)
+  }
+
+  test("readability reproduces brute-force word/sentence/vowel-run counts") {
+    import graft.operators.TextOps
+    val docs = Lake.documents(spark, Sf)
+      .filter(col("text").isNotNull)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val expected = docs.groupBy(_._1).map { case (src, rows) =>
+      val w = rows.map(_._2.split(" ", -1).length.toLong).sum
+      val s = rows.map(t => 1L + t._2.count(c => ".!?".contains(c))).sum
+      val y = rows.map(t =>
+        "[aeiouAEIOU]+".r.findAllIn(t._2).length.toLong).sum
+      src -> (206.835 - 1.015 * (w.toDouble / s) - 84.6 * (y.toDouble / w))
+    }
+    val got = TextOps.readabilityQuery(spark, Sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(got.keySet == expected.keySet)
+    for ((src, e) <- expected)
+      assert(math.abs(got(src) - e) < 1e-3, s"$src: ${got(src)} vs $e")
+  }
+
+  test("engagement histogram partitions the user universe by active-day count") {
+    val ud = Lake.events(spark, Sf)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .collect().map(r => (r.getLong(0), r.getDate(1)))
+    val expected = ud.groupBy(_._1).view.mapValues(_.length.toLong).toSeq
+      .groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val got = graft.operators.EventOps.engagementHist(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    assert(got.values.sum == ud.map(_._1).distinct.length)
+  }
+
+  test("stickiness: dau <= mau and the ratio reconciles with brute force") {
+    val ud = Lake.events(spark, Sf)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+    val got = graft.operators.EventOps.stickiness(spark, Sf).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.map(_._1).toSet == ud.map(_._1).distinct.toSet)
+    for ((d, dau, mau, ratio) <- got) {
+      val edau = ud.filter(_._1 == d).map(_._2).distinct.size
+      val emau = ud.filter { case (x, _) =>
+        !x.isAfter(d) && !x.isBefore(d.minusDays(27)) }.map(_._2).distinct.size
+      assert(dau == edau && mau == emau, s"$d: ($dau,$mau) vs ($edau,$emau)")
+      assert(dau <= mau)
+      assert(math.abs(ratio - dau.toDouble / mau) < 1e-6)
+    }
+  }
+
+  test("chi-square cells match a brute-force contingency table") {
+    val rows = Lake.orders(spark, Sf)
+      .join(Lake.customer(spark, Sf), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_orderstatus")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val n = rows.length.toDouble
+    val obs = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rowT = rows.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val colT = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val expChi2 = obs.map { case ((a, b), o) =>
+      val e = rowT(a) * colT(b) / n
+      (o - e) * (o - e) / e
+    }.sum
+    val got = graft.operators.CatalogOps.chi2Query(spark, Sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(5))))
+    assert(got.map(_._1).toSet == obs.keySet)
+    for ((cell, (o, chi2)) <- got) {
+      assert(o == obs(cell))
+      assert(math.abs(chi2 - expChi2) < 1e-3, s"chi2 $chi2 vs $expChi2")
+    }
+  }
+
+  test("welch t matches brute-force cohort moments") {
+    val vals = Lake.orders(spark, Sf)
+      .select(col("o_orderdate").cast("date"), col("o_totalprice")).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getDouble(1)))
+    val cut = java.time.LocalDate.parse("1997-01-01")
+    val a = vals.filter(_._1.isBefore(cut)).map(_._2)
+    val b = vals.filter(v => !v._1.isBefore(cut)).map(_._2)
+    def mv(xs: Array[Double]) = {
+      val m = xs.sum / xs.length
+      (m, xs.map(x => (x - m) * (x - m)).sum / (xs.length - 1))
+    }
+    val ((ma, va), (mb, vb)) = (mv(a), mv(b))
+    val se2 = va / a.length + vb / b.length
+    val et = (mb - ma) / math.sqrt(se2)
+    val r = graft.operators.CatalogOps.welchQuery(spark, Sf).collect().head
+    assert(r.getLong(0) == a.length && r.getLong(1) == b.length)
+    assert(math.abs(r.getDouble(2) - ma) < 0.01)
+    assert(math.abs(r.getDouble(3) - mb) < 0.01)
+    assert(math.abs(r.getDouble(4) - et) < 1e-2, s"t ${r.getDouble(4)} vs $et")
+  }
+
+  test("label propagation matches a brute-force 3-round sync LP with min tie-break") {
+    val knn = graft.operators.AnnOps.knnGraph(spark, Sf)
+      .select(col("src"), col("dst")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val und = knn.filter(e => e._1 != e._2)
+      .flatMap(e => Seq(e, (e._2, e._1))).distinct
+    val adj = und.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var labels = adj.keySet.map(n => n -> n).toMap
+    for (_ <- 1 to 3) {
+      labels = adj.map { case (n, nbrs) =>
+        val counts = nbrs.map(labels).groupBy(identity).view
+          .mapValues(_.length).toMap
+        n -> counts.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+      }
+    }
+    val expected = labels.values.groupBy(identity).view
+      .mapValues(_.size.toLong).toSeq
+      .sortBy { case (l, c) => (-c, l) }.take(20)
+    val got = graft.operators.GraphOps.labelPropQuery(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expected.map { case (l, c) => (l, c) })
+  }
+
+  test("forecast backtest MAE matches brute force on the dense test grid") {
+    val ev = Lake.events(spark, Sf)
+      .select(col("ts"), col("event_type")).collect()
+      .map(r => (r.getTimestamp(0).toLocalDateTime, r.getString(1)))
+    val cut = java.time.LocalDateTime.parse("2024-01-22T00:00:00")
+    val train = ev.filter(_._1.isBefore(cut))
+    val test = ev.filter(e => !e._1.isBefore(cut))
+    val nTrainDays = train.map(_._1.toLocalDate).distinct.length
+    val fc = train.groupBy(e => (e._1.getHour, e._2)).view
+      .mapValues(_.size.toDouble / nTrainDays).toMap
+    val testDays = test.map(_._1.toLocalDate).distinct
+    val types = ev.map(_._2).distinct
+    val actual = test.groupBy(e =>
+      (e._1.toLocalDate, e._1.getHour, e._2)).view.mapValues(_.size).toMap
+    val expected = types.map { t =>
+      val terms = for (d <- testDays; h <- 0 until 24) yield
+        math.abs(actual.getOrElse((d, h, t), 0) - fc.getOrElse((h, t), 0.0))
+      t -> terms.sum / terms.length
+    }.toMap
+    val got = graft.operators.EventOps.forecastBacktest(spark, Sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(got.keySet == expected.keySet)
+    for ((t, e) <- expected)
+      assert(math.abs(got(t) - e) < 1e-3, s"$t: ${got(t)} vs $e")
+  }
+
+  test("dedup recall: found pairs are a subset of brute-force truth on the sample") {
+    import graft.operators.{CorpusOps, DedupOps}
+    val r = DedupOps.dedupRecall(spark, Sf).collect().head
+    val (nTrue, nFound) = (r.getLong(0), r.getLong(1))
+    assert(nFound <= nTrue, "exact verification makes found ⊆ true")
+    if (nTrue > 0) assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+    // brute-force ground truth over the sampled docs
+    val docs = Lake.documents(spark, Sf)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text")).collect()
+      .map(x => (x.getLong(0), x.getString(1)))
+    def shingles(t: String): Set[String] = {
+      val toks = t.split(" ", -1)
+      if (toks.length >= 3) toks.sliding(3).map(_.mkString(" ")).toSet
+      else Set(toks.mkString(" "))
+    }
+    val sh = docs.map { case (id, t) => id -> shingles(t) }.toMap
+    val sampled = docs.map(_._1).filter(id =>
+      ((id * 48271L) % 2147483647L) % 10000 < 2000).toSet
+    // iterate sh.toSeq, not the Map: a tuple-yielding comprehension over
+    // a Map rebuilds a Map and silently collapses pairs sharing min(s,o)
+    val expected = (for {
+      s <- sampled.toSeq
+      (o, shO) <- sh.toSeq if o != s
+      inter = sh(s).intersect(shO).size
+      if inter.toDouble / (sh(s).size + shO.size - inter) >= 0.6
+    } yield (math.min(s, o), math.max(s, o))).distinct.size
+    assert(nTrue == expected, s"ground truth $nTrue vs brute-force $expected")
+  }
+
+  test("importance weights: uniform-target ratios, clipped and share-consistent") {
+    val counts = Lake.documents(spark, Sf)
+      .groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = counts.values.sum.toDouble
+    val k = counts.size
+    val got = graft.operators.CorpusOps.importanceWeightsQuery(spark, Sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(5)))
+    assert(got.map(_._1).toSet == counts.keySet)
+    for ((src, nd, obs, w) <- got) {
+      assert(nd == counts(src))
+      assert(math.abs(obs - nd / n) < 1e-6)
+      val raw = (1.0 / k) / (nd / n)
+      val clipped = math.min(math.max(raw, 0.1), 10.0)
+      assert(math.abs(w - clipped) < 1e-4, s"$src: $w vs $clipped")
+    }
+  }
+
   test("neyman allocation: shares sum to 1 and follow N_h*sigma_h proportions") {
     val rows = CorpusOps.neymanQuery(spark, Sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
