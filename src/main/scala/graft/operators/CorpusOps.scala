@@ -468,9 +468,16 @@ object CorpusOps {
     * split itself is one broadcast-free left join on doc_id plus pure
     * per-row arithmetic. */
   def leakageSplit(docs: DataFrame, threshold: Double = 0.6,
-                   trainPct: Int = 90, valPct: Int = 5): DataFrame = {
-    val clusters = DedupOps.nearDupClusters(docs, threshold)
-      .select(col("doc_id"), col("keeper"))
+                   trainPct: Int = 90, valPct: Int = 5): DataFrame =
+    leakageSplitFromClusters(docs,
+      DedupOps.nearDupClusters(docs, threshold), trainPct, valPct)
+
+  /** Core with the cluster frame supplied — the lake-bound form feeds
+    * the shared [[DedupOps]] artifact-backed clusters so the split does
+    * not re-run the LSH pipeline. */
+  def leakageSplitFromClusters(docs: DataFrame, clusters0: DataFrame,
+                               trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    val clusters = clusters0.select(col("doc_id"), col("keeper"))
     docs.select(col("doc_id"))
       .join(clusters, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -480,7 +487,8 @@ object CorpusOps {
   }
 
   def leakageSplitQuery(spark: SparkSession, dir: String): DataFrame =
-    leakageSplit(Lake.documents(spark, dir))
+    leakageSplitFromClusters(Lake.documents(spark, dir),
+      DedupOps.nearDupClusters(spark, dir))
 
   /** Deterministic training order: a reproducible global shuffle with
     * exact round-robin source interleave — the step between "cleaned

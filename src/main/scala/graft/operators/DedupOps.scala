@@ -259,7 +259,8 @@ object DedupOps extends org.apache.spark.internal.Logging {
   }
 
   def nearDupClusters(spark: SparkSession, dir: String): DataFrame =
-    nearDupClusters(Lake.documents(spark, dir))
+    clustersFromPairs(NearDupArtifact.sharedPairs(spark, dir)
+      .select(col("doc_a"), col("doc_b")))
 
   /** Small-graph path of [[nearDupClusters]]: union-find with path halving
     * over a bounded, already-collected edge list; keeper = component min
@@ -308,7 +309,10 @@ object DedupOps extends org.apache.spark.internal.Logging {
       .orderBy(col("bucket_size").desc, col("band"), col("band_hash"))
 
   def nearDupPairs(spark: SparkSession, dir: String): DataFrame =
-    nearDupPairs(Lake.documents(spark, dir))
+    // lake-bound form reads the shared verified-pairs artifact (built on
+    // first use this session); re-apply the report ordering on read
+    NearDupArtifact.sharedPairs(spark, dir)
+      .orderBy(col("doc_a"), col("doc_b"))
 
   /** SimHash bit width and banding layout: 60 bits ([[TextOps
     * .portableHash60]] md5-slice token hashes — oracle-reproducible in any
@@ -911,7 +915,14 @@ object DedupOps extends org.apache.spark.internal.Logging {
     * number is the banding loss — THE metric to watch when retuning
     * bands/rows at a new corpus scale. */
   def dedupRecall(docs: DataFrame, threshold: Double = 0.6,
-                  sampleBuckets: Int = 2000): DataFrame = {
+                  sampleBuckets: Int = 2000): DataFrame =
+    dedupRecall(docs, nearDupPairs(docs, threshold), threshold, sampleBuckets)
+
+  /** Core with the found-pairs frame supplied — the lake-bound form
+    * passes the shared [[NearDupArtifact]] so the audit never re-runs
+    * the production pipeline it is auditing. */
+  def dedupRecall(docs: DataFrame, foundPairs: DataFrame, threshold: Double,
+                  sampleBuckets: Int): DataFrame = {
     val sampled = docs.filter(col("text").isNotNull)
       .filter(CorpusOps.sampleBucket < sampleBuckets)
       .select(col("doc_id"))
@@ -934,7 +945,7 @@ object DedupOps extends org.apache.spark.internal.Logging {
       .distinct()
       .localCheckpoint(true)
     sh.unpersist(false)
-    val found = nearDupPairs(docs, threshold)
+    val found = foundPairs
       .select(col("doc_a"), col("doc_b"), lit(1L).as("hit"))
     truePairs
       .join(found, Seq("doc_a", "doc_b"), "left")
@@ -947,5 +958,7 @@ object DedupOps extends org.apache.spark.internal.Logging {
   }
 
   def dedupRecall(spark: SparkSession, dir: String): DataFrame =
-    dedupRecall(Lake.documents(spark, dir))
+    dedupRecall(Lake.documents(spark, dir),
+      NearDupArtifact.sharedPairs(spark, dir), threshold = 0.6,
+      sampleBuckets = 2000)
 }

@@ -218,6 +218,15 @@ class PlanShapeSpec extends SparkSpecBase {
       s"itemCosine: at most the one artifact-build fact scan, saw $liScans")
     assert(icPlans.exists(p => p.contains("graft_baskets_")),
       "itemCosine must read the shared basket artifact")
+    // near-dup family: clusters read the shared verified-pairs artifact;
+    // after the one-time build, no signature/verify corpus scans recur
+    val ndPlans = allPlansOf(
+      graft.operators.DedupOps.nearDupClusters(spark, Sf))
+    assert(ndPlans.exists(p => p.contains("graft_neardup_")),
+      "nearDupClusters must read the shared pairs artifact")
+    val nd2 = allPlansOf(graft.operators.DedupOps.nearDupClusters(spark, Sf))
+    assert(!nd2.exists(_.contains("documents.parquet")),
+      "a second cluster call must not re-scan the corpus (artifact reuse)")
   }
 
   test("no registered query plans an unintended product join") {
