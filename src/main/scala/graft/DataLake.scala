@@ -113,7 +113,22 @@ final case class DataLake(spark: SparkSession, dir: String) {
     // sha256 group-by / cluster loop run once, not per consumer
     val afterExact = docs.join(exactKeepers, Seq("doc_id"), "left_semi")
       .persist(MEMORY_AND_DISK)
-    val afterNear = DedupOps.dedupNear(afterExact, threshold)
+    // near-dedup of the exact-deduped subset reuses the RAW-corpus
+    // verified pairs artifact restricted to surviving docs: exact-dup
+    // removal does not change any survivor's shingle set, so the induced
+    // subgraph of the raw pair graph IS the subset's pair graph (the one
+    // divergence is the hot-bucket cap, which sees smaller buckets after
+    // exact dedup — but content that hot is exactly what exact dedup
+    // just collapsed). One signature+verify pass per corpus version,
+    // shared with the whole dedup family, instead of a private rerun.
+    val keptPairs = NearDupArtifact.sharedPairs(spark, dir, threshold)
+      .join(afterExact.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
+      .join(afterExact.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
+      .select(col("doc_a"), col("doc_b"))
+    val nearLosers = DedupOps.clustersFromPairs(keptPairs)
+      .filter(col("doc_id") =!= col("keeper"))
+      .select(col("doc_id"))
+    val afterNear = afterExact.join(nearLosers, Seq("doc_id"), "left_anti")
       .persist(MEMORY_AND_DISK)
     val lowQuality = TextOps.qualityRules(afterNear)
       .filter(!col("keep")).select(col("doc_id"))

@@ -178,7 +178,7 @@ object GraphOps {
     * pre-degreed construction — same output as the generic path,
     * spec-asserted). */
   def pageRankQuery(spark: SparkSession, dir: String): DataFrame =
-    pageRankPreDegreed(tradeEdgesWithDeg(spark, dir))
+    pageRankPreDegreed(TradeGraphArtifact.sharedEdges(spark, dir))
 
   /** Per-node triangle participation over an arbitrary edge frame — the
     * local-clustering signal (tight communities vs hub-and-spoke) that
