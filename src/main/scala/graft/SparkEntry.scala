@@ -466,6 +466,11 @@ object SparkEntry {
       DedupOps.dedupRecall(s, d)),
     // Importance weights toward the uniform source mixture
     "q_importance_weights" -> CorpusOps.importanceWeightsQuery _,
+    // Week-over-week growth of event counts and value
+    "q_wow_growth"        -> EventOps.weeklyGrowth _,
+    // Frequent 3-itemsets over the shared basket artifact
+    "q_itemsets3"         -> ((s: SparkSession, d: String) =>
+      Relational.frequentTriples(s, d)),
   )
 
   /** [[TextOps.patternScan]] dictionary for the driver query: token
@@ -4306,6 +4311,32 @@ object SparkEntry {
         |  round(raw_w, 6) AS raw_w,
         |  round(least(greatest(raw_w, 0.1), 10.0), 6) AS weight
         |FROM y ORDER BY source""".stripMargin,
+    // WoW growth: bounded week frame, lag window, exact inputs to the
+    // two ratio divisions; first week NULL.
+    "q_wow_growth" ->
+      """WITH wk AS (SELECT cast(date_trunc('week', ts) AS timestamp) AS week,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    sum(CAST(value AS DECIMAL(18,2))) AS wv
+        |  FROM events GROUP BY 1),
+        |l AS (SELECT week, n_events, wv,
+        |    lag(n_events) OVER (ORDER BY week) AS pn,
+        |    lag(wv) OVER (ORDER BY week) AS pv FROM wk)
+        |SELECT week, n_events, round(CAST(wv AS DOUBLE), 2) AS week_value,
+        |  round(CAST(n_events - pn AS DOUBLE) / pn, 6) AS events_wow,
+        |  round(CAST(wv - pv AS DOUBLE) / CAST(pv AS DOUBLE), 6) AS value_wow
+        |FROM l ORDER BY week""".stripMargin,
+    // Frequent triples: the independent 3-way self-join formulation.
+    "q_itemsets3" ->
+      """SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |  c.l_partkey AS part_c,
+        |  count(DISTINCT a.l_orderkey) AS n_orders
+        |FROM lineitem a
+        |JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |  AND a.l_partkey < b.l_partkey
+        |JOIN lineitem c ON b.l_orderkey = c.l_orderkey
+        |  AND b.l_partkey < c.l_partkey
+        |GROUP BY 1, 2, 3 HAVING count(DISTINCT a.l_orderkey) >= 2
+        |ORDER BY n_orders DESC, part_a, part_b, part_c LIMIT 20""".stripMargin,
   )
 
   /** Oracle twin of CatalogOps.profile: one UNION ALL branch per column. */

@@ -778,6 +778,30 @@ object EventOps {
     out
   }
 
+  /** Week-over-week growth report: weekly event counts and exact decimal
+    * value sums with the previous week's delta as a ratio — the
+    * first-page growth dashboard. One shuffle to the bounded week frame;
+    * the lag window runs over weeks (bounded by calendar), and each
+    * growth ratio is one double division of exact inputs. The first week
+    * reports NULL growth rather than a fake zero. */
+  def weeklyGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val wk = Lake.events(spark, dir)
+      .groupBy(date_trunc("week", col("ts")).as("week"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(dec2)).as("wk_value"))
+    val w = Window.orderBy(col("week"))
+    wk
+      .withColumn("prev_n", lag(col("n_events"), 1).over(w))
+      .withColumn("prev_v", lag(col("wk_value"), 1).over(w))
+      .select(col("week"), col("n_events"),
+        round(col("wk_value").cast("double"), 2).as("week_value"),
+        round((col("n_events") - col("prev_n")).cast("double") /
+          col("prev_n"), 6).as("events_wow"),
+        round((col("wk_value") - col("prev_v")).cast("double") /
+          col("prev_v").cast("double"), 6).as("value_wow"))
+      .orderBy(col("week"))
+  }
+
   /** Seasonal-naive forecast backtest: train on days before `cutoff`
     * (per hour-of-day × event-type mean count, zeros included via the
     * train-day denominator), forecast every test cell with its seasonal

@@ -953,6 +953,30 @@ object Relational {
       .limit(topK)
   }
 
+  /** Frequent 3-itemsets over the shared basket artifact: every ordered
+    * triple (a < b < c) co-ordered at least `minOrders` times — the next
+    * rung above pair mining for bundle/recommendation work. The fan-out
+    * is C(k,3) per basket, cubic in basket size k — acceptable exactly
+    * because baskets are small by nature (line items per order); for
+    * heavy-tailed basket sizes, cap or sample big baskets first (the
+    * hot-bucket discipline). Reads the [[BasketArtifact]]: no fact
+    * scan. */
+  def frequentTriples(spark: SparkSession, dir: String,
+                      minOrders: Long = 2, topK: Int = 20): DataFrame =
+    BasketArtifact.sharedBaskets(spark, dir)
+      .select(explode(expr(
+        """flatten(flatten(transform(items, (x, i) ->
+          |  transform(slice(items, i + 2, size(items)), (y, j) ->
+          |    transform(slice(items, i + j + 3, size(items)),
+          |              z -> struct(x AS pa, y AS pb, z AS pc))))))""".stripMargin))
+        .as("t"))
+      .groupBy(col("t.pa").as("part_a"), col("t.pb").as("part_b"),
+        col("t.pc").as("part_c"))
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= minOrders)
+      .orderBy(col("n_orders").desc, col("part_a"), col("part_b"), col("part_c"))
+      .limit(topK)
+
   /** 2-D skyline (Pareto frontier) of parts: maximize `p_size`, minimize
     * `p_retailprice` — no other part is at least as large AND at least as
     * cheap with one strict. The naive formulation is a non-equi self-join

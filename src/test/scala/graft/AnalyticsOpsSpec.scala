@@ -417,6 +417,42 @@ class AnalyticsOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("weekly growth ratios reconcile with brute-force week counts") {
+    val ev = Lake.events(spark, Sf)
+      .select(col("ts")).collect()
+      .map(_.getTimestamp(0).toLocalDateTime.toLocalDate)
+    def weekOf(d: java.time.LocalDate) =
+      d.minusDays(d.getDayOfWeek.getValue - 1L)
+    val weeks = ev.groupBy(weekOf).view.mapValues(_.length.toLong)
+      .toSeq.sortBy(_._1.toEpochDay)
+    val got = graft.operators.EventOps.weeklyGrowth(spark, Sf).collect()
+      .map(r => (r.getTimestamp(0).toLocalDateTime.toLocalDate,
+        r.getLong(1), if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(got.map(w => w._1 -> w._2).toSeq == weeks.map(w => w._1 -> w._2))
+    assert(got.head._3.isEmpty, "first week has no previous to grow from")
+    for (i <- 1 until got.length) {
+      val e = (weeks(i)._2 - weeks(i - 1)._2).toDouble / weeks(i - 1)._2
+      assert(math.abs(got(i)._3.get - e) < 1e-6)
+    }
+  }
+
+  test("frequent triples match brute-force basket combinations") {
+    val li = Lake.lineitem(spark, Sf)
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = li.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val it = rows.map(_._2).distinct.sorted
+      for (i <- it.indices; j <- i + 1 until it.length; k <- j + 1 until it.length)
+        yield (it(i), it(j), it(k))
+    }.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= 2).toMap
+    val got = graft.operators.Relational.frequentTriples(spark, Sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getLong(3)))
+    for ((t, n) <- got) assert(expected.get(t).contains(n), s"$t: $n")
+    // and nothing frequent is missed below the top-K cut
+    if (got.length < 20) assert(got.length == expected.size)
+  }
+
   test("neyman allocation: shares sum to 1 and follow N_h*sigma_h proportions") {
     val rows = CorpusOps.neymanQuery(spark, Sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
