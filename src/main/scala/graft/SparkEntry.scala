@@ -471,6 +471,21 @@ object SparkEntry {
     // Frequent 3-itemsets over the shared basket artifact
     "q_itemsets3"         -> ((s: SparkSession, d: String) =>
       Relational.frequentTriples(s, d)),
+    // Lag 1..7 autocorrelation of the daily event-count series
+    "q_acf"               -> ((s: SparkSession, d: String) =>
+      EventOps.acfQuery(s, d)),
+    // Kaplan-Meier user-lifetime survival curve (right-censored)
+    "q_survival"          -> ((s: SparkSession, d: String) =>
+      EventOps.survivalCurve(s, d)),
+    // RFM quintile segmentation of customers over orders
+    "q_rfm"               -> Relational.rfmSegments _,
+    // Trade-graph degree distribution from the shared edge artifact
+    "q_degree_dist"       -> GraphOps.degreeDistQuery _,
+    // Trade-graph degree assortativity (Newman r over mirrored edges)
+    "q_assortativity"     -> GraphOps.assortativityQuery _,
+    // Per-clip audio stats through the REAL RIFF/WAVE PCM16 codec
+    "q_wav_stats"         -> ((s: SparkSession, d: String) =>
+      MultimodalOps.wavStats(s, d)),
   )
 
   /** [[TextOps.patternScan]] dictionary for the driver query: token
@@ -4337,6 +4352,142 @@ object SparkEntry {
         |  AND b.l_partkey < c.l_partkey
         |GROUP BY 1, 2, 3 HAVING count(DISTINCT a.l_orderkey) >= 2
         |ORDER BY n_orders DESC, part_a, part_b, part_c LIMIT 20""".stripMargin,
+    // ACF: BIGINT moment sums per lag, the same centered-expansion
+    // scalar tree (m·Σx terms), one bounded lag frame.
+    "q_acf" ->
+      """WITH d AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx FROM d),
+        |p AS (SELECT r.range AS k, CAST(count(*) AS BIGINT) AS c,
+        |    CAST(sum(a.x) AS BIGINT) AS sa, CAST(sum(b.x) AS BIGINT) AS sb,
+        |    CAST(sum(a.x * b.x) AS BIGINT) AS sab
+        |  FROM d a CROSS JOIN range(1, 8) r
+        |  JOIN d b ON b.day = a.day + CAST(r.range AS INTEGER)
+        |  GROUP BY 1)
+        |SELECT CAST(k AS INTEGER) AS lag, c AS n_pairs,
+        |  round((CAST(sab AS DOUBLE) - (CAST(sx AS DOUBLE) / n) * sa
+        |      - (CAST(sx AS DOUBLE) / n) * sb
+        |      + c * (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+        |    / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n), 6) AS acf
+        |FROM p, s ORDER BY lag""".stripMargin,
+    // Kaplan-Meier: bounded week frame, running risk set, exp-sum-ln
+    // product over the ordered window, survival rounded to 4.
+    "q_survival" ->
+      """WITH u AS (SELECT user_id, min(CAST(ts AS DATE)) AS fd,
+        |    max(CAST(ts AS DATE)) AS ld FROM events GROUP BY 1),
+        |e AS (SELECT max(ld) AS ce FROM u),
+        |l AS (SELECT CAST(floor(date_diff('day', fd, ld) / 7) AS INTEGER)
+        |      AS week,
+        |    CASE WHEN date_diff('day', ld, ce) > 14 THEN 1 ELSE 0 END
+        |      AS observed
+        |  FROM u, e),
+        |w AS (SELECT week, CAST(sum(observed) AS BIGINT) AS deaths,
+        |    CAST(sum(1 - observed) AS BIGINT) AS censored,
+        |    CAST(count(*) AS BIGINT) AS leaving
+        |  FROM l GROUP BY 1),
+        |r AS (SELECT week, deaths, censored,
+        |    CAST(sum(leaving) OVER () AS BIGINT) - CAST(coalesce(
+        |      sum(leaving) OVER (ORDER BY week
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS n_at_risk
+        |  FROM w)
+        |SELECT week, n_at_risk, deaths, censored,
+        |  round(CAST(deaths AS DOUBLE) / n_at_risk, 6) AS hazard,
+        |  round(exp(sum(ln(1.0 - CAST(deaths AS DOUBLE) / n_at_risk))
+        |    OVER (ORDER BY week)), 4) AS survival
+        |FROM r ORDER BY week""".stripMargin,
+    // RFM: quantile_cont fences rounded to 4 (the percentile-agreement
+    // scale), strictly-above scoring, recency inverted, one double
+    // division per segment cell.
+    "q_rfm" -> {
+      def sc(v: String, q: String): String =
+        s"(1 + ${(1 to 4).map(i =>
+          s"(CASE WHEN $v > round($q[$i], 4) THEN 1 ELSE 0 END)")
+          .mkString(" + ")})"
+      s"""WITH c AS (SELECT o_custkey, max(o_orderdate) AS lo,
+         |    CAST(count(*) AS BIGINT) AS freq,
+         |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+         |  FROM orders GROUP BY 1),
+         |e AS (SELECT max(lo) AS ce FROM c),
+         |r AS (SELECT o_custkey,
+         |    CAST(date_diff('day', lo, ce) AS DOUBLE) AS recency,
+         |    CAST(freq AS DOUBLE) AS freqd,
+         |    CAST(monetary AS DOUBLE) AS money, monetary FROM c, e),
+         |f AS (SELECT quantile_cont(recency, [0.2, 0.4, 0.6, 0.8]) AS rq,
+         |    quantile_cont(freqd, [0.2, 0.4, 0.6, 0.8]) AS fq,
+         |    quantile_cont(money, [0.2, 0.4, 0.6, 0.8]) AS mq FROM r),
+         |s AS (SELECT monetary,
+         |    6 - ${sc("recency", "rq")} AS r_score,
+         |    ${sc("freqd", "fq")} AS f_score,
+         |    ${sc("money", "mq")} AS m_score
+         |  FROM r, f)
+         |SELECT concat(CAST(r_score AS VARCHAR), '-',
+         |    CAST(f_score AS VARCHAR), '-', CAST(m_score AS VARCHAR))
+         |    AS segment,
+         |  CAST(count(*) AS BIGINT) AS n_customers,
+         |  round(CAST(sum(monetary) AS DOUBLE), 2) AS total_monetary
+         |FROM s GROUP BY 1 ORDER BY segment""".stripMargin
+    },
+    // Degree distribution: recompute degrees independently from the
+    // distinct customer-supplier pair frame.
+    "q_degree_dist" ->
+      """WITH pairs AS (SELECT DISTINCT
+        |    concat('c', CAST(o_custkey AS VARCHAR)) AS c,
+        |    concat('s', CAST(l_suppkey AS VARCHAR)) AS s
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |deg AS (SELECT c AS node, CAST(count(*) AS BIGINT) AS degree
+        |    FROM pairs GROUP BY 1
+        |  UNION ALL
+        |  SELECT s, CAST(count(*) AS BIGINT) FROM pairs GROUP BY 1)
+        |SELECT substr(node, 1, 1) AS side, degree,
+        |  CAST(count(*) AS BIGINT) AS n_nodes
+        |FROM deg GROUP BY 1, 2 ORDER BY side, degree""".stripMargin,
+    // Assortativity: HUGEINT moment sums over the mirrored edge list
+    // (decimal(38,0) on the Spark side), one closed-form double row.
+    "q_assortativity" ->
+      """WITH pairs AS (SELECT DISTINCT
+        |    concat('c', CAST(o_custkey AS VARCHAR)) AS c,
+        |    concat('s', CAST(l_suppkey AS VARCHAR)) AS s
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |deg AS (SELECT c AS node, CAST(count(*) AS HUGEINT) AS degree
+        |    FROM pairs GROUP BY 1
+        |  UNION ALL
+        |  SELECT s, CAST(count(*) AS HUGEINT) FROM pairs GROUP BY 1),
+        |edges AS (SELECT c AS src, s AS dst FROM pairs
+        |  UNION ALL SELECT s, c FROM pairs),
+        |m AS (SELECT CAST(count(*) AS HUGEINT) AS e,
+        |    sum(a.degree) AS sx, sum(b.degree) AS sy,
+        |    sum(a.degree * a.degree) AS sxx,
+        |    sum(b.degree * b.degree) AS syy,
+        |    sum(a.degree * b.degree) AS sxy
+        |  FROM edges JOIN deg a ON src = a.node JOIN deg b ON dst = b.node)
+        |SELECT CAST(e AS BIGINT) AS n_edges,
+        |  round(CAST(e * sxy - sx * sy AS DOUBLE)
+        |    / sqrt(CAST(e * sxx - sx * sx AS DOUBLE)
+        |      * CAST(e * syy - sy * sy AS DOUBLE)), 6) AS assortativity
+        |FROM m""".stripMargin,
+    // WAV stats: every value reconstructed from the container layout
+    // (44-byte header + 2 bytes/sample) and the (b-128)*256 sample map.
+    "q_wav_stats" ->
+      """WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS n
+        |           FROM documents WHERE text IS NOT NULL),
+        |s AS (SELECT doc_id, n,
+        |        list_transform(range(1, n + 1),
+        |          i -> (unicode(text[i]) - 128) * 256) AS sm
+        |      FROM d)
+        |SELECT doc_id, CAST(44 + 2 * n AS BIGINT) AS n_bytes,
+        |  CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+        |  round(CASE WHEN n > 0 THEN
+        |    sqrt(CAST(list_aggregate(list_transform(sm,
+        |      v -> CAST(v AS BIGINT) * v), 'sum') AS DOUBLE) / n)
+        |    ELSE 0.0 END, 4) AS rms,
+        |  CAST(coalesce(list_aggregate(list_transform(sm,
+        |    v -> abs(v)), 'max'), 0) AS BIGINT) AS peak
+        |FROM s ORDER BY doc_id""".stripMargin,
   )
 
   /** Oracle twin of CatalogOps.profile: one UNION ALL branch per column. */

@@ -949,4 +949,106 @@ object EventOps {
               (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 4))
           .as("z_stat"))
   }
+
+  /** Lag-k autocorrelation (sample ACF) of the daily event-count series,
+    * k = 1..`maxLag` — the first diagnostic any seasonality / forecast
+    * work runs (a weekly cycle shows up as a positive spike at lag 7).
+    *
+    * Shape: one events scan → bounded daily frame (calendar days); pairs
+    * at lag k come from an EQUI self-join on `day + k` (never a windowed
+    * shift per lag — one join covers every lag via a 7-way explode of the
+    * probe side). All accumulated sums are BIGINT (counts, products of
+    * counts), so aggregation order cannot move a bit; the mean, the
+    * centered cross-moment expansion Σxy − m·Σx − m·Σy + c·m², and the
+    * variance denominator are evaluated as one deterministic scalar tree
+    * per lag row on the bounded lag frame, rounded to 6. */
+  def acfQuery(spark: SparkSession, dir: String, maxLag: Int = 7): DataFrame = {
+    val daily = Lake.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = daily.agg(
+      count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("x") * col("x")).as("sxx"))
+    val pairs = daily
+      .withColumn("k", explode(sequence(lit(1), lit(maxLag))))
+      .withColumn("tday", date_add(col("day"), col("k")))
+      .select(col("k"), col("tday"), col("x").as("xa"))
+      .join(daily.select(col("day").as("tday"), col("x").as("xb")), "tday")
+    val out = pairs
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("c"), sum(col("xa")).as("sa"),
+        sum(col("xb")).as("sb"), sum(col("xa") * col("xb")).as("sab"))
+      .crossJoin(broadcast(stats))
+      .withColumn("m", col("sx").cast("double") / col("n"))
+      .select(
+        col("k").cast("int").as("lag"),
+        col("c").cast("long").as("n_pairs"),
+        round(
+          (col("sab").cast("double") - col("m") * col("sa") -
+            col("m") * col("sb") + col("c") * col("m") * col("m")) /
+            (col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx") / col("n")), 6)
+          .as("acf"))
+      .orderBy(col("lag"))
+      .localCheckpoint(true)
+    daily.unpersist(false)
+    out
+  }
+
+  /** Kaplan–Meier survival curve over user lifetimes with right
+    * censoring — the churn analysis done properly: a user whose last
+    * event sits within `censorDays` of the corpus end is CENSORED (still
+    * alive as far as the data can tell), not a churn event, so naive
+    * "lifetime histogram" bias never enters. Lifetime = weeks from first
+    * to last event day.
+    *
+    * Shape: one events scan → per-user (first, last) frame (persisted —
+    * it feeds both the corpus-end probe and the lifetime rows, the
+    * standing multi-consumer discipline) → bounded week frame. The risk
+    * set n_t = total − everyone who left before t comes from a running
+    * sum over the bounded week frame; S(t) is the KM product
+    * Π (1 − d/n) evaluated as exp(Σ ln(…)) over the same bounded ordered
+    * window — sequential and identical in both engines, rounded to 4
+    * (the sqrt/ln rounding scale used across the repo). */
+  def survivalCurve(spark: SparkSession, dir: String,
+                    censorDays: Int = 14): DataFrame = {
+    val users = Lake.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .groupBy(col("user_id"))
+      .agg(min(col("day")).as("first_day"), max(col("day")).as("last_day"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val end = users.agg(max(col("last_day")).as("corpus_end"))
+    val byWeek = users
+      .crossJoin(broadcast(end))
+      .select(
+        floor(datediff(col("last_day"), col("first_day")) / 7)
+          .cast("int").as("week"),
+        when(datediff(col("corpus_end"), col("last_day")) > censorDays, 1L)
+          .otherwise(0L).as("observed"))
+      .groupBy(col("week"))
+      .agg(sum(col("observed")).as("deaths"),
+        sum(lit(1L) - col("observed")).as("censored"),
+        count(lit(1)).as("leaving"))
+    val wOrd = Window.orderBy(col("week"))
+    val out = byWeek
+      .withColumn("total", sum(col("leaving")).over(
+        Window.orderBy(col("week"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("left_before", coalesce(
+        sum(col("leaving")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n_at_risk", col("total") - col("left_before"))
+      .withColumn("haz",
+        col("deaths").cast("double") / col("n_at_risk"))
+      .select(
+        col("week"), col("n_at_risk"), col("deaths"), col("censored"),
+        round(col("haz"), 6).as("hazard"),
+        round(exp(sum(log(lit(1.0) - col("haz"))).over(wOrd)), 4)
+          .as("survival"))
+      .orderBy(col("week"))
+      .localCheckpoint(true)
+    users.unpersist(false)
+    out
+  }
 }

@@ -364,4 +364,53 @@ object GraphOps {
   /** Registered query: 3-round label propagation over the 5-NN graph. */
   def labelPropQuery(spark: SparkSession, dir: String): DataFrame =
     labelPropagation(AnnOps.knnGraph(spark, dir).select(col("src"), col("dst")))
+
+  /** Degree distribution of the customer↔supplier trade graph: nodes per
+    * degree, split by node side — the first thing anyone plots about a
+    * graph, and the input to every power-law / hub argument. Reads the
+    * SHARED degree-attached edge artifact (build-once discipline), so
+    * the whole query is a distinct over (node, deg) + one bounded
+    * aggregate: no join, no window, nothing quadratic. */
+  def degreeDistQuery(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.TradeGraphArtifact.sharedEdges(spark, dir)
+      .select(col("src"), col("deg")).distinct()
+      .groupBy(substring(col("src"), 1, 1).as("side"),
+        col("deg").cast("long").as("degree"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("side"), col("degree"))
+
+  /** Degree assortativity of the trade graph: the Pearson correlation of
+    * endpoint degrees across (directed-mirror) edges — negative in
+    * hub-and-spoke commerce graphs (high-degree customers buy from
+    * low-degree suppliers and vice versa), positive in social graphs.
+    * The standard Newman formulation over the mirrored edge list IS the
+    * undirected definition (each edge contributes both orientations).
+    *
+    * Exactness: the artifact carries the SOURCE endpoint's degree on
+    * every edge row; one equi-join against the distinct (node, deg)
+    * frame attaches the destination degree (node frame is bounded by the
+    * entity universe, edges stay distributed). All five moment sums
+    * accumulate in decimal(38,0) — E·Σxy products overflow BIGINT at
+    * fact scale — then one double evaluation of the closed form,
+    * rounded to 6. */
+  def assortativityQuery(spark: SparkSession, dir: String): DataFrame = {
+    val dec0 = DecimalType(38, 0)
+    val edges = graft.operators.TradeGraphArtifact.sharedEdges(spark, dir)
+    val nodeDeg = edges.select(col("src").as("node"), col("deg").as("ddeg"))
+      .distinct()
+    edges
+      .join(nodeDeg, col("dst") === col("node"))
+      .select(col("deg").cast(dec0).as("x"), col("ddeg").cast(dec0).as("y"))
+      .agg(count(lit(1)).cast(dec0).as("e"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(
+        col("e").cast("long").as("n_edges"),
+        round((col("e") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          sqrt((col("e") * col("sxx") - col("sx") * col("sx")).cast("double") *
+            (col("e") * col("syy") - col("sy") * col("sy")).cast("double")), 6)
+          .as("assortativity"))
+  }
 }

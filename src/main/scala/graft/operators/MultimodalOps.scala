@@ -24,6 +24,11 @@ final case class MediaResized(doc_id: Long, w: Long, h: Long,
 final case class MediaHash(doc_id: Long, b0: Long, b1: Long, b2: Long,
                            b3: Long, nbits: Long)
 
+/** Per-clip audio stats from the REAL WAV decode path. */
+final case class MediaAudio(doc_id: Long, n_bytes: Long, sample_rate: Long,
+                            n_samples: Long, duration_ms: Long,
+                            rms: Double, peak: Long)
+
 /** Multimodal column support (SURVEY.md §2 item 25): media payloads as
   * opaque `binary` columns with typed metadata, plus a batched decode path
   * with a REAL public-format kernel.
@@ -179,6 +184,141 @@ object MultimodalOps {
       r += 1
     }
     (w, h, 255, px)
+  }
+
+  /** Audio sample rate used by [[wavEncode]] (8 kHz telephone band). */
+  val WavSampleRate = 8000
+
+  /** Spec-compliant RIFF/WAVE PCM encoder — the THIRD real codec, the
+    * audio modality's twin of [[ppmEncode]]/[[bmpEncode]]: each input
+    * byte becomes one signed 16-bit mono sample, `s = (b − 128) << 8`
+    * (unsigned-midline centering, full-scale little-endian PCM). The
+    * output is a real .wav file — aplay/ffmpeg/audacity open it:
+    * `RIFF <size> WAVE`, a 16-byte `fmt ` chunk (PCM, 1 channel,
+    * [[WavSampleRate]], 16 bits), then the `data` chunk. */
+  private[graft] def wavEncode(data: Array[Byte]): Array[Byte] = {
+    val n = data.length
+    val out = new Array[Byte](44 + 2 * n)
+    def tag(p: Int, s: String): Unit = {
+      var i = 0; while (i < 4) { out(p + i) = s.charAt(i).toByte; i += 1 }
+    }
+    def le16(p: Int, v: Int): Unit = {
+      out(p) = (v & 0xFF).toByte; out(p + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    def le32(p: Int, v: Int): Unit = { le16(p, v & 0xFFFF); le16(p + 2, v >>> 16) }
+    tag(0, "RIFF"); le32(4, 36 + 2 * n); tag(8, "WAVE")
+    tag(12, "fmt "); le32(16, 16)
+    le16(20, 1) // PCM
+    le16(22, 1) // mono
+    le32(24, WavSampleRate)
+    le32(28, WavSampleRate * 2) // byte rate
+    le16(32, 2) // block align
+    le16(34, 16) // bits per sample
+    tag(36, "data"); le32(40, 2 * n)
+    var i = 0
+    while (i < n) {
+      val s = ((data(i) & 0xFF) - 128) << 8
+      le16(44 + 2 * i, s & 0xFFFF)
+      i += 1
+    }
+    out
+  }
+
+  /** REAL RIFF/WAVE parser: validates the RIFF/WAVE magic, then WALKS THE
+    * CHUNK LIST — `fmt ` and `data` may arrive in any order with unknown
+    * chunks (LIST, fact, cue…) between them, and odd-sized chunks carry a
+    * pad byte (the parts naive parsers skip and real .wav files exercise).
+    * Requires uncompressed PCM, mono, 16-bit; rejects truncated chunk
+    * bodies and a missing fmt/data. Returns (sampleRate, channels,
+    * bitsPerSample, samples). */
+  private[graft] def decodeWav(wav: Array[Byte]): (Int, Int, Int, Array[Short]) = {
+    require(wav.length >= 12 && wav(0) == 'R' && wav(1) == 'I' &&
+      wav(2) == 'F' && wav(3) == 'F' && wav(8) == 'W' && wav(9) == 'A' &&
+      wav(10) == 'V' && wav(11) == 'E', "not a RIFF/WAVE stream")
+    def le16(p: Int): Int = (wav(p) & 0xFF) | ((wav(p + 1) & 0xFF) << 8)
+    def le32(p: Int): Int = le16(p) | (le16(p + 2) << 16)
+    var pos = 12
+    var rate = -1; var channels = -1; var bits = -1
+    var dataOff = -1; var dataLen = -1
+    while (pos + 8 <= wav.length && (rate < 0 || dataOff < 0)) {
+      val id = new String(wav, pos, 4, "US-ASCII")
+      val len = le32(pos + 4)
+      require(len >= 0 && pos + 8 + len <= wav.length,
+        s"truncated '$id' chunk: $len bytes claimed at offset $pos")
+      id match {
+        case "fmt " =>
+          require(len >= 16, s"fmt chunk too short: $len")
+          require(le16(pos + 8) == 1, "only uncompressed PCM supported")
+          channels = le16(pos + 10)
+          rate = le32(pos + 12)
+          bits = le16(pos + 22)
+          require(channels == 1, s"only mono supported, got $channels")
+          require(bits == 16, s"only 16-bit supported, got $bits")
+        case "data" =>
+          dataOff = pos + 8; dataLen = len
+        case _ => // skip unknown chunk
+      }
+      pos += 8 + len + (len & 1) // odd chunks carry a pad byte
+    }
+    require(rate > 0, "missing fmt chunk")
+    require(dataOff >= 0, "missing data chunk")
+    require(dataLen % 2 == 0, s"odd PCM16 data length $dataLen")
+    val samples = new Array[Short](dataLen / 2)
+    var i = 0
+    while (i < samples.length) {
+      samples(i) = le16(dataOff + 2 * i).toShort
+      i += 1
+    }
+    (rate, channels, bits, samples)
+  }
+
+  /** Documents as REAL .wav payloads (batched encode, the image twins'
+    * shape). */
+  def wavPayloads(spark: SparkSession, dir: String,
+                  batchSize: Int = 64): DataFrame =
+    encodedPayloads(spark, dir, wavEncode, batchSize)
+
+  /** Per-clip audio stats through the REAL encode→parse WAV path:
+    * duration, RMS amplitude, peak — the probe any audio ingest runs
+    * before feature extraction. Same bounded-batch `mapPartitions`
+    * kernel shape as [[decodeFeaturesOf]].
+    *
+    * Determinism: sample values are exact integers, the squared sum is a
+    * BIGINT, duration is integer floor division, and the single sqrt is
+    * rounded to 4 — the layout-arithmetic oracle reconstructs every
+    * value from the text bytes ((b−128)·256 per sample, container size
+    * 44 + 2n). */
+  def wavStats(spark: SparkSession, dir: String,
+               batchSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    wavPayloads(spark, dir, batchSize).select(col("doc_id"), col("payload"))
+      .as[MediaPayload]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap(_.map { p =>
+          val (rate, _, _, samples) = decodeWav(p.payload)
+          var sq = 0L; var peak = 0L
+          var i = 0
+          while (i < samples.length) {
+            val s = samples(i).toLong
+            sq += s * s
+            val a = math.abs(s)
+            if (a > peak) peak = a
+            i += 1
+          }
+          val n = samples.length.toLong
+          MediaAudio(p.doc_id, p.payload.length.toLong, rate.toLong, n,
+            n * 1000L / rate,
+            // the Spark-SQL round(_, 4) rule (shortest-repr HALF_UP) so
+            // the kernel matches the column-function convention
+            if (n > 0) BigDecimal(java.lang.Double.toString(
+              math.sqrt(sq.toDouble / n)))
+              .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+            else 0.0,
+            peak)
+        })
+      }
+      .toDF()
+      .orderBy(col("doc_id"))
   }
 
   /** Codec-sniffing decode: `P6` → Netpbm, `BM` → bitmap. Every pixel

@@ -1074,4 +1074,59 @@ object Relational {
             col("total_rev").cast("double")), 6).as("gini"))
       .orderBy(col("c_mktsegment"))
   }
+
+  /** RFM (recency / frequency / monetary) customer segmentation — the
+    * classic CRM cut: each customer scored 1–5 per dimension against the
+    * corpus-wide quintile fences, reported as segment-code cells
+    * (e.g. "5-4-5") with size and exact average spend.
+    *
+    * Scale shape: ONE orders scan → per-customer aggregate (persisted —
+    * it feeds the corpus-end probe, the fence aggregate, and the scoring
+    * pass). Quintile fences come from a single exact-`percentile`
+    * aggregate over the bounded customer frame (the quantileBinsApprox
+    * discipline: fences rounded to 4 dp — the scale at which Spark
+    * `percentile` and DuckDB `quantile_cont` agree — then broadcast as
+    * one row; NO global ntile sort, so scoring is map-side and fully
+    * parallel; swap `percentile` for `approx_percentile` at 100 TB, same
+    * plan). Score = 1 + fences strictly below the value; ties land low
+    * on both engines. Recency is inverted (recent = 5). */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Lake.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("freq"),
+        sum(m(col("o_totalprice"))).as("monetary"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val end = cust.agg(max(col("last_order")).as("corpus_end"))
+    val rfm = cust.crossJoin(broadcast(end))
+      .select(col("o_custkey"),
+        datediff(col("corpus_end"), col("last_order")).cast("long")
+          .as("recency"),
+        col("freq"), col("monetary"),
+        col("monetary").cast("double").as("money"))
+    val fences = rfm.agg(
+      expr("percentile(recency, array(0.2D, 0.4D, 0.6D, 0.8D))").as("rq"),
+      expr("percentile(freq, array(0.2D, 0.4D, 0.6D, 0.8D))").as("fq"),
+      expr("percentile(money, array(0.2D, 0.4D, 0.6D, 0.8D))").as("mq"))
+    def score(v: Column, fencesCol: String): Column =
+      (lit(1) + (0 until 4).map(i =>
+        when(v > round(col(fencesCol).getItem(i), 4), 1).otherwise(0))
+        .reduce(_ + _)).cast("int")
+    val out = rfm.crossJoin(broadcast(fences))
+      .select(col("o_custkey"), col("monetary"),
+        (lit(6) - score(col("recency").cast("double"), "rq")).as("r_score"),
+        score(col("freq").cast("double"), "fq").as("f_score"),
+        score(col("money"), "mq").as("m_score"))
+      .groupBy(concat_ws("-", col("r_score"), col("f_score"), col("m_score"))
+        .as("segment"))
+      // total (exact decimal), never an average: avg = sum/n lands on
+      // half-cent boundaries where Spark (decimal-repr HALF_UP) and
+      // DuckDB (binary) round differently — measured, not hypothetical
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(col("monetary")).cast("double"), 2).as("total_monetary"))
+      .orderBy(col("segment"))
+      .localCheckpoint(true)
+    cust.unpersist(false)
+    out
+  }
 }

@@ -477,4 +477,102 @@ class AnalyticsOpsSpec extends SparkSpecBase {
       assert(math.abs(alloc - share * 1000) <= 1.0)
     }
   }
+
+  test("acf matches the brute-force sample autocorrelation per lag") {
+    val daily = Lake.events(spark, Sf)
+      .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("x"))
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+      .sortBy(_._1.toEpochDay)
+    val byDay = daily.toMap
+    val m = daily.map(_._2.toDouble).sum / daily.length
+    val denom = daily.map(d => (d._2 - m) * (d._2 - m)).sum
+    val got = graft.operators.EventOps.acfQuery(spark, Sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._1).toSeq == (1 to 7))
+    for ((k, nPairs, acf) <- got) {
+      val pairs = daily.flatMap { case (d, xa) =>
+        byDay.get(d.plusDays(k)).map(xb => (xa.toDouble, xb.toDouble)) }
+      assert(nPairs == pairs.length)
+      val e = pairs.map { case (a, b) => (a - m) * (b - m) }.sum / denom
+      assert(math.abs(acf - e) < 1e-5, s"lag $k: $acf vs $e")
+      assert(math.abs(acf) <= 1.0 + 1e-9)
+    }
+  }
+
+  test("survival curve is a valid Kaplan-Meier estimate of user lifetimes") {
+    val users = Lake.events(spark, Sf)
+      .groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("fd"), max(to_date(col("ts"))).as("ld"))
+      .collect()
+      .map(r => (r.getDate(1).toLocalDate, r.getDate(2).toLocalDate))
+    val end = users.map(_._2).maxBy(_.toEpochDay)
+    val lifetimes = users.map { case (fd, ld) =>
+      val week = java.time.temporal.ChronoUnit.DAYS.between(fd, ld) / 7
+      val observed = java.time.temporal.ChronoUnit.DAYS.between(ld, end) > 14
+      (week.toInt, observed)
+    }
+    val rows = graft.operators.EventOps.survivalCurve(spark, Sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.map(_._1).toSeq == rows.map(_._1).sorted.toSeq)
+    var atRisk = lifetimes.length.toLong
+    var surv = 1.0
+    for ((week, n, d, c, hazard, s) <- rows) {
+      val deaths = lifetimes.count(l => l._1 == week && l._2)
+      val cens = lifetimes.count(l => l._1 == week && !l._2)
+      assert(n == atRisk, s"week $week at-risk $n vs $atRisk")
+      assert(d == deaths && c == cens)
+      assert(math.abs(hazard - deaths.toDouble / atRisk) < 1e-6)
+      surv *= 1.0 - deaths.toDouble / atRisk
+      assert(math.abs(s - surv) < 1e-3, s"week $week survival $s vs $surv")
+      atRisk -= deaths + cens
+    }
+    assert(atRisk == 0, "every user leaves in some week")
+  }
+
+  test("rfm segments partition customers, scores stay in 1..5, totals reconcile") {
+    val rows = Relational.rfmSegments(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val nCust = Lake.orders(spark, Sf)
+      .select(col("o_custkey")).distinct().count()
+    assert(rows.map(_._2).sum == nCust)
+    val total = Lake.orders(spark, Sf)
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")))
+      .collect()(0).getDecimal(0).doubleValue
+    assert(math.abs(rows.map(_._3).sum - total) < 1.0)
+    for ((seg, n, _) <- rows) {
+      val parts = seg.split("-").map(_.toInt)
+      assert(parts.length == 3 && parts.forall(p => p >= 1 && p <= 5), seg)
+      assert(n > 0)
+    }
+  }
+
+  test("degree distribution and assortativity agree with the brute-force graph") {
+    val pairs = Lake.lineitem(spark, Sf)
+      .join(Lake.orders(spark, Sf), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey")).distinct().collect()
+      .map(r => ("c" + r.getLong(0), "s" + r.getLong(1)))
+    val deg = (pairs.map(_._1) ++ pairs.map(_._2))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val dist = GraphOps.degreeDistQuery(spark, Sf).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    val expDist = deg.toSeq.groupBy { case (n, d) => (n.substring(0, 1), d) }
+      .view.mapValues(_.size.toLong).toMap
+    assert(dist == expDist)
+    // Newman r over the mirrored edge list, brute force in doubles
+    val xy = pairs.flatMap { case (c, s) =>
+      Seq((deg(c).toDouble, deg(s).toDouble), (deg(s).toDouble, deg(c).toDouble)) }
+    val e = xy.length.toDouble
+    val sx = xy.map(_._1).sum; val sy = xy.map(_._2).sum
+    val sxx = xy.map(p => p._1 * p._1).sum
+    val syy = xy.map(p => p._2 * p._2).sum
+    val sxy = xy.map(p => p._1 * p._2).sum
+    val expR = (e * sxy - sx * sy) /
+      math.sqrt((e * sxx - sx * sx) * (e * syy - sy * sy))
+    val gotRow = GraphOps.assortativityQuery(spark, Sf).collect()(0)
+    assert(gotRow.getLong(0) == xy.length)
+    val gotR = gotRow.getDouble(1)
+    assert(math.abs(gotR - expR) < 1e-5, s"assortativity $gotR vs $expR")
+    assert(gotR >= -1.0 && gotR <= 1.0)
+  }
 }

@@ -209,4 +209,67 @@ class MultimodalSpec extends SparkSpecBase {
       assert(survivors == Set(12L), s"only the novel image survives: $survivors")
     } finally { query.stop(); refBands.unpersist() }
   }
+
+  test("WAV kernel really speaks RIFF (header fields, chunk walk, pads, rejects)") {
+    import graft.operators.MultimodalOps.{wavEncode, decodeWav}
+    // round-trip: every byte becomes the centered full-scale sample
+    val data = Array[Byte](0, 1, 127, -128, -1, 64) // unsigned 0,1,127,128,255,64
+    val wav = wavEncode(data)
+    assert(wav.length == 44 + 2 * data.length)
+    assert(new String(wav, 0, 4, "US-ASCII") == "RIFF")
+    assert(new String(wav, 8, 4, "US-ASCII") == "WAVE")
+    val (rate, ch, bits, samples) = decodeWav(wav)
+    assert(rate == 8000 && ch == 1 && bits == 16)
+    assert(samples.toSeq == data.toSeq.map(b => (((b & 0xFF) - 128) << 8).toShort))
+
+    // chunk-walk: data BEFORE fmt, an unknown ODD-length chunk with its
+    // pad byte between them — the real-file shapes naive parsers break on
+    def le32(v: Int): Array[Byte] =
+      Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+        ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    val fmt = wav.slice(12, 36) // "fmt " + len + 16 body bytes
+    val dataChunk = wav.slice(36, wav.length)
+    val junk = "JUNK".getBytes("US-ASCII") ++ le32(3) ++
+      Array[Byte](9, 9, 9, 0) // 3 bytes + 1 pad
+    val reordered = wav.slice(0, 4) ++
+      le32(4 + dataChunk.length + junk.length + fmt.length) ++
+      "WAVE".getBytes("US-ASCII") ++ dataChunk ++ junk ++ fmt
+    val (r2, _, _, s2) = decodeWav(reordered)
+    assert(r2 == 8000 && s2.toSeq == samples.toSeq,
+      "chunk order and pad bytes must not matter")
+
+    // rejects: truncated data chunk, missing fmt, stereo, non-PCM
+    val truncated = wav.slice(0, wav.length - 1)
+    intercept[IllegalArgumentException](decodeWav(truncated))
+    val noFmt = wav.slice(0, 12) ++ dataChunk
+    intercept[IllegalArgumentException](decodeWav(noFmt))
+    val stereo = wav.clone(); stereo(22) = 2
+    intercept[IllegalArgumentException](decodeWav(stereo))
+    val alaw = wav.clone(); alaw(20) = 6
+    intercept[IllegalArgumentException](decodeWav(alaw))
+  }
+
+  test("wavStats: layout arithmetic, zero-length clip, and batch independence") {
+    val rows = MultimodalOps.wavStats(spark, Sf, batchSize = 7).collect()
+    val docs = Lake.documents(spark, Sf)
+      .selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length == docs.size)
+    for (r <- rows.take(20)) {
+      val bytes = docs(r.getLong(0)).getBytes("UTF-8")
+      val n = bytes.length.toLong
+      assert(r.getLong(1) == 44 + 2 * n)
+      assert(r.getLong(2) == 8000L && r.getLong(3) == n)
+      assert(r.getLong(4) == n * 1000 / 8000)
+      val sq = bytes.map(b => { val s = ((b & 0xFF) - 128).toLong * 256; s * s }).sum
+      if (n > 0)
+        assert(math.abs(r.getDouble(5) - math.sqrt(sq.toDouble / n)) < 1e-3)
+      val peak = if (n == 0) 0L
+        else bytes.map(b => math.abs(((b & 0xFF) - 128).toLong * 256)).max
+      assert(r.getLong(6) == peak)
+    }
+    // batch size must not change values
+    val rows64 = MultimodalOps.wavStats(spark, Sf, batchSize = 64).collect()
+    assert(rows.map(_.toSeq).toSeq == rows64.map(_.toSeq).toSeq)
+  }
 }

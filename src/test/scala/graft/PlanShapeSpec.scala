@@ -298,7 +298,12 @@ class PlanShapeSpec extends SparkSpecBase {
         "q_ann_recall",
         // q_backtest: the bounded test-days × types × 24-hours spine
         // (the q_gap_fill dense-grid pattern)
-        "q_backtest")
+        "q_backtest",
+        // q_acf / q_survival: one-row global-moment / corpus-end
+        // broadcasts against bounded daily/user frames; q_rfm: the
+        // corpus-end and quintile-fence one-row broadcasts (all the
+        // q_supplier_share scalar-threshold pattern)
+        "q_acf", "q_survival", "q_rfm")
     for ((name, fn) <- SparkEntry.queries) {
       // interior plans included: checkpointing operators execute their
       // real joins during construction and return an RDD-scan facade
