@@ -486,6 +486,18 @@ object SparkEntry {
     // Per-clip audio stats through the REAL RIFF/WAVE PCM16 codec
     "q_wav_stats"         -> ((s: SparkSession, d: String) =>
       MultimodalOps.wavStats(s, d)),
+    // Matryoshka eval: half-dimension retrieval recall vs full vectors
+    "q_matryoshka"        -> ((s: SparkSession, d: String) =>
+      AnnOps.matryoshkaRecall(s, d)),
+    // Poisson-bootstrap CI for the mean order value (64 replicas)
+    "q_bootstrap_ci"      -> ((s: SparkSession, d: String) =>
+      CatalogOps.bootstrapCi(s, d)),
+    // Split-conformal intervals + test coverage for the seasonal forecast
+    "q_conformal"         -> ((s: SparkSession, d: String) =>
+      EventOps.conformalForecast(s, d)),
+    // Markov next-event prediction accuracy on held-out transitions
+    "q_markov_eval"       -> ((s: SparkSession, d: String) =>
+      EventOps.markovEval(s, d)),
   )
 
   /** [[TextOps.patternScan]] dictionary for the driver query: token
@@ -4488,6 +4500,136 @@ object SparkEntry {
         |  CAST(coalesce(list_aggregate(list_transform(sm,
         |    v -> abs(v)), 'max'), 0) AS BIGINT) AS peak
         |FROM s ORDER BY doc_id""".stripMargin,
+    // Matryoshka recall: full-dim ground truth vs first-32-dims ranking,
+    // both brute force, the q_ann_recall join-and-count shape.
+    "q_matryoshka" ->
+      """WITH bf AS (SELECT q_id, neighbor_id FROM (
+        |    SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |          CAST(q.embedding AS DOUBLE[])) DESC, c.vec_id) AS rnk
+        |    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        |    WHERE q.vec_id < 8) t WHERE rnk <= 5),
+        |tr AS (SELECT q_id, neighbor_id FROM (
+        |    SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_cosine_similarity(
+        |          CAST(c.embedding[1:32] AS DOUBLE[]),
+        |          CAST(q.embedding[1:32] AS DOUBLE[])) DESC, c.vec_id) AS rnk
+        |    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        |    WHERE q.vec_id < 8) t WHERE rnk <= 5)
+        |SELECT bf.q_id, CAST(count(tr.neighbor_id) AS BIGINT) AS n_hit,
+        |  round(CAST(count(tr.neighbor_id) AS DOUBLE) / count(*), 4) AS recall
+        |FROM bf LEFT JOIN tr
+        |  ON bf.q_id = tr.q_id AND bf.neighbor_id = tr.neighbor_id
+        |GROUP BY bf.q_id ORDER BY bf.q_id""".stripMargin,
+    // Poisson bootstrap: same md5-slice uniform, same fixed cumulative
+    // literals, same one-pass replica aggregate with ridden point sums.
+    "q_bootstrap_ci" -> {
+      val cum = Seq(
+        0.3678794412, 0.7357588823, 0.9196986029, 0.9810118431,
+        0.9963401532, 0.9994058152, 0.9999167589, 0.9999897508)
+      val cases = cum.zipWithIndex
+        .map { case (t, k) => s"WHEN u < $t THEN $k" }.mkString(" ")
+      s"""WITH o AS (SELECT o_orderkey,
+         |    CAST(o_totalprice AS DECIMAL(18,2)) AS x FROM orders),
+         |r AS (SELECT o_orderkey, x, rr.range AS b
+         |  FROM o CROSS JOIN range(0, 64) rr),
+         |h AS (SELECT x, b,
+         |    CAST(CAST(concat('0x', substr(md5('graft-boot|'
+         |      || CAST(o_orderkey AS VARCHAR) || '|'
+         |      || CAST(b AS VARCHAR)), 1, 15)) AS BIGINT) AS DOUBLE)
+         |      / 1152921504606846976.0 AS u
+         |  FROM r),
+         |w AS (SELECT x, b, CASE $cases ELSE 8 END AS w FROM h),
+         |g AS (SELECT b, sum(x * w) AS sw, CAST(sum(w) AS BIGINT) AS nw,
+         |    sum(x) AS sx, CAST(count(*) AS BIGINT) AS c
+         |  FROM w GROUP BY 1),
+         |m AS (SELECT b, CAST(sw AS DOUBLE) / nw AS mean_b, sx, c FROM g)
+         |SELECT CAST(count(*) AS BIGINT) AS n_replicas,
+         |  max(c) AS n_orders,
+         |  round(CAST(max(sx) AS DOUBLE) / max(c), 4) AS point_mean,
+         |  round(quantile_cont(mean_b, 0.025), 4) AS lo95,
+         |  round(quantile_cont(mean_b, 0.975), 4) AS hi95
+         |FROM m""".stripMargin
+    },
+    // Conformal: same dense grids, the ORDER-STATISTIC radius (row_number
+    // at ceil((n+1)*0.9), never interpolation), coverage on test days.
+    "q_conformal" ->
+      """WITH ev AS (SELECT ts, event_type, CAST(ts AS DATE) AS day,
+        |    hour(ts) AS hod FROM events),
+        |tr AS (SELECT * FROM ev WHERE ts < TIMESTAMP '2024-01-15'),
+        |td AS (SELECT count(DISTINCT day) AS ntd FROM tr),
+        |tm AS (SELECT hod, event_type,
+        |    CAST(count(*) AS DOUBLE) / ntd AS forecast
+        |  FROM tr, td GROUP BY hod, event_type, ntd),
+        |ty AS (SELECT DISTINCT event_type FROM ev),
+        |hh AS (SELECT unnest(range(0, 24)) AS hod),
+        |cd AS (SELECT DISTINCT day FROM ev
+        |  WHERE ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-01-22'),
+        |ca AS (SELECT day, hod, event_type, count(*) AS actual FROM ev
+        |  WHERE ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-01-22'
+        |  GROUP BY 1, 2, 3),
+        |cr AS (SELECT ty.event_type,
+        |    abs(coalesce(ca.actual, 0) - coalesce(tm.forecast, 0.0))
+        |      AS residual
+        |  FROM cd CROSS JOIN hh CROSS JOIN ty
+        |  LEFT JOIN ca ON ca.day = cd.day AND ca.hod = hh.hod
+        |    AND ca.event_type = ty.event_type
+        |  LEFT JOIN tm ON tm.hod = hh.hod AND tm.event_type = ty.event_type),
+        |q AS (SELECT event_type, n_cal, residual AS qhat FROM (
+        |    SELECT event_type, residual,
+        |      row_number() OVER (PARTITION BY event_type ORDER BY residual)
+        |        AS rn,
+        |      count(*) OVER (PARTITION BY event_type) AS n_cal
+        |    FROM cr) t
+        |  WHERE rn = least(n_cal, CAST(ceil((n_cal + 1) * 0.9) AS BIGINT))),
+        |sd AS (SELECT DISTINCT day FROM ev WHERE ts >= TIMESTAMP '2024-01-22'),
+        |sa AS (SELECT day, hod, event_type, count(*) AS actual FROM ev
+        |  WHERE ts >= TIMESTAMP '2024-01-22' GROUP BY 1, 2, 3),
+        |sr AS (SELECT ty.event_type,
+        |    abs(coalesce(sa.actual, 0) - coalesce(tm.forecast, 0.0))
+        |      AS residual
+        |  FROM sd CROSS JOIN hh CROSS JOIN ty
+        |  LEFT JOIN sa ON sa.day = sd.day AND sa.hod = hh.hod
+        |    AND sa.event_type = ty.event_type
+        |  LEFT JOIN tm ON tm.hod = hh.hod AND tm.event_type = ty.event_type)
+        |SELECT sr.event_type, CAST(max(n_cal) AS BIGINT) AS n_cal,
+        |  round(max(qhat), 6) AS qhat,
+        |  CAST(count(*) AS BIGINT) AS n_test,
+        |  CAST(sum(CASE WHEN residual <= qhat THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_covered,
+        |  round(CAST(sum(CASE WHEN residual <= qhat THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*), 4) AS coverage
+        |FROM sr JOIN q ON q.event_type = sr.event_type
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Markov eval: same lead window, argmax via (count DESC, type) rank,
+    // held-out accuracy per source type.
+    "q_markov_eval" ->
+      """WITH t AS (SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS next_type,
+        |    lead(ts) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS next_ts
+        |  FROM events),
+        |tr AS (SELECT * FROM t WHERE next_type IS NOT NULL),
+        |c AS (SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS c
+        |  FROM tr WHERE next_ts < TIMESTAMP '2024-01-22' GROUP BY 1, 2),
+        |p AS (SELECT event_type, next_type AS predicted FROM (
+        |    SELECT event_type, next_type,
+        |      row_number() OVER (PARTITION BY event_type
+        |        ORDER BY c DESC, next_type) AS rn
+        |    FROM c) x WHERE rn = 1),
+        |te AS (SELECT event_type, next_type FROM tr
+        |  WHERE next_ts >= TIMESTAMP '2024-01-22')
+        |SELECT te.event_type, predicted,
+        |  CAST(count(*) AS BIGINT) AS n_test,
+        |  CAST(sum(CASE WHEN next_type = predicted THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_correct,
+        |  round(CAST(sum(CASE WHEN next_type = predicted THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*), 4) AS accuracy
+        |FROM te JOIN p ON p.event_type = te.event_type
+        |GROUP BY 1, 2 ORDER BY te.event_type""".stripMargin,
   )
 
   /** Oracle twin of CatalogOps.profile: one UNION ALL branch per column. */

@@ -804,4 +804,32 @@ object AnnOps {
         round(col("n_hit") / col("k_exact"), 4).as("recall"))
       .orderBy(col("q_id"))
   }
+
+  /** Matryoshka (truncated-dimension) retrieval eval: top-k recall of
+    * brute-force search over the FIRST `keepDims` embedding dimensions
+    * against full-dimension ground truth — the measurement behind the
+    * matryoshka-representation trick of serving a prefix of each vector
+    * (half the bytes scanned, half the dot-product FLOPs) and accepting
+    * a measured recall haircut. Same harness shape as [[annRecall]]:
+    * the quality of the cheap path is a REGISTERED, driver-re-measured
+    * number, not a code comment. Truncation is a codegen'd `slice` on
+    * the scan projection, so the truncated leg never materializes full
+    * vectors. */
+  def matryoshkaRecall(spark: SparkSession, dir: String, keepDims: Int = 32,
+                       k: Int = 5, nQueries: Int = 8): DataFrame = {
+    val emb = Lake.embeddings(spark, dir)
+    val exact = bruteForce(emb, defaultQueries(emb, nQueries), k)
+      .select(col("q_id"), col("neighbor_id"))
+    val trunc = emb.select(col("vec_id"),
+      slice(col("embedding"), 1, keepDims).as("embedding"))
+    val approx = bruteForce(trunc, defaultQueries(trunc, nQueries), k)
+      .select(col("q_id"), col("neighbor_id"), lit(1L).as("hit"))
+    exact.join(approx, Seq("q_id", "neighbor_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("k_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("q_id"), col("n_hit"),
+        round(col("n_hit") / col("k_exact"), 4).as("recall"))
+      .orderBy(col("q_id"))
+  }
 }

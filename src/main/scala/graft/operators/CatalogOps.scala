@@ -1085,4 +1085,65 @@ object CatalogOps {
         round(first(col("mad")), 4).as("mad"))
       .orderBy(col(groupCol))
   }
+
+  /** Poisson(1) cumulative probabilities, P(X ≤ k) for k = 0..7, as
+    * fixed 10-digit literals: BOTH engines compare the same uniform
+    * against the same constants, so replica weights are deterministic
+    * everywhere (a library pdf evaluated at run time could differ in the
+    * last ulp and flip a draw). Mass above k = 7 (~1e-5) maps to 8. */
+  private val PoissonCum = Seq(
+    0.3678794412, 0.7357588823, 0.9196986029, 0.9810118431,
+    0.9963401532, 0.9994058152, 0.9999167589, 0.9999897508)
+
+  /** Poisson-bootstrap confidence interval for the mean order value —
+    * uncertainty quantification that actually scales: the classic
+    * multinomial bootstrap needs a global resample per replica, but
+    * giving every row an INDEPENDENT Poisson(1) weight per replica is
+    * statistically equivalent at large n and embarrassingly parallel
+    * (the streaming-bootstrap construction used for massive data). Each
+    * of `reps` replicas draws its weights deterministically: uniform =
+    * portable 60-bit hash of (salt, row id, replica) / 2^60, weight =
+    * inverse CDF via [[PoissonCum]] — retry-stable, oracle-verifiable,
+    * never rand().
+    *
+    * ONE fact scan: the explode fans each row into `reps` weighted
+    * copies, the replica aggregate is map-side combinable (64 output
+    * rows), and the unweighted point-estimate sums ride the SAME
+    * aggregate (identical per replica, collapsed by max) — no second
+    * pass. Replica means are single double divisions of exact decimal /
+    * BIGINT sums; the 2.5 / 97.5 percentile interpolates over the
+    * bounded replica frame. */
+  def bootstrapCi(spark: SparkSession, dir: String,
+                  reps: Int = 64): DataFrame = {
+    require(reps >= 2, "need at least 2 replicas")
+    val rows = Lake.orders(spark, dir)
+      .select(col("o_orderkey"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("x"))
+      .withColumn("b", explode(sequence(lit(0), lit(reps - 1))))
+    val u = TextOps.portableHash60(concat_ws("|",
+      lit("graft-boot"), col("o_orderkey").cast("string"),
+      col("b").cast("string"))).cast("double") / lit((1L << 60).toDouble)
+    val w = PoissonCum.zipWithIndex
+      .foldLeft(when(lit(false), 0)) { case (acc, (t, k)) =>
+        acc.when(u < lit(t), k)
+      }
+      .otherwise(PoissonCum.size)
+    val g = rows
+      .withColumn("w", w)
+      .groupBy(col("b"))
+      .agg(sum(col("x") * col("w")).as("sw"),
+        sum(col("w").cast("long")).as("nw"),
+        sum(col("x")).as("sx"), count(lit(1)).as("c"))
+      .withColumn("mean_b", col("sw").cast("double") / col("nw"))
+    g.agg(
+        count(lit(1)).as("n_replicas"),
+        max(col("c")).as("n_orders"),
+        max(col("sx")).as("sx"),
+        expr("percentile(mean_b, array(0.025D, 0.975D))").as("q"))
+      .select(
+        col("n_replicas"), col("n_orders"),
+        round(col("sx").cast("double") / col("n_orders"), 4).as("point_mean"),
+        round(col("q").getItem(0), 4).as("lo95"),
+        round(col("q").getItem(1), 4).as("hi95"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -948,6 +948,127 @@ object EventOps {
             sqrt(col("pooled") * (lit(1.0) - col("pooled")) *
               (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 4))
           .as("z_stat"))
+  }
+
+  /** Split-conformal prediction intervals for the seasonal-naive
+    * forecast — the distribution-free finite-sample guarantee on top of
+    * [[forecastBacktest]]'s point forecasts: train means come from days
+    * before `trainEnd`, the per-type conformal radius `qhat` is the
+    * ⌈(n+1)(1−α)⌉-th smallest CALIBRATION residual (an ORDER STATISTIC,
+    * never an interpolated quantile — that is what makes the ≥ 1−α
+    * coverage guarantee exact and the value engine-identical), and the
+    * report measures empirical coverage of forecast ± qhat on the
+    * disjoint TEST days.
+    *
+    * Shape: one events scan (persisted — three day-range consumers),
+    * bounded dense grids (days × 24 × types, the q_gap_fill pattern),
+    * the rank window partitioned per type over bounded calibration
+    * cells. Bounded driver probes: the three distinct-day counts
+    * (calendar-bounded, the forecastBacktest discipline). */
+  def conformalForecast(spark: SparkSession, dir: String,
+                        trainEnd: String = "2024-01-15",
+                        calEnd: String = "2024-01-22",
+                        alpha: Double = 0.1): DataFrame = {
+    require(alpha > 0 && alpha < 1, "alpha in (0,1)")
+    val ev = Lake.events(spark, dir)
+      .select(col("ts"), col("event_type"),
+        to_date(col("ts")).as("day"), hour(col("ts")).as("hod"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val trainCut = lit(trainEnd).cast("timestamp")
+    val calCut = lit(calEnd).cast("timestamp")
+    val train = ev.filter(col("ts") < trainCut)
+    val nTrainDays = train.select(col("day")).distinct().count()
+    require(nTrainDays > 0, "trainEnd leaves no training days")
+    val trainMean = train.groupBy(col("hod"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("forecast", col("n").cast("double") / nTrainDays)
+      .select(col("hod"), col("event_type"), col("forecast"))
+    val types = ev.select(col("event_type")).distinct()
+    val hods = spark.range(0, 24).select(col("id").cast("int").as("hod"))
+    def residualGrid(lo: Column, hi: Option[Column]): DataFrame = {
+      val slice = hi.fold(ev.filter(col("ts") >= lo))(h =>
+        ev.filter(col("ts") >= lo && col("ts") < h))
+      val days = slice.select(col("day")).distinct()
+      days.crossJoin(broadcast(types)).crossJoin(broadcast(hods))
+        .join(slice.groupBy(col("day"), col("hod"), col("event_type"))
+          .agg(count(lit(1)).as("actual")),
+          Seq("day", "hod", "event_type"), "left")
+        .na.fill(0L, Seq("actual"))
+        .join(broadcast(trainMean), Seq("hod", "event_type"), "left")
+        .na.fill(0.0, Seq("forecast"))
+        .withColumn("residual", abs(col("actual") - col("forecast")))
+    }
+    val cal = residualGrid(trainCut, Some(calCut))
+    val wRank = Window.partitionBy(col("event_type")).orderBy(col("residual"))
+    val qhat = cal
+      .withColumn("rn", row_number().over(wRank).cast("long"))
+      .withColumn("n_cal",
+        count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .filter(col("rn") ===
+        least(col("n_cal"),
+          ceil((col("n_cal") + lit(1)) * lit(1.0 - alpha)).cast("long")))
+      .select(col("event_type"), col("n_cal"), col("residual").as("qhat"))
+    val out = residualGrid(calCut, None)
+      .join(broadcast(qhat), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(
+        max(col("n_cal")).as("n_cal"),
+        round(max(col("qhat")), 6).as("qhat"),
+        count(lit(1)).as("n_test"),
+        sum(when(col("residual") <= col("qhat"), 1L).otherwise(0L))
+          .as("n_covered"))
+      .withColumn("coverage",
+        round(col("n_covered").cast("double") / col("n_test"), 4))
+      .orderBy(col("event_type"))
+      .localCheckpoint(true)
+    ev.unpersist(false)
+    out
+  }
+
+  /** Next-event prediction eval for the Markov (transition-count) model:
+    * train the per-type argmax successor on transitions whose TARGET
+    * lands before `cutoff`, score accuracy@1 on the transitions after it
+    * — the held-out harness that turns the q_transitions matrix into a
+    * measured predictor (a majority-successor baseline any sequence
+    * model must beat). Ties break to the lexicographically first
+    * successor via one partial-aggregable min(struct(−count, type)) —
+    * no rank window over the transition matrix.
+    *
+    * Shape: one events scan → one user-partitioned lead window (the
+    * sessionization shuffle), persisted because the train and test
+    * slices both consume it; train aggregate is bounded (type²), its
+    * argmax rides a broadcast join onto the test slice. */
+  def markovEval(spark: SparkSession, dir: String,
+                 cutoff: String = "2024-01-22"): DataFrame = {
+    val cut = lit(cutoff).cast("timestamp")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val trans = Lake.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .withColumn("next_ts", lead(col("ts"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .select(col("event_type"), col("next_type"), col("next_ts"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pred = trans.filter(col("next_ts") < cut)
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("event_type"))
+      .agg(min(struct((-col("c")).as("nc"), col("next_type").as("t")))
+        .as("s"))
+      .select(col("event_type"), col("s.t").as("predicted"))
+    val out = trans.filter(col("next_ts") >= cut)
+      .join(broadcast(pred), Seq("event_type"))
+      .groupBy(col("event_type"), col("predicted"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("next_type") === col("predicted"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .withColumn("accuracy",
+        round(col("n_correct").cast("double") / col("n_test"), 4))
+      .orderBy(col("event_type"))
+      .localCheckpoint(true)
+    trans.unpersist(false)
+    out
   }
 
   /** Lag-k autocorrelation (sample ACF) of the daily event-count series,

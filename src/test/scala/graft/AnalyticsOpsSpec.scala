@@ -575,4 +575,117 @@ class AnalyticsOpsSpec extends SparkSpecBase {
     assert(math.abs(gotR - expR) < 1e-5, s"assortativity $gotR vs $expR")
     assert(gotR >= -1.0 && gotR <= 1.0)
   }
+
+  test("poisson bootstrap CI brackets the point mean and matches brute-force replicas") {
+    val r = CatalogOps.bootstrapCi(spark, Sf, reps = 64).collect()(0)
+    val (nReps, nOrders, point, lo, hi) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    assert(nReps == 64)
+    val orders = Lake.orders(spark, Sf)
+      .select(col("o_orderkey"), col("o_totalprice").cast("decimal(18,2)"))
+      .collect().map(x => (x.getLong(0), x.getDecimal(1)))
+    assert(nOrders == orders.length)
+    assert(lo <= hi && lo <= point && point <= hi,
+      s"CI [$lo, $hi] must bracket the point mean $point")
+    // brute-force one replica's weighted mean through the same hash
+    val cum = Seq(0.3678794412, 0.7357588823, 0.9196986029, 0.9810118431,
+      0.9963401532, 0.9994058152, 0.9999167589, 0.9999897508)
+    def weight(key: Long, b: Int): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"graft-boot|$key|$b".getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.take(15)
+      val u = java.lang.Long.parseLong(hex, 16).toDouble / (1L << 60).toDouble
+      cum.indexWhere(u < _) match { case -1 => 8; case k => k }
+    }
+    val means = (0 until 64).map { b =>
+      var sw = java.math.BigDecimal.ZERO; var nw = 0L
+      for ((k, x) <- orders) {
+        val wgt = weight(k, b)
+        sw = sw.add(x.multiply(java.math.BigDecimal.valueOf(wgt.toLong)))
+        nw += wgt
+      }
+      sw.doubleValue / nw
+    }.sorted
+    // engine lo95/hi95 are the 2.5/97.5 interpolated percentiles of these
+    def pct(q: Double): Double = {
+      val pos = (means.length - 1) * q
+      val i = pos.toInt
+      means(i) + (pos - i) * (means(i + 1) - means(i))
+    }
+    assert(math.abs(lo - pct(0.025)) < 1e-3, s"lo $lo vs ${pct(0.025)}")
+    assert(math.abs(hi - pct(0.975)) < 1e-3, s"hi $hi vs ${pct(0.975)}")
+  }
+
+  test("conformal radius is the exact calibration order statistic and coverage reconciles") {
+    val rows = EventOps.conformalForecast(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    val ev = Lake.events(spark, Sf)
+      .select(col("ts"), col("event_type")).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)))
+    val trainEnd = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+    val calEnd = java.sql.Timestamp.valueOf("2024-01-22 00:00:00")
+    def cell(t: java.sql.Timestamp) = {
+      val ldt = t.toLocalDateTime
+      (ldt.toLocalDate, ldt.getHour)
+    }
+    val types = ev.map(_._2).distinct.sorted
+    val train = ev.filter(_._1.before(trainEnd))
+    val trainDays = train.map(e => cell(e._1)._1).distinct.length
+    val fc = train.groupBy(e => (cell(e._1)._2, e._2)).view
+      .mapValues(_.length.toDouble / trainDays).toMap
+    def residuals(slice: Array[(java.sql.Timestamp, String)]) = {
+      val days = slice.map(e => cell(e._1)._1).distinct
+      val counts = slice.groupBy(e => (cell(e._1)._1, cell(e._1)._2, e._2))
+        .view.mapValues(_.length).toMap
+      for (d <- days; h <- 0 until 24; t <- types)
+        yield (t, math.abs(counts.getOrElse((d, h, t), 0) -
+          fc.getOrElse((h, t), 0.0)))
+    }
+    val cal = residuals(ev.filter(e =>
+      !e._1.before(trainEnd) && e._1.before(calEnd)))
+    val tst = residuals(ev.filter(e => !e._1.before(calEnd)))
+    for ((t, nCal, qhat, nTest, nCov, cov) <- rows) {
+      val cr = cal.filter(_._1 == t).map(_._2).sorted
+      assert(nCal == cr.length)
+      val k = math.min(cr.length, math.ceil((cr.length + 1) * 0.9).toInt)
+      assert(math.abs(qhat - cr(k - 1)) < 1e-6,
+        s"$t qhat $qhat vs order statistic ${cr(k - 1)}")
+      val tr = tst.filter(_._1 == t).map(_._2)
+      assert(nTest == tr.length)
+      assert(nCov == tr.count(_ <= cr(k - 1) + 1e-12))
+      assert(math.abs(cov - nCov.toDouble / nTest) < 1e-4)
+      assert(cov >= 0.5, s"$t coverage $cov collapsed")
+    }
+  }
+
+  test("markov eval: predicted successor is the train argmax, accuracy reconciles") {
+    val rows = EventOps.markovEval(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    val cutoff = java.sql.Timestamp.valueOf("2024-01-22 00:00:00")
+    val ev = Lake.events(spark, Sf)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+    val trans = ev.groupBy(_._1).values.flatMap { es =>
+      val s = es.sortBy(e => (e._2.getTime, e._3))
+      s.zip(s.tail).map { case (a, b) => (a._4, b._4, b._2) }
+    }.toArray
+    val counts = trans.filter(_._3.before(cutoff))
+      .groupBy(t => (t._1, t._2)).view.mapValues(_.length).toMap
+    val predicted = counts.keys.map(_._1).toSeq.distinct.map { ty =>
+      ty -> counts.filter(_._1._1 == ty).toSeq
+        .maxBy { case ((_, nt), c) => (c, nt) }(
+          Ordering.Tuple2(Ordering.Int, Ordering.String.reverse))._1._2
+    }.toMap
+    for ((ty, pred, nTest, nCorrect, acc) <- rows) {
+      assert(pred == predicted(ty), s"$ty predicted $pred vs ${predicted(ty)}")
+      val te = trans.filter(t => t._1 == ty && !t._3.before(cutoff))
+      assert(nTest == te.length)
+      assert(nCorrect == te.count(_._2 == pred))
+      assert(math.abs(acc - nCorrect.toDouble / nTest) < 1e-4)
+    }
+  }
 }

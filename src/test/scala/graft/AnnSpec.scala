@@ -342,4 +342,19 @@ class AnnSpec extends SparkSpecBase {
       s"only the planted outlier flags, got ${out.map(_.getLong(0)).mkString(",")}")
     assert(out.head.getInt(1) == 0 && out.head.getDouble(3) >= 2.0)
   }
+
+  test("matryoshka recall: perfect at full dims, valid in [0,1] at half dims") {
+    // keepDims = full width -> the truncated leg IS the exact leg
+    val full = AnnOps.matryoshkaRecall(spark, Sf, keepDims = 64).collect()
+    assert(full.length == 8)
+    assert(full.forall(_.getDouble(2) == 1.0),
+      "full-width truncation must recover ground truth exactly")
+    val half = AnnOps.matryoshkaRecall(spark, Sf, keepDims = 32).collect()
+    assert(half.length == 8)
+    for (r <- half) {
+      assert(r.getLong(1) >= 0 && r.getLong(1) <= 5)
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+      assert(math.abs(r.getDouble(2) - r.getLong(1) / 5.0) < 1e-9)
+    }
+  }
 }

@@ -303,7 +303,13 @@ class PlanShapeSpec extends SparkSpecBase {
         // broadcasts against bounded daily/user frames; q_rfm: the
         // corpus-end and quintile-fence one-row broadcasts (all the
         // q_supplier_share scalar-threshold pattern)
-        "q_acf", "q_survival", "q_rfm")
+        "q_acf", "q_survival", "q_rfm",
+        // q_matryoshka: both legs inherit q_ann_bruteforce's bounded
+        // 8-query broadcast
+        "q_matryoshka",
+        // q_conformal: the bounded days x types x 24-hours spine, twice
+        // (calibration + test grids — the q_gap_fill/q_backtest pattern)
+        "q_conformal")
     for ((name, fn) <- SparkEntry.queries) {
       // interior plans included: checkpointing operators execute their
       // real joins during construction and return an RDD-scan facade

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Recommend
+
+/** Behavioral checks for the ALS recommender: no SQL oracle exists for a
+  * factorization, so the bar is ranking quality — the model must score
+  * what a customer actually bought above what they never touched — plus
+  * determinism of the seeded trainer's serving output shape. */
+class RecommendSpec extends SparkSpecBase {
+
+  test("implicit ALS ranks observed purchases above unobserved pairs") {
+    val ratings = Recommend.purchaseCounts(spark, Sf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val model = Recommend.trainAls(ratings)
+    // score every observed pair and an equal-sized set of deterministic
+    // unobserved pairs (user x shifted item, anti-joined)
+    val users = ratings.select(col("user")).distinct()
+    val unobserved = users
+      .crossJoin(ratings.select(col("item")).distinct()
+        .orderBy(col("item")).limit(40))
+      .join(ratings.select(col("user"), col("item")), Seq("user", "item"),
+        "left_anti")
+    val obsScore = model.transform(ratings)
+      .agg(avg(col("prediction"))).collect()(0).getDouble(0)
+    val unobsScore = model.transform(
+        unobserved.withColumn("rating", lit(0f)))
+      .agg(avg(col("prediction"))).collect()(0).getDouble(0)
+    assert(obsScore > unobsScore,
+      s"observed mean $obsScore must beat unobserved $unobsScore")
+    ratings.unpersist(false)
+  }
+
+  test("top-N serving table is complete, ranked, and deterministic in shape") {
+    val ratings = Recommend.purchaseCounts(spark, Sf)
+    val model = Recommend.trainAls(ratings)
+    val top = Recommend.topN(model, 5).collect()
+    val nUsers = ratings.select(col("user")).distinct().count()
+    assert(top.length == nUsers * 5)
+    val byUser = top.groupBy(_.getInt(0))
+    for ((_, rows) <- byUser) {
+      assert(rows.map(_.getInt(1)).sorted.toSeq == (1 to 5))
+      // scores non-increasing down the rank
+      val scores = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+      // recommended items are distinct per user
+      assert(rows.map(_.getInt(2)).distinct.length == 5)
+    }
+  }
+}
