@@ -498,6 +498,12 @@ object SparkEntry {
     // Markov next-event prediction accuracy on held-out transitions
     "q_markov_eval"       -> ((s: SparkSession, d: String) =>
       EventOps.markovEval(s, d)),
+    // Bounded k-core peel over the 5-NN graph (3 rounds, k = 3)
+    "q_kcore"             -> ((s: SparkSession, d: String) =>
+      GraphOps.kcoreQuery(s, d)),
+    // STL-style trend/seasonal/residual decomposition of daily counts
+    "q_stl"               -> ((s: SparkSession, d: String) =>
+      EventOps.stlDecompose(s, d)),
   )
 
   /** [[TextOps.patternScan]] dictionary for the driver query: token
@@ -4630,6 +4636,73 @@ object SparkEntry {
         |    AS DOUBLE) / count(*), 4) AS accuracy
         |FROM te JOIN p ON p.event_type = te.event_type
         |GROUP BY 1, 2 ORDER BY te.event_type""".stripMargin,
+    // k-core peel: the kNN CTEs, undirected canonical edges, then three
+    // unrolled peel rounds (degree >= 3 survivor sets).
+    "q_kcore" ->
+      s"""WITH $lshOracleCtes,
+         |bkc AS (SELECT vec_id, bucket FROM (
+         |          SELECT vec_id, bucket,
+         |            count(*) OVER (PARTITION BY bucket) AS bn
+         |          FROM bk) WHERE bn <= 4096),
+         |prs AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |        FROM bkc a JOIN bkc b
+         |          ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |sc AS (SELECT vec_a, vec_b,
+         |         list_cosine_similarity(ea.e, eb.e) AS s
+         |       FROM prs JOIN emb ea ON ea.vec_id = prs.vec_a
+         |                 JOIN emb eb ON eb.vec_id = prs.vec_b),
+         |sym AS (SELECT vec_a AS src, vec_b AS dst, s FROM sc
+         |        UNION ALL SELECT vec_b, vec_a, s FROM sc),
+         |knn AS (SELECT src, dst FROM (SELECT src, dst,
+         |          row_number() OVER (PARTITION BY src
+         |            ORDER BY s DESC, dst) AS rnk FROM sym) t
+         |        WHERE rnk <= 5),
+         |e0 AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |       FROM knn),
+         |d1 AS (SELECT node, count(*) AS dg FROM (
+         |        SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0) x
+         |       GROUP BY 1),
+         |k1 AS (SELECT node FROM d1 WHERE dg >= 3),
+         |e1 AS (SELECT a, b FROM e0 WHERE a IN (SELECT node FROM k1)
+         |       AND b IN (SELECT node FROM k1)),
+         |d2 AS (SELECT node, count(*) AS dg FROM (
+         |        SELECT a AS node FROM e1 UNION ALL SELECT b FROM e1) x
+         |       GROUP BY 1),
+         |k2 AS (SELECT node FROM d2 WHERE dg >= 3),
+         |e2 AS (SELECT a, b FROM e1 WHERE a IN (SELECT node FROM k2)
+         |       AND b IN (SELECT node FROM k2)),
+         |d3 AS (SELECT node, count(*) AS dg FROM (
+         |        SELECT a AS node FROM e2 UNION ALL SELECT b FROM e2) x
+         |       GROUP BY 1),
+         |k3 AS (SELECT node FROM d3 WHERE dg >= 3),
+         |e3 AS (SELECT a, b FROM e2 WHERE a IN (SELECT node FROM k3)
+         |       AND b IN (SELECT node FROM k3))
+         |SELECT CAST(1 AS INTEGER) AS round,
+         |  (SELECT count(*) FROM k1) AS n_nodes,
+         |  (SELECT count(*) FROM e1) AS n_edges
+         |UNION ALL SELECT 2, (SELECT count(*) FROM k2),
+         |  (SELECT count(*) FROM e2)
+         |UNION ALL SELECT 3, (SELECT count(*) FROM k3),
+         |  (SELECT count(*) FROM e3)
+         |ORDER BY round""".stripMargin,
+    // STL: same window trend, decimal-summed detrended weekday means,
+    // identical final scalar tree.
+    "q_stl" ->
+      """WITH d AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+        |t AS (SELECT day, x,
+        |    CAST(sum(x) OVER w AS DOUBLE) / count(*) OVER w AS trend,
+        |    isodow(day) - 1 AS dow
+        |  FROM d WINDOW w AS (ORDER BY day
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |dt AS (SELECT day, x, trend, dow,
+        |    CAST(round(x - trend, 6) AS DECIMAL(18,6)) AS det FROM t),
+        |s AS (SELECT dow, CAST(sum(det) AS DOUBLE) / count(*) AS seasonal
+        |  FROM dt GROUP BY 1)
+        |SELECT day, x AS n_events, round(trend, 4) AS trend,
+        |  round(seasonal, 4) AS seasonal,
+        |  round(x - trend - seasonal, 4) AS residual
+        |FROM dt JOIN s ON s.dow = dt.dow ORDER BY day""".stripMargin,
   )
 
   /** Oracle twin of CatalogOps.profile: one UNION ALL branch per column. */

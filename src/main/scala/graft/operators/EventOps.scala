@@ -950,6 +950,46 @@ object EventOps {
           .as("z_stat"))
   }
 
+  /** STL-style additive decomposition of the daily event-count series:
+    * trend = centered 7-day moving average (edge days average their
+    * in-window neighbors — no fabricated padding), seasonal = per
+    * weekday mean of the detrended series, residual = the rest. The
+    * classic first cut any time-series triage runs before picking a
+    * model; the anomaly screens upstream flag spikes, this explains the
+    * structure they sit on.
+    *
+    * Exactness: trend is Σx/n of BIGINT window sums (one double
+    * division); each detrended term is rounded once and decimal-summed
+    * per weekday (the surprisal discipline — aggregation-order-free, so
+    * the weekday means are engine-identical), seasonal is one double
+    * division of that exact sum. One events scan → bounded daily frame
+    * (persisted: the weekday aggregate and the final join both consume
+    * it); the 7-row seasonal frame broadcasts back. */
+  def stlDecompose(spark: SparkSession, dir: String): DataFrame = {
+    val wMa = Window.orderBy(col("day")).rowsBetween(-3, 3)
+    val daily = Lake.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("trend",
+        sum(col("x")).over(wMa).cast("double") / count(lit(1)).over(wMa))
+      .withColumn("dow", weekday(col("day")))
+      .withColumn("det",
+        round(col("x") - col("trend"), 6).cast(DecimalType(18, 6)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seasonal = daily.groupBy(col("dow"))
+      .agg((sum(col("det")).cast("double") / count(lit(1))).as("seasonal"))
+    val out = daily
+      .join(broadcast(seasonal), Seq("dow"))
+      .select(col("day"), col("x").as("n_events"),
+        round(col("trend"), 4).as("trend"),
+        round(col("seasonal"), 4).as("seasonal"),
+        round(col("x") - col("trend") - col("seasonal"), 4).as("residual"))
+      .orderBy(col("day"))
+      .localCheckpoint(true)
+    daily.unpersist(false)
+    out
+  }
+
   /** Split-conformal prediction intervals for the seasonal-naive
     * forecast — the distribution-free finite-sample guarantee on top of
     * [[forecastBacktest]]'s point forecasts: train means come from days

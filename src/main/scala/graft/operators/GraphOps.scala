@@ -365,6 +365,46 @@ object GraphOps {
   def labelPropQuery(spark: SparkSession, dir: String): DataFrame =
     labelPropagation(AnnOps.knnGraph(spark, dir).select(col("src"), col("dst")))
 
+  /** Bounded k-core peel over the 5-NN similarity graph: `rounds`
+    * iterations of "drop every node with fewer than `k` undirected
+    * neighbors, then re-count" — the classic densest-region screen
+    * (nodes that survive are in cohesive clusters; the periphery peels
+    * off first). A FIXED round count keeps the result closed-form for
+    * the oracle while showing the real distributed shape — full k-core
+    * runs the same loop to fixpoint, and each round is one degree
+    * aggregate + two semi-joins over the current edge frame (never a
+    * product). The kNN edges come from the SHARED candidate-pairs
+    * artifact; the undirected edge set is the canonical least/greatest
+    * distinct. Per-round survivor counts are bounded driver actions (one
+    * count pair per round, `rounds` is a constant). */
+  def kcoreQuery(spark: SparkSession, dir: String, k: Int = 3,
+                 rounds: Int = 3): DataFrame = {
+    import spark.implicits._
+    require(k >= 1 && rounds >= 1, "need k >= 1 and rounds >= 1")
+    var edges = AnnOps.knnGraph(spark, dir)
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val stats = Seq.newBuilder[(Int, Long, Long)]
+    for (r <- 1 to rounds) {
+      val deg = edges.select(col("a").as("node"))
+        .unionByName(edges.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("dg"))
+      val kept = deg.filter(col("dg") >= k).select(col("node"))
+        .localCheckpoint(true)
+      edges = edges
+        .join(kept.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+        .join(kept.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        .localCheckpoint(true)
+      stats += ((r, kept.count(), edges.count()))
+    }
+    stats.result()
+      .toDF("round", "n_nodes", "n_edges")
+      .orderBy(col("round"))
+  }
+
   /** Degree distribution of the customer↔supplier trade graph: nodes per
     * degree, split by node side — the first thing anyone plots about a
     * graph, and the input to every power-law / hub argument. Reads the

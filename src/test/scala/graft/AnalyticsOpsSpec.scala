@@ -688,4 +688,31 @@ class AnalyticsOpsSpec extends SparkSpecBase {
       assert(math.abs(acc - nCorrect.toDouble / nTest) < 1e-4)
     }
   }
+
+  test("stl decomposition: brute-force trend/seasonal and additive reconstruction") {
+    val rows = EventOps.stlDecompose(spark, Sf).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    val daily = rows.map(r => (r._1, r._2)).sortBy(_._1.toEpochDay)
+    assert(rows.length == daily.length && rows.length >= 28)
+    val xs = daily.map(_._2.toDouble)
+    for (((day, x, trend, seasonal, residual), i) <- rows.zipWithIndex) {
+      val lo = math.max(0, i - 3); val hi = math.min(xs.length - 1, i + 3)
+      val expTrend = xs.slice(lo, hi + 1).sum / (hi - lo + 1)
+      assert(math.abs(trend - expTrend) < 1e-3, s"$day trend $trend vs $expTrend")
+      // additive identity at rounding tolerance
+      assert(math.abs(x - (trend + seasonal + residual)) < 5e-4, s"$day")
+    }
+    // seasonal is a pure function of weekday
+    val byDow = rows.groupBy(_._1.getDayOfWeek)
+    for ((_, rs) <- byDow)
+      assert(rs.map(_._4).distinct.length == 1, "one seasonal value per weekday")
+    // detrended weekday means: recompute brute force
+    val dowMean = rows.groupBy(_._1.getDayOfWeek).view.mapValues { rs =>
+      rs.map(r => math.rint((r._2 - r._3) * 1e6) / 1e6).sum / rs.length
+    }.toMap
+    for (r <- rows)
+      assert(math.abs(r._4 - dowMean(r._1.getDayOfWeek)) < 1e-3,
+        s"${r._1} seasonal ${r._4} vs ${dowMean(r._1.getDayOfWeek)}")
+  }
 }

@@ -96,4 +96,26 @@ class GraphOpsSpec extends SparkSpecBase {
     for (e <- Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 5L)))
       assert(!out.contains(e), s"edge $e must not be predicted")
   }
+
+  test("k-core peel matches the brute-force peel round for round") {
+    val knn = graft.operators.AnnOps.knnGraph(spark, Sf)
+      .select(col("src"), col("dst")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    var edges = knn.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct.toSet
+    val rows = GraphOps.kcoreQuery(spark, Sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 3))
+    var prevNodes = Long.MaxValue
+    for ((round, nNodes, nEdges) <- rows) {
+      val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val kept = deg.filter(_._2 >= 3).keySet
+      edges = edges.filter(e => kept(e._1) && kept(e._2))
+      assert(nNodes == kept.size, s"round $round nodes")
+      assert(nEdges == edges.size, s"round $round edges")
+      assert(nNodes <= prevNodes, "peel must be monotone")
+      prevNodes = nNodes
+    }
+  }
 }
