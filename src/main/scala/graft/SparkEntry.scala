@@ -504,6 +504,18 @@ object SparkEntry {
     // STL-style trend/seasonal/residual decomposition of daily counts
     "q_stl"               -> ((s: SparkSession, d: String) =>
       EventOps.stlDecompose(s, d)),
+    // Near-dup cluster size histogram (duplication-mass release metric)
+    "q_cluster_sizes"     -> ((s: SparkSession, d: String) =>
+      DedupOps.clusterSizeHistogram(s, d)),
+    // Funnel step conversions with Wilson 95% intervals
+    "q_funnel_ci"         -> ((s: SparkSession, d: String) =>
+      EventOps.funnelCi(s, d)),
+    // Daily p50/p90/p99 bands of the event value
+    "q_daily_percentiles" -> ((s: SparkSession, d: String) =>
+      EventOps.dailyPercentiles(s, d)),
+    // RAKE keyphrase extraction over the corpus (top 20)
+    "q_rake"              -> ((s: SparkSession, d: String) =>
+      TextOps.rakeKeywords(s, d)),
   )
 
   /** [[TextOps.patternScan]] dictionary for the driver query: token
@@ -4703,6 +4715,114 @@ object SparkEntry {
         |  round(seasonal, 4) AS seasonal,
         |  round(x - trend - seasonal, 4) AS residual
         |FROM dt JOIN s ON s.dow = dt.dow ORDER BY day""".stripMargin,
+    // Cluster sizes: q_neardup_keep's recursive closure, singletons are
+    // size-1 clusters, then the bounded histogram.
+    "q_cluster_sizes" ->
+      """WITH RECURSIVE
+        |tok AS (SELECT doc_id, string_split(text, ' ') AS t
+        |        FROM documents WHERE text IS NOT NULL),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) >= 3
+        |      THEN list_distinct(list_transform(range(1, len(t) - 1),
+        |             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        |      ELSE [array_to_string(t, ' ')] END AS s
+        |  FROM tok),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a, sh b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND len(list_intersect(a.s, b.s)) * 1.0
+        |      / len(list_distinct(a.s || b.s)) >= 0.6),
+        |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+        |      UNION ALL SELECT doc_b, doc_a FROM p),
+        |r AS (
+        |  SELECT DISTINCT src AS doc_id, src AS reach FROM e
+        |  UNION
+        |  SELECT r.doc_id, e.dst FROM r JOIN e ON r.reach = e.src
+        |),
+        |cl AS (SELECT doc_id, min(reach) AS keeper FROM r GROUP BY doc_id),
+        |k AS (SELECT d.doc_id, coalesce(cl.keeper, d.doc_id) AS keeper
+        |      FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
+        |      LEFT JOIN cl ON cl.doc_id = d.doc_id),
+        |cs AS (SELECT keeper, CAST(count(*) AS BIGINT) AS cluster_size
+        |       FROM k GROUP BY 1)
+        |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+        |  cluster_size * CAST(count(*) AS BIGINT) AS n_docs
+        |FROM cs GROUP BY 1 ORDER BY cluster_size""".stripMargin,
+    // Funnel CI: the min-per-step funnel counts, then the identical
+    // Wilson scalar tree per stacked step row (z = 1.96 literal).
+    "q_funnel_ci" ->
+      """WITH u AS (SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS tv,
+        |    min(CASE WHEN event_type = 'click' THEN ts END) AS tc,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+        |  FROM events GROUP BY 1),
+        |f AS (SELECT CASE WHEN tv IS NOT NULL THEN 1 ELSE 0 END AS s1,
+        |    CASE WHEN tv < tc THEN 1 ELSE 0 END AS s2,
+        |    CASE WHEN tv < tc AND tc < tp THEN 1 ELSE 0 END AS s3
+        |  FROM u),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |    CAST(sum(s1) AS BIGINT) AS n1, CAST(sum(s2) AS BIGINT) AS n2,
+        |    CAST(sum(s3) AS BIGINT) AS n3 FROM f),
+        |s AS (SELECT 'view' AS step, n_users AS n_prev, n1 AS n_conv FROM t
+        |  UNION ALL SELECT 'view>click', n1, n2 FROM t
+        |  UNION ALL SELECT 'view>click>buy', n2, n3 FROM t),
+        |w AS (SELECT step, n_prev, n_conv,
+        |    CAST(n_prev AS DOUBLE) AS n,
+        |    CAST(n_conv AS DOUBLE) / CAST(n_prev AS DOUBLE) AS p FROM s)
+        |SELECT step, n_prev, n_conv,
+        |  round(p, 4) AS rate,
+        |  round((p + 1.96 * 1.96 / (2.0 * n)) / (1.0 + 1.96 * 1.96 / n)
+        |    - 1.96 * sqrt(p * (1.0 - p) / n
+        |      + 1.96 * 1.96 / (4.0 * n * n)) / (1.0 + 1.96 * 1.96 / n), 4)
+        |    AS lo95,
+        |  round((p + 1.96 * 1.96 / (2.0 * n)) / (1.0 + 1.96 * 1.96 / n)
+        |    + 1.96 * sqrt(p * (1.0 - p) / n
+        |      + 1.96 * 1.96 / (4.0 * n * n)) / (1.0 + 1.96 * 1.96 / n), 4)
+        |    AS hi95
+        |FROM w ORDER BY step""".stripMargin,
+    // Daily percentile bands: quantile_cont over the same doubles.
+    "q_daily_percentiles" ->
+      """SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n_events,
+        |  round(quantile_cont(value, 0.5), 4) AS p50,
+        |  round(quantile_cont(value, 0.9), 4) AS p90,
+        |  round(quantile_cont(value, 0.99), 4) AS p99
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    // RAKE: stopword-run phrases via the running stop count, deg/freq
+    // word scores rounded once and decimal-summed per phrase.
+    "q_rake" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ts
+        |           FROM documents WHERE text IS NOT NULL),
+        |tk AS (SELECT doc_id, unnest(range(1, len(ts) + 1)) AS pos, ts
+        |       FROM d),
+        |t2 AS (SELECT doc_id, pos, ts[pos] AS w FROM tk),
+        |m AS (SELECT doc_id, pos, w,
+        |    (w IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it'))
+        |      AS is_stop FROM t2),
+        |ph AS (SELECT doc_id, pos, w,
+        |    sum(CASE WHEN is_stop THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos) AS run_id,
+        |    is_stop FROM m),
+        |pf AS (SELECT doc_id, run_id,
+        |    string_agg(w, ' ' ORDER BY pos) AS phrase,
+        |    CAST(count(*) AS BIGINT) AS len
+        |  FROM ph WHERE NOT is_stop AND w <> '' GROUP BY 1, 2),
+        |ws AS (SELECT w,
+        |    CAST(round(CAST(sum(len) AS DOUBLE) / count(*), 6)
+        |      AS DECIMAL(18,6)) AS ws
+        |  FROM (SELECT len, unnest(string_split(phrase, ' ')) AS w FROM pf) x
+        |  GROUP BY w),
+        |dp AS (SELECT phrase, CAST(count(*) AS BIGINT) AS n_occur
+        |       FROM pf GROUP BY 1),
+        |sc AS (SELECT phrase, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    round(CAST(sum(ws.ws) AS DOUBLE), 4) AS score
+        |  FROM (SELECT phrase, unnest(string_split(phrase, ' ')) AS w
+        |        FROM dp) e
+        |  JOIN ws ON ws.w = e.w GROUP BY phrase)
+        |SELECT dp.phrase, sc.n_tokens, dp.n_occur, sc.score
+        |FROM dp JOIN sc ON sc.phrase = dp.phrase
+        |ORDER BY sc.score DESC, dp.phrase LIMIT 20""".stripMargin,
   )
 
   /** Oracle twin of CatalogOps.profile: one UNION ALL branch per column. */

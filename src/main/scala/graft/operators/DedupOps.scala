@@ -961,4 +961,31 @@ object DedupOps extends org.apache.spark.internal.Logging {
     dedupRecall(Lake.documents(spark, dir),
       NearDupArtifact.sharedPairs(spark, dir), threshold = 0.6,
       sampleBuckets = 2000)
+
+  /** Near-dup cluster SIZE distribution — the release metric behind any
+    * dedup decision: how much of the corpus sits in big duplicate
+    * families (one giant cluster means boilerplate or a crawler loop;
+    * a long size-1 tail means dedup will barely shrink the corpus).
+    * Singletons are REAL size-1 clusters here, not noise — the histogram
+    * covers every non-null doc. Reads the SHARED verified-pairs artifact
+    * through [[nearDupClusters]]; one left join + two bounded aggregates
+    * (cluster frame, then the ≤max-cluster-size histogram).
+    * `n_docs = cluster_size · n_clusters` by construction, carried so
+    * the duplication mass per size band reads directly off the row. */
+  def clusterSizeHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val cl = nearDupClusters(spark, dir)
+      .select(col("doc_id"), col("keeper"))
+    Lake.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"))
+      .join(cl, Seq("doc_id"), "left")
+      .select(coalesce(col("keeper"), col("doc_id")).as("keeper"))
+      .groupBy(col("keeper"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+      .orderBy(col("cluster_size"))
+  }
 }

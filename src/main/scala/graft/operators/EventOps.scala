@@ -950,6 +950,68 @@ object EventOps {
           .as("z_stat"))
   }
 
+  /** Funnel conversion report with Wilson 95% intervals: per step, how
+    * many users who reached the PREVIOUS step converted, as a rate with
+    * the score-interval bounds — the uncertainty-aware version of the
+    * raw funnel (a 60% step on 10 users and on 10,000 users are very
+    * different facts; the CI is what makes that visible on the
+    * dashboard). Wilson rather than the normal approximation because
+    * step tails are exactly where p̂ sits near 0 or 1 and Wald collapses.
+    *
+    * One user aggregate (min event time per step, the [[funnel]] shape)
+    * → ONE global count row → three stacked step rows, each evaluating
+    * the identical closed-form scalar tree (z = 1.96 literal). */
+  def funnelCi(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Lake.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+        min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+      .select(
+        when(col("t_view").isNotNull, 1L).otherwise(0L).as("s1"),
+        when(col("t_view") < col("t_click"), 1L).otherwise(0L).as("s2"),
+        when(col("t_view") < col("t_click") &&
+          col("t_click") < col("t_purchase"), 1L).otherwise(0L).as("s3"))
+    val totals = perUser.agg(
+      count(lit(1)).as("n_users"),
+      sum(col("s1")).as("n1"), sum(col("s2")).as("n2"),
+      sum(col("s3")).as("n3"))
+    val stacked = totals.select(expr(
+      """stack(3,
+        |  'view',           n_users, n1,
+        |  'view>click',     n1,      n2,
+        |  'view>click>buy', n2,      n3)
+        |AS (step, n_prev, n_conv)""".stripMargin))
+    val z = lit(1.96)
+    val n = col("n_prev").cast("double")
+    val p = col("n_conv").cast("double") / n
+    val denom = lit(1.0) + z * z / n
+    val center = (p + z * z / (lit(2.0) * n)) / denom
+    val half = z * sqrt(p * (lit(1.0) - p) / n +
+      z * z / (lit(4.0) * n * n)) / denom
+    stacked.select(
+      col("step"), col("n_prev"), col("n_conv"),
+      round(p, 4).as("rate"),
+      round(center - half, 4).as("lo95"),
+      round(center + half, 4).as("hi95"))
+  }
+
+  /** Daily percentile bands of the event value (p50 / p90 / p99) — the
+    * latency-dashboard shape: one exact multi-probability `percentile`
+    * aggregate per day (bounded groups; swap `approx_percentile` at
+    * 100 TB, same plan). */
+  def dailyPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Lake.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        expr("percentile(value, array(0.5D, 0.9D, 0.99D))").as("q"))
+      .select(col("day"), col("n_events"),
+        round(col("q").getItem(0), 4).as("p50"),
+        round(col("q").getItem(1), 4).as("p90"),
+        round(col("q").getItem(2), 4).as("p99"))
+      .orderBy(col("day"))
+
   /** STL-style additive decomposition of the daily event-count series:
     * trend = centered 7-day moving average (edge days average their
     * in-window neighbors — no fabricated padding), seasonal = per

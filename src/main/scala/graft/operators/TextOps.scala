@@ -1433,4 +1433,60 @@ object TextOps {
 
   def readabilityQuery(spark: SparkSession, dir: String): DataFrame =
     readability(Lake.documents(spark, dir))
+
+  /** RAKE keyword extraction (Rapid Automatic Keyword Extraction):
+    * candidate phrases are maximal stopword-delimited token runs; each
+    * word scores deg/freq (deg = Σ length of the phrase instances it
+    * appears in — co-occurrence weight; freq = its instance count), and
+    * a phrase scores the sum of its words' scores. The classic
+    * no-training keyphrase baseline — multi-word phrases whose words
+    * travel together outrank ubiquitous single words.
+    *
+    * Determinism at scale: phrase assembly sorts collected (pos, token)
+    * structs per (doc, run) — runs are bounded by inter-stopword gaps,
+    * never whole docs; each word score is rounded ONCE to 6 dp and
+    * decimal-summed per phrase (the surprisal discipline — phrase
+    * scores are aggregation-order-free), and top-K is
+    * TakeOrderedAndProject on (rounded score, phrase). One corpus
+    * token pass; the phrase-instance frame persists for its two
+    * consumers (word stats, distinct phrases). */
+  def rakeKeywords(spark: SparkSession, dir: String,
+                   topK: Int = 20): DataFrame = {
+    val wSeq = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val phrases = Lake.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .withColumn("is_stop", col("col").isin(Stopwords: _*))
+      .withColumn("run_id",
+        sum(when(col("is_stop"), 1L).otherwise(0L)).over(wSeq))
+      .filter(!col("is_stop") && col("col") =!= "")
+      .groupBy(col("doc_id"), col("run_id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("col")))),
+          x => x.getField("col")), " ").as("phrase"),
+        count(lit(1)).as("len"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wordScores = phrases
+      .select(explode(split(col("phrase"), " ")).as("w"), col("len"))
+      .groupBy(col("w"))
+      .agg(round(sum(col("len")) / count(lit(1)), 6)
+        .cast(DecimalType(18, 6)).as("ws"))
+    val distinctPhrases = phrases
+      .groupBy(col("phrase"))
+      .agg(count(lit(1)).as("n_occur"))
+    val out = distinctPhrases
+      .select(col("phrase"), col("n_occur"),
+        explode(split(col("phrase"), " ")).as("w"))
+      .join(wordScores, Seq("w"))
+      .groupBy(col("phrase"), col("n_occur"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("ws")).cast("double"), 4).as("score"))
+      .select(col("phrase"), col("n_tokens"), col("n_occur"), col("score"))
+      .orderBy(col("score").desc, col("phrase"))
+      .limit(topK)
+      .localCheckpoint(true)
+    phrases.unpersist(false)
+    out
+  }
 }

@@ -715,4 +715,53 @@ class AnalyticsOpsSpec extends SparkSpecBase {
       assert(math.abs(r._4 - dowMean(r._1.getDayOfWeek)) < 1e-3,
         s"${r._1} seasonal ${r._4} vs ${dowMean(r._1.getDayOfWeek)}")
   }
+
+  test("funnel CI: Wilson bounds match the closed form and bracket the rate") {
+    val rows = EventOps.funnelCi(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.map(_._1).toSet ==
+      Set("view", "view>click", "view>click>buy"))
+    for ((step, nPrev, nConv, rate, lo, hi) <- rows) {
+      assert(nConv <= nPrev, step)
+      val n = nPrev.toDouble; val p = nConv / n
+      assert(math.abs(rate - p) < 1e-4)
+      val z = 1.96
+      val denom = 1.0 + z * z / n
+      val center = (p + z * z / (2 * n)) / denom
+      val half = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n)) / denom
+      assert(math.abs(lo - (center - half)) < 1e-3, s"$step lo")
+      assert(math.abs(hi - (center + half)) < 1e-3, s"$step hi")
+      assert(lo <= rate + 1e-9 && rate <= hi + 1e-9, s"$step brackets")
+      assert(lo >= -1e-9 && hi <= 1.0 + 1e-9)
+    }
+    // funnel is monotone: each step's base is the previous conversions
+    val byStep = rows.map(r => r._1 -> r).toMap
+    assert(byStep("view>click")._2 == byStep("view")._3)
+    assert(byStep("view>click>buy")._2 == byStep("view>click")._3)
+  }
+
+  test("daily percentile bands match brute-force interpolation per day") {
+    val rows = EventOps.dailyPercentiles(spark, Sf).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    val byDay = Lake.events(spark, Sf)
+      .select(to_date(col("ts")).as("day"), col("value")).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    def pct(xs: Array[Double], q: Double): Double = {
+      val pos = (xs.length - 1) * q
+      val i = pos.toInt
+      if (i + 1 >= xs.length) xs(i) else xs(i) + (pos - i) * (xs(i + 1) - xs(i))
+    }
+    assert(rows.length == byDay.size)
+    for ((day, n, p50, p90, p99) <- rows) {
+      val xs = byDay(day)
+      assert(n == xs.length)
+      assert(math.abs(p50 - pct(xs, 0.5)) < 1e-3, s"$day p50")
+      assert(math.abs(p90 - pct(xs, 0.9)) < 1e-3, s"$day p90")
+      assert(math.abs(p99 - pct(xs, 0.99)) < 1e-3, s"$day p99")
+      assert(p50 <= p90 + 1e-9 && p90 <= p99 + 1e-9)
+    }
+  }
 }

@@ -301,4 +301,24 @@ class DedupSpec extends SparkSpecBase {
       ("zenith inc", "zenith ink", 1)),
       s"got ${out.toSeq}")
   }
+
+  test("cluster size histogram covers every doc and matches the cluster frame") {
+    val hist = DedupOps.clusterSizeHistogram(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nDocs = Lake.documents(spark, Sf)
+      .filter(col("text").isNotNull).count()
+    assert(hist.map(_._3).sum == nDocs, "histogram mass equals the corpus")
+    for ((size, nClusters, nd) <- hist) {
+      assert(size >= 1 && nClusters >= 1)
+      assert(nd == size * nClusters)
+    }
+    // cross-check multi-doc clusters against the cluster frame itself
+    val clusters = DedupOps.nearDupClusters(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val sizes = clusters.groupBy(_._2).values.map(_.length.toLong)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    for ((size, nClusters, _) <- hist if size > 1)
+      assert(sizes.get(size).contains(nClusters),
+        s"size-$size clusters: $nClusters vs ${sizes.get(size)}")
+  }
 }

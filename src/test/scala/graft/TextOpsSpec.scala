@@ -441,4 +441,42 @@ class TextOpsSpec extends SparkSpecBase {
       .map(r => r.getLong(0) -> r.getDouble(3)).toMap
     assert(again(1L) == loopRatio && again(2L) == freshRatio, "deterministic")
   }
+
+  test("rake keywords match a brute-force RAKE over the corpus") {
+    val got = TextOps.rakeKeywords(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length == 20)
+    // brute force: stopword-delimited runs, deg/freq word scores
+    val stop = TextOps.Stopwords.toSet
+    val docs = Lake.documents(spark, Sf)
+      .select(org.apache.spark.sql.functions.col("text")).collect()
+      .map(_.getString(0)).filter(_ != null)
+    val phrases = docs.flatMap { text =>
+      val runs = scala.collection.mutable.ArrayBuffer.empty[List[String]]
+      var cur = List.empty[String]
+      for (t <- text.split(" ", -1)) {
+        if (stop(t)) { if (cur.nonEmpty) runs += cur.reverse; cur = Nil }
+        else if (t.nonEmpty) cur = t :: cur
+      }
+      if (cur.nonEmpty) runs += cur.reverse
+      runs
+    }
+    val freq = phrases.flatten.groupBy(identity).view.mapValues(_.length).toMap
+    val deg = phrases.flatMap(p => p.map(_ -> p.length))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    def ws(w: String): BigDecimal =
+      BigDecimal(java.lang.Double.toString(deg(w).toDouble / freq(w)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val scored = phrases.groupBy(_.mkString(" ")).map { case (ph, insts) =>
+      (ph, insts.head.length.toLong, insts.length.toLong,
+        insts.head.map(ws).sum.toDouble)
+    }.toSeq
+    val top = scored.sortBy { case (ph, _, _, s) =>
+      (-math.rint(s * 1e4) / 1e4, ph) }.take(20)
+    for (((gp, gt, go, gs), (ep, et, eo, es)) <- got.zip(top)) {
+      assert(gp == ep, s"phrase $gp vs $ep")
+      assert(gt == et && go == eo)
+      assert(math.abs(gs - es) < 1e-3, s"$gp score $gs vs $es")
+    }
+  }
 }
