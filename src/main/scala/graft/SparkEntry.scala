@@ -516,6 +516,17 @@ object SparkEntry {
     // RAKE keyphrase extraction over the corpus (top 20)
     "q_rake"              -> ((s: SparkSession, d: String) =>
       TextOps.rakeKeywords(s, d)),
+    // JSON property-schema inventory over events.props
+    "q_json_schema"       -> CatalogOps.jsonSchema _,
+    // Order-to-ship lag percentiles + late share per priority
+    "q_ship_lag"          -> Relational.shipLag _,
+    // Centroid silhouette (clustering quality) per embedding label
+    "q_silhouette"        -> AnnOps.silhouette _,
+    // m-estimate target encoding of market segment vs order value
+    "q_target_encoding"   -> ((s: SparkSession, d: String) =>
+      Relational.targetEncoding(s, d)),
+    // Sample-ratio-mismatch audit of the A/B arm assignment
+    "q_srm"               -> EventOps.srmCheck _,
   )
 
   /** [[TextOps.patternScan]] dictionary for the driver query: token
@@ -4823,6 +4834,112 @@ object SparkEntry {
         |SELECT dp.phrase, sc.n_tokens, dp.n_occur, sc.score
         |FROM dp JOIN sc ON sc.phrase = dp.phrase
         |ORDER BY sc.score DESC, dp.phrase LIMIT 20""".stripMargin,
+    // JSON schema: lateral json_keys unnest with a null slot per
+    // propertyless row, first-key counting for the event total.
+    "q_json_schema" ->
+      """WITH k AS (SELECT e.props, u.k,
+        |    row_number() OVER (PARTITION BY e.rowid) AS kpos
+        |  FROM (SELECT props, row_number() OVER () AS rowid FROM events) e,
+        |    unnest(coalesce(json_keys(e.props), [CAST(NULL AS VARCHAR)]))
+        |      AS u(k)),
+        |v AS (SELECT k.k AS key, kpos,
+        |    CASE WHEN k.k IS NULL THEN NULL
+        |      ELSE json_extract_string(k.props, '$.' || k.k) END AS value
+        |  FROM k),
+        |g AS (SELECT key, CAST(count(*) AS BIGINT) AS n_present,
+        |    CAST(sum(CASE WHEN kpos = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_first,
+        |    CAST(sum(CASE WHEN regexp_matches(value,
+        |      '^-?[0-9]+(\.[0-9]+)?$') THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_numeric,
+        |    round(min(CASE WHEN regexp_matches(value,
+        |      '^-?[0-9]+(\.[0-9]+)?$') THEN CAST(value AS DOUBLE) END), 4)
+        |      AS min_num,
+        |    round(max(CASE WHEN regexp_matches(value,
+        |      '^-?[0-9]+(\.[0-9]+)?$') THEN CAST(value AS DOUBLE) END), 4)
+        |      AS max_num
+        |  FROM v GROUP BY 1),
+        |t AS (SELECT g.*, sum(n_first) OVER () AS n_total FROM g)
+        |SELECT key, n_present,
+        |  round(CAST(n_present AS DOUBLE) / n_total, 4) AS coverage,
+        |  round(CAST(n_numeric AS DOUBLE) / n_present, 4) AS numeric_share,
+        |  min_num, max_num
+        |FROM t WHERE key IS NOT NULL ORDER BY key""".stripMargin,
+    // Ship lag: same join, quantile_cont over the integer day lags.
+    "q_ship_lag" ->
+      """WITH j AS (SELECT o_orderpriority,
+        |    CAST(date_diff('day', o_orderdate, l_shipdate) AS BIGINT)
+        |      AS lag_days
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
+        |  round(quantile_cont(CAST(lag_days AS DOUBLE), 0.5), 4) AS p50,
+        |  round(quantile_cont(CAST(lag_days AS DOUBLE), 0.9), 4) AS p90,
+        |  round(quantile_cont(CAST(lag_days AS DOUBLE), 0.99), 4) AS p99,
+        |  round(CAST(sum(CASE WHEN lag_days > 60 THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*), 4) AS late_share
+        |FROM j GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+    // Silhouette: decimal-exact centroids ordered into lists, the same
+    // sequential squared-distance fold, round-once decimal-summed s.
+    "q_silhouette" ->
+      """WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+        |cx AS (SELECT label, i,
+        |    CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,8)))
+        |      AS DOUBLE) / count(*) AS comp
+        |  FROM (SELECT label, embedding,
+        |          unnest(range(1, len(embedding) + 1)) AS i FROM e) t
+        |  GROUP BY 1, 2),
+        |cv AS (SELECT label AS clabel, list(comp ORDER BY i) AS cvec
+        |       FROM cx GROUP BY 1),
+        |dd AS (SELECT e.vec_id, e.label, cv.clabel,
+        |    sqrt(list_aggregate(list_transform(
+        |      range(1, len(e.embedding) + 1),
+        |      i -> (CAST(e.embedding[i] AS DOUBLE) - cv.cvec[i])
+        |         * (CAST(e.embedding[i] AS DOUBLE) - cv.cvec[i])), 'sum'))
+        |      AS dist
+        |  FROM e CROSS JOIN cv),
+        |p AS (SELECT vec_id, label,
+        |    max(CASE WHEN clabel = label THEN dist END) AS a,
+        |    min(CASE WHEN clabel <> label THEN dist END) AS b
+        |  FROM dd GROUP BY 1, 2),
+        |s AS (SELECT label,
+        |    CAST(round((b - a) / greatest(a, b), 6) AS DECIMAL(18,6)) AS sv
+        |  FROM p)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+        |  round(CAST(sum(sv) AS DOUBLE) / count(*), 4) AS silhouette
+        |FROM s GROUP BY 1 ORDER BY label""".stripMargin,
+    // Target encoding: same bounded segment frame, window-total global
+    // mean, identical blend tree.
+    "q_target_encoding" ->
+      """WITH g AS (SELECT c_mktsegment,
+        |    CAST(count(*) AS BIGINT) AS n_orders,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS seg_sum
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1),
+        |t AS (SELECT c_mktsegment, n_orders, seg_sum,
+        |    CAST(sum(seg_sum) OVER () AS DOUBLE)
+        |      / CAST(sum(n_orders) OVER () AS BIGINT) AS g_mean
+        |  FROM g)
+        |SELECT c_mktsegment, n_orders,
+        |  round(CAST(seg_sum AS DOUBLE) / n_orders, 6) AS raw_mean,
+        |  round((CAST(seg_sum AS DOUBLE) + 10.0 * g_mean)
+        |    / (n_orders + 10.0), 6) AS encoded
+        |FROM t ORDER BY c_mktsegment""".stripMargin,
+    // SRM: same Lehmer arm hash, exact integer chi-square term, 3.841
+    // literal critical value.
+    "q_srm" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |a AS (SELECT CASE WHEN ((user_id * 16807) % 2147483647) % 2 = 0
+        |      THEN 'A' ELSE 'B' END AS arm FROM u),
+        |t AS (SELECT CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b FROM a)
+        |SELECT n_a, n_b,
+        |  round(CAST(n_a - n_b AS DOUBLE) * (n_a - n_b) / (n_a + n_b), 4)
+        |    AS chi2,
+        |  CAST(n_a - n_b AS DOUBLE) * (n_a - n_b) / (n_a + n_b) > 3.841
+        |    AS srm_detected
+        |FROM t""".stripMargin,
   )
 
   /** Oracle twin of CatalogOps.profile: one UNION ALL branch per column. */

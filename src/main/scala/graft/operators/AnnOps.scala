@@ -805,6 +805,53 @@ object AnnOps {
       .orderBy(col("q_id"))
   }
 
+  /** Silhouette-lite clustering quality per label: for every vector,
+    * a = distance to its OWN label centroid, b = distance to the nearest
+    * OTHER centroid, s = (b − a)/max(a, b) — averaged per label. The
+    * embedding-space answer to "are these labels actually clusters";
+    * near 0 or negative means the labeling is noise in this space.
+    * (Classic silhouette uses mean pairwise distances — O(n²); the
+    * centroid form is the standard scalable surrogate.)
+    *
+    * Determinism at scale: centroid components are decimal(18,8) sums ÷
+    * counts (the label-centroid convention); each distance is ONE
+    * sequential codegen'd `aggregate` fold over the zipped arrays (never
+    * a row-sum across dims, whose order floats); per-vector s rounds
+    * once to 6 dp and decimal-sums per label. The centroid side is
+    * bounded by the label universe and broadcasts — the vector×centroid
+    * product is n·L with L small, the intended linear plan. */
+  def silhouette(spark: SparkSession, dir: String): DataFrame = {
+    val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
+    val emb = Lake.embeddings(spark, dir)
+    val cent = emb
+      .select(col("label"), posexplode(col("embedding")))
+      .groupBy(col("label"), col("pos"))
+      .agg((sum(col("col").cast(dec8)).cast("double") / count(lit(1)))
+        .as("comp"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("comp")))),
+        x => x.getField("comp")).as("cvec"))
+      .withColumnRenamed("label", "clabel")
+    val dists = emb
+      .crossJoin(broadcast(cent))
+      .withColumn("dist", sqrt(expr(
+        """aggregate(zip_with(embedding, cvec,
+          |  (x, c) -> (CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)),
+          |  0D, (acc, v) -> acc + v)""".stripMargin)))
+    dists
+      .groupBy(col("vec_id"), col("label"))
+      .agg(max(when(col("clabel") === col("label"), col("dist"))).as("a"),
+        min(when(col("clabel") =!= col("label"), col("dist"))).as("b"))
+      .withColumn("s",
+        round((col("b") - col("a")) / greatest(col("a"), col("b")), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vectors"),
+        round(sum(col("s")).cast("double") / count(lit(1)), 4)
+          .as("silhouette"))
+      .orderBy(col("label"))
+  }
+
   /** Matryoshka (truncated-dimension) retrieval eval: top-k recall of
     * brute-force search over the FIRST `keepDims` embedding dimensions
     * against full-dimension ground truth — the measurement behind the

@@ -1086,6 +1086,50 @@ object CatalogOps {
       .orderBy(col(groupCol))
   }
 
+  /** JSON property-schema inventory over a semi-structured string
+    * column — the catalog answer to "what's actually inside `props`":
+    * one row per JSON key with its event coverage, numeric-value share,
+    * and numeric range. ONE scan: `explode_outer` keeps every event row
+    * (malformed/null JSON becomes a null-key row), so the coverage
+    * denominator is a window total over the BOUNDED key frame — no
+    * second scan for the row count. At 100 TB the key universe is the
+    * bounded side (schemas have dozens of keys, not millions). */
+  def jsonSchema(spark: SparkSession, dir: String): DataFrame = {
+    val parsed = Lake.events(spark, dir)
+      .select(posexplode_outer(from_json(col("props"),
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.StringType)))
+        .as(Seq("pos", "key", "value")))
+    val numeric = col("value").rlike("^-?[0-9]+(\\.[0-9]+)?$")
+    // n_first counts each EVENT once (its pos-0 key, or its single
+    // null-key row when the JSON is null/empty), so the window total
+    // over the bounded key frame is the true event count — a multi-key
+    // object never inflates the coverage denominator
+    val keyed = parsed
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_present"),
+        sum(when(coalesce(col("pos"), lit(0)) === 0, 1L).otherwise(0L))
+          .as("n_first"),
+        sum(when(numeric, 1L).otherwise(0L)).as("n_numeric"),
+        round(min(when(numeric, col("value").cast("double"))), 4)
+          .as("min_num"),
+        round(max(when(numeric, col("value").cast("double"))), 4)
+          .as("max_num"))
+    keyed
+      .withColumn("n_total",
+        sum(col("n_first")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
+      .filter(col("key").isNotNull)
+      .select(col("key"), col("n_present"),
+        round(col("n_present").cast("double") / col("n_total"), 4)
+          .as("coverage"),
+        round(col("n_numeric").cast("double") / col("n_present"), 4)
+          .as("numeric_share"),
+        col("min_num"), col("max_num"))
+      .orderBy(col("key"))
+  }
+
   /** Poisson(1) cumulative probabilities, P(X ≤ k) for k = 0..7, as
     * fixed 10-digit literals: BOTH engines compare the same uniform
     * against the same constants, so replica weights are deterministic

@@ -1173,6 +1173,31 @@ object EventOps {
     out
   }
 
+  /** Sample-ratio-mismatch (SRM) check for the A/B assignment — the
+    * first thing to audit before reading ANY experiment result: under a
+    * 50/50 split the arm sizes should differ only by chance, and
+    * χ² = (n_a − n_b)²/(n_a + n_b) against the 3.841 critical value
+    * (95%, 1 df — a literal, so no CDF library can disagree) flags a
+    * broken randomizer / lossy logging pipeline. Same Lehmer arm hash
+    * as [[abReadout]]; one user aggregate → one readout row of exact
+    * integer counts + one division. */
+  def srmCheck(spark: SparkSession, dir: String): DataFrame =
+    Lake.events(spark, dir)
+      .select(col("user_id")).distinct()
+      .withColumn("arm",
+        when(pmod(col("user_id") * lit(16807L), lit(2147483647L)) % 2 === 0,
+          "A").otherwise("B"))
+      .agg(
+        sum(when(col("arm") === "A", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === "B", 1L).otherwise(0L)).as("n_b"))
+      .select(col("n_a"), col("n_b"),
+        round((col("n_a") - col("n_b")).cast("double") *
+          (col("n_a") - col("n_b")) / (col("n_a") + col("n_b")), 4)
+          .as("chi2"),
+        ((col("n_a") - col("n_b")).cast("double") *
+          (col("n_a") - col("n_b")) / (col("n_a") + col("n_b")) >
+          lit(3.841)).as("srm_detected"))
+
   /** Lag-k autocorrelation (sample ACF) of the daily event-count series,
     * k = 1..`maxLag` — the first diagnostic any seasonality / forecast
     * work runs (a weekly cycle shows up as a positive spike at lag 7).

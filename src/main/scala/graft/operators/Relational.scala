@@ -1075,6 +1075,61 @@ object Relational {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** m-estimate target encoding of a categorical against order value —
+    * the leakage-averse categorical-feature transform: each segment's
+    * encoding is its target mean shrunk toward the global mean,
+    * (Σy + m·ȳ)/(n + m), so rare categories don't memorize their few
+    * rows. ONE fact pass to the bounded segment frame; the global mean
+    * comes from a window total over that frame — never a second scan.
+    * Sums stay decimal-exact; the two divisions and the blend are one
+    * deterministic scalar tree per segment row. */
+  def targetEncoding(spark: SparkSession, dir: String,
+                     smoothing: Double = 10.0): DataFrame = {
+    val w = Window.partitionBy()
+    Lake.orders(spark, dir)
+      .join(broadcast(Lake.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(m(col("o_totalprice"))).as("seg_sum"))
+      .withColumn("g_sum", sum(col("seg_sum")).over(w))
+      .withColumn("g_n", sum(col("n_orders")).over(w))
+      .withColumn("g_mean", col("g_sum").cast("double") / col("g_n"))
+      .select(col("c_mktsegment"), col("n_orders"),
+        round(col("seg_sum").cast("double") / col("n_orders"), 6)
+          .as("raw_mean"),
+        round((col("seg_sum").cast("double") + lit(smoothing) * col("g_mean")) /
+          (col("n_orders") + lit(smoothing)), 6).as("encoded"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Order-to-ship lag distribution per order priority — the
+    * fulfillment-SLA dashboard over the TPC-H shape: per priority, the
+    * p50/p90/p99 of days from order to line shipment plus the late
+    * (> 60 d) share. One fact⋈fact join on the order key, bounded
+    * priority groups; exact `percentile` with the standing
+    * `approx_percentile` swap at 100 TB. */
+  def shipLag(spark: SparkSession, dir: String): DataFrame =
+    Lake.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(Lake.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(col("l_shipdate"), col("o_orderdate")).as("lag_days"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        expr("percentile(lag_days, array(0.5D, 0.9D, 0.99D))").as("q"),
+        sum(when(col("lag_days") > 60, 1L).otherwise(0L)).as("n_late"))
+      .select(col("o_orderpriority"), col("n_lines"),
+        round(col("q").getItem(0), 4).as("p50"),
+        round(col("q").getItem(1), 4).as("p90"),
+        round(col("q").getItem(2), 4).as("p99"),
+        round(col("n_late").cast("double") / col("n_lines"), 4)
+          .as("late_share"))
+      .orderBy(col("o_orderpriority"))
+
   /** RFM (recency / frequency / monetary) customer segmentation — the
     * classic CRM cut: each customer scored 1–5 per dimension against the
     * corpus-wide quintile fences, reported as segment-code cells

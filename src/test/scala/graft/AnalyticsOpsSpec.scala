@@ -764,4 +764,87 @@ class AnalyticsOpsSpec extends SparkSpecBase {
       assert(p50 <= p90 + 1e-9 && p90 <= p99 + 1e-9)
     }
   }
+
+  test("json schema inventory: coverage, numeric share, and range reconcile") {
+    val rows = CatalogOps.jsonSchema(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    val props = Lake.events(spark, Sf).select(col("props")).collect()
+      .map(_.getString(0))
+    // the synthetic corpus carries {"k": <int>} on every event
+    assert(rows.map(_._1).contains("k"))
+    val k = rows.find(_._1 == "k").get
+    val vals = props.flatMap { p =>
+      "\"k\"\\s*:\\s*(-?\\d+)".r.findFirstMatchIn(p).map(_.group(1).toLong)
+    }
+    assert(k._2 == vals.length)
+    assert(math.abs(k._3 - vals.length.toDouble / props.length) < 1e-4)
+    assert(k._4 == 1.0, "every k value is numeric")
+    assert(k._5 == vals.min.toDouble && k._6 == vals.max.toDouble)
+  }
+
+  test("ship lag percentiles match brute force and late share reconciles") {
+    val rows = Relational.shipLag(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    val lags = Lake.lineitem(spark, Sf)
+      .join(Lake.orders(spark, Sf), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(col("l_shipdate"), col("o_orderdate")).as("lag"))
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2.toDouble).sorted).toMap
+    def pct(xs: Array[Double], q: Double): Double = {
+      val pos = (xs.length - 1) * q
+      val i = pos.toInt
+      if (i + 1 >= xs.length) xs(i) else xs(i) + (pos - i) * (xs(i + 1) - xs(i))
+    }
+    assert(rows.map(_._1).toSet == lags.keySet)
+    for ((prio, n, p50, p90, p99, late) <- rows) {
+      val xs = lags(prio)
+      assert(n == xs.length)
+      assert(math.abs(p50 - pct(xs, 0.5)) < 1e-3)
+      assert(math.abs(p90 - pct(xs, 0.9)) < 1e-3)
+      assert(math.abs(p99 - pct(xs, 0.99)) < 1e-3)
+      assert(math.abs(late - xs.count(_ > 60).toDouble / n) < 1e-4)
+    }
+  }
+
+  test("target encoding shrinks rare segments toward the global mean") {
+    val rows = Relational.targetEncoding(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val perSeg = Lake.orders(spark, Sf)
+      .join(Lake.customer(spark, Sf), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"),
+        col("o_totalprice").cast("decimal(18,2)").as("y"))
+      .collect().map(r => (r.getString(0), r.getDecimal(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val gSum = perSeg.values.flatten.map(BigDecimal(_)).sum
+    val gN = perSeg.values.map(_.length).sum
+    val gMean = gSum.toDouble / gN
+    for ((seg, n, raw, enc) <- rows) {
+      val ys = perSeg(seg)
+      assert(n == ys.length)
+      val expRaw = ys.map(BigDecimal(_)).sum.toDouble / n
+      assert(math.abs(raw - expRaw) < 1e-4, s"$seg raw")
+      val expEnc = (ys.map(BigDecimal(_)).sum.toDouble + 10.0 * gMean) /
+        (n + 10.0)
+      assert(math.abs(enc - expEnc) < 1e-4, s"$seg encoded")
+      // shrinkage: encoded sits strictly between raw mean and global mean
+      assert((enc - expRaw) * (gMean - expRaw) >= 0, s"$seg shrink direction")
+      assert(math.abs(enc - gMean) <= math.abs(expRaw - gMean) + 1e-9)
+    }
+  }
+
+  test("srm check: arm counts partition users and the chi-square term reconciles") {
+    val r = EventOps.srmCheck(spark, Sf).collect()(0)
+    val (nA, nB, chi2, flag) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))
+    val users = Lake.events(spark, Sf)
+      .select(col("user_id")).distinct().collect().map(_.getLong(0))
+    val expA = users.count(u => (u * 16807L % 2147483647L) % 2 == 0)
+    assert(nA == expA && nB == users.length - expA)
+    val expChi = math.pow((nA - nB).toDouble, 2) / (nA + nB)
+    assert(math.abs(chi2 - expChi) < 1e-3)
+    assert(flag == (expChi > 3.841))
+  }
 }

@@ -343,6 +343,39 @@ class AnnSpec extends SparkSpecBase {
     assert(out.head.getInt(1) == 0 && out.head.getDouble(3) >= 2.0)
   }
 
+  test("silhouette matches the brute-force centroid form per label") {
+    val emb = Lake.embeddings(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    val byLabel = emb.groupBy(_._3)
+    val cent = byLabel.view.mapValues { vs =>
+      val d = vs.head._2.length
+      Array.tabulate(d) { i =>
+        val sum = vs.map(v => BigDecimal(v._2(i).toDouble)
+          .setScale(8, BigDecimal.RoundingMode.HALF_UP)).sum
+        (sum / vs.length).toDouble
+      }
+    }.toMap
+    def dist(x: Array[Float], c: Array[Double]): Double =
+      math.sqrt(x.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum)
+    val expected = byLabel.view.mapValues { vs =>
+      val ss = vs.map { case (_, x, l) =>
+        val a = dist(x, cent(l))
+        val b = cent.filter(_._1 != l).values.map(dist(x, _)).min
+        math.rint((b - a) / math.max(a, b) * 1e6) / 1e6
+      }
+      ss.sum / ss.length
+    }.toMap
+    val got = AnnOps.silhouette(spark, Sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._1).toSet == byLabel.keySet)
+    for ((label, n, s) <- got) {
+      assert(n == byLabel(label).length)
+      assert(math.abs(s - expected(label)) < 1e-3,
+        s"label $label: $s vs ${expected(label)}")
+      assert(s >= -1.0 && s <= 1.0)
+    }
+  }
+
   test("matryoshka recall: perfect at full dims, valid in [0,1] at half dims") {
     // keepDims = full width -> the truncated leg IS the exact leg
     val full = AnnOps.matryoshkaRecall(spark, Sf, keepDims = 64).collect()

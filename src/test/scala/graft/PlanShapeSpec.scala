@@ -309,7 +309,10 @@ class PlanShapeSpec extends SparkSpecBase {
         "q_matryoshka",
         // q_conformal: the bounded days x types x 24-hours spine, twice
         // (calibration + test grids — the q_gap_fill/q_backtest pattern)
-        "q_conformal")
+        "q_conformal",
+        // q_silhouette: the bounded label-centroid broadcast against the
+        // vector frame (n x L with L small — the intended linear plan)
+        "q_silhouette")
     for ((name, fn) <- SparkEntry.queries) {
       // interior plans included: checkpointing operators execute their
       // real joins during construction and return an RDD-scan facade
