@@ -527,6 +527,15 @@ object SparkEntry {
       Relational.targetEncoding(s, d)),
     // Sample-ratio-mismatch audit of the A/B arm assignment
     "q_srm"               -> EventOps.srmCheck _,
+    // Strength-of-seasonality (F_s) over the STL decomposition
+    "q_seasonal_strength" -> EventOps.seasonalStrength _,
+    // Lorenz curve decile points of customer revenue
+    "q_lorenz"            -> Relational.lorenzCurve _,
+    // Hapax-legomena lexical richness per source
+    "q_hapax"             -> TextOps.hapaxProfile _,
+    // Reliability diagram: quality-score deciles vs near-dup membership
+    "q_quality_calibration" -> ((s: SparkSession, d: String) =>
+      DedupOps.qualityDupCalibration(s, d)),
   )
 
   /** [[TextOps.patternScan]] dictionary for the driver query: token
@@ -4940,6 +4949,109 @@ object SparkEntry {
         |  CAST(n_a - n_b AS DOUBLE) * (n_a - n_b) / (n_a + n_b) > 3.841
         |    AS srm_detected
         |FROM t""".stripMargin,
+    // Seasonal strength: the q_stl pipeline, then decimal-exact variance
+    // sums of round-once residual/detrended terms.
+    "q_seasonal_strength" ->
+      """WITH d AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+        |t AS (SELECT day, x,
+        |    CAST(sum(x) OVER w AS DOUBLE) / count(*) OVER w AS trend,
+        |    isodow(day) - 1 AS dow
+        |  FROM d WINDOW w AS (ORDER BY day
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |dt AS (SELECT day, x, trend, dow,
+        |    CAST(round(x - trend, 6) AS DECIMAL(18,6)) AS det FROM t),
+        |s AS (SELECT dow, CAST(sum(det) AS DOUBLE) / count(*) AS seasonal
+        |  FROM dt GROUP BY 1),
+        |v AS (SELECT
+        |    CAST(round(x - trend - seasonal, 6) AS DECIMAL(18,6)) AS r,
+        |    CAST(round(x - trend, 6) AS DECIMAL(18,6)) AS dd
+        |  FROM dt JOIN s ON s.dow = dt.dow)
+        |SELECT CAST(count(*) AS BIGINT) AS n_days,
+        |  round((CAST(sum(r * r) AS DOUBLE) - CAST(sum(r) AS DOUBLE)
+        |    * CAST(sum(r) AS DOUBLE) / count(*)) / count(*), 6) AS var_resid,
+        |  round((CAST(sum(dd * dd) AS DOUBLE) - CAST(sum(dd) AS DOUBLE)
+        |    * CAST(sum(dd) AS DOUBLE) / count(*)) / count(*), 6)
+        |    AS var_detrended,
+        |  round(greatest(0.0, 1.0 -
+        |    ((CAST(sum(r * r) AS DOUBLE) - CAST(sum(r) AS DOUBLE)
+        |      * CAST(sum(r) AS DOUBLE) / count(*)) / count(*))
+        |    / ((CAST(sum(dd * dd) AS DOUBLE) - CAST(sum(dd) AS DOUBLE)
+        |      * CAST(sum(dd) AS DOUBLE) / count(*)) / count(*))), 4)
+        |    AS strength
+        |FROM v""".stripMargin,
+    // Lorenz: same exact-ntile deciles (unique tie-break key), decimal
+    // cumulative shares.
+    "q_lorenz" ->
+      """WITH c AS (SELECT o_custkey,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT rev,
+        |    ntile(10) OVER (ORDER BY rev, o_custkey) AS decile FROM c),
+        |g AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+        |    sum(rev) AS dec_rev FROM t GROUP BY 1),
+        |w AS (SELECT decile, n_customers, dec_rev,
+        |    sum(dec_rev) OVER (ORDER BY decile) AS cum_rev,
+        |    sum(dec_rev) OVER () AS total_rev FROM g)
+        |SELECT CAST(decile AS INTEGER) AS decile, n_customers,
+        |  round(CAST(dec_rev AS DOUBLE), 2) AS decile_revenue,
+        |  round(CAST(cum_rev AS DOUBLE) / CAST(total_rev AS DOUBLE), 6)
+        |    AS cum_share
+        |FROM w ORDER BY decile""".stripMargin,
+    // Hapax: per-source token frequency table, exact-integer ratios.
+    "q_hapax" ->
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS token
+        |  FROM documents WHERE text IS NOT NULL),
+        |tf AS (SELECT source, token, CAST(count(*) AS BIGINT) AS tf
+        |  FROM tok WHERE token <> '' GROUP BY 1, 2)
+        |SELECT source, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS vocab,
+        |  CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        |  round(CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 4) AS hapax_share
+        |FROM tf GROUP BY 1 ORDER BY source""".stripMargin,
+    // Reliability diagram: the q_doc_quality score expression bucketed by
+    // the same floor(quality*10) doubles, membership from the brute-force
+    // verified pair graph.
+    "q_quality_calibration" ->
+      s"""WITH q AS (
+         |  SELECT doc_id,
+         |    round(0.4 * least(1.0, n_tokens / 100.0)
+         |        + 0.4 * (n_distinct * 1.0 / n_tokens)
+         |        + 0.2 * least(1.0, (n_stop * 1.0 / n_tokens) * 10.0), 4)
+         |      AS quality
+         |  FROM (
+         |    SELECT doc_id,
+         |      len(string_split(text, ' ')) AS n_tokens,
+         |      len(list_distinct(string_split(text, ' '))) AS n_distinct,
+         |      len(list_filter(string_split(text, ' '),
+         |        t -> t IN ($stopList))) AS n_stop
+         |    FROM documents WHERE text IS NOT NULL) u),
+         |tok AS (SELECT doc_id, string_split(text, ' ') AS t
+         |        FROM documents WHERE text IS NOT NULL),
+         |sh AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(t) >= 3
+         |      THEN list_distinct(list_transform(range(1, len(t) - 1),
+         |             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+         |      ELSE [array_to_string(t, ' ')] END AS s
+         |  FROM tok),
+         |p AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sh a, sh b
+         |  WHERE a.doc_id < b.doc_id
+         |    AND len(list_intersect(a.s, b.s)) * 1.0
+         |      / len(list_distinct(a.s || b.s)) >= 0.6),
+         |mem AS (SELECT DISTINCT doc_id FROM (
+         |  SELECT doc_a AS doc_id FROM p
+         |  UNION ALL SELECT doc_b FROM p) m),
+         |b AS (SELECT CAST(floor(q.quality * 10) AS INTEGER) AS bucket,
+         |    CASE WHEN mem.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+         |  FROM q LEFT JOIN mem ON mem.doc_id = q.doc_id)
+         |SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(is_dup) AS BIGINT) AS n_dup,
+         |  round(CAST(sum(is_dup) AS DOUBLE) / count(*), 4) AS dup_share
+         |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin,
   )
 
   /** Oracle twin of CatalogOps.profile: one UNION ALL branch per column. */

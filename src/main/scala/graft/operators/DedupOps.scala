@@ -962,6 +962,31 @@ object DedupOps extends org.apache.spark.internal.Logging {
       NearDupArtifact.sharedPairs(spark, dir), threshold = 0.6,
       sampleBuckets = 2000)
 
+  /** Reliability diagram: quality score vs near-dup membership — does
+    * the quality heuristic actually PREDICT duplication? Each 0.1-wide
+    * quality bucket reports its docs and the share that belong to some
+    * verified near-dup pair (from the SHARED artifact). A flat curve
+    * means the score carries no dedup signal; a monotone one justifies
+    * quality-gated dedup budgets. One corpus scoring pass + one bounded
+    * membership frame, left-joined; bucket boundaries evaluate the SAME
+    * floor(quality·10) doubles in both engines. */
+  def qualityDupCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val members = NearDupArtifact.sharedPairs(spark, dir)
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+      .withColumn("is_dup", lit(1L))
+    TextOps.docQuality(spark, dir)
+      .select(col("doc_id"), col("quality"))
+      .join(members, Seq("doc_id"), "left")
+      .groupBy(floor(col("quality") * 10).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_dup"))
+      .select(col("bucket"), col("n_docs"), col("n_dup"),
+        round(col("n_dup").cast("double") / col("n_docs"), 4)
+          .as("dup_share"))
+      .orderBy(col("bucket"))
+  }
+
   /** Near-dup cluster SIZE distribution — the release metric behind any
     * dedup decision: how much of the corpus sits in big duplicate
     * families (one giant cluster means boilerplate or a crawler loop;

@@ -1027,7 +1027,20 @@ object EventOps {
     * division of that exact sum. One events scan → bounded daily frame
     * (persisted: the weekday aggregate and the final join both consume
     * it); the 7-row seasonal frame broadcasts back. */
-  def stlDecompose(spark: SparkSession, dir: String): DataFrame = {
+  def stlDecompose(spark: SparkSession, dir: String): DataFrame =
+    withStlFrame(spark, dir) { df =>
+      df.select(col("day"), col("x").as("n_events"),
+        round(col("trend"), 4).as("trend"),
+        round(col("seasonal"), 4).as("seasonal"),
+        round(col("x") - col("trend") - col("seasonal"), 4).as("residual"))
+        .orderBy(col("day"))
+    }
+
+  /** Shared STL pipeline: hands `body` the unrounded
+    * (day, x, trend, seasonal) frame, managing the persist/release of
+    * the bounded daily frame around it. */
+  private def withStlFrame(spark: SparkSession, dir: String)
+                          (body: DataFrame => DataFrame): DataFrame = {
     val wMa = Window.orderBy(col("day")).rowsBetween(-3, 3)
     val daily = Lake.events(spark, dir)
       .groupBy(to_date(col("ts")).as("day"))
@@ -1040,17 +1053,42 @@ object EventOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val seasonal = daily.groupBy(col("dow"))
       .agg((sum(col("det")).cast("double") / count(lit(1))).as("seasonal"))
-    val out = daily
-      .join(broadcast(seasonal), Seq("dow"))
-      .select(col("day"), col("x").as("n_events"),
-        round(col("trend"), 4).as("trend"),
-        round(col("seasonal"), 4).as("seasonal"),
-        round(col("x") - col("trend") - col("seasonal"), 4).as("residual"))
-      .orderBy(col("day"))
+    val out = body(daily.join(broadcast(seasonal), Seq("dow")))
       .localCheckpoint(true)
     daily.unpersist(false)
     out
   }
+
+  /** Strength-of-seasonality (Hyndman's F_s = max(0, 1 − Var(R)/Var(S+R))
+    * over the STL decomposition) — the one-number answer to "is there a
+    * weekly cycle worth modeling". Variances come from decimal sums of
+    * round-once residual/detrended terms (Σv, Σv² exact → one variance
+    * expression per side), so the unordered aggregation cannot move a
+    * bit; detrended = x − trend IS seasonal + residual by construction. */
+  def seasonalStrength(spark: SparkSession, dir: String): DataFrame =
+    withStlFrame(spark, dir) { df =>
+      val dec6 = DecimalType(18, 6)
+      val r6 = round(col("x") - col("trend") - col("seasonal"), 6).cast(dec6)
+      val d6 = round(col("x") - col("trend"), 6).cast(dec6)
+      df.select(r6.as("r"), d6.as("d"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("r")).as("sr"), sum(col("r") * col("r")).as("srr"),
+          sum(col("d")).as("sd"), sum(col("d") * col("d")).as("sdd"))
+        .select(col("n").as("n_days"),
+          round((col("srr").cast("double") -
+            col("sr").cast("double") * col("sr").cast("double") / col("n")) /
+            col("n"), 6).as("var_resid"),
+          round((col("sdd").cast("double") -
+            col("sd").cast("double") * col("sd").cast("double") / col("n")) /
+            col("n"), 6).as("var_detrended"),
+          round(greatest(lit(0.0), lit(1.0) -
+            ((col("srr").cast("double") -
+              col("sr").cast("double") * col("sr").cast("double") / col("n")) /
+              col("n")) /
+            ((col("sdd").cast("double") -
+              col("sd").cast("double") * col("sd").cast("double") / col("n")) /
+              col("n"))), 4).as("strength"))
+    }
 
   /** Split-conformal prediction intervals for the seasonal-naive
     * forecast — the distribution-free finite-sample guarantee on top of

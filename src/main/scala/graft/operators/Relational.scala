@@ -1075,6 +1075,33 @@ object Relational {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Lorenz curve of customer revenue (decile points) — the curve the
+    * Gini coefficient integrates: cumulative revenue share of the
+    * bottom k deciles of customers. Deciles come from an exact ntile
+    * over the bounded customer frame (the quantileBins trade-off: a
+    * serial sort of entity-universe size, exact and engine-reproducible
+    * — the fence-based parallel form swaps in at extreme scale); the
+    * cumulative window then runs over ten rows. Exact decimal revenue
+    * throughout, one double division per point. */
+  def lorenzCurve(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Lake.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(m(col("o_totalprice"))).as("rev"))
+    val wTile = Window.orderBy(col("rev"), col("o_custkey"))
+    val wCum = Window.orderBy(col("decile"))
+    perCust
+      .withColumn("decile", ntile(10).over(wTile))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("rev")).as("dec_rev"))
+      .withColumn("cum_rev", sum(col("dec_rev")).over(wCum))
+      .withColumn("total_rev", sum(col("dec_rev")).over(Window.partitionBy()))
+      .select(col("decile"), col("n_customers"),
+        round(col("dec_rev").cast("double"), 2).as("decile_revenue"),
+        round(col("cum_rev").cast("double") /
+          col("total_rev").cast("double"), 6).as("cum_share"))
+      .orderBy(col("decile"))
+  }
+
   /** m-estimate target encoding of a categorical against order value —
     * the leakage-averse categorical-feature transform: each segment's
     * encoding is its target mean shrunk toward the global mean,

@@ -1434,6 +1434,28 @@ object TextOps {
   def readabilityQuery(spark: SparkSession, dir: String): DataFrame =
     readability(Lake.documents(spark, dir))
 
+  /** Hapax-legomena profile per source: share of each source's
+    * vocabulary that occurs exactly once IN THAT SOURCE — the classic
+    * lexical-richness / OCR-noise screen (clean prose runs ~40-60%
+    * hapax; template spam collapses it, OCR garbage inflates it). One
+    * token explode → (source, token) counts → bounded per-source
+    * aggregate; all ratios from exact integers. */
+  def hapaxProfile(spark: SparkSession, dir: String): DataFrame =
+    Lake.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .groupBy(col("source"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("tf") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("source"), col("n_tokens"), col("vocab"), col("n_hapax"),
+        round(col("n_hapax").cast("double") / col("vocab"), 4)
+          .as("hapax_share"))
+      .orderBy(col("source"))
+
   /** RAKE keyword extraction (Rapid Automatic Keyword Extraction):
     * candidate phrases are maximal stopword-delimited token runs; each
     * word scores deg/freq (deg = Σ length of the phrase instances it

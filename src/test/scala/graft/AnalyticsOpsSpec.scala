@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{CatalogOps, CorpusOps, EventOps, GraphOps, Relational}
+import graft.operators.{CatalogOps, CorpusOps, EventOps, GraphOps, Relational, TextOps}
 
 /** Brute-force value checks for the analytics wave: skyline, ABC,
   * Gini, Benford, MAD, item-cosine, A/B readout, rolling actives,
@@ -832,6 +832,82 @@ class AnalyticsOpsSpec extends SparkSpecBase {
       // shrinkage: encoded sits strictly between raw mean and global mean
       assert((enc - expRaw) * (gMean - expRaw) >= 0, s"$seg shrink direction")
       assert(math.abs(enc - gMean) <= math.abs(expRaw - gMean) + 1e-9)
+    }
+  }
+
+  test("seasonal strength reconciles with the stl frame and sits in [0,1]") {
+    val r = EventOps.seasonalStrength(spark, Sf).collect()(0)
+    val (n, varR, varD, strength) =
+      (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    val stl = EventOps.stlDecompose(spark, Sf).collect()
+      .map(x => (x.getLong(1), x.getDouble(2), x.getDouble(3), x.getDouble(4)))
+    assert(n == stl.length)
+    def popVar(xs: Array[Double]): Double = {
+      val m = xs.sum / xs.length
+      xs.map(x => (x - m) * (x - m)).sum / xs.length
+    }
+    // rounded-output reconstruction is within rounding noise of the
+    // exact engine variances
+    val eVarR = popVar(stl.map(_._4))
+    val eVarD = popVar(stl.map(x => x._1 - x._2))
+    assert(math.abs(varR - eVarR) < 0.01 * math.max(1.0, eVarR), s"$varR vs $eVarR")
+    assert(math.abs(varD - eVarD) < 0.01 * math.max(1.0, eVarD), s"$varD vs $eVarD")
+    assert(strength >= 0.0 && strength <= 1.0)
+    assert(math.abs(strength - math.max(0.0, 1.0 - eVarR / eVarD)) < 1e-2)
+  }
+
+  test("lorenz curve is monotone, convex, and ends at full share") {
+    val rows = Relational.lorenzCurve(spark, Sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq == (1 to 10))
+    val nCust = Lake.orders(spark, Sf)
+      .select(col("o_custkey")).distinct().count()
+    assert(rows.map(_._2).sum == nCust)
+    assert(math.abs(rows.last._4 - 1.0) < 1e-9, "curve ends at 1")
+    val shares = rows.map(_._4)
+    assert(shares.zip(shares.tail).forall { case (a, b) => a <= b + 1e-9 },
+      "cumulative share is monotone")
+    // convexity: decile revenue is non-decreasing (sorted by revenue)
+    val decRev = rows.map(_._3)
+    assert(decRev.zip(decRev.tail).forall { case (a, b) => a <= b + 0.02 },
+      "sorted deciles have non-decreasing revenue")
+  }
+
+  test("hapax profile matches brute-force per-source token frequencies") {
+    val rows = TextOps.hapaxProfile(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    val bySrc = Lake.documents(spark, Sf)
+      .filter(col("text").isNotNull)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.flatMap(
+        _._2.split(" ", -1).filter(_.nonEmpty))).toMap
+    assert(rows.map(_._1).toSet == bySrc.keySet)
+    for ((src, nTok, vocab, nHapax, share) <- rows) {
+      val tf = bySrc(src).groupBy(identity).view.mapValues(_.length).toMap
+      assert(nTok == bySrc(src).length)
+      assert(vocab == tf.size)
+      assert(nHapax == tf.count(_._2 == 1))
+      assert(math.abs(share - nHapax.toDouble / vocab) < 1e-4)
+    }
+  }
+
+  test("quality calibration buckets cover the corpus and dup mass reconciles") {
+    val rows = graft.operators.DedupOps.qualityDupCalibration(spark, Sf)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val nDocs = Lake.documents(spark, Sf)
+      .filter(col("text").isNotNull).count()
+    assert(rows.map(_._2).sum == nDocs, "buckets cover the corpus")
+    val members = graft.operators.NearDupArtifact.sharedPairs(spark, Sf)
+      .selectExpr("explode(array(doc_a, doc_b)) AS d")
+      .distinct().count()
+    assert(rows.map(_._3).sum == members, "dup mass equals pair membership")
+    for ((bucket, n, dup, share) <- rows) {
+      assert(bucket >= 0 && bucket <= 10)
+      assert(dup <= n)
+      assert(math.abs(share - dup.toDouble / n) < 1e-4)
     }
   }
 
