@@ -536,6 +536,13 @@ object SparkEntry {
     // Reliability diagram: quality-score deciles vs near-dup membership
     "q_quality_calibration" -> ((s: SparkSession, d: String) =>
       DedupOps.qualityDupCalibration(s, d)),
+    // Growth accounting: new/retained/resurrected/churned per day
+    "q_growth_accounting" -> EventOps.growthAccounting _,
+    // Top weekly movers by absolute WoW swing per event type
+    "q_top_movers"        -> ((s: SparkSession, d: String) =>
+      EventOps.topMovers(s, d)),
+    // Trimmed + winsorized order-value means per market segment
+    "q_trimmed_means"     -> Relational.trimmedMeans _,
   )
 
   /** [[TextOps.patternScan]] dictionary for the driver query: token
@@ -5052,6 +5059,74 @@ object SparkEntry {
          |  CAST(sum(is_dup) AS BIGINT) AS n_dup,
          |  round(CAST(sum(is_dup) AS DOUBLE) / count(*), 4) AS dup_share
          |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // Growth accounting: same user-day window flags, churn shifted to
+    // day+1, left join on the bounded daily frame.
+    "q_growth_accounting" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |  FROM events),
+        |f AS (SELECT user_id, day,
+        |    min(day) OVER (PARTITION BY user_id) AS first_day,
+        |    lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev_day,
+        |    lead(day) OVER (PARTITION BY user_id ORDER BY day) AS next_day
+        |  FROM ud),
+        |d AS (SELECT day, CAST(count(*) AS BIGINT) AS n_active,
+        |    CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_new,
+        |    CAST(sum(CASE WHEN date_diff('day', prev_day, day) = 1
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+        |    CAST(sum(CASE WHEN day <> first_day AND (prev_day IS NULL
+        |      OR date_diff('day', prev_day, day) > 1) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_resurrected
+        |  FROM f GROUP BY 1),
+        |c AS (SELECT day + 1 AS day, CAST(count(*) AS BIGINT) AS n_churned
+        |  FROM f WHERE next_day IS NULL
+        |    OR date_diff('day', day, next_day) > 1
+        |  GROUP BY 1)
+        |SELECT d.day, n_active, n_new, n_retained, n_resurrected,
+        |  coalesce(c.n_churned, 0) AS n_churned
+        |FROM d LEFT JOIN c ON c.day = d.day ORDER BY d.day""".stripMargin,
+    // Top movers: same weekly lag frame, global rank by |wow| with
+    // deterministic tie-breaks.
+    "q_top_movers" ->
+      """WITH wk AS (SELECT event_type,
+        |    cast(date_trunc('week', ts) AS timestamp) AS week,
+        |    CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT event_type, week, n_events,
+        |    lag(n_events) OVER (PARTITION BY event_type ORDER BY week)
+        |      AS prev_n FROM wk)
+        |SELECT event_type, week, n_events, prev_n,
+        |  round(CAST(n_events - prev_n AS DOUBLE) / prev_n, 6) AS wow
+        |FROM l WHERE prev_n IS NOT NULL
+        |ORDER BY abs(round(CAST(n_events - prev_n AS DOUBLE) / prev_n, 6))
+        |  DESC, event_type, week LIMIT 5""".stripMargin,
+    // Trimmed/winsorized means: 4-dp percentile fences, exact decimal
+    // interior sum, fence products in double — the identical tree.
+    "q_trimmed_means" ->
+      """WITH b AS (SELECT c_mktsegment,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS y
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |f AS (SELECT c_mktsegment,
+        |    round(quantile_cont(CAST(y AS DOUBLE), 0.05), 4) AS lo,
+        |    round(quantile_cont(CAST(y AS DOUBLE), 0.95), 4) AS hi
+        |  FROM b GROUP BY 1),
+        |g AS (SELECT b.c_mktsegment,
+        |    CAST(count(*) AS BIGINT) AS n_orders,
+        |    CAST(sum(CASE WHEN y >= lo AND y <= hi THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_kept,
+        |    sum(CASE WHEN y >= lo AND y <= hi THEN y END) AS trim_sum,
+        |    CAST(sum(CASE WHEN y < lo THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_below,
+        |    CAST(sum(CASE WHEN y > hi THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_above,
+        |    max(lo) AS lo, max(hi) AS hi
+        |  FROM b JOIN f ON f.c_mktsegment = b.c_mktsegment
+        |  GROUP BY 1)
+        |SELECT c_mktsegment, n_orders, n_kept,
+        |  round(CAST(trim_sum AS DOUBLE) / n_kept, 6) AS trimmed_mean,
+        |  round((CAST(trim_sum AS DOUBLE) + lo * n_below + hi * n_above)
+        |    / n_orders, 6) AS winsorized_mean
+        |FROM g ORDER BY c_mktsegment""".stripMargin,
   )
 
   /** Oracle twin of CatalogOps.profile: one UNION ALL branch per column. */

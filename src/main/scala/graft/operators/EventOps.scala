@@ -1211,6 +1211,74 @@ object EventOps {
     out
   }
 
+  /** Growth accounting — the DAU identity every growth team reports:
+    * per day, actives decomposed into NEW (first-ever day), RETAINED
+    * (also active yesterday) and RESURRECTED (active before, but not
+    * yesterday), plus CHURNED (active yesterday, gone today) — so
+    * active_t = new_t + retained_t + resurrected_t and
+    * active_t − active_{t−1} = new_t + resurrected_t − churned_t holds
+    * row by row. One events scan → bounded distinct user-day frame →
+    * ONE user-partitioned window pass computes every flag (min/lag/lead
+    * over the user's day sequence); churn contributions shift to day+1
+    * and the two bounded daily aggregates join on day (the frame
+    * persists for its two consumers). */
+  def growthAccounting(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val ud = Lake.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+      .withColumn("first_day", min(col("day")).over(
+        Window.partitionBy(col("user_id"))))
+      .withColumn("prev_day", lag(col("day"), 1).over(w))
+      .withColumn("next_day", lead(col("day"), 1).over(w))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val daily = ud.groupBy(col("day"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("day") === col("first_day"), 1L).otherwise(0L))
+          .as("n_new"),
+        sum(when(datediff(col("day"), col("prev_day")) === 1, 1L)
+          .otherwise(0L)).as("n_retained"),
+        sum(when(col("day") =!= col("first_day") &&
+          (col("prev_day").isNull ||
+            datediff(col("day"), col("prev_day")) > 1), 1L)
+          .otherwise(0L)).as("n_resurrected"))
+    val churn = ud
+      .filter(col("next_day").isNull ||
+        datediff(col("next_day"), col("day")) > 1)
+      .select(date_add(col("day"), 1).as("day"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_churned"))
+    val out = daily
+      .join(churn, Seq("day"), "left")
+      .na.fill(0L, Seq("n_churned"))
+      .orderBy(col("day"))
+      .localCheckpoint(true)
+    ud.unpersist(false)
+    out
+  }
+
+  /** Top weekly movers: the event types whose week-over-week count
+    * swing is largest — the "what changed" screen above the WoW report.
+    * Per (type, week) counts, a lag window per type (bounded series),
+    * global rank by absolute relative swing over the bounded
+    * type×week frame; top `k` with deterministic tie-breaks. */
+  def topMovers(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val wLag = Window.partitionBy(col("event_type")).orderBy(col("week"))
+    Lake.events(spark, dir)
+      .groupBy(col("event_type"),
+        date_trunc("week", col("ts")).as("week"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("prev_n", lag(col("n_events"), 1).over(wLag))
+      .filter(col("prev_n").isNotNull)
+      .withColumn("wow",
+        round((col("n_events") - col("prev_n")).cast("double") /
+          col("prev_n"), 6))
+      .select(col("event_type"), col("week"), col("n_events"),
+        col("prev_n"), col("wow"))
+      .orderBy(abs(col("wow")).desc, col("event_type"), col("week"))
+      .limit(k)
+  }
+
   /** Sample-ratio-mismatch (SRM) check for the A/B assignment — the
     * first thing to audit before reading ANY experiment result: under a
     * 50/50 split the arm sizes should differ only by chance, and

@@ -1075,6 +1075,46 @@ object Relational {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Trimmed and winsorized means of order value per market segment —
+    * the robust-location pair beside the raw mean: TRIMMED drops values
+    * outside the exact [p05, p95] fences, WINSORIZED clamps them to the
+    * fences. One grouped percentile aggregate (bounded segments) whose
+    * fences round to 4 dp (the percentile-agreement scale) and broadcast
+    * back; sums stay decimal-exact; means round at 6 (one double
+    * division each). */
+  def trimmedMeans(spark: SparkSession, dir: String): DataFrame = {
+    val base = Lake.orders(spark, dir)
+      .join(broadcast(Lake.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), m(col("o_totalprice")).as("y"))
+    val fences = base.groupBy(col("c_mktsegment"))
+      .agg(round(expr("percentile(y, 0.05D)"), 4).as("lo"),
+        round(expr("percentile(y, 0.95D)"), 4).as("hi"))
+    // winsorized sum = trim_sum + lo·n_below + hi·n_above: exact decimal
+    // interior + two double products — never a double→decimal cast of a
+    // fence value (whose half-cent boundary rounds differently across
+    // engines)
+    base
+      .join(broadcast(fences), Seq("c_mktsegment"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("y") >= col("lo") && col("y") <= col("hi"), 1L)
+          .otherwise(0L)).as("n_kept"),
+        sum(when(col("y") >= col("lo") && col("y") <= col("hi"), col("y")))
+          .as("trim_sum"),
+        sum(when(col("y") < col("lo"), 1L).otherwise(0L)).as("n_below"),
+        sum(when(col("y") > col("hi"), 1L).otherwise(0L)).as("n_above"),
+        max(col("lo")).as("lo"), max(col("hi")).as("hi"))
+      .select(col("c_mktsegment"), col("n_orders"), col("n_kept"),
+        round(col("trim_sum").cast("double") / col("n_kept"), 6)
+          .as("trimmed_mean"),
+        round((col("trim_sum").cast("double") + col("lo") * col("n_below") +
+          col("hi") * col("n_above")) / col("n_orders"), 6)
+          .as("winsorized_mean"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** Lorenz curve of customer revenue (decile points) — the curve the
     * Gini coefficient integrates: cumulative revenue share of the
     * bottom k deciles of customers. Deciles come from an exact ntile

@@ -911,6 +911,61 @@ class AnalyticsOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("growth accounting identity holds day over day") {
+    val rows = EventOps.growthAccounting(spark, Sf).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+      .sortBy(_._1.toEpochDay)
+    assert(rows.nonEmpty)
+    // decomposition identity per day
+    for ((day, active, nw, ret, res, _) <- rows)
+      assert(active == nw + ret + res, s"$day decomposition")
+    // flow identity: active_t - active_{t-1} = new + resurrected - churned
+    for (((d1, a1, _, _, _, _), (d2, a2, nw2, _, res2, ch2))
+         <- rows.zip(rows.tail) if d2 == d1.plusDays(1))
+      assert(a2 - a1 == nw2 + res2 - ch2, s"$d2 flow identity")
+    // totals: every user is new exactly once
+    val nUsers = Lake.events(spark, Sf)
+      .select(col("user_id")).distinct().count()
+    assert(rows.map(_._3).sum == nUsers)
+  }
+
+  test("top movers are the global top-5 absolute WoW swings") {
+    val rows = EventOps.topMovers(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.length == 5)
+    val swings = rows.map(r => math.abs(r._4))
+    assert(swings.zip(swings.tail).forall { case (a, b) => a >= b - 1e-9 },
+      "ordered by |wow| descending")
+    for ((_, n, prev, wow) <- rows)
+      assert(math.abs(wow - (n - prev).toDouble / prev) < 1e-5)
+  }
+
+  test("trimmed and winsorized means are robust and internally consistent") {
+    val rows = Relational.trimmedMeans(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    val perSeg = Lake.orders(spark, Sf)
+      .join(Lake.customer(spark, Sf), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"),
+        col("o_totalprice").cast("decimal(18,2)").as("y"))
+      .collect().map(r => (r.getString(0), r.getDecimal(1).doubleValue))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(rows.map(_._1).toSet == perSeg.keySet)
+    for ((seg, n, nKept, trimmed, winsorized) <- rows) {
+      val xs = perSeg(seg)
+      assert(n == xs.length)
+      // ~90% of rows survive the [p05, p95] trim
+      assert(nKept >= (0.88 * n).toLong && nKept <= (0.92 * n).toLong + 1)
+      val rawMean = xs.sum / xs.length
+      // robust means sit inside the data range and near the raw mean
+      assert(trimmed >= xs.head && trimmed <= xs.last)
+      assert(winsorized >= xs.head && winsorized <= xs.last)
+      assert(math.abs(trimmed - rawMean) < 0.2 * rawMean)
+      assert(math.abs(winsorized - rawMean) < 0.2 * rawMean)
+    }
+  }
+
   test("srm check: arm counts partition users and the chi-square term reconciles") {
     val r = EventOps.srmCheck(spark, Sf).collect()(0)
     val (nA, nB, chi2, flag) =
