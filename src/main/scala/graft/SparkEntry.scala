@@ -543,6 +543,9 @@ object SparkEntry {
       EventOps.topMovers(s, d)),
     // Trimmed + winsorized order-value means per market segment
     "q_trimmed_means"     -> Relational.trimmedMeans _,
+    // Dedup savings forecast: loser chars per source before deleting
+    "q_dedup_savings"     -> ((s: SparkSession, d: String) =>
+      DedupOps.dedupSavings(s, d)),
   )
 
   /** [[TextOps.patternScan]] dictionary for the driver query: token
@@ -5127,6 +5130,46 @@ object SparkEntry {
         |  round((CAST(trim_sum AS DOUBLE) + lo * n_below + hi * n_above)
         |    / n_orders, 6) AS winsorized_mean
         |FROM g ORDER BY c_mktsegment""".stripMargin,
+    // Dedup savings: the q_neardup_keep closure, losers joined back onto
+    // the doc frame, per-source char mass.
+    "q_dedup_savings" ->
+      """WITH RECURSIVE
+        |tok AS (SELECT doc_id, string_split(text, ' ') AS t
+        |        FROM documents WHERE text IS NOT NULL),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) >= 3
+        |      THEN list_distinct(list_transform(range(1, len(t) - 1),
+        |             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        |      ELSE [array_to_string(t, ' ')] END AS s
+        |  FROM tok),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a, sh b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND len(list_intersect(a.s, b.s)) * 1.0
+        |      / len(list_distinct(a.s || b.s)) >= 0.6),
+        |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+        |      UNION ALL SELECT doc_b, doc_a FROM p),
+        |r AS (
+        |  SELECT DISTINCT src AS doc_id, src AS reach FROM e
+        |  UNION
+        |  SELECT r.doc_id, e.dst FROM r JOIN e ON r.reach = e.src
+        |),
+        |cl AS (SELECT doc_id, min(reach) AS keeper FROM r GROUP BY doc_id),
+        |lo AS (SELECT doc_id FROM cl WHERE doc_id <> keeper)
+        |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(d.n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(CASE WHEN lo.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_losers,
+        |  CAST(sum(CASE WHEN lo.doc_id IS NOT NULL THEN d.n_chars
+        |    ELSE 0 END) AS BIGINT) AS loser_chars,
+        |  round(CAST(sum(CASE WHEN lo.doc_id IS NOT NULL THEN d.n_chars
+        |    ELSE 0 END) AS DOUBLE) / sum(d.n_chars), 6) AS savings_share
+        |FROM (SELECT doc_id, source, n_chars FROM documents
+        |      WHERE text IS NOT NULL) d
+        |LEFT JOIN lo ON lo.doc_id = d.doc_id
+        |GROUP BY 1 ORDER BY d.source""".stripMargin,
   )
 
   /** Oracle twin of CatalogOps.profile: one UNION ALL branch per column. */

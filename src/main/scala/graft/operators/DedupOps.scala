@@ -962,6 +962,32 @@ object DedupOps extends org.apache.spark.internal.Logging {
       NearDupArtifact.sharedPairs(spark, dir), threshold = 0.6,
       sampleBuckets = 2000)
 
+  /** Dedup savings forecast per source: the bytes (chars) that dropping
+    * near-dup cluster LOSERS would remove — the number that justifies
+    * (or kills) a dedup budget before anyone runs it. Shared pairs
+    * artifact → clusters → losers (non-keeper members), one left join
+    * onto the doc frame, bounded per-source aggregate. */
+  def dedupSavings(spark: SparkSession, dir: String): DataFrame = {
+    val losers = nearDupClusters(spark, dir)
+      .filter(col("doc_id") =!= col("keeper"))
+      .select(col("doc_id")).withColumn("is_loser", lit(1L))
+    Lake.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .join(losers, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(coalesce(col("is_loser"), lit(0L))).as("n_losers"),
+        sum(when(col("is_loser") === 1L, col("n_chars")).otherwise(0L))
+          .as("loser_chars"))
+      .select(col("source"), col("n_docs"), col("total_chars"),
+        col("n_losers"), col("loser_chars"),
+        round(col("loser_chars").cast("double") / col("total_chars"), 6)
+          .as("savings_share"))
+      .orderBy(col("source"))
+  }
+
   /** Reliability diagram: quality score vs near-dup membership — does
     * the quality heuristic actually PREDICT duplication? Each 0.1-wide
     * quality bucket reports its docs and the share that belong to some

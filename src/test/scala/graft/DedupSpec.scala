@@ -321,4 +321,22 @@ class DedupSpec extends SparkSpecBase {
       assert(sizes.get(size).contains(nClusters),
         s"size-$size clusters: $nClusters vs ${sizes.get(size)}")
   }
+
+  test("dedup savings: loser mass matches the cluster frame and shares reconcile") {
+    val rows = DedupOps.dedupSavings(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    val docs = Lake.documents(spark, Sf).filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.map(_._2).sum == docs.length)
+    assert(rows.map(_._3).sum == docs.map(_._3).sum)
+    val losers = DedupOps.nearDupClusters(spark, Sf).collect()
+      .filter(r => r.getLong(0) != r.getLong(1)).map(_.getLong(0)).toSet
+    assert(rows.map(_._4).sum == losers.size, "loser count reconciles")
+    val loserChars = docs.filter(d => losers(d._1)).map(_._3).sum
+    assert(rows.map(_._5).sum == loserChars, "loser char mass reconciles")
+    for ((_, _, total, _, lchars, share) <- rows)
+      assert(math.abs(share - lchars.toDouble / total) < 1e-5)
+  }
 }
