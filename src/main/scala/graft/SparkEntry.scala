@@ -546,6 +546,11 @@ object SparkEntry {
     // Dedup savings forecast: loser chars per source before deleting
     "q_dedup_savings"     -> ((s: SparkSession, d: String) =>
       DedupOps.dedupSavings(s, d)),
+    // Lead-lag cross-correlation: daily views vs purchases, k = -7..7
+    "q_cross_corr"        -> ((s: SparkSession, d: String) =>
+      EventOps.crossCorrelation(s, d)),
+    // Burstiness: Fano factor of daily counts per event type
+    "q_dispersion"        -> EventOps.dispersionQuery _,
   )
 
   /** [[TextOps.patternScan]] dictionary for the driver query: token
@@ -5170,6 +5175,49 @@ object SparkEntry {
         |      WHERE text IS NOT NULL) d
         |LEFT JOIN lo ON lo.doc_id = d.doc_id
         |GROUP BY 1 ORDER BY d.source""".stripMargin,
+    // Cross-correlation: the ACF expansion with per-series moments.
+    "q_cross_corr" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS x FROM events
+        |  WHERE event_type IN ('view', 'purchase') GROUP BY 1, 2),
+        |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx FROM d GROUP BY 1),
+        |sa AS (SELECT n AS na, sx AS sxa, sxx AS sxxa FROM s
+        |       WHERE event_type = 'view'),
+        |sb AS (SELECT n AS nb, sx AS sxb, sxx AS sxxb FROM s
+        |       WHERE event_type = 'purchase'),
+        |p AS (SELECT r.range AS k, CAST(count(*) AS BIGINT) AS c,
+        |    CAST(sum(a.x) AS BIGINT) AS pa, CAST(sum(b.x) AS BIGINT) AS pb,
+        |    CAST(sum(a.x * b.x) AS BIGINT) AS pab
+        |  FROM (SELECT * FROM d WHERE event_type = 'view') a
+        |  CROSS JOIN range(-7, 8) r
+        |  JOIN (SELECT * FROM d WHERE event_type = 'purchase') b
+        |    ON b.day = a.day + CAST(r.range AS INTEGER)
+        |  GROUP BY 1)
+        |SELECT CAST(k AS INTEGER) AS lag, c AS n_pairs,
+        |  round((CAST(pab AS DOUBLE)
+        |      - (CAST(sxb AS DOUBLE) / nb) * pa
+        |      - (CAST(sxa AS DOUBLE) / na) * pb
+        |      + c * (CAST(sxa AS DOUBLE) / na) * (CAST(sxb AS DOUBLE) / nb))
+        |    / sqrt((CAST(sxxa AS DOUBLE) - CAST(sxa AS DOUBLE) * sxa / na)
+        |      * (CAST(sxxb AS DOUBLE) - CAST(sxb AS DOUBLE) * sxb / nb)), 6)
+        |    AS xcorr
+        |FROM p, sa, sb ORDER BY lag""".stripMargin,
+    // Dispersion: exact per-type moment sums, Fano = Var/Mean.
+    "q_dispersion" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx FROM d GROUP BY 1)
+        |SELECT event_type, n_days,
+        |  round(CAST(sx AS DOUBLE) / n_days, 4) AS mean_daily,
+        |  round((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n_days)
+        |    / n_days, 4) AS var_daily,
+        |  round(((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n_days)
+        |    / n_days) / (CAST(sx AS DOUBLE) / n_days), 4) AS fano
+        |FROM s ORDER BY event_type""".stripMargin,
   )
 
   /** Oracle twin of CatalogOps.profile: one UNION ALL branch per column. */

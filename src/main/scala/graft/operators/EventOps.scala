@@ -1350,6 +1350,86 @@ object EventOps {
     out
   }
 
+  /** Lead–lag cross-correlation between two event types' daily series
+    * (here view vs purchase), k = −maxLag..maxLag: a positive spike at
+    * k > 0 means views LEAD purchases by k days — the first causality
+    * screen before any attribution modeling. Same machinery as the ACF:
+    * bounded daily frames per type, every lag from ONE equi self-join
+    * via an explode, BIGINT moment sums, full-series means/variances in
+    * the normalizer (the standard CCF convention), one deterministic
+    * scalar tree per lag row. */
+  def crossCorrelation(spark: SparkSession, dir: String,
+                       typeA: String = "view", typeB: String = "purchase",
+                       maxLag: Int = 7): DataFrame = {
+    val daily = Lake.events(spark, dir)
+      .filter(col("event_type").isin(typeA, typeB))
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = daily.filter(col("event_type") === typeA)
+      .select(col("day"), col("x").as("xa"))
+    val b = daily.filter(col("event_type") === typeB)
+      .select(col("day"), col("x").as("xb"))
+    val stats = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+    val sa = stats.filter(col("event_type") === typeA)
+      .select(col("n").as("na"), col("sx").as("sxa"), col("sxx").as("sxxa"))
+    val sb = stats.filter(col("event_type") === typeB)
+      .select(col("n").as("nb"), col("sx").as("sxb"), col("sxx").as("sxxb"))
+    val pairs = a
+      .withColumn("k", explode(sequence(lit(-maxLag), lit(maxLag))))
+      .withColumn("tday", date_add(col("day"), col("k")))
+      .select(col("k"), col("tday"), col("xa"))
+      .join(b.withColumnRenamed("day", "tday"), "tday")
+    val out = pairs
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("c"), sum(col("xa")).as("pa"),
+        sum(col("xb")).as("pb"), sum(col("xa") * col("xb")).as("pab"))
+      .crossJoin(broadcast(sa)).crossJoin(broadcast(sb))
+      .withColumn("ma", col("sxa").cast("double") / col("na"))
+      .withColumn("mb", col("sxb").cast("double") / col("nb"))
+      .select(
+        col("k").cast("int").as("lag"),
+        col("c").cast("long").as("n_pairs"),
+        round(
+          (col("pab").cast("double") - col("mb") * col("pa") -
+            col("ma") * col("pb") + col("c") * col("ma") * col("mb")) /
+            sqrt((col("sxxa").cast("double") -
+              col("sxa").cast("double") * col("sxa") / col("na")) *
+              (col("sxxb").cast("double") -
+                col("sxb").cast("double") * col("sxb") / col("nb"))), 6)
+          .as("xcorr"))
+      .orderBy(col("lag"))
+      .localCheckpoint(true)
+    daily.unpersist(false)
+    out
+  }
+
+  /** Burstiness screen: the Fano factor (index of dispersion,
+    * Var/Mean of daily counts) per event type — 1 under a Poisson
+    * arrival process, ≫1 for bursty traffic, <1 for rate-limited flows;
+    * the one-number check before fitting any arrival model. Exact
+    * BIGINT moment sums per bounded type group, population variance,
+    * one scalar tree per row. */
+  def dispersionQuery(spark: SparkSession, dir: String): DataFrame =
+    Lake.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("event_type"), col("n_days"),
+        round(col("sx").cast("double") / col("n_days"), 4).as("mean_daily"),
+        round((col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx") / col("n_days")) /
+          col("n_days"), 4).as("var_daily"),
+        round(((col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx") / col("n_days")) /
+          col("n_days")) / (col("sx").cast("double") / col("n_days")), 4)
+          .as("fano"))
+      .orderBy(col("event_type"))
+
   /** Kaplan–Meier survival curve over user lifetimes with right
     * censoring — the churn analysis done properly: a user whose last
     * event sits within `censorDays` of the corpus end is CENSORED (still

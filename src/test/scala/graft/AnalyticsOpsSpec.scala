@@ -966,6 +966,56 @@ class AnalyticsOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("cross-correlation matches brute force and lag 0 matches sign of overlap") {
+    val daily = Lake.events(spark, Sf)
+      .filter(col("event_type").isin("view", "purchase"))
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    val va = daily.filter(_._1 == "view").map(r => r._2 -> r._3.toDouble).toMap
+    val vb = daily.filter(_._1 == "purchase")
+      .map(r => r._2 -> r._3.toDouble).toMap
+    def moments(m: Map[java.time.LocalDate, Double]) = {
+      val n = m.size; val s = m.values.sum
+      (s / n, m.values.map(x => x * x).sum - s * s / n)
+    }
+    val (ma, da) = moments(va); val (mb, db) = moments(vb)
+    val got = EventOps.crossCorrelation(spark, Sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._1).toSeq == (-7 to 7))
+    for ((k, nPairs, xc) <- got) {
+      val pairs = va.toSeq.flatMap { case (d, x) =>
+        vb.get(d.plusDays(k)).map(y => (x, y)) }
+      assert(nPairs == pairs.length)
+      val num = pairs.map { case (x, y) => (x - ma) * (y - mb) }.sum
+      val e = num / math.sqrt(da * db)
+      assert(math.abs(xc - e) < 1e-4, s"lag $k: $xc vs $e")
+      assert(math.abs(xc) <= 1.0 + 1e-9)
+    }
+  }
+
+  test("dispersion: fano factor matches brute-force daily moments per type") {
+    val rows = EventOps.dispersionQuery(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    val daily = Lake.events(spark, Sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x")).collect()
+      .map(r => (r.getString(0), r.getLong(2).toDouble))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(rows.map(_._1).toSet == daily.keySet)
+    for ((t, n, mean, varD, fano) <- rows) {
+      val xs = daily(t)
+      assert(n == xs.length)
+      val m = xs.sum / xs.length
+      val v = xs.map(x => (x - m) * (x - m)).sum / xs.length
+      assert(math.abs(mean - m) < 1e-3)
+      assert(math.abs(varD - v) < 1e-2 * math.max(1.0, v))
+      assert(math.abs(fano - v / m) < 1e-2 * math.max(1.0, v / m))
+      assert(fano > 0)
+    }
+  }
+
   test("srm check: arm counts partition users and the chi-square term reconciles") {
     val r = EventOps.srmCheck(spark, Sf).collect()(0)
     val (nA, nB, chi2, flag) =

@@ -312,7 +312,10 @@ class PlanShapeSpec extends SparkSpecBase {
         "q_conformal",
         // q_silhouette: the bounded label-centroid broadcast against the
         // vector frame (n x L with L small — the intended linear plan)
-        "q_silhouette")
+        "q_silhouette",
+        // q_cross_corr: two one-row per-series moment broadcasts (the
+        // q_acf pattern, one per side)
+        "q_cross_corr")
     for ((name, fn) <- SparkEntry.queries) {
       // interior plans included: checkpointing operators execute their
       // real joins during construction and return an RDD-scan facade
