@@ -549,6 +549,8 @@ object SparkEntry {
     // Lead-lag cross-correlation: daily views vs purchases, k = -7..7
     "q_cross_corr"        -> ((s: SparkSession, d: String) =>
       EventOps.crossCorrelation(s, d)),
+    // Peak concurrent sessions per day (sweep-line max)
+    "q_peak_concurrency"  -> EventOps.peakConcurrency _,
     // Burstiness: Fano factor of daily counts per event type
     "q_dispersion"        -> EventOps.dispersionQuery _,
   )
@@ -5218,6 +5220,43 @@ object SparkEntry {
         |  round(((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n_days)
         |    / n_days) / (CAST(sx AS DOUBLE) / n_days), 4) AS fano
         |FROM s ORDER BY event_type""".stripMargin,
+    // Peak concurrency: the q_events_sessions assignment rolled to
+    // intervals, day-clamped, then the same ends-first sweep.
+    "q_peak_concurrency" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL 1800 SECOND
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT user_id, ts,
+        |    cast(sum(new_session) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bigint)
+        |      AS session_id
+        |  FROM g),
+        |iv AS (SELECT user_id, session_id, min(ts) AS t0, max(ts) AS t1
+        |  FROM s GROUP BY 1, 2),
+        |sp AS (SELECT user_id, session_id,
+        |    unnest(generate_series(CAST(t0 AS DATE), CAST(t1 AS DATE),
+        |      INTERVAL 1 DAY)) AS dayd, t0, t1 FROM iv),
+        |cl AS (SELECT user_id, session_id, CAST(dayd AS DATE) AS day,
+        |    greatest(t0, CAST(CAST(dayd AS DATE) AS TIMESTAMP)) AS st,
+        |    least(t1, CAST(CAST(dayd AS DATE) + 1 AS TIMESTAMP)
+        |      - INTERVAL 1 MICROSECOND) AS en
+        |  FROM sp),
+        |pt AS (SELECT day, st AS ts, 1 AS delta, user_id, session_id FROM cl
+        |  UNION ALL
+        |  SELECT day, en, -1, user_id, session_id FROM cl),
+        |ld AS (SELECT day,
+        |    sum(delta) OVER (PARTITION BY day
+        |      ORDER BY ts, delta DESC, user_id, session_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS load
+        |  FROM pt)
+        |SELECT day, CAST(count(*) / 2 AS BIGINT) AS n_sessions,
+        |  CAST(max(load) AS BIGINT) AS peak_concurrency
+        |FROM ld GROUP BY 1 ORDER BY day""".stripMargin,
   )
 
   /** Oracle twin of CatalogOps.profile: one UNION ALL branch per column. */

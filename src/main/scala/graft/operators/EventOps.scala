@@ -1350,6 +1350,46 @@ object EventOps {
     out
   }
 
+  /** Peak concurrent sessions per day — the capacity-planning number:
+    * a sweep-line over session intervals (+1 at each session start, −1
+    * at each end) whose running maximum is the day's peak concurrency.
+    * Sessions come from the standing gap-based sessionization; intervals
+    * are clamped to day bounds (a cross-midnight session counts in both
+    * days — the on-call view of "how many were online"). Intervals are
+    * CLOSED: ties order starts before ends, so a session ending exactly
+    * when another starts overlaps it for that instant, and a
+    * single-event session still counts as one concurrent user (the
+    * ends-first convention would sweep it to zero); (user, session) is
+    * the final deterministic tie-break. The sweep window partitions per
+    * day — bounded by that day's session count, never a global sort. */
+  def peakConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    val sess = withSessionIds(spark, dir)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("t0"), max(col("ts")).as("t1"))
+    val spanned = sess
+      .withColumn("day", explode(sequence(
+        to_date(col("t0")), to_date(col("t1")))))
+      .select(col("user_id"), col("session_id"), col("day"),
+        greatest(col("t0"), col("day").cast("timestamp")).as("s"),
+        least(col("t1"),
+          date_add(col("day"), 1).cast("timestamp") - expr("INTERVAL 1 microsecond"))
+          .as("e"))
+    val points = spanned
+      .select(col("day"), col("s").as("ts"), lit(1).as("delta"),
+        col("user_id"), col("session_id"))
+      .unionByName(spanned.select(col("day"), col("e").as("ts"),
+        lit(-1).as("delta"), col("user_id"), col("session_id")))
+    val wSweep = Window.partitionBy(col("day"))
+      .orderBy(col("ts"), col("delta").desc, col("user_id"), col("session_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    points
+      .withColumn("load", sum(col("delta")).over(wSweep))
+      .groupBy(col("day"))
+      .agg((count(lit(1)) / 2).cast("long").as("n_sessions"),
+        max(col("load")).cast("long").as("peak_concurrency"))
+      .orderBy(col("day"))
+  }
+
   /** Lead–lag cross-correlation between two event types' daily series
     * (here view vs purchase), k = −maxLag..maxLag: a positive spike at
     * k > 0 means views LEAD purchases by k days — the first causality

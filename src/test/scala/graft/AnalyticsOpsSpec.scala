@@ -1016,6 +1016,46 @@ class AnalyticsOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("peak concurrency matches a brute-force interval sweep per day") {
+    val rows = EventOps.peakConcurrency(spark, Sf).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2)))
+    // brute-force: rebuild sessions, clamp to days, sweep
+    val ev = Lake.events(spark, Sf)
+      .select(col("user_id"), col("ts"), col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+    val sessions = ev.groupBy(_._1).values.flatMap { es =>
+      val s = es.sortBy(e => (e._2.getTime, e._3))
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var start = s.head._2.getTime; var last = start
+      for (e <- s.tail) {
+        if ((e._2.getTime - last) / 1000.0 > 1800) {
+          out += ((start, last)); start = e._2.getTime
+        }
+        last = e._2.getTime
+      }
+      out += ((start, last))
+      out
+    }.toArray
+    val dayMs = 86400000L
+    def days(t0: Long, t1: Long) =
+      (t0 / dayMs) to (t1 / dayMs)
+    val byDay = sessions.flatMap { case (t0, t1) =>
+      days(t0, t1).map(d => (d, math.max(t0, d * dayMs),
+        math.min(t1, (d + 1) * dayMs - 1))) }
+      .groupBy(_._1)
+    for ((day, n, peak) <- rows) {
+      val ivs = byDay(day.toEpochDay)
+      assert(n == ivs.length, s"$day session count")
+      // closed intervals: starts before ends at equal times
+      val pts = ivs.flatMap(iv => Seq((iv._2, 1), (iv._3, -1)))
+        .sortBy(p => (p._1, -p._2))
+      var cur = 0L; var mx = 0L
+      for ((_, delta) <- pts) { cur += delta; mx = math.max(mx, cur) }
+      assert(peak == mx, s"$day peak $peak vs $mx")
+      assert(peak >= 1 && peak <= n)
+    }
+  }
+
   test("srm check: arm counts partition users and the chi-square term reconciles") {
     val r = EventOps.srmCheck(spark, Sf).collect()(0)
     val (nA, nB, chi2, flag) =
