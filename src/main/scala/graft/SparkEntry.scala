@@ -1081,7 +1081,7 @@ object SparkEntry {
         |        CAST(sum(inb) AS BIGINT) AS n_b FROM b GROUP BY bin),
         |t AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta,
         |        CAST(sum(n_b) AS BIGINT) AS tb, count(*) AS nbins FROM g)
-        |SELECT bin, bin * 50000.0 AS bin_lo, n_a, n_b,
+        |SELECT bin, CAST(bin * 50000.0 AS DOUBLE) AS bin_lo, n_a, n_b,
         |  round((n_a + 0.5) / (ta + 0.5 * nbins), 6) AS p_a,
         |  round((n_b + 0.5) / (tb + 0.5 * nbins), 6) AS p_b,
         |  round(((n_a + 0.5) / (ta + 0.5 * nbins) - (n_b + 0.5) / (tb + 0.5 * nbins))
@@ -1434,10 +1434,10 @@ object SparkEntry {
     // Q12 priority pivot: late lines (>30 days) by line status.
     "q_ship_priority" ->
       """SELECT l.l_linestatus,
-        |  sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-        |           THEN 1 ELSE 0 END) AS high_line_count,
-        |  sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-        |           THEN 0 ELSE 1 END) AS low_line_count
+        |  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |           THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
         |  AND l.l_shipdate <  TIMESTAMP '1998-01-01'
@@ -2421,7 +2421,8 @@ object SparkEntry {
       }.mkString(" UNION ALL ") + ") t ORDER BY column_name"),
     "q_histogram_orders" ->
       """SELECT cast(floor(o_totalprice / 50000.0) AS bigint) AS bin,
-        |  cast(floor(o_totalprice / 50000.0) AS bigint) * 50000.0 AS bin_lo,
+        |  CAST(cast(floor(o_totalprice / 50000.0) AS bigint) * 50000.0
+        |    AS DOUBLE) AS bin_lo,
         |  count(*) AS n_orders
         |FROM orders GROUP BY 1, 2 ORDER BY bin""".stripMargin,
     "q_events_latest" ->
@@ -3401,7 +3402,7 @@ object SparkEntry {
         |FROM sp FULL OUTER JOIN dn ON sp.doc_id = dn.doc_id
         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
     "q_quantile_bins" ->
-      """SELECT bin, count(*) AS n_rows,
+      """SELECT CAST(bin AS INTEGER) AS bin, count(*) AS n_rows,
         |  round(min(l_extendedprice), 2) AS lo,
         |  round(max(l_extendedprice), 2) AS hi
         |FROM (
@@ -3455,7 +3456,7 @@ object SparkEntry {
       """WITH names AS (SELECT p_name AS name, count(*) AS n
         |               FROM part GROUP BY 1)
         |SELECT a.name AS name_a, b.name AS name_b, a.n AS n_a, b.n AS n_b,
-        |  levenshtein(a.name, b.name) AS dist
+        |  CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist
         |FROM names a JOIN names b
         |  ON split_part(a.name, ' ', 1) = split_part(b.name, ' ', 1)
         | AND a.name < b.name
@@ -4462,8 +4463,11 @@ object SparkEntry {
         |  FROM w)
         |SELECT week, n_at_risk, deaths, censored,
         |  round(CAST(deaths AS DOUBLE) / n_at_risk, 6) AS hazard,
-        |  round(exp(sum(ln(1.0 - CAST(deaths AS DOUBLE) / n_at_risk))
-        |    OVER (ORDER BY week)), 4) AS survival
+        |  CASE WHEN max(CASE WHEN deaths >= n_at_risk THEN 1 ELSE 0 END)
+        |         OVER (ORDER BY week) = 1 THEN 0.0
+        |  ELSE round(exp(sum(ln(CASE WHEN deaths >= n_at_risk THEN 1.0
+        |      ELSE 1.0 - CAST(deaths AS DOUBLE) / n_at_risk END))
+        |    OVER (ORDER BY week)), 4) END AS survival
         |FROM r ORDER BY week""".stripMargin,
     // RFM: quantile_cont fences rounded to 4 (the percentile-agreement
     // scale), strictly-above scoring, recency inverted, one double
@@ -4537,12 +4541,17 @@ object SparkEntry {
         |FROM m""".stripMargin,
     // WAV stats: every value reconstructed from the container layout
     // (44-byte header + 2 bytes/sample) and the (b-128)*256 sample map.
+    // Samples come from the RAW UTF-8 BYTES (hex(encode(text)) pairs),
+    // not character codepoints — the engine kernel is byte-oriented, and
+    // unicode(text[i]) would diverge on any non-ASCII document text.
     "q_wav_stats" ->
-      """WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS n
+      """WITH d AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |             octet_length(encode(text)) AS n
         |           FROM documents WHERE text IS NOT NULL),
         |s AS (SELECT doc_id, n,
         |        list_transform(range(1, n + 1),
-        |          i -> (unicode(text[i]) - 128) * 256) AS sm
+        |          i -> (CAST(concat('0x', substr(hx, 2 * i - 1, 2))
+        |                AS INTEGER) - 128) * 256) AS sm
         |      FROM d)
         |SELECT doc_id, CAST(44 + 2 * n AS BIGINT) AS n_bytes,
         |  CAST(8000 AS BIGINT) AS sample_rate,
@@ -4866,8 +4875,12 @@ object SparkEntry {
       """WITH k AS (SELECT e.props, u.k,
         |    row_number() OVER (PARTITION BY e.rowid) AS kpos
         |  FROM (SELECT props, row_number() OVER () AS rowid FROM events) e,
-        |    unnest(coalesce(json_keys(e.props), [CAST(NULL AS VARCHAR)]))
-        |      AS u(k)),
+        |    -- nullif(…, []) : an event with EMPTY-object props
+        |    -- (json_keys = [], not NULL) must still surface one
+        |    -- null-key row, matching Spark's posexplode_outer over the
+        |    -- empty map — else coverage denominators diverge
+        |    unnest(coalesce(nullif(json_keys(e.props), []),
+        |        [CAST(NULL AS VARCHAR)])) AS u(k)),
         |v AS (SELECT k.k AS key, kpos,
         |    CASE WHEN k.k IS NULL THEN NULL
         |      ELSE json_extract_string(k.props, '$.' || k.k) END AS value

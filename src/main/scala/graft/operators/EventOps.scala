@@ -1515,10 +1515,19 @@ object EventOps {
       .withColumn("n_at_risk", col("total") - col("left_before"))
       .withColumn("haz",
         col("deaths").cast("double") / col("n_at_risk"))
+      // Terminal-week guard: haz = 1 (a week's whole risk set dies —
+      // e.g. every max-lifetime user observed) makes log(0) NULL, and
+      // the window sum would silently SKIP it, freezing S(t) at the
+      // prior week instead of dropping to 0. A KM product with any
+      // zero factor is 0 forever: carry an explicit extinct flag.
+      .withColumn("extinct",
+        max(when(col("haz") >= 1.0, 1).otherwise(0)).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .select(
         col("week"), col("n_at_risk"), col("deaths"), col("censored"),
         round(col("haz"), 6).as("hazard"),
-        round(exp(sum(log(lit(1.0) - col("haz"))).over(wOrd)), 4)
+        when(col("extinct") === 1, lit(0.0)).otherwise(
+          round(exp(sum(log(lit(1.0) - col("haz"))).over(wOrd)), 4))
           .as("survival"))
       .orderBy(col("week"))
       .localCheckpoint(true)

@@ -530,6 +530,35 @@ class AnalyticsOpsSpec extends SparkSpecBase {
     assert(atRisk == 0, "every user leaves in some week")
   }
 
+  test("survival: a terminal week whose whole risk set dies drops S(t) to 0") {
+    import spark.implicits._
+    val dayNs = 86400L * 1000000000L
+    // user 2 defines corpus_end with a 0-week lifetime (censored, week
+    // 0); user 1's week-10 exit is then the FULL remaining risk set —
+    // hazard 1. log(0) is NULL in Spark and a window sum silently SKIPS
+    // it, so without the extinct guard survival would freeze at the
+    // prior week's value instead of dropping to 0.
+    val ev = Seq(
+      (1L, 1L, 0L),             // user 1 first day 0
+      (2L, 1L, 70L * dayNs),    // user 1 last day 70 → week 10, death
+      (3L, 2L, 100L * dayNs),   // user 2 (single-day) sets corpus_end
+      (4L, 2L, 100L * dayNs))
+      .toDF("event_id", "user_id", "ts")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        lit("view").as("event_type"), lit(0.0).as("value"),
+        lit("{}").as("props"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_surv").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = EventOps.survivalCurve(spark, dir).collect()
+      .map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(4), r.getDouble(5))).toMap
+    assert(rows(0) == ((2L, 0L, 0.0, 1.0)), s"week 0: ${rows(0)}")
+    assert(rows(10)._1 == 1L && rows(10)._2 == 1L && rows(10)._3 == 1.0,
+      s"week 10 should be a full-risk-set death: ${rows(10)}")
+    assert(rows(10)._4 == 0.0,
+      s"terminal-week survival must be 0.0, got ${rows(10)._4}")
+  }
+
   test("rfm segments partition customers, scores stay in 1..5, totals reconcile") {
     val rows = Relational.rfmSegments(spark, Sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))

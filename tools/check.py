@@ -47,6 +47,31 @@ def main():
             got_cols = [d[0] for d in con.description]
             want = con.execute(sql).fetchall()
             want_cols = [d[0] for d in con.description]
+            # Driver-hasher parity gate: DuckDB types bare integer-sum
+            # output columns HUGEINT, which the driver canonicalizes
+            # differently from Spark's BIGINT even when values are
+            # identical (q_packing_plan r4, q_ship_priority r8). Python's
+            # str() hides the difference, so compare declared types, not
+            # values: any HUGEINT/UHUGEINT oracle output column is a
+            # guaranteed future driver hash-mismatch -> hard FAIL here.
+            otypes = con.execute(f"DESCRIBE {sql}").fetchall()
+            hug = [r[0] for r in otypes
+                   if "HUGEINT" in str(r[1]).upper()]
+            if hug:
+                print(f"FAIL {name}: oracle outputs HUGEINT column(s) "
+                      f"{hug} — wrap in CAST(... AS BIGINT)")
+                n_fail += 1
+                continue
+            # Softer observability: surface any oracle-vs-spark declared
+            # type mismatch (DECIMAL width drift etc.) without failing —
+            # value compare below still decides pass/fail.
+            stypes = dict((r[0], str(r[1]).upper()) for r in con.execute(
+                f"DESCRIBE SELECT * FROM read_parquet({files!r})").fetchall())
+            for cname, ctype in ((r[0], str(r[1]).upper()) for r in otypes):
+                st = stypes.get(cname)
+                if st is not None and st != ctype:
+                    print(f"TYPEWARN {name}.{cname}: spark {st} "
+                          f"vs oracle {ctype}")
         except Exception as e:
             print(f"FAIL {name}: {e}")
             n_fail += 1
