@@ -19,24 +19,53 @@ import org.apache.spark.sql.SparkSession
   *  - `sentinels`: the designated shuffle-light contention gauges.
   *    Before reading ANY per-query delta vs a previous round, compare
   *    the sentinel medians first: broad sentinel inflation means the
-  *    HOST moved, not the code. */
+  *    HOST moved, not the code.
+  *
+  * Falsifiability instrumentation (the round-8 lesson — a 6-query
+  * inflation cluster confined to the alphabetical END of the sweep was
+  * unattributable from the JSON alone, because sentinels all ran
+  * mid-alphabet and no per-query timeline existed):
+  *  - `query_meta`: per-query sweep-relative start offset (seconds),
+  *    1-min loadavg sampled at query start, and the count of
+  *    still-registered persistent RDDs — so any future per-query delta
+  *    can be attributed to position-in-sweep, ambient load, or
+  *    in-session accumulation FROM THE ARTIFACT, not by re-running;
+  *  - `sentinels_tail`: q_scan_filter / q_moving_avg re-timed AFTER the
+  *    full sweep. Tail ≈ head sentinel medians → the session stayed
+  *    clean end-to-end; inflated tail with quiet loadavg → in-session
+  *    accumulation; inflated tail with inflated loadavg → host.
+  *  - `SPARK_GRAFT_ORDER=reverse` runs the sweep reverse-alphabetically
+  *    (one-off A/B: if the inflated band follows sweep POSITION, it is
+  *    in-session accumulation; if it follows the query NAMES, the code).
+  *  - session hygiene every `SPARK_GRAFT_GC_EVERY` queries (default 32,
+  *    0 = off): `System.gc()` so the ContextCleaner reclaims
+  *    `localCheckpoint` RDDs whose frames went unreachable — hundreds
+  *    accumulate across 263×3 executions and their cleanup was the
+  *    prime suspect for end-of-sweep drag. */
 object Bench {
   /** Shuffle-light, scan-shaped queries whose medians have historically
     * tracked ambient host load, not code changes. */
   val Sentinels: Seq[String] =
     Seq("q_scan_filter", "q_string_funcs", "q_lang_quality", "q_moving_avg")
 
+  /** Re-timed after the sweep completes: the end-of-sweep gauge. */
+  val TailSentinels: Seq[String] = Seq("q_scan_filter", "q_moving_avg")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPEATS", "3").toInt)
+    val gcEvery = sys.env.getOrElse("SPARK_GRAFT_GC_EVERY", "32").toInt
+    val reverse = sys.env.get("SPARK_GRAFT_ORDER").contains("reverse")
     val spark = GraftSession.builder("graft-bench", Some(s"local[$cpus]"), cpus.toInt)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val loadStart = java.lang.management.ManagementFactory
+    def loadAvg: Double = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
+    val loadStart = loadAvg
+    val sweepT0 = System.nanoTime()
     // warmup: one tiny end-to-end job (scan + agg + shuffle + codegen)
     try Lake.region(spark, sfDir).groupBy("r_name").count().count()
     catch { case _: Throwable => }
@@ -48,18 +77,42 @@ object Bench {
           -1.0
       }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def fmt(d: Double): String =
+      BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val ordered = {
+      val s = SparkEntry.queries.toSeq.sortBy(_._1)
+      if (reverse) s.reverse else s
+    }
+    val meta = scala.collection.mutable.ArrayBuffer.empty[String]
+    val results = ordered.zipWithIndex.map { case ((name, fn), i) =>
+      if (gcEvery > 0 && i > 0 && i % gcEvery == 0) System.gc()
+      val off = (System.nanoTime() - sweepT0) / 1e9
+      val load = loadAvg
+      val nRdds = spark.sparkContext.getPersistentRDDs.size
       val times = Seq.fill(reps)(timeOnce(name, fn))
       val ok = times.filter(_ >= 0).sorted
       // median of the successful runs (even count → lower middle, so the
       // reported value is always an observed time)
-      name -> (if (ok.isEmpty) -1.0 else ok((ok.size - 1) / 2))
+      val med = if (ok.isEmpty) -1.0 else ok((ok.size - 1) / 2)
+      meta += ("\"" + name + "\":{\"off\":" + fmt(off) + ",\"load\":" +
+        fmt(load) + ",\"rdds\":" + nRdds + "}")
+      name -> med
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    def loadAvg: Double = java.lang.management.ManagementFactory
-      .getOperatingSystemMXBean.getSystemLoadAverage
+    val byName = results.toMap
+    // end-of-sweep sentinels: the same scan-shaped gauges, re-timed LAST
+    val tail = TailSentinels.map { s =>
+      val med = byName.get(s) match {
+        case Some(_) =>
+          val fn = SparkEntry.queries(s)
+          val ts = Seq.fill(reps)(timeOnce(s + "#tail", fn)).filter(_ >= 0).sorted
+          if (ts.isEmpty) -1.0 else ts((ts.size - 1) / 2)
+        case None => -1.0
+      }
+      "\"" + s + "\":" + med
+    }.mkString("{", ",", "}")
     val loadEnd = loadAvg
     val cards = Seq("lineitem", "orders", "events", "documents", "embeddings")
       .map { t =>
@@ -67,9 +120,10 @@ object Bench {
         "\"" + t + "\":" + n
       }.mkString("{", ",", "}")
     val sent = Sentinels.map { s =>
-      "\"" + s + "\":" + results.toMap.getOrElse(s, -1.0)
+      "\"" + s + "\":" + byName.getOrElse(s, -1.0)
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","repeats":$reps,"tables":$cards,"sentinels":$sent,"loadavg_start":$loadStart,"loadavg_end":$loadEnd}""")
+    val metaJson = meta.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","repeats":$reps,"order":"${if (reverse) "reverse" else "forward"}","gc_every":$gcEvery,"tables":$cards,"sentinels":$sent,"sentinels_tail":$tail,"query_meta":$metaJson,"loadavg_start":$loadStart,"loadavg_end":$loadEnd}""")
     spark.stop()
   }
 }

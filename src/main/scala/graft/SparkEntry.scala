@@ -72,6 +72,19 @@ object SparkEntry {
       CatalogOps.quantiles(s, d, "lineitem",
         Seq("l_quantity", "l_extendedprice", "l_discount"),
         exact = false)),
+    // Sketch-only percentile twin that IS oracle-checkable: over
+    // DISCRETE columns whose quartile targets sit strictly inside wide
+    // value blocks (a constant FRACTION of n under the fixed generator),
+    // the sketch's ≤ n/1e6 rank error can never cross a value boundary,
+    // so approx_percentile's element equals DuckDB's quantile_disc at
+    // EVERY scale — full rows+schema+hash coverage on the scale path
+    // (no buffered sort). Continuous columns (l_extendedprice) stay on
+    // the estimate-only q_quantiles_approx above, where adjacent-element
+    // rank slack after sketch merges is expected.
+    "q_quantiles_tdigest" -> ((s: SparkSession, d: String) =>
+      CatalogOps.quantiles(s, d, "lineitem",
+        Seq("l_quantity", "l_discount", "l_tax"),
+        exact = false, accuracy = 1000000)),
     // Sources/sinks beyond parquet (CSV / JSONL round-trips)
     "q_csv_agg"           -> graft.sources.Sources.csvAgg _,
     "q_jsonl_agg"         -> graft.sources.Sources.jsonlAgg _,
@@ -2489,6 +2502,21 @@ object SparkEntry {
              |  round(quantile_cont($c, 0.25), 4) AS q25,
              |  round(quantile_cont($c, 0.5), 4) AS q50,
              |  round(quantile_cont($c, 0.75), 4) AS q75
+             |FROM lineitem""".stripMargin
+        }.mkString(" UNION ALL ") + ") t ORDER BY column_name"),
+    // Sketch twin: DISCRETE quantiles (actual data elements) — Spark's
+    // approx_percentile at accuracy 1e6 returns quantile_disc's element
+    // at rank floor(1 + p(n-1)) on these block-valued columns at any
+    // scale (rank error is a 1e-6 fraction of n; the nearest value
+    // boundary is ~1e-2 of n away). Verified identical at sf0.001,
+    // sf0.01 and sf0.1.
+    "q_quantiles_tdigest" ->
+      ("SELECT * FROM (" +
+        Seq("l_quantity", "l_discount", "l_tax").map { c =>
+          s"""SELECT '$c' AS column_name,
+             |  round(CAST(quantile_disc($c, 0.25) AS DOUBLE), 4) AS q25,
+             |  round(CAST(quantile_disc($c, 0.5) AS DOUBLE), 4) AS q50,
+             |  round(CAST(quantile_disc($c, 0.75) AS DOUBLE), 4) AS q75
              |FROM lineitem""".stripMargin
         }.mkString(" UNION ALL ") + ") t ORDER BY column_name"),
     "q_csv_agg" ->

@@ -94,19 +94,32 @@ object CatalogOps {
     * path; at 100 TB flip to `approx_percentile` — same plan shape, t-digest
     * sketch, no buffered sort. */
   def quantiles(spark: SparkSession, dir: String, table: String,
-                columns: Seq[String], exact: Boolean = true): DataFrame = {
+                columns: Seq[String], exact: Boolean = true,
+                accuracy: Int = 10000): DataFrame = {
     val df = Lake.table(spark, dir, table)
     // ONE percentile buffer per column (array of probabilities), not one
     // per (column, probability) — 3× less aggregation state and row work.
     // exact=false → approx_percentile (t-digest): the 100 TB path, same
     // plan shape, bounded sketch memory instead of a buffered sort.
-    val fn = if (exact) "percentile" else "approx_percentile"
+    // `accuracy` bounds the sketch's rank error at n/accuracy: at
+    // accuracy = 1e6 the returned element is PROVABLY the exact rank
+    // statistic for any input below 1M rows (rank error < 1) while the
+    // sketch stays memory-bounded at any corpus size — the
+    // oracle-checkable sketch twin (q_quantiles_tdigest).
     val aggs = columns.map { c =>
-      expr(s"$fn($c, array(0.25D, 0.5D, 0.75D))").as(s"${c}__qs")
+      val call =
+        if (exact) s"percentile($c, array(0.25D, 0.5D, 0.75D))"
+        else s"approx_percentile($c, array(0.25D, 0.5D, 0.75D), $accuracy)"
+      expr(call).as(s"${c}__qs")
     }
     val wide = df.agg(aggs.head, aggs.tail: _*)
+    // cast-to-double BEFORE round: approx_percentile returns the input
+    // type (decimal for money columns), and a decimal round would drift
+    // from the oracle's DOUBLE
     val stackExpr = columns.map { c =>
-      s"'$c', round(`${c}__qs`[0], 4), round(`${c}__qs`[1], 4), round(`${c}__qs`[2], 4)"
+      s"'$c', round(cast(`${c}__qs`[0] AS double), 4), " +
+        s"round(cast(`${c}__qs`[1] AS double), 4), " +
+        s"round(cast(`${c}__qs`[2] AS double), 4)"
     }.mkString(s"stack(${columns.size}, ", ", ", ")")
     wide.select(expr(s"$stackExpr as (column_name, q25, q50, q75)"))
       .orderBy(col("column_name"))

@@ -29,6 +29,28 @@ class ApproxProfileSpec extends SparkSpecBase {
     }
   }
 
+  test("tdigest twin returns exact-rank ELEMENTS on discrete columns") {
+    import org.apache.spark.sql.functions._
+    val cols = Seq("l_quantity", "l_discount", "l_tax")
+    val li = Lake.table(spark, Sf, "lineitem")
+    val n = li.count()
+    val out = CatalogOps.quantiles(spark, Sf, "lineitem", cols,
+        exact = false, accuracy = 1000000)
+      .collect().map(r => r.getString(0) -> r).toMap
+    for (c <- cols) {
+      // ground truth: the element at rank floor(1 + p(n-1)) — the
+      // quantile_disc convention the oracle uses
+      val sorted = li.select(col(c).cast("double")).orderBy(col(c))
+        .collect().map(_.getDouble(0))
+      for ((p, i) <- Seq(0.25, 0.5, 0.75).zipWithIndex) {
+        val want = sorted((1 + p * (n - 1)).toInt - 1)
+        val got = out(c).getDouble(i + 1)
+        assert(got == want,
+          s"$c p$p: sketch element $got != exact rank element $want")
+      }
+    }
+  }
+
   test("approx quartiles within 5% relative error of exact") {
     val exact = CatalogOps.quantiles(spark, Sf, "lineitem", quantCols)
       .collect().map(r => r.getString(0) -> r).toMap
