@@ -13,31 +13,21 @@ import graft.Lake
   * build is the family's expensive piece (a fact-table shuffle keyed by
   * order); rebuilding it inline per query tripled the family's cost in
   * the sweep, exactly the pattern the [[KnnGraphArtifact]] closed for
-  * the graph family. At 100 TB the basket frame is built once per corpus
-  * version next to the lake; here it lands in an app-id-keyed scratch
-  * sidecar (no cross-JVM races on a shared machine), `_SUCCESS`-gated so
-  * a crashed partial write is rebuilt, never trusted. JVM-synchronized:
-  * sbt runs suites concurrently in one JVM, and two racing builders
-  * would double-write the directory. */
+  * the graph family. Served through the [[ArtifactStore]] versioned
+  * slot discipline: built once per corpus FINGERPRINT, reusable across
+  * JVMs when `SPARK_GRAFT_ARTIFACT_ROOT` names a persistent sidecar
+  * root, staleness-probed on every resolve. */
 object BasketArtifact {
 
   def sharedBaskets(spark: SparkSession, lakeDir: String): DataFrame = {
-    val dir = sharedDir(spark, lakeDir)
-    this.synchronized {
-      val p = new Path(dir)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(new Path(p, "_SUCCESS")))
-        Lake.lineitem(spark, lakeDir)
-          .groupBy(col("l_orderkey"))
-          .agg(array_sort(collect_set(col("l_partkey"))).as("items"))
-          .write.mode("overwrite").parquet(dir)
+    val dir = ArtifactStore.familyDir(spark, lakeDir, "baskets")
+    val fp = ArtifactStore.corpusFingerprint(spark, lakeDir, Seq("lineitem"))
+    val dataDir = ArtifactStore.resolve(spark, dir, fp) { out =>
+      Lake.lineitem(spark, lakeDir)
+        .groupBy(col("l_orderkey"))
+        .agg(array_sort(collect_set(col("l_partkey"))).as("items"))
+        .write.mode("overwrite").parquet(out)
     }
-    spark.read.parquet(dir)
-  }
-
-  private[graft] def sharedDir(spark: SparkSession, lakeDir: String): String = {
-    val key = java.lang.Integer.toHexString(lakeDir.hashCode)
-    new Path(sys.props("java.io.tmpdir"),
-      s"graft_baskets_${spark.sparkContext.applicationId}_$key").toString
+    spark.read.parquet(dataDir)
   }
 }

@@ -99,27 +99,26 @@ object KnnGraphArtifact {
       .filter(s => s.nonEmpty && s.forall(_.isDigit)).map(_.toLong).sorted
   }
 
-  /** Build-once-per-session shared handle for the lake-bound registered
-    * queries: the first graph-family query of a session materializes the
-    * pairs artifact into an app-id-keyed scratch sidecar (the
-    * [[AnnIndex.ivfIndexedQuery]] discipline — app-id keying avoids
-    * cross-JVM races on a shared machine) and every later consumer reads
-    * it back. Keyed additionally by the lake dir so one session can scan
-    * multiple SFs without mixing corpora. JVM-synchronized: sbt runs test
-    * suites concurrently in one JVM, and two racing builders would
-    * double-write the same version directory. */
+  /** Build-once-per-CORPUS-VERSION shared handle for the lake-bound
+    * registered queries: resolved through the [[ArtifactStore]] slot
+    * discipline — the newest committed version whose corpus fingerprint
+    * (the embeddings table's file inventory) matches is read back; a
+    * stale or absent artifact is rebuilt as the next version. With
+    * `SPARK_GRAFT_ARTIFACT_ROOT` set, the sidecar outlives the JVM and
+    * Verify / Bench / user sessions all reuse one build; unset, it
+    * falls back to the app-scoped scratch (hermetic, read-only lakes
+    * untouched). */
   def sharedPairs(spark: SparkSession, lakeDir: String): DataFrame = {
-    val dir = sharedDir(spark, lakeDir)
-    this.synchronized {
-      if (versions(spark, dir).isEmpty)
-        build(spark, dir, graft.Lake.embeddings(spark, lakeDir))
+    val dir = ArtifactStore.familyDir(spark, lakeDir, "knn_pairs")
+    val fp = ArtifactStore.corpusFingerprint(spark, lakeDir, Seq("embeddings"))
+    val dataDir = ArtifactStore.resolve(spark, dir, fp) { out =>
+      AnnOps.bucketedPairs(
+          graft.Lake.embeddings(spark, lakeDir)
+            .select(col("vec_id"), col("embedding")),
+          dim = 64, tables = AnnOps.DefaultTables,
+          bits = AnnOps.DefaultBitsPerTable, maxBucketSize = 4096)
+        .write.mode("overwrite").parquet(out)
     }
-    pairs(spark, dir)
-  }
-
-  private[graft] def sharedDir(spark: SparkSession, lakeDir: String): String = {
-    val key = java.lang.Integer.toHexString(lakeDir.hashCode)
-    new Path(sys.props("java.io.tmpdir"),
-      s"graft_knn_pairs_${spark.sparkContext.applicationId}_$key").toString
+    spark.read.parquet(dataDir)
   }
 }

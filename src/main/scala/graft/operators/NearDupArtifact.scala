@@ -13,10 +13,10 @@ import graft.Lake
   * The signature + banding + exact-verify pipeline is the family's
   * expensive piece; rebuilding it inline per query is the cost the
   * [[KnnGraphArtifact]] / [[BasketArtifact]] discipline exists to
-  * remove. At 100 TB the verified pair frame is computed once per corpus
-  * version and stored next to the lake; here it lands in an
-  * app-id-keyed, threshold-keyed scratch sidecar, `_SUCCESS`-gated so a
-  * crashed partial write is rebuilt, never trusted.
+  * remove. Served through the [[ArtifactStore]] versioned slot
+  * discipline (threshold-keyed family dir): built once per corpus
+  * fingerprint, cross-JVM reusable under a persistent artifact root,
+  * staleness-probed on every resolve.
   *
   * NOTE: consumers that dedup a DERIVED corpus (e.g. cleanCorpus, which
   * near-dedups the exact-deduped subset) keep their inline pipeline —
@@ -25,23 +25,14 @@ object NearDupArtifact {
 
   def sharedPairs(spark: SparkSession, lakeDir: String,
                   threshold: Double = 0.6): DataFrame = {
-    val dir = sharedDir(spark, lakeDir, threshold)
-    this.synchronized {
-      val p = new Path(dir)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(new Path(p, "_SUCCESS")))
-        DedupOps.nearDupPairs(Lake.documents(spark, lakeDir), threshold)
-          .write.mode("overwrite").parquet(dir)
-    }
-    spark.read.parquet(dir)
-  }
-
-  private[graft] def sharedDir(spark: SparkSession, lakeDir: String,
-                               threshold: Double): String = {
-    val key = java.lang.Integer.toHexString(lakeDir.hashCode)
     val t = java.lang.Long.toHexString(
       java.lang.Double.doubleToLongBits(threshold))
-    new Path(sys.props("java.io.tmpdir"),
-      s"graft_neardup_${spark.sparkContext.applicationId}_${key}_$t").toString
+    val dir = ArtifactStore.familyDir(spark, lakeDir, "neardup", t)
+    val fp = ArtifactStore.corpusFingerprint(spark, lakeDir, Seq("documents"))
+    val dataDir = ArtifactStore.resolve(spark, dir, fp) { out =>
+      DedupOps.nearDupPairs(Lake.documents(spark, lakeDir), threshold)
+        .write.mode("overwrite").parquet(out)
+    }
+    spark.read.parquet(dataDir)
   }
 }

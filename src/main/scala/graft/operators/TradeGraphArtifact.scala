@@ -9,26 +9,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * degree windows) is the dominant cost of every iterative consumer —
   * profiled at ~3 s of PageRank's ~4.5 s — while the iterations
   * themselves are cheap joins over this frame. At 100 TB the graph is
-  * extracted once per corpus version and every analysis reads it; the
-  * same `_SUCCESS`-gated app-id-keyed scratch discipline as
-  * [[KnnGraphArtifact]] / [[BasketArtifact]] / [[NearDupArtifact]]. */
+  * extracted once per corpus version and every analysis reads it — the
+  * shared [[ArtifactStore]] versioned slot discipline, keyed by the
+  * (lineitem, orders) corpus fingerprint. */
 object TradeGraphArtifact {
 
   def sharedEdges(spark: SparkSession, lakeDir: String): DataFrame = {
-    val dir = sharedDir(spark, lakeDir)
-    this.synchronized {
-      val p = new Path(dir)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(new Path(p, "_SUCCESS")))
-        GraphOps.tradeEdgesWithDeg(spark, lakeDir)
-          .write.mode("overwrite").parquet(dir)
+    val dir = ArtifactStore.familyDir(spark, lakeDir, "trade")
+    val fp = ArtifactStore.corpusFingerprint(spark, lakeDir,
+      Seq("lineitem", "orders"))
+    val dataDir = ArtifactStore.resolve(spark, dir, fp) { out =>
+      GraphOps.tradeEdgesWithDeg(spark, lakeDir)
+        .write.mode("overwrite").parquet(out)
     }
-    spark.read.parquet(dir)
-  }
-
-  private[graft] def sharedDir(spark: SparkSession, lakeDir: String): String = {
-    val key = java.lang.Integer.toHexString(lakeDir.hashCode)
-    new Path(sys.props("java.io.tmpdir"),
-      s"graft_trade_${spark.sparkContext.applicationId}_$key").toString
+    spark.read.parquet(dataDir)
   }
 }

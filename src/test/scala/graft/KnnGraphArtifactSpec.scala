@@ -30,15 +30,16 @@ class KnnGraphArtifactSpec extends SparkSpecBase {
     assert(p.getInt(0) == 64 && p.getInt(1) == AnnOps.DefaultTables)
   }
 
-  test("sharedPairs builds once per session and is reused by consumers") {
-    val shared = KnnGraphArtifact.sharedDir(spark, Sf)
-    val before = KnnGraphArtifact.versions(spark, shared).size
+  test("sharedPairs builds once per corpus and is reused by consumers") {
+    val shared = graft.operators.ArtifactStore
+      .familyDir(spark, Sf, "knn_pairs")
+    val before = graft.operators.ArtifactStore.versions(spark, shared).size
     KnnGraphArtifact.sharedPairs(spark, Sf).count()
-    val after1 = KnnGraphArtifact.versions(spark, shared).size
+    val after1 = graft.operators.ArtifactStore.versions(spark, shared).size
     assert(after1 == math.max(before, 1), "first use builds at most once")
     // a second consumer call must NOT commit another version
     AnnOps.knnGraph(spark, Sf).count()
-    assert(KnnGraphArtifact.versions(spark, shared).size == after1,
+    assert(graft.operators.ArtifactStore.versions(spark, shared).size == after1,
       "later graph-family queries reuse the artifact, never rebuild")
   }
 
