@@ -123,7 +123,18 @@ object Bench {
       "\"" + s + "\":" + byName.getOrElse(s, -1.0)
     }.mkString("{", ",", "}")
     val metaJson = meta.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","repeats":$reps,"order":"${if (reverse) "reverse" else "forward"}","gc_every":$gcEvery,"tables":$cards,"sentinels":$sent,"sentinels_tail":$tail,"query_meta":$metaJson,"loadavg_start":$loadStart,"loadavg_end":$loadEnd}""")
+    // Full record first (queries LAST within it), then a compact final
+    // line that is guaranteed to survive the driver's ~2000-char tail
+    // truncation AND parse on its own: r9's artifact-of-record lost every
+    // per-query timing because the ~15 KB query_meta map printed after
+    // the timings map. The compact line carries the numbers a round
+    // comparison actually needs — total, sentinels (head + tail), and
+    // the slowest-20 per-query medians (the only ones whose deltas get
+    // adjudicated; sub-0.5 s queries are noise-dominated anyway).
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","repeats":$reps,"order":"${if (reverse) "reverse" else "forward"}","gc_every":$gcEvery,"tables":$cards,"query_meta":$metaJson,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"sentinels":$sent,"sentinels_tail":$tail,"queries":$qs}""")
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(20)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","repeats":$reps,"order":"${if (reverse) "reverse" else "forward"}","n_queries":${results.size},"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"sentinels":$sent,"sentinels_tail":$tail,"slowest":$slowest}""")
     spark.stop()
   }
 }

@@ -64,7 +64,11 @@ private[graft] object ArtifactStore {
   /** Corpus fingerprint: a 64-bit hex hash over each source table's
     * file inventory (path name, length, mtime). Cheap (driver metadata
     * listing, no data read) and changes whenever any source file does —
-    * the staleness probe for every resolve. */
+    * the staleness probe for every resolve. The listing is RECURSIVE so
+    * a partitioned layout (`<table>.parquet/part_col=x/file.parquet`)
+    * fingerprints its leaf data files, not just the partition dirs —
+    * some filesystems don't bump a directory's mtime on deep rewrites,
+    * which would otherwise serve stale artifacts silently. */
   def corpusFingerprint(spark: SparkSession, lakeDir: String,
                         tables: Seq[String]): String = {
     val conf = spark.sparkContext.hadoopConfiguration
@@ -74,13 +78,24 @@ private[graft] object ArtifactStore {
       val p = new Path(s"$lakeDir/$t.parquet")
       val fs = p.getFileSystem(conf)
       if (fs.exists(p)) {
-        val files = (if (fs.getFileStatus(p).isDirectory)
-          fs.listStatus(p).toSeq else Seq(fs.getFileStatus(p)))
-          .filterNot(_.getPath.getName.startsWith("_"))
-          .sortBy(_.getPath.getName)
-        files.foreach { st =>
-          mix(st.getPath.getName); mix(st.getLen.toString)
-          mix(st.getModificationTime.toString)
+        val files = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+        if (fs.getFileStatus(p).isDirectory) {
+          val it = fs.listFiles(p, true) // recursive: every leaf data file
+          val base = p.toString
+          while (it.hasNext) {
+            val st = it.next()
+            // path RELATIVE to the table root, so partition-dir segments
+            // participate in the hash but the lake's mount point doesn't
+            val rel = st.getPath.toString.stripPrefix(base).stripPrefix("/")
+            if (!rel.split('/').exists(seg => seg.startsWith("_") || seg.startsWith(".")))
+              files += ((rel, st.getLen, st.getModificationTime))
+          }
+        } else {
+          val st = fs.getFileStatus(p)
+          files += ((st.getPath.getName, st.getLen, st.getModificationTime))
+        }
+        files.sortBy(_._1).foreach { case (name, len, mtime) =>
+          mix(name); mix(len.toString); mix(mtime.toString)
         }
       } else mix(s"absent:$t")
     }
@@ -106,60 +121,101 @@ private[graft] object ArtifactStore {
       }.toSeq.sortBy(_._1)
   }
 
+  /** In-JVM build serialization is PER FAMILY DIR (interned via a
+    * concurrent map), not a single global monitor: sbt runs suites
+    * concurrently in one JVM, and an in-flight near-dup build must not
+    * block an unrelated baskets build. */
+  private val familyLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(dir: String): Object =
+    familyLocks.computeIfAbsent(dir, _ => new Object)
+
+  /** Builds performed by THIS JVM since start — the cross-session reuse
+    * observable: a second driver run against an unchanged corpus should
+    * report 0. */
+  private val buildCounter = new java.util.concurrent.atomic.AtomicLong(0)
+  def buildsThisSession: Long = buildCounter.get()
+
   /** Serve the artifact for the CURRENT corpus: reuse the newest
     * complete version whose fingerprint matches `fp`, else build one.
     * `build` must write parquet (with `_SUCCESS`) at the given path.
     * Returns the data directory to read. */
   def resolve(spark: SparkSession, dir: String, fp: String)
-             (build: String => Unit): String = this.synchronized {
+             (build: String => Unit): String = lockFor(dir).synchronized {
     versions(spark, dir).reverse.collectFirst {
       case (v, storedFp) if storedFp == fp => s"$dir/v=$v/data"
     }.getOrElse {
       val p = new Path(dir)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.mkdirs(p)
-      // private staging dir → build → stamp fp → atomic rename to v=N.
-      // rename-to-existing fails, so a cross-JVM race yields two
-      // adjacent complete versions, never interleaved writes.
+      // private staging dir → build → stamp fp → rename to v=N.
+      // rename-to-existing USUALLY fails, so a cross-JVM race yields two
+      // adjacent complete versions — but the classic Hadoop FileSystem
+      // contract (RawLocalFileSystem included) may instead move the
+      // source INTO an existing destination directory. So the commit is
+      // verified after the fact: re-read the slot's fp and only serve it
+      // if it matches ours; a swallowed rename falls through to retry.
       val staging = new Path(p,
         s"_staging_${spark.sparkContext.applicationId}_${System.nanoTime()}")
       build(new Path(staging, "data").toString)
+      buildCounter.incrementAndGet()
       val out = fs.create(new Path(staging, "fp"), true)
       try out.write(fp.getBytes("UTF-8")) finally out.close()
       var v = versions(spark, dir).lastOption.map(_._1 + 1).getOrElse(0L)
-      var committed = false
-      while (!committed) {
+      var served: Option[String] = None
+      while (served.isEmpty) {
         val slot = new Path(p, s"v=$v")
         if (fs.exists(slot)) {
           v += 1 // a racing session took this slot; try the next
         } else if (fs.rename(staging, slot)) {
-          committed = true
+          // verify the slot we "committed" really carries OUR fingerprint
+          // (a TOCTOU racer's slot can swallow the rename as a nested dir)
+          val slotFp = versions(spark, dir).find(_._1 == v).map(_._2)
+          if (slotFp.contains(fp)) {
+            // if the rename nested us inside an identically-fingerprinted
+            // racer slot, our stray staging copy sits under it — drop it
+            val stray = new Path(slot, staging.getName)
+            if (fs.exists(stray)) fs.delete(stray, true)
+            served = Some(s"$dir/v=$v/data")
+          } else {
+            // swallowed by a DIFFERENT-fingerprint slot: our bytes are a
+            // stray inside it; remove them and serve/rebuild afresh
+            val stray = new Path(slot, staging.getName)
+            if (fs.exists(stray)) fs.delete(stray, true)
+            served = Some(resolve(spark, dir, fp)(build))
+          }
         } else {
           v += 1
         }
       }
       // a racer may have committed the SAME fingerprint first; serving
       // our own commit is equally correct (identical derivation)
-      s"$dir/v=$v/data"
+      served.get
     }
   }
 
-  /** Drop all but the newest `keepLast` versions (incomplete/staging
-    * leftovers are swept too). Returns dropped version numbers. */
-  def vacuum(spark: SparkSession, dir: String, keepLast: Int = 1): Seq[Long] = {
+  /** Drop all but the newest `keepLast` versions. Staging leftovers are
+    * swept too, but only past `stagingGraceMs` (by mtime): under a
+    * shared root a concurrent session's IN-FLIGHT staging dir must not
+    * be deleted out from under its build — an hour-old one is a crash
+    * leftover, not a live build. Returns dropped version numbers. */
+  def vacuum(spark: SparkSession, dir: String, keepLast: Int = 1,
+             stagingGraceMs: Long = 60L * 60 * 1000): Seq[Long] = {
     require(keepLast >= 1, "must keep at least one version")
     val kept = versions(spark, dir).takeRight(keepLast).map(_._1).toSet
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return Seq.empty
-    val dropped = fs.listStatus(p).toSeq.map(_.getPath)
-      .filter { q =>
-        val n = q.getName
+    val now = System.currentTimeMillis()
+    val dropped = fs.listStatus(p).toSeq
+      .filter { st =>
+        val n = st.getPath.getName
         if (n.startsWith("v=")) {
           val s = n.stripPrefix("v=")
           !(s.nonEmpty && s.forall(_.isDigit) && kept(s.toLong))
-        } else n.startsWith("_staging_")
-      }
+        } else n.startsWith("_staging_") &&
+          (now - st.getModificationTime) > stagingGraceMs
+      }.map(_.getPath)
     dropped.foreach(fs.delete(_, true))
     dropped.map(_.getName).filter(_.startsWith("v="))
       .map(_.stripPrefix("v="))

@@ -106,16 +106,47 @@ class ArtifactStoreSpec extends SparkSpecBase {
         spark.range(i + 1).write.mode("overwrite").parquet(out)
       }
     }
-    // a staging leftover from a crashed racer
+    // a staging leftover from a crashed racer — but FRESH by mtime, so
+    // under the default grace period it reads as a possibly-live build
     new java.io.File(s"$dir/_staging_dead_123").mkdirs()
     val dropped = ArtifactStore.vacuum(spark, dir, keepLast = 1)
     assert(dropped == Seq(0L, 1L))
     assert(ArtifactStore.versions(spark, dir).map(_._1) == Seq(2L))
     val fs = new Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new Path(dir, "_staging_dead_123")),
+      "a fresh staging dir may be a LIVE concurrent build; default " +
+        "vacuum must leave it alone")
+    // past the grace period it is a crash leftover and gets swept
+    ArtifactStore.vacuum(spark, dir, keepLast = 1, stagingGraceMs = 0L)
     assert(!fs.exists(new Path(dir, "_staging_dead_123")),
-      "staging leftovers must be swept")
+      "an expired staging leftover must be swept")
     assert(spark.read.parquet(s"$dir/v=2/data").count() == 3)
+  }
+
+  test("fingerprint sees deep files in a partitioned table layout") {
+    val lake = tmp("graft_astore_lake6")
+    import spark.implicits._
+    def write(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("id", "part").write.mode("overwrite")
+        .partitionBy("part").parquet(s"$lake/things.parquet")
+    write(Seq((1L, "a"), (2L, "b")))
+    val fp1 = ArtifactStore.corpusFingerprint(spark, lake, Seq("things"))
+    // rewrite ONE partition's leaf file with same dir structure: only a
+    // recursive listing can observe the change
+    Thread.sleep(5)
+    Seq((9L, "a")).toDF("id", "part").write.mode("overwrite")
+      .partitionBy("part").parquet(s"$lake/tmp_swap.parquet")
+    val src = new java.io.File(s"$lake/tmp_swap.parquet/part=a")
+      .listFiles().filter(_.getName.endsWith(".parquet")).head
+    val dstDir = new java.io.File(s"$lake/things.parquet/part=a")
+    dstDir.listFiles().filter(_.getName.endsWith(".parquet"))
+      .foreach(_.delete())
+    java.nio.file.Files.copy(src.toPath,
+      new java.io.File(dstDir, src.getName).toPath)
+    val fp2 = ArtifactStore.corpusFingerprint(spark, lake, Seq("things"))
+    assert(fp1 != fp2,
+      "a deep leaf-file rewrite must change the corpus fingerprint")
   }
 
   test("artifact-fed families resolve through a persistent root and reuse") {
