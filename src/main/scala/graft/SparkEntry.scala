@@ -436,6 +436,9 @@ object SparkEntry {
     "q_skyline"           -> Relational.skylineParts _,
     // ABC (80/95) cumulative revenue classification of parts
     "q_abc_parts"         -> Relational.abcParts _,
+    // ABC, parallel twin: bucketed prefix sums, no single-partition sort
+    "q_abc_parts_par"     -> ((s: SparkSession, d: String) =>
+      Relational.abcPartsPar(s, d)),
     // Per-market-segment Gini coefficient of customer revenue
     "q_gini"              -> Relational.giniSegments _,
     // Item–item cosine similarity from basket co-occurrence
@@ -544,6 +547,9 @@ object SparkEntry {
     "q_seasonal_strength" -> EventOps.seasonalStrength _,
     // Lorenz curve decile points of customer revenue
     "q_lorenz"            -> Relational.lorenzCurve _,
+    // Lorenz, parallel twin: bucketed global ranks, no serial ntile
+    "q_lorenz_par"        -> ((s: SparkSession, d: String) =>
+      Relational.lorenzCurvePar(s, d)),
     // Hapax-legomena lexical richness per source
     "q_hapax"             -> TextOps.hapaxProfile _,
     // Reliability diagram: quality-score deciles vs near-dup membership
@@ -4010,6 +4016,22 @@ object SparkEntry {
         |            WHEN cum_share <= 0.95 THEN 'B' ELSE 'C' END AS abc_class,
         |  count(*) AS n_parts, round(CAST(sum(rev) AS DOUBLE), 2) AS class_revenue
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the parallel twin is value-bucketed + prefix-summed but arithmetically
+    // EXACT — same oracle as the serial form, verbatim
+    "q_abc_parts_par" ->
+      """WITH pp AS (SELECT l_partkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |      AS rev
+        |  FROM lineitem GROUP BY 1),
+        |c AS (SELECT rev,
+        |    CAST(sum(rev) OVER (ORDER BY rev DESC, l_partkey) AS DOUBLE) /
+        |      CAST(sum(rev) OVER () AS DOUBLE) AS cum_share
+        |  FROM pp)
+        |SELECT CASE WHEN cum_share <= 0.80 THEN 'A'
+        |            WHEN cum_share <= 0.95 THEN 'B' ELSE 'C' END AS abc_class,
+        |  count(*) AS n_parts, round(CAST(sum(rev) AS DOUBLE), 2) AS class_revenue
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     // Gini: exact decimal customer revenue and rank products; the closed
     // form's one division runs on identical exact inputs.
     "q_gini" ->
@@ -5041,6 +5063,24 @@ object SparkEntry {
     // Lorenz: same exact-ntile deciles (unique tie-break key), decimal
     // cumulative shares.
     "q_lorenz" ->
+      """WITH c AS (SELECT o_custkey,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT rev,
+        |    ntile(10) OVER (ORDER BY rev, o_custkey) AS decile FROM c),
+        |g AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+        |    sum(rev) AS dec_rev FROM t GROUP BY 1),
+        |w AS (SELECT decile, n_customers, dec_rev,
+        |    sum(dec_rev) OVER (ORDER BY decile) AS cum_rev,
+        |    sum(dec_rev) OVER () AS total_rev FROM g)
+        |SELECT CAST(decile AS INTEGER) AS decile, n_customers,
+        |  round(CAST(dec_rev AS DOUBLE), 2) AS decile_revenue,
+        |  round(CAST(cum_rev AS DOUBLE) / CAST(total_rev AS DOUBLE), 6)
+        |    AS cum_share
+        |FROM w ORDER BY decile""".stripMargin,
+    // the parallel twin reconstructs the exact ntile ranks from bucketed
+    // prefixes — same oracle as the serial form, verbatim
+    "q_lorenz_par" ->
       """WITH c AS (SELECT o_custkey,
         |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
         |  FROM orders GROUP BY 1),

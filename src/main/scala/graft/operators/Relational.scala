@@ -1142,6 +1142,132 @@ object Relational {
       .orderBy(col("decile"))
   }
 
+  /** ABC classification, the PARALLEL twin of [[abcParts]]: identical
+    * output with no single-partition stage. The global (rev DESC,
+    * partkey) cumulative is decomposed by VALUE-RANGE buckets — revenue
+    * cut points from one percentile aggregate split parts into disjoint
+    * revenue ranges. Bucketing by value is order-preserving (a tie can
+    * never straddle a bucket), so per-bucket exact prefix sums — a
+    * bounded nBuckets-row collect, broadcast back as a literal CASE
+    * chain — plus a window PARTITIONED by bucket (fan-in ≈ n/nBuckets
+    * per task) reconstruct the exact global cumulative. All decimal
+    * arithmetic is the same as the serial form's, so the result (and
+    * the oracle) is bit-identical; [[abcParts]] stays registered as the
+    * oracle-parity twin, this form is the 100 TB path. */
+  def abcPartsPar(spark: SparkSession, dir: String,
+                  nBuckets: Int = 32): DataFrame = {
+    val perPart = Lake.lineitem(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg(sum(revenueTerm).as("rev"))
+      .localCheckpoint(true) // one fact scan feeds all three jobs below
+    val probs = (1 until nBuckets).map(i => i.toDouble / nBuckets)
+    val probsSql = probs.map(_ + "D").mkString(",")
+    // cut exactness is irrelevant to correctness (any monotone split
+    // works — cuts only balance the buckets), so no rounding discipline
+    val cuts: Seq[Double] = perPart
+      .agg(expr(s"percentile(rev, array($probsSql))").as("cuts"))
+      .head().getSeq[Double](0).distinct
+    val bucket = cuts.foldLeft(lit(1)) { (acc, c) =>
+      acc + when(col("rev").cast("double") > lit(c), 1).otherwise(0)
+    }
+    val bucketed = perPart.withColumn("b", bucket)
+    // bounded: nBuckets rows of exact decimal sums → driver prefix sums
+    val bucketSums = bucketed.groupBy(col("b"))
+      .agg(sum(col("rev")).as("s")).collect()
+      .map(r => (r.getInt(0), r.getDecimal(1))).sortBy(-_._1)
+    val zero = java.math.BigDecimal.ZERO
+    // bucket -> Σ rev over strictly-higher buckets (exact decimal)
+    var runAbove = zero
+    val prefixAbove = bucketSums.map { case (b, s) =>
+      val p = b -> runAbove; runAbove = runAbove.add(s); p
+    }.toMap
+    val total = runAbove
+    val prefixExpr = prefixAbove.foldLeft(lit(zero)) {
+      case (acc, (b, pfx)) => when(col("b") === b, lit(pfx)).otherwise(acc)
+    }
+    val wIn = Window.partitionBy(col("b"))
+      .orderBy(col("rev").desc, col("l_partkey"))
+    bucketed
+      .withColumn("cum_share",
+        (prefixExpr + sum(col("rev")).over(wIn)).cast("double") /
+          lit(total).cast("double"))
+      .withColumn("abc_class",
+        when(col("cum_share") <= 0.80, "A")
+          .when(col("cum_share") <= 0.95, "B")
+          .otherwise("C"))
+      .groupBy(col("abc_class"))
+      .agg(count(lit(1)).as("n_parts"),
+        round(sum(col("rev")).cast("double"), 2).as("class_revenue"))
+      .orderBy(col("abc_class"))
+  }
+
+  /** Lorenz decile points, the PARALLEL twin of [[lorenzCurve]]:
+    * identical output with no single-partition ntile. Global rank in
+    * (rev, custkey) order is reconstructed as bucket-prefix COUNT (the
+    * bounded collect, as [[abcPartsPar]]) + a bucket-partitioned
+    * row_number; the driver replays ntile's arithmetic (first n%10
+    * tiles get one extra row) as literal rank fences. The 10-row decile
+    * frame then cumulates through a broadcast triangular self-join —
+    * no window at all downstream of the partitioned ranking, and the
+    * grand total rides along from the same bounded collect. */
+  def lorenzCurvePar(spark: SparkSession, dir: String,
+                     nBuckets: Int = 32): DataFrame = {
+    val perCust = Lake.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(m(col("o_totalprice"))).as("rev"))
+      .localCheckpoint(true)
+    val probs = (1 until nBuckets).map(i => i.toDouble / nBuckets)
+    val probsSql = probs.map(_ + "D").mkString(",")
+    val cuts: Seq[Double] = perCust
+      .agg(expr(s"percentile(rev, array($probsSql))").as("cuts"))
+      .head().getSeq[Double](0).distinct
+    val bucket = cuts.foldLeft(lit(1)) { (acc, c) =>
+      acc + when(col("rev").cast("double") > lit(c), 1).otherwise(0)
+    }
+    val bucketed = perCust.withColumn("b", bucket)
+    // one bounded collect: per-bucket counts (→ rank prefixes) AND sums
+    // (→ the grand total), nBuckets rows
+    val stats = bucketed.groupBy(col("b"))
+      .agg(count(lit(1)).as("n"), sum(col("rev")).as("s")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDecimal(2))).sortBy(_._1)
+    val n = stats.map(_._2).sum
+    val total = stats.map(_._3)
+      .foldLeft(java.math.BigDecimal.ZERO)(_.add(_))
+    // bucket -> count of customers in strictly-lower buckets
+    var runBelow = 0L
+    val prefixBelow = stats.map { case (b, cnt, _) =>
+      val p = b -> runBelow; runBelow += cnt; p
+    }.toMap
+    val prefixExpr = prefixBelow.foldLeft(lit(0L)) {
+      case (acc, (b, pfx)) => when(col("b") === b, lit(pfx)).otherwise(acc)
+    }
+    // ntile(10) fences: end rank of tile t (first n%10 tiles one larger)
+    val base = n / 10; val rem = n % 10
+    val tileEnd = (1 to 9).map { t =>
+      if (t <= rem) t * (base + 1) else rem * (base + 1) + (t - rem) * base
+    }
+    val wIn = Window.partitionBy(col("b"))
+      .orderBy(col("rev"), col("o_custkey"))
+    val decile = tileEnd.foldLeft(lit(1)) { (acc, end) =>
+      acc + when(col("rank") > lit(end), 1).otherwise(0)
+    }
+    val g = bucketed
+      .withColumn("rank", prefixExpr + row_number().over(wIn).cast("long"))
+      .withColumn("decile", decile)
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("rev")).as("dec_rev"))
+      .localCheckpoint(true) // 10 rows; feeds both sides of the triangle
+    val r = g.select(col("decile").as("d2"), col("dec_rev").as("r2"))
+    g.join(broadcast(r), col("d2") <= col("decile"))
+      .groupBy(col("decile"), col("n_customers"), col("dec_rev"))
+      .agg(sum(col("r2")).as("cum_rev"))
+      .select(col("decile"), col("n_customers"),
+        round(col("dec_rev").cast("double"), 2).as("decile_revenue"),
+        round(col("cum_rev").cast("double") /
+          lit(total).cast("double"), 6).as("cum_share"))
+      .orderBy(col("decile"))
+  }
+
   /** m-estimate target encoding of a categorical against order value —
     * the leakage-averse categorical-feature transform: each segment's
     * encoding is its target mean shrunk toward the global mean,

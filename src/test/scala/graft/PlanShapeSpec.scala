@@ -166,6 +166,25 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!plan.contains("Window"), s"window in parallel binning plan:\n$plan")
   }
 
+  test("parallel ABC/Lorenz twins plan no single-partition stage") {
+    // the serial forms cumulate through an UNPARTITIONED window — an
+    // Exchange SinglePartition, the one stage that cannot scale out. The
+    // twins decompose the global order into value-range buckets; their
+    // only windows are bucket-partitioned, so the whole physical plan
+    // must be free of SinglePartition exchanges.
+    val abc = planOf(graft.operators.Relational.abcPartsPar(spark, Sf))
+    assert(!abc.contains("SinglePartition"),
+      s"serial stage in parallel ABC plan:\n$abc")
+    val lor = planOf(graft.operators.Relational.lorenzCurvePar(spark, Sf))
+    assert(!lor.contains("SinglePartition"),
+      s"serial stage in parallel Lorenz plan:\n$lor")
+    // contrast: the exact twins keep the serial stage (that is WHY the
+    // parallel forms exist) — if this ever changes, the twin is obsolete
+    val abcSerial = planOf(graft.operators.Relational.abcParts(spark, Sf))
+    assert(abcSerial.contains("SinglePartition"),
+      "exact ABC no longer has a serial stage; fold the twins")
+  }
+
   test("weighted sample plans TakeOrderedAndProject, not a global sort") {
     val plan = planOf(CorpusOps.weightedSampleQuery(spark, Sf))
     assert(plan.contains("TakeOrderedAndProject"),
@@ -315,7 +334,11 @@ class PlanShapeSpec extends SparkSpecBase {
         "q_silhouette",
         // q_cross_corr: two one-row per-series moment broadcasts (the
         // q_acf pattern, one per side)
-        "q_cross_corr")
+        "q_cross_corr",
+        // q_lorenz_par: the 10-row decile frame cumulating through a
+        // broadcast triangular self-join (decile ≤ decile) — the
+        // window-free replacement for the serial cumulative window
+        "q_lorenz_par")
     for ((name, fn) <- SparkEntry.queries) {
       // interior plans included: checkpointing operators execute their
       // real joins during construction and return an RDD-scan facade

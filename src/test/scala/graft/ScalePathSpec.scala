@@ -68,6 +68,22 @@ class ScalePathSpec extends SparkSpecBase {
     }
   }
 
+  test("parallel ABC twin is bit-identical to the exact form at two SFs") {
+    for (sf <- Seq(Sf, "/root/testdata/sf0.01")) {
+      val exact = graft.operators.Relational.abcParts(spark, sf).collect().toSeq
+      val par = graft.operators.Relational.abcPartsPar(spark, sf).collect().toSeq
+      assert(par == exact, s"ABC twin diverges at $sf:\n$par\nvs\n$exact")
+    }
+  }
+
+  test("parallel Lorenz twin is bit-identical to the exact form at two SFs") {
+    for (sf <- Seq(Sf, "/root/testdata/sf0.01")) {
+      val exact = graft.operators.Relational.lorenzCurve(spark, sf).collect().toSeq
+      val par = graft.operators.Relational.lorenzCurvePar(spark, sf).collect().toSeq
+      assert(par == exact, s"Lorenz twin diverges at $sf:\n$par\nvs\n$exact")
+    }
+  }
+
   test("dedup and text operators tolerate empty and single-row corpora") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
