@@ -164,6 +164,7 @@ object SparkEntry {
     "q_multimodal_frames" -> ((s: SparkSession, d: String) => MultimodalOps.frameSample(s, d)),
     "q_multimodal_decode" -> ((s: SparkSession, d: String) => MultimodalOps.decodeDigest(s, d)),
     "q_bmp_decode"        -> ((s: SparkSession, d: String) => MultimodalOps.decodeDigestBmp(s, d)),
+    "q_png_decode"        -> ((s: SparkSession, d: String) => MultimodalOps.decodeDigestPng(s, d)),
     // Pattern scan / redaction (PII machinery over corpus-bearing classes)
     "q_pattern_scan"      -> ((s: SparkSession, d: String) =>
       TextOps.patternScan(Lake.documents(s, d), ScanPatterns)),
@@ -3110,6 +3111,24 @@ object SparkEntry {
         |           FROM documents WHERE text IS NOT NULL)
         |SELECT doc_id,
         |  CAST(54 + 48 * h AS BIGINT) AS n_bytes,
+        |  concat_ws(',', 16, h, 255, 48 * h,
+        |    coalesce(list_aggregate(list_transform(range(1, CAST(len(text) + 1 AS BIGINT)),
+        |      i -> unicode(text[i])), 'sum'), 0),
+        |    48 * h - n,
+        |    CASE WHEN n > 0 THEN unicode(substr(text, 1, 1)) ELSE 0 END,
+        |    CASE WHEN n > 0 THEN unicode(substr(text, len(text), 1)) ELSE 0 END
+        |  ) AS feat_digest
+        |FROM d ORDER BY doc_id""".stripMargin,
+    // PNG twin: same plane features (PNG is lossless, the plane rides
+    // verbatim); the container size is DEFLATE-dependent, so the
+    // comparable column is the decoded plane length 48·h instead.
+    "q_png_decode" ->
+      """WITH d AS (SELECT doc_id, text,
+        |             octet_length(encode(text)) AS n,
+        |             greatest(1, (octet_length(encode(text)) + 47) // 48) AS h
+        |           FROM documents WHERE text IS NOT NULL)
+        |SELECT doc_id,
+        |  CAST(48 * h AS BIGINT) AS plane_bytes,
         |  concat_ws(',', 16, h, 255, 48 * h,
         |    coalesce(list_aggregate(list_transform(range(1, CAST(len(text) + 1 AS BIGINT)),
         |      i -> unicode(text[i])), 'sum'), 0),

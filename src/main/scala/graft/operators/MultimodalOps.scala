@@ -186,6 +186,79 @@ object MultimodalOps {
     (w, h, 255, px)
   }
 
+  /** PNG encoder via `javax.imageio` (public Java SE, no external libs):
+    * wraps `data` as the RGB plane of a [[PpmWidth]]-wide image — the
+    * first COMPRESSED image codec behind the same batched kernels. PNG
+    * is lossless, so decode(encode(x)) carries the plane verbatim like
+    * PPM/BMP and every downstream feature (decode digest, aHash, resize,
+    * scene cuts) agrees bit for bit across all three image codecs. */
+  private[graft] def pngEncode(data: Array[Byte]): Array[Byte] =
+    imageioEncode(data, "png")
+
+  /** JPEG encoder via `javax.imageio` — the LOSSY branch (writer
+    * default quality): geometry and batching are exact; the decoded
+    * plane approximates the input (MultimodalSpec bounds the error). */
+  private[graft] def jpegEncode(data: Array[Byte]): Array[Byte] =
+    imageioEncode(data, "jpg")
+
+  private def imageioEncode(data: Array[Byte], format: String): Array[Byte] = {
+    val w = PpmWidth
+    val h = math.max(1, (data.length + 3 * w - 1) / (3 * w))
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = new Array[Int](w * h)
+    var i = 0
+    while (i < w * h) {
+      val r = if (3 * i < data.length) data(3 * i) & 0xFF else 0
+      val g = if (3 * i + 1 < data.length) data(3 * i + 1) & 0xFF else 0
+      val b = if (3 * i + 2 < data.length) data(3 * i + 2) & 0xFF else 0
+      rgb(i) = (r << 16) | (g << 8) | b
+      i += 1
+    }
+    img.setRGB(0, 0, w, h, rgb, 0, w)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, bos)
+    bos.toByteArray
+  }
+
+  /** REAL PNG decode via `javax.imageio`: validates the 8-byte PNG
+    * signature, inflates, and extracts the row-major RGB plane — the
+    * same (w, h, maxval, plane) contract as [[decodePpm]]/[[decodeBmp]],
+    * so every kernel downstream stays codec-blind. */
+  private[graft] def decodePng(png: Array[Byte]): (Int, Int, Int, Array[Byte]) = {
+    require(png.length >= 8 && (png(0) & 0xFF) == 0x89 && png(1) == 'P' &&
+      png(2) == 'N' && png(3) == 'G' && png(4) == '\r' && png(5) == '\n' &&
+      (png(6) & 0xFF) == 0x1A && png(7) == '\n', "not a PNG stream")
+    imageioPlane(png, "PNG")
+  }
+
+  /** REAL JPEG decode via `javax.imageio`: validates the SOI marker
+    * (FF D8 FF — JFIF and EXIF alike); same plane contract. */
+  private[graft] def decodeJpeg(jpg: Array[Byte]): (Int, Int, Int, Array[Byte]) = {
+    require(jpg.length >= 3 && (jpg(0) & 0xFF) == 0xFF &&
+      (jpg(1) & 0xFF) == 0xD8 && (jpg(2) & 0xFF) == 0xFF,
+      "not a JPEG stream")
+    imageioPlane(jpg, "JPEG")
+  }
+
+  private def imageioPlane(bytes: Array[Byte],
+                           kind: String): (Int, Int, Int, Array[Byte]) = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    require(img != null, s"undecodable $kind stream")
+    val w = img.getWidth; val h = img.getHeight
+    val rgb = img.getRGB(0, 0, w, h, null, 0, w) // one bulk read
+    val px = new Array[Byte](w * h * 3)
+    var i = 0
+    while (i < w * h) {
+      px(3 * i) = ((rgb(i) >> 16) & 0xFF).toByte
+      px(3 * i + 1) = ((rgb(i) >> 8) & 0xFF).toByte
+      px(3 * i + 2) = (rgb(i) & 0xFF).toByte
+      i += 1
+    }
+    (w, h, 255, px)
+  }
+
   /** Audio sample rate used by [[wavEncode]] (8 kHz telephone band). */
   val WavSampleRate = 8000
 
@@ -321,11 +394,18 @@ object MultimodalOps {
       .orderBy(col("doc_id"))
   }
 
-  /** Codec-sniffing decode: `P6` → Netpbm, `BM` → bitmap. Every pixel
-    * kernel (features, resize, aHash, scene cuts) accepts either. */
+  /** Codec-sniffing decode: `BM` → bitmap, `\x89PNG` → PNG, `FF D8 FF`
+    * → JPEG, else Netpbm P6. Every pixel kernel (features, resize,
+    * aHash, scene cuts) accepts any of the four. */
   private[graft] def decodeImage(payload: Array[Byte]): (Int, Int, Int, Array[Byte]) =
     if (payload.length >= 2 && payload(0) == 'B' && payload(1) == 'M')
       decodeBmp(payload)
+    else if (payload.length >= 4 && (payload(0) & 0xFF) == 0x89 &&
+      payload(1) == 'P' && payload(2) == 'N' && payload(3) == 'G')
+      decodePng(payload)
+    else if (payload.length >= 3 && (payload(0) & 0xFF) == 0xFF &&
+      (payload(1) & 0xFF) == 0xD8 && (payload(2) & 0xFF) == 0xFF)
+      decodeJpeg(payload)
     else decodePpm(payload)
 
   /** Decode kernel: real image parse (PPM or BMP) + integer-valued image
@@ -360,6 +440,12 @@ object MultimodalOps {
   def bmpPayloads(spark: SparkSession, dir: String,
                   batchSize: Int = 64): DataFrame =
     encodedPayloads(spark, dir, bmpEncode, batchSize)
+
+  /** Documents as REAL PNG payloads — the compressed codec, same
+    * batched encode shape. */
+  def pngPayloads(spark: SparkSession, dir: String,
+                  batchSize: Int = 64): DataFrame =
+    encodedPayloads(spark, dir, pngEncode, batchSize)
 
   private def encodedPayloads(spark: SparkSession, dir: String,
                               enc: Array[Byte] => Array[Byte],
@@ -556,6 +642,21 @@ object MultimodalOps {
     * exactly what the layout-arithmetic oracle verifies. */
   def decodeDigestBmp(spark: SparkSession, dir: String): DataFrame =
     digestOf(decodeFeaturesOf(bmpPayloads(spark, dir)))
+
+  /** The PNG twin of [[decodeDigest]]: encode→inflate→feature through
+    * the compressed codec. The container size is DEFLATE-dependent (not
+    * layout arithmetic), so the comparable projection reports the
+    * decoded plane length (48·h, closed-form) instead of `n_bytes`;
+    * every feature value is identical to the PPM/BMP twins because PNG
+    * is lossless. */
+  def decodeDigestPng(spark: SparkSession, dir: String): DataFrame =
+    decodeFeaturesOf(pngPayloads(spark, dir))
+      .select(
+        col("doc_id"),
+        element_at(col("features"), 4).cast("long").as("plane_bytes"),
+        concat_ws(",", transform(col("features"),
+          f => f.cast("int").cast("string"))).as("feat_digest"))
+      .orderBy(col("doc_id"))
 
   private def digestOf(features: DataFrame): DataFrame =
     features

@@ -72,6 +72,58 @@ class MultimodalSpec extends SparkSpecBase {
       MultimodalOps.decodeBmp(planted.dropRight(4)))
   }
 
+  test("PNG kernel round-trips losslessly, sniffs, and rejects corrupt streams") {
+    val data = "hello png decode ÿ mixed bytes".getBytes("ISO-8859-1")
+    val png = MultimodalOps.pngEncode(data)
+    // real PNG container: 8-byte signature + IHDR
+    assert((png(0) & 0xFF) == 0x89 && png(1) == 'P' && png(2) == 'N' &&
+      png(3) == 'G', "encoder must emit a real PNG signature")
+    val (w, h, mv, px) = MultimodalOps.decodePng(png)
+    assert(w == MultimodalOps.PpmWidth && mv == 255)
+    assert(px.take(data.length).sameElements(data) &&
+      px.drop(data.length).forall(_ == 0),
+      "PNG is lossless: the plane must ride verbatim")
+    // codec-blind sniffing: all three lossless wrappers of the same
+    // bytes yield the identical logical plane
+    val viaPpm = MultimodalOps.decodeImage(MultimodalOps.ppmEncode(data))
+    val viaPng = MultimodalOps.decodeImage(png)
+    assert(viaPpm._4.sameElements(viaPng._4), s"$h rows; planes must agree")
+    // rejects: corrupt signature, and a valid signature over garbage
+    intercept[IllegalArgumentException](
+      MultimodalOps.decodePng("nope not a png at all".getBytes("US-ASCII")))
+    val torn = png.clone()
+    java.util.Arrays.fill(torn, 16, torn.length, 0x5A.toByte)
+    intercept[Exception](MultimodalOps.decodePng(torn))
+  }
+
+  test("JPEG branch decodes real JFIF bytes: exact geometry, bounded pixel error") {
+    val data = Array.tabulate[Byte](3 * 16 * 4)(i => ((i * 7) % 251).toByte)
+    val jpg = MultimodalOps.jpegEncode(data)
+    assert((jpg(0) & 0xFF) == 0xFF && (jpg(1) & 0xFF) == 0xD8,
+      "encoder must emit a real SOI marker")
+    val (w, h, _, px) = MultimodalOps.decodeImage(jpg) // sniffed, not named
+    assert(w == MultimodalOps.PpmWidth && h == 4 && px.length == data.length,
+      "lossy or not, geometry and plane shape are exact")
+    // lossy bound: mean absolute per-byte error under the writer's
+    // default quality stays small on a smooth-ish ramp
+    val mae = px.zip(data).map { case (a, b) =>
+      math.abs((a & 0xFF) - (b & 0xFF)) }.sum.toDouble / px.length
+    assert(mae < 48.0, s"JPEG mean abs error $mae implausibly large")
+    intercept[IllegalArgumentException](
+      MultimodalOps.decodeJpeg("not a jpeg either".getBytes("US-ASCII")))
+  }
+
+  test("aHash and decode digests agree across PPM and PNG payload codecs") {
+    // the sniffing kernel makes every downstream operator codec-blind:
+    // prove it at the DataFrame level on the real corpus
+    val viaPpm = MultimodalOps.imageHashOf(
+      MultimodalOps.ppmPayloads(spark, Sf)).orderBy("doc_id").collect()
+    val viaPng = MultimodalOps.imageHashOf(
+      MultimodalOps.pngPayloads(spark, Sf)).orderBy("doc_id").collect()
+    assert(viaPpm.sameElements(viaPng),
+      "perceptual hashes must not depend on the container codec")
+  }
+
   test("resize kernel box-averages hand-computed blocks, clips edge blocks, caps at 1x1") {
     // hand-built 4×4 P6: pixel (x, y) has R = 16y + 4x, G = R + 1, B = R + 2
     val plane = (for (y <- 0 until 4; x <- 0 until 4; c <- 0 until 3)
