@@ -102,6 +102,17 @@ private[graft] object ArtifactStore {
     java.lang.Long.toHexString(h)
   }
 
+  /** Invalidate Spark's session caches for the source tables before a
+    * REBUILD: a fingerprint miss means the corpus changed on disk, and
+    * both the shared file-listing cache and any registered plan-fragment
+    * cache rooted at these paths may still describe the PRE-rewrite
+    * files — serving erased rows into the fresh artifact. Metadata-only;
+    * families call it as the first line of their build lambda, so it
+    * runs exactly when a rebuild is about to. */
+  def refreshSources(spark: SparkSession, lakeDir: String,
+                     tables: Seq[String]): Unit =
+    tables.foreach(t => spark.catalog.refreshByPath(s"$lakeDir/$t.parquet"))
+
   /** Complete versions (ascending) with their stored fingerprints. */
   def versions(spark: SparkSession, dir: String): Seq[(Long, String)] = {
     val p = new Path(dir)

@@ -23,6 +23,7 @@ object BasketArtifact {
     val dir = ArtifactStore.familyDir(spark, lakeDir, "baskets")
     val fp = ArtifactStore.corpusFingerprint(spark, lakeDir, Seq("lineitem"))
     val dataDir = ArtifactStore.resolve(spark, dir, fp) { out =>
+      ArtifactStore.refreshSources(spark, lakeDir, Seq("lineitem"))
       Lake.lineitem(spark, lakeDir)
         .groupBy(col("l_orderkey"))
         .agg(array_sort(collect_set(col("l_partkey"))).as("items"))

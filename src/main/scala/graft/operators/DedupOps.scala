@@ -102,8 +102,11 @@ object DedupOps extends org.apache.spark.internal.Logging {
     * relying on ReuseExchange proved fragile (round-3 bench showed the
     * minhash pipeline re-running); an explicit MEMORY_AND_DISK cache of
     * the tiny pair set guarantees the heavy signature+join subplan
-    * executes once. Spark's ContextCleaner unpersists it when the frame
-    * is garbage collected, so callers need no explicit release.
+    * executes once, and BOTH caches are explicitly released after the
+    * verified result materializes (localCheckpoint) — a registered cache
+    * fragment would otherwise be substituted into any later
+    * same-canonical-plan query, serving pre-rewrite rows after an
+    * in-session erasure or compaction.
     *
     * Hot-bucket guard: a (band, band_hash) bucket bigger than
     * `maxBucketSize` docs — boilerplate-heavy corpora: memes, license
@@ -140,7 +143,15 @@ object DedupOps extends org.apache.spark.internal.Logging {
       .join(candDocs, Seq("doc_id"), "left_semi")
       .groupBy(col("doc_id")).agg(collect_set(col("shingle")).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    candidates
+    // materialize the bounded verified-pair report and RELEASE both
+    // caches before returning (the simhashPairs discipline). Leaving them
+    // registered is not just cache pressure: CacheManager substitutes a
+    // registered fragment into any LATER plan that canonicalizes equal —
+    // so after an in-session lake rewrite (erasure, compaction) a fresh
+    // nearDupPairs over the same path would silently reuse PRE-REWRITE
+    // candidates/shingles. GovernanceSpec's erasure→artifact test pins
+    // this.
+    val out = candidates
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .withColumn("jaccard",
@@ -149,6 +160,10 @@ object DedupOps extends org.apache.spark.internal.Logging {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
+      .localCheckpoint(true)
+    candidates.unpersist(false)
+    sets.unpersist(false)
+    out
   }
 
   /** Near-duplicate CLUSTERS: connected components over the verified

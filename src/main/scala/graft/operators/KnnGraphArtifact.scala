@@ -112,6 +112,7 @@ object KnnGraphArtifact {
     val dir = ArtifactStore.familyDir(spark, lakeDir, "knn_pairs")
     val fp = ArtifactStore.corpusFingerprint(spark, lakeDir, Seq("embeddings"))
     val dataDir = ArtifactStore.resolve(spark, dir, fp) { out =>
+      ArtifactStore.refreshSources(spark, lakeDir, Seq("embeddings"))
       AnnOps.bucketedPairs(
           graft.Lake.embeddings(spark, lakeDir)
             .select(col("vec_id"), col("embedding")),

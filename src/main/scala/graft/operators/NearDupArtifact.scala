@@ -30,6 +30,7 @@ object NearDupArtifact {
     val dir = ArtifactStore.familyDir(spark, lakeDir, "neardup", t)
     val fp = ArtifactStore.corpusFingerprint(spark, lakeDir, Seq("documents"))
     val dataDir = ArtifactStore.resolve(spark, dir, fp) { out =>
+      ArtifactStore.refreshSources(spark, lakeDir, Seq("documents"))
       DedupOps.nearDupPairs(Lake.documents(spark, lakeDir), threshold)
         .write.mode("overwrite").parquet(out)
     }

@@ -19,6 +19,7 @@ object TradeGraphArtifact {
     val fp = ArtifactStore.corpusFingerprint(spark, lakeDir,
       Seq("lineitem", "orders"))
     val dataDir = ArtifactStore.resolve(spark, dir, fp) { out =>
+      ArtifactStore.refreshSources(spark, lakeDir, Seq("lineitem", "orders"))
       GraphOps.tradeEdgesWithDeg(spark, lakeDir)
         .write.mode("overwrite").parquet(out)
     }

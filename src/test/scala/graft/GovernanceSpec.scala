@@ -183,4 +183,49 @@ class GovernanceSpec extends SparkSpecBase {
     assert(SnapshotTable.read(spark, evDir)
       .filter(col("user_id") === 42L).count() == 0)
   }
+
+  test("erasure invalidates shared artifacts: a forgotten doc never resurfaces") {
+    // the cross-system guarantee: after a doc is erased from the lake and
+    // its table rewritten, the fingerprint probe on every artifact
+    // resolve MUST rebuild — serving the forgotten doc through a stale
+    // near-dup pairs artifact would silently undo the erasure. Vacuum
+    // then makes it durable by reclaiming the pre-erasure version.
+    import graft.operators.{ArtifactStore, NearDupArtifact}
+    val lake = java.nio.file.Files.createTempDirectory("graft_erase_lake").toString
+    val root = java.nio.file.Files.createTempDirectory("graft_erase_root").toString
+    // seed with the real corpus (it contains planted near-dups)
+    spark.read.parquet(s"$Sf/documents.parquet")
+      .write.parquet(s"$lake/documents.parquet")
+    spark.conf.set("spark.graft.artifactRoot", root)
+    try {
+      val pairs1 = NearDupArtifact.sharedPairs(spark, lake).collect()
+      assert(pairs1.nonEmpty, "corpus must yield near-dup pairs")
+      val victim = pairs1.head.getLong(0)
+      // erase: rewrite documents.parquet without the victim (staging dir
+      // + swap — the copy-on-write shape of any parquet-dir rewrite)
+      val kept = spark.read.parquet(s"$lake/documents.parquet")
+        .filter(col("doc_id") =!= victim)
+      kept.write.parquet(s"$lake/documents_next.parquet")
+      val fs = new org.apache.hadoop.fs.Path(lake)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$lake/documents.parquet"), true)
+      fs.rename(new org.apache.hadoop.fs.Path(s"$lake/documents_next.parquet"),
+        new org.apache.hadoop.fs.Path(s"$lake/documents.parquet"))
+      // the next resolve must observe the rewrite and rebuild
+      val pairs2 = NearDupArtifact.sharedPairs(spark, lake).collect()
+      assert(!pairs2.exists(r => r.getLong(0) == victim || r.getLong(1) == victim),
+        "forgotten doc resurfaced through the refreshed artifact")
+      val dir = ArtifactStore.familyDir(spark, lake, "neardup",
+        java.lang.Long.toHexString(java.lang.Double.doubleToLongBits(0.6)))
+      assert(ArtifactStore.versions(spark, dir).size == 2,
+        "rewrite must have forced a fresh artifact version")
+      // durability: vacuum reclaims the pre-erasure version entirely
+      ArtifactStore.vacuum(spark, dir, keepLast = 1, stagingGraceMs = 0L)
+      assert(ArtifactStore.versions(spark, dir).size == 1,
+        "pre-erasure artifact version must be reclaimed")
+      assert(!NearDupArtifact.sharedPairs(spark, lake).collect().exists(r =>
+        r.getLong(0) == victim || r.getLong(1) == victim),
+        "post-vacuum serve must still exclude the forgotten doc")
+    } finally spark.conf.unset("spark.graft.artifactRoot")
+  }
 }
