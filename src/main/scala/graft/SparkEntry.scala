@@ -120,6 +120,8 @@ object SparkEntry {
     // IVF-PQ shape: per-cell residual int8 codes + exact rerank
     "q_ann_pq"            -> ((s: SparkSession, d: String) => AnnOps.ivfAdcResidual(s, d)),
     "q_ann_indexed"       -> ((s: SparkSession, d: String) => AnnIndex.ivfIndexedQuery(s, d)),
+    // Graph ANN: beam search navigating the persisted 5-NN graph
+    "q_ann_graph"         -> ((s: SparkSession, d: String) => AnnOps.graphSearch(s, d)),
     "q_ann_filtered"      -> ((s: SparkSession, d: String) => AnnOps.filteredAnn(s, d)),
     "q_embedding_stats"   -> AnnOps.embeddingStats _,
     "q_label_centroids"   -> AnnOps.labelCentroids _,
@@ -610,6 +612,58 @@ object SparkEntry {
        |         CAST(tbl * ${1 << bits} +
        |              sum(CASE WHEN dot > 0 THEN (1 << bit) ELSE 0 END) AS int) AS bucket
        |       FROM dots GROUP BY vec_id, tbl)""".stripMargin
+  }
+
+  /** Graph-ANN oracle: the q_knn_graph edge CTEs + the beam-search
+    * rounds replayed as chained CTEs — identical entries, expansion,
+    * exact-cosine scoring, and (sim DESC, id) beam selection as
+    * [[graft.operators.AnnOps.graphSearch]]'s driver loop, so the
+    * navigating search is value-verified end to end. */
+  private def graphAnnOracleSql: String = {
+    val beam = 16; val rounds = 4; val k = 5
+    val roundCtes = (1 to rounds).map { r =>
+      s"""e$r AS (SELECT DISTINCT q_id, cand_id FROM (
+         |  SELECT b.q_id, kn.dst AS cand_id
+         |  FROM b${r - 1} b JOIN knn kn ON kn.src = b.cand_id
+         |  UNION SELECT q_id, cand_id FROM b${r - 1}) u
+         |  WHERE cand_id <> q_id),
+         |s$r AS (SELECT e$r.q_id, e$r.cand_id,
+         |    list_cosine_similarity(ce.e, qs.q_emb) AS s
+         |  FROM e$r JOIN emb ce ON ce.vec_id = e$r.cand_id
+         |           JOIN qs ON qs.q_id = e$r.q_id),
+         |b$r AS (SELECT q_id, cand_id, s FROM (
+         |    SELECT q_id, cand_id, s, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY s DESC, cand_id) AS rn FROM s$r) t
+         |  WHERE rn <= $beam)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $lshOracleCtes,
+       |bkc AS (SELECT vec_id, bucket FROM (
+       |          SELECT vec_id, bucket,
+       |            count(*) OVER (PARTITION BY bucket) AS bn
+       |          FROM bk) WHERE bn <= 4096),
+       |prs AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |          FROM bkc a JOIN bkc b
+       |            ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |scd AS (SELECT vec_a, vec_b,
+       |         list_cosine_similarity(ea.e, eb.e) AS s
+       |       FROM prs JOIN emb ea ON ea.vec_id = prs.vec_a
+       |                JOIN emb eb ON eb.vec_id = prs.vec_b),
+       |sym AS (SELECT vec_a AS src, vec_b AS dst, s FROM scd
+       |        UNION ALL SELECT vec_b, vec_a, s FROM scd),
+       |knn AS (SELECT src, dst FROM (SELECT src, dst,
+       |          row_number() OVER (PARTITION BY src
+       |            ORDER BY s DESC, dst) AS rnk FROM sym) t
+       |        WHERE rnk <= 5),
+       |qs AS (SELECT vec_id AS q_id, e AS q_emb FROM emb WHERE vec_id < 8),
+       |ent AS (SELECT vec_id AS cand_id FROM emb WHERE vec_id >= 8
+       |        ORDER BY vec_id LIMIT 8),
+       |b0 AS (SELECT q_id, cand_id FROM qs, ent),
+       |$roundCtes
+       |SELECT q_id, cand_id AS neighbor_id, round(s, 4) AS sim,
+       |  CAST(rnk AS BIGINT) AS rnk
+       |FROM (SELECT q_id, cand_id, s, row_number() OVER (PARTITION BY q_id
+       |        ORDER BY s DESC, cand_id) AS rnk FROM b$rounds) t
+       |WHERE rnk <= $k ORDER BY q_id, rnk""".stripMargin
   }
 
   /** The BPE oracle's merge application, generated from the SAME ranked
@@ -1954,6 +2008,9 @@ object SparkEntry {
     // ordered, first 16), nearest-cell assignment (1 probe corpus /
     // 6 probes query), exact cosine rank within probed cells.
     "q_ann_ivf" -> ivfOracleSql,
+    // Graph ANN: the beam-search rounds replayed as chained CTEs over
+    // the same kNN-edge CTEs q_knn_graph verifies.
+    "q_ann_graph" -> graphAnnOracleSql,
     // The persisted-index search MUST answer exactly like the inline IVF
     // path (same stride centroids through the stored sidecar) — one
     // oracle verifies both the algorithm and the persist→load round trip.

@@ -420,6 +420,70 @@ object AnnOps {
   def knnGraph(spark: SparkSession, dir: String): DataFrame =
     knnFromPairs(KnnGraphArtifact.sharedPairs(spark, dir), k = 5)
 
+  /** HNSW-class GRAPH ANN: greedy beam search NAVIGATING the kNN graph
+    * instead of hashing into buckets — the third ANN family beside
+    * LSH and IVF/PQ. Per query: start from `nEntries` fixed entry
+    * points, then for `rounds` iterations expand the current beam along
+    * the graph's out-edges, score every candidate by exact cosine, and
+    * keep the best `beam` (sim DESC, id tie-break). The final answer is
+    * the beam's top k. This is single-layer HNSW search semantics (the
+    * hierarchy is an entry-point accelerator; fixed entries + more
+    * rounds buy the same reachability on corpus-scale diameters).
+    *
+    * Scale shape: the beam frame is (queries × beam) rows — broadcast
+    * on every expansion, so each round is one broadcast-semi pass over
+    * the edge list and one over the embeddings; the corpus is never
+    * shuffled and no all-pairs product exists. Rounds are a driver loop
+    * of tiny jobs (the SCD2-stream discipline); per-round
+    * localCheckpoint truncates the growing lineage. The navigable graph
+    * itself rides the persisted [[KnnGraphArtifact]] — build once per
+    * corpus version, search forever.
+    *
+    * Determinism: expansion set and beam selection derive from exact
+    * ids and raw cosine with id tie-breaks — the DuckDB oracle replays
+    * the identical rounds as chained CTEs and hash-matches. */
+  def graphSearch(spark: SparkSession, dir: String, k: Int = 5,
+                  beam: Int = 16, rounds: Int = 4, nQueries: Int = 8,
+                  graphK: Int = 5, nEntries: Int = 8): DataFrame = {
+    val emb = Lake.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val queries = defaultQueries(emb, nQueries)
+    val edges = knnFromPairs(KnnGraphArtifact.sharedPairs(spark, dir), graphK)
+      .select(col("src"), col("dst"))
+      .localCheckpoint(true) // every round re-reads it; materialize once
+    // deterministic entry points: the nEntries smallest non-query ids
+    val entries = emb.filter(col("vec_id") >= nQueries)
+      .orderBy(col("vec_id")).limit(nEntries)
+      .select(col("vec_id").as("cand_id"))
+    var beamDf = queries.select(col("q_id")).crossJoin(broadcast(entries))
+    for (_ <- 1 to rounds) {
+      val expanded = edges
+        .join(broadcast(beamDf.select(col("q_id"), col("cand_id"))),
+          col("cand_id") === col("src"))
+        .select(col("q_id"), col("dst").as("cand_id"))
+        .union(beamDf.select(col("q_id"), col("cand_id")))
+        .distinct()
+        .filter(col("cand_id") =!= col("q_id"))
+      val scored = emb
+        .join(broadcast(expanded), col("vec_id") === col("cand_id"))
+        .join(broadcast(queries), Seq("q_id"))
+        .withColumn("sim_raw", cosineSimilarity(col("embedding"), col("q_emb")))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("sim_raw").desc, col("cand_id"))
+      beamDf = scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= beam)
+        .select(col("q_id"), col("cand_id"), col("sim_raw"))
+        .localCheckpoint(true)
+    }
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim_raw").desc, col("cand_id"))
+    beamDf.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("cand_id").as("neighbor_id"),
+        round(col("sim_raw"), 4).as("sim"), col("rnk"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   /** Hard-negative mining for contrastive training: each vector's top-k
     * most similar neighbors that carry a DIFFERENT label — the pairs a
     * contrastive loss learns most from (near in embedding space, apart in

@@ -338,7 +338,11 @@ class PlanShapeSpec extends SparkSpecBase {
         // q_lorenz_par: the 10-row decile frame cumulating through a
         // broadcast triangular self-join (decile ≤ decile) — the
         // window-free replacement for the serial cumulative window
-        "q_lorenz_par")
+        "q_lorenz_par",
+        // q_ann_graph: the queries × entry-points seed beam (8 × 4) and
+        // the per-round broadcast of the bounded beam frame — the
+        // intended linear expansion plan, never a corpus product
+        "q_ann_graph")
     for ((name, fn) <- SparkEntry.queries) {
       // interior plans included: checkpointing operators execute their
       // real joins during construction and return an RDD-scan facade
