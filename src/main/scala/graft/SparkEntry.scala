@@ -122,6 +122,9 @@ object SparkEntry {
     "q_ann_indexed"       -> ((s: SparkSession, d: String) => AnnIndex.ivfIndexedQuery(s, d)),
     // Graph ANN: beam search navigating the persisted 5-NN graph
     "q_ann_graph"         -> ((s: SparkSession, d: String) => AnnOps.graphSearch(s, d)),
+    // Per-label embedding drift between corpus slices (centroid cosine
+    // + mean-norm shift) — the encoder/crawl version monitor
+    "q_embedding_drift"   -> ((s: SparkSession, d: String) => AnnOps.embeddingDriftQuery(s, d)),
     "q_ann_filtered"      -> ((s: SparkSession, d: String) => AnnOps.filteredAnn(s, d)),
     "q_embedding_stats"   -> AnnOps.embeddingStats _,
     "q_label_centroids"   -> AnnOps.labelCentroids _,
@@ -2011,6 +2014,44 @@ object SparkEntry {
     // Graph ANN: the beam-search rounds replayed as chained CTEs over
     // the same kNN-edge CTEs q_knn_graph verifies.
     "q_ann_graph" -> graphAnnOracleSql,
+    // Embedding drift: decimal-exact centroid means (6 dp), decimal
+    // dot/norm products, ordered per-vector norm folds — the only float
+    // ops are the final sqrt/divide, so engines agree bit-for-bit.
+    "q_embedding_drift" ->
+      """WITH e AS (SELECT label, embedding, vec_id % 2 AS slice FROM embeddings),
+        |m AS (SELECT label, slice, i,
+        |    round(cast(sum(cast(CAST(embedding[i] AS double) AS decimal(18,8))) AS double)
+        |      / count(*), 6) AS mc
+        |  FROM (SELECT label, slice, embedding,
+        |          unnest(range(1, len(embedding) + 1)) AS i FROM e) t
+        |  GROUP BY 1, 2, 3),
+        |mm AS (SELECT label, i,
+        |    max(CASE WHEN slice = 0 THEN mc END) AS mr,
+        |    max(CASE WHEN slice = 1 THEN mc END) AS mcur
+        |  FROM m GROUP BY 1, 2),
+        |cosd AS (SELECT label,
+        |    round(cast(sum(cast(mr AS decimal(18,8)) * cast(mcur AS decimal(18,8))) AS double)
+        |      / (sqrt(cast(sum(cast(mr AS decimal(18,8)) * cast(mr AS decimal(18,8))) AS double))
+        |        * sqrt(cast(sum(cast(mcur AS decimal(18,8)) * cast(mcur AS decimal(18,8))) AS double))),
+        |      6) AS centroid_cos
+        |  FROM mm GROUP BY 1),
+        |nr AS (SELECT label,
+        |    CAST(sum(CASE WHEN slice = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+        |    CAST(sum(CASE WHEN slice = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur,
+        |    round(cast(sum(CASE WHEN slice = 0 THEN nrm END) AS double)
+        |      / sum(CASE WHEN slice = 0 THEN 1 END), 6) AS mean_norm_ref,
+        |    round(cast(sum(CASE WHEN slice = 1 THEN nrm END) AS double)
+        |      / sum(CASE WHEN slice = 1 THEN 1 END), 6) AS mean_norm_cur
+        |  FROM (SELECT label, slice,
+        |          cast(round(sqrt(list_aggregate(list_transform(embedding,
+        |            x -> CAST(x AS double) * CAST(x AS double)), 'sum')), 6)
+        |            AS decimal(18,8)) AS nrm
+        |        FROM e) t
+        |  GROUP BY 1)
+        |SELECT nr.label, n_ref, n_cur, centroid_cos,
+        |  mean_norm_ref, mean_norm_cur
+        |FROM nr JOIN cosd ON nr.label = cosd.label
+        |ORDER BY nr.label""".stripMargin,
     // The persisted-index search MUST answer exactly like the inline IVF
     // path (same stride centroids through the stored sidecar) — one
     // oracle verifies both the algorithm and the persist→load round trip.

@@ -129,6 +129,75 @@ object AnnOps {
           / count(lit(1)), 6).as("mean_comp"))
       .orderBy(col("label"), col("dim"))
 
+  /** Per-label embedding drift between two corpus slices — the monitor
+    * an embedding lake runs when a new encoder version or crawl batch
+    * lands: per label, the cosine between the REF and CUR slice
+    * centroids (1.0 = directionally unchanged) and each slice's mean
+    * vector norm (a norm shift flags encoder re-scaling even when the
+    * direction holds). Slices are caller-supplied predicates; the
+    * registered form splits by vec_id parity, the snapshot form feeds
+    * two time-travel versions of the same table (AnnSpec).
+    *
+    * Determinism discipline: per-dim centroid means run as exact
+    * decimal sums over double components, round at 6 dp, and the
+    * cosine's dot/norm terms multiply AS DECIMALS (exact) so the only
+    * float ops are the final sqrt/divide — engine-identical. Per-vector
+    * norms fold the array LEFT-TO-RIGHT (ordered in both engines),
+    * round at 6 dp, then sum exactly as decimals. Two bounded
+    * aggregations (labels × dims, then labels); the corpus is scanned
+    * twice (component explode + norm fold) — at scale a second columnar
+    * scan of one array column beats shuffling the 64-wide explode a
+    * second time by vec_id. */
+  def embeddingDrift(emb: DataFrame, refSlice: Column,
+                     curSlice: Column): DataFrame = {
+    val d8 = DecimalType(18, 8)
+    val sliced = emb.filter(refSlice || curSlice)
+      .withColumn("slice", when(refSlice, lit(0)).otherwise(lit(1)))
+    // per (label, slice, dim) centroid component, rounded once
+    val comp = sliced
+      .select(col("label"), col("slice"), posexplode(col("embedding")))
+      .groupBy(col("label"), col("slice"), col("pos").as("dim"))
+      .agg(round(sum(col("col").cast("double").cast(d8)).cast("double")
+        / count(lit(1)), 6).as("mc"))
+    val mm = comp.groupBy(col("label"), col("dim"))
+      .agg(max(when(col("slice") === 0, col("mc"))).as("mr"),
+        max(when(col("slice") === 1, col("mc"))).as("mcur"))
+    val cos = mm.groupBy(col("label"))
+      .agg(sum(col("mr").cast(d8) * col("mcur").cast(d8)).as("dot"),
+        sum(col("mr").cast(d8) * col("mr").cast(d8)).as("na"),
+        sum(col("mcur").cast(d8) * col("mcur").cast(d8)).as("nb"))
+      .select(col("label"),
+        round(col("dot").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))),
+          6).as("centroid_cos"))
+    // per-slice counts + mean L2 norm (ordered per-vector fold, rounded,
+    // exact decimal sum across vectors)
+    val norm = round(sqrt(expr(
+      "aggregate(embedding, 0.0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")), 6)
+    val norms = sliced
+      .select(col("label"), col("slice"), norm.cast(d8).as("nrm"))
+      .groupBy(col("label"))
+      .agg(
+        sum(when(col("slice") === 0, 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("slice") === 1, 1L).otherwise(0L)).as("n_cur"),
+        round((sum(when(col("slice") === 0, col("nrm"))).cast("double") /
+          sum(when(col("slice") === 0, 1L))), 6).as("mean_norm_ref"),
+        round((sum(when(col("slice") === 1, col("nrm"))).cast("double") /
+          sum(when(col("slice") === 1, 1L))), 6).as("mean_norm_cur"))
+    norms.join(cos, Seq("label"))
+      .select(col("label"), col("n_ref"), col("n_cur"), col("centroid_cos"),
+        col("mean_norm_ref"), col("mean_norm_cur"))
+      .orderBy(col("label"))
+  }
+
+  /** Lake-bound registered form: REF = even vec_ids, CUR = odd — the
+    * deterministic split standing in for "previous corpus version vs
+    * this one" on a single-table lake (the snapshot-version pairing is
+    * exercised in AnnSpec over real time-travel reads). */
+  def embeddingDriftQuery(spark: SparkSession, dir: String): DataFrame =
+    embeddingDrift(Lake.embeddings(spark, dir),
+      pmod(col("vec_id"), lit(2)) === 0, pmod(col("vec_id"), lit(2)) === 1)
+
   /** Filtered vector search — the metadata-predicate + ANN combination a
     * retrieval system serves ("nearest docs WHERE label IN …").
     * PRE-filtering: the predicate prunes the corpus BEFORE scoring, so

@@ -76,6 +76,60 @@ class AnnSpec extends SparkSpecBase {
       s"recall must not degrade with more rounds: $recall5 vs $recall")
   }
 
+  test("embedding drift: identical slices read 1.0; a planted shift moves the monitor") {
+    import spark.implicits._
+    // self-drift: comparing a slice against itself must read cos = 1.0
+    // and equal norms (the monitor's zero point)
+    val emb = graft.Lake.embeddings(spark, Sf)
+    val self = AnnOps.embeddingDrift(emb,
+      org.apache.spark.sql.functions.pmod(col("vec_id"), lit(2)) === 0,
+      org.apache.spark.sql.functions.pmod(col("vec_id"), lit(2)) === 0)
+    // both slices are the SAME predicate → every row lands in REF only;
+    // build the true self-pair instead via a doubled frame
+    val doubled = emb.withColumn("copy", explode(array(lit(0), lit(1))))
+    val selfDrift = AnnOps.embeddingDrift(doubled,
+      col("copy") === 0, col("copy") === 1).collect()
+    assert(selfDrift.nonEmpty)
+    selfDrift.foreach { r =>
+      assert(math.abs(r.getDouble(3) - 1.0) < 1e-9,
+        s"self-drift cosine must be 1.0: $r")
+      assert(r.getDouble(4) == r.getDouble(5), s"self norms equal: $r")
+    }
+    // planted drift: CUR = the same vectors re-scaled 2x — direction
+    // holds (cos stays ~1) while the norm monitor must flag the change
+    val shifted = emb.select(col("label"), col("vec_id"), col("embedding"))
+      .withColumn("copy", explode(array(lit(0), lit(1))))
+      .withColumn("embedding", when(col("copy") === 0, col("embedding"))
+        .otherwise(expr("transform(embedding, x -> x * 2.0F)")))
+    val drift = AnnOps.embeddingDrift(shifted,
+      col("copy") === 0, col("copy") === 1).collect()
+    drift.foreach { r =>
+      assert(math.abs(r.getDouble(3) - 1.0) < 1e-4,
+        s"pure re-scaling keeps direction: $r")
+      assert(r.getDouble(5) > 1.9 * r.getDouble(4),
+        s"norm monitor must flag the 2x re-scale: $r")
+    }
+    // the real deployment shape: two TIME-TRAVEL versions of a snapshot
+    // table feed the same operator
+    import graft.sources.SnapshotTable
+    val dir = java.nio.file.Files.createTempDirectory("graft_embdrift").toString
+    SnapshotTable.write(spark, dir, emb.select("vec_id", "label", "embedding"))
+    SnapshotTable.write(spark, dir,
+      emb.select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> x * 2.0F)").as("embedding")))
+    val vs = SnapshotTable.versions(spark, dir)
+    val ref = SnapshotTable.read(spark, dir, Some(vs.min)).withColumn("v", lit(0))
+    val cur = SnapshotTable.read(spark, dir, Some(vs.max)).withColumn("v", lit(1))
+    val versioned = AnnOps.embeddingDrift(ref.unionByName(cur),
+      col("v") === 0, col("v") === 1).collect()
+    versioned.foreach { r =>
+      assert(r.getDouble(5) > 1.9 * r.getDouble(4),
+        s"snapshot-version drift must surface the re-encode: $r")
+    }
+    assert(self.columns.toSeq == Seq("label", "n_ref", "n_cur",
+      "centroid_cos", "mean_norm_ref", "mean_norm_cur"))
+  }
+
   test("filtered ANN: every neighbor satisfies the predicate; LSH variant keeps recall") {
     import org.apache.spark.sql.functions.col
     val emb = Lake.embeddings(spark, Sf)
