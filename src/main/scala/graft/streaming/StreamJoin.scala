@@ -106,4 +106,35 @@ object StreamJoin {
     }
     rows.toDF("batch_id", "operator", "rows_dropped_late", "watermark")
   }
+
+  /** Watermark-lag dashboard across the query's progress history: per
+    * batch, the watermark, the newest event time the batch saw, and the
+    * LAG between them in seconds — how far the watermark trails the
+    * data's own clock. A growing lag means the watermark (and with it
+    * every windowed emission downstream) is falling behind ingest —
+    * the freshness regression that silently turns a "2-hour-delayed"
+    * dashboard into a 12-hour one. Batch duration and input rate ride
+    * along so a lag spike can be attributed to volume vs processing
+    * cost. Rows with no event-time stats (empty batches, no watermarked
+    * operator) are skipped. A NEGATIVE lag is meaningful: the batch's
+    * newest row was already behind the watermark — the whole batch
+    * arrived late (pair it with [[lateDataMetrics]] to see what was
+    * dropped). */
+  def watermarkLag(spark: org.apache.spark.sql.SparkSession,
+                   query: org.apache.spark.sql.streaming.StreamingQuery): DataFrame = {
+    import spark.implicits._
+    def parse(s: String): Option[java.time.Instant] =
+      try Some(java.time.Instant.parse(s)) catch { case _: Exception => None }
+    val rows = query.recentProgress.toSeq.flatMap { prog =>
+      val et = Option(prog.eventTime)
+      for {
+        wm <- et.flatMap(m => Option(m.get("watermark"))).flatMap(parse)
+        mx <- et.flatMap(m => Option(m.get("max"))).flatMap(parse)
+      } yield (prog.batchId, wm.toString, mx.toString,
+        (mx.toEpochMilli - wm.toEpochMilli) / 1000.0,
+        prog.batchDuration, prog.numInputRows)
+    }
+    rows.toDF("batch_id", "watermark", "max_event_time", "lag_sec",
+      "batch_duration_ms", "input_rows")
+  }
 }

@@ -52,6 +52,24 @@ class LateDataSpec extends SparkSpecBase {
       val dropped = StreamJoin.lateDataMetrics(spark, query)
         .collect().map(_.getLong(2)).sum
       assert(dropped >= 1, "the late row must be counted as dropped")
+
+      // watermark-lag dashboard: per batch, lag = max event time seen −
+      // watermark. After the at(11) batch the watermark trails by the
+      // 1-hour delay (3600 s): the lag signal a freshness alert fires on
+      val lag = StreamJoin.watermarkLag(spark, query).collect()
+      assert(lag.nonEmpty, "watermarked batches must produce lag rows")
+      val byBatch = lag.map(r => r.getLong(0) -> r.getDouble(3)).toMap
+      // the all-late batch reads NEGATIVE (its newest row was already
+      // behind the watermark) — the signature that pairs with a
+      // rows_dropped_late spike
+      assert(byBatch.values.exists(_ < 0.0),
+        s"the all-late batch must show negative lag: $byBatch")
+      // the progress's watermark is the PRE-batch one, so a data batch's
+      // lag floors at the configured delay (1 h) and grows with the
+      // event-time gap since the previous batch
+      val lastLag = lag.maxBy(_.getLong(0)).getDouble(3)
+      assert(lastLag >= 3599.0,
+        s"lag can never undercut the watermark delay, got $lastLag")
     } finally query.stop()
   }
 }
