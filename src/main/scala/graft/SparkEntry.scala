@@ -139,6 +139,9 @@ object SparkEntry {
     "q_fingerprint"       -> TextOps.fingerprint _,
     "q_quality_rules"     -> ((s: SparkSession, d: String) => TextOps.qualityRules(s, d)),
     "q_surprisal"         -> TextOps.unigramSurprisal _,
+    // Held-out perplexity: REF-slice-trained unigram LM scores CUR docs
+    "q_heldout_ppl"       -> ((s: SparkSession, d: String) =>
+      TextOps.heldoutPerplexity(s, d)),
     "q_boilerplate"       -> ((s: SparkSession, d: String) => TextOps.boilerplateNgrams(s, d)),
     "q_boilerplate_density" -> ((s: SparkSession, d: String) => TextOps.boilerplateDensity(s, d)),
     "q_zipf"              -> ((s: SparkSession, d: String) => TextOps.zipfFit(s, d)),
@@ -3026,6 +3029,25 @@ object SparkEntry {
         |  round(cast(sum(neg_logp) AS double) / count(*), 4) AS avg_surprisal
         |FROM tok JOIN lp USING (token)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Held-out perplexity: Laplace-smoothed REF-trained unigram scores,
+    // the surprisal rounding/decimal discipline; n_oov exact integers.
+    "q_heldout_ppl" ->
+      """WITH tok AS (SELECT doc_id, doc_id % 2 AS par,
+        |               unnest(string_split(text, ' ')) AS token
+        |             FROM documents WHERE text IS NOT NULL),
+        |rc AS (SELECT token, count(*) AS c FROM tok WHERE par = 0 GROUP BY token),
+        |st AS (SELECT cast(sum(c) AS double) AS n, cast(count(*) AS double) AS v
+        |       FROM rc),
+        |sc AS (SELECT doc_id,
+        |         CASE WHEN rc.c IS NULL THEN 1 ELSE 0 END AS oov,
+        |         cast(round(-ln((coalesce(rc.c, 0) + 1.0) / (st.n + st.v)), 6)
+        |           AS decimal(18,6)) AS neg_logp
+        |       FROM tok LEFT JOIN rc USING (token), st
+        |       WHERE tok.par = 1)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(oov) AS BIGINT) AS n_oov,
+        |  round(cast(sum(neg_logp) AS double) / count(*), 4) AS avg_neg_logp
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Rule-based quality filter: every ratio is an exact integer division
     // (bit-identical doubles), so the keep booleans agree across engines.
     "q_quality_rules" ->

@@ -394,6 +394,58 @@ object TextOps {
   def bigramSurprisal(spark: SparkSession, dir: String): DataFrame =
     bigramSurprisal(Lake.documents(spark, dir))
 
+  /** HELD-OUT unigram perplexity scoring — the CCNet-style LM quality
+    * filter done honestly: the model trains on the REF slice only and
+    * scores the CUR slice, so a doc's own tokens never inflate its own
+    * probabilities (the leakage [[unigramSurprisal]] accepts by design
+    * as a whole-corpus signal). Laplace smoothing p̂ = (c+1)/(N+V) keeps
+    * unseen tokens finite at the 1/(N+V) floor; `n_oov` (tokens unseen
+    * in REF) rides along as the exact-integer novelty signal.
+    *
+    * Emits mean −ln p̂ per doc (monotone in perplexity; the exp is left
+    * to the caller — composing exp(round(…)) would stack float rounding
+    * across engines for zero information). Same determinism routing as
+    * the surprisal family: per-token −ln p̂ rounded to 6 dp, decimal-
+    * summed. Scale: REF counts are vocab-bounded; the probe join keys
+    * by token; one one-row (N,V) broadcast. */
+  def heldoutPerplexity(docs: DataFrame, refSlice: Column,
+                        curSlice: Column): DataFrame = {
+    val tokRows = nonNull(docs).filter(refSlice || curSlice)
+      .select(col("doc_id"), when(refSlice, 1).otherwise(0).as("is_ref"),
+        explode(toks).as("token"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val refCounts = tokRows.filter(col("is_ref") === 1)
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val stats = refCounts.agg(sum(col("c")).cast("double").as("__n"),
+      count(lit(1)).cast("double").as("__v"))
+    val out = tokRows.filter(col("is_ref") === 0)
+      .join(refCounts, Seq("token"), "left")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        when(col("c").isNull, 1L).otherwise(0L).as("oov"),
+        round(-log((coalesce(col("c"), lit(0L)) + lit(1.0)) /
+          (col("__n") + col("__v"))), 6)
+          .cast(DecimalType(18, 6)).as("neg_logp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("oov")).as("n_oov"),
+        sum(col("neg_logp")).as("total"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        round(col("total").cast("double") / col("n_tokens"), 4)
+          .as("avg_neg_logp"))
+      .orderBy(col("doc_id"))
+      .localCheckpoint(true) // materialize + release (surprisal discipline)
+    tokRows.unpersist(false)
+    out
+  }
+
+  /** Lake-bound registered form: REF = even doc_ids train the model,
+    * odd doc_ids are scored — the deterministic stand-in for
+    * "reference corpus scores the incoming crawl". */
+  def heldoutPerplexity(spark: SparkSession, dir: String): DataFrame =
+    heldoutPerplexity(Lake.documents(spark, dir),
+      pmod(col("doc_id"), lit(2)) === 0, pmod(col("doc_id"), lit(2)) === 1)
+
   /** Zipf fit over the corpus unigram distribution — the corpus-health
     * diagnostic tokenizer and mixing work starts from: natural language
     * follows freq ∝ rank^slope with slope ≈ −1; a far-off slope flags

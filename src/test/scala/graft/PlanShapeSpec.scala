@@ -342,7 +342,10 @@ class PlanShapeSpec extends SparkSpecBase {
         // q_ann_graph: the queries × entry-points seed beam (8 × 4) and
         // the per-round broadcast of the bounded beam frame — the
         // intended linear expansion plan, never a corpus product
-        "q_ann_graph")
+        "q_ann_graph",
+        // q_heldout_ppl: the one-row (N, V) model-stats broadcast (the
+        // q_surprisal corpus-total pattern)
+        "q_heldout_ppl")
     for ((name, fn) <- SparkEntry.queries) {
       // interior plans included: checkpointing operators execute their
       // real joins during construction and return an RDD-scan facade

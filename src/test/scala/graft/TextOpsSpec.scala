@@ -479,4 +479,34 @@ class TextOpsSpec extends SparkSpecBase {
       assert(math.abs(gs - es) < 1e-3, s"$gp score $gs vs $es")
     }
   }
+
+  test("held-out perplexity: Laplace floor for OOV, no self-leakage, planted values") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // REF (even ids) trains: tokens a a b  → N=3, V=2, denom N+V=5
+    // CUR doc 1: "a c" → p(a)=(2+1)/5=0.6, p(c)=1/5=0.2 (OOV floor)
+    val docs = Seq(
+      (0L, "a a"), (2L, "b"),           // reference slice
+      (1L, "a c"), (3L, "c c")          // scored slice
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextOps.heldoutPerplexity(docs,
+        org.apache.spark.sql.functions.pmod(col("doc_id"),
+          org.apache.spark.sql.functions.lit(2)) === 0,
+        org.apache.spark.sql.functions.pmod(col("doc_id"),
+          org.apache.spark.sql.functions.lit(2)) === 1)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r4(x: Double) = BigDecimal(x).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected1 = r4((r6(-math.log(0.6)) + r6(-math.log(0.2))) / 2)
+    assert(got(1L) == ((2L, 1L, expected1)), s"doc 1: ${got(1L)}")
+    // doc 3 is ALL OOV — both tokens at the floor; crucially its own
+    // repeated "c c" must NOT teach the model c (no self-leakage)
+    val expected3 = r4(r6(-math.log(0.2)))
+    assert(got(3L) == ((2L, 2L, expected3)), s"doc 3: ${got(3L)}")
+    // reference docs are never scored
+    assert(!got.contains(0L) && !got.contains(2L))
+  }
 }
