@@ -97,6 +97,15 @@ final case class DataLake(spark: SparkSession, dir: String) {
   def fixedSample(n: Int): DataFrame = CorpusOps.fixedSample(documents, n)
   def pseudonymize(table: String, cols: Seq[String], salt: String): DataFrame =
     Governance.pseudonymize(Lake.table(spark, dir, table), cols, salt)
+  /** Graph-navigating ANN over the persisted kNN artifact. */
+  def annSearchGraph(k: Int = 5): DataFrame =
+    AnnOps.graphSearch(spark, dir, k = k)
+  /** Per-label centroid-cosine + norm drift between two corpus slices. */
+  def embeddingDrift(refSlice: Column, curSlice: Column): DataFrame =
+    AnnOps.embeddingDrift(embeddings, refSlice, curSlice)
+  /** Held-out LM quality scores: REF slice trains, CUR slice is scored. */
+  def heldoutPerplexity(refSlice: Column, curSlice: Column): DataFrame =
+    TextOps.heldoutPerplexity(documents, refSlice, curSlice)
 
   /** The end-to-end corpus cleaning a training pipeline runs: exact-dup
     * removal (keepers only) → near-dup cluster removal → quality-rule

@@ -21,6 +21,14 @@ class DataLakeSpec extends SparkSpecBase {
         .entityMatch(Lake.part(spark, Sf), "p_name", 3).count())
     assert(lake.sourceJsd().columns.contains("jsd"))
     assert(lake.dailyUsers().columns.contains("cum_users"))
+    // the round-10 corpus-version surface
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    assert(lake.annSearchGraph().columns.toSeq ==
+      Seq("q_id", "neighbor_id", "sim", "rnk"))
+    assert(lake.embeddingDrift(pmod(col("vec_id"), lit(2)) === 0,
+      pmod(col("vec_id"), lit(2)) === 1).columns.contains("centroid_cos"))
+    assert(lake.heldoutPerplexity(pmod(col("doc_id"), lit(2)) === 0,
+      pmod(col("doc_id"), lit(2)) === 1).columns.contains("avg_neg_logp"))
   }
 
   test("cleanCorpus drops exact dups, near dups, and low-quality docs") {
