@@ -94,6 +94,17 @@ final case class DataLake(spark: SparkSession, dir: String) {
   def zipf(fitTerms: Int = 1000): DataFrame = TextOps.zipfFit(documents, fitTerms)
   def mixPlan(targets: Map[String, Double], tokenBudget: Long): DataFrame =
     CorpusOps.mixPlan(documents, targets, tokenBudget)
+  /** Max-min fair token allocation at a waterfill level (target-free). */
+  def tokenWaterfill(tokenBudget: Long): DataFrame =
+    CorpusOps.tokenWaterfill(documents, tokenBudget)
+  def tokenWaterfillFrac(frac: Double = 0.96): DataFrame =
+    CorpusOps.tokenWaterfillFrac(documents, frac)
+  /** BH-FDR-corrected per-segment A/B readout over the events table. */
+  def fdrReadout(alpha: Double = 0.05): DataFrame =
+    EventOps.fdrBh(Lake.events(spark, dir), alpha)
+  /** Inter-event-gap regularity screen for scripted/bot actors. */
+  def botScreen(minGaps: Long = 30, cvThreshold: Double = 0.5): DataFrame =
+    EventOps.botScreen(Lake.events(spark, dir), minGaps, cvThreshold)
   def fixedSample(n: Int): DataFrame = CorpusOps.fixedSample(documents, n)
   def pseudonymize(table: String, cols: Seq[String], salt: String): DataFrame =
     Governance.pseudonymize(Lake.table(spark, dir, table), cols, salt)

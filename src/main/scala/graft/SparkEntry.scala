@@ -193,6 +193,8 @@ object SparkEntry {
     // Domain-mixing rate plan (budgeted stratified-sampling planner)
     "q_mix_plan"          -> CorpusOps.mixPlanQuery _,
     "q_mix_epochs"        -> CorpusOps.mixEpochsQuery _,
+    // Target-free max-min fair token allocation (waterfilling level)
+    "q_token_waterfill"   -> CorpusOps.tokenWaterfillQuery _,
     "q_length_buckets"    -> CorpusOps.lengthBucketsQuery _,
     "q_dup_rates"         -> ((s: SparkSession, d: String) => DedupOps.dupRates(s, d)),
     "q_fertility"         -> TextOps.bpeFertility _,
@@ -441,6 +443,12 @@ object SparkEntry {
     // Deterministic hash-arm A/B experiment readout with z statistic
     "q_ab_readout"        -> ((s: SparkSession, d: String) =>
       EventOps.abReadout(s, d)),
+    // Benjamini–Hochberg step-up FDR over the per-segment A/B z tests
+    "q_fdr_bh"            -> ((s: SparkSession, d: String) =>
+      EventOps.fdrBh(s, d)),
+    // Bot screen: per-user inter-event-gap regularity (cv of gaps)
+    "q_bot_screen"        -> ((s: SparkSession, d: String) =>
+      EventOps.botScreen(s, d)),
     // 2-D skyline (Pareto frontier) of parts: size max, price min
     "q_skyline"           -> Relational.skylineParts _,
     // ABC (80/95) cumulative revenue classification of parts
@@ -3350,6 +3358,38 @@ object SparkEntry {
         |    cast(sum(len(string_split(text, ' '))) AS bigint) AS n_tokens
         |  FROM documents WHERE text IS NOT NULL GROUP BY source
         |) ORDER BY source""".stripMargin,
+    // Waterfill: identical closed form — ascending-stock ranks, exact
+    // BIGINT uncapped test, level = (budget − S_k)/(m − k) as the one
+    // double divide; budget = ⌊0.96·total⌋ from the same frame. Unique
+    // (n_tokens, source) ordering makes the default RANGE frame equal
+    // to Spark's.
+    "q_token_waterfill" ->
+      """WITH s AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents WHERE text IS NOT NULL GROUP BY source),
+        |r AS (
+        |  SELECT *, row_number() OVER (ORDER BY n_tokens, source) AS rk,
+        |    CAST(sum(n_tokens) OVER (ORDER BY n_tokens, source) AS BIGINT) AS cum,
+        |    count(*) OVER () AS m,
+        |    CAST(floor(0.96 * CAST(sum(n_tokens) OVER () AS BIGINT)) AS BIGINT)
+        |      AS budget
+        |  FROM s),
+        |u AS (SELECT *, cum + (m - rk) * n_tokens <= budget AS uncapped FROM r),
+        |k AS (
+        |  SELECT *, max(CASE WHEN uncapped THEN rk ELSE 0 END) OVER () AS kk,
+        |    CAST(max(CASE WHEN uncapped THEN cum ELSE 0 END) OVER () AS BIGINT) AS s_k
+        |  FROM u),
+        |lv AS (
+        |  SELECT *, CASE WHEN kk < m THEN
+        |      CAST(budget - s_k AS DOUBLE) / (m - kk) END AS level
+        |  FROM k)
+        |SELECT source, n_docs, n_tokens,
+        |  CASE WHEN rk <= kk THEN n_tokens
+        |       ELSE CAST(floor(level) AS BIGINT) END AS alloc_tokens,
+        |  rk > kk AS capped,
+        |  round(level, 4) AS water_level
+        |FROM lv ORDER BY source""".stripMargin,
     // Epoch-aware mix: same double arithmetic (budget·frac/stock capped
     // at 4), unrounded fractional threshold, bucket-filtered top-up sum.
     "q_mix_epochs" ->
@@ -4122,6 +4162,82 @@ object SparkEntry {
         |      (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 4)
         |  END AS z_stat
         |FROM r""".stripMargin,
+    // BH FDR: same Lehmer arms + decimal moment sums as q_ab_readout /
+    // q_welch; p via the logistic normal-CDF approximation (identical
+    // elementary tree both engines); NULL p ordered as 2.0 in both.
+    "q_fdr_bh" ->
+      """WITH seg AS (SELECT event_type,
+        |  CAST(sum(CASE WHEN ((user_id * 16807) % 2147483647) % 2 = 0
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |  CAST(sum(CASE WHEN ((user_id * 16807) % 2147483647) % 2 = 0
+        |           THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+        |  sum(CASE WHEN ((user_id * 16807) % 2147483647) % 2 = 0
+        |      THEN CAST(value AS DECIMAL(18,2)) END) AS sa,
+        |  sum(CASE WHEN ((user_id * 16807) % 2147483647) % 2 <> 0
+        |      THEN CAST(value AS DECIMAL(18,2)) END) AS sb,
+        |  sum(CASE WHEN ((user_id * 16807) % 2147483647) % 2 = 0
+        |      THEN CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)) END) AS qa,
+        |  sum(CASE WHEN ((user_id * 16807) % 2147483647) % 2 <> 0
+        |      THEN CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)) END) AS qb
+        |  FROM events GROUP BY event_type),
+        |mo AS (SELECT event_type, n_a, n_b,
+        |  CAST(sa AS DOUBLE) / n_a AS m_a, CAST(sb AS DOUBLE) / n_b AS m_b,
+        |  (CAST(qa AS DOUBLE) - CAST(n_a AS DOUBLE) *
+        |    (CAST(sa AS DOUBLE) / n_a) * (CAST(sa AS DOUBLE) / n_a)) /
+        |    CAST(n_a - 1 AS DOUBLE) AS v_a,
+        |  (CAST(qb AS DOUBLE) - CAST(n_b AS DOUBLE) *
+        |    (CAST(sb AS DOUBLE) / n_b) * (CAST(sb AS DOUBLE) / n_b)) /
+        |    CAST(n_b - 1 AS DOUBLE) AS v_b
+        |  FROM seg),
+        |zt AS (SELECT *, v_a / n_a + v_b / n_b AS se2 FROM mo),
+        |zz AS (SELECT *, CASE WHEN se2 > 0
+        |    THEN (m_b - m_a) / sqrt(se2) END AS z FROM zt),
+        |pp AS (SELECT *,
+        |  2.0 / (1.0 + exp(0.07056 * pow(abs(z), 3.0) + 1.5976 * abs(z))) AS p,
+        |  coalesce(2.0 / (1.0 + exp(0.07056 * pow(abs(z), 3.0) +
+        |    1.5976 * abs(z))), 2.0) AS p_ord
+        |  FROM zz),
+        |rk AS (SELECT *,
+        |  row_number() OVER (ORDER BY p_ord, event_type) AS i,
+        |  count(*) OVER () AS m
+        |  FROM pp),
+        |fin AS (SELECT *,
+        |  max(CASE WHEN p <= i * 0.05 / m THEN i ELSE 0 END) OVER () AS kmax,
+        |  least(1.0, min(p_ord * m / i) OVER (ORDER BY p_ord, event_type
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) AS qv
+        |  FROM rk)
+        |SELECT event_type, n_a, n_b,
+        |  round(m_a, 4) AS mean_a, round(m_b, 4) AS mean_b,
+        |  round(z, 4) AS z_stat, round(p, 6) AS p_value,
+        |  CASE WHEN p IS NOT NULL THEN round(qv, 6) END AS q_value,
+        |  i <= kmax AS rejected
+        |FROM fin ORDER BY event_type""".stripMargin,
+    // Bot screen: exact epoch-µs gaps (deterministic (ts, event_id) lag
+    // order), HUGEINT/DECIMAL(38,0) square sums — the same exact integer
+    // either way — then the standard double variance tree.
+    "q_bot_screen" ->
+      """WITH g AS (
+        |  SELECT user_id, epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS g
+        |  FROM events),
+        |a AS (
+        |  SELECT user_id, count(*) AS n_gaps,
+        |    CAST(sum(g) AS BIGINT) AS sx,
+        |    sum(CAST(g AS HUGEINT) * g) AS sxx
+        |  FROM g WHERE g IS NOT NULL GROUP BY user_id
+        |  HAVING count(*) >= 30),
+        |v AS (
+        |  SELECT user_id, n_gaps,
+        |    CAST(sx AS DOUBLE) / n_gaps AS mean_us,
+        |    (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n_gaps) /
+        |      CAST(n_gaps - 1 AS DOUBLE) AS var_us
+        |  FROM a)
+        |SELECT user_id, n_gaps,
+        |  round(mean_us / 1e6, 4) AS mean_gap_s,
+        |  round(sqrt(var_us) / 1e6, 4) AS sd_gap_s,
+        |  round(sqrt(var_us) / mean_us, 4) AS cv_gap,
+        |  sqrt(var_us) / mean_us < 0.5 AS bot_like
+        |FROM v ORDER BY user_id""".stripMargin,
     // Skyline: per-size minimum price (bounded frame), strict running min
     // over larger sizes, equality join labels the surviving parts.
     "q_skyline" ->

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Lake
@@ -234,6 +235,85 @@ object CorpusOps {
     val targets = (0 until 20).map(i => s"src$i" -> (i % 4 + 1) / 50.0).toMap
     mixPlan(Lake.documents(spark, dir), targets, tokenBudget = 20000L)
   }
+
+  /** Token-budget waterfilling: the TARGET-FREE complement of [[mixPlan]]
+    * — with no desired mixture in hand, allocate a token budget across
+    * sources max-min fairly: find the water level L with
+    * Σ min(stock_i, L) = budget, give every source min(stock, ⌊L⌋).
+    * Small sources keep everything; large sources are capped at the
+    * common level — the standard guard against one mega-crawl drowning
+    * the mixture. Closed form, no iteration: sort strata by stock
+    * ascending, a source is UNCAPPED iff filling it and everything
+    * smaller still leaves ≥ stock_i for each larger source
+    * (cum_i + (m−i)·stock_i ≤ budget); with k = the last uncapped rank
+    * and S_k its cumulative stock, L = (budget − S_k)/(m − k). When the
+    * budget covers total stock, every source is uncapped and the level
+    * is NULL (nothing to cap).
+    *
+    * Shape: one corpus aggregate (map-side combinable) down to a
+    * #strata-row frame; every window runs over that domain-constant
+    * frame, never the corpus — the [[mixPlan]]/Benford frame argument.
+    * All comparisons are exact BIGINT arithmetic ((m−i)·stock stays
+    * ≤ strata×stock ≪ 2⁶³); only the final level divide is double. */
+  def tokenWaterfill(docs: DataFrame, tokenBudget: Long,
+                     strataCol: String = "source",
+                     tokenCount: Column =
+                       size(split(col("text"), " ")).cast("long")): DataFrame = {
+    require(tokenBudget > 0, "tokenBudget must be positive")
+    waterfillCore(docs, _ => lit(tokenBudget), strataCol, tokenCount)
+  }
+
+  /** Relative-budget form: budget = ⌊frac · total stock⌋, computed
+    * IN-PLAN from the same strata frame (no driver-side action) — the
+    * scale-covariant shape ("keep 96% of the corpus, shave the biggest
+    * sources down to a common level") whose capped/kept split survives
+    * any SF, unlike an absolute token number. */
+  def tokenWaterfillFrac(docs: DataFrame, frac: Double = 0.96,
+                         strataCol: String = "source",
+                         tokenCount: Column =
+                           size(split(col("text"), " ")).cast("long")): DataFrame = {
+    require(frac > 0 && frac <= 1.0, "frac must be in (0, 1]")
+    waterfillCore(docs, total => floor(lit(frac) * total).cast("long"),
+      strataCol, tokenCount)
+  }
+
+  private def waterfillCore(docs: DataFrame, budgetOf: Column => Column,
+                            strataCol: String,
+                            tokenCount: Column): DataFrame = {
+    val wOrd = Window.orderBy(col("n_tokens"), col(strataCol))
+    val wAll = wOrd.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    docs.filter(col("text").isNotNull)
+      .groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_docs"), sum(tokenCount).as("n_tokens"))
+      .withColumn("rk", row_number().over(wOrd))
+      .withColumn("cum", sum(col("n_tokens")).over(wOrd))
+      .withColumn("m", count(lit(1)).over(wAll))
+      .withColumn("budget", budgetOf(sum(col("n_tokens")).over(wAll)))
+      .withColumn("uncapped",
+        col("cum") + (col("m") - col("rk")) * col("n_tokens")
+          <= col("budget"))
+      .withColumn("k",
+        max(when(col("uncapped"), col("rk")).otherwise(0)).over(wAll))
+      .withColumn("s_k",
+        max(when(col("uncapped"), col("cum")).otherwise(0L)).over(wAll))
+      .withColumn("level", when(col("k") < col("m"),
+        (col("budget") - col("s_k")).cast("double") /
+          (col("m") - col("k"))))
+      .select(col(strataCol), col("n_docs"), col("n_tokens"),
+        when(col("rk") <= col("k"), col("n_tokens"))
+          .otherwise(floor(col("level")).cast("long")).as("alloc_tokens"),
+        (col("rk") > col("k")).as("capped"),
+        round(col("level"), 4).as("water_level"))
+      .orderBy(col(strataCol))
+  }
+
+  /** Lake-bound driver form: 96% of total stock — inside the partial-cap
+    * band at every SF of this near-uniform synthetic corpus (m·min/total
+    * ranges 0.84–0.93), so small-kept AND large-capped branches are both
+    * exercised wherever the driver runs it. */
+  def tokenWaterfillQuery(spark: SparkSession, dir: String): DataFrame =
+    tokenWaterfillFrac(Lake.documents(spark, dir), frac = 0.96)
 
   /** Epoch-aware mixing: [[mixPlan]] caps each source's rate at 1.0 —
     * this is its up-sampling complement for when a source's target

@@ -1470,6 +1470,123 @@ object EventOps {
           .as("fano"))
       .orderBy(col("event_type"))
 
+  /** Bot / automation screen: per-user inter-event-gap regularity. Human
+    * traffic has heavy-tailed inter-arrival times; scripted traffic fires
+    * on a timer, so its gap distribution is NARROW — the coefficient of
+    * variation (sd/mean of the gaps) is the unit-free one-number signal
+    * (cv ≈ 0 metronome, cv ≈ 1 Poisson, cv ≫ 1 bursty human). Flags
+    * `bot_like` when cv < `cvThreshold` with at least `minGaps` gaps (a
+    * regular-looking 3-event user is noise, not a bot).
+    *
+    * Shape: ONE user-partitioned ordered window (ts, event_id — the
+    * tie-break makes lag deterministic under equal timestamps) feeds a
+    * user-keyed aggregate, and Spark reuses the window's hash
+    * partitioning for the groupBy — one shuffle total, same as
+    * sessionize. Gaps are exact epoch-µs longs; the square sums ride in
+    * DECIMAL(38,0) (a week-scale gap is ~6e11 µs, whose square overflows
+    * BIGINT — both engines do the identical exact-decimal multiply), and
+    * the variance/cv scalar tree on top is the repo's standard
+    * double-on-exact-sums form. Output is bounded by user cardinality. */
+  def botScreen(spark: SparkSession, dir: String): DataFrame =
+    botScreen(Lake.events(spark, dir))
+
+  def botScreen(events: DataFrame, minGaps: Long = 30,
+                cvThreshold: Double = 0.5): DataFrame = {
+    val dec38 = DecimalType(38, 0)
+    val g = events
+      .select(col("user_id"),
+        (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("ts"), col("event_id")))).as("g"))
+      .filter(col("g").isNotNull)
+    g.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"), sum(col("g")).as("sx"),
+        sum(col("g").cast(dec38) * col("g").cast(dec38)).as("sxx"))
+      .filter(col("n_gaps") >= minGaps)
+      .withColumn("mean_us", col("sx").cast("double") / col("n_gaps"))
+      .withColumn("var_us",
+        (col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx") / col("n_gaps")) /
+          (col("n_gaps") - 1).cast("double"))
+      .select(col("user_id"), col("n_gaps"),
+        round(col("mean_us") / 1e6, 4).as("mean_gap_s"),
+        round(sqrt(col("var_us")) / 1e6, 4).as("sd_gap_s"),
+        round(sqrt(col("var_us")) / col("mean_us"), 4).as("cv_gap"),
+        (sqrt(col("var_us")) / col("mean_us") < cvThreshold).as("bot_like"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Benjamini–Hochberg FDR correction over the per-segment A/B readout —
+    * the missing piece between "one z test" ([[abReadout]]) and "a z test
+    * per segment": testing every event type inflates false positives, and
+    * BH is the standard step-up control. Arms reuse the 16807-Lehmer
+    * assignment (decorrelated from the split/sampling hashes, same
+    * portability argument). Per segment, a large-sample Welch z on the
+    * event `value` (exact DECIMAL(18,2) moment sums, the [[CatalogOps
+    * .welch]] discipline); the two-sided p comes from the logistic
+    * normal-CDF approximation 2/(1+exp(0.07056|z|³+1.5976|z|)) (|err| <
+    * 1.4e-4 — ample for a screen, and evaluated as the SAME elementary
+    * expression tree in both engines, so the oracle checks the
+    * computation rather than anyone's erf library). Step-up: rank p
+    * ascending (segment name tie-break; NULL p — degenerate variance —
+    * ordered via coalesce-to-2 in BOTH engines and never rejected),
+    * reject ranks ≤ argmax{i : p_i ≤ iα/m}, and report the monotone
+    * q-value min_{j≥i}(m·p_j/j) capped at 1.
+    *
+    * Shape: one events scan → segment-keyed aggregate (map-side
+    * combinable; every arm moment folds into the one row) → windows over
+    * the #segments frame (domain-constant cardinality, like the mix-plan
+    * and Benford frames — never corpus-sized). */
+  def fdrBh(spark: SparkSession, dir: String): DataFrame =
+    fdrBh(Lake.events(spark, dir))
+
+  def fdrBh(events: DataFrame, alpha: Double = 0.05): DataFrame = {
+    val x = col("value").cast(dec2)
+    val isA = pmod(col("user_id") * lit(16807L), lit(2147483647L)) % 2 === 0
+    val seg = events
+      .groupBy(col("event_type"))
+      .agg(
+        sum(when(isA, 1L).otherwise(0L)).as("n_a"),
+        sum(when(!isA, 1L).otherwise(0L)).as("n_b"),
+        sum(when(isA, x).otherwise(null)).as("sa"),
+        sum(when(!isA, x).otherwise(null)).as("sb"),
+        sum(when(isA, x * x).otherwise(null)).as("qa"),
+        sum(when(!isA, x * x).otherwise(null)).as("qb"))
+      .withColumn("m_a", col("sa").cast("double") / col("n_a"))
+      .withColumn("m_b", col("sb").cast("double") / col("n_b"))
+      .withColumn("v_a",
+        (col("qa").cast("double") - col("n_a").cast("double") *
+          col("m_a") * col("m_a")) / (col("n_a") - 1).cast("double"))
+      .withColumn("v_b",
+        (col("qb").cast("double") - col("n_b").cast("double") *
+          col("m_b") * col("m_b")) / (col("n_b") - 1).cast("double"))
+      .withColumn("se2", col("v_a") / col("n_a") + col("v_b") / col("n_b"))
+      .withColumn("z", when(col("se2") > 0,
+        (col("m_b") - col("m_a")) / sqrt(col("se2"))))
+      .withColumn("p", lit(2.0) / (lit(1.0) +
+        exp(lit(0.07056) * pow(abs(col("z")), 3.0) +
+          lit(1.5976) * abs(col("z")))))
+      .withColumn("p_ord", coalesce(col("p"), lit(2.0)))
+    val wOrd = Window.orderBy(col("p_ord"), col("event_type"))
+    val wAll = wOrd.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    seg
+      .withColumn("i", row_number().over(wOrd))
+      .withColumn("m", count(lit(1)).over(wAll))
+      .withColumn("kmax", max(when(
+          col("p") <= col("i") * alpha / col("m"), col("i")).otherwise(0))
+        .over(wAll))
+      .withColumn("qv", least(lit(1.0), min(col("p_ord") * col("m") / col("i"))
+        .over(wOrd.rowsBetween(Window.currentRow, Window.unboundedFollowing))))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        round(col("m_a"), 4).as("mean_a"), round(col("m_b"), 4).as("mean_b"),
+        round(col("z"), 4).as("z_stat"),
+        round(col("p"), 6).as("p_value"),
+        when(col("p").isNotNull, round(col("qv"), 6)).as("q_value"),
+        (col("i") <= col("kmax")).as("rejected"))
+      .orderBy(col("event_type"))
+  }
+
   /** Kaplan–Meier survival curve over user lifetimes with right
     * censoring — the churn analysis done properly: a user whose last
     * event sits within `censorDays` of the corpus end is CENSORED (still

@@ -251,4 +251,38 @@ class CorpusOpsSpec extends SparkSpecBase {
       assert(posByRank(r).max < posByRank(r + 1).min,
         s"rank $r does not fully precede rank ${r + 1}")
   }
+
+  test("token waterfill: closed-form level, all-kept and all-capped edges, floor shortfall < m") {
+    import spark.implicits._
+    // capacities 10 / 20 / 40 tokens
+    val docs = Seq(
+      (1L, Seq.fill(10)("w").mkString(" "), "s1"),
+      (2L, Seq.fill(20)("w").mkString(" "), "s2"),
+      (3L, Seq.fill(40)("w").mkString(" "), "s3")
+    ).toDF("doc_id", "text", "source")
+    def run(budget: Long) = CorpusOps.tokenWaterfill(docs, budget).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4),
+          if (r.isNullAt(5)) Double.NaN else r.getDouble(5))).toMap
+    // budget 50: s1+s2 fit under the level, s3 capped at L = (50−30)/1 = 20
+    val b50 = run(50L)
+    assert(b50("s1") == ((10L, 10L, false, 20.0)), s"s1: ${b50("s1")}")
+    assert(b50("s2") == ((20L, 20L, false, 20.0)), s"s2: ${b50("s2")}")
+    assert(b50("s3") == ((40L, 20L, true, 20.0)), s"s3: ${b50("s3")}")
+    // budget ≥ total stock: everyone keeps everything, no level to report
+    val b100 = run(100L)
+    assert(b100.values.forall(v => v._1 == v._2 && !v._3 && v._4.isNaN),
+      s"uncapped corpus: $b100")
+    // budget below m·min: nobody fits whole, L = 15/3 = 5 for all
+    val b15 = run(15L)
+    assert(b15.values.forall(v => v._2 == 5L && v._3 && v._4 == 5.0),
+      s"all-capped: $b15")
+    // non-integer level floors: Σ alloc ≤ budget with shortfall < m strata
+    val b17 = run(17L)
+    val alloc17 = b17.values.map(_._2).sum
+    assert(alloc17 <= 17L && 17L - alloc17 < 3, s"conservation: $b17")
+    // the relative form at frac = 1.0 is the all-kept edge
+    val full = CorpusOps.tokenWaterfillFrac(docs, frac = 1.0).collect()
+    assert(full.forall(r => r.getLong(2) == r.getLong(3) && !r.getBoolean(4)))
+  }
 }

@@ -29,6 +29,9 @@ class DataLakeSpec extends SparkSpecBase {
       pmod(col("vec_id"), lit(2)) === 1).columns.contains("centroid_cos"))
     assert(lake.heldoutPerplexity(pmod(col("doc_id"), lit(2)) === 0,
       pmod(col("doc_id"), lit(2)) === 1).columns.contains("avg_neg_logp"))
+    assert(lake.tokenWaterfillFrac().columns.contains("water_level"))
+    assert(lake.fdrReadout().columns.contains("q_value"))
+    assert(lake.botScreen().columns.contains("cv_gap"))
   }
 
   test("cleanCorpus drops exact dups, near dups, and low-quality docs") {

@@ -194,4 +194,52 @@ class EventOpsSpec extends SparkSpecBase {
     assert(out.head.getTimestamp(0).toString.startsWith("2024-01-13 05"))
     assert(out.head.getDouble(3) > 3.0, "spike z-score above threshold")
   }
+
+  test("bot screen: metronome user flags, irregular user doesn't, thin user is excluded") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // user 1: 31 events exactly 60 s apart (cv = 0 — scripted);
+    // user 2: 31 events with gaps swinging 10 s / 600 s (cv ≈ 1 — human);
+    // user 3: 5 events (below minGaps — never scored, however regular)
+    val rows =
+      (0 until 31).map(i => (i.toLong, 1000L + 60L * i, 1L)) ++
+      (0 until 31).map(i => (100L + i,
+        2000L + (0 until i).map(j => if (j % 2 == 0) 10L else 600L).sum, 2L)) ++
+      (0 until 5).map(i => (200L + i, 3000L + 60L * i, 3L))
+    val ev = rows.toDF("event_id", "sec", "user_id")
+      .select(col("event_id"), timestamp_seconds(col("sec")).as("ts"),
+        col("user_id"))
+    val out = EventOps.botScreen(ev).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(4), r.getBoolean(5))).toMap
+    assert(out.keySet == Set(1L, 2L), s"scored users: ${out.keySet}")
+    assert(out(1L) == ((30L, 60.0, 0.0, true)), s"metronome: ${out(1L)}")
+    val (n2, mean2, cv2, bot2) = out(2L)
+    assert(n2 == 30L && math.abs(mean2 - 305.0) < 1e-9, s"human gaps: ${out(2L)}")
+    assert(cv2 > 0.9 && !bot2, s"irregular user must not flag: ${out(2L)}")
+  }
+
+  test("BH step-up rejects exactly the planted-effect segment and q-values are monotone") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // uid 2 is arm A (2·16807 even), uid 1 is arm B. Segment s_eff: A
+    // around 10, B around 30 — an enormous z; s_null1/s_null2: identical
+    // {10, 11} alternation in both arms — z exactly 0, p ≈ 1.
+    def seg(name: String, bBase: Long) =
+      (0 until 40).map(i => (name, 2L, 10.0 + (i % 2))) ++
+      (0 until 40).map(i => (name, 1L, bBase.toDouble + (i % 2)))
+    val ev = (seg("s_eff", 30L) ++ seg("s_null1", 10L) ++ seg("s_null2", 10L))
+      .toDF("event_type", "user_id", "value")
+    val out = EventOps.fdrBh(ev).collect()
+      .map(r => r.getString(0) -> (r.getDouble(6), r.getDouble(7), r.getBoolean(8)))
+      .toMap
+    assert(out("s_eff")._3, "planted effect must be rejected")
+    assert(out("s_eff")._1 < 1e-6, s"effect p: ${out("s_eff")}")
+    assert(!out("s_null1")._3 && !out("s_null2")._3, "nulls never rejected")
+    // BH q-value: monotone along the p ordering, capped at 1
+    val qs = out.values.toSeq.sortBy(_._1).map(_._2)
+    assert(qs == qs.sorted && qs.forall(_ <= 1.0), s"q-values: $qs")
+    // the null segments' z is exactly 0 → p = 2/(1+e^0) = 1
+    assert(out("s_null1")._1 == 1.0, s"null p: ${out("s_null1")}")
+  }
 }

@@ -185,6 +185,17 @@ class PlanShapeSpec extends SparkSpecBase {
       "exact ABC no longer has a serial stage; fold the twins")
   }
 
+  test("bot screen reuses the window's user partitioning for the aggregate (one hash shuffle)") {
+    // the lag window hash-partitions by user_id; the follow-on user-keyed
+    // aggregate must ride that same partitioning instead of re-shuffling
+    // (the sessionize discipline). Final orderBy adds a range exchange;
+    // the corpus-sized data must cross the wire exactly once.
+    val plan = planOf(EventOps.botScreen(spark, Sf))
+    val hashShuffles = "hashpartitioning".r.findAllIn(plan).length
+    assert(hashShuffles == 1,
+      s"expected exactly one hash shuffle, found $hashShuffles:\n$plan")
+  }
+
   test("weighted sample plans TakeOrderedAndProject, not a global sort") {
     val plan = planOf(CorpusOps.weightedSampleQuery(spark, Sf))
     assert(plan.contains("TakeOrderedAndProject"),
