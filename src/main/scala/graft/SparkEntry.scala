@@ -446,6 +446,9 @@ object SparkEntry {
     // Benjamini–Hochberg step-up FDR over the per-segment A/B z tests
     "q_fdr_bh"            -> ((s: SparkSession, d: String) =>
       EventOps.fdrBh(s, d)),
+    // CUPED variance-reduced readout (pre-period covariate adjustment)
+    "q_cuped"             -> ((s: SparkSession, d: String) =>
+      EventOps.cupedReadout(s, d)),
     // Bot screen: per-user inter-event-gap regularity (cv of gaps)
     "q_bot_screen"        -> ((s: SparkSession, d: String) =>
       EventOps.botScreen(s, d)),
@@ -4212,6 +4215,50 @@ object SparkEntry {
         |  CASE WHEN p IS NOT NULL THEN round(qv, 6) END AS q_value,
         |  i <= kmax AS rejected
         |FROM fin ORDER BY event_type""".stripMargin,
+    // CUPED: per-user (pre, post) DECIMAL(18,2) sums re-capped at 18,2 so
+    // second-moment products stay in DECIMAL(38,4) in both engines; one
+    // moment row; identical scalar tree for theta / adjusted lift / rho^2.
+    "q_cuped" ->
+      """WITH pu AS (SELECT user_id,
+        |  CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-11'
+        |    THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END)
+        |    AS DECIMAL(18,2)) AS x,
+        |  CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-11'
+        |    THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END)
+        |    AS DECIMAL(18,2)) AS y,
+        |  CASE WHEN ((user_id * 16807) % 2147483647) % 2 = 0 THEN 1 ELSE 0 END AS a
+        |  FROM events GROUP BY user_id),
+        |mo AS (SELECT
+        |  CAST(sum(a) AS BIGINT) AS n_a,
+        |  CAST(sum(1 - a) AS BIGINT) AS n_b,
+        |  sum(CASE WHEN a = 1 THEN x END) AS sxa,
+        |  sum(CASE WHEN a = 0 THEN x END) AS sxb,
+        |  sum(CASE WHEN a = 1 THEN y END) AS sya,
+        |  sum(CASE WHEN a = 0 THEN y END) AS syb,
+        |  sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+        |  FROM pu),
+        |sc AS (SELECT *, n_a + n_b AS n,
+        |  CAST(sxa + sxb AS DOUBLE) / (n_a + n_b) AS mx,
+        |  CAST(sya + syb AS DOUBLE) / (n_a + n_b) AS my
+        |  FROM mo),
+        |sc2 AS (SELECT *,
+        |  CAST(sxx AS DOUBLE) / n - mx * mx AS vx,
+        |  CAST(syy AS DOUBLE) / n - my * my AS vy,
+        |  CAST(sxy AS DOUBLE) / n - mx * my AS cxy,
+        |  CAST(sya AS DOUBLE) / n_a AS mya, CAST(syb AS DOUBLE) / n_b AS myb,
+        |  CAST(sxa AS DOUBLE) / n_a AS mxa, CAST(sxb AS DOUBLE) / n_b AS mxb
+        |  FROM sc),
+        |sc3 AS (SELECT *,
+        |  CASE WHEN vx > 0 THEN cxy / vx END AS theta FROM sc2)
+        |SELECT n_a, n_b,
+        |  round(mya, 4) AS mean_post_a, round(myb, 4) AS mean_post_b,
+        |  round(myb - mya, 4) AS lift_raw,
+        |  round(theta, 6) AS theta,
+        |  round((myb - coalesce(theta, 0.0) * (mxb - mx)) -
+        |        (mya - coalesce(theta, 0.0) * (mxa - mx)), 4) AS lift_adj,
+        |  CASE WHEN vy > 0 AND theta IS NOT NULL
+        |    THEN round(cxy * cxy / (vx * vy), 6) END AS var_reduction
+        |FROM sc3""".stripMargin,
     // Bot screen: exact epoch-µs gaps (deterministic (ts, event_id) lag
     // order), HUGEINT/DECIMAL(38,0) square sums — the same exact integer
     // either way — then the standard double variance tree.

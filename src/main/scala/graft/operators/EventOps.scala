@@ -950,6 +950,80 @@ object EventOps {
           .as("z_stat"))
   }
 
+  /** CUPED variance-reduced A/B readout — the standard trick for making
+    * experiments readable sooner: a user's PRE-period activity predicts
+    * their post-period metric regardless of arm, so regressing it out
+    * (θ = cov(pre, post)/var(pre), y′ = y − θ(x − x̄)) shrinks metric
+    * variance without touching the expected lift (arms share x̄ by
+    * randomization). Reports the raw and adjusted lifts, θ, and the
+    * variance-reduction ratio 1 − var(y′)/var(y) = ρ² — how much
+    * experiment duration the covariate just saved.
+    *
+    * Shape: one events scan → user-keyed (pre, post) sums (exact
+    * DECIMAL(18,2), re-capped at 18,2 so the second-moment products stay
+    * inside DECIMAL(38,4) in BOTH engines — never the >38-precision
+    * multiply whose capping rules differ) → ONE moment row (n/Σx/Σy/Σxy/
+    * Σx²/Σy² per arm where needed) → a pure scalar tree. Lehmer arms as
+    * everywhere. Degenerate var(pre) = 0 yields NULL θ and the raw
+    * readout unadjusted. */
+  def cupedReadout(spark: SparkSession, dir: String): DataFrame =
+    cupedReadout(Lake.events(spark, dir))
+
+  def cupedReadout(events: DataFrame,
+                   cutoff: String = "2024-01-11"): DataFrame = {
+    val perUser = events
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("ts") < lit(cutoff).cast("timestamp"),
+          col("value").cast(dec2)).otherwise(lit(0).cast(dec2)))
+          .cast(dec2).as("x"),
+        sum(when(col("ts") >= lit(cutoff).cast("timestamp"),
+          col("value").cast(dec2)).otherwise(lit(0).cast(dec2)))
+          .cast(dec2).as("y"))
+      .withColumn("a",
+        when(pmod(col("user_id") * lit(16807L), lit(2147483647L)) % 2 === 0,
+          1L).otherwise(0L))
+    val m = perUser.agg(
+      sum(col("a")).as("n_a"),
+      sum(lit(1L) - col("a")).as("n_b"),
+      sum(when(col("a") === 1, col("x")).otherwise(null)).as("sxa"),
+      sum(when(col("a") === 0, col("x")).otherwise(null)).as("sxb"),
+      sum(when(col("a") === 1, col("y")).otherwise(null)).as("sya"),
+      sum(when(col("a") === 0, col("y")).otherwise(null)).as("syb"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+      .withColumn("n", col("n_a") + col("n_b"))
+      .withColumn("mx",
+        (col("sxa") + col("sxb")).cast("double") / col("n"))
+      .withColumn("my",
+        (col("sya") + col("syb")).cast("double") / col("n"))
+      .withColumn("vx", col("sxx").cast("double") / col("n") -
+        col("mx") * col("mx"))
+      .withColumn("vy", col("syy").cast("double") / col("n") -
+        col("my") * col("my"))
+      .withColumn("cxy", col("sxy").cast("double") / col("n") -
+        col("mx") * col("my"))
+      .withColumn("theta", when(col("vx") > 0, col("cxy") / col("vx")))
+      .withColumn("mya", col("sya").cast("double") / col("n_a"))
+      .withColumn("myb", col("syb").cast("double") / col("n_b"))
+      .withColumn("mxa", col("sxa").cast("double") / col("n_a"))
+      .withColumn("mxb", col("sxb").cast("double") / col("n_b"))
+    m.select(col("n_a"), col("n_b"),
+        round(col("mya"), 4).as("mean_post_a"),
+        round(col("myb"), 4).as("mean_post_b"),
+        round(col("myb") - col("mya"), 4).as("lift_raw"),
+        round(col("theta"), 6).as("theta"),
+        round((col("myb") - coalesce(col("theta"), lit(0.0)) *
+            (col("mxb") - col("mx"))) -
+          (col("mya") - coalesce(col("theta"), lit(0.0)) *
+            (col("mxa") - col("mx"))), 4)
+          .as("lift_adj"),
+        when(col("vy") > 0 && col("theta").isNotNull,
+          round(col("cxy") * col("cxy") / (col("vx") * col("vy")), 6))
+          .as("var_reduction"))
+  }
+
   /** Funnel conversion report with Wilson 95% intervals: per step, how
     * many users who reached the PREVIOUS step converted, as a rate with
     * the score-interval bounds — the uncertainty-aware version of the

@@ -219,6 +219,29 @@ class EventOpsSpec extends SparkSpecBase {
     assert(cv2 > 0.9 && !bot2, s"irregular user must not flag: ${out(2L)}")
   }
 
+  test("CUPED recovers the planted theta and preserves the lift while cutting variance") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // Lehmer parity for small uids is uid parity: even uid → arm A.
+    // Pairs (2k, 2k+1) share pre-activity x = k; post y = 2x, arm B +5.
+    // x ⟂ arm ⇒ θ = cov/var = 2 exactly, both lifts = 5, 0 < ρ² < 1.
+    val ev = (0 until 40).flatMap { uid =>
+      val k = uid / 2
+      val eff = if (uid % 2 == 1) 5.0 else 0.0
+      Seq((uid.toLong, "2024-01-05 12:00:00", k.toDouble),
+          (uid.toLong, "2024-01-20 12:00:00", 2.0 * k + eff))
+    }.toDF("user_id", "ts_s", "value")
+      .select(col("user_id"), col("ts_s").cast("timestamp").as("ts"),
+        col("value"))
+    val r = EventOps.cupedReadout(ev).collect().head
+    assert(r.getLong(0) == 20L && r.getLong(1) == 20L, s"arms: $r")
+    assert(r.getDouble(4) == 5.0, s"raw lift: $r")
+    assert(r.getDouble(5) == 2.0, s"theta: $r")
+    assert(r.getDouble(6) == 5.0, s"adjusted lift: $r")
+    val vr = r.getDouble(7)
+    assert(vr > 0.0 && vr < 1.0, s"variance reduction: $r")
+  }
+
   test("BH step-up rejects exactly the planted-effect segment and q-values are monotone") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
