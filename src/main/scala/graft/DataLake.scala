@@ -177,6 +177,11 @@ final case class DataLake(spark: SparkSession, dir: String) {
   // --- structured-record and basket mining ---
   def entityMatch(table: String, nameCol: String, maxDist: Int = 2): DataFrame =
     DedupOps.entityMatch(Lake.table(spark, dir, table), nameCol, maxDist)
+  /** One master row per transitively-matched entity cluster. */
+  def goldenRecord(table: String, nameCol: String, maxDist: Int,
+                   modeCol: String, minCol: String, maxCol: String): DataFrame =
+    DedupOps.goldenRecord(Lake.table(spark, dir, table), nameCol, maxDist,
+      modeCol, minCol, maxCol)
   def copurchase(minOrders: Long = 2, topK: Int = 20): DataFrame =
     graft.operators.Relational.copurchase(spark, dir, minOrders, topK)
 

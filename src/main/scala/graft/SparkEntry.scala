@@ -190,6 +190,8 @@ object SparkEntry {
     "q_sole_fault"        -> Relational.soleFaultSuppliers _,
     // Catalog: inclusion-dependency (FK-candidate) discovery
     "q_fk_discovery"      -> CatalogOps.fkDiscovery _,
+    // Golden-record survivorship over transitive entity-match clusters
+    "q_golden_record"     -> DedupOps.goldenRecordQuery _,
     // Domain-mixing rate plan (budgeted stratified-sampling planner)
     "q_mix_plan"          -> CorpusOps.mixPlanQuery _,
     "q_mix_epochs"        -> CorpusOps.mixEpochsQuery _,
@@ -3668,6 +3670,45 @@ object SparkEntry {
         |ORDER BY o_orderstatus""".stripMargin,
     // Record linkage over the part-name dictionary: same block key
     // (first token) and the same exact edit distance.
+    // Golden record: the q_entity_match pair graph closed transitively by
+    // a recursive reachability CTE (min reachable name = the entity key —
+    // same canonical-name semantics as the engine's component min), then
+    // per-entity survivorship: frequency-then-value mode, decimal min,
+    // plain max. Blocking keeps recursion dictionary-local.
+    "q_golden_record" ->
+      """WITH RECURSIVE names AS (SELECT p_name AS name FROM part GROUP BY 1),
+        |e AS (SELECT a.name AS na, b.name AS nb
+        |      FROM names a JOIN names b
+        |        ON split_part(a.name, ' ', 1) = split_part(b.name, ' ', 1)
+        |       AND a.name < b.name
+        |      WHERE levenshtein(a.name, b.name) <= 3),
+        |ed AS (SELECT na, nb FROM e UNION ALL SELECT nb AS na, na AS nb FROM e),
+        |reach(name, r) AS (
+        |  SELECT name, name FROM names
+        |  UNION
+        |  SELECT ed.nb, reach.r FROM reach JOIN ed ON reach.name = ed.na),
+        |root AS (SELECT name, min(r) AS entity FROM reach GROUP BY name),
+        |tagged AS (SELECT p.p_brand, p.p_retailprice, p.p_size, root.entity,
+        |             root.name
+        |           FROM part p JOIN root ON p.p_name = root.name),
+        |ent AS (SELECT entity, count(DISTINCT name) AS n_names,
+        |          count(*) AS n_rows,
+        |          min(CAST(p_retailprice AS DECIMAL(18,2))) AS mn,
+        |          max(p_size) AS mx
+        |        FROM tagged GROUP BY entity),
+        |mc AS (SELECT entity, p_brand, count(*) AS c
+        |       FROM tagged GROUP BY entity, p_brand),
+        |mr AS (SELECT entity, p_brand,
+        |         row_number() OVER (PARTITION BY entity
+        |           ORDER BY c DESC, p_brand) AS rk
+        |       FROM mc)
+        |SELECT ent.entity, CAST(n_names AS BIGINT) AS n_names,
+        |  CAST(n_rows AS BIGINT) AS n_rows,
+        |  mr.p_brand AS mode_value,
+        |  round(CAST(mn AS DOUBLE), 2) AS min_value,
+        |  mx AS max_value
+        |FROM ent JOIN mr ON ent.entity = mr.entity AND mr.rk = 1
+        |ORDER BY ent.entity""".stripMargin,
     "q_entity_match" ->
       """WITH names AS (SELECT p_name AS name, count(*) AS n
         |               FROM part GROUP BY 1)

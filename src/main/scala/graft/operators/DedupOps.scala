@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.Lake
 
@@ -795,6 +796,69 @@ object DedupOps extends org.apache.spark.internal.Logging {
   /** Driver binding: near-identical part names at edit distance ≤ 3. */
   def entityMatchQuery(spark: SparkSession, dir: String): DataFrame =
     entityMatch(Lake.part(spark, dir), "p_name", 3)
+
+  /** Golden-record survivorship — the merge step [[entityMatch]] stops
+    * short of: matched-name pairs close transitively into entity
+    * clusters (A~B, B~C ⇒ one entity even when A≁C), and each cluster
+    * emits ONE master row with per-attribute survivorship: most-frequent
+    * value for categoricals (smallest value breaks ties —
+    * deterministic), min/max for bounds-like numerics. The entity key is
+    * the cluster's lexicographically smallest name, so output identity
+    * never depends on internal cluster labels.
+    *
+    * Shape: pairs are NDV-bounded (the [[entityMatch]] argument);
+    * components ride the shared [[clustersFromPairs]] machinery over
+    * 64-bit name hashes (labels never surface — the canonical name is
+    * recomputed as min(name) per component, so a hash collision could
+    * only ever merge two clusters, never corrupt the key); the one
+    * corpus-wide action is the rows→entity equi join on the name
+    * dictionary, then bounded per-entity aggregates. Mode selection is a
+    * per-entity-partitioned window over the (entity, value) counts —
+    * never a global sort. Blocking confines chains to a block, so
+    * components stay dictionary-local. */
+  def goldenRecord(rows: DataFrame, nameCol: String, maxDist: Int,
+                   modeCol: String, minCol: String,
+                   maxCol: String): DataFrame = {
+    val pairs = entityMatch(rows, nameCol, maxDist)
+      .select(xxhash64(col("name_a")).as("doc_a"),
+        xxhash64(col("name_b")).as("doc_b"))
+    val comp = clustersFromPairs(pairs)
+    val dict = rows.filter(col(nameCol).isNotNull)
+      .select(col(nameCol).as("name")).distinct()
+      .withColumn("h", xxhash64(col("name")))
+      .join(comp.select(col("doc_id").as("h"), col("keeper")), Seq("h"), "left")
+      .withColumn("cl", coalesce(col("keeper"), col("h")))
+    val entities = dict.groupBy(col("cl"))
+      .agg(min(col("name")).as("entity"),
+        count(lit(1)).as("n_names"))
+    val tagged = rows.filter(col(nameCol).isNotNull)
+      .join(dict.select(col("name").as(nameCol), col("cl")), Seq(nameCol))
+      .join(entities, Seq("cl"))
+    val bounds = tagged.groupBy(col("entity"))
+      .agg(max(col("n_names")).as("n_names"),
+        count(lit(1)).as("n_rows"),
+        min(col(minCol).cast(DecimalType(18, 2))).as("__min"),
+        max(col(maxCol)).as("__max"))
+    val mode = tagged.groupBy(col("entity"), col(modeCol))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("entity"))
+          .orderBy(col("__c").desc, col(modeCol))))
+      .filter(col("__rk") === 1)
+      .select(col("entity"), col(modeCol).as("mode_value"))
+    bounds.join(mode, Seq("entity"))
+      .select(col("entity"), col("n_names"), col("n_rows"),
+        col("mode_value"),
+        round(col("__min").cast("double"), 2).as("min_value"),
+        col("__max").as("max_value"))
+      .orderBy(col("entity"))
+  }
+
+  /** Driver binding: master parts — near-identical names merged, brand
+    * by frequency, the tightest price and the widest size surviving. */
+  def goldenRecordQuery(spark: SparkSession, dir: String): DataFrame =
+    goldenRecord(Lake.part(spark, dir), "p_name", 3,
+      modeCol = "p_brand", minCol = "p_retailprice", maxCol = "p_size")
 
   /** Containment (asymmetric-Jaccard) join: directed pairs where at
     * least `threshold` of the INNER doc's shingles appear in the outer

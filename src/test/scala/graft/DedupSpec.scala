@@ -339,4 +339,25 @@ class DedupSpec extends SparkSpecBase {
     for ((_, _, total, _, lchars, share) <- rows)
       assert(math.abs(share - lchars.toDouble / total) < 1e-5)
   }
+
+  test("golden record merges transitive chains and applies deterministic survivorship") {
+    import spark.implicits._
+    // chain at maxDist=1: corpa ~ corpab ~ corpabb (ends are dist 2 apart
+    // — only transitive closure merges all three); zeta is a singleton
+    val rows = Seq(
+      ("acme corpa",   "B2", 3.00, 4),
+      ("acme corpab",  "B1", 1.50, 9),
+      ("acme corpab",  "B1", 2.00, 2),
+      ("acme corpabb", "B2", 5.00, 7),
+      ("zeta widget",  "B9", 8.00, 1)
+    ).toDF("name", "brand", "price", "size")
+    val out = DedupOps.goldenRecord(rows, "name", 1, "brand", "price", "size")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4),
+          r.getInt(5))).toMap
+    assert(out.keySet == Set("acme corpa", "zeta widget"), s"entities: $out")
+    // mode tie (B1 ×2, B2 ×2) breaks to the smaller value
+    assert(out("acme corpa") == ((3L, 4L, "B1", 1.5, 9)), s"merged: $out")
+    assert(out("zeta widget") == ((1L, 1L, "B9", 8.0, 1)), s"singleton: $out")
+  }
 }
