@@ -102,6 +102,9 @@ final case class DataLake(spark: SparkSession, dir: String) {
   /** BH-FDR-corrected per-segment A/B readout over the events table. */
   def fdrReadout(alpha: Double = 0.05): DataFrame =
     EventOps.fdrBh(Lake.events(spark, dir), alpha)
+  /** Anytime-valid (mSPRT) day-by-day experiment monitor. */
+  def msprtReadout(tau: Double = 5.0, alpha: Double = 0.05): DataFrame =
+    EventOps.msprtReadout(Lake.events(spark, dir), tau, alpha)
   /** Inter-event-gap regularity screen for scripted/bot actors. */
   def botScreen(minGaps: Long = 30, cvThreshold: Double = 0.5): DataFrame =
     EventOps.botScreen(Lake.events(spark, dir), minGaps, cvThreshold)

@@ -451,6 +451,9 @@ object SparkEntry {
     // CUPED variance-reduced readout (pre-period covariate adjustment)
     "q_cuped"             -> ((s: SparkSession, d: String) =>
       EventOps.cupedReadout(s, d)),
+    // mSPRT anytime-valid p-process over the day-by-day readout
+    "q_msprt"             -> ((s: SparkSession, d: String) =>
+      EventOps.msprtReadout(s, d)),
     // Bot screen: per-user inter-event-gap regularity (cv of gaps)
     "q_bot_screen"        -> ((s: SparkSession, d: String) =>
       EventOps.botScreen(s, d)),
@@ -4300,6 +4303,58 @@ object SparkEntry {
         |  CASE WHEN vy > 0 AND theta IS NOT NULL
         |    THEN round(cxy * cxy / (vx * vy), 6) END AS var_reduction
         |FROM sc3""".stripMargin,
+    // mSPRT: per-(day, arm) decimal moments, cumulative windows over the
+    // calendar frame, the identical Λ/p scalar tree, running min.
+    "q_msprt" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+        |  CAST(sum(CASE WHEN ((user_id * 16807) % 2147483647) % 2 = 0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS na_d,
+        |  CAST(sum(CASE WHEN ((user_id * 16807) % 2147483647) % 2 = 0
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS nb_d,
+        |  sum(CASE WHEN ((user_id * 16807) % 2147483647) % 2 = 0
+        |    THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS sa_d,
+        |  sum(CASE WHEN ((user_id * 16807) % 2147483647) % 2 <> 0
+        |    THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS sb_d,
+        |  sum(CASE WHEN ((user_id * 16807) % 2147483647) % 2 = 0
+        |    THEN CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))
+        |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS qa_d,
+        |  sum(CASE WHEN ((user_id * 16807) % 2147483647) % 2 <> 0
+        |    THEN CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))
+        |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS qb_d
+        |  FROM events GROUP BY 1),
+        |cum AS (SELECT day,
+        |  CAST(sum(na_d) OVER w AS BIGINT) AS n_a,
+        |  CAST(sum(nb_d) OVER w AS BIGINT) AS n_b,
+        |  sum(sa_d) OVER w AS sa, sum(sb_d) OVER w AS sb,
+        |  sum(qa_d) OVER w AS qa, sum(qb_d) OVER w AS qb
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND CURRENT ROW)),
+        |mo AS (SELECT day, n_a, n_b,
+        |  CAST(sa AS DOUBLE) / n_a AS m_a, CAST(sb AS DOUBLE) / n_b AS m_b
+        |  FROM cum),
+        |s2t AS (SELECT cum.day, cum.n_a, cum.n_b, m_a, m_b,
+        |  CASE WHEN cum.n_a + cum.n_b > 2 THEN
+        |    ((CAST(qa AS DOUBLE) - cum.n_a * m_a * m_a) +
+        |     (CAST(qb AS DOUBLE) - cum.n_b * m_b * m_b)) /
+        |    CAST(cum.n_a + cum.n_b - 2 AS DOUBLE) END AS s2
+        |  FROM cum JOIN mo ON cum.day = mo.day),
+        |vt AS (SELECT *, CASE WHEN n_a > 0 AND n_b > 0
+        |    THEN s2 * (1.0 / n_a + 1.0 / n_b) END AS vn,
+        |  m_b - m_a AS delta FROM s2t),
+        |lt AS (SELECT *, CASE WHEN vn > 0 THEN
+        |    sqrt(vn / (vn + 25.0)) *
+        |      exp(delta * delta * 25.0 / (2.0 * vn * (vn + 25.0))) END AS lam
+        |  FROM vt),
+        |pt AS (SELECT *,
+        |  CASE WHEN lam IS NOT NULL THEN least(1.0, 1.0 / lam) END AS p_raw
+        |  FROM lt),
+        |fin AS (SELECT *, min(p_raw) OVER (ORDER BY day ROWS BETWEEN
+        |    UNBOUNDED PRECEDING AND CURRENT ROW) AS p_always FROM pt)
+        |SELECT day, n_a, n_b, round(delta, 4) AS lift,
+        |  round(lam, 6) AS lambda, round(p_always, 6) AS p_always,
+        |  p_always <= 0.05 AS significant
+        |FROM fin ORDER BY day""".stripMargin,
     // Bot screen: exact epoch-µs gaps (deterministic (ts, event_id) lag
     // order), HUGEINT/DECIMAL(38,0) square sums — the same exact integer
     // either way — then the standard double variance tree.

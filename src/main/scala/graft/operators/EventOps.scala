@@ -950,6 +950,72 @@ object EventOps {
           .as("z_stat"))
   }
 
+  /** mSPRT anytime-valid experiment monitor — the fix for the peeking
+    * problem: a fixed-horizon z test read daily inflates false positives,
+    * while the mixture sequential probability ratio
+    * Λ_n = √(V/(V+τ²))·exp(δ̂²τ²/(2V(V+τ²))) admits the always-valid
+    * p-process p_n = min_{d≤n} min(1, 1/Λ_d) — valid at EVERY
+    * interim look, so "stop the experiment the day it clears α" is
+    * statistically sound. τ is the mixture scale (≈ the effect size
+    * worth detecting); day-by-day cumulative moments give one readout
+    * row per elapsed day.
+    *
+    * Shape: one events scan → per-(day, arm) exact decimal moment sums →
+    * cumulative windows over the bounded day frame (the daily-series
+    * frame argument — calendar-sized, never corpus-sized) → scalar tree
+    * per row and a running min for the p-process. Degenerate early days
+    * (an arm empty or zero variance) yield NULL Λ and are skipped by the
+    * running min in both engines. */
+  def msprtReadout(spark: SparkSession, dir: String): DataFrame =
+    msprtReadout(Lake.events(spark, dir))
+
+  def msprtReadout(events: DataFrame, tau: Double = 5.0,
+                   alpha: Double = 0.05): DataFrame = {
+    val x = col("value").cast(dec2)
+    val isA = pmod(col("user_id") * lit(16807L), lit(2147483647L)) % 2 === 0
+    val daily = events
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(
+        sum(when(isA, 1L).otherwise(0L)).as("na_d"),
+        sum(when(!isA, 1L).otherwise(0L)).as("nb_d"),
+        sum(when(isA, x).otherwise(lit(0).cast(dec2))).as("sa_d"),
+        sum(when(!isA, x).otherwise(lit(0).cast(dec2))).as("sb_d"),
+        sum(when(isA, x * x).otherwise(lit(0).cast(dec2))).as("qa_d"),
+        sum(when(!isA, x * x).otherwise(lit(0).cast(dec2))).as("qb_d"))
+    val wCum = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tau2 = tau * tau
+    val cum = daily
+      .withColumn("n_a", sum(col("na_d")).over(wCum))
+      .withColumn("n_b", sum(col("nb_d")).over(wCum))
+      .withColumn("sa", sum(col("sa_d")).over(wCum))
+      .withColumn("sb", sum(col("sb_d")).over(wCum))
+      .withColumn("qa", sum(col("qa_d")).over(wCum))
+      .withColumn("qb", sum(col("qb_d")).over(wCum))
+      .withColumn("m_a", col("sa").cast("double") / col("n_a"))
+      .withColumn("m_b", col("sb").cast("double") / col("n_b"))
+      .withColumn("s2", when(col("n_a") + col("n_b") > 2,
+        ((col("qa").cast("double") - col("n_a") * col("m_a") * col("m_a")) +
+         (col("qb").cast("double") - col("n_b") * col("m_b") * col("m_b"))) /
+          (col("n_a") + col("n_b") - 2).cast("double")))
+      .withColumn("vn", when(col("n_a") > 0 && col("n_b") > 0,
+        col("s2") * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))))
+      .withColumn("delta", col("m_b") - col("m_a"))
+      .withColumn("lam", when(col("vn") > 0,
+        sqrt(col("vn") / (col("vn") + lit(tau2))) *
+          exp(col("delta") * col("delta") * lit(tau2) /
+            (lit(2.0) * col("vn") * (col("vn") + lit(tau2))))))
+      .withColumn("p_raw", when(col("lam").isNotNull,
+        least(lit(1.0), lit(1.0) / col("lam"))))
+      .withColumn("p_always", min(col("p_raw")).over(wCum))
+    cum.select(col("day"), col("n_a"), col("n_b"),
+        round(col("delta"), 4).as("lift"),
+        round(col("lam"), 6).as("lambda"),
+        round(col("p_always"), 6).as("p_always"),
+        (col("p_always") <= alpha).as("significant"))
+      .orderBy(col("day"))
+  }
+
   /** CUPED variance-reduced A/B readout — the standard trick for making
     * experiments readable sooner: a user's PRE-period activity predicts
     * their post-period metric regardless of arm, so regressing it out

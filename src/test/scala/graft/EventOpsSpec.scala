@@ -219,6 +219,30 @@ class EventOpsSpec extends SparkSpecBase {
     assert(cv2 > 0.9 && !bot2, s"irregular user must not flag: ${out(2L)}")
   }
 
+  test("mSPRT p-process is monotone, hits significance on a planted effect, and reports the lift") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // uid 0 → arm A around 10.5, uid 1 → arm B around 30.5; ten days of
+    // ten events per arm per day — a 20-point lift the mixture test must
+    // catch, with p never allowed to rebound (always-valid running min)
+    val ev = (1 to 10).flatMap { d =>
+      (0 until 10).flatMap { i =>
+        Seq((0L, f"2024-01-$d%02d 0$i:00:00", 10.0 + (i % 2)),
+            (1L, f"2024-01-$d%02d 0$i:00:00", 30.0 + (i % 2)))
+      }
+    }.toDF("user_id", "ts_s", "value")
+      .select(col("user_id"), col("ts_s").cast("timestamp").as("ts"),
+        col("value"))
+    val rows = EventOps.msprtReadout(ev).collect()
+      .map(r => (r.getDate(0).toString, r.getDouble(3), r.getDouble(5),
+        r.getBoolean(6)))
+    val ps = rows.map(_._3)
+    assert(ps.zip(ps.tail).forall { case (a, b) => b <= a },
+      s"p-process must be nonincreasing: ${ps.toSeq}")
+    assert(rows.last._4, s"planted 20-point lift never significant: $rows")
+    assert(rows.forall(_._2 == 20.0), s"lift: ${rows.map(_._2).toSeq}")
+  }
+
   test("CUPED recovers the planted theta and preserves the lift while cutting variance") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
