@@ -105,6 +105,9 @@ final case class DataLake(spark: SparkSession, dir: String) {
   /** Anytime-valid (mSPRT) day-by-day experiment monitor. */
   def msprtReadout(tau: Double = 5.0, alpha: Double = 0.05): DataFrame =
     EventOps.msprtReadout(Lake.events(spark, dir), tau, alpha)
+  /** Frequent behavioral event trigrams (sequential patterns). */
+  def eventNgrams(minUsers: Long = 5): DataFrame =
+    EventOps.eventNgrams(spark, dir, minUsers)
   /** Inter-event-gap regularity screen for scripted/bot actors. */
   def botScreen(minGaps: Long = 30, cvThreshold: Double = 0.5): DataFrame =
     EventOps.botScreen(Lake.events(spark, dir), minGaps, cvThreshold)

@@ -367,6 +367,9 @@ object SparkEntry {
     // Sessionized Markov transition matrix over event types
     "q_transitions"       -> ((s: SparkSession, d: String) =>
       EventOps.transitions(s, d)),
+    // Frequent contiguous event trigrams per session (pattern mining)
+    "q_event_ngrams"      -> ((s: SparkSession, d: String) =>
+      EventOps.eventNgrams(s, d)),
     // Cross-source shingle-vocabulary overlap (Jaccard matrix)
     "q_source_overlap"    -> ((s: SparkSession, d: String) =>
       TextOps.sourceOverlap(s, d)),
@@ -1843,6 +1846,20 @@ object SparkEntry {
         |SELECT from_type, to_type, n,
         |  round(n / sum(n) OVER (PARTITION BY from_type), 4) AS p
         |FROM c ORDER BY from_type, to_type""".stripMargin,
+    // Event trigrams: per-user ordered history + two leads; support =
+    // distinct users exhibiting the trigram.
+    "q_event_ngrams" ->
+      """WITH n AS (
+        |  SELECT user_id, event_type AS e1,
+        |    lead(event_type, 1) OVER w AS e2,
+        |    lead(event_type, 2) OVER w AS e3
+        |  FROM events WINDOW w AS (PARTITION BY user_id
+        |                           ORDER BY ts, event_id))
+        |SELECT e1, e2, e3, count(*) AS n_occurrences,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM n WHERE e3 IS NOT NULL GROUP BY e1, e2, e3
+        |HAVING count(DISTINCT user_id) >= 5
+        |ORDER BY n_users DESC, n_occurrences DESC, e1, e2, e3""".stripMargin,
     // Source overlap: same per-doc distinct shingles (short docs shingle
     // to the whole text), distinct (source, shingle), exact pair counts.
     "q_source_overlap" ->

@@ -706,6 +706,39 @@ object EventOps {
     * One lead() on the session window (the sessionization shuffle,
     * reused), then a type-pair aggregate bounded by |types|² — the
     * probability division is a single long/long per pair. */
+  /** Frequent behavioral event trigrams — sequential-pattern mining one
+    * order above the Markov [[transitions]] matrix: a transition matrix
+    * cannot distinguish view→click→purchase from view→click→error (both
+    * share the view→click edge), but the common k-gram inventory can,
+    * and "which 3-step paths recur across many users" is the behavioral
+    * question funnels are usually built from. The unit is the USER's
+    * full time-ordered history (session-contiguous trigrams are
+    * vanishingly rare under short-session traffic — measured: 16 in the
+    * whole sf0.01 corpus — while cross-session motifs are the
+    * long-horizon signal); support = distinct users exhibiting the
+    * trigram (a loop within one user counts once) beside raw
+    * occurrences, floored at `minUsers`.
+    *
+    * Shape: one user-partitioned (ts, event_id)-ordered window + two
+    * leads, then a group-by over the ≤|types|³ k-gram key space —
+    * map-side combinable into a bounded frame. */
+  def eventNgrams(spark: SparkSession, dir: String,
+                  minUsers: Long = 5): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Lake.events(spark, dir)
+      .withColumn("t2", lead(col("event_type"), 1).over(w))
+      .withColumn("t3", lead(col("event_type"), 2).over(w))
+      .filter(col("t3").isNotNull)
+      .groupBy(col("event_type").as("e1"), col("t2").as("e2"),
+        col("t3").as("e3"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("user_id")).as("n_users"))
+      .filter(col("n_users") >= minUsers)
+      .orderBy(col("n_users").desc, col("n_occurrences").desc,
+        col("e1"), col("e2"), col("e3"))
+  }
+
   def transitions(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"), col("session_id"))
       .orderBy(col("ts"), col("event_id"))

@@ -219,6 +219,29 @@ class EventOpsSpec extends SparkSpecBase {
     assert(cv2 > 0.9 && !bot2, s"irregular user must not flag: ${out(2L)}")
   }
 
+  test("event trigrams: support counts users once per pattern, occurrences count repeats") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // user 1 loops a→b→c twice (abc occurs twice, but one user);
+    // user 2 runs it once; user 3 is unrelated → at minUsers=2 only the
+    // shared pattern survives, with 3 occurrences over 2 users
+    val types = Map(1L -> Seq("a", "b", "c", "a", "b", "c"),
+      2L -> Seq("a", "b", "c"), 3L -> Seq("x", "y", "z"))
+    val ev = types.toSeq.flatMap { case (uid, seq) =>
+      seq.zipWithIndex.map { case (t, i) =>
+        (uid * 100 + i, f"2024-01-01 00:${i}%02d:00", uid, t)
+      }
+    }.toDF("event_id", "ts_s", "user_id", "event_type")
+      .select(col("event_id"), col("ts_s").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ngram").toString
+    ev.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = EventOps.eventNgrams(spark, tmp, minUsers = 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(("a", "b", "c", 3L, 2L)), s"got: ${out.toSeq}")
+  }
+
   test("mSPRT p-process is monotone, hits significance on a planted effect, and reports the lift") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
