@@ -117,6 +117,9 @@ final case class DataLake(spark: SparkSession, dir: String) {
   /** Graph-navigating ANN over the persisted kNN artifact. */
   def annSearchGraph(k: Int = 5): DataFrame =
     AnnOps.graphSearch(spark, dir, k = k)
+  /** nDCG@k of the exact-cosine ranking against label relevance. */
+  def retrievalNdcg(k: Int = 10, nQueries: Int = 8): DataFrame =
+    AnnOps.retrievalNdcg(spark, dir, k, nQueries)
   /** Per-label centroid-cosine + norm drift between two corpus slices. */
   def embeddingDrift(refSlice: Column, curSlice: Column): DataFrame =
     AnnOps.embeddingDrift(embeddings, refSlice, curSlice)

@@ -487,6 +487,9 @@ object SparkEntry {
     // ANN recall@k evaluation: LSH search vs exact brute force
     "q_ann_recall"        -> ((s: SparkSession, d: String) =>
       AnnOps.annRecall(s, d)),
+    // nDCG@10 of the exact-cosine ranking against label relevance
+    "q_retrieval_ndcg"    -> ((s: SparkSession, d: String) =>
+      AnnOps.retrievalNdcg(s, d)),
     // Keyword-in-context concordance for a corpus term
     "q_concordance"       -> TextOps.concordanceQuery _,
     // Flesch readability profile per source (exact integer counts)
@@ -610,6 +613,14 @@ object SparkEntry {
     "engine" -> "\\b(spark|query|table)\\b")
 
   private val stopList = TextOps.Stopwords.map(s => s"'$s'").mkString(", ")
+
+  /** The iDCG@10 term chain for the nDCG oracle — the same 1..10
+    * literal sum the engine's `retrievalNdcg` builds, so both engines
+    * evaluate identical gated decimal terms in identical order. */
+  private def ndcgIdcgChain: String = (1 to 10).map(i =>
+    s"CASE WHEN n_rel >= $i THEN CAST(round(1.0 / ln($i + 1.0), 9) " +
+      "AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END")
+    .mkString("(", " + ", ")")
 
   /** Shared CTE prefix for the LSH oracles: the engine's hyperplane
     * constants ([[graft.functions.LshBuckets.planes]], widened to double
@@ -4598,6 +4609,35 @@ object SparkEntry {
         |FROM xt ORDER BY source""".stripMargin,
     // ANN recall: the q_ann_lsh top-k left-joined onto the brute-force
     // top-k, hits counted per query.
+    // nDCG: exact-cosine ranking, gain terms rounded once to 9 dp and
+    // decimal-summed (association-order-free), iDCG as the same literal
+    // 1..10 chain gated on the label's corpus prevalence.
+    "q_retrieval_ndcg" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb,
+         |             label AS q_label
+         |           FROM embeddings WHERE vec_id < 8),
+         |top AS (SELECT * FROM (
+         |  SELECT q.q_id, q.q_label, c.label,
+         |    row_number() OVER (PARTITION BY q.q_id
+         |      ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+         |          q.q_emb) DESC,
+         |        c.vec_id) AS rnk
+         |  FROM embeddings c JOIN q ON c.vec_id <> q.q_id) t
+         |  WHERE rnk <= 10),
+         |d AS (SELECT q_id, q_label,
+         |  sum(CASE WHEN label = q_label
+         |      THEN CAST(round(1.0 / ln(rnk + 1.0), 9) AS DECIMAL(18,9))
+         |      ELSE CAST(0 AS DECIMAL(18,9)) END) AS dcg_dec
+         |  FROM top GROUP BY q_id, q_label),
+         |p AS (SELECT label AS q_label, count(*) AS n_label
+         |      FROM embeddings GROUP BY 1),
+         |j AS (SELECT d.q_id, d.q_label, p.n_label - 1 AS n_rel, d.dcg_dec
+         |      FROM d JOIN p USING (q_label)),
+         |i AS (SELECT *, $ndcgIdcgChain AS idcg FROM j)
+         |SELECT q_id, q_label, CAST(n_rel AS BIGINT) AS n_rel,
+         |  round(CAST(dcg_dec AS DOUBLE), 6) AS dcg,
+         |  round(CAST(dcg_dec AS DOUBLE) / CAST(idcg AS DOUBLE), 6) AS ndcg
+         |FROM i ORDER BY q_id""".stripMargin,
     "q_ann_recall" ->
       s"""WITH $lshOracleCtes,
          |cand AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS neighbor_id

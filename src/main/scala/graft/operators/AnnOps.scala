@@ -938,6 +938,58 @@ object AnnOps {
       .orderBy(col("q_id"))
   }
 
+  /** nDCG@k retrieval-quality harness — the GRADED complement of
+    * [[annRecall]]: recall@k says whether the approximate index found
+    * the exact neighbors; nDCG@k says whether a ranking surfaces
+    * SEMANTICALLY relevant items (label match) early, which is the
+    * number a retrieval stack is actually tuned on. Exact-cosine ranking
+    * per query, gain 1/ln(rank+1) for label-relevant hits (natural log —
+    * base cancels in the DCG/iDCG ratio, and ln is the engine-portable
+    * choice), ideal DCG from the query label's corpus prevalence capped
+    * at k.
+    *
+    * Determinism: each gain term rounds once to 9 dp and rides
+    * DECIMAL(18,9) so the per-query sum is association-order-free (the
+    * surprisal discipline — never a bare double Σ); iDCG is the same
+    * literal 1..k term chain gated on n_rel, evaluated identically in
+    * both engines. Shape: the bounded query set broadcasts, the corpus
+    * is scanned once (the [[bruteForce]] plan) plus one label-frequency
+    * broadcast — linear, no corpus shuffle. */
+  def retrievalNdcg(spark: SparkSession, dir: String,
+                    k: Int = 10, nQueries: Int = 8): DataFrame = {
+    val dec9 = DecimalType(18, 9)
+    val emb = Lake.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim_raw").desc, col("vec_id"))
+    val top = emb.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .withColumn("sim_raw", cosineSimilarity(col("embedding"), col("q_emb")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+    val dcg = top
+      .withColumn("term", when(col("label") === col("q_label"),
+          round(lit(1.0) / log(col("rnk").cast("double") + 1), 9).cast(dec9))
+        .otherwise(lit(0).cast(dec9)))
+      .groupBy(col("q_id"), col("q_label"))
+      .agg(sum(col("term")).as("dcg_dec"))
+    val prevalence = emb.groupBy(col("label").as("q_label"))
+      .agg(count(lit(1)).as("n_label"))
+    val idcg = (1 to k).map(i =>
+        when(col("n_rel") >= i,
+          round(lit(1.0) / log(lit(i + 1.0)), 9).cast(dec9))
+          .otherwise(lit(0).cast(dec9)))
+      .reduce(_ + _)
+    dcg.join(broadcast(prevalence), Seq("q_label"))
+      .withColumn("n_rel", col("n_label") - 1)
+      .select(col("q_id"), col("q_label"), col("n_rel"),
+        round(col("dcg_dec").cast("double"), 6).as("dcg"),
+        round(col("dcg_dec").cast("double") / idcg.cast("double"), 6)
+          .as("ndcg"))
+      .orderBy(col("q_id"))
+  }
+
   /** Silhouette-lite clustering quality per label: for every vector,
     * a = distance to its OWN label centroid, b = distance to the nearest
     * OTHER centroid, s = (b − a)/max(a, b) — averaged per label. The

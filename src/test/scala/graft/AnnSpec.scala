@@ -458,6 +458,35 @@ class AnnSpec extends SparkSpecBase {
     }
   }
 
+  test("retrieval nDCG matches the closed form on a planted ranking") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // query [1,0] (label 1); ranking by cosine: vec10 (rel, rank 1),
+    // vec11 (irrelevant, rank 2), vec12 (rel, rank 3), vec13 outside k=3
+    val rows = Seq(
+      (0L, Array(1f, 0f), 1),
+      (10L, Array(1f, 0.01f), 1),
+      (11L, Array(1f, 0.1f), 2),
+      (12L, Array(1f, 0.2f), 1),
+      (13L, Array(0f, 1f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ndcg").toString
+    rows.write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val out = AnnOps.retrievalNdcg(spark, tmp, k = 3, nQueries = 1).collect()
+    assert(out.length == 1)
+    val r = out.head
+    def t(i: Int) = BigDecimal(1.0 / math.log(i + 1.0))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def r6(x: BigDecimal) = x.setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val dcg = t(1) + t(3)            // relevant at ranks 1 and 3
+    val idcg = t(1) + t(2)           // n_rel = 2 ideal prefix
+    assert(r.getLong(2) == 2L, s"n_rel: $r")
+    assert(r.getDouble(3) == r6(dcg).toDouble, s"dcg: $r")
+    assert(math.abs(r.getDouble(4) -
+      (dcg.toDouble / idcg.toDouble)) < 1e-6, s"ndcg: $r")
+    assert(r.getDouble(4) < 1.0, "imperfect ranking must score below 1")
+  }
+
   test("matryoshka recall: perfect at full dims, valid in [0,1] at half dims") {
     // keepDims = full width -> the truncated leg IS the exact leg
     val full = AnnOps.matryoshkaRecall(spark, Sf, keepDims = 64).collect()
