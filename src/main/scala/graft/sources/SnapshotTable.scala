@@ -529,6 +529,32 @@ object SnapshotTable {
     drop
   }
 
+  /** Policy-aware retention expiry — the production form of [[vacuum]]:
+    * drop versions outside the keep-last window UNLESS a tag or branch
+    * references them. Raw [[vacuum]] silently breaks `readTag`/
+    * `readBranch` when the window slides past a pinned release; expire
+    * treats every named ref as a GC root (the Iceberg/Delta retention
+    * contract). Same crash-safe marker-first delete order; returns the
+    * versions actually dropped. */
+  def expire(spark: SparkSession, dir: String, keepLast: Int = 1): Seq[Long] = {
+    require(keepLast >= 1, "expire must keep at least the current version")
+    val latest = latestVersion(spark, dir).getOrElse(return Seq.empty)
+    val f = fs(spark, dir)
+    val base = new Path(dir)
+    val refRoots = f.listStatus(base).iterator.map(_.getPath.getName)
+      .filter(n => n.startsWith(TagPrefix) || n.startsWith(BranchPrefix))
+      .flatMap(n => refVersion(f, dir, n)).toSet
+    val dropBelow = latest - (keepLast - 1)
+    (0L until dropBelow).filterNot(refRoots).filter { v =>
+      val marker = new Path(dir, s"$MarkerPrefix$v")
+      if (f.exists(marker)) {
+        f.delete(marker, false)
+        f.delete(new Path(dir, s"v=$v"), true)
+        true
+      } else false
+    }
+  }
+
   /** Drop all versions older than the `keepLast` most recent (never the
     * current one — `keepLast` must be ≥ 1). */
   def vacuum(spark: SparkSession, dir: String, keepLast: Int = 1): Seq[Long] = {

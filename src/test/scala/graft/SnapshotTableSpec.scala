@@ -277,6 +277,29 @@ class SnapshotTableSpec extends SparkSpecBase {
       SnapshotTable.read(spark, dir, Some(0L))).isEmpty)
   }
 
+  test("expire keeps tag- and branch-referenced versions as GC roots; vacuum does not") {
+    val dir = Files.createTempDirectory("graft_snap_expire").toString + "/tbl"
+    val docs = Lake.documents(spark, Sf)
+    SnapshotTable.write(spark, dir, docs.filter("doc_id < 100")) // v0 — expendable
+    SnapshotTable.write(spark, dir, docs.filter("doc_id < 200")) // v1 — tagged
+    SnapshotTable.write(spark, dir, docs.filter("doc_id < 300")) // v2 — branch base
+    SnapshotTable.write(spark, dir, docs.filter("doc_id < 400")) // v3 — latest
+    SnapshotTable.tag(spark, dir, "release", 1L)
+    SnapshotTable.createBranch(spark, dir, "audit", Some(2L))
+    val dropped = SnapshotTable.expire(spark, dir, keepLast = 1)
+    assert(dropped == Seq(0L), s"only the unreferenced v0 may go: $dropped")
+    assert(SnapshotTable.versions(spark, dir) == Seq(1L, 2L, 3L))
+    // the pinned readers survive the retention sweep
+    assert(SnapshotTable.readTag(spark, dir, "release").count() == 200)
+    assert(SnapshotTable.readBranch(spark, dir, "audit").count() == 300)
+    // a second expire is a no-op (idempotent under an unchanged policy)
+    assert(SnapshotTable.expire(spark, dir, keepLast = 1).isEmpty)
+    // contrast: raw vacuum would reclaim the tagged version too
+    SnapshotTable.vacuum(spark, dir, keepLast = 1)
+    assert(SnapshotTable.versions(spark, dir) == Seq(3L),
+      "vacuum is the ref-blind form — that is WHY expire exists")
+  }
+
   test("timeTravelQuery reuses one scratch dir across invocations") {
     val tmpRoot = new java.io.File(sys.props("java.io.tmpdir"))
     def snapDirs() = tmpRoot.listFiles()
