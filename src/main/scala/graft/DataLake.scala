@@ -108,6 +108,8 @@ final case class DataLake(spark: SparkSession, dir: String) {
   /** Frequent behavioral event trigrams (sequential patterns). */
   def eventNgrams(minUsers: Long = 5): DataFrame =
     EventOps.eventNgrams(spark, dir, minUsers)
+  /** 2×2 difference-in-differences readout with parallel-trends gap. */
+  def didReadout(): DataFrame = EventOps.didReadout(Lake.events(spark, dir))
   /** Inter-event-gap regularity screen for scripted/bot actors. */
   def botScreen(minGaps: Long = 30, cvThreshold: Double = 0.5): DataFrame =
     EventOps.botScreen(Lake.events(spark, dir), minGaps, cvThreshold)

@@ -457,6 +457,9 @@ object SparkEntry {
     // mSPRT anytime-valid p-process over the day-by-day readout
     "q_msprt"             -> ((s: SparkSession, d: String) =>
       EventOps.msprtReadout(s, d)),
+    // Difference-in-differences 2×2 readout with parallel-trends gap
+    "q_did"               -> ((s: SparkSession, d: String) =>
+      EventOps.didReadout(s, d)),
     // Bot screen: per-user inter-event-gap regularity (cv of gaps)
     "q_bot_screen"        -> ((s: SparkSession, d: String) =>
       EventOps.botScreen(s, d)),
@@ -4331,6 +4334,52 @@ object SparkEntry {
         |  CASE WHEN vy > 0 AND theta IS NOT NULL
         |    THEN round(cxy * cxy / (vx * vy), 6) END AS var_reduction
         |FROM sc3""".stripMargin,
+    // DiD: one 2×2-cell decimal moment row, identical scalar tree.
+    "q_did" ->
+      """WITH c AS (SELECT
+        |  CASE WHEN ((user_id * 16807) % 2147483647) % 2 <> 0
+        |    THEN 1 ELSE 0 END AS b,
+        |  CASE WHEN ts >= TIMESTAMP '2024-01-11' THEN 1 ELSE 0 END AS post,
+        |  CAST(value AS DECIMAL(18,2)) AS x
+        |  FROM events),
+        |mo AS (SELECT
+        |  CAST(sum(CASE WHEN b = 0 AND post = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a_pre,
+        |  CAST(sum(CASE WHEN b = 0 AND post = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_a_post,
+        |  CAST(sum(CASE WHEN b = 1 AND post = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b_pre,
+        |  CAST(sum(CASE WHEN b = 1 AND post = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b_post,
+        |  sum(CASE WHEN b = 0 AND post = 0 THEN x END) AS s_a_pre,
+        |  sum(CASE WHEN b = 0 AND post = 1 THEN x END) AS s_a_post,
+        |  sum(CASE WHEN b = 1 AND post = 0 THEN x END) AS s_b_pre,
+        |  sum(CASE WHEN b = 1 AND post = 1 THEN x END) AS s_b_post,
+        |  sum(CASE WHEN b = 0 AND post = 0 THEN x * x END) AS q_a_pre,
+        |  sum(CASE WHEN b = 0 AND post = 1 THEN x * x END) AS q_a_post,
+        |  sum(CASE WHEN b = 1 AND post = 0 THEN x * x END) AS q_b_pre,
+        |  sum(CASE WHEN b = 1 AND post = 1 THEN x * x END) AS q_b_post
+        |  FROM c),
+        |mm AS (SELECT *,
+        |  CAST(s_a_pre AS DOUBLE) / n_a_pre AS m_a_pre,
+        |  CAST(s_a_post AS DOUBLE) / n_a_post AS m_a_post,
+        |  CAST(s_b_pre AS DOUBLE) / n_b_pre AS m_b_pre,
+        |  CAST(s_b_post AS DOUBLE) / n_b_post AS m_b_post
+        |  FROM mo),
+        |vv AS (SELECT *,
+        |  (CAST(q_a_pre AS DOUBLE) - CAST(n_a_pre AS DOUBLE) * m_a_pre * m_a_pre) / CAST(n_a_pre - 1 AS DOUBLE) AS v_a_pre,
+        |  (CAST(q_a_post AS DOUBLE) - CAST(n_a_post AS DOUBLE) * m_a_post * m_a_post) / CAST(n_a_post - 1 AS DOUBLE) AS v_a_post,
+        |  (CAST(q_b_pre AS DOUBLE) - CAST(n_b_pre AS DOUBLE) * m_b_pre * m_b_pre) / CAST(n_b_pre - 1 AS DOUBLE) AS v_b_pre,
+        |  (CAST(q_b_post AS DOUBLE) - CAST(n_b_post AS DOUBLE) * m_b_post * m_b_post) / CAST(n_b_post - 1 AS DOUBLE) AS v_b_post
+        |  FROM mm),
+        |dd AS (SELECT *,
+        |  (m_b_post - m_b_pre) - (m_a_post - m_a_pre) AS did,
+        |  v_a_pre / n_a_pre + v_a_post / n_a_post +
+        |    v_b_pre / n_b_pre + v_b_post / n_b_post AS se2
+        |  FROM vv)
+        |SELECT n_a_pre, n_a_post, n_b_pre, n_b_post,
+        |  round(m_a_pre, 4) AS mean_a_pre, round(m_a_post, 4) AS mean_a_post,
+        |  round(m_b_pre, 4) AS mean_b_pre, round(m_b_post, 4) AS mean_b_post,
+        |  round(m_b_pre - m_a_pre, 4) AS pre_gap,
+        |  round(did, 4) AS did,
+        |  CASE WHEN se2 > 0 THEN round(did / sqrt(se2), 4) END AS z_did
+        |FROM dd""".stripMargin,
     // mSPRT: per-(day, arm) decimal moments, cumulative windows over the
     // calendar frame, the identical Λ/p scalar tree, running min.
     "q_msprt" ->

@@ -983,6 +983,63 @@ object EventOps {
           .as("z_stat"))
   }
 
+  /** Difference-in-differences readout — the OBSERVATIONAL causal
+    * complement of the randomized readouts: when assignment is NOT
+    * randomized (a rollout, a policy change), the raw post-period gap
+    * confounds group composition with the effect; DiD nets out the
+    * time-invariant gap via δ = (B_post − B_pre) − (A_post − A_pre),
+    * valid under parallel trends — and the pre-period gap is reported
+    * beside δ exactly so the reader can judge that assumption. SE from
+    * the four cell variances (independent-samples form), z = δ/SE.
+    *
+    * Shape: one events scan → ONE 2×2-cell moment row (every n/Σx/Σx²
+    * folds into the same aggregate — the [[abReadout]] no-double-scan
+    * discipline), exact DECIMAL(18,2) sums, scalar tree on top. */
+  def didReadout(spark: SparkSession, dir: String): DataFrame =
+    didReadout(Lake.events(spark, dir))
+
+  def didReadout(events: DataFrame,
+                 cutoff: String = "2024-01-11"): DataFrame = {
+    val x = col("value").cast(dec2)
+    val isB = pmod(col("user_id") * lit(16807L), lit(2147483647L)) % 2 =!= 0
+    val isPost = col("ts") >= lit(cutoff).cast("timestamp")
+    def cell(p: Column) = (
+      sum(when(p, 1L).otherwise(0L)),
+      sum(when(p, x).otherwise(null)),
+      sum(when(p, x * x).otherwise(null)))
+    val cells = Seq(
+      ("a_pre", !isB && !isPost), ("a_post", !isB && isPost),
+      ("b_pre", isB && !isPost), ("b_post", isB && isPost))
+    val aggs = cells.flatMap { case (nm, p) =>
+      val (n, s, q) = cell(p)
+      Seq(n.as(s"n_$nm"), s.as(s"s_$nm"), q.as(s"q_$nm"))
+    }
+    var m = events.agg(aggs.head, aggs.tail: _*)
+    for ((nm, _) <- cells) {
+      m = m.withColumn(s"m_$nm",
+          col(s"s_$nm").cast("double") / col(s"n_$nm"))
+        .withColumn(s"v_$nm",
+          (col(s"q_$nm").cast("double") - col(s"n_$nm").cast("double") *
+            col(s"m_$nm") * col(s"m_$nm")) /
+            (col(s"n_$nm") - 1).cast("double"))
+    }
+    m.withColumn("did",
+        (col("m_b_post") - col("m_b_pre")) -
+          (col("m_a_post") - col("m_a_pre")))
+      .withColumn("se2", cells.map { case (nm, _) =>
+        col(s"v_$nm") / col(s"n_$nm") }.reduce(_ + _))
+      .select(
+        col("n_a_pre"), col("n_a_post"), col("n_b_pre"), col("n_b_post"),
+        round(col("m_a_pre"), 4).as("mean_a_pre"),
+        round(col("m_a_post"), 4).as("mean_a_post"),
+        round(col("m_b_pre"), 4).as("mean_b_pre"),
+        round(col("m_b_post"), 4).as("mean_b_post"),
+        round(col("m_b_pre") - col("m_a_pre"), 4).as("pre_gap"),
+        round(col("did"), 4).as("did"),
+        when(col("se2") > 0, round(col("did") / sqrt(col("se2")), 4))
+          .as("z_did"))
+  }
+
   /** mSPRT anytime-valid experiment monitor — the fix for the peeking
     * problem: a fixed-horizon z test read daily inflates false positives,
     * while the mixture sequential probability ratio

@@ -266,6 +266,27 @@ class EventOpsSpec extends SparkSpecBase {
     assert(rows.forall(_._2 == 20.0), s"lift: ${rows.map(_._2).toSeq}")
   }
 
+  test("DiD nets out the planted time-invariant gap and reports it for the trends check") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // arm A (uid 0): pre 10.5, post 12.5 (trend +2); arm B (uid 1):
+    // pre 20.5, post 27.5 (trend +7) → DiD 5, pre-existing gap 10
+    def cell(uid: Long, ts: String, base: Double) =
+      (0 until 20).map(i => (uid, ts, base + (i % 2)))
+    val ev = (cell(0L, "2024-01-05 00:00:00", 10.0) ++
+      cell(0L, "2024-01-20 00:00:00", 12.0) ++
+      cell(1L, "2024-01-05 00:00:00", 20.0) ++
+      cell(1L, "2024-01-20 00:00:00", 27.0))
+      .toDF("user_id", "ts_s", "value")
+      .select(col("user_id"), col("ts_s").cast("timestamp").as("ts"),
+        col("value"))
+    val r = EventOps.didReadout(ev).collect().head
+    assert((0 to 3).forall(i => r.getLong(i) == 20L), s"cells: $r")
+    assert(r.getDouble(8) == 10.0, s"pre gap: $r")
+    assert(r.getDouble(9) == 5.0, s"did: $r")
+    assert(r.getDouble(10) > 10.0, s"planted effect must be decisive: $r")
+  }
+
   test("CUPED recovers the planted theta and preserves the lift while cutting variance") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
