@@ -326,6 +326,9 @@ class PlanShapeSpec extends SparkSpecBase {
         // q_ann_recall: inherits q_ann_bruteforce's bounded 8-query
         // broadcast in its exact leg
         "q_ann_recall",
+        // q_retrieval_ndcg: the same bounded 8-query broadcast (exact
+        // ranking leg) + the label-prevalence broadcast
+        "q_retrieval_ndcg",
         // q_backtest: the bounded test-days × types × 24-hours spine
         // (the q_gap_fill dense-grid pattern)
         "q_backtest",
