@@ -188,6 +188,8 @@ final case class DataLake(spark: SparkSession, dir: String) {
   // --- structured-record and basket mining ---
   def entityMatch(table: String, nameCol: String, maxDist: Int = 2): DataFrame =
     DedupOps.entityMatch(Lake.table(spark, dir, table), nameCol, maxDist)
+  /** Quality-argmax keeper per near-dup cluster (keep the best copy). */
+  def nearDupKeepBest(): DataFrame = DedupOps.nearDupKeepBest(spark, dir)
   /** One master row per transitively-matched entity cluster. */
   def goldenRecord(table: String, nameCol: String, maxDist: Int,
                    modeCol: String, minCol: String, maxCol: String): DataFrame =

@@ -104,6 +104,8 @@ object SparkEntry {
     "q_dedup_exact"       -> DedupOps.dedupExact _,
     "q_neardup_pairs"     -> ((s: SparkSession, d: String) => DedupOps.nearDupPairs(s, d)),
     "q_neardup_keep"      -> ((s: SparkSession, d: String) => DedupOps.nearDupClusters(s, d)),
+    // Quality-argmax survivorship per near-dup cluster (keep the BEST copy)
+    "q_neardup_keep_best" -> ((s: SparkSession, d: String) => DedupOps.nearDupKeepBest(s, d)),
     "q_simhash"           -> ((s: SparkSession, d: String) => DedupOps.simhash(s, d)),
     "q_simhash_pairs"     -> ((s: SparkSession, d: String) => DedupOps.simhashPairs(s, d)),
     "q_setsim_pairs"      -> ((s: SparkSession, d: String) => DedupOps.setSimilarityJoin(s, d)),
@@ -2869,6 +2871,51 @@ object SparkEntry {
     // Connected components over the verified near-dup pair graph: the
     // oracle brute-forces the pairs, then computes the transitive closure
     // with a recursive CTE and takes each node's reachable minimum.
+    // Keep-best: the q_neardup_keep component CTEs + the q_doc_quality
+    // score; keeper = per-cluster (quality DESC, doc_id) argmax.
+    "q_neardup_keep_best" ->
+      s"""WITH RECURSIVE
+         |tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE text IS NOT NULL),
+         |sh AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(t) >= 3
+         |      THEN list_distinct(list_transform(range(1, len(t) - 1),
+         |             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+         |      ELSE [array_to_string(t, ' ')] END AS s
+         |  FROM tok),
+         |p AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sh a, sh b
+         |  WHERE a.doc_id < b.doc_id
+         |    AND len(list_intersect(a.s, b.s)) * 1.0 / len(list_distinct(a.s || b.s)) >= 0.6),
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+         |      UNION ALL SELECT doc_b, doc_a FROM p),
+         |r AS (
+         |  SELECT DISTINCT src AS doc_id, src AS reach FROM e
+         |  UNION
+         |  SELECT r.doc_id, e.dst FROM r JOIN e ON r.reach = e.src
+         |),
+         |m AS (SELECT doc_id, min(reach) AS cluster_min FROM r GROUP BY doc_id),
+         |q AS (
+         |  SELECT doc_id,
+         |    round(0.4 * least(1.0, n_tokens / 100.0)
+         |        + 0.4 * (n_distinct * 1.0 / n_tokens)
+         |        + 0.2 * least(1.0, (n_stop * 1.0 / n_tokens) * 10.0), 4) AS quality
+         |  FROM (
+         |    SELECT doc_id,
+         |      len(string_split(text, ' ')) AS n_tokens,
+         |      len(list_distinct(string_split(text, ' '))) AS n_distinct,
+         |      len(list_filter(string_split(text, ' '), t -> t IN ($stopList))) AS n_stop
+         |    FROM documents WHERE text IS NOT NULL) u),
+         |j AS (SELECT m.doc_id, m.cluster_min, q.quality
+         |      FROM m JOIN q USING (doc_id)),
+         |b AS (SELECT cluster_min, doc_id AS best_id FROM (
+         |        SELECT *, row_number() OVER (PARTITION BY cluster_min
+         |          ORDER BY quality DESC, doc_id) AS rk FROM j)
+         |      WHERE rk = 1)
+         |SELECT j.doc_id, j.cluster_min, b.best_id, j.quality,
+         |  j.doc_id = b.best_id AS kept
+         |FROM j JOIN b USING (cluster_min) ORDER BY j.doc_id""".stripMargin,
     "q_neardup_keep" ->
       """WITH RECURSIVE
         |tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE text IS NOT NULL),

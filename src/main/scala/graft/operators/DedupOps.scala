@@ -278,6 +278,37 @@ object DedupOps extends org.apache.spark.internal.Logging {
     clustersFromPairs(NearDupArtifact.sharedPairs(spark, dir)
       .select(col("doc_a"), col("doc_b")))
 
+  /** Quality-aware near-dup survivorship — the POLICY layer over
+    * [[nearDupClusters]]: min-doc-id keepers are reproducible but
+    * arbitrary, and a production dedup keeps the BEST copy (highest
+    * quality score, doc_id breaking exact ties deterministically) — a
+    * cluster of a pristine article and its ad-riddled scrape should keep
+    * the article regardless of crawl order. One row per clustered doc:
+    * its cluster (the component-min label, kept as the stable cluster
+    * identity), the quality-argmax keeper, the doc's own quality, and
+    * the keep verdict.
+    *
+    * Shape: the shared pair-graph components + the quality frame join on
+    * doc_id; best-of-cluster is ONE cluster-partitioned window over the
+    * clustered-docs frame (near-dup clusters are sparse — this frame is
+    * orders below corpus size). */
+  def nearDupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val members = nearDupClusters(spark, dir)
+      .withColumnRenamed("keeper", "cluster_min")
+      .join(TextOps.docQuality(spark, dir)
+        .select(col("doc_id"), col("quality")), Seq("doc_id"))
+    val w = Window.partitionBy(col("cluster_min"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    val best = members
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("cluster_min"), col("doc_id").as("best_id"))
+    members.join(best, Seq("cluster_min"))
+      .select(col("doc_id"), col("cluster_min"), col("best_id"),
+        col("quality"), (col("doc_id") === col("best_id")).as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Small-graph path of [[nearDupClusters]]: union-find with path halving
     * over a bounded, already-collected edge list; keeper = component min
     * falls out of union-by-smaller-root. LongMap keeps the table unboxed

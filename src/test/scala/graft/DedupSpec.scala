@@ -340,6 +340,28 @@ class DedupSpec extends SparkSpecBase {
       assert(math.abs(share - lchars.toDouble / total) < 1e-5)
   }
 
+  test("keep-best survivorship picks the per-cluster quality argmax with id tie-break") {
+    val out = DedupOps.nearDupKeepBest(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4)))
+    assert(out.nonEmpty, "test data should contain near-dup clusters")
+    val byCluster = out.groupBy(_._2)
+    for ((cl, members) <- byCluster) {
+      val bests = members.map(_._3).distinct
+      assert(bests.length == 1, s"cluster $cl names two keepers")
+      // the keeper is the (quality DESC, doc_id ASC) argmax of its cluster
+      val expect = members.minBy(m => (-m._4, m._1))._1
+      assert(bests.head == expect, s"cluster $cl keeper ${bests.head} != $expect")
+      assert(members.count(_._5) == 1, s"cluster $cl kept != 1")
+      assert(members.find(_._5).get._1 == expect)
+      // cluster identity stays the min-id label even when the keeper moves
+      assert(cl == members.map(_._1).min)
+    }
+    // the policy must actually differ from min-id keeping somewhere
+    assert(out.exists(m => m._5 && m._1 != m._2),
+      "no cluster where the best copy is not the min id — vacuous policy")
+  }
+
   test("golden record merges transitive chains and applies deterministic survivorship") {
     import spark.implicits._
     // chain at maxDist=1: corpa ~ corpab ~ corpabb (ends are dist 2 apart
