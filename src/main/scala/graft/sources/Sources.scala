@@ -61,6 +61,28 @@ object Sources {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Raw media-directory ingest via Spark's `binaryFile` source — how
+    * image/audio corpora actually arrive at a lake (a bucket of files,
+    * not a parquet binary column). Emits the multimodal payload
+    * contract: a stable 64-bit id hashed from the file path, the source
+    * path for lineage, size + mtime for incremental pickup, and the raw
+    * bytes as `payload` — directly consumable by
+    * [[graft.operators.MultimodalOps.decodeFeaturesOf]] and the other
+    * payload-frame kernels. Reading distributes one file per task slot
+    * (binaryFile files are indivisible splits); `pathGlobFilter` prunes
+    * at listing time so a mixed dump only reads the wanted extension. */
+  def readBinaryFiles(spark: SparkSession, path: String,
+                      glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(path)
+      .select(
+        xxhash64(col("path")).as("doc_id"),
+        col("path"),
+        col("length").as("n_bytes"),
+        col("modificationTime").as("modified"),
+        col("content").as("payload"))
+
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").orc(path)
 

@@ -77,4 +77,38 @@ class SourcesSpec extends SparkSpecBase {
       raw.exists(_.contains("not json at all")),
       "quarantine preserves the original raw lines for replay")
   }
+
+  test("binaryFile ingest feeds raw media files straight into the decode kernels") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_binfiles")
+    // three REAL Netpbm images of distinct sizes, plus a decoy the glob
+    // must prune at listing time
+    for (i <- 1 to 3) {
+      val img = graft.operators.MultimodalOps.ppmEncode(
+        Array.tabulate(48 * i)(j => (j % 251).toByte))
+      java.nio.file.Files.write(dir.resolve(s"img$i.ppm"), img)
+    }
+    java.nio.file.Files.write(dir.resolve("notes.txt"), "decoy".getBytes)
+    val files = graft.sources.Sources.readBinaryFiles(spark, dir.toString,
+      glob = "*.ppm")
+    val rows = files.collect()
+    assert(rows.length == 3, "glob must prune the decoy at listing time")
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length == 3,
+      "path-hashed ids are distinct")
+    for (r <- rows) {
+      val onDisk = java.nio.file.Files.size(
+        java.nio.file.Paths.get(new java.net.URI(r.getAs[String]("path"))))
+      assert(r.getAs[Long]("n_bytes") == onDisk)
+      assert(r.getAs[Array[Byte]]("payload").length == onDisk,
+        "payload carries the exact file bytes")
+    }
+    // the frame satisfies the multimodal payload contract end-to-end
+    val feats = graft.operators.MultimodalOps.decodeFeaturesOf(files).collect()
+    assert(feats.length == 3)
+    for (f <- feats) {
+      val v = f.getAs[scala.collection.Seq[Float]]("features")
+      assert(v.head == 16.0f, s"decoded width: $v")
+      assert(v(1) >= 1.0f && v(1) <= 3.0f, s"decoded height: $v")
+    }
+  }
 }
