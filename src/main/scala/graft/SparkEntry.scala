@@ -137,6 +137,8 @@ object SparkEntry {
     "q_term_stats"        -> TextOps.termStats _,
     "q_bpe_tokens"        -> TextOps.bpeTokenCounts _,
     "q_lang_quality"      -> TextOps.langQuality _,
+    // Language-ID confusion matrix vs the corpus's own lang ground truth
+    "q_lang_confusion"    -> TextOps.langConfusion _,
     "q_doc_quality"       -> TextOps.docQuality _,
     "q_fingerprint"       -> TextOps.fingerprint _,
     "q_quality_rules"     -> ((s: SparkSession, d: String) => TextOps.qualityRules(s, d)),
@@ -3082,6 +3084,22 @@ object SparkEntry {
         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents WHERE text IS NOT NULL) u
         |  GROUP BY token) t
         |ORDER BY token""".stripMargin,
+    // Confusion matrix: the q_lang_quality prediction grouped against the
+    // ground-truth lang; share window partitions by actual language.
+    "q_lang_confusion" ->
+      s"""WITH p AS (
+         |  SELECT lang,
+         |    CASE WHEN round(len(list_filter(string_split(text, ' '),
+         |        t -> t IN ($stopList))) * 1.0
+         |        / len(string_split(text, ' ')), 4) >= 0.03
+         |      THEN 'en' ELSE 'und' END AS lang_pred
+         |  FROM documents WHERE text IS NOT NULL),
+         |c AS (SELECT lang, lang_pred, count(*) AS n
+         |      FROM p GROUP BY lang, lang_pred)
+         |SELECT lang, lang_pred, n,
+         |  round(n * 1.0 / sum(n) OVER (PARTITION BY lang), 4)
+         |    AS share_of_actual
+         |FROM c ORDER BY lang, lang_pred""".stripMargin,
     "q_lang_quality" ->
       s"""SELECT doc_id, lang, n_stop, stop_ratio,
          |  CASE WHEN stop_ratio >= 0.03 THEN 'en' ELSE 'und' END AS lang_pred

@@ -80,6 +80,28 @@ object TextOps {
   def langQuality(spark: SparkSession, dir: String): DataFrame =
     langQuality(Lake.documents(spark, dir))
 
+  /** Language-ID confusion matrix — the EVAL the [[langQuality]] audit
+    * column exists for: the corpus carries its own `lang` ground truth,
+    * so the heuristic's error structure is measurable, not guessed.
+    * One row per (actual, predicted) cell with the within-actual share —
+    * read a row as "X% of true-`de` docs were called `en`", i.e. the
+    * false-accept rate a downstream English-only filter would suffer per
+    * source language. One corpus scan → a ≤|langs|·|preds| frame; the
+    * share window partitions by actual language (bounded frame). */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame =
+    langConfusion(langQuality(spark, dir))
+
+  /** Core of [[langConfusion(spark:org\.apache\.spark\.sql\.SparkSession*]]
+    * over an already-scored frame (needs `lang`, `lang_pred`). */
+  def langConfusion(scored: DataFrame): DataFrame =
+    scored
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share_of_actual",
+        round(col("n") / sum(col("n")).over(
+          Window.partitionBy(col("lang"))), 4))
+      .orderBy(col("lang"), col("lang_pred"))
+
   /** Segment-level language screen: the doc-level heuristic applied to
     * every `blockWords`-word segment, reported per doc — catches the
     * MIXED-language documents (an English page with embedded other-

@@ -480,6 +480,43 @@ class TextOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("lang confusion matrix partitions every doc and shares sum to 1 per actual language") {
+    val docs = Lake.documents(spark, Sf)
+      .filter(org.apache.spark.sql.functions.col("text").isNotNull)
+    val out = graft.operators.TextOps.langConfusion(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.map(_._3).sum == docs.count(), "every doc lands in one cell")
+    val byLang = out.groupBy(_._1)
+    for ((lang, cells) <- byLang) {
+      assert(math.abs(cells.map(_._4).sum - 1.0) < 1e-3,
+        s"$lang shares: ${cells.toSeq}")
+      assert(cells.map(_._2).distinct.length == cells.length)
+    }
+    // every ground-truth language present in the corpus gets a row
+    assert(byLang.keySet == docs.select("lang").distinct().collect()
+      .map(_.getString(0)).toSet)
+    // on the synthetic corpus the heuristic's en recall is high — and the
+    // matrix exposes that non-en docs false-accept too (the eval's point)
+    val en = out.filter(t => t._1 == "en" && t._2 == "en").map(_._4).sum
+    assert(en > 0.5, s"en recall: $en")
+  }
+
+  test("lang confusion separates a planted corpus: stopword-free text is never called en") {
+    import spark.implicits._
+    val planted = Seq(
+      ("d1", "en", "the cat sat on the mat and it was the best of all the mats"),
+      ("d2", "en", "it is a truth that a reader of a book is in want of the next"),
+      ("d3", "xx", "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"),
+      ("d4", "xx", "zxcv qwerty asdf uiop hjkl bnm vcxz trewq fdsa poiuy lkjhg"))
+      .toDF("doc_id", "lang", "text")
+    val cells = graft.operators.TextOps.langConfusion(
+      graft.operators.TextOps.langQuality(planted)).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getDouble(3))).toMap
+    assert(cells(("en", "en")) == 1.0, s"planted en recall: $cells")
+    assert(!cells.contains(("xx", "en")), s"planted xx false-accept: $cells")
+    assert(cells(("xx", "und")) == 1.0)
+  }
+
   test("held-out perplexity: Laplace floor for OOV, no self-leakage, planted values") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
