@@ -146,6 +146,11 @@ object SparkEntry {
     // Held-out perplexity: REF-slice-trained unigram LM scores CUR docs
     "q_heldout_ppl"       -> ((s: SparkSession, d: String) =>
       TextOps.heldoutPerplexity(s, d)),
+    // Trained NB language classifier (even docs train, odd are scored)
+    // and its confusion matrix — the langConfusion eval loop closed
+    "q_nb_classify"       -> ((s: SparkSession, d: String) =>
+      TextOps.nbLangClassify(s, d)),
+    "q_nb_confusion"      -> TextOps.nbConfusion _,
     "q_boilerplate"       -> ((s: SparkSession, d: String) => TextOps.boilerplateNgrams(s, d)),
     "q_boilerplate_density" -> ((s: SparkSession, d: String) => TextOps.boilerplateDensity(s, d)),
     "q_zipf"              -> ((s: SparkSession, d: String) => TextOps.zipfFit(s, d)),
@@ -859,6 +864,53 @@ object SparkEntry {
   /** DuckDB-runnable ANSI SQL twin for each query (same column names, same
     * ORDER BY). Money math goes through decimal(18,2) on both sides so
     * results are bit-identical — see SURVEY.md §6. */
+  /** NB classifier oracle, shared verbatim by `q_nb_classify` and (as a
+    * nested-WITH subquery) `q_nb_confusion` — one definition, two checks. */
+  private val nbClassifySql: String =
+    """WITH docs AS (SELECT doc_id, lang, doc_id % 2 AS par,
+      |                string_split(text, ' ') AS toks
+      |              FROM documents WHERE text IS NOT NULL),
+      |ttok AS (SELECT lang, unnest(toks) AS token FROM docs WHERE par = 0),
+      |classes AS (SELECT lang AS cls, count(*) AS n_docs
+      |            FROM docs WHERE par = 0 GROUP BY lang),
+      |priors AS (SELECT cls, cast(round(ln(n_docs * 1.0 /
+      |             (SELECT sum(n_docs) FROM classes)), 6)
+      |             AS decimal(18,6)) AS log_prior FROM classes),
+      |nl AS (SELECT lang AS cls, cast(count(*) AS double) AS n_l
+      |       FROM ttok GROUP BY lang),
+      |vocab AS (SELECT DISTINCT token FROM ttok),
+      |vs AS (SELECT cast(count(*) AS double) AS v FROM vocab),
+      |cnt AS (SELECT lang AS cls, token, count(*) AS c
+      |        FROM ttok GROUP BY lang, token),
+      |mat AS (SELECT vocab.token, nl.cls,
+      |          cast(round(ln((coalesce(cnt.c, 0) + 1.0) / (nl.n_l + vs.v)), 6)
+      |            AS decimal(18,6)) AS llk
+      |        FROM vocab CROSS JOIN nl CROSS JOIN vs
+      |        LEFT JOIN cnt ON cnt.cls = nl.cls AND cnt.token = vocab.token),
+      |floors AS (SELECT cls, cast(round(ln(1.0 / (n_l + vs.v)), 6)
+      |             AS decimal(18,6)) AS log_floor FROM nl, vs),
+      |stok AS (SELECT doc_id, lang, unnest(toks) AS token
+      |         FROM docs WHERE par = 1),
+      |doov AS (SELECT doc_id, lang,
+      |           sum(CASE WHEN vocab.token IS NULL THEN 1 ELSE 0 END) AS n_oov
+      |         FROM stok LEFT JOIN vocab USING (token)
+      |         GROUP BY doc_id, lang),
+      |sins AS (SELECT stok.doc_id, mat.cls, sum(mat.llk) AS s_in
+      |         FROM stok JOIN mat USING (token) GROUP BY stok.doc_id, mat.cls),
+      |grid AS (SELECT doov.doc_id, doov.lang, priors.cls,
+      |           priors.log_prior + coalesce(sins.s_in, cast(0 AS decimal(18,6)))
+      |             + doov.n_oov * floors.log_floor AS score
+      |         FROM doov CROSS JOIN priors
+      |         JOIN floors ON floors.cls = priors.cls
+      |         LEFT JOIN sins ON sins.doc_id = doov.doc_id
+      |                       AND sins.cls = priors.cls),
+      |ranked AS (SELECT *, row_number() OVER (
+      |             PARTITION BY doc_id ORDER BY score DESC, cls ASC) AS rn
+      |           FROM grid)
+      |SELECT doc_id, lang, cls AS lang_pred,
+      |  round(cast(score AS double), 4) AS nb_score
+      |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     // FD check: |distinct A| vs |distinct (A,B)| per candidate, generated
     // from the same candidate list the engine binds (no drift possible).
@@ -3160,6 +3212,20 @@ object SparkEntry {
         |  CAST(sum(oov) AS BIGINT) AS n_oov,
         |  round(cast(sum(neg_logp) AS double) / count(*), 4) AS avg_neg_logp
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Multinomial NB language classifier: every ln is rounded to 6 dp and
+    // decimal-summed on both sides (the surprisal discipline), so class
+    // scores are exact decimals and the (score DESC, cls ASC) argmax is
+    // engine-independent. Even doc_ids train; odd are classified.
+    "q_nb_classify" -> nbClassifySql,
+    // NB confusion matrix = the langConfusion grouping over the trained
+    // classifier's scored slice (nested-WITH subquery reuses the SQL).
+    "q_nb_confusion" ->
+      s"""SELECT lang, lang_pred, n,
+         |  round(n * 1.0 / sum(n) OVER (PARTITION BY lang), 4)
+         |    AS share_of_actual
+         |FROM (SELECT lang, lang_pred, count(*) AS n
+         |      FROM ($nbClassifySql) q GROUP BY lang, lang_pred) c
+         |ORDER BY lang, lang_pred""".stripMargin,
     // Rule-based quality filter: every ratio is an exact integer division
     // (bit-identical doubles), so the keep booleans agree across engines.
     "q_quality_rules" ->

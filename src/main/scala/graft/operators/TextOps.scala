@@ -102,6 +102,96 @@ object TextOps {
           Window.partitionBy(col("lang"))), 4))
       .orderBy(col("lang"), col("lang_pred"))
 
+  /** Multinomial Naive Bayes language classifier — the trained upgrade
+    * the [[langConfusion]] eval calls for once it shows the stopword
+    * heuristic false-accepting. The TRAIN slice fits the model (per-class
+    * doc priors + Laplace-smoothed token likelihoods over the train
+    * vocab); the SCORE slice is classified, so a doc never trains its own
+    * classifier (the [[heldoutPerplexity]] no-self-leakage discipline).
+    *
+    * score(d, l) = ln p̂(l) + Σ_{t∈d, t∈vocab} ln p̂(t|l) + n_oov(d)·ln(1/(N_l+V))
+    * with p̂(t|l) = (c(l,t)+1)/(N_l+V); the predicted class is the
+    * (score DESC, class ASC) argmax — the ASC tie-break keeps ties
+    * deterministic across engines. Determinism routing mirrors the
+    * surprisal family: every ln is rounded to 6 dp and decimal-summed,
+    * so the class scores are exact decimals until the final 4-dp report.
+    *
+    * Scale: the likelihood matrix is |train-vocab|·|classes| — vocab-
+    * bounded like the term-stats family, broadcastable for natural-
+    * language vocabularies; scoring is one explode + one token-keyed
+    * join + a classes-bounded grid per doc. No driver collect. */
+  def nbLangClassify(docs: DataFrame, trainSlice: Column,
+                     scoreSlice: Column): DataFrame = {
+    val d6 = DecimalType(18, 6)
+    val base = nonNull(docs).filter(trainSlice || scoreSlice)
+      .select(col("doc_id"), col("lang"),
+        when(trainSlice, 1).otherwise(0).as("is_train"),
+        explode(toks).as("token"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val trainToks = base.filter(col("is_train") === 1)
+    // per-class document priors (from distinct train docs, not tokens)
+    val classes = nonNull(docs).filter(trainSlice)
+      .groupBy(col("lang").as("cls")).agg(count(lit(1)).as("n_docs"))
+    val priors = classes
+      .crossJoin(broadcast(classes.agg(sum(col("n_docs")).as("__d"))))
+      .select(col("cls"),
+        round(log(col("n_docs") / col("__d")), 6).cast(d6).as("log_prior"))
+    // per-class token totals and the global train vocab
+    val nl = trainToks.groupBy(col("lang").as("cls"))
+      .agg(count(lit(1)).cast("double").as("n_l"))
+    val vocab = trainToks.select(col("token")).distinct()
+    val vstat = broadcast(vocab.agg(count(lit(1)).cast("double").as("__v")))
+    val cnts = trainToks.groupBy(col("lang").as("cls"), col("token"))
+      .agg(count(lit(1)).as("c"))
+    // dense |vocab| x |classes| log-likelihood matrix (Laplace-smoothed)
+    val mat = vocab.crossJoin(broadcast(nl)).crossJoin(vstat)
+      .join(cnts, Seq("cls", "token"), "left")
+      .select(col("token"), col("cls"),
+        round(log((coalesce(col("c"), lit(0L)) + lit(1.0)) /
+          (col("n_l") + col("__v"))), 6).cast(d6).as("llk"))
+      .localCheckpoint(true) // materialize: scored twice below
+    val floors = nl.crossJoin(vstat)
+      .select(col("cls"),
+        round(log(lit(1.0) / (col("n_l") + col("__v"))), 6).cast(d6)
+          .as("log_floor"))
+    // score slice: per-doc OOV counts + per-(doc, class) in-vocab sums
+    val scoreToks = base.filter(col("is_train") === 0)
+    val docOov = scoreToks.join(vocab.withColumn("__iv", lit(1L)),
+        Seq("token"), "left")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(when(col("__iv").isNull, 1L).otherwise(0L)).as("n_oov"))
+    val inSums = scoreToks.join(mat, Seq("token"))
+      .groupBy(col("doc_id"), col("cls"))
+      .agg(sum(col("llk")).as("s_in"))
+    val grid = docOov.crossJoin(broadcast(priors.join(floors, "cls")))
+      .join(inSums, Seq("doc_id", "cls"), "left")
+      .select(col("doc_id"), col("lang"), col("cls"),
+        (col("log_prior") + coalesce(col("s_in"), lit(0).cast(d6)) +
+          col("n_oov") * col("log_floor")).as("score"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("cls").asc)
+    val out = grid.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("doc_id"), col("lang"), col("cls").as("lang_pred"),
+        round(col("score").cast("double"), 4).as("nb_score"))
+      .orderBy(col("doc_id"))
+      .localCheckpoint(true) // materialize + release (surprisal discipline)
+    base.unpersist(false)
+    out
+  }
+
+  /** Lake-bound registered form: even doc_ids train, odd doc_ids are
+    * classified (the [[heldoutPerplexity]] split convention). */
+  def nbLangClassify(spark: SparkSession, dir: String): DataFrame =
+    nbLangClassify(Lake.documents(spark, dir),
+      pmod(col("doc_id"), lit(2)) === 0, pmod(col("doc_id"), lit(2)) === 1)
+
+  /** Confusion matrix of the NB classifier over the scored slice —
+    * [[langConfusion]]'s eval re-run against the TRAINED model, closing
+    * the loop the heuristic matrix opened. */
+  def nbConfusion(spark: SparkSession, dir: String): DataFrame =
+    langConfusion(nbLangClassify(spark, dir))
+
   /** Segment-level language screen: the doc-level heuristic applied to
     * every `blockWords`-word segment, reported per doc — catches the
     * MIXED-language documents (an English page with embedded other-

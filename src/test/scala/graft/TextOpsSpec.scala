@@ -517,6 +517,48 @@ class TextOpsSpec extends SparkSpecBase {
     assert(cells(("xx", "und")) == 1.0)
   }
 
+  test("NB classifier separates a planted corpus and never self-trains") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    // even ids train, odd ids score; two languages with disjoint vocab
+    val planted = Seq(
+      (0L, "aa", "alpha beta gamma alpha beta alpha gamma beta alpha beta"),
+      (2L, "aa", "beta alpha alpha gamma beta alpha beta gamma alpha alpha"),
+      (4L, "bb", "zeta eta theta zeta eta zeta theta eta zeta eta"),
+      (6L, "bb", "eta zeta zeta theta eta zeta eta theta zeta zeta"),
+      (1L, "aa", "alpha beta gamma beta alpha"),
+      (3L, "bb", "zeta eta theta eta zeta"),
+      (5L, "aa", "gamma alpha beta alpha gamma"),
+      // all-OOV doc: every class sees only its floor -> prior breaks the
+      // tie toward the largest train class deterministically
+      (7L, "bb", "omicron upsilon omega"))
+      .toDF("doc_id", "lang", "text")
+    val out = graft.operators.TextOps.nbLangClassify(planted,
+        pmod(col("doc_id"), lit(2)) === 0, pmod(col("doc_id"), lit(2)) === 1)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getDouble(3))).toList
+    assert(out.map(_._1) == List(1L, 3L, 5L, 7L), "odd docs only, ordered")
+    val pred = out.map(t => t._1 -> t._3).toMap
+    assert(pred(1L) == "aa" && pred(3L) == "bb" && pred(5L) == "aa",
+      s"planted separation: $out")
+    // equal train priors + all-OOV -> identical scores; cls ASC tie-break
+    assert(pred(7L) == "aa", s"deterministic OOV tie-break: $out")
+    assert(out.forall(_._4 < 0), "log-scores are negative")
+  }
+
+  test("NB classifier on the lake: every scored doc classified once, classes from train slice") {
+    import org.apache.spark.sql.functions.col
+    val docs = Lake.documents(spark, Sf).filter(col("text").isNotNull)
+    val out = graft.operators.TextOps.nbLangClassify(spark, Sf).collect()
+    val odd = docs.filter(col("doc_id") % 2 === 1).count()
+    assert(out.length.toLong == odd, "one verdict per scored doc")
+    assert(out.map(_.getLong(0)).distinct.length == out.length)
+    val trainLangs = docs.filter(col("doc_id") % 2 === 0)
+      .select("lang").distinct().collect().map(_.getString(0)).toSet
+    assert(out.map(_.getString(2)).toSet.subsetOf(trainLangs),
+      "predictions only from classes the model was trained on")
+  }
+
   test("held-out perplexity: Laplace floor for OOV, no self-leakage, planted values") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
