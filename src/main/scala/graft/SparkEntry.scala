@@ -151,6 +151,9 @@ object SparkEntry {
     "q_nb_classify"       -> ((s: SparkSession, d: String) =>
       TextOps.nbLangClassify(s, d)),
     "q_nb_confusion"      -> TextOps.nbConfusion _,
+    // Per-source multi-feature OLS via one exact-integer Gram aggregation
+    "q_ols_multi"         -> ((s: SparkSession, d: String) =>
+      TextOps.olsMulti(s, d)),
     "q_boilerplate"       -> ((s: SparkSession, d: String) => TextOps.boilerplateNgrams(s, d)),
     "q_boilerplate_density" -> ((s: SparkSession, d: String) => TextOps.boilerplateDensity(s, d)),
     "q_zipf"              -> ((s: SparkSession, d: String) => TextOps.zipfFit(s, d)),
@@ -3226,6 +3229,44 @@ object SparkEntry {
          |FROM (SELECT lang, lang_pred, count(*) AS n
          |      FROM ($nbClassifySql) q GROUP BY lang, lang_pred) c
          |ORDER BY lang, lang_pred""".stripMargin,
+    // Multi-feature OLS: the ten Gram sums are exact integers, and the
+    // Cramer solve is the IDENTICAL double expression tree on both sides
+    // (shared column-0 minors, same op order), so coefficients and R²
+    // agree bit-for-bit before the 4-dp report rounding.
+    "q_ols_multi" ->
+      """WITH f AS (SELECT source,
+        |    len(string_split(text, ' ')) AS x1,
+        |    len(list_distinct(string_split(text, ' '))) AS x2,
+        |    n_chars AS y
+        |  FROM documents WHERE text IS NOT NULL),
+        |s AS (SELECT source, count(*) AS n,
+        |    sum(x1) AS s1, sum(x2) AS s2, sum(y) AS sy,
+        |    sum(x1*x1) AS s11, sum(x1*x2) AS s12, sum(x2*x2) AS s22,
+        |    sum(x1*y) AS s1y, sum(x2*y) AS s2y, sum(y*y) AS syy
+        |  FROM f GROUP BY source),
+        |d AS (SELECT source, n,
+        |    cast(n AS double) AS dn, cast(s1 AS double) AS d1,
+        |    cast(s2 AS double) AS d2, cast(sy AS double) AS dy,
+        |    cast(s11 AS double) AS d11, cast(s12 AS double) AS d12,
+        |    cast(s22 AS double) AS d22, cast(s1y AS double) AS d1y,
+        |    cast(s2y AS double) AS d2y, cast(syy AS double) AS dyy
+        |  FROM s),
+        |m AS (SELECT *, d11*d22 - d12*d12 AS m00, d1*d22 - d2*d12 AS m10,
+        |    d1*d12 - d2*d11 AS m20 FROM d),
+        |dt AS (SELECT *, dn*m00 - d1*m10 + d2*m20 AS det,
+        |    dy*m00 - d1y*m10 + d2y*m20 AS det0,
+        |    -dy*(d1*d22 - d12*d2) + d1y*(dn*d22 - d2*d2)
+        |      - d2y*(dn*d12 - d2*d1) AS det1,
+        |    dy*(d1*d12 - d11*d2) - d1y*(dn*d12 - d1*d2)
+        |      + d2y*(dn*d11 - d1*d1) AS det2
+        |  FROM m),
+        |c AS (SELECT source, n, det0/det AS b0, det1/det AS b1,
+        |    det2/det AS b2, dy, d1y, d2y, dyy, dn FROM dt WHERE det <> 0)
+        |SELECT source, n, round(b0, 4) AS b0, round(b1, 4) AS b1,
+        |  round(b2, 4) AS b2,
+        |  round(1.0 - (dyy - b0*dy - b1*d1y - b2*d2y)
+        |    / (dyy - dy*dy/dn), 4) AS r2
+        |FROM c ORDER BY source""".stripMargin,
     // Rule-based quality filter: every ratio is an exact integer division
     // (bit-identical doubles), so the keep booleans agree across engines.
     "q_quality_rules" ->

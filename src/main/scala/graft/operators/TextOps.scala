@@ -252,6 +252,81 @@ object TextOps {
   def docQuality(spark: SparkSession, dir: String): DataFrame =
     docQuality(Lake.documents(spark, dir))
 
+  /** Per-source multi-feature OLS — the Gram-matrix pattern that makes
+    * closed-form model fitting a SINGLE distributed aggregation: fit
+    * n_chars ~ b0 + b1·n_tokens + b2·n_distinct per source. All ten Gram
+    * sums (n, Σx₁, Σx₂, Σy, Σx₁², Σx₁x₂, Σx₂², Σx₁y, Σx₂y, Σy²) are
+    * EXACT integer sums (map-side combinable; one shuffle of ≤|sources|
+    * groups), so the closed-form 3×3 Cramer solve in the final projection
+    * consumes identical operands in every engine — coefficients, R², and
+    * the normal-equation determinants hash-match an oracle replaying the
+    * same expression tree. No iteration, no driver collect, no gradient
+    * sync: at 100 TB this is one scan + a |sources|-row reduce, which is
+    * why normal-equation fitting beats SGD for low-dimension models on
+    * cluster data. Groups needing a well-posed solve are kept by a
+    * det ≠ 0 filter (collinear/degenerate sources are reported with null
+    * coefficients rather than NaN noise). */
+  def olsMulti(docs: DataFrame): DataFrame = {
+    val feats = nonNull(docs).select(
+      col("source"),
+      size(toks).cast("long").as("x1"),
+      size(array_distinct(toks)).cast("long").as("x2"),
+      col("n_chars").as("y"))
+    val sums = feats.groupBy(col("source")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x1")).as("s1"), sum(col("x2")).as("s2"),
+      sum(col("y")).as("sy"),
+      sum(col("x1") * col("x1")).as("s11"),
+      sum(col("x1") * col("x2")).as("s12"),
+      sum(col("x2") * col("x2")).as("s22"),
+      sum(col("x1") * col("y")).as("s1y"),
+      sum(col("x2") * col("y")).as("s2y"),
+      sum(col("y") * col("y")).as("syy"))
+    // every sum enters double space once; minors are shared cofactors of
+    // column 0, so det and det0 reuse them verbatim (and so does the SQL)
+    val d = sums.select(
+      col("source"), col("n"),
+      col("n").cast("double").as("dn"),
+      col("s1").cast("double").as("d1"), col("s2").cast("double").as("d2"),
+      col("sy").cast("double").as("dy"),
+      col("s11").cast("double").as("d11"), col("s12").cast("double").as("d12"),
+      col("s22").cast("double").as("d22"),
+      col("s1y").cast("double").as("d1y"), col("s2y").cast("double").as("d2y"),
+      col("syy").cast("double").as("dyy"))
+    val m = d.select(col("*"),
+      (col("d11") * col("d22") - col("d12") * col("d12")).as("m00"),
+      (col("d1") * col("d22") - col("d2") * col("d12")).as("m10"),
+      (col("d1") * col("d12") - col("d2") * col("d11")).as("m20"))
+    val dets = m.select(col("*"),
+      (col("dn") * col("m00") - col("d1") * col("m10") + col("d2") * col("m20")).as("det"),
+      (col("dy") * col("m00") - col("d1y") * col("m10") + col("d2y") * col("m20")).as("det0"),
+      (-col("dy") * (col("d1") * col("d22") - col("d12") * col("d2"))
+        + col("d1y") * (col("dn") * col("d22") - col("d2") * col("d2"))
+        - col("d2y") * (col("dn") * col("d12") - col("d2") * col("d1"))).as("det1"),
+      (col("dy") * (col("d1") * col("d12") - col("d11") * col("d2"))
+        - col("d1y") * (col("dn") * col("d12") - col("d1") * col("d2"))
+        + col("d2y") * (col("dn") * col("d11") - col("d1") * col("d1"))).as("det2"))
+    val coef = dets.filter(col("det") =!= 0.0).select(
+      col("source"), col("n"),
+      (col("det0") / col("det")).as("b0"),
+      (col("det1") / col("det")).as("b1"),
+      (col("det2") / col("det")).as("b2"),
+      col("dy"), col("d1y"), col("d2y"), col("dyy"), col("dn"))
+    coef.select(
+      col("source"), col("n"),
+      round(col("b0"), 4).as("b0"),
+      round(col("b1"), 4).as("b1"),
+      round(col("b2"), 4).as("b2"),
+      round(lit(1.0) -
+        (col("dyy") - col("b0") * col("dy") - col("b1") * col("d1y")
+          - col("b2") * col("d2y")) /
+        (col("dyy") - col("dy") * col("dy") / col("dn")), 4).as("r2"))
+      .orderBy(col("source"))
+  }
+
+  def olsMulti(spark: SparkSession, dir: String): DataFrame =
+    olsMulti(Lake.documents(spark, dir))
+
   /** Corpus-level term statistics (the inverted-index summary): per token,
     * document frequency, total term frequency, and smoothed IDF. One
     * explode + one group-by — linear in corpus token count; df/tf partial-

@@ -546,6 +546,38 @@ class TextOpsSpec extends SparkSpecBase {
     assert(out.forall(_._4 < 0), "log-scores are negative")
   }
 
+  test("multi-feature OLS recovers planted coefficients exactly and drops singular groups") {
+    import spark.implicits._
+    // s1: y = 3 + 2*x1 + 5*x2 exactly (x1 = tokens, x2 = distinct tokens)
+    // s2: every doc has identical (x1, x2) -> singular normal equations
+    val planted = Seq(
+      ("s1", "a a", 12L), ("s1", "a b b", 19L),
+      ("s1", "a a a b", 21L), ("s1", "a b c c c", 28L),
+      ("s2", "a b", 7L), ("s2", "a b", 9L), ("s2", "a b", 11L))
+      .zipWithIndex
+      .map { case ((src, t, y), i) => (i.toLong, src, t, y) }
+      .toDF("doc_id", "source", "text", "n_chars")
+    val out = graft.operators.TextOps.olsMulti(planted).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(out.map(_._1).toSeq == Seq("s1"), "singular s2 dropped")
+    val (_, n, b0, b1, b2, r2) = out.head
+    assert(n == 4L)
+    assert(b0 == 3.0 && b1 == 2.0 && b2 == 5.0, s"coefficients: $out")
+    assert(r2 == 1.0, "exact fit")
+  }
+
+  test("multi-feature OLS on the lake: finite coefficients, training R2 at most 1") {
+    val out = graft.operators.TextOps.olsMulti(spark, Sf).collect()
+    assert(out.nonEmpty)
+    for (r <- out) {
+      assert(r.getLong(1) >= 3, "enough rows to fit 3 parameters")
+      for (i <- 2 to 5)
+        assert(!r.getDouble(i).isNaN && !r.getDouble(i).isInfinite)
+      assert(r.getDouble(5) <= 1.0, s"r2 bound: $r")
+    }
+  }
+
   test("NB classifier on the lake: every scored doc classified once, classes from train slice") {
     import org.apache.spark.sql.functions.col
     val docs = Lake.documents(spark, Sf).filter(col("text").isNotNull)
