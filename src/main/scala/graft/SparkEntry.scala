@@ -127,6 +127,9 @@ object SparkEntry {
     // Per-label embedding drift between corpus slices (centroid cosine
     // + mean-norm shift) — the encoder/crawl version monitor
     "q_embedding_drift"   -> ((s: SparkSession, d: String) => AnnOps.embeddingDriftQuery(s, d)),
+    // Lloyd's k-means (k=4, 2 iterations) fully distributed; oracle
+    // replays seed -> assign -> update -> assign move for move
+    "q_kmeans"            -> ((s: SparkSession, d: String) => AnnOps.kmeans(s, d)),
     "q_ann_filtered"      -> ((s: SparkSession, d: String) => AnnOps.filteredAnn(s, d)),
     "q_embedding_stats"   -> AnnOps.embeddingStats _,
     "q_label_centroids"   -> AnnOps.labelCentroids _,
@@ -2123,6 +2126,40 @@ object SparkEntry {
     // Graph ANN: the beam-search rounds replayed as chained CTEs over
     // the same kNN-edge CTEs q_knn_graph verifies.
     "q_ann_graph" -> graphAnnOracleSql,
+    // Lloyd's k-means replayed move for move: seeds = 4 lowest vec_ids,
+    // squared-L2 as an ordered left-to-right fold (bit-identical, the
+    // bruteForce precedent), (dist, cluster) argmin, decimal(18,8)
+    // centroid sums rounded at 6 dp, then the second assignment.
+    "q_kmeans" ->
+      """WITH x AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x
+        |           FROM embeddings),
+        |seed AS (SELECT cast(row_number() OVER (ORDER BY vec_id) - 1 AS bigint)
+        |           AS cluster, x AS c
+        |         FROM x ORDER BY vec_id LIMIT 4),
+        |a1 AS (SELECT vec_id, x, cluster,
+        |         list_aggregate(list_transform(list_zip(x, c),
+        |           z -> (z[1]-z[2])*(z[1]-z[2])), 'sum') AS dist
+        |       FROM x CROSS JOIN seed),
+        |b1 AS (SELECT vec_id, x, cluster FROM (
+        |         SELECT *, row_number() OVER (PARTITION BY vec_id
+        |           ORDER BY dist ASC, cluster ASC) AS rn FROM a1)
+        |       WHERE rn = 1),
+        |m1 AS (SELECT cluster, i,
+        |         round(cast(sum(cast(x[i] AS decimal(18,8))) AS double)
+        |           / count(*), 6) AS mc
+        |       FROM (SELECT cluster, x,
+        |               unnest(range(1, len(x) + 1)) AS i FROM b1) t
+        |       GROUP BY cluster, i),
+        |c1 AS (SELECT cluster, list(mc ORDER BY i) AS c FROM m1
+        |       GROUP BY cluster),
+        |a2 AS (SELECT vec_id, x, cluster,
+        |         list_aggregate(list_transform(list_zip(x, c),
+        |           z -> (z[1]-z[2])*(z[1]-z[2])), 'sum') AS dist
+        |       FROM x CROSS JOIN c1)
+        |SELECT vec_id, cluster, round(dist, 4) AS dist FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY dist ASC, cluster ASC) AS rn FROM a2)
+        |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     // Embedding drift: decimal-exact centroid means (6 dp), decimal
     // dot/norm products, ordered per-vector norm folds — the only float
     // ops are the final sqrt/divide, so engines agree bit-for-bit.

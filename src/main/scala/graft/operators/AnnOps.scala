@@ -198,6 +198,69 @@ object AnnOps {
     embeddingDrift(Lake.embeddings(spark, dir),
       pmod(col("vec_id"), lit(2)) === 0, pmod(col("vec_id"), lit(2)) === 1)
 
+  /** Lloyd's k-means over the embedding corpus — the clustering primitive
+    * IVF coarse quantizers, semantic-dedup shards, and corpus-topic maps
+    * are built from, here as a REGISTERED query with an exact oracle
+    * rather than a buried implementation detail (the IVF path samples
+    * 2048 vectors driver-side; this runs fully distributed over the whole
+    * corpus, no driver collect).
+    *
+    * Deterministic by construction, so DuckDB can replay it move for
+    * move: seeds are the k lowest vec_ids; per-(vector, centroid) squared
+    * L2 distance is a LEFT-TO-RIGHT ordered array fold (bit-identical
+    * across engines, the bruteForce cosine precedent); assignment breaks
+    * ties (dist ASC, cluster ASC); centroid updates route components
+    * double → decimal(18,8) before the unordered sum and round means at
+    * 6 dp (the [[labelCentroids]] discipline). An emptied cluster simply
+    * drops out of the next round in both engines.
+    *
+    * Scale: each iteration is one broadcast of k 64-dim centroid arrays
+    * against a corpus scan (map-only scoring, n·k rows, never an
+    * all-pairs product) plus one (cluster × dim)-bounded partial-agg
+    * shuffle for the update. Iterations are a fixed small constant —
+    * the plan is iters repetitions of (broadcast join + bounded agg). */
+  def kmeans(emb: DataFrame, k: Int = 4, iters: Int = 2): DataFrame = {
+    val d8 = DecimalType(18, 8)
+    val x = emb.select(col("vec_id"),
+        transform(col("embedding"), e => e.cast("double")).as("x"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // distributed top-k by id (TakeOrdered), THEN a k-row-bounded window
+    var cent = x.orderBy(col("vec_id")).limit(k)
+      .withColumn("cluster",
+        row_number().over(Window.orderBy(col("vec_id"))) - 1)
+      .select(col("cluster").cast("long").as("cluster"), col("x").as("c"))
+    var assigned: DataFrame = null
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist").asc, col("cluster").asc)
+    for (_ <- 1 to iters) {
+      assigned = x.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("x"), col("cluster"),
+          aggregate(zip_with(col("x"), col("c"),
+              (a, b) => (a - b) * (a - b)),
+            lit(0.0), (acc, v) => acc + v).as("dist"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .drop("__rn")
+      cent = assigned
+        .select(col("cluster"), posexplode(col("x")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(round(sum(col("col").cast(d8)).cast("double") /
+          count(lit(1)), 6).as("mc"))
+        .groupBy(col("cluster"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mc")))),
+          s => s.getField("mc")).as("c"))
+    }
+    val out = assigned
+      .select(col("vec_id"), col("cluster"), round(col("dist"), 4).as("dist"))
+      .orderBy(col("vec_id"))
+      .localCheckpoint(true) // materialize + release the corpus cache
+    x.unpersist(false)
+    out
+  }
+
+  def kmeans(spark: SparkSession, dir: String): DataFrame =
+    kmeans(Lake.embeddings(spark, dir))
+
   /** Filtered vector search — the metadata-predicate + ANN combination a
     * retrieval system serves ("nearest docs WHERE label IN …").
     * PRE-filtering: the predicate prunes the corpus BEFORE scoring, so

@@ -501,4 +501,34 @@ class AnnSpec extends SparkSpecBase {
       assert(math.abs(r.getDouble(2) - r.getLong(1) / 5.0) < 1e-9)
     }
   }
+
+  test("kmeans recovers planted well-separated clusters regardless of seed quality") {
+    import spark.implicits._
+    // two tight blobs far apart on dim 0; seeds (the 2 lowest ids) both
+    // land in blob A, so recovery REQUIRES the update step to move a
+    // centroid across — one Lloyd iteration alone cannot pass this
+    val dim = 8
+    def v(base: Double, jitter: Double) =
+      Array.tabulate(dim)(i => (if (i == 0) base else 0.0f + jitter).toFloat)
+    val rows = (0L to 3L).map(id => (id, v(0.0, 0.01 * id), 0)) ++
+      (4L to 7L).map(id => (id, v(100.0, 0.01 * id), 1))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val out = AnnOps.kmeans(emb, k = 2, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val blobA = (0L to 3L).map(out).toSet
+    val blobB = (4L to 7L).map(out).toSet
+    assert(blobA.size == 1 && blobB.size == 1 && blobA != blobB,
+      s"planted blobs must separate: $out")
+  }
+
+  test("kmeans on the lake: every vector assigned once, clusters bounded, inertia sane") {
+    val out = AnnOps.kmeans(spark, Sf).collect()
+    val n = Lake.embeddings(spark, Sf).count()
+    assert(out.length.toLong == n, "one assignment per vector")
+    assert(out.map(_.getLong(0)).distinct.length == out.length)
+    val clusters = out.map(_.getLong(1)).toSet
+    assert(clusters.subsetOf((0L until 4L).toSet), s"clusters: $clusters")
+    assert(clusters.size > 1, "corpus must not collapse to one cluster")
+    assert(out.forall(_.getDouble(2) >= 0.0), "squared distances")
+  }
 }
