@@ -130,6 +130,9 @@ object SparkEntry {
     // Lloyd's k-means (k=4, 2 iterations) fully distributed; oracle
     // replays seed -> assign -> update -> assign move for move
     "q_kmeans"            -> ((s: SparkSession, d: String) => AnnOps.kmeans(s, d)),
+    // Top principal component via 8 power-iteration steps over the
+    // one-pass covariance; oracle replays every step
+    "q_pca_top"           -> ((s: SparkSession, d: String) => AnnOps.pcaPower(s, d)),
     "q_ann_filtered"      -> ((s: SparkSession, d: String) => AnnOps.filteredAnn(s, d)),
     "q_embedding_stats"   -> AnnOps.embeddingStats _,
     "q_label_centroids"   -> AnnOps.labelCentroids _,
@@ -673,6 +676,47 @@ object SparkEntry {
     * exact-cosine scoring, and (sim DESC, id) beam selection as
     * [[graft.operators.AnnOps.graphSearch]]'s driver loop, so the
     * navigating search is value-verified end to end. */
+  /** Power-iteration PCA oracle, generated so the 8 matrix-vector steps
+    * replay the engine's exact rounding schedule (terms rounded 8 dp →
+    * decimal sums → re-rounded components at every step). */
+  private def pcaOracleSql: String = {
+    val iters = 8
+    val iterCtes = (1 to iters).map { t =>
+      s"""w$t AS (SELECT g.i,
+         |    sum(cast(cast(g.g AS double) * cast(v${t - 1}.v AS double)
+         |      AS decimal(18,8))) AS w
+         |  FROM g JOIN v${t - 1} ON v${t - 1}.i = g.j GROUP BY g.i),
+         |n$t AS (SELECT sum(cast(cast(w AS double) * cast(w AS double)
+         |    AS decimal(18,8))) AS ss FROM w$t),
+         |v$t AS (SELECT i, cast(cast(w AS double) / sqrt(cast(ss AS double))
+         |    AS decimal(18,8)) AS v FROM w$t, n$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH x AS (SELECT CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+       |mu AS (SELECT i, round(cast(sum(cast(x[i + 1] AS decimal(18,8))) AS double)
+       |    / count(*), 6) AS mu
+       |  FROM (SELECT x, unnest(range(0, len(x))) AS i FROM x) t GROUP BY i),
+       |mom AS (SELECT a.i, t.j,
+       |    sum(cast(a.x[a.i + 1] * a.x[t.j + 1] AS decimal(18,8))) AS sxy,
+       |    count(*) AS n
+       |  FROM (SELECT x, unnest(range(0, len(x))) AS i FROM x) a,
+       |       unnest(range(0, len(a.x))) AS t(j)
+       |  GROUP BY a.i, t.j),
+       |g AS (SELECT mom.i, mom.j,
+       |    cast(cast(mom.sxy AS double) / mom.n - mi.mu * mj.mu
+       |      AS decimal(18,8)) AS g
+       |  FROM mom JOIN mu mi ON mi.i = mom.i JOIN mu mj ON mj.i = mom.j),
+       |dd AS (SELECT cast(count(*) AS double) AS d FROM mu),
+       |v0 AS (SELECT i, cast(1.0 / sqrt(d) AS decimal(18,8)) AS v FROM mu, dd),
+       |$iterCtes,
+       |tr AS (SELECT cast(sum(CASE WHEN i = j THEN g END) AS double) AS trace
+       |       FROM g)
+       |SELECT cast(v$iters.i AS bigint) AS dim,
+       |  round(cast(v$iters.v AS double), 6) AS loading,
+       |  round(sqrt(cast(n$iters.ss AS double)), 6) AS eigval,
+       |  round(sqrt(cast(n$iters.ss AS double)) / tr.trace, 6) AS var_share
+       |FROM v$iters, n$iters, tr ORDER BY dim""".stripMargin
+  }
+
   private def graphAnnOracleSql: String = {
     val beam = 16; val rounds = 4; val k = 5
     val roundCtes = (1 to rounds).map { r =>
@@ -2130,6 +2174,8 @@ object SparkEntry {
     // squared-L2 as an ordered left-to-right fold (bit-identical, the
     // bruteForce precedent), (dist, cluster) argmin, decimal(18,8)
     // centroid sums rounded at 6 dp, then the second assignment.
+    // Power-iteration PCA: one-pass covariance + 8 replayed steps.
+    "q_pca_top" -> pcaOracleSql,
     "q_kmeans" ->
       """WITH x AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x
         |           FROM embeddings),

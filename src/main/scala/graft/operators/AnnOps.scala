@@ -400,6 +400,85 @@ object AnnOps {
     ivfWithCentroids(emb, queriesIn,
       kmeansCentroidsDistributed(emb, nCentroids, iters, seed), k, nProbes)
 
+  /** Top principal component by distributed POWER ITERATION — the
+    * oracle-checkable face of the PCA family ([[pcaModel]] trains the
+    * full MLlib model; its eigensolver isn't replayable in SQL, this
+    * is): the d×d covariance is ONE corpus aggregation (terms rounded
+    * to 8 dp and decimal-summed, so the unordered reduce is exact;
+    * width d² bounded, map-side combinable — the Gram-matrix pattern),
+    * then `iters` fixed matrix-vector steps over the d²-row matrix with
+    * every component re-rounded at 8 dp, keeping all engines bit-equal
+    * at every step. Deterministic start v₀ = 1/√d; the covariance is
+    * localCheckpointed so iterations never re-touch the corpus.
+    *
+    * Emits per-dim loadings plus the eigenvalue estimate ‖G·v‖ and its
+    * share of total variance (trace) — the "how much does one axis
+    * explain" diagnostic that decides whether Matryoshka-style
+    * truncation is safe. Scale: one corpus pass; everything after is
+    * d²-bounded. */
+  def pcaPower(emb: DataFrame, iters: Int = 8): DataFrame = {
+    val d8 = DecimalType(18, 8)
+    val x = emb.select(transform(col("embedding"), e => e.cast("double")).as("x"))
+    val mu = x.select(posexplode(col("x")))
+      .groupBy(col("pos").as("i"))
+      .agg(round(sum(col("col").cast(d8)).cast("double") /
+        count(lit(1)), 6).as("mu"))
+    // double→decimal CASTS (not round()) everywhere: the cast's rounding
+    // is the one cross-engine-proven primitive (labelCentroids/kmeans);
+    // the iteration itself then runs in exact decimal arithmetic
+    val moments = x.select(col("x"), posexplode(col("x")))
+      .select(col("pos").as("i"), col("col").as("xi"), posexplode(col("x")))
+      .select(col("i"), col("pos").as("j"),
+        (col("xi") * col("col")).cast(d8).as("t"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("t")).as("sxy"), count(lit(1)).as("n"))
+    val g = moments
+      .join(mu.select(col("i"), col("mu").as("mi")), "i")
+      .join(mu.select(col("i").as("j"), col("mu").as("mj")), "j")
+      .select(col("i"), col("j"),
+        (col("sxy").cast("double") / col("n") -
+          col("mi") * col("mj")).cast(d8).as("g"))
+      .localCheckpoint(true) // iterations must never re-touch the corpus
+    val dd = mu.agg(count(lit(1)).cast("double").as("d"))
+    var v = mu.select(col("i")).crossJoin(broadcast(dd))
+      .select(col("i"), (lit(1.0) / sqrt(col("d"))).cast(d8).as("v"))
+    var lastNorm: DataFrame = null
+    for (_ <- 1 to iters) {
+      // product in DOUBLE space: exact-decimal products hit exact 8-dp
+      // ties whose rounding mode differs across engines, while a double
+      // is never exactly on a decimal tie — so the cast is unambiguous
+      val w = g.join(v.select(col("i").as("j"), col("v")), "j")
+        .select(col("i"), (col("g").cast("double") * col("v").cast("double"))
+          .cast(d8).as("t"))
+        .groupBy(col("i")).agg(sum(col("t")).as("w"))
+      // square in DOUBLE space: decimal(28,8)² would overflow precision
+      // 38 with engine-specific scale loss
+      lastNorm = w.agg(
+        sum((col("w").cast("double") * col("w").cast("double"))
+          .cast(d8)).as("ss"))
+      // checkpoint the d-row vector: w is referenced twice (norm + v), so
+      // un-materialized lineage would DOUBLE per step — 2^iters subtrees
+      v = w.crossJoin(broadcast(lastNorm))
+        .select(col("i"),
+          (col("w").cast("double") / sqrt(col("ss").cast("double")))
+            .cast(d8).as("v"))
+        .localCheckpoint(true)
+      lastNorm = lastNorm.localCheckpoint(true)
+    }
+    val trace = g.agg(
+      sum(when(col("i") === col("j"), col("g"))).cast("double").as("trace"))
+    v.crossJoin(broadcast(lastNorm)).crossJoin(broadcast(trace))
+      .select(col("i").cast("long").as("dim"),
+        round(col("v").cast("double"), 6).as("loading"),
+        round(sqrt(col("ss").cast("double")), 6).as("eigval"),
+        round(sqrt(col("ss").cast("double")) / col("trace"), 6)
+          .as("var_share"))
+      .orderBy(col("dim"))
+  }
+
+  def pcaPower(spark: SparkSession, dir: String): DataFrame =
+    pcaPower(Lake.embeddings(spark, dir))
+
   /** Distributed PCA trainer for embedding-dimension reduction — the
     * standard pre-ANN compression when vectors carry correlated dims:
     * MLlib PCA over the FULL corpus (covariance accumulated as Spark

@@ -521,6 +521,27 @@ class AnnSpec extends SparkSpecBase {
       s"planted blobs must separate: $out")
   }
 
+  test("pcaPower finds a planted dominant axis: unit norm, concentrated loading, high share") {
+    import spark.implicits._
+    // dim 0 carries ~100x the variance of every other dim
+    val rows = (0 until 32).map { t =>
+      (t.toLong,
+        Array.tabulate(8)(i =>
+          if (i == 0) (t * 10.0).toFloat else ((t % 3) * 0.1).toFloat),
+        0)
+    }
+    val out = AnnOps.pcaPower(rows.toDF("vec_id", "embedding", "label"), iters = 12)
+      .collect()
+    assert(out.length == 8)
+    val loadings = out.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val norm2 = loadings.values.map(v => v * v).sum
+    assert(math.abs(norm2 - 1.0) < 1e-4, s"unit norm: $norm2")
+    assert(math.abs(loadings(0L)) > 0.999, s"dominant axis: $loadings")
+    val share = out.head.getDouble(3)
+    assert(share > 0.9 && share <= 1.0 + 1e-9, s"var share: $share")
+    assert(out.map(_.getDouble(2)).distinct.length == 1, "one eigenvalue")
+  }
+
   test("kmeans on the lake: every vector assigned once, clusters bounded, inertia sane") {
     val out = AnnOps.kmeans(spark, Sf).collect()
     val n = Lake.embeddings(spark, Sf).count()
