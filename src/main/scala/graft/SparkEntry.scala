@@ -493,6 +493,10 @@ object SparkEntry {
     // Item–item cosine similarity from basket co-occurrence
     "q_item_cosine"       -> ((s: SparkSession, d: String) =>
       Relational.itemCosine(s, d)),
+    // Item-kNN CF serving table: top-3 unowned parts per customer by
+    // summed item-cosine neighborhood score
+    "q_recommend"         -> ((s: SparkSession, d: String) =>
+      Relational.itemKnnRecommend(s, d)),
     // Benford first-digit screen over order values
     "q_benford"           -> ((s: SparkSession, d: String) =>
       CatalogOps.benford(s, d, "orders", "o_totalprice")),
@@ -4780,6 +4784,39 @@ object SparkEntry {
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     // Item–item cosine: q_copurchase's pair counts normalized by
     // per-item order counts — sqrt/division on exact integers.
+    // Item-kNN CF: per-pair cosines rounded 6 dp then cast decimal(18,6)
+    // so the per-candidate neighborhood sum is exact and order-free;
+    // owned candidates excluded by NOT EXISTS = the left_anti join.
+    "q_recommend" ->
+      """WITH itemn AS (SELECT l_partkey, count(DISTINCT l_orderkey) AS n_item
+        |  FROM lineitem GROUP BY 1),
+        |pairs AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |    count(DISTINCT a.l_orderkey) AS n_ab
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= 2),
+        |sims AS (SELECT part_a, part_b,
+        |    cast(round(CAST(n_ab AS DOUBLE) /
+        |      sqrt(CAST(na.n_item * nb.n_item AS DOUBLE)), 6)
+        |      AS decimal(18,6)) AS cos
+        |  FROM pairs JOIN itemn na ON na.l_partkey = part_a
+        |             JOIN itemn nb ON nb.l_partkey = part_b),
+        |bi AS (SELECT part_a AS src, part_b AS cand, cos FROM sims
+        |       UNION ALL SELECT part_b, part_a, cos FROM sims),
+        |owned AS (SELECT DISTINCT o.o_custkey AS custkey,
+        |    l.l_partkey AS item
+        |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+        |sc AS (SELECT w.custkey, b.cand, sum(b.cos) AS score_d,
+        |    count(*) AS n_src
+        |  FROM owned w JOIN bi b ON b.src = w.item
+        |  WHERE NOT EXISTS (SELECT 1 FROM owned o2
+        |    WHERE o2.custkey = w.custkey AND o2.item = b.cand)
+        |  GROUP BY w.custkey, b.cand)
+        |SELECT custkey, cand AS partkey, cast(score_d AS double) AS score,
+        |  n_src, rnk
+        |FROM (SELECT *, cast(row_number() OVER (PARTITION BY custkey
+        |    ORDER BY score_d DESC, cand) AS bigint) AS rnk FROM sc) t
+        |WHERE rnk <= 3 ORDER BY custkey, rnk""".stripMargin,
     "q_item_cosine" ->
       """WITH itemn AS (SELECT l_partkey, count(DISTINCT l_orderkey) AS n_item
         |  FROM lineitem GROUP BY 1),

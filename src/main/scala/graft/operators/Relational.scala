@@ -953,6 +953,61 @@ object Relational {
       .limit(topK)
   }
 
+  /** Item-kNN collaborative-filtering recommendations — the neighborhood
+    * complement of the ALS factorizer (graft.operators.Recommend), and
+    * unlike it fully ORACLE-CHECKABLE: score(u, c) = Σ cosine(i, c) over
+    * the items i the customer already buys, candidates the customer owns
+    * are anti-joined away, top-N per customer by (score DESC, item ASC).
+    * This is the classic item-to-item formulation (precompute the item
+    * neighborhood offline, score per user online) precisely because it
+    * scales: the similarity matrix is DIMENSION-sized (bounded by
+    * co-occurring pairs, broadcastable) while users stream through one
+    * item-keyed join — no per-user model state.
+    *
+    * Determinism: each cosine is rounded at 6 dp then cast to
+    * decimal(18,6), so the per-candidate sum is exact and order-free;
+    * the ranking sorts exact decimals. */
+  def itemKnnRecommend(spark: SparkSession, dir: String,
+                       minOrders: Long = 2, topN: Int = 3): DataFrame = {
+    val d6 = DecimalType(18, 6)
+    val baskets = BasketArtifact.sharedBaskets(spark, dir)
+    val itemN = baskets.select(explode(col("items")).as("pk"))
+      .groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
+    val sims = basketPairCounts(baskets, minOrders)
+      .join(broadcast(itemN.select(col("pk").as("part_a"), col("n_item").as("n_a"))),
+        "part_a")
+      .join(broadcast(itemN.select(col("pk").as("part_b"), col("n_item").as("n_b"))),
+        "part_b")
+      .select(col("part_a"), col("part_b"),
+        round(col("n_ab") / sqrt(col("n_a") * col("n_b")), 6)
+          .cast(d6).as("cos"))
+    val simBoth = sims
+      .select(col("part_a").as("src"), col("part_b").as("cand"), col("cos"))
+      .unionAll(sims
+        .select(col("part_b").as("src"), col("part_a").as("cand"), col("cos")))
+    val owned = Lake.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .join(Lake.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("custkey"), col("l_partkey").as("item"))
+      .distinct()
+    val w = Window.partitionBy(col("custkey"))
+      .orderBy(col("score_d").desc, col("cand").asc)
+    owned.select(col("custkey"), col("item").as("src"))
+      .join(simBoth, "src")
+      .join(owned.select(col("custkey"), col("item").as("cand")),
+        Seq("custkey", "cand"), "left_anti")
+      .groupBy(col("custkey"), col("cand"))
+      .agg(sum(col("cos")).as("score_d"), count(lit(1)).as("n_src"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topN)
+      .select(col("custkey"), col("cand").as("partkey"),
+        col("score_d").cast("double").as("score"), col("n_src"),
+        col("rnk").cast("long").as("rnk"))
+      .orderBy(col("custkey"), col("rnk"))
+  }
+
   /** Frequent 3-itemsets over the shared basket artifact: every ordered
     * triple (a < b < c) co-ordered at least `minOrders` times — the next
     * rung above pair mining for bundle/recommendation work. The fan-out

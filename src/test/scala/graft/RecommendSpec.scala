@@ -48,4 +48,32 @@ class RecommendSpec extends SparkSpecBase {
       assert(rows.map(_.getInt(2)).distinct.length == 5)
     }
   }
+
+  test("item-kNN recommend: never an owned item, positive neighborhood scores, contiguous ranks") {
+    import graft.operators.Relational
+    val recs = Relational.itemKnnRecommend(spark, Sf).collect()
+    assert(recs.nonEmpty)
+    val owned = graft.Lake.lineitem(spark, Sf)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .join(graft.Lake.orders(spark, Sf)
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_partkey"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (r <- recs) {
+      assert(!owned((r.getLong(0), r.getLong(1))),
+        s"recommended an owned item: $r")
+      assert(r.getDouble(2) > 0.0 && r.getLong(3) >= 1)
+    }
+    val byUser = recs.groupBy(_.getLong(0))
+    for ((u, rows) <- byUser) {
+      val ranks = rows.map(_.getLong(4)).sorted.toSeq
+      assert(ranks == (1L to rows.length).toSeq, s"ranks for $u: $ranks")
+      assert(rows.length <= 3)
+      // ranks follow score descending
+      val byRank = rows.sortBy(_.getLong(4)).map(_.getDouble(2)).toSeq
+      assert(byRank == byRank.sorted.reverse, s"scores for $u: $byRank")
+    }
+  }
 }
