@@ -164,6 +164,17 @@ object SparkEntry {
     "q_boilerplate_density" -> ((s: SparkSession, d: String) => TextOps.boilerplateDensity(s, d)),
     "q_zipf"              -> ((s: SparkSession, d: String) => TextOps.zipfFit(s, d)),
     // Full composed pipeline: exact dedup → near-dup clusters → quality
+    // C4-style normalization surfaced as a registered query: canonical
+    // text per doc + a changed flag (did normalization touch it)
+    "q_normalize"         -> ((s: SparkSession, d: String) => {
+      val docs = graft.Lake.documents(s, d)
+        .filter(col("text").isNotNull)
+        .withColumn("orig", col("text"))
+      TextOps.normalize(docs).select(
+        col("doc_id"), col("text").as("text_norm"),
+        (col("orig") =!= col("text")).as("changed"))
+        .orderBy("doc_id")
+    }),
     "q_clean_corpus"      -> ((s: SparkSession, d: String) =>
       graft.DataLake(s, d).cleanCorpus()
         .select(col("doc_id"), col("source"))
@@ -3302,6 +3313,15 @@ object SparkEntry {
         |  CAST(sum(oov) AS BIGINT) AS n_oov,
         |  round(cast(sum(neg_logp) AS double) / count(*), 4) AS avg_neg_logp
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Normalization is pure regex, so the oracle is the same three
+    // rewrites with DuckDB's global flag.
+    "q_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS text_norm,
+        |  text <> trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS changed
+        |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin,
     // Multinomial NB language classifier: every ln is rounded to 6 dp and
     // decimal-summed on both sides (the surprisal discipline), so class
     // scores are exact decimals and the (score DESC, cls ASC) argmax is
