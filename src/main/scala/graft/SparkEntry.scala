@@ -504,6 +504,9 @@ object SparkEntry {
     // Item–item cosine similarity from basket co-occurrence
     "q_item_cosine"       -> ((s: SparkSession, d: String) =>
       Relational.itemCosine(s, d)),
+    // MMR diversification of the dense retrieval pool (greedy, k=5)
+    "q_mmr"               -> ((s: SparkSession, d: String) =>
+      TextOps.mmrRerank(s, d)),
     // Item-kNN CF serving table: top-3 unowned parts per customer by
     // summed item-cosine neighborhood score
     "q_recommend"         -> ((s: SparkSession, d: String) =>
@@ -691,6 +694,45 @@ object SparkEntry {
     * exact-cosine scoring, and (sim DESC, id) beam selection as
     * [[graft.operators.AnnOps.graphSearch]]'s driver loop, so the
     * navigating search is value-verified end to end. */
+  /** MMR oracle: the greedy selection replayed as chained CTEs. λ and
+    * 1−λ are evaluated in DOUBLE space on both sides (Scala's 1.0−0.7
+    * and DuckDB's CAST(1.0 AS DOUBLE)−CAST(0.7 AS DOUBLE) are the same
+    * 0.30000000000000004), so the marginal scores are bit-equal. */
+  private def mmrOracleSql: String = {
+    val k = 5
+    val lam = "CAST(0.7 AS DOUBLE)"
+    val mu = "(CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE))"
+    val steps = (2 to k).map { t =>
+      s"""c$t AS (SELECT p.doc_id, p.rel, max(s.sim) AS maxsim
+         |  FROM pool p JOIN sims s ON s.a = p.doc_id
+         |    AND s.b IN (SELECT doc_id FROM s${t - 1})
+         |  WHERE p.doc_id NOT IN (SELECT doc_id FROM s${t - 1})
+         |  GROUP BY p.doc_id, p.rel),
+         |n$t AS (SELECT cast($t AS bigint) AS rank, doc_id, rel, maxsim,
+         |    $lam * rel - $mu * maxsim AS mmr
+         |  FROM c$t ORDER BY mmr DESC, doc_id LIMIT 1),
+         |s$t AS (SELECT * FROM s${t - 1} UNION ALL SELECT * FROM n$t)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x
+       |           FROM embeddings),
+       |q AS (SELECT x AS qx FROM e WHERE vec_id = 0),
+       |pool AS (SELECT vec_id AS doc_id, x,
+       |    list_cosine_similarity(x, qx) AS rel
+       |  FROM e, q WHERE vec_id <> 0
+       |  ORDER BY rel DESC, doc_id LIMIT 20),
+       |sims AS (SELECT a.doc_id AS a, b.doc_id AS b,
+       |    list_cosine_similarity(a.x, b.x) AS sim
+       |  FROM pool a JOIN pool b ON a.doc_id <> b.doc_id),
+       |s1 AS (SELECT cast(1 AS bigint) AS rank, doc_id, rel,
+       |    CAST(0.0 AS DOUBLE) AS maxsim, $lam * rel AS mmr
+       |  FROM pool ORDER BY rel DESC, doc_id LIMIT 1),
+       |$steps
+       |SELECT rank, doc_id, round(rel, 4) AS rel,
+       |  round(maxsim, 4) AS maxsim, round(mmr, 4) AS mmr
+       |FROM s$k ORDER BY rank""".stripMargin
+  }
+
   /** Power-iteration PCA oracle, generated so the 8 matrix-vector steps
     * replay the engine's exact rounding schedule (terms rounded 8 dp →
     * decimal sums → re-rounded components at every step). */
@@ -2191,6 +2233,8 @@ object SparkEntry {
     // centroid sums rounded at 6 dp, then the second assignment.
     // Power-iteration PCA: one-pass covariance + 8 replayed steps.
     "q_pca_top" -> pcaOracleSql,
+    // MMR diversification: greedy argmax replayed as chained CTEs.
+    "q_mmr" -> mmrOracleSql,
     "q_kmeans" ->
       """WITH x AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x
         |           FROM embeddings),

@@ -862,6 +862,66 @@ object TextOps {
     hybridRetrieval(Lake.documents(spark, dir), Lake.embeddings(spark, dir),
       Bm25Query)
 
+  /** Maximal-marginal-relevance re-rank of a dense retrieval pool — the
+    * diversification step a RAG context builder runs AFTER retrieval:
+    * top-k by raw similarity returns near-duplicates of the same
+    * passage; MMR greedily picks argmax λ·rel(d) − (1−λ)·max_{s∈S}
+    * sim(d, s), so each added doc must be relevant AND novel against
+    * what's already selected.
+    *
+    * Scale shape: the expensive work (corpus → top-`poolK` pool) is one
+    * broadcast-query scan + TakeOrdered; the greedy loop then runs
+    * in-plan over POOL-sized frames only (a poolK² pairwise sim matrix,
+    * k tiny join-argmax steps, each selected frame localCheckpointed to
+    * keep lineage linear). Deterministic: cosines are ordered array
+    * folds, ranking ties break by doc id, so DuckDB replays the greedy
+    * selection CTE for CTE. */
+  def mmrRerank(emb: DataFrame, queryVecId: Long = 0L, k: Int = 5,
+                poolK: Int = 20, lambda: Double = 0.7): DataFrame = {
+    import graft.functions.VectorFunctions.cosineSimilarity
+    val q = emb.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("q_emb"))
+    val pool = emb.filter(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id").as("doc_id"), col("embedding"),
+        cosineSimilarity(col("embedding"), col("q_emb")).as("rel"))
+      .orderBy(col("rel").desc, col("doc_id")).limit(poolK)
+      .localCheckpoint(true)
+    val sims = pool.select(col("doc_id").as("a"), col("embedding").as("ea"))
+      .crossJoin(pool.select(col("doc_id").as("b"), col("embedding").as("eb")))
+      .filter(col("a") =!= col("b"))
+      .select(col("a"), col("b"),
+        cosineSimilarity(col("ea"), col("eb")).as("sim"))
+      .localCheckpoint(true)
+    val cand0 = pool.select(col("doc_id"), col("rel"))
+    var sel = cand0
+      .orderBy(col("rel").desc, col("doc_id")).limit(1)
+      .select(lit(1L).as("rank"), col("doc_id"), col("rel"),
+        lit(0.0).as("maxsim"), (lit(lambda) * col("rel")).as("mmr"))
+      .localCheckpoint(true)
+    for (t <- 2 to k) {
+      val next = cand0
+        .join(sel.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .join(sims.join(sel.select(col("doc_id").as("b")), "b")
+          .select(col("a").as("doc_id"), col("sim")), "doc_id")
+        .groupBy(col("doc_id"), col("rel"))
+        .agg(max(col("sim")).as("maxsim"))
+        .select(lit(t.toLong).as("rank"), col("doc_id"), col("rel"),
+          col("maxsim"),
+          (lit(lambda) * col("rel") -
+            lit(1.0 - lambda) * col("maxsim")).as("mmr"))
+        .orderBy(col("mmr").desc, col("doc_id")).limit(1)
+      sel = sel.unionAll(next).localCheckpoint(true)
+    }
+    sel.select(col("rank"), col("doc_id"),
+        round(col("rel"), 4).as("rel"), round(col("maxsim"), 4).as("maxsim"),
+        round(col("mmr"), 4).as("mmr"))
+      .orderBy(col("rank"))
+  }
+
+  def mmrRerank(spark: SparkSession, dir: String): DataFrame =
+    mmrRerank(Lake.embeddings(spark, dir))
+
   /** Per-doc character-level Shannon entropy (nats) — the
     * distribution-shape quality signal beside the Deflate
     * compression-ratio screen: machine-generated / repetitive text sits

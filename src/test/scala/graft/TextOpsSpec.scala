@@ -578,6 +578,38 @@ class TextOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("MMR picks the diverse doc over the near-duplicate when diversity is weighted") {
+    import spark.implicits._
+    // q = e0; A is q's twin, A2 a near-copy of A, B relevant-but-novel.
+    // Raw top-2 = {A, A2}; MMR at lambda=0.4 must swap A2 for B.
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),    // the query vector
+      (1L, Array(1.0f, 0.0f, 0.0f), 0),    // A: rel = 1
+      (2L, Array(0.999f, 0.045f, 0.0f), 0), // A2: rel ~ .999, sim(A,A2) ~ .999
+      (3L, Array(0.5f, 0.0f, 0.866f), 0))  // B: rel = .5, sim(A,B) = .5
+      .toDF("vec_id", "embedding", "label")
+    val diverse = graft.operators.TextOps.mmrRerank(emb, 0L, k = 2,
+        poolK = 3, lambda = 0.4).collect()
+    assert(diverse.map(_.getLong(1)).toSeq == Seq(1L, 3L),
+      s"lambda=0.4 must pick B second: ${diverse.mkString(", ")}")
+    val greedy = graft.operators.TextOps.mmrRerank(emb, 0L, k = 2,
+        poolK = 3, lambda = 1.0).collect()
+    assert(greedy.map(_.getLong(1)).toSeq == Seq(1L, 2L),
+      s"lambda=1 degenerates to raw top-k: ${greedy.mkString(", ")}")
+  }
+
+  test("MMR on the lake: k ranked rows, query excluded, first pick is the rel argmax") {
+    val out = graft.operators.TextOps.mmrRerank(spark, Sf).collect()
+    assert(out.length == 5)
+    assert(out.map(_.getLong(0)).toSeq == (1L to 5L).toSeq)
+    assert(!out.map(_.getLong(1)).contains(0L), "query never retrieved")
+    assert(out.map(_.getLong(1)).distinct.length == 5)
+    val first = out.head
+    assert(first.getDouble(3) == 0.0, "first pick has no selected set")
+    assert(first.getDouble(2) >= out.map(_.getDouble(2)).max,
+      "first pick is the relevance argmax")
+  }
+
   test("NB classifier on the lake: every scored doc classified once, classes from train slice") {
     import org.apache.spark.sql.functions.col
     val docs = Lake.documents(spark, Sf).filter(col("text").isNotNull)
