@@ -359,7 +359,21 @@ class PlanShapeSpec extends SparkSpecBase {
         "q_ann_graph",
         // q_heldout_ppl: the one-row (N, V) model-stats broadcast (the
         // q_surprisal corpus-total pattern)
-        "q_heldout_ppl")
+        "q_heldout_ppl",
+        // q_nb_classify / q_nb_confusion: the one-row prior-total and
+        // (V) vocab-stat broadcasts plus the classes-bounded grid — the
+        // q_heldout_ppl model-stats pattern per class
+        "q_nb_classify", "q_nb_confusion",
+        // q_kmeans: the k-row centroid broadcast against the corpus scan
+        // each iteration (the q_ann_ivf 16-centroid assignment pattern)
+        "q_kmeans",
+        // q_pca_top: one-row dim-count / norm / trace broadcasts around
+        // the d²-bounded matrix (the scalar-threshold pattern)
+        "q_pca_top",
+        // q_mmr: the one-row query-vector broadcast builds the pool
+        // (q_ann_bruteforce pattern); the poolK² sim matrix and greedy
+        // argmax steps are pool-bounded products BY DESIGN
+        "q_mmr")
     for ((name, fn) <- SparkEntry.queries) {
       // interior plans included: checkpointing operators execute their
       // real joins during construction and return an RDD-scan facade
