@@ -507,6 +507,9 @@ object SparkEntry {
     // MMR diversification of the dense retrieval pool (greedy, k=5)
     "q_mmr"               -> ((s: SparkSession, d: String) =>
       TextOps.mmrRerank(s, d)),
+    // Hand-rolled HLL NDV per event type, every register value-checked
+    "q_hll"               -> ((s: SparkSession, d: String) =>
+      IncrementalTableStats.hllNdv(s, d)),
     // Item-kNN CF serving table: top-3 unowned parts per customer by
     // summed item-cosine neighborhood score
     "q_recommend"         -> ((s: SparkSession, d: String) =>
@@ -694,6 +697,53 @@ object SparkEntry {
     * exact-cosine scoring, and (sim DESC, id) beam selection as
     * [[graft.operators.AnnOps.graphSearch]]'s driver loop, so the
     * navigating search is value-verified end to end. */
+  /** Hand-rolled-HLL oracle, generated from the SAME constants the
+    * engine uses (b=6 → m=64 registers, rho cap 54, the portable md5
+    * hash): registers, the EXACT integer harmonic sum Σ2^(54−Mⱼ), and
+    * the bias branch are all replayed value-for-value. */
+  private def hllOracleSql: String = {
+    val b = graft.operators.IncrementalTableStats.HllB
+    val cap = graft.operators.IncrementalTableStats.HllCap
+    val m = 1 << b
+    val am2 = 0.709 * (m.toDouble * m.toDouble)
+    val pow2cap = math.pow(2.0, cap)
+    val thresh = 2.5 * m
+    val rhoCase = (1 until cap).map(r =>
+      s"WHEN (sfx >> ${r - 1}) & 1 = 1 THEN $r").mkString("\n      ")
+    s"""WITH h AS (SELECT event_type,
+       |    ${ph60Sql("cast(user_id AS VARCHAR)")} AS h
+       |  FROM events),
+       |r AS (SELECT event_type, h & ${m - 1} AS bucket, h >> $b AS sfx
+       |      FROM h),
+       |rr AS (SELECT event_type, bucket,
+       |    CASE $rhoCase
+       |      ELSE $cap END AS rho FROM r),
+       |regs AS (SELECT event_type, bucket, max(rho) AS mj
+       |         FROM rr GROUP BY event_type, bucket),
+       |grid AS (SELECT t.event_type, bk.bucket, coalesce(regs.mj, 0) AS mj
+       |  FROM (SELECT DISTINCT event_type FROM events) t
+       |  CROSS JOIN (SELECT unnest(range(0, $m)) AS bucket) bk
+       |  LEFT JOIN regs ON regs.event_type = t.event_type
+       |                AND regs.bucket = bk.bucket),
+       |agg AS (SELECT event_type,
+       |    sum(CAST(1 AS BIGINT) << CAST($cap - mj AS INT)) AS t_sum,
+       |    CAST(sum(CASE WHEN mj = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_zero_regs
+       |  FROM grid GROUP BY event_type),
+       |ex AS (SELECT event_type, count(DISTINCT user_id) AS ndv_exact
+       |       FROM events GROUP BY event_type),
+       |fin AS (SELECT agg.event_type, ex.ndv_exact, agg.n_zero_regs,
+       |    round(CASE WHEN $am2 / (CAST(t_sum AS DOUBLE) / $pow2cap)
+       |        <= $thresh AND n_zero_regs > 0
+       |      THEN ${m.toDouble} * ln(${m.toDouble} / n_zero_regs)
+       |      ELSE $am2 / (CAST(t_sum AS DOUBLE) / $pow2cap) END, 4)
+       |      AS ndv_hll
+       |  FROM agg JOIN ex ON ex.event_type = agg.event_type)
+       |SELECT event_type, ndv_exact, n_zero_regs, ndv_hll,
+       |  round(abs(ndv_hll - ndv_exact) / ndv_exact, 4) AS rel_err
+       |FROM fin ORDER BY event_type""".stripMargin
+  }
+
   /** MMR oracle: the greedy selection replayed as chained CTEs. λ and
     * 1−λ are evaluated in DOUBLE space on both sides (Scala's 1.0−0.7
     * and DuckDB's CAST(1.0 AS DOUBLE)−CAST(0.7 AS DOUBLE) are the same
@@ -2235,6 +2285,8 @@ object SparkEntry {
     "q_pca_top" -> pcaOracleSql,
     // MMR diversification: greedy argmax replayed as chained CTEs.
     "q_mmr" -> mmrOracleSql,
+    // Hand-rolled HLL: registers + exact integer harmonic sum replayed.
+    "q_hll" -> hllOracleSql,
     "q_kmeans" ->
       """WITH x AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x
         |           FROM embeddings),

@@ -72,4 +72,74 @@ object IncrementalTableStats {
           KllFunctions.kllMergeAgg(col("q_sketch")), ranks).as("quantiles"),
         FreqFunctions.freqTopItems(
           FreqFunctions.freqMergeAgg(col("freq_sketch"))).as("top_values"))
+
+  /** HLL bucket-count exponent for [[hllNdv]]: m = 2^6 = 64 registers. */
+  val HllB: Int = 6
+  /** Register cap: the portable hash leaves 60−b suffix bits. */
+  val HllCap: Int = 54
+
+  /** Hand-rolled HyperLogLog NDV per group, built ONLY from
+    * cross-engine-portable pieces so the whole sketch — every register,
+    * the harmonic sum, the bias/linear-counting branch — is value-checked
+    * against the oracle, not "within error, trust me" (the [[profile]]
+    * sidecar uses Spark's binary HLL sketches, which no other engine can
+    * replay; this is the auditable twin). Distinct users per event type:
+    *
+    *  - register j = low-b bits of the portable md5 hash; rho = position
+    *    of the lowest set suffix bit (geometric(1/2), Flajolet–Martin
+    *    style), capped at 54.
+    *  - the harmonic sum Σ2^(−Mⱼ) is computed EXACTLY as the integer
+    *    Σ2^(54−Mⱼ) in a long (≤ 2^60) — no float accumulation order to
+    *    disagree on — and converted to double once.
+    *  - raw estimate α·m²/S with linear counting below 2.5m when empty
+    *    registers remain (both engines branch on identical doubles).
+    *
+    * Scale: one shuffle to (group × m) registers (map-side max-combine),
+    * then a groups-bounded reduce; the exact-NDV column beside it is the
+    * audit — at 100 TB you'd drop it and keep the sketch. */
+  def hllNdv(events: DataFrame): DataFrame = {
+    val m = 1 << HllB
+    val h = TextOps.portableHash60(col("user_id").cast("string"))
+    val sfx = shiftright(h, HllB)
+    val rho = (1 until HllCap).foldRight(lit(HllCap): org.apache.spark.sql.Column) {
+      (r, els) =>
+        when(shiftright(col("sfx"), r - 1).bitwiseAND(lit(1L)) === 1L, lit(r))
+          .otherwise(els)
+    }
+    val regs = events
+      .select(col("event_type"), h.bitwiseAND(lit((m - 1).toLong)).as("bucket"),
+        sfx.as("sfx"))
+      .withColumn("rho", rho)
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(max(col("rho")).as("mj"))
+    val buckets = events.sparkSession.range(1)
+      .select(explode(sequence(lit(0L), lit((m - 1).toLong))).as("bucket"))
+    val grid = events.select(col("event_type")).distinct()
+      .crossJoin(broadcast(buckets))
+      .join(regs, Seq("event_type", "bucket"), "left")
+      .withColumn("mj", coalesce(col("mj"), lit(0)))
+    val agg = grid.groupBy(col("event_type"))
+      .agg(
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($HllCap - mj AS INT))"))
+          .as("t_sum"),
+        sum(when(col("mj") === 0, 1L).otherwise(0L)).as("n_zero_regs"))
+    val exact = events.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("ndv_exact"))
+    val am2 = 0.709 * (m.toDouble * m.toDouble) // 2904.064
+    val pow2cap = math.pow(2.0, HllCap)         // exact double
+    val eRaw = lit(am2) / (col("t_sum").cast("double") / lit(pow2cap))
+    agg.join(exact, "event_type")
+      .withColumn("e_raw", eRaw)
+      .select(col("event_type"), col("ndv_exact"), col("n_zero_regs"),
+        round(
+          when(col("e_raw") <= lit(2.5 * m) && col("n_zero_regs") > 0,
+            lit(m.toDouble) * log(lit(m.toDouble) / col("n_zero_regs")))
+            .otherwise(col("e_raw")), 4).as("ndv_hll"))
+      .withColumn("rel_err",
+        round(abs(col("ndv_hll") - col("ndv_exact")) / col("ndv_exact"), 4))
+      .orderBy(col("event_type"))
+  }
+
+  def hllNdv(spark: SparkSession, dir: String): DataFrame =
+    hllNdv(graft.Lake.events(spark, dir))
 }

@@ -182,4 +182,27 @@ class IncrementalStatsSpec extends SparkSpecBase {
         s"${r.getString(0)}: ndv ${r.getLong(1)} vs rows ${r.getLong(2)}")
     }
   }
+
+  test("hand-rolled HLL: bounded error on planted cardinalities, register-monotone on supersets") {
+    import spark.implicits._
+    // type 'a' sees users 1..200, type 'b' the superset 1..400: registers
+    // only grow under union, so est(b) >= est(a) must hold EXACTLY
+    val events = ((1 to 200).map(u => ("a", u.toLong)) ++
+      (1 to 400).map(u => ("b", u.toLong)))
+      .toDF("event_type", "user_id")
+    val out = graft.operators.IncrementalTableStats.hllNdv(events)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    val (exA, _, estA, errA) = out("a")
+    val (exB, _, estB, errB) = out("b")
+    assert(exA == 200L && exB == 400L)
+    assert(estB >= estA, s"superset monotonicity: $out")
+    // m=64 gives sigma ~ 13%; deterministic data, so these are fixed facts
+    assert(errA < 0.5 && errB < 0.5, s"relative error: $out")
+    assert(estA > 0 && estB > 0)
+    // determinism: the sketch is a pure function of the data
+    val again = graft.operators.IncrementalTableStats.hllNdv(events)
+      .collect().map(r => (r.getString(0), r.getDouble(3))).toMap
+    assert(again("a") == estA && again("b") == estB)
+  }
 }
