@@ -247,4 +247,31 @@ final case class DataLake(spark: SparkSession, dir: String) {
         org.apache.spark.sql.functions.col("dst")), k)
   def sessionStats(): DataFrame = EventOps.sessionStats(spark, dir)
   def cohortLtv(): DataFrame = EventOps.cohortLtv(spark, dir)
+
+  /** Language-ID eval loop: the heuristic's confusion matrix against the
+    * corpus's own `lang` labels, and the trained NB upgrade. */
+  def langConfusion(): DataFrame = TextOps.langConfusion(spark, dir)
+  def nbLangClassify(): DataFrame = TextOps.nbLangClassify(spark, dir)
+  def nbConfusion(): DataFrame = TextOps.nbConfusion(spark, dir)
+  /** Closed-form model fits: per-source multi-feature OLS (one exact
+    * Gram aggregation) and the top principal component (power iteration
+    * over the one-pass covariance). */
+  def olsMulti(): DataFrame = TextOps.olsMulti(documents)
+  def pcaTop(iters: Int = 8): DataFrame =
+    AnnOps.pcaPower(Lake.embeddings(spark, dir), iters)
+  /** Fully-distributed Lloyd's k-means over the embedding corpus. */
+  def kmeans(k: Int = 4, iters: Int = 2): DataFrame =
+    AnnOps.kmeans(Lake.embeddings(spark, dir), k, iters)
+  /** MMR-diversified retrieval: relevant AND novel context selection. */
+  def mmrRerank(queryVecId: Long = 0L, k: Int = 5, poolK: Int = 20,
+                lambda: Double = 0.7): DataFrame =
+    TextOps.mmrRerank(Lake.embeddings(spark, dir), queryVecId, k, poolK,
+      lambda)
+  /** Item-kNN CF serving table (the oracle-checkable neighborhood twin
+    * of the ALS factorizer). */
+  def recommend(minOrders: Long = 2, topN: Int = 3): DataFrame =
+    Relational.itemKnnRecommend(spark, dir, minOrders, topN)
+  /** Value-checked HLL NDV per event type (normalize() is already on the
+    * facade at line 82). */
+  def hllNdv(): DataFrame = IncrementalTableStats.hllNdv(spark, dir)
 }

@@ -32,6 +32,20 @@ class DataLakeSpec extends SparkSpecBase {
     assert(lake.tokenWaterfillFrac().columns.contains("water_level"))
     assert(lake.fdrReadout().columns.contains("q_value"))
     assert(lake.botScreen().columns.contains("cv_gap"))
+    // the eval-loop / model-fit / retrieval surface added this session
+    assert(lake.nbConfusion().columns.toSeq ==
+      Seq("lang", "lang_pred", "n", "share_of_actual"))
+    assert(lake.olsMulti().columns.toSeq ==
+      Seq("source", "n", "b0", "b1", "b2", "r2"))
+    assert(lake.pcaTop().columns.toSeq ==
+      Seq("dim", "loading", "eigval", "var_share"))
+    assert(lake.kmeans().columns.toSeq == Seq("vec_id", "cluster", "dist"))
+    assert(lake.mmrRerank().columns.toSeq ==
+      Seq("rank", "doc_id", "rel", "maxsim", "mmr"))
+    assert(lake.recommend().columns.toSeq ==
+      Seq("custkey", "partkey", "score", "n_src", "rnk"))
+    assert(lake.hllNdv().columns.contains("ndv_hll"))
+    assert(lake.normalize().columns.contains("text"))
   }
 
   test("cleanCorpus drops exact dups, near dups, and low-quality docs") {
