@@ -510,6 +510,9 @@ object SparkEntry {
     // Hand-rolled HLL NDV per event type, every register value-checked
     "q_hll"               -> ((s: SparkSession, d: String) =>
       IncrementalTableStats.hllNdv(s, d)),
+    // Logistic regression by 4 replayable GD steps over stopword feats
+    "q_logreg"            -> ((s: SparkSession, d: String) =>
+      TextOps.logisticFit(s, d)),
     // Item-kNN CF serving table: top-3 unowned parts per customer by
     // summed item-cosine neighborhood score
     "q_recommend"         -> ((s: SparkSession, d: String) =>
@@ -697,6 +700,57 @@ object SparkEntry {
     * exact-cosine scoring, and (sim DESC, id) beam selection as
     * [[graft.operators.AnnOps.graphSearch]]'s driver loop, so the
     * navigating search is value-verified end to end. */
+  /** Logistic-regression oracle: 4 gradient-descent steps replayed as
+    * chained CTEs with the engine's exact routing — σ rounded 6 dp →
+    * decimal, gradient sums exact, weight updates in double space
+    * re-entering decimals by cast. */
+  private def logisticOracleSql: String = {
+    val iters = 4
+    val lr = "2.0"
+    val sig = (w: String) =>
+      s"""cast(round(1.0 / (1.0 + exp(-(cast($w.w0 AS double)
+         |      + cast($w.w1 AS double) * x1
+         |      + cast($w.w2 AS double) * x2))), 6) AS decimal(18,8))"""
+        .stripMargin
+    val steps = (1 to iters).map { t =>
+      s"""p$t AS (SELECT y, x1, x2, ${sig(s"ww${t - 1}")} AS p
+         |  FROM feats, ww${t - 1}),
+         |g$t AS (SELECT sum(y - p) AS g0,
+         |    sum(cast(cast(y - p AS double) * x1 AS decimal(18,8))) AS g1,
+         |    sum(cast(cast(y - p AS double) * x2 AS decimal(18,8))) AS g2,
+         |    count(*) AS n FROM p$t),
+         |ww$t AS (SELECT
+         |    cast(cast(w.w0 AS double) + $lr * cast(g.g0 AS double) / g.n
+         |      AS decimal(18,8)) AS w0,
+         |    cast(cast(w.w1 AS double) + $lr * cast(g.g1 AS double) / g.n
+         |      AS decimal(18,8)) AS w1,
+         |    cast(cast(w.w2 AS double) + $lr * cast(g.g2 AS double) / g.n
+         |      AS decimal(18,8)) AS w2
+         |  FROM ww${t - 1} w, g$t g)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH feats AS (SELECT
+       |    CASE WHEN lang IS NULL THEN NULL
+       |         WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+       |    round(len(list_filter(string_split(text, ' '),
+       |        t -> t IN ($stopList))) * 1.0
+       |      / len(string_split(text, ' ')), 4) AS x1,
+       |    len(list_filter(string_split(text, ' '),
+       |        t -> t IN ($stopList))) / CAST(10.0 AS DOUBLE) AS x2
+       |  FROM documents WHERE text IS NOT NULL),
+       |ww0 AS (SELECT cast(0 AS decimal(18,8)) AS w0,
+       |    cast(0 AS decimal(18,8)) AS w1, cast(0 AS decimal(18,8)) AS w2),
+       |$steps,
+       |sc AS (SELECT w.w0, w.w1, w.w2, y, ${sig("w")} AS p
+       |       FROM feats, ww$iters w)
+       |SELECT round(cast(w0 AS double), 6) AS w0,
+       |  round(cast(w1 AS double), 6) AS w1,
+       |  round(cast(w2 AS double), 6) AS w2,
+       |  count(*) AS n,
+       |  round(cast(sum(CASE WHEN CAST(p >= 0.5 AS BIGINT) = y
+       |      THEN 1 ELSE 0 END) AS double) / count(*), 4) AS accuracy
+       |FROM sc GROUP BY w0, w1, w2""".stripMargin
+  }
+
   /** Hand-rolled-HLL oracle, generated from the SAME constants the
     * engine uses (b=6 → m=64 registers, rho cap 54, the portable md5
     * hash): registers, the EXACT integer harmonic sum Σ2^(54−Mⱼ), and
@@ -2287,6 +2341,8 @@ object SparkEntry {
     "q_mmr" -> mmrOracleSql,
     // Hand-rolled HLL: registers + exact integer harmonic sum replayed.
     "q_hll" -> hllOracleSql,
+    // Logistic regression: 4 GD steps replayed as chained CTEs.
+    "q_logreg" -> logisticOracleSql,
     "q_kmeans" ->
       """WITH x AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x
         |           FROM embeddings),

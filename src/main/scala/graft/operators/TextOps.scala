@@ -192,6 +192,83 @@ object TextOps {
   def nbConfusion(spark: SparkSession, dir: String): DataFrame =
     langConfusion(nbLangClassify(spark, dir))
 
+  /** Distributed logistic regression by replayable gradient descent —
+    * the trainable successor to [[nbLangClassify]] on the same eval
+    * loop (predict `lang == 'en'` from the stopword features the
+    * heuristic thresholds by hand): each step is ONE corpus aggregation
+    * (three gradient sums, map-side combinable) followed by a scalar
+    * weight update, the exact shape distributed SGD/L-BFGS drivers
+    * reduce to at cluster scale — no parameter server, weights are a
+    * broadcast one-row frame.
+    *
+    * Determinism routing (the [[nbLangClassify]] discipline): the only
+    * transcendental, σ(z) = 1/(1+e^(−z)), is rounded to 6 dp and cast
+    * to decimal per row, so gradient sums are exact decimals in any
+    * order; weight updates divide in double space and re-enter decimals
+    * by CAST (the proven primitive). DuckDB replays every step. Emits
+    * one row: weights after `iters` steps + training accuracy at the
+    * 0.5 boundary (compared in exact decimal space). */
+  def logisticFit(docs: DataFrame, iters: Int = 4,
+                  lr: Double = 2.0): DataFrame = {
+    val d8 = DecimalType(18, 8)
+    val feats = langQuality(docs).select(
+        (col("lang") === "en").cast("long").as("y"),
+        col("stop_ratio").as("x1"),
+        (col("n_stop") / 10.0).as("x2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var w = feats.sparkSession.range(1).select(
+      lit(java.math.BigDecimal.ZERO).cast(d8).as("w0"),
+      lit(java.math.BigDecimal.ZERO).cast(d8).as("w1"),
+      lit(java.math.BigDecimal.ZERO).cast(d8).as("w2"))
+    for (_ <- 1 to iters) {
+      val p = feats.crossJoin(broadcast(w))
+        .select(col("y"), col("x1"), col("x2"),
+          round(lit(1.0) / (lit(1.0) +
+            exp(-(col("w0").cast("double") +
+              col("w1").cast("double") * col("x1") +
+              col("w2").cast("double") * col("x2")))), 6)
+            .cast(d8).as("p"))
+        .select(col("x1"), col("x2"), (col("y") - col("p")).as("err"))
+      val g = p.agg(
+        sum(col("err")).as("g0"),
+        sum((col("err").cast("double") * col("x1")).cast(d8)).as("g1"),
+        sum((col("err").cast("double") * col("x2")).cast(d8)).as("g2"),
+        count(lit(1)).as("n"))
+      w = w.crossJoin(broadcast(g)).select(
+        (col("w0").cast("double") +
+          lit(lr) * col("g0").cast("double") / col("n")).cast(d8).as("w0"),
+        (col("w1").cast("double") +
+          lit(lr) * col("g1").cast("double") / col("n")).cast(d8).as("w1"),
+        (col("w2").cast("double") +
+          lit(lr) * col("g2").cast("double") / col("n")).cast(d8).as("w2"))
+        .localCheckpoint(true) // keep per-step lineage linear
+    }
+    val scored = feats.crossJoin(broadcast(w))
+      .select(col("y"), col("w0"), col("w1"), col("w2"),
+        round(lit(1.0) / (lit(1.0) +
+          exp(-(col("w0").cast("double") +
+            col("w1").cast("double") * col("x1") +
+            col("w2").cast("double") * col("x2")))), 6)
+          .cast(d8).as("p"))
+    val out = scored.groupBy(col("w0"), col("w1"), col("w2"))
+      .agg(
+        sum(when((col("p") >= 0.5).cast("long") === col("y"), 1L)
+          .otherwise(0L)).as("n_correct"),
+        count(lit(1)).as("n"))
+      .select(
+        round(col("w0").cast("double"), 6).as("w0"),
+        round(col("w1").cast("double"), 6).as("w1"),
+        round(col("w2").cast("double"), 6).as("w2"),
+        col("n"),
+        round(col("n_correct").cast("double") / col("n"), 4).as("accuracy"))
+      .localCheckpoint(true)
+    feats.unpersist(false)
+    out
+  }
+
+  def logisticFit(spark: SparkSession, dir: String): DataFrame =
+    logisticFit(Lake.documents(spark, dir))
+
   /** Segment-level language screen: the doc-level heuristic applied to
     * every `blockWords`-word segment, reported per doc — catches the
     * MIXED-language documents (an English page with embedded other-

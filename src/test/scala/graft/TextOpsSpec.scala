@@ -578,6 +578,37 @@ class TextOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("logistic GD learns the stopword signal on a separable planted corpus") {
+    import spark.implicits._
+    // en docs are stopword-rich, others stopword-free; class imbalance
+    // pushes the intercept negative so the 0.5 boundary separates
+    val planted = Seq(
+      (1L, "en", "the cat is on the mat and it is a cat"),
+      (2L, "en", "it is the best of the lot and a joy"),
+      (3L, "xx", "lorem ipsum dolor sit amet consectetur adipiscing elit"),
+      (4L, "xx", "zxcv qwerty asdf uiop hjkl bnm vcxz trewq"),
+      (5L, "xx", "foo bar baz qux quux corge grault garply"))
+      .toDF("doc_id", "lang", "text")
+    val r = graft.operators.TextOps.logisticFit(planted).collect().head
+    val (w0, w1, acc) = (r.getDouble(0), r.getDouble(1), r.getDouble(4))
+    assert(r.getLong(3) == 5L)
+    assert(w1 > 0, s"stopword ratio must predict en positively: $r")
+    assert(w0 < 0, s"imbalanced prior pushes the intercept negative: $r")
+    assert(acc >= 0.8, s"separable corpus must be separated: $r")
+  }
+
+  test("logistic GD on the lake: one weight row, bounded accuracy, full corpus counted") {
+    val out = graft.operators.TextOps.logisticFit(spark, Sf).collect()
+    assert(out.length == 1)
+    val r = out.head
+    val docs = Lake.documents(spark, Sf)
+      .filter(org.apache.spark.sql.functions.col("text").isNotNull).count()
+    assert(r.getLong(3) == docs, "every doc enters the fit")
+    assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    for (i <- 0 to 2)
+      assert(!r.getDouble(i).isNaN && !r.getDouble(i).isInfinite)
+  }
+
   test("MMR picks the diverse doc over the near-duplicate when diversity is weighted") {
     import spark.implicits._
     // q = e0; A is q's twin, A2 a near-copy of A, B relevant-but-novel.
