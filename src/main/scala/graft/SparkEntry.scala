@@ -513,6 +513,9 @@ object SparkEntry {
     // Logistic regression by 4 replayable GD steps over stopword feats
     "q_logreg"            -> ((s: SparkSession, d: String) =>
       TextOps.logisticFit(s, d)),
+    // Count-min-sketch token counts, every cell value-checked
+    "q_cms"               -> ((s: SparkSession, d: String) =>
+      TextOps.cmsTokenCounts(s, d)),
     // Item-kNN CF serving table: top-3 unowned parts per customer by
     // summed item-cosine neighborhood score
     "q_recommend"         -> ((s: SparkSession, d: String) =>
@@ -2343,6 +2346,28 @@ object SparkEntry {
     "q_hll" -> hllOracleSql,
     // Logistic regression: 4 GD steps replayed as chained CTEs.
     "q_logreg" -> logisticOracleSql,
+    // CMS: pure integer arithmetic — only the portable hash is shared.
+    "q_cms" ->
+      s"""WITH counts AS (SELECT token, count(*) AS c
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS token
+        |        FROM documents WHERE text IS NOT NULL)
+        |  GROUP BY token),
+        |salts AS (SELECT unnest(range(0, 4)) AS salt),
+        |cells AS (SELECT salt,
+        |    ${ph60Sql("concat(cast(salt AS VARCHAR), ':', token)")} & 127
+        |      AS bucket,
+        |    sum(c) AS cell
+        |  FROM counts, salts GROUP BY 1, 2),
+        |probes AS (SELECT token, c, salt,
+        |    ${ph60Sql("concat(cast(salt AS VARCHAR), ':', token)")} & 127
+        |      AS bucket
+        |  FROM (SELECT token, c FROM counts
+        |        ORDER BY c DESC, token LIMIT 20), salts)
+        |SELECT token, c AS n_exact,
+        |  CAST(min(cell) AS BIGINT) AS n_cms,
+        |  CAST(min(cell) - c AS BIGINT) AS overcount
+        |FROM probes JOIN cells USING (salt, bucket)
+        |GROUP BY token, c ORDER BY n_exact DESC, token""".stripMargin,
     "q_kmeans" ->
       """WITH x AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x
         |           FROM embeddings),

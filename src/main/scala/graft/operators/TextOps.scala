@@ -404,6 +404,52 @@ object TextOps {
   def olsMulti(spark: SparkSession, dir: String): DataFrame =
     olsMulti(Lake.documents(spark, dir))
 
+  /** Count-min-sketch token counts, every cell VALUE-CHECKED — the
+    * bounded-memory counting twin of the HLL NDV sketch (the same
+    * "sketches done honestly" standard): d=4 salted portable hashes into
+    * w=128 buckets, estimate = min over the d cells, which can only
+    * OVER-count (collisions add, never subtract) — the defining CMS
+    * guarantee, asserted per token against the exact count riding
+    * beside it. Entirely integer arithmetic: nothing to diverge across
+    * engines but the hash, which is the portable md5 slice.
+    *
+    * Scale: token counts partial-aggregate to vocabulary size first,
+    * THEN hash into the d×w grid (vocab-bounded work, the grid is 512
+    * cells regardless of corpus size); per-partition grids merge by
+    * cell-wise sum — the property that makes CMS the streaming/
+    * distributed counter. Top-`topK` tokens by exact count reported. */
+  def cmsTokenCounts(docs: DataFrame, d: Int = 4, w: Int = 128,
+                     topK: Int = 20): DataFrame = {
+    val counts = nonNull(docs).select(explode(toks).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // feeds the grid AND the probe
+    val salts = docs.sparkSession.range(d.toLong)
+      .select(col("id").as("salt"))
+    val cells = counts.crossJoin(broadcast(salts))
+      .select(col("salt"),
+        portableHash60(concat(col("salt").cast("string"), lit(":"),
+          col("token"))).bitwiseAND(lit((w - 1).toLong)).as("bucket"),
+        col("c"))
+      .groupBy(col("salt"), col("bucket"))
+      .agg(sum(col("c")).as("cell"))
+    val probes = counts
+      .orderBy(col("c").desc, col("token")).limit(topK)
+      .crossJoin(broadcast(salts))
+      .select(col("token"), col("c"),
+        col("salt"),
+        portableHash60(concat(col("salt").cast("string"), lit(":"),
+          col("token"))).bitwiseAND(lit((w - 1).toLong)).as("bucket"))
+    probes.join(cells, Seq("salt", "bucket"))
+      .groupBy(col("token"), col("c"))
+      .agg(min(col("cell")).as("est"))
+      .select(col("token"), col("c").as("n_exact"), col("est").as("n_cms"),
+        (col("est") - col("c")).as("overcount"))
+      .orderBy(col("n_exact").desc, col("token"))
+  }
+
+  def cmsTokenCounts(spark: SparkSession, dir: String): DataFrame =
+    cmsTokenCounts(Lake.documents(spark, dir))
+
   /** Corpus-level term statistics (the inverted-index summary): per token,
     * document frequency, total term frequency, and smoothed IDF. One
     * explode + one group-by — linear in corpus token count; df/tf partial-

@@ -578,6 +578,26 @@ class TextOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("CMS never undercounts: exact at ample width, bounded overcount under forced collisions") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a b b c"), (2L, "a b c d e f"), (3L, "a a b c c d"))
+      .toDF("doc_id", "text")
+    // ample grid: tiny vocab, no collisions -> estimates ARE the counts
+    val exact = graft.operators.TextOps.cmsTokenCounts(docs).collect()
+    assert(exact.nonEmpty)
+    assert(exact.forall(_.getLong(3) == 0L), s"no-collision grid must be exact")
+    // 2-bucket single-hash grid: collisions guaranteed, never undercounts
+    val crushed = graft.operators.TextOps
+      .cmsTokenCounts(docs, d = 1, w = 2).collect()
+    assert(crushed.forall(_.getLong(3) >= 0L), "CMS may never undercount")
+    assert(crushed.exists(_.getLong(3) > 0L),
+      "6 tokens in 2 buckets must collide somewhere")
+    val total = exact.map(_.getLong(1)).sum
+    assert(crushed.forall(r => r.getLong(2) <= total),
+      "a cell can never exceed the total token count")
+  }
+
   test("logistic GD learns the stopword signal on a separable planted corpus") {
     import spark.implicits._
     // en docs are stopword-rich, others stopword-free; class imbalance
