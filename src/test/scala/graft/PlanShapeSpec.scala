@@ -373,18 +373,64 @@ class PlanShapeSpec extends SparkSpecBase {
         // q_mmr: the one-row query-vector broadcast builds the pool
         // (q_ann_bruteforce pattern); the poolK² sim matrix and greedy
         // argmax steps are pool-bounded products BY DESIGN
-        "q_mmr")
+        "q_mmr",
+        // q_cms: the d=4 salt-row broadcast fanning each token into its
+        // d sketch cells (the q_ann_ivf bounded-constant-side pattern)
+        "q_cms",
+        // q_hll: the dense 64-register × event-type grid (the
+        // q_windowed_psi bounded-grid pattern) + one-row exact-NDV
+        // comparison broadcast
+        "q_hll",
+        // q_theil_sen: the calendar-bounded triangular day-pairs self-
+        // join (the q_lorenz_par pattern) + one-row median/total
+        // broadcasts
+        "q_theil_sen",
+        // q_rank_corr: the same calendar-bounded triangular pairs frame
+        // (Kendall concordance) + one-row moment broadcasts
+        "q_rank_corr",
+        // q_logreg / q_logreg_auc: the one-row weight- and gradient-
+        // frame broadcasts of each GD step, and the one-row class-totals
+        // broadcast against the bounded distinct-score frame (the
+        // q_supplier_share scalar-threshold pattern)
+        "q_logreg", "q_logreg_auc",
+        // q_stump / q_tree2: the one-row (root) and two-row (per-node)
+        // class-totals broadcasts against bounded distinct-threshold
+        // histograms, plus the one-row chosen-split broadcast the
+        // assignment pass travels with (same pattern)
+        "q_stump", "q_tree2",
+        // q_ridge_cv: the one-row total-Gram broadcast against the
+        // k-row fold-Gram frame (the q_supplier_share pattern)
+        "q_ridge_cv",
+        // q_shapley: the 2^n coalition lattice — containment and
+        // bit-disjointness joins over ≤16-row broadcast frames (the
+        // design-constant grid, the q_windowed_psi pattern)
+        "q_shapley",
+        // q_isotonic: the (i, j, k) interval enumeration — two range
+        // joins over the ≤10-row broadcast decile frame
+        "q_isotonic",
+        // q_mde: the one-row distinct-user-count broadcast (the
+        // q_supplier_share scalar-threshold pattern)
+        "q_mde",
+        // q_fs_weights: the one-row m-count / u-frequency / record-count
+        // broadcasts composed around the NDV-bounded match join
+        "q_fs_weights",
+        // q_ppmi_vec: the q_pca_top iteration pattern — one-row total /
+        // dimension / norm broadcasts around the vocab²-bounded matrix
+        "q_ppmi_vec")
+    // collect ALL offenders before failing — a fail-fast assert hides
+    // every offender behind the first and costs a full re-run per fix
+    val offenders = scala.collection.mutable.LinkedHashSet[String]()
     for ((name, fn) <- SparkEntry.queries) {
       // interior plans included: checkpointing operators execute their
       // real joins during construction and return an RDD-scan facade
       for (plan <- allPlansOf(fn(spark, Sf))) {
-        if (!intendedProducts(name))
-          assert(!plan.contains("CartesianProduct"),
-            s"$name plans a CartesianProduct")
-        if (!intendedBnlj(name))
-          assert(!plan.contains("BroadcastNestedLoopJoin"),
-            s"$name plans a BroadcastNestedLoopJoin")
+        if (!intendedProducts(name) && plan.contains("CartesianProduct"))
+          offenders += s"$name plans a CartesianProduct"
+        if (!intendedBnlj(name) && plan.contains("BroadcastNestedLoopJoin"))
+          offenders += s"$name plans a BroadcastNestedLoopJoin"
       }
     }
+    assert(offenders.isEmpty,
+      s"unintended product joins:\n  ${offenders.mkString("\n  ")}")
   }
 }
