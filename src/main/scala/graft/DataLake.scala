@@ -274,4 +274,35 @@ final case class DataLake(spark: SparkSession, dir: String) {
   /** Value-checked HLL NDV per event type (normalize() is already on the
     * facade at line 82). */
   def hllNdv(): DataFrame = IncrementalTableStats.hllNdv(spark, dir)
+  /** Rank-metric eval (AUC/Gini/KS) of the trained logistic scores. */
+  def logisticEval(): DataFrame = TextOps.logisticEval(spark, dir)
+  /** k-fold cross-validated ridge sweep over per-fold Gram matrices. */
+  def ridgeCv(k: Int = 4,
+              lambdas: Seq[Double] = Seq(0.0, 100.0, 10000.0)): DataFrame =
+    TextOps.ridgeCv(documents, k, lambdas)
+  /** Histogram-method Gini decision stump on the stopword ratio. */
+  def giniStump(): DataFrame = TextOps.giniStump(spark, dir)
+  /** Exact Shapley channel attribution over the coalition lattice. */
+  def shapleyAttribution(): DataFrame =
+    EventOps.shapleyAttribution(spark, dir)
+  /** Theil–Sen robust trend + Mann–Kendall test over daily counts. */
+  def theilSen(): DataFrame = EventOps.theilSen(spark, dir)
+  /** Spearman/Kendall rank correlation between two daily series. */
+  def rankCorrelation(typeA: String = "view",
+                      typeB: String = "purchase"): DataFrame =
+    EventOps.rankCorrelation(Lake.events(spark, dir), typeA, typeB)
+  /** Antitonic calibration of the quality→dup reliability curve. */
+  def isotonicCalibration(): DataFrame =
+    graft.operators.DedupOps.isotonicCalibration(spark, dir)
+  /** Per-event-type MDE / sample-size power planner. */
+  def mdePlanner(): DataFrame = EventOps.mdePlanner(spark, dir)
+  /** Depth-2 CART grown level-wise over two quantized text features. */
+  def giniTree2(): DataFrame = TextOps.giniTree2(spark, dir)
+  /** Fellegi–Sunter m/u agreement weights over matched-name pairs. */
+  def fsWeights(): DataFrame =
+    graft.operators.DedupOps.fsWeights(spark, dir)
+  /** In-engine PPMI word embedding: top co-occurrence eigenvector. */
+  def ppmiVector(vocabSize: Int = 32, window: Int = 2,
+                 iters: Int = 6): DataFrame =
+    TextOps.ppmiVector(documents, vocabSize, window, iters)
 }

@@ -158,6 +158,9 @@ object SparkEntry {
       TextOps.nbLangClassify(s, d)),
     "q_nb_confusion"      -> TextOps.nbConfusion _,
     // Per-source multi-feature OLS via one exact-integer Gram aggregation
+    // k-fold cross-validated ridge regression over per-fold Grams
+    "q_ridge_cv"          -> ((s: SparkSession, d: String) =>
+      TextOps.ridgeCv(s, d)),
     "q_ols_multi"         -> ((s: SparkSession, d: String) =>
       TextOps.olsMulti(s, d)),
     "q_boilerplate"       -> ((s: SparkSession, d: String) => TextOps.boilerplateNgrams(s, d)),
@@ -405,6 +408,9 @@ object SparkEntry {
     // Record linkage: blocked + edit-distance-verified name matching over
     // the part-name dictionary (NDV-bounded, never row×row)
     "q_entity_match"      -> DedupOps.entityMatchQuery _,
+    // Fellegi–Sunter m/u agreement weights over the matched-name pairs
+    "q_fs_weights"        -> ((s: SparkSession, d: String) =>
+      DedupOps.fsWeights(s, d)),
     // Market-basket frequent pairs: parts co-ordered ≥2 times, top-20
     "q_copurchase"        -> ((s: SparkSession, d: String) =>
       Relational.copurchase(s, d)),
@@ -513,6 +519,18 @@ object SparkEntry {
     // Logistic regression by 4 replayable GD steps over stopword feats
     "q_logreg"            -> ((s: SparkSession, d: String) =>
       TextOps.logisticFit(s, d)),
+    // Exact ROC AUC / Gini / KS of the trained logistic scores
+    "q_logreg_auc"        -> ((s: SparkSession, d: String) =>
+      TextOps.logisticEval(s, d)),
+    // Histogram-method Gini decision stump on the stopword ratio
+    "q_stump"             -> ((s: SparkSession, d: String) =>
+      TextOps.giniStump(s, d)),
+    // Depth-2 CART grown level-wise over two quantized features
+    "q_tree2"             -> ((s: SparkSession, d: String) =>
+      TextOps.giniTree2(s, d)),
+    // PPMI co-occurrence top eigenvector: in-engine word embedding
+    "q_ppmi_vec"          -> ((s: SparkSession, d: String) =>
+      TextOps.ppmiVector(s, d)),
     // Count-min-sketch token counts, every cell value-checked
     "q_cms"               -> ((s: SparkSession, d: String) =>
       TextOps.cmsTokenCounts(s, d)),
@@ -634,6 +652,9 @@ object SparkEntry {
     // Reliability diagram: quality-score deciles vs near-dup membership
     "q_quality_calibration" -> ((s: SparkSession, d: String) =>
       DedupOps.qualityDupCalibration(s, d)),
+    // Isotonic (antitonic) calibration of the reliability deciles
+    "q_isotonic"          -> ((s: SparkSession, d: String) =>
+      DedupOps.isotonicCalibration(s, d)),
     // Growth accounting: new/retained/resurrected/churned per day
     "q_growth_accounting" -> EventOps.growthAccounting _,
     // Top weekly movers by absolute WoW swing per event type
@@ -651,6 +672,17 @@ object SparkEntry {
     "q_peak_concurrency"  -> EventOps.peakConcurrency _,
     // Burstiness: Fano factor of daily counts per event type
     "q_dispersion"        -> EventOps.dispersionQuery _,
+    // Theil–Sen robust trend + Mann–Kendall test over daily counts
+    "q_theil_sen"         -> ((s: SparkSession, d: String) =>
+      EventOps.theilSen(s, d)),
+    // Spearman ρ + Kendall τ-b between view/purchase daily series
+    "q_rank_corr"         -> ((s: SparkSession, d: String) =>
+      EventOps.rankCorrelation(s, d)),
+    // Exact Shapley-value channel attribution over the 2^4 lattice
+    "q_shapley"           -> ((s: SparkSession, d: String) =>
+      EventOps.shapleyAttribution(s, d)),
+    // MDE / sample-size power planner per event type
+    "q_mde"               -> EventOps.mdePlanner _,
   )
 
   /** [[TextOps.patternScan]] dictionary for the driver query: token
@@ -707,7 +739,55 @@ object SparkEntry {
     * chained CTEs with the engine's exact routing — σ rounded 6 dp →
     * decimal, gradient sums exact, weight updates in double space
     * re-entering decimals by cast. */
-  private def logisticOracleSql: String = {
+  /** Shared WITH-chain for the reliability deciles (quality scores,
+    * brute-force verified near-dup membership, the floor(quality·10)
+    * bucket aggregate as `base`); q_quality_calibration reads `base`
+    * directly, q_isotonic fits the antitonic curve on top of it. */
+  private def calibCtePrefix: String =
+    s"""WITH q AS (
+       |  SELECT doc_id,
+       |    round(0.4 * least(1.0, n_tokens / 100.0)
+       |        + 0.4 * (n_distinct * 1.0 / n_tokens)
+       |        + 0.2 * least(1.0, (n_stop * 1.0 / n_tokens) * 10.0), 4)
+       |      AS quality
+       |  FROM (
+       |    SELECT doc_id,
+       |      len(string_split(text, ' ')) AS n_tokens,
+       |      len(list_distinct(string_split(text, ' '))) AS n_distinct,
+       |      len(list_filter(string_split(text, ' '),
+       |        t -> t IN ($stopList))) AS n_stop
+       |    FROM documents WHERE text IS NOT NULL) u),
+       |tok AS (SELECT doc_id, string_split(text, ' ') AS t
+       |        FROM documents WHERE text IS NOT NULL),
+       |sh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(t) >= 3
+       |      THEN list_distinct(list_transform(range(1, len(t) - 1),
+       |             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+       |      ELSE [array_to_string(t, ' ')] END AS s
+       |  FROM tok),
+       |p AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sh a, sh b
+       |  WHERE a.doc_id < b.doc_id
+       |    AND len(list_intersect(a.s, b.s)) * 1.0
+       |      / len(list_distinct(a.s || b.s)) >= 0.6),
+       |mem AS (SELECT DISTINCT doc_id FROM (
+       |  SELECT doc_a AS doc_id FROM p
+       |  UNION ALL SELECT doc_b FROM p) m),
+       |b AS (SELECT CAST(floor(q.quality * 10) AS INTEGER) AS bucket,
+       |    CASE WHEN mem.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+       |  FROM q LEFT JOIN mem ON mem.doc_id = q.doc_id),
+       |base AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(is_dup) AS BIGINT) AS n_dup,
+       |  round(CAST(sum(is_dup) AS DOUBLE) / count(*), 4) AS dup_share
+       |FROM b GROUP BY 1)""".stripMargin
+
+  /** Shared WITH-chain replaying the logistic trainer step-for-step;
+    * [[logisticOracleSql]] finishes it with the accuracy readout and
+    * [[logisticAucOracleSql]] with the rank-metric (AUC/Gini/KS)
+    * readout, so both oracles score the SAME weights. */
+  private def logisticCtePrefix: String = {
     val iters = 4
     val lr = "2.0"
     val sig = (w: String) =>
@@ -744,7 +824,11 @@ object SparkEntry {
        |    cast(0 AS decimal(18,8)) AS w1, cast(0 AS decimal(18,8)) AS w2),
        |$steps,
        |sc AS (SELECT w.w0, w.w1, w.w2, y, ${sig("w")} AS p
-       |       FROM feats, ww$iters w)
+       |       FROM feats, ww$iters w)""".stripMargin
+  }
+
+  private def logisticOracleSql: String =
+    s"""$logisticCtePrefix
        |SELECT round(cast(w0 AS double), 6) AS w0,
        |  round(cast(w1 AS double), 6) AS w1,
        |  round(cast(w2 AS double), 6) AS w2,
@@ -752,7 +836,36 @@ object SparkEntry {
        |  round(cast(sum(CASE WHEN CAST(p >= 0.5 AS BIGINT) = y
        |      THEN 1 ELSE 0 END) AS double) / count(*), 4) AS accuracy
        |FROM sc GROUP BY w0, w1, w2""".stripMargin
-  }
+
+  /** Rank-metric readout over the SAME replayed weights: distinct-score
+    * pos/neg counts, one bounded cumulative window, BIGINT AUC numerator
+    * and KS cross-product — the engine's exact shape. */
+  private def logisticAucOracleSql: String =
+    s"""$logisticCtePrefix,
+       |vals AS (SELECT p, CAST(sum(y) AS BIGINT) AS pos_c,
+       |    CAST(sum(1 - y) AS BIGINT) AS neg_c
+       |  FROM sc WHERE y IS NOT NULL GROUP BY p),
+       |cum AS (SELECT pos_c, neg_c,
+       |    coalesce(CAST(sum(neg_c) OVER (ORDER BY p
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+       |      0) AS neg_below,
+       |    CAST(sum(pos_c) OVER (ORDER BY p
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS pos_upto,
+       |    CAST(sum(neg_c) OVER (ORDER BY p
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS neg_upto
+       |  FROM vals),
+       |tot AS (SELECT CAST(sum(pos_c) AS BIGINT) AS n_pos,
+       |    CAST(sum(neg_c) AS BIGINT) AS n_neg FROM vals)
+       |SELECT t.n_pos, t.n_neg,
+       |  round(CAST(CAST(sum(pos_c * (2 * neg_below + neg_c)) AS BIGINT)
+       |      AS DOUBLE) / (2.0 * t.n_pos * t.n_neg), 6) AS auc,
+       |  round(CAST(CAST(sum(pos_c * (2 * neg_below + neg_c)) AS BIGINT)
+       |      AS DOUBLE) / (1.0 * t.n_pos * t.n_neg) - 1.0, 6) AS gini,
+       |  round(CAST(max(abs(neg_upto * t.n_pos - pos_upto * t.n_neg))
+       |      AS DOUBLE) / (1.0 * t.n_pos * t.n_neg), 6) AS ks
+       |FROM cum, tot t GROUP BY t.n_pos, t.n_neg""".stripMargin
 
   /** Hand-rolled-HLL oracle, generated from the SAME constants the
     * engine uses (b=6 → m=64 registers, rho cap 54, the portable md5
@@ -879,6 +992,56 @@ object SparkEntry {
        |  round(sqrt(cast(n$iters.ss AS double)), 6) AS eigval,
        |  round(sqrt(cast(n$iters.ss AS double)) / tr.trace, 6) AS var_share
        |FROM v$iters, n$iters, tr ORDER BY dim""".stripMargin
+  }
+
+  /** PPMI top-eigenvector oracle: vocab, windowed co-occurrence, PPMI
+    * cells rounded once, then the [[pcaOracleSql]] iteration chain. */
+  private def ppmiOracleSql: String = {
+    val iters = 6
+    val iterCtes = (1 to iters).map { t =>
+      s"""w$t AS (SELECT g.i,
+         |    sum(cast(cast(g.g AS double) * cast(v${t - 1}.v AS double)
+         |      AS decimal(18,8))) AS w
+         |  FROM g JOIN v${t - 1} ON v${t - 1}.i = g.j GROUP BY g.i),
+         |n$t AS (SELECT sum(cast(cast(w AS double) * cast(w AS double)
+         |    AS decimal(18,8))) AS ss FROM w$t),
+         |v$t AS (SELECT i, cast(cast(w AS double) / sqrt(cast(ss AS double))
+         |    AS decimal(18,8)) AS v FROM w$t, n$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tk AS (SELECT string_split(text, ' ') AS t
+       |            FROM documents WHERE text IS NOT NULL),
+       |voc AS (SELECT tok, c,
+       |    CAST(row_number() OVER (ORDER BY c DESC, tok) - 1 AS BIGINT)
+       |      AS i
+       |  FROM (SELECT tok, CAST(count(*) AS BIGINT) AS c
+       |        FROM (SELECT unnest(t) AS tok FROM tk) a
+       |        GROUP BY tok ORDER BY c DESC, tok LIMIT 32) v),
+       |pr AS (SELECT va.i AS ia, vb.i AS ib
+       |  FROM tk, unnest(range(1, len(t) + 1)) AS u(p),
+       |       unnest(range(1, 3)) AS w(d), voc va, voc vb
+       |  WHERE p + d <= len(t) AND va.tok = t[p] AND vb.tok = t[p + d]),
+       |sym AS (SELECT ia, ib FROM pr
+       |        UNION ALL SELECT ib AS ia, ia AS ib FROM pr),
+       |cab AS (SELECT ia, ib, CAST(count(*) AS BIGINT) AS c
+       |        FROM sym GROUP BY 1, 2),
+       |tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM cab),
+       |cw AS (SELECT ia, CAST(sum(c) AS BIGINT) AS ca
+       |       FROM cab GROUP BY 1),
+       |g AS (SELECT cab.ia AS i, cab.ib AS j,
+       |    CAST(greatest(0.0, round(log2((CAST(cab.c AS DOUBLE) * tot.t)
+       |      / (CAST(a.ca AS DOUBLE) * b.ca)), 6)) AS DECIMAL(18,8)) AS g
+       |  FROM cab JOIN cw a ON a.ia = cab.ia
+       |           JOIN cw b ON b.ia = cab.ib, tot),
+       |dd AS (SELECT CAST(count(*) AS DOUBLE) AS d FROM voc),
+       |v0 AS (SELECT i, CAST(1.0 / sqrt(d) AS DECIMAL(18,8)) AS v
+       |       FROM voc, dd),
+       |$iterCtes
+       |SELECT CAST(v$iters.i AS BIGINT) AS dim, voc.tok AS token,
+       |  voc.c AS n_occurrences,
+       |  round(CAST(v$iters.v AS double), 6) AS loading,
+       |  round(sqrt(CAST(n$iters.ss AS double)), 6) AS eigval
+       |FROM v$iters JOIN voc ON voc.i = v$iters.i, n$iters
+       |ORDER BY dim""".stripMargin
   }
 
   private def graphAnnOracleSql: String = {
@@ -2340,12 +2503,60 @@ object SparkEntry {
     // centroid sums rounded at 6 dp, then the second assignment.
     // Power-iteration PCA: one-pass covariance + 8 replayed steps.
     "q_pca_top" -> pcaOracleSql,
+    // PPMI top eigenvector: co-occurrence, 6-dp PPMI cells, the pca
+    // iteration chain — replayed cell for cell.
+    "q_ppmi_vec" -> ppmiOracleSql,
     // MMR diversification: greedy argmax replayed as chained CTEs.
     "q_mmr" -> mmrOracleSql,
     // Hand-rolled HLL: registers + exact integer harmonic sum replayed.
     "q_hll" -> hllOracleSql,
     // Logistic regression: 4 GD steps replayed as chained CTEs.
     "q_logreg" -> logisticOracleSql,
+    "q_logreg_auc" -> logisticAucOracleSql,
+    // Gini stump: distinct-value histogram, one cumulative window,
+    // integer split scores, argmax by (score DESC, t) — replayed
+    // candidate-for-candidate.
+    "q_stump" ->
+      s"""WITH f AS (SELECT
+         |    round(len(list_filter(string_split(text, ' '),
+         |        t -> t IN ($stopList))) * 1.0
+         |      / len(string_split(text, ' ')), 4) AS x,
+         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+         |  FROM documents
+         |  WHERE text IS NOT NULL AND lang IS NOT NULL),
+         |vals AS (SELECT x, CAST(sum(y) AS BIGINT) AS pos_c,
+         |    CAST(sum(1 - y) AS BIGINT) AS neg_c FROM f GROUP BY x),
+         |cum AS (SELECT x, pos_c, neg_c,
+         |    CAST(sum(pos_c) OVER (ORDER BY x
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS pos_l,
+         |    CAST(sum(neg_c) OVER (ORDER BY x
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS neg_l
+         |  FROM vals),
+         |tot AS (SELECT CAST(sum(pos_c) AS BIGINT) AS n_pos,
+         |    CAST(sum(neg_c) AS BIGINT) AS n_neg FROM vals),
+         |cand AS (SELECT x, pos_l, neg_l, n_pos, n_neg,
+         |    pos_l + neg_l AS n_l,
+         |    n_pos - pos_l AS pos_r, n_neg - neg_l AS neg_r,
+         |    (n_pos - pos_l) + (n_neg - neg_l) AS n_r,
+         |    n_pos + n_neg AS n
+         |  FROM cum, tot
+         |  WHERE (n_pos - pos_l) + (n_neg - neg_l) > 0),
+         |s AS (SELECT *,
+         |    round(CAST((pos_l*pos_l + neg_l*neg_l) * n_r
+         |        + (pos_r*pos_r + neg_r*neg_r) * n_l AS DOUBLE)
+         |      / (n_l * n_r), 9) AS score
+         |  FROM cand),
+         |best AS (SELECT *,
+         |    row_number() OVER (ORDER BY score DESC, x) AS rn FROM s)
+         |SELECT x AS threshold,
+         |  round(score / n
+         |    - CAST(n_pos*n_pos + n_neg*n_neg AS DOUBLE) / n / n, 6)
+         |    AS gini_gain,
+         |  n_l AS n_left, pos_l AS pos_left,
+         |  n_r AS n_right, pos_r AS pos_right, n
+         |FROM best WHERE rn = 1""".stripMargin,
     // CMS: pure integer arithmetic — only the portable hash is shared.
     "q_cms" ->
       s"""WITH counts AS (SELECT token, count(*) AS c
@@ -3551,6 +3762,178 @@ object SparkEntry {
         |  round(1.0 - (dyy - b0*dy - b1*d1y - b2*d2y)
         |    / (dyy - dy*dy/dn), 4) AS r2
         |FROM c ORDER BY source""".stripMargin,
+    // Ridge CV: per-fold BIGINT Grams, train = total − fold, the
+    // q_ols_multi cofactor tree with the λ·n_train diagonal shift, and
+    // the closed-form held-out SSE — identical scalar trees per cell.
+    "q_ridge_cv" ->
+      """WITH f AS (SELECT doc_id % 4 AS fold,
+        |    len(string_split(text, ' ')) AS x1,
+        |    len(list_distinct(string_split(text, ' '))) AS x2,
+        |    n_chars AS y
+        |  FROM documents WHERE text IS NOT NULL),
+        |g AS (SELECT fold, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+        |    CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x1*x1) AS BIGINT) AS s11,
+        |    CAST(sum(x1*x2) AS BIGINT) AS s12,
+        |    CAST(sum(x2*x2) AS BIGINT) AS s22,
+        |    CAST(sum(x1*y) AS BIGINT) AS s1y,
+        |    CAST(sum(x2*y) AS BIGINT) AS s2y,
+        |    CAST(sum(y*y) AS BIGINT) AS syy
+        |  FROM f GROUP BY fold),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn,
+        |    CAST(sum(s1) AS BIGINT) AS t1, CAST(sum(s2) AS BIGINT) AS t2,
+        |    CAST(sum(sy) AS BIGINT) AS ty,
+        |    CAST(sum(s11) AS BIGINT) AS t11,
+        |    CAST(sum(s12) AS BIGINT) AS t12,
+        |    CAST(sum(s22) AS BIGINT) AS t22,
+        |    CAST(sum(s1y) AS BIGINT) AS t1y,
+        |    CAST(sum(s2y) AS BIGINT) AS t2y,
+        |    CAST(sum(syy) AS BIGINT) AS tyy
+        |  FROM g),
+        |t AS (SELECT lam.ridge_lambda, g.fold,
+        |    CAST(tn - n AS BIGINT) AS n_train, n AS n_test,
+        |    CAST(tn - n AS DOUBLE) AS dn, CAST(t1 - s1 AS DOUBLE) AS d1,
+        |    CAST(t2 - s2 AS DOUBLE) AS d2, CAST(ty - sy AS DOUBLE) AS dy,
+        |    CAST(t11 - s11 AS DOUBLE) AS d11,
+        |    CAST(t12 - s12 AS DOUBLE) AS d12,
+        |    CAST(t22 - s22 AS DOUBLE) AS d22,
+        |    CAST(t1y - s1y AS DOUBLE) AS d1y,
+        |    CAST(t2y - s2y AS DOUBLE) AS d2y,
+        |    CAST(n AS DOUBLE) AS hn,
+        |    CAST(s1 AS DOUBLE) AS h1, CAST(s2 AS DOUBLE) AS h2,
+        |    CAST(sy AS DOUBLE) AS hy,
+        |    CAST(s11 AS DOUBLE) AS h11, CAST(s12 AS DOUBLE) AS h12,
+        |    CAST(s22 AS DOUBLE) AS h22,
+        |    CAST(s1y AS DOUBLE) AS h1y, CAST(s2y AS DOUBLE) AS h2y,
+        |    CAST(syy AS DOUBLE) AS hyy
+        |  FROM g, tot,
+        |    (SELECT CAST(unnest([0.0, 100.0, 10000.0]) AS DOUBLE)
+        |       AS ridge_lambda) lam),
+        |a AS (SELECT *, d11 + ridge_lambda * dn AS a11,
+        |    d22 + ridge_lambda * dn AS a22 FROM t),
+        |m AS (SELECT *, a11*a22 - d12*d12 AS m00, d1*a22 - d2*d12 AS m10,
+        |    d1*d12 - d2*a11 AS m20 FROM a),
+        |dt AS (SELECT *, dn*m00 - d1*m10 + d2*m20 AS det,
+        |    dy*m00 - d1y*m10 + d2y*m20 AS det0,
+        |    -dy*(d1*a22 - d12*d2) + d1y*(dn*a22 - d2*d2)
+        |      - d2y*(dn*d12 - d2*d1) AS det1,
+        |    dy*(d1*d12 - a11*d2) - d1y*(dn*d12 - d1*d2)
+        |      + d2y*(dn*a11 - d1*d1) AS det2
+        |  FROM m),
+        |c AS (SELECT *, det0/det AS b0, det1/det AS b1, det2/det AS b2
+        |  FROM dt WHERE det <> 0),
+        |sc AS (SELECT *,
+        |    hyy + b0*b0*hn + b1*b1*h11 + b2*b2*h22
+        |      - 2.0*b0*hy - 2.0*b1*h1y - 2.0*b2*h2y
+        |      + 2.0*b0*b1*h1 + 2.0*b0*b2*h2 + 2.0*b1*b2*h12 AS sse
+        |  FROM c),
+        |msef AS (SELECT ridge_lambda, fold, n_train, n_test, b0, b1, b2,
+        |    CAST(round(sse / hn, 4) AS DECIMAL(18,4)) AS mse_dec FROM sc)
+        |SELECT ridge_lambda, fold, n_train, n_test,
+        |  round(b0, 4) AS b0, round(b1, 6) AS b1, round(b2, 6) AS b2,
+        |  CAST(mse_dec AS DOUBLE) AS test_mse,
+        |  round(CAST(sum(mse_dec) OVER (PARTITION BY ridge_lambda)
+        |    AS DOUBLE) / 4, 4) AS cv_mse
+        |FROM msef ORDER BY ridge_lambda, fold""".stripMargin,
+    // Depth-2 CART: level-wise histograms (feat, v) then (node, feat,
+    // v), the stump's integer score/gain trees per node, deterministic
+    // argmax — replayed level for level.
+    "q_tree2" ->
+      s"""WITH t0 AS (SELECT
+         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         |    round(len(list_filter(string_split(text, ' '),
+         |        t -> t IN ($stopList))) * 1.0
+         |      / len(string_split(text, ' ')), 4) AS f1,
+         |    round(len(list_distinct(string_split(text, ' '))) * 1.0
+         |      / len(string_split(text, ' ')), 4) AS f2
+         |  FROM documents
+         |  WHERE text IS NOT NULL AND lang IS NOT NULL),
+         |h1 AS (SELECT feat, v, CAST(sum(y) AS BIGINT) AS pos_c,
+         |    CAST(sum(1 - y) AS BIGINT) AS neg_c
+         |  FROM (SELECT 'f1' AS feat, f1 AS v, y FROM t0
+         |        UNION ALL SELECT 'f2' AS feat, f2 AS v, y FROM t0) u
+         |  GROUP BY feat, v),
+         |tot1 AS (SELECT CAST(sum(y) AS BIGINT) AS n_pos,
+         |    CAST(sum(1 - y) AS BIGINT) AS n_neg FROM t0),
+         |cu1 AS (SELECT feat, v,
+         |    CAST(sum(pos_c) OVER (PARTITION BY feat ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS pos_l,
+         |    CAST(sum(neg_c) OVER (PARTITION BY feat ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS neg_l
+         |  FROM h1),
+         |ca1 AS (SELECT feat, v, pos_l, neg_l, n_pos, n_neg,
+         |    pos_l + neg_l AS n_l, n_pos - pos_l AS pos_r,
+         |    n_neg - neg_l AS neg_r,
+         |    (n_pos - pos_l) + (n_neg - neg_l) AS n_r,
+         |    n_pos + n_neg AS n
+         |  FROM cu1, tot1
+         |  WHERE (n_pos - pos_l) + (n_neg - neg_l) > 0),
+         |s1 AS (SELECT *,
+         |    round(CAST((pos_l*pos_l + neg_l*neg_l) * n_r
+         |        + (pos_r*pos_r + neg_r*neg_r) * n_l AS DOUBLE)
+         |      / (n_l * n_r), 9) AS score
+         |  FROM ca1),
+         |b1 AS (SELECT *, round(score / n
+         |      - CAST(n_pos*n_pos + n_neg*n_neg AS DOUBLE) / n / n, 6)
+         |      AS gini_gain
+         |  FROM (SELECT *, row_number() OVER
+         |      (ORDER BY score DESC, feat, v) AS rn FROM s1) r
+         |  WHERE rn = 1),
+         |asg AS (SELECT t0.y, t0.f1, t0.f2,
+         |    CASE WHEN (CASE WHEN b.feat = 'f1' THEN t0.f1 ELSE t0.f2 END)
+         |      <= b.v THEN 'L' ELSE 'R' END AS node
+         |  FROM t0, b1 b),
+         |h2 AS (SELECT node, feat, v, CAST(sum(y) AS BIGINT) AS pos_c,
+         |    CAST(sum(1 - y) AS BIGINT) AS neg_c
+         |  FROM (SELECT node, 'f1' AS feat, f1 AS v, y FROM asg
+         |        UNION ALL SELECT node, 'f2' AS feat, f2 AS v, y FROM asg)
+         |    u
+         |  GROUP BY node, feat, v),
+         |tot2 AS (SELECT node, CAST(sum(y) AS BIGINT) AS n_pos,
+         |    CAST(sum(1 - y) AS BIGINT) AS n_neg FROM asg GROUP BY node),
+         |cu2 AS (SELECT node, feat, v,
+         |    CAST(sum(pos_c) OVER (PARTITION BY node, feat ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS pos_l,
+         |    CAST(sum(neg_c) OVER (PARTITION BY node, feat ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS neg_l
+         |  FROM h2),
+         |ca2 AS (SELECT cu2.node, feat, v, pos_l, neg_l,
+         |    t.n_pos, t.n_neg,
+         |    pos_l + neg_l AS n_l, t.n_pos - pos_l AS pos_r,
+         |    t.n_neg - neg_l AS neg_r,
+         |    (t.n_pos - pos_l) + (t.n_neg - neg_l) AS n_r,
+         |    t.n_pos + t.n_neg AS n
+         |  FROM cu2 JOIN tot2 t ON t.node = cu2.node
+         |  WHERE (t.n_pos - pos_l) + (t.n_neg - neg_l) > 0),
+         |s2 AS (SELECT *,
+         |    round(CAST((pos_l*pos_l + neg_l*neg_l) * n_r
+         |        + (pos_r*pos_r + neg_r*neg_r) * n_l AS DOUBLE)
+         |      / (n_l * n_r), 9) AS score
+         |  FROM ca2),
+         |b2 AS (SELECT *, round(score / n
+         |      - CAST(n_pos*n_pos + n_neg*n_neg AS DOUBLE) / n / n, 6)
+         |      AS gini_gain
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY node
+         |      ORDER BY score DESC, feat, v) AS rn FROM s2) r
+         |  WHERE rn = 1)
+         |SELECT node, feature, threshold, gini_gain, n, pos,
+         |  n_left, pos_left, n_right, pos_right
+         |FROM (
+         |  SELECT 'root' AS node, feat AS feature, v AS threshold,
+         |    gini_gain, n, n_pos AS pos, n_l AS n_left, pos_l AS pos_left,
+         |    n_r AS n_right, pos_r AS pos_right
+         |  FROM b1
+         |  UNION ALL
+         |  SELECT node, feat AS feature, v AS threshold, gini_gain, n,
+         |    n_pos AS pos, n_l AS n_left, pos_l AS pos_left,
+         |    n_r AS n_right, pos_r AS pos_right
+         |  FROM b2) f
+         |ORDER BY node""".stripMargin,
     // Rule-based quality filter: every ratio is an exact integer division
     // (bit-identical doubles), so the keep booleans agree across engines.
     "q_quality_rules" ->
@@ -4209,6 +4592,58 @@ object SparkEntry {
         | AND a.name < b.name
         |WHERE levenshtein(a.name, b.name) <= 3
         |ORDER BY dist, name_a, name_b""".stripMargin,
+    // Fellegi–Sunter: the q_entity_match candidate set scores m per
+    // attribute; u is the frequency-based closed form over the name
+    // dictionary; log2 weights NULL at the degenerate edges.
+    "q_fs_weights" ->
+      """WITH dict AS (SELECT p_name AS name, min(p_brand) AS brand,
+        |    min(p_type) AS ptype, min(p_size) AS size
+        |  FROM part WHERE p_name IS NOT NULL GROUP BY p_name),
+        |pr AS (SELECT a.name AS name_a, b.name AS name_b
+        |  FROM dict a JOIN dict b
+        |    ON split_part(a.name, ' ', 1) = split_part(b.name, ' ', 1)
+        |   AND a.name < b.name
+        |  WHERE levenshtein(a.name, b.name) <= 3),
+        |j AS (SELECT da.brand AS brand_a, da.ptype AS ptype_a,
+        |    da.size AS size_a, db.brand AS brand_b, db.ptype AS ptype_b,
+        |    db.size AS size_b
+        |  FROM pr JOIN dict da ON da.name = pr.name_a
+        |          JOIN dict db ON db.name = pr.name_b),
+        |mm AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(CASE WHEN brand_a = brand_b THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS m_brand,
+        |    CAST(sum(CASE WHEN ptype_a = ptype_b THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS m_type,
+        |    CAST(sum(CASE WHEN size_a = size_b THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS m_size
+        |  FROM j),
+        |ub AS (SELECT coalesce(CAST(sum(f * (f - 1)) AS BIGINT), 0)
+        |    AS u_num FROM (SELECT CAST(count(*) AS BIGINT) AS f
+        |                   FROM dict GROUP BY brand) g),
+        |uc AS (SELECT coalesce(CAST(sum(f * (f - 1)) AS BIGINT), 0)
+        |    AS u_num FROM (SELECT CAST(count(*) AS BIGINT) AS f
+        |                   FROM dict GROUP BY ptype) g),
+        |us AS (SELECT coalesce(CAST(sum(f * (f - 1)) AS BIGINT), 0)
+        |    AS u_num FROM (SELECT CAST(count(*) AS BIGINT) AS f
+        |                   FROM dict GROUP BY size) g),
+        |nr AS (SELECT CAST(count(*) AS BIGINT) AS n_recs FROM dict),
+        |r AS (SELECT 'p_brand' AS attribute, n_pairs, m_brand AS m_cnt,
+        |    ub.u_num, n_recs FROM mm, ub, nr
+        |  UNION ALL SELECT 'p_type', n_pairs, m_type, uc.u_num,
+        |    n_recs FROM mm, uc, nr
+        |  UNION ALL SELECT 'p_size', n_pairs, m_size, us.u_num, n_recs
+        |    FROM mm, us, nr),
+        |d AS (SELECT attribute, n_pairs,
+        |    CAST(m_cnt AS DOUBLE) / n_pairs AS m,
+        |    CAST(u_num AS DOUBLE)
+        |      / (CAST(n_recs AS DOUBLE) * (n_recs - 1)) AS u
+        |  FROM r)
+        |SELECT attribute, n_pairs, round(m, 6) AS m, round(u, 6) AS u,
+        |  CASE WHEN m > 0 AND u > 0 THEN round(log2(m / u), 4) END
+        |    AS w_agree,
+        |  CASE WHEN m < 1 AND u < 1
+        |    THEN round(log2((1.0 - m) / (1.0 - u)), 4) END AS w_disagree
+        |FROM d ORDER BY attribute""".stripMargin,
     // Independent formulation: the fact-table self-join the engine's
     // per-basket pair fan-out avoids; DISTINCT order count absorbs
     // repeated (order, part) lines exactly like the engine's collect_set.
@@ -6105,44 +6540,35 @@ object SparkEntry {
     // the same floor(quality*10) doubles, membership from the brute-force
     // verified pair graph.
     "q_quality_calibration" ->
-      s"""WITH q AS (
-         |  SELECT doc_id,
-         |    round(0.4 * least(1.0, n_tokens / 100.0)
-         |        + 0.4 * (n_distinct * 1.0 / n_tokens)
-         |        + 0.2 * least(1.0, (n_stop * 1.0 / n_tokens) * 10.0), 4)
-         |      AS quality
-         |  FROM (
-         |    SELECT doc_id,
-         |      len(string_split(text, ' ')) AS n_tokens,
-         |      len(list_distinct(string_split(text, ' '))) AS n_distinct,
-         |      len(list_filter(string_split(text, ' '),
-         |        t -> t IN ($stopList))) AS n_stop
-         |    FROM documents WHERE text IS NOT NULL) u),
-         |tok AS (SELECT doc_id, string_split(text, ' ') AS t
-         |        FROM documents WHERE text IS NOT NULL),
-         |sh AS (
-         |  SELECT doc_id,
-         |    CASE WHEN len(t) >= 3
-         |      THEN list_distinct(list_transform(range(1, len(t) - 1),
-         |             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
-         |      ELSE [array_to_string(t, ' ')] END AS s
-         |  FROM tok),
-         |p AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM sh a, sh b
-         |  WHERE a.doc_id < b.doc_id
-         |    AND len(list_intersect(a.s, b.s)) * 1.0
-         |      / len(list_distinct(a.s || b.s)) >= 0.6),
-         |mem AS (SELECT DISTINCT doc_id FROM (
-         |  SELECT doc_a AS doc_id FROM p
-         |  UNION ALL SELECT doc_b FROM p) m),
-         |b AS (SELECT CAST(floor(q.quality * 10) AS INTEGER) AS bucket,
-         |    CASE WHEN mem.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_dup
-         |  FROM q LEFT JOIN mem ON mem.doc_id = q.doc_id)
-         |SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
-         |  CAST(sum(is_dup) AS BIGINT) AS n_dup,
-         |  round(CAST(sum(is_dup) AS DOUBLE) / count(*), 4) AS dup_share
-         |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin,
+      s"""$calibCtePrefix
+         |SELECT bucket, n_docs, n_dup, dup_share
+         |FROM base ORDER BY bucket""".stripMargin,
+    // Isotonic calibration: the same decile base, interval means as
+    // exact cumulative-sum ratios, the antitonic min-max closed form.
+    "q_isotonic" ->
+      s"""$calibCtePrefix,
+         |cum AS (SELECT bucket, n_docs, n_dup, dup_share,
+         |    CAST(sum(n_docs) OVER (ORDER BY bucket
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum_n,
+         |    CAST(sum(n_dup) OVER (ORDER BY bucket
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum_k
+         |  FROM base),
+         |cb AS (SELECT *, cum_n - n_docs AS cumb_n,
+         |    cum_k - n_dup AS cumb_k FROM cum),
+         |iv AS (SELECT j.bucket AS bj, k.bucket AS bk,
+         |    CAST(k.cum_k - j.cumb_k AS DOUBLE)
+         |      / CAST(k.cum_n - j.cumb_n AS DOUBLE) AS imean
+         |  FROM cb j JOIN cb k ON j.bucket <= k.bucket),
+         |fit AS (SELECT i.bucket, iv.bj, max(iv.imean) AS gmax
+         |  FROM cb i JOIN iv ON iv.bj <= i.bucket AND i.bucket <= iv.bk
+         |  GROUP BY i.bucket, iv.bj),
+         |iso AS (SELECT bucket, min(gmax) AS iso FROM fit GROUP BY bucket)
+         |SELECT b2.bucket, b2.n_docs, b2.n_dup, b2.dup_share,
+         |  round(iso.iso, 6) AS iso_rate
+         |FROM base b2 JOIN iso ON iso.bucket = b2.bucket
+         |ORDER BY b2.bucket""".stripMargin,
     // Growth accounting: same user-day window flags, churn shifted to
     // day+1, left join on the bounded daily frame.
     "q_growth_accounting" ->
@@ -6280,6 +6706,157 @@ object SparkEntry {
         |      * (CAST(sxxb AS DOUBLE) - CAST(sxb AS DOUBLE) * sxb / nb)), 6)
         |    AS xcorr
         |FROM p, sa, sb ORDER BY lag""".stripMargin,
+    // MDE planner: BIGINT moments over the all-users denominator, the
+    // z-sum literal and its square rendered identically.
+    "q_mde" ->
+      """WITH t AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT)
+        |    AS n_users FROM events),
+        |pu AS (SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_present,
+        |    CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM pu GROUP BY 1),
+        |d AS (SELECT event_type, n_users, n_present,
+        |    CAST(sx AS DOUBLE) / n_users AS mean,
+        |    (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n_users)
+        |      / n_users AS variance
+        |  FROM m, t),
+        |e AS (SELECT *,
+        |    2.801585 * sqrt(4.0 * variance / n_users) AS mde FROM d)
+        |SELECT event_type, n_users, n_present,
+        |  round(mean, 4) AS mean_per_user,
+        |  round(variance, 4) AS var_per_user,
+        |  round(mde, 6) AS mde_abs,
+        |  round(mde / mean, 6) AS mde_rel,
+        |  CAST(ceil(2.0 * (2.801585 * 2.801585) * variance
+        |    / ((0.05 * mean) * (0.05 * mean))) AS BIGINT)
+        |    AS n_per_arm_5pct
+        |FROM e ORDER BY event_type""".stripMargin,
+    // Shapley attribution: the 16-mask lattice, cumulative v(S) by
+    // containment join, integer s!(n−1−s)! weights — one final /24.
+    "q_shapley" ->
+      """WITH u AS (SELECT user_id,
+        |    CAST(max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      + 2 * max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |      + 4 * max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+        |      + 8 * max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS mask,
+        |    CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS conv
+        |  FROM events GROUP BY user_id),
+        |e AS (SELECT mask, CAST(sum(conv) AS BIGINT) AS conv,
+        |    CAST(count(*) AS BIGINT) AS users FROM u GROUP BY mask),
+        |m AS (SELECT CAST(range AS BIGINT) AS m FROM range(0, 16)),
+        |v AS (SELECT m.m,
+        |    coalesce(CAST(sum(e.conv) AS BIGINT), 0) AS v
+        |  FROM m LEFT JOIN e ON (e.mask & m.m) = e.mask GROUP BY m.m),
+        |ch AS (SELECT * FROM (VALUES ('click', 0, CAST(1 AS BIGINT)),
+        |    ('error', 1, CAST(2 AS BIGINT)),
+        |    ('signup', 2, CAST(4 AS BIGINT)),
+        |    ('view', 3, CAST(8 AS BIGINT))) AS t(channel, ci, bit)),
+        |terms AS (SELECT ch.channel, ch.ci,
+        |    CAST(sum((CASE bit_count(vs.m) WHEN 0 THEN 6 WHEN 1 THEN 2
+        |        WHEN 2 THEN 2 ELSE 6 END) * (vsi.v - vs.v)) AS BIGINT)
+        |      AS phi24
+        |  FROM ch JOIN v vs ON (vs.m & ch.bit) = 0
+        |  JOIN v vsi ON vsi.m = vs.m + ch.bit
+        |  GROUP BY ch.channel, ch.ci),
+        |touch AS (SELECT ch.channel, ch.ci,
+        |    coalesce(CAST(sum(e.users) AS BIGINT), 0) AS touched_users,
+        |    coalesce(CAST(sum(e.conv) AS BIGINT), 0) AS converted_touched
+        |  FROM ch LEFT JOIN e ON (e.mask & ch.bit) <> 0
+        |  GROUP BY ch.channel, ch.ci)
+        |SELECT t.channel,
+        |  round(CAST(phi24 AS DOUBLE) / 24.0, 6) AS phi,
+        |  touched_users, converted_touched
+        |FROM terms t JOIN touch USING (channel, ci)
+        |ORDER BY channel""".stripMargin,
+    // Rank correlation: integer doubled average ranks for Spearman,
+    // one sign-product sum over triangular day pairs for Kendall τ-b.
+    "q_rank_corr" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS x FROM events
+        |  WHERE event_type IN ('view', 'purchase') GROUP BY 1, 2),
+        |j AS (SELECT a.day AS day, a.x AS xa, b.x AS xb
+        |  FROM (SELECT day, x FROM d WHERE event_type = 'view') a
+        |  JOIN (SELECT day, x FROM d WHERE event_type = 'purchase') b
+        |    USING (day)),
+        |r AS (SELECT day, xa, xb,
+        |    2 * rank() OVER (ORDER BY xa)
+        |      + count(*) OVER (PARTITION BY xa) - 1 AS ra2,
+        |    2 * rank() OVER (ORDER BY xb)
+        |      + count(*) OVER (PARTITION BY xb) - 1 AS rb2
+        |  FROM j),
+        |sp AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(ra2) AS BIGINT) AS sa, CAST(sum(rb2) AS BIGINT) AS sb,
+        |    CAST(sum(ra2 * ra2) AS BIGINT) AS saa,
+        |    CAST(sum(rb2 * rb2) AS BIGINT) AS sbb,
+        |    CAST(sum(ra2 * rb2) AS BIGINT) AS sab
+        |  FROM r),
+        |p AS (SELECT CAST(sum(CAST(sign(p2.xa - p1.xa) AS BIGINT)
+        |    * CAST(sign(p2.xb - p1.xb) AS BIGINT)) AS BIGINT) AS cd
+        |  FROM j p1 JOIN j p2 ON p1.day < p2.day),
+        |ta AS (SELECT coalesce(CAST(sum(t * (t - 1)) AS BIGINT), 0) AS n1_2
+        |  FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM j GROUP BY xa)),
+        |tb AS (SELECT coalesce(CAST(sum(t * (t - 1)) AS BIGINT), 0) AS n2_2
+        |  FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM j GROUP BY xb))
+        |SELECT n AS n_days,
+        |  round((CAST(n AS DOUBLE) * sab - CAST(sa AS DOUBLE) * sb)
+        |    / sqrt((CAST(n AS DOUBLE) * saa - CAST(sa AS DOUBLE) * sa)
+        |      * (CAST(n AS DOUBLE) * sbb - CAST(sb AS DOUBLE) * sb)), 6)
+        |    AS spearman,
+        |  round(CAST(cd AS DOUBLE)
+        |    / sqrt(CAST(n * (n - 1) - n1_2 AS DOUBLE) / 2.0
+        |      * (CAST(n * (n - 1) - n2_2 AS DOUBLE) / 2.0)), 6) AS kendall
+        |FROM sp, p, ta, tb""".stripMargin,
+    // Theil–Sen / Mann–Kendall: the triangular pairs frame, decimal
+    // slopes rounded once, row_number median picks, BIGINT S and
+    // tie-corrected variance — replayed element-for-element.
+    "q_theil_sen" ->
+      """WITH daily AS (SELECT
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1),
+        |pairs AS (SELECT a.d AS di, b.d AS dj,
+        |    CAST(round((b.c - a.c) / CAST(b.d - a.d AS DOUBLE), 9)
+        |      AS DECIMAL(18,9)) AS slope,
+        |    CAST(sign(b.c - a.c) AS BIGINT) AS sgn
+        |  FROM daily a JOIN daily b ON a.d < b.d),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(sgn) AS BIGINT) AS mk_s FROM pairs),
+        |med AS (SELECT slope, n_pairs, mk_s
+        |  FROM (SELECT slope,
+        |      row_number() OVER (ORDER BY slope, di, dj) AS rn
+        |    FROM pairs) r, tot
+        |  WHERE rn = CAST(floor((n_pairs + 1) / 2.0) AS BIGINT)),
+        |resid AS (SELECT d.d AS d,
+        |    CAST(round(CAST(d.c AS DOUBLE)
+        |      - CAST(m.slope AS DOUBLE) * d.d, 9) AS DECIMAL(18,9)) AS b,
+        |    m.slope, m.n_pairs, m.mk_s
+        |  FROM daily d, med m),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily),
+        |ties AS (SELECT coalesce(
+        |    CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT), 0) AS tie_term
+        |  FROM (SELECT CAST(count(*) AS BIGINT) AS t
+        |        FROM daily GROUP BY c)),
+        |pick AS (SELECT b, slope, n_pairs, mk_s, n_days
+        |  FROM (SELECT b, d, slope, n_pairs, mk_s,
+        |      row_number() OVER (ORDER BY b, d) AS rn FROM resid) r, stats
+        |  WHERE rn = CAST(floor((n_days + 1) / 2.0) AS BIGINT))
+        |SELECT n_days, n_pairs,
+        |  round(CAST(slope AS DOUBLE), 6) AS slope,
+        |  round(CAST(b AS DOUBLE), 6) AS intercept,
+        |  mk_s,
+        |  round(CASE
+        |    WHEN mk_s > 0 THEN CAST(mk_s - 1 AS DOUBLE)
+        |      / sqrt(CAST(n_days * (n_days - 1) * (2 * n_days + 5)
+        |          - tie_term AS DOUBLE) / 18.0)
+        |    WHEN mk_s < 0 THEN CAST(mk_s + 1 AS DOUBLE)
+        |      / sqrt(CAST(n_days * (n_days - 1) * (2 * n_days + 5)
+        |          - tie_term AS DOUBLE) / 18.0)
+        |    ELSE 0.0 END, 4) AS mk_z
+        |FROM pick, ties""".stripMargin,
     // Dispersion: exact per-type moment sums, Fano = Var/Mean.
     "q_dispersion" ->
       """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,

@@ -828,6 +828,77 @@ object DedupOps extends org.apache.spark.internal.Logging {
   def entityMatchQuery(spark: SparkSession, dir: String): DataFrame =
     entityMatch(Lake.part(spark, dir), "p_name", 3)
 
+  /** Fellegi–Sunter agreement weights — the SCORING layer the
+    * rule-based [[entityMatch]] threshold stops short of: for each
+    * comparison attribute, m = P(agree | matched pair) estimated from
+    * the verified name-match pairs, u = P(agree | random pair) in the
+    * frequency-based closed form Σf(f−1)/(N(N−1)) — no random-pair
+    * sampling, the exact expectation over the value distribution — and
+    * the log₂ agreement / disagreement weights a probabilistic linker
+    * sums per candidate. Attribute values ride per NAME (deterministic
+    * min per name, since the dictionary — not the row set — defines the
+    * pair universe). Everything after the NDV-bounded match join is
+    * tiny-frame arithmetic: per-attribute value-frequency aggregates
+    * and one-row broadcasts; counts stay BIGINT until the m/u divides,
+    * and degenerate weights (m ∈ {0,1} or u = 0 — log of zero) surface
+    * as NULL, never ±∞. */
+  def fsWeights(spark: SparkSession, dir: String): DataFrame =
+    fsWeights(Lake.part(spark, dir))
+
+  def fsWeights(parts: DataFrame): DataFrame = {
+    val dict = parts.groupBy(col("p_name").as("name"))
+      .agg(min(col("p_brand")).as("brand"),
+        min(col("p_type")).as("ptype"),
+        min(col("p_size")).as("size"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = entityMatch(parts, "p_name", 3)
+      .select(col("name_a"), col("name_b"))
+      .join(broadcast(dict.select(col("name").as("name_a"),
+        col("brand").as("brand_a"), col("ptype").as("ptype_a"),
+        col("size").as("size_a"))), "name_a")
+      .join(broadcast(dict.select(col("name").as("name_b"),
+        col("brand").as("brand_b"), col("ptype").as("ptype_b"),
+        col("size").as("size_b"))), "name_b")
+    val mrow = pairs.agg(count(lit(1)).as("n_pairs"),
+      sum((col("brand_a") === col("brand_b")).cast("long")).as("m_brand"),
+      sum((col("ptype_a") === col("ptype_b")).cast("long")).as("m_type"),
+      sum((col("size_a") === col("size_b")).cast("long")).as("m_size"))
+    def uRow(c: String, alias: String): DataFrame =
+      dict.groupBy(col(c)).agg(count(lit(1)).as("f"))
+        .agg(coalesce(sum(col("f") * (col("f") - 1)), lit(0L))
+          .as(s"u_num_$alias"))
+    val nRow = dict.agg(count(lit(1)).as("n_recs"))
+    val one = mrow.crossJoin(broadcast(uRow("brand", "brand")))
+      .crossJoin(broadcast(uRow("ptype", "ptype")))
+      .crossJoin(broadcast(uRow("size", "size")))
+      .crossJoin(broadcast(nRow))
+    val rows = one.select(explode(array(
+        struct(lit("p_brand").as("attribute"), col("n_pairs"),
+          col("m_brand").as("m_cnt"), col("u_num_brand").as("u_num"),
+          col("n_recs")),
+        struct(lit("p_type").as("attribute"), col("n_pairs"),
+          col("m_type").as("m_cnt"), col("u_num_ptype").as("u_num"),
+          col("n_recs")),
+        struct(lit("p_size").as("attribute"), col("n_pairs"),
+          col("m_size").as("m_cnt"), col("u_num_size").as("u_num"),
+          col("n_recs")))).as("r"))
+      .select(col("r.*"))
+      .withColumn("m", col("m_cnt").cast("double") / col("n_pairs"))
+      .withColumn("u", col("u_num").cast("double") /
+        (col("n_recs").cast("double") * (col("n_recs") - 1)))
+    val out = rows.select(col("attribute"), col("n_pairs"),
+        round(col("m"), 6).as("m"), round(col("u"), 6).as("u"),
+        when(col("m") > 0 && col("u") > 0,
+          round(log2(col("m") / col("u")), 4)).as("w_agree"),
+        when(col("m") < 1 && col("u") < 1,
+          round(log2((lit(1.0) - col("m")) / (lit(1.0) - col("u"))), 4))
+          .as("w_disagree"))
+      .orderBy(col("attribute"))
+      .localCheckpoint(true)
+    dict.unpersist(false)
+    out
+  }
+
   /** Golden-record survivorship — the merge step [[entityMatch]] stops
     * short of: matched-name pairs close transitively into entity
     * clusters (A~B, B~C ⇒ one entity even when A≁C), and each cluster
@@ -1120,6 +1191,50 @@ object DedupOps extends org.apache.spark.internal.Logging {
       .select(col("bucket"), col("n_docs"), col("n_dup"),
         round(col("n_dup").cast("double") / col("n_docs"), 4)
           .as("dup_share"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Isotonic (antitonic) calibration of the reliability diagram — the
+    * monotone-corrected duplicate-risk curve the raw
+    * [[qualityDupCalibration]] deciles only suggest: fit the best
+    * NONINCREASING rate (weighted least squares) under the hypothesis
+    * "higher quality → less duplication", so downstream dedup budgets
+    * read a noise-free risk per quality band. The sequential PAV pooling
+    * is replaced by its closed-form minimax characterization
+    * ŷᵢ = min_{j≤i} max_{k≥i} wmean(j..k) — each interval mean an exact
+    * integer ratio (Σdup/Σdocs off two cumulative sums) divided once —
+    * which is order-free and therefore both distributable and
+    * DuckDB-replayable, unlike the pooling loop. Everything runs on the
+    * ≤10-row decile frame: the (i, j, k) triple enumeration is two
+    * broadcast range-joins over it, bounded by construction. */
+  def isotonicCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val base = qualityDupCalibration(spark, dir)
+      .select(col("bucket"), col("n_docs"), col("n_dup"), col("dup_share"))
+    val wCum = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = base
+      .withColumn("cum_n", sum(col("n_docs")).over(wCum))
+      .withColumn("cum_k", sum(col("n_dup")).over(wCum))
+      .withColumn("cumb_n", col("cum_n") - col("n_docs"))
+      .withColumn("cumb_k", col("cum_k") - col("n_dup"))
+      .localCheckpoint(true)
+    val intervals = cum.select(col("bucket").as("bj"), col("cumb_n"),
+        col("cumb_k"))
+      .join(broadcast(cum.select(col("bucket").as("bk"), col("cum_n"),
+        col("cum_k"))), col("bj") <= col("bk"))
+      .select(col("bj"), col("bk"),
+        (col("cum_k") - col("cumb_k")).cast("double")
+          ./((col("cum_n") - col("cumb_n")).cast("double")).as("imean"))
+    val fitted = cum.select(col("bucket"))
+      .join(broadcast(intervals),
+        col("bj") <= col("bucket") && col("bucket") <= col("bk"))
+      .groupBy(col("bucket"), col("bj"))
+      .agg(max(col("imean")).as("gmax"))
+      .groupBy(col("bucket"))
+      .agg(min(col("gmax")).as("iso"))
+    base.join(fitted, Seq("bucket"))
+      .select(col("bucket"), col("n_docs"), col("n_dup"), col("dup_share"),
+        round(col("iso"), 6).as("iso_rate"))
       .orderBy(col("bucket"))
   }
 

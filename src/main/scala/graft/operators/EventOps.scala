@@ -544,6 +544,73 @@ object EventOps {
       .orderBy(col("event_type"))
   }
 
+  /** EXACT Shapley-value channel attribution — the game-theoretic
+    * upgrade of the heuristic U-shaped [[attribution]] weights: each
+    * channel's credit is its average marginal contribution over every
+    * coalition, with the cumulative characteristic function
+    * v(S) = converted users whose touched-channel set ⊆ S (so v is
+    * monotone, every φ is nonnegative, and efficiency reads
+    * Σφ = all conversions − untouched conversions). The corpus
+    * collapses in ONE user-keyed aggregation to a ≤2ⁿ-row
+    * touchset-mask frame; v, the coalition lattice, the n·2ⁿ⁻¹
+    * marginal terms (weights s!(n−1−s)! kept as exact integers — the
+    * division by n! is the single final divide), and the per-channel
+    * reach tallies are all broadcast joins over that bounded frame.
+    * n is the FIXED channel list (4 here) — the 2ⁿ lattice is a design
+    * constant, not data-driven, so the plan is corpus-size-free after
+    * the first aggregate. */
+  def shapleyAttribution(events: DataFrame): DataFrame = {
+    val channels = Seq("click", "error", "signup", "view")
+    val n = channels.length
+    val spark = events.sparkSession
+    def fact(x: Int): Long = (1 to x).foldLeft(1L)(_ * _)
+    val bitLits = array(channels.indices.map(i => lit(1L << i)): _*)
+    val w24Lits = array((0 until n).map(s =>
+      lit(fact(s) * fact(n - 1 - s))): _*)
+    val aggCols = channels.zipWithIndex.map { case (c, i) =>
+      max(when(col("event_type") === c, 1L << i).otherwise(0L)).as(s"b$i")
+    } :+ max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+      .as("conv")
+    val users = events.groupBy(col("user_id"))
+      .agg(aggCols.head, aggCols.tail: _*)
+    val userMasks = users.select(
+      channels.indices.map(i => col(s"b$i")).reduce(_ + _).as("mask"),
+      col("conv"))
+    val e = userMasks.groupBy(col("mask"))
+      .agg(sum(col("conv")).as("conv"), count(lit(1)).as("users"))
+    val masks = spark.range(1L << n).select(col("id").as("m"))
+    val v = masks.join(broadcast(e),
+        col("mask").bitwiseAND(col("m")) === col("mask"), "left")
+      .groupBy(col("m"))
+      .agg(coalesce(sum(col("conv")), lit(0L)).as("v"))
+    val chan = spark.range(n).select(col("id").cast("int").as("ci"))
+      .withColumn("channel",
+        element_at(array(channels.map(lit(_)): _*), col("ci") + 1))
+      .withColumn("bit", element_at(bitLits, col("ci") + 1))
+    val terms = chan
+      .join(broadcast(v.select(col("m").as("s"), col("v").as("v_s"))),
+        col("s").bitwiseAND(col("bit")) === 0)
+      .withColumn("si", col("s") + col("bit"))
+      .join(broadcast(v.select(col("m").as("si"), col("v").as("v_si"))),
+        "si")
+      .withColumn("w24", element_at(w24Lits, bit_count(col("s")) + 1))
+      .groupBy(col("channel"), col("ci"))
+      .agg(sum(col("w24") * (col("v_si") - col("v_s"))).as("phi24"))
+    val touch = chan
+      .join(broadcast(e), col("mask").bitwiseAND(col("bit")) =!= 0, "left")
+      .groupBy(col("channel"), col("ci"))
+      .agg(coalesce(sum(col("users")), lit(0L)).as("touched_users"),
+        coalesce(sum(col("conv")), lit(0L)).as("converted_touched"))
+    terms.join(touch, Seq("channel", "ci"))
+      .select(col("channel"),
+        round(col("phi24").cast("double") / fact(n), 6).as("phi"),
+        col("touched_users"), col("converted_touched"))
+      .orderBy(col("channel"))
+  }
+
+  def shapleyAttribution(spark: SparkSession, dir: String): DataFrame =
+    shapleyAttribution(Lake.events(spark, dir))
+
   def attribution(spark: SparkSession, dir: String): DataFrame =
     attribution(Lake.events(spark, dir))
 
@@ -981,6 +1048,46 @@ object EventOps {
             sqrt(col("pooled") * (lit(1.0) - col("pooled")) *
               (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 4))
           .as("z_stat"))
+  }
+
+  /** Experiment power planner — the question to answer BEFORE the
+    * [[abReadout]]/[[welch]]/mSPRT battery runs: per event type, the
+    * minimum detectable effect of an equal-split two-sample test on the
+    * per-user event count at α=0.05 (two-sided) and 80% power, plus the
+    * per-arm sample size a 5%-relative lift would need. Every user
+    * enters every type's frame (absent users contribute zero events:
+    * the one-row distinct-user broadcast is the denominator, so sums
+    * skip them but N doesn't — the classic silent-inflation trap in
+    * per-type variance). Exact BIGINT moments; (z_{0.975} + z_{0.8})
+    * enters as the single literal 2.801585 and its square as the
+    * literal product, so both engines evaluate the identical scalar
+    * tree. MDE = 2.8016·σ·2/√N for the equal split; n_req per arm =
+    * ⌈2·(z-sum)²σ²/(0.05·μ)²⌉. */
+  def mdePlanner(spark: SparkSession, dir: String): DataFrame = {
+    val events = Lake.events(spark, dir)
+    val totals = events.agg(countDistinct(col("user_id")).as("n_users"))
+    val moments = events.groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("x"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_present"),
+        sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"))
+    moments.crossJoin(broadcast(totals))
+      .withColumn("mean", col("sx").cast("double") / col("n_users"))
+      .withColumn("variance",
+        (col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx") / col("n_users")) /
+          col("n_users"))
+      .withColumn("mde",
+        lit(2.801585) * sqrt(lit(4.0) * col("variance") / col("n_users")))
+      .select(col("event_type"), col("n_users"), col("n_present"),
+        round(col("mean"), 4).as("mean_per_user"),
+        round(col("variance"), 4).as("var_per_user"),
+        round(col("mde"), 6).as("mde_abs"),
+        round(col("mde") / col("mean"), 6).as("mde_rel"),
+        ceil(lit(2.0) * (lit(2.801585) * lit(2.801585)) * col("variance") /
+          ((lit(0.05) * col("mean")) * (lit(0.05) * col("mean"))))
+          .cast("long").as("n_per_arm_5pct"))
+      .orderBy(col("event_type"))
   }
 
   /** Difference-in-differences readout — the OBSERVATIONAL causal
@@ -1671,6 +1778,149 @@ object EventOps {
                 col("sxb").cast("double") * col("sxb") / col("nb"))), 6)
           .as("xcorr"))
       .orderBy(col("lag"))
+      .localCheckpoint(true)
+    daily.unpersist(false)
+    out
+  }
+
+  /** Rank correlation between two event types' daily series — the
+    * robust companions to the Pearson [[crossCorrelation]] at lag 0
+    * (a single viral day dominates product-moment correlation; ranks
+    * don't care): Spearman ρ on tie-averaged ranks and Kendall τ-b on
+    * pairwise concordance. Determinism: average ranks enter as the
+    * INTEGER 2·avg_rank = 2·rank + ties − 1, so every Spearman moment
+    * is BIGINT (the doubling cancels in the correlation); Kendall's
+    * C − D is one integer sum of sign products over the triangular day
+    * pairs, with tie terms n1/n2 from per-value group counts and the
+    * τ-b normalizer the only double. All windows and the pairs join run
+    * on the calendar-bounded joined-day frame. */
+  def rankCorrelation(spark: SparkSession, dir: String): DataFrame =
+    rankCorrelation(Lake.events(spark, dir))
+
+  def rankCorrelation(events: DataFrame,
+                      typeA: String = "view",
+                      typeB: String = "purchase"): DataFrame = {
+    val daily = events
+      .filter(col("event_type").isin(typeA, typeB))
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val j = daily.filter(col("event_type") === typeA)
+      .select(col("day"), col("x").as("xa"))
+      .join(daily.filter(col("event_type") === typeB)
+        .select(col("day"), col("x").as("xb")), "day")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ranks = j
+      .withColumn("ra2", lit(2L) * rank().over(Window.orderBy(col("xa"))) +
+        count(lit(1)).over(Window.partitionBy(col("xa"))) - 1)
+      .withColumn("rb2", lit(2L) * rank().over(Window.orderBy(col("xb"))) +
+        count(lit(1)).over(Window.partitionBy(col("xb"))) - 1)
+    val sp = ranks.agg(
+      count(lit(1)).as("n"),
+      sum(col("ra2")).as("sa"), sum(col("rb2")).as("sb"),
+      sum(col("ra2") * col("ra2")).as("saa"),
+      sum(col("rb2") * col("rb2")).as("sbb"),
+      sum(col("ra2") * col("rb2")).as("sab"))
+    val pairs = j.select(col("day").as("d1"), col("xa").as("a1"),
+        col("xb").as("b1"))
+      .join(broadcast(j.select(col("day").as("d2"), col("xa").as("a2"),
+        col("xb").as("b2"))), col("d1") < col("d2"))
+      .agg(sum(signum((col("a2") - col("a1")).cast("double")).cast("long") *
+        signum((col("b2") - col("b1")).cast("double")).cast("long"))
+        .as("cd"))
+    val tiesA = j.groupBy(col("xa")).agg(count(lit(1)).as("t"))
+      .agg(coalesce(sum(col("t") * (col("t") - 1)), lit(0L)).as("n1_2"))
+    val tiesB = j.groupBy(col("xb")).agg(count(lit(1)).as("t"))
+      .agg(coalesce(sum(col("t") * (col("t") - 1)), lit(0L)).as("n2_2"))
+    val out = sp.crossJoin(broadcast(pairs))
+      .crossJoin(broadcast(tiesA)).crossJoin(broadcast(tiesB))
+      .withColumn("n0_2", col("n") * (col("n") - 1))
+      .select(
+        col("n").as("n_days"),
+        round((col("n").cast("double") * col("sab") -
+          col("sa").cast("double") * col("sb")) /
+          sqrt((col("n").cast("double") * col("saa") -
+            col("sa").cast("double") * col("sa")) *
+            (col("n").cast("double") * col("sbb") -
+              col("sb").cast("double") * col("sb"))), 6).as("spearman"),
+        round(col("cd").cast("double") /
+          sqrt((col("n0_2") - col("n1_2")).cast("double") / 2.0 *
+            ((col("n0_2") - col("n2_2")).cast("double") / 2.0)), 6)
+          .as("kendall"))
+      .localCheckpoint(true)
+    j.unpersist(false)
+    out
+  }
+
+  /** Theil–Sen robust trend + Mann–Kendall monotonic-trend test over
+    * the daily event-count series — the outlier-proof complement of the
+    * per-group OLS line (one corrupted day moves the LS slope, not the
+    * median-of-slopes): slope = lower median of all pairwise slopes
+    * (c_j−c_i)/(d_j−d_i), intercept = lower median of c_i − slope·d_i,
+    * S = Σ sign(c_j−c_i) with the tie-corrected variance
+    * (n(n−1)(2n+5) − Σ t(t−1)(2t+5))/18 and the ±1 continuity-corrected
+    * z. Every frame is calendar-bounded: the triangular self-join is
+    * (#days choose 2) pairs, medians are row_number picks at
+    * floor((n+1)/2) under the deterministic (value, day) order, and all
+    * counts/signs stay BIGINT until the final z divide. Slopes enter
+    * DECIMAL(18,9) by one double divide rounded once (the proven
+    * primitive), so DuckDB replays the median selection element-for-
+    * element. */
+  def theilSen(spark: SparkSession, dir: String): DataFrame =
+    theilSen(Lake.events(spark, dir))
+
+  def theilSen(events: DataFrame): DataFrame = {
+    val dec9 = org.apache.spark.sql.types.DecimalType(18, 9)
+    val daily = events
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+      .select(datediff(col("day"), lit("1970-01-01")).cast("long").as("d"),
+        col("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = daily.select(col("d").as("di"), col("c").as("ci"))
+      .join(broadcast(daily.select(col("d").as("dj"), col("c").as("cj"))),
+        col("di") < col("dj"))
+      .select(col("di"), col("dj"),
+        round((col("cj") - col("ci")).cast("double") /
+          (col("dj") - col("di")), 9).cast(dec9).as("slope"),
+        signum((col("cj") - col("ci")).cast("double")).cast("long").as("sgn"))
+    val tot = pairs.agg(count(lit(1)).as("n_pairs"),
+      sum(col("sgn")).as("mk_s"))
+    val wSlope = Window.orderBy(col("slope"), col("di"), col("dj"))
+    val med = pairs.withColumn("rn", row_number().over(wSlope))
+      .crossJoin(broadcast(tot))
+      .filter(col("rn") ===
+        floor((col("n_pairs") + 1) / lit(2.0)).cast("long"))
+      .select(col("slope"), col("n_pairs"), col("mk_s"))
+    val resid = daily.crossJoin(broadcast(med))
+      .select(col("d"),
+        round(col("c").cast("double") -
+          col("slope").cast("double") * col("d"), 9).cast(dec9).as("b"),
+        col("slope"), col("n_pairs"), col("mk_s"))
+    val stats = daily.agg(count(lit(1)).as("n_days"))
+    val ties = daily.groupBy(col("c")).agg(count(lit(1)).as("t"))
+      .agg(coalesce(sum(col("t") * (col("t") - 1) *
+        (lit(2L) * col("t") + 5)), lit(0L)).as("tie_term"))
+    val wB = Window.orderBy(col("b"), col("d"))
+    val out = resid.withColumn("rn", row_number().over(wB))
+      .crossJoin(broadcast(stats))
+      .filter(col("rn") ===
+        floor((col("n_days") + 1) / lit(2.0)).cast("long"))
+      .crossJoin(broadcast(ties))
+      .withColumn("var_s",
+        (col("n_days") * (col("n_days") - 1) *
+          (lit(2L) * col("n_days") + 5) - col("tie_term"))
+          .cast("double") / 18.0)
+      .select(
+        col("n_days"), col("n_pairs"),
+        round(col("slope").cast("double"), 6).as("slope"),
+        round(col("b").cast("double"), 6).as("intercept"),
+        col("mk_s"),
+        round(
+          when(col("mk_s") > 0,
+            (col("mk_s") - 1).cast("double") / sqrt(col("var_s")))
+            .when(col("mk_s") < 0,
+              (col("mk_s") + 1).cast("double") / sqrt(col("var_s")))
+            .otherwise(lit(0.0)), 4).as("mk_z"))
       .localCheckpoint(true)
     daily.unpersist(false)
     out

@@ -210,6 +210,30 @@ object TextOps {
     * 0.5 boundary (compared in exact decimal space). */
   def logisticFit(docs: DataFrame, iters: Int = 4,
                   lr: Double = 2.0): DataFrame = {
+    val (feats, scored) = logisticScored(docs, iters, lr)
+    val out = scored.groupBy(col("w0"), col("w1"), col("w2"))
+      .agg(
+        sum(when((col("p") >= 0.5).cast("long") === col("y"), 1L)
+          .otherwise(0L)).as("n_correct"),
+        count(lit(1)).as("n"))
+      .select(
+        round(col("w0").cast("double"), 6).as("w0"),
+        round(col("w1").cast("double"), 6).as("w1"),
+        round(col("w2").cast("double"), 6).as("w2"),
+        col("n"),
+        round(col("n_correct").cast("double") / col("n"), 4).as("accuracy"))
+      .localCheckpoint(true)
+    feats.unpersist(false)
+    out
+  }
+
+  /** Shared trainer behind [[logisticFit]] and [[logisticEval]]:
+    * returns (persisted feature frame, lazily-scored frame). The caller
+    * aggregates `scored` down to its SMALL result, localCheckpoints
+    * that, and only then unpersists `feats` — so the corpus-sized score
+    * frame itself is never materialized. */
+  private def logisticScored(docs: DataFrame, iters: Int,
+                             lr: Double): (DataFrame, DataFrame) = {
     val d8 = DecimalType(18, 8)
     val feats = langQuality(docs).select(
         (col("lang") === "en").cast("long").as("y"),
@@ -250,24 +274,310 @@ object TextOps {
             col("w1").cast("double") * col("x1") +
             col("w2").cast("double") * col("x2")))), 6)
           .cast(d8).as("p"))
-    val out = scored.groupBy(col("w0"), col("w1"), col("w2"))
+    (feats, scored)
+  }
+
+  def logisticFit(spark: SparkSession, dir: String): DataFrame =
+    logisticFit(Lake.documents(spark, dir))
+
+  /** Threshold-free evaluation of the trained logistic scores — the
+    * rank metrics accuracy-at-0.5 ([[logisticFit]]) cannot see: exact
+    * ROC AUC via the tie-corrected Mann–Whitney statistic, its Gini
+    * (2·AUC − 1), and the KS separation max|F_pos − F_neg|. The score
+    * frame collapses to DISTINCT 6-dp sigmoid values with per-value
+    * pos/neg counts first, so the single cumulative window that follows
+    * runs on a frame hard-bounded at 1,000,001 rows by the quantization
+    * (σ ∈ [0,1] at 6 dp) — never on the corpus. Every term stays BIGINT
+    * (2·AUC numerator Σ pos_c·(2·neg_below + neg_c); KS as the integer
+    * cross-product max|F_neg·n_pos − F_pos·n_neg|) until the one final
+    * divide, so DuckDB replays the ranking value-for-value. BIGINT holds
+    * while n_pos·n_neg < 2^63 (n ≈ 3·10^9 balanced) — beyond that the
+    * sums route through DECIMAL(38,0), a one-line swap. */
+  def logisticEval(docs: DataFrame, iters: Int = 4,
+                   lr: Double = 2.0): DataFrame = {
+    val (feats, scored) = logisticScored(docs, iters, lr)
+    val vals = scored.filter(col("y").isNotNull)
+      .groupBy(col("p"))
+      .agg(sum(col("y")).as("pos_c"),
+        sum(lit(1L) - col("y")).as("neg_c"))
+    val wOrd = Window.orderBy(col("p"))
+    val cum = vals
+      .withColumn("neg_below", coalesce(
+        sum(col("neg_c")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("pos_upto", sum(col("pos_c")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("neg_upto", sum(col("neg_c")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = vals.agg(sum(col("pos_c")).as("n_pos"),
+      sum(col("neg_c")).as("n_neg"))
+    val out = cum.crossJoin(broadcast(tot))
+      .groupBy(col("n_pos"), col("n_neg"))
       .agg(
-        sum(when((col("p") >= 0.5).cast("long") === col("y"), 1L)
-          .otherwise(0L)).as("n_correct"),
-        count(lit(1)).as("n"))
-      .select(
-        round(col("w0").cast("double"), 6).as("w0"),
-        round(col("w1").cast("double"), 6).as("w1"),
-        round(col("w2").cast("double"), 6).as("w2"),
-        col("n"),
-        round(col("n_correct").cast("double") / col("n"), 4).as("accuracy"))
+        sum(col("pos_c") * (lit(2L) * col("neg_below") + col("neg_c")))
+          .as("num2"),
+        max(abs(col("neg_upto") * col("n_pos") -
+          col("pos_upto") * col("n_neg"))).as("ks_num"))
+      .select(col("n_pos"), col("n_neg"),
+        round(col("num2").cast("double") /
+          (lit(2.0) * col("n_pos") * col("n_neg")), 6).as("auc"),
+        round(col("num2").cast("double") /
+          (lit(1.0) * col("n_pos") * col("n_neg")) - 1.0, 6).as("gini"),
+        round(col("ks_num").cast("double") /
+          (lit(1.0) * col("n_pos") * col("n_neg")), 6).as("ks"))
       .localCheckpoint(true)
     feats.unpersist(false)
     out
   }
 
-  def logisticFit(spark: SparkSession, dir: String): DataFrame =
-    logisticFit(Lake.documents(spark, dir))
+  def logisticEval(spark: SparkSession, dir: String): DataFrame =
+    logisticEval(Lake.documents(spark, dir))
+
+  /** Best-split decision stump by the histogram method — the primitive
+    * every distributed gradient-boosted-tree layer reduces to
+    * (XGBoost/LightGBM grow trees by exactly this per-feature
+    * cumulative-histogram scan): classify `lang == 'en'` by one split
+    * x ≤ t on the stopword ratio, choosing the t that maximizes Gini
+    * gain. The corpus collapses to per-DISTINCT-value (pos, neg) counts
+    * first — the 4-dp quantization hard-bounds that frame at 10,001
+    * rows — then ONE cumulative window enumerates every candidate
+    * split, and the argmax is a row_number pick under the deterministic
+    * (score DESC, t ASC) order. The split score stays in integers —
+    * S(t)·nL·nR = (posL²+negL²)·nR + (posR²+negR²)·nL — until one
+    * double divide rounded to 9 dp, so both engines rank candidates
+    * identically. BIGINT holds the cubic count term while n < 2^21 ≈
+    * 2·10⁶ docs; beyond that the three products route through
+    * DECIMAL(38,0), a localized swap. */
+  def giniStump(docs: DataFrame): DataFrame = {
+    val feats = langQuality(docs)
+      .filter(col("lang").isNotNull)
+      .select(col("stop_ratio").as("x"),
+        (col("lang") === "en").cast("long").as("y"))
+    val vals = feats.groupBy(col("x")).agg(
+      sum(col("y")).as("pos_c"),
+      sum(lit(1L) - col("y")).as("neg_c"))
+    val wCum = Window.orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = vals
+      .withColumn("pos_l", sum(col("pos_c")).over(wCum))
+      .withColumn("neg_l", sum(col("neg_c")).over(wCum))
+    val tot = vals.agg(sum(col("pos_c")).as("n_pos"),
+      sum(col("neg_c")).as("n_neg"))
+    val cand = cum.crossJoin(broadcast(tot))
+      .withColumn("n_l", col("pos_l") + col("neg_l"))
+      .withColumn("pos_r", col("n_pos") - col("pos_l"))
+      .withColumn("neg_r", col("n_neg") - col("neg_l"))
+      .withColumn("n_r", col("pos_r") + col("neg_r"))
+      .filter(col("n_r") > 0)
+      .withColumn("n", col("n_pos") + col("n_neg"))
+      .withColumn("s_num",
+        (col("pos_l") * col("pos_l") + col("neg_l") * col("neg_l")) *
+          col("n_r") +
+          (col("pos_r") * col("pos_r") + col("neg_r") * col("neg_r")) *
+            col("n_l"))
+      .withColumn("score", round(col("s_num").cast("double") /
+        (col("n_l") * col("n_r")), 9))
+    val wBest = Window.orderBy(col("score").desc, col("x"))
+    cand.withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1)
+      .select(
+        col("x").as("threshold"),
+        round(col("score") / col("n") -
+          (col("n_pos") * col("n_pos") + col("n_neg") * col("n_neg"))
+            .cast("double") / col("n") / col("n"), 6).as("gini_gain"),
+        col("n_l").as("n_left"), col("pos_l").as("pos_left"),
+        col("n_r").as("n_right"), col("pos_r").as("pos_right"),
+        col("n"))
+  }
+
+  def giniStump(spark: SparkSession, dir: String): DataFrame =
+    giniStump(Lake.documents(spark, dir))
+
+  /** Depth-2 CART by LEVEL-WISE histogram growth — [[giniStump]] made
+    * recursive, and the exact shape every distributed tree learner
+    * (XGBoost/LightGBM `depthwise`) scales by: ONE corpus pass per
+    * LEVEL, not per node. Two candidate features (stopword ratio,
+    * type–token ratio, both 4-dp-quantized so each per-feature
+    * histogram is ≤10,001 rows), best (feature, threshold) at the root,
+    * then node assignment travels WITH the rows into the second pass
+    * whose histograms key by (node, feature, value) — per-node argmax
+    * under the deterministic (score DESC, feature, threshold) order.
+    * The integer split-score and gain trees are [[giniStump]]'s,
+    * evaluated against each node's own class totals. Emits one row per
+    * split node (root, L, R) with its children's class tallies; a node
+    * with no valid split (single distinct value on both features)
+    * simply emits no row. */
+  def giniTree2(docs: DataFrame): DataFrame = {
+    val base = nonNull(docs).filter(col("lang").isNotNull)
+      .select(col("lang"), expr(stopFilterSql).cast("long").as("n_stop"),
+        size(toks).cast("long").as("n_tok"),
+        size(array_distinct(toks)).cast("long").as("n_dis"))
+    val feats = base.select(
+        (col("lang") === "en").cast("long").as("y"),
+        round(col("n_stop") / col("n_tok"), 4).as("f1"),
+        round(col("n_dis") / col("n_tok"), 4).as("f2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fv = explode(array(
+      struct(lit("f1").as("feat"), col("f1").as("v")),
+      struct(lit("f2").as("feat"), col("f2").as("v")))).as("fv")
+    def candidates(hist: DataFrame, nodeKey: Seq[String],
+                   totals: DataFrame): DataFrame = {
+      val wCum = Window
+        .partitionBy((nodeKey :+ "feat").map(col): _*)
+        .orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist
+        .withColumn("pos_l", sum(col("pos_c")).over(wCum))
+        .withColumn("neg_l", sum(col("neg_c")).over(wCum))
+      val joined =
+        if (nodeKey.isEmpty) cum.crossJoin(broadcast(totals))
+        else cum.join(broadcast(totals), nodeKey)
+      joined
+        .withColumn("n_l", col("pos_l") + col("neg_l"))
+        .withColumn("pos_r", col("n_pos") - col("pos_l"))
+        .withColumn("neg_r", col("n_neg") - col("neg_l"))
+        .withColumn("n_r", col("pos_r") + col("neg_r"))
+        .filter(col("n_r") > 0)
+        .withColumn("n", col("n_pos") + col("n_neg"))
+        .withColumn("s_num",
+          (col("pos_l") * col("pos_l") + col("neg_l") * col("neg_l")) *
+            col("n_r") +
+            (col("pos_r") * col("pos_r") + col("neg_r") * col("neg_r")) *
+              col("n_l"))
+        .withColumn("score", round(col("s_num").cast("double") /
+          (col("n_l") * col("n_r")), 9))
+        .withColumn("gini_gain", round(col("score") / col("n") -
+          (col("n_pos") * col("n_pos") + col("n_neg") * col("n_neg"))
+            .cast("double") / col("n") / col("n"), 6))
+    }
+    def best(cand: DataFrame, nodeKey: Seq[String]): DataFrame = {
+      val wBest = Window
+        .partitionBy(nodeKey.map(col): _*)
+        .orderBy(col("score").desc, col("feat"), col("v"))
+      cand.withColumn("rn", row_number().over(wBest))
+        .filter(col("rn") === 1)
+    }
+    // level 1: one pass, both feature histograms
+    val hist1 = feats.select(fv, col("y"))
+      .select(col("fv.feat").as("feat"), col("fv.v").as("v"), col("y"))
+      .groupBy(col("feat"), col("v"))
+      .agg(sum(col("y")).as("pos_c"), sum(lit(1L) - col("y")).as("neg_c"))
+    val tot1 = feats.agg(sum(col("y")).as("n_pos"),
+      sum(lit(1L) - col("y")).as("n_neg"))
+    val root = best(candidates(hist1, Seq.empty, tot1), Seq.empty)
+      .localCheckpoint(true)
+    // level 2: assignment travels with the rows into one more pass
+    val assigned = feats
+      .crossJoin(broadcast(root.select(col("feat").as("r_feat"),
+        col("v").as("r_thr"))))
+      .withColumn("node",
+        when(when(col("r_feat") === "f1", col("f1")).otherwise(col("f2"))
+          <= col("r_thr"), "L").otherwise("R"))
+    val hist2 = assigned.select(col("node"), fv, col("y"))
+      .select(col("node"), col("fv.feat").as("feat"), col("fv.v").as("v"),
+        col("y"))
+      .groupBy(col("node"), col("feat"), col("v"))
+      .agg(sum(col("y")).as("pos_c"), sum(lit(1L) - col("y")).as("neg_c"))
+    val tot2 = assigned.groupBy(col("node"))
+      .agg(sum(col("y")).as("n_pos"), sum(lit(1L) - col("y")).as("n_neg"))
+    val splits2 = best(candidates(hist2, Seq("node"), tot2), Seq("node"))
+    val outCols = Seq(col("feat").as("feature"), col("v").as("threshold"),
+      col("gini_gain"), col("n"), col("n_pos").as("pos"),
+      col("n_l").as("n_left"), col("pos_l").as("pos_left"),
+      col("n_r").as("n_right"), col("pos_r").as("pos_right"))
+    val out = root.select((lit("root").as("node") +: outCols): _*)
+      .unionByName(splits2.select((col("node") +: outCols): _*))
+      .orderBy(col("node"))
+      .localCheckpoint(true)
+    feats.unpersist(false)
+    out
+  }
+
+  def giniTree2(spark: SparkSession, dir: String): DataFrame =
+    giniTree2(Lake.documents(spark, dir))
+
+  /** Word-association embedding trained IN-ENGINE: the top eigenvector
+    * of the PPMI co-occurrence matrix — the classic count-based word
+    * embedding (SPPMI-SVD's leading axis; skip-gram is its implicit
+    * factorization) computed with the [[graft.operators.AnnOps.pcaPower]]
+    * machinery so every step is oracle-replayable. Vocab = top
+    * `vocabSize` tokens by (count DESC, token) — the matrix dimension
+    * is a DESIGN constant, not data-driven; co-occurrence = ordered
+    * token pairs within `window` positions, symmetrized; cells get
+    * PPMI = max(0, log₂(c(a,b)·T / (c(a)·c(b)))) rounded once to 6 dp
+    * into decimal, so the V×V matrix is exact. Power iteration then
+    * runs the proven decimal/double alternation (products in double —
+    * never an exact-decimal tie — decimal sums, per-step renormalize,
+    * localCheckpoint per step to keep lineage linear). ONE corpus pass
+    * builds positions; everything after the co-occurrence group-by
+    * lives on vocab²-bounded frames. Emits token, loading, eigval —
+    * the dominant association axis (function-word mass vs content
+    * vocabulary) a stylometry or topic screen reads directly. */
+  def ppmiVector(docs: DataFrame, vocabSize: Int = 32, window: Int = 2,
+                 iters: Int = 6): DataFrame = {
+    val d8 = DecimalType(18, 8)
+    val toksDf = nonNull(docs)
+      .select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
+    val wIdx = Window.orderBy(col("c").desc, col("tok"))
+    val vIdx = toksDf.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok")).limit(vocabSize)
+      .withColumn("i", (row_number().over(wIdx) - 1).cast("long"))
+      .localCheckpoint(true)
+    val posv = toksDf
+      .join(broadcast(vIdx.select(col("tok"), col("i"))), "tok")
+      .select(col("doc_id"), col("pos"), col("i"))
+    val co = posv.select(col("doc_id"), col("pos").as("pa"),
+        col("i").as("ia"))
+      .join(posv.select(col("doc_id"), col("pos").as("pb"),
+        col("i").as("ib")), Seq("doc_id"))
+      .filter(col("pb") - col("pa") >= 1 &&
+        col("pb") - col("pa") <= window)
+      .select(col("ia"), col("ib"))
+    val cab = co
+      .unionAll(co.select(col("ib").as("ia"), col("ia").as("ib")))
+      .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("c"))
+    val tot = cab.agg(sum(col("c")).as("t"))
+    val ca = cab.groupBy(col("ia")).agg(sum(col("c")).as("ca"))
+    val g = cab.join(broadcast(ca), "ia")
+      .join(broadcast(ca.select(col("ia").as("ib"), col("ca").as("cb"))),
+        "ib")
+      .crossJoin(broadcast(tot))
+      .select(col("ia").as("i"), col("ib").as("j"),
+        greatest(lit(0.0),
+          round(log2(col("c").cast("double") * col("t") /
+            (col("ca").cast("double") * col("cb"))), 6)).cast(d8).as("g"))
+      .localCheckpoint(true) // iterations must never re-touch the corpus
+    val dd = vIdx.agg(count(lit(1)).cast("double").as("d"))
+    var v = vIdx.select(col("i")).crossJoin(broadcast(dd))
+      .select(col("i"), (lit(1.0) / sqrt(col("d"))).cast(d8).as("v"))
+    var lastNorm: DataFrame = null
+    for (_ <- 1 to iters) {
+      val w = g.join(v.select(col("i").as("j"), col("v")), "j")
+        .select(col("i"),
+          (col("g").cast("double") * col("v").cast("double"))
+            .cast(d8).as("t"))
+        .groupBy(col("i")).agg(sum(col("t")).as("w"))
+      lastNorm = w.agg(
+        sum((col("w").cast("double") * col("w").cast("double"))
+          .cast(d8)).as("ss"))
+      v = w.crossJoin(broadcast(lastNorm))
+        .select(col("i"),
+          (col("w").cast("double") / sqrt(col("ss").cast("double")))
+            .cast(d8).as("v"))
+        .localCheckpoint(true)
+      lastNorm = lastNorm.localCheckpoint(true)
+    }
+    v.join(broadcast(vIdx.select(col("i"), col("tok"), col("c"))), "i")
+      .crossJoin(broadcast(lastNorm))
+      .select(col("i").cast("long").as("dim"), col("tok").as("token"),
+        col("c").as("n_occurrences"),
+        round(col("v").cast("double"), 6).as("loading"),
+        round(sqrt(col("ss").cast("double")), 6).as("eigval"))
+      .orderBy(col("dim"))
+  }
+
+  def ppmiVector(spark: SparkSession, dir: String): DataFrame =
+    ppmiVector(Lake.documents(spark, dir))
 
   /** Segment-level language screen: the doc-level heuristic applied to
     * every `blockWords`-word segment, reported per doc — catches the
@@ -403,6 +713,122 @@ object TextOps {
 
   def olsMulti(spark: SparkSession, dir: String): DataFrame =
     olsMulti(Lake.documents(spark, dir))
+
+  /** k-fold cross-validated ridge regression — the model-SELECTION
+    * layer the one-shot [[olsMulti]] fit lacks: deterministic folds
+    * (doc_id mod k), a λ sweep with the scale-covariant penalty
+    * λ·n_train on the feature diagonal (never the intercept), and the
+    * held-out MSE read per (λ, fold) plus the per-λ CV mean. ONE corpus
+    * pass computes the per-fold Gram matrices (all BIGINT — the
+    * features are integer token/char counts); every train Gram is
+    * total − fold by exact integer subtraction, the 3×3 ridge solve is
+    * the [[olsMulti]] cofactor tree with a11/a22 shifted, and the test
+    * SSE is CLOSED FORM from the held-out fold's own Gram
+    * (Σ(y−ŷ)² = yᵀy − 2bᵀXᵀy + bᵀXᵀXb) — the corpus is never
+    * rescanned, so the whole sweep after the single aggregation runs on
+    * a k×|λ| frame. Per-fold MSEs re-enter DECIMAL(18,4) after one
+    * round, so the CV mean is an exact decimal sum divided once. */
+  def ridgeCv(docs: DataFrame, k: Int = 4,
+              lambdas: Seq[Double] = Seq(0.0, 100.0, 10000.0)): DataFrame = {
+    val d4 = DecimalType(18, 4)
+    val feats = nonNull(docs).select(
+      pmod(col("doc_id"), lit(k.toLong)).as("fold"),
+      size(toks).cast("long").as("x1"),
+      size(array_distinct(toks)).cast("long").as("x2"),
+      col("n_chars").as("y"))
+    val gf = feats.groupBy(col("fold")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x1")).as("s1"), sum(col("x2")).as("s2"),
+      sum(col("y")).as("sy"),
+      sum(col("x1") * col("x1")).as("s11"),
+      sum(col("x1") * col("x2")).as("s12"),
+      sum(col("x2") * col("x2")).as("s22"),
+      sum(col("x1") * col("y")).as("s1y"),
+      sum(col("x2") * col("y")).as("s2y"),
+      sum(col("y") * col("y")).as("syy"))
+    val tot = gf.agg(
+      sum(col("n")).as("tn"),
+      sum(col("s1")).as("t1"), sum(col("s2")).as("t2"),
+      sum(col("sy")).as("ty"),
+      sum(col("s11")).as("t11"), sum(col("s12")).as("t12"),
+      sum(col("s22")).as("t22"),
+      sum(col("s1y")).as("t1y"), sum(col("s2y")).as("t2y"),
+      sum(col("syy")).as("tyy"))
+    // train Gram = total − fold (exact BIGINT), then doubles once
+    val t = gf.crossJoin(broadcast(tot))
+      .withColumn("lam", explode(array(lambdas.map(lit(_)): _*)))
+      .select(col("lam").as("ridge_lambda"), col("fold"),
+        (col("tn") - col("n")).as("n_train"), col("n").as("n_test"),
+        (col("tn") - col("n")).cast("double").as("dn"),
+        (col("t1") - col("s1")).cast("double").as("d1"),
+        (col("t2") - col("s2")).cast("double").as("d2"),
+        (col("ty") - col("sy")).cast("double").as("dy"),
+        (col("t11") - col("s11")).cast("double").as("d11"),
+        (col("t12") - col("s12")).cast("double").as("d12"),
+        (col("t22") - col("s22")).cast("double").as("d22"),
+        (col("t1y") - col("s1y")).cast("double").as("d1y"),
+        (col("t2y") - col("s2y")).cast("double").as("d2y"),
+        col("lam"),
+        col("n").cast("double").as("hn"),
+        col("s1").cast("double").as("h1"), col("s2").cast("double").as("h2"),
+        col("sy").cast("double").as("hy"),
+        col("s11").cast("double").as("h11"),
+        col("s12").cast("double").as("h12"),
+        col("s22").cast("double").as("h22"),
+        col("s1y").cast("double").as("h1y"),
+        col("s2y").cast("double").as("h2y"),
+        col("syy").cast("double").as("hyy"))
+      .withColumn("a11", col("d11") + col("lam") * col("dn"))
+      .withColumn("a22", col("d22") + col("lam") * col("dn"))
+    val m = t
+      .withColumn("m00", col("a11") * col("a22") - col("d12") * col("d12"))
+      .withColumn("m10", col("d1") * col("a22") - col("d2") * col("d12"))
+      .withColumn("m20", col("d1") * col("d12") - col("d2") * col("a11"))
+    val dets = m
+      .withColumn("det", col("dn") * col("m00") - col("d1") * col("m10")
+        + col("d2") * col("m20"))
+      .withColumn("det0", col("dy") * col("m00") - col("d1y") * col("m10")
+        + col("d2y") * col("m20"))
+      .withColumn("det1",
+        -col("dy") * (col("d1") * col("a22") - col("d12") * col("d2"))
+          + col("d1y") * (col("dn") * col("a22") - col("d2") * col("d2"))
+          - col("d2y") * (col("dn") * col("d12") - col("d2") * col("d1")))
+      .withColumn("det2",
+        col("dy") * (col("d1") * col("d12") - col("a11") * col("d2"))
+          - col("d1y") * (col("dn") * col("d12") - col("d1") * col("d2"))
+          + col("d2y") * (col("dn") * col("a11") - col("d1") * col("d1")))
+    val b = dets.filter(col("det") =!= 0.0)
+      .withColumn("b0", col("det0") / col("det"))
+      .withColumn("b1", col("det1") / col("det"))
+      .withColumn("b2", col("det2") / col("det"))
+    val scoredFold = b.withColumn("sse",
+      col("hyy")
+        + col("b0") * col("b0") * col("hn")
+        + col("b1") * col("b1") * col("h11")
+        + col("b2") * col("b2") * col("h22")
+        - lit(2.0) * col("b0") * col("hy")
+        - lit(2.0) * col("b1") * col("h1y")
+        - lit(2.0) * col("b2") * col("h2y")
+        + lit(2.0) * col("b0") * col("b1") * col("h1")
+        + lit(2.0) * col("b0") * col("b2") * col("h2")
+        + lit(2.0) * col("b1") * col("b2") * col("h12"))
+      .withColumn("mse_dec", round(col("sse") / col("hn"), 4).cast(d4))
+    val wLam = Window.partitionBy(col("ridge_lambda"))
+    scoredFold
+      .withColumn("cv_mse",
+        round(sum(col("mse_dec")).over(wLam).cast("double") / k, 4))
+      .select(col("ridge_lambda"), col("fold"),
+        col("n_train"), col("n_test"),
+        round(col("b0"), 4).as("b0"),
+        round(col("b1"), 6).as("b1"),
+        round(col("b2"), 6).as("b2"),
+        col("mse_dec").cast("double").as("test_mse"),
+        col("cv_mse"))
+      .orderBy(col("ridge_lambda"), col("fold"))
+  }
+
+  def ridgeCv(spark: SparkSession, dir: String): DataFrame =
+    ridgeCv(Lake.documents(spark, dir))
 
   /** Count-min-sketch token counts, every cell VALUE-CHECKED — the
     * bounded-memory counting twin of the HLL NDV sketch (the same

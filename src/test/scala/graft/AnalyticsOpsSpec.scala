@@ -940,6 +940,52 @@ class AnalyticsOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("isotonic calibration equals brute-force PAV pooling and preserves dup mass") {
+    val rows = graft.operators.DedupOps.isotonicCalibration(spark, Sf)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+      .sortBy(_._1)
+    assert(rows.nonEmpty)
+    // the fit is nonincreasing in the quality bucket
+    for (((_, _, _, _, a), (b2, _, _, _, b)) <- rows.zip(rows.tail))
+      assert(a >= b - 1e-12, s"antitonic violated at bucket $b2")
+    // brute-force weighted PAV on the reversed sequence (nondecreasing
+    // there = nonincreasing here): pool adjacent violators to weighted
+    // means, then compare level-for-level
+    case class Block(var w: Long, var s: Long)
+    val seq = rows.reverse.map(t => (t._2, t._3)) // (weight, dup count)
+    val blocks = scala.collection.mutable.ListBuffer[Block]()
+    for ((w, s) <- seq) {
+      blocks += Block(w, s)
+      while (blocks.length > 1 && {
+        val a = blocks(blocks.length - 2); val b = blocks.last
+        a.s.toDouble / a.w > b.s.toDouble / b.w
+      }) {
+        val b = blocks.remove(blocks.length - 1)
+        blocks.last.w += b.w; blocks.last.s += b.s
+      }
+    }
+    // expand blocks over the reversed sequence, then un-reverse
+    val expanded = {
+      val out = scala.collection.mutable.ListBuffer[Double]()
+      val ws = seq.map(_._1)
+      var idx = 0
+      for (b <- blocks) {
+        var acc = 0L; var cnt = 0
+        while (acc < b.w) { acc += ws(idx); idx += 1; cnt += 1 }
+        for (_ <- 0 until cnt) out += b.s.toDouble / b.w
+      }
+      out.toSeq.reverse
+    }
+    for (((_, _, _, _, iso), exp) <- rows.zip(expanded))
+      assert(math.abs(iso - exp) < 1e-6, s"minimax vs PAV: $iso vs $exp")
+    // PAV preserves the weighted mean: total fitted dup mass = raw mass
+    val fittedMass = rows.map(t => t._2.toDouble * t._5).sum
+    assert(math.abs(fittedMass - rows.map(_._3).sum) < 1e-2,
+      s"dup mass preserved: $fittedMass vs ${rows.map(_._3).sum}")
+  }
+
   test("growth accounting identity holds day over day") {
     val rows = EventOps.growthAccounting(spark, Sf).collect()
       .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2),
@@ -1096,5 +1142,218 @@ class AnalyticsOpsSpec extends SparkSpecBase {
     val expChi = math.pow((nA - nB).toDouble, 2) / (nA + nB)
     assert(math.abs(chi2 - expChi) < 1e-3)
     assert(flag == (expChi > 3.841))
+  }
+
+  test("Fellegi-Sunter weights match hand-computed m/u with NULL at the degenerate edge") {
+    import spark.implicits._
+    // matched pairs: (alpha one, alpha ones) and (beta x1, beta x2);
+    // brand agrees on both (m=1 -> w_disagree NULL), type and size on one
+    val parts = Seq(
+      ("alpha one", "A", "T1", 5),
+      ("alpha ones", "A", "T2", 5),
+      ("beta x1", "B", "T3", 7),
+      ("beta x2", "B", "T3", 9),
+      ("gamma z", "A", "T1", 5))
+      .toDF("p_name", "p_brand", "p_type", "p_size")
+    val rows = graft.operators.DedupOps.fsWeights(parts).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5))))).toMap
+    def lg2(x: Double) = BigDecimal(math.log(x) / math.log(2.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // u: brand A:3 B:2 -> 8/20; type T1:2 T3:2 -> 4/20; size 5:3 -> 6/20
+    assert(rows("p_brand") ==
+      ((2L, 1.0, 0.4, Some(lg2(1.0 / 0.4)), None)), s"brand: $rows")
+    assert(rows("p_type") ==
+      ((2L, 0.5, 0.2, Some(lg2(0.5 / 0.2)), Some(lg2(0.5 / 0.8)))),
+      s"type: $rows")
+    assert(rows("p_size") ==
+      ((2L, 0.5, 0.3, Some(lg2(0.5 / 0.3)), Some(lg2(0.5 / 0.7)))),
+      s"size: $rows")
+    // lake: a match-informative attribute scores positive agreement
+    val lake = graft.operators.DedupOps.fsWeights(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getDouble(2), r.getDouble(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    assert(lake.length == 3)
+    for ((attr, m, u, wa) <- lake) {
+      assert(m >= 0.0 && m <= 1.0 && u >= 0.0 && u < 1.0, s"$attr bounds")
+      for (w <- wa if m > u) assert(w > 0, s"$attr m>u must score positive")
+    }
+  }
+
+  test("MDE planner matches brute-force moments with zero-count users in the denominator") {
+    val events = Lake.events(spark, Sf)
+      .select(col("event_type"), col("user_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val allUsers = events.map(_._2).distinct.length
+    val rows = graft.operators.EventOps.mdePlanner(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6),
+        r.getLong(7)))
+    assert(rows.map(_._1).toSeq == rows.map(_._1).sorted.toSeq)
+    for ((tpe, nUsers, nPresent, mean, varr, mdeAbs, mdeRel, nReq)
+         <- rows) {
+      assert(nUsers == allUsers, "denominator is ALL users")
+      val counts = events.filter(_._1 == tpe).groupBy(_._2)
+        .view.mapValues(_.length.toLong).toMap
+      assert(nPresent == counts.size)
+      val xs = counts.values.toSeq
+      val eMean = xs.sum.toDouble / allUsers
+      val eVar = (xs.map(x => x.toDouble * x).sum -
+        xs.sum.toDouble * xs.sum / allUsers) / allUsers
+      assert(math.abs(mean - eMean) < 1e-4, s"$tpe mean $mean vs $eMean")
+      assert(math.abs(varr - eVar) < 1e-4, s"$tpe var $varr vs $eVar")
+      val eMde = 2.801585 * math.sqrt(4.0 * eVar / allUsers)
+      assert(math.abs(mdeAbs - eMde) < 1e-5, s"$tpe mde $mdeAbs vs $eMde")
+      assert(math.abs(mdeRel - eMde / eMean) < 1e-5)
+      val eReq = math.ceil(2.0 * (2.801585 * 2.801585) * eVar /
+        ((0.05 * eMean) * (0.05 * eMean))).toLong
+      assert(nReq == eReq, s"$tpe n_req $nReq vs $eReq")
+      // detecting a 5% lift needs far more than this corpus's users
+      assert(nReq > allUsers, s"$tpe power sanity")
+    }
+  }
+
+  test("Shapley attribution matches the hand-computed lattice and satisfies efficiency") {
+    import spark.implicits._
+    // u1 view->buy, u2 click->buy, u3 view+click->buy, u4 view only,
+    // u5 buy untouched; by symmetry phi(view) = phi(click) = 1.5 (hand
+    // expansion over all 8 coalitions), error/signup contribute nothing
+    val ev = Seq(
+      (1L, "view"), (2L, "purchase"),
+      (3L, "click"), (4L, "purchase"),
+      (5L, "view"), (6L, "click"), (7L, "purchase"),
+      (8L, "view"),
+      (9L, "purchase"))
+      .zip(Seq(1L, 1L, 2L, 2L, 3L, 3L, 3L, 4L, 5L))
+      .map { case ((eid, t), u) => (eid, u, t) }
+      .toDF("event_id", "user_id", "event_type")
+    val rows = graft.operators.EventOps.shapleyAttribution(ev).collect()
+      .map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows("view") == ((1.5, 3L, 2L)), s"view: $rows")
+    assert(rows("click") == ((1.5, 2L, 2L)), s"click: $rows")
+    assert(rows("error") == ((0.0, 0L, 0L)), s"error: $rows")
+    assert(rows("signup") == ((0.0, 0L, 0L)), s"signup: $rows")
+    // lake: every phi nonnegative (v is monotone) and efficiency holds:
+    // sum(phi) = converted users - converted users with no channel touch
+    val lake = graft.operators.EventOps.shapleyAttribution(spark, Sf)
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val byUser = Lake.events(spark, Sf)
+      .select(col("user_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val convTotal = byUser.values.count(_.contains("purchase"))
+    val convEmpty = byUser.values.count(s =>
+      s.contains("purchase") && (s - "purchase").isEmpty)
+    assert(lake.forall(_._2 >= 0.0), s"monotone v => phi >= 0: $lake")
+    assert(math.abs(lake.map(_._2).sum - (convTotal - convEmpty)) < 1e-4,
+      s"efficiency: ${lake.map(_._2).sum} vs ${convTotal - convEmpty}")
+  }
+
+  test("Theil-Sen recovers a planted exact linear trend with maximal Mann-Kendall agreement") {
+    import spark.implicits._
+    // day i carries 10 + 2i events: every pairwise slope is exactly 2,
+    // S = n_pairs (strictly increasing), intercept = 10 - 2*epochDay(d0)
+    val d0 = java.time.LocalDate.parse("2024-03-01")
+    val ev = (0 until 6).flatMap { i =>
+      (0 until 10 + 2 * i).map { j =>
+        (i * 100L + j,
+          java.sql.Timestamp.valueOf(d0.plusDays(i).atTime(1, j % 60)))
+      }
+    }.toDF("event_id", "ts")
+    val r = graft.operators.EventOps.theilSen(ev).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getLong(0) == 6L, "n_days")
+    assert(row.getLong(1) == 15L, "n_pairs = C(6,2)")
+    assert(row.getDouble(2) == 2.0, s"slope: $row")
+    assert(row.getDouble(3) == 10.0 - 2.0 * d0.toEpochDay, s"intercept: $row")
+    assert(row.getLong(4) == 15L, "S = n_pairs on a strict increase")
+    assert(row.getDouble(5) > 1.96, s"strong trend must clear z=1.96: $row")
+  }
+
+  test("Theil-Sen shrugs off the outlier day that flips an OLS slope") {
+    import spark.implicits._
+    // 9 flat days of 20 events + one 200-event spike: LS slope is pulled
+    // hard; the median of pairwise slopes stays at 0
+    val d0 = java.time.LocalDate.parse("2024-03-01")
+    val ev = (0 until 10).flatMap { i =>
+      val n = if (i == 9) 200 else 20
+      (0 until n).map { j =>
+        (i * 1000L + j,
+          java.sql.Timestamp.valueOf(d0.plusDays(i).atTime(2, j % 60)))
+      }
+    }.toDF("event_id", "ts")
+    val row = graft.operators.EventOps.theilSen(ev).collect().head
+    assert(row.getDouble(2) == 0.0, s"robust slope ignores the spike: $row")
+  }
+
+  test("rank correlation is exactly +/-1 on planted monotone series and matches brute force on the lake") {
+    import spark.implicits._
+    def ev(purchases: Seq[Int]) = {
+      val d0 = java.time.LocalDate.parse("2024-03-01")
+      (0 until 5).flatMap { i =>
+        val views = (0 until (i + 1)).map(j =>
+          (i * 1000L + j, "view",
+            java.sql.Timestamp.valueOf(d0.plusDays(i).atTime(3, j % 60))))
+        val buys = (0 until purchases(i)).map(j =>
+          (i * 1000L + 500 + j, "purchase",
+            java.sql.Timestamp.valueOf(d0.plusDays(i).atTime(4, j % 60))))
+        views ++ buys
+      }.toDF("event_id", "event_type", "ts")
+    }
+    val up = graft.operators.EventOps
+      .rankCorrelation(ev(Seq(2, 4, 6, 8, 10))).collect().head
+    assert(up.getLong(0) == 5L)
+    assert(up.getDouble(1) == 1.0 && up.getDouble(2) == 1.0,
+      s"perfectly concordant: $up")
+    val down = graft.operators.EventOps
+      .rankCorrelation(ev(Seq(10, 8, 6, 4, 2))).collect().head
+    assert(down.getDouble(1) == -1.0 && down.getDouble(2) == -1.0,
+      s"perfectly discordant: $down")
+    // lake: brute-force Spearman/Kendall over the joined daily series
+    val daily = Lake.events(spark, Sf)
+      .filter(col("event_type").isin("view", "purchase"))
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    val v = daily.filter(_._1 == "view").map(t => t._2 -> t._3).toMap
+    val p = daily.filter(_._1 == "purchase").map(t => t._2 -> t._3).toMap
+    val days = v.keySet.intersect(p.keySet).toSeq.sortBy(_.toEpochDay)
+    val xs = days.map(v); val ys = days.map(p)
+    def avgRanks(zs: Seq[Long]): Seq[Double] = {
+      val sorted = zs.sorted
+      zs.map { z =>
+        val lo = sorted.indexOf(z) + 1; val hi = sorted.lastIndexOf(z) + 1
+        (lo + hi) / 2.0
+      }
+    }
+    def pearson(a: Seq[Double], b: Seq[Double]): Double = {
+      val n = a.length
+      val (ma, mb) = (a.sum / n, b.sum / n)
+      val cov = a.zip(b).map { case (x, y) => (x - ma) * (y - mb) }.sum
+      cov / math.sqrt(a.map(x => (x - ma) * (x - ma)).sum *
+        b.map(y => (y - mb) * (y - mb)).sum)
+    }
+    val eRho = pearson(avgRanks(xs), avgRanks(ys))
+    val pairsIdx = for {
+      i <- xs.indices; j <- xs.indices if i < j
+    } yield (math.signum(xs(j).compareTo(xs(i))) *
+      math.signum(ys(j).compareTo(ys(i)))).toLong
+    val cd = pairsIdx.sum.toDouble
+    def tiePairs(zs: Seq[Long]): Long =
+      zs.groupBy(identity).values.map(g => g.size.toLong * (g.size - 1)).sum
+    val n0x2 = days.length.toLong * (days.length - 1)
+    val eTau = cd / math.sqrt((n0x2 - tiePairs(xs)) / 2.0 *
+      ((n0x2 - tiePairs(ys)) / 2.0))
+    val got = graft.operators.EventOps.rankCorrelation(spark, Sf)
+      .collect().head
+    assert(got.getLong(0) == days.length.toLong)
+    assert(math.abs(got.getDouble(1) - eRho) < 1e-5,
+      s"spearman ${got.getDouble(1)} vs $eRho")
+    assert(math.abs(got.getDouble(2) - eTau) < 1e-5,
+      s"kendall ${got.getDouble(2)} vs $eTau")
   }
 }

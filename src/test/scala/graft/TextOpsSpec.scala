@@ -703,4 +703,242 @@ class TextOpsSpec extends SparkSpecBase {
     // reference docs are never scored
     assert(!got.contains(0L) && !got.contains(2L))
   }
+
+  test("logistic AUC is 1 on a separable planted corpus and internally consistent on the lake") {
+    import spark.implicits._
+    val planted = Seq(
+      (1L, "en", "the cat is on the mat and it is a cat"),
+      (2L, "en", "it is the best of the lot and a joy"),
+      (3L, "xx", "lorem ipsum dolor sit amet consectetur adipiscing elit"),
+      (4L, "xx", "zxcv qwerty asdf uiop hjkl bnm vcxz trewq"),
+      (5L, "xx", "foo bar baz qux quux corge grault garply"))
+      .toDF("doc_id", "lang", "text")
+    val r = graft.operators.TextOps.logisticEval(planted).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getLong(0) == 2L && row.getLong(1) == 3L, s"class sizes: $row")
+    // every en score above every xx score -> perfect ranking
+    assert(row.getDouble(2) == 1.0, s"separable AUC must be 1: $row")
+    assert(row.getDouble(3) == 1.0, s"gini = 2*AUC - 1: $row")
+    assert(row.getDouble(4) == 1.0, s"KS of disjoint score supports: $row")
+    val lake = graft.operators.TextOps.logisticEval(spark, Sf)
+      .collect().head
+    val (auc, gini, ks) =
+      (lake.getDouble(2), lake.getDouble(3), lake.getDouble(4))
+    assert(auc >= 0.0 && auc <= 1.0)
+    assert(math.abs(gini - (2 * auc - 1)) <= 2e-6, s"gini vs auc: $lake")
+    assert(ks >= 0.0 && ks <= 1.0)
+    // a trained ranker must beat coin-flip on its own training corpus
+    assert(auc > 0.5, s"lake AUC: $lake")
+  }
+
+  test("ridge CV recovers planted coefficients exactly at lambda 0 and degrades under shrinkage") {
+    import spark.implicits._
+    // y = 3 + 2*x1 + 5*x2 exactly; 8 docs -> 4 folds of 2
+    val planted = Seq(
+      ("a a", 12L), ("a b b", 19L), ("a a a b", 21L), ("a b c c c", 28L),
+      ("a b c c", 26L), ("a a b b c c", 30L), ("a a a b b", 23L),
+      ("a b c d d d", 35L))
+      .zipWithIndex
+      .map { case ((t, y), i) => (i.toLong, t, y) }
+      .toDF("doc_id", "text", "n_chars")
+    val rows = graft.operators.TextOps.ridgeCv(planted).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7),
+        r.getDouble(8)))
+    assert(rows.length == 12, "3 lambdas x 4 folds")
+    val lam0 = rows.filter(_._1 == 0.0)
+    assert(lam0.length == 4)
+    for ((_, fold, nTr, nTe, b0, b1, b2, mse, cv) <- lam0) {
+      assert(nTr == 6L && nTe == 2L, s"fold $fold sizes")
+      assert(b0 == 3.0 && b1 == 2.0 && b2 == 5.0, s"fold $fold: exact fit")
+      assert(mse == 0.0 && cv == 0.0, s"fold $fold: zero held-out error")
+    }
+    // exact linear data: any shrinkage only biases the fit
+    val cvByLam = rows.groupBy(_._1).view.mapValues(_.head._9).toMap
+    assert(cvByLam(0.0) <= cvByLam(100.0) + 1e-9)
+    assert(cvByLam(100.0) <= cvByLam(10000.0) + 1e-9)
+  }
+
+  test("ridge CV on the lake: full grid, consistent CV means, nonnegative errors") {
+    val rows = graft.operators.TextOps.ridgeCv(spark, Sf).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(7), r.getDouble(8)))
+    assert(rows.length == 12)
+    val n = Lake.documents(spark, Sf)
+      .filter(org.apache.spark.sql.functions.col("text").isNotNull).count()
+    for ((lam, fold, nTr, nTe, mse, _) <- rows) {
+      assert(nTr + nTe == n, s"fold $fold partitions the corpus")
+      assert(mse >= 0.0, s"MSE >= 0: lam=$lam fold=$fold")
+    }
+    for ((lam, grp) <- rows.groupBy(_._1)) {
+      assert(grp.map(_._2).sorted.toSeq == Seq(0L, 1L, 2L, 3L))
+      // engine: exact decimal sum of the 4-dp fold MSEs, one double
+      // divide, one 4-dp round — replayed here via valueOf (canonical
+      // decimal) so the sum is the same exact value
+      val expCv = BigDecimal(
+        grp.map(t => BigDecimal.valueOf(t._5)).sum.toDouble / 4)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(grp.head._6 - expCv) <= 1e-9,
+        s"cv mean at lambda $lam: ${grp.head._6} vs $expCv")
+    }
+  }
+
+  test("gini stump finds the pure split on a separable corpus") {
+    import spark.implicits._
+    // xx docs have stopword ratio 0, en docs ratio > 0: splitting at 0
+    // yields pure children, so the gain is the full parent impurity 0.5
+    val planted = Seq(
+      (1L, "en", "the cat is on the mat and it is a cat"),
+      (2L, "en", "it is the best of the lot and a joy"),
+      (3L, "en", "the dog and the fox ran off in a field"),
+      (4L, "xx", "lorem ipsum dolor sit amet consectetur adipiscing elit"),
+      (5L, "xx", "zxcv qwerty asdf uiop hjkl bnm vcxz trewq"),
+      (6L, "xx", "foo bar baz qux quux corge grault garply"))
+      .toDF("doc_id", "lang", "text")
+    val row = graft.operators.TextOps.giniStump(planted).collect().head
+    assert(row.getDouble(0) == 0.0, s"threshold at the pure boundary: $row")
+    assert(row.getDouble(1) == 0.5, s"gain = parent impurity: $row")
+    assert(row.getLong(2) == 3L && row.getLong(3) == 0L,
+      s"left child pure-negative: $row")
+    assert(row.getLong(4) == 3L && row.getLong(5) == 3L,
+      s"right child pure-positive: $row")
+    assert(row.getLong(6) == 6L)
+  }
+
+  test("depth-2 tree: root picks the stronger feature, the impure child re-splits on the other, a pure child emits nothing") {
+    import spark.implicits._
+    // en1/en2/xx3 share stop_ratio 0.5 (f1 cannot separate them) but
+    // differ in type-token ratio; xx1/xx2 are stopword-free. Root must
+    // split f1 <= 0 (score 22/6 beats f2's 3.0); the pure L child has a
+    // single (f1, f2) point -> no candidate row; R re-splits on f2.
+    val planted = Seq(
+      (1L, "xx", "foo bar baz qux"),
+      (2L, "xx", "lorem ipsum dolor sit"),
+      (3L, "en", "the of in to aa bb cc dd"),
+      (4L, "en", "the of in to ee ff gg hh"),
+      (5L, "xx", "the the of of zz zz yy yy"))
+      .toDF("doc_id", "lang", "text")
+    val rows = graft.operators.TextOps.giniTree2(planted).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7), r.getLong(8), r.getLong(9)))
+    assert(rows.map(_._1).toSeq == Seq("R", "root"),
+      s"pure/degenerate L emits no split: $rows")
+    val root = rows.find(_._1 == "root").get
+    assert(root._2 == "f1" && root._3 == 0.0, s"root split: $root")
+    assert(root._4 == 0.213333, s"root gain: $root")
+    assert((root._5, root._6, root._7, root._8, root._9, root._10) ==
+      ((5L, 2L, 2L, 0L, 3L, 2L)), s"root tallies: $root")
+    val r = rows.find(_._1 == "R").get
+    assert(r._2 == "f2" && r._3 == 0.5, s"R split on the TTR: $r")
+    assert(r._4 == 0.444444, s"R gain: $r")
+    assert((r._5, r._6, r._7, r._8, r._9, r._10) ==
+      ((3L, 2L, 1L, 0L, 2L, 2L)), s"R tallies: $r")
+  }
+
+  test("depth-2 tree on the lake: children partition each node, gains nonnegative, level-2 nodes nest in the root split") {
+    val rows = graft.operators.TextOps.giniTree2(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getDouble(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8),
+        r.getLong(9)))
+    val byNode = rows.map(t => t._1 -> t).toMap
+    assert(byNode.contains("root"))
+    val root = byNode("root")
+    for ((_, gain, n, pos, nl, pl, nr, pr) <- rows) {
+      assert(nl + nr == n && pl + pr == pos, "children partition the node")
+      assert(gain >= -1e-9, "best split never hurts")
+      assert(pl <= nl && pr <= nr)
+    }
+    // a level-2 node's totals are exactly the root's child tallies
+    for (node <- Seq("L", "R") if byNode.contains(node)) {
+      val c = byNode(node)
+      val expN = if (node == "L") root._5 else root._7
+      val expPos = if (node == "L") root._6 else root._8
+      assert(c._3 == expN && c._4 == expPos,
+        s"$node nests in the root split: $c vs ($expN, $expPos)")
+    }
+  }
+
+  test("PPMI eigenvector matches a from-scratch double-precision power iteration") {
+    import spark.implicits._
+    val texts = Seq(
+      "aa bb aa bb aa bb", "aa bb cc aa bb", "cc dd cc dd",
+      "aa cc bb dd", "dd aa dd bb", "bb cc aa dd cc")
+    val planted = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = graft.operators.TextOps.ppmiVector(planted).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    // independent replay in plain doubles (no decimal routing): same
+    // vocab order, window-2 symmetric counts, 6-dp PPMI, 6 iterations
+    val toks = texts.map(_.split(" ").toSeq)
+    val counts = toks.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val vocab = counts.toSeq.sortBy { case (t, c) => (-c, t) }.map(_._1)
+    val idx = vocab.zipWithIndex.toMap
+    val pairCounts = scala.collection.mutable.Map[(Int, Int), Long]()
+    for (t <- toks; p <- t.indices; d <- 1 to 2 if p + d < t.length) {
+      val (a, b) = (idx(t(p)), idx(t(p + d)))
+      pairCounts((a, b)) = pairCounts.getOrElse((a, b), 0L) + 1
+      pairCounts((b, a)) = pairCounts.getOrElse((b, a), 0L) + 1
+    }
+    val total = pairCounts.values.sum.toDouble
+    val rowSum = pairCounts.groupBy(_._1._1).view
+      .mapValues(_.values.sum.toDouble).toMap
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val n = vocab.length
+    val m = Array.tabulate(n, n) { (i, j) =>
+      pairCounts.get((i, j)).map { c =>
+        math.max(0.0, r6(math.log(c * total / (rowSum(i) * rowSum(j))) /
+          math.log(2.0)))
+      }.getOrElse(0.0)
+    }
+    var v = Array.fill(n)(1.0 / math.sqrt(n.toDouble))
+    var eig = 0.0
+    for (_ <- 1 to 6) {
+      val w = Array.tabulate(n)(i =>
+        (0 until n).map(j => m(i)(j) * v(j)).sum)
+      eig = math.sqrt(w.map(x => x * x).sum)
+      v = w.map(_ / eig)
+    }
+    assert(got.length == n, s"every vocab token present: $got")
+    for ((dim, tok, cnt, loading, eigval) <- got) {
+      assert(tok == vocab(dim.toInt), s"vocab order: $got")
+      assert(cnt == counts(tok).toLong)
+      assert(math.abs(loading - v(dim.toInt)) < 1e-3,
+        s"$tok loading $loading vs ${v(dim.toInt)}")
+      assert(math.abs(eigval - eig) < 1e-3, s"eigval $eigval vs $eig")
+    }
+    val norm = got.map(t => t._4 * t._4).sum
+    assert(math.abs(norm - 1.0) < 1e-4, s"unit norm: $norm")
+  }
+
+  test("PPMI eigenvector on the lake: bounded vocab, unit norm, positive dominant association") {
+    val got = graft.operators.TextOps.ppmiVector(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(3),
+        r.getDouble(4)))
+    assert(got.nonEmpty && got.length <= 32)
+    assert(got.map(_._2).distinct.length == got.length, "distinct vocab")
+    for ((_, tok, loading, eigval) <- got) {
+      assert(!loading.isNaN && !loading.isInfinite, s"$tok loading")
+      assert(eigval > 0.0)
+    }
+    val norm = got.map(t => t._3 * t._3).sum
+    assert(math.abs(norm - 1.0) < 1e-4, s"unit norm: $norm")
+  }
+
+  test("gini stump on the lake: gain bounded by parent impurity, children partition the corpus") {
+    val row = graft.operators.TextOps.giniStump(spark, Sf).collect().head
+    val (nL, posL, nR, posR, n) = (row.getLong(2), row.getLong(3),
+      row.getLong(4), row.getLong(5), row.getLong(6))
+    assert(nL + nR == n && nL > 0 && nR > 0)
+    assert(posL >= 0 && posL <= nL && posR >= 0 && posR <= nR)
+    val nPos = (posL + posR).toDouble
+    val parentGini = 1.0 -
+      (nPos * nPos + (n - nPos) * (n - nPos)) / (n.toDouble * n)
+    val gain = row.getDouble(1)
+    assert(gain >= -1e-9, s"best split never hurts: $row")
+    assert(gain <= parentGini + 1e-9, s"gain bounded by parent: $row")
+  }
 }
