@@ -305,4 +305,12 @@ final case class DataLake(spark: SparkSession, dir: String) {
   def ppmiVector(vocabSize: Int = 32, window: Int = 2,
                  iters: Int = 6): DataFrame =
     TextOps.ppmiVector(documents, vocabSize, window, iters)
+  /** Binary-segmentation changepoint over the daily event series. */
+  def changepoint(): DataFrame = EventOps.changepoint(spark, dir)
+  /** Two AdaBoost rounds of weighted stumps on the stopword ratio. */
+  def adaBoost2(): DataFrame = TextOps.adaBoost2(spark, dir)
+  /** Huber robust regression by two replayable IRLS steps. */
+  def huberFit(): DataFrame = TextOps.huberFit(spark, dir)
+  /** Cumulative gains / lift table of the logistic scores. */
+  def logisticGains(): DataFrame = TextOps.logisticGains(spark, dir)
 }

@@ -531,6 +531,15 @@ object SparkEntry {
     // PPMI co-occurrence top eigenvector: in-engine word embedding
     "q_ppmi_vec"          -> ((s: SparkSession, d: String) =>
       TextOps.ppmiVector(s, d)),
+    // AdaBoost: two boosting rounds of polarity-aware weighted stumps
+    "q_boost2"            -> ((s: SparkSession, d: String) =>
+      TextOps.adaBoost2(s, d)),
+    // Huber M-estimated regression by two replayable IRLS steps
+    "q_huber"             -> ((s: SparkSession, d: String) =>
+      TextOps.huberFit(s, d)),
+    // Cumulative gains / lift table of the logistic scores
+    "q_logreg_gains"      -> ((s: SparkSession, d: String) =>
+      TextOps.logisticGains(s, d)),
     // Count-min-sketch token counts, every cell value-checked
     "q_cms"               -> ((s: SparkSession, d: String) =>
       TextOps.cmsTokenCounts(s, d)),
@@ -683,6 +692,9 @@ object SparkEntry {
       EventOps.shapleyAttribution(s, d)),
     // MDE / sample-size power planner per event type
     "q_mde"               -> EventOps.mdePlanner _,
+    // Binary-segmentation changepoint localization over daily counts
+    "q_changepoint"       -> ((s: SparkSession, d: String) =>
+      EventOps.changepoint(s, d)),
   )
 
   /** [[TextOps.patternScan]] dictionary for the driver query: token
@@ -836,6 +848,36 @@ object SparkEntry {
        |  round(cast(sum(CASE WHEN CAST(p >= 0.5 AS BIGINT) = y
        |      THEN 1 ELSE 0 END) AS double) / count(*), 4) AS accuracy
        |FROM sc GROUP BY w0, w1, w2""".stripMargin
+
+  /** Gains-table readout over the SAME replayed weights: score-value
+    * deciles, one top-down cumulative window, integer cross-products. */
+  private def logisticGainsOracleSql: String =
+    s"""$logisticCtePrefix,
+       |vals AS (SELECT p, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(y) AS BIGINT) AS n_pos
+       |  FROM sc WHERE y IS NOT NULL GROUP BY p),
+       |bands AS (SELECT band, CAST(sum(n) AS BIGINT) AS n,
+       |    CAST(sum(n_pos) AS BIGINT) AS n_pos
+       |  FROM (SELECT n, n_pos,
+       |      ntile(10) OVER (ORDER BY p DESC) AS band FROM vals) b
+       |  GROUP BY band),
+       |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn,
+       |    CAST(sum(n_pos) AS BIGINT) AS tp FROM bands),
+       |cum AS (SELECT band, n, n_pos,
+       |    CAST(sum(n) OVER (ORDER BY band
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS cum_n,
+       |    CAST(sum(n_pos) OVER (ORDER BY band
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS cum_pos
+       |  FROM bands)
+       |SELECT CAST(band AS INTEGER) AS band, n, n_pos,
+       |  round(CAST(n_pos AS DOUBLE) / n, 6) AS response,
+       |  round(CAST(cum_n AS DOUBLE) / tn, 6) AS cum_share,
+       |  round(CAST(cum_pos AS DOUBLE) / tp, 6) AS cum_capture,
+       |  round(CAST(n_pos AS DOUBLE) * tn / (CAST(n AS DOUBLE) * tp), 4)
+       |    AS lift
+       |FROM cum, tot ORDER BY band""".stripMargin
 
   /** Rank-metric readout over the SAME replayed weights: distinct-score
     * pos/neg counts, one bounded cumulative window, BIGINT AUC numerator
@@ -992,6 +1034,94 @@ object SparkEntry {
        |  round(sqrt(cast(n$iters.ss AS double)), 6) AS eigval,
        |  round(sqrt(cast(n$iters.ss AS double)) / tr.trace, 6) AS var_share
        |FROM v$iters, n$iters, tr ORDER BY dim""".stripMargin
+  }
+
+  /** Huber IRLS oracle: the olsMulti cofactor solve rendered per stage
+    * over weighted decimal Grams — OLS start, the MM centered-MAD 0/1
+    * trim re-solve, then two efficient steps with quantile_cont scale
+    * and 6-dp weights, replayed cell-for-cell. */
+  private def huberOracleSql: String = {
+    val kc = 1.345 * 1.4826
+    val kt = 3 * 1.4826
+    def gramSql(src: String, wExpr: String, out: String): String =
+      s"""$out AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    sum(CAST($wExpr AS DECIMAL(18,8))) AS swr,
+         |    CAST(sum(CASE WHEN CAST($wExpr AS DECIMAL(18,8))
+         |        < CAST(1 AS DECIMAL(18,8)) THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_down,
+         |    sum(CAST(CAST($wExpr AS DOUBLE) * x1 AS DECIMAL(18,8)))
+         |      AS s1,
+         |    sum(CAST(CAST($wExpr AS DOUBLE) * x2 AS DECIMAL(18,8)))
+         |      AS s2,
+         |    sum(CAST(CAST($wExpr AS DOUBLE) * y AS DECIMAL(18,8)))
+         |      AS sy,
+         |    sum(CAST(CAST($wExpr AS DOUBLE) * x1 * x1
+         |      AS DECIMAL(18,8))) AS s11,
+         |    sum(CAST(CAST($wExpr AS DOUBLE) * x1 * x2
+         |      AS DECIMAL(18,8))) AS s12,
+         |    sum(CAST(CAST($wExpr AS DOUBLE) * x2 * x2
+         |      AS DECIMAL(18,8))) AS s22,
+         |    sum(CAST(CAST($wExpr AS DOUBLE) * x1 * y
+         |      AS DECIMAL(18,8))) AS s1y,
+         |    sum(CAST(CAST($wExpr AS DOUBLE) * x2 * y
+         |      AS DECIMAL(18,8))) AS s2y
+         |  FROM $src)""".stripMargin
+    def solveSql(g: String, out: String): String =
+      s"""$out AS (SELECT n, n_down, swr,
+         |    (dy*m00 - d1y*m10 + d2y*m20) / det AS b0,
+         |    (-dy*(d1*d22 - d12*d2) + d1y*(dn*d22 - d2*d2)
+         |      - d2y*(dn*d12 - d2*d1)) / det AS b1,
+         |    (dy*(d1*d12 - d11*d2) - d1y*(dn*d12 - d1*d2)
+         |      + d2y*(dn*d11 - d1*d1)) / det AS b2
+         |  FROM (SELECT *, dn*m00 - d1*m10 + d2*m20 AS det
+         |    FROM (SELECT *, d11*d22 - d12*d12 AS m00,
+         |        d1*d22 - d2*d12 AS m10, d1*d12 - d2*d11 AS m20
+         |      FROM (SELECT n, n_down, swr,
+         |          CAST(swr AS DOUBLE) AS dn, CAST(s1 AS DOUBLE) AS d1,
+         |          CAST(s2 AS DOUBLE) AS d2, CAST(sy AS DOUBLE) AS dy,
+         |          CAST(s11 AS DOUBLE) AS d11,
+         |          CAST(s12 AS DOUBLE) AS d12,
+         |          CAST(s22 AS DOUBLE) AS d22,
+         |          CAST(s1y AS DOUBLE) AS d1y,
+         |          CAST(s2y AS DOUBLE) AS d2y
+         |        FROM $g) a) b) c
+         |  WHERE det <> 0)""".stripMargin
+    def stepSql(i: Int): String =
+      s"""r$i AS (SELECT f.x1, f.x2, f.y,
+         |    f.y - (b.b0 + b.b1 * f.x1 + b.b2 * f.x2) AS r
+         |  FROM f, fit${i - 1} b),
+         |s$i AS (SELECT quantile_cont(abs(r), 0.5) AS s FROM r$i),
+         |w$i AS (SELECT x1, x2, y,
+         |    round(CASE WHEN abs(r) <= round($kc * s, 6) THEN 1.0
+         |      ELSE round($kc * s, 6) / abs(r) END, 6) AS wv
+         |  FROM r$i, s$i),
+         |${gramSql(s"w$i", "wv", s"g$i")},
+         |${solveSql(s"g$i", s"fit$i")}""".stripMargin
+    s"""WITH f AS (SELECT len(string_split(text, ' ')) AS x1,
+       |    len(list_distinct(string_split(text, ' '))) AS x2,
+       |    n_chars AS y
+       |  FROM documents WHERE text IS NOT NULL),
+       |${gramSql("f", "1.0", "gls")},
+       |${solveSql("gls", "fitls")},
+       |rls AS (SELECT f.x1, f.x2, f.y,
+       |    f.y - (b.b0 + b.b1 * f.x1 + b.b2 * f.x2) AS r
+       |  FROM f, fitls b),
+       |mm AS (SELECT quantile_cont(r, 0.5) AS med FROM rls),
+       |als AS (SELECT x1, x2, y, abs(r - med) AS ar FROM rls, mm),
+       |dls AS (SELECT quantile_cont(ar, 0.5) AS mad FROM als),
+       |tls AS (SELECT x1, x2, y,
+       |    CASE WHEN ar <= round($kt * mad, 6) THEN 1.0 ELSE 0.0 END
+       |      AS wv
+       |  FROM als, dls),
+       |${gramSql("tls", "wv", "g0")},
+       |${solveSql("g0", "fit0")},
+       |${stepSql(1)},
+       |${stepSql(2)}
+       |SELECT n, round(b0, 4) AS b0, round(b1, 4) AS b1,
+       |  round(b2, 4) AS b2, round(s, 4) AS scale_mad,
+       |  n_down AS n_downweighted,
+       |  round(CAST(swr AS DOUBLE) / n, 4) AS weight_mass
+       |FROM fit2, s2""".stripMargin
   }
 
   /** PPMI top-eigenvector oracle: vocab, windowed co-occurrence, PPMI
@@ -2503,6 +2633,8 @@ object SparkEntry {
     // centroid sums rounded at 6 dp, then the second assignment.
     // Power-iteration PCA: one-pass covariance + 8 replayed steps.
     "q_pca_top" -> pcaOracleSql,
+    // Huber IRLS: weighted decimal Grams + quantile_cont scale replayed.
+    "q_huber" -> huberOracleSql,
     // PPMI top eigenvector: co-occurrence, 6-dp PPMI cells, the pca
     // iteration chain — replayed cell for cell.
     "q_ppmi_vec" -> ppmiOracleSql,
@@ -2513,6 +2645,7 @@ object SparkEntry {
     // Logistic regression: 4 GD steps replayed as chained CTEs.
     "q_logreg" -> logisticOracleSql,
     "q_logreg_auc" -> logisticAucOracleSql,
+    "q_logreg_gains" -> logisticGainsOracleSql,
     // Gini stump: distinct-value histogram, one cumulative window,
     // integer split scores, argmax by (score DESC, t) — replayed
     // candidate-for-candidate.
@@ -2557,6 +2690,94 @@ object SparkEntry {
          |  n_l AS n_left, pos_l AS pos_left,
          |  n_r AS n_right, pos_r AS pos_right, n
          |FROM best WHERE rn = 1""".stripMargin,
+    // AdaBoost: integer round-1 stump, 6-dp decimal reweighting, exact
+    // decimal round-2 argmax, Laplace-smoothed alphas — replayed round
+    // for round.
+    "q_boost2" ->
+      s"""WITH f AS (SELECT
+         |    round(len(list_filter(string_split(text, ' '),
+         |        t -> t IN ($stopList))) * 1.0
+         |      / len(string_split(text, ' ')), 4) AS x,
+         |    CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y
+         |  FROM documents
+         |  WHERE text IS NOT NULL AND lang IS NOT NULL),
+         |h1 AS (SELECT x,
+         |    CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS pos_c,
+         |    CAST(sum(CASE WHEN y = -1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS neg_c
+         |  FROM f GROUP BY x),
+         |t1 AS (SELECT CAST(sum(pos_c) AS BIGINT) AS n_pos,
+         |    CAST(sum(neg_c) AS BIGINT) AS n_neg FROM h1),
+         |c1 AS (SELECT x, n_pos + n_neg AS n, n_neg,
+         |    CAST(sum(pos_c) OVER w AS BIGINT) AS pos_l,
+         |    CAST(sum(neg_c) OVER w AS BIGINT) AS neg_l
+         |  FROM h1, t1
+         |  WINDOW w AS (ORDER BY x
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |cand1 AS (
+         |  SELECT x, n, 1 AS pol, pos_l + (n_neg - neg_l) AS err
+         |  FROM c1 WHERE pos_l + neg_l < n
+         |  UNION ALL
+         |  SELECT x, n, -1 AS pol, n - (pos_l + (n_neg - neg_l)) AS err
+         |  FROM c1 WHERE pos_l + neg_l < n),
+         |b1 AS (SELECT x AS th1, pol AS pol1, err AS err1, n,
+         |    round(0.5 * ln((n - err + 0.5) / (err + 0.5)), 6) AS alpha1
+         |  FROM (SELECT *, row_number() OVER
+         |      (ORDER BY err, x, pol DESC) AS rn FROM cand1) q
+         |  WHERE rn = 1),
+         |rw AS (SELECT f.x, f.y,
+         |    CASE WHEN (CASE WHEN f.x > b1.th1 THEN b1.pol1
+         |          ELSE -b1.pol1 END) = f.y
+         |      THEN CAST(round(exp(-b1.alpha1), 6) AS DECIMAL(18,8))
+         |      ELSE CAST(round(exp(b1.alpha1), 6) AS DECIMAL(18,8))
+         |      END AS w
+         |  FROM f, b1),
+         |h2 AS (SELECT x,
+         |    sum(CASE WHEN y = 1 THEN w
+         |        ELSE CAST(0 AS DECIMAL(18,8)) END) AS wpos,
+         |    sum(CASE WHEN y = -1 THEN w
+         |        ELSE CAST(0 AS DECIMAL(18,8)) END) AS wneg
+         |  FROM rw GROUP BY x),
+         |t2c AS (SELECT sum(wpos) AS w_pos, sum(wneg) AS w_neg FROM h2),
+         |c2 AS (SELECT x, w_pos + w_neg AS wt, w_neg,
+         |    sum(wpos) OVER w AS wpos_l, sum(wneg) OVER w AS wneg_l
+         |  FROM h2, t2c
+         |  WINDOW w AS (ORDER BY x
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |cand2 AS (
+         |  SELECT x, wt, 1 AS pol, wpos_l + (w_neg - wneg_l) AS err
+         |  FROM c2
+         |  UNION ALL
+         |  SELECT x, wt, -1 AS pol, wt - (wpos_l + (w_neg - wneg_l))
+         |    AS err
+         |  FROM c2),
+         |b2 AS (SELECT x AS th2, pol AS pol2, err AS err2, wt,
+         |    round(0.5 * ln((CAST(wt - err AS DOUBLE) + 0.5)
+         |      / (CAST(err AS DOUBLE) + 0.5)), 6) AS alpha2
+         |  FROM (SELECT *, row_number() OVER
+         |      (ORDER BY err, x, pol DESC) AS rn FROM cand2) q
+         |  WHERE rn = 1),
+         |acc AS (SELECT round(CAST(sum(CASE WHEN (CASE WHEN
+         |      b1.alpha1 * (CASE WHEN f.x > b1.th1 THEN b1.pol1
+         |        ELSE -b1.pol1 END)
+         |      + b2.alpha2 * (CASE WHEN f.x > b2.th2 THEN b2.pol2
+         |        ELSE -b2.pol2 END) >= 0
+         |      THEN 1 ELSE -1 END) = f.y THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*), 4) AS train_acc
+         |  FROM f, b1, b2)
+         |SELECT * FROM (
+         |  SELECT 1 AS round, th1 AS threshold, pol1 AS polarity,
+         |    round(CAST(err1 AS DOUBLE) / n, 6) AS err_rate,
+         |    alpha1 AS alpha, train_acc
+         |  FROM b1, acc
+         |  UNION ALL
+         |  SELECT 2 AS round, th2 AS threshold, pol2 AS polarity,
+         |    round(CAST(err2 AS DOUBLE) / CAST(wt AS DOUBLE), 6)
+         |      AS err_rate,
+         |    alpha2 AS alpha, train_acc
+         |  FROM b2, acc) u
+         |ORDER BY round""".stripMargin,
     // CMS: pure integer arithmetic — only the portable hash is shared.
     "q_cms" ->
       s"""WITH counts AS (SELECT token, count(*) AS c
@@ -6733,6 +6954,37 @@ object SparkEntry {
         |    / ((0.05 * mean) * (0.05 * mean))) AS BIGINT)
         |    AS n_per_arm_5pct
         |FROM e ORDER BY event_type""".stripMargin,
+    // Changepoint: prefix-sum SSE decomposition on the day frame, the
+    // stump argmax discipline.
+    "q_changepoint" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1),
+        |cum AS (SELECT day, c,
+        |    CAST(sum(1) OVER w AS BIGINT) AS k,
+        |    CAST(sum(c) OVER w AS BIGINT) AS s1,
+        |    CAST(sum(c * c) OVER w AS BIGINT) AS s2
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(c) AS BIGINT) AS t1,
+        |    CAST(sum(c * c) AS BIGINT) AS t2 FROM daily),
+        |cand AS (SELECT day, k, s1, s2, n, t1, t2,
+        |    CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / k AS sse_l,
+        |    CAST(t2 - s2 AS DOUBLE)
+        |      - CAST(t1 - s1 AS DOUBLE) * (t1 - s1) / (n - k) AS sse_r,
+        |    CAST(t2 AS DOUBLE) - CAST(t1 AS DOUBLE) * t1 / n AS sse_p
+        |  FROM cum, tot WHERE k < n),
+        |r AS (SELECT *,
+        |    round(sse_p - (sse_l + sse_r), 6) AS reduction FROM cand),
+        |best AS (SELECT *, row_number() OVER
+        |    (ORDER BY reduction DESC, day) AS rn FROM r)
+        |SELECT day AS last_day_before, n AS n_days, k AS n_before,
+        |  round(CAST(s1 AS DOUBLE) / k, 4) AS mean_before,
+        |  round(CAST(t1 - s1 AS DOUBLE) / (n - k), 4) AS mean_after,
+        |  round(reduction / sse_p, 6) AS var_explained,
+        |  round(reduction, 4) AS sse_reduction
+        |FROM best WHERE rn = 1""".stripMargin,
     // Shapley attribution: the 16-mask lattice, cumulative v(S) by
     // containment join, integer s!(n−1−s)! weights — one final /24.
     "q_shapley" ->

@@ -1783,6 +1783,57 @@ object EventOps {
     out
   }
 
+  /** Changepoint LOCALIZATION by binary segmentation — the argmax the
+    * CUSUM screen (which only flags that a shift exists) stops short
+    * of: the split of the daily series minimizing total within-segment
+    * SSE, i.e. the first step of the classic binary-segmentation /
+    * PELT family. Same cumulative-histogram shape as the decision
+    * stump, on the calendar frame: per candidate day, left/right
+    * segment SSE from exact BIGINT (Σc, Σc²) prefix sums —
+    * SSE = Σc² − (Σc)²/n — and the argmax of the variance-explained
+    * reduction under the deterministic (reduction DESC, day) order.
+    * One events scan; every window and the totals broadcast live on
+    * the bounded day frame. */
+  def changepoint(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = daily
+      .withColumn("k", sum(lit(1L)).over(wCum))
+      .withColumn("s1", sum(col("c")).over(wCum))
+      .withColumn("s2", sum(col("c") * col("c")).over(wCum))
+    val tot = daily.agg(count(lit(1)).as("n"), sum(col("c")).as("t1"),
+      sum(col("c") * col("c")).as("t2"))
+    val cand = cum.crossJoin(broadcast(tot))
+      .filter(col("k") < col("n")) // right segment must be non-empty
+      .withColumn("sse_l", col("s2").cast("double") -
+        col("s1").cast("double") * col("s1") / col("k"))
+      .withColumn("sse_r",
+        (col("t2") - col("s2")).cast("double") -
+          (col("t1") - col("s1")).cast("double") * (col("t1") - col("s1"))
+            / (col("n") - col("k")))
+      .withColumn("sse_p", col("t2").cast("double") -
+        col("t1").cast("double") * col("t1") / col("n"))
+      .withColumn("reduction",
+        round(col("sse_p") - (col("sse_l") + col("sse_r")), 6))
+    val wBest = Window.orderBy(col("reduction").desc, col("day"))
+    cand.withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1)
+      .select(
+        col("day").as("last_day_before"),
+        col("n").as("n_days"), col("k").as("n_before"),
+        round(col("s1").cast("double") / col("k"), 4).as("mean_before"),
+        round((col("t1") - col("s1")).cast("double") /
+          (col("n") - col("k")), 4).as("mean_after"),
+        round(col("reduction") / col("sse_p"), 6).as("var_explained"),
+        round(col("reduction"), 4).as("sse_reduction"))
+  }
+
+  def changepoint(spark: SparkSession, dir: String): DataFrame =
+    changepoint(Lake.events(spark, dir))
+
   /** Rank correlation between two event types' daily series — the
     * robust companions to the Pearson [[crossCorrelation]] at lag 0
     * (a single viral day dominates product-moment correlation; ranks

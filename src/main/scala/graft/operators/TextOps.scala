@@ -333,6 +333,52 @@ object TextOps {
   def logisticEval(spark: SparkSession, dir: String): DataFrame =
     logisticEval(Lake.documents(spark, dir))
 
+  /** Cumulative gains / lift table of the trained logistic scores —
+    * the per-band view the scalar AUC ([[logisticEval]]) summarizes
+    * away, and the artifact a score-gated selection policy actually
+    * reads ("take the top score band: how much of the positive class is
+    * captured, at what lift?"). Bands are ntile(10) over the DISTINCT
+    * 6-dp score values (band 1 = highest scores) — the same
+    * quantization-bounded frame the AUC window runs on, never a
+    * population rank over the corpus; the corpus collapses to
+    * per-distinct-score class counts first, and everything after lives
+    * on ≤10 rows. Response, capture, share, and lift all reduce to
+    * integer cross-products with one rounded divide each, so DuckDB
+    * replays the table row-for-row. */
+  def logisticGains(docs: DataFrame, iters: Int = 4,
+                    lr: Double = 2.0): DataFrame = {
+    val (feats, scored) = logisticScored(docs, iters, lr)
+    val vals = scored.filter(col("y").isNotNull)
+      .groupBy(col("p"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
+    val bands = vals
+      .withColumn("band", ntile(10).over(Window.orderBy(col("p").desc)))
+      .groupBy(col("band"))
+      .agg(sum(col("n")).as("n"), sum(col("n_pos")).as("n_pos"))
+    val wCum = Window.orderBy(col("band"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = bands.agg(sum(col("n")).as("tn"),
+      sum(col("n_pos")).as("tp"))
+    val out = bands
+      .withColumn("cum_n", sum(col("n")).over(wCum))
+      .withColumn("cum_pos", sum(col("n_pos")).over(wCum))
+      .crossJoin(broadcast(tot))
+      .select(col("band"), col("n"), col("n_pos"),
+        round(col("n_pos").cast("double") / col("n"), 6).as("response"),
+        round(col("cum_n").cast("double") / col("tn"), 6).as("cum_share"),
+        round(col("cum_pos").cast("double") / col("tp"), 6)
+          .as("cum_capture"),
+        round(col("n_pos").cast("double") * col("tn") /
+          (col("n").cast("double") * col("tp")), 4).as("lift"))
+      .orderBy(col("band"))
+      .localCheckpoint(true)
+    feats.unpersist(false)
+    out
+  }
+
+  def logisticGains(spark: SparkSession, dir: String): DataFrame =
+    logisticGains(Lake.documents(spark, dir))
+
   /** Best-split decision stump by the histogram method — the primitive
     * every distributed gradient-boosted-tree layer reduces to
     * (XGBoost/LightGBM grow trees by exactly this per-feature
@@ -496,6 +542,253 @@ object TextOps {
   def giniTree2(spark: SparkSession, dir: String): DataFrame =
     giniTree2(Lake.documents(spark, dir))
 
+  /** Huber M-estimated regression, MM-style: a high-breakdown trimmed
+    * restart then TWO replayable efficient IRLS steps — the robust twin
+    * of the [[olsMulti]] least-squares fit (one corrupted document
+    * drags an LS hyperplane; the Huber loss caps its leverage). Plain
+    * IRLS from the dragged OLS start converges only geometrically (each
+    * step roughly halves the bias — an arbitrarily large outlier
+    * outruns any fixed step count), so between the OLS solve and the
+    * Huber steps sits the classic MM move: center the OLS residuals at
+    * their median, hard-trim rows whose centered-MAD z-score exceeds 3
+    * (weight 0/1 — exact in DECIMAL), and re-solve. From that
+    * high-breakdown start, each efficient step computes residuals
+    * against the broadcast coefficients, the MAD-based Huber radius
+    * c = 1.345·1.4826·median|r| (the 95%-efficiency convention;
+    * `quantile_cont`-proven cross-engine), per-row weights
+    * min(1, c/|r|) rounded once to 6 dp into DECIMAL, and re-solves the
+    * WEIGHTED normal equations — each weighted Gram cell a decimal sum
+    * of once-cast products, so the unordered reduce is exact and DuckDB
+    * replays every stage cell-for-cell. Each stage is one residual
+    * scan + exact-median aggregates + one Gram pass — the fixed number
+    * of corpus passes every distributed IRLS reduces to. Emits the
+    * robust coefficients, the final scale, and how many rows the loss
+    * downweighted (the outlier-mass diagnostic). */
+  def huberFit(docs: DataFrame): DataFrame = {
+    val d8 = DecimalType(18, 8)
+    val kC = 1.345 * 1.4826
+    val feats = nonNull(docs).select(
+        size(toks).cast("long").as("x1"),
+        size(array_distinct(toks)).cast("long").as("x2"),
+        col("n_chars").as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def gramOf(wdf: DataFrame): DataFrame = wdf.agg(
+      count(lit(1)).as("n"),
+      sum(col("w")).as("swr"),
+      sum(when(col("w") < lit(java.math.BigDecimal.ONE).cast(d8), 1L)
+        .otherwise(0L)).as("n_down"),
+      sum((col("w").cast("double") * col("x1")).cast(d8)).as("s1"),
+      sum((col("w").cast("double") * col("x2")).cast(d8)).as("s2"),
+      sum((col("w").cast("double") * col("y")).cast(d8)).as("sy"),
+      sum((col("w").cast("double") * col("x1") * col("x1")).cast(d8))
+        .as("s11"),
+      sum((col("w").cast("double") * col("x1") * col("x2")).cast(d8))
+        .as("s12"),
+      sum((col("w").cast("double") * col("x2") * col("x2")).cast(d8))
+        .as("s22"),
+      sum((col("w").cast("double") * col("x1") * col("y")).cast(d8))
+        .as("s1y"),
+      sum((col("w").cast("double") * col("x2") * col("y")).cast(d8))
+        .as("s2y"))
+    def solve(g: DataFrame): DataFrame = g
+      .withColumn("dn", col("swr").cast("double"))
+      .withColumn("d1", col("s1").cast("double"))
+      .withColumn("d2", col("s2").cast("double"))
+      .withColumn("dy", col("sy").cast("double"))
+      .withColumn("d11", col("s11").cast("double"))
+      .withColumn("d12", col("s12").cast("double"))
+      .withColumn("d22", col("s22").cast("double"))
+      .withColumn("d1y", col("s1y").cast("double"))
+      .withColumn("d2y", col("s2y").cast("double"))
+      .withColumn("m00", col("d11") * col("d22") - col("d12") * col("d12"))
+      .withColumn("m10", col("d1") * col("d22") - col("d2") * col("d12"))
+      .withColumn("m20", col("d1") * col("d12") - col("d2") * col("d11"))
+      .withColumn("det", col("dn") * col("m00") - col("d1") * col("m10")
+        + col("d2") * col("m20"))
+      .filter(col("det") =!= 0.0)
+      .withColumn("b0",
+        (col("dy") * col("m00") - col("d1y") * col("m10")
+          + col("d2y") * col("m20")) / col("det"))
+      .withColumn("b1",
+        (-col("dy") * (col("d1") * col("d22") - col("d12") * col("d2"))
+          + col("d1y") * (col("dn") * col("d22") - col("d2") * col("d2"))
+          - col("d2y") * (col("dn") * col("d12") - col("d2") * col("d1")))
+          / col("det"))
+      .withColumn("b2",
+        (col("dy") * (col("d1") * col("d12") - col("d11") * col("d2"))
+          - col("d1y") * (col("dn") * col("d12") - col("d1") * col("d2"))
+          + col("d2y") * (col("dn") * col("d11") - col("d1") * col("d1")))
+          / col("det"))
+      .select(col("n"), col("n_down"), col("swr"),
+        col("b0"), col("b1"), col("b2"))
+    val kT = 3 * 1.4826
+    val fit0 = solve(gramOf(feats.withColumn("w",
+        lit(java.math.BigDecimal.ONE).cast(d8)))).localCheckpoint(true)
+    // MM-style high-breakdown restart: center the OLS residuals at
+    // their median, hard-trim by centered-MAD z > 3 (0/1 weights —
+    // exact in decimal), and re-solve; plain IRLS from the dragged OLS
+    // start only halves the bias per step, so an arbitrarily large
+    // outlier would outrun any fixed step count
+    val r0 = feats
+      .crossJoin(broadcast(fit0.select(col("b0"), col("b1"), col("b2"))))
+      .withColumn("r", col("y") - (col("b0") + col("b1") * col("x1")
+        + col("b2") * col("x2")))
+    val med0 = r0.agg(expr("percentile(r, 0.5D)").as("med"))
+    val a0 = r0.crossJoin(broadcast(med0))
+      .withColumn("ar", abs(col("r") - col("med")))
+    val mad0 = a0.agg(expr("percentile(ar, 0.5D)").as("mad"))
+    val trimmed = a0.crossJoin(broadcast(mad0))
+      .withColumn("w", when(col("ar") <= round(lit(kT) * col("mad"), 6),
+        lit(java.math.BigDecimal.ONE)).otherwise(
+        lit(java.math.BigDecimal.ZERO)).cast(d8))
+    var fit = solve(gramOf(trimmed.select(col("x1"), col("x2"), col("y"),
+        col("w"))))
+      .withColumn("s", lit(0.0)).localCheckpoint(true)
+    for (_ <- 1 to 2) {
+      val resid = feats
+        .crossJoin(broadcast(fit.select(col("b0"), col("b1"), col("b2"))))
+        .withColumn("r", col("y") - (col("b0") + col("b1") * col("x1")
+          + col("b2") * col("x2")))
+      val scale = resid.agg(
+        expr("percentile(abs(r), 0.5D)").as("s"))
+      val wts = resid.crossJoin(broadcast(scale))
+        .withColumn("cc", round(lit(kC) * col("s"), 6))
+        .withColumn("w", when(abs(col("r")) <= col("cc"), lit(1.0))
+          .otherwise(col("cc") / abs(col("r"))))
+        .withColumn("w", round(col("w"), 6).cast(d8))
+      fit = solve(gramOf(wts.select(col("x1"), col("x2"), col("y"),
+          col("w"))))
+        .crossJoin(broadcast(scale))
+        .localCheckpoint(true)
+    }
+    val out = fit.select(col("n"),
+        round(col("b0"), 4).as("b0"),
+        round(col("b1"), 4).as("b1"),
+        round(col("b2"), 4).as("b2"),
+        round(col("s"), 4).as("scale_mad"),
+        col("n_down").as("n_downweighted"),
+        round(col("swr").cast("double") / col("n"), 4).as("weight_mass"))
+    feats.unpersist(false)
+    out
+  }
+
+  def huberFit(spark: SparkSession, dir: String): DataFrame =
+    huberFit(Lake.documents(spark, dir))
+
+  /** AdaBoost, two rounds of polarity-aware decision stumps — the
+    * BOOSTED ensemble the single [[giniStump]] and level-wise
+    * [[giniTree2]] build toward (distributed boosting = exactly this:
+    * one weighted-histogram pass per round, weights riding with the
+    * rows): round 1 picks the (threshold, polarity) minimizing the
+    * INTEGER misclassification count over the quantization-bounded
+    * histogram; its Laplace-smoothed vote α = ½·ln((n−e+½)/(e+½))
+    * (defined even at e = 0) rounded once to 6 dp reweights every row
+    * by e^{∓α} — rounded to 6 dp into DECIMAL, so round 2's weighted
+    * histogram sums are EXACT decimals and its argmax compares exact
+    * values, never float noise; the combined sign(α₁h₁ + α₂h₂)
+    * training accuracy closes the loop. Per round: one corpus pass,
+    * one bounded cumulative window, one-row broadcasts — the level
+    * structure of every distributed GBM. Ties: (err ASC, t ASC,
+    * polarity +1 first). */
+  def adaBoost2(docs: DataFrame): DataFrame = {
+    val d8 = DecimalType(18, 8)
+    val feats = langQuality(docs).filter(col("lang").isNotNull)
+      .select(col("stop_ratio").as("x"),
+        when(col("lang") === "en", 1L).otherwise(-1L).as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wCum = Window.orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wBest = Window.orderBy(col("err"), col("x"), col("pol").desc)
+    // round 1: integer counts
+    val h1 = feats.groupBy(col("x")).agg(
+      sum(when(col("y") === 1L, 1L).otherwise(0L)).as("pos_c"),
+      sum(when(col("y") === -1L, 1L).otherwise(0L)).as("neg_c"))
+    val tot1 = h1.agg(sum(col("pos_c")).as("n_pos"),
+      sum(col("neg_c")).as("n_neg"))
+    val best1 = h1
+      .withColumn("pos_l", sum(col("pos_c")).over(wCum))
+      .withColumn("neg_l", sum(col("neg_c")).over(wCum))
+      .crossJoin(broadcast(tot1))
+      .withColumn("n", col("n_pos") + col("n_neg"))
+      .filter(col("pos_l") + col("neg_l") < col("n"))
+      .withColumn("ep", col("pos_l") + (col("n_neg") - col("neg_l")))
+      .select(col("x"), col("n"), explode(array(
+        struct(lit(1).as("pol"), col("ep").as("err")),
+        struct(lit(-1).as("pol"), (col("n") - col("ep")).as("err"))))
+        .as("c"))
+      .select(col("x"), col("n"), col("c.pol").as("pol"),
+        col("c.err").as("err"))
+      .withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1)
+      .select(col("x").as("t1"), col("pol").as("pol1"),
+        col("err").as("err1"), col("n"),
+        round(lit(0.5) * log((col("n") - col("err1") + 0.5) /
+          (col("err1") + 0.5)), 6).as("alpha1"))
+      .localCheckpoint(true)
+    // round 2: decimal weights ride with the rows
+    val reweighted = feats.crossJoin(broadcast(best1))
+      .withColumn("h1", when(col("x") > col("t1"),
+        col("pol1").cast("long")).otherwise(-col("pol1").cast("long")))
+      .withColumn("w", when(col("h1") === col("y"),
+        round(exp(-col("alpha1")), 6)).otherwise(
+        round(exp(col("alpha1")), 6)).cast(d8))
+    val h2 = reweighted.groupBy(col("x")).agg(
+      sum(when(col("y") === 1L, col("w")).otherwise(
+        lit(java.math.BigDecimal.ZERO).cast(d8))).as("wpos"),
+      sum(when(col("y") === -1L, col("w")).otherwise(
+        lit(java.math.BigDecimal.ZERO).cast(d8))).as("wneg"))
+    val tot2 = h2.agg(sum(col("wpos")).as("w_pos"),
+      sum(col("wneg")).as("w_neg"))
+    val best2 = h2
+      .withColumn("wpos_l", sum(col("wpos")).over(wCum))
+      .withColumn("wneg_l", sum(col("wneg")).over(wCum))
+      .crossJoin(broadcast(tot2))
+      .withColumn("wt", col("w_pos") + col("w_neg"))
+      .withColumn("ep", col("wpos_l") + (col("w_neg") - col("wneg_l")))
+      .select(col("x"), col("wt"), explode(array(
+        struct(lit(1).as("pol"), col("ep").as("err")),
+        struct(lit(-1).as("pol"), (col("wt") - col("ep")).as("err"))))
+        .as("c"))
+      .select(col("x"), col("wt"), col("c.pol").as("pol"),
+        col("c.err").as("err"))
+      .withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1)
+      .select(col("x").as("t2"), col("pol").as("pol2"),
+        col("err").as("err2"), col("wt"),
+        round(lit(0.5) * log(
+          ((col("wt") - col("err2")).cast("double") + 0.5) /
+            (col("err2").cast("double") + 0.5)), 6).as("alpha2"))
+      .localCheckpoint(true)
+    // combined training accuracy of sign(a1*h1 + a2*h2)
+    val acc = feats.crossJoin(broadcast(best1)).crossJoin(broadcast(best2))
+      .withColumn("h1", when(col("x") > col("t1"),
+        col("pol1").cast("long")).otherwise(-col("pol1").cast("long")))
+      .withColumn("h2", when(col("x") > col("t2"),
+        col("pol2").cast("long")).otherwise(-col("pol2").cast("long")))
+      .withColumn("s", col("alpha1") * col("h1") + col("alpha2") * col("h2"))
+      .withColumn("pred", when(col("s") >= 0, 1L).otherwise(-1L))
+      .agg(round(sum(when(col("pred") === col("y"), 1L).otherwise(0L))
+        .cast("double") / count(lit(1)), 4).as("train_acc"))
+    val out = best1.crossJoin(broadcast(acc)).select(
+        lit(1).as("round"), col("t1").as("threshold"),
+        col("pol1").as("polarity"),
+        round(col("err1").cast("double") / col("n"), 6).as("err_rate"),
+        col("alpha1").as("alpha"), col("train_acc"))
+      .unionByName(best2.crossJoin(broadcast(acc)).select(
+        lit(2).as("round"), col("t2").as("threshold"),
+        col("pol2").as("polarity"),
+        round(col("err2").cast("double") / col("wt").cast("double"), 6)
+          .as("err_rate"),
+        col("alpha2").as("alpha"), col("train_acc")))
+      .orderBy(col("round"))
+      .localCheckpoint(true)
+    feats.unpersist(false)
+    out
+  }
+
+  def adaBoost2(spark: SparkSession, dir: String): DataFrame =
+    adaBoost2(Lake.documents(spark, dir))
+
   /** Word-association embedding trained IN-ENGINE: the top eigenvector
     * of the PPMI co-occurrence matrix — the classic count-based word
     * embedding (SPPMI-SVD's leading axis; skip-gram is its implicit
@@ -523,15 +816,21 @@ object TextOps {
       .orderBy(col("c").desc, col("tok")).limit(vocabSize)
       .withColumn("i", (row_number().over(wIdx) - 1).cast("long"))
       .localCheckpoint(true)
-    val posv = toksDf
-      .join(broadcast(vIdx.select(col("tok"), col("i"))), "tok")
-      .select(col("doc_id"), col("pos"), col("i"))
-    val co = posv.select(col("doc_id"), col("pos").as("pa"),
-        col("i").as("ia"))
-      .join(posv.select(col("doc_id"), col("pos").as("pb"),
-        col("i").as("ib")), Seq("doc_id"))
-      .filter(col("pb") - col("pa") >= 1 &&
-        col("pb") - col("pa") <= window)
+    // windowed pairs are generated MAP-SIDE from the token array (a
+    // per-doc position self-join would square each doc's length before
+    // filtering — the wrong shape for long documents at lake scale)
+    val co = nonNull(docs).select(toks.as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(explode(expr(
+        s"flatten(transform(sequence(0, size(tk) - 2), " +
+          s"p -> transform(sequence(1, least($window, size(tk) - 1 - p)), " +
+          s"d -> struct(element_at(tk, p + 1) AS ta, " +
+          s"element_at(tk, p + 1 + d) AS tb))))")).as("pr"))
+      .select(col("pr.ta").as("ta"), col("pr.tb").as("tb"))
+      .join(broadcast(vIdx.select(col("tok").as("ta"), col("i").as("ia"))),
+        "ta")
+      .join(broadcast(vIdx.select(col("tok").as("tb"), col("i").as("ib"))),
+        "tb")
       .select(col("ia"), col("ib"))
     val cab = co
       .unionAll(co.select(col("ib").as("ia"), col("ia").as("ib")))
@@ -548,27 +847,30 @@ object TextOps {
             (col("ca").cast("double") * col("cb"))), 6)).cast(d8).as("g"))
       .localCheckpoint(true) // iterations must never re-touch the corpus
     val dd = vIdx.agg(count(lit(1)).cast("double").as("d"))
+    // each step references w exactly ONCE: the squared-norm rides in as
+    // an unpartitioned window over the ≤vocab-row frame, so the whole
+    // 6-step loop stays one lazy plan — no per-step materialization
+    // jobs (the [[graft.operators.AnnOps.pcaPower]] checkpoint-per-step
+    // form pays ~2 job roundtrips per iteration; at a 32-row frame the
+    // job overhead IS the cost)
     var v = vIdx.select(col("i")).crossJoin(broadcast(dd))
-      .select(col("i"), (lit(1.0) / sqrt(col("d"))).cast(d8).as("v"))
-    var lastNorm: DataFrame = null
+      .select(col("i"), (lit(1.0) / sqrt(col("d"))).cast(d8).as("v"),
+        lit(null).cast(d8).as("ss"))
+    val wNorm = Window.partitionBy()
     for (_ <- 1 to iters) {
-      val w = g.join(v.select(col("i").as("j"), col("v")), "j")
+      val w = g.join(broadcast(v.select(col("i").as("j"), col("v"))), "j")
         .select(col("i"),
           (col("g").cast("double") * col("v").cast("double"))
             .cast(d8).as("t"))
         .groupBy(col("i")).agg(sum(col("t")).as("w"))
-      lastNorm = w.agg(
-        sum((col("w").cast("double") * col("w").cast("double"))
-          .cast(d8)).as("ss"))
-      v = w.crossJoin(broadcast(lastNorm))
+      v = w.withColumn("ss",
+          sum((col("w").cast("double") * col("w").cast("double"))
+            .cast(d8)).over(wNorm))
         .select(col("i"),
           (col("w").cast("double") / sqrt(col("ss").cast("double")))
-            .cast(d8).as("v"))
-        .localCheckpoint(true)
-      lastNorm = lastNorm.localCheckpoint(true)
+            .cast(d8).as("v"), col("ss"))
     }
     v.join(broadcast(vIdx.select(col("i"), col("tok"), col("c"))), "i")
-      .crossJoin(broadcast(lastNorm))
       .select(col("i").cast("long").as("dim"), col("tok").as("token"),
         col("c").as("n_occurrences"),
         round(col("v").cast("double"), 6).as("loading"),

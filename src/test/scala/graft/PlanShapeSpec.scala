@@ -393,6 +393,9 @@ class PlanShapeSpec extends SparkSpecBase {
         // broadcast against the bounded distinct-score frame (the
         // q_supplier_share scalar-threshold pattern)
         "q_logreg", "q_logreg_auc",
+        // q_logreg_gains: the same trainer broadcasts + the one-row
+        // band-totals broadcast on the bounded distinct-score frame
+        "q_logreg_gains",
         // q_stump / q_tree2: the one-row (root) and two-row (per-node)
         // class-totals broadcasts against bounded distinct-threshold
         // histograms, plus the one-row chosen-split broadcast the
@@ -416,7 +419,17 @@ class PlanShapeSpec extends SparkSpecBase {
         "q_fs_weights",
         // q_ppmi_vec: the q_pca_top iteration pattern — one-row total /
         // dimension / norm broadcasts around the vocab²-bounded matrix
-        "q_ppmi_vec")
+        "q_ppmi_vec",
+        // q_changepoint: the one-row series-totals broadcast against
+        // the bounded day frame (the q_supplier_share pattern)
+        "q_changepoint",
+        // q_boost2: per-round one-row class-totals / chosen-stump
+        // broadcasts against the bounded threshold histograms (the
+        // q_stump pattern, twice)
+        "q_boost2",
+        // q_huber: per-IRLS-step one-row coefficient / scale broadcasts
+        // against the corpus scan (the q_logreg weight-frame pattern)
+        "q_huber")
     // collect ALL offenders before failing — a fail-fast assert hides
     // every offender behind the first and costs a full re-run per fix
     val offenders = scala.collection.mutable.LinkedHashSet[String]()

@@ -860,6 +860,148 @@ class TextOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("gains table: monotone capture, exact totals, top band concentrates the positive class") {
+    val rows = graft.operators.TextOps.logisticGains(spark, Sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+      .sortBy(_._1)
+    assert(rows.nonEmpty && rows.length <= 10)
+    assert(rows.map(_._1).toSeq == (1 to rows.length).toSeq,
+      "contiguous bands from 1")
+    // cumulative share and capture are nondecreasing and end at 1
+    for ((a, b) <- rows.zip(rows.tail)) {
+      assert(b._5 >= a._5 - 1e-9 && b._6 >= a._6 - 1e-9)
+    }
+    assert(math.abs(rows.last._5 - 1.0) < 1e-6, "share ends at 1")
+    assert(math.abs(rows.last._6 - 1.0) < 1e-6, "capture ends at 1")
+    for ((_, n, pos, resp, _, _, _) <- rows) {
+      assert(pos >= 0 && pos <= n)
+      assert(math.abs(resp - pos.toDouble / n) < 1e-5)
+    }
+    // a trained ranker's top band must capture at least its share
+    assert(rows.head._6 >= rows.head._5 - 1e-6,
+      s"top band lifts: ${rows.head}")
+  }
+
+  test("Huber IRLS shrugs off the outlier that drags the OLS plane") {
+    import spark.implicits._
+    // 9 docs on y = 3 + 2*x1 + 5*x2 exactly, one corrupted y
+    val clean = Seq(
+      ("a a", 12L), ("a b b", 19L), ("a a a b", 21L), ("a b c c c", 28L),
+      ("a b c c", 26L), ("a a b b c c", 30L), ("a a a b b", 23L),
+      ("a b c d d d", 35L), ("a b c d", 31L))
+    val planted = (clean :+ (("a a b c d d"), 9000L))
+      .zipWithIndex.map { case ((t, y), i) => (i.toLong, t, y) }
+      .toDF("doc_id", "text", "n_chars")
+    val r = graft.operators.TextOps.huberFit(planted).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val (b0, b1, b2) = (row.getDouble(1), row.getDouble(2), row.getDouble(3))
+    // the OLS start is dragged far off (outlier residual ~8958); two
+    // IRLS rounds must pull the fit back near the clean plane
+    assert(math.abs(b0 - 3.0) < 0.5 && math.abs(b1 - 2.0) < 0.5 &&
+      math.abs(b2 - 5.0) < 0.5, s"robust recovery: $row")
+    assert(row.getLong(5) >= 1L, "the outlier is downweighted")
+    assert(row.getDouble(6) < 1.0, "weight mass strictly below uniform")
+  }
+
+  test("Huber on the lake: one finite row, bounded weight mass, nonnegative scale") {
+    val row = graft.operators.TextOps.huberFit(spark, Sf).collect().head
+    for (i <- 1 to 3)
+      assert(!row.getDouble(i).isNaN && !row.getDouble(i).isInfinite)
+    assert(row.getDouble(4) >= 0.0, "MAD scale")
+    assert(row.getLong(5) >= 0L)
+    assert(row.getDouble(6) > 0.0 && row.getDouble(6) <= 1.0 + 1e-9)
+  }
+
+  test("AdaBoost: separable corpus drives both rounds to the pure split with replayed alphas") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val planted = Seq(
+      (1L, "en", "the cat is on the mat and it is a cat"),
+      (2L, "en", "it is the best of the lot and a joy"),
+      (3L, "xx", "lorem ipsum dolor sit amet consectetur adipiscing elit"),
+      (4L, "xx", "zxcv qwerty asdf uiop hjkl bnm vcxz trewq"),
+      (5L, "xx", "foo bar baz qux quux corge grault garply"))
+      .toDF("doc_id", "lang", "text")
+    val rows = graft.operators.TextOps.adaBoost2(planted).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getInt(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.map(_._1).toSeq == Seq(1, 2))
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val a1 = r6(0.5 * math.log((5 - 0 + 0.5) / 0.5))
+    // round-2 weights are all round6(e^-a1): W = 5w exactly in decimal
+    val w = BigDecimal(math.exp(-a1))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val a2 = r6(0.5 * math.log(((w * 5).toDouble + 0.5) / 0.5))
+    val Seq(rd1, rd2) = rows.toSeq
+    assert(rd1 == ((1, 0.0, 1, 0.0, a1, 1.0)), s"round 1: $rd1")
+    assert(rd2 == ((2, 0.0, 1, 0.0, a2, 1.0)), s"round 2: $rd2")
+    // anti-separable corpus: the informative direction is reversed, so
+    // the stump must pick polarity -1 and still classify perfectly
+    val flipped = planted.withColumn("lang",
+      when(col("lang") === "en", "xx").otherwise("en"))
+    val f = graft.operators.TextOps.adaBoost2(flipped).collect()
+      .map(r => (r.getInt(0), r.getInt(2), r.getDouble(3), r.getDouble(5)))
+    assert(f.forall(_._2 == -1), s"flipped polarity: ${f.toSeq}")
+    assert(f.forall(_._4 == 1.0), s"flipped accuracy: ${f.toSeq}")
+  }
+
+  test("AdaBoost on the lake: two rounds, bounded errors, nonnegative votes, better than chance") {
+    val rows = graft.operators.TextOps.adaBoost2(spark, Sf).collect()
+      .map(r => (r.getInt(0), r.getInt(2), r.getDouble(3), r.getDouble(4),
+        r.getDouble(5)))
+    assert(rows.map(_._1).toSeq == Seq(1, 2))
+    for ((round, pol, err, alpha, acc) <- rows) {
+      assert(pol == 1 || pol == -1)
+      assert(err >= 0.0 && err <= 0.5 + 1e-9,
+        s"round $round: polarity argmax bounds the error at 1/2")
+      assert(alpha >= 0.0, s"round $round: vote sign")
+      assert(acc > 0.5, "trained ensemble beats a coin flip")
+    }
+  }
+
+  test("changepoint localizes a planted level shift exactly") {
+    import spark.implicits._
+    val d0 = java.time.LocalDate.parse("2024-03-01")
+    val ev = (0 until 10).flatMap { i =>
+      val n = if (i < 5) 10 else 30
+      (0 until n).map(j => (i * 1000L + j,
+        java.sql.Timestamp.valueOf(d0.plusDays(i).atTime(5, j % 60))))
+    }.toDF("event_id", "ts")
+    val r = graft.operators.EventOps.changepoint(ev).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getDate(0).toLocalDate == d0.plusDays(4),
+      s"split after the last low day: $row")
+    assert(row.getLong(1) == 10L && row.getLong(2) == 5L)
+    assert(row.getDouble(3) == 10.0 && row.getDouble(4) == 30.0)
+    assert(row.getDouble(5) == 1.0, s"step series: all variance explained")
+    assert(row.getDouble(6) == 1000.0, s"sse reduction: $row")
+  }
+
+  test("changepoint on the lake matches the brute-force best split") {
+    import org.apache.spark.sql.functions._
+    val daily = Lake.events(spark, Sf)
+      .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+      .sortBy(_._1.toEpochDay)
+    val cs = daily.map(_._2.toDouble)
+    def sse(xs: Seq[Double]) =
+      xs.map(x => x * x).sum - math.pow(xs.sum, 2) / xs.length
+    val parent = sse(cs)
+    val best = (1 until cs.length).map { k =>
+      (parent - (sse(cs.take(k)) + sse(cs.drop(k))), k)
+    }.maxBy(t => (t._1, -t._2))
+    val row = graft.operators.EventOps.changepoint(spark, Sf)
+      .collect().head
+    assert(row.getDate(0).toLocalDate == daily(best._2 - 1)._1,
+      s"split day: $row vs ${daily(best._2 - 1)._1}")
+    assert(math.abs(row.getDouble(6) - best._1) < 1e-2,
+      s"reduction: $row vs $best")
+  }
+
   test("PPMI eigenvector matches a from-scratch double-precision power iteration") {
     import spark.implicits._
     val texts = Seq(
