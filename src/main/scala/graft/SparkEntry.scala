@@ -157,6 +157,8 @@ object SparkEntry {
     "q_nb_classify"       -> ((s: SparkSession, d: String) =>
       TextOps.nbLangClassify(s, d)),
     "q_nb_confusion"      -> TextOps.nbConfusion _,
+    // Scalar eval readout: accuracy, macro-P/R/F1, Cohen's kappa
+    "q_nb_metrics"        -> TextOps.nbMetrics _,
     // Per-source multi-feature OLS via one exact-integer Gram aggregation
     // k-fold cross-validated ridge regression over per-fold Grams
     "q_ridge_cv"          -> ((s: SparkSession, d: String) =>
@@ -547,6 +549,9 @@ object SparkEntry {
     // summed item-cosine neighborhood score
     "q_recommend"         -> ((s: SparkSession, d: String) =>
       Relational.itemKnnRecommend(s, d)),
+    // Leave-last-out CF eval: hit-rate@5 + MRR on a leakage-free retrain
+    "q_cf_eval"           -> ((s: SparkSession, d: String) =>
+      Relational.cfHitRate(s, d)),
     // Benford first-digit screen over order values
     "q_benford"           -> ((s: SparkSession, d: String) =>
       CatalogOps.benford(s, d, "orders", "o_totalprice")),
@@ -599,6 +604,24 @@ object SparkEntry {
     // Kaplan-Meier user-lifetime survival curve (right-censored)
     "q_survival"          -> ((s: SparkSession, d: String) =>
       EventOps.survivalCurve(s, d)),
+    // Two-group log-rank churn test: rough-start cohort vs the rest
+    "q_logrank"           -> ((s: SparkSession, d: String) =>
+      EventOps.logrank(s, d)),
+    // Discrete periodogram of daily counts over the 2..14-day grid
+    "q_periodogram"       -> ((s: SparkSession, d: String) =>
+      EventOps.periodogram(s, d)),
+    // CMH stratified 2x2 test + Mantel-Haenszel pooled odds ratio
+    "q_cmh"               -> ((s: SparkSession, d: String) =>
+      EventOps.cmhTest(s, d)),
+    // Partial autocorrelation at lags 1..3 by Durbin-Levinson
+    "q_pacf"              -> ((s: SparkSession, d: String) =>
+      EventOps.pacfQuery(s, d)),
+    // Mann-Whitney U rank-sum test between two daily count series
+    "q_mann_whitney"      -> ((s: SparkSession, d: String) =>
+      EventOps.mannWhitney(s, d)),
+    // Markov entropy rate: conditional vs marginal next-event entropy
+    "q_entropy_rate"      -> ((s: SparkSession, d: String) =>
+      EventOps.entropyRate(s, d)),
     // RFM quintile segmentation of customers over orders
     "q_rfm"               -> Relational.rfmSegments _,
     // Trade-graph degree distribution from the shared edge artifact
@@ -658,6 +681,10 @@ object SparkEntry {
       Relational.lorenzCurvePar(s, d)),
     // Hapax-legomena lexical richness per source
     "q_hapax"             -> TextOps.hapaxProfile _,
+    // Chao1 unseen-vocabulary estimate + Good-Turing coverage per source
+    "q_chao1"             -> TextOps.chao1Richness _,
+    // Yule's K lexical concentration + Simpson repeat-rate per source
+    "q_yule_k"            -> TextOps.yuleK _,
     // Reliability diagram: quality-score deciles vs near-dup membership
     "q_quality_calibration" -> ((s: SparkSession, d: String) =>
       DedupOps.qualityDupCalibration(s, d)),
@@ -695,6 +722,12 @@ object SparkEntry {
     // Binary-segmentation changepoint localization over daily counts
     "q_changepoint"       -> ((s: SparkSession, d: String) =>
       EventOps.changepoint(s, d)),
+    // Yule-Walker AR(2) fit + one-step backtest vs the naive baseline
+    "q_ar2"               -> ((s: SparkSession, d: String) =>
+      EventOps.ar2Forecast(s, d)),
+    // Stratified (CEM-style) observational ATT with the naive contrast
+    "q_att_strat"         -> ((s: SparkSession, d: String) =>
+      EventOps.attStratified(s, d)),
   )
 
   /** [[TextOps.patternScan]] dictionary for the driver query: token
@@ -3945,6 +3978,52 @@ object SparkEntry {
          |FROM (SELECT lang, lang_pred, count(*) AS n
          |      FROM ($nbClassifySql) q GROUP BY lang, lang_pred) c
          |ORDER BY lang, lang_pred""".stripMargin,
+    // Scalar eval readout over the same scored slice: confusion cells,
+    // full-outer class union, 6-dp decimal macro sums, ratio-product pe.
+    "q_nb_metrics" ->
+      s"""WITH sc AS ($nbClassifySql),
+         |cells AS (SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+         |  FROM sc GROUP BY 1, 2),
+         |truec AS (SELECT lang AS cls, CAST(sum(n) AS BIGINT) AS n_true
+         |  FROM cells GROUP BY 1),
+         |predc AS (SELECT lang_pred AS cls, CAST(sum(n) AS BIGINT)
+         |    AS n_pred
+         |  FROM cells GROUP BY 1),
+         |tpc AS (SELECT lang AS cls, n AS tp FROM cells
+         |  WHERE lang = lang_pred),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM cells),
+         |pc AS (SELECT coalesce(t.cls, p.cls) AS cls,
+         |    coalesce(t.n_true, 0) AS n_true,
+         |    coalesce(p.n_pred, 0) AS n_pred,
+         |    coalesce(tp.tp, 0) AS tp, nn
+         |  FROM truec t FULL OUTER JOIN predc p ON t.cls = p.cls
+         |  LEFT JOIN tpc tp ON coalesce(t.cls, p.cls) = tp.cls, tot),
+         |m AS (SELECT *,
+         |    CASE WHEN n_pred = 0 THEN CAST(0 AS DOUBLE)
+         |      ELSE CAST(tp AS DOUBLE) / n_pred END AS p,
+         |    CASE WHEN n_true = 0 THEN CAST(0 AS DOUBLE)
+         |      ELSE CAST(tp AS DOUBLE) / n_true END AS r,
+         |    (CAST(n_true AS DOUBLE) / nn) * (CAST(n_pred AS DOUBLE) / nn)
+         |      AS pe_c
+         |  FROM pc),
+         |m2 AS (SELECT *, CASE WHEN p + r = 0 THEN CAST(0 AS DOUBLE)
+         |    ELSE CAST(2 AS DOUBLE) * p * r / (p + r) END AS f1 FROM m),
+         |ag AS (SELECT max(nn) AS n, CAST(count(*) AS BIGINT)
+         |      AS n_classes,
+         |    CAST(sum(tp) AS BIGINT) AS n_correct,
+         |    sum(CAST(round(p, 6) AS DECIMAL(18,6))) AS sp,
+         |    sum(CAST(round(r, 6) AS DECIMAL(18,6))) AS sr,
+         |    sum(CAST(round(f1, 6) AS DECIMAL(18,6))) AS sf,
+         |    sum(CAST(round(pe_c, 6) AS DECIMAL(18,6))) AS spe
+         |  FROM m2)
+         |SELECT n, n_classes,
+         |  round(CAST(n_correct AS DOUBLE) / n, 4) AS accuracy,
+         |  round(CAST(sp AS DOUBLE) / n_classes, 4) AS macro_precision,
+         |  round(CAST(sr AS DOUBLE) / n_classes, 4) AS macro_recall,
+         |  round(CAST(sf AS DOUBLE) / n_classes, 4) AS macro_f1,
+         |  round((CAST(n_correct AS DOUBLE) / n - CAST(spe AS DOUBLE)) /
+         |    (CAST(1 AS DOUBLE) - CAST(spe AS DOUBLE)), 4) AS kappa
+         |FROM ag""".stripMargin,
     // Multi-feature OLS: the ten Gram sums are exact integers, and the
     // Cramer solve is the IDENTICAL double expression tree on both sides
     // (shared column-0 minors, same op order), so coefficients and R²
@@ -5670,6 +5749,63 @@ object SparkEntry {
         |FROM (SELECT *, cast(row_number() OVER (PARTITION BY custkey
         |    ORDER BY score_d DESC, cand) AS bigint) AS rnk FROM sc) t
         |WHERE rnk <= 3 ORDER BY custkey, rnk""".stripMargin,
+    // Leave-last-out CF eval: the last order per customer (date DESC,
+    // orderkey DESC) is held out, similarities retrain on the remaining
+    // orders, each eval customer is scored exactly as q_recommend scores,
+    // and hit-rate@5 + MRR aggregate over ALL eval customers. Reciprocal
+    // ranks rounded 6 dp into decimal so the MRR sum is order-free.
+    "q_cf_eval" ->
+      """WITH ro AS (SELECT o_orderkey, o_custkey,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn,
+        |    count(*) OVER (PARTITION BY o_custkey) AS n_ord
+        |  FROM orders),
+        |held AS (SELECT o_custkey AS custkey, o_orderkey AS held_ok
+        |  FROM ro WHERE rn = 1 AND n_ord >= 2),
+        |helditem AS (SELECT h.custkey, min(l.l_partkey) AS held_item
+        |  FROM held h JOIN lineitem l ON l.l_orderkey = h.held_ok
+        |  GROUP BY 1),
+        |tr AS (SELECT o_custkey AS custkey, o_orderkey FROM ro
+        |  WHERE NOT (rn = 1 AND n_ord >= 2)),
+        |tli AS (SELECT t.custkey, l.l_orderkey, l.l_partkey
+        |  FROM lineitem l JOIN tr t ON l.l_orderkey = t.o_orderkey),
+        |itemn AS (SELECT l_partkey, count(DISTINCT l_orderkey) AS n_item
+        |  FROM tli GROUP BY 1),
+        |pairs AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |    count(DISTINCT a.l_orderkey) AS n_ab
+        |  FROM tli a JOIN tli b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= 2),
+        |sims AS (SELECT part_a, part_b,
+        |    cast(round(CAST(n_ab AS DOUBLE) /
+        |      sqrt(CAST(na.n_item * nb.n_item AS DOUBLE)), 6)
+        |      AS decimal(18,6)) AS cos
+        |  FROM pairs JOIN itemn na ON na.l_partkey = part_a
+        |             JOIN itemn nb ON nb.l_partkey = part_b),
+        |bi AS (SELECT part_a AS src, part_b AS cand, cos FROM sims
+        |       UNION ALL SELECT part_b, part_a, cos FROM sims),
+        |owned AS (SELECT DISTINCT custkey, l_partkey AS item FROM tli),
+        |sc AS (SELECT w.custkey, b.cand, sum(b.cos) AS score_d
+        |  FROM owned w JOIN bi b ON b.src = w.item
+        |  WHERE NOT EXISTS (SELECT 1 FROM owned o2
+        |    WHERE o2.custkey = w.custkey AND o2.item = b.cand)
+        |  GROUP BY 1, 2),
+        |topk AS (SELECT custkey, cand, rnk
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY custkey
+        |      ORDER BY score_d DESC, cand) AS rnk FROM sc) t
+        |  WHERE rnk <= 5),
+        |hits AS (SELECT t.custkey, t.rnk FROM topk t
+        |  JOIN helditem h ON t.custkey = h.custkey
+        |    AND t.cand = h.held_item),
+        |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_eval FROM helditem),
+        |hs AS (SELECT CAST(count(*) AS BIGINT) AS n_hits,
+        |    coalesce(sum(CAST(round(CAST(1 AS DOUBLE) / rnk, 6)
+        |      AS DECIMAL(18,6))), CAST(0 AS DECIMAL(18,6))) AS srr
+        |  FROM hits)
+        |SELECT CAST(5 AS INT) AS k, n_eval, n_hits,
+        |  round(CAST(n_hits AS DOUBLE) / n_eval, 4) AS hit_rate,
+        |  round(CAST(srr AS DOUBLE) / n_eval, 4) AS mrr
+        |FROM ne, hs""".stripMargin,
     "q_item_cosine" ->
       """WITH itemn AS (SELECT l_partkey, count(DISTINCT l_orderkey) AS n_item
         |  FROM lineitem GROUP BY 1),
@@ -6168,6 +6304,272 @@ object SparkEntry {
         |      ELSE 1.0 - CAST(deaths AS DOUBLE) / n_at_risk END))
         |    OVER (ORDER BY week)), 4) END AS survival
         |FROM r ORDER BY week""".stripMargin,
+    // Log-rank: per-week at-risk/death counts per cohort (all BIGINT),
+    // E/V terms rounded once to 6 dp into decimal, the chi2/p scalar
+    // tree identical on both sides (welch's logistic CDF constants).
+    "q_logrank" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d, event_type
+        |  FROM events),
+        |ev2 AS (SELECT user_id, d, event_type,
+        |    min(d) OVER (PARTITION BY user_id) AS d0 FROM ev),
+        |u AS (SELECT user_id,
+        |    CAST(max(CASE WHEN d = d0 AND event_type = 'error'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS grp,
+        |    min(d) AS fd, max(d) AS ld
+        |  FROM ev2 GROUP BY user_id),
+        |e AS (SELECT max(ld) AS ce FROM u),
+        |l AS (SELECT grp,
+        |    CAST(floor(date_diff('day', fd, ld) / 7) AS INTEGER) AS week,
+        |    CASE WHEN date_diff('day', ld, ce) > 14 THEN 1 ELSE 0 END
+        |      AS observed
+        |  FROM u, e),
+        |w AS (SELECT week,
+        |    CAST(sum(CASE WHEN grp = 1 THEN observed ELSE 0 END)
+        |      AS BIGINT) AS d1,
+        |    CAST(sum(CASE WHEN grp = 0 THEN observed ELSE 0 END)
+        |      AS BIGINT) AS d0,
+        |    CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS l1,
+        |    CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS l0
+        |  FROM l GROUP BY 1),
+        |r AS (SELECT *,
+        |    CAST(sum(l1) OVER () AS BIGINT) - CAST(coalesce(
+        |      sum(l1) OVER (ORDER BY week
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS n1,
+        |    CAST(sum(l0) OVER () AS BIGINT) - CAST(coalesce(
+        |      sum(l0) OVER (ORDER BY week
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS n0
+        |  FROM w),
+        |t AS (SELECT *, n1 + n0 AS n, d1 + d0 AS d,
+        |    CAST(round(CAST(d1 + d0 AS DOUBLE) * n1 / (n1 + n0), 6)
+        |      AS DECIMAL(18,6)) AS e1_t,
+        |    CAST(CASE WHEN n1 + n0 > 1 THEN round(
+        |      CAST(d1 + d0 AS DOUBLE) *
+        |        (CAST(n1 AS DOUBLE) / (n1 + n0)) *
+        |        (CAST(n0 AS DOUBLE) / (n1 + n0)) *
+        |        CAST(n1 + n0 - d1 - d0 AS DOUBLE) / (n1 + n0 - 1), 6)
+        |      ELSE 0.0 END AS DECIMAL(18,6)) AS v_t
+        |  FROM r),
+        |ag AS (SELECT CAST(sum(l1) AS BIGINT) AS n_treated,
+        |    CAST(sum(l0) AS BIGINT) AS n_control,
+        |    CAST(sum(d1) AS BIGINT) AS o1, CAST(sum(d0) AS BIGINT) AS o0,
+        |    sum(e1_t) AS e1, sum(v_t) AS v FROM t),
+        |z AS (SELECT *, CASE WHEN CAST(v AS DOUBLE) > 0.0 THEN
+        |    (CAST(o1 AS DOUBLE) - CAST(e1 AS DOUBLE)) /
+        |      sqrt(CAST(v AS DOUBLE)) END AS zz FROM ag)
+        |SELECT n_treated, n_control, o1, o0,
+        |  round(CAST(e1 AS DOUBLE), 4) AS e1,
+        |  round(CAST(o1 AS DOUBLE) + CAST(o0 AS DOUBLE) -
+        |    CAST(e1 AS DOUBLE), 4) AS e0,
+        |  round(zz * zz, 4) AS chi2,
+        |  round(2.0 / (1.0 + exp(0.07056 * pow(abs(zz), 3.0) +
+        |    1.5976 * abs(zz))), 6) AS p_value
+        |FROM z""".stripMargin,
+    // CMH: all 2x2 cells exact BIGINT, E/V/OR terms rounded once to 6 dp
+    // into decimal, chi2/p/OR the identical scalar tree on both sides.
+    "q_cmh" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d, event_type
+        |  FROM events),
+        |ev2 AS (SELECT user_id, d, event_type,
+        |    min(d) OVER (PARTITION BY user_id) AS d0 FROM ev),
+        |u AS (SELECT user_id,
+        |    CAST(max(CASE WHEN d = d0 AND event_type = 'error'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS t,
+        |    CAST(max(CASE WHEN d > d0 AND event_type = 'purchase'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS y,
+        |    CAST(count(*) AS BIGINT) AS n_events
+        |  FROM ev2 GROUP BY user_id),
+        |u2 AS (SELECT *, n_events // 20 AS stratum FROM u),
+        |cl AS (SELECT stratum,
+        |    CAST(sum(CASE WHEN t = 1 AND y = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN t = 1 AND y = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN t = 0 AND y = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN t = 0 AND y = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d
+        |  FROM u2 GROUP BY 1),
+        |cx AS (SELECT *, a + b + c + d AS n, a + b AS r1, a + c AS c1
+        |  FROM cl),
+        |t2 AS (SELECT *,
+        |    CAST(round(CAST(r1 AS DOUBLE) * c1 / n, 6) AS DECIMAL(18,6))
+        |      AS e_t,
+        |    CAST(CASE WHEN n > 1 THEN round(
+        |      CAST(r1 AS DOUBLE) * (n - r1) * c1 * (n - c1) /
+        |        (CAST(n AS DOUBLE) * n * (n - 1)), 6)
+        |      ELSE 0.0 END AS DECIMAL(18,6)) AS v_t,
+        |    CAST(round(CAST(a AS DOUBLE) * d / n, 6) AS DECIMAL(18,6))
+        |      AS orn_t,
+        |    CAST(round(CAST(b AS DOUBLE) * c / n, 6) AS DECIMAL(18,6))
+        |      AS ord_t
+        |  FROM cx),
+        |ag AS (SELECT CAST(sum(n) AS BIGINT) AS n_users,
+        |    CAST(count(*) AS BIGINT) AS n_strata,
+        |    CAST(sum(a) AS BIGINT) AS sa, sum(e_t) AS se, sum(v_t) AS sv,
+        |    sum(orn_t) AS sorn, sum(ord_t) AS sord FROM t2),
+        |z AS (SELECT *, CASE WHEN CAST(sv AS DOUBLE) > 0.0 THEN
+        |    (CAST(sa AS DOUBLE) - CAST(se AS DOUBLE)) /
+        |      sqrt(CAST(sv AS DOUBLE)) END AS zz FROM ag)
+        |SELECT n_users, n_strata, sa AS a_total,
+        |  round(CAST(se AS DOUBLE), 4) AS e_total,
+        |  round(zz * zz, 4) AS chi2,
+        |  round(2.0 / (1.0 + exp(0.07056 * pow(abs(zz), 3.0) +
+        |    1.5976 * abs(zz))), 6) AS p_value,
+        |  CASE WHEN CAST(sord AS DOUBLE) > 0.0 THEN
+        |    round(CAST(sorn AS DOUBLE) / CAST(sord AS DOUBLE), 4) END
+        |    AS or_mh
+        |FROM z""".stripMargin,
+    // PACF: the q_ar2 equi-join ACF build at lags 1..3, then the
+    // Durbin-Levinson recursion as one identical scalar tree.
+    "q_pacf" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx FROM daily),
+        |pr AS (SELECT ks.k, d1.x AS xa, d2.x AS xb FROM daily d1
+        |  CROSS JOIN (SELECT CAST(unnest(range(1, 4)) AS INTEGER) AS k)
+        |    ks
+        |  JOIN daily d2 ON d2.day = d1.day + ks.k),
+        |ac AS (SELECT k, CAST(count(*) AS BIGINT) AS c,
+        |    CAST(sum(xa) AS BIGINT) AS sa,
+        |    CAST(sum(xb) AS BIGINT) AS sb,
+        |    CAST(sum(xa * xb) AS BIGINT) AS sab FROM pr GROUP BY k),
+        |af AS (SELECT k,
+        |    round((CAST(sab AS DOUBLE) - m * sa - m * sb + c * m * m) /
+        |      (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n), 6)
+        |      AS a
+        |  FROM (SELECT ac.*, st.n, st.sx, st.sxx,
+        |      CAST(st.sx AS DOUBLE) / st.n AS m FROM ac, st) t),
+        |r AS (SELECT max(CASE WHEN k = 1 THEN a END) AS r1,
+        |    max(CASE WHEN k = 2 THEN a END) AS r2,
+        |    max(CASE WHEN k = 3 THEN a END) AS r3 FROM af),
+        |dl AS (SELECT r1, r2, r3, n,
+        |    1.0 - r1 * r1 AS v1 FROM r, st),
+        |d2 AS (SELECT *, (r2 - r1 * r1) / v1 AS a22 FROM dl),
+        |d3 AS (SELECT *, r1 - a22 * r1 AS a21,
+        |    v1 * (1.0 - a22 * a22) AS v2 FROM d2)
+        |SELECT n AS n_days, r1, r2, r3,
+        |  round(r1, 6) AS pacf1, round(a22, 6) AS pacf2,
+        |  round((r3 - a21 * r2 - a22 * r1) / v2, 6) AS pacf3
+        |FROM d3""".stripMargin,
+    // Mann-Whitney: closed-form average ranks from the value-grouped
+    // frame, exact-BIGINT tie term, identical z/p scalar tree.
+    "q_mann_whitney" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day, event_type,
+        |    CAST(count(*) AS BIGINT) AS x FROM events
+        |  WHERE event_type IN ('view', 'purchase') GROUP BY 1, 2),
+        |v AS (SELECT x, event_type = 'view' AS is_a FROM daily),
+        |bv AS (SELECT x, CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS cnt_a
+        |  FROM v GROUP BY 1),
+        |rk AS (SELECT *, CAST(coalesce(sum(cnt) OVER (ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS c_lt
+        |  FROM bv),
+        |ag AS (SELECT
+        |    sum(CASE WHEN cnt_a > 0 THEN CAST(round(
+        |      cnt_a * (c_lt + (cnt + 1) / 2.0), 6) AS DECIMAL(18,6))
+        |      ELSE CAST(0 AS DECIMAL(18,6)) END) AS ra,
+        |    CAST(sum(cnt_a) AS BIGINT) AS na,
+        |    CAST(sum(cnt - cnt_a) AS BIGINT) AS nb,
+        |    CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS ties
+        |  FROM rk),
+        |st AS (SELECT *, na + nb AS n,
+        |    CAST(ra AS DOUBLE) - CAST(na AS DOUBLE) * (na + 1) / 2.0 AS u,
+        |    CAST(na AS DOUBLE) * nb / 2.0 AS mu,
+        |    (CAST(na AS DOUBLE) * nb / 12.0) *
+        |      (CAST(na + nb + 1 AS DOUBLE) - CAST(ties AS DOUBLE) /
+        |        (CAST(na + nb AS DOUBLE) * (na + nb - 1))) AS v
+        |  FROM ag),
+        |z AS (SELECT *, CASE WHEN v > 0.0 THEN (u - mu) / sqrt(v) END
+        |    AS zz FROM st)
+        |SELECT na AS n_a, nb AS n_b, round(u, 4) AS u_stat,
+        |  round(mu, 4) AS u_mean, round(zz, 4) AS z_stat,
+        |  round(2.0 / (1.0 + exp(0.07056 * pow(abs(zz), 3.0) +
+        |    1.5976 * abs(zz))), 6) AS p_value
+        |FROM z""".stripMargin,
+    // Entropy rate: the q_transitions sessionized pair CTE, per-cell
+    // 6-dp decimal entropy terms, ln ratios identical on both sides.
+    "q_entropy_rate" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL 1800 SECOND
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM g
+        |), p AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id, session_id
+        |                           ORDER BY ts, event_id) AS to_type
+        |  FROM s
+        |), c AS (
+        |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |rt AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+        |  FROM c GROUP BY 1),
+        |ct AS (SELECT to_type, CAST(sum(n) AS BIGINT) AS n_to
+        |  FROM c GROUP BY 1),
+        |tt AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+        |    CAST(count(DISTINCT from_type) AS BIGINT) AS n_states FROM c),
+        |hc AS (SELECT sum(CAST(round(
+        |    (CAST(n AS DOUBLE) / nn) *
+        |      ln(CAST(n_from AS DOUBLE) / n) / ln(2.0), 6)
+        |    AS DECIMAL(18,6))) AS h_cond
+        |  FROM c JOIN rt USING (from_type), tt),
+        |hm AS (SELECT sum(CAST(round(
+        |    (CAST(n_to AS DOUBLE) / nn) *
+        |      ln(CAST(nn AS DOUBLE) / n_to) / ln(2.0), 6)
+        |    AS DECIMAL(18,6))) AS h_marg
+        |  FROM ct, tt)
+        |SELECT nn AS n_transitions, n_states,
+        |  round(CAST(h_marg AS DOUBLE), 4) AS h_marginal,
+        |  round(CAST(h_cond AS DOUBLE), 4) AS h_conditional,
+        |  round(1.0 - CAST(h_cond AS DOUBLE) / CAST(h_marg AS DOUBLE), 4)
+        |    AS predictability
+        |FROM tt, hc, hm""".stripMargin,
+    // Periodogram: integer idx mod p keeps the angle in [0,2pi); cos/sin
+    // rounded once to 6 dp (1-ulp libm drift cannot cross a boundary),
+    // projection terms 6-dp decimal-summed, power the identical tree.
+    "q_periodogram" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) - DATE '1970-01-01'
+        |      AS idx,
+        |    CAST(count(*) AS BIGINT) AS x FROM events
+        |  GROUP BY CAST(ts AS DATE)),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx FROM daily),
+        |m AS (SELECT round(CAST(sx AS DOUBLE) / n, 6) AS m FROM st),
+        |g AS (SELECT p, idx, x FROM daily
+        |  CROSS JOIN (SELECT unnest(range(2, 15)) AS p)),
+        |tm AS (SELECT p,
+        |    2.0 * acos(-1.0) * (idx % p) / p AS ang, x, m FROM g, m),
+        |s AS (SELECT p,
+        |    sum(CAST(round((x - m) * round(cos(ang), 6), 6)
+        |      AS DECIMAL(18,6))) AS sc,
+        |    sum(CAST(round((x - m) * round(sin(ang), 6), 6)
+        |      AS DECIMAL(18,6))) AS ss
+        |  FROM tm GROUP BY 1),
+        |pw AS (SELECT p,
+        |    (CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) +
+        |     CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)) /
+        |      (CAST(n AS DOUBLE) * (CAST(sxx AS DOUBLE) -
+        |        CAST(sx AS DOUBLE) * sx / n)) AS power
+        |  FROM s, st)
+        |SELECT CAST(p AS INTEGER) AS period_days,
+        |  round(power, 4) AS power,
+        |  power = max(power) OVER () AS is_peak
+        |FROM pw ORDER BY period_days""".stripMargin,
     // RFM: quantile_cont fences rounded to 4 (the percentile-agreement
     // scale), strictly-above scoring, recency inverted, one double
     // division per segment cell.
@@ -6757,6 +7159,42 @@ object SparkEntry {
         |  round(CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS DOUBLE)
         |    / count(*), 4) AS hapax_share
         |FROM tf GROUP BY 1 ORDER BY source""".stripMargin,
+    // Chao1: singleton/doubleton counts exact BIGINT; the two closed
+    // forms (F2>0 and the bias-corrected F2=0 branch) divide identical
+    // integers on both sides.
+    "q_chao1" ->
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS token
+        |  FROM documents WHERE text IS NOT NULL),
+        |tf AS (SELECT source, token, CAST(count(*) AS BIGINT) AS tf
+        |  FROM tok WHERE token <> '' GROUP BY 1, 2),
+        |s AS (SELECT source, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS vocab,
+        |    CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+        |    CAST(sum(CASE WHEN tf = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+        |  FROM tf GROUP BY 1)
+        |SELECT source, n_tokens, vocab, f1, f2,
+        |  round(CASE WHEN f2 > 0 THEN vocab +
+        |      CAST(f1 AS DOUBLE) * f1 / (2.0 * f2)
+        |    ELSE vocab + CAST(f1 AS DOUBLE) * (f1 - 1) / 2.0 END, 4)
+        |    AS chao1,
+        |  round(1.0 - CAST(f1 AS DOUBLE) / n_tokens, 6) AS coverage
+        |FROM s ORDER BY source""".stripMargin,
+    // Yule's K / Simpson D: every sum an exact BIGINT into one divide.
+    "q_yule_k" ->
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS token
+        |  FROM documents WHERE text IS NOT NULL),
+        |tf AS (SELECT source, token, CAST(count(*) AS BIGINT) AS tf
+        |  FROM tok WHERE token <> '' GROUP BY 1, 2),
+        |s AS (SELECT source, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS vocab,
+        |    CAST(sum(tf * tf) AS BIGINT) AS s2
+        |  FROM tf GROUP BY 1)
+        |SELECT source, n_tokens, vocab,
+        |  round(1e4 * CAST(s2 - n_tokens AS DOUBLE) /
+        |    (CAST(n_tokens AS DOUBLE) * n_tokens), 4) AS yule_k,
+        |  round(CAST(s2 - n_tokens AS DOUBLE) /
+        |    (CAST(n_tokens AS DOUBLE) * (n_tokens - 1)), 6) AS simpson_d
+        |FROM s ORDER BY source""".stripMargin,
     // Reliability diagram: the q_doc_quality score expression bucketed by
     // the same floor(quality*10) doubles, membership from the brute-force
     // verified pair graph.
@@ -6985,6 +7423,99 @@ object SparkEntry {
         |  round(reduction / sse_p, 6) AS var_explained,
         |  round(reduction, 4) AS sse_reduction
         |FROM best WHERE rn = 1""".stripMargin,
+    // AR(2): Yule-Walker from the lag-1/2 ACF (calendar equi-joins,
+    // BIGINT sums, one scalar tree), phi/mean rounded once to 6 dp,
+    // per-day squared AR error 6-dp decimal-summed, naive error BIGINT.
+    "q_ar2" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx FROM daily),
+        |pr AS (SELECT ks.k, d1.x AS xa, d2.x AS xb FROM daily d1
+        |  CROSS JOIN (SELECT 1 AS k UNION ALL SELECT 2) ks
+        |  JOIN daily d2 ON d2.day = d1.day + ks.k),
+        |ac AS (SELECT k, CAST(count(*) AS BIGINT) AS c,
+        |    CAST(sum(xa) AS BIGINT) AS sa,
+        |    CAST(sum(xb) AS BIGINT) AS sb,
+        |    CAST(sum(xa * xb) AS BIGINT) AS sab FROM pr GROUP BY k),
+        |af AS (SELECT k,
+        |    round((CAST(sab AS DOUBLE) - m * sa - m * sb + c * m * m) /
+        |      (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n), 6)
+        |      AS a
+        |  FROM (SELECT ac.*, st.n, st.sx, st.sxx,
+        |      CAST(st.sx AS DOUBLE) / st.n AS m FROM ac, st) t),
+        |r AS (SELECT max(CASE WHEN k = 1 THEN a END) AS r1,
+        |    max(CASE WHEN k = 2 THEN a END) AS r2 FROM af),
+        |cf AS (SELECT r1, r2,
+        |    round(r1 * (CAST(1 AS DOUBLE) - r2) /
+        |      (CAST(1 AS DOUBLE) - r1 * r1), 6) AS phi1,
+        |    round((r2 - r1 * r1) /
+        |      (CAST(1 AS DOUBLE) - r1 * r1), 6) AS phi2 FROM r),
+        |mr AS (SELECT n, round(CAST(sx AS DOUBLE) / n, 6) AS m FROM st),
+        |tri AS (SELECT d.x, l1.x AS x1, l2.x AS x2 FROM daily d
+        |  JOIN daily l1 ON d.day = l1.day + 1
+        |  JOIN daily l2 ON d.day = l2.day + 2),
+        |bt AS (SELECT CAST(count(*) AS BIGINT) AS ns,
+        |    sum(CAST(round(pow(x - (m + phi1 * (x1 - m)
+        |      + phi2 * (x2 - m)), 2), 6) AS DECIMAL(18,6))) AS ssa,
+        |    CAST(sum((x - x1) * (x - x1)) AS BIGINT) AS ssn
+        |  FROM tri, cf, mr)
+        |SELECT n AS n_days, m AS mean_daily, r1, r2, phi1, phi2,
+        |  ns AS n_scored,
+        |  round(sqrt(CAST(ssa AS DOUBLE) / ns), 4) AS rmse_ar2,
+        |  round(sqrt(CAST(ssn AS DOUBLE) / ns), 4) AS rmse_naive,
+        |  round(CAST(1 AS DOUBLE) - sqrt(CAST(ssa AS DOUBLE) / ns) /
+        |    sqrt(CAST(ssn AS DOUBLE) / ns), 4) AS skill
+        |FROM bt, cf, mr""".stripMargin,
+    // Stratified ATT: per-user window for the first active day, fixed-
+    // width activity strata (integer DIV — never a population ntile),
+    // 6-dp decimal stratum contributions, exact-integer naive contrast.
+    "q_att_strat" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d, event_type
+        |  FROM events),
+        |ev2 AS (SELECT user_id, d, event_type,
+        |    min(d) OVER (PARTITION BY user_id) AS d0 FROM ev),
+        |u AS (SELECT user_id,
+        |    CAST(max(CASE WHEN d = d0 AND event_type = 'error'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS treated,
+        |    CAST(sum(CASE WHEN d > d0 AND event_type = 'purchase'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS y,
+        |    CAST(count(*) AS BIGINT) AS n_events
+        |  FROM ev2 GROUP BY user_id),
+        |u2 AS (SELECT *, n_events // 20 AS stratum FROM u),
+        |ov AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |    CAST(sum(treated) AS BIGINT) AS n_treated,
+        |    CAST(sum(CASE WHEN treated = 1 THEN y END) AS BIGINT) AS yt,
+        |    CAST(sum(CASE WHEN treated = 0 THEN y END) AS BIGINT) AS yc
+        |  FROM u2),
+        |s AS (SELECT stratum,
+        |    CAST(sum(CASE WHEN treated = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_t,
+        |    CAST(sum(CASE WHEN treated = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_c,
+        |    CAST(sum(CASE WHEN treated = 1 THEN y ELSE 0 END) AS BIGINT)
+        |      AS y_t,
+        |    CAST(sum(CASE WHEN treated = 0 THEN y ELSE 0 END) AS BIGINT)
+        |      AS y_c
+        |  FROM u2 GROUP BY stratum),
+        |us AS (SELECT * FROM s WHERE n_t > 0 AND n_c > 0),
+        |nt AS (SELECT CAST(sum(n_t) AS BIGINT) AS nt_used,
+        |    CAST(count(*) AS BIGINT) AS n_strata_used FROM us),
+        |at AS (SELECT
+        |    sum(CAST(round((CAST(n_t AS DOUBLE) / nt_used) *
+        |      (CAST(y_t AS DOUBLE) / n_t - CAST(y_c AS DOUBLE) / n_c),
+        |      6) AS DECIMAL(18,6))) AS att_d,
+        |    max(nt_used) AS nt_used,
+        |    max(n_strata_used) AS n_strata_used
+        |  FROM us, nt),
+        |ns AS (SELECT CAST(count(*) AS BIGINT) AS n_strata FROM s)
+        |SELECT n_users, n_treated, n_users - n_treated AS n_control,
+        |  round(CAST(yt AS DOUBLE) / n_treated -
+        |    CAST(yc AS DOUBLE) / (n_users - n_treated), 4) AS naive_diff,
+        |  round(CAST(att_d AS DOUBLE), 4) AS att,
+        |  n_strata, n_strata_used, nt_used AS n_treated_on_support
+        |FROM ov, at, ns""".stripMargin,
     // Shapley attribution: the 16-mask lattice, cumulative v(S) by
     // containment join, integer s!(n−1−s)! weights — one final /24.
     "q_shapley" ->

@@ -1687,6 +1687,541 @@ object EventOps {
     out
   }
 
+  /** AR(2) fit by Yule–Walker plus a one-step in-sample backtest — the
+    * modeling step the [[acfQuery]] diagnostic feeds: from the lag-1/2
+    * sample autocorrelations, φ₁ = r₁(1−r₂)/(1−r₁²) and
+    * φ₂ = (r₂−r₁²)/(1−r₁²) in closed form (no iterative optimizer —
+    * the method-of-moments solve distributed AR fitting reduces to),
+    * then every day with both lag days present is scored
+    * x̂ₜ = m + φ₁(xₜ₋₁−m) + φ₂(xₜ₋₂−m) against the lag-1 naive
+    * baseline, reporting both RMSEs and the skill 1 − rmse_ar/rmse_nv.
+    *
+    * Shape: one events scan → bounded daily frame; lag pairs and the
+    * backtest triples come from calendar EQUI self-joins (the acf
+    * discipline — never an unpartitioned window). Determinism: r₁, r₂
+    * from BIGINT sums via one scalar tree, rounded once to 6 dp; φ and
+    * the mean rounded once to 6 dp BEFORE broadcast, so each day's
+    * squared AR error is the same double in both engines and enters the
+    * sum rounded to 6 dp in decimal (order-free); the naive squared
+    * error is an exact BIGINT. */
+  def ar2Forecast(spark: SparkSession, dir: String): DataFrame = {
+    val d6 = DecimalType(18, 6)
+    val daily = Lake.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = daily.agg(
+      count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("x") * col("x")).as("sxx"))
+    val pairs = daily
+      .withColumn("k", explode(sequence(lit(1), lit(2))))
+      .withColumn("tday", date_add(col("day"), col("k")))
+      .select(col("k"), col("tday"), col("x").as("xa"))
+      .join(daily.select(col("day").as("tday"), col("x").as("xb")), "tday")
+    val ac = pairs.groupBy(col("k"))
+      .agg(count(lit(1)).as("c"), sum(col("xa")).as("sa"),
+        sum(col("xb")).as("sb"), sum(col("xa") * col("xb")).as("sab"))
+      .crossJoin(broadcast(stats))
+      .withColumn("m", col("sx").cast("double") / col("n"))
+      .select(col("k"),
+        round(
+          (col("sab").cast("double") - col("m") * col("sa") -
+            col("m") * col("sb") + col("c") * col("m") * col("m")) /
+            (col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx") / col("n")), 6)
+          .as("a"))
+    val coef = ac.agg(
+        max(when(col("k") === 1, col("a"))).as("r1"),
+        max(when(col("k") === 2, col("a"))).as("r2"))
+      .select(col("r1"), col("r2"),
+        round(col("r1") * (lit(1.0) - col("r2")) /
+          (lit(1.0) - col("r1") * col("r1")), 6).as("phi1"),
+        round((col("r2") - col("r1") * col("r1")) /
+          (lit(1.0) - col("r1") * col("r1")), 6).as("phi2"))
+    val mrow = stats.select(col("n"),
+      round(col("sx").cast("double") / col("n"), 6).as("m"))
+    val tri = daily
+      .join(daily.select(date_add(col("day"), 1).as("day"),
+        col("x").as("x1")), "day")
+      .join(daily.select(date_add(col("day"), 2).as("day"),
+        col("x").as("x2")), "day")
+    val bt = tri.crossJoin(broadcast(coef)).crossJoin(broadcast(mrow))
+      .withColumn("pred",
+        col("m") + col("phi1") * (col("x1") - col("m")) +
+          col("phi2") * (col("x2") - col("m")))
+      .agg(count(lit(1)).as("ns"),
+        sum(round(pow(col("x") - col("pred"), 2), 6).cast(d6)).as("ssa"),
+        sum((col("x") - col("x1")) * (col("x") - col("x1"))).as("ssn"))
+    val out = bt.crossJoin(broadcast(coef)).crossJoin(broadcast(mrow))
+      .select(col("n").as("n_days"), col("m").as("mean_daily"),
+        col("r1"), col("r2"), col("phi1"), col("phi2"),
+        col("ns").as("n_scored"),
+        round(sqrt(col("ssa").cast("double") / col("ns")), 4)
+          .as("rmse_ar2"),
+        round(sqrt(col("ssn").cast("double") / col("ns")), 4)
+          .as("rmse_naive"),
+        round(lit(1.0) - sqrt(col("ssa").cast("double") / col("ns")) /
+          sqrt(col("ssn").cast("double") / col("ns")), 4).as("skill"))
+      .localCheckpoint(true)
+    daily.unpersist(false)
+    out
+  }
+
+  /** Stratified (coarsened-exact-matching-style) observational
+    * treatment-effect readout — the causal estimator for NON-randomized
+    * exposure that the randomized [[abReadout]]/[[cupedReadout]] family
+    * cannot cover: treatment Tᵤ = "user hit an `error` event on their
+    * FIRST active day", outcome Yᵤ = post-first-day purchase count.
+    * Activity confounds both (busier users see more first-day events
+    * AND buy more), so the naive treated-minus-control gap overstates
+    * the effect; stratifying on fixed-width activity buckets
+    * (stratum = n_events DIV 20 — fixed edges, never an ntile over the
+    * user population) and reweighting within-stratum gaps by the
+    * treated share gives the classic ATT estimator
+    * Σ_s (n_t,s/N_t)·(ȳ_t,s − ȳ_c,s) over strata with BOTH groups
+    * present (off-support strata are reported, not silently dropped).
+    *
+    * Shape: one events scan with a per-user (key-partitioned) window
+    * for the first active day, one user-level reduce, then everything
+    * lives on the bounded stratum frame. Integer sums throughout;
+    * each stratum's contribution is rounded once to 6 dp into decimal
+    * so the ATT sum is order-free. */
+  def attStratified(spark: SparkSession, dir: String): DataFrame = {
+    val d6 = DecimalType(18, 6)
+    val wU = Window.partitionBy(col("user_id"))
+    val users = Lake.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"),
+        col("event_type"))
+      .withColumn("d0", min(col("d")).over(wU))
+      .groupBy(col("user_id"))
+      .agg(
+        max(when(col("d") === col("d0") &&
+          col("event_type") === "error", 1L).otherwise(0L)).as("treated"),
+        sum(when(col("d") > col("d0") &&
+          col("event_type") === "purchase", 1L).otherwise(0L)).as("y"),
+        count(lit(1)).as("n_events"))
+      .withColumn("stratum", expr("n_events DIV 20"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val overall = users.agg(
+      count(lit(1)).as("n_users"),
+      sum(col("treated")).as("n_treated"),
+      sum(when(col("treated") === 1L, col("y"))).as("yt"),
+      sum(when(col("treated") === 0L, col("y"))).as("yc"))
+    val strata = users.groupBy(col("stratum")).agg(
+      sum(when(col("treated") === 1L, 1L).otherwise(0L)).as("n_t"),
+      sum(when(col("treated") === 0L, 1L).otherwise(0L)).as("n_c"),
+      sum(when(col("treated") === 1L, col("y")).otherwise(0L)).as("y_t"),
+      sum(when(col("treated") === 0L, col("y")).otherwise(0L)).as("y_c"))
+    val used = strata.filter(col("n_t") > 0 && col("n_c") > 0)
+    val ntu = used.agg(sum(col("n_t")).as("nt_used"),
+      count(lit(1)).as("n_strata_used"))
+    val att = used.crossJoin(broadcast(ntu))
+      .withColumn("contrib",
+        round((col("n_t").cast("double") / col("nt_used")) *
+          (col("y_t").cast("double") / col("n_t") -
+            col("y_c").cast("double") / col("n_c")), 6).cast(d6))
+      .agg(sum(col("contrib")).as("att_d"),
+        max(col("nt_used")).as("nt_used"),
+        max(col("n_strata_used")).as("n_strata_used"))
+    val nStrata = strata.agg(count(lit(1)).as("n_strata"))
+    val out = overall.crossJoin(broadcast(att))
+      .crossJoin(broadcast(nStrata))
+      .select(col("n_users"), col("n_treated"),
+        (col("n_users") - col("n_treated")).as("n_control"),
+        round(col("yt").cast("double") / col("n_treated") -
+          col("yc").cast("double") /
+            (col("n_users") - col("n_treated")), 4).as("naive_diff"),
+        round(col("att_d").cast("double"), 4).as("att"),
+        col("n_strata"), col("n_strata_used"),
+        col("nt_used").as("n_treated_on_support"))
+      .localCheckpoint(true)
+    users.unpersist(false)
+    out
+  }
+
+  /** Two-group log-rank test over the [[survivalCurve]] lifetimes — the
+    * inferential step the KM curve itself stops short of: does the
+    * "rough start" cohort (an `error` event on the user's FIRST active
+    * day, the [[attStratified]] exposure) churn measurably faster? Per
+    * lifetime week t and group g, the at-risk counts n_g,t and observed
+    * deaths d_g,t yield O₁ = Σd₁,t, E₁ = Σ dₜ·n₁,t/nₜ and the
+    * hypergeometric variance Vₜ = dₜ(n₁/n)(n₀/n)(n−d)/(n−1); the
+    * statistic is χ² = (O₁−E₁)²/V on 1 df, with the two-sided p from
+    * the repo's logistic normal-CDF approximation at z = √χ² (the
+    * Welch-test constant pair 0.07056/1.5976).
+    *
+    * Shape: one events scan → per-user frame (one key-partitioned
+    * window for the first-day flag) → everything after lives on the
+    * bounded lifetime-week frame; per-week E/V terms are rounded once
+    * to 6 dp into decimal so the sums are order-free; O and the risk
+    * counts stay exact BIGINTs. Right censoring follows
+    * [[survivalCurve]]: a last event within `censorDays` of corpus end
+    * is censored, not a death. */
+  def logrank(spark: SparkSession, dir: String,
+              censorDays: Int = 14): DataFrame = {
+    val d6 = DecimalType(18, 6)
+    val wU = Window.partitionBy(col("user_id"))
+    val users = Lake.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"), col("event_type"))
+      .withColumn("d0", min(col("d")).over(wU))
+      .groupBy(col("user_id"))
+      .agg(
+        max(when(col("d") === col("d0") &&
+          col("event_type") === "error", 1L).otherwise(0L)).as("grp"),
+        min(col("d")).as("first_day"), max(col("d")).as("last_day"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val end = users.agg(max(col("last_day")).as("corpus_end"))
+    val byWeek = users.crossJoin(broadcast(end))
+      .select(col("grp"),
+        floor(datediff(col("last_day"), col("first_day")) / 7)
+          .cast("int").as("week"),
+        when(datediff(col("corpus_end"), col("last_day")) > censorDays, 1L)
+          .otherwise(0L).as("observed"))
+      .groupBy(col("week"))
+      .agg(
+        sum(when(col("grp") === 1L, col("observed")).otherwise(0L)).as("d1"),
+        sum(when(col("grp") === 0L, col("observed")).otherwise(0L)).as("d0"),
+        sum(when(col("grp") === 1L, 1L).otherwise(0L)).as("l1"),
+        sum(when(col("grp") === 0L, 1L).otherwise(0L)).as("l0"))
+    val wOrd = Window.orderBy(col("week"))
+    val wAll = wOrd.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val terms = byWeek
+      .withColumn("n1", sum(col("l1")).over(wAll) - coalesce(
+        sum(col("l1")).over(wOrd.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("n0", sum(col("l0")).over(wAll) - coalesce(
+        sum(col("l0")).over(wOrd.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("n", col("n1") + col("n0"))
+      .withColumn("d", col("d1") + col("d0"))
+      .withColumn("e1_t", round(
+        col("d").cast("double") * col("n1") / col("n"), 6).cast(d6))
+      .withColumn("v_t", when(col("n") > 1L, round(
+        col("d").cast("double") * (col("n1").cast("double") / col("n")) *
+          (col("n0").cast("double") / col("n")) *
+          (col("n") - col("d")).cast("double") / (col("n") - 1L), 6))
+        .otherwise(lit(0.0)).cast(d6))
+    val agg = terms.agg(
+      sum(col("l1")).as("n_treated"), sum(col("l0")).as("n_control"),
+      sum(col("d1")).as("o1"), sum(col("d0")).as("o0"),
+      sum(col("e1_t")).as("e1"), sum(col("v_t")).as("v"))
+    val out = agg
+      .withColumn("z", when(col("v").cast("double") > 0.0,
+        (col("o1").cast("double") - col("e1").cast("double")) /
+          sqrt(col("v").cast("double"))))
+      .select(col("n_treated"), col("n_control"), col("o1"), col("o0"),
+        round(col("e1").cast("double"), 4).as("e1"),
+        round(col("o1").cast("double") + col("o0").cast("double") -
+          col("e1").cast("double"), 4).as("e0"),
+        round(col("z") * col("z"), 4).as("chi2"),
+        round(lit(2.0) / (lit(1.0) +
+          exp(lit(0.07056) * pow(abs(col("z")), 3.0) +
+            lit(1.5976) * abs(col("z")))), 6).as("p_value"))
+      .localCheckpoint(true)
+    users.unpersist(false)
+    out
+  }
+
+  /** Discrete-frequency periodogram of the daily event counts — the
+    * spectral twin of the [[acfQuery]]/[[seasonalStrength]] pair: for
+    * each candidate period p in 2..14 days (a DESIGN-constant grid, the
+    * bounded-grid discipline), the squared projection of the demeaned
+    * series onto (cos, sin) at frequency 1/p, normalized by the total
+    * sum of squares — so a pure p-periodic signal concentrates its
+    * variance at p and the weekly cycle surfaces as the p = 7 peak.
+    *
+    * Cross-engine determinism: the angle is 2·acos(−1)·(idx mod p)/p
+    * with idx = days since epoch (integer mod keeps the argument in
+    * [0, 2π)); cos/sin are rounded once to 6 dp (a 1-ulp libm
+    * disagreement cannot cross a 6-dp boundary), the mean is rounded
+    * once to 6 dp, and each projection term rounds once to 6 dp into
+    * decimal so both sums are exact in any order. One events scan;
+    * the grid frame is 13 × days — bounded. */
+  def periodogram(spark: SparkSession, dir: String): DataFrame = {
+    val d6 = DecimalType(18, 6)
+    val daily = Lake.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .select(datediff(col("day"), to_date(lit("1970-01-01"))).as("idx"),
+        col("x"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = daily.agg(
+      count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("x") * col("x")).as("sxx"))
+    val pi2 = lit(2.0) * acos(lit(-1.0))
+    val terms = daily
+      .withColumn("p", explode(sequence(lit(2), lit(14))))
+      .crossJoin(broadcast(stats.select(
+        round(col("sx").cast("double") / col("n"), 6).as("m"))))
+      .withColumn("ang", pi2 * (col("idx") % col("p")) / col("p"))
+      .withColumn("ct", round(cos(col("ang")), 6))
+      .withColumn("st", round(sin(col("ang")), 6))
+      .groupBy(col("p"))
+      .agg(
+        sum(round((col("x") - col("m")) * col("ct"), 6).cast(d6)).as("sc"),
+        sum(round((col("x") - col("m")) * col("st"), 6).cast(d6)).as("ss"))
+    val out = terms
+      .crossJoin(broadcast(stats))
+      .withColumn("sstot", col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx") / col("n"))
+      .withColumn("power",
+        (col("sc").cast("double") * col("sc").cast("double") +
+          col("ss").cast("double") * col("ss").cast("double")) /
+          (col("n").cast("double") * col("sstot")))
+      .withColumn("is_peak",
+        col("power") === max(col("power")).over(
+          Window.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+      .select(col("p").as("period_days"), round(col("power"), 4).as("power"),
+        col("is_peak"))
+      .orderBy(col("period_days"))
+      .localCheckpoint(true)
+    daily.unpersist(false)
+    out
+  }
+
+  /** Cochran–Mantel–Haenszel test + Mantel–Haenszel common odds ratio
+    * across activity strata — the 2×2 TEST the [[attStratified]]
+    * estimator reports no inference for: exposure = rough first day
+    * (error on day 0), outcome = converted (any post-first-day
+    * purchase), stratified on the same fixed-width activity buckets so
+    * the activity confounder is held within-stratum. Per stratum s the
+    * 2×2 cell aₛ (exposed ∧ converted) has expectation r₁c₁/n and
+    * hypergeometric variance r₁r₀c₁c₀/(n²(n−1)); χ²_CMH =
+    * (Σa − ΣE)²/ΣV on 1 df (no continuity correction — documented),
+    * and OR_MH = Σ(a·d/n)/Σ(b·c/n) is the classic pooled odds ratio
+    * that never needs a per-stratum OR to exist.
+    *
+    * Shape: the [[attStratified]] user reduce, then everything on the
+    * bounded stratum frame; all cells exact BIGINTs, each E/V/OR term
+    * rounded once to 6 dp into decimal so sums are order-free. */
+  def cmhTest(spark: SparkSession, dir: String): DataFrame = {
+    val d6 = DecimalType(18, 6)
+    val wU = Window.partitionBy(col("user_id"))
+    val users = Lake.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"),
+        col("event_type"))
+      .withColumn("d0", min(col("d")).over(wU))
+      .groupBy(col("user_id"))
+      .agg(
+        max(when(col("d") === col("d0") &&
+          col("event_type") === "error", 1L).otherwise(0L)).as("t"),
+        max(when(col("d") > col("d0") &&
+          col("event_type") === "purchase", 1L).otherwise(0L)).as("y"),
+        count(lit(1)).as("n_events"))
+      .withColumn("stratum", expr("n_events DIV 20"))
+    val cells = users.groupBy(col("stratum")).agg(
+      sum(when(col("t") === 1L && col("y") === 1L, 1L).otherwise(0L))
+        .as("a"),
+      sum(when(col("t") === 1L && col("y") === 0L, 1L).otherwise(0L))
+        .as("b"),
+      sum(when(col("t") === 0L && col("y") === 1L, 1L).otherwise(0L))
+        .as("c"),
+      sum(when(col("t") === 0L && col("y") === 0L, 1L).otherwise(0L))
+        .as("d"))
+      .withColumn("n", col("a") + col("b") + col("c") + col("d"))
+      .withColumn("r1", col("a") + col("b"))
+      .withColumn("c1", col("a") + col("c"))
+    val terms = cells
+      .withColumn("e_t", round(
+        col("r1").cast("double") * col("c1") / col("n"), 6).cast(d6))
+      .withColumn("v_t", when(col("n") > 1L, round(
+        col("r1").cast("double") * (col("n") - col("r1")) *
+          col("c1") * (col("n") - col("c1")) /
+          (col("n").cast("double") * col("n") * (col("n") - 1L)), 6))
+        .otherwise(lit(0.0)).cast(d6))
+      .withColumn("orn_t", round(
+        col("a").cast("double") * col("d") / col("n"), 6).cast(d6))
+      .withColumn("ord_t", round(
+        col("b").cast("double") * col("c") / col("n"), 6).cast(d6))
+    val agg = terms.agg(
+      sum(col("n")).as("n_users"), count(lit(1)).as("n_strata"),
+      sum(col("a")).as("sa"), sum(col("e_t")).as("se"),
+      sum(col("v_t")).as("sv"),
+      sum(col("orn_t")).as("sorn"), sum(col("ord_t")).as("sord"))
+    agg
+      .withColumn("z", when(col("sv").cast("double") > 0.0,
+        (col("sa").cast("double") - col("se").cast("double")) /
+          sqrt(col("sv").cast("double"))))
+      .select(col("n_users"), col("n_strata"), col("sa").as("a_total"),
+        round(col("se").cast("double"), 4).as("e_total"),
+        round(col("z") * col("z"), 4).as("chi2"),
+        round(lit(2.0) / (lit(1.0) +
+          exp(lit(0.07056) * pow(abs(col("z")), 3.0) +
+            lit(1.5976) * abs(col("z")))), 6).as("p_value"),
+        when(col("sord").cast("double") > 0.0,
+          round(col("sorn").cast("double") / col("sord").cast("double"), 4))
+          .as("or_mh"))
+  }
+
+  /** Partial autocorrelation at lags 1..3 by Durbin–Levinson — the
+    * AR-order diagnostic the [[acfQuery]]/[[ar2Forecast]] pair needs
+    * (an AR(p) process cuts its PACF off after lag p, so pacf3 ≈ 0
+    * endorses the AR(2) choice): from the 6-dp lag-1/2/3 sample
+    * autocorrelations, the recursion a₁₁ = r₁, a₂₂ = (r₂−r₁²)/(1−r₁²),
+    * a₃₃ = (r₃−a₂₁r₂−a₂₂r₁)/v₂ runs as ONE closed-form scalar tree on
+    * the one-row frame — identical in both engines. Calendar equi-join
+    * lag pairs (the [[ar2Forecast]] shape), BIGINT sums throughout. */
+  def pacfQuery(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Lake.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = daily.agg(
+      count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("x") * col("x")).as("sxx"))
+    val pairs = daily
+      .withColumn("k", explode(sequence(lit(1), lit(3))))
+      .withColumn("tday", date_add(col("day"), col("k")))
+      .select(col("k"), col("tday"), col("x").as("xa"))
+      .join(daily.select(col("day").as("tday"), col("x").as("xb")), "tday")
+    val ac = pairs.groupBy(col("k"))
+      .agg(count(lit(1)).as("c"), sum(col("xa")).as("sa"),
+        sum(col("xb")).as("sb"), sum(col("xa") * col("xb")).as("sab"))
+      .crossJoin(broadcast(stats))
+      .withColumn("m", col("sx").cast("double") / col("n"))
+      .select(col("k"),
+        round(
+          (col("sab").cast("double") - col("m") * col("sa") -
+            col("m") * col("sb") + col("c") * col("m") * col("m")) /
+            (col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx") / col("n")), 6)
+          .as("a"))
+    val out = ac.agg(
+        max(when(col("k") === 1, col("a"))).as("r1"),
+        max(when(col("k") === 2, col("a"))).as("r2"),
+        max(when(col("k") === 3, col("a"))).as("r3"))
+      .crossJoin(broadcast(stats.select(col("n"))))
+      .withColumn("v1", lit(1.0) - col("r1") * col("r1"))
+      .withColumn("a22", (col("r2") - col("r1") * col("r1")) / col("v1"))
+      .withColumn("a21", col("r1") - col("a22") * col("r1"))
+      .withColumn("v2", col("v1") * (lit(1.0) - col("a22") * col("a22")))
+      .withColumn("a33",
+        (col("r3") - col("a21") * col("r2") - col("a22") * col("r1")) /
+          col("v2"))
+      .select(col("n").as("n_days"), col("r1"), col("r2"), col("r3"),
+        round(col("r1"), 6).as("pacf1"),
+        round(col("a22"), 6).as("pacf2"),
+        round(col("a33"), 6).as("pacf3"))
+      .localCheckpoint(true)
+    daily.unpersist(false)
+    out
+  }
+
+  /** Mann–Whitney U rank-sum test between the daily count series of two
+    * event types — the nonparametric twin of the Welch t-test (no
+    * normality assumption; a heavy-tailed day can't dominate): both
+    * series live on the bounded day frame, so the global rank step —
+    * the operation that makes a corpus-wide U test a scale-killer —
+    * here runs over ≤ 2·days rows. Average ranks come CLOSED-FORM from
+    * the value-grouped frame (rank block = [c_lt+1, c_lt+cnt], avg =
+    * c_lt + (cnt+1)/2 — no per-row rank window), the tie correction
+    * Σ(t³−t) is an exact BIGINT, and the normal approximation
+    * z = (U − n₁n₂/2)/√V uses the repo's logistic CDF for p. Each
+    * rank-sum term is rounded once to 6 dp into decimal (terms are
+    * exact halves — the rounding is an idempotent determinism pin). */
+  def mannWhitney(spark: SparkSession, dir: String,
+                  typeA: String = "view",
+                  typeB: String = "purchase"): DataFrame = {
+    val d6 = DecimalType(18, 6)
+    val vals = Lake.events(spark, dir)
+      .filter(col("event_type").isin(typeA, typeB))
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("x"))
+      .select(col("x"), (col("event_type") === typeA).as("is_a"))
+    val byVal = vals.groupBy(col("x"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("is_a"), 1L).otherwise(0L)).as("cnt_a"))
+    val wOrd = Window.orderBy(col("x"))
+    val ranked = byVal
+      .withColumn("c_lt", coalesce(sum(col("cnt")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("avg_rank",
+        col("c_lt") + (col("cnt") + 1L) / lit(2.0))
+    val agg = ranked.agg(
+      sum(when(col("cnt_a") > 0L,
+        round(col("cnt_a") * col("avg_rank"), 6).cast(d6))
+        .otherwise(lit(0.0).cast(d6))).as("ra"),
+      sum(col("cnt_a")).as("na"),
+      sum(col("cnt") - col("cnt_a")).as("nb"),
+      sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("ties"))
+    agg
+      .withColumn("n", col("na") + col("nb"))
+      .withColumn("u", col("ra").cast("double") -
+        col("na").cast("double") * (col("na") + 1L) / 2.0)
+      .withColumn("mu",
+        col("na").cast("double") * col("nb") / 2.0)
+      .withColumn("v",
+        (col("na").cast("double") * col("nb") / 12.0) *
+          ((col("n") + 1L).cast("double") -
+            col("ties").cast("double") /
+              (col("n").cast("double") * (col("n") - 1L))))
+      .withColumn("z", when(col("v") > 0.0,
+        (col("u") - col("mu")) / sqrt(col("v"))))
+      .select(col("na").as("n_a"), col("nb").as("n_b"),
+        round(col("u"), 4).as("u_stat"), round(col("mu"), 4).as("u_mean"),
+        round(col("z"), 4).as("z_stat"),
+        round(lit(2.0) / (lit(1.0) +
+          exp(lit(0.07056) * pow(abs(col("z")), 3.0) +
+            lit(1.5976) * abs(col("z")))), 6).as("p_value"))
+  }
+
+  /** Markov entropy rate of the sessionized event stream — the
+    * information-theoretic rollup of the [[transitions]] matrix: the
+    * empirical conditional entropy H(next|current) =
+    * −Σᵢⱼ (nᵢⱼ/N)·log₂(nᵢⱼ/nᵢ) against the marginal next-event entropy
+    * H(next) = −Σⱼ (n_j/N)·log₂(n_j/N); their gap is the mutual
+    * information the current state carries, and 1 − H_cond/H_marg is
+    * the predictability share a next-event model can hope to capture
+    * (the [[markovEval]] accuracy's information-theoretic ceiling).
+    *
+    * Shape: the [[transitions]] pair build (two key-partitioned window
+    * passes), then everything on the event-type²-bounded cell frame;
+    * counts exact BIGINTs, each entropy term rounded once to 6 dp into
+    * decimal so the sums are order-free. */
+  def entropyRate(spark: SparkSession, dir: String): DataFrame = {
+    val d6 = DecimalType(18, 6)
+    val w = Window.partitionBy(col("user_id"), col("session_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val cells = withSessionIds(spark, dir)
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rowTot = cells.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("n_from"))
+    val colTot = cells.groupBy(col("to_type"))
+      .agg(sum(col("n")).as("n_to"))
+    val tot = cells.agg(sum(col("n")).as("nn"),
+      countDistinct(col("from_type")).as("n_states"))
+    val hCond = cells.join(broadcast(rowTot), "from_type")
+      .crossJoin(broadcast(tot))
+      .select(round(
+        (col("n").cast("double") / col("nn")) *
+          log(col("n_from").cast("double") / col("n")) / log(lit(2.0)),
+        6).cast(d6).as("term"))
+      .agg(sum(col("term")).as("h_cond"))
+    val hMarg = colTot.crossJoin(broadcast(tot))
+      .select(round(
+        (col("n_to").cast("double") / col("nn")) *
+          log(col("nn").cast("double") / col("n_to")) / log(lit(2.0)),
+        6).cast(d6).as("term"))
+      .agg(sum(col("term")).as("h_marg"))
+    val out = tot.crossJoin(broadcast(hCond)).crossJoin(broadcast(hMarg))
+      .select(col("nn").as("n_transitions"), col("n_states"),
+        round(col("h_marg").cast("double"), 4).as("h_marginal"),
+        round(col("h_cond").cast("double"), 4).as("h_conditional"),
+        round(lit(1.0) -
+          col("h_cond").cast("double") / col("h_marg").cast("double"), 4)
+          .as("predictability"))
+      .localCheckpoint(true)
+    cells.unpersist(false)
+    out
+  }
+
   /** Peak concurrent sessions per day — the capacity-planning number:
     * a sweep-line over session intervals (+1 at each session start, −1
     * at each end) whose running maximum is the day's peak concurrency.

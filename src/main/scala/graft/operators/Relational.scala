@@ -1008,6 +1008,97 @@ object Relational {
       .orderBy(col("custkey"), col("rnk"))
   }
 
+  /** Leave-last-out evaluation of the [[itemKnnRecommend]] recommender —
+    * the harness that closes the CF loop the serving table opened (the
+    * [[graft.operators.AnnOps]] recall@k discipline, applied to
+    * baskets): for every customer with ≥ 2 orders, their LAST order
+    * (o_orderdate DESC, o_orderkey DESC — deterministic) is held out
+    * and its smallest partkey becomes the relevance target; the
+    * similarity model is retrained on the REMAINING orders only (a
+    * model trained on all orders has seen the answer — the
+    * held-out-split no-leakage discipline), each eval customer is
+    * scored exactly as the recommender scores, and the readout is
+    * hit-rate@k plus MRR over ALL eval customers (a customer whose
+    * training items yield no candidate list counts as a miss, never
+    * silently dropped).
+    *
+    * Scale shape: identical to the serving path — dimension-sized
+    * similarity frame, bounded per-basket pair fan-out, one item-keyed
+    * scoring join, per-customer (key-partitioned) top-k window. The
+    * train-slice basket rebuild deliberately bypasses the shared
+    * basket artifact: leave-one-out similarity is eval-only state.
+    * Each reciprocal rank is rounded once to 6 dp into decimal so the
+    * MRR sum is order-free. */
+  def cfHitRate(spark: SparkSession, dir: String,
+                minOrders: Long = 2, k: Int = 5): DataFrame = {
+    val d6 = DecimalType(18, 6)
+    val wC = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    val ranked = Lake.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      .withColumn("rn", row_number().over(wC))
+      .withColumn("n_ord",
+        count(lit(1)).over(Window.partitionBy(col("o_custkey"))))
+    val held = ranked.filter(col("rn") === 1 && col("n_ord") >= 2)
+      .select(col("o_custkey").as("custkey"),
+        col("o_orderkey").as("held_ok"))
+    val li = Lake.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val heldItem = li.join(held, col("l_orderkey") === col("held_ok"))
+      .groupBy(col("custkey")).agg(min(col("l_partkey")).as("held_item"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val trainOrds = ranked.filter(!(col("rn") === 1 && col("n_ord") >= 2))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val tli = li.join(trainOrds, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("custkey"), col("l_orderkey"),
+        col("l_partkey"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val baskets = tli.groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_set(col("l_partkey"))).as("items"))
+    val itemN = baskets.select(explode(col("items")).as("pk"))
+      .groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
+    val sims = basketPairCounts(baskets, minOrders)
+      .join(broadcast(itemN.select(col("pk").as("part_a"),
+        col("n_item").as("n_a"))), "part_a")
+      .join(broadcast(itemN.select(col("pk").as("part_b"),
+        col("n_item").as("n_b"))), "part_b")
+      .select(col("part_a"), col("part_b"),
+        round(col("n_ab") / sqrt(col("n_a") * col("n_b")), 6)
+          .cast(d6).as("cos"))
+    val simBoth = sims
+      .select(col("part_a").as("src"), col("part_b").as("cand"), col("cos"))
+      .unionAll(sims
+        .select(col("part_b").as("src"), col("part_a").as("cand"),
+          col("cos")))
+    val owned = tli.select(col("custkey"), col("l_partkey").as("item"))
+      .distinct()
+    val wK = Window.partitionBy(col("custkey"))
+      .orderBy(col("score_d").desc, col("cand").asc)
+    val top = owned.select(col("custkey"), col("item").as("src"))
+      .join(simBoth, "src")
+      .join(owned.select(col("custkey"), col("item").as("cand")),
+        Seq("custkey", "cand"), "left_anti")
+      .groupBy(col("custkey"), col("cand"))
+      .agg(sum(col("cos")).as("score_d"))
+      .withColumn("rnk", row_number().over(wK))
+      .filter(col("rnk") <= k)
+    val hits = top.join(heldItem,
+      Seq("custkey")).filter(col("cand") === col("held_item"))
+    val ne = heldItem.agg(count(lit(1)).as("n_eval"))
+    val hs = hits.agg(count(lit(1)).as("n_hits"),
+      coalesce(sum(round(lit(1.0) / col("rnk"), 6).cast(d6)),
+        lit(java.math.BigDecimal.ZERO).cast(d6)).as("srr"))
+    val out = ne.crossJoin(broadcast(hs))
+      .select(lit(k).as("k"), col("n_eval"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("n_eval"), 4)
+          .as("hit_rate"),
+        round(col("srr").cast("double") / col("n_eval"), 4).as("mrr"))
+      .localCheckpoint(true)
+    heldItem.unpersist(false)
+    tli.unpersist(false)
+    out
+  }
+
   /** Frequent 3-itemsets over the shared basket artifact: every ordered
     * triple (a < b < c) co-ordered at least `minOrders` times — the next
     * rung above pair mining for bundle/recommendation work. The fan-out

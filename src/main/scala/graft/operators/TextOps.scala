@@ -192,6 +192,72 @@ object TextOps {
   def nbConfusion(spark: SparkSession, dir: String): DataFrame =
     langConfusion(nbLangClassify(spark, dir))
 
+  /** Scalar eval readout the [[nbConfusion]] matrix rolls up to —
+    * accuracy, macro-averaged precision/recall/F1, and Cohen's κ, the
+    * chance-corrected agreement every imbalanced-class eval needs
+    * (accuracy alone rewards predicting the majority class). One
+    * corpus group collapses the scored slice to the classes²-bounded
+    * confusion cells; everything after lives on that frame. The class
+    * set is the UNION of actual and predicted labels (full outer join,
+    * zero-filled), with the 0/0 conventions pinned: precision = 0 when
+    * a class is never predicted, recall = 0 when never actual, F1 = 0
+    * when p + r = 0. Chance agreement pe = Σ_c (n_true_c/n)(n_pred_c/n)
+    * is computed per class as a ratio product — never an integer
+    * cross-product, which would overflow at corpus scale — and each
+    * per-class term (p, r, f1, pe_c) is rounded once to 6 dp into
+    * decimal so the macro sums are exact in any order; κ and the macro
+    * means divide on the bounded one-row frame. */
+  def classifierMetrics(scored: DataFrame): DataFrame = {
+    val d6 = DecimalType(18, 6)
+    val cells = scored.groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+    val truec = cells.groupBy(col("lang").as("cls"))
+      .agg(sum(col("n")).as("n_true"))
+    val predc = cells.groupBy(col("lang_pred").as("cls"))
+      .agg(sum(col("n")).as("n_pred"))
+    val tpc = cells.filter(col("lang") === col("lang_pred"))
+      .select(col("lang").as("cls"), col("n").as("tp"))
+    val tot = cells.agg(sum(col("n")).as("nn"))
+    val perCls = truec.join(predc, Seq("cls"), "full_outer")
+      .join(tpc, Seq("cls"), "left")
+      .select(col("cls"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .crossJoin(broadcast(tot))
+      .withColumn("p", when(col("n_pred") === 0L, lit(0.0))
+        .otherwise(col("tp").cast("double") / col("n_pred")))
+      .withColumn("r", when(col("n_true") === 0L, lit(0.0))
+        .otherwise(col("tp").cast("double") / col("n_true")))
+      .withColumn("f1", when(col("p") + col("r") === 0.0, lit(0.0))
+        .otherwise(lit(2.0) * col("p") * col("r") / (col("p") + col("r"))))
+      .withColumn("pe_c", (col("n_true").cast("double") / col("nn")) *
+        (col("n_pred").cast("double") / col("nn")))
+    perCls.agg(
+        max(col("nn")).as("n"),
+        count(lit(1)).as("n_classes"),
+        sum(col("tp")).as("n_correct"),
+        sum(round(col("p"), 6).cast(d6)).as("sp"),
+        sum(round(col("r"), 6).cast(d6)).as("sr"),
+        sum(round(col("f1"), 6).cast(d6)).as("sf"),
+        sum(round(col("pe_c"), 6).cast(d6)).as("spe"))
+      .withColumn("po", col("n_correct").cast("double") / col("n"))
+      .select(col("n"), col("n_classes").cast("long").as("n_classes"),
+        round(col("po"), 4).as("accuracy"),
+        round(col("sp").cast("double") / col("n_classes"), 4)
+          .as("macro_precision"),
+        round(col("sr").cast("double") / col("n_classes"), 4)
+          .as("macro_recall"),
+        round(col("sf").cast("double") / col("n_classes"), 4)
+          .as("macro_f1"),
+        round((col("po") - col("spe").cast("double")) /
+          (lit(1.0) - col("spe").cast("double")), 4).as("kappa"))
+  }
+
+  /** Lake-bound registered form over the trained NB scored slice. */
+  def nbMetrics(spark: SparkSession, dir: String): DataFrame =
+    classifierMetrics(nbLangClassify(spark, dir))
+
   /** Distributed logistic regression by replayable gradient descent —
     * the trainable successor to [[nbLangClassify]] on the same eval
     * loop (predict `lang == 'en'` from the stopword features the
@@ -2604,6 +2670,69 @@ object TextOps {
       .select(col("source"), col("n_tokens"), col("vocab"), col("n_hapax"),
         round(col("n_hapax").cast("double") / col("vocab"), 4)
           .as("hapax_share"))
+      .orderBy(col("source"))
+
+  /** Chao1 vocabulary-richness estimate per source — the capture-
+    * recapture answer to "how much vocabulary haven't we crawled yet?"
+    * that the raw [[hapaxProfile]] share and the Heaps-law curve fit
+    * only gesture at: Chao1 = V + F1²/(2·F2) (bias-corrected
+    * V + F1(F1−1)/2 when F2 = 0) lower-bounds the true vocabulary from
+    * the singleton/doubleton counts alone, and the Good–Turing sample
+    * coverage 1 − F1/N says what probability mass the UNSEEN types
+    * still hold — the standard pair for deciding whether a source is
+    * crawled out. One token explode → (source, token) counts → bounded
+    * per-source frame; every input to the two closed forms is an exact
+    * BIGINT, so both engines divide identical integers. */
+  def chao1Richness(spark: SparkSession, dir: String): DataFrame =
+    Lake.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .groupBy(col("source"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("tf") === 1L, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("tf") === 2L, 1L).otherwise(0L)).as("f2"))
+      .select(col("source"), col("n_tokens"), col("vocab"), col("f1"),
+        col("f2"),
+        round(when(col("f2") > 0L, col("vocab") +
+            col("f1").cast("double") * col("f1") / (lit(2.0) * col("f2")))
+          .otherwise(col("vocab") +
+            col("f1").cast("double") * (col("f1") - 1L) / lit(2.0)), 4)
+          .as("chao1"),
+        round(lit(1.0) - col("f1").cast("double") / col("n_tokens"), 6)
+          .as("coverage"))
+      .orderBy(col("source"))
+
+  /** Yule's K lexical-concentration index per source, with Simpson's
+    * repeat-rate D — the frequency-of-frequencies complement to
+    * [[chao1Richness]] (richness asks how many types exist; K asks how
+    * unevenly the tokens concentrate on them): K = 10⁴·(Σtf² − N)/N²
+    * is length-invariant by construction (the classic authorship /
+    * template-spam screen — boilerplate-heavy sources spike K), and
+    * D = Σtf(tf−1)/(N(N−1)) is the probability two sampled tokens
+    * coincide. Same bounded per-source shape as [[hapaxProfile]]; all
+    * sums exact BIGINTs into the two closed-form divides. */
+  def yuleK(spark: SparkSession, dir: String): DataFrame =
+    Lake.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .groupBy(col("source"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(col("tf") * col("tf")).as("s2"))
+      .select(col("source"), col("n_tokens"), col("vocab"),
+        round(lit(1e4) * (col("s2") - col("n_tokens")).cast("double") /
+          (col("n_tokens").cast("double") * col("n_tokens")), 4)
+          .as("yule_k"),
+        round((col("s2") - col("n_tokens")).cast("double") /
+          (col("n_tokens").cast("double") * (col("n_tokens") - 1L)), 6)
+          .as("simpson_d"))
       .orderBy(col("source"))
 
   /** RAKE keyword extraction (Rapid Automatic Keyword Extraction):

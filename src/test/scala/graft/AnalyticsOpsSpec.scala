@@ -1356,4 +1356,287 @@ class AnalyticsOpsSpec extends SparkSpecBase {
     assert(math.abs(got.getDouble(2) - eTau) < 1e-5,
       s"kendall ${got.getDouble(2)} vs $eTau")
   }
+
+  test("AR(2) Yule-Walker fit matches brute force and the skill identity holds") {
+    val daily = Lake.events(spark, Sf)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x")).collect()
+      .map(r => r.getDate(0).toLocalDate -> r.getLong(1)).toMap
+    val n = daily.size
+    val sx = daily.values.sum.toDouble
+    val sxx = daily.values.map(x => x.toDouble * x).sum
+    val m = sx / n
+    val denom = sxx - sx * sx / n
+    def r(k: Int): Double = {
+      val pr = daily.toSeq.flatMap { case (d, xa) =>
+        daily.get(d.plusDays(k.toLong)).map(xb => (xa.toDouble, xb.toDouble))
+      }
+      val sab = pr.map { case (a, b) => a * b }.sum
+      val sa = pr.map(_._1).sum; val sb = pr.map(_._2).sum
+      math.rint((sab - m * sa - m * sb + pr.size * m * m) / denom * 1e6) / 1e6
+    }
+    val (r1, r2) = (r(1), r(2))
+    val phi1 = math.rint(r1 * (1 - r2) / (1 - r1 * r1) * 1e6) / 1e6
+    val phi2 = math.rint((r2 - r1 * r1) / (1 - r1 * r1) * 1e6) / 1e6
+    val m6 = math.rint(m * 1e6) / 1e6
+    val tri = daily.toSeq.flatMap { case (d, x) =>
+      for {
+        x1 <- daily.get(d.minusDays(1L)); x2 <- daily.get(d.minusDays(2L))
+      } yield (x.toDouble, x1.toDouble, x2.toDouble)
+    }
+    val ssa = tri.map { case (x, x1, x2) =>
+      val e = x - (m6 + phi1 * (x1 - m6) + phi2 * (x2 - m6))
+      math.rint(e * e * 1e6) / 1e6
+    }.sum
+    val ssn = tri.map { case (x, x1, _) => (x - x1) * (x - x1) }.sum
+    val row = graft.operators.EventOps.ar2Forecast(spark, Sf).collect().head
+    assert(row.getLong(0) == n.toLong, "n_days")
+    assert(math.abs(row.getDouble(2) - r1) < 2e-6, s"r1 ${row.getDouble(2)} vs $r1")
+    assert(math.abs(row.getDouble(3) - r2) < 2e-6, s"r2 ${row.getDouble(3)} vs $r2")
+    assert(math.abs(row.getDouble(4) - phi1) < 2e-6, "phi1")
+    assert(math.abs(row.getDouble(5) - phi2) < 2e-6, "phi2")
+    assert(row.getLong(6) == tri.size.toLong, "n_scored")
+    val rmseA = row.getDouble(7); val rmseN = row.getDouble(8)
+    assert(math.abs(rmseA - math.sqrt(ssa / tri.size)) < 1e-3, "rmse_ar2")
+    assert(math.abs(rmseN - math.sqrt(ssn / tri.size)) < 1e-3, "rmse_naive")
+    // skill is computed from the unrounded RMSEs; the published pair
+    // reproduces it to rounding tolerance
+    assert(math.abs(row.getDouble(9) - (1.0 - rmseA / rmseN)) < 2e-4, "skill")
+  }
+
+  test("stratified ATT matches brute force and shrinks the confounded naive gap") {
+    val users = Lake.events(spark, Sf)
+      .select(col("user_id"), to_date(col("ts")).as("d"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getString(2)))
+      .groupBy(_._1).map { case (_, evs) =>
+        val d0 = evs.map(_._2).minBy(_.toEpochDay)
+        val treated = evs.exists(e => e._2 == d0 && e._3 == "error")
+        val y = evs.count(e => e._2.isAfter(d0) && e._3 == "purchase").toLong
+        (treated, y, evs.length.toLong / 20L)
+      }.toSeq
+    val nUsers = users.size.toLong
+    val nT = users.count(_._1).toLong
+    val yt = users.filter(_._1).map(_._2).sum
+    val yc = users.filterNot(_._1).map(_._2).sum
+    val naive = yt.toDouble / nT - yc.toDouble / (nUsers - nT)
+    val strata = users.groupBy(_._3).map { case (s, us) =>
+      (s, us.count(_._1).toLong, us.count(!_._1).toLong,
+        us.filter(_._1).map(_._2).sum, us.filterNot(_._1).map(_._2).sum)
+    }.toSeq
+    val used = strata.filter(s => s._2 > 0 && s._3 > 0)
+    val ntUsed = used.map(_._2).sum
+    val att = used.map { case (_, nt, nc, st, sc) =>
+      math.rint((nt.toDouble / ntUsed) *
+        (st.toDouble / nt - sc.toDouble / nc) * 1e6) / 1e6
+    }.sum
+    val row = graft.operators.EventOps.attStratified(spark, Sf).collect().head
+    assert(row.getLong(0) == nUsers && row.getLong(1) == nT)
+    assert(row.getLong(2) == nUsers - nT)
+    assert(math.abs(row.getDouble(3) - naive) < 1e-4, "naive_diff")
+    assert(math.abs(row.getDouble(4) - att) < 1e-4, s"att ${row.getDouble(4)} vs $att")
+    assert(row.getLong(5) == strata.size.toLong, "n_strata")
+    assert(row.getLong(6) == used.size.toLong, "n_strata_used")
+    assert(row.getLong(7) == ntUsed, "n_treated_on_support")
+  }
+
+  test("log-rank test matches brute-force O/E/V and the expectation identity holds") {
+    val evs = Lake.events(spark, Sf)
+      .select(col("user_id"), to_date(col("ts")).as("d"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getString(2)))
+    val users = evs.groupBy(_._1).map { case (_, es) =>
+      val fd = es.map(_._2).minBy(_.toEpochDay)
+      val ld = es.map(_._2).maxBy(_.toEpochDay)
+      val grp = es.exists(e => e._2 == fd && e._3 == "error")
+      (grp, fd, ld)
+    }.toSeq
+    val ce = users.map(_._3).maxBy(_.toEpochDay)
+    val lt = users.map { case (grp, fd, ld) =>
+      (grp, ((ld.toEpochDay - fd.toEpochDay) / 7).toInt,
+        if (ce.toEpochDay - ld.toEpochDay > 14) 1L else 0L)
+    }
+    val weeks = lt.map(_._2).distinct.sorted
+    var (n1, n0) = (lt.count(_._1).toLong, lt.count(!_._1).toLong)
+    var (o1, e1, v) = (0L, 0.0, 0.0)
+    for (w <- weeks) {
+      val (d1, d0) = (lt.filter(t => t._1 && t._2 == w).map(_._3).sum,
+        lt.filter(t => !t._1 && t._2 == w).map(_._3).sum)
+      val (l1, l0) = (lt.count(t => t._1 && t._2 == w).toLong,
+        lt.count(t => !t._1 && t._2 == w).toLong)
+      val n = n1 + n0; val d = d1 + d0
+      o1 += d1
+      e1 += math.rint(d.toDouble * n1 / n * 1e6) / 1e6
+      if (n > 1)
+        v += math.rint(d.toDouble * (n1.toDouble / n) * (n0.toDouble / n) *
+          (n - d).toDouble / (n - 1) * 1e6) / 1e6
+      n1 -= l1; n0 -= l0
+    }
+    val row = graft.operators.EventOps.logrank(spark, Sf).collect().head
+    assert(row.getLong(0) == lt.count(_._1).toLong, "n_treated")
+    assert(row.getLong(1) == lt.count(!_._1).toLong, "n_control")
+    assert(row.getLong(2) == o1, "o1")
+    assert(math.abs(row.getDouble(4) - e1) < 1e-3, s"e1 ${row.getDouble(4)} vs $e1")
+    // expectations partition the total deaths: e1 + e0 == o1 + o0
+    assert(math.abs(row.getDouble(4) + row.getDouble(5) -
+      (row.getLong(2) + row.getLong(3))) < 2e-3, "E partitions O")
+    if (v > 0) {
+      val chi2 = (o1 - e1) * (o1 - e1) / v
+      assert(math.abs(row.getDouble(6) - chi2) < 1e-2,
+        s"chi2 ${row.getDouble(6)} vs $chi2")
+      val p = row.getDouble(7)
+      assert(p > 0.0 && p <= 1.0, s"p in (0,1]: $p")
+    }
+  }
+
+  test("periodogram covers the 2..14 grid, is non-negative, and matches brute force") {
+    val daily = Lake.events(spark, Sf)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x")).collect()
+      .map(r => (r.getDate(0).toLocalDate.toEpochDay, r.getLong(1)))
+    val n = daily.length
+    val sx = daily.map(_._2).sum.toDouble
+    val sxx = daily.map(t => t._2.toDouble * t._2).sum
+    val m6 = math.rint(sx / n * 1e6) / 1e6
+    val sstot = sxx - sx * sx / n
+    def power(p: Int): Double = {
+      val terms = daily.map { case (idx, x) =>
+        val ang = 2.0 * math.acos(-1.0) * (idx % p) / p
+        val c6 = math.rint(math.cos(ang) * 1e6) / 1e6
+        val s6 = math.rint(math.sin(ang) * 1e6) / 1e6
+        (math.rint((x - m6) * c6 * 1e6) / 1e6,
+          math.rint((x - m6) * s6 * 1e6) / 1e6)
+      }
+      val sc = terms.map(_._1).sum; val ss = terms.map(_._2).sum
+      (sc * sc + ss * ss) / (n * sstot)
+    }
+    val rows = graft.operators.EventOps.periodogram(spark, Sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq == (2 to 14).toSeq, "grid")
+    assert(rows.count(_.getBoolean(2)) >= 1, "at least one peak")
+    val best = rows.filter(_.getBoolean(2)).map(_.getDouble(1)).max
+    for (r <- rows) {
+      val p = r.getInt(0)
+      assert(r.getDouble(1) >= 0.0, s"power >= 0 at $p")
+      assert(r.getDouble(1) <= best + 1e-9, "peak is the max")
+      assert(math.abs(r.getDouble(1) - power(p)) < 1e-3,
+        s"power at $p: ${r.getDouble(1)} vs ${power(p)}")
+    }
+  }
+
+  test("CMH test matches brute-force strata cells and the pooled OR") {
+    val users = Lake.events(spark, Sf)
+      .select(col("user_id"), to_date(col("ts")).as("d"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getString(2)))
+      .groupBy(_._1).map { case (_, es) =>
+        val d0 = es.map(_._2).minBy(_.toEpochDay)
+        (es.exists(e => e._2 == d0 && e._3 == "error"),
+          es.exists(e => e._2.isAfter(d0) && e._3 == "purchase"),
+          es.length.toLong / 20L)
+      }.toSeq
+    val strata = users.groupBy(_._3).values.toSeq
+    var (sa, se, sv, sorn, sord) = (0L, 0.0, 0.0, 0.0, 0.0)
+    for (st <- strata) {
+      val a = st.count(u => u._1 && u._2).toLong
+      val b = st.count(u => u._1 && !u._2).toLong
+      val c = st.count(u => !u._1 && u._2).toLong
+      val d = st.count(u => !u._1 && !u._2).toLong
+      val n = a + b + c + d; val r1 = a + b; val c1 = a + c
+      sa += a
+      se += math.rint(r1.toDouble * c1 / n * 1e6) / 1e6
+      if (n > 1)
+        sv += math.rint(r1.toDouble * (n - r1) * c1 * (n - c1) /
+          (n.toDouble * n * (n - 1)) * 1e6) / 1e6
+      sorn += math.rint(a.toDouble * d / n * 1e6) / 1e6
+      sord += math.rint(b.toDouble * c / n * 1e6) / 1e6
+    }
+    val row = graft.operators.EventOps.cmhTest(spark, Sf).collect().head
+    assert(row.getLong(0) == users.size.toLong, "n_users")
+    assert(row.getLong(1) == strata.size.toLong, "n_strata")
+    assert(row.getLong(2) == sa, "a_total")
+    assert(math.abs(row.getDouble(3) - se) < 1e-3, "e_total")
+    if (sv > 0) {
+      val z = (sa - se) / math.sqrt(sv)
+      assert(math.abs(row.getDouble(4) - z * z) < 1e-2,
+        s"chi2 ${row.getDouble(4)} vs ${z * z}")
+      assert(row.getDouble(5) > 0.0 && row.getDouble(5) <= 1.0, "p in (0,1]")
+    } else assert(row.isNullAt(4) && row.isNullAt(5),
+      "degenerate variance surfaces as NULL, never a fake zero")
+    if (sord > 0)
+      assert(math.abs(row.getDouble(6) - sorn / sord) < 1e-3, "or_mh")
+  }
+
+  test("PACF satisfies the Durbin-Levinson recursion on its own published ACF") {
+    val row = graft.operators.EventOps.pacfQuery(spark, Sf).collect().head
+    val (r1, r2, r3) = (row.getDouble(1), row.getDouble(2), row.getDouble(3))
+    assert(math.abs(row.getDouble(4) - r1) < 1e-9, "pacf1 = r1")
+    val v1 = 1.0 - r1 * r1
+    val a22 = (r2 - r1 * r1) / v1
+    assert(math.abs(row.getDouble(5) - a22) < 1e-6, "pacf2")
+    val a21 = r1 - a22 * r1
+    val v2 = v1 * (1.0 - a22 * a22)
+    val a33 = (r3 - a21 * r2 - a22 * r1) / v2
+    assert(math.abs(row.getDouble(6) - a33) < 1e-6, "pacf3")
+    // pacf2 must equal the AR(2) phi2 — both are the same closed form
+    val ar2 = graft.operators.EventOps.ar2Forecast(spark, Sf).collect().head
+    assert(math.abs(row.getDouble(5) - ar2.getDouble(5)) < 2e-6,
+      "pacf2 == ar2 phi2")
+  }
+
+  test("Mann-Whitney U matches brute-force average ranks and the U+U' identity") {
+    val daily = Lake.events(spark, Sf)
+      .filter(col("event_type").isin("view", "purchase"))
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("x")).collect()
+      .map(r => (r.getString(1) == "view", r.getLong(2)))
+    val xsA = daily.filter(_._1).map(_._2).toSeq.sorted
+    val all = daily.map(_._2).toSeq.sorted
+    val (na, nb) = (xsA.size.toLong, (daily.length - xsA.size).toLong)
+    def avgRank(v: Long): Double = {
+      val lt = all.count(_ < v); val eq = all.count(_ == v)
+      lt + (eq + 1) / 2.0
+    }
+    val ra = xsA.map(avgRank).sum
+    val u = ra - na.toDouble * (na + 1) / 2.0
+    val mu = na.toDouble * nb / 2.0
+    val n = na + nb
+    val ties = all.groupBy(identity).values
+      .map(g => { val t = g.size.toLong; t * t * t - t }).sum
+    val v = (na.toDouble * nb / 12.0) *
+      ((n + 1).toDouble - ties.toDouble / (n.toDouble * (n - 1)))
+    val row = graft.operators.EventOps.mannWhitney(spark, Sf).collect().head
+    assert(row.getLong(0) == na && row.getLong(1) == nb)
+    assert(math.abs(row.getDouble(2) - u) < 1e-3, s"U ${row.getDouble(2)} vs $u")
+    assert(math.abs(row.getDouble(3) - mu) < 1e-6, "mu")
+    if (v > 0)
+      assert(math.abs(row.getDouble(4) - (u - mu) / math.sqrt(v)) < 1e-3, "z")
+    // U + U' = n_a * n_b: recompute U' from the B side
+    val ub = daily.filterNot(_._1).map(t => avgRank(t._2)).sum -
+      nb.toDouble * (nb + 1) / 2.0
+    assert(math.abs(u + ub - na.toDouble * nb) < 1e-6, "U + U' identity")
+  }
+
+  test("entropy rate reconciles with the transition matrix and is bounded by the marginal") {
+    val cells = graft.operators.EventOps.transitions(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val nn = cells.map(_._3).sum.toDouble
+    val rowTot = cells.groupBy(_._1).map { case (k, v) => k -> v.map(_._3).sum }
+    val colTot = cells.groupBy(_._2).map { case (k, v) => k -> v.map(_._3).sum }
+    def lg2(x: Double) = math.log(x) / math.log(2.0)
+    val hc = cells.map { case (f, _, c) =>
+      math.rint(c / nn * lg2(rowTot(f).toDouble / c) * 1e6) / 1e6
+    }.sum
+    val hm = colTot.values.map { c =>
+      math.rint(c / nn * lg2(nn / c) * 1e6) / 1e6
+    }.sum
+    val row = graft.operators.EventOps.entropyRate(spark, Sf).collect().head
+    assert(row.getLong(0) == nn.toLong, "n_transitions")
+    assert(row.getLong(1) == rowTot.size.toLong, "n_states")
+    assert(math.abs(row.getDouble(2) - hm) < 1e-3, s"h_marginal vs $hm")
+    assert(math.abs(row.getDouble(3) - hc) < 1e-3, s"h_conditional vs $hc")
+    assert(row.getDouble(3) <= row.getDouble(2) + 1e-9,
+      "conditioning never increases entropy")
+    assert(row.getDouble(4) >= -1e-9 && row.getDouble(4) <= 1.0,
+      "predictability in [0,1]")
+  }
 }

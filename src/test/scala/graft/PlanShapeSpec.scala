@@ -429,7 +429,32 @@ class PlanShapeSpec extends SparkSpecBase {
         "q_boost2",
         // q_huber: per-IRLS-step one-row coefficient / scale broadcasts
         // against the corpus scan (the q_logreg weight-frame pattern)
-        "q_huber")
+        "q_huber",
+        // q_nb_metrics: the one-row corpus-total broadcast against the
+        // classes²-bounded confusion-cell frame (the q_supplier_share
+        // pattern)
+        "q_nb_metrics",
+        // q_cf_eval: the one-row eval-population × one-row hit-totals
+        // broadcast composing the final readout
+        "q_cf_eval",
+        // q_ar2: one-row stats / coefficient / mean broadcasts against
+        // the bounded day frame (the q_changepoint pattern)
+        "q_ar2",
+        // q_att_strat: one-row overall / support-totals broadcasts
+        // against the bounded stratum frame
+        "q_att_strat",
+        // q_logrank: the one-row corpus-end broadcast against the user
+        // frame (the q_survival pattern) + one-row E/V totals
+        "q_logrank",
+        // q_periodogram: one-row mean / moment broadcasts against the
+        // 13-period bounded grid (the q_windowed_psi pattern)
+        "q_periodogram",
+        // q_pacf: the one-row moment broadcast against the 3-lag ACF
+        // frame (the q_ar2 pattern)
+        "q_pacf",
+        // q_entropy_rate: one-row total / entropy-sum broadcasts around
+        // the event-type²-bounded cell frame
+        "q_entropy_rate")
     // collect ALL offenders before failing — a fail-fast assert hides
     // every offender behind the first and costs a full re-run per fix
     val offenders = scala.collection.mutable.LinkedHashSet[String]()

@@ -76,4 +76,34 @@ class RecommendSpec extends SparkSpecBase {
       assert(byRank == byRank.sorted.reverse, s"scores for $u: $byRank")
     }
   }
+
+  test("leave-last-out CF eval: eval population reconciles and the MRR brackets hold") {
+    import graft.operators.Relational
+    val row = Relational.cfHitRate(spark, Sf).collect().head
+    assert(row.getInt(0) == 5, "k")
+    val (nEval, nHits) = (row.getLong(1), row.getLong(2))
+    val (hitRate, mrr) = (row.getDouble(3), row.getDouble(4))
+    // eval population = customers with >= 2 orders whose held-out last
+    // order has at least one lineitem
+    val ords = graft.Lake.orders(spark, Sf)
+      .select(col("o_orderkey"), col("o_custkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("od"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val withLi = graft.Lake.lineitem(spark, Sf)
+      .select(col("l_orderkey")).distinct().collect()
+      .map(_.getLong(0)).toSet
+    val expectedEval = ords.groupBy(_._2).count { case (_, os) =>
+      os.length >= 2 && withLi(
+        os.maxBy(o => (o._3, o._1))._1)
+    }
+    assert(nEval == expectedEval.toLong, s"n_eval $nEval vs $expectedEval")
+    assert(nHits >= 0L && nHits <= nEval)
+    assert(hitRate == math.rint(nHits.toDouble / nEval * 1e4) / 1e4 ||
+      math.abs(hitRate - nHits.toDouble / nEval) < 1e-4, "hit_rate")
+    // every reciprocal rank lies in [1/5, 1], so the MRR is bracketed
+    // by hit_rate/5 and hit_rate (up to 4-dp rounding)
+    assert(mrr <= hitRate + 1e-4 && mrr >= hitRate / 5.0 - 1e-4,
+      s"mrr $mrr outside [${hitRate / 5}, $hitRate]")
+  }
 }

@@ -1083,4 +1083,70 @@ class TextOpsSpec extends SparkSpecBase {
     assert(gain >= -1e-9, s"best split never hurts: $row")
     assert(gain <= parentGini + 1e-9, s"gain bounded by parent: $row")
   }
+
+  test("classifier metrics pin the hand-computed macro readout and the 0/0 conventions") {
+    import spark.implicits._
+    // actual a,a,a,b,b,c vs predicted a,b,a,b,b,d: class c never
+    // predicted (precision convention), class d never actual (recall
+    // convention); per-class p/r/f1: a (1, 2/3, 0.8), b (2/3, 1, 0.8),
+    // c and d all-zero → macros average over the 4-class UNION
+    val scored = Seq(
+      ("a", "a"), ("a", "b"), ("a", "a"),
+      ("b", "b"), ("b", "b"), ("c", "d")).toDF("lang", "lang_pred")
+    val row = graft.operators.TextOps.classifierMetrics(scored).collect().head
+    assert(row.getLong(0) == 6L && row.getLong(1) == 4L, s"n/classes: $row")
+    assert(row.getDouble(2) == 0.6667, "accuracy")
+    assert(row.getDouble(3) == 0.4167, "macro_precision")
+    assert(row.getDouble(4) == 0.4167, "macro_recall")
+    assert(row.getDouble(5) == 0.4, "macro_f1")
+    // pe = (3/6)(2/6) + (2/6)(3/6) = 1/3; kappa = (2/3 - 1/3)/(1 - 1/3)
+    assert(row.getDouble(6) == 0.5, s"kappa: $row")
+    // lake readout: accuracy must reconcile with the confusion matrix
+    val conf = graft.operators.TextOps.nbConfusion(spark, Sf).collect()
+    val n = conf.map(_.getLong(2)).sum
+    val diag = conf.filter(r => r.getString(0) == r.getString(1))
+      .map(_.getLong(2)).sum
+    val lake = graft.operators.TextOps.nbMetrics(spark, Sf).collect().head
+    assert(lake.getLong(0) == n, "metrics n == confusion mass")
+    assert(math.abs(lake.getDouble(2) - diag.toDouble / n) < 1e-4,
+      "accuracy == diagonal share")
+    assert(lake.getDouble(6) <= lake.getDouble(2) + 1e-9,
+      "kappa never exceeds accuracy when chance agreement is positive")
+  }
+
+  test("chao1 and yule: brute-force frequency spectra, richness bounds, D in [0,1]") {
+    import org.apache.spark.sql.functions._
+    val tf = Lake.documents(spark, Sf)
+      .filter(col("text").isNotNull)
+      .select(col("source"), explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy(col("source"), col("t")).agg(count(lit(1)).as("tf"))
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+      .groupBy(_._1).map { case (s, ts) => s -> ts.map(_._2) }
+    val chao = graft.operators.TextOps.chao1Richness(spark, Sf).collect()
+    assert(chao.map(_.getString(0)).toSet == tf.keySet)
+    for (r <- chao) {
+      val fs = tf(r.getString(0))
+      val (nTok, v) = (fs.sum, fs.size.toLong)
+      val f1 = fs.count(_ == 1L).toLong; val f2 = fs.count(_ == 2L).toLong
+      assert(r.getLong(1) == nTok && r.getLong(2) == v)
+      assert(r.getLong(3) == f1 && r.getLong(4) == f2)
+      val expected = if (f2 > 0) v + f1.toDouble * f1 / (2.0 * f2)
+        else v + f1.toDouble * (f1 - 1) / 2.0
+      assert(math.abs(r.getDouble(5) - expected) < 1e-3, s"chao1: $r")
+      assert(r.getDouble(5) >= v - 1e-9, "chao1 lower-bounds at vocab")
+      assert(math.abs(r.getDouble(6) - (1.0 - f1.toDouble / nTok)) < 1e-5,
+        "coverage")
+    }
+    val yule = graft.operators.TextOps.yuleK(spark, Sf).collect()
+    for (r <- yule) {
+      val fs = tf(r.getString(0))
+      val nTok = fs.sum; val s2 = fs.map(f => f * f).sum
+      val k = 1e4 * (s2 - nTok).toDouble / (nTok.toDouble * nTok)
+      val d = (s2 - nTok).toDouble / (nTok.toDouble * (nTok - 1))
+      assert(math.abs(r.getDouble(3) - k) < 1e-3, s"yule_k: $r")
+      assert(math.abs(r.getDouble(4) - d) < 1e-5, s"simpson_d: $r")
+      assert(d >= 0.0 && d <= 1.0, "D in [0,1]")
+    }
+  }
 }
