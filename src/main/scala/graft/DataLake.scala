@@ -313,4 +313,42 @@ final case class DataLake(spark: SparkSession, dir: String) {
   def huberFit(): DataFrame = TextOps.huberFit(spark, dir)
   /** Cumulative gains / lift table of the logistic scores. */
   def logisticGains(): DataFrame = TextOps.logisticGains(spark, dir)
+  /** Scalar classifier readout: accuracy, macro-P/R/F1, Cohen's κ. */
+  def nbMetrics(): DataFrame = TextOps.nbMetrics(spark, dir)
+  /** Leave-last-out CF eval: hit-rate@k + MRR on a no-leak retrain. */
+  def cfHitRate(minOrders: Long = 2, k: Int = 5): DataFrame =
+    graft.operators.Relational.cfHitRate(spark, dir, minOrders, k)
+  /** Catalog coverage + popularity bias of the CF serving table. */
+  def recCoverage(): DataFrame =
+    graft.operators.Relational.recCoverage(spark, dir)
+  /** AR(2) Yule–Walker fit + one-step backtest vs the naive baseline. */
+  def ar2Forecast(): DataFrame = EventOps.ar2Forecast(spark, dir)
+  /** Partial autocorrelation (lags 1..3) by Durbin–Levinson. */
+  def pacf(): DataFrame = EventOps.pacfQuery(spark, dir)
+  /** Daily-count periodogram over the 2..14-day period grid. */
+  def periodogram(): DataFrame = EventOps.periodogram(spark, dir)
+  /** Stratified (CEM-style) observational ATT with the naive contrast. */
+  def attStratified(): DataFrame = EventOps.attStratified(spark, dir)
+  /** CMH stratified 2×2 test + Mantel–Haenszel pooled odds ratio. */
+  def cmhTest(): DataFrame = EventOps.cmhTest(spark, dir)
+  /** IPW ATE on stratum propensities with per-arm ESS diagnostics. */
+  def ipwAte(): DataFrame = EventOps.ipwAte(spark, dir)
+  /** Two-group log-rank churn test over right-censored lifetimes. */
+  def logrank(censorDays: Int = 14): DataFrame =
+    EventOps.logrank(spark, dir, censorDays)
+  /** Mann–Whitney U rank-sum test between two daily count series. */
+  def mannWhitney(typeA: String = "view",
+                  typeB: String = "purchase"): DataFrame =
+    EventOps.mannWhitney(spark, dir, typeA, typeB)
+  /** Markov entropy rate: conditional vs marginal next-event entropy. */
+  def entropyRate(): DataFrame = EventOps.entropyRate(spark, dir)
+  /** Within-user inter-arrival spectrum in power-of-two buckets. */
+  def interarrival(): DataFrame = EventOps.interarrival(spark, dir)
+  /** Chao1 unseen-vocabulary estimate + Good–Turing coverage. */
+  def chao1Richness(): DataFrame = TextOps.chao1Richness(spark, dir)
+  /** Yule's K lexical concentration + Simpson repeat-rate. */
+  def yuleK(): DataFrame = TextOps.yuleK(spark, dir)
+  /** Good–Turing adjusted-count table over unigram frequencies. */
+  def goodTuring(maxR: Int = 8): DataFrame =
+    TextOps.goodTuring(spark, dir, maxR)
 }

@@ -552,6 +552,9 @@ object SparkEntry {
     // Leave-last-out CF eval: hit-rate@5 + MRR on a leakage-free retrain
     "q_cf_eval"           -> ((s: SparkSession, d: String) =>
       Relational.cfHitRate(s, d)),
+    // Catalog coverage + popularity bias of the CF serving table
+    "q_rec_coverage"      -> ((s: SparkSession, d: String) =>
+      Relational.recCoverage(s, d)),
     // Benford first-digit screen over order values
     "q_benford"           -> ((s: SparkSession, d: String) =>
       CatalogOps.benford(s, d, "orders", "o_totalprice")),
@@ -622,6 +625,12 @@ object SparkEntry {
     // Markov entropy rate: conditional vs marginal next-event entropy
     "q_entropy_rate"      -> ((s: SparkSession, d: String) =>
       EventOps.entropyRate(s, d)),
+    // IPW ATE on stratum propensities with per-arm effective sample size
+    "q_ipw"               -> ((s: SparkSession, d: String) =>
+      EventOps.ipwAte(s, d)),
+    // Power-of-two inter-arrival spectrum of within-user event gaps
+    "q_interarrival"      -> ((s: SparkSession, d: String) =>
+      EventOps.interarrival(s, d)),
     // RFM quintile segmentation of customers over orders
     "q_rfm"               -> Relational.rfmSegments _,
     // Trade-graph degree distribution from the shared edge artifact
@@ -685,6 +694,9 @@ object SparkEntry {
     "q_chao1"             -> TextOps.chao1Richness _,
     // Yule's K lexical concentration + Simpson repeat-rate per source
     "q_yule_k"            -> TextOps.yuleK _,
+    // Good-Turing adjusted-count table over corpus unigram frequencies
+    "q_good_turing"       -> ((s: SparkSession, d: String) =>
+      TextOps.goodTuring(s, d)),
     // Reliability diagram: quality-score deciles vs near-dup membership
     "q_quality_calibration" -> ((s: SparkSession, d: String) =>
       DedupOps.qualityDupCalibration(s, d)),
@@ -1400,6 +1412,35 @@ object SparkEntry {
        |  FROM th GROUP BY doc_id),
        |sig AS (SELECT doc_id, $sig AS simhash FROM bitsums)""".stripMargin
   }
+
+  /** Item-kNN CF serving CTE (through the per-candidate score frame
+    * `sc`), shared verbatim by `q_recommend` and `q_rec_coverage` — one
+    * definition, two checks. */
+  private val recCtePrefix: String =
+    """WITH itemn AS (SELECT l_partkey, count(DISTINCT l_orderkey) AS n_item
+      |  FROM lineitem GROUP BY 1),
+      |pairs AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+      |    count(DISTINCT a.l_orderkey) AS n_ab
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= 2),
+      |sims AS (SELECT part_a, part_b,
+      |    cast(round(CAST(n_ab AS DOUBLE) /
+      |      sqrt(CAST(na.n_item * nb.n_item AS DOUBLE)), 6)
+      |      AS decimal(18,6)) AS cos
+      |  FROM pairs JOIN itemn na ON na.l_partkey = part_a
+      |             JOIN itemn nb ON nb.l_partkey = part_b),
+      |bi AS (SELECT part_a AS src, part_b AS cand, cos FROM sims
+      |       UNION ALL SELECT part_b, part_a, cos FROM sims),
+      |owned AS (SELECT DISTINCT o.o_custkey AS custkey,
+      |    l.l_partkey AS item
+      |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+      |sc AS (SELECT w.custkey, b.cand, sum(b.cos) AS score_d,
+      |    count(*) AS n_src
+      |  FROM owned w JOIN bi b ON b.src = w.item
+      |  WHERE NOT EXISTS (SELECT 1 FROM owned o2
+      |    WHERE o2.custkey = w.custkey AND o2.item = b.cand)
+      |  GROUP BY w.custkey, b.cand)""".stripMargin
 
   /** DuckDB-runnable ANSI SQL twin for each query (same column names, same
     * ORDER BY). Money math goes through decimal(18,2) on both sides so
@@ -5720,35 +5761,38 @@ object SparkEntry {
     // so the per-candidate neighborhood sum is exact and order-free;
     // owned candidates excluded by NOT EXISTS = the left_anti join.
     "q_recommend" ->
-      """WITH itemn AS (SELECT l_partkey, count(DISTINCT l_orderkey) AS n_item
-        |  FROM lineitem GROUP BY 1),
-        |pairs AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
-        |    count(DISTINCT a.l_orderkey) AS n_ab
-        |  FROM lineitem a JOIN lineitem b
-        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-        |  GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= 2),
-        |sims AS (SELECT part_a, part_b,
-        |    cast(round(CAST(n_ab AS DOUBLE) /
-        |      sqrt(CAST(na.n_item * nb.n_item AS DOUBLE)), 6)
-        |      AS decimal(18,6)) AS cos
-        |  FROM pairs JOIN itemn na ON na.l_partkey = part_a
-        |             JOIN itemn nb ON nb.l_partkey = part_b),
-        |bi AS (SELECT part_a AS src, part_b AS cand, cos FROM sims
-        |       UNION ALL SELECT part_b, part_a, cos FROM sims),
-        |owned AS (SELECT DISTINCT o.o_custkey AS custkey,
-        |    l.l_partkey AS item
-        |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
-        |sc AS (SELECT w.custkey, b.cand, sum(b.cos) AS score_d,
-        |    count(*) AS n_src
-        |  FROM owned w JOIN bi b ON b.src = w.item
-        |  WHERE NOT EXISTS (SELECT 1 FROM owned o2
-        |    WHERE o2.custkey = w.custkey AND o2.item = b.cand)
-        |  GROUP BY w.custkey, b.cand)
-        |SELECT custkey, cand AS partkey, cast(score_d AS double) AS score,
-        |  n_src, rnk
-        |FROM (SELECT *, cast(row_number() OVER (PARTITION BY custkey
-        |    ORDER BY score_d DESC, cand) AS bigint) AS rnk FROM sc) t
-        |WHERE rnk <= 3 ORDER BY custkey, rnk""".stripMargin,
+      s"""$recCtePrefix
+         |SELECT custkey, cand AS partkey, cast(score_d AS double) AS score,
+         |  n_src, rnk
+         |FROM (SELECT *, cast(row_number() OVER (PARTITION BY custkey
+         |    ORDER BY score_d DESC, cand) AS bigint) AS rnk FROM sc) t
+         |WHERE rnk <= 3 ORDER BY custkey, rnk""".stripMargin,
+    // Coverage/popularity-bias readout over the SAME serving CTE: the
+    // distinct recommended set semi-joined to per-item order counts;
+    // ratios one divide each on exact integers.
+    "q_rec_coverage" ->
+      s"""$recCtePrefix,
+         |topk AS (SELECT custkey, cand
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY custkey
+         |      ORDER BY score_d DESC, cand) AS rnk FROM sc) t
+         |  WHERE rnk <= 3),
+         |ri AS (SELECT DISTINCT cand FROM topk),
+         |cat AS (SELECT CAST(count(*) AS BIGINT) AS catalog_size,
+         |    CAST(sum(n_item) AS BIGINT) AS pop_cat FROM itemn),
+         |rc AS (SELECT CAST(count(*) AS BIGINT) AS n_rec_items,
+         |    CAST(sum(i.n_item) AS BIGINT) AS pop_rec
+         |  FROM ri JOIN itemn i ON i.l_partkey = ri.cand)
+         |SELECT catalog_size, n_rec_items,
+         |  round(CAST(n_rec_items AS DOUBLE) / catalog_size, 6)
+         |    AS coverage,
+         |  round(CAST(pop_rec AS DOUBLE) / n_rec_items, 4)
+         |    AS mean_pop_recommended,
+         |  round(CAST(pop_cat AS DOUBLE) / catalog_size, 4)
+         |    AS mean_pop_catalog,
+         |  round((CAST(pop_rec AS DOUBLE) / n_rec_items) /
+         |    (CAST(pop_cat AS DOUBLE) / catalog_size), 4)
+         |    AS popularity_bias
+         |FROM cat, rc""".stripMargin,
     // Leave-last-out CF eval: the last order per customer (date DESC,
     // orderkey DESC) is held out, similarities retrain on the remaining
     // orders, each eval customer is scored exactly as q_recommend scores,
@@ -6423,6 +6467,76 @@ object SparkEntry {
         |    round(CAST(sorn AS DOUBLE) / CAST(sord AS DOUBLE), 4) END
         |    AS or_mh
         |FROM z""".stripMargin,
+    // IPW ATE: the q_att_strat user reduce, empirical stratum
+    // propensities, weighted sums + ESS all closed-form on the bounded
+    // stratum frame with 6-dp decimal terms.
+    "q_ipw" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d, event_type
+        |  FROM events),
+        |ev2 AS (SELECT user_id, d, event_type,
+        |    min(d) OVER (PARTITION BY user_id) AS d0 FROM ev),
+        |u AS (SELECT user_id,
+        |    CAST(max(CASE WHEN d = d0 AND event_type = 'error'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS t,
+        |    CAST(sum(CASE WHEN d > d0 AND event_type = 'purchase'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS y,
+        |    CAST(count(*) AS BIGINT) AS n_events
+        |  FROM ev2 GROUP BY user_id),
+        |u2 AS (SELECT *, n_events // 20 AS stratum FROM u),
+        |s AS (SELECT stratum,
+        |    CAST(sum(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+        |    CAST(sum(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+        |    CAST(sum(CASE WHEN t = 1 THEN y ELSE 0 END) AS BIGINT) AS y_t,
+        |    CAST(sum(CASE WHEN t = 0 THEN y ELSE 0 END) AS BIGINT) AS y_c
+        |  FROM u2 GROUP BY 1),
+        |s2 AS (SELECT *, n_t + n_c AS n_s FROM s),
+        |tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_users,
+        |    CAST(count(*) AS BIGINT) AS n_strata FROM s2),
+        |us AS (SELECT * FROM s2 WHERE n_t > 0 AND n_c > 0),
+        |ag AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_sup,
+        |    CAST(count(*) AS BIGINT) AS n_strata_used,
+        |    sum(CAST(round(CAST(y_t AS DOUBLE) * n_s / n_t, 6)
+        |      AS DECIMAL(18,6))) AS wt,
+        |    sum(CAST(round(CAST(y_c AS DOUBLE) * n_s / n_c, 6)
+        |      AS DECIMAL(18,6))) AS wc,
+        |    sum(CAST(round(CAST(n_s AS DOUBLE) * n_s / n_t, 6)
+        |      AS DECIMAL(18,6))) AS w2t,
+        |    sum(CAST(round(CAST(n_s AS DOUBLE) * n_s / n_c, 6)
+        |      AS DECIMAL(18,6))) AS w2c
+        |  FROM us)
+        |SELECT n_users, n_strata, n_sup, n_strata_used,
+        |  round((CAST(wt AS DOUBLE) - CAST(wc AS DOUBLE)) / n_sup, 4)
+        |    AS ate_ipw,
+        |  round(CAST(n_sup AS DOUBLE) * n_sup / CAST(w2t AS DOUBLE), 2)
+        |    AS ess_treated,
+        |  round(CAST(n_sup AS DOUBLE) * n_sup / CAST(w2c AS DOUBLE), 2)
+        |    AS ess_control
+        |FROM tot, ag""".stripMargin,
+    // Inter-arrival spectrum: exact microsecond gaps, bucket = bit
+    // length of the gap (integer op, no floor(log2(double)) boundary),
+    // shares from the bounded bucket frame.
+    "q_interarrival" ->
+      """WITH g AS (SELECT user_id, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_ts
+        |  FROM events),
+        |gp AS (SELECT date_diff('microsecond', prev_ts, ts) AS gap
+        |  FROM g WHERE prev_ts IS NOT NULL),
+        |b AS (SELECT CASE WHEN gap = 0 THEN 0
+        |    ELSE CAST(length(ltrim(bin(gap), '0')) AS INTEGER) END
+        |      AS bucket
+        |  FROM gp),
+        |c AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_gaps
+        |  FROM b GROUP BY 1),
+        |t AS (SELECT *, CAST(sum(n_gaps) OVER () AS BIGINT) AS total,
+        |    CAST(sum(n_gaps) OVER (ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum
+        |  FROM c)
+        |SELECT bucket, n_gaps,
+        |  round(CAST(n_gaps AS DOUBLE) / total, 6) AS share,
+        |  round(CAST(cum AS DOUBLE) / total, 6) AS cum_share
+        |FROM t ORDER BY bucket""".stripMargin,
     // PACF: the q_ar2 equi-join ACF build at lags 1..3, then the
     // Durbin-Levinson recursion as one identical scalar tree.
     "q_pacf" ->
@@ -7195,6 +7309,36 @@ object SparkEntry {
         |  round(CAST(s2 - n_tokens AS DOUBLE) /
         |    (CAST(n_tokens AS DOUBLE) * (n_tokens - 1)), 6) AS simpson_d
         |FROM s ORDER BY source""".stripMargin,
+    // Good-Turing: the 8 smallest observed frequency classes (ORDER BY
+    // r LIMIT — the TakeOrderedAndProject head), N_{r+1} equi-joined
+    // from the full class frame, closed forms on exact BIGINTs, r=0
+    // row = unseen mass (0 when no singletons).
+    "q_good_turing" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
+        |  FROM documents WHERE text IS NOT NULL),
+        |tf AS (SELECT token, CAST(count(*) AS BIGINT) AS tf
+        |  FROM tok WHERE token <> '' GROUP BY 1),
+        |fof AS (SELECT tf AS r, CAST(count(*) AS BIGINT) AS n_r
+        |  FROM tf GROUP BY 1),
+        |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS nn FROM tf),
+        |low AS (SELECT * FROM fof ORDER BY r LIMIT 8),
+        |grid AS (SELECT f.r, f.n_r,
+        |    CAST(coalesce(f2.n_r, 0) AS BIGINT) AS n_r_next, nn
+        |  FROM low f LEFT JOIN fof f2 ON f2.r = f.r + 1, tot),
+        |un AS (SELECT CAST(0 AS BIGINT) AS r, CAST(0 AS BIGINT) AS n_r,
+        |    CAST(coalesce((SELECT n_r FROM fof WHERE r = 1), 0)
+        |      AS BIGINT) AS n_r_next,
+        |    CAST(NULL AS DOUBLE) AS r_star,
+        |    round(CAST(coalesce((SELECT n_r FROM fof WHERE r = 1), 0)
+        |      AS DOUBLE) / nn, 6) AS p_smoothed
+        |  FROM tot)
+        |SELECT r, n_r, n_r_next, r_star, p_smoothed FROM un
+        |UNION ALL
+        |SELECT r, n_r, n_r_next,
+        |  round(CAST(r + 1 AS DOUBLE) * n_r_next / n_r, 6) AS r_star,
+        |  round(CAST(r + 1 AS DOUBLE) * n_r_next / n_r / nn, 6)
+        |    AS p_smoothed
+        |FROM grid ORDER BY r""".stripMargin,
     // Reliability diagram: the q_doc_quality score expression bucketed by
     // the same floor(quality*10) doubles, membership from the brute-force
     // verified pair graph.

@@ -2222,6 +2222,105 @@ object EventOps {
     out
   }
 
+  /** Inverse-propensity-weighted ATE with stratum propensities — the
+    * estimand the [[attStratified]]/[[cmhTest]] pair stops short of:
+    * reweighting by the EMPIRICAL stratum propensity eₛ = n_t,s/nₛ
+    * targets the average effect over the WHOLE on-support population
+    * (ATE), not just the treated (ATT), and the sums collapse closed-
+    * form on the stratum frame: Σ y_t,s·nₛ/n_t,s and Σ y_c,s·nₛ/n_c,s
+    * over strata with both arms present, divided by the on-support
+    * population. The effective sample sizes ESS = (Σw)²/Σw² — the
+    * diagnostic every IPW analysis must publish (exploding weights
+    * show up as ESS collapse) — also reduce per arm to
+    * N_sup²/Σ nₛ²/n_arm,s.
+    *
+    * Shape: the [[attStratified]] user reduce, then everything on the
+    * bounded stratum frame; integer counts exact, each weighted term
+    * rounded once to 6 dp into decimal so sums are order-free. */
+  def ipwAte(spark: SparkSession, dir: String): DataFrame = {
+    val d6 = DecimalType(18, 6)
+    val wU = Window.partitionBy(col("user_id"))
+    val users = Lake.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"),
+        col("event_type"))
+      .withColumn("d0", min(col("d")).over(wU))
+      .groupBy(col("user_id"))
+      .agg(
+        max(when(col("d") === col("d0") &&
+          col("event_type") === "error", 1L).otherwise(0L)).as("t"),
+        sum(when(col("d") > col("d0") &&
+          col("event_type") === "purchase", 1L).otherwise(0L)).as("y"),
+        count(lit(1)).as("n_events"))
+      .withColumn("stratum", expr("n_events DIV 20"))
+    val strata = users.groupBy(col("stratum")).agg(
+      sum(when(col("t") === 1L, 1L).otherwise(0L)).as("n_t"),
+      sum(when(col("t") === 0L, 1L).otherwise(0L)).as("n_c"),
+      sum(when(col("t") === 1L, col("y")).otherwise(0L)).as("y_t"),
+      sum(when(col("t") === 0L, col("y")).otherwise(0L)).as("y_c"))
+      .withColumn("n_s", col("n_t") + col("n_c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = strata.agg(sum(col("n_s")).as("n_users"),
+      count(lit(1)).as("n_strata"))
+    val used = strata.filter(col("n_t") > 0L && col("n_c") > 0L)
+    val agg = used.agg(
+      sum(col("n_s")).as("n_sup"), count(lit(1)).as("n_strata_used"),
+      sum(round(col("y_t").cast("double") * col("n_s") / col("n_t"), 6)
+        .cast(d6)).as("wt"),
+      sum(round(col("y_c").cast("double") * col("n_s") / col("n_c"), 6)
+        .cast(d6)).as("wc"),
+      sum(round(col("n_s").cast("double") * col("n_s") / col("n_t"), 6)
+        .cast(d6)).as("w2t"),
+      sum(round(col("n_s").cast("double") * col("n_s") / col("n_c"), 6)
+        .cast(d6)).as("w2c"))
+    val out = tot.crossJoin(broadcast(agg))
+      .select(col("n_users"), col("n_strata"), col("n_sup"),
+        col("n_strata_used"),
+        round((col("wt").cast("double") - col("wc").cast("double")) /
+          col("n_sup"), 4).as("ate_ipw"),
+        round(col("n_sup").cast("double") * col("n_sup") /
+          col("w2t").cast("double"), 2).as("ess_treated"),
+        round(col("n_sup").cast("double") * col("n_sup") /
+          col("w2c").cast("double"), 2).as("ess_control"))
+      .localCheckpoint(true)
+    strata.unpersist(false)
+    out
+  }
+
+  /** Inter-arrival spectrum: within-user gaps between consecutive
+    * events, binned into power-of-two MICROSECOND buckets (bucket =
+    * bit length of the gap — an exact integer operation, never a
+    * floor(log2(double)) whose boundary cases diverge across engines) —
+    * the burstiness profile at the user-timeline level that the daily
+    * Fano factor ([[dispersionQuery]]) is blind to: human sessions pile
+    * mass in the seconds-to-minutes bands, bot replay collapses into
+    * one narrow band, and pipeline replays surface as a zero-gap
+    * bucket. One user-keyed window pass for the lag; the report frame
+    * is ≤ 45 buckets; all counts exact, shares one divide each. */
+  def interarrival(spark: SparkSession, dir: String): DataFrame = {
+    val wU = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gaps = Lake.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+      .withColumn("gap", col("us") - lag(col("us"), 1).over(wU))
+      .filter(col("gap").isNotNull)
+      .select(when(col("gap") === 0L, 0)
+        .otherwise(length(bin(col("gap")))).as("bucket"))
+    val byB = gaps.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_gaps"))
+    val wOrd = Window.orderBy(col("bucket"))
+    val wAll = wOrd.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    byB
+      .withColumn("total", sum(col("n_gaps")).over(wAll))
+      .select(col("bucket"), col("n_gaps"),
+        round(col("n_gaps").cast("double") / col("total"), 6).as("share"),
+        round(sum(col("n_gaps")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double") / col("total"), 6).as("cum_share"))
+      .orderBy(col("bucket"))
+  }
+
   /** Peak concurrent sessions per day — the capacity-planning number:
     * a sweep-line over session intervals (+1 at each session start, −1
     * at each end) whose running maximum is the day's peak concurrency.

@@ -1099,6 +1099,50 @@ object Relational {
     out
   }
 
+  /** Catalog coverage + popularity bias of the [[itemKnnRecommend]]
+    * serving table — the two aggregate health checks every recommender
+    * dashboard pairs with the per-user ranking eval ([[cfHitRate]]):
+    * what share of the catalog ever gets recommended (a collapsed
+    * head-only recommender is useless for discovery), and how much more
+    * popular the recommended items are than the catalog average
+    * (popularity bias — a ratio near the catalog mean means the
+    * similarity normalization is doing its job). Popularity is the
+    * per-item distinct-order count — deliberately NO global rank/ntile
+    * over the part dimension (the abc/lorenz scale lesson); the
+    * mean-popularity ratio carries the same signal as a mean
+    * percentile without any dimension-wide sort.
+    *
+    * Shape: the serving table's own plan plus one dimension-sized
+    * aggregate and one semi-join — nothing beyond the recommender's
+    * existing cost. */
+  def recCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val recItems = itemKnnRecommend(spark, dir)
+      .select(col("partkey")).distinct()
+    val itemN = Lake.lineitem(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg(countDistinct(col("l_orderkey")).as("n_item"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cat = itemN.agg(count(lit(1)).as("catalog_size"),
+      sum(col("n_item")).as("pop_cat"))
+    val rec = itemN.join(recItems,
+        col("l_partkey") === col("partkey"))
+      .agg(count(lit(1)).as("n_rec_items"), sum(col("n_item")).as("pop_rec"))
+    val out = cat.crossJoin(broadcast(rec))
+      .select(col("catalog_size"), col("n_rec_items"),
+        round(col("n_rec_items").cast("double") / col("catalog_size"), 6)
+          .as("coverage"),
+        round(col("pop_rec").cast("double") / col("n_rec_items"), 4)
+          .as("mean_pop_recommended"),
+        round(col("pop_cat").cast("double") / col("catalog_size"), 4)
+          .as("mean_pop_catalog"),
+        round((col("pop_rec").cast("double") / col("n_rec_items")) /
+          (col("pop_cat").cast("double") / col("catalog_size")), 4)
+          .as("popularity_bias"))
+      .localCheckpoint(true)
+    itemN.unpersist(false)
+    out
+  }
+
   /** Frequent 3-itemsets over the shared basket artifact: every ordered
     * triple (a < b < c) co-ordered at least `minOrders` times — the next
     * rung above pair mining for bundle/recommendation work. The fan-out

@@ -2735,6 +2735,63 @@ object TextOps {
           .as("simpson_d"))
       .orderBy(col("source"))
 
+  /** Good–Turing adjusted-count table over the corpus unigram
+    * frequencies — the smoothing step between the raw counts and any
+    * language-model probability ([[chao1Richness]] estimates how many
+    * types are unseen; Good–Turing says how much probability mass each
+    * SEEN count class should surrender to them): for r = 1..8 (a
+    * DESIGN-constant grid), N_r types occur exactly r times and the
+    * adjusted count is r* = (r+1)·N_{r+1}/N_r, with smoothed class
+    * probability p = r* / N; row r = 0 reports the classic unseen mass
+    * N₁/N (zero when no singletons exist). The grid is the `maxR`
+    * SMALLEST OBSERVED frequency classes — identical to the classic
+    * 1..maxR table whenever hapax exist, and still meaningful on a
+    * closed-vocabulary corpus whose minimum count exceeds maxR.
+    *
+    * Shape: one token explode → frequency-of-frequencies frame; the
+    * smallest classes come from a TakeOrderedAndProject head (never a
+    * single-partition window over the class frame), and N_{r+1} rides
+    * an equi-join back to the full class frame; every closed-form
+    * input an exact BIGINT. */
+  def goodTuring(spark: SparkSession, dir: String,
+                 maxR: Int = 8): DataFrame = {
+    val tf = Lake.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fof = tf.groupBy(col("tf").as("r"))
+      .agg(count(lit(1)).as("n_r"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = tf.agg(sum(col("tf")).as("nn"))
+    val low = fof.orderBy(col("r")).limit(maxR)
+    val grid = low
+      .join(fof.select((col("r") - 1L).as("r"), col("n_r").as("n_r1")),
+        Seq("r"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("r").cast("long").as("r"), col("n_r"),
+        coalesce(col("n_r1"), lit(0L)).as("n_r_next"),
+        round((col("r") + 1L).cast("double") *
+          coalesce(col("n_r1"), lit(0L)) / col("n_r"), 6).as("r_star"),
+        round((col("r") + 1L).cast("double") *
+          coalesce(col("n_r1"), lit(0L)) / col("n_r") / col("nn"), 6)
+          .as("p_smoothed"))
+    val unseen = tot
+      .join(broadcast(fof.filter(col("r") === 1L)
+        .select(col("n_r").as("f1"))), lit(true), "left")
+      .select(lit(0L).as("r"), lit(0L).as("n_r"),
+        coalesce(col("f1"), lit(0L)).as("n_r_next"),
+        lit(null).cast("double").as("r_star"),
+        round(coalesce(col("f1"), lit(0L)).cast("double") / col("nn"), 6)
+          .as("p_smoothed"))
+    val out = unseen.unionAll(grid).orderBy(col("r"))
+      .localCheckpoint(true)
+    fof.unpersist(false)
+    tf.unpersist(false)
+    out
+  }
+
   /** RAKE keyword extraction (Rapid Automatic Keyword Extraction):
     * candidate phrases are maximal stopword-delimited token runs; each
     * word scores deg/freq (deg = Σ length of the phrase instances it

@@ -1639,4 +1639,70 @@ class AnalyticsOpsSpec extends SparkSpecBase {
     assert(row.getDouble(4) >= -1e-9 && row.getDouble(4) <= 1.0,
       "predictability in [0,1]")
   }
+
+  test("IPW ATE matches brute-force stratum propensity weighting and ESS bounds") {
+    val users = Lake.events(spark, Sf)
+      .select(col("user_id"), to_date(col("ts")).as("d"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getString(2)))
+      .groupBy(_._1).map { case (_, es) =>
+        val d0 = es.map(_._2).minBy(_.toEpochDay)
+        (es.exists(e => e._2 == d0 && e._3 == "error"),
+          es.count(e => e._2.isAfter(d0) && e._3 == "purchase").toLong,
+          es.length.toLong / 20L)
+      }.toSeq
+    val strata = users.groupBy(_._3).values.toSeq
+      .map { us =>
+        (us.count(_._1).toLong, us.count(!_._1).toLong,
+          us.filter(_._1).map(_._2).sum, us.filterNot(_._1).map(_._2).sum)
+      }
+    val used = strata.filter(s => s._1 > 0 && s._2 > 0)
+    val nSup = used.map(s => s._1 + s._2).sum
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val wt = used.map { case (nt, nc, yt, _) => r6(yt.toDouble * (nt + nc) / nt) }.sum
+    val wc = used.map { case (nt, nc, _, yc) => r6(yc.toDouble * (nt + nc) / nc) }.sum
+    val w2t = used.map { case (nt, nc, _, _) =>
+      r6((nt + nc).toDouble * (nt + nc) / nt) }.sum
+    val w2c = used.map { case (nt, nc, _, _) =>
+      r6((nt + nc).toDouble * (nt + nc) / nc) }.sum
+    val row = graft.operators.EventOps.ipwAte(spark, Sf).collect().head
+    assert(row.getLong(0) == users.size.toLong, "n_users")
+    assert(row.getLong(1) == strata.size.toLong, "n_strata")
+    assert(row.getLong(2) == nSup, "n_on_support")
+    assert(row.getLong(3) == used.size.toLong, "n_strata_used")
+    assert(math.abs(row.getDouble(4) - (wt - wc) / nSup) < 1e-3, "ate_ipw")
+    val (essT, essC) = (nSup.toDouble * nSup / w2t, nSup.toDouble * nSup / w2c)
+    assert(math.abs(row.getDouble(5) - essT) < 1e-1, "ess_treated")
+    assert(math.abs(row.getDouble(6) - essC) < 1e-1, "ess_control")
+    // ESS never exceeds the arm's actual size (Cauchy-Schwarz)
+    assert(row.getDouble(5) <= used.map(_._1).sum + 1e-6, "ESS_t bound")
+    assert(row.getDouble(6) <= used.map(_._2).sum + 1e-6, "ESS_c bound")
+  }
+
+  test("inter-arrival spectrum: bit-length buckets match brute force, shares telescope") {
+    val gaps = Lake.events(spark, Sf)
+      .select(col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"), col("event_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).values.flatMap { es =>
+        val sorted = es.sortBy(e => (e._2, e._3)).map(_._2)
+        sorted.zip(sorted.tail).map { case (a, b) => b - a }
+      }.toSeq
+    val expected = gaps.map(g =>
+        if (g == 0L) 0 else java.lang.Long.toBinaryString(g).length)
+      .groupBy(identity).map { case (b, v) => b -> v.size.toLong }
+    val rows = graft.operators.EventOps.interarrival(spark, Sf).collect()
+    assert(rows.map(_.getInt(0)).toSet == expected.keySet, "bucket set")
+    val total = gaps.size.toDouble
+    var cum = 0.0
+    for (r <- rows) {
+      assert(r.getLong(1) == expected(r.getInt(0)), s"count at ${r.getInt(0)}")
+      assert(math.abs(r.getDouble(2) - r.getLong(1) / total) < 1e-5, "share")
+      cum = r.getDouble(3)
+    }
+    assert(math.abs(cum - 1.0) < 1e-5, "cumulative share ends at 1")
+    assert(rows.map(_.getDouble(3)).toSeq == rows.map(_.getDouble(3)).toSeq.sorted,
+      "cum_share monotone")
+  }
 }

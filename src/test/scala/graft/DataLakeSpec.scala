@@ -46,6 +46,27 @@ class DataLakeSpec extends SparkSpecBase {
       Seq("custkey", "partkey", "score", "n_src", "rnk"))
     assert(lake.hllNdv().columns.contains("ndv_hll"))
     assert(lake.normalize().columns.contains("text"))
+    // the eval/statistics surface added this session
+    assert(lake.nbMetrics().columns.toSeq == Seq("n", "n_classes",
+      "accuracy", "macro_precision", "macro_recall", "macro_f1", "kappa"))
+    assert(lake.cfHitRate().columns.toSeq ==
+      Seq("k", "n_eval", "n_hits", "hit_rate", "mrr"))
+    assert(lake.recCoverage().columns.contains("popularity_bias"))
+    assert(lake.ar2Forecast().columns.contains("skill"))
+    assert(lake.pacf().columns.toSeq ==
+      Seq("n_days", "r1", "r2", "r3", "pacf1", "pacf2", "pacf3"))
+    assert(lake.periodogram().columns.toSeq ==
+      Seq("period_days", "power", "is_peak"))
+    assert(lake.attStratified().columns.contains("att"))
+    assert(lake.cmhTest().columns.contains("or_mh"))
+    assert(lake.ipwAte().columns.contains("ess_treated"))
+    assert(lake.logrank().columns.contains("chi2"))
+    assert(lake.mannWhitney().columns.contains("u_stat"))
+    assert(lake.entropyRate().columns.contains("predictability"))
+    assert(lake.interarrival().columns.contains("cum_share"))
+    assert(lake.chao1Richness().columns.contains("chao1"))
+    assert(lake.yuleK().columns.contains("yule_k"))
+    assert(lake.goodTuring().columns.contains("p_smoothed"))
   }
 
   test("cleanCorpus drops exact dups, near dups, and low-quality docs") {

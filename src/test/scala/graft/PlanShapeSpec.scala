@@ -454,7 +454,16 @@ class PlanShapeSpec extends SparkSpecBase {
         "q_pacf",
         // q_entropy_rate: one-row total / entropy-sum broadcasts around
         // the event-type²-bounded cell frame
-        "q_entropy_rate")
+        "q_entropy_rate",
+        // q_good_turing: the one-row corpus-total broadcast against the
+        // bounded frequency-of-frequencies grid
+        "q_good_turing",
+        // q_ipw: the one-row support-totals broadcast against the
+        // bounded stratum frame
+        "q_ipw",
+        // q_rec_coverage: the one-row recommended-set totals broadcast
+        // against the one-row catalog totals
+        "q_rec_coverage")
     // collect ALL offenders before failing — a fail-fast assert hides
     // every offender behind the first and costs a full re-run per fix
     val offenders = scala.collection.mutable.LinkedHashSet[String]()

@@ -106,4 +106,26 @@ class RecommendSpec extends SparkSpecBase {
     assert(mrr <= hitRate + 1e-4 && mrr >= hitRate / 5.0 - 1e-4,
       s"mrr $mrr outside [${hitRate / 5}, $hitRate]")
   }
+
+  test("recommender coverage reconciles with the serving table and the catalog") {
+    import graft.operators.Relational
+    val recItems = Relational.itemKnnRecommend(spark, Sf).collect()
+      .map(_.getLong(1)).distinct
+    val itemN = graft.Lake.lineitem(spark, Sf)
+      .groupBy(col("l_partkey"))
+      .agg(countDistinct(col("l_orderkey")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val row = Relational.recCoverage(spark, Sf).collect().head
+    assert(row.getLong(0) == itemN.size.toLong, "catalog_size")
+    assert(row.getLong(1) == recItems.length.toLong, "n_rec_items")
+    assert(math.abs(row.getDouble(2) -
+      recItems.length.toDouble / itemN.size) < 1e-5, "coverage")
+    val popRec = recItems.map(itemN).sum.toDouble / recItems.length
+    val popCat = itemN.values.sum.toDouble / itemN.size
+    assert(math.abs(row.getDouble(3) - popRec) < 1e-3, "mean_pop_recommended")
+    assert(math.abs(row.getDouble(4) - popCat) < 1e-3, "mean_pop_catalog")
+    assert(math.abs(row.getDouble(5) - popRec / popCat) < 1e-3,
+      "popularity_bias")
+    assert(row.getDouble(2) > 0.0 && row.getDouble(2) <= 1.0)
+  }
 }

@@ -1149,4 +1149,38 @@ class TextOpsSpec extends SparkSpecBase {
       assert(d >= 0.0 && d <= 1.0, "D in [0,1]")
     }
   }
+
+  test("Good-Turing table matches the brute-force frequency spectrum and the r* identity") {
+    import org.apache.spark.sql.functions._
+    val freqs = Lake.documents(spark, Sf)
+      .filter(col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy(col("t")).agg(count(lit(1)).as("tf"))
+      .collect().map(_.getLong(1))
+    val nn = freqs.sum
+    val fof = freqs.groupBy(identity).map { case (r, v) => r -> v.size.toLong }
+    val rows = graft.operators.TextOps.goodTuring(spark, Sf).collect()
+    val byR = rows.map(r => r.getLong(0) -> r).toMap
+    // r = 0 row carries the unseen mass N1/N (0 without singletons)
+    assert(byR.contains(0L), "unseen row present")
+    assert(math.abs(byR(0L).getDouble(4) -
+      fof.getOrElse(1L, 0L).toDouble / nn) < 1e-6, "unseen mass")
+    // the grid is exactly the 8 smallest observed frequency classes
+    val expectedGrid = fof.keySet.toSeq.sorted.take(8)
+    assert(rows.filter(_.getLong(0) > 0L).map(_.getLong(0)).toSeq ==
+      expectedGrid, "smallest-8 grid")
+    for (r <- rows if r.getLong(0) > 0L) {
+      val rr = r.getLong(0)
+      assert(r.getLong(1) == fof(rr), s"N_$rr")
+      assert(r.getLong(2) == fof.getOrElse(rr + 1, 0L), s"N_{r+1} at $rr")
+      val star = (rr + 1).toDouble * fof.getOrElse(rr + 1, 0L) / fof(rr)
+      assert(math.abs(r.getDouble(3) - star) < 1e-5, s"r* at $rr")
+      assert(math.abs(r.getDouble(4) - star / nn) < 1e-6, s"p at $rr")
+      // Good-Turing always discounts from the bottom: r* < r forces
+      // N_{r+1}(r+1) < N_r r mass-wise only in aggregate — but p must
+      // be a probability
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    }
+  }
 }
