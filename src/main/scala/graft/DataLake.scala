@@ -315,9 +315,12 @@ final case class DataLake(spark: SparkSession, dir: String) {
   def logisticGains(): DataFrame = TextOps.logisticGains(spark, dir)
   /** Scalar classifier readout: accuracy, macro-P/R/F1, Cohen's κ. */
   def nbMetrics(): DataFrame = TextOps.nbMetrics(spark, dir)
-  /** Leave-last-out CF eval: hit-rate@k + MRR on a no-leak retrain. */
-  def cfHitRate(minOrders: Long = 2, k: Int = 5): DataFrame =
-    graft.operators.Relational.cfHitRate(spark, dir, minOrders, k)
+  /** Leave-last-out CF eval: hit-rate@k + MRR on a no-leak retrain.
+    * `minPairSupport` gates pair co-occurrence support in the retrained
+    * similarity model; the ≥2-orders eval-population threshold is fixed
+    * (leave-LAST-out needs at least one training order left). */
+  def cfHitRate(minPairSupport: Long = 2, k: Int = 5): DataFrame =
+    graft.operators.Relational.cfHitRate(spark, dir, minPairSupport, k)
   /** Catalog coverage + popularity bias of the CF serving table. */
   def recCoverage(): DataFrame =
     graft.operators.Relational.recCoverage(spark, dir)

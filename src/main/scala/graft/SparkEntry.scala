@@ -1161,12 +1161,15 @@ object SparkEntry {
        |${gramSql("tls", "wv", "g0")},
        |${solveSql("g0", "fit0")},
        |${stepSql(1)},
-       |${stepSql(2)}
+       |${stepSql(2)},
+       |rf AS (SELECT f.y - (b.b0 + b.b1 * f.x1 + b.b2 * f.x2) AS r
+       |  FROM f, fit2 b),
+       |sf AS (SELECT quantile_cont(abs(r), 0.5) AS s FROM rf)
        |SELECT n, round(b0, 4) AS b0, round(b1, 4) AS b1,
        |  round(b2, 4) AS b2, round(s, 4) AS scale_mad,
        |  n_down AS n_downweighted,
        |  round(CAST(swr AS DOUBLE) / n, 4) AS weight_mass
-       |FROM fit2, s2""".stripMargin
+       |FROM fit2, sf""".stripMargin
   }
 
   /** PPMI top-eigenvector oracle: vocab, windowed co-occurrence, PPMI
@@ -2821,11 +2824,11 @@ object SparkEntry {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
          |cand2 AS (
          |  SELECT x, wt, 1 AS pol, wpos_l + (w_neg - wneg_l) AS err
-         |  FROM c2
+         |  FROM c2 WHERE wpos_l + wneg_l < wt
          |  UNION ALL
          |  SELECT x, wt, -1 AS pol, wt - (wpos_l + (w_neg - wneg_l))
          |    AS err
-         |  FROM c2),
+         |  FROM c2 WHERE wpos_l + wneg_l < wt),
          |b2 AS (SELECT x AS th2, pol AS pol2, err AS err2, wt,
          |    round(0.5 * ln((CAST(wt - err AS DOUBLE) + 0.5)
          |      / (CAST(err AS DOUBLE) + 0.5)), 6) AS alpha2
@@ -4175,7 +4178,8 @@ object SparkEntry {
         |  round(b0, 4) AS b0, round(b1, 6) AS b1, round(b2, 6) AS b2,
         |  CAST(mse_dec AS DOUBLE) AS test_mse,
         |  round(CAST(sum(mse_dec) OVER (PARTITION BY ridge_lambda)
-        |    AS DOUBLE) / 4, 4) AS cv_mse
+        |    AS DOUBLE) / count(*) OVER (PARTITION BY ridge_lambda), 4)
+        |    AS cv_mse
         |FROM msef ORDER BY ridge_lambda, fold""".stripMargin,
     // Depth-2 CART: level-wise histograms (feat, v) then (node, feat,
     // v), the stump's integer score/gain trees per node, deterministic
@@ -5829,9 +5833,12 @@ object SparkEntry {
         |bi AS (SELECT part_a AS src, part_b AS cand, cos FROM sims
         |       UNION ALL SELECT part_b, part_a, cos FROM sims),
         |owned AS (SELECT DISTINCT custkey, l_partkey AS item FROM tli),
+        |ownedx AS (SELECT o.custkey, o.item FROM owned o
+        |  LEFT JOIN helditem h ON h.custkey = o.custkey
+        |  WHERE h.held_item IS NULL OR o.item <> h.held_item),
         |sc AS (SELECT w.custkey, b.cand, sum(b.cos) AS score_d
         |  FROM owned w JOIN bi b ON b.src = w.item
-        |  WHERE NOT EXISTS (SELECT 1 FROM owned o2
+        |  WHERE NOT EXISTS (SELECT 1 FROM ownedx o2
         |    WHERE o2.custkey = w.custkey AND o2.item = b.cand)
         |  GROUP BY 1, 2),
         |topk AS (SELECT custkey, cand, rnk

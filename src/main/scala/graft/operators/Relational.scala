@@ -1028,9 +1028,14 @@ object Relational {
     * train-slice basket rebuild deliberately bypasses the shared
     * basket artifact: leave-one-out similarity is eval-only state.
     * Each reciprocal rank is rounded once to 6 dp into decimal so the
-    * MRR sum is order-free. */
+    * MRR sum is order-free.
+    *
+    * `minPairSupport` gates pair co-occurrence support in the retrained
+    * similarity model (it is NOT the eval-population order count — that
+    * ≥2-orders threshold is structural: leave-LAST-out needs at least
+    * one training order to remain). */
   def cfHitRate(spark: SparkSession, dir: String,
-                minOrders: Long = 2, k: Int = 5): DataFrame = {
+                minPairSupport: Long = 2, k: Int = 5): DataFrame = {
     val d6 = DecimalType(18, 6)
     val wC = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
@@ -1057,7 +1062,7 @@ object Relational {
       .agg(array_sort(collect_set(col("l_partkey"))).as("items"))
     val itemN = baskets.select(explode(col("items")).as("pk"))
       .groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
-    val sims = basketPairCounts(baskets, minOrders)
+    val sims = basketPairCounts(baskets, minPairSupport)
       .join(broadcast(itemN.select(col("pk").as("part_a"),
         col("n_item").as("n_a"))), "part_a")
       .join(broadcast(itemN.select(col("pk").as("part_b"),
@@ -1072,11 +1077,18 @@ object Relational {
           col("cos")))
     val owned = tli.select(col("custkey"), col("l_partkey").as("item"))
       .distinct()
+    // candidate exclusion EXEMPTS the held item: a customer who already
+    // bought the held-out part in a training order must still be able to
+    // hit it, else the denominator counts structurally-impossible evals
+    // (non-eval customers have no heldItem row → left join keeps all)
+    val ownedExcl = owned.join(heldItem, Seq("custkey"), "left")
+      .filter(col("held_item").isNull || col("item") =!= col("held_item"))
+      .select(col("custkey"), col("item"))
     val wK = Window.partitionBy(col("custkey"))
       .orderBy(col("score_d").desc, col("cand").asc)
     val top = owned.select(col("custkey"), col("item").as("src"))
       .join(simBoth, "src")
-      .join(owned.select(col("custkey"), col("item").as("cand")),
+      .join(ownedExcl.select(col("custkey"), col("item").as("cand")),
         Seq("custkey", "cand"), "left_anti")
       .groupBy(col("custkey"), col("cand"))
       .agg(sum(col("cos")).as("score_d"))

@@ -727,11 +727,19 @@ object TextOps {
         .crossJoin(broadcast(scale))
         .localCheckpoint(true)
     }
-    val out = fit.select(col("n"),
+    // published scale = MAD of residuals against the EMITTED
+    // coefficients (one more residual pass) — the loop's `s` is the
+    // penultimate fit's working scale and does not correspond to b0..b2
+    val residF = feats
+      .crossJoin(broadcast(fit.select(col("b0"), col("b1"), col("b2"))))
+      .withColumn("r", col("y") - (col("b0") + col("b1") * col("x1")
+        + col("b2") * col("x2")))
+    val scaleF = residF.agg(expr("percentile(abs(r), 0.5D)").as("s_f"))
+    val out = fit.drop("s").crossJoin(broadcast(scaleF)).select(col("n"),
         round(col("b0"), 4).as("b0"),
         round(col("b1"), 4).as("b1"),
         round(col("b2"), 4).as("b2"),
-        round(col("s"), 4).as("scale_mad"),
+        round(col("s_f"), 4).as("scale_mad"),
         col("n_down").as("n_downweighted"),
         round(col("swr").cast("double") / col("n"), 4).as("weight_mass"))
     feats.unpersist(false)
@@ -810,6 +818,10 @@ object TextOps {
       .withColumn("wneg_l", sum(col("wneg")).over(wCum))
       .crossJoin(broadcast(tot2))
       .withColumn("wt", col("w_pos") + col("w_neg"))
+      // same last-threshold exclusion as round 1: the all-left split is
+      // a constant classifier and must not compete in either argmax
+      // (decimal sums are exact, so the equality test is safe)
+      .filter(col("wpos_l") + col("wneg_l") < col("wt"))
       .withColumn("ep", col("wpos_l") + (col("w_neg") - col("wneg_l")))
       .select(col("x"), col("wt"), explode(array(
         struct(lit(1).as("pol"), col("ep").as("err")),
@@ -1182,9 +1194,13 @@ object TextOps {
         + lit(2.0) * col("b1") * col("b2") * col("h12"))
       .withColumn("mse_dec", round(col("sse") / col("hn"), 4).cast(d4))
     val wLam = Window.partitionBy(col("ridge_lambda"))
+    // mean over the folds that SURVIVED the det≠0 / non-empty-fold
+    // filters — dividing by the literal k would silently average a
+    // dropped (lambda, fold) cell as zero
     scoredFold
       .withColumn("cv_mse",
-        round(sum(col("mse_dec")).over(wLam).cast("double") / k, 4))
+        round(sum(col("mse_dec")).over(wLam).cast("double")
+          / count(lit(1)).over(wLam), 4))
       .select(col("ridge_lambda"), col("fold"),
         col("n_train"), col("n_test"),
         round(col("b0"), 4).as("b0"),
