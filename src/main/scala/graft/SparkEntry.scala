@@ -555,6 +555,18 @@ object SparkEntry {
     // Catalog coverage + popularity bias of the CF serving table
     "q_rec_coverage"      -> ((s: SparkSession, d: String) =>
       Relational.recCoverage(s, d)),
+    // Cox PH one-step: churn hazard vs account balance (Breslow ties)
+    "q_cox"               -> ((s: SparkSession, d: String) =>
+      Relational.coxChurn(s, d)),
+    // Bradley-Terry supplier strength from per-part price duels (2 MM steps)
+    "q_bradley_terry"     -> ((s: SparkSession, d: String) =>
+      Relational.btSuppliers(s, d)),
+    // 1-NN caliper matching ATT on lifetime spend (BUILDING vs rest)
+    "q_psm_att"           -> ((s: SparkSession, d: String) =>
+      Relational.psmAtt(s, d)),
+    // Poisson GLM: order counts vs balance, 2 IRLS steps + deviance
+    "q_poisson"           -> ((s: SparkSession, d: String) =>
+      Relational.poissonOrders(s, d)),
     // Benford first-digit screen over order values
     "q_benford"           -> ((s: SparkSession, d: String) =>
       CatalogOps.benford(s, d, "orders", "o_totalprice")),
@@ -5771,6 +5783,202 @@ object SparkEntry {
          |FROM (SELECT *, cast(row_number() OVER (PARTITION BY custkey
          |    ORDER BY score_d DESC, cand) AS bigint) AS rnk FROM sc) t
          |WHERE rnk <= 3 ORDER BY custkey, rnk""".stripMargin,
+    // Cox PH one-step: per-duration decimal Grams, bounded risk-set
+    // cumulative, per-event-time terms rounded 8 dp then summed exact.
+    "q_cox" ->
+      """WITH pc AS (SELECT o_custkey,
+        |    CAST(min(o_orderdate) AS DATE) AS first_d,
+        |    CAST(max(o_orderdate) AS DATE) AS last_d
+        |  FROM orders GROUP BY 1),
+        |mx AS (SELECT CAST(max(o_orderdate) AS DATE) AS max_d FROM orders),
+        |b AS (SELECT
+        |    CAST(date_diff('day', first_d, last_d) AS BIGINT) AS dur,
+        |    CASE WHEN last_d < max_d - 90 THEN 1 ELSE 0 END AS ev,
+        |    CAST(c_acctbal AS DECIMAL(18,2)) AS x
+        |  FROM pc JOIN customer ON c_custkey = o_custkey, mx),
+        |pd AS (SELECT dur, CAST(count(*) AS BIGINT) AS n_d,
+        |    sum(x) AS s1_d, sum(CAST(x * x AS DECIMAL(18,4))) AS s2_d,
+        |    CAST(sum(ev) AS BIGINT) AS d_d,
+        |    sum(CASE WHEN ev = 1 THEN x
+        |        ELSE CAST(0 AS DECIMAL(18,2)) END) AS s1e_d
+        |  FROM b GROUP BY 1),
+        |rk AS (SELECT *, CAST(sum(n_d) OVER w AS BIGINT) AS nr,
+        |    sum(s1_d) OVER w AS rs1, sum(s2_d) OVER w AS rs2
+        |  FROM pd WINDOW w AS (ORDER BY dur DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |tm AS (SELECT d_d,
+        |    CAST(round(CAST(s1e_d AS DOUBLE)
+        |      - d_d * CAST(rs1 AS DOUBLE) / nr, 8) AS DECIMAL(18,8))
+        |      AS u_t,
+        |    CAST(round(d_d * (CAST(rs2 AS DOUBLE) / nr
+        |      - (CAST(rs1 AS DOUBLE) / nr) * (CAST(rs1 AS DOUBLE) / nr)),
+        |      8) AS DECIMAL(18,8)) AS i_t
+        |  FROM rk WHERE d_d > 0),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_customers FROM b),
+        |ag AS (SELECT CAST(sum(d_d) AS BIGINT) AS n_events,
+        |    sum(u_t) AS u, sum(i_t) AS i FROM tm)
+        |SELECT n_customers, n_events,
+        |  round(CAST(u AS DOUBLE) / CAST(i AS DOUBLE), 6) AS beta_1step,
+        |  round(1.0 / sqrt(CAST(i AS DOUBLE)), 6) AS se0,
+        |  round(CAST(u AS DOUBLE) / sqrt(CAST(i AS DOUBLE)), 4)
+        |    AS score_z
+        |FROM tot, ag""".stripMargin,
+    // Bradley-Terry: integer duel counts, two MM iterations with
+    // per-opponent terms rounded 8 dp and strengths re-entering
+    // decimal at 6 dp — replayed iteration for iteration.
+    "q_bradley_terry" ->
+      """WITH ps AS (SELECT l_partkey, l_suppkey,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      / CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS unit
+        |  FROM lineitem GROUP BY 1, 2),
+        |duels AS (SELECT a.l_suppkey AS sa, b.l_suppkey AS sb,
+        |    CASE WHEN a.unit < b.unit THEN 1 ELSE 0 END AS win_a
+        |  FROM ps a JOIN ps b ON a.l_partkey = b.l_partkey
+        |    AND a.l_suppkey < b.l_suppkey AND a.unit <> b.unit),
+        |pairs AS (SELECT sa, sb, CAST(sum(win_a) AS BIGINT) AS w_ab,
+        |    CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM duels GROUP BY 1, 2),
+        |sym AS (SELECT sa AS i, sb AS j, n_ab, w_ab AS w_i FROM pairs
+        |  UNION ALL
+        |  SELECT sb AS i, sa AS j, n_ab, n_ab - w_ab AS w_i FROM pairs),
+        |p0 AS (SELECT DISTINCT i,
+        |    CAST(1 AS DECIMAL(18,6)) AS p FROM sym),
+        |p1 AS (SELECT s.i,
+        |    CAST(round(CAST(sum(s.w_i) AS DOUBLE) /
+        |      CAST(sum(CAST(round(CAST(s.n_ab AS DOUBLE) /
+        |        CAST(pi.p + pj.p AS DOUBLE), 8) AS DECIMAL(18,8)))
+        |        AS DOUBLE), 6) AS DECIMAL(18,6)) AS p
+        |  FROM sym s JOIN p0 pi ON pi.i = s.i JOIN p0 pj ON pj.i = s.j
+        |  GROUP BY s.i),
+        |p2 AS (SELECT s.i,
+        |    CAST(round(CAST(sum(s.w_i) AS DOUBLE) /
+        |      CAST(sum(CAST(round(CAST(s.n_ab AS DOUBLE) /
+        |        CAST(pi.p + pj.p AS DOUBLE), 8) AS DECIMAL(18,8)))
+        |        AS DOUBLE), 6) AS DECIMAL(18,6)) AS p
+        |  FROM sym s JOIN p1 pi ON pi.i = s.i JOIN p1 pj ON pj.i = s.j
+        |  GROUP BY s.i),
+        |ro AS (SELECT i, CAST(sum(n_ab) AS BIGINT) AS n_duels,
+        |    CAST(sum(w_i) AS BIGINT) AS n_wins FROM sym GROUP BY 1)
+        |SELECT p2.i AS suppkey, n_duels, n_wins,
+        |  CAST(p AS DOUBLE) AS strength
+        |FROM p2 JOIN ro ON ro.i = p2.i
+        |ORDER BY strength DESC, suppkey LIMIT 20""".stripMargin,
+    // 1-NN caliper matching: IGNORE NULLS windowed predecessor/
+    // successor controls, exact decimal distances, ATT on decimal spend.
+    "q_psm_att" ->
+      """WITH sp AS (SELECT o_custkey,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS y
+        |  FROM orders GROUP BY 1),
+        |c AS (SELECT c_custkey AS ck, c_nationkey AS nk,
+        |    CAST(c_acctbal AS DECIMAL(18,2)) AS x,
+        |    c_mktsegment = 'BUILDING' AS treated,
+        |    coalesce(y, CAST(0 AS DECIMAL(18,2))) AS y
+        |  FROM customer LEFT JOIN sp ON o_custkey = c_custkey),
+        |wins AS (SELECT *,
+        |    last_value(CASE WHEN NOT treated THEN x END IGNORE NULLS)
+        |      OVER wp AS px,
+        |    last_value(CASE WHEN NOT treated THEN ck END IGNORE NULLS)
+        |      OVER wp AS pk,
+        |    first_value(CASE WHEN NOT treated THEN x END IGNORE NULLS)
+        |      OVER wn AS nx,
+        |    first_value(CASE WHEN NOT treated THEN ck END IGNORE NULLS)
+        |      OVER wn AS nnk
+        |  FROM c WINDOW
+        |    wp AS (PARTITION BY nk ORDER BY x, ck
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    wn AS (PARTITION BY nk ORDER BY x, ck
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
+        |mt AS (SELECT ck, y AS y_t,
+        |    CASE WHEN use_prev THEN pk ELSE nnk END AS mk,
+        |    CASE WHEN use_prev THEN x - px ELSE nx - x END AS dist
+        |  FROM (SELECT *, px IS NOT NULL AND
+        |      (nx IS NULL OR (x - px) <= (nx - x)) AS use_prev
+        |    FROM wins WHERE treated) t),
+        |mm AS (SELECT m.ck, m.y_t, c2.y AS y_c
+        |  FROM mt m JOIN c c2 ON c2.ck = m.mk
+        |  WHERE m.mk IS NOT NULL
+        |    AND m.dist <= CAST(100.0 AS DECIMAL(18,2))),
+        |ag AS (SELECT CAST(count(*) AS BIGINT) AS n_matched,
+        |    sum(y_t - y_c) AS sdiff, sum(y_t) AS st, sum(y_c) AS sc
+        |  FROM mm),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_treated
+        |  FROM c WHERE treated)
+        |SELECT n_treated, n_matched,
+        |  round(CAST(n_matched AS DOUBLE) / n_treated, 4) AS match_rate,
+        |  round(CAST(sdiff AS DOUBLE) / n_matched, 4) AS att,
+        |  round(CAST(st AS DOUBLE) / n_matched, 2) AS avg_y_treated,
+        |  round(CAST(sc AS DOUBLE) / n_matched, 2) AS avg_y_control
+        |FROM ag, nt""".stripMargin,
+    // Poisson IRLS ×2 from the null model: μ pinned to 6 dp after exp,
+    // Gram terms rounded 8 dp, 2×2 solve replayed step for step.
+    "q_poisson" ->
+      """WITH b AS (SELECT coalesce(yo, 0) AS y, c_acctbal / 1000.0 AS x
+        |  FROM customer LEFT JOIN (SELECT o_custkey,
+        |      CAST(count(*) AS BIGINT) AS yo FROM orders GROUP BY 1) o
+        |    ON o_custkey = c_custkey),
+        |f0 AS (SELECT CAST(round(ln(CAST(sum(y) AS DOUBLE) / count(*)),
+        |      6) AS DECIMAL(18,6)) AS b0,
+        |    CAST(0 AS DECIMAL(18,6)) AS b1 FROM b),
+        |g1 AS (SELECT
+        |    sum(CAST(round(md, 8) AS DECIMAL(18,8))) AS sw,
+        |    sum(CAST(round(md * x, 8) AS DECIMAL(18,8))) AS swx,
+        |    sum(CAST(round(md * x * x, 8) AS DECIMAL(18,8))) AS swxx,
+        |    sum(CAST(round(wzv, 8) AS DECIMAL(18,8))) AS swz,
+        |    sum(CAST(round(x * wzv, 8) AS DECIMAL(18,8))) AS swxz
+        |  FROM (SELECT x, md, md * eta + (y - md) AS wzv
+        |    FROM (SELECT b.y, b.x, eta,
+        |        CAST(CAST(round(exp(eta), 6) AS DECIMAL(18,6)) AS DOUBLE)
+        |          AS md
+        |      FROM (SELECT y, x, CAST(b0 AS DOUBLE)
+        |          + CAST(b1 AS DOUBLE) * x AS eta FROM b, f0) b) m) t),
+        |f1 AS (SELECT
+        |    CAST(round((CAST(swz AS DOUBLE) - CAST(b1 AS DOUBLE)
+        |      * CAST(swx AS DOUBLE)) / CAST(sw AS DOUBLE), 6)
+        |      AS DECIMAL(18,6)) AS b0, b1
+        |  FROM (SELECT sw, swx, swz,
+        |      CAST(round((CAST(sw AS DOUBLE) * CAST(swxz AS DOUBLE)
+        |        - CAST(swx AS DOUBLE) * CAST(swz AS DOUBLE)) /
+        |        (CAST(sw AS DOUBLE) * CAST(swxx AS DOUBLE)
+        |          - CAST(swx AS DOUBLE) * CAST(swx AS DOUBLE)), 6)
+        |        AS DECIMAL(18,6)) AS b1
+        |    FROM g1) t),
+        |g2 AS (SELECT
+        |    sum(CAST(round(md, 8) AS DECIMAL(18,8))) AS sw,
+        |    sum(CAST(round(md * x, 8) AS DECIMAL(18,8))) AS swx,
+        |    sum(CAST(round(md * x * x, 8) AS DECIMAL(18,8))) AS swxx,
+        |    sum(CAST(round(wzv, 8) AS DECIMAL(18,8))) AS swz,
+        |    sum(CAST(round(x * wzv, 8) AS DECIMAL(18,8))) AS swxz
+        |  FROM (SELECT x, md, md * eta + (y - md) AS wzv
+        |    FROM (SELECT b.y, b.x, eta,
+        |        CAST(CAST(round(exp(eta), 6) AS DECIMAL(18,6)) AS DOUBLE)
+        |          AS md
+        |      FROM (SELECT y, x, CAST(b0 AS DOUBLE)
+        |          + CAST(b1 AS DOUBLE) * x AS eta FROM b, f1) b) m) t),
+        |f2 AS (SELECT
+        |    CAST(round((CAST(swz AS DOUBLE) - CAST(b1 AS DOUBLE)
+        |      * CAST(swx AS DOUBLE)) / CAST(sw AS DOUBLE), 6)
+        |      AS DECIMAL(18,6)) AS b0, b1
+        |  FROM (SELECT sw, swx, swz,
+        |      CAST(round((CAST(sw AS DOUBLE) * CAST(swxz AS DOUBLE)
+        |        - CAST(swx AS DOUBLE) * CAST(swz AS DOUBLE)) /
+        |        (CAST(sw AS DOUBLE) * CAST(swxx AS DOUBLE)
+        |          - CAST(swx AS DOUBLE) * CAST(swx AS DOUBLE)), 6)
+        |        AS DECIMAL(18,6)) AS b1
+        |    FROM g2) t),
+        |dv AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(round(2.0 * t, 8) AS DECIMAL(18,8))) AS dv
+        |  FROM (SELECT CASE WHEN y > 0
+        |      THEN y * ln(CAST(y AS DOUBLE) / md) - (y - md)
+        |      ELSE md END AS t
+        |    FROM (SELECT b.y,
+        |        CAST(CAST(round(exp(CAST(b0 AS DOUBLE)
+        |          + CAST(b1 AS DOUBLE) * x), 6) AS DECIMAL(18,6))
+        |          AS DOUBLE) AS md
+        |      FROM b, f2) m) t)
+        |SELECT n, CAST(b0 AS DOUBLE) AS b0, CAST(b1 AS DOUBLE) AS b1,
+        |  round(CAST(dv AS DOUBLE), 4) AS deviance
+        |FROM dv, f2""".stripMargin,
     // Coverage/popularity-bias readout over the SAME serving CTE: the
     // distinct recommended set semi-joined to per-item order counts;
     // ratios one divide each on exact integers.

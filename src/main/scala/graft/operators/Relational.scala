@@ -1579,4 +1579,297 @@ object Relational {
     cust.unpersist(false)
     out
   }
+
+  /** Cox proportional-hazards churn readout — the semi-parametric twin
+    * of the Kaplan-Meier curve ([[graft.operators.EventOps.survivalCurve]])
+    * and log-rank test: score U(0), information I(0), and the one-step
+    * Newton estimate β̂ = U/I for the effect of account balance on the
+    * churn hazard. Subject = customer; duration = days between first
+    * and last order; event = the last order predates the corpus
+    * horizon by more than `horizonDays` (otherwise censored — still
+    * active at the edge of observation). Breslow risk sets: every
+    * customer with duration ≥ t.
+    *
+    * Exactness: x = acctbal in decimal(18,2) (x² exact in
+    * decimal(18,4)), so per-duration Gram sums and their cumulative
+    * risk-set sums are exact decimals; each event-time's score and
+    * information term is computed once in double and rounded to 8 dp
+    * into decimal, so the final sums are order-free and the DuckDB
+    * oracle replays bit-identically.
+    *
+    * Scale: one orders scan → customer-keyed reduce; the risk-set
+    * cumulative runs on the per-DURATION frame, whose size is bounded
+    * by the calendar span in days (≤ a few thousand rows at ANY data
+    * scale), so the unpartitioned window is a bounded-frame operation,
+    * not a data-sized sort. */
+  def coxChurn(spark: SparkSession, dir: String,
+               horizonDays: Int = 90): DataFrame = {
+    val d4 = DecimalType(18, 4)
+    val d8 = DecimalType(18, 8)
+    val perCust = Lake.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(min(to_date(col("o_orderdate"))).as("first_d"),
+        max(to_date(col("o_orderdate"))).as("last_d"))
+    val maxD = Lake.orders(spark, dir)
+      .agg(max(to_date(col("o_orderdate"))).as("max_d"))
+    val base = perCust
+      .join(Lake.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"))
+      .crossJoin(broadcast(maxD))
+      .select(
+        datediff(col("last_d"), col("first_d")).cast("long").as("dur"),
+        when(col("last_d") < date_sub(col("max_d"), horizonDays), 1L)
+          .otherwise(0L).as("ev"),
+        m(col("c_acctbal")).as("x"))
+    val perDur = base.groupBy(col("dur")).agg(
+      count(lit(1)).as("n_d"),
+      sum(col("x")).as("s1_d"),
+      sum((col("x") * col("x")).cast(d4)).as("s2_d"),
+      sum(col("ev")).as("d_d"),
+      sum(when(col("ev") === 1L, col("x"))
+        .otherwise(lit(java.math.BigDecimal.ZERO).cast(dec2))).as("s1e_d"))
+    // bounded frame: one row per distinct duration (≤ calendar days)
+    val wDesc = Window.orderBy(col("dur").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val risk = perDur
+      .withColumn("nr", sum(col("n_d")).over(wDesc))
+      .withColumn("rs1", sum(col("s1_d")).over(wDesc))
+      .withColumn("rs2", sum(col("s2_d")).over(wDesc))
+    val ratio1 = col("rs1").cast("double") / col("nr")
+    val terms = risk.filter(col("d_d") > 0)
+      .select(col("d_d"),
+        round(col("s1e_d").cast("double")
+          - col("d_d") * col("rs1").cast("double") / col("nr"), 8)
+          .cast(d8).as("u_t"),
+        round(col("d_d") * (col("rs2").cast("double") / col("nr")
+          - ratio1 * ratio1), 8).cast(d8).as("i_t"))
+    val tot = base.agg(count(lit(1)).as("n_customers"))
+    val agg = terms.agg(sum(col("d_d")).as("n_events"),
+      sum(col("u_t")).as("u"), sum(col("i_t")).as("i"))
+    tot.crossJoin(broadcast(agg)).select(
+      col("n_customers"), col("n_events"),
+      round(col("u").cast("double") / col("i").cast("double"), 6)
+        .as("beta_1step"),
+      round(lit(1.0) / sqrt(col("i").cast("double")), 6).as("se0"),
+      round(col("u").cast("double") / sqrt(col("i").cast("double")), 4)
+        .as("score_z"))
+  }
+
+  /** Bradley-Terry supplier strength from per-part price duels — the
+    * paired-comparison ranking model (the foundation of every modern
+    * preference-/reward-model fit) trained IN-ENGINE with two exact MM
+    * fixed-point iterations. Arena: within each part, every pair of
+    * suppliers that both shipped it duels once; the lower exact unit
+    * price (decimal revenue ÷ decimal quantity, one double divide)
+    * wins; exact ties are discarded (no half-wins, so every count is
+    * an integer). Pair outcomes aggregate over parts to (wins, duels)
+    * per supplier pair, and the MM update
+    * pᵢ ← Wᵢ / Σⱼ nᵢⱼ/(pᵢ+pⱼ) runs twice from p=1, each per-opponent
+    * term rounded once to 8 dp into decimal (order-free sums) and each
+    * strength re-entering decimal at 6 dp — so the oracle replays the
+    * iterations as CTEs bit-identically.
+    *
+    * Scale: per-(part, supplier) reduce on the fact scan; the duel
+    * fan-out is suppliers-per-part choose 2 (bounded by catalog
+    * design, ~6 rows/part); iterations are supplier-keyed joins over
+    * the pair frame — every stage is key-partitioned. */
+  def btSuppliers(spark: SparkSession, dir: String,
+                  topN: Int = 20): DataFrame = {
+    val d6 = DecimalType(18, 6)
+    val d8 = DecimalType(18, 8)
+    val ps = Lake.lineitem(spark, dir)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(m(col("l_extendedprice"))).as("rev"),
+        sum(m(col("l_quantity"))).as("qty"))
+      .select(col("l_partkey"), col("l_suppkey"),
+        (col("rev").cast("double") / col("qty").cast("double"))
+          .as("unit"))
+    val duels = ps.select(col("l_partkey"), col("l_suppkey").as("sa"),
+        col("unit").as("ua"))
+      .join(ps.select(col("l_partkey"), col("l_suppkey").as("sb"),
+        col("unit").as("ub")), Seq("l_partkey"))
+      .filter(col("sa") < col("sb") && col("ua") =!= col("ub"))
+      .select(col("sa"), col("sb"),
+        when(col("ua") < col("ub"), 1L).otherwise(0L).as("win_a"))
+    val pairs = duels.groupBy(col("sa"), col("sb"))
+      .agg(sum(col("win_a")).as("w_ab"), count(lit(1)).as("n_ab"))
+      .localCheckpoint(true) // feeds both iterations + the readout
+    val sym = pairs
+      .select(col("sa").as("i"), col("sb").as("j"), col("n_ab"),
+        col("w_ab").as("w_i"))
+      .unionByName(pairs.select(col("sb").as("i"), col("sa").as("j"),
+        col("n_ab"), (col("n_ab") - col("w_ab")).as("w_i")))
+    def mmStep(p: DataFrame): DataFrame = sym
+      .join(p.select(col("i"), col("p").as("p_i")), Seq("i"))
+      .join(p.select(col("i").as("j"), col("p").as("p_j")), Seq("j"))
+      .groupBy(col("i"))
+      .agg(sum(col("w_i")).as("w"),
+        sum(round(col("n_ab").cast("double") /
+          (col("p_i") + col("p_j")).cast("double"), 8).cast(d8))
+          .as("den"))
+      .select(col("i"),
+        round(col("w").cast("double") / col("den").cast("double"), 6)
+          .cast(d6).as("p"))
+    val p0 = sym.select(col("i")).distinct()
+      .withColumn("p", lit(java.math.BigDecimal.ONE).cast(d6))
+    val p2 = mmStep(mmStep(p0).localCheckpoint(true))
+    val readout = sym.groupBy(col("i"))
+      .agg(sum(col("n_ab")).as("n_duels"), sum(col("w_i")).as("n_wins"))
+    p2.join(readout, Seq("i"))
+      .select(col("i").as("suppkey"), col("n_duels"), col("n_wins"),
+        col("p").cast("double").as("strength"))
+      .orderBy(col("strength").desc, col("suppkey")).limit(topN)
+  }
+
+  /** Propensity-style 1-NN caliper matching ATT — the matching
+    * estimator beside the stratified/IPW pair
+    * ([[graft.operators.EventOps.ipwAte]]): each treated customer
+    * (mktsegment BUILDING) is matched WITH REPLACEMENT to its
+    * nearest-balance control in the SAME nation (exact decimal
+    * distance, caliper `caliper`), and ATT = mean matched outcome
+    * difference in lifetime spend. Nearest = the closer of the last
+    * control at-or-before and the first control after in
+    * (acctbal, custkey) order; distance ties prefer the predecessor —
+    * fully deterministic, and the decimal compares make the oracle's
+    * choice identical. With-replacement matching keeps every treated
+    * row's match independent (greedy without-replacement matching is
+    * order-sequential and cannot parallelize).
+    *
+    * Scale: per-customer outcome reduce, then ONE window pass
+    * partitioned by nation — parallelism equals |nations|; for a
+    * dimension-poor key the value-range fence (per-(nation, balance
+    * bucket) windows + a bounded per-bucket last/first-control
+    * broadcast, the [[abcPartsPar]] construction) recovers full
+    * parallelism without changing a single match. */
+  def psmAtt(spark: SparkSession, dir: String,
+             caliper: Double = 100.0): DataFrame = {
+    val spend = Lake.orders(spark, dir)
+      .groupBy(col("o_custkey")).agg(sum(m(col("o_totalprice"))).as("y"))
+    val cust = Lake.customer(spark, dir)
+      .join(spend, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey").as("ck"), col("c_nationkey").as("nk"),
+        m(col("c_acctbal")).as("x"),
+        (col("c_mktsegment") === "BUILDING").as("treated"),
+        coalesce(col("y"), lit(java.math.BigDecimal.ZERO).cast(dec2))
+          .as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ord = Window.partitionBy(col("nk"))
+      .orderBy(col("x"), col("ck"))
+    val prevW = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val nextW = ord.rowsBetween(1, Window.unboundedFollowing)
+    val ctlX = when(!col("treated"), col("x"))
+    val ctlK = when(!col("treated"), col("ck"))
+    val matched = cust
+      .withColumn("px", last(ctlX, ignoreNulls = true).over(prevW))
+      .withColumn("pk", last(ctlK, ignoreNulls = true).over(prevW))
+      .withColumn("nx", first(ctlX, ignoreNulls = true).over(nextW))
+      .withColumn("nnk", first(ctlK, ignoreNulls = true).over(nextW))
+      .filter(col("treated"))
+      .withColumn("use_prev", col("px").isNotNull &&
+        (col("nx").isNull || (col("x") - col("px")) <= (col("nx") - col("x"))))
+      .withColumn("mk", when(col("use_prev"), col("pk"))
+        .otherwise(col("nnk")))
+      .withColumn("dist", when(col("use_prev"), col("x") - col("px"))
+        .otherwise(col("nx") - col("x")))
+      .filter(col("mk").isNotNull && col("dist") <= m(lit(caliper)))
+      .select(col("ck"), col("y").as("y_t"), col("mk"))
+    val out = matched
+      .join(cust.select(col("ck").as("mk"), col("y").as("y_c")), Seq("mk"))
+      .agg(count(lit(1)).as("n_matched"),
+        sum(col("y_t") - col("y_c")).as("sdiff"),
+        sum(col("y_t")).as("st"), sum(col("y_c")).as("sc"))
+      .crossJoin(broadcast(
+        cust.filter(col("treated")).agg(count(lit(1)).as("n_treated"))))
+      .select(col("n_treated"), col("n_matched"),
+        round(col("n_matched").cast("double") / col("n_treated"), 4)
+          .as("match_rate"),
+        round(col("sdiff").cast("double") / col("n_matched"), 4)
+          .as("att"),
+        round(col("st").cast("double") / col("n_matched"), 2)
+          .as("avg_y_treated"),
+        round(col("sc").cast("double") / col("n_matched"), 2)
+          .as("avg_y_control"))
+      .localCheckpoint(true)
+    cust.unpersist(false)
+    out
+  }
+
+  /** Poisson regression of per-customer order counts on account
+    * balance — the count-GLM member of the in-engine regression family
+    * (OLS [[graft.operators.TextOps.olsMulti]], ridge, Huber,
+    * logistic): ln μ = b0 + b1·(acctbal/1000), fit by two IRLS steps
+    * from the null model b0 = ln ȳ, b1 = 0. Each step: μ = exp(η)
+    * rounded once to 6 dp into decimal (the only transcendental —
+    * pinned before any sum), working response folded into the weighted
+    * normal equations, every per-row term rounded to 8 dp into decimal
+    * so the five Gram sums are order-free, and the 2×2 solve is closed
+    * form in double with coefficients re-entering decimal at 6 dp.
+    * Readout adds the model deviance 2Σ[y·ln(y/μ) − (y−μ)] (0·ln0 = 0)
+    * against the final fit — the GLM goodness-of-fit the
+    * null-vs-fitted comparison needs.
+    *
+    * Scale: one orders reduce + a customer dimension join; each IRLS
+    * step is ONE corpus pass ending in a 1-row broadcast. */
+  def poissonOrders(spark: SparkSession, dir: String): DataFrame = {
+    val d6 = DecimalType(18, 6)
+    val d8 = DecimalType(18, 8)
+    val counts = Lake.orders(spark, dir)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("yo"))
+    val base = Lake.customer(spark, dir)
+      .join(counts, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("yo"), lit(0L)).as("y"),
+        (col("c_acctbal") / lit(1000.0)).as("x"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val start = base.agg(
+      round(log(sum(col("y")).cast("double") / count(lit(1))), 6)
+        .cast(d6).as("b0"),
+      lit(java.math.BigDecimal.ZERO).cast(d6).as("b1"))
+    def irlsStep(fit: DataFrame): DataFrame = {
+      val g = base.crossJoin(broadcast(fit))
+        .withColumn("eta",
+          col("b0").cast("double") + col("b1").cast("double") * col("x"))
+        .withColumn("mu", round(exp(col("eta")), 6).cast(d6))
+        .withColumn("md", col("mu").cast("double"))
+        // wz = μ·η + (y−μ): the weighted working response, exact algebra
+        .withColumn("wzv", col("md") * col("eta") + (col("y") - col("md")))
+        .agg(
+          sum(round(col("md"), 8).cast(d8)).as("sw"),
+          sum(round(col("md") * col("x"), 8).cast(d8)).as("swx"),
+          sum(round(col("md") * col("x") * col("x"), 8).cast(d8))
+            .as("swxx"),
+          sum(round(col("wzv"), 8).cast(d8)).as("swz"),
+          sum(round(col("x") * col("wzv"), 8).cast(d8)).as("swxz"))
+      g.select(
+        round((col("sw").cast("double") * col("swxz").cast("double")
+          - col("swx").cast("double") * col("swz").cast("double")) /
+          (col("sw").cast("double") * col("swxx").cast("double")
+            - col("swx").cast("double") * col("swx").cast("double")), 6)
+          .cast(d6).as("b1"),
+        col("sw"), col("swx"), col("swz"))
+        .select(
+          round((col("swz").cast("double")
+            - col("b1").cast("double") * col("swx").cast("double")) /
+            col("sw").cast("double"), 6).cast(d6).as("b0"),
+          col("b1"))
+    }
+    val fit = irlsStep(irlsStep(start.localCheckpoint(true))
+      .localCheckpoint(true))
+    val dev = base.crossJoin(broadcast(fit))
+      .withColumn("mu", round(exp(col("b0").cast("double")
+        + col("b1").cast("double") * col("x")), 6).cast(d6))
+      .withColumn("md", col("mu").cast("double"))
+      .withColumn("t", when(col("y") > 0L,
+        col("y") * log(col("y").cast("double") / col("md"))
+          - (col("y") - col("md")))
+        .otherwise(col("md")))
+      .agg(count(lit(1)).as("n"),
+        sum(round(lit(2.0) * col("t"), 8).cast(d8)).as("dv"))
+    val out = dev.crossJoin(broadcast(fit))
+      .select(col("n"), col("b0").cast("double").as("b0"),
+        col("b1").cast("double").as("b1"),
+        round(col("dv").cast("double"), 4).as("deviance"))
+      .localCheckpoint(true)
+    base.unpersist(false)
+    out
+  }
 }

@@ -463,7 +463,16 @@ class PlanShapeSpec extends SparkSpecBase {
         "q_ipw",
         // q_rec_coverage: the one-row recommended-set totals broadcast
         // against the one-row catalog totals
-        "q_rec_coverage")
+        "q_rec_coverage",
+        // q_cox: the one-row corpus-horizon broadcast against the
+        // customer frame (the q_logrank pattern) + one-row U/I totals
+        "q_cox",
+        // q_psm_att: the one-row treated-count broadcast composing the
+        // final readout (the q_cf_eval pattern)
+        "q_psm_att",
+        // q_poisson: per-IRLS-step one-row coefficient broadcasts
+        // against the customer frame (the q_huber pattern)
+        "q_poisson")
     // collect ALL offenders before failing — a fail-fast assert hides
     // every offender behind the first and costs a full re-run per fix
     val offenders = scala.collection.mutable.LinkedHashSet[String]()
