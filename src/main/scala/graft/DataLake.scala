@@ -324,6 +324,37 @@ final case class DataLake(spark: SparkSession, dir: String) {
   /** Catalog coverage + popularity bias of the CF serving table. */
   def recCoverage(): DataFrame =
     graft.operators.Relational.recCoverage(spark, dir)
+  /** Cox PH one-step churn readout (Breslow risk sets). */
+  def coxChurn(horizonDays: Int = 90): DataFrame =
+    graft.operators.Relational.coxChurn(spark, dir, horizonDays)
+  /** Bradley–Terry supplier strength from per-part price duels. */
+  def btSuppliers(topN: Int = 20): DataFrame =
+    graft.operators.Relational.btSuppliers(spark, dir, topN)
+  /** 1-NN caliper matching ATT on lifetime spend. */
+  def psmAtt(caliper: Double = 100.0): DataFrame =
+    graft.operators.Relational.psmAtt(spark, dir, caliper)
+  /** Poisson GLM of order counts on balance (2 IRLS steps). */
+  def poissonOrders(): DataFrame =
+    graft.operators.Relational.poissonOrders(spark, dir)
+  /** Pearson overdispersion diagnostic of the Poisson fit. */
+  def poissonDispersion(): DataFrame =
+    graft.operators.Relational.poissonDispersion(spark, dir)
+  /** Calibration table + ECE + Brier of the logistic scores. */
+  def logisticCalibration(): DataFrame =
+    TextOps.logisticCalibration(spark, dir)
+  /** Two rounds of L2 gradient boosting with shrunk stumps. */
+  def gbt2(): DataFrame = TextOps.gbt2(spark, dir)
+  /** Baron–Kenny mediation (balance → orders → spend) + Sobel z. */
+  def mediationSpend(): DataFrame =
+    graft.operators.Relational.mediationSpend(spark, dir)
+  /** Kendall τ-b between the daily count and value series. */
+  def kendallDaily(): DataFrame = EventOps.kendallDaily(spark, dir)
+  /** HHI + CR4 supplier-revenue concentration per nation. */
+  def hhiSuppliers(): DataFrame =
+    graft.operators.Relational.hhiSuppliers(spark, dir)
+  /** Log-log price elasticity of demand over order lines. */
+  def priceElasticity(): DataFrame =
+    graft.operators.Relational.priceElasticity(spark, dir)
   /** AR(2) Yule–Walker fit + one-step backtest vs the naive baseline. */
   def ar2Forecast(): DataFrame = EventOps.ar2Forecast(spark, dir)
   /** Partial autocorrelation (lags 1..3) by Durbin–Levinson. */

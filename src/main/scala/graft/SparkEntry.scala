@@ -567,6 +567,27 @@ object SparkEntry {
     // Poisson GLM: order counts vs balance, 2 IRLS steps + deviance
     "q_poisson"           -> ((s: SparkSession, d: String) =>
       Relational.poissonOrders(s, d)),
+    // Calibration table + ECE + Brier of the trained logistic scores
+    "q_logreg_ece"        -> ((s: SparkSession, d: String) =>
+      TextOps.logisticCalibration(s, d)),
+    // Two rounds of L2 gradient boosting with shrunk stump learners
+    "q_gbt2"              -> ((s: SparkSession, d: String) =>
+      TextOps.gbt2(s, d)),
+    // Baron-Kenny mediation of balance -> order count -> spend + Sobel z
+    "q_mediation"         -> ((s: SparkSession, d: String) =>
+      Relational.mediationSpend(s, d)),
+    // Kendall tau-b concordance between daily count and value series
+    "q_kendall"           -> ((s: SparkSession, d: String) =>
+      EventOps.kendallDaily(s, d)),
+    // Pearson overdispersion diagnostic of the Poisson fit
+    "q_poisson_disp"      -> ((s: SparkSession, d: String) =>
+      Relational.poissonDispersion(s, d)),
+    // HHI + CR4 supplier-revenue concentration per nation
+    "q_hhi"               -> ((s: SparkSession, d: String) =>
+      Relational.hhiSuppliers(s, d)),
+    // Log-log price elasticity of demand over order lines
+    "q_elasticity"        -> ((s: SparkSession, d: String) =>
+      Relational.priceElasticity(s, d)),
     // Benford first-digit screen over order values
     "q_benford"           -> ((s: SparkSession, d: String) =>
       CatalogOps.benford(s, d, "orders", "o_totalprice")),
@@ -1097,6 +1118,128 @@ object SparkEntry {
     * over weighted decimal Grams — OLS start, the MM centered-MAD 0/1
     * trim re-solve, then two efficient steps with quantile_cont scale
     * and 6-dp weights, replayed cell-for-cell. */
+  /** Poisson IRLS x2 oracle prefix: feature frame b, null start f0,
+    * two replayed IRLS steps ending in the final fit f2. */
+  private def poissonCtePrefix: String =
+    """WITH b AS (SELECT coalesce(yo, 0) AS y, c_acctbal / 1000.0 AS x
+        |  FROM customer LEFT JOIN (SELECT o_custkey,
+        |      CAST(count(*) AS BIGINT) AS yo FROM orders GROUP BY 1) o
+        |    ON o_custkey = c_custkey),
+        |f0 AS (SELECT CAST(round(ln(CAST(sum(y) AS DOUBLE) / count(*)),
+        |      6) AS DECIMAL(18,6)) AS b0,
+        |    CAST(0 AS DECIMAL(18,6)) AS b1 FROM b),
+        |g1 AS (SELECT
+        |    sum(CAST(round(md, 8) AS DECIMAL(18,8))) AS sw,
+        |    sum(CAST(round(md * x, 8) AS DECIMAL(18,8))) AS swx,
+        |    sum(CAST(round(md * x * x, 8) AS DECIMAL(18,8))) AS swxx,
+        |    sum(CAST(round(wzv, 8) AS DECIMAL(18,8))) AS swz,
+        |    sum(CAST(round(x * wzv, 8) AS DECIMAL(18,8))) AS swxz
+        |  FROM (SELECT x, md, md * eta + (y - md) AS wzv
+        |    FROM (SELECT b.y, b.x, eta,
+        |        CAST(CAST(round(exp(eta), 6) AS DECIMAL(18,6)) AS DOUBLE)
+        |          AS md
+        |      FROM (SELECT y, x, CAST(b0 AS DOUBLE)
+        |          + CAST(b1 AS DOUBLE) * x AS eta FROM b, f0) b) m) t),
+        |f1 AS (SELECT
+        |    CAST(round((CAST(swz AS DOUBLE) - CAST(b1 AS DOUBLE)
+        |      * CAST(swx AS DOUBLE)) / CAST(sw AS DOUBLE), 6)
+        |      AS DECIMAL(18,6)) AS b0, b1
+        |  FROM (SELECT sw, swx, swz,
+        |      CAST(round((CAST(sw AS DOUBLE) * CAST(swxz AS DOUBLE)
+        |        - CAST(swx AS DOUBLE) * CAST(swz AS DOUBLE)) /
+        |        (CAST(sw AS DOUBLE) * CAST(swxx AS DOUBLE)
+        |          - CAST(swx AS DOUBLE) * CAST(swx AS DOUBLE)), 6)
+        |        AS DECIMAL(18,6)) AS b1
+        |    FROM g1) t),
+        |g2 AS (SELECT
+        |    sum(CAST(round(md, 8) AS DECIMAL(18,8))) AS sw,
+        |    sum(CAST(round(md * x, 8) AS DECIMAL(18,8))) AS swx,
+        |    sum(CAST(round(md * x * x, 8) AS DECIMAL(18,8))) AS swxx,
+        |    sum(CAST(round(wzv, 8) AS DECIMAL(18,8))) AS swz,
+        |    sum(CAST(round(x * wzv, 8) AS DECIMAL(18,8))) AS swxz
+        |  FROM (SELECT x, md, md * eta + (y - md) AS wzv
+        |    FROM (SELECT b.y, b.x, eta,
+        |        CAST(CAST(round(exp(eta), 6) AS DECIMAL(18,6)) AS DOUBLE)
+        |          AS md
+        |      FROM (SELECT y, x, CAST(b0 AS DOUBLE)
+        |          + CAST(b1 AS DOUBLE) * x AS eta FROM b, f1) b) m) t),
+        |f2 AS (SELECT
+        |    CAST(round((CAST(swz AS DOUBLE) - CAST(b1 AS DOUBLE)
+        |      * CAST(swx AS DOUBLE)) / CAST(sw AS DOUBLE), 6)
+        |      AS DECIMAL(18,6)) AS b0, b1
+        |  FROM (SELECT sw, swx, swz,
+        |      CAST(round((CAST(sw AS DOUBLE) * CAST(swxz AS DOUBLE)
+        |        - CAST(swx AS DOUBLE) * CAST(swz AS DOUBLE)) /
+        |        (CAST(sw AS DOUBLE) * CAST(swxx AS DOUBLE)
+        |          - CAST(swx AS DOUBLE) * CAST(swx AS DOUBLE)), 6)
+        |        AS DECIMAL(18,6)) AS b1
+        |    FROM g2) t)""".stripMargin
+
+  /** GBT oracle: f0, two stump replays over the stop-ratio histogram
+    * with 9-dp scores and 6-dp shrunk leaves, residuals exact decimal. */
+  private def gbtOracleSql: String = {
+    def stump(rsrc: String, out: String): String =
+      s"""h$out AS (SELECT x, CAST(count(*) AS BIGINT) AS n_v,
+         |    sum(r) AS sr_v FROM $rsrc GROUP BY x),
+         |c$out AS (SELECT *, CAST(sum(n_v) OVER w AS BIGINT) AS n_l,
+         |    sum(sr_v) OVER w AS s_l
+         |  FROM h$out WINDOW w AS (ORDER BY x
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |t$out AS (SELECT CAST(sum(n_v) AS BIGINT) AS n, sum(sr_v) AS s
+         |  FROM h$out),
+         |$out AS (SELECT x AS threshold,
+         |    CAST(round(0.5 * CAST(s_l AS DOUBLE) / n_l, 6)
+         |      AS DECIMAL(18,6)) AS left_val,
+         |    CAST(round(0.5 * CAST(s - s_l AS DOUBLE) / (n - n_l), 6)
+         |      AS DECIMAL(18,6)) AS right_val,
+         |    n_l AS n_left, n - n_l AS n_right
+         |  FROM (SELECT *, row_number() OVER (ORDER BY score DESC, x)
+         |      AS rn
+         |    FROM (SELECT c$out.*, t$out.n, t$out.s,
+         |        round(CAST(s_l AS DOUBLE) * CAST(s_l AS DOUBLE) / n_l
+         |          + CAST(s - s_l AS DOUBLE) * CAST(s - s_l AS DOUBLE)
+         |            / (n - n_l), 9) AS score
+         |      FROM c$out, t$out WHERE n - n_l > 0) q) q2
+         |  WHERE rn = 1)""".stripMargin
+    def mse(rsrc: String, out: String): String =
+      s"""$out AS (SELECT round(CAST(sum(CAST(round(
+         |    CAST(r AS DOUBLE) * CAST(r AS DOUBLE), 8) AS DECIMAL(18,8)))
+         |    AS DOUBLE) / count(*), 4) AS mse FROM $rsrc)""".stripMargin
+    s"""WITH feats AS (SELECT
+       |    round(len(list_filter(string_split(text, ' '),
+       |        t -> t IN ($stopList))) * 1.0
+       |      / len(string_split(text, ' ')), 4) AS x,
+       |    n_chars AS y
+       |  FROM documents WHERE text IS NOT NULL),
+       |f0 AS (SELECT CAST(round(CAST(sum(y) AS DOUBLE) / count(*), 6)
+       |    AS DECIMAL(18,6)) AS f0 FROM feats),
+       |r1 AS (SELECT x, y - f0 AS r FROM feats, f0),
+       |${stump("r1", "s1")},
+       |r2 AS (SELECT r1.x, r1.r - CASE WHEN r1.x <= s1.threshold
+       |      THEN s1.left_val ELSE s1.right_val END AS r
+       |  FROM r1, s1),
+       |${stump("r2", "s2")},
+       |r3 AS (SELECT r2.x, r2.r - CASE WHEN r2.x <= s2.threshold
+       |      THEN s2.left_val ELSE s2.right_val END AS r
+       |  FROM r2, s2),
+       |${mse("r1", "m1")},
+       |${mse("r2", "m2")},
+       |${mse("r3", "m3")}
+       |SELECT * FROM (
+       |  SELECT 1 AS round, threshold,
+       |    CAST(left_val AS DOUBLE) AS left_val,
+       |    CAST(right_val AS DOUBLE) AS right_val, n_left, n_right,
+       |    m1.mse AS mse_before, m2.mse AS mse_after
+       |  FROM s1, m1, m2
+       |  UNION ALL
+       |  SELECT 2 AS round, threshold,
+       |    CAST(left_val AS DOUBLE) AS left_val,
+       |    CAST(right_val AS DOUBLE) AS right_val, n_left, n_right,
+       |    m2.mse AS mse_before, m3.mse AS mse_after
+       |  FROM s2, m2, m3) u
+       |ORDER BY round""".stripMargin
+  }
+
   private def huberOracleSql: String = {
     val kc = 1.345 * 1.4826
     val kt = 3 * 1.4826
@@ -5913,72 +6056,216 @@ object SparkEntry {
     // Poisson IRLS ×2 from the null model: μ pinned to 6 dp after exp,
     // Gram terms rounded 8 dp, 2×2 solve replayed step for step.
     "q_poisson" ->
-      """WITH b AS (SELECT coalesce(yo, 0) AS y, c_acctbal / 1000.0 AS x
-        |  FROM customer LEFT JOIN (SELECT o_custkey,
-        |      CAST(count(*) AS BIGINT) AS yo FROM orders GROUP BY 1) o
-        |    ON o_custkey = c_custkey),
-        |f0 AS (SELECT CAST(round(ln(CAST(sum(y) AS DOUBLE) / count(*)),
-        |      6) AS DECIMAL(18,6)) AS b0,
-        |    CAST(0 AS DECIMAL(18,6)) AS b1 FROM b),
-        |g1 AS (SELECT
-        |    sum(CAST(round(md, 8) AS DECIMAL(18,8))) AS sw,
-        |    sum(CAST(round(md * x, 8) AS DECIMAL(18,8))) AS swx,
-        |    sum(CAST(round(md * x * x, 8) AS DECIMAL(18,8))) AS swxx,
-        |    sum(CAST(round(wzv, 8) AS DECIMAL(18,8))) AS swz,
-        |    sum(CAST(round(x * wzv, 8) AS DECIMAL(18,8))) AS swxz
-        |  FROM (SELECT x, md, md * eta + (y - md) AS wzv
-        |    FROM (SELECT b.y, b.x, eta,
-        |        CAST(CAST(round(exp(eta), 6) AS DECIMAL(18,6)) AS DOUBLE)
-        |          AS md
-        |      FROM (SELECT y, x, CAST(b0 AS DOUBLE)
-        |          + CAST(b1 AS DOUBLE) * x AS eta FROM b, f0) b) m) t),
-        |f1 AS (SELECT
-        |    CAST(round((CAST(swz AS DOUBLE) - CAST(b1 AS DOUBLE)
-        |      * CAST(swx AS DOUBLE)) / CAST(sw AS DOUBLE), 6)
-        |      AS DECIMAL(18,6)) AS b0, b1
-        |  FROM (SELECT sw, swx, swz,
-        |      CAST(round((CAST(sw AS DOUBLE) * CAST(swxz AS DOUBLE)
-        |        - CAST(swx AS DOUBLE) * CAST(swz AS DOUBLE)) /
-        |        (CAST(sw AS DOUBLE) * CAST(swxx AS DOUBLE)
-        |          - CAST(swx AS DOUBLE) * CAST(swx AS DOUBLE)), 6)
-        |        AS DECIMAL(18,6)) AS b1
-        |    FROM g1) t),
-        |g2 AS (SELECT
-        |    sum(CAST(round(md, 8) AS DECIMAL(18,8))) AS sw,
-        |    sum(CAST(round(md * x, 8) AS DECIMAL(18,8))) AS swx,
-        |    sum(CAST(round(md * x * x, 8) AS DECIMAL(18,8))) AS swxx,
-        |    sum(CAST(round(wzv, 8) AS DECIMAL(18,8))) AS swz,
-        |    sum(CAST(round(x * wzv, 8) AS DECIMAL(18,8))) AS swxz
-        |  FROM (SELECT x, md, md * eta + (y - md) AS wzv
-        |    FROM (SELECT b.y, b.x, eta,
-        |        CAST(CAST(round(exp(eta), 6) AS DECIMAL(18,6)) AS DOUBLE)
-        |          AS md
-        |      FROM (SELECT y, x, CAST(b0 AS DOUBLE)
-        |          + CAST(b1 AS DOUBLE) * x AS eta FROM b, f1) b) m) t),
-        |f2 AS (SELECT
-        |    CAST(round((CAST(swz AS DOUBLE) - CAST(b1 AS DOUBLE)
-        |      * CAST(swx AS DOUBLE)) / CAST(sw AS DOUBLE), 6)
-        |      AS DECIMAL(18,6)) AS b0, b1
-        |  FROM (SELECT sw, swx, swz,
-        |      CAST(round((CAST(sw AS DOUBLE) * CAST(swxz AS DOUBLE)
-        |        - CAST(swx AS DOUBLE) * CAST(swz AS DOUBLE)) /
-        |        (CAST(sw AS DOUBLE) * CAST(swxx AS DOUBLE)
-        |          - CAST(swx AS DOUBLE) * CAST(swx AS DOUBLE)), 6)
-        |        AS DECIMAL(18,6)) AS b1
-        |    FROM g2) t),
-        |dv AS (SELECT CAST(count(*) AS BIGINT) AS n,
-        |    sum(CAST(round(2.0 * t, 8) AS DECIMAL(18,8))) AS dv
-        |  FROM (SELECT CASE WHEN y > 0
-        |      THEN y * ln(CAST(y AS DOUBLE) / md) - (y - md)
-        |      ELSE md END AS t
-        |    FROM (SELECT b.y,
-        |        CAST(CAST(round(exp(CAST(b0 AS DOUBLE)
-        |          + CAST(b1 AS DOUBLE) * x), 6) AS DECIMAL(18,6))
-        |          AS DOUBLE) AS md
-        |      FROM b, f2) m) t)
-        |SELECT n, CAST(b0 AS DOUBLE) AS b0, CAST(b1 AS DOUBLE) AS b1,
-        |  round(CAST(dv AS DOUBLE), 4) AS deviance
-        |FROM dv, f2""".stripMargin,
+      s"""$poissonCtePrefix,
+         |dv AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    sum(CAST(round(2.0 * t, 8) AS DECIMAL(18,8))) AS dv
+         |  FROM (SELECT CASE WHEN y > 0
+         |      THEN y * ln(CAST(y AS DOUBLE) / md) - (y - md)
+         |      ELSE md END AS t
+         |    FROM (SELECT b.y,
+         |        CAST(CAST(round(exp(CAST(b0 AS DOUBLE)
+         |          + CAST(b1 AS DOUBLE) * x), 6) AS DECIMAL(18,6))
+         |          AS DOUBLE) AS md
+         |      FROM b, f2) m) t)
+         |SELECT n, CAST(b0 AS DOUBLE) AS b0, CAST(b1 AS DOUBLE) AS b1,
+         |  round(CAST(dv AS DOUBLE), 4) AS deviance
+         |FROM dv, f2""".stripMargin,
+    // Pearson overdispersion against the SAME replayed Poisson fit.
+    "q_poisson_disp" ->
+      s"""$poissonCtePrefix,
+         |pe AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    sum(CAST(round((y - md) * (y - md) / md, 8)
+         |      AS DECIMAL(18,8))) AS sp,
+         |    sum(CAST(round(md, 8) AS DECIMAL(18,8))) AS smu
+         |  FROM (SELECT b.y,
+         |      CAST(CAST(round(exp(CAST(b0 AS DOUBLE)
+         |        + CAST(b1 AS DOUBLE) * x), 6) AS DECIMAL(18,6))
+         |        AS DOUBLE) AS md
+         |    FROM b, f2) m)
+         |SELECT n, round(CAST(sp AS DOUBLE) / (n - 2), 4) AS phi,
+         |  round(CAST(smu AS DOUBLE) / n, 4) AS mean_mu,
+         |  round((CAST(sp AS DOUBLE) / (n - 2) - 1.0)
+         |    * sqrt(CAST(n - 2 AS DOUBLE) / 2.0), 4) AS z_overdisp
+         |FROM pe""".stripMargin,
+    // Calibration over the SAME replayed logistic weights: exact
+    // decimal binning, decimal confidence sums, 8-dp ECE/Brier terms.
+    "q_logreg_ece" ->
+      s"""$logisticCtePrefix,
+         |vals AS (SELECT p, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(y) AS BIGINT) AS n_pos
+         |  FROM sc WHERE y IS NOT NULL GROUP BY p),
+         |valsb AS (SELECT *,
+         |    CAST(round(n * CAST(p AS DOUBLE) * CAST(p AS DOUBLE)
+         |      - 2.0 * CAST(p AS DOUBLE) * n_pos + n_pos, 8)
+         |      AS DECIMAL(18,8)) AS brier_t,
+         |    CAST(least(CAST(floor(p * 10) AS BIGINT), 9) AS INT) AS bin
+         |  FROM vals),
+         |bins AS (SELECT bin, CAST(sum(n) AS BIGINT) AS n,
+         |    CAST(sum(n_pos) AS BIGINT) AS n_pos,
+         |    sum(CAST(p * n AS DECIMAL(38,8))) AS sp
+         |  FROM valsb GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+         |    sum(brier_t) AS sb FROM valsb),
+         |terms AS (SELECT bin, n, n_pos,
+         |    CAST(n_pos AS DOUBLE) / n AS acc,
+         |    CAST(sp AS DOUBLE) / n AS conf, nn, sb FROM bins, tot),
+         |terms2 AS (SELECT *, CAST(round(n * abs(acc - conf), 8)
+         |    AS DECIMAL(18,8)) AS gap_t FROM terms),
+         |ece AS (SELECT sum(gap_t) AS sg FROM terms2)
+         |SELECT bin, n, n_pos, round(acc, 6) AS acc,
+         |  round(conf, 6) AS conf,
+         |  round(abs(acc - conf), 6) AS abs_gap,
+         |  round(CAST(sg AS DOUBLE) / nn, 6) AS ece,
+         |  round(CAST(sb AS DOUBLE) / nn, 6) AS brier
+         |FROM terms2, ece ORDER BY bin""".stripMargin,
+    // L2 boosting: two stump replays over the stop-ratio histogram.
+    "q_gbt2" -> gbtOracleSql,
+    // Mediation: one exact Gram aggregation, then the identical double
+    // expression tree (a-path, 3x3 cofactor solve, Sobel) as the engine.
+    "q_mediation" ->
+      """WITH pc AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS m,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS y
+        |  FROM orders GROUP BY 1),
+        |b AS (SELECT CAST(c_acctbal AS DECIMAL(18,2)) AS x,
+        |    coalesce(m, 0) AS mm,
+        |    coalesce(y, CAST(0 AS DECIMAL(18,2))) AS y
+        |  FROM customer LEFT JOIN pc ON o_custkey = c_custkey),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(x) AS sx, CAST(sum(mm) AS BIGINT) AS sm, sum(y) AS sy,
+        |    sum(CAST(x * x AS DECIMAL(18,4))) AS sxx,
+        |    sum(CAST(x * mm AS DECIMAL(18,2))) AS sxm,
+        |    CAST(sum(mm * mm) AS BIGINT) AS smm,
+        |    sum(CAST(x * y AS DECIMAL(18,4))) AS sxy,
+        |    sum(CAST(mm * y AS DECIMAL(18,2))) AS smy,
+        |    sum(CAST(y * y AS DECIMAL(18,4))) AS syy FROM b),
+        |d AS (SELECT n,
+        |    CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+        |    CAST(sm AS DOUBLE) AS smd, CAST(sy AS DOUBLE) AS syd,
+        |    CAST(sxx AS DOUBLE) AS sxxd, CAST(sxm AS DOUBLE) AS sxmd,
+        |    CAST(smm AS DOUBLE) AS smmd, CAST(sxy AS DOUBLE) AS sxyd,
+        |    CAST(smy AS DOUBLE) AS smyd, CAST(syy AS DOUBLE) AS syyd
+        |  FROM g),
+        |e AS (SELECT *,
+        |    sxxd - sxd * sxd / nd AS sxx_c,
+        |    sxmd - sxd * smd / nd AS sxm_c,
+        |    smmd - smd * smd / nd AS smm_c,
+        |    smmd * sxxd - sxmd * sxmd AS m00,
+        |    smd * sxxd - sxd * sxmd AS m10,
+        |    smd * sxmd - sxd * smmd AS m20
+        |  FROM d),
+        |f AS (SELECT *, sxm_c / sxx_c AS a,
+        |    nd * m00 - smd * m10 + sxd * m20 AS det
+        |  FROM e),
+        |h AS (SELECT *,
+        |    smm_c - a * sxm_c AS sse_a,
+        |    (syd * m00 - smyd * m10 + sxyd * m20) / det AS c0,
+        |    (-syd * (smd * sxxd - sxmd * sxd)
+        |      + smyd * (nd * sxxd - sxd * sxd)
+        |      - sxyd * (nd * sxmd - sxd * smd)) / det AS b,
+        |    (syd * (smd * sxmd - smmd * sxd)
+        |      - smyd * (nd * sxmd - smd * sxd)
+        |      + sxyd * (nd * smmd - smd * smd)) / det AS dir
+        |  FROM f),
+        |i AS (SELECT *,
+        |    sse_a / (nd - 2) / sxx_c AS sea2,
+        |    syyd - (c0 * syd + b * smyd + dir * sxyd) AS sse_b
+        |  FROM h),
+        |j AS (SELECT *,
+        |    sse_b / (nd - 3) * (nd * sxxd - sxd * sxd) / det AS seb2,
+        |    a * b AS ab
+        |  FROM i)
+        |SELECT n, round(a, 6) AS a_path, round(b, 6) AS b_path,
+        |  round(dir, 6) AS direct, round(ab, 6) AS indirect,
+        |  round(ab / sqrt(b * b * sea2 + a * a * seb2), 4) AS sobel_z,
+        |  round(ab / (ab + dir), 6) AS prop_mediated
+        |FROM j""".stripMargin,
+    // HHI/CR4: exact decimal revenues, nation-partitioned windows,
+    // 8-dp share terms so both concentration sums are order-free.
+    "q_hhi" ->
+      """WITH rev AS (SELECT n.n_name, l.l_suppkey,
+        |    sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(18,2))
+        |        - CAST(l.l_discount AS DECIMAL(18,2)))) AS rev
+        |  FROM lineitem l
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  GROUP BY 1, 2),
+        |sh AS (SELECT n_name,
+        |    CAST(rev AS DOUBLE) / CAST(tot AS DOUBLE) AS share,
+        |    tot, rnk
+        |  FROM (SELECT *, sum(rev) OVER (PARTITION BY n_name) AS tot,
+        |      row_number() OVER (PARTITION BY n_name
+        |        ORDER BY rev DESC, l_suppkey) AS rnk
+        |    FROM rev) t)
+        |SELECT n_name AS nation, CAST(count(*) AS BIGINT) AS n_suppliers,
+        |  round(CAST(tot AS DOUBLE), 2) AS nation_revenue,
+        |  round(CAST(sum(CAST(round(share * share, 8) AS DECIMAL(18,8)))
+        |    AS DOUBLE), 6) AS hhi,
+        |  round(CAST(sum(CASE WHEN rnk <= 4
+        |      THEN CAST(round(share, 8) AS DECIMAL(18,8))
+        |      ELSE CAST(0 AS DECIMAL(18,8)) END) AS DOUBLE), 6) AS cr4
+        |FROM sh GROUP BY n_name, tot ORDER BY nation""".stripMargin,
+    // Elasticity: 8-dp decimal log-terms, closed-form OLS + R^2.
+    "q_elasticity" ->
+      """WITH t AS (SELECT
+        |    ln(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE)
+        |      / CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE)) AS lp,
+        |    ln(CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE)) AS lq
+        |  FROM lineitem WHERE l_quantity > 0 AND l_extendedprice > 0),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(round(lp, 8) AS DECIMAL(18,8))) AS sp,
+        |    sum(CAST(round(lq, 8) AS DECIMAL(18,8))) AS sq,
+        |    sum(CAST(round(lp * lp, 8) AS DECIMAL(18,8))) AS spp,
+        |    sum(CAST(round(lp * lq, 8) AS DECIMAL(18,8))) AS spq,
+        |    sum(CAST(round(lq * lq, 8) AS DECIMAL(18,8))) AS sqq
+        |  FROM t),
+        |d AS (SELECT n, CAST(n AS DOUBLE) AS nd,
+        |    CAST(sp AS DOUBLE) AS spd, CAST(sq AS DOUBLE) AS sqd,
+        |    CAST(spp AS DOUBLE) AS sppd, CAST(spq AS DOUBLE) AS spqd,
+        |    CAST(sqq AS DOUBLE) AS sqqd FROM g),
+        |e AS (SELECT *, sppd - spd * spd / nd AS sxx_c,
+        |    spqd - spd * sqd / nd AS sxy_c,
+        |    sqqd - sqd * sqd / nd AS syy_c FROM d),
+        |f AS (SELECT *, sxy_c / sxx_c AS slope FROM e)
+        |SELECT n, round(slope, 6) AS elasticity,
+        |  round((sqd - slope * spd) / nd, 6) AS intercept,
+        |  round(sxy_c * sxy_c / (sxx_c * syy_c), 6) AS r2
+        |FROM f""".stripMargin,
+    // Kendall tau-b: exact pair classes over the bounded day frame.
+    "q_kendall" ->
+      """WITH days AS (SELECT CAST(ts AS DATE) AS d,
+        |    CAST(count(*) AS BIGINT) AS cnt,
+        |    sum(CAST(value AS DECIMAL(18,2))) AS v
+        |  FROM events GROUP BY 1),
+        |pr AS (SELECT CASE
+        |      WHEN a.cnt = b.cnt AND a.v = b.v THEN 'txy'
+        |      WHEN a.cnt = b.cnt THEN 'tx'
+        |      WHEN a.v = b.v THEN 'ty'
+        |      WHEN (a.cnt < b.cnt) = (a.v < b.v) THEN 'c'
+        |      ELSE 'd' END AS cls
+        |  FROM days a JOIN days b ON a.d < b.d),
+        |cl AS (SELECT
+        |    CAST(coalesce(sum(CASE WHEN cls = 'c' THEN 1 END), 0)
+        |      AS BIGINT) AS nc,
+        |    CAST(coalesce(sum(CASE WHEN cls = 'd' THEN 1 END), 0)
+        |      AS BIGINT) AS nd,
+        |    CAST(coalesce(sum(CASE WHEN cls = 'tx' THEN 1 END), 0)
+        |      AS BIGINT) AS ntx,
+        |    CAST(coalesce(sum(CASE WHEN cls = 'ty' THEN 1 END), 0)
+        |      AS BIGINT) AS nty,
+        |    CAST(coalesce(sum(CASE WHEN cls = 'txy' THEN 1 END), 0)
+        |      AS BIGINT) AS ntxy
+        |  FROM pr),
+        |tt AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM days)
+        |SELECT n_days, nc AS concordant, nd AS discordant,
+        |  round(CAST(nc - nd AS DOUBLE) /
+        |    sqrt(CAST(n_days * (n_days - 1) / 2 - ntx - ntxy AS DOUBLE)
+        |      * CAST(n_days * (n_days - 1) / 2 - nty - ntxy
+        |        AS DOUBLE)), 6) AS tau_b,
+        |  round(3.0 * CAST(nc - nd AS DOUBLE) /
+        |    sqrt(CAST(n_days AS DOUBLE) * (n_days - 1)
+        |      * (2 * n_days + 5) / 2.0), 4) AS z
+        |FROM tt, cl""".stripMargin,
     // Coverage/popularity-bias readout over the SAME serving CTE: the
     // distinct recommended set semi-joined to per-item order counts;
     // ratios one divide each on exact integers.

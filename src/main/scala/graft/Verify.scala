@@ -85,8 +85,27 @@ object Verify {
         }
       })
     }
-    futures.foreach(_.get())
-    pool.shutdown()
+    // straggler deadline: one hung query must not wedge the whole dump
+    // past the driver's budget — every other query's parquet is already
+    // on disk and oracle_sql.json was written first, so abandoning the
+    // straggler degrades ONE row to "no spark output", not the round
+    val deadlineSec = sys.env.getOrElse("SPARK_GRAFT_VERIFY_DEADLINE",
+      "5400").toLong
+    val deadline = System.nanoTime() + deadlineSec * 1000000000L
+    var abandoned = 0
+    futures.foreach { f =>
+      val left = math.max(1L, (deadline - System.nanoTime()) / 1000000L)
+      try f.get(left, java.util.concurrent.TimeUnit.MILLISECONDS)
+      catch { case _: java.util.concurrent.TimeoutException =>
+        abandoned += 1
+        f.cancel(true)
+      }
+    }
+    if (abandoned > 0) {
+      System.err.println(s"[verify] deadline: abandoned $abandoned queries")
+      spark.sparkContext.cancelAllJobs()
+    }
+    pool.shutdownNow()
     // cross-JVM reuse observable: 0 on a second run over an unchanged lake
     System.err.println("[verify] artifact_builds=" +
       graft.operators.ArtifactStore.buildsThisSession)

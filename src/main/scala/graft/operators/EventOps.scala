@@ -2816,4 +2816,59 @@ object EventOps {
     users.unpersist(false)
     out
   }
+
+  /** Kendall τ-b between the daily event-count and daily total-value
+    * series — the CONCORDANCE twin of the Spearman rank correlation
+    * (rank_corr): does a busier day mean a higher-value day, measured
+    * by pair agreement rather than rank covariance, with the τ-b tie
+    * corrections that make the statistic honest on plateaued series.
+    * Counts are exact BIGINTs and values exact decimal(18,2), so every
+    * pair comparison is an exact compare — concordant/discordant/tie
+    * classes are INTEGER counts and DuckDB replays them verbatim; τ-b
+    * and the normal-approximation z take one rounded divide each.
+    *
+    * Scale: the corpus reduces to the per-DAY frame first (calendar-
+    * bounded at any data scale), so the pair self-join is bounded-frame
+    * work (~days²/2 rows), never a corpus-sized product. */
+  def kendallDaily(spark: SparkSession, dir: String): DataFrame = {
+    val d2 = DecimalType(18, 2)
+    val days = Lake.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast(d2)).as("v"))
+      .localCheckpoint(true) // bounded day frame feeds both join sides
+    val a = days.select(col("d").as("da"), col("cnt").as("ca"),
+      col("v").as("va"))
+    val b = days.select(col("d").as("db"), col("cnt").as("cb"),
+      col("v").as("vb"))
+    val pairs = a.join(b, col("da") < col("db"))
+      .select(
+        when(col("ca") === col("cb") && col("va") === col("vb"), "txy")
+          .when(col("ca") === col("cb"), "tx")
+          .when(col("va") === col("vb"), "ty")
+          .when((col("ca") < col("cb")) === (col("va") < col("vb")), "c")
+          .otherwise("d").as("cls"))
+      .groupBy(col("cls")).agg(count(lit(1)).as("n"))
+    val cls = pairs.groupBy()
+      .pivot(col("cls"), Seq("c", "d", "tx", "ty", "txy"))
+      .agg(first(col("n")))
+      .select(coalesce(col("c"), lit(0L)).as("nc"),
+        coalesce(col("d"), lit(0L)).as("nd"),
+        coalesce(col("tx"), lit(0L)).as("ntx"),
+        coalesce(col("ty"), lit(0L)).as("nty"),
+        coalesce(col("txy"), lit(0L)).as("ntxy"))
+    val tot = days.agg(count(lit(1)).as("n_days"))
+    tot.crossJoin(broadcast(cls))
+      .withColumn("n0",
+        col("n_days") * (col("n_days") - 1) / 2)
+      .select(col("n_days"), col("nc").as("concordant"),
+        col("nd").as("discordant"),
+        round((col("nc") - col("nd")).cast("double") /
+          sqrt((col("n0") - col("ntx") - col("ntxy")).cast("double") *
+            (col("n0") - col("nty") - col("ntxy")).cast("double")), 6)
+          .as("tau_b"),
+        round(lit(3.0) * (col("nc") - col("nd")).cast("double") /
+          sqrt(col("n_days").cast("double") * (col("n_days") - 1) *
+            (lit(2) * col("n_days") + 5) / 2.0), 4).as("z"))
+  }
 }

@@ -1681,16 +1681,21 @@ object Relational {
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(sum(m(col("l_extendedprice"))).as("rev"),
         sum(m(col("l_quantity"))).as("qty"))
-      .select(col("l_partkey"), col("l_suppkey"),
-        (col("rev").cast("double") / col("qty").cast("double"))
-          .as("unit"))
-    val duels = ps.select(col("l_partkey"), col("l_suppkey").as("sa"),
-        col("unit").as("ua"))
-      .join(ps.select(col("l_partkey"), col("l_suppkey").as("sb"),
-        col("unit").as("ub")), Seq("l_partkey"))
-      .filter(col("sa") < col("sb") && col("ua") =!= col("ub"))
-      .select(col("sa"), col("sb"),
-        when(col("ua") < col("ub"), 1L).otherwise(0L).as("win_a"))
+      .select(col("l_partkey"),
+        struct(col("l_suppkey").as("sk"),
+          (col("rev").cast("double") / col("qty").cast("double"))
+            .as("unit")).as("sv"))
+    // pair expansion INSIDE the part row (suppliers-per-part is bounded
+    // by catalog design): one part-keyed reduce instead of a second
+    // shuffle for a per-part self-join — same duel set exactly
+    val duels = ps.groupBy(col("l_partkey"))
+      .agg(collect_list(col("sv")).as("svs"))
+      .select(explode(col("svs")).as("a"), col("svs"))
+      .select(col("a"), explode(col("svs")).as("b"))
+      .filter(col("a.sk") < col("b.sk") && col("a.unit") =!= col("b.unit"))
+      .select(col("a.sk").as("sa"), col("b.sk").as("sb"),
+        when(col("a.unit") < col("b.unit"), 1L).otherwise(0L)
+          .as("win_a"))
     val pairs = duels.groupBy(col("sa"), col("sb"))
       .agg(sum(col("win_a")).as("w_ab"), count(lit(1)).as("n_ab"))
       .localCheckpoint(true) // feeds both iterations + the readout
@@ -1810,16 +1815,23 @@ object Relational {
     *
     * Scale: one orders reduce + a customer dimension join; each IRLS
     * step is ONE corpus pass ending in a 1-row broadcast. */
-  def poissonOrders(spark: SparkSession, dir: String): DataFrame = {
-    val d6 = DecimalType(18, 6)
-    val d8 = DecimalType(18, 8)
+  /** Shared (y, x) frame behind the Poisson family: per-customer order
+    * count vs balance in thousands, zeros included. Caller persists. */
+  private def poissonBase(spark: SparkSession, dir: String): DataFrame = {
     val counts = Lake.orders(spark, dir)
       .groupBy(col("o_custkey")).agg(count(lit(1)).as("yo"))
-    val base = Lake.customer(spark, dir)
+    Lake.customer(spark, dir)
       .join(counts, col("c_custkey") === col("o_custkey"), "left")
       .select(coalesce(col("yo"), lit(0L)).as("y"),
         (col("c_acctbal") / lit(1000.0)).as("x"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Two IRLS steps from the null model over a persisted (y, x) frame;
+    * returns the 1-row (b0, b1) decimal fit (see [[poissonOrders]] for
+    * the rounding discipline). */
+  private def poissonFit(base: DataFrame): DataFrame = {
+    val d6 = DecimalType(18, 6)
+    val d8 = DecimalType(18, 8)
     val start = base.agg(
       round(log(sum(col("y")).cast("double") / count(lit(1))), 6)
         .cast(d6).as("b0"),
@@ -1852,8 +1864,16 @@ object Relational {
             col("sw").cast("double"), 6).cast(d6).as("b0"),
           col("b1"))
     }
-    val fit = irlsStep(irlsStep(start.localCheckpoint(true))
+    irlsStep(irlsStep(start.localCheckpoint(true))
       .localCheckpoint(true))
+  }
+
+  def poissonOrders(spark: SparkSession, dir: String): DataFrame = {
+    val d6 = DecimalType(18, 6)
+    val d8 = DecimalType(18, 8)
+    val base = poissonBase(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fit = poissonFit(base)
     val dev = base.crossJoin(broadcast(fit))
       .withColumn("mu", round(exp(col("b0").cast("double")
         + col("b1").cast("double") * col("x")), 6).cast(d6))
@@ -1871,5 +1891,198 @@ object Relational {
       .localCheckpoint(true)
     base.unpersist(false)
     out
+  }
+
+  /** Baron–Kenny mediation with the Sobel test — does account balance
+    * drive lifetime spend THROUGH order frequency? Three closed-form
+    * OLS fits from ONE exact Gram aggregation: the a-path m ~ x, the
+    * b/direct paths from y ~ m + x (the 3×3 cofactor solve of the
+    * [[graft.operators.TextOps.olsMulti]] family), indirect = a·b, the
+    * Sobel first-order se √(b²se_a² + a²se_b²), and the mediated
+    * proportion ab/(ab + direct). Every Gram cell is an exact decimal
+    * (x, y in decimal(18,2); cross-products cast once per row at fixed
+    * scale), so both engines derive the coefficients from identical
+    * sums with identical double expression trees — one aggregation
+    * pass, then 1-row algebra. */
+  def mediationSpend(spark: SparkSession, dir: String): DataFrame = {
+    val d4 = DecimalType(18, 4)
+    val perCust = Lake.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("m"), sum(m(col("o_totalprice"))).as("y"))
+    val base = Lake.customer(spark, dir)
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(m(col("c_acctbal")).as("x"),
+        coalesce(col("m"), lit(0L)).as("mm"),
+        coalesce(col("y"), lit(java.math.BigDecimal.ZERO).cast(dec2))
+          .as("y"))
+    val g = base.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("mm")).as("sm"),
+      sum(col("y")).as("sy"),
+      sum((col("x") * col("x")).cast(d4)).as("sxx"),
+      sum((col("x") * col("mm")).cast(dec2)).as("sxm"),
+      sum(col("mm") * col("mm")).as("smm"),
+      sum((col("x") * col("y")).cast(d4)).as("sxy"),
+      sum((col("mm") * col("y")).cast(dec2)).as("smy"),
+      sum((col("y") * col("y")).cast(d4)).as("syy"))
+    // all algebra below is double over the exact sums; the oracle
+    // writes the SAME expression tree so each step is bit-identical
+    val nD = col("n").cast("double")
+    val sxD = col("sx").cast("double"); val smD = col("sm").cast("double")
+    val syD = col("sy").cast("double")
+    val sxxD = col("sxx").cast("double")
+    val sxmD = col("sxm").cast("double")
+    val smmD = col("smm").cast("double")
+    val sxyD = col("sxy").cast("double")
+    val smyD = col("smy").cast("double")
+    val syyD = col("syy").cast("double")
+    g.withColumn("sxx_c", sxxD - sxD * sxD / nD)
+      .withColumn("sxm_c", sxmD - sxD * smD / nD)
+      .withColumn("smm_c", smmD - smD * smD / nD)
+      .withColumn("a", col("sxm_c") / col("sxx_c"))
+      .withColumn("sse_a", col("smm_c") - col("a") * col("sxm_c"))
+      .withColumn("sea2",
+        col("sse_a") / (nD - 2) / col("sxx_c"))
+      // 3x3 solve of y ~ 1 + m + x via cofactors (vars: 1, m, x)
+      .withColumn("m00", smmD * sxxD - sxmD * sxmD)
+      .withColumn("m10", smD * sxxD - sxD * sxmD)
+      .withColumn("m20", smD * sxmD - sxD * smmD)
+      .withColumn("det", nD * col("m00") - smD * col("m10")
+        + sxD * col("m20"))
+      .withColumn("c0", (syD * col("m00") - smyD * col("m10")
+        + sxyD * col("m20")) / col("det"))
+      .withColumn("b",
+        (-syD * (smD * sxxD - sxmD * sxD)
+          + smyD * (nD * sxxD - sxD * sxD)
+          - sxyD * (nD * sxmD - sxD * smD)) / col("det"))
+      .withColumn("dir",
+        (syD * (smD * sxmD - smmD * sxD)
+          - smyD * (nD * sxmD - smD * sxD)
+          + sxyD * (nD * smmD - smD * smD)) / col("det"))
+      .withColumn("sse_b", syyD - (col("c0") * syD + col("b") * smyD
+        + col("dir") * sxyD))
+      .withColumn("seb2", col("sse_b") / (nD - 3)
+        * (nD * sxxD - sxD * sxD) / col("det"))
+      .withColumn("ab", col("a") * col("b"))
+      .withColumn("sobel_se", sqrt(col("b") * col("b") * col("sea2")
+        + col("a") * col("a") * col("seb2")))
+      .select(col("n"),
+        round(col("a"), 6).as("a_path"),
+        round(col("b"), 6).as("b_path"),
+        round(col("dir"), 6).as("direct"),
+        round(col("ab"), 6).as("indirect"),
+        round(col("ab") / col("sobel_se"), 4).as("sobel_z"),
+        round(col("ab") / (col("ab") + col("dir")), 6)
+          .as("prop_mediated"))
+  }
+
+  /** Pearson overdispersion diagnostic of the [[poissonOrders]] fit —
+    * the check every Poisson GLM must publish (equidispersion Var = μ
+    * is the model's load-bearing assumption; real count data usually
+    * violates it and the fix — quasi-Poisson/negative-binomial — is a
+    * modeling decision this number triggers): φ = Σ(y−μ)²/μ / (n−2)
+    * against the SAME replayed 2-step IRLS fit, plus the χ²
+    * normal-approximation z = (φ−1)·√((n−2)/2). Per-row Pearson terms
+    * are computed once in double against the 6-dp-pinned μ and rounded
+    * to 8 dp into decimal — order-free sums, one more corpus pass. */
+  def poissonDispersion(spark: SparkSession, dir: String): DataFrame = {
+    val d6 = DecimalType(18, 6)
+    val d8 = DecimalType(18, 8)
+    val base = poissonBase(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fit = poissonFit(base)
+    val agg = base.crossJoin(broadcast(fit))
+      .withColumn("md", round(exp(col("b0").cast("double")
+        + col("b1").cast("double") * col("x")), 6).cast(d6)
+        .cast("double"))
+      .withColumn("pt", (col("y") - col("md")) * (col("y") - col("md"))
+        / col("md"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("pt"), 8).cast(d8)).as("sp"),
+        sum(round(col("md"), 8).cast(d8)).as("smu"))
+    val out = agg.select(col("n"),
+        round(col("sp").cast("double") / (col("n") - 2), 4).as("phi"),
+        round(col("smu").cast("double") / col("n"), 4).as("mean_mu"),
+        round((col("sp").cast("double") / (col("n") - 2) - 1.0)
+          * sqrt((col("n") - 2).cast("double") / 2.0), 4)
+          .as("z_overdisp"))
+      .localCheckpoint(true)
+    base.unpersist(false)
+    out
+  }
+
+  /** Herfindahl–Hirschman concentration of supplier revenue per nation
+    * — the market-concentration index beside the Q8-style share query:
+    * per-(nation, supplier) exact decimal revenue, shares against the
+    * nation total, HHI = Σ share² from 8-dp-rounded per-supplier terms
+    * (order-free sums), and CR4 = top-4 suppliers' combined share via
+    * a rank window PARTITIONED by nation. One fact-scan reduce keyed
+    * (nation, supplier); everything after is dimension-sized. */
+  def hhiSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val d8 = DecimalType(18, 8)
+    val rev = Lake.lineitem(spark, dir)
+      .join(broadcast(Lake.supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Lake.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("s_suppkey"))
+      .agg(sum(revenueTerm).as("rev"))
+    val wN = Window.partitionBy(col("n_name"))
+    val wRank = wN.orderBy(col("rev").desc, col("s_suppkey"))
+    rev
+      .withColumn("tot", sum(col("rev")).over(wN))
+      .withColumn("share", col("rev").cast("double") /
+        col("tot").cast("double"))
+      .withColumn("rnk", row_number().over(wRank))
+      .groupBy(col("n_name"), col("tot"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(round(col("share") * col("share"), 8).cast(d8)).as("hhi_s"),
+        sum(when(col("rnk") <= 4,
+          round(col("share"), 8).cast(d8))
+          .otherwise(lit(java.math.BigDecimal.ZERO).cast(d8)))
+          .as("cr4_s"))
+      .select(col("n_name").as("nation"), col("n_suppliers"),
+        round(col("tot").cast("double"), 2).as("nation_revenue"),
+        round(col("hhi_s").cast("double"), 6).as("hhi"),
+        round(col("cr4_s").cast("double"), 6).as("cr4"))
+      .orderBy(col("nation"))
+  }
+
+  /** Log-log price elasticity of demand over order lines — the classic
+    * econometric readout (elasticity = d ln q / d ln p, the slope of
+    * ln quantity on ln unit price): unit price = exact decimal
+    * extendedprice/quantity in one double divide, per-row (ln p, ln q)
+    * terms and their products rounded once to 8 dp into decimal so the
+    * five OLS sums are order-free, closed-form slope/intercept/R².
+    * ONE fact-scan aggregation, 1-row algebra after. */
+  def priceElasticity(spark: SparkSession, dir: String): DataFrame = {
+    val d8 = DecimalType(18, 8)
+    val terms = Lake.lineitem(spark, dir)
+      .filter(col("l_quantity") > 0 && col("l_extendedprice") > 0)
+      .select(
+        log(m(col("l_extendedprice")).cast("double") /
+          m(col("l_quantity")).cast("double")).as("lp"),
+        log(m(col("l_quantity")).cast("double")).as("lq"))
+    val g = terms.agg(
+      count(lit(1)).as("n"),
+      sum(round(col("lp"), 8).cast(d8)).as("sp"),
+      sum(round(col("lq"), 8).cast(d8)).as("sq"),
+      sum(round(col("lp") * col("lp"), 8).cast(d8)).as("spp"),
+      sum(round(col("lp") * col("lq"), 8).cast(d8)).as("spq"),
+      sum(round(col("lq") * col("lq"), 8).cast(d8)).as("sqq"))
+    val nD = col("n").cast("double")
+    val spD = col("sp").cast("double"); val sqD = col("sq").cast("double")
+    val sppD = col("spp").cast("double")
+    val spqD = col("spq").cast("double")
+    val sqqD = col("sqq").cast("double")
+    g.withColumn("sxx_c", sppD - spD * spD / nD)
+      .withColumn("sxy_c", spqD - spD * sqD / nD)
+      .withColumn("syy_c", sqqD - sqD * sqD / nD)
+      .withColumn("slope", col("sxy_c") / col("sxx_c"))
+      .select(col("n"),
+        round(col("slope"), 6).as("elasticity"),
+        round((sqD - col("slope") * spD) / nD, 6).as("intercept"),
+        round(col("sxy_c") * col("sxy_c") /
+          (col("sxx_c") * col("syy_c")), 6).as("r2"))
   }
 }

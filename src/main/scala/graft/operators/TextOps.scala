@@ -445,6 +445,139 @@ object TextOps {
   def logisticGains(spark: SparkSession, dir: String): DataFrame =
     logisticGains(Lake.documents(spark, dir))
 
+  /** Calibration table + ECE + Brier score of the trained logistic —
+    * the readout that decides whether the scores can be THRESHOLDED as
+    * probabilities (AUC only ranks; a model can rank perfectly and be
+    * wildly miscalibrated). Ten equal-width probability bins, binned on
+    * the EXACT decimal score (floor(p·10) on decimal — never on a
+    * double whose representation error could flip a boundary), per-bin
+    * accuracy vs mean confidence, ECE = Σ (n_b/N)·|acc_b − conf_b|, and
+    * the Brier score from per-distinct-score closed form
+    * n·p² − 2p·pos + pos (one rounded double term per distinct value).
+    * The corpus collapses to the quantization-bounded distinct-score
+    * frame first (≤ 10⁶+1 rows); everything after lives on ≤ 10 rows.
+    * Confidence sums are exact decimal (p·n at fixed scale); ECE/Brier
+    * terms are rounded once to 8 dp into decimal so sums are
+    * order-free and DuckDB replays the table row-for-row. */
+  def logisticCalibration(docs: DataFrame, iters: Int = 4,
+                          lr: Double = 2.0, nBins: Int = 10): DataFrame = {
+    val d8 = DecimalType(18, 8)
+    val d38 = DecimalType(38, 8)
+    val (feats, scored) = logisticScored(docs, iters, lr)
+    val vals = scored.filter(col("y").isNotNull)
+      .groupBy(col("p"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
+      .withColumn("brier_t", round(
+        col("n") * col("p").cast("double") * col("p").cast("double")
+          - lit(2.0) * col("p").cast("double") * col("n_pos")
+          + col("n_pos"), 8).cast(d8))
+      .withColumn("bin",
+        least(floor(col("p") * nBins), lit(nBins - 1L)).cast("int"))
+    val bins = vals.groupBy(col("bin")).agg(
+      sum(col("n")).as("n"), sum(col("n_pos")).as("n_pos"),
+      sum((col("p") * col("n")).cast(d38)).as("sp"))
+    val tot = vals.agg(sum(col("n")).as("nn"),
+      sum(col("brier_t")).as("sb"))
+    val terms = bins.crossJoin(broadcast(tot))
+      .withColumn("acc", col("n_pos").cast("double") / col("n"))
+      .withColumn("conf", col("sp").cast("double") / col("n"))
+      .withColumn("gap_t", round(col("n") * abs(col("acc") - col("conf")),
+        8).cast(d8))
+      .localCheckpoint(true) // ≤ nBins rows; feeds the ECE sum + output
+    val ece = terms.agg(sum(col("gap_t")).as("sg"))
+    terms.crossJoin(broadcast(ece))
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(col("acc"), 6).as("acc"),
+        round(col("conf"), 6).as("conf"),
+        round(abs(col("acc") - col("conf")), 6).as("abs_gap"),
+        round(col("sg").cast("double") / col("nn"), 6).as("ece"),
+        round(col("sb").cast("double") / col("nn"), 6).as("brier"))
+      .orderBy(col("bin"))
+  }
+
+  def logisticCalibration(spark: SparkSession, dir: String): DataFrame =
+    logisticCalibration(Lake.documents(spark, dir))
+
+  /** Two rounds of L2 gradient boosting with stump base learners and
+    * shrinkage ν = 0.5 — the REGRESSION member of the boosting family
+    * ([[adaBoost2]] boosts classification; every distributed GBM layer
+    * is exactly this: one histogram pass per round, residuals riding
+    * with the rows): f₀ = ȳ (rounded once to 6 dp into decimal, so all
+    * residuals are EXACT decimals), each round fits the variance-gain
+    * argmax split S_l²/n_l + S_r²/n_r over the quantization-bounded
+    * stop-ratio histogram (per-threshold score computed once in double,
+    * rounded to 9 dp, ties broken (score DESC, x ASC)), and leaf values
+    * ν·mean(residual) re-enter decimal at 6 dp so round 2's residuals
+    * stay exact. Per round: one corpus pass, one bounded cumulative
+    * window, a 1-row broadcast — and the published train MSE before/
+    * after each round comes from 8-dp-rounded squared residual terms
+    * (order-free sums). */
+  def gbt2(docs: DataFrame, nu: Double = 0.5): DataFrame = {
+    val d6 = DecimalType(18, 6)
+    val d8 = DecimalType(18, 8)
+    val feats = langQuality(docs).join(
+        nonNull(docs).select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      .select(col("stop_ratio").as("x"), col("n_chars").as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val f0 = feats.agg(round(sum(col("y")).cast("double") / count(lit(1)),
+      6).cast(d6).as("f0"))
+    val r1 = feats.crossJoin(broadcast(f0))
+      .select(col("x"), (col("y") - col("f0")).as("r"))
+    def fitStump(resid: DataFrame): DataFrame = {
+      val hist = resid.groupBy(col("x"))
+        .agg(count(lit(1)).as("n_v"), sum(col("r")).as("sr_v"))
+      val wCum = Window.orderBy(col("x"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist
+        .withColumn("n_l", sum(col("n_v")).over(wCum))
+        .withColumn("s_l", sum(col("sr_v")).over(wCum))
+      val tot = hist.agg(sum(col("n_v")).as("n"), sum(col("sr_v")).as("s"))
+      val sl = col("s_l").cast("double")
+      val srr = (col("s") - col("s_l")).cast("double")
+      cum.crossJoin(broadcast(tot))
+        .withColumn("n_r", col("n") - col("n_l"))
+        .filter(col("n_r") > 0)
+        .withColumn("score",
+          round(sl * sl / col("n_l") + srr * srr / col("n_r"), 9))
+        .withColumn("rn",
+          row_number().over(Window.orderBy(col("score").desc, col("x"))))
+        .filter(col("rn") === 1)
+        .select(col("x").as("threshold"),
+          round(lit(nu) * sl / col("n_l"), 6).cast(d6).as("left_val"),
+          round(lit(nu) * srr / col("n_r"), 6).cast(d6).as("right_val"),
+          col("n_l").as("n_left"), col("n_r").as("n_right"))
+        .localCheckpoint(true)
+    }
+    def mseOf(resid: DataFrame): DataFrame = resid.agg(
+      round(sum(round(col("r").cast("double") * col("r").cast("double"),
+        8).cast(d8)).cast("double") / count(lit(1)), 4).as("mse"))
+    val s1 = fitStump(r1)
+    val r2 = r1.crossJoin(broadcast(s1))
+      .select(col("x"), (col("r") - when(col("x") <= col("threshold"),
+        col("left_val")).otherwise(col("right_val"))).as("r"))
+    val s2 = fitStump(r2)
+    val r3 = r2.crossJoin(broadcast(s2))
+      .select(col("x"), (col("r") - when(col("x") <= col("threshold"),
+        col("left_val")).otherwise(col("right_val"))).as("r"))
+    val out = s1.withColumn("round", lit(1))
+      .crossJoin(broadcast(mseOf(r1).select(col("mse").as("mse_before"))))
+      .crossJoin(broadcast(mseOf(r2).select(col("mse").as("mse_after"))))
+      .unionByName(s2.withColumn("round", lit(2))
+        .crossJoin(broadcast(mseOf(r2).select(col("mse").as("mse_before"))))
+        .crossJoin(broadcast(mseOf(r3).select(col("mse").as("mse_after")))))
+      .select(col("round"), col("threshold"),
+        col("left_val").cast("double").as("left_val"),
+        col("right_val").cast("double").as("right_val"),
+        col("n_left"), col("n_right"), col("mse_before"), col("mse_after"))
+      .orderBy(col("round"))
+      .localCheckpoint(true)
+    feats.unpersist(false)
+    out
+  }
+
+  def gbt2(spark: SparkSession, dir: String): DataFrame =
+    gbt2(Lake.documents(spark, dir))
+
   /** Best-split decision stump by the histogram method — the primitive
     * every distributed gradient-boosted-tree layer reduces to
     * (XGBoost/LightGBM grow trees by exactly this per-feature

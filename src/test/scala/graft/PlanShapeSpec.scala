@@ -472,7 +472,19 @@ class PlanShapeSpec extends SparkSpecBase {
         "q_psm_att",
         // q_poisson: per-IRLS-step one-row coefficient broadcasts
         // against the customer frame (the q_huber pattern)
-        "q_poisson")
+        "q_poisson",
+        // q_poisson_disp: the same per-step coefficient broadcasts plus
+        // the one-row fit against the customer frame
+        "q_poisson_disp",
+        // q_logreg_ece: the one-row bin/corpus-totals broadcasts around
+        // the ≤10-row bin frame (the q_logreg weight-frame pattern)
+        "q_logreg_ece",
+        // q_gbt2: per-round one-row f0/stump/mse broadcasts against the
+        // corpus scan (the q_huber pattern)
+        "q_gbt2",
+        // q_kendall: the one-row pair-class pivot broadcast against the
+        // one-row day-count total
+        "q_kendall")
     // collect ALL offenders before failing — a fail-fast assert hides
     // every offender behind the first and costs a full re-run per fix
     val offenders = scala.collection.mutable.LinkedHashSet[String]()

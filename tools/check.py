@@ -5,7 +5,7 @@ DuckDB over the same lake dir, and compare values exactly.
 
 Usage: python3 tools/check.py <sfDir> <verifyOutDir> [query ...]
 """
-import sys, json, glob, math
+import sys, json, glob, math, time
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
@@ -36,6 +36,7 @@ def main():
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue
+        t_q = time.time()
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output")
@@ -94,7 +95,12 @@ def main():
             print(f"FAIL {name}: values differ{extra}; first diffs: {diff}")
             n_fail += 1
         else:
-            print(f"PASS {name} ({len(g)} rows)")
+            dt = time.time() - t_q
+            # a slow oracle is a correctness-gate hazard (the round-10
+            # lesson: DuckDB CTE inlining blew the driver's compare
+            # budget) -- surface it here before the driver pays for it
+            slow = f"  SLOWORACLE {dt:.1f}s" if dt > 10 else ""
+            print(f"PASS {name} ({len(g)} rows){slow}")
             n_pass += 1
     print(f"== {n_pass} pass / {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
