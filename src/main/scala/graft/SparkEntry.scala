@@ -4044,13 +4044,18 @@ object SparkEntry {
         |        unnest(range(1, len(embedding) + 1)) AS i
         |      FROM embeddings) t
         |GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+    // `+ 0.0` normalizes DuckDB's signed zero: round() here is C-style and
+    // keeps the sign (round(-0.00001, 4) = -0.0) while Spark's BigDecimal
+    // half-up has no signed zero — IEEE -0.0 + 0.0 = +0.0 on both engines,
+    // so the canonical forms agree for components that round to zero
+    // (first seen at sf0.1, vec 1753).
     "q_array_ops" ->
       """SELECT vec_id,
         |  len(embedding) AS dim,
-        |  round(CAST(list_max(embedding) AS double), 4) AS max_comp,
-        |  round(CAST(list_min(embedding) AS double), 4) AS min_comp,
-        |  round(CAST(embedding[1] AS double), 4) AS first_comp,
-        |  round(CAST(embedding[-1] AS double), 4) AS last_comp,
+        |  round(CAST(list_max(embedding) AS double), 4) + 0.0 AS max_comp,
+        |  round(CAST(list_min(embedding) AS double), 4) + 0.0 AS min_comp,
+        |  round(CAST(embedding[1] AS double), 4) + 0.0 AS first_comp,
+        |  round(CAST(embedding[-1] AS double), 4) + 0.0 AS last_comp,
         |  len(list_filter(embedding, x -> x > 0)) AS n_positive
         |FROM embeddings ORDER BY vec_id""".stripMargin,
     "q_unpivot" ->
@@ -4915,6 +4920,10 @@ object SparkEntry {
         |) WHERE r <= 5 ORDER BY doc_id""".stripMargin,
     // Same decimal routing as q_surprisal: per-bigram -ln p rounded to 6
     // then decimal-summed -> order-independent, ln() agrees to ~1 ulp.
+    // The final mean rounds by exact INTEGER half-up, not round(double):
+    // (2S + 100n) // (200n) with S = sum*10^6 — a perfect .00005 decimal
+    // tie (doc 677 at sf0.1) otherwise splits the engines by 1 ulp of
+    // the 4th decimal. Mirrors the engine's div-based form verbatim.
     "q_bigram_surprisal" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
         |             FROM documents
@@ -4927,7 +4936,8 @@ object SparkEntry {
         |         cast(round(-ln(cast(bc AS double) / pc), 6) AS decimal(18,6)) AS neg_logp
         |       FROM bc JOIN pc USING (w1))
         |SELECT doc_id, count(*) AS n_bigrams,
-        |  round(cast(sum(neg_logp) AS double) / count(*), 4) AS avg_surprisal
+        |  ((2 * cast(sum(neg_logp) * 1000000 AS bigint) + 100 * count(*))
+        |    // (200 * count(*))) / 10000.0 AS avg_surprisal
         |FROM bi JOIN lp USING (bigram)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // BM25 with Lucene idf; same decimal routing as the surprisal pair.

@@ -1631,13 +1631,22 @@ object TextOps {
         round(-log(col("bc") / col("pc")), 6)
           .cast(DecimalType(18, 6)).as("neg_logp"))
     // materialize + release, mirroring unigramSurprisal
+    // The mean is rounded to 4 decimals by EXACT integer half-up, not by
+    // round(double): with S = total·10⁶ (an exact long — total carries 6
+    // decimals) and n bigrams, round_half_up(S/(10⁶n)·10⁴) =
+    // (2S + 100n) div (200n) for S,n ≥ 0. A perfect decimal tie (doc 677
+    // at sf0.1: exact quotient 3.406350) lands 1 ulp BELOW .00005 as a
+    // double, where DuckDB's multiply-then-round said 3.4064 and Spark's
+    // BigDecimal half-up said 3.4063 — integer arithmetic sidesteps the
+    // double entirely and both engines agree at every scale.
     val out = withBi.join(logp, "bigram")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
         sum(col("neg_logp")).as("total"))
+      .withColumn("__s", (col("total") * lit(1000000)).cast("long"))
       .select(col("doc_id"), col("n_bigrams"),
-        round(col("total").cast("double") / col("n_bigrams"), 4)
-          .as("avg_surprisal"))
+        (expr("(2 * __s + 100 * n_bigrams) div (200 * n_bigrams)")
+          .cast("double") / 10000.0).as("avg_surprisal"))
       .orderBy(col("doc_id"))
       .localCheckpoint(true)
     withBi.unpersist(false)
