@@ -385,4 +385,18 @@ final case class DataLake(spark: SparkSession, dir: String) {
   /** Good–Turing adjusted-count table over unigram frequencies. */
   def goodTuring(maxR: Int = 8): DataFrame =
     TextOps.goodTuring(spark, dir, maxR)
+  /** Dunning G² token keyness of a focus doc slice vs the rest. */
+  def keyness(focus: Column, minCount: Long = 20L): DataFrame =
+    TextOps.keyness(Lake.documents(spark, dir), focus, minCount)
+  /** Cohen's κ + McNemar panel between two boolean doc classifiers. */
+  def raterAgreement(raterA: Column, raterB: Column): DataFrame =
+    TextOps.raterAgreement(Lake.documents(spark, dir), raterA, raterB)
+  /** Cramér's V association effect size between two categoricals. */
+  def cramersV(table: String, colA: String, colB: String): DataFrame =
+    CatalogOps.cramersV(Lake.table(spark, dir, table), colA, colB)
+  /** Mutual information (nats) + NMI between two categoricals. */
+  def mutualInfo(table: String, colA: String, colB: String): DataFrame =
+    CatalogOps.mutualInfo(Lake.table(spark, dir, table), colA, colB)
+  /** Theil T inequality of customer revenue, within/between segments. */
+  def theilIndex(): DataFrame = Relational.theilIndex(spark, dir)
 }

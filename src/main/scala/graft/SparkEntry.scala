@@ -773,6 +773,16 @@ object SparkEntry {
     // Stratified (CEM-style) observational ATT with the naive contrast
     "q_att_strat"         -> ((s: SparkSession, d: String) =>
       EventOps.attStratified(s, d)),
+    // Dunning G² token keyness: English-labelled docs vs the rest
+    "q_keyness"           -> TextOps.keyness _,
+    // Cohen's kappa + McNemar panel between two doc quality raters
+    "q_rater_agreement"   -> TextOps.raterAgreement _,
+    // Cramér's V effect size: order priority × order status
+    "q_cramers_v"         -> CatalogOps.cramersVQuery _,
+    // Mutual information + NMI: language × source cell frame
+    "q_mutual_info"       -> CatalogOps.mutualInfoQuery _,
+    // Theil T inequality with within/between segment decomposition
+    "q_theil"             -> Relational.theilIndex _,
   )
 
   /** [[TextOps.patternScan]] dictionary for the driver query: token
@@ -8347,6 +8357,166 @@ object SparkEntry {
         |SELECT day, CAST(count(*) / 2 AS BIGINT) AS n_sessions,
         |  CAST(max(load) AS BIGINT) AS peak_concurrency
         |FROM ld GROUP BY 1 ORDER BY day""".stripMargin,
+    // Dunning G² keyness: exact integer counts into the two ln terms;
+    // support threshold (integer filter) instead of a top-K over a
+    // double key; side decided by the exact cross-product a·nb > b·na.
+    "q_keyness" ->
+      """WITH tok AS (SELECT lang = 'en' AS in_focus,
+        |    unnest(string_split(text, ' ')) AS token
+        |  FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT token,
+        |    CAST(sum(CASE WHEN in_focus THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN NOT in_focus THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS b
+        |  FROM tok WHERE token <> '' GROUP BY token),
+        |t AS (SELECT CAST(sum(a) AS BIGINT) AS na,
+        |    CAST(sum(b) AS BIGINT) AS nb FROM c)
+        |SELECT token, a AS n_focus, b AS n_rest,
+        |  round(2.0 * (
+        |    CASE WHEN a > 0 THEN CAST(a AS DOUBLE) * ln(CAST(a AS DOUBLE) /
+        |      (CAST(na AS DOUBLE) * (a + b) / (na + nb))) ELSE 0.0 END +
+        |    CASE WHEN b > 0 THEN CAST(b AS DOUBLE) * ln(CAST(b AS DOUBLE) /
+        |      (CAST(nb AS DOUBLE) * (a + b) / (na + nb))) ELSE 0.0 END),
+        |    4) AS g2,
+        |  CASE WHEN a * nb > b * na THEN 'focus' ELSE 'rest' END AS side
+        |FROM c CROSS JOIN t WHERE a + b >= 20
+        |ORDER BY g2 DESC, token""".stripMargin,
+    // Kappa/McNemar panel: 2x2 cells exact; terminating integer ratios
+    // round by exact integer half-up (// is floor = trunc for positives).
+    "q_rater_agreement" ->
+      """WITH f AS (SELECT n_chars >= 400 AS ra,
+        |    len(string_split(text, ' ')) >= 80 AS rb
+        |  FROM documents WHERE text IS NOT NULL),
+        |o AS (SELECT
+        |    CAST(sum(CASE WHEN ra AND rb THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n11,
+        |    CAST(sum(CASE WHEN ra AND NOT rb THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n10,
+        |    CAST(sum(CASE WHEN NOT ra AND rb THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n01,
+        |    CAST(sum(CASE WHEN NOT ra AND NOT rb THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n00
+        |  FROM f),
+        |p AS (SELECT *,
+        |    CAST(n11 + n00 AS DOUBLE) / (n11 + n10 + n01 + n00) AS po_d,
+        |    CAST(n11 + n10 AS DOUBLE) / (n11 + n10 + n01 + n00) AS pa_d,
+        |    CAST(n11 + n01 AS DOUBLE) / (n11 + n10 + n01 + n00) AS pb_d
+        |  FROM o),
+        |p2 AS (SELECT *, pa_d * pb_d + (1.0 - pa_d) * (1.0 - pb_d) AS pe_d
+        |  FROM p)
+        |SELECT n11 + n10 + n01 + n00 AS n, n11, n10, n01, n00,
+        |  ((2 * (n11 + n00) * 1000000 + (n11 + n10 + n01 + n00))
+        |    // (2 * (n11 + n10 + n01 + n00))) / 1000000.0 AS p_observed,
+        |  round(pe_d, 6) AS p_expected,
+        |  round((po_d - pe_d) / (1.0 - pe_d), 4) AS kappa,
+        |  CASE WHEN n10 + n01 > 0 THEN
+        |    ((2 * (n10 - n01) * (n10 - n01) * 10000 + (n10 + n01))
+        |      // (2 * (n10 + n01))) / 10000.0 END AS mcnemar_chi2,
+        |  CASE WHEN n10 + n01 > 0 THEN
+        |    round(CAST(greatest(abs(n10 - n01) - 1, 0) AS DOUBLE) *
+        |      CAST(greatest(abs(n10 - n01) - 1, 0) AS DOUBLE) /
+        |      CAST(n10 + n01 AS DOUBLE), 4) END AS mcnemar_cc
+        |FROM p2""".stripMargin,
+    // Cramér's V: the chi2 screen's cell/window discipline reduced to
+    // the one-row normalized effect size.
+    "q_cramers_v" ->
+      """WITH c AS (SELECT o_orderpriority, o_orderstatus,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM orders GROUP BY 1, 2),
+        |e AS (SELECT n,
+        |    (sum(n) OVER (PARTITION BY o_orderpriority) *
+        |     sum(n) OVER (PARTITION BY o_orderstatus)) /
+        |      sum(n) OVER () AS expected
+        |  FROM c),
+        |t AS (SELECT n, (n - expected) * (n - expected) / expected AS term
+        |  FROM e),
+        |agg AS (SELECT CAST(sum(n) AS BIGINT) AS n_total,
+        |    CAST(sum(CAST(round(term, 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |      AS chi2 FROM t),
+        |lv AS (SELECT CAST(count(DISTINCT o_orderpriority) AS BIGINT)
+        |      AS r_levels,
+        |    CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS c_levels
+        |  FROM c)
+        |SELECT n_total AS n, r_levels, c_levels,
+        |  round(chi2, 4) AS chi2,
+        |  round(sqrt(chi2 / CAST(n_total *
+        |    (least(r_levels, c_levels) - 1) AS DOUBLE)), 6) AS cramers_v
+        |FROM agg, lv""".stripMargin,
+    // Mutual information: every probability a ratio of exact BIGINTs
+    // inside ln; marginal entropy terms split evenly across each
+    // marginal's cells so windows alone recover them (no second scan).
+    "q_mutual_info" ->
+      """WITH c AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1, 2),
+        |w AS (SELECT lang, source, n,
+        |    CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS na,
+        |    CAST(sum(n) OVER (PARTITION BY source) AS BIGINT) AS nb,
+        |    CAST(sum(n) OVER () AS BIGINT) AS nt,
+        |    CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS row_cells,
+        |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT)
+        |      AS col_cells
+        |  FROM c),
+        |t AS (SELECT *,
+        |    CAST(n AS DOUBLE) / nt *
+        |      ln(CAST(nt AS DOUBLE) * n / (na * nb)) AS mi_term_d,
+        |    -(CAST(na AS DOUBLE) / nt) * ln(CAST(na AS DOUBLE) / nt)
+        |      / row_cells AS ha_term,
+        |    -(CAST(nb AS DOUBLE) / nt) * ln(CAST(nb AS DOUBLE) / nt)
+        |      / col_cells AS hb_term
+        |  FROM w),
+        |a AS (SELECT *,
+        |    CAST(sum(CAST(round(mi_term_d, 6) AS DECIMAL(18,6))) OVER ()
+        |      AS DOUBLE) AS mi_d,
+        |    CAST(sum(CAST(round(ha_term, 8) AS DECIMAL(18,8))) OVER ()
+        |      AS DOUBLE) AS ha_d,
+        |    CAST(sum(CAST(round(hb_term, 8) AS DECIMAL(18,8))) OVER ()
+        |      AS DOUBLE) AS hb_d
+        |  FROM t)
+        |SELECT lang, source, n, round(mi_term_d, 6) AS mi_term,
+        |  round(ha_d, 6) AS h_a, round(hb_d, 6) AS h_b,
+        |  round(mi_d, 6) AS mi,
+        |  round(mi_d / sqrt(ha_d * hb_d), 6) AS nmi
+        |FROM a ORDER BY lang, source""".stripMargin,
+    // Theil T with within/between decomposition: decimal revenue, ln
+    // terms 6-rounded then decimal-summed per segment; the terminating
+    // quotient S_g/n_g rounds by exact integer half-up.
+    "q_theil" ->
+      """WITH pc AS (SELECT c_mktsegment, c_custkey,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |seg AS (SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_g,
+        |    sum(rev) AS r_g
+        |  FROM pc GROUP BY 1),
+        |st AS (SELECT *,
+        |    CAST(sum(n_g) OVER () AS BIGINT) AS n,
+        |    sum(r_g) OVER () AS r,
+        |    CAST(r_g AS DOUBLE) / n_g AS mu_g
+        |  FROM seg),
+        |st2 AS (SELECT *, CAST(r AS DOUBLE) / n AS mu FROM st),
+        |ws AS (SELECT pc.c_mktsegment,
+        |    sum(CAST(round((CAST(rev AS DOUBLE) / mu_g) *
+        |      ln(CAST(rev AS DOUBLE) / mu_g), 6) AS DECIMAL(18,6))) AS s_g
+        |  FROM pc JOIN st2 USING (c_mktsegment) GROUP BY 1),
+        |j AS (SELECT st2.*, ws.s_g,
+        |    CAST(ws.s_g * 1000000 AS BIGINT) AS s6
+        |  FROM st2 JOIN ws USING (c_mktsegment)),
+        |k AS (SELECT *,
+        |    ((2 * s6 + n_g) // (2 * n_g)) / 1000000.0 AS theil_g,
+        |    CAST(r_g AS DOUBLE) / CAST(r AS DOUBLE) AS share
+        |  FROM j),
+        |k2 AS (SELECT *, share * ln(mu_g / mu) AS between_g FROM k),
+        |f AS (SELECT *,
+        |    sum(CAST(round(share * theil_g, 6) AS DECIMAL(18,6))) OVER ()
+        |      AS t_w,
+        |    sum(CAST(round(between_g, 6) AS DECIMAL(18,6))) OVER () AS t_b
+        |  FROM k2)
+        |SELECT c_mktsegment, n_g AS n_customers,
+        |  round(share, 6) AS rev_share, theil_g AS theil_within_g,
+        |  round(between_g, 6) AS between_term,
+        |  CAST(t_w AS DOUBLE) AS t_within, CAST(t_b AS DOUBLE) AS t_between,
+        |  CAST(t_w + t_b AS DOUBLE) AS t_total
+        |FROM f ORDER BY c_mktsegment""".stripMargin,
   )
 
   /** Oracle twin of CatalogOps.profile: one UNION ALL branch per column. */

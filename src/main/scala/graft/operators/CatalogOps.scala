@@ -1036,6 +1036,107 @@ object CatalogOps {
       col("o_orderdate") < lit("1997-01-01").cast("timestamp"),
       col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
 
+  /** Cramér's V — the [0,1]-normalized effect size for the association
+    * [[chi2Independence]] only tests: V = √(χ²/(n·(min(r,c)−1))), so a
+    * screen can rank column PAIRS across tables on one scale regardless
+    * of cell counts. Same one-scan discipline as the χ² screen (cell
+    * counts exact, per-cell terms 6-rounded then decimal-summed); the
+    * level counts r and c and n are exact integers on the bounded cell
+    * frame, and the single √ rounds as a double (tie measure zero). */
+  def cramersV(rows: DataFrame, colA: String, colB: String): DataFrame = {
+    val cells = rows.groupBy(col(colA), col(colB))
+      .agg(count(lit(1)).as("n"))
+    val wA = Window.partitionBy(col(colA))
+    val wB = Window.partitionBy(col(colB))
+    val wAll = Window.partitionBy()
+    val e = (sum(col("n")).over(wA) * sum(col("n")).over(wB)) /
+      sum(col("n")).over(wAll)
+    cells
+      .withColumn("expected", e)
+      .withColumn("term",
+        (col("n") - col("expected")) * (col("n") - col("expected")) /
+          col("expected"))
+      .withColumn("chi2",
+        sum(round(col("term"), 6).cast("decimal(18,6)")).over(wAll)
+          .cast("double"))
+      .withColumn("n_total", sum(col("n")).over(wAll))
+      .withColumn("r_levels",
+        size(collect_set(col(colA)).over(wAll)).cast("long"))
+      .withColumn("c_levels",
+        size(collect_set(col(colB)).over(wAll)).cast("long"))
+      .select(col("n_total").as("n"), col("r_levels"), col("c_levels"),
+        round(col("chi2"), 4).as("chi2"),
+        round(sqrt(col("chi2") /
+          (col("n_total") *
+            (least(col("r_levels"), col("c_levels")) - 1L)).cast("double")),
+          6).as("cramers_v"))
+      .limit(1)
+  }
+
+  /** Driver binding: order priority × order status — a 5×3 table whose
+    * association strength the χ² screen alone can't compare against
+    * other pairs. */
+  def cramersVQuery(spark: SparkSession, dir: String): DataFrame =
+    cramersV(Lake.orders(spark, dir), "o_orderpriority", "o_orderstatus")
+
+  /** Mutual information between two categorical columns, in nats, with
+    * both marginal entropies and the normalized MI = I/√(H_a·H_b) — the
+    * information-theoretic association screen ([[chi2Independence]]
+    * answers "is there dependence"; MI answers "how many nats does one
+    * column reveal about the other", comparable across pairs like
+    * [[cramersV]] but sensitive to the full joint, not just the largest
+    * deviations). One scan → r×c cell frame; every probability is a
+    * ratio of exact BIGINTs inside the ln; per-cell and per-marginal
+    * terms are 6-rounded then decimal-summed (aggregation-order-free);
+    * the final normalization is scalar double arithmetic. Emits the cell
+    * frame (joint count + MI contribution per cell) with the table-wide
+    * H_a / H_b / MI / NMI on every row, chi2-screen style. */
+  def mutualInfo(rows: DataFrame, colA: String, colB: String): DataFrame = {
+    val cells = rows.groupBy(col(colA), col(colB))
+      .agg(count(lit(1)).as("n"))
+    val wA = Window.partitionBy(col(colA))
+    val wB = Window.partitionBy(col(colB))
+    val wAll = Window.partitionBy()
+    val nA = sum(col("n")).over(wA)
+    val nB = sum(col("n")).over(wB)
+    val nT = sum(col("n")).over(wAll)
+    // per-cell MI term (n_ij/n)·ln(n·n_ij/(n_i·n_j)); marginal entropy
+    // terms divide each cell's −(n_i/n)ln(n_i/n) evenly-by-construction:
+    // summing (term_i / cells-in-row-i) over the row's cells recovers the
+    // marginal term exactly once — windows only, no second scan
+    val miTerm = col("n").cast("double") / col("nt") *
+      log(col("nt").cast("double") * col("n") / (col("na") * col("nb")))
+    val haTerm = -(col("na").cast("double") / col("nt")) *
+      log(col("na").cast("double") / col("nt")) / col("row_cells")
+    val hbTerm = -(col("nb").cast("double") / col("nt")) *
+      log(col("nb").cast("double") / col("nt")) / col("col_cells")
+    cells
+      .withColumn("na", nA).withColumn("nb", nB).withColumn("nt", nT)
+      .withColumn("row_cells", count(lit(1)).over(wA))
+      .withColumn("col_cells", count(lit(1)).over(wB))
+      .withColumn("mi",
+        sum(round(miTerm, 6).cast("decimal(18,6)")).over(wAll)
+          .cast("double"))
+      .withColumn("h_a",
+        sum(round(haTerm, 8).cast("decimal(18,8)")).over(wAll)
+          .cast("double"))
+      .withColumn("h_b",
+        sum(round(hbTerm, 8).cast("decimal(18,8)")).over(wAll)
+          .cast("double"))
+      .select(col(colA), col(colB), col("n"),
+        round(miTerm, 6).as("mi_term"),
+        round(col("h_a"), 6).as("h_a"),
+        round(col("h_b"), 6).as("h_b"),
+        round(col("mi"), 6).as("mi"),
+        round(col("mi") / sqrt(col("h_a") * col("h_b")), 6).as("nmi"))
+      .orderBy(col(colA), col(colB))
+  }
+
+  /** Driver binding: language × source over the documents table — how
+    * much does knowing the source reveal about the language mix. */
+  def mutualInfoQuery(spark: SparkSession, dir: String): DataFrame =
+    mutualInfo(Lake.documents(spark, dir), "lang", "source")
+
   /** Benford first-digit screen — the classic fabricated-/degenerate-data
     * detector for positive amount columns: the observed leading-digit
     * distribution vs Benford's law p(d) = ln(1+1/d)/ln(10), with each

@@ -1277,6 +1277,69 @@ object Relational {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Theil T inequality index of customer revenue with its EXACT
+    * within/between decomposition by market segment — the inequality
+    * diagnostic [[giniSegments]] can't give: T = Σ_g s_g·T_g + Σ_g
+    * s_g·ln(μ_g/μ) splits total inequality into inside-segment spread
+    * and between-segment mean gaps (Gini has no such additive split),
+    * with s_g the segment's REVENUE share and T_g = (1/n_g)Σ(x/μ_g)ln(x/μ_g).
+    *
+    * Shape: per-customer revenue (decimal-exact) → 5-row segment
+    * aggregate broadcast back for the per-customer ln terms → per-segment
+    * 6-rounded decimal sums; NO global window ever touches the
+    * customer-sized frame (the [[abcParts]] lesson) — table-wide sums run
+    * over the bounded segment frame. The terminating quotient T_g = S_g/n_g
+    * rounds by exact integer half-up ((2S+n) div 2n — a .5 tie is
+    * reachable when a 6-decimal sum divides a count); the ln-bearing
+    * terms round as doubles where ties have measure zero. */
+  def theilIndex(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Lake.orders(spark, dir)
+      .join(broadcast(Lake.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("c_custkey"))
+      .agg(sum(m(col("o_totalprice"))).as("rev"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seg = perCust.groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_g"), sum(col("rev")).as("r_g"))
+    val wAll = Window.partitionBy()
+    // global mean from the BOUNDED segment frame (exact decimal / long)
+    val segTot = seg
+      .withColumn("n", sum(col("n_g")).over(wAll))
+      .withColumn("r", sum(col("r_g")).over(wAll))
+      .withColumn("mu_g", col("r_g").cast("double") / col("n_g"))
+      .withColumn("mu", col("r").cast("double") / col("n"))
+    val withinSums = perCust
+      .join(broadcast(segTot.select(col("c_mktsegment"), col("mu_g"))),
+        Seq("c_mktsegment"))
+      .withColumn("xr", col("rev").cast("double") / col("mu_g"))
+      .groupBy(col("c_mktsegment"))
+      .agg(sum(round(col("xr") * log(col("xr")), 6)
+        .cast("decimal(18,6)")).as("s_g"))
+    val out = segTot.join(withinSums, Seq("c_mktsegment"))
+      .withColumn("s6", (col("s_g") * lit(1000000)).cast("long"))
+      .withColumn("theil_g",
+        expr("(2 * s6 + n_g) div (2 * n_g)").cast("double") / 1000000.0)
+      .withColumn("share", col("r_g").cast("double") / col("r").cast("double"))
+      .withColumn("between_g", col("share") * log(col("mu_g") / col("mu")))
+      .withColumn("t_within",
+        sum(round(col("share") * col("theil_g"), 6).cast("decimal(18,6)"))
+          .over(wAll))
+      .withColumn("t_between",
+        sum(round(col("between_g"), 6).cast("decimal(18,6)")).over(wAll))
+      .select(col("c_mktsegment"), col("n_g").as("n_customers"),
+        round(col("share"), 6).as("rev_share"),
+        col("theil_g").as("theil_within_g"),
+        round(col("between_g"), 6).as("between_term"),
+        col("t_within").cast("double").as("t_within"),
+        col("t_between").cast("double").as("t_between"),
+        (col("t_within") + col("t_between")).cast("double").as("t_total"))
+      .orderBy(col("c_mktsegment"))
+      .localCheckpoint(true)
+    perCust.unpersist(false)
+    out
+  }
+
   /** Trimmed and winsorized means of order value per market segment —
     * the robust-location pair beside the raw mean: TRIMMED drops values
     * outside the exact [p05, p95] fences, WINSORIZED clamps them to the

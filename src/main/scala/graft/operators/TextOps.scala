@@ -3005,4 +3005,106 @@ object TextOps {
     phrases.unpersist(false)
     out
   }
+
+  /** Dunning log-likelihood (G²) keyness: which tokens are
+    * over-represented in a focus slice of the corpus versus the rest —
+    * THE standard corpus-comparison statistic (sharper than raw frequency
+    * ratios for rare words, unlike PMI it doesn't explode on singletons).
+    * For token w with focus count a, reference count b and slice totals
+    * Nₐ, N_b: expected eₐ = Nₐ(a+b)/(Nₐ+N_b) (e_b symmetric) and
+    * G² = 2·[a·ln(a/eₐ) + b·ln(b/e_b)], zero-count terms contributing 0.
+    * `side` says WHICH slice the token leans toward, decided by the exact
+    * integer cross-product a·N_b > b·Nₐ (no fp at the boundary; at
+    * corpus scales where a·N_b could overflow a long, compare doubles —
+    * the boundary rows there have G² ≈ 0 and don't matter).
+    *
+    * Rows are support-thresholded (a+b ≥ minCount, an exact integer
+    * filter), NOT top-K'd: a LIMIT over a double ordering key is where
+    * engines disagree at the boundary. Shape: one token explode →
+    * vocab-bounded (token) counts; the slice totals ride a broadcast
+    * one-row cross join. */
+  def keyness(docs: DataFrame, focus: Column, minCount: Long = 20L): DataFrame = {
+    val counts = nonNull(docs)
+      .select(focus.as("in_focus"), explode(toks).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token"))
+      .agg(sum(when(col("in_focus"), 1L).otherwise(0L)).as("a"),
+        sum(when(!col("in_focus"), 1L).otherwise(0L)).as("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = counts.agg(sum(col("a")).as("na"), sum(col("b")).as("nb"))
+    val ea = col("na").cast("double") * (col("a") + col("b")) /
+      (col("na") + col("nb"))
+    val eb = col("nb").cast("double") * (col("a") + col("b")) /
+      (col("na") + col("nb"))
+    val g2 = lit(2.0) * (
+      when(col("a") > 0L,
+        col("a").cast("double") * log(col("a").cast("double") / ea))
+        .otherwise(lit(0.0)) +
+      when(col("b") > 0L,
+        col("b").cast("double") * log(col("b").cast("double") / eb))
+        .otherwise(lit(0.0)))
+    val out = counts
+      .filter(col("a") + col("b") >= minCount)
+      .crossJoin(broadcast(tot))
+      .select(col("token"), col("a").as("n_focus"), col("b").as("n_rest"),
+        round(g2, 4).as("g2"),
+        when(col("a") * col("nb") > col("b") * col("na"), "focus")
+          .otherwise("rest").as("side"))
+      .orderBy(col("g2").desc, col("token"))
+      .localCheckpoint(true)
+    counts.unpersist(false)
+    out
+  }
+
+  /** Keyness of English-labelled docs against the rest of the corpus. */
+  def keyness(spark: SparkSession, dir: String): DataFrame =
+    keyness(Lake.documents(spark, dir), col("lang") === "en")
+
+  /** Inter-rater agreement panel between two deterministic document
+    * classifiers — Cohen's κ (chance-corrected agreement) plus McNemar's
+    * χ² on the disagreement cells (is the DIRECTION of disagreement
+    * symmetric?). The raters here are the two cheapest quality gates a
+    * corpus pipeline runs (char-length vs token-count thresholds); the
+    * operator takes any two boolean columns. All four 2×2 cells are exact
+    * BIGINTs from ONE scan; κ's chance agreement p_e and McNemar's
+    * statistics are scalar arithmetic on the one-row frame. The
+    * terminating ratios (observed agreement pₒ, McNemar's χ² — exact
+    * integer quotients where a .5 rounding tie is a REACHABLE decimal)
+    * round by exact integer half-up, (2·num·10^d + den) div (2·den); the
+    * compound irrationals (p_e, κ) round as doubles, where a tie has
+    * measure zero. */
+  def raterAgreement(docs: DataFrame, raterA: Column, raterB: Column): DataFrame = {
+    val one = nonNull(docs).agg(
+      sum(when(raterA && raterB, 1L).otherwise(0L)).as("n11"),
+      sum(when(raterA && !raterB, 1L).otherwise(0L)).as("n10"),
+      sum(when(!raterA && raterB, 1L).otherwise(0L)).as("n01"),
+      sum(when(!raterA && !raterB, 1L).otherwise(0L)).as("n00"))
+    val n = col("n11") + col("n10") + col("n01") + col("n00")
+    val poD = (col("n11") + col("n00")).cast("double") / n
+    val paD = (col("n11") + col("n10")).cast("double") / n
+    val pbD = (col("n11") + col("n01")).cast("double") / n
+    val peD = paD * pbD + (lit(1.0) - paD) * (lit(1.0) - pbD)
+    val d = col("n10") - col("n01")
+    val m = col("n10") + col("n01")
+    one.select(
+      n.as("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+      (expr("(2 * (n11 + n00) * 1000000 + (n11 + n10 + n01 + n00)) div " +
+        "(2 * (n11 + n10 + n01 + n00))").cast("double") / 1000000.0)
+        .as("p_observed"),
+      round(peD, 6).as("p_expected"),
+      round((poD - peD) / (lit(1.0) - peD), 4).as("kappa"),
+      when(m > 0L,
+        expr("(2 * (n10 - n01) * (n10 - n01) * 10000 + (n10 + n01)) div " +
+          "(2 * (n10 + n01))").cast("double") / 10000.0).as("mcnemar_chi2"),
+      when(m > 0L, round(
+        greatest(abs(d) - 1L, lit(0L)).cast("double") *
+          greatest(abs(d) - 1L, lit(0L)).cast("double") /
+          m.cast("double"), 4)).as("mcnemar_cc"))
+  }
+
+  /** Driver binding: length-rater (n_chars ≥ 400) vs token-rater
+    * (≥ 80 whitespace tokens) over the documents table. */
+  def raterAgreement(spark: SparkSession, dir: String): DataFrame =
+    raterAgreement(Lake.documents(spark, dir),
+      col("n_chars") >= 400L, size(toks) >= 80)
 }

@@ -1705,4 +1705,150 @@ class AnalyticsOpsSpec extends SparkSpecBase {
     assert(rows.map(_.getDouble(3)).toSeq == rows.map(_.getDouble(3)).toSeq.sorted,
       "cum_share monotone")
   }
+
+  test("keyness matches the brute-force Dunning G2 and picks the right side") {
+    val docs = Lake.documents(spark, Sf)
+      .filter(col("text").isNotNull)
+      .select(col("lang"), col("text")).collect()
+      .map(r => (r.getString(0) == "en", r.getString(1)))
+    val counts = collection.mutable.Map[String, (Long, Long)]()
+    for ((focus, text) <- docs; tok <- text.split(" ", -1) if tok.nonEmpty) {
+      val (a, b) = counts.getOrElse(tok, (0L, 0L))
+      counts(tok) = if (focus) (a + 1, b) else (a, b + 1)
+    }
+    val na = counts.values.map(_._1).sum.toDouble
+    val nb = counts.values.map(_._2).sum.toDouble
+    val got = TextOps.keyness(spark, Sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4)))
+      .toMap
+    val expectedKeys =
+      counts.filter { case (_, (a, b)) => a + b >= 20 }.keySet
+    assert(got.keySet == expectedKeys, "support-thresholded vocabulary")
+    for ((tok, (a, b, g2, side)) <- got) {
+      val ea = na * (a + b) / (na + nb)
+      val eb = nb * (a + b) / (na + nb)
+      val eg2 = 2.0 * ((if (a > 0) a * math.log(a / ea) else 0.0) +
+        (if (b > 0) b * math.log(b / eb) else 0.0))
+      assert((a, b) == counts(tok), s"counts for $tok")
+      assert(math.abs(g2 - eg2) < 1e-3, s"g2 for $tok: $g2 vs $eg2")
+      assert(side == (if (a * nb > b * na) "focus" else "rest"),
+        s"side for $tok")
+      assert(eg2 >= -1e-9, "G2 is non-negative")
+    }
+  }
+
+  test("rater agreement: kappa and McNemar match the brute-force 2x2 table") {
+    val flags = Lake.documents(spark, Sf)
+      .filter(col("text").isNotNull)
+      .select(col("n_chars"), col("text")).collect()
+      .map(r => (r.getLong(0) >= 400L, r.getString(1).split(" ", -1).length >= 80))
+    val n11 = flags.count(f => f._1 && f._2).toLong
+    val n10 = flags.count(f => f._1 && !f._2).toLong
+    val n01 = flags.count(f => !f._1 && f._2).toLong
+    val n00 = flags.count(f => !f._1 && !f._2).toLong
+    val n = flags.length.toDouble
+    val (po, pa, pb) = ((n11 + n00) / n, (n11 + n10) / n, (n11 + n01) / n)
+    val pe = pa * pb + (1 - pa) * (1 - pb)
+    val r = TextOps.raterAgreement(spark, Sf).collect().head
+    assert(r.getLong(0) == flags.length)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((n11, n10, n01, n00)), "2x2 cells")
+    assert(math.abs(r.getDouble(5) - po) < 1e-6, "p_observed")
+    assert(math.abs(r.getDouble(6) - pe) < 1e-6, "p_expected")
+    assert(math.abs(r.getDouble(7) - (po - pe) / (1 - pe)) < 1e-4, "kappa")
+    val d = n10 - n01
+    val m = n10 + n01
+    assert(m > 0, "the two raters disagree somewhere on this corpus")
+    assert(math.abs(r.getDouble(8) - d.toDouble * d / m) < 1e-4, "mcnemar")
+    val cc = math.max(math.abs(d) - 1L, 0L).toDouble
+    assert(math.abs(r.getDouble(9) - cc * cc / m) < 1e-4, "mcnemar cc")
+  }
+
+  test("cramers V matches the brute-force chi2 normalization and sits in [0,1]") {
+    val rows = Lake.orders(spark, Sf)
+      .select(col("o_orderpriority"), col("o_orderstatus")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val n = rows.length.toDouble
+    val obs = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rowT = rows.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val colT = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val chi2 = obs.map { case ((a, b), o) =>
+      val e = rowT(a) * colT(b) / n
+      (o - e) * (o - e) / e
+    }.sum
+    val v = math.sqrt(chi2 / (n * (math.min(rowT.size, colT.size) - 1)))
+    val r = CatalogOps.cramersVQuery(spark, Sf).collect().head
+    assert(r.getLong(0) == rows.length)
+    assert(r.getLong(1) == rowT.size && r.getLong(2) == colT.size)
+    assert(math.abs(r.getDouble(3) - chi2) < 1e-2, s"chi2 ${r.getDouble(3)} vs $chi2")
+    assert(math.abs(r.getDouble(4) - v) < 1e-4, s"V ${r.getDouble(4)} vs $v")
+    assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+  }
+
+  test("mutual information matches brute-force joint/marginal entropies") {
+    val rows = Lake.documents(spark, Sf)
+      .select(col("lang"), col("source")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val n = rows.length.toDouble
+    val joint = rows.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    val mA = rows.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    val mB = rows.groupBy(_._2).view.mapValues(_.size.toDouble).toMap
+    val mi = joint.map { case ((a, b), c) =>
+      c / n * math.log(n * c / (mA(a) * mB(b)))
+    }.sum
+    def h(m: Map[String, Double]) =
+      -m.values.map(c => c / n * math.log(c / n)).sum
+    val (ha, hb) = (h(mA), h(mB))
+    val got = CatalogOps.mutualInfoQuery(spark, Sf).collect()
+    assert(got.length == joint.size, "one row per occupied cell")
+    val r = got.head
+    assert(math.abs(r.getDouble(4) - ha) < 1e-4, s"H_a ${r.getDouble(4)} vs $ha")
+    assert(math.abs(r.getDouble(5) - hb) < 1e-4, s"H_b ${r.getDouble(5)} vs $hb")
+    assert(math.abs(r.getDouble(6) - mi) < 1e-3, s"MI ${r.getDouble(6)} vs $mi")
+    assert(math.abs(r.getDouble(7) - mi / math.sqrt(ha * hb)) < 1e-3, "NMI")
+    for (row <- got) {
+      val cell = (row.getString(0), row.getString(1))
+      assert(row.getLong(2) == joint(cell).toLong, s"joint count $cell")
+    }
+    assert(mi >= -1e-9, "MI non-negative")
+  }
+
+  test("theil index matches brute-force within/between decomposition") {
+    val perCust = Lake.orders(spark, Sf)
+      .join(Lake.customer(spark, Sf), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("c_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+      .collect()
+      .map(r => (r.getString(0), r.getDecimal(2).doubleValue()))
+    val n = perCust.length.toDouble
+    val mu = perCust.map(_._2).sum / n
+    val bySeg = perCust.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val rTotal = perCust.map(_._2).sum
+    var tw = 0.0
+    var tb = 0.0
+    val rows = Relational.theilIndex(spark, Sf).collect()
+    for (r <- rows) {
+      val seg = r.getString(0)
+      val xs = bySeg(seg)
+      val muG = xs.sum / xs.length
+      val tG = xs.map(x => x / muG * math.log(x / muG)).sum / xs.length
+      val share = xs.sum / rTotal
+      assert(r.getLong(1) == xs.length, s"n_customers $seg")
+      assert(math.abs(r.getDouble(2) - share) < 1e-6, s"share $seg")
+      assert(math.abs(r.getDouble(3) - tG) < 1e-4, s"T_g $seg")
+      assert(math.abs(r.getDouble(4) - share * math.log(muG / mu)) < 1e-5,
+        s"between $seg")
+      assert(r.getDouble(3) >= -1e-9, s"within Theil non-negative $seg")
+      tw += share * tG
+      tb += share * math.log(muG / mu)
+    }
+    val any = rows.head
+    assert(math.abs(any.getDouble(5) - tw) < 1e-3, "t_within")
+    assert(math.abs(any.getDouble(6) - tb) < 1e-3, "t_between")
+    assert(math.abs(any.getDouble(7) - (tw + tb)) < 1e-3, "t_total")
+    // the full-population Theil equals the decomposition's total
+    val tAll = perCust.map(x => x._2 / mu * math.log(x._2 / mu)).sum / n
+    assert(math.abs(tAll - (tw + tb)) < 1e-6, "decomposition is exact")
+  }
 }
