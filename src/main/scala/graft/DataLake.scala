@@ -399,4 +399,13 @@ final case class DataLake(spark: SparkSession, dir: String) {
     CatalogOps.mutualInfo(Lake.table(spark, dir, table), colA, colB)
   /** Theil T inequality of customer revenue, within/between segments. */
   def theilIndex(): DataFrame = Relational.theilIndex(spark, dir)
+  /** Exact audience Jaccard/overlap matrix between event types. */
+  def audienceOverlap(): DataFrame = EventOps.audienceOverlap(spark, dir)
+  /** Gumbel block-maxima fit + return levels over weekly peak days. */
+  def gumbelExtremes(): DataFrame = EventOps.gumbelExtremes(spark, dir)
+  /** Lo–MacKinlay variance-ratio random-walk test of daily counts. */
+  def varianceRatio(): DataFrame = EventOps.varianceRatio(spark, dir)
+  /** Truncated rank-biased overlap between yearly top-d part lists. */
+  def rboParts(depth: Int = 50, p: Double = 0.9): DataFrame =
+    Relational.rboParts(spark, dir, depth, p)
 }

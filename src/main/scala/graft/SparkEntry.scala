@@ -783,6 +783,15 @@ object SparkEntry {
     "q_mutual_info"       -> CatalogOps.mutualInfoQuery _,
     // Theil T inequality with within/between segment decomposition
     "q_theil"             -> Relational.theilIndex _,
+    // Exact audience Jaccard/overlap matrix between event types
+    "q_audience_overlap"  -> EventOps.audienceOverlap _,
+    // Gumbel block-maxima fit + return levels over weekly peak days
+    "q_gumbel"            -> EventOps.gumbelExtremes _,
+    // Lo-MacKinlay variance-ratio random-walk test, q = 2/5/7
+    "q_variance_ratio"    -> EventOps.varianceRatio _,
+    // Truncated rank-biased overlap between yearly top-50 part lists
+    "q_rbo"               -> ((s: SparkSession, d: String) =>
+      Relational.rboParts(s, d)),
   )
 
   /** [[TextOps.patternScan]] dictionary for the driver query: token
@@ -8517,6 +8526,127 @@ object SparkEntry {
         |  CAST(t_w AS DOUBLE) AS t_within, CAST(t_b AS DOUBLE) AS t_between,
         |  CAST(t_w + t_b AS DOUBLE) AS t_total
         |FROM f ORDER BY c_mktsegment""".stripMargin,
+    // Exact audience overlap: distinct sets, per-user bounded pairing,
+    // pair grid keeps zero-intersection pairs; terminating ratios by
+    // exact integer half-up.
+    "q_audience_overlap" ->
+      """WITH aud AS (SELECT DISTINCT event_type, user_id FROM events),
+        |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM aud GROUP BY 1),
+        |i AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    CAST(count(*) AS BIGINT) AS n_common
+        |  FROM aud a JOIN aud b ON a.user_id = b.user_id
+        |    AND a.event_type < b.event_type
+        |  GROUP BY 1, 2),
+        |g AS (SELECT sa.event_type AS type_a, sb.event_type AS type_b,
+        |    sa.n AS n_a, sb.n AS n_b
+        |  FROM s sa, s sb WHERE sa.event_type < sb.event_type)
+        |SELECT type_a, type_b, n_a, n_b,
+        |  coalesce(n_common, 0) AS n_common,
+        |  n_a + n_b - coalesce(n_common, 0) AS n_union,
+        |  ((2 * coalesce(n_common, 0) * 1000000 +
+        |      (n_a + n_b - coalesce(n_common, 0)))
+        |    // (2 * (n_a + n_b - coalesce(n_common, 0)))) / 1000000.0
+        |    AS jaccard,
+        |  ((2 * coalesce(n_common, 0) * 1000000 + least(n_a, n_b))
+        |    // (2 * least(n_a, n_b))) / 1000000.0 AS overlap_coef
+        |FROM g LEFT JOIN i USING (type_a, type_b)
+        |ORDER BY type_a, type_b""".stripMargin,
+    // Gumbel block-maxima: exact integer maxima moments, one scalar
+    // double tree for beta/mu/return levels (gamma as a shared literal).
+    "q_gumbel" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, date_trunc('week', day) AS wk,
+        |    CAST(max(x) AS BIGINT) AS mx FROM d GROUP BY 1, 2),
+        |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_weeks,
+        |    CAST(sum(mx) AS BIGINT) AS s,
+        |    CAST(sum(mx * mx) AS BIGINT) AS q FROM m GROUP BY 1),
+        |b AS (SELECT *, CAST(s AS DOUBLE) / n_weeks AS mm FROM a),
+        |c AS (SELECT *, (CAST(q AS DOUBLE) - n_weeks * mm * mm)
+        |    / CAST(n_weeks - 1 AS DOUBLE) AS v FROM b),
+        |e AS (SELECT *, sqrt(v) * sqrt(6.0) / pi() AS beta FROM c),
+        |f AS (SELECT *, mm - 0.5772156649015329 * beta AS mu FROM e)
+        |SELECT event_type, n_weeks, round(mm, 4) AS mean_max,
+        |  round(sqrt(v), 4) AS sd_max, round(beta, 4) AS beta,
+        |  round(mu, 4) AS mu,
+        |  round(mu - beta * ln(-ln(1.0 - 1.0 / 26.0)), 4) AS rl_26w,
+        |  round(mu - beta * ln(-ln(1.0 - 1.0 / 52.0)), 4) AS rl_52w
+        |FROM f ORDER BY event_type""".stripMargin,
+    // Variance ratio: exact BIGINT lag differences off one ordered
+    // window; each variance the standard double tree on exact sums; the
+    // z constants (3q and 2(2q-1)(q-1)) are exact small doubles.
+    "q_variance_ratio" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+        |l AS (SELECT event_type,
+        |    x - lag(x, 1) OVER w AS d1, x - lag(x, 2) OVER w AS d2,
+        |    x - lag(x, 5) OVER w AS d5, x - lag(x, 7) OVER w AS d7
+        |  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |a AS (SELECT event_type, CAST(count(d1) AS BIGINT) AS n_diffs,
+        |    (CAST(sum(d1 * d1) AS DOUBLE) - CAST(count(d1) AS DOUBLE) *
+        |      (CAST(sum(d1) AS DOUBLE) / count(d1)) *
+        |      (CAST(sum(d1) AS DOUBLE) / count(d1)))
+        |      / CAST(count(d1) - 1 AS DOUBLE) AS v1,
+        |    (CAST(sum(d2 * d2) AS DOUBLE) - CAST(count(d2) AS DOUBLE) *
+        |      (CAST(sum(d2) AS DOUBLE) / count(d2)) *
+        |      (CAST(sum(d2) AS DOUBLE) / count(d2)))
+        |      / CAST(count(d2) - 1 AS DOUBLE) AS v2,
+        |    (CAST(sum(d5 * d5) AS DOUBLE) - CAST(count(d5) AS DOUBLE) *
+        |      (CAST(sum(d5) AS DOUBLE) / count(d5)) *
+        |      (CAST(sum(d5) AS DOUBLE) / count(d5)))
+        |      / CAST(count(d5) - 1 AS DOUBLE) AS v5,
+        |    (CAST(sum(d7 * d7) AS DOUBLE) - CAST(count(d7) AS DOUBLE) *
+        |      (CAST(sum(d7) AS DOUBLE) / count(d7)) *
+        |      (CAST(sum(d7) AS DOUBLE) / count(d7)))
+        |      / CAST(count(d7) - 1 AS DOUBLE) AS v7
+        |  FROM l GROUP BY 1)
+        |SELECT event_type, n_diffs, round(v1, 4) AS var_1,
+        |  round(v2 / (2.0 * v1), 4) AS vr_2,
+        |  round((v2 / (2.0 * v1) - 1.0) *
+        |    sqrt(CAST(n_diffs AS DOUBLE) * 6.0 / 6.0), 4) AS z_2,
+        |  round(v5 / (5.0 * v1), 4) AS vr_5,
+        |  round((v5 / (5.0 * v1) - 1.0) *
+        |    sqrt(CAST(n_diffs AS DOUBLE) * 15.0 / 72.0), 4) AS z_5,
+        |  round(v7 / (7.0 * v1), 4) AS vr_7,
+        |  round((v7 / (7.0 * v1) - 1.0) *
+        |    sqrt(CAST(n_diffs AS DOUBLE) * 21.0 / 156.0), 4) AS z_7
+        |FROM a ORDER BY event_type""".stripMargin,
+    // RBO: exact-decimal total-order rankings (LIMIT boundary identical
+    // both engines), agreement ratios terminate within 6 dp for k<=50,
+    // p^(k-1) terms 8-rounded into decimal before the cumulative sum.
+    "q_rbo" ->
+      """WITH t96 AS (SELECT l_partkey,
+        |    sum(cast(l_extendedprice AS decimal(18,2)) *
+        |      (cast(1 AS decimal(18,2)) - cast(l_discount AS decimal(18,2))))
+        |      AS rev
+        |  FROM lineitem WHERE year(l_shipdate) = 1996 GROUP BY 1
+        |  ORDER BY rev DESC, l_partkey LIMIT 50),
+        |a AS (SELECT l_partkey, CAST(row_number()
+        |    OVER (ORDER BY rev DESC, l_partkey) AS BIGINT) AS ra FROM t96),
+        |t97 AS (SELECT l_partkey,
+        |    sum(cast(l_extendedprice AS decimal(18,2)) *
+        |      (cast(1 AS decimal(18,2)) - cast(l_discount AS decimal(18,2))))
+        |      AS rev
+        |  FROM lineitem WHERE year(l_shipdate) = 1997 GROUP BY 1
+        |  ORDER BY rev DESC, l_partkey LIMIT 50),
+        |b AS (SELECT l_partkey, CAST(row_number()
+        |    OVER (ORDER BY rev DESC, l_partkey) AS BIGINT) AS rb FROM t97),
+        |mm AS (SELECT greatest(ra, rb) AS depth_in
+        |  FROM a JOIN b USING (l_partkey)),
+        |ks AS (SELECT CAST(range AS BIGINT) AS k FROM range(1, 51)),
+        |xk AS (SELECT k, CAST(count(depth_in) AS BIGINT) AS x_k
+        |  FROM ks LEFT JOIN mm ON depth_in <= k GROUP BY k),
+        |c AS (SELECT k, x_k,
+        |    CAST(round(pow(0.9, k - 1) * x_k / k, 8) AS DECIMAL(18,8))
+        |      AS term FROM xk),
+        |f AS (SELECT k, x_k, sum(term) OVER (ORDER BY k
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM c)
+        |SELECT k, x_k,
+        |  ((2 * x_k * 1000000 + k) // (2 * k)) / 1000000.0 AS agreement,
+        |  round((1.0 - 0.9) * CAST(cum AS DOUBLE), 6) AS rbo_k
+        |FROM f ORDER BY k""".stripMargin,
   )
 
   /** Oracle twin of CatalogOps.profile: one UNION ALL branch per column. */

@@ -2871,4 +2871,124 @@ object EventOps {
           sqrt(col("n_days").cast("double") * (col("n_days") - 1) *
             (lit(2) * col("n_days") + 5) / 2.0), 4).as("z"))
   }
+
+  /** EXACT audience-overlap matrix between event types — Jaccard and
+    * overlap (Szymkiewicz–Simpson) coefficients over distinct-user sets,
+    * the value-checked twin of the theta-sketch q_set_overlap path (the
+    * sketch scales to arbitrary cardinalities; this one is exact and
+    * oracle-checkable, the right tool while audiences fit a shuffle).
+    * Shape: distinct (type,user) once → per-user self-pairing (≤ types²
+    * rows PER USER — bounded fan-out, shuffled on user_id, never a
+    * global product) → pair grid from the bounded per-type size frame so
+    * zero-intersection pairs still appear. The terminating ratios round
+    * by exact integer half-up ((2·num·10⁶ + den) div (2·den)) — an
+    * integer/integer quotient is where a .5 rounding tie is reachable. */
+  def audienceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val aud = Lake.events(spark, dir)
+      .select(col("event_type"), col("user_id")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = aud.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val inter = aud.select(col("event_type").as("type_a"), col("user_id"))
+      .join(aud.select(col("event_type").as("type_b"), col("user_id")),
+        Seq("user_id"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_common"))
+    val grid = sizes.select(col("event_type").as("type_a"), col("n").as("n_a"))
+      .crossJoin(broadcast(
+        sizes.select(col("event_type").as("type_b"), col("n").as("n_b"))))
+      .filter(col("type_a") < col("type_b"))
+    val out = grid.join(inter, Seq("type_a", "type_b"), "left")
+      .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
+      .withColumn("n_union", col("n_a") + col("n_b") - col("n_common"))
+      .withColumn("n_min", least(col("n_a"), col("n_b")))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("n_common"), col("n_union"),
+        (expr("(2 * n_common * 1000000 + n_union) div (2 * n_union)")
+          .cast("double") / 1000000.0).as("jaccard"),
+        (expr("(2 * n_common * 1000000 + n_min) div (2 * n_min)")
+          .cast("double") / 1000000.0).as("overlap_coef"))
+      .orderBy(col("type_a"), col("type_b"))
+      .localCheckpoint(true)
+    aud.unpersist(false)
+    out
+  }
+
+  /** Gumbel extreme-value fit over weekly block maxima of the daily
+    * event counts, per event type — the capacity-planning readout (what
+    * daily peak should week T expect?): method-of-moments β̂ = s·√6/π,
+    * μ̂ = m − γβ̂ over the block maxima, plus the T-week return levels
+    * x_T = μ̂ − β̂·ln(−ln(1 − 1/T)) for T = 26 and 52. Every input to
+    * the closed forms is an exact BIGINT (daily counts → weekly max →
+    * Σ, Σx²); the moments and return levels are one scalar double tree
+    * (γ as the shared literal 0.5772156649015329 — both engines parse
+    * the identical double). Calendar-bounded frames at every step. */
+  def gumbelExtremes(spark: SparkSession, dir: String): DataFrame = {
+    val gamma = 0.5772156649015329
+    val maxima = Lake.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .groupBy(col("event_type"), date_trunc("week", col("day")).as("wk"))
+      .agg(max(col("x")).as("mx"))
+    def rl(t: Double): Column =
+      col("mu") - col("beta") * log(-log(lit(1.0) - lit(1.0) / t))
+    maxima.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_weeks"), sum(col("mx")).as("s"),
+        sum(col("mx") * col("mx")).as("q"))
+      .withColumn("m", col("s").cast("double") / col("n_weeks"))
+      .withColumn("v",
+        (col("q").cast("double") - col("n_weeks") * col("m") * col("m")) /
+          (col("n_weeks") - 1).cast("double"))
+      .withColumn("beta", sqrt(col("v")) * sqrt(lit(6.0)) / lit(math.Pi))
+      .withColumn("mu", col("m") - lit(gamma) * col("beta"))
+      .select(col("event_type"), col("n_weeks"),
+        round(col("m"), 4).as("mean_max"),
+        round(sqrt(col("v")), 4).as("sd_max"),
+        round(col("beta"), 4).as("beta"),
+        round(col("mu"), 4).as("mu"),
+        round(rl(26.0), 4).as("rl_26w"),
+        round(rl(52.0), 4).as("rl_52w"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Lo–MacKinlay variance-ratio test of the daily count series per
+    * event type — the random-walk diagnostic (VR(q) ≈ 1 under i.i.d.
+    * increments; VR > 1 means positive autocorrelation/momentum, < 1
+    * mean reversion), the hypothesis-test complement to the ACF readout:
+    * VR(q) = Var(x_t − x_{t−q}) / (q·Var(x_t − x_{t−1})) with the
+    * homoskedastic z = (VR−1)·√(n·3q / (2(2q−1)(q−1))). Differences are
+    * exact BIGINTs off ONE day-ordered window pass (day is unique per
+    * type, so lag is deterministic); each variance is the standard
+    * double tree over exact Σ, Σd² sums. Calendar-bounded frame. */
+  def varianceRatio(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val daily = Lake.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val diffs = daily
+      .withColumn("d1", col("x") - lag(col("x"), 1).over(w))
+      .withColumn("d2", col("x") - lag(col("x"), 2).over(w))
+      .withColumn("d5", col("x") - lag(col("x"), 5).over(w))
+      .withColumn("d7", col("x") - lag(col("x"), 7).over(w))
+    def variance(q: String): Column =
+      (sum(col(q) * col(q)).cast("double") -
+        count(col(q)).cast("double") *
+          (sum(col(q)).cast("double") / count(col(q))) *
+          (sum(col(q)).cast("double") / count(col(q)))) /
+        (count(col(q)) - 1).cast("double")
+    val agg = diffs.groupBy(col("event_type"))
+      .agg(count(col("d1")).as("n_diffs"),
+        variance("d1").as("v1"), variance("d2").as("v2"),
+        variance("d5").as("v5"), variance("d7").as("v7"))
+    def vr(q: Int): Column = col(s"v$q") / (lit(q.toDouble) * col("v1"))
+    def zOut(q: Int): Column =
+      (vr(q) - lit(1.0)) * sqrt(col("n_diffs").cast("double") *
+        (3.0 * q) / (2.0 * (2 * q - 1) * (q - 1)))
+    agg.select(col("event_type"), col("n_diffs"),
+      round(col("v1"), 4).as("var_1"),
+      round(vr(2), 4).as("vr_2"), round(zOut(2), 4).as("z_2"),
+      round(vr(5), 4).as("vr_5"), round(zOut(5), 4).as("z_5"),
+      round(vr(7), 4).as("vr_7"), round(zOut(7), 4).as("z_7"))
+      .orderBy(col("event_type"))
+  }
 }

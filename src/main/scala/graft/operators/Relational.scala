@@ -1340,6 +1340,59 @@ object Relational {
     out
   }
 
+  /** Truncated rank-biased overlap (RBO@d) between two top-d part
+    * rankings — the LIST-similarity readout (how much did the
+    * best-sellers list actually change year over year?) that top-K
+    * diffing can't give: RBO weights agreement at depth k by p^(k−1)
+    * geometrically, so churn at rank 3 matters more than churn at rank
+    * 47. Per Webber et al.'s truncated form: RBO@d = (1−p)·Σ_{k≤d}
+    * p^(k−1)·|A_k∩B_k|/k. Emits the full depth profile (overlap X_k,
+    * agreement X_k/k, cumulative rbo_k) — row d is the headline number.
+    *
+    * Determinism: both rankings order by (exact decimal revenue DESC,
+    * partkey) — a total order, so the top-d SELECTION is identical in
+    * both engines (a LIMIT over a double key is where engines split);
+    * the agreement ratios X_k/k terminate within 6 dp for every k ≤ 50
+    * (denominators 2^a·5^b ≤ 50 need ≤ 6 digits; the rest repeat and
+    * never tie), and the p^(k−1) terms round to 8 dp into decimal before
+    * the cumulative sum. Shape: two TakeOrderedAndProject heads (never a
+    * global rank window over the part frame), then all joins on ≤ d-row
+    * broadcast frames. */
+  def rboParts(spark: SparkSession, dir: String,
+               depth: Int = 50, p: Double = 0.9): DataFrame = {
+    val li = Lake.lineitem(spark, dir)
+    def top(yr: Int, rankCol: String): DataFrame = {
+      val byPart = li.filter(year(col("l_shipdate")) === yr)
+        .groupBy(col("l_partkey"))
+        .agg(sum(revenueTerm).as("rev"))
+        .orderBy(col("rev").desc, col("l_partkey"))
+        .limit(depth)
+      // rank within the ≤ depth-row head — a bounded-frame window
+      byPart.withColumn(rankCol,
+        row_number().over(Window.orderBy(col("rev").desc, col("l_partkey")))
+          .cast("long"))
+        .select(col("l_partkey"), col(rankCol))
+    }
+    val matched = top(1996, "ra").join(top(1997, "rb"), Seq("l_partkey"))
+      .select(greatest(col("ra"), col("rb")).as("depth_in"))
+    val ks = spark.range(1, depth + 1).select(col("id").as("k"))
+    val xk = ks.join(broadcast(matched), col("depth_in") <= col("k"), "left")
+      .groupBy(col("k")).agg(count(col("depth_in")).as("x_k"))
+    val wCum = Window.orderBy(col("k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    xk
+      .withColumn("term",
+        round(pow(lit(p), col("k") - 1) * col("x_k") / col("k"), 8)
+          .cast(DecimalType(18, 8)))
+      .withColumn("cum", sum(col("term")).over(wCum))
+      .select(col("k"), col("x_k"),
+        (expr("(2 * x_k * 1000000 + k) div (2 * k)").cast("double") /
+          1000000.0).as("agreement"),
+        round((lit(1.0) - lit(p)) * col("cum").cast("double"), 6)
+          .as("rbo_k"))
+      .orderBy(col("k"))
+  }
+
   /** Trimmed and winsorized means of order value per market segment —
     * the robust-location pair beside the raw mean: TRIMMED drops values
     * outside the exact [p05, p95] fences, WINSORIZED clamps them to the

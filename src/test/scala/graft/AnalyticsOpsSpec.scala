@@ -1851,4 +1851,119 @@ class AnalyticsOpsSpec extends SparkSpecBase {
     val tAll = perCust.map(x => x._2 / mu * math.log(x._2 / mu)).sum / n
     assert(math.abs(tAll - (tw + tb)) < 1e-6, "decomposition is exact")
   }
+
+  test("audience overlap matches brute-force distinct-set Jaccard per type pair") {
+    val pairs = Lake.events(spark, Sf)
+      .select(col("event_type"), col("user_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val sets = pairs.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val types = sets.keys.toSeq.sorted
+    val expected = (for {
+      a <- types; b <- types if a < b
+    } yield {
+      val (sa, sb) = (sets(a), sets(b))
+      val common = (sa & sb).size.toLong
+      ((a, b), (sa.size.toLong, sb.size.toLong, common))
+    }).toMap
+    val got = graft.operators.EventOps.audienceOverlap(spark, Sf).collect()
+    assert(got.length == expected.size, "every type pair appears")
+    for (r <- got) {
+      val key = (r.getString(0), r.getString(1))
+      val (na, nb, common) = expected(key)
+      assert((r.getLong(2), r.getLong(3), r.getLong(4)) == ((na, nb, common)),
+        s"sizes for $key")
+      assert(r.getLong(5) == na + nb - common, s"union for $key")
+      val u = (na + nb - common).toDouble
+      assert(math.abs(r.getDouble(6) - common / u) < 1e-6, s"jaccard $key")
+      assert(math.abs(r.getDouble(7) - common.toDouble / math.min(na, nb))
+        < 1e-6, s"overlap coef $key")
+    }
+  }
+
+  test("gumbel fit matches brute-force block-maxima moments and return levels order") {
+    val daily = Lake.events(spark, Sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    val gamma = 0.5772156649015329
+    val got = graft.operators.EventOps.gumbelExtremes(spark, Sf).collect()
+    for (r <- got) {
+      val et = r.getString(0)
+      val weeks = daily.filter(_._1 == et)
+        .groupBy(d => d._2.`with`(java.time.DayOfWeek.MONDAY))
+        .map(_._2.map(_._3).max).toSeq
+      val n = weeks.length
+      assert(r.getLong(1) == n, s"n_weeks $et")
+      val m = weeks.sum.toDouble / n
+      val v = weeks.map(x => (x - m) * (x - m)).sum / (n - 1)
+      val beta = math.sqrt(v) * math.sqrt(6.0) / math.Pi
+      val mu = m - gamma * beta
+      assert(math.abs(r.getDouble(2) - m) < 1e-3, s"mean $et")
+      assert(math.abs(r.getDouble(4) - beta) < 1e-3, s"beta $et")
+      assert(math.abs(r.getDouble(5) - mu) < 1e-3, s"mu $et")
+      val rl26 = mu - beta * math.log(-math.log(1.0 - 1.0 / 26.0))
+      val rl52 = mu - beta * math.log(-math.log(1.0 - 1.0 / 52.0))
+      assert(math.abs(r.getDouble(6) - rl26) < 1e-3, s"rl26 $et")
+      assert(math.abs(r.getDouble(7) - rl52) < 1e-3, s"rl52 $et")
+      assert(rl52 > rl26, "longer horizon -> higher return level")
+      assert(rl26 > m, "return level beyond the mean block maximum")
+    }
+  }
+
+  test("variance ratio matches brute-force lagged differences") {
+    val daily = Lake.events(spark, Sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    def variance(xs: Seq[Double]): Double = {
+      val m = xs.sum / xs.length
+      xs.map(x => (x - m) * (x - m)).sum / (xs.length - 1)
+    }
+    val got = graft.operators.EventOps.varianceRatio(spark, Sf).collect()
+    for (r <- got) {
+      val et = r.getString(0)
+      val series = daily.filter(_._1 == et).sortBy(_._2.toEpochDay).map(_._3)
+      def diffs(q: Int) =
+        series.drop(q).zip(series.dropRight(q)).map(p => (p._1 - p._2).toDouble)
+      assert(r.getLong(1) == series.length - 1, s"n_diffs $et")
+      val v1 = variance(diffs(1).toSeq)
+      assert(math.abs(r.getDouble(2) - v1) < 1e-2, s"var_1 $et")
+      for ((q, idx) <- Seq((2, 3), (5, 5), (7, 7))) {
+        val vr = variance(diffs(q).toSeq) / (q * v1)
+        assert(math.abs(r.getDouble(idx) - vr) < 1e-3, s"vr_$q $et")
+      }
+    }
+  }
+
+  test("rbo depth profile matches brute-force top-50 rankings") {
+    val rev = Lake.lineitem(spark, Sf)
+      .select(year(col("l_shipdate")).as("yr"), col("l_partkey"),
+        (col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") -
+            col("l_discount").cast("decimal(18,2)"))).as("t"))
+      .filter(col("yr").isin(1996, 1997))
+      .groupBy(col("yr"), col("l_partkey")).agg(sum(col("t")).as("rev"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDecimal(2)))
+    def topList(yr: Int): Seq[Long] = rev.filter(_._1 == yr)
+      .sortBy(x => (scala.math.BigDecimal(x._3.negate), x._2))
+      .take(50).map(_._2)
+    val (la, lb) = (topList(1996), topList(1997))
+    val rankA = la.zipWithIndex.map { case (k, i) => k -> (i + 1) }.toMap
+    val rankB = lb.zipWithIndex.map { case (k, i) => k -> (i + 1) }.toMap
+    val got = Relational.rboParts(spark, Sf).collect()
+    assert(got.length == 50)
+    var cum = 0.0
+    for (r <- got.sortBy(_.getLong(0))) {
+      val k = r.getLong(0).toInt
+      val xk = la.take(k).toSet.intersect(lb.take(k).toSet).size
+      assert(r.getLong(1) == xk, s"X_$k")
+      assert(math.abs(r.getDouble(2) - xk.toDouble / k) < 1e-6, s"agreement $k")
+      cum += math.pow(0.9, k - 1) * xk / k
+      assert(math.abs(r.getDouble(3) - 0.1 * cum) < 1e-5, s"rbo_$k")
+    }
+    // common parts get matched ranks in both lists
+    for (p <- la.toSet.intersect(lb.toSet))
+      assert(rankA(p) >= 1 && rankB(p) >= 1)
+  }
 }

@@ -484,7 +484,16 @@ class PlanShapeSpec extends SparkSpecBase {
         "q_gbt2",
         // q_kendall: the one-row pair-class pivot broadcast against the
         // one-row day-count total
-        "q_kendall")
+        "q_kendall",
+        // q_keyness: the one-row slice-totals broadcast against the
+        // vocab-bounded keyness frame (the q_good_turing pattern)
+        "q_keyness",
+        // q_audience_overlap: the type²-bounded pair grid from the
+        // bounded per-type size frame (the q_entropy_rate pattern)
+        "q_audience_overlap",
+        // q_rbo: the depth-bounded k grid (≤50 rows) range-joined to the
+        // ≤depth matched-rank frame — both sides constants at any scale
+        "q_rbo")
     // collect ALL offenders before failing — a fail-fast assert hides
     // every offender behind the first and costs a full re-run per fix
     val offenders = scala.collection.mutable.LinkedHashSet[String]()
