@@ -408,4 +408,12 @@ final case class DataLake(spark: SparkSession, dir: String) {
   /** Truncated rank-biased overlap between yearly top-d part lists. */
   def rboParts(depth: Int = 50, p: Double = 0.9): DataFrame =
     Relational.rboParts(spark, dir, depth, p)
+  /** Partial correlation of daily views/purchases controlling errors. */
+  def partialCorr(): DataFrame = EventOps.partialCorr(spark, dir)
+  /** Cronbach's alpha over per-user event-type count items. */
+  def cronbachAlpha(): DataFrame = EventOps.cronbachAlpha(spark, dir)
+  /** Durbin–Watson screen on the daily-trend residuals per type. */
+  def durbinWatson(): DataFrame = EventOps.durbinWatson(spark, dir)
+  /** Character-class composition (encoding screen) per source. */
+  def scriptMix(): DataFrame = TextOps.scriptMix(spark, dir)
 }

@@ -792,6 +792,14 @@ object SparkEntry {
     // Truncated rank-biased overlap between yearly top-50 part lists
     "q_rbo"               -> ((s: SparkSession, d: String) =>
       Relational.rboParts(s, d)),
+    // Partial correlation: views vs purchases controlling for errors
+    "q_partial_corr"      -> EventOps.partialCorr _,
+    // Cronbach's alpha over per-user event-type count items
+    "q_cronbach"          -> EventOps.cronbachAlpha _,
+    // Durbin-Watson autocorrelation screen on daily-trend residuals
+    "q_durbin_watson"     -> EventOps.durbinWatson _,
+    // Character-class composition (encoding/content screen) per source
+    "q_script_mix"        -> TextOps.scriptMix _,
   )
 
   /** [[TextOps.patternScan]] dictionary for the driver query: token
@@ -8647,6 +8655,135 @@ object SparkEntry {
         |  ((2 * x_k * 1000000 + k) // (2 * k)) / 1000000.0 AS agreement,
         |  round((1.0 - 0.9) * CAST(cum AS DOUBLE), 6) AS rbo_k
         |FROM f ORDER BY k""".stripMargin,
+    // Partial correlation: ten exact BIGINT moments, one scalar tree.
+    "q_partial_corr" ->
+      """WITH d AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS y,
+        |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS z
+        |  FROM events GROUP BY 1),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(z) AS BIGINT) AS sz,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * z) AS BIGINT) AS sxz,
+        |    CAST(sum(y * z) AS BIGINT) AS syz,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy,
+        |    CAST(sum(z * z) AS BIGINT) AS szz FROM d),
+        |r AS (SELECT n,
+        |    CAST(n * sxy - sx * sy AS DOUBLE) /
+        |      sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+        |        CAST(n * syy - sy * sy AS DOUBLE)) AS r_xy,
+        |    CAST(n * sxz - sx * sz AS DOUBLE) /
+        |      sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+        |        CAST(n * szz - sz * sz AS DOUBLE)) AS r_xz,
+        |    CAST(n * syz - sy * sz AS DOUBLE) /
+        |      sqrt(CAST(n * syy - sy * sy AS DOUBLE) *
+        |        CAST(n * szz - sz * sz AS DOUBLE)) AS r_yz
+        |  FROM a)
+        |SELECT n AS n_days, round(r_xy, 6) AS r_xy,
+        |  round(r_xz, 6) AS r_xz, round(r_yz, 6) AS r_yz,
+        |  round((r_xy - r_xz * r_yz) /
+        |    sqrt((1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz)), 6)
+        |    AS partial_r_xy_given_z
+        |FROM r""".stripMargin,
+    // Cronbach: sparse (user,type) counts encode the zero-fill; item and
+    // total variances from exact sums over the shared user count.
+    "q_cronbach" ->
+      """WITH c AS (SELECT user_id, event_type,
+        |    CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+        |nu AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS nu FROM c),
+        |it AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS s,
+        |    CAST(sum(c * c) AS BIGINT) AS q FROM c GROUP BY 1),
+        |vi AS (SELECT nu,
+        |    (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / nu) / nu AS v_i
+        |  FROM it, nu),
+        |sv AS (SELECT nu, CAST(count(*) AS BIGINT) AS k,
+        |    sum(CAST(round(v_i, 6) AS DECIMAL(18,6))) AS sum_v
+        |  FROM vi GROUP BY nu),
+        |tu AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS t
+        |  FROM c GROUP BY 1),
+        |ta AS (SELECT CAST(sum(t) AS BIGINT) AS st,
+        |    CAST(sum(t * t) AS BIGINT) AS qt FROM tu),
+        |vt AS (SELECT
+        |    (CAST(qt AS DOUBLE) - CAST(st AS DOUBLE) * st / nu) / nu
+        |      AS v_tot
+        |  FROM ta, nu)
+        |SELECT nu AS n_users, k AS k_items,
+        |  round(CAST(sum_v AS DOUBLE), 4) AS sum_item_var,
+        |  round(v_tot, 4) AS total_var,
+        |  round(CAST(k AS DOUBLE) / (k - 1) *
+        |    (1.0 - CAST(sum_v AS DOUBLE) / v_tot), 6) AS alpha
+        |FROM sv, vt""".stripMargin,
+    // Durbin-Watson: exact-sum OLS per type, residuals 6-rounded into
+    // decimal so both quadratic forms are exact; one final divide.
+    "q_durbin_watson" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+        |dt AS (SELECT *, CAST(row_number() OVER w AS BIGINT) AS t FROM d
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |f AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(t) AS BIGINT) AS st, CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(t * x) AS BIGINT) AS stx,
+        |    CAST(sum(t * t) AS BIGINT) AS stt
+        |  FROM dt GROUP BY 1),
+        |f2 AS (SELECT *, CAST(n * stx - st * sx AS DOUBLE) /
+        |    CAST(n * stt - st * st AS DOUBLE) AS b FROM f),
+        |f3 AS (SELECT *, CAST(sx AS DOUBLE) / n -
+        |    b * (CAST(st AS DOUBLE) / n) AS a FROM f2),
+        |e AS (SELECT dt.event_type, dt.day, f3.n,
+        |    CAST(round(CAST(x AS DOUBLE) - (a + b * t), 6)
+        |      AS DECIMAL(18,6)) AS e
+        |  FROM dt JOIN f3 USING (event_type)),
+        |e2 AS (SELECT *, e - lag(e, 1)
+        |    OVER (PARTITION BY event_type ORDER BY day) AS de FROM e)
+        |SELECT event_type, max(n) AS n_days,
+        |  round(CAST(sum(de * de) AS DOUBLE) /
+        |    CAST(sum(e * e) AS DOUBLE), 4) AS dw
+        |FROM e2 GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // Script mix: explicit ASCII classes (dialect-stable), exact counts,
+    // terminating share ratios by exact integer half-up.
+    "q_script_mix" ->
+      """WITH p AS (SELECT source,
+        |    CAST(length(text) AS BIGINT) AS total,
+        |    CAST(length(text) -
+        |      length(regexp_replace(text, '[a-z]', '', 'g')) AS BIGINT)
+        |      AS lo,
+        |    CAST(length(text) -
+        |      length(regexp_replace(text, '[A-Z]', '', 'g')) AS BIGINT)
+        |      AS up,
+        |    CAST(length(text) -
+        |      length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT)
+        |      AS dg,
+        |    CAST(length(text) -
+        |      length(regexp_replace(text, '[ ]', '', 'g')) AS BIGINT)
+        |      AS sp
+        |  FROM documents WHERE text IS NOT NULL),
+        |g AS (SELECT source, CAST(sum(total) AS BIGINT) AS total,
+        |    CAST(sum(lo) AS BIGINT) AS n_lower,
+        |    CAST(sum(up) AS BIGINT) AS n_upper,
+        |    CAST(sum(dg) AS BIGINT) AS n_digit,
+        |    CAST(sum(sp) AS BIGINT) AS n_space
+        |  FROM p GROUP BY 1),
+        |g2 AS (SELECT *,
+        |    total - n_lower - n_upper - n_digit - n_space AS n_other
+        |  FROM g)
+        |SELECT source, total AS total_chars,
+        |  ((2 * n_lower * 1000000 + total) // (2 * total)) / 1000000.0
+        |    AS share_lower,
+        |  ((2 * n_upper * 1000000 + total) // (2 * total)) / 1000000.0
+        |    AS share_upper,
+        |  ((2 * n_digit * 1000000 + total) // (2 * total)) / 1000000.0
+        |    AS share_digit,
+        |  ((2 * n_space * 1000000 + total) // (2 * total)) / 1000000.0
+        |    AS share_space,
+        |  ((2 * n_other * 1000000 + total) // (2 * total)) / 1000000.0
+        |    AS share_other
+        |FROM g2 ORDER BY source""".stripMargin,
   )
 
   /** Oracle twin of CatalogOps.profile: one UNION ALL branch per column. */

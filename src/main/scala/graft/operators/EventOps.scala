@@ -2991,4 +2991,139 @@ object EventOps {
       round(vr(7), 4).as("vr_7"), round(zOut(7), 4).as("z_7"))
       .orderBy(col("event_type"))
   }
+
+  /** Partial correlation between the daily view and purchase series
+    * CONTROLLING for the error series — does traffic still predict
+    * conversions once incident days are held fixed? r_xy·z =
+    * (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)), the one-number answer the
+    * raw cross-correlation can't give when a confounder moves both
+    * series. Day frame from ALL events (a type's missing day is a true
+    * zero, not a dropped row); all ten moment sums are exact BIGINTs off
+    * ONE calendar-bounded aggregate; the three Pearson r's and the
+    * partial are one scalar double tree. */
+  def partialCorr(spark: SparkSession, dir: String): DataFrame = {
+    def cnt(t: String): Column =
+      sum(when(col("event_type") === t, 1L).otherwise(0L))
+    val daily = Lake.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(cnt("view").as("x"), cnt("purchase").as("y"),
+        cnt("error").as("z"))
+    val one = daily.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"), sum(col("z")).as("sz"),
+      sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("z")).as("sxz"),
+      sum(col("y") * col("z")).as("syz"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+      sum(col("z") * col("z")).as("szz"))
+    def r(sab: Column, sa: Column, sb: Column,
+          saa: Column, sbb: Column): Column =
+      (col("n") * sab - sa * sb).cast("double") /
+        sqrt((col("n") * saa - sa * sa).cast("double") *
+          (col("n") * sbb - sb * sb).cast("double"))
+    one
+      .withColumn("r_xy",
+        r(col("sxy"), col("sx"), col("sy"), col("sxx"), col("syy")))
+      .withColumn("r_xz",
+        r(col("sxz"), col("sx"), col("sz"), col("sxx"), col("szz")))
+      .withColumn("r_yz",
+        r(col("syz"), col("sy"), col("sz"), col("syy"), col("szz")))
+      .select(col("n").as("n_days"),
+        round(col("r_xy"), 6).as("r_xy"),
+        round(col("r_xz"), 6).as("r_xz"),
+        round(col("r_yz"), 6).as("r_yz"),
+        round((col("r_xy") - col("r_xz") * col("r_yz")) /
+          sqrt((lit(1.0) - col("r_xz") * col("r_xz")) *
+            (lit(1.0) - col("r_yz") * col("r_yz"))), 6)
+          .as("partial_r_xy_given_z"))
+  }
+
+  /** Cronbach's alpha over the per-user event-type count "items" — the
+    * internal-consistency readout (do the activity dimensions measure
+    * one engagement trait?): α = k/(k−1)·(1 − Σσ²ᵢ/σ²_total) with
+    * POPULATION variances over all users. No pivot and no per-user
+    * zero-fill materialization: a user missing an item contributes a
+    * true zero, which exact Σc/Σc² sums over the SPARSE (user,type)
+    * count frame already encode (the zero terms add nothing) — item
+    * variances need only the global user count. One fact scan → sparse
+    * count frame; item frame is type-bounded; total-score frame is
+    * user-keyed. Every variance input an exact BIGINT. */
+  def cronbachAlpha(spark: SparkSession, dir: String): DataFrame = {
+    val cnts = Lake.events(spark, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nu = cnts.agg(countDistinct(col("user_id")).as("nu"))
+    val items = cnts.groupBy(col("event_type"))
+      .agg(sum(col("c")).as("s"), sum(col("c") * col("c")).as("q"))
+      .crossJoin(broadcast(nu))
+      .select(col("nu"),
+        ((col("q").cast("double") -
+          col("s").cast("double") * col("s") / col("nu")) / col("nu"))
+          .as("v_i"))
+    val sumItemVar = items.groupBy(col("nu"))
+      .agg(count(lit(1)).as("k"),
+        sum(round(col("v_i"), 6).cast(DecimalType(18, 6))).as("sum_v"))
+    val totals = cnts.groupBy(col("user_id"))
+      .agg(sum(col("c")).as("t"))
+      .agg(sum(col("t")).as("st"), sum(col("t") * col("t")).as("qt"))
+      .crossJoin(broadcast(nu))
+      .select(((col("qt").cast("double") -
+        col("st").cast("double") * col("st") / col("nu")) / col("nu"))
+        .as("v_tot"))
+    val out = sumItemVar.crossJoin(broadcast(totals))
+      .select(col("nu").as("n_users"), col("k").as("k_items"),
+        round(col("sum_v").cast("double"), 4).as("sum_item_var"),
+        round(col("v_tot"), 4).as("total_var"),
+        round(col("k").cast("double") / (col("k") - 1) *
+          (lit(1.0) - col("sum_v").cast("double") / col("v_tot")), 6)
+          .as("alpha"))
+      .localCheckpoint(true)
+    cnts.unpersist(false)
+    out
+  }
+
+  /** Durbin–Watson autocorrelation screen on the residuals of each
+    * event type's daily linear trend — is the trend-line fit leaving
+    * serially-correlated structure behind (DW ≈ 2 none, → 0 positive,
+    * → 4 negative)? The closed-form OLS on the day index comes from
+    * exact BIGINT sums; residuals are 6-rounded into decimal so BOTH
+    * quadratic forms Σ(eₜ−eₜ₋₁)² and Σeₜ² are exact decimal sums
+    * (order-free); the single final divide rounds as a double. One
+    * day-ordered window pass per type over the calendar-bounded frame. */
+  def durbinWatson(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    // two consumers (the fit sums, the residual pass) — persist the
+    // calendar-bounded day frame so the corpus is scanned once
+    val daily = Lake.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("t", row_number().over(w).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fit = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("t")).as("st"),
+        sum(col("x")).as("sx"), sum(col("t") * col("x")).as("stx"),
+        sum(col("t") * col("t")).as("stt"))
+      .withColumn("b",
+        (col("n") * col("stx") - col("st") * col("sx")).cast("double") /
+          (col("n") * col("stt") - col("st") * col("st")).cast("double"))
+      .withColumn("a",
+        col("sx").cast("double") / col("n") -
+          col("b") * (col("st").cast("double") / col("n")))
+      .select(col("event_type"), col("n"), col("a"), col("b"))
+    val resid = daily.join(broadcast(fit), Seq("event_type"))
+      .withColumn("e",
+        round(col("x").cast("double") - (col("a") + col("b") * col("t")), 6)
+          .cast(DecimalType(18, 6)))
+      .withColumn("de", col("e") - lag(col("e"), 1).over(w))
+    val out = resid.groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_days"),
+        sum(col("e") * col("e")).as("see"),
+        sum(col("de") * col("de")).as("sdd"))
+      .select(col("event_type"), col("n_days"),
+        round(col("sdd").cast("double") / col("see").cast("double"), 4)
+          .as("dw"))
+      .orderBy(col("event_type"))
+      .localCheckpoint(true)
+    daily.unpersist(false)
+    out
+  }
 }

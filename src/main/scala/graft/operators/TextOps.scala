@@ -3107,4 +3107,44 @@ object TextOps {
   def raterAgreement(spark: SparkSession, dir: String): DataFrame =
     raterAgreement(Lake.documents(spark, dir),
       col("n_chars") >= 400L, size(toks) >= 80)
+
+  /** Character-class composition per source — the encoding/mojibake and
+    * content-type screen a crawl pipeline runs before anything
+    * language-level (a source whose digit share spikes is a table dump;
+    * a non-ASCII-letter surge in a declared-English source is mojibake
+    * or the wrong decoder). Five deterministic classes (ASCII lower /
+    * upper / digit / space / everything-else — CJK and all non-ASCII
+    * land in `other`), counted by length-minus-stripped with an explicit
+    * ASCII character class (engine regex dialects agree on these;
+    * Unicode property classes are where they drift). Counts are exact
+    * BIGINTs map-side; the share ratios (terminating integer quotients)
+    * round by exact integer half-up. Pure map + bounded aggregate. */
+  def scriptMix(spark: SparkSession, dir: String): DataFrame = {
+    def stripped(cls: String): Column =
+      length(col("text")) - length(regexp_replace(col("text"), cls, ""))
+    val perDoc = nonNull(Lake.documents(spark, dir))
+      .select(col("source"),
+        length(col("text")).cast("long").as("total"),
+        stripped("[a-z]").cast("long").as("lo"),
+        stripped("[A-Z]").cast("long").as("up"),
+        stripped("[0-9]").cast("long").as("dg"),
+        stripped("[ ]").cast("long").as("sp"))
+    def share(c: Column): Column =
+      (expr(s"(2 * ${c.toString} * 1000000 + total) div (2 * total)")
+        .cast("double") / 1000000.0)
+    perDoc.groupBy(col("source"))
+      .agg(sum(col("total")).as("total"), sum(col("lo")).as("n_lower"),
+        sum(col("up")).as("n_upper"), sum(col("dg")).as("n_digit"),
+        sum(col("sp")).as("n_space"))
+      .withColumn("n_other",
+        col("total") - col("n_lower") - col("n_upper") - col("n_digit") -
+          col("n_space"))
+      .select(col("source"), col("total").as("total_chars"),
+        share(col("n_lower")).as("share_lower"),
+        share(col("n_upper")).as("share_upper"),
+        share(col("n_digit")).as("share_digit"),
+        share(col("n_space")).as("share_space"),
+        share(col("n_other")).as("share_other"))
+      .orderBy(col("source"))
+  }
 }

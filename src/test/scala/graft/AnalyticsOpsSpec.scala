@@ -1966,4 +1966,107 @@ class AnalyticsOpsSpec extends SparkSpecBase {
     for (p <- la.toSet.intersect(lb.toSet))
       assert(rankA(p) >= 1 && rankB(p) >= 1)
   }
+
+  test("partial correlation matches brute-force moments and the recursion formula") {
+    val byDay = Lake.events(spark, Sf)
+      .select(to_date(col("ts")).as("day"), col("event_type")).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val days = byDay.keys.toSeq.sorted(Ordering.by((d: java.time.LocalDate) => d.toEpochDay))
+    val x = days.map(d => byDay(d).count(_ == "view").toDouble)
+    val y = days.map(d => byDay(d).count(_ == "purchase").toDouble)
+    val z = days.map(d => byDay(d).count(_ == "error").toDouble)
+    def pearson(a: Seq[Double], b: Seq[Double]): Double = {
+      val n = a.length
+      val (ma, mb) = (a.sum / n, b.sum / n)
+      val cov = a.zip(b).map(p => (p._1 - ma) * (p._2 - mb)).sum
+      cov / math.sqrt(a.map(v => (v - ma) * (v - ma)).sum *
+        b.map(v => (v - mb) * (v - mb)).sum)
+    }
+    val (rxy, rxz, ryz) = (pearson(x, y), pearson(x, z), pearson(y, z))
+    val expected = (rxy - rxz * ryz) /
+      math.sqrt((1 - rxz * rxz) * (1 - ryz * ryz))
+    val r = graft.operators.EventOps.partialCorr(spark, Sf).collect().head
+    assert(r.getLong(0) == days.length)
+    assert(math.abs(r.getDouble(1) - rxy) < 1e-5, "r_xy")
+    assert(math.abs(r.getDouble(2) - rxz) < 1e-5, "r_xz")
+    assert(math.abs(r.getDouble(3) - ryz) < 1e-5, "r_yz")
+    assert(math.abs(r.getDouble(4) - expected) < 1e-5, "partial")
+  }
+
+  test("cronbach alpha matches brute-force item/total population variances") {
+    val rows = Lake.events(spark, Sf)
+      .select(col("user_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val users = rows.map(_._1).distinct
+    val types = rows.map(_._2).distinct.sorted
+    val byUser = rows.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def popVar(xs: Seq[Double]): Double = {
+      val m = xs.sum / xs.length
+      xs.map(v => (v - m) * (v - m)).sum / xs.length
+    }
+    val itemVars = types.map(t =>
+      popVar(users.map(u => byUser(u).count(_ == t).toDouble).toSeq))
+    val totVar = popVar(users.map(u => byUser(u).size.toDouble).toSeq)
+    val k = types.size
+    val alpha = k.toDouble / (k - 1) * (1 - itemVars.sum / totVar)
+    val r = graft.operators.EventOps.cronbachAlpha(spark, Sf).collect().head
+    assert(r.getLong(0) == users.length && r.getLong(1) == k)
+    assert(math.abs(r.getDouble(2) - itemVars.sum) < 1e-2, "sum item var")
+    assert(math.abs(r.getDouble(3) - totVar) < 1e-2, "total var")
+    assert(math.abs(r.getDouble(4) - alpha) < 1e-4, s"alpha ${r.getDouble(4)} vs $alpha")
+  }
+
+  test("durbin-watson matches brute-force OLS residual autocorrelation form") {
+    val daily = Lake.events(spark, Sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    val got = graft.operators.EventOps.durbinWatson(spark, Sf).collect()
+    for (r <- got) {
+      val et = r.getString(0)
+      val xs = daily.filter(_._1 == et).sortBy(_._2.toEpochDay)
+        .map(_._3.toDouble)
+      val n = xs.length
+      val ts = (1 to n).map(_.toDouble)
+      val (st, sx) = (ts.sum, xs.sum)
+      val stx = ts.zip(xs).map(p => p._1 * p._2).sum
+      val stt = ts.map(t => t * t).sum
+      val b = (n * stx - st * sx) / (n * stt - st * st)
+      val a = sx / n - b * (st / n)
+      val e = ts.zip(xs).map { case (t, x) => x - (a + b * t) }
+      val dw = e.sliding(2).map(p => (p(1) - p(0)) * (p(1) - p(0))).sum /
+        e.map(v => v * v).sum
+      assert(r.getLong(1) == n, s"n_days $et")
+      assert(math.abs(r.getDouble(2) - dw) < 1e-3, s"dw $et: ${r.getDouble(2)} vs $dw")
+      assert(r.getDouble(2) > 0 && r.getDouble(2) < 4, "DW in (0,4)")
+    }
+  }
+
+  test("script mix matches brute-force character-class counts and shares sum to 1") {
+    val docs = Lake.documents(spark, Sf)
+      .filter(col("text").isNotNull)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val got = TextOps.scriptMix(spark, Sf).collect()
+    val bySource = docs.groupBy(_._1)
+    assert(got.map(_.getString(0)).toSet == bySource.keySet)
+    for (r <- got) {
+      val texts = bySource(r.getString(0)).map(_._2)
+      val tot = texts.map(t => t.codePointCount(0, t.length)).sum.toLong
+      def cnt(pred: Char => Boolean) =
+        texts.map(_.count(pred)).sum.toLong
+      val lo = cnt(c => c >= 'a' && c <= 'z')
+      val up = cnt(c => c >= 'A' && c <= 'Z')
+      val dg = cnt(c => c >= '0' && c <= '9')
+      val sp = cnt(_ == ' ')
+      assert(r.getLong(1) == tot, s"total ${r.getString(0)}")
+      assert(math.abs(r.getDouble(2) - lo.toDouble / tot) < 1e-6, "lower")
+      assert(math.abs(r.getDouble(3) - up.toDouble / tot) < 1e-6, "upper")
+      assert(math.abs(r.getDouble(4) - dg.toDouble / tot) < 1e-6, "digit")
+      assert(math.abs(r.getDouble(5) - sp.toDouble / tot) < 1e-6, "space")
+      val sum = (2 to 6).map(r.getDouble).sum
+      assert(math.abs(sum - 1.0) < 1e-5, s"shares sum to 1, got $sum")
+    }
+  }
 }

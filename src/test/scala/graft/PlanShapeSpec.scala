@@ -493,7 +493,10 @@ class PlanShapeSpec extends SparkSpecBase {
         "q_audience_overlap",
         // q_rbo: the depth-bounded k grid (≤50 rows) range-joined to the
         // ≤depth matched-rank frame — both sides constants at any scale
-        "q_rbo")
+        "q_rbo",
+        // q_cronbach: one-row user-count / total-variance broadcasts
+        // around the type-bounded item frame (the q_good_turing pattern)
+        "q_cronbach")
     // collect ALL offenders before failing — a fail-fast assert hides
     // every offender behind the first and costs a full re-run per fix
     val offenders = scala.collection.mutable.LinkedHashSet[String]()
