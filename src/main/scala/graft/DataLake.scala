@@ -416,4 +416,11 @@ final case class DataLake(spark: SparkSession, dir: String) {
   def durbinWatson(): DataFrame = EventOps.durbinWatson(spark, dir)
   /** Character-class composition (encoding screen) per source. */
   def scriptMix(): DataFrame = TextOps.scriptMix(spark, dir)
+  /** Circular time-of-day statistics per event type. */
+  def circadian(): DataFrame = EventOps.circadian(spark, dir)
+  /** Wald–Wolfowitz runs test on daily series vs their own mean. */
+  def runsTest(): DataFrame = EventOps.runsTest(spark, dir)
+  /** Church–Gale term burstiness / Poisson clumpiness profile. */
+  def termBurstiness(minDf: Long = 20L): DataFrame =
+    TextOps.termBurstiness(spark, dir, minDf)
 }

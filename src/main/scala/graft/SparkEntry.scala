@@ -800,6 +800,13 @@ object SparkEntry {
     "q_durbin_watson"     -> EventOps.durbinWatson _,
     // Character-class composition (encoding/content screen) per source
     "q_script_mix"        -> TextOps.scriptMix _,
+    // Circular time-of-day statistics per event type
+    "q_circadian"         -> EventOps.circadian _,
+    // Wald-Wolfowitz runs test on daily series vs own mean
+    "q_runs_test"         -> EventOps.runsTest _,
+    // Church-Gale term burstiness / Poisson clumpiness profile
+    "q_term_burstiness"   -> ((s: SparkSession, d: String) =>
+      TextOps.termBurstiness(s, d)),
   )
 
   /** [[TextOps.patternScan]] dictionary for the driver query: token
@@ -8784,6 +8791,75 @@ object SparkEntry {
         |  ((2 * n_other * 1000000 + total) // (2 * total)) / 1000000.0
         |    AS share_other
         |FROM g2 ORDER BY source""".stripMargin,
+    // Circular stats: exact epoch-us remainder into theta, cos/sin terms
+    // 8-rounded into decimal (order-free sums), squares taken in DOUBLE
+    // (a decimal(28,8)^2 overflows precision 38 where engines' scale
+    // rules differ), one trig tail on the bounded type frame.
+    "q_circadian" ->
+      """WITH t AS (SELECT event_type,
+        |    2 * pi() * CAST(epoch_us(ts) % 86400000000 AS DOUBLE)
+        |      / CAST(86400000000 AS DOUBLE) AS theta
+        |  FROM events),
+        |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(round(cos(theta), 8) AS DECIMAL(28,8))) AS c,
+        |    sum(CAST(round(sin(theta), 8) AS DECIMAL(28,8))) AS s
+        |  FROM t GROUP BY 1),
+        |b AS (SELECT *, sqrt(CAST(c AS DOUBLE) * CAST(c AS DOUBLE) +
+        |    CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / n AS r_bar,
+        |    atan2(CAST(s AS DOUBLE), CAST(c AS DOUBLE)) AS ang FROM a),
+        |b2 AS (SELECT *, ang / (2 * pi()) * 24.0 AS v FROM b)
+        |SELECT event_type, n AS n_events, round(r_bar, 6) AS r_bar,
+        |  round(1.0 - r_bar, 6) AS circ_var,
+        |  round(v - floor(v / 24) * 24, 4) AS mean_hour
+        |FROM b2 ORDER BY event_type""".stripMargin,
+    // Runs test: the above/below side is the exact integer compare
+    // x*n > sum(x); runs off one ordered window; closed forms on exact
+    // integer counts.
+    "q_runs_test" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+        |w1 AS (SELECT *,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+        |    CAST(sum(x) OVER (PARTITION BY event_type) AS BIGINT) AS sx
+        |  FROM d),
+        |w2 AS (SELECT *, CASE WHEN x * n > sx THEN 1 ELSE 0 END AS above
+        |  FROM w1),
+        |w3 AS (SELECT *, CASE WHEN lag(above, 1) OVER wd IS NULL THEN 1
+        |    WHEN above <> lag(above, 1) OVER wd THEN 1 ELSE 0 END AS flip
+        |  FROM w2 WINDOW wd AS (PARTITION BY event_type ORDER BY day)),
+        |g AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n_days,
+        |    CAST(sum(above) AS BIGINT) AS n_above,
+        |    CAST(sum(flip) AS BIGINT) AS runs FROM w3 GROUP BY 1),
+        |g2 AS (SELECT *, n_days - n_above AS n_below,
+        |    2 * n_above * (n_days - n_above) AS p2 FROM g),
+        |g3 AS (SELECT *, 1.0 + CAST(p2 AS DOUBLE) / n_days AS mu,
+        |    CAST(p2 AS DOUBLE) * CAST(p2 - n_days AS DOUBLE) /
+        |      (CAST(n_days AS DOUBLE) * n_days *
+        |        CAST(n_days - 1 AS DOUBLE)) AS s2
+        |  FROM g2)
+        |SELECT event_type, n_days, n_above, n_below, runs,
+        |  round(mu, 4) AS expected_runs,
+        |  round((CAST(runs AS DOUBLE) - mu) / sqrt(s2), 4) AS z
+        |FROM g3 ORDER BY event_type""".stripMargin,
+    // Burstiness: exact (df, tf) from one vocab-bounded aggregate, the
+    // Poisson baseline one double tree on exact integers, terminating
+    // tf/df by exact integer half-up.
+    "q_term_burstiness" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents WHERE text IS NOT NULL),
+        |st AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+        |    CAST(count(*) AS BIGINT) AS tf
+        |  FROM tok WHERE token <> '' GROUP BY token),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+        |  WHERE text IS NOT NULL),
+        |j AS (SELECT *, n_docs * (1.0 - exp(-(CAST(tf AS DOUBLE) / n_docs)))
+        |    AS df_poisson
+        |  FROM st, nd WHERE df >= 20)
+        |SELECT token, df, tf,
+        |  ((2 * tf * 1000000 + df) // (2 * df)) / 1000000.0 AS tf_per_doc,
+        |  round(df_poisson, 4) AS df_poisson,
+        |  round(CAST(df AS DOUBLE) / df_poisson, 6) AS clumpiness
+        |FROM j ORDER BY token""".stripMargin,
   )
 
   /** Oracle twin of CatalogOps.profile: one UNION ALL branch per column. */

@@ -3081,6 +3081,82 @@ object EventOps {
     out
   }
 
+  /** Circular (directional) statistics of the time-of-day distribution
+    * per event type — hour-of-day is an angle, not a line, so naive
+    * mean/variance are WRONG at midnight wraparound (events at 23:30 and
+    * 00:30 average to noon linearly, to midnight circularly): each event
+    * maps to θ = 2π·(µs-of-day)/86400e6, the resultant R̄ = √(C̄²+S̄²)
+    * measures concentration (1 = all at one instant, 0 = uniform),
+    * circular variance = 1−R̄, and the mean direction atan2(S,C) maps
+    * back to the peak hour. µs-of-day is an exact epoch-µs remainder;
+    * per-event cos/sin terms are 8-rounded into decimal so the two sums
+    * are aggregation-order-free (map-side combinable at any scale); the
+    * trig tail is one scalar tree on the bounded type frame. */
+  def circadian(spark: SparkSession, dir: String): DataFrame = {
+    val theta = lit(2 * math.Pi) *
+      (unix_micros(col("ts")) % lit(86400000000L)).cast("double") /
+      lit(86400000000L).cast("double")
+    val dec8 = DecimalType(28, 8)
+    val v = col("ang") / lit(2 * math.Pi) * lit(24.0)
+    Lake.events(spark, dir)
+      .select(col("event_type"), round(cos(theta), 8).cast(dec8).as("ct"),
+        round(sin(theta), 8).cast(dec8).as("st"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("ct")).as("c"),
+        sum(col("st")).as("s"))
+      // squares in DOUBLE: a decimal(28,8)² would overflow precision 38,
+      // where the two engines' scale-reduction rules differ
+      .withColumn("r_bar",
+        sqrt(col("c").cast("double") * col("c").cast("double") +
+          col("s").cast("double") * col("s").cast("double")) / col("n"))
+      .withColumn("ang", atan2(col("s").cast("double"), col("c").cast("double")))
+      .select(col("event_type"), col("n").as("n_events"),
+        round(col("r_bar"), 6).as("r_bar"),
+        round(lit(1.0) - col("r_bar"), 6).as("circ_var"),
+        round(v - floor(v / 24) * 24, 4).as("mean_hour"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Wald–Wolfowitz runs test on each event type's daily series against
+    * its OWN mean — is the above/below pattern random, trending (too few
+    * runs) or oscillating (too many)? The side of each day is the EXACT
+    * integer compare x·n > Σx (never a double mean at the boundary);
+    * runs count off one day-ordered window; μ_R = 1 + 2n₁n₂/n and
+    * σ²_R = 2n₁n₂(2n₁n₂−n)/(n²(n−1)) from exact integer counts into one
+    * scalar tree. Calendar-bounded frames throughout. */
+  def runsTest(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val wAgg = Window.partitionBy(col("event_type"))
+    val daily = Lake.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("n", count(lit(1)).over(wAgg))
+      .withColumn("sx", sum(col("x")).over(wAgg))
+      .withColumn("above", (col("x") * col("n") > col("sx")).cast("long"))
+      .withColumn("flip",
+        when(lag(col("above"), 1).over(w).isNull, 1L)
+          .when(col("above") =!= lag(col("above"), 1).over(w), 1L)
+          .otherwise(0L))
+    daily.groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_days"),
+        sum(col("above")).as("n_above"),
+        sum(col("flip")).as("runs"))
+      .withColumn("n_below", col("n_days") - col("n_above"))
+      .withColumn("p2", lit(2L) * col("n_above") * col("n_below"))
+      .withColumn("mu",
+        lit(1.0) + col("p2").cast("double") / col("n_days"))
+      .withColumn("s2",
+        col("p2").cast("double") * (col("p2") - col("n_days")).cast("double") /
+          (col("n_days").cast("double") * col("n_days") *
+            (col("n_days") - 1).cast("double")))
+      .select(col("event_type"), col("n_days"), col("n_above"),
+        col("n_below"), col("runs"),
+        round(col("mu"), 4).as("expected_runs"),
+        round((col("runs").cast("double") - col("mu")) / sqrt(col("s2")), 4)
+          .as("z"))
+      .orderBy(col("event_type"))
+  }
+
   /** Durbin–Watson autocorrelation screen on the residuals of each
     * event type's daily linear trend — is the trend-line fit leaving
     * serially-correlated structure behind (DW ≈ 2 none, → 0 positive,

@@ -3119,6 +3119,42 @@ object TextOps {
     * Unicode property classes are where they drift). Counts are exact
     * BIGINTs map-side; the share ratios (terminating integer quotients)
     * round by exact integer half-up. Pure map + bounded aggregate. */
+  /** Term burstiness / clumpiness profile — for each token above a
+    * support floor, how CLUMPED are its occurrences across documents
+    * (Church–Gale: content words recur within the documents that mention
+    * them; function words spread evenly)? Reports per-containing-doc
+    * rate tf/df and the Poisson-baseline ratio df / (N·(1−e^{−tf/N})) —
+    * under an even Poisson scatter the two match (ratio ≈ 1); a bursty
+    * term's observed df falls well short (ratio < 1). Drives topical-
+    * keyword vs boilerplate-vocabulary separation without any language
+    * resource. One explode → (token, df, tf) with both counts from the
+    * same vocab-bounded aggregate; the terminating tf/df and df/N ratios
+    * round by exact integer half-up; the e^{−tf/N} baseline is one
+    * double tree on exact integers. */
+  def termBurstiness(spark: SparkSession, dir: String,
+                     minDf: Long = 20L): DataFrame = {
+    val stats = nonNull(Lake.documents(spark, dir))
+      .select(col("doc_id"), explode(toks).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token"))
+      .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("tf"))
+    val nDocs = nonNull(Lake.documents(spark, dir))
+      .agg(count(lit(1)).as("n_docs"))
+    val out = stats.filter(col("df") >= minDf)
+      .crossJoin(broadcast(nDocs))
+      .withColumn("df_poisson",
+        col("n_docs") * (lit(1.0) -
+          exp(-(col("tf").cast("double") / col("n_docs")))))
+      .select(col("token"), col("df"), col("tf"),
+        (expr("(2 * tf * 1000000 + df) div (2 * df)").cast("double") /
+          1000000.0).as("tf_per_doc"),
+        round(col("df_poisson"), 4).as("df_poisson"),
+        round(col("df").cast("double") / col("df_poisson"), 6)
+          .as("clumpiness"))
+      .orderBy(col("token"))
+    out
+  }
+
   def scriptMix(spark: SparkSession, dir: String): DataFrame = {
     def stripped(cls: String): Column =
       length(col("text")) - length(regexp_replace(col("text"), cls, ""))

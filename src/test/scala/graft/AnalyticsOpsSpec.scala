@@ -2069,4 +2069,79 @@ class AnalyticsOpsSpec extends SparkSpecBase {
       assert(math.abs(sum - 1.0) < 1e-5, s"shares sum to 1, got $sum")
     }
   }
+
+  test("circadian stats match brute-force resultant vector per event type") {
+    val evs = Lake.events(spark, Sf)
+      .select(col("event_type"), unix_micros(col("ts"))).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val got = graft.operators.EventOps.circadian(spark, Sf).collect()
+    for (r <- got) {
+      val et = r.getString(0)
+      val thetas = evs.filter(_._1 == et)
+        .map(e => 2 * math.Pi * (e._2 % 86400000000L).toDouble / 86400000000.0)
+      val n = thetas.length
+      val (c, s) = (thetas.map(math.cos).sum, thetas.map(math.sin).sum)
+      val rBar = math.sqrt(c * c + s * s) / n
+      assert(r.getLong(1) == n, s"n $et")
+      assert(math.abs(r.getDouble(2) - rBar) < 1e-5, s"r_bar $et")
+      assert(math.abs(r.getDouble(3) - (1 - rBar)) < 1e-5, s"circ_var $et")
+      val v = math.atan2(s, c) / (2 * math.Pi) * 24.0
+      val hour = v - math.floor(v / 24) * 24
+      assert(math.abs(r.getDouble(4) - hour) < 1e-3, s"mean_hour $et")
+      assert(r.getDouble(4) >= 0 && r.getDouble(4) < 24, "hour in [0,24)")
+      assert(r.getDouble(2) >= 0 && r.getDouble(2) <= 1, "resultant in [0,1]")
+    }
+  }
+
+  test("runs test matches brute-force run counting against the exact mean side") {
+    val daily = Lake.events(spark, Sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    val got = graft.operators.EventOps.runsTest(spark, Sf).collect()
+    for (r <- got) {
+      val et = r.getString(0)
+      val xs = daily.filter(_._1 == et).sortBy(_._2.toEpochDay).map(_._3)
+      val n = xs.length
+      val sx = xs.sum
+      val above = xs.map(x => x * n > sx)
+      val runs = 1 + above.sliding(2).count(p => p.length == 2 && p(0) != p(1))
+      val n1 = above.count(identity)
+      val n2 = n - n1
+      assert(r.getLong(1) == n && r.getLong(2) == n1 && r.getLong(3) == n2)
+      assert(r.getLong(4) == runs, s"runs $et")
+      val mu = 1.0 + 2.0 * n1 * n2 / n
+      val s2 = 2.0 * n1 * n2 * (2.0 * n1 * n2 - n) / (n.toDouble * n * (n - 1))
+      assert(math.abs(r.getDouble(5) - mu) < 1e-3, s"mu $et")
+      assert(math.abs(r.getDouble(6) - (runs - mu) / math.sqrt(s2)) < 1e-3,
+        s"z $et")
+    }
+  }
+
+  test("term burstiness matches brute-force df/tf and the Poisson baseline") {
+    val docs = Lake.documents(spark, Sf)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val nDocs = docs.length
+    val perTok = collection.mutable.Map[String, (Set[Long], Long)]()
+    for ((id, text) <- docs; tok <- text.split(" ", -1) if tok.nonEmpty) {
+      val (ds, tf) = perTok.getOrElse(tok, (Set.empty[Long], 0L))
+      perTok(tok) = (ds + id, tf + 1)
+    }
+    val expected = perTok.collect {
+      case (tok, (ds, tf)) if ds.size >= 20 => tok -> (ds.size.toLong, tf)
+    }.toMap
+    val got = TextOps.termBurstiness(spark, Sf).collect()
+    assert(got.map(_.getString(0)).toSet == expected.keySet)
+    for (r <- got) {
+      val (df, tf) = expected(r.getString(0))
+      assert((r.getLong(1), r.getLong(2)) == ((df, tf)), s"df/tf ${r.getString(0)}")
+      assert(math.abs(r.getDouble(3) - tf.toDouble / df) < 1e-6, "tf_per_doc")
+      val dfP = nDocs * (1.0 - math.exp(-tf.toDouble / nDocs))
+      assert(math.abs(r.getDouble(4) - dfP) < 1e-2, "df_poisson")
+      assert(math.abs(r.getDouble(5) - df / dfP) < 1e-3, "clumpiness")
+      assert(r.getLong(1) <= r.getLong(2), "df <= tf")
+    }
+  }
 }

@@ -496,7 +496,10 @@ class PlanShapeSpec extends SparkSpecBase {
         "q_rbo",
         // q_cronbach: one-row user-count / total-variance broadcasts
         // around the type-bounded item frame (the q_good_turing pattern)
-        "q_cronbach")
+        "q_cronbach",
+        // q_term_burstiness: the one-row doc-count broadcast against the
+        // vocab-bounded term frame (the q_good_turing pattern)
+        "q_term_burstiness")
     // collect ALL offenders before failing — a fail-fast assert hides
     // every offender behind the first and costs a full re-run per fix
     val offenders = scala.collection.mutable.LinkedHashSet[String]()
