@@ -423,4 +423,9 @@ final case class DataLake(spark: SparkSession, dir: String) {
   /** Church–Gale term burstiness / Poisson clumpiness profile. */
   def termBurstiness(minDf: Long = 20L): DataFrame =
     TextOps.termBurstiness(spark, dir, minDf)
+  /** Global transitivity + average local clustering of the 5-NN graph. */
+  def clusteringCoef(): DataFrame = GraphOps.clusteringCoefQuery(spark, dir)
+  /** Laspeyres/Paasche/Fisher price indices between two ship years. */
+  def priceIndex(baseYr: Int = 1996, curYr: Int = 1997): DataFrame =
+    Relational.priceIndex(spark, dir, baseYr, curYr)
 }

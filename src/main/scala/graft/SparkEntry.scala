@@ -807,6 +807,11 @@ object SparkEntry {
     // Church-Gale term burstiness / Poisson clumpiness profile
     "q_term_burstiness"   -> ((s: SparkSession, d: String) =>
       TextOps.termBurstiness(s, d)),
+    // Global transitivity + average local clustering of the 5-NN graph
+    "q_clustering_coef"   -> GraphOps.clusteringCoefQuery _,
+    // Laspeyres/Paasche/Fisher price indices between ship years
+    "q_price_index"       -> ((s: SparkSession, d: String) =>
+      Relational.priceIndex(s, d)),
   )
 
   /** [[TextOps.patternScan]] dictionary for the driver query: token
@@ -8860,6 +8865,84 @@ object SparkEntry {
         |  round(df_poisson, 4) AS df_poisson,
         |  round(CAST(df AS DOUBLE) / df_poisson, 6) AS clumpiness
         |FROM j ORDER BY token""".stripMargin,
+    // Clustering readout over the same replayed 5-NN graph as
+    // q_triangles: exact degrees/wedges/triangles, terminating summary
+    // ratios by exact integer half-up.
+    "q_clustering_coef" ->
+      s"""WITH $lshOracleCtes,
+         |bkc AS (SELECT vec_id, bucket FROM (
+         |          SELECT vec_id, bucket,
+         |            count(*) OVER (PARTITION BY bucket) AS bn
+         |          FROM bk) WHERE bn <= 4096),
+         |pairs AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |          FROM bkc a JOIN bkc b
+         |            ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |sc AS (SELECT vec_a, vec_b,
+         |         list_cosine_similarity(ea.e, eb.e) AS s
+         |       FROM pairs JOIN emb ea ON ea.vec_id = pairs.vec_a
+         |                  JOIN emb eb ON eb.vec_id = pairs.vec_b),
+         |sym AS (SELECT vec_a AS src, vec_b AS dst, s FROM sc
+         |        UNION ALL SELECT vec_b, vec_a, s FROM sc),
+         |knn AS (SELECT src, dst FROM (SELECT src, dst,
+         |          row_number() OVER (PARTITION BY src ORDER BY s DESC, dst) AS rnk
+         |        FROM sym) t WHERE rnk <= 5),
+         |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |        FROM knn WHERE src <> dst),
+         |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM
+         |        (SELECT a AS node FROM und UNION ALL SELECT b FROM und) n
+         |        GROUP BY 1),
+         |wd AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+         |       CAST(sum((d * (d - 1)) // 2) AS BIGINT) AS w FROM deg),
+         |tri AS (SELECT e1.a, e1.b, e2.c FROM und e1
+         |        JOIN (SELECT a AS b, b AS c FROM und) e2 ON e1.b = e2.b
+         |        WHERE EXISTS (SELECT 1 FROM und e3
+         |                      WHERE e3.a = e1.a AND e3.b = e2.c)),
+         |tc AS (SELECT CAST(count(*) AS BIGINT) AS t FROM tri),
+         |tv AS (SELECT node, CAST(count(*) AS BIGINT) AS tv FROM
+         |       (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+         |        UNION ALL SELECT c FROM tri) x GROUP BY 1),
+         |lc AS (SELECT CAST(round(2.0 * coalesce(tv, 0) / (d * (d - 1)), 8)
+         |         AS DECIMAL(18,8)) AS c
+         |       FROM deg LEFT JOIN tv USING (node) WHERE d >= 2),
+         |la AS (SELECT CAST(count(*) AS BIGINT) AS n2, sum(c) AS sc FROM lc),
+         |ec AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und),
+         |j AS (SELECT *, CAST(sc * 100000000 AS BIGINT) AS s8
+         |      FROM wd, tc, la, ec)
+         |SELECT n_nodes, m AS n_edges, w AS n_wedges, t AS n_triangles,
+         |  ((2 * 3 * t * 1000000 + w) // (2 * w)) / 1000000.0
+         |    AS transitivity,
+         |  ((2 * s8 + 100 * n2) // (200 * n2)) / 1000000.0 AS avg_local_cc
+         |FROM j""".stripMargin,
+    // Price indices: exact decimal year/part sums, four p*q cross terms
+    // 6-rounded into decimal, one double divide per index.
+    "q_price_index" ->
+      """WITH li AS (SELECT year(l_shipdate) AS yr, l_partkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sp,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+        |  FROM lineitem WHERE year(l_shipdate) IN (1996, 1997)
+        |  GROUP BY 1, 2),
+        |b AS (SELECT l_partkey, sp AS sp0, sq AS sq0 FROM li WHERE yr = 1996),
+        |c AS (SELECT l_partkey, sp AS sp1, sq AS sq1 FROM li WHERE yr = 1997),
+        |t AS (SELECT
+        |    CAST(round(CAST(sp1 AS DOUBLE) / CAST(sq1 AS DOUBLE) *
+        |      CAST(sq0 AS DOUBLE), 6) AS DECIMAL(18,6)) AS lnum,
+        |    CAST(round(CAST(sp0 AS DOUBLE) / CAST(sq0 AS DOUBLE) *
+        |      CAST(sq0 AS DOUBLE), 6) AS DECIMAL(18,6)) AS lden,
+        |    CAST(round(CAST(sp1 AS DOUBLE) / CAST(sq1 AS DOUBLE) *
+        |      CAST(sq1 AS DOUBLE), 6) AS DECIMAL(18,6)) AS pnum,
+        |    CAST(round(CAST(sp0 AS DOUBLE) / CAST(sq0 AS DOUBLE) *
+        |      CAST(sq1 AS DOUBLE), 6) AS DECIMAL(18,6)) AS pden
+        |  FROM b JOIN c USING (l_partkey)),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_parts,
+        |    sum(lnum) AS lnum, sum(lden) AS lden,
+        |    sum(pnum) AS pnum, sum(pden) AS pden FROM t),
+        |f AS (SELECT *,
+        |    CAST(lnum AS DOUBLE) / CAST(lden AS DOUBLE) AS laspeyres,
+        |    CAST(pnum AS DOUBLE) / CAST(pden AS DOUBLE) AS paasche FROM a)
+        |SELECT n_parts, round(laspeyres, 6) AS laspeyres,
+        |  round(paasche, 6) AS paasche,
+        |  round(sqrt(laspeyres * paasche), 6) AS fisher
+        |FROM f""".stripMargin,
   )
 
   /** Oracle twin of CatalogOps.profile: one UNION ALL branch per column. */

@@ -426,12 +426,23 @@ object AnnOps {
     // double→decimal CASTS (not round()) everywhere: the cast's rounding
     // is the one cross-engine-proven primitive (labelCentroids/kmeans);
     // the iteration itself then runs in exact decimal arithmetic
-    val moments = x.select(col("x"), posexplode(col("x")))
-      .select(col("pos").as("i"), col("col").as("xi"), posexplode(col("x")))
-      .select(col("i"), col("pos").as("j"),
+    // symmetry: generate only the upper triangle j ≥ i (slice starts the
+    // inner explode at i), then mirror — the explode and the decimal
+    // hash-aggregate each do half the work, and the mirrored sums are
+    // BIT-IDENTICAL (same terms, commutative product, same decimal adds),
+    // so the oracle's full-matrix replay still hash-matches
+    val upper = x.select(col("x"), posexplode(col("x")))
+      .select(col("x"), col("pos").as("i"), col("col").as("xi"))
+      .select(col("i"), col("xi"),
+        posexplode(slice(col("x"), col("i") + 1, size(col("x")) - col("i"))))
+      .select(col("i"), (col("i") + col("pos")).as("j"),
         (col("xi") * col("col")).cast(d8).as("t"))
       .groupBy(col("i"), col("j"))
       .agg(sum(col("t")).as("sxy"), count(lit(1)).as("n"))
+      .localCheckpoint(true) // two consumers: itself + the mirror
+    val moments = upper.unionAll(
+      upper.filter(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("sxy"), col("n")))
     val g = moments
       .join(mu.select(col("i"), col("mu").as("mi")), "i")
       .join(mu.select(col("i").as("j"), col("mu").as("mj")), "j")
@@ -440,34 +451,35 @@ object AnnOps {
           col("mi") * col("mj")).cast(d8).as("g"))
       .localCheckpoint(true) // iterations must never re-touch the corpus
     val dd = mu.agg(count(lit(1)).cast("double").as("d"))
+    val wAll = Window.partitionBy() // d-row frame: bounded single partition
     var v = mu.select(col("i")).crossJoin(broadcast(dd))
-      .select(col("i"), (lit(1.0) / sqrt(col("d"))).cast(d8).as("v"))
-    var lastNorm: DataFrame = null
+      .select(col("i"), (lit(1.0) / sqrt(col("d"))).cast(d8).as("v"),
+        lit(null).cast(DecimalType(38, 8)).as("ss"))
     for (_ <- 1 to iters) {
       // product in DOUBLE space: exact-decimal products hit exact 8-dp
       // ties whose rounding mode differs across engines, while a double
-      // is never exactly on a decimal tie — so the cast is unambiguous
-      val w = g.join(v.select(col("i").as("j"), col("v")), "j")
+      // is never exactly on a decimal tie — so the cast is unambiguous.
+      // The norm rides a window over the d-row frame and the ss column
+      // stays on the checkpointed vector: ONE eager materialization per
+      // step (the old separate norm checkpoint doubled the per-step job
+      // count, which dominated wall time — the matrices are tiny, the
+      // scheduler round-trips were not). Squares in DOUBLE: decimal²
+      // would overflow precision 38 with engine-specific scale loss.
+      v = g.join(v.select(col("i").as("j"), col("v")), "j")
         .select(col("i"), (col("g").cast("double") * col("v").cast("double"))
           .cast(d8).as("t"))
         .groupBy(col("i")).agg(sum(col("t")).as("w"))
-      // square in DOUBLE space: decimal(28,8)² would overflow precision
-      // 38 with engine-specific scale loss
-      lastNorm = w.agg(
-        sum((col("w").cast("double") * col("w").cast("double"))
-          .cast(d8)).as("ss"))
-      // checkpoint the d-row vector: w is referenced twice (norm + v), so
-      // un-materialized lineage would DOUBLE per step — 2^iters subtrees
-      v = w.crossJoin(broadcast(lastNorm))
+        .withColumn("ss",
+          sum((col("w").cast("double") * col("w").cast("double"))
+            .cast(d8)).over(wAll))
         .select(col("i"),
           (col("w").cast("double") / sqrt(col("ss").cast("double")))
-            .cast(d8).as("v"))
-        .localCheckpoint(true)
-      lastNorm = lastNorm.localCheckpoint(true)
+            .cast(d8).as("v"),
+          col("ss"))
     }
     val trace = g.agg(
       sum(when(col("i") === col("j"), col("g"))).cast("double").as("trace"))
-    v.crossJoin(broadcast(lastNorm)).crossJoin(broadcast(trace))
+    v.crossJoin(broadcast(trace))
       .select(col("i").cast("long").as("dim"),
         round(col("v").cast("double"), 6).as("loading"),
         round(sqrt(col("ss").cast("double")), 6).as("eigval"),

@@ -453,4 +453,61 @@ object GraphOps {
             (col("e") * col("syy") - col("sy") * col("sy")).cast("double")), 6)
           .as("assortativity"))
   }
+
+  /** Global clustering readout of an undirected simple graph — the
+    * one-row summary [[triangles]]'s hot-spot list can't give:
+    * transitivity = 3T/W (closed wedges over all wedges, W = ΣC(d,2))
+    * and the Watts–Strogatz AVERAGE LOCAL coefficient mean over nodes
+    * with degree ≥ 2 of 2tᵥ/(dᵥ(dᵥ−1)) — the two diverge exactly when
+    * clustering concentrates on hubs, which is the diagnostic. Same
+    * canonical-edge wedge machinery as [[triangles]] (never an all-pairs
+    * product); T, W and every degree are exact BIGINTs; both
+    * terminating summary ratios round by exact integer half-up, the
+    * per-node coefficients 8-round into a decimal mean. */
+  def clusteringCoef(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val wedges = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(expr("(d * (d - 1)) div 2")).as("w"))
+    val tri = und.as("e1")
+      .join(und.select(col("a").as("b"), col("b").as("c")).as("e2"), "b")
+      .join(und.select(col("a").as("ca"), col("b").as("cb")),
+        col("a") === col("ca") && col("c") === col("cb"), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val tCnt = tri.agg(count(lit(1)).as("t"))
+    val tv = tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("tv"))
+    val localAvg = deg.filter(col("d") >= 2)
+      .join(tv, Seq("node"), "left")
+      .select(round(lit(2.0) * coalesce(col("tv"), lit(0L)) /
+        (col("d") * (col("d") - 1)), 8).cast(DecimalType(18, 8)).as("c"))
+      .agg(count(lit(1)).as("n2"), sum(col("c")).as("sc"))
+    val nEdges = und.agg(count(lit(1)).as("m"))
+    val out = wedges.crossJoin(broadcast(tCnt))
+      .crossJoin(broadcast(localAvg)).crossJoin(broadcast(nEdges))
+      .withColumn("s8", (col("sc") * lit(100000000L)).cast("long"))
+      .select(col("n_nodes"), col("m").as("n_edges"), col("w").as("n_wedges"),
+        col("t").as("n_triangles"),
+        (expr("(2 * 3 * t * 1000000 + w) div (2 * w)").cast("double") /
+          1000000.0).as("transitivity"),
+        (expr("(2 * s8 + 100 * n2) div (200 * n2)").cast("double") /
+          1000000.0).as("avg_local_cc"))
+      .localCheckpoint(true)
+    tri.unpersist(false)
+    deg.unpersist(false)
+    und.unpersist(false)
+    out
+  }
+
+  /** Registered query: global clustering of the 5-NN embedding graph. */
+  def clusteringCoefQuery(spark: SparkSession, dir: String): DataFrame =
+    clusteringCoef(AnnOps.knnGraph(spark, dir).select(col("src"), col("dst")))
 }

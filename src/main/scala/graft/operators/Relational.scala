@@ -1340,6 +1340,51 @@ object Relational {
     out
   }
 
+  /** Laspeyres / Paasche / Fisher price-index panel between two ship
+    * years — the classic inflation readout over the order book (how much
+    * more does the SAME basket cost?): unit prices are the year's
+    * quantity-weighted means p_y = Σprice/Σqty per part, the indices
+    * weight price relatives by base-year (Laspeyres) and current-year
+    * (Paasche) quantities over parts traded in BOTH years, and Fisher is
+    * their geometric mean. Σprice/Σqty stay exact decimals per (part,
+    * year); the four p·q cross terms are doubles 6-rounded into decimal
+    * so the index numerators/denominators are order-free sums; each
+    * index is one final double divide. One fact scan → part-bounded
+    * frames. */
+  def priceIndex(spark: SparkSession, dir: String,
+                 baseYr: Int = 1996, curYr: Int = 1997): DataFrame = {
+    val d6 = DecimalType(18, 6)
+    val li = Lake.lineitem(spark, dir)
+      .filter(year(col("l_shipdate")).isin(baseYr, curYr))
+      .select(year(col("l_shipdate")).as("yr"), col("l_partkey"),
+        m(col("l_extendedprice")).as("sp"), m(col("l_quantity")).as("sq"))
+      .groupBy(col("yr"), col("l_partkey"))
+      .agg(sum(col("sp")).as("sp"), sum(col("sq")).as("sq"))
+    val base = li.filter(col("yr") === baseYr)
+      .select(col("l_partkey"), col("sp").as("sp0"), col("sq").as("sq0"))
+    val cur = li.filter(col("yr") === curYr)
+      .select(col("l_partkey"), col("sp").as("sp1"), col("sq").as("sq1"))
+    val p0 = col("sp0").cast("double") / col("sq0").cast("double")
+    val p1 = col("sp1").cast("double") / col("sq1").cast("double")
+    base.join(cur, Seq("l_partkey"))
+      .select(
+        round(p1 * col("sq0").cast("double"), 6).cast(d6).as("l_num"),
+        round(p0 * col("sq0").cast("double"), 6).cast(d6).as("l_den"),
+        round(p1 * col("sq1").cast("double"), 6).cast(d6).as("p_num"),
+        round(p0 * col("sq1").cast("double"), 6).cast(d6).as("p_den"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("l_num")).as("ln"), sum(col("l_den")).as("ld"),
+        sum(col("p_num")).as("pn"), sum(col("p_den")).as("pd"))
+      .withColumn("laspeyres",
+        col("ln").cast("double") / col("ld").cast("double"))
+      .withColumn("paasche",
+        col("pn").cast("double") / col("pd").cast("double"))
+      .select(col("n_parts"),
+        round(col("laspeyres"), 6).as("laspeyres"),
+        round(col("paasche"), 6).as("paasche"),
+        round(sqrt(col("laspeyres") * col("paasche")), 6).as("fisher"))
+  }
+
   /** Truncated rank-biased overlap (RBO@d) between two top-d part
     * rankings — the LIST-similarity readout (how much did the
     * best-sellers list actually change year over year?) that top-K

@@ -2144,4 +2144,67 @@ class AnalyticsOpsSpec extends SparkSpecBase {
       assert(r.getLong(1) <= r.getLong(2), "df <= tf")
     }
   }
+
+  test("clustering coefficient matches brute-force triangle/wedge counting") {
+    val edges = graft.operators.AnnOps.knnGraph(spark, Sf)
+      .select(col("src"), col("dst")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val und = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val undSet = und.toSet
+    val tris = und.flatMap { case (a, b) =>
+      (adj(a) intersect adj(b)).filter(c => c > b).map(c => (a, b, c))
+    }.filter { case (a, _, c) => undSet.contains((a, c)) }
+    // triangle census independent of join order: count each a<b<c once
+    val triCount = und.flatMap { case (a, b) =>
+      adj(b).filter(c => c > b && undSet.contains((a, c)) && a < b).map(c => (a, b, c))
+    }.distinct.length
+    val degs = adj.view.mapValues(_.size).toMap
+    val wedges = degs.values.map(d => d.toLong * (d - 1) / 2).sum
+    val triPerNode = collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    for ((a, b, c) <- tris; n <- Seq(a, b, c)) triPerNode(n) += 1
+    val locals = degs.collect { case (n, d) if d >= 2 =>
+      2.0 * triPerNode(n) / (d.toLong * (d - 1)) }
+    val r = graft.operators.GraphOps.clusteringCoefQuery(spark, Sf)
+      .collect().head
+    assert(r.getLong(0) == degs.size, "n_nodes")
+    assert(r.getLong(1) == und.length, "n_edges")
+    assert(r.getLong(2) == wedges, "n_wedges")
+    assert(r.getLong(3) == tris.length, s"n_triangles ${r.getLong(3)} vs ${tris.length} (census $triCount)")
+    assert(math.abs(r.getDouble(4) - 3.0 * tris.length / wedges) < 1e-5,
+      "transitivity")
+    assert(math.abs(r.getDouble(5) - locals.sum / locals.size) < 1e-4,
+      "avg local cc")
+    assert(r.getDouble(4) >= 0 && r.getDouble(4) <= 1)
+  }
+
+  test("price index matches brute-force Laspeyres/Paasche/Fisher") {
+    val rows = Lake.lineitem(spark, Sf)
+      .select(year(col("l_shipdate")).as("yr"), col("l_partkey"),
+        col("l_extendedprice").cast("decimal(18,2)"),
+        col("l_quantity").cast("decimal(18,2)"))
+      .filter(col("yr").isin(1996, 1997)).collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        r.getDecimal(2).doubleValue(), r.getDecimal(3).doubleValue()))
+    def sums(yr: Int) = rows.filter(_._1 == yr).groupBy(_._2)
+      .view.mapValues(xs => (xs.map(_._3).sum, xs.map(_._4).sum)).toMap
+    val (b, c) = (sums(1996), sums(1997))
+    val common = b.keySet intersect c.keySet
+    var (lnum, lden, pnum, pden) = (0.0, 0.0, 0.0, 0.0)
+    for (pk <- common) {
+      val p0 = b(pk)._1 / b(pk)._2
+      val p1 = c(pk)._1 / c(pk)._2
+      lnum += p1 * b(pk)._2; lden += p0 * b(pk)._2
+      pnum += p1 * c(pk)._2; pden += p0 * c(pk)._2
+    }
+    val (l, p) = (lnum / lden, pnum / pden)
+    val r = Relational.priceIndex(spark, Sf).collect().head
+    assert(r.getLong(0) == common.size, "n_parts")
+    assert(math.abs(r.getDouble(1) - l) < 1e-4, s"laspeyres ${r.getDouble(1)} vs $l")
+    assert(math.abs(r.getDouble(2) - p) < 1e-4, s"paasche ${r.getDouble(2)} vs $p")
+    assert(math.abs(r.getDouble(3) - math.sqrt(l * p)) < 1e-4, "fisher")
+    assert(r.getDouble(1) > 0 && r.getDouble(2) > 0, "indices positive")
+  }
 }

@@ -499,7 +499,10 @@ class PlanShapeSpec extends SparkSpecBase {
         "q_cronbach",
         // q_term_burstiness: the one-row doc-count broadcast against the
         // vocab-bounded term frame (the q_good_turing pattern)
-        "q_term_burstiness")
+        "q_term_burstiness",
+        // q_clustering_coef: four one-row summary broadcasts composing
+        // the final readout (the q_rec_coverage pattern)
+        "q_clustering_coef")
     // collect ALL offenders before failing — a fail-fast assert hides
     // every offender behind the first and costs a full re-run per fix
     val offenders = scala.collection.mutable.LinkedHashSet[String]()
