@@ -1147,7 +1147,7 @@ object SparkEntry {
        |tr AS (SELECT cast(sum(CASE WHEN i = j THEN g END) AS double) AS trace
        |       FROM g)
        |SELECT cast(v$iters.i AS bigint) AS dim,
-       |  round(cast(v$iters.v AS double), 6) AS loading,
+       |  CAST(round(v$iters.v, 6) AS double) AS loading,
        |  round(sqrt(cast(n$iters.ss AS double)), 6) AS eigval,
        |  round(sqrt(cast(n$iters.ss AS double)) / tr.trace, 6) AS var_share
        |FROM v$iters, n$iters, tr ORDER BY dim""".stripMargin
@@ -1410,7 +1410,7 @@ object SparkEntry {
        |$iterCtes
        |SELECT CAST(v$iters.i AS BIGINT) AS dim, voc.tok AS token,
        |  voc.c AS n_occurrences,
-       |  round(CAST(v$iters.v AS double), 6) AS loading,
+       |  CAST(round(v$iters.v, 6) AS double) AS loading,
        |  round(sqrt(CAST(n$iters.ss AS double)), 6) AS eigval
        |FROM v$iters JOIN voc ON voc.i = v$iters.i, n$iters
        |ORDER BY dim""".stripMargin
@@ -1686,7 +1686,7 @@ object SparkEntry {
       |             PARTITION BY doc_id ORDER BY score DESC, cls ASC) AS rn
       |           FROM grid)
       |SELECT doc_id, lang, cls AS lang_pred,
-      |  round(cast(score AS double), 4) AS nb_score
+      |  cast(round(score, 4) AS double) AS nb_score
       |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
@@ -3368,7 +3368,7 @@ object SparkEntry {
          |                        WHERE und.a = wg.x AND und.b = wg.y))
          |SELECT x AS node_a, y AS node_b,
          |  count(*) AS n_common,
-         |  round(CAST(sum(CAST(term AS DECIMAL(28,8))) AS DOUBLE), 6)
+         |  CAST(round(sum(CAST(term AS DECIMAL(28,8))), 6) AS DOUBLE)
          |    AS aa_score
          |FROM t GROUP BY 1, 2
          |ORDER BY aa_score DESC, node_a, node_b LIMIT 20""".stripMargin,
@@ -4998,7 +4998,7 @@ object SparkEntry {
         |       FROM tf JOIN df USING (token) JOIN dl USING (doc_id)
         |       CROSS JOIN stats)
         |SELECT doc_id, count(*) AS n_terms_hit,
-        |  round(cast(sum(s) AS double), 4) AS score
+        |  cast(round(sum(s), 4) AS double) AS score
         |FROM sc GROUP BY doc_id
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     // Hybrid RRF: the q_bm25 CTEs verbatim as the sparse pool, a dense
@@ -5020,7 +5020,7 @@ object SparkEntry {
         |           AS decimal(18,6)) AS s
         |       FROM tf JOIN df USING (token) JOIN dl USING (doc_id)
         |       CROSS JOIN stats),
-        |bm AS (SELECT doc_id, round(cast(sum(s) AS double), 4) AS score
+        |bm AS (SELECT doc_id, cast(round(sum(s), 4) AS double) AS score
         |       FROM sc GROUP BY doc_id
         |       ORDER BY score DESC, doc_id LIMIT 20),
         |sp AS (SELECT doc_id,
@@ -6117,7 +6117,7 @@ object SparkEntry {
          |          AS DOUBLE) AS md
          |      FROM b, f2) m) t)
          |SELECT n, CAST(b0 AS DOUBLE) AS b0, CAST(b1 AS DOUBLE) AS b1,
-         |  round(CAST(dv AS DOUBLE), 4) AS deviance
+         |  CAST(round(dv, 4) AS DOUBLE) AS deviance
          |FROM dv, f2""".stripMargin,
     // Pearson overdispersion against the SAME replayed Poisson fit.
     "q_poisson_disp" ->
@@ -6560,7 +6560,7 @@ object SparkEntry {
          |      FROM d JOIN p USING (q_label)),
          |i AS (SELECT *, $ndcgIdcgChain AS idcg FROM j)
          |SELECT q_id, q_label, CAST(n_rel AS BIGINT) AS n_rel,
-         |  round(CAST(dcg_dec AS DOUBLE), 6) AS dcg,
+         |  CAST(round(dcg_dec, 6) AS DOUBLE) AS dcg,
          |  round(CAST(dcg_dec AS DOUBLE) / CAST(idcg AS DOUBLE), 6) AS ndcg
          |FROM i ORDER BY q_id""".stripMargin,
     "q_ann_recall" ->
@@ -6956,9 +6956,8 @@ object SparkEntry {
         |    (CAST(o1 AS DOUBLE) - CAST(e1 AS DOUBLE)) /
         |      sqrt(CAST(v AS DOUBLE)) END AS zz FROM ag)
         |SELECT n_treated, n_control, o1, o0,
-        |  round(CAST(e1 AS DOUBLE), 4) AS e1,
-        |  round(CAST(o1 AS DOUBLE) + CAST(o0 AS DOUBLE) -
-        |    CAST(e1 AS DOUBLE), 4) AS e0,
+        |  CAST(round(e1, 4) AS DOUBLE) AS e1,
+        |  CAST(round(o1 + o0 - e1, 4) AS DOUBLE) AS e0,
         |  round(zz * zz, 4) AS chi2,
         |  round(2.0 / (1.0 + exp(0.07056 * pow(abs(zz), 3.0) +
         |    1.5976 * abs(zz))), 6) AS p_value
@@ -7010,7 +7009,7 @@ object SparkEntry {
         |    (CAST(sa AS DOUBLE) - CAST(se AS DOUBLE)) /
         |      sqrt(CAST(sv AS DOUBLE)) END AS zz FROM ag)
         |SELECT n_users, n_strata, sa AS a_total,
-        |  round(CAST(se AS DOUBLE), 4) AS e_total,
+        |  CAST(round(se, 4) AS DOUBLE) AS e_total,
         |  round(zz * zz, 4) AS chi2,
         |  round(2.0 / (1.0 + exp(0.07056 * pow(abs(zz), 3.0) +
         |    1.5976 * abs(zz))), 6) AS p_value,
@@ -7198,8 +7197,8 @@ object SparkEntry {
         |    AS DECIMAL(18,6))) AS h_marg
         |  FROM ct, tt)
         |SELECT nn AS n_transitions, n_states,
-        |  round(CAST(h_marg AS DOUBLE), 4) AS h_marginal,
-        |  round(CAST(h_cond AS DOUBLE), 4) AS h_conditional,
+        |  CAST(round(h_marg, 4) AS DOUBLE) AS h_marginal,
+        |  CAST(round(h_cond, 4) AS DOUBLE) AS h_conditional,
         |  round(1.0 - CAST(h_cond AS DOUBLE) / CAST(h_marg AS DOUBLE), 4)
         |    AS predictability
         |FROM tt, hc, hm""".stripMargin,
@@ -7628,7 +7627,7 @@ object SparkEntry {
         |dp AS (SELECT phrase, CAST(count(*) AS BIGINT) AS n_occur
         |       FROM pf GROUP BY 1),
         |sc AS (SELECT phrase, CAST(count(*) AS BIGINT) AS n_tokens,
-        |    round(CAST(sum(ws.ws) AS DOUBLE), 4) AS score
+        |    CAST(round(sum(ws.ws), 4) AS DOUBLE) AS score
         |  FROM (SELECT phrase, unnest(string_split(phrase, ' ')) AS w
         |        FROM dp) e
         |  JOIN ws ON ws.w = e.w GROUP BY phrase)
@@ -8208,7 +8207,7 @@ object SparkEntry {
         |SELECT n_users, n_treated, n_users - n_treated AS n_control,
         |  round(CAST(yt AS DOUBLE) / n_treated -
         |    CAST(yc AS DOUBLE) / (n_users - n_treated), 4) AS naive_diff,
-        |  round(CAST(att_d AS DOUBLE), 4) AS att,
+        |  CAST(round(att_d, 4) AS DOUBLE) AS att,
         |  n_strata, n_strata_used, nt_used AS n_treated_on_support
         |FROM ov, at, ns""".stripMargin,
     // Shapley attribution: the 16-mask lattice, cumulative v(S) by
@@ -8726,7 +8725,7 @@ object SparkEntry {
         |      AS v_tot
         |  FROM ta, nu)
         |SELECT nu AS n_users, k AS k_items,
-        |  round(CAST(sum_v AS DOUBLE), 4) AS sum_item_var,
+        |  CAST(round(sum_v, 4) AS DOUBLE) AS sum_item_var,
         |  round(v_tot, 4) AS total_var,
         |  round(CAST(k AS DOUBLE) / (k - 1) *
         |    (1.0 - CAST(sum_v AS DOUBLE) / v_tot), 6) AS alpha

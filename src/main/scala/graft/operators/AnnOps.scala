@@ -481,7 +481,7 @@ object AnnOps {
       sum(when(col("i") === col("j"), col("g"))).cast("double").as("trace"))
     v.crossJoin(broadcast(trace))
       .select(col("i").cast("long").as("dim"),
-        round(col("v").cast("double"), 6).as("loading"),
+        round(col("v"), 6).cast("double").as("loading"),
         round(sqrt(col("ss").cast("double")), 6).as("eigval"),
         round(sqrt(col("ss").cast("double")) / col("trace"), 6)
           .as("var_share"))
@@ -1138,7 +1138,7 @@ object AnnOps {
     dcg.join(broadcast(prevalence), Seq("q_label"))
       .withColumn("n_rel", col("n_label") - 1)
       .select(col("q_id"), col("q_label"), col("n_rel"),
-        round(col("dcg_dec").cast("double"), 6).as("dcg"),
+        round(col("dcg_dec"), 6).cast("double").as("dcg"),
         round(col("dcg_dec").cast("double") / idcg.cast("double"), 6)
           .as("ndcg"))
       .orderBy(col("q_id"))

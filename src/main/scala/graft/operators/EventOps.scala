@@ -1831,7 +1831,7 @@ object EventOps {
         round(col("yt").cast("double") / col("n_treated") -
           col("yc").cast("double") /
             (col("n_users") - col("n_treated")), 4).as("naive_diff"),
-        round(col("att_d").cast("double"), 4).as("att"),
+        round(col("att_d"), 4).cast("double").as("att"),
         col("n_strata"), col("n_strata_used"),
         col("nt_used").as("n_treated_on_support"))
       .localCheckpoint(true)
@@ -1911,9 +1911,8 @@ object EventOps {
         (col("o1").cast("double") - col("e1").cast("double")) /
           sqrt(col("v").cast("double"))))
       .select(col("n_treated"), col("n_control"), col("o1"), col("o0"),
-        round(col("e1").cast("double"), 4).as("e1"),
-        round(col("o1").cast("double") + col("o0").cast("double") -
-          col("e1").cast("double"), 4).as("e0"),
+        round(col("e1"), 4).cast("double").as("e1"),
+        round(col("o1") + col("o0") - col("e1"), 4).cast("double").as("e0"),
         round(col("z") * col("z"), 4).as("chi2"),
         round(lit(2.0) / (lit(1.0) +
           exp(lit(0.07056) * pow(abs(col("z")), 3.0) +
@@ -2045,7 +2044,7 @@ object EventOps {
         (col("sa").cast("double") - col("se").cast("double")) /
           sqrt(col("sv").cast("double"))))
       .select(col("n_users"), col("n_strata"), col("sa").as("a_total"),
-        round(col("se").cast("double"), 4).as("e_total"),
+        round(col("se"), 4).cast("double").as("e_total"),
         round(col("z") * col("z"), 4).as("chi2"),
         round(lit(2.0) / (lit(1.0) +
           exp(lit(0.07056) * pow(abs(col("z")), 3.0) +
@@ -2212,8 +2211,8 @@ object EventOps {
       .agg(sum(col("term")).as("h_marg"))
     val out = tot.crossJoin(broadcast(hCond)).crossJoin(broadcast(hMarg))
       .select(col("nn").as("n_transitions"), col("n_states"),
-        round(col("h_marg").cast("double"), 4).as("h_marginal"),
-        round(col("h_cond").cast("double"), 4).as("h_conditional"),
+        round(col("h_marg"), 4).cast("double").as("h_marginal"),
+        round(col("h_cond"), 4).cast("double").as("h_conditional"),
         round(lit(1.0) -
           col("h_cond").cast("double") / col("h_marg").cast("double"), 4)
           .as("predictability"))
@@ -3071,7 +3070,7 @@ object EventOps {
         .as("v_tot"))
     val out = sumItemVar.crossJoin(broadcast(totals))
       .select(col("nu").as("n_users"), col("k").as("k_items"),
-        round(col("sum_v").cast("double"), 4).as("sum_item_var"),
+        round(col("sum_v"), 4).cast("double").as("sum_item_var"),
         round(col("v_tot"), 4).as("total_var"),
         round(col("k").cast("double") / (col("k") - 1) *
           (lit(1.0) - col("sum_v").cast("double") / col("v_tot")), 6)

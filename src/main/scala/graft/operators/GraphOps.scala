@@ -249,8 +249,12 @@ object GraphOps {
           .cast(org.apache.spark.sql.types.DecimalType(28, 8)))
       .join(und, col("x") === col("a") && col("y") === col("b"), "left_anti")
       .groupBy(col("x").as("node_a"), col("y").as("node_b"))
+      // round the exact 8-dp decimal sum in DECIMAL space then cast: an
+      // aa_score whose 7th-8th digits are exactly "50" routed through a
+      // double first splits the engines by 1 ulp of the 6th decimal
+      // (the q_nb_classify tie class)
       .agg(count(lit(1)).as("n_common"),
-        round(sum(col("term")).cast("double"), 6).as("aa_score"))
+        round(sum(col("term")), 6).cast("double").as("aa_score"))
       .orderBy(col("aa_score").desc, col("node_a"), col("node_b"))
       .limit(k)
       .localCheckpoint(true)

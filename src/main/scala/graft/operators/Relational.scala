@@ -2048,7 +2048,7 @@ object Relational {
     val out = dev.crossJoin(broadcast(fit))
       .select(col("n"), col("b0").cast("double").as("b0"),
         col("b1").cast("double").as("b1"),
-        round(col("dv").cast("double"), 4).as("deviance"))
+        round(col("dv"), 4).cast("double").as("deviance"))
       .localCheckpoint(true)
     base.unpersist(false)
     out

@@ -173,7 +173,11 @@ object TextOps {
     val out = grid.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .select(col("doc_id"), col("lang"), col("cls").as("lang_pred"),
-        round(col("score").cast("double"), 4).as("nb_score"))
+        // round the EXACT 6-dp decimal in decimal space, then cast:
+        // both engines round decimals half-away-from-zero, but a score
+        // ending in ...5 (doc 871 at sf0.1: -266.21975) routed through
+        // a double first splits them by 1 ulp of the 4th decimal
+        round(col("score"), 4).cast("double").as("nb_score"))
       .orderBy(col("doc_id"))
       .localCheckpoint(true) // materialize + release (surprisal discipline)
     base.unpersist(false)
@@ -1084,7 +1088,7 @@ object TextOps {
     v.join(broadcast(vIdx.select(col("i"), col("tok"), col("c"))), "i")
       .select(col("i").cast("long").as("dim"), col("tok").as("token"),
         col("c").as("n_occurrences"),
-        round(col("v").cast("double"), 6).as("loading"),
+        round(col("v"), 6).cast("double").as("loading"),
         round(sqrt(col("ss").cast("double")), 6).as("eigval"))
       .orderBy(col("dim"))
   }
@@ -1874,7 +1878,7 @@ object TextOps {
       .agg(count(lit(1)).as("n_terms_hit"),
         sum(col("s")).as("total"))
       .select(col("doc_id"), col("n_terms_hit"),
-        round(col("total").cast("double"), 4).as("score"))
+        round(col("total"), 4).cast("double").as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }
@@ -2997,7 +3001,7 @@ object TextOps {
       .join(wordScores, Seq("w"))
       .groupBy(col("phrase"), col("n_occur"))
       .agg(count(lit(1)).as("n_tokens"),
-        round(sum(col("ws")).cast("double"), 4).as("score"))
+        round(sum(col("ws")), 4).cast("double").as("score"))
       .select(col("phrase"), col("n_tokens"), col("n_occur"), col("score"))
       .orderBy(col("score").desc, col("phrase"))
       .limit(topK)
