@@ -4176,7 +4176,8 @@ object SparkEntry {
         |lp AS (SELECT token, cast(round(-ln(tf / n), 6) AS decimal(18,6)) AS neg_logp
         |       FROM tf, tot)
         |SELECT doc_id, count(*) AS n_tokens,
-        |  round(cast(sum(neg_logp) AS double) / count(*), 4) AS avg_surprisal
+        |  ((2 * cast(sum(neg_logp) * 1000000 AS bigint) + 100 * count(*))
+        |    // (200 * count(*))) / 10000.0 AS avg_surprisal
         |FROM tok JOIN lp USING (token)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Held-out perplexity: Laplace-smoothed REF-trained unigram scores,
@@ -4196,7 +4197,8 @@ object SparkEntry {
         |       WHERE tok.par = 1)
         |SELECT doc_id, count(*) AS n_tokens,
         |  CAST(sum(oov) AS BIGINT) AS n_oov,
-        |  round(cast(sum(neg_logp) AS double) / count(*), 4) AS avg_neg_logp
+        |  ((2 * cast(sum(neg_logp) * 1000000 AS bigint) + 100 * count(*))
+        |    // (200 * count(*))) / 10000.0 AS avg_neg_logp
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Normalization is pure regex, so the oracle is the same three
     // rewrites with DuckDB's global flag.

@@ -1592,13 +1592,17 @@ object TextOps {
     // calls in a long-lived session must not pile up caches until the
     // ContextCleaner happens to collect them (same discipline as
     // DataLake.cleanCorpus)
+    // exact integer half-up for the mean (the bigramSurprisal tie fix —
+    // identical shape: 6-dp decimal sum over a small per-doc count, where
+    // an exact .00005 quotient is reachable)
     val out = tokRows.join(logp, "token")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
         sum(col("neg_logp")).as("total_surprisal"))
+      .withColumn("__s", (col("total_surprisal") * lit(1000000)).cast("long"))
       .select(col("doc_id"), col("n_tokens"),
-        round(col("total_surprisal").cast("double") / col("n_tokens"), 4)
-          .as("avg_surprisal"))
+        (expr("(2 * __s + 100 * n_tokens) div (200 * n_tokens)")
+          .cast("double") / 10000.0).as("avg_surprisal"))
       .orderBy(col("doc_id"))
       .localCheckpoint(true)
     tokRows.unpersist(false)
@@ -1696,9 +1700,11 @@ object TextOps {
       .agg(count(lit(1)).as("n_tokens"),
         sum(col("oov")).as("n_oov"),
         sum(col("neg_logp")).as("total"))
+      // exact integer half-up mean (the surprisal-family tie fix)
+      .withColumn("__s", (col("total") * lit(1000000)).cast("long"))
       .select(col("doc_id"), col("n_tokens"), col("n_oov"),
-        round(col("total").cast("double") / col("n_tokens"), 4)
-          .as("avg_neg_logp"))
+        (expr("(2 * __s + 100 * n_tokens) div (200 * n_tokens)")
+          .cast("double") / 10000.0).as("avg_neg_logp"))
       .orderBy(col("doc_id"))
       .localCheckpoint(true) // materialize + release (surprisal discipline)
     tokRows.unpersist(false)
