@@ -428,4 +428,6 @@ final case class DataLake(spark: SparkSession, dir: String) {
   /** Laspeyres/Paasche/Fisher price indices between two ship years. */
   def priceIndex(baseYr: Int = 1996, curYr: Int = 1997): DataFrame =
     Relational.priceIndex(spark, dir, baseYr, curYr)
+  /** Cohen's d / Hedges' g effect-size panel on the welch cohorts. */
+  def cohensD(): DataFrame = CatalogOps.cohensDQuery(spark, dir)
 }

@@ -812,6 +812,8 @@ object SparkEntry {
     // Laspeyres/Paasche/Fisher price indices between ship years
     "q_price_index"       -> ((s: SparkSession, d: String) =>
       Relational.priceIndex(s, d)),
+    // Cohen's d / Hedges' g effect-size panel on the welch cohorts
+    "q_cohens_d"          -> CatalogOps.cohensDQuery _,
   )
 
   /** [[TextOps.patternScan]] dictionary for the driver query: token
@@ -8944,6 +8946,46 @@ object SparkEntry {
         |  round(paasche, 6) AS paasche,
         |  round(sqrt(laspeyres * paasche), 6) AS fisher
         |FROM f""".stripMargin,
+    // Cohen's d: the welch moment shape with the pooled-SD tail; every
+    // input exact, the panel one scalar tree.
+    "q_cohens_d" ->
+      """WITH agg AS (SELECT
+        |  CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1997-01-01'
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |  CAST(sum(CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01'
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |  sum(CASE WHEN o_orderdate < TIMESTAMP '1997-01-01'
+        |           THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS sa,
+        |  sum(CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01'
+        |           THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS sb,
+        |  sum(CASE WHEN o_orderdate < TIMESTAMP '1997-01-01'
+        |           THEN CAST(o_totalprice AS DECIMAL(18,2)) *
+        |                CAST(o_totalprice AS DECIMAL(18,2)) END) AS qa,
+        |  sum(CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01'
+        |           THEN CAST(o_totalprice AS DECIMAL(18,2)) *
+        |                CAST(o_totalprice AS DECIMAL(18,2)) END) AS qb
+        | FROM orders),
+        |m AS (SELECT *, CAST(sa AS DOUBLE) / n_a AS m_a,
+        |    CAST(sb AS DOUBLE) / n_b AS m_b FROM agg),
+        |v AS (SELECT *,
+        |  (CAST(qa AS DOUBLE) - CAST(n_a AS DOUBLE) * m_a * m_a)
+        |    / CAST(n_a - 1 AS DOUBLE) AS v_a,
+        |  (CAST(qb AS DOUBLE) - CAST(n_b AS DOUBLE) * m_b * m_b)
+        |    / CAST(n_b - 1 AS DOUBLE) AS v_b FROM m),
+        |s AS (SELECT *, sqrt((CAST(n_a - 1 AS DOUBLE) * v_a +
+        |    CAST(n_b - 1 AS DOUBLE) * v_b)
+        |    / CAST(n_a + n_b - 2 AS DOUBLE)) AS s_pool FROM v),
+        |d AS (SELECT *, (m_b - m_a) / s_pool AS d FROM s),
+        |e AS (SELECT *, sqrt(CAST(n_a + n_b AS DOUBLE) /
+        |    CAST(n_a * n_b AS DOUBLE)
+        |    + d * d / (2.0 * CAST(n_a + n_b AS DOUBLE))) AS se_d FROM d)
+        |SELECT n_a, n_b, round(m_a, 4) AS mean_a, round(m_b, 4) AS mean_b,
+        |  round(s_pool, 4) AS sd_pooled, round(d, 6) AS cohens_d,
+        |  round(d * (1.0 - 3.0 / (4.0 * CAST(n_a + n_b AS DOUBLE) - 9)), 6)
+        |    AS hedges_g,
+        |  round(d - 1.96 * se_d, 6) AS ci_lo,
+        |  round(d + 1.96 * se_d, 6) AS ci_hi
+        |FROM e""".stripMargin,
   )
 
   /** Oracle twin of CatalogOps.profile: one UNION ALL branch per column. */

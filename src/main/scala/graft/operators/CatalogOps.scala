@@ -1036,6 +1036,58 @@ object CatalogOps {
       col("o_orderdate") < lit("1997-01-01").cast("timestamp"),
       col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
 
+  /** Cohen's d effect-size panel between two cohorts of a numeric
+    * column — the magnitude readout the [[welch]] t-test deliberately
+    * omits (t grows with √n; d = (m_b−m_a)/s_pooled is sample-size-free
+    * and is what a reviewer actually asks for), with Hedges' g
+    * small-sample correction g = d·(1 − 3/(4(n_a+n_b)−9)) and the
+    * standard normal-approximation CI half-width 1.96·√((nₐ+n_b)/(nₐn_b)
+    * + d²/(2(nₐ+n_b))). Identical one-scan exact-decimal moment shape as
+    * [[welch]]; everything after is a scalar tree on the one-row frame. */
+  def cohensD(rows: DataFrame, valueCol: String,
+              cohortA: Column, cohortB: Column): DataFrame = {
+    val x = col(valueCol).cast(DecimalType(18, 2))
+    val one = rows.agg(
+      sum(when(cohortA, 1L).otherwise(0L)).as("n_a"),
+      sum(when(cohortB, 1L).otherwise(0L)).as("n_b"),
+      sum(when(cohortA, x).otherwise(null)).as("sa"),
+      sum(when(cohortB, x).otherwise(null)).as("sb"),
+      sum(when(cohortA, x * x).otherwise(null)).as("qa"),
+      sum(when(cohortB, x * x).otherwise(null)).as("qb"))
+    def variance(q: Column, m: Column, n: Column): Column =
+      (q.cast("double") - n.cast("double") * m * m) /
+        (n - 1).cast("double")
+    val n = col("n_a") + col("n_b")
+    one
+      .withColumn("m_a", col("sa").cast("double") / col("n_a"))
+      .withColumn("m_b", col("sb").cast("double") / col("n_b"))
+      .withColumn("v_a", variance(col("qa"), col("m_a"), col("n_a")))
+      .withColumn("v_b", variance(col("qb"), col("m_b"), col("n_b")))
+      .withColumn("s_pool", sqrt(
+        ((col("n_a") - 1).cast("double") * col("v_a") +
+          (col("n_b") - 1).cast("double") * col("v_b")) /
+          (n - 2).cast("double")))
+      .withColumn("d", (col("m_b") - col("m_a")) / col("s_pool"))
+      .withColumn("se_d", sqrt(
+        n.cast("double") / (col("n_a") * col("n_b")).cast("double") +
+          col("d") * col("d") / (lit(2.0) * n.cast("double"))))
+      .select(col("n_a"), col("n_b"),
+        round(col("m_a"), 4).as("mean_a"), round(col("m_b"), 4).as("mean_b"),
+        round(col("s_pool"), 4).as("sd_pooled"),
+        round(col("d"), 6).as("cohens_d"),
+        round(col("d") * (lit(1.0) -
+          lit(3.0) / (lit(4.0) * n.cast("double") - 9)), 6).as("hedges_g"),
+        round(col("d") - lit(1.96) * col("se_d"), 6).as("ci_lo"),
+        round(col("d") + lit(1.96) * col("se_d"), 6).as("ci_hi"))
+  }
+
+  /** Driver binding: the welch cohorts (order value, pre-1997 vs
+    * 1997+) so the t-test and its effect size read side-by-side. */
+  def cohensDQuery(spark: SparkSession, dir: String): DataFrame =
+    cohensD(Lake.orders(spark, dir), "o_totalprice",
+      col("o_orderdate") < lit("1997-01-01").cast("timestamp"),
+      col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+
   /** Cramér's V — the [0,1]-normalized effect size for the association
     * [[chi2Independence]] only tests: V = √(χ²/(n·(min(r,c)−1))), so a
     * screen can rank column PAIRS across tables on one scale regardless

@@ -2207,4 +2207,34 @@ class AnalyticsOpsSpec extends SparkSpecBase {
     assert(math.abs(r.getDouble(3) - math.sqrt(l * p)) < 1e-4, "fisher")
     assert(r.getDouble(1) > 0 && r.getDouble(2) > 0, "indices positive")
   }
+
+  test("cohens d matches brute-force pooled-SD effect size with Hedges correction") {
+    val vals = Lake.orders(spark, Sf)
+      .select(col("o_orderdate").cast("date"), col("o_totalprice")).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getDouble(1)))
+    val cut = java.time.LocalDate.parse("1997-01-01")
+    val a = vals.filter(_._1.isBefore(cut)).map(_._2)
+    val b = vals.filter(v => !v._1.isBefore(cut)).map(_._2)
+    def mv(xs: Array[Double]) = {
+      val m = xs.sum / xs.length
+      (m, xs.map(x => (x - m) * (x - m)).sum / (xs.length - 1))
+    }
+    val ((ma, va), (mb, vb)) = (mv(a), mv(b))
+    val n = a.length + b.length
+    val sPool = math.sqrt(((a.length - 1) * va + (b.length - 1) * vb) / (n - 2))
+    val d = (mb - ma) / sPool
+    val g = d * (1.0 - 3.0 / (4.0 * n - 9))
+    val se = math.sqrt(n.toDouble / (a.length.toLong * b.length) +
+      d * d / (2.0 * n))
+    val r = CatalogOps.cohensDQuery(spark, Sf).collect().head
+    assert(r.getLong(0) == a.length && r.getLong(1) == b.length)
+    assert(math.abs(r.getDouble(2) - ma) < 0.01 && math.abs(r.getDouble(3) - mb) < 0.01)
+    assert(math.abs(r.getDouble(4) - sPool) < 0.01, "pooled sd")
+    assert(math.abs(r.getDouble(5) - d) < 1e-4, s"d ${r.getDouble(5)} vs $d")
+    assert(math.abs(r.getDouble(6) - g) < 1e-4, "hedges g")
+    assert(math.abs(r.getDouble(7) - (d - 1.96 * se)) < 1e-4, "ci lo")
+    assert(math.abs(r.getDouble(8) - (d + 1.96 * se)) < 1e-4, "ci hi")
+    assert(math.abs(r.getDouble(6)) <= math.abs(r.getDouble(5)),
+      "Hedges correction shrinks toward zero")
+  }
 }
