@@ -430,4 +430,7 @@ final case class DataLake(spark: SparkSession, dir: String) {
     Relational.priceIndex(spark, dir, baseYr, curYr)
   /** Cohen's d / Hedges' g effect-size panel on the welch cohorts. */
   def cohensD(): DataFrame = CatalogOps.cohensDQuery(spark, dir)
+  /** Hill tail-index of customer revenue over top-k order statistics. */
+  def hillTailIndex(k: Int = 100): DataFrame =
+    Relational.hillTailIndex(spark, dir, k)
 }

@@ -814,6 +814,9 @@ object SparkEntry {
       Relational.priceIndex(s, d)),
     // Cohen's d / Hedges' g effect-size panel on the welch cohorts
     "q_cohens_d"          -> CatalogOps.cohensDQuery _,
+    // Hill tail-index of customer revenue (top-100 order statistics)
+    "q_hill"              -> ((s: SparkSession, d: String) =>
+      Relational.hillTailIndex(s, d)),
   )
 
   /** [[TextOps.patternScan]] dictionary for the driver query: token
@@ -8986,6 +8989,25 @@ object SparkEntry {
         |  round(d - 1.96 * se_d, 6) AS ci_lo,
         |  round(d + 1.96 * se_d, 6) AS ci_hi
         |FROM e""".stripMargin,
+    // Hill: total-order top-(k+1) head, exact-decimal threshold compare,
+    // 6-rounded decimal ln terms, terminating k/S by integer half-up.
+    "q_hill" ->
+      """WITH pc AS (SELECT o_custkey,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY 1),
+        |top AS (SELECT * FROM pc ORDER BY rev DESC, o_custkey LIMIT 101),
+        |w AS (SELECT *, min(rev) OVER () AS x_ref FROM top),
+        |t AS (SELECT x_ref,
+        |    CAST(round(ln(CAST(rev AS DOUBLE) / CAST(x_ref AS DOUBLE)), 6)
+        |      AS DECIMAL(18,6)) AS t
+        |  FROM w WHERE rev > x_ref),
+        |a AS (SELECT x_ref, CAST(count(*) AS BIGINT) AS k_used,
+        |    sum(t) AS s FROM t GROUP BY x_ref),
+        |b AS (SELECT *, CAST(s * 1000000 AS BIGINT) AS s6 FROM a)
+        |SELECT k_used, CAST(x_ref AS DOUBLE) AS x_k1,
+        |  ((2 * k_used * 1000000000000 + s6) // (2 * s6)) / 1000000.0
+        |    AS hill_alpha
+        |FROM b""".stripMargin,
   )
 
   /** Oracle twin of CatalogOps.profile: one UNION ALL branch per column. */

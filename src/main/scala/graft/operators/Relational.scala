@@ -1340,6 +1340,41 @@ object Relational {
     out
   }
 
+  /** Hill tail-index estimator over customer revenue — the heavy-tail
+    * diagnostic behind every "top customers" readout ([[giniSegments]]
+    * says HOW unequal; α̂ says what LAW the tail follows, and whether
+    * means/variances of the tail even exist — α ≤ 2 means undefined
+    * variance): α̂ = k / Σᵢ ln(xᵢ/x₍ₖ₊₁₎) over the k largest values with
+    * the (k+1)-th as threshold. The top-(k+1) head is a
+    * TakeOrderedAndProject on a TOTAL order (exact decimal revenue,
+    * custkey) so the selection is engine-identical; values tied with the
+    * threshold drop by an exact decimal compare (k_used reports the
+    * survivors); ln terms 6-round into decimal and the terminating
+    * quotient k/S rounds by exact integer half-up. Everything after the
+    * head is a ≤(k+1)-row bounded frame. */
+  def hillTailIndex(spark: SparkSession, dir: String,
+                    k: Int = 100): DataFrame = {
+    val d6 = DecimalType(18, 6)
+    val top = Lake.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(m(col("o_totalprice"))).as("rev"))
+      .orderBy(col("rev").desc, col("o_custkey"))
+      .limit(k + 1)
+    val wAll = Window.partitionBy()
+    top
+      .withColumn("x_ref", min(col("rev")).over(wAll))
+      .filter(col("rev") > col("x_ref"))
+      .select(col("x_ref"),
+        round(log(col("rev").cast("double") / col("x_ref").cast("double")),
+          6).cast(d6).as("t"))
+      .groupBy(col("x_ref"))
+      .agg(count(lit(1)).as("k_used"), sum(col("t")).as("s"))
+      .withColumn("__s6", (col("s") * lit(1000000)).cast("long"))
+      .select(col("k_used"), col("x_ref").cast("double").as("x_k1"),
+        (expr("(2 * k_used * 1000000000000 + __s6) div (2 * __s6)")
+          .cast("double") / 1000000.0).as("hill_alpha"))
+  }
+
   /** Laspeyres / Paasche / Fisher price-index panel between two ship
     * years — the classic inflation readout over the order book (how much
     * more does the SAME basket cost?): unit prices are the year's

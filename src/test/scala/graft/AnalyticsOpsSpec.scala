@@ -2237,4 +2237,23 @@ class AnalyticsOpsSpec extends SparkSpecBase {
     assert(math.abs(r.getDouble(6)) <= math.abs(r.getDouble(5)),
       "Hedges correction shrinks toward zero")
   }
+
+  test("hill tail index matches the brute-force top-k order-statistic form") {
+    val revs = Lake.orders(spark, Sf)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+      .collect()
+      .map(r => (r.getLong(0), scala.math.BigDecimal(r.getDecimal(1))))
+    val top = revs.sortBy(x => (-x._2, x._1)).take(101)
+    val xRef = top.map(_._2).min
+    val survivors = top.filter(_._2 > xRef)
+    val s = survivors.map(x => math.log((x._2 / xRef).toDouble)).sum
+    val alpha = survivors.length / s
+    val r = Relational.hillTailIndex(spark, Sf).collect().head
+    assert(r.getLong(0) == survivors.length, "k_used")
+    assert(math.abs(r.getDouble(1) - xRef.toDouble) < 1e-9, "threshold")
+    assert(math.abs(r.getDouble(2) - alpha) < 1e-3,
+      s"alpha ${r.getDouble(2)} vs $alpha")
+    assert(r.getDouble(2) > 0, "alpha positive")
+  }
 }
