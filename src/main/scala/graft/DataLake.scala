@@ -433,4 +433,7 @@ final case class DataLake(spark: SparkSession, dir: String) {
   /** Hill tail-index of customer revenue over top-k order statistics. */
   def hillTailIndex(k: Int = 100): DataFrame =
     Relational.hillTailIndex(spark, dir, k)
+  /** Deterministic permutation test for the A/B conversion lift. */
+  def permutationTest(convertAt: Long = 15, nPerms: Int = 64): DataFrame =
+    EventOps.permutationTest(spark, dir, convertAt, nPerms)
 }

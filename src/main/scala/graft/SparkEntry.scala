@@ -817,6 +817,9 @@ object SparkEntry {
     // Hill tail-index of customer revenue (top-100 order statistics)
     "q_hill"              -> ((s: SparkSession, d: String) =>
       Relational.hillTailIndex(s, d)),
+    // Deterministic permutation test for the A/B conversion lift
+    "q_permutation_test"  -> ((s: SparkSession, d: String) =>
+      EventOps.permutationTest(s, d)),
   )
 
   /** [[TextOps.patternScan]] dictionary for the driver query: token
@@ -9008,6 +9011,49 @@ object SparkEntry {
         |  ((2 * k_used * 1000000000000 + s6) // (2 * s6)) / 1000000.0
         |    AS hill_alpha
         |FROM b""".stripMargin,
+    // Permutation test: LCG-family reassignments replayed with pure
+    // integer arithmetic; each diff one double tree over exact counts;
+    // the terminating p-value by exact integer half-up.
+    "q_permutation_test" ->
+      """WITH u AS (SELECT user_id,
+        |    CASE WHEN sum(CASE WHEN event_type = 'purchase'
+        |      THEN 1 ELSE 0 END) >= 15 THEN 1 ELSE 0 END AS converted
+        |  FROM events GROUP BY user_id),
+        |obs AS (SELECT
+        |    CAST(sum(CASE WHEN (user_id * 16807) % 2147483647 % 2 = 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN (user_id * 16807) % 2147483647 % 2 = 1
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN (user_id * 16807) % 2147483647 % 2 = 0
+        |      THEN converted ELSE 0 END) AS BIGINT) AS c0,
+        |    CAST(sum(CASE WHEN (user_id * 16807) % 2147483647 % 2 = 1
+        |      THEN converted ELSE 0 END) AS BIGINT) AS c1
+        |  FROM u),
+        |ob AS (SELECT CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0
+        |    AS diff_obs FROM obs),
+        |pp AS (SELECT CAST(range AS BIGINT) AS p FROM range(1, 65)),
+        |f AS (SELECT p,
+        |    CAST(sum(CASE WHEN (user_id * (16807 + p * 1000)) % 2147483647
+        |      % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN (user_id * (16807 + p * 1000)) % 2147483647
+        |      % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN (user_id * (16807 + p * 1000)) % 2147483647
+        |      % 2 = 0 THEN converted ELSE 0 END) AS BIGINT) AS c0,
+        |    CAST(sum(CASE WHEN (user_id * (16807 + p * 1000)) % 2147483647
+        |      % 2 = 1 THEN converted ELSE 0 END) AS BIGINT) AS c1
+        |  FROM u CROSS JOIN pp GROUP BY p),
+        |d AS (SELECT p, CASE WHEN n0 > 0 AND n1 > 0 THEN
+        |    CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0 END AS diff_p
+        |  FROM f),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_perms,
+        |    CAST(sum(CASE WHEN abs(diff_p) >= abs(diff_obs)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+        |    max(diff_obs) AS diff_obs
+        |  FROM d CROSS JOIN ob)
+        |SELECT n_perms, round(diff_obs, 6) AS diff_observed, n_extreme,
+        |  ((2 * (1 + n_extreme) * 1000000 + (n_perms + 1))
+        |    // (2 * (n_perms + 1))) / 1000000.0 AS p_value
+        |FROM a""".stripMargin,
   )
 
   /** Oracle twin of CatalogOps.profile: one UNION ALL branch per column. */

@@ -3080,6 +3080,70 @@ object EventOps {
     out
   }
 
+  /** Deterministic permutation (randomization) test for the A/B
+    * conversion lift — the assumption-free complement to the z-test in
+    * [[abReadout]] (no normality, no pooled-variance approximation: the
+    * null is "labels don't matter", simulated by re-assigning arms):
+    * nPerms pseudorandom reassignments arm_p(u) = (u·(16807+1000p) mod
+    * 2147483647) mod 2 — the same LCG family as the experiment's own
+    * assignment but decorrelated multipliers, so BOTH engines replay the
+    * identical permutations with pure integer arithmetic — and the
+    * one-sided-count p-value (1 + #{|Δ_p| ≥ |Δ_obs|})/(nPerms+1) with
+    * the add-one convention (the observed split is itself a permutation).
+    * Every per-permutation diff is one double tree over exact BIGINT
+    * counts; the terminating p-value rounds by exact integer half-up.
+    *
+    * Shape: ONE user aggregate, then a broadcast fan-out of the
+    * (nPerms)-row grid — 64× map-side rows into a 64-group partial
+    * aggregate, no shuffle growth with data size; pick nPerms to budget
+    * the fan-out at corpus scale. */
+  def permutationTest(spark: SparkSession, dir: String,
+                      convertAt: Long = 15, nPerms: Int = 64): DataFrame = {
+    val perUser = Lake.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(when(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          >= convertAt, 1L).otherwise(0L)
+        .as("converted"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def rate(conv: Column, n: Column): Column =
+      conv.cast("double") / n
+    val obs = perUser
+      .withColumn("arm",
+        pmod(col("user_id") * lit(16807L), lit(2147483647L)) % 2)
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("arm") === 0, col("converted")).otherwise(0L)).as("c0"),
+        sum(when(col("arm") === 1, col("converted")).otherwise(0L)).as("c1"))
+      .select((rate(col("c1"), col("n1")) - rate(col("c0"), col("n0")))
+        .as("diff_obs"))
+    val perms = spark.range(1, nPerms + 1).select(col("id").as("p"))
+    val diffs = perUser.crossJoin(broadcast(perms))
+      .withColumn("arm",
+        pmod(col("user_id") * (lit(16807L) + col("p") * 1000L),
+          lit(2147483647L)) % 2)
+      .groupBy(col("p"))
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("arm") === 0, col("converted")).otherwise(0L)).as("c0"),
+        sum(when(col("arm") === 1, col("converted")).otherwise(0L)).as("c1"))
+      .select(col("p"),
+        when(col("n0") > 0 && col("n1") > 0,
+          rate(col("c1"), col("n1")) - rate(col("c0"), col("n0")))
+          .as("diff_p"))
+    val out = diffs.crossJoin(broadcast(obs))
+      .agg(count(lit(1)).as("n_perms"),
+        sum(when(abs(col("diff_p")) >= abs(col("diff_obs")), 1L)
+          .otherwise(0L)).as("n_extreme"),
+        max(col("diff_obs")).as("diff_obs"))
+      .select(col("n_perms"), round(col("diff_obs"), 6).as("diff_observed"),
+        col("n_extreme"),
+        (expr("(2 * (1 + n_extreme) * 1000000 + (n_perms + 1)) div " +
+          "(2 * (n_perms + 1))").cast("double") / 1000000.0).as("p_value"))
+      .localCheckpoint(true)
+    perUser.unpersist(false)
+    out
+  }
+
   /** Circular (directional) statistics of the time-of-day distribution
     * per event type — hour-of-day is an angle, not a line, so naive
     * mean/variance are WRONG at midnight wraparound (events at 23:30 and

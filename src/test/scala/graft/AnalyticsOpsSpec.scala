@@ -2256,4 +2256,31 @@ class AnalyticsOpsSpec extends SparkSpecBase {
       s"alpha ${r.getDouble(2)} vs $alpha")
     assert(r.getDouble(2) > 0, "alpha positive")
   }
+
+  test("permutation test matches brute-force LCG reassignment replay") {
+    val users = Lake.events(spark, Sf)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("purch"))
+      .collect()
+      .map(r => (r.getLong(0), if (r.getLong(1) >= 15L) 1L else 0L))
+    def diff(mult: Long): Option[Double] = {
+      val arms = users.map { case (u, c) => ((u * mult) % 2147483647L % 2, c) }
+      val g = arms.groupBy(_._1).view
+        .mapValues(xs => (xs.size.toLong, xs.map(_._2).sum)).toMap
+      for { (n0, c0) <- g.get(0L); (n1, c1) <- g.get(1L) }
+        yield c1.toDouble / n1 - c0.toDouble / n0
+    }
+    val dObs = diff(16807L).get
+    val dPerms = (1 to 64).flatMap(p => diff(16807L + 1000L * p))
+    val nExtreme = dPerms.count(d => math.abs(d) >= math.abs(dObs))
+    val r = graft.operators.EventOps.permutationTest(spark, Sf)
+      .collect().head
+    assert(r.getLong(0) == 64, "n_perms")
+    assert(math.abs(r.getDouble(1) - dObs) < 1e-6, "observed diff")
+    assert(r.getLong(2) == nExtreme, s"n_extreme ${r.getLong(2)} vs $nExtreme")
+    val p = (1.0 + nExtreme) / 65.0
+    assert(math.abs(r.getDouble(3) - p) < 1e-6, s"p ${r.getDouble(3)} vs $p")
+    assert(r.getDouble(3) > 0 && r.getDouble(3) <= 1, "p in (0,1]")
+  }
 }

@@ -502,7 +502,11 @@ class PlanShapeSpec extends SparkSpecBase {
         "q_term_burstiness",
         // q_clustering_coef: four one-row summary broadcasts composing
         // the final readout (the q_rec_coverage pattern)
-        "q_clustering_coef")
+        "q_clustering_coef",
+        // q_permutation_test: the 64-row permutation grid broadcast over
+        // the user frame (bounded map-side fan-out) + the one-row
+        // observed-diff broadcast
+        "q_permutation_test")
     // collect ALL offenders before failing — a fail-fast assert hides
     // every offender behind the first and costs a full re-run per fix
     val offenders = scala.collection.mutable.LinkedHashSet[String]()
