@@ -436,4 +436,8 @@ final case class DataLake(spark: SparkSession, dir: String) {
   /** Deterministic permutation test for the A/B conversion lift. */
   def permutationTest(convertAt: Long = 15, nPerms: Int = 64): DataFrame =
     EventOps.permutationTest(spark, dir, convertAt, nPerms)
+  /** Bowley skew + Moors kurtosis from octiles per market segment. */
+  def robustMoments(): DataFrame = Relational.robustMoments(spark, dir)
+  /** Friedman rank test across event types with days as blocks. */
+  def friedman(): DataFrame = EventOps.friedman(spark, dir)
 }

@@ -820,6 +820,10 @@ object SparkEntry {
     // Deterministic permutation test for the A/B conversion lift
     "q_permutation_test"  -> ((s: SparkSession, d: String) =>
       EventOps.permutationTest(s, d)),
+    // Bowley skew + Moors kurtosis from octiles per market segment
+    "q_robust_moments"    -> Relational.robustMoments _,
+    // Friedman rank test across event types with days as blocks
+    "q_friedman"          -> EventOps.friedman _,
   )
 
   /** [[TextOps.patternScan]] dictionary for the driver query: token
@@ -9054,6 +9058,51 @@ object SparkEntry {
         |  ((2 * (1 + n_extreme) * 1000000 + (n_perms + 1))
         |    // (2 * (n_perms + 1))) / 1000000.0 AS p_value
         |FROM a""".stripMargin,
+    // Robust moments: dyadic octile probabilities make the quantile
+    // interpolation weights exact in both engines (the q_quantiles
+    // parity); the two shape ratios round as doubles.
+    "q_robust_moments" ->
+      """WITH j AS (SELECT c_mktsegment, CAST(o_totalprice AS DOUBLE) AS v
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |a AS (SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |    quantile_cont(v, [0.125, 0.25, 0.375, 0.5, 0.625, 0.75,
+        |      0.875]) AS e
+        |  FROM j GROUP BY 1)
+        |SELECT c_mktsegment, n, round(e[2], 4) AS q1,
+        |  round(e[4], 4) AS median, round(e[6], 4) AS q3,
+        |  round((e[6] - 2.0 * e[4] + e[2]) / (e[6] - e[2]), 6)
+        |    AS bowley_skew,
+        |  round(((e[7] - e[5]) + (e[3] - e[1])) / (e[6] - e[2]), 6)
+        |    AS moors_kurtosis
+        |FROM a ORDER BY c_mktsegment""".stripMargin,
+    // Friedman: zero-filled day x type grid, deterministic tie-broken
+    // integer ranks, one terminating chi2 quotient by integer half-up.
+    "q_friedman" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+        |g AS (SELECT dd.day, tt.event_type, coalesce(d.x, 0) AS x
+        |  FROM (SELECT DISTINCT day FROM d) dd
+        |  CROSS JOIN (SELECT DISTINCT event_type FROM d) tt
+        |  LEFT JOIN d ON d.day = dd.day AND d.event_type = tt.event_type),
+        |r AS (SELECT event_type, CAST(row_number() OVER (
+        |    PARTITION BY day ORDER BY x, event_type) AS BIGINT) AS r
+        |  FROM g),
+        |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(r) AS BIGINT) AS rank_sum FROM r GROUP BY 1),
+        |w AS (SELECT *,
+        |    CAST(count(*) OVER () AS BIGINT) AS k,
+        |    CAST(sum(rank_sum * rank_sum) OVER () AS BIGINT) AS sq
+        |  FROM s),
+        |f AS (SELECT *,
+        |    12 * sq - 3 * n_days * n_days * k * (k + 1) * (k + 1) AS num,
+        |    n_days * k * (k + 1) AS den FROM w)
+        |SELECT event_type, n_days, rank_sum,
+        |  ((2 * rank_sum * 10000 + n_days) // (2 * n_days)) / 10000.0
+        |    AS mean_rank,
+        |  k - 1 AS df,
+        |  ((2 * num * 10000 + den) // (2 * den)) / 10000.0
+        |    AS friedman_chi2
+        |FROM f ORDER BY event_type""".stripMargin,
   )
 
   /** Oracle twin of CatalogOps.profile: one UNION ALL branch per column. */

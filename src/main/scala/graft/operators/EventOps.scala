@@ -3080,6 +3080,52 @@ object EventOps {
     out
   }
 
+  /** Friedman rank test across event types with days as blocks — the
+    * nonparametric repeated-measures ANOVA (do the activity levels of
+    * the types keep a consistent ORDERING day after day, or is the
+    * daily ranking noise?): each day ranks its k type counts (missing
+    * type-days are true zeros via the bounded day×type grid; ties break
+    * deterministically by type name, documented — the classic
+    * average-rank correction is deliberately traded for an exact
+    * integer replay), χ² = [12ΣR_j² − 3n²k(k+1)²]/(nk(k+1)) with df =
+    * k−1, everything an exact BIGINT into one terminating quotient
+    * rounded by exact integer half-up. Calendar×type-bounded frames
+    * throughout. */
+  def friedman(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Lake.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val grid = daily.select(col("day")).distinct()
+      .crossJoin(broadcast(daily.select(col("event_type")).distinct()))
+      .join(daily, Seq("day", "event_type"), "left")
+      .withColumn("x", coalesce(col("x"), lit(0L)))
+    val wDay = Window.partitionBy(col("day"))
+      .orderBy(col("x"), col("event_type"))
+    val ranks = grid
+      .withColumn("r", row_number().over(wDay).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("r")).as("rank_sum"))
+    val wAll = Window.partitionBy()
+    val out = ranks
+      .withColumn("k", count(lit(1)).over(wAll))
+      .withColumn("s", sum(col("rank_sum") * col("rank_sum")).over(wAll))
+      .withColumn("num",
+        lit(12L) * col("s") - lit(3L) * col("n_days") * col("n_days") *
+          col("k") * (col("k") + 1L) * (col("k") + 1L))
+      .withColumn("den", col("n_days") * col("k") * (col("k") + 1L))
+      .select(col("event_type"), col("n_days"), col("rank_sum"),
+        (expr("(2 * rank_sum * 10000 + n_days) div (2 * n_days)")
+          .cast("double") / 10000.0).as("mean_rank"),
+        (col("k") - 1L).as("df"),
+        (expr("(2 * num * 10000 + den) div (2 * den)")
+          .cast("double") / 10000.0).as("friedman_chi2"))
+      .orderBy(col("event_type"))
+      .localCheckpoint(true)
+    daily.unpersist(false)
+    out
+  }
+
   /** Deterministic permutation (randomization) test for the A/B
     * conversion lift — the assumption-free complement to the z-test in
     * [[abReadout]] (no normality, no pooled-variance approximation: the

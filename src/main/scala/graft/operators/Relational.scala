@@ -1340,6 +1340,40 @@ object Relational {
     out
   }
 
+  /** Quantile-based robust moments of order value per market segment —
+    * Bowley skewness (Q₃−2Q₂+Q₁)/(Q₃−Q₁) and Moors kurtosis
+    * ((E₇−E₅)+(E₃−E₁))/(E₆−E₂) from the octiles: outlier-immune shape
+    * diagnostics where classical √b₁/b₂ moments explode on heavy-tailed
+    * money columns (one mega-order saturates a 4th power). One grouped
+    * percentile aggregate (array of 7 octile probabilities — ONE buffer
+    * per segment); octile probabilities are exact dyadic doubles, so the
+    * interpolation weights are exact in both engines (the proven
+    * [[CatalogOps.quantiles]] parity); the two ratios round as doubles
+    * where ties have measure zero. Bounded segment frame. */
+  def robustMoments(spark: SparkSession, dir: String): DataFrame =
+    Lake.orders(spark, dir)
+      .join(broadcast(Lake.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_totalprice").cast("double").as("v"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        expr("percentile(v, array(0.125D, 0.25D, 0.375D, 0.5D, " +
+          "0.625D, 0.75D, 0.875D))").as("e"))
+      .select(col("c_mktsegment"), col("n"),
+        round(element_at(col("e"), 2), 4).as("q1"),
+        round(element_at(col("e"), 4), 4).as("median"),
+        round(element_at(col("e"), 6), 4).as("q3"),
+        round((element_at(col("e"), 6) - lit(2.0) * element_at(col("e"), 4) +
+          element_at(col("e"), 2)) /
+          (element_at(col("e"), 6) - element_at(col("e"), 2)), 6)
+          .as("bowley_skew"),
+        round(((element_at(col("e"), 7) - element_at(col("e"), 5)) +
+          (element_at(col("e"), 3) - element_at(col("e"), 1))) /
+          (element_at(col("e"), 6) - element_at(col("e"), 2)), 6)
+          .as("moors_kurtosis"))
+      .orderBy(col("c_mktsegment"))
+
   /** Hill tail-index estimator over customer revenue — the heavy-tail
     * diagnostic behind every "top customers" readout ([[giniSegments]]
     * says HOW unequal; α̂ says what LAW the tail follows, and whether

@@ -2283,4 +2283,66 @@ class AnalyticsOpsSpec extends SparkSpecBase {
     assert(math.abs(r.getDouble(3) - p) < 1e-6, s"p ${r.getDouble(3)} vs $p")
     assert(r.getDouble(3) > 0 && r.getDouble(3) <= 1, "p in (0,1]")
   }
+
+  test("robust moments match brute-force interpolated octiles per segment") {
+    val rows = Lake.orders(spark, Sf)
+      .join(Lake.customer(spark, Sf), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_totalprice")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    def octile(xs: Array[Double], p: Double): Double = {
+      val s = xs.sorted
+      val idx = p * (s.length - 1)
+      val lo = idx.toInt
+      if (lo == s.length - 1) s(lo)
+      else s(lo) + (idx - lo) * (s(lo + 1) - s(lo))
+    }
+    val got = Relational.robustMoments(spark, Sf).collect()
+    for (r <- got) {
+      val xs = rows.filter(_._1 == r.getString(0)).map(_._2)
+      val e = (1 to 7).map(i => octile(xs, i / 8.0))
+      assert(r.getLong(1) == xs.length, "n")
+      assert(math.abs(r.getDouble(2) - e(1)) < 0.01, "q1")
+      assert(math.abs(r.getDouble(3) - e(3)) < 0.01, "median")
+      assert(math.abs(r.getDouble(4) - e(5)) < 0.01, "q3")
+      val bowley = (e(5) - 2 * e(3) + e(1)) / (e(5) - e(1))
+      val moors = ((e(6) - e(4)) + (e(2) - e(0))) / (e(5) - e(1))
+      assert(math.abs(r.getDouble(5) - bowley) < 1e-4, "bowley")
+      assert(math.abs(r.getDouble(6) - moors) < 1e-4, "moors")
+      assert(math.abs(r.getDouble(5)) <= 1.0 + 1e-9, "bowley in [-1,1]")
+      assert(r.getDouble(6) > 0, "moors positive")
+    }
+  }
+
+  test("friedman matches brute-force zero-filled tie-broken rank replay") {
+    val daily = Lake.events(spark, Sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    val types = daily.map(_._1).distinct.sorted
+    val days = daily.map(_._2).distinct
+    val cell = daily.map(d => (d._1, d._2) -> d._3).toMap
+    val rankSums = collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    for (d <- days) {
+      val ranked = types.map(t => (cell.getOrElse((t, d), 0L), t))
+        .sortBy(identity).zipWithIndex
+      for (((_, t), i) <- ranked) rankSums(t) += i + 1
+    }
+    val k = types.size
+    val n = days.size
+    val sq = types.map(t => rankSums(t) * rankSums(t)).sum
+    val chi2 = (12.0 * sq - 3.0 * n.toLong * n * k * (k + 1) * (k + 1)) /
+      (n.toLong * k * (k + 1))
+    val got = graft.operators.EventOps.friedman(spark, Sf).collect()
+    assert(got.length == k)
+    for (r <- got) {
+      val t = r.getString(0)
+      assert(r.getLong(1) == n, "n_days")
+      assert(r.getLong(2) == rankSums(t), s"rank_sum $t")
+      assert(math.abs(r.getDouble(3) - rankSums(t).toDouble / n) < 1e-4)
+      assert(r.getLong(4) == k - 1, "df")
+      assert(math.abs(r.getDouble(5) - chi2) < 1e-3,
+        s"chi2 ${r.getDouble(5)} vs $chi2")
+    }
+    assert(got.head.getDouble(5) >= 0, "chi2 non-negative")
+  }
 }
