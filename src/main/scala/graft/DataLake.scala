@@ -440,4 +440,10 @@ final case class DataLake(spark: SparkSession, dir: String) {
   def robustMoments(): DataFrame = Relational.robustMoments(spark, dir)
   /** Friedman rank test across event types with days as blocks. */
   def friedman(): DataFrame = EventOps.friedman(spark, dir)
+  /** Negative-binomial moment fit of daily counts per event type. */
+  def negBinFit(): DataFrame = EventOps.negBinFit(spark, dir)
+  /** Wasserstein-1 (EMD) drift between two cohorts of a binned column. */
+  def emdDrift(table: String, valueCol: String, sliceA: Column,
+               sliceB: Column, binWidth: Double): DataFrame =
+    CatalogOps.emdDrift(spark, dir, table, valueCol, sliceA, sliceB, binWidth)
 }

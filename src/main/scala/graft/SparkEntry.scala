@@ -824,6 +824,10 @@ object SparkEntry {
     "q_robust_moments"    -> Relational.robustMoments _,
     // Friedman rank test across event types with days as blocks
     "q_friedman"          -> EventOps.friedman _,
+    // Negative-binomial moment fit of daily counts per event type
+    "q_negbin"            -> EventOps.negBinFit _,
+    // Wasserstein-1 (EMD) drift between the ksDrift order-value cohorts
+    "q_emd"               -> CatalogOps.emdDriftQuery _,
   )
 
   /** [[TextOps.patternScan]] dictionary for the driver query: token
@@ -9103,6 +9107,53 @@ object SparkEntry {
         |  ((2 * num * 10000 + den) // (2 * den)) / 10000.0
         |    AS friedman_chi2
         |FROM f ORDER BY event_type""".stripMargin,
+    // Negative binomial: exact integer moments; the Poisson boundary
+    // decided by the exact integer compare n*Sxx - Sx^2 > (n-1)*Sx.
+    "q_negbin" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+        |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx FROM d GROUP BY 1),
+        |b AS (SELECT *, CAST(sx AS DOUBLE) / n AS m FROM a),
+        |c AS (SELECT *,
+        |    (CAST(sxx AS DOUBLE) - n * m * m) / CAST(n - 1 AS DOUBLE) AS v,
+        |    n * sxx - sx * sx > (n - 1) * sx AS overdispersed FROM b)
+        |SELECT event_type, n AS n_days, round(m, 4) AS mean_daily,
+        |  round(v, 4) AS var_daily, overdispersed,
+        |  CASE WHEN overdispersed THEN round(m * m / (v - m), 4) END
+        |    AS r_hat,
+        |  CASE WHEN overdispersed THEN round(m / v, 6) END AS p_hat
+        |FROM c ORDER BY event_type""".stripMargin,
+    // EMD: the ksDrift bin frame, per-bin |dCDF| 8-rounded into decimal,
+    // the value-scale product taken in decimal space (2-dp ties are
+    // reachable on an exact decimal times the bin width).
+    "q_emd" ->
+      """WITH g AS (SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT)
+        |      AS bin,
+        |    CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1997-01-01'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |  FROM orders GROUP BY 1),
+        |w AS (SELECT *,
+        |    CAST(sum(n_a) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS DOUBLE) /
+        |      sum(n_a) OVER () AS cdf_a,
+        |    CAST(sum(n_b) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS DOUBLE) /
+        |      sum(n_b) OVER () AS cdf_b
+        |  FROM g),
+        |t AS (SELECT CAST(round(abs(cdf_a - cdf_b), 8) AS DECIMAL(18,8))
+        |      AS t, n_a, n_b FROM w),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_bins,
+        |    CAST(sum(n_a) AS BIGINT) AS n_rows_a,
+        |    CAST(sum(n_b) AS BIGINT) AS n_rows_b, sum(t) AS s FROM t)
+        |SELECT n_bins, n_rows_a, n_rows_b,
+        |  CAST(round(s, 6) AS DOUBLE) AS emd_bins,
+        |  CAST(round(s * CAST(50000.0 AS DECIMAL(18,2)), 2) AS DOUBLE)
+        |    AS emd_value
+        |FROM a""".stripMargin,
   )
 
   /** Oracle twin of CatalogOps.profile: one UNION ALL branch per column. */

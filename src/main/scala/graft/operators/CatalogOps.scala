@@ -953,6 +953,53 @@ object CatalogOps {
       col("o_orderdate") >= lit("1997-01-01").cast("timestamp"),
       binWidth = 50000.0)
 
+  /** 1-D earth mover's (Wasserstein-1) distance between two cohorts of
+    * a binned numeric column — the INTEGRAL drift magnitude beside
+    * [[ksDrift]]'s maximum (KS sees the single worst gap; EMD charges
+    * every unit of probability mass by how FAR it moved, so a broad
+    * small shift and a narrow large one separate): on a 1-D histogram,
+    * W₁ = Σ_bins |CDF_a − CDF_b| · binWidth. Same one-scan bin frame as
+    * the KS screen; each per-bin |ΔCDF| term is a double over exact
+    * integer cumulative counts, 8-rounded into decimal so the bin sum is
+    * order-free; the final scaling by binWidth is one multiply. */
+  def emdDrift(spark: SparkSession, dir: String, table: String,
+               valueCol: String, sliceA: Column, sliceB: Column,
+               binWidth: Double): DataFrame = {
+    val g = Lake.table(spark, dir, table).filter(sliceA || sliceB)
+      .select(floor(col(valueCol) / binWidth).cast("long").as("bin"),
+        when(sliceA, 1L).otherwise(0L).as("ina"),
+        when(sliceB, 1L).otherwise(0L).as("inb"))
+      .groupBy(col("bin"))
+      .agg(sum(col("ina")).as("n_a"), sum(col("inb")).as("n_b"))
+    val wCum = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cdfA = sum(col("n_a")).over(wCum).cast("double") /
+      sum(col("n_a")).over(wAll)
+    val cdfB = sum(col("n_b")).over(wCum).cast("double") /
+      sum(col("n_b")).over(wAll)
+    g.select(round(abs(cdfA - cdfB), 8).cast(DecimalType(18, 8)).as("t"),
+        col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("n_bins"),
+        sum(col("n_a")).as("n_rows_a"), sum(col("n_b")).as("n_rows_b"),
+        sum(col("t")).as("s"))
+      .select(col("n_bins"), col("n_rows_a"), col("n_rows_b"),
+        round(col("s"), 6).cast("double").as("emd_bins"),
+        // decimal-space multiply + round: s·binWidth is an exact decimal
+        // that CAN land on a 2-dp tie (the scale-reduction class)
+        round(col("s") * lit(binWidth).cast(DecimalType(18, 2)), 2)
+          .cast("double").as("emd_value"))
+  }
+
+  /** Driver binding: order-value EMD on the ksDrift cohorts and bins so
+    * the maximum-gap and integral-drift readouts sit side-by-side. */
+  def emdDriftQuery(spark: SparkSession, dir: String): DataFrame =
+    emdDrift(spark, dir, "orders", "o_totalprice",
+      col("o_orderdate") < lit("1997-01-01").cast("timestamp"),
+      col("o_orderdate") >= lit("1997-01-01").cast("timestamp"),
+      binWidth = 50000.0)
+
   /** Chi-square independence screen between two categorical columns (the
     * association complement to the numeric drift monitors): the
     * contingency table with expected counts under independence and each

@@ -3080,6 +3080,42 @@ object EventOps {
     out
   }
 
+  /** Negative-binomial moment fit of the daily count distribution per
+    * event type — the distributional follow-through on the Fano
+    * dispersion screen (Fano says Var/Mean > 1; the NB fit says WHICH
+    * overdispersed law: r̂ = m²/(v−m), p̂ = m/v, with smaller r̂ =
+    * burstier): both moments from exact BIGINT Σ, Σx² over the
+    * calendar-bounded day frame, the two closed forms one scalar double
+    * tree; r̂/p̂ are null when v ≤ m (no overdispersion to fit — the
+    * Poisson boundary), flagged by the exact-integer compare
+    * n·Σx² − (Σx)² > (n−1)·Σx. */
+  def negBinFit(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Lake.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val agg = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      .withColumn("m", col("sx").cast("double") / col("n"))
+      .withColumn("v",
+        (col("sxx").cast("double") - col("n") * col("m") * col("m")) /
+          (col("n") - 1).cast("double"))
+      // overdispersion decided by the EXACT integer form of v > m:
+      // (n·Σx² − (Σx)²)/(n(n−1)) > Σx/n  ⟺  n·Σx² − (Σx)² > (n−1)·Σx
+      .withColumn("overdispersed",
+        col("n") * col("sxx") - col("sx") * col("sx") >
+          (col("n") - 1) * col("sx"))
+    agg.select(col("event_type"), col("n").as("n_days"),
+      round(col("m"), 4).as("mean_daily"),
+      round(col("v"), 4).as("var_daily"),
+      col("overdispersed"),
+      when(col("overdispersed"),
+        round(col("m") * col("m") / (col("v") - col("m")), 4)).as("r_hat"),
+      when(col("overdispersed"),
+        round(col("m") / col("v"), 6)).as("p_hat"))
+      .orderBy(col("event_type"))
+  }
+
   /** Friedman rank test across event types with days as blocks — the
     * nonparametric repeated-measures ANOVA (do the activity levels of
     * the types keep a consistent ORDERING day after day, or is the

@@ -2345,4 +2345,52 @@ class AnalyticsOpsSpec extends SparkSpecBase {
     }
     assert(got.head.getDouble(5) >= 0, "chi2 non-negative")
   }
+
+  test("negative binomial moment fit matches brute-force daily moments") {
+    val daily = Lake.events(spark, Sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x")).collect()
+      .map(r => (r.getString(0), r.getLong(2)))
+    val got = graft.operators.EventOps.negBinFit(spark, Sf).collect()
+    for (r <- got) {
+      val xs = daily.filter(_._1 == r.getString(0)).map(_._2.toDouble)
+      val n = xs.length
+      val m = xs.sum / n
+      val v = xs.map(x => (x - m) * (x - m)).sum / (n - 1)
+      assert(r.getLong(1) == n, "n_days")
+      assert(math.abs(r.getDouble(2) - m) < 1e-2, "mean")
+      assert(math.abs(r.getDouble(3) - v) < 1e-1, "var")
+      assert(r.getBoolean(4) == (v > m), "overdispersion flag")
+      if (r.getBoolean(4)) {
+        assert(math.abs(r.getDouble(5) - m * m / (v - m)) < 1e-2, "r_hat")
+        assert(math.abs(r.getDouble(6) - m / v) < 1e-4, "p_hat")
+        assert(r.getDouble(5) > 0 && r.getDouble(6) > 0 && r.getDouble(6) < 1)
+      } else assert(r.isNullAt(5) && r.isNullAt(6), "null fit at boundary")
+    }
+  }
+
+  test("emd drift matches the brute-force CDF-gap integral on the KS bins") {
+    val rows = Lake.orders(spark, Sf)
+      .select(col("o_orderdate").cast("date"), col("o_totalprice")).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getDouble(1)))
+    val cut = java.time.LocalDate.parse("1997-01-01")
+    def hist(sel: ((java.time.LocalDate, Double)) => Boolean) =
+      rows.filter(sel).groupBy(x => math.floor(x._2 / 50000.0).toLong)
+        .view.mapValues(_.size.toLong).toMap
+    val (ha, hb) = (hist(_._1.isBefore(cut)), hist(x => !x._1.isBefore(cut)))
+    val bins = (ha.keySet ++ hb.keySet).toSeq.sorted
+    val (na, nb) = (ha.values.sum.toDouble, hb.values.sum.toDouble)
+    var (ca, cb, emd) = (0.0, 0.0, 0.0)
+    for (b <- bins) {
+      ca += ha.getOrElse(b, 0L) / na
+      cb += hb.getOrElse(b, 0L) / nb
+      emd += math.abs(ca - cb)
+    }
+    val r = CatalogOps.emdDriftQuery(spark, Sf).collect().head
+    assert(r.getLong(0) == bins.length, "n_bins")
+    assert(r.getLong(1) == na.toLong && r.getLong(2) == nb.toLong)
+    assert(math.abs(r.getDouble(3) - emd) < 1e-5, s"emd ${r.getDouble(3)} vs $emd")
+    assert(math.abs(r.getDouble(4) - emd * 50000.0) < 1.0, "value-scaled emd")
+    assert(r.getDouble(3) >= 0, "emd non-negative")
+  }
 }
