@@ -446,4 +446,6 @@ final case class DataLake(spark: SparkSession, dir: String) {
   def emdDrift(table: String, valueCol: String, sliceA: Column,
                sliceB: Column, binWidth: Double): DataFrame =
     CatalogOps.emdDrift(spark, dir, table, valueCol, sliceA, sliceB, binWidth)
+  /** One-way ANOVA F + eta² of order value across market segments. */
+  def anovaF(): DataFrame = CatalogOps.anovaFQuery(spark, dir)
 }

@@ -828,6 +828,8 @@ object SparkEntry {
     "q_negbin"            -> EventOps.negBinFit _,
     // Wasserstein-1 (EMD) drift between the ksDrift order-value cohorts
     "q_emd"               -> CatalogOps.emdDriftQuery _,
+    // One-way ANOVA F + eta^2 of order value across market segments
+    "q_anova"             -> CatalogOps.anovaFQuery _,
   )
 
   /** [[TextOps.patternScan]] dictionary for the driver query: token
@@ -9154,6 +9156,37 @@ object SparkEntry {
         |  CAST(round(s * CAST(50000.0 AS DECIMAL(18,2)), 2) AS DOUBLE)
         |    AS emd_value
         |FROM a""".stripMargin,
+    // ANOVA: exact decimal group moments, per-group terms 6-rounded into
+    // decimal before the cross-group sums, one scalar F/eta^2 tree.
+    "q_anova" ->
+      """WITH g AS (SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_g,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS s_g,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2)) *
+        |        CAST(o_totalprice AS DECIMAL(18,2))) AS q_g
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1),
+        |w AS (SELECT *,
+        |    CAST(count(*) OVER () AS BIGINT) AS k,
+        |    CAST(sum(n_g) OVER () AS BIGINT) AS n,
+        |    sum(s_g) OVER () AS s,
+        |    sum(CAST(round(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
+        |      / n_g, 6) AS DECIMAL(28,6))) OVER () AS sb,
+        |    sum(CAST(round(CAST(q_g AS DOUBLE) -
+        |      CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) / n_g, 6)
+        |      AS DECIMAL(28,6))) OVER () AS sw
+        |  FROM g),
+        |f AS (SELECT *,
+        |    CAST(sb AS DOUBLE) -
+        |      CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n AS ssb,
+        |    CAST(sw AS DOUBLE) AS ssw FROM w),
+        |f2 AS (SELECT *, (ssb / CAST(k - 1 AS DOUBLE)) /
+        |    (ssw / CAST(n - k AS DOUBLE)) AS fstat FROM f)
+        |SELECT c_mktsegment, n_g,
+        |  round(CAST(s_g AS DOUBLE) / n_g, 4) AS mean_g,
+        |  k - 1 AS df_between, n - k AS df_within,
+        |  round(fstat, 4) AS f_stat,
+        |  round(ssb / (ssb + ssw), 6) AS eta_sq
+        |FROM f2 ORDER BY c_mktsegment""".stripMargin,
   )
 
   /** Oracle twin of CatalogOps.profile: one UNION ALL branch per column. */

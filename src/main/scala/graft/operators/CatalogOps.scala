@@ -1083,6 +1083,58 @@ object CatalogOps {
       col("o_orderdate") < lit("1997-01-01").cast("timestamp"),
       col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
 
+  /** One-way ANOVA F across the groups of a categorical column — the
+    * k-group member of the comparison family ([[welch]] stops at two
+    * cohorts; eta² adds the variance-explained effect size): per-group
+    * exact decimal moments (n, Σx, Σx²) off ONE scan, SSB = Σ S_g²/n_g −
+    * S²/N and SSW = Σ(Q_g − S_g²/n_g) assembled on the bounded group
+    * frame with per-group terms 6-rounded into decimal (an unordered
+    * double sum over even five rows is order-dependent), F and eta² one
+    * scalar tree. Emits the per-group means with the table-wide
+    * F/df/eta² on every row, chi2-screen style. */
+  def anovaF(rows: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val x = col(valueCol).cast(DecimalType(18, 2))
+    val g = rows.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_g"), sum(x).as("s_g"),
+        sum(x * x).as("q_g"))
+    val wAll = Window.partitionBy()
+    // per-group between/within contributions as doubles over exact
+    // decimals, 6-rounded into decimal before the cross-group sums
+    val bTerm = col("s_g").cast("double") * col("s_g").cast("double") /
+      col("n_g")
+    val wTerm = col("q_g").cast("double") - bTerm
+    g
+      .withColumn("k", count(lit(1)).over(wAll))
+      .withColumn("n", sum(col("n_g")).over(wAll))
+      .withColumn("s", sum(col("s_g")).over(wAll))
+      .withColumn("sb",
+        sum(round(bTerm, 6).cast(DecimalType(28, 6))).over(wAll))
+      .withColumn("sw",
+        sum(round(wTerm, 6).cast(DecimalType(28, 6))).over(wAll))
+      .withColumn("ssb",
+        col("sb").cast("double") -
+          col("s").cast("double") * col("s").cast("double") / col("n"))
+      .withColumn("ssw", col("sw").cast("double"))
+      .withColumn("f",
+        (col("ssb") / (col("k") - 1).cast("double")) /
+          (col("ssw") / (col("n") - col("k")).cast("double")))
+      .select(col(groupCol), col("n_g"),
+        round(col("s_g").cast("double") / col("n_g"), 4).as("mean_g"),
+        (col("k") - 1).as("df_between"),
+        (col("n") - col("k")).as("df_within"),
+        round(col("f"), 4).as("f_stat"),
+        round(col("ssb") / (col("ssb") + col("ssw")), 6).as("eta_sq"))
+      .orderBy(col(groupCol))
+  }
+
+  /** Driver binding: order value across the five market segments. */
+  def anovaFQuery(spark: SparkSession, dir: String): DataFrame =
+    anovaF(Lake.orders(spark, dir)
+      .join(broadcast(Lake.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey")),
+      "c_mktsegment", "o_totalprice")
+
   /** Cohen's d effect-size panel between two cohorts of a numeric
     * column — the magnitude readout the [[welch]] t-test deliberately
     * omits (t grows with √n; d = (m_b−m_a)/s_pooled is sample-size-free

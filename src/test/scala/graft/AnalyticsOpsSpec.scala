@@ -2393,4 +2393,35 @@ class AnalyticsOpsSpec extends SparkSpecBase {
     assert(math.abs(r.getDouble(4) - emd * 50000.0) < 1.0, "value-scaled emd")
     assert(r.getDouble(3) >= 0, "emd non-negative")
   }
+
+  test("anova F matches brute-force between/within sums of squares") {
+    val rows = Lake.orders(spark, Sf)
+      .join(Lake.customer(spark, Sf), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_totalprice")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val groups = rows.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val n = rows.length
+    val k = groups.size
+    val grand = rows.map(_._2).sum / n
+    val ssb = groups.values.map { xs =>
+      val m = xs.sum / xs.length
+      xs.length * (m - grand) * (m - grand)
+    }.sum
+    val ssw = groups.values.map { xs =>
+      val m = xs.sum / xs.length
+      xs.map(x => (x - m) * (x - m)).sum
+    }.sum
+    val f = (ssb / (k - 1)) / (ssw / (n - k))
+    val got = CatalogOps.anovaFQuery(spark, Sf).collect()
+    assert(got.length == k)
+    for (r <- got) {
+      val xs = groups(r.getString(0))
+      assert(r.getLong(1) == xs.length, "n_g")
+      assert(math.abs(r.getDouble(2) - xs.sum / xs.length) < 0.01, "mean_g")
+      assert(r.getLong(3) == k - 1 && r.getLong(4) == n - k, "dfs")
+      assert(math.abs(r.getDouble(5) - f) < 1e-2, s"F ${r.getDouble(5)} vs $f")
+      assert(math.abs(r.getDouble(6) - ssb / (ssb + ssw)) < 1e-5, "eta_sq")
+      assert(r.getDouble(6) >= 0 && r.getDouble(6) <= 1, "eta_sq in [0,1]")
+    }
+  }
 }
