@@ -506,7 +506,11 @@ class PlanShapeSpec extends SparkSpecBase {
         // q_permutation_test: the 64-row permutation grid broadcast over
         // the user frame (bounded map-side fan-out) + the one-row
         // observed-diff broadcast
-        "q_permutation_test")
+        "q_permutation_test",
+        // q_friedman: the calendar-days × event-types zero-fill grid
+        // (days.crossJoin(broadcast(types)) at EventOps.friedman) — both
+        // sides bounded (the q_gap_fill dense-spine precedent)
+        "q_friedman")
     // collect ALL offenders before failing — a fail-fast assert hides
     // every offender behind the first and costs a full re-run per fix
     val offenders = scala.collection.mutable.LinkedHashSet[String]()
