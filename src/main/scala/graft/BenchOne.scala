@@ -5,12 +5,16 @@ package graft
   * full Bench sweep. Usage:
   * `runMain graft.BenchOne <sfDir> <query> [<query> ...]`.
   * Shares Bench's session shape (warmup, stable artifact root) so
-  * numbers are comparable to sweep medians modulo ambient load. */
+  * numbers are comparable to sweep medians modulo ambient load.
+  * `GRAFT_BENCH_THREADS` overrides the default 8 local threads — the
+  * r11 q_cf_eval regression only reproduced at local[32], so perf work
+  * must be measurable at the driver's parallelism. */
 object BenchOne {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
-    val spark = GraftSession.builder("bench-one", Some("local[8]"), 8)
-      .config("spark.sql.shuffle.partitions", "8")
+    val threads = sys.env.getOrElse("GRAFT_BENCH_THREADS", "8").toInt
+    val spark = GraftSession.builder("bench-one", Some(s"local[$threads]"), threads)
+      .config("spark.sql.shuffle.partitions", threads.toString)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.conf.set("spark.graft.artifactRoot",

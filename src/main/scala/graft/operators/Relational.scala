@@ -1060,8 +1060,14 @@ object Relational {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val baskets = tli.groupBy(col("l_orderkey"))
       .agg(array_sort(collect_set(col("l_partkey"))).as("items"))
+    // itemN feeds TWO broadcasts and sims feeds BOTH halves of the
+    // symmetric union: unpersisted, the basket/pair pipeline re-executed
+    // once per consumer (r11's 6.8 s → 64 s local[32] regression — the
+    // recomputation multiplied the shuffle-spill pressure). Both frames
+    // are dimension-sized, so the persists are cheap.
     val itemN = baskets.select(explode(col("items")).as("pk"))
       .groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sims = basketPairCounts(baskets, minPairSupport)
       .join(broadcast(itemN.select(col("pk").as("part_a"),
         col("n_item").as("n_a"))), "part_a")
@@ -1070,13 +1076,17 @@ object Relational {
       .select(col("part_a"), col("part_b"),
         round(col("n_ab") / sqrt(col("n_a") * col("n_b")), 6)
           .cast(d6).as("cos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val simBoth = sims
       .select(col("part_a").as("src"), col("part_b").as("cand"), col("cos"))
       .unionAll(sims
         .select(col("part_b").as("src"), col("part_a").as("cand"),
           col("cos")))
+    // owned is consumed twice (scoring src side + held-item-exempt
+    // candidate exclusion) — persist the distinct once
     val owned = tli.select(col("custkey"), col("l_partkey").as("item"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // candidate exclusion EXEMPTS the held item: a customer who already
     // bought the held-out part in a training order must still be able to
     // hit it, else the denominator counts structurally-impossible evals
@@ -1108,6 +1118,9 @@ object Relational {
       .localCheckpoint(true)
     heldItem.unpersist(false)
     tli.unpersist(false)
+    itemN.unpersist(false)
+    sims.unpersist(false)
+    owned.unpersist(false)
     out
   }
 
