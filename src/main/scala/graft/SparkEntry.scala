@@ -6115,13 +6115,24 @@ object SparkEntry {
         |    sum(y_t - y_c) AS sdiff, sum(y_t) AS st, sum(y_c) AS sc
         |  FROM mm),
         |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_treated
-        |  FROM c WHERE treated)
+        |  FROM c WHERE treated),
+        |sc2 AS (SELECT n_treated, n_matched,
+        |    CAST(sdiff * 100 AS BIGINT) AS a2,
+        |    CAST(st * 100 AS BIGINT) AS t2,
+        |    CAST(sc * 100 AS BIGINT) AS c2
+        |  FROM ag, nt)
         |SELECT n_treated, n_matched,
-        |  round(CAST(n_matched AS DOUBLE) / n_treated, 4) AS match_rate,
-        |  round(CAST(sdiff AS DOUBLE) / n_matched, 4) AS att,
-        |  round(CAST(st AS DOUBLE) / n_matched, 2) AS avg_y_treated,
-        |  round(CAST(sc AS DOUBLE) / n_matched, 2) AS avg_y_control
-        |FROM ag, nt""".stripMargin,
+        |  ((2 * n_matched * 10000 + n_treated) // (2 * n_treated))
+        |    / 10000.0 AS match_rate,
+        |  (CASE WHEN a2 < 0
+        |    THEN -((200 * (-a2) + n_matched) // (2 * n_matched))
+        |    ELSE (200 * a2 + n_matched) // (2 * n_matched) END)
+        |    / 10000.0 AS att,
+        |  ((2 * t2 + n_matched) // (2 * n_matched)) / 100.0
+        |    AS avg_y_treated,
+        |  ((2 * c2 + n_matched) // (2 * n_matched)) / 100.0
+        |    AS avg_y_control
+        |FROM sc2""".stripMargin,
     // Poisson IRLS ×2 from the null model: μ pinned to 6 dp after exp,
     // Gram terms rounded 8 dp, 2×2 solve replayed step for step.
     "q_poisson" ->
@@ -6267,12 +6278,12 @@ object SparkEntry {
         |        ORDER BY rev DESC, l_suppkey) AS rnk
         |    FROM rev) t)
         |SELECT n_name AS nation, CAST(count(*) AS BIGINT) AS n_suppliers,
-        |  round(CAST(tot AS DOUBLE), 2) AS nation_revenue,
-        |  round(CAST(sum(CAST(round(share * share, 8) AS DECIMAL(18,8)))
-        |    AS DOUBLE), 6) AS hhi,
-        |  round(CAST(sum(CASE WHEN rnk <= 4
+        |  CAST(round(tot, 2) AS DOUBLE) AS nation_revenue,
+        |  CAST(round(sum(CAST(round(share * share, 8) AS DECIMAL(18,8))),
+        |    6) AS DOUBLE) AS hhi,
+        |  CAST(round(sum(CASE WHEN rnk <= 4
         |      THEN CAST(round(share, 8) AS DECIMAL(18,8))
-        |      ELSE CAST(0 AS DECIMAL(18,8)) END) AS DOUBLE), 6) AS cr4
+        |      ELSE CAST(0 AS DECIMAL(18,8)) END), 6) AS DOUBLE) AS cr4
         |FROM sh GROUP BY n_name, tot ORDER BY nation""".stripMargin,
     // Elasticity: 8-dp decimal log-terms, closed-form OLS + R^2.
     "q_elasticity" ->
@@ -8547,7 +8558,7 @@ object SparkEntry {
         |      ln(CAST(rev AS DOUBLE) / mu_g), 6) AS DECIMAL(18,6))) AS s_g
         |  FROM pc JOIN st2 USING (c_mktsegment) GROUP BY 1),
         |j AS (SELECT st2.*, ws.s_g,
-        |    CAST(ws.s_g * 1000000 AS BIGINT) AS s6
+        |    greatest(CAST(ws.s_g * 1000000 AS BIGINT), 0) AS s6
         |  FROM st2 JOIN ws USING (c_mktsegment)),
         |k AS (SELECT *,
         |    ((2 * s6 + n_g) // (2 * n_g)) / 1000000.0 AS theil_g,
@@ -9182,7 +9193,8 @@ object SparkEntry {
         |f2 AS (SELECT *, (ssb / CAST(k - 1 AS DOUBLE)) /
         |    (ssw / CAST(n - k AS DOUBLE)) AS fstat FROM f)
         |SELECT c_mktsegment, n_g,
-        |  round(CAST(s_g AS DOUBLE) / n_g, 4) AS mean_g,
+        |  ((200 * CAST(s_g * 100 AS BIGINT) + n_g) // (2 * n_g))
+        |    / 10000.0 AS mean_g,
         |  k - 1 AS df_between, n - k AS df_within,
         |  round(fstat, 4) AS f_stat,
         |  round(ssb / (ssb + ssw), 6) AS eta_sq

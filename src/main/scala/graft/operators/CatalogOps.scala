@@ -1118,8 +1118,14 @@ object CatalogOps {
       .withColumn("f",
         (col("ssb") / (col("k") - 1).cast("double")) /
           (col("ssw") / (col("n") - col("k")).cast("double")))
+      // mean_g by exact integer half-up (the theilIndex (2S+n) div (2n)
+      // law): a decimal-2 sum over a count can land on an exact .00005
+      // where rounding through a double splits the engines; s_g ≥ 0
+      // (order totals are positive) so the positive-operand form holds
+      .withColumn("sg2", (col("s_g") * 100).cast("long"))
       .select(col(groupCol), col("n_g"),
-        round(col("s_g").cast("double") / col("n_g"), 4).as("mean_g"),
+        (expr("(200 * sg2 + n_g) div (2 * n_g)").cast("double") / 1e4)
+          .as("mean_g"),
         (col("k") - 1).as("df_between"),
         (col("n") - col("k")).as("df_within"),
         round(col("f"), 4).as("f_stat"),

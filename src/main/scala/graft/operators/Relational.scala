@@ -1330,7 +1330,12 @@ object Relational {
       .agg(sum(round(col("xr") * log(col("xr")), 6)
         .cast("decimal(18,6)")).as("s_g"))
     val out = segTot.join(withinSums, Seq("c_mktsegment"))
-      .withColumn("s6", (col("s_g") * lit(1000000)).cast("long"))
+      // s_g is ≥ 0 only in exact arithmetic (Σ (x/μ)ln(x/μ) over a
+      // group); per-term 6-dp rounding can tip a near-uniform segment
+      // slightly negative, where Spark div (truncate toward zero) and
+      // DuckDB // (floor) diverge — clamp the numerator at 0
+      .withColumn("s6",
+        greatest((col("s_g") * lit(1000000)).cast("long"), lit(0L)))
       .withColumn("theil_g",
         expr("(2 * s6 + n_g) div (2 * n_g)").cast("double") / 1000000.0)
       .withColumn("share", col("r_g").cast("double") / col("r").cast("double"))
@@ -2028,15 +2033,28 @@ object Relational {
         sum(col("y_t")).as("st"), sum(col("y_c")).as("sc"))
       .crossJoin(broadcast(
         cust.filter(col("treated")).agg(count(lit(1)).as("n_treated"))))
+      // exact integer half-up for every terminating quotient (the
+      // theilIndex (2S+n) div (2n) law): a decimal-2 money sum over a
+      // count can land on an exact .00005/.005 boundary where rounding
+      // through a double splits the engines by 1 ulp. att's numerator
+      // is SIGNED (treated − control), so the div form runs on the
+      // absolute value and re-applies the sign — Spark div truncates
+      // toward zero while DuckDB // floors, and they only agree for
+      // non-negative operands.
+      .withColumn("a2", (col("sdiff") * 100).cast("long"))
+      .withColumn("t2", (col("st") * 100).cast("long"))
+      .withColumn("c2", (col("sc") * 100).cast("long"))
       .select(col("n_treated"), col("n_matched"),
-        round(col("n_matched").cast("double") / col("n_treated"), 4)
-          .as("match_rate"),
-        round(col("sdiff").cast("double") / col("n_matched"), 4)
-          .as("att"),
-        round(col("st").cast("double") / col("n_matched"), 2)
-          .as("avg_y_treated"),
-        round(col("sc").cast("double") / col("n_matched"), 2)
-          .as("avg_y_control"))
+        (expr("(2 * n_matched * 10000 + n_treated) div (2 * n_treated)")
+          .cast("double") / 1e4).as("match_rate"),
+        (expr("""CASE WHEN a2 < 0
+                 THEN -((200 * (-a2) + n_matched) div (2 * n_matched))
+                 ELSE (200 * a2 + n_matched) div (2 * n_matched) END""")
+          .cast("double") / 1e4).as("att"),
+        (expr("(2 * t2 + n_matched) div (2 * n_matched)")
+          .cast("double") / 100.0).as("avg_y_treated"),
+        (expr("(2 * c2 + n_matched) div (2 * n_matched)")
+          .cast("double") / 100.0).as("avg_y_control"))
       .localCheckpoint(true)
     cust.unpersist(false)
     out
@@ -2285,9 +2303,12 @@ object Relational {
           .otherwise(lit(java.math.BigDecimal.ZERO).cast(d8)))
           .as("cr4_s"))
       .select(col("n_name").as("nation"), col("n_suppliers"),
-        round(col("tot").cast("double"), 2).as("nation_revenue"),
-        round(col("hhi_s").cast("double"), 6).as("hhi"),
-        round(col("cr4_s").cast("double"), 6).as("cr4"))
+        // round in DECIMAL space then cast (the scale-reduction tie
+        // law): tot is an exact scale-4 decimal, and a total ending in
+        // exact .xx50 splits the engines when rounded through a double
+        round(col("tot"), 2).cast("double").as("nation_revenue"),
+        round(col("hhi_s"), 6).cast("double").as("hhi"),
+        round(col("cr4_s"), 6).cast("double").as("cr4"))
       .orderBy(col("nation"))
   }
 
