@@ -980,8 +980,9 @@ object SparkEntry {
        |  round(cast(w1 AS double), 6) AS w1,
        |  round(cast(w2 AS double), 6) AS w2,
        |  count(*) AS n,
-       |  round(cast(sum(CASE WHEN CAST(p >= 0.5 AS BIGINT) = y
-       |      THEN 1 ELSE 0 END) AS double) / count(*), 4) AS accuracy
+       |  ((2 * 10000 * sum(CASE WHEN CAST(p >= 0.5 AS BIGINT) = y
+       |      THEN 1 ELSE 0 END) + count(*)) // (2 * count(*)))
+       |    / 10000.0 AS accuracy
        |FROM sc GROUP BY w0, w1, w2""".stripMargin
 
   /** Gains-table readout over the SAME replayed weights: score-value
@@ -1007,10 +1008,12 @@ object SparkEntry {
        |      AS BIGINT) AS cum_pos
        |  FROM bands)
        |SELECT CAST(band AS INTEGER) AS band, n, n_pos,
-       |  round(CAST(n_pos AS DOUBLE) / n, 6) AS response,
-       |  round(CAST(cum_n AS DOUBLE) / tn, 6) AS cum_share,
-       |  round(CAST(cum_pos AS DOUBLE) / tp, 6) AS cum_capture,
-       |  round(CAST(n_pos AS DOUBLE) * tn / (CAST(n AS DOUBLE) * tp), 4)
+       |  ((2 * 1000000 * n_pos + n) // (2 * n)) / 1000000.0 AS response,
+       |  ((2 * 1000000 * cum_n + tn) // (2 * tn)) / 1000000.0
+       |    AS cum_share,
+       |  ((2 * 1000000 * cum_pos + tp) // (2 * tp)) / 1000000.0
+       |    AS cum_capture,
+       |  ((2 * 10000 * n_pos * tn + n * tp) // (2 * n * tp)) / 10000.0
        |    AS lift
        |FROM cum, tot ORDER BY band""".stripMargin
 
@@ -1245,10 +1248,18 @@ object SparkEntry {
          |t$out AS (SELECT CAST(sum(n_v) AS BIGINT) AS n, sum(sr_v) AS s
          |  FROM h$out),
          |$out AS (SELECT x AS threshold,
-         |    CAST(round(0.5 * CAST(s_l AS DOUBLE) / n_l, 6)
+         |    CAST((CASE WHEN s_l < 0
+         |      THEN -((2 * (-(50 * CAST(s_l * 1000000 AS BIGINT)))
+         |          + 100 * n_l) // (2 * 100 * n_l))
+         |      ELSE (2 * 50 * CAST(s_l * 1000000 AS BIGINT) + 100 * n_l)
+         |        // (2 * 100 * n_l) END) / 1000000.0
          |      AS DECIMAL(18,6)) AS left_val,
-         |    CAST(round(0.5 * CAST(s - s_l AS DOUBLE) / (n - n_l), 6)
-         |      AS DECIMAL(18,6)) AS right_val,
+         |    CAST((CASE WHEN s - s_l < 0
+         |      THEN -((2 * (-(50 * CAST((s - s_l) * 1000000 AS BIGINT)))
+         |          + 100 * (n - n_l)) // (2 * 100 * (n - n_l)))
+         |      ELSE (2 * 50 * CAST((s - s_l) * 1000000 AS BIGINT)
+         |          + 100 * (n - n_l)) // (2 * 100 * (n - n_l)) END)
+         |      / 1000000.0 AS DECIMAL(18,6)) AS right_val,
          |    n_l AS n_left, n - n_l AS n_right
          |  FROM (SELECT *, row_number() OVER (ORDER BY score DESC, x)
          |      AS rn
@@ -1259,17 +1270,21 @@ object SparkEntry {
          |      FROM c$out, t$out WHERE n - n_l > 0) q) q2
          |  WHERE rn = 1)""".stripMargin
     def mse(rsrc: String, out: String): String =
-      s"""$out AS (SELECT round(CAST(sum(CAST(round(
-         |    CAST(r AS DOUBLE) * CAST(r AS DOUBLE), 8) AS DECIMAL(18,8)))
-         |    AS DOUBLE) / count(*), 4) AS mse FROM $rsrc)""".stripMargin
+      s"""$out AS (SELECT
+         |  CAST((2 * CAST(sum(CAST(round(
+         |      CAST(r AS DOUBLE) * CAST(r AS DOUBLE), 8)
+         |      AS DECIMAL(18,8))) * 100000000 AS HUGEINT)
+         |    + 10000 * count(*)) // (2 * 10000 * count(*)) AS BIGINT)
+         |    / 10000.0 AS mse FROM $rsrc)""".stripMargin
     s"""WITH feats AS (SELECT
        |    round(len(list_filter(string_split(text, ' '),
        |        t -> t IN ($stopList))) * 1.0
        |      / len(string_split(text, ' ')), 4) AS x,
        |    n_chars AS y
        |  FROM documents WHERE text IS NOT NULL),
-       |f0 AS (SELECT CAST(round(CAST(sum(y) AS DOUBLE) / count(*), 6)
-       |    AS DECIMAL(18,6)) AS f0 FROM feats),
+       |f0 AS (SELECT CAST(((2 * 1000000 * sum(y) + count(*))
+       |    // (2 * count(*))) / 1000000.0 AS DECIMAL(18,6)) AS f0
+       |  FROM feats),
        |r1 AS (SELECT x, y - f0 AS r FROM feats, f0),
        |${stump("r1", "s1")},
        |r2 AS (SELECT r1.x, r1.r - CASE WHEN r1.x <= s1.threshold
@@ -1380,7 +1395,8 @@ object SparkEntry {
        |SELECT n, round(b0, 4) AS b0, round(b1, 4) AS b1,
        |  round(b2, 4) AS b2, round(s, 4) AS scale_mad,
        |  n_down AS n_downweighted,
-       |  round(CAST(swr AS DOUBLE) / n, 4) AS weight_mass
+       |  ((2 * CAST(swr * 100000000 AS BIGINT) + 10000 * n)
+       |    // (2 * 10000 * n)) / 10000.0 AS weight_mass
        |FROM fit2, sf""".stripMargin
   }
 
@@ -2205,7 +2221,8 @@ object SparkEntry {
          |          AS n_kept
          |      FROM h)
          |SELECT round(bucket / 20.0, 2) AS threshold, n_docs, n_kept,
-         |  round(n_kept * 1.0 / (SELECT count(*) FROM q), 4) AS keep_rate
+         |  ((2 * 10000 * n_kept + (SELECT count(*) FROM q))
+         |    // (2 * (SELECT count(*) FROM q))) / 10000.0 AS keep_rate
          |FROM c ORDER BY threshold""".stripMargin,
     // Segment language screen: same block slices, integer-space
     // stopword-ratio compare (100·n_stop ≥ 3·len), majority + mixed.
@@ -2287,7 +2304,10 @@ object SparkEntry {
     // − 60·retail-cents·qty, bigint sums, one double division.
     "q_nation_profit" ->
       """SELECT nation, o_year,
-        |  round(CAST(sum(amount4) AS DOUBLE) / 10000.0, 2) AS sum_profit
+        |  (CASE WHEN sum(amount4) < 0
+        |    THEN -((2 * (-sum(amount4)) + 100) // 200)
+        |    ELSE (2 * sum(amount4) + 100) // 200 END) / 100.0
+        |    AS sum_profit
         |FROM (
         |  SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
         |    CAST(round(l.l_extendedprice * 100) AS BIGINT)
@@ -2350,9 +2370,9 @@ object SparkEntry {
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     // Q6 revenue in exact integer 1e-4-dollar space: cents × disc-%.
     "q_forecast_revenue" ->
-      """SELECT round(CAST(sum(
+      """SELECT (2 * sum(
         |    CAST(round(l_extendedprice * 100) AS BIGINT) *
-        |    CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) / 10000.0, 2)
+        |    CAST(round(l_discount * 100) AS BIGINT)) + 100) // 200 / 100.0
         |  AS revenue
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
@@ -2594,7 +2614,7 @@ object SparkEntry {
     // 1e-4-dollar sums scaled by 100/pct before the one division.
     "q_sampled_revenue" ->
       """SELECT l_returnflag, count(*) AS n_sampled,
-        |  round(CAST(sum(rev4) * 10 AS DOUBLE) / 10000.0, 2) AS est_revenue
+        |  ((2 * sum(rev4) * 10 + 100) // 200) / 100.0 AS est_revenue
         |FROM (
         |  SELECT l_returnflag,
         |    CAST(round(l_extendedprice * 100) AS BIGINT) *
@@ -3047,22 +3067,25 @@ object SparkEntry {
          |  FROM (SELECT *, row_number() OVER
          |      (ORDER BY err, x, pol DESC) AS rn FROM cand2) q
          |  WHERE rn = 1),
-         |acc AS (SELECT round(CAST(sum(CASE WHEN (CASE WHEN
+         |acc AS (SELECT ((2 * 10000 * sum(CASE WHEN (CASE WHEN
          |      b1.alpha1 * (CASE WHEN f.x > b1.th1 THEN b1.pol1
          |        ELSE -b1.pol1 END)
          |      + b2.alpha2 * (CASE WHEN f.x > b2.th2 THEN b2.pol2
          |        ELSE -b2.pol2 END) >= 0
-         |      THEN 1 ELSE -1 END) = f.y THEN 1 ELSE 0 END) AS DOUBLE)
-         |    / count(*), 4) AS train_acc
+         |      THEN 1 ELSE -1 END) = f.y THEN 1 ELSE 0 END)
+         |    + count(*)) // (2 * count(*))) / 10000.0 AS train_acc
          |  FROM f, b1, b2)
          |SELECT * FROM (
          |  SELECT 1 AS round, th1 AS threshold, pol1 AS polarity,
-         |    round(CAST(err1 AS DOUBLE) / n, 6) AS err_rate,
+         |    ((2 * 1000000 * err1 + n) // (2 * n)) / 1000000.0
+         |      AS err_rate,
          |    alpha1 AS alpha, train_acc
          |  FROM b1, acc
          |  UNION ALL
          |  SELECT 2 AS round, th2 AS threshold, pol2 AS polarity,
-         |    round(CAST(err2 AS DOUBLE) / CAST(wt AS DOUBLE), 6)
+         |    ((2 * CAST(err2 * 100000000 AS HUGEINT) * 1000000
+         |        + CAST(wt * 100000000 AS BIGINT))
+         |      // (2 * CAST(wt * 100000000 AS BIGINT))) / 1000000.0
          |      AS err_rate,
          |    alpha2 AS alpha, train_acc
          |  FROM b2, acc) u
@@ -3500,11 +3523,17 @@ object SparkEntry {
         |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
         |ORDER BY c_custkey""".stripMargin,
     "q_agg_having" ->
-      """SELECT n_name, count(*) AS n_customers,
-        |  round(cast(sum(cast(c_acctbal AS decimal(18,2))) AS double) / count(*), 4) AS avg_acctbal
-        |FROM customer, nation WHERE c_nationkey = n_nationkey
-        |GROUP BY n_name HAVING count(*) >= 3
-        |ORDER BY n_name""".stripMargin,
+      """WITH g AS (SELECT n_name, CAST(count(*) AS BIGINT) AS n_customers,
+        |    CAST(sum(cast(c_acctbal AS decimal(18,2))) * 100 AS BIGINT)
+        |      AS b2
+        |  FROM customer, nation WHERE c_nationkey = n_nationkey
+        |  GROUP BY n_name HAVING count(*) >= 3)
+        |SELECT n_name, n_customers,
+        |  (CASE WHEN b2 < 0
+        |    THEN -((200 * (-b2) + n_customers) // (2 * n_customers))
+        |    ELSE (200 * b2 + n_customers) // (2 * n_customers) END)
+        |    / 10000.0 AS avg_acctbal
+        |FROM g ORDER BY n_name""".stripMargin,
     "q_window_rank" ->
       """SELECT * FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
@@ -3562,13 +3591,17 @@ object SparkEntry {
     // Q17 shape: the oracle states the correlated average as the same
     // window; quantities are integers so the threshold is bit-stable.
     "q_small_qty_revenue" ->
-      """SELECT cast(count(*) AS bigint) AS n_items,
-        |  round(cast(sum(cast(l_extendedprice AS decimal(18,2))) AS double) / 7.0, 2) AS avg_yearly
-        |FROM (
-        |  SELECT l_quantity, l_extendedprice,
-        |    avg(l_quantity) OVER (PARTITION BY l_partkey) AS avg_qty
-        |  FROM lineitem) t
-        |WHERE l_quantity < 0.2 * avg_qty""".stripMargin,
+      """WITH g AS (SELECT cast(count(*) AS bigint) AS n_items,
+        |    CAST(sum(cast(l_extendedprice AS decimal(18,2))) * 100
+        |      AS BIGINT) AS p2
+        |  FROM (
+        |    SELECT l_quantity, l_extendedprice,
+        |      avg(l_quantity) OVER (PARTITION BY l_partkey) AS avg_qty
+        |    FROM lineitem) t
+        |  WHERE l_quantity < 0.2 * avg_qty)
+        |SELECT n_items,
+        |  ((2 * p2 + 7) // 14) / 100.0 AS avg_yearly
+        |FROM g""".stripMargin,
     "q_bpe_tokens" ->
       """SELECT doc_id,
         |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_subwords,
@@ -4126,12 +4159,18 @@ object SparkEntry {
         |WHERE l_orderkey < 100
         |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
     "q_token_stats" ->
-      """SELECT doc_id,
-        |  len(string_split(text, ' ')) AS n_tokens,
-        |  len(list_distinct(string_split(text, ' '))) AS n_distinct,
-        |  round(len(list_distinct(string_split(text, ' '))) * 1.0 / len(string_split(text, ' ')), 4) AS ttr,
-        |  round((len(text) - len(string_split(text, ' ')) + 1) * 1.0 / len(string_split(text, ' ')), 4) AS avg_token_len
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+        |      AS n_distinct,
+        |    CAST(len(text) AS BIGINT) AS text_len
+        |  FROM documents)
+        |SELECT doc_id, n_tokens, n_distinct,
+        |  ((2 * 10000 * n_distinct + n_tokens) // (2 * n_tokens))
+        |    / 10000.0 AS ttr,
+        |  ((2 * 10000 * (text_len - n_tokens + 1) + n_tokens)
+        |    // (2 * n_tokens)) / 10000.0 AS avg_token_len
+        |FROM t ORDER BY doc_id""".stripMargin,
     "q_term_stats" ->
       """SELECT token, df, tf_total,
         |  round(ln(((SELECT count(text) FROM documents) + 1.0) / (df + 1.0)), 4) AS idf
@@ -4278,15 +4317,29 @@ object SparkEntry {
          |    sum(CAST(round(r, 6) AS DECIMAL(18,6))) AS sr,
          |    sum(CAST(round(f1, 6) AS DECIMAL(18,6))) AS sf,
          |    sum(CAST(round(pe_c, 6) AS DECIMAL(18,6))) AS spe
-         |  FROM m2)
+         |  FROM m2),
+         |ag2 AS (SELECT n, n_classes, n_correct,
+         |    CAST(sp * 1000000 AS BIGINT) AS sp6,
+         |    CAST(sr * 1000000 AS BIGINT) AS sr6,
+         |    CAST(sf * 1000000 AS BIGINT) AS sf6,
+         |    CAST(spe * 1000000 AS BIGINT) AS pe6
+         |  FROM ag)
          |SELECT n, n_classes,
-         |  round(CAST(n_correct AS DOUBLE) / n, 4) AS accuracy,
-         |  round(CAST(sp AS DOUBLE) / n_classes, 4) AS macro_precision,
-         |  round(CAST(sr AS DOUBLE) / n_classes, 4) AS macro_recall,
-         |  round(CAST(sf AS DOUBLE) / n_classes, 4) AS macro_f1,
-         |  round((CAST(n_correct AS DOUBLE) / n - CAST(spe AS DOUBLE)) /
-         |    (CAST(1 AS DOUBLE) - CAST(spe AS DOUBLE)), 4) AS kappa
-         |FROM ag""".stripMargin,
+         |  ((2 * 10000 * n_correct + n) // (2 * n)) / 10000.0
+         |    AS accuracy,
+         |  ((2 * sp6 + 100 * n_classes) // (2 * 100 * n_classes))
+         |    / 10000.0 AS macro_precision,
+         |  ((2 * sr6 + 100 * n_classes) // (2 * 100 * n_classes))
+         |    / 10000.0 AS macro_recall,
+         |  ((2 * sf6 + 100 * n_classes) // (2 * 100 * n_classes))
+         |    / 10000.0 AS macro_f1,
+         |  (CASE WHEN 10000 * (1000000 * n_correct - n * pe6) < 0
+         |    THEN -((2 * (-(10000 * (1000000 * n_correct - n * pe6)))
+         |        + n * (1000000 - pe6)) // (2 * n * (1000000 - pe6)))
+         |    ELSE (2 * 10000 * (1000000 * n_correct - n * pe6)
+         |        + n * (1000000 - pe6)) // (2 * n * (1000000 - pe6))
+         |    END) / 10000.0 AS kappa
+         |FROM ag2""".stripMargin,
     // Multi-feature OLS: the ten Gram sums are exact integers, and the
     // Cramer solve is the IDENTICAL double expression tree on both sides
     // (shared column-0 minors, same op order), so coefficients and R²
@@ -4931,7 +4984,9 @@ object SparkEntry {
         |)
         |SELECT lang, count(*) AS n_tokens,
         |  cast(sum(CASE WHEN token IN (SELECT token FROM vocab) THEN 1 ELSE 0 END) AS bigint) AS n_covered,
-        |  round(1.0 - cast(sum(CASE WHEN token IN (SELECT token FROM vocab) THEN 1 ELSE 0 END) AS double) / count(*), 6) AS oov_rate
+        |  ((2 * 1000000 * (count(*) - sum(CASE WHEN token IN
+        |      (SELECT token FROM vocab) THEN 1 ELSE 0 END))
+        |    + count(*)) // (2 * count(*))) / 1000000.0 AS oov_rate
         |FROM toks GROUP BY lang ORDER BY lang""".stripMargin,
     "q_embedding_quant" ->
       """SELECT i - 1 AS dim,
@@ -5289,7 +5344,8 @@ object SparkEntry {
     "q_ngram_diversity" ->
       """SELECT source, count(*) AS n_grams,
         |  count(DISTINCT gram) AS n_distinct,
-        |  round(count(DISTINCT gram) * 1.0 / count(*), 6) AS diversity
+        |  ((2 * 1000000 * count(DISTINCT gram) + count(*))
+        |    // (2 * count(*))) / 1000000.0 AS diversity
         |FROM (
         |  SELECT source, array_to_string(t[i:i + 2], ' ') AS gram
         |  FROM (SELECT source, string_split(text, ' ') AS t
@@ -5602,10 +5658,14 @@ object SparkEntry {
         |       FROM lineitem GROUP BY 1),
         |tot AS (SELECT count(DISTINCT l_orderkey) AS n_total FROM lineitem)
         |SELECT part_a, part_b, n_ab,
-        |  round(n_ab * 1.0 / tot.n_total, 6) AS support,
-        |  round(n_ab * 1.0 / ia.n, 6) AS conf_a_to_b,
-        |  round(n_ab * 1.0 / ib.n, 6) AS conf_b_to_a,
-        |  round((n_ab * 1.0 * tot.n_total) / (ia.n * 1.0 * ib.n), 6) AS lift
+        |  ((2 * 1000000 * n_ab + tot.n_total) // (2 * tot.n_total))
+        |    / 1000000.0 AS support,
+        |  ((2 * 1000000 * n_ab + ia.n) // (2 * ia.n))
+        |    / 1000000.0 AS conf_a_to_b,
+        |  ((2 * 1000000 * n_ab + ib.n) // (2 * ib.n))
+        |    / 1000000.0 AS conf_b_to_a,
+        |  ((2 * 1000000 * n_ab * tot.n_total + ia.n * ib.n)
+        |    // (2 * ia.n * ib.n)) / 1000000.0 AS lift
         |FROM pc JOIN ic ia ON pc.part_a = ia.part
         |        JOIN ic ib ON pc.part_b = ib.part, tot
         |ORDER BY lift DESC, part_a, part_b LIMIT 20""".stripMargin,
@@ -6028,13 +6088,20 @@ object SparkEntry {
         |  FROM rk WHERE d_d > 0),
         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_customers FROM b),
         |ag AS (SELECT CAST(sum(d_d) AS BIGINT) AS n_events,
-        |    sum(u_t) AS u, sum(i_t) AS i FROM tm)
+        |    sum(u_t) AS u, sum(i_t) AS i FROM tm),
+        |sc AS (SELECT n_customers, n_events, u, i,
+        |    CAST(u * 100000000 AS HUGEINT) * 1000000 AS un,
+        |    CAST(i * 100000000 AS BIGINT) AS i8
+        |  FROM tot, ag)
         |SELECT n_customers, n_events,
-        |  round(CAST(u AS DOUBLE) / CAST(i AS DOUBLE), 6) AS beta_1step,
+        |  CAST((CASE WHEN un < 0
+        |    THEN -((2 * (-un) + i8) // (2 * i8))
+        |    ELSE (2 * un + i8) // (2 * i8) END) AS BIGINT) / 1000000.0
+        |    AS beta_1step,
         |  round(1.0 / sqrt(CAST(i AS DOUBLE)), 6) AS se0,
         |  round(CAST(u AS DOUBLE) / sqrt(CAST(i AS DOUBLE)), 4)
         |    AS score_z
-        |FROM tot, ag""".stripMargin,
+        |FROM sc""".stripMargin,
     // Bradley-Terry: integer duel counts, two MM iterations with
     // per-opponent terms rounded 8 dp and strengths re-entering
     // decimal at 6 dp — replayed iteration for iteration.
@@ -6055,25 +6122,27 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT sb AS i, sa AS j, n_ab, n_ab - w_ab AS w_i FROM pairs),
         |p0 AS (SELECT DISTINCT i,
-        |    CAST(1 AS DECIMAL(18,6)) AS p FROM sym),
-        |p1 AS (SELECT s.i,
-        |    CAST(round(CAST(sum(s.w_i) AS DOUBLE) /
-        |      CAST(sum(CAST(round(CAST(s.n_ab AS DOUBLE) /
-        |        CAST(pi.p + pj.p AS DOUBLE), 8) AS DECIMAL(18,8)))
-        |        AS DOUBLE), 6) AS DECIMAL(18,6)) AS p
-        |  FROM sym s JOIN p0 pi ON pi.i = s.i JOIN p0 pj ON pj.i = s.j
-        |  GROUP BY s.i),
-        |p2 AS (SELECT s.i,
-        |    CAST(round(CAST(sum(s.w_i) AS DOUBLE) /
-        |      CAST(sum(CAST(round(CAST(s.n_ab AS DOUBLE) /
-        |        CAST(pi.p + pj.p AS DOUBLE), 8) AS DECIMAL(18,8)))
-        |        AS DOUBLE), 6) AS DECIMAL(18,6)) AS p
-        |  FROM sym s JOIN p1 pi ON pi.i = s.i JOIN p1 pj ON pj.i = s.j
-        |  GROUP BY s.i),
+        |    CAST(1000000 AS BIGINT) AS p6 FROM sym),
+        |p1 AS (SELECT i, CAST(
+        |    (2 * CAST(w AS HUGEINT) * 100000000000000 + d8s)
+        |      // (2 * d8s) AS BIGINT) AS p6
+        |  FROM (SELECT s.i, CAST(sum(s.w_i) AS BIGINT) AS w,
+        |      CAST(sum((2 * 100000000000000 * s.n_ab + (pi.p6 + pj.p6))
+        |        // (2 * (pi.p6 + pj.p6))) AS BIGINT) AS d8s
+        |    FROM sym s JOIN p0 pi ON pi.i = s.i JOIN p0 pj ON pj.i = s.j
+        |    GROUP BY s.i) t1),
+        |p2 AS (SELECT i, CAST(
+        |    (2 * CAST(w AS HUGEINT) * 100000000000000 + d8s)
+        |      // (2 * d8s) AS BIGINT) AS p6
+        |  FROM (SELECT s.i, CAST(sum(s.w_i) AS BIGINT) AS w,
+        |      CAST(sum((2 * 100000000000000 * s.n_ab + (pi.p6 + pj.p6))
+        |        // (2 * (pi.p6 + pj.p6))) AS BIGINT) AS d8s
+        |    FROM sym s JOIN p1 pi ON pi.i = s.i JOIN p1 pj ON pj.i = s.j
+        |    GROUP BY s.i) t2),
         |ro AS (SELECT i, CAST(sum(n_ab) AS BIGINT) AS n_duels,
         |    CAST(sum(w_i) AS BIGINT) AS n_wins FROM sym GROUP BY 1)
         |SELECT p2.i AS suppkey, n_duels, n_wins,
-        |  CAST(p AS DOUBLE) AS strength
+        |  CAST(p6 AS DOUBLE) / 1000000.0 AS strength
         |FROM p2 JOIN ro ON ro.i = p2.i
         |ORDER BY strength DESC, suppkey LIMIT 20""".stripMargin,
     // 1-NN caliper matching: IGNORE NULLS windowed predecessor/
@@ -6162,8 +6231,11 @@ object SparkEntry {
          |        + CAST(b1 AS DOUBLE) * x), 6) AS DECIMAL(18,6))
          |        AS DOUBLE) AS md
          |    FROM b, f2) m)
-         |SELECT n, round(CAST(sp AS DOUBLE) / (n - 2), 4) AS phi,
-         |  round(CAST(smu AS DOUBLE) / n, 4) AS mean_mu,
+         |SELECT n,
+         |  ((2 * CAST(sp * 100000000 AS BIGINT) + 10000 * (n - 2))
+         |    // (2 * 10000 * (n - 2))) / 10000.0 AS phi,
+         |  ((2 * CAST(smu * 100000000 AS BIGINT) + 10000 * n)
+         |    // (2 * 10000 * n)) / 10000.0 AS mean_mu,
          |  round((CAST(sp AS DOUBLE) / (n - 2) - 1.0)
          |    * sqrt(CAST(n - 2 AS DOUBLE) / 2.0), 4) AS z_overdisp
          |FROM pe""".stripMargin,
@@ -6186,18 +6258,25 @@ object SparkEntry {
          |  FROM valsb GROUP BY 1),
          |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
          |    sum(brier_t) AS sb FROM valsb),
-         |terms AS (SELECT bin, n, n_pos,
+         |terms AS (SELECT bin, n, n_pos, sp,
          |    CAST(n_pos AS DOUBLE) / n AS acc,
          |    CAST(sp AS DOUBLE) / n AS conf, nn, sb FROM bins, tot),
          |terms2 AS (SELECT *, CAST(round(n * abs(acc - conf), 8)
          |    AS DECIMAL(18,8)) AS gap_t FROM terms),
-         |ece AS (SELECT sum(gap_t) AS sg FROM terms2)
-         |SELECT bin, n, n_pos, round(acc, 6) AS acc,
-         |  round(conf, 6) AS conf,
-         |  round(abs(acc - conf), 6) AS abs_gap,
-         |  round(CAST(sg AS DOUBLE) / nn, 6) AS ece,
-         |  round(CAST(sb AS DOUBLE) / nn, 6) AS brier
-         |FROM terms2, ece ORDER BY bin""".stripMargin,
+         |ece AS (SELECT sum(gap_t) AS sg FROM terms2),
+         |sc8 AS (SELECT bin, n, n_pos, nn,
+         |    CAST(sp * 100000000 AS BIGINT) AS sp8,
+         |    CAST(sg * 100000000 AS BIGINT) AS sg8,
+         |    CAST(sb * 100000000 AS BIGINT) AS sb8
+         |  FROM terms2, ece)
+         |SELECT bin, n, n_pos,
+         |  ((2 * 1000000 * n_pos + n) // (2 * n)) / 1000000.0 AS acc,
+         |  ((2 * sp8 + 100 * n) // (2 * 100 * n)) / 1000000.0 AS conf,
+         |  ((2 * abs(100000000 * n_pos - sp8) + 100 * n)
+         |    // (2 * 100 * n)) / 1000000.0 AS abs_gap,
+         |  ((2 * sg8 + 100 * nn) // (2 * 100 * nn)) / 1000000.0 AS ece,
+         |  ((2 * sb8 + 100 * nn) // (2 * 100 * nn)) / 1000000.0 AS brier
+         |FROM sc8 ORDER BY bin""".stripMargin,
     // L2 boosting: two stump replays over the stop-ratio histogram.
     "q_gbt2" -> gbtOracleSql,
     // Mediation: one exact Gram aggregation, then the identical double
@@ -6362,14 +6441,15 @@ object SparkEntry {
          |    CAST(sum(i.n_item) AS BIGINT) AS pop_rec
          |  FROM ri JOIN itemn i ON i.l_partkey = ri.cand)
          |SELECT catalog_size, n_rec_items,
-         |  round(CAST(n_rec_items AS DOUBLE) / catalog_size, 6)
-         |    AS coverage,
-         |  round(CAST(pop_rec AS DOUBLE) / n_rec_items, 4)
-         |    AS mean_pop_recommended,
-         |  round(CAST(pop_cat AS DOUBLE) / catalog_size, 4)
-         |    AS mean_pop_catalog,
-         |  round((CAST(pop_rec AS DOUBLE) / n_rec_items) /
-         |    (CAST(pop_cat AS DOUBLE) / catalog_size), 4)
+         |  ((2 * 1000000 * n_rec_items + catalog_size)
+         |    // (2 * catalog_size)) / 1000000.0 AS coverage,
+         |  ((2 * 10000 * pop_rec + n_rec_items)
+         |    // (2 * n_rec_items)) / 10000.0 AS mean_pop_recommended,
+         |  ((2 * 10000 * pop_cat + catalog_size)
+         |    // (2 * catalog_size)) / 10000.0 AS mean_pop_catalog,
+         |  ((2 * 10000 * pop_rec * catalog_size
+         |      + n_rec_items * pop_cat)
+         |    // (2 * n_rec_items * pop_cat)) / 10000.0
          |    AS popularity_bias
          |FROM cat, rc""".stripMargin,
     // Leave-last-out CF eval: the last order per customer (date DESC,
@@ -6429,8 +6509,10 @@ object SparkEntry {
         |      AS DECIMAL(18,6))), CAST(0 AS DECIMAL(18,6))) AS srr
         |  FROM hits)
         |SELECT CAST(5 AS INT) AS k, n_eval, n_hits,
-        |  round(CAST(n_hits AS DOUBLE) / n_eval, 4) AS hit_rate,
-        |  round(CAST(srr AS DOUBLE) / n_eval, 4) AS mrr
+        |  ((2 * 10000 * n_hits + n_eval) // (2 * n_eval)) / 10000.0
+        |    AS hit_rate,
+        |  ((2 * CAST(srr * 1000000 AS BIGINT) + 100 * n_eval)
+        |    // (2 * 100 * n_eval)) / 10000.0 AS mrr
         |FROM ne, hs""".stripMargin,
     "q_item_cosine" ->
       """WITH itemn AS (SELECT l_partkey, count(DISTINCT l_orderkey) AS n_item
@@ -6649,13 +6731,22 @@ object SparkEntry {
         |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         |    CAST(sum(w) AS BIGINT) AS sw, CAST(sum(s) AS BIGINT) AS ss,
         |    CAST(sum(y) AS BIGINT) AS sy
-        |  FROM d GROUP BY 1)
+        |  FROM d GROUP BY 1),
+        |g2 AS (SELECT *,
+        |    (CAST(ss AS HUGEINT) * sw * 206835
+        |      - CAST(sw AS HUGEINT) * sw * 1015
+        |      - CAST(sy AS HUGEINT) * ss * 84600) * 10000 AS fn,
+        |    CAST(ss AS HUGEINT) * sw * 1000 AS fd
+        |  FROM g)
         |SELECT source, n_docs,
-        |  round(CAST(sw AS DOUBLE) / ss, 4) AS words_per_sentence,
-        |  round(CAST(sy AS DOUBLE) / sw, 4) AS syllables_per_word,
-        |  round(206.835 - 1.015 * (CAST(sw AS DOUBLE) / ss) -
-        |    84.6 * (CAST(sy AS DOUBLE) / sw), 4) AS flesch
-        |FROM g ORDER BY source""".stripMargin,
+        |  ((2 * 10000 * sw + ss) // (2 * ss)) / 10000.0
+        |    AS words_per_sentence,
+        |  ((2 * 10000 * sy + sw) // (2 * sw)) / 10000.0
+        |    AS syllables_per_word,
+        |  CAST((CASE WHEN fn < 0 THEN -((2 * (-fn) + fd) // (2 * fd))
+        |    ELSE (2 * fn + fd) // (2 * fd) END) AS BIGINT) / 10000.0
+        |    AS flesch
+        |FROM g2 ORDER BY source""".stripMargin,
     // Engagement histogram: distinct user-days → per-user day counts →
     // count-of-counts.
     "q_engagement_hist" ->
@@ -7710,8 +7801,8 @@ object SparkEntry {
         |  round(quantile_cont(CAST(lag_days AS DOUBLE), 0.5), 4) AS p50,
         |  round(quantile_cont(CAST(lag_days AS DOUBLE), 0.9), 4) AS p90,
         |  round(quantile_cont(CAST(lag_days AS DOUBLE), 0.99), 4) AS p99,
-        |  round(CAST(sum(CASE WHEN lag_days > 60 THEN 1 ELSE 0 END)
-        |    AS DOUBLE) / count(*), 4) AS late_share
+        |  ((2 * 10000 * sum(CASE WHEN lag_days > 60 THEN 1 ELSE 0 END)
+        |    + count(*)) // (2 * count(*))) / 10000.0 AS late_share
         |FROM j GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
     // Silhouette: decimal-exact centroids ordered into lists, the same
     // sequential squared-distance fold, round-once decimal-summed s.
@@ -7750,15 +7841,22 @@ object SparkEntry {
         |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS seg_sum
         |  FROM orders JOIN customer ON o_custkey = c_custkey
         |  GROUP BY 1),
-        |t AS (SELECT c_mktsegment, n_orders, seg_sum,
-        |    CAST(sum(seg_sum) OVER () AS DOUBLE)
-        |      / CAST(sum(n_orders) OVER () AS BIGINT) AS g_mean
-        |  FROM g)
+        |t AS (SELECT c_mktsegment, n_orders,
+        |    CAST(seg_sum * 100 AS BIGINT) AS s2,
+        |    CAST(sum(seg_sum) OVER () * 100 AS BIGINT) AS g2,
+        |    CAST(sum(n_orders) OVER () AS BIGINT) AS g_n
+        |  FROM g),
+        |u AS (SELECT c_mktsegment, n_orders, s2,
+        |    (CAST(s2 AS HUGEINT) * g_n * 100 + 1000 * g2) * 10000
+        |      AS enc_num,
+        |    CAST(g_n AS HUGEINT) * (n_orders * 100 + 1000) AS enc_den
+        |  FROM t)
         |SELECT c_mktsegment, n_orders,
-        |  round(CAST(seg_sum AS DOUBLE) / n_orders, 6) AS raw_mean,
-        |  round((CAST(seg_sum AS DOUBLE) + 10.0 * g_mean)
-        |    / (n_orders + 10.0), 6) AS encoded
-        |FROM t ORDER BY c_mktsegment""".stripMargin,
+        |  ((2 * 10000 * s2 + n_orders) // (2 * n_orders)) / 1000000.0
+        |    AS raw_mean,
+        |  CAST((2 * enc_num + enc_den) // (2 * enc_den) AS BIGINT)
+        |    / 1000000.0 AS encoded
+        |FROM u ORDER BY c_mktsegment""".stripMargin,
     // SRM: same Lehmer arm hash, exact integer chi-square term, 3.841
     // literal critical value.
     "q_srm" ->
@@ -7851,8 +7949,8 @@ object SparkEntry {
         |SELECT source, CAST(sum(tf) AS BIGINT) AS n_tokens,
         |  CAST(count(*) AS BIGINT) AS vocab,
         |  CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
-        |  round(CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS DOUBLE)
-        |    / count(*), 4) AS hapax_share
+        |  ((2 * 10000 * sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END)
+        |    + count(*)) // (2 * count(*))) / 10000.0 AS hapax_share
         |FROM tf GROUP BY 1 ORDER BY source""".stripMargin,
     // Chao1: singleton/doubleton counts exact BIGINT; the two closed
     // forms (F2>0 and the bias-corrected F2=0 branch) divide identical
@@ -7868,11 +7966,13 @@ object SparkEntry {
         |    CAST(sum(CASE WHEN tf = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
         |  FROM tf GROUP BY 1)
         |SELECT source, n_tokens, vocab, f1, f2,
-        |  round(CASE WHEN f2 > 0 THEN vocab +
-        |      CAST(f1 AS DOUBLE) * f1 / (2.0 * f2)
-        |    ELSE vocab + CAST(f1 AS DOUBLE) * (f1 - 1) / 2.0 END, 4)
-        |    AS chao1,
-        |  round(1.0 - CAST(f1 AS DOUBLE) / n_tokens, 6) AS coverage
+        |  (CASE WHEN f2 > 0
+        |    THEN (2 * 10000 * (2 * vocab * f2 + f1 * f1) + 2 * f2)
+        |      // (2 * 2 * f2)
+        |    ELSE (2 * 10000 * (2 * vocab + f1 * (f1 - 1)) + 2) // 4
+        |    END) / 10000.0 AS chao1,
+        |  ((2 * 1000000 * (n_tokens - f1) + n_tokens)
+        |    // (2 * n_tokens)) / 1000000.0 AS coverage
         |FROM s ORDER BY source""".stripMargin,
     // Yule's K / Simpson D: every sum an exact BIGINT into one divide.
     "q_yule_k" ->
@@ -7885,10 +7985,14 @@ object SparkEntry {
         |    CAST(sum(tf * tf) AS BIGINT) AS s2
         |  FROM tf GROUP BY 1)
         |SELECT source, n_tokens, vocab,
-        |  round(1e4 * CAST(s2 - n_tokens AS DOUBLE) /
-        |    (CAST(n_tokens AS DOUBLE) * n_tokens), 4) AS yule_k,
-        |  round(CAST(s2 - n_tokens AS DOUBLE) /
-        |    (CAST(n_tokens AS DOUBLE) * (n_tokens - 1)), 6) AS simpson_d
+        |  CAST((2 * CAST(s2 - n_tokens AS HUGEINT) * 100000000
+        |      + CAST(n_tokens AS HUGEINT) * n_tokens)
+        |    // (2 * CAST(n_tokens AS HUGEINT) * n_tokens) AS BIGINT)
+        |    / 10000.0 AS yule_k,
+        |  CAST((2 * CAST(s2 - n_tokens AS HUGEINT) * 1000000
+        |      + CAST(n_tokens AS HUGEINT) * (n_tokens - 1))
+        |    // (2 * CAST(n_tokens AS HUGEINT) * (n_tokens - 1))
+        |    AS BIGINT) / 1000000.0 AS simpson_d
         |FROM s ORDER BY source""".stripMargin,
     // Good-Turing: the 8 smallest observed frequency classes (ORDER BY
     // r LIMIT — the TakeOrderedAndProject head), N_{r+1} equi-joined
@@ -7910,15 +8014,16 @@ object SparkEntry {
         |    CAST(coalesce((SELECT n_r FROM fof WHERE r = 1), 0)
         |      AS BIGINT) AS n_r_next,
         |    CAST(NULL AS DOUBLE) AS r_star,
-        |    round(CAST(coalesce((SELECT n_r FROM fof WHERE r = 1), 0)
-        |      AS DOUBLE) / nn, 6) AS p_smoothed
+        |    ((2 * 1000000 * coalesce((SELECT n_r FROM fof WHERE r = 1),
+        |      0) + nn) // (2 * nn)) / 1000000.0 AS p_smoothed
         |  FROM tot)
         |SELECT r, n_r, n_r_next, r_star, p_smoothed FROM un
         |UNION ALL
         |SELECT r, n_r, n_r_next,
-        |  round(CAST(r + 1 AS DOUBLE) * n_r_next / n_r, 6) AS r_star,
-        |  round(CAST(r + 1 AS DOUBLE) * n_r_next / n_r / nn, 6)
-        |    AS p_smoothed
+        |  ((2 * 1000000 * (r + 1) * n_r_next + n_r) // (2 * n_r))
+        |    / 1000000.0 AS r_star,
+        |  ((2 * 1000000 * (r + 1) * n_r_next + n_r * nn)
+        |    // (2 * n_r * nn)) / 1000000.0 AS p_smoothed
         |FROM grid ORDER BY r""".stripMargin,
     // Reliability diagram: the q_doc_quality score expression bucketed by
     // the same floor(quality*10) doubles, membership from the brute-force
@@ -8015,12 +8120,18 @@ object SparkEntry {
         |      AS n_above,
         |    max(lo) AS lo, max(hi) AS hi
         |  FROM b JOIN f ON f.c_mktsegment = b.c_mktsegment
-        |  GROUP BY 1)
+        |  GROUP BY 1),
+        |h AS (SELECT *, CAST(trim_sum * 100 AS BIGINT) AS t2,
+        |    CAST(round(lo * 10000) AS BIGINT) AS l4,
+        |    CAST(round(hi * 10000) AS BIGINT) AS h4
+        |  FROM g)
         |SELECT c_mktsegment, n_orders, n_kept,
-        |  round(CAST(trim_sum AS DOUBLE) / n_kept, 6) AS trimmed_mean,
-        |  round((CAST(trim_sum AS DOUBLE) + lo * n_below + hi * n_above)
-        |    / n_orders, 6) AS winsorized_mean
-        |FROM g ORDER BY c_mktsegment""".stripMargin,
+        |  ((2 * 10000 * t2 + n_kept) // (2 * n_kept)) / 1000000.0
+        |    AS trimmed_mean,
+        |  ((2 * 100 * (100 * t2 + l4 * n_below + h4 * n_above)
+        |      + n_orders) // (2 * n_orders)) / 1000000.0
+        |    AS winsorized_mean
+        |FROM h ORDER BY c_mktsegment""".stripMargin,
     // Dedup savings: the q_neardup_keep closure, losers joined back onto
     // the doc frame, per-source char mass.
     "q_dedup_savings" ->

@@ -141,15 +141,21 @@ object Relational {
       .orderBy(col("c_custkey"))
   }
 
-  /** Group-by + HAVING: nations with enough customers. nation broadcast. */
+  /** Group-by + HAVING: nations with enough customers. nation broadcast.
+    * avg_acctbal by signed exact-integer half-up ([[ExactRound]]) —
+    * acctbal can be negative, so the group sum can be too. */
   def aggHaving(spark: SparkSession, dir: String): DataFrame =
     Lake.customer(spark, dir)
       .join(broadcast(Lake.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(
         count(lit(1)).as("n_customers"),
-        round(sum(m(col("c_acctbal"))).cast("double") / count(lit(1)), 4).as("avg_acctbal"))
+        sum(m(col("c_acctbal"))).as("bal_sum"))
       .filter(col("n_customers") >= 3)
+      .withColumn("b2", (col("bal_sum") * 100).cast("long"))
+      .select(col("n_name"), col("n_customers"),
+        (ExactRound.halfUp("100 * b2", "n_customers").cast("double") / 1e4)
+          .as("avg_acctbal"))
       .orderBy(col("n_name"))
 
   /** Window rank: top 3 orders per customer by totalprice. */
@@ -254,7 +260,12 @@ object Relational {
       .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
       .agg(
         count(lit(1)).as("n_items"),
-        round(sum(m(col("l_extendedprice"))).cast("double") / 7.0, 2)
+        sum(m(col("l_extendedprice"))).as("price_sum"))
+      // avg_yearly = sum/7 at 2 dp by exact integer half-up: the
+      // decimal-2 sum over the constant 7 is a terminating quotient
+      .withColumn("p2", (col("price_sum") * 100).cast("long"))
+      .select(col("n_items"),
+        (ExactRound.halfUpPos("p2", "7").cast("double") / 100.0)
           .as("avg_yearly"))
   }
 
@@ -429,12 +440,18 @@ object Relational {
       .join(broadcast(itemCounts.select(col("part").as("part_b"),
         col("n_orders").as("n_b"))), Seq("part_b"))
       .crossJoin(broadcast(total))
+      // support/confidence/lift are count ratios (terminating): exact
+      // integer half-up, 6 dp ([[ExactRound]]); lift's numerator
+      // n_ab·n_total·10⁶·2 stays inside int64 at the tested SFs
       .select(col("part_a"), col("part_b"), col("n_ab"),
-        round(col("n_ab").cast("double") / col("n_total"), 6).as("support"),
-        round(col("n_ab").cast("double") / col("n_a"), 6).as("conf_a_to_b"),
-        round(col("n_ab").cast("double") / col("n_b"), 6).as("conf_b_to_a"),
-        round((col("n_ab").cast("double") * col("n_total")) /
-          (col("n_a").cast("double") * col("n_b")), 6).as("lift"))
+        (ExactRound.halfUpPos("1000000 * n_ab", "n_total")
+          .cast("double") / 1e6).as("support"),
+        (ExactRound.halfUpPos("1000000 * n_ab", "n_a")
+          .cast("double") / 1e6).as("conf_a_to_b"),
+        (ExactRound.halfUpPos("1000000 * n_ab", "n_b")
+          .cast("double") / 1e6).as("conf_b_to_a"),
+        (ExactRound.halfUpPos("1000000 * n_ab * n_total", "n_a * n_b")
+          .cast("double") / 1e6).as("lift"))
       .orderBy(col("lift").desc, col("part_a"), col("part_b"))
       .limit(topK)
     out
@@ -638,7 +655,12 @@ object Relational {
       .select(col("nation"), col("o_year"),
         (extC * (lit(100L) - discP) - retailC * qty * lit(60L)).as("amount4"))
       .groupBy(col("nation"), col("o_year"))
-      .agg(round(sum(col("amount4")).cast("double") / 10000.0, 2).as("sum_profit"))
+      // scale-4 long → 2 dp by signed exact-integer half-up (profit can
+      // be negative): round(a4/10^4, 2) = halfUp(a4, 100) / 100
+      .agg(sum(col("amount4")).as("a4"))
+      .select(col("nation"), col("o_year"),
+        (ExactRound.halfUp("a4", "100").cast("double") / 100.0)
+          .as("sum_profit"))
       .orderBy(col("nation"), col("o_year").desc)
   }
 
@@ -749,7 +771,10 @@ object Relational {
               col("l_quantity") < 24)
       .select((round(col("l_extendedprice") * 100).cast("long") *
                round(col("l_discount") * 100).cast("long")).as("rev4"))
-      .agg(round(sum(col("rev4")).cast("double") / 10000.0, 2).as("revenue"))
+      // scale-4 long → 2 dp by exact integer half-up (terminating)
+      .agg(sum(col("rev4")).as("r4"))
+      .select((ExactRound.halfUpPos("r4", "100").cast("double") / 100.0)
+        .as("revenue"))
 
   /** TPC-H Q7 shape: volume shipping between two nations — revenue per
     * (supplier nation, customer nation, ship year) for the ordered pairs
@@ -889,9 +914,12 @@ object Relational {
         (round(col("l_extendedprice") * 100).cast("long") *
          (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev4"))
       .groupBy(col("l_returnflag"))
+      // scaled-up scale-4 long → 2 dp by exact integer half-up
       .agg(count(lit(1)).as("n_sampled"),
-        round((sum(col("rev4")) * lit((100 / pct).toLong)).cast("double")
-          / 10000.0, 2).as("est_revenue"))
+        (sum(col("rev4")) * lit((100 / pct).toLong)).as("r4"))
+      .select(col("l_returnflag"), col("n_sampled"),
+        (ExactRound.halfUpPos("r4", "100").cast("double") / 100.0)
+          .as("est_revenue"))
       .orderBy(col("l_returnflag"))
   }
 
@@ -1111,10 +1139,15 @@ object Relational {
       coalesce(sum(round(lit(1.0) / col("rnk"), 6).cast(d6)),
         lit(java.math.BigDecimal.ZERO).cast(d6)).as("srr"))
     val out = ne.crossJoin(broadcast(hs))
+      // terminating quotients → exact integer half-up ([[ExactRound]]):
+      // hit_rate is count/count; mrr is a 6-dp decimal sum over a count
+      // read out at 4 dp, so the denominator carries the 10² rescale
+      .withColumn("s6", (col("srr") * 1000000).cast("long"))
       .select(lit(k).as("k"), col("n_eval"), col("n_hits"),
-        round(col("n_hits").cast("double") / col("n_eval"), 4)
-          .as("hit_rate"),
-        round(col("srr").cast("double") / col("n_eval"), 4).as("mrr"))
+        (ExactRound.halfUpPos("10000 * n_hits", "n_eval")
+          .cast("double") / 1e4).as("hit_rate"),
+        (ExactRound.halfUpPos("s6", "100 * n_eval")
+          .cast("double") / 1e4).as("mrr"))
       .localCheckpoint(true)
     heldItem.unpersist(false)
     tli.unpersist(false)
@@ -1153,15 +1186,18 @@ object Relational {
         col("l_partkey") === col("partkey"))
       .agg(count(lit(1)).as("n_rec_items"), sum(col("n_item")).as("pop_rec"))
     val out = cat.crossJoin(broadcast(rec))
+      // count-ratio readouts → exact integer half-up ([[ExactRound]]);
+      // popularity_bias = (pop_rec·catalog)/(n_rec·pop_cat) is a ratio
+      // of integer products — same form, composite operands
       .select(col("catalog_size"), col("n_rec_items"),
-        round(col("n_rec_items").cast("double") / col("catalog_size"), 6)
-          .as("coverage"),
-        round(col("pop_rec").cast("double") / col("n_rec_items"), 4)
-          .as("mean_pop_recommended"),
-        round(col("pop_cat").cast("double") / col("catalog_size"), 4)
-          .as("mean_pop_catalog"),
-        round((col("pop_rec").cast("double") / col("n_rec_items")) /
-          (col("pop_cat").cast("double") / col("catalog_size")), 4)
+        (ExactRound.halfUpPos("1000000 * n_rec_items", "catalog_size")
+          .cast("double") / 1e6).as("coverage"),
+        (ExactRound.halfUpPos("10000 * pop_rec", "n_rec_items")
+          .cast("double") / 1e4).as("mean_pop_recommended"),
+        (ExactRound.halfUpPos("10000 * pop_cat", "catalog_size")
+          .cast("double") / 1e4).as("mean_pop_catalog"),
+        (ExactRound.halfUpPos("10000 * pop_rec * catalog_size",
+          "n_rec_items * pop_cat").cast("double") / 1e4)
           .as("popularity_bias"))
       .localCheckpoint(true)
     itemN.unpersist(false)
@@ -1556,12 +1592,19 @@ object Relational {
         sum(when(col("y") < col("lo"), 1L).otherwise(0L)).as("n_below"),
         sum(when(col("y") > col("hi"), 1L).otherwise(0L)).as("n_above"),
         max(col("lo")).as("lo"), max(col("hi")).as("hi"))
+      // both means are terminating quotients → exact integer half-up
+      // ([[ExactRound]]): the fences are 4-dp values, so the winsorized
+      // numerator is an exact scale-4 integer t2·100 + l4·n_below +
+      // h4·n_above (never a double product)
+      .withColumn("t2", (col("trim_sum") * 100).cast("long"))
+      .withColumn("l4", round(col("lo") * 10000).cast("long"))
+      .withColumn("h4", round(col("hi") * 10000).cast("long"))
       .select(col("c_mktsegment"), col("n_orders"), col("n_kept"),
-        round(col("trim_sum").cast("double") / col("n_kept"), 6)
-          .as("trimmed_mean"),
-        round((col("trim_sum").cast("double") + col("lo") * col("n_below") +
-          col("hi") * col("n_above")) / col("n_orders"), 6)
-          .as("winsorized_mean"))
+        (ExactRound.halfUpPos("10000 * t2", "n_kept")
+          .cast("double") / 1e6).as("trimmed_mean"),
+        (ExactRound.halfUpPos(
+          "100 * (100 * t2 + l4 * n_below + h4 * n_above)", "n_orders")
+          .cast("double") / 1e6).as("winsorized_mean"))
       .orderBy(col("c_mktsegment"))
   }
 
@@ -1738,12 +1781,27 @@ object Relational {
         sum(m(col("o_totalprice"))).as("seg_sum"))
       .withColumn("g_sum", sum(col("seg_sum")).over(w))
       .withColumn("g_n", sum(col("n_orders")).over(w))
-      .withColumn("g_mean", col("g_sum").cast("double") / col("g_n"))
+      // both readouts are terminating quotients → exact integer half-up
+      // ([[ExactRound]]). encoded clears its g_mean = g_sum/g_n divide
+      // by multiplying through by g_n: (S2·g_n·100 + M2·G2) /
+      // (g_n·(100·n + M2)) with the smoothing at scale 2 — the
+      // numerator exceeds int64, so the staged operands are
+      // decimal(38,0) (Spark div accepts decimals; DuckDB mirrors with
+      // HUGEINT).
+      .withColumn("s2", (col("seg_sum") * 100).cast("long"))
+      .withColumn("g2", (col("g_sum") * 100).cast("long"))
+      .withColumn("m2", lit(math.round(smoothing * 100)))
+      .withColumn("enc_num",
+        ((col("s2").cast(DecimalType(38, 0)) * col("g_n") * 100 +
+          col("m2") * col("g2")) * 10000).cast(DecimalType(38, 0)))
+      .withColumn("enc_den",
+        (col("g_n").cast(DecimalType(38, 0)) *
+          (col("n_orders") * 100 + col("m2"))).cast(DecimalType(38, 0)))
       .select(col("c_mktsegment"), col("n_orders"),
-        round(col("seg_sum").cast("double") / col("n_orders"), 6)
-          .as("raw_mean"),
-        round((col("seg_sum").cast("double") + lit(smoothing) * col("g_mean")) /
-          (col("n_orders") + lit(smoothing)), 6).as("encoded"))
+        (ExactRound.halfUpPos("10000 * s2", "n_orders")
+          .cast("double") / 1e6).as("raw_mean"),
+        (ExactRound.halfUpPos("enc_num", "enc_den")
+          .cast("double") / 1e6).as("encoded"))
       .orderBy(col("c_mktsegment"))
   }
 
@@ -1769,8 +1827,9 @@ object Relational {
         round(col("q").getItem(0), 4).as("p50"),
         round(col("q").getItem(1), 4).as("p90"),
         round(col("q").getItem(2), 4).as("p99"),
-        round(col("n_late").cast("double") / col("n_lines"), 4)
-          .as("late_share"))
+        // count/count → exact integer half-up ([[ExactRound]])
+        (ExactRound.halfUpPos("10000 * n_late", "n_lines")
+          .cast("double") / 1e4).as("late_share"))
       .orderBy(col("o_orderpriority"))
 
   /** RFM (recency / frequency / monetary) customer segmentation — the
@@ -1894,13 +1953,22 @@ object Relational {
     val tot = base.agg(count(lit(1)).as("n_customers"))
     val agg = terms.agg(sum(col("d_d")).as("n_events"),
       sum(col("u_t")).as("u"), sum(col("i_t")).as("i"))
-    tot.crossJoin(broadcast(agg)).select(
-      col("n_customers"), col("n_events"),
-      round(col("u").cast("double") / col("i").cast("double"), 6)
-        .as("beta_1step"),
-      round(lit(1.0) / sqrt(col("i").cast("double")), 6).as("se0"),
-      round(col("u").cast("double") / sqrt(col("i").cast("double")), 4)
-        .as("score_z"))
+    // beta_1step = u/i is a ratio of scale-8 decimal sums (terminating)
+    // → signed exact integer half-up; u·10⁶ exceeds int64 headroom, so
+    // the numerator stages through decimal(38,0). se0/score_z are
+    // √-bearing (non-terminating) and stay in double.
+    tot.crossJoin(broadcast(agg))
+      .withColumn("i8", (col("i") * 100000000L).cast("long"))
+      .withColumn("un",
+        ((col("u") * 100000000L).cast(DecimalType(38, 0)) * 1000000L)
+          .cast(DecimalType(38, 0)))
+      .select(
+        col("n_customers"), col("n_events"),
+        (ExactRound.halfUp("un", "i8").cast("double") / 1e6)
+          .as("beta_1step"),
+        round(lit(1.0) / sqrt(col("i").cast("double")), 6).as("se0"),
+        round(col("u").cast("double") / sqrt(col("i").cast("double")), 4)
+          .as("score_z"))
   }
 
   /** Bradley-Terry supplier strength from per-part price duels — the
@@ -1952,25 +2020,31 @@ object Relational {
         col("w_ab").as("w_i"))
       .unionByName(pairs.select(col("sb").as("i"), col("sa").as("j"),
         col("n_ab"), (col("n_ab") - col("w_ab")).as("w_i")))
+    // the MM iteration runs entirely in scale-6/scale-8 LONG space with
+    // exact integer half-up ([[ExactRound]]): the per-duel denominator
+    // term round(n_ab/(p_i+p_j), 8) and the strength update
+    // round(w/den, 6) are both terminating quotients (the r11 tie law);
+    // the w·10^14 product exceeds int64 headroom at larger SFs, so that
+    // one numerator stages through decimal(38,0)
     def mmStep(p: DataFrame): DataFrame = sym
-      .join(p.select(col("i"), col("p").as("p_i")), Seq("i"))
-      .join(p.select(col("i").as("j"), col("p").as("p_j")), Seq("j"))
+      .join(p.select(col("i"), col("p6").as("pi6")), Seq("i"))
+      .join(p.select(col("i").as("j"), col("p6").as("pj6")), Seq("j"))
+      .withColumn("t8",
+        ExactRound.halfUpPos("100000000000000 * n_ab", "pi6 + pj6"))
       .groupBy(col("i"))
-      .agg(sum(col("w_i")).as("w"),
-        sum(round(col("n_ab").cast("double") /
-          (col("p_i") + col("p_j")).cast("double"), 8).cast(d8))
-          .as("den"))
-      .select(col("i"),
-        round(col("w").cast("double") / col("den").cast("double"), 6)
-          .cast(d6).as("p"))
+      .agg(sum(col("w_i")).as("w"), sum(col("t8")).as("d8s"))
+      .withColumn("wn",
+        (col("w").cast(DecimalType(38, 0)) * lit(100000000000000L))
+          .cast(DecimalType(38, 0)))
+      .select(col("i"), ExactRound.halfUpPos("wn", "d8s").as("p6"))
     val p0 = sym.select(col("i")).distinct()
-      .withColumn("p", lit(java.math.BigDecimal.ONE).cast(d6))
+      .withColumn("p6", lit(1000000L))
     val p2 = mmStep(mmStep(p0).localCheckpoint(true))
     val readout = sym.groupBy(col("i"))
       .agg(sum(col("n_ab")).as("n_duels"), sum(col("w_i")).as("n_wins"))
     p2.join(readout, Seq("i"))
       .select(col("i").as("suppkey"), col("n_duels"), col("n_wins"),
-        col("p").cast("double").as("strength"))
+        (col("p6").cast("double") / 1e6).as("strength"))
       .orderBy(col("strength").desc, col("suppkey")).limit(topN)
   }
 
@@ -2261,9 +2335,17 @@ object Relational {
       .agg(count(lit(1)).as("n"),
         sum(round(col("pt"), 8).cast(d8)).as("sp"),
         sum(round(col("md"), 8).cast(d8)).as("smu"))
-    val out = agg.select(col("n"),
-        round(col("sp").cast("double") / (col("n") - 2), 4).as("phi"),
-        round(col("smu").cast("double") / col("n"), 4).as("mean_mu"),
+    // phi and mean_mu are scale-8 decimal sums over counts → exact
+    // integer half-up at 4 dp (denominator carries the 10⁴ rescale);
+    // z_overdisp is √-bearing (non-terminating) and stays in double
+    val out = agg
+      .withColumn("sp8", (col("sp") * 100000000L).cast("long"))
+      .withColumn("smu8", (col("smu") * 100000000L).cast("long"))
+      .select(col("n"),
+        (ExactRound.halfUpPos("sp8", "10000 * (n - 2)")
+          .cast("double") / 1e4).as("phi"),
+        (ExactRound.halfUpPos("smu8", "10000 * n")
+          .cast("double") / 1e4).as("mean_mu"),
         round((col("sp").cast("double") / (col("n") - 2) - 1.0)
           * sqrt((col("n") - 2).cast("double") / 2.0), 4)
           .as("z_overdisp"))

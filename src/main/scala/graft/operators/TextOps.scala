@@ -50,9 +50,11 @@ object TextOps {
         col("doc_id"),
         col("n_tokens"),
         col("n_distinct"),
-        round(col("n_distinct") / col("n_tokens"), 4).as("ttr"),
-        round((col("text_len") - col("n_tokens") + 1) / col("n_tokens"), 4)
-          .as("avg_token_len"))
+        // int/int ratios → exact integer half-up ([[ExactRound]])
+        (ExactRound.halfUpPos("10000 * n_distinct", "n_tokens")
+          .cast("double") / 1e4).as("ttr"),
+        (ExactRound.halfUpPos("10000 * (text_len - n_tokens + 1)",
+          "n_tokens").cast("double") / 1e4).as("avg_token_len"))
       .orderBy(col("doc_id"))
 
   def tokenStats(spark: SparkSession, dir: String): DataFrame =
@@ -245,17 +247,27 @@ object TextOps {
         sum(round(col("r"), 6).cast(d6)).as("sr"),
         sum(round(col("f1"), 6).cast(d6)).as("sf"),
         sum(round(col("pe_c"), 6).cast(d6)).as("spe"))
-      .withColumn("po", col("n_correct").cast("double") / col("n"))
-      .select(col("n"), col("n_classes").cast("long").as("n_classes"),
-        round(col("po"), 4).as("accuracy"),
-        round(col("sp").cast("double") / col("n_classes"), 4)
-          .as("macro_precision"),
-        round(col("sr").cast("double") / col("n_classes"), 4)
-          .as("macro_recall"),
-        round(col("sf").cast("double") / col("n_classes"), 4)
-          .as("macro_f1"),
-        round((col("po") - col("spe").cast("double")) /
-          (lit(1.0) - col("spe").cast("double")), 4).as("kappa"))
+      // all five readouts are terminating quotients → exact integer
+      // half-up ([[ExactRound]]): accuracy is count/count; the macro
+      // averages are 6-dp decimal sums over the class count; kappa
+      // clears po = n_correct/n to (n_correct·10⁶ − n·pe6) /
+      // (n·(10⁶ − pe6)) — SIGNED (kappa can be negative)
+      .withColumn("k", col("n_classes").cast("long"))
+      .withColumn("sp6", (col("sp") * 1000000).cast("long"))
+      .withColumn("sr6", (col("sr") * 1000000).cast("long"))
+      .withColumn("sf6", (col("sf") * 1000000).cast("long"))
+      .withColumn("pe6", (col("spe") * 1000000).cast("long"))
+      .select(col("n"), col("k").as("n_classes"),
+        (ExactRound.halfUpPos("10000 * n_correct", "n")
+          .cast("double") / 1e4).as("accuracy"),
+        (ExactRound.halfUpPos("sp6", "100 * k")
+          .cast("double") / 1e4).as("macro_precision"),
+        (ExactRound.halfUpPos("sr6", "100 * k")
+          .cast("double") / 1e4).as("macro_recall"),
+        (ExactRound.halfUpPos("sf6", "100 * k")
+          .cast("double") / 1e4).as("macro_f1"),
+        (ExactRound.halfUp("10000 * (1000000 * n_correct - n * pe6)",
+          "n * (1000000 - pe6)").cast("double") / 1e4).as("kappa"))
   }
 
   /** Lake-bound registered form over the trained NB scored slice. */
@@ -291,7 +303,9 @@ object TextOps {
         round(col("w1").cast("double"), 6).as("w1"),
         round(col("w2").cast("double"), 6).as("w2"),
         col("n"),
-        round(col("n_correct").cast("double") / col("n"), 4).as("accuracy"))
+        // count/count → exact integer half-up ([[ExactRound]])
+        (ExactRound.halfUpPos("10000 * n_correct", "n")
+          .cast("double") / 1e4).as("accuracy"))
       .localCheckpoint(true)
     feats.unpersist(false)
     out
@@ -433,13 +447,16 @@ object TextOps {
       .withColumn("cum_n", sum(col("n")).over(wCum))
       .withColumn("cum_pos", sum(col("n_pos")).over(wCum))
       .crossJoin(broadcast(tot))
+      // count ratios → exact integer half-up ([[ExactRound]])
       .select(col("band"), col("n"), col("n_pos"),
-        round(col("n_pos").cast("double") / col("n"), 6).as("response"),
-        round(col("cum_n").cast("double") / col("tn"), 6).as("cum_share"),
-        round(col("cum_pos").cast("double") / col("tp"), 6)
-          .as("cum_capture"),
-        round(col("n_pos").cast("double") * col("tn") /
-          (col("n").cast("double") * col("tp")), 4).as("lift"))
+        (ExactRound.halfUpPos("1000000 * n_pos", "n")
+          .cast("double") / 1e6).as("response"),
+        (ExactRound.halfUpPos("1000000 * cum_n", "tn")
+          .cast("double") / 1e6).as("cum_share"),
+        (ExactRound.halfUpPos("1000000 * cum_pos", "tp")
+          .cast("double") / 1e6).as("cum_capture"),
+        (ExactRound.halfUpPos("10000 * n_pos * tn", "n * tp")
+          .cast("double") / 1e4).as("lift"))
       .orderBy(col("band"))
       .localCheckpoint(true)
     feats.unpersist(false)
@@ -489,13 +506,24 @@ object TextOps {
         8).cast(d8))
       .localCheckpoint(true) // ≤ nBins rows; feeds the ECE sum + output
     val ece = terms.agg(sum(col("gap_t")).as("sg"))
+    // every readout is a terminating quotient over exact decimals /
+    // counts → exact integer half-up ([[ExactRound]]); the interior
+    // gap_t terms stay in double (identical scalar tree on both sides)
     terms.crossJoin(broadcast(ece))
+      .withColumn("sp8", (col("sp") * 100000000L).cast("long"))
+      .withColumn("sg8", (col("sg") * 100000000L).cast("long"))
+      .withColumn("sb8", (col("sb") * 100000000L).cast("long"))
       .select(col("bin"), col("n"), col("n_pos"),
-        round(col("acc"), 6).as("acc"),
-        round(col("conf"), 6).as("conf"),
-        round(abs(col("acc") - col("conf")), 6).as("abs_gap"),
-        round(col("sg").cast("double") / col("nn"), 6).as("ece"),
-        round(col("sb").cast("double") / col("nn"), 6).as("brier"))
+        (ExactRound.halfUpPos("1000000 * n_pos", "n")
+          .cast("double") / 1e6).as("acc"),
+        (ExactRound.halfUpPos("sp8", "100 * n")
+          .cast("double") / 1e6).as("conf"),
+        (ExactRound.halfUpPos("abs(100000000 * n_pos - sp8)", "100 * n")
+          .cast("double") / 1e6).as("abs_gap"),
+        (ExactRound.halfUpPos("sg8", "100 * nn")
+          .cast("double") / 1e6).as("ece"),
+        (ExactRound.halfUpPos("sb8", "100 * nn")
+          .cast("double") / 1e6).as("brier"))
       .orderBy(col("bin"))
   }
 
@@ -523,8 +551,11 @@ object TextOps {
         nonNull(docs).select(col("doc_id"), col("n_chars")), Seq("doc_id"))
       .select(col("stop_ratio").as("x"), col("n_chars").as("y"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val f0 = feats.agg(round(sum(col("y")).cast("double") / count(lit(1)),
-      6).cast(d6).as("f0"))
+    // base prediction ȳ by exact integer half-up (long/count at 6 dp)
+    // before re-entering decimal — the quotient-tie law on the seed
+    val f0 = feats.agg(sum(col("y")).as("sy"), count(lit(1)).as("nf"))
+      .select((ExactRound.halfUpPos("1000000 * sy", "nf")
+        .cast("double") / 1e6).cast(d6).as("f0"))
     val r1 = feats.crossJoin(broadcast(f0))
       .select(col("x"), (col("y") - col("f0")).as("r"))
     def fitStump(resid: DataFrame): DataFrame = {
@@ -546,15 +577,30 @@ object TextOps {
         .withColumn("rn",
           row_number().over(Window.orderBy(col("score").desc, col("x"))))
         .filter(col("rn") === 1)
+        // leaf values are signed terminating quotients (6-dp decimal
+        // residual sums over counts, ×nu at scale 2) → exact integer
+        // half-up; the score argmax key stays in double (its exact form
+        // needs >38-digit products — both engines share the tree)
+        .withColumn("sl6", (col("s_l") * 1000000).cast("long"))
+        .withColumn("sr6", ((col("s") - col("s_l")) * 1000000).cast("long"))
+        .withColumn("nu2", lit(math.round(nu * 100)))
         .select(col("x").as("threshold"),
-          round(lit(nu) * sl / col("n_l"), 6).cast(d6).as("left_val"),
-          round(lit(nu) * srr / col("n_r"), 6).cast(d6).as("right_val"),
+          (ExactRound.halfUp("nu2 * sl6", "100 * n_l")
+            .cast("double") / 1e6).cast(d6).as("left_val"),
+          (ExactRound.halfUp("nu2 * sr6", "100 * n_r")
+            .cast("double") / 1e6).cast(d6).as("right_val"),
           col("n_l").as("n_left"), col("n_r").as("n_right"))
         .localCheckpoint(true)
     }
+    // mse = scale-8 decimal sum / count at 4 dp — the ×10⁸ numerator
+    // exceeds int64, so it stages through decimal(38,0)
     def mseOf(resid: DataFrame): DataFrame = resid.agg(
-      round(sum(round(col("r").cast("double") * col("r").cast("double"),
-        8).cast(d8)).cast("double") / count(lit(1)), 4).as("mse"))
+        sum(round(col("r").cast("double") * col("r").cast("double"),
+          8).cast(d8)).as("ssq"), count(lit(1)).as("nf"))
+      .withColumn("m8",
+        ((col("ssq") * 100000000L).cast(DecimalType(38, 0))))
+      .select((ExactRound.halfUpPos("m8", "10000 * nf")
+        .cast("double") / 1e4).as("mse"))
     val s1 = fitStump(r1)
     val r2 = r1.crossJoin(broadcast(s1))
       .select(col("x"), (col("r") - when(col("x") <= col("threshold"),
@@ -878,7 +924,9 @@ object TextOps {
         round(col("b2"), 4).as("b2"),
         round(col("s_f"), 4).as("scale_mad"),
         col("n_down").as("n_downweighted"),
-        round(col("swr").cast("double") / col("n"), 4).as("weight_mass"))
+        // scale-8 decimal sum / count → exact integer half-up
+        (ExactRound.halfUpPos("CAST(swr * 100000000 AS BIGINT)",
+          "10000 * n").cast("double") / 1e4).as("weight_mass"))
     feats.unpersist(false)
     out
   }
@@ -982,18 +1030,30 @@ object TextOps {
         col("pol2").cast("long")).otherwise(-col("pol2").cast("long")))
       .withColumn("s", col("alpha1") * col("h1") + col("alpha2") * col("h2"))
       .withColumn("pred", when(col("s") >= 0, 1L).otherwise(-1L))
-      .agg(round(sum(when(col("pred") === col("y"), 1L).otherwise(0L))
-        .cast("double") / count(lit(1)), 4).as("train_acc"))
+      // terminating quotients → exact integer half-up ([[ExactRound]]):
+      // train_acc and round-1 err are count/count; round-2 err is a
+      // ratio of scale-8 decimal weight sums (numerator staged through
+      // decimal(38,0) for the ×10¹⁴ rescale)
+      .agg(sum(when(col("pred") === col("y"), 1L).otherwise(0L))
+        .as("n_right"), count(lit(1)).as("n_all"))
+      .select((ExactRound.halfUpPos("10000 * n_right", "n_all")
+        .cast("double") / 1e4).as("train_acc"))
     val out = best1.crossJoin(broadcast(acc)).select(
         lit(1).as("round"), col("t1").as("threshold"),
         col("pol1").as("polarity"),
-        round(col("err1").cast("double") / col("n"), 6).as("err_rate"),
+        (ExactRound.halfUpPos("1000000 * err1", "n")
+          .cast("double") / 1e6).as("err_rate"),
         col("alpha1").as("alpha"), col("train_acc"))
-      .unionByName(best2.crossJoin(broadcast(acc)).select(
+      .unionByName(best2.crossJoin(broadcast(acc))
+        .withColumn("e2n",
+          ((col("err2") * 100000000L).cast(DecimalType(38, 0)) * 1000000L)
+            .cast(DecimalType(38, 0)))
+        .withColumn("w8", (col("wt") * 100000000L).cast("long"))
+        .select(
         lit(2).as("round"), col("t2").as("threshold"),
         col("pol2").as("polarity"),
-        round(col("err2").cast("double") / col("wt").cast("double"), 6)
-          .as("err_rate"),
+        (ExactRound.halfUpPos("e2n", "w8")
+          .cast("double") / 1e6).as("err_rate"),
         col("alpha2").as("alpha"), col("train_acc")))
       .orderBy(col("round"))
       .localCheckpoint(true)
@@ -2127,8 +2187,9 @@ object TextOps {
       .withColumn("__total", sum(col("n_docs")).over(wAll))
       .select(round(col("bucket") / 20.0, 2).as("threshold"),
         col("n_docs"), col("n_kept"),
-        round(col("n_kept").cast("double") / col("__total"), 4)
-          .as("keep_rate"))
+        // count/count → exact integer half-up ([[ExactRound]])
+        (ExactRound.halfUpPos("10000 * n_kept", "__total")
+          .cast("double") / 1e4).as("keep_rate"))
       .orderBy(col("threshold"))
   }
 
@@ -2427,8 +2488,9 @@ object TextOps {
         count(lit(1)).as("n_tokens"),
         sum(coalesce(col("__in_vocab"), lit(0L))).as("n_covered"))
       .select(col("lang"), col("n_tokens"), col("n_covered"),
-        round(lit(1.0) - col("n_covered").cast("double") / col("n_tokens"), 6)
-          .as("oov_rate"))
+        // 1 − c/t = (t−c)/t, count/count → exact integer half-up
+        (ExactRound.halfUpPos("1000000 * (n_tokens - n_covered)",
+          "n_tokens").cast("double") / 1e6).as("oov_rate"))
       .orderBy(col("lang"))
   }
 
@@ -2578,7 +2640,8 @@ object TextOps {
       .agg(count(lit(1)).as("n_grams"),
         countDistinct(col("gram")).as("n_distinct"))
       .withColumn("diversity",
-        round(col("n_distinct").cast("double") / col("n_grams"), 6))
+        ExactRound.halfUpPos("1000000 * n_distinct", "n_grams")
+          .cast("double") / 1e6)
       .orderBy(col(groupCol))
 
   def ngramDiversity(spark: SparkSession, dir: String): DataFrame =
@@ -2806,12 +2869,25 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_words")).as("sw"), sum(col("n_sents")).as("ss"),
         sum(col("n_syll")).as("sy"))
+      // all three readouts are terminating quotients → exact integer
+      // half-up ([[ExactRound]]): flesch clears to one rational,
+      // (206835·ss·sw − 1015·sw² − 84600·sy·ss)/(1000·ss·sw), SIGNED,
+      // staged through decimal(38,0) for the ×10⁴ rescale
+      .withColumn("fn",
+        ((col("ss").cast(DecimalType(38, 0)) * col("sw") * 206835
+          - col("sw").cast(DecimalType(38, 0)) * col("sw") * 1015
+          - col("sy").cast(DecimalType(38, 0)) * col("ss") * 84600)
+          * 10000).cast(DecimalType(38, 0)))
+      .withColumn("fd",
+        (col("ss").cast(DecimalType(38, 0)) * col("sw") * 1000)
+          .cast(DecimalType(38, 0)))
       .select(col("source"), col("n_docs"),
-        round(col("sw").cast("double") / col("ss"), 4).as("words_per_sentence"),
-        round(col("sy").cast("double") / col("sw"), 4).as("syllables_per_word"),
-        round(lit(206.835) -
-          lit(1.015) * (col("sw").cast("double") / col("ss")) -
-          lit(84.6) * (col("sy").cast("double") / col("sw")), 4).as("flesch"))
+        (ExactRound.halfUpPos("10000 * sw", "ss")
+          .cast("double") / 1e4).as("words_per_sentence"),
+        (ExactRound.halfUpPos("10000 * sy", "sw")
+          .cast("double") / 1e4).as("syllables_per_word"),
+        (ExactRound.halfUp("fn", "fd").cast("double") / 1e4)
+          .as("flesch"))
       .orderBy(col("source"))
   }
 
@@ -2836,8 +2912,9 @@ object TextOps {
         count(lit(1)).as("vocab"),
         sum(when(col("tf") === 1, 1L).otherwise(0L)).as("n_hapax"))
       .select(col("source"), col("n_tokens"), col("vocab"), col("n_hapax"),
-        round(col("n_hapax").cast("double") / col("vocab"), 4)
-          .as("hapax_share"))
+        // count/count → exact integer half-up ([[ExactRound]])
+        (ExactRound.halfUpPos("10000 * n_hapax", "vocab")
+          .cast("double") / 1e4).as("hapax_share"))
       .orderBy(col("source"))
 
   /** Chao1 vocabulary-richness estimate per source — the capture-
@@ -2865,13 +2942,19 @@ object TextOps {
         sum(when(col("tf") === 2L, 1L).otherwise(0L)).as("f2"))
       .select(col("source"), col("n_tokens"), col("vocab"), col("f1"),
         col("f2"),
-        round(when(col("f2") > 0L, col("vocab") +
-            col("f1").cast("double") * col("f1") / (lit(2.0) * col("f2")))
-          .otherwise(col("vocab") +
-            col("f1").cast("double") * (col("f1") - 1L) / lit(2.0)), 4)
+        // both branches are terminating quotients → exact integer
+        // half-up: vocab + f1²/(2f2) = (2·vocab·f2 + f1²)/(2f2), and
+        // the f2=0 fallback vocab + f1(f1−1)/2 over the constant 2
+        when(col("f2") > 0L,
+          ExactRound.halfUpPos("10000 * (2 * vocab * f2 + f1 * f1)",
+            "2 * f2").cast("double") / 1e4)
+          .otherwise(
+            ExactRound.halfUpPos(
+              "10000 * (2 * vocab + f1 * (f1 - 1))", "2")
+              .cast("double") / 1e4)
           .as("chao1"),
-        round(lit(1.0) - col("f1").cast("double") / col("n_tokens"), 6)
-          .as("coverage"))
+        (ExactRound.halfUpPos("1000000 * (n_tokens - f1)", "n_tokens")
+          .cast("double") / 1e6).as("coverage"))
       .orderBy(col("source"))
 
   /** Yule's K lexical-concentration index per source, with Simpson's
@@ -2894,12 +2977,25 @@ object TextOps {
       .agg(sum(col("tf")).as("n_tokens"),
         count(lit(1)).as("vocab"),
         sum(col("tf") * col("tf")).as("s2"))
+      // K and D are integer ratios (terminating) → exact integer
+      // half-up; the ×10⁸/×10⁶ numerators exceed int64 at corpus token
+      // counts, so they stage through decimal(38,0)
+      .withColumn("kn",
+        ((col("s2") - col("n_tokens")).cast(DecimalType(38, 0))
+          * 100000000L).cast(DecimalType(38, 0)))
+      .withColumn("kd",
+        (col("n_tokens").cast(DecimalType(38, 0)) * col("n_tokens"))
+          .cast(DecimalType(38, 0)))
+      .withColumn("dn",
+        ((col("s2") - col("n_tokens")).cast(DecimalType(38, 0))
+          * 1000000L).cast(DecimalType(38, 0)))
+      .withColumn("dd",
+        (col("n_tokens").cast(DecimalType(38, 0))
+          * (col("n_tokens") - 1L)).cast(DecimalType(38, 0)))
       .select(col("source"), col("n_tokens"), col("vocab"),
-        round(lit(1e4) * (col("s2") - col("n_tokens")).cast("double") /
-          (col("n_tokens").cast("double") * col("n_tokens")), 4)
+        (ExactRound.halfUpPos("kn", "kd").cast("double") / 1e4)
           .as("yule_k"),
-        round((col("s2") - col("n_tokens")).cast("double") /
-          (col("n_tokens").cast("double") * (col("n_tokens") - 1L)), 6)
+        (ExactRound.halfUpPos("dn", "dd").cast("double") / 1e6)
           .as("simpson_d"))
       .orderBy(col("source"))
 
@@ -2938,21 +3034,23 @@ object TextOps {
       .join(fof.select((col("r") - 1L).as("r"), col("n_r").as("n_r1")),
         Seq("r"), "left")
       .crossJoin(broadcast(tot))
+      // (r+1)·n_{r+1}/n_r and its /N probability are count ratios →
+      // exact integer half-up ([[ExactRound]])
+      .withColumn("nrx", coalesce(col("n_r1"), lit(0L)))
       .select(col("r").cast("long").as("r"), col("n_r"),
-        coalesce(col("n_r1"), lit(0L)).as("n_r_next"),
-        round((col("r") + 1L).cast("double") *
-          coalesce(col("n_r1"), lit(0L)) / col("n_r"), 6).as("r_star"),
-        round((col("r") + 1L).cast("double") *
-          coalesce(col("n_r1"), lit(0L)) / col("n_r") / col("nn"), 6)
-          .as("p_smoothed"))
+        col("nrx").as("n_r_next"),
+        (ExactRound.halfUpPos("1000000 * (r + 1) * nrx", "n_r")
+          .cast("double") / 1e6).as("r_star"),
+        (ExactRound.halfUpPos("1000000 * (r + 1) * nrx", "n_r * nn")
+          .cast("double") / 1e6).as("p_smoothed"))
     val unseen = tot
       .join(broadcast(fof.filter(col("r") === 1L)
         .select(col("n_r").as("f1"))), lit(true), "left")
       .select(lit(0L).as("r"), lit(0L).as("n_r"),
         coalesce(col("f1"), lit(0L)).as("n_r_next"),
         lit(null).cast("double").as("r_star"),
-        round(coalesce(col("f1"), lit(0L)).cast("double") / col("nn"), 6)
-          .as("p_smoothed"))
+        (ExactRound.halfUpPos("1000000 * coalesce(f1, 0)", "nn")
+          .cast("double") / 1e6).as("p_smoothed"))
     val out = unseen.unionAll(grid).orderBy(col("r"))
       .localCheckpoint(true)
     fof.unpersist(false)
