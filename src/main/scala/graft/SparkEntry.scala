@@ -927,7 +927,8 @@ object SparkEntry {
        |  FROM q LEFT JOIN mem ON mem.doc_id = q.doc_id),
        |base AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
        |  CAST(sum(is_dup) AS BIGINT) AS n_dup,
-       |  round(CAST(sum(is_dup) AS DOUBLE) / count(*), 4) AS dup_share
+       |  ((2 * 10000 * sum(is_dup) + count(*)) // (2 * count(*)))
+       |    / 10000.0 AS dup_share
        |FROM b GROUP BY 1)""".stripMargin
 
   /** Shared WITH-chain replaying the logistic trainer step-for-step;
@@ -1090,7 +1091,9 @@ object SparkEntry {
        |      AS ndv_hll
        |  FROM agg JOIN ex ON ex.event_type = agg.event_type)
        |SELECT event_type, ndv_exact, n_zero_regs, ndv_hll,
-       |  round(abs(ndv_hll - ndv_exact) / ndv_exact, 4) AS rel_err
+       |  ((2 * 10000 * abs(CAST(round(ndv_hll * 10000) AS BIGINT)
+       |      - 10000 * ndv_exact) + 10000 * ndv_exact)
+       |    // (2 * 10000 * ndv_exact)) / 10000.0 AS rel_err
        |FROM fin ORDER BY event_type""".stripMargin
   }
 
@@ -1964,7 +1967,8 @@ object SparkEntry {
         |       FROM tk a JOIN tk b ON a.doc_id <> b.doc_id)
         |SELECT doc_in, doc_out, CAST(s_in AS BIGINT) AS s_in,
         |  CAST(i AS BIGINT) AS inter,
-        |  round(i / s_in, 6) AS containment
+        |  ((2 * 1000000 * CAST(i AS BIGINT) + CAST(s_in AS BIGINT))
+        |    // (2 * CAST(s_in AS BIGINT))) / 1000000.0 AS containment
         |FROM pr WHERE i / s_in >= 0.9
         |ORDER BY doc_in, doc_out""".stripMargin,
     // Prefix-pressure audit: the engine's rarest-first prefix replicated
@@ -2258,9 +2262,11 @@ object SparkEntry {
         |  UNION ALL SELECT 'n_sources', CAST(n_sources AS DOUBLE) FROM s
         |  UNION ALL SELECT 'n_langs', CAST(n_langs AS DOUBLE) FROM s
         |  UNION ALL SELECT 'mean_doc_tokens',
-        |    round(CAST(n_tokens AS DOUBLE) / n_docs, 4) FROM s
+        |    ((2 * 10000 * n_tokens + n_docs) // (2 * n_docs)) / 10000.0
+        |    FROM s
         |  UNION ALL SELECT 'exact_dup_rate',
-        |    round(1.0 - CAST(n_uniq_texts AS DOUBLE) / n_docs, 4) FROM s)
+        |    ((2 * 10000 * (n_docs - n_uniq_texts) + n_docs)
+        |      // (2 * n_docs)) / 10000.0 FROM s)
         |ORDER BY metric""".stripMargin,
     // Q2 argmin-per-group: per-part min price via group-by + equality
     // re-join (the window's value twin); comparison only, no arithmetic.
@@ -2571,7 +2577,7 @@ object SparkEntry {
         |sm AS (SELECT event_type, t AS day, sum(c) AS num, sum(wt) AS den
         |       FROM con GROUP BY 1, 2)
         |SELECT d.event_type, d.day, d.n,
-        |  round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 4) AS ewma
+        |  ((2 * 10000 * num + den) // (2 * den)) / 10000.0 AS ewma
         |FROM daily d JOIN sm ON d.event_type = sm.event_type AND d.day = sm.day
         |ORDER BY d.event_type, d.day""".stripMargin,
     // OLS trend: five exact BIGINT sums, two closed-form double
@@ -2685,10 +2691,14 @@ object SparkEntry {
     // contribution rounding (12), decimal sums, and rank expression.
     "q_pagerank" -> {
       def iter(prev: Int, cur: Int): String =
-        s"""c$cur AS (SELECT e.dst, sum(CAST(round(r.pr / r.deg, 12) AS DECIMAL(38,12))) AS m
+        s"""c$cur AS (SELECT e.dst,
+           |    CAST(sum((2 * r.pr12 + r.deg) // (2 * r.deg)) AS BIGINT)
+           |      AS m12
            |  FROM edges e JOIN r$prev r ON e.src = r.node GROUP BY e.dst),
            |r$cur AS (SELECT d.node, d.deg,
-           |    round((1.0 - 0.85) / n + 0.85 * coalesce(CAST(m AS DOUBLE), 0.0), 12) AS pr
+           |    CAST((2 * (CAST(coalesce(m12, 0) AS HUGEINT) * 85 * n
+           |        + 15 * CAST(1000000000000 AS HUGEINT))
+           |      + 100 * n) // (2 * 100 * n) AS BIGINT) AS pr12
            |  FROM deg d LEFT JOIN c$cur ON d.node = c$cur.dst CROSS JOIN nn)"""
           .stripMargin
       s"""WITH pairs AS (
@@ -2697,15 +2707,19 @@ object SparkEntry {
          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
          |edges AS (SELECT c AS src, s AS dst FROM pairs
          |          UNION ALL SELECT s, c FROM pairs),
-         |deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1),
-         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
-         |r0 AS (SELECT node, deg, round(1.0 / n, 12) AS pr
+         |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+         |        FROM edges GROUP BY 1),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+         |r0 AS (SELECT node, deg,
+         |         (2 * 1000000000000 + n) // (2 * n) AS pr12
          |       FROM deg CROSS JOIN nn),
          |${iter(0, 1)},
          |${iter(1, 2)},
          |${iter(2, 3)}
-         |SELECT node, deg, round(pr, 6) AS pagerank
-         |FROM r3 ORDER BY pr DESC, node LIMIT 20""".stripMargin
+         |SELECT node, deg,
+         |  ((2 * pr12 + 1000000) // (2 * 1000000)) / 1000000.0
+         |    AS pagerank
+         |FROM r3 ORDER BY pr12 DESC, node LIMIT 20""".stripMargin
     },
     // Transitions: same session assignment as q_events_sessions, lead
     // within the session window, per-from-type window total.
@@ -2844,7 +2858,7 @@ object SparkEntry {
     // inference, generated from the engine's own class/candidate lists.
     "q_semantic_types" -> (CatalogOps.SemanticCandidates.map { case (t, c) =>
       val pcts = CatalogOps.SemanticClasses.map { case (label, re) =>
-        s"round(CAST(sum(CASE WHEN regexp_matches(CAST($c AS varchar), '$re') THEN 1 ELSE 0 END) AS double) / count(*), 4) AS pct_$label"
+        s"((2 * 10000 * sum(CASE WHEN regexp_matches(CAST($c AS varchar), '$re') THEN 1 ELSE 0 END) + count(*)) // (2 * count(*))) / 10000.0 AS pct_$label"
       }.mkString(",\n  ")
       val inferred = CatalogOps.SemanticClasses.map { case (label, re) =>
         s"WHEN CAST(sum(CASE WHEN regexp_matches(CAST($c AS varchar), '$re') THEN 1 ELSE 0 END) AS double) / count(*) >= 0.9 THEN '$label'"
@@ -3672,7 +3686,8 @@ object SparkEntry {
       ("SELECT * FROM (" + Seq("lang", "source").map { c =>
         s"""SELECT '$c' AS column_name, min($c) AS min_val, max($c) AS max_val,
            |  count(*) - count($c) AS null_count, count(DISTINCT $c) AS ndv,
-           |  round(cast(sum(len($c)) AS double) / count($c), 4) AS avg_len
+           |  ((2 * 10000 * sum(len($c)) + count($c))
+           |    // (2 * count($c))) / 10000.0 AS avg_len
            |FROM documents""".stripMargin
       }.mkString(" UNION ALL ") + ") t ORDER BY column_name"),
     "q_histogram_orders" ->
@@ -3849,7 +3864,8 @@ object SparkEntry {
         |ORDER BY user_id""".stripMargin,
     "q_events_json" ->
       """SELECT event_type, count(k) AS n,
-        |  round(cast(sum(k) AS double) / count(k), 4) AS avg_k
+        |  ((2 * 10000 * sum(k) + count(k)) // (2 * count(k)))
+        |    / 10000.0 AS avg_k
         |FROM (SELECT event_type, cast(json_extract_string(props, '$.k') AS bigint) AS k FROM events) t
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_dedup_exact" ->
@@ -4121,8 +4137,10 @@ object SparkEntry {
         |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
     "q_embedding_stats" ->
       """SELECT label, count(*) AS n_vecs,
-        |  round(cast(sum(cast(sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum')) AS decimal(18,8))) AS double) / count(*), 4) AS avg_norm,
-        |  round(cast(sum(cast(CAST(embedding[1] AS double) AS decimal(18,8))) AS double) / count(*), 4) AS avg_dim0
+        |  ((2 * CAST(sum(cast(sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum')) AS decimal(18,8))) * 100000000 AS BIGINT) + 10000 * count(*)) // (2 * 10000 * count(*))) / 10000.0 AS avg_norm,
+        |  (CASE WHEN sum(cast(CAST(embedding[1] AS double) AS decimal(18,8))) < 0
+        |    THEN -((2 * CAST(-sum(cast(CAST(embedding[1] AS double) AS decimal(18,8))) * 100000000 AS BIGINT) + 10000 * count(*)) // (2 * 10000 * count(*)))
+        |    ELSE (2 * CAST(sum(cast(CAST(embedding[1] AS double) AS decimal(18,8))) * 100000000 AS BIGINT) + 10000 * count(*)) // (2 * 10000 * count(*)) END) / 10000.0 AS avg_dim0
         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
     // Per-label elementwise means; the same double → decimal(18,8)
     // routing as q_embedding_stats keeps float sums order-independent.
@@ -4763,7 +4781,8 @@ object SparkEntry {
     "q_multimodal_meta" ->
       """SELECT source, count(*) AS n_docs,
         |  cast(sum(octet_length(encode(text))) AS bigint) AS total_bytes,
-        |  round(cast(sum(octet_length(encode(text))) AS double) / count(*), 4) AS avg_bytes,
+        |  ((2 * 10000 * sum(octet_length(encode(text))) + count(*))
+        |    // (2 * count(*))) / 10000.0 AS avg_bytes,
         |  cast(max(octet_length(encode(text))) AS bigint) AS max_bytes
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     // Non-E-quoted DuckDB strings keep backslashes literal, so the regexes
@@ -4829,7 +4848,9 @@ object SparkEntry {
            |  '$pt' AS parent_table, '$pc' AS parent_col,
            |  count(*) AS n_child_distinct,
            |  cast(sum(CASE WHEN pk IS NOT NULL THEN 1 ELSE 0 END) AS bigint) AS n_contained,
-           |  round(cast(sum(CASE WHEN pk IS NOT NULL THEN 1 ELSE 0 END) AS double) / count(*), 4) AS containment
+           |  ((2 * 10000 * sum(CASE WHEN pk IS NOT NULL THEN 1 ELSE 0
+           |    END) + count(*)) // (2 * count(*))) / 10000.0
+           |    AS containment
            |FROM (SELECT DISTINCT $cc AS k FROM $ct WHERE $cc IS NOT NULL) c
            |LEFT JOIN (SELECT DISTINCT $pc AS pk FROM $pt WHERE $pc IS NOT NULL) p ON k = pk""".stripMargin
       Seq(
@@ -4937,8 +4958,8 @@ object SparkEntry {
         |  CAST(sum(kept) AS BIGINT) AS kept_tokens,
         |  CAST(sum(bucket - kept) AS BIGINT) AS pad_tokens,
         |  CAST(sum(tok - kept) AS BIGINT) AS truncated_tokens,
-        |  round(CAST(sum(bucket - kept) AS DOUBLE) / (bucket * count(*)), 4)
-        |    AS pad_waste_rate
+        |  ((2 * 10000 * sum(bucket - kept) + bucket * count(*))
+        |    // (2 * bucket * count(*))) / 10000.0 AS pad_waste_rate
         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
     // Dup rates: exact layer via count(distinct text); paragraph layer =
     // q_para_dedup's segmentation + global first-occurrence rule.
@@ -4967,10 +4988,11 @@ object SparkEntry {
         |    CAST(sum(is_dup) AS BIGINT) AS n_dup_paras
         |  FROM k GROUP BY source)
         |SELECT ex.source, ex.n_docs, ex.n_uniq_texts,
-        |  round(CAST(ex.n_docs - ex.n_uniq_texts AS DOUBLE) / ex.n_docs, 4)
-        |    AS exact_dup_rate,
+        |  ((2 * 10000 * (ex.n_docs - ex.n_uniq_texts) + ex.n_docs)
+        |    // (2 * ex.n_docs)) / 10000.0 AS exact_dup_rate,
         |  ps.n_paras, ps.n_dup_paras,
-        |  round(CAST(ps.n_dup_paras AS DOUBLE) / ps.n_paras, 4) AS para_dup_rate
+        |  ((2 * 10000 * ps.n_dup_paras + ps.n_paras)
+        |    // (2 * ps.n_paras)) / 10000.0 AS para_dup_rate
         |FROM ex JOIN ps ON ex.source = ps.source
         |ORDER BY ex.source""".stripMargin,
     "q_vocab_coverage" ->
@@ -5631,7 +5653,8 @@ object SparkEntry {
         |      FROM a JOIN c USING (user_id) GROUP BY 1, 2)
         |SELECT CAST(g.cohort_week AS timestamp) AS cohort_week, week_offset,
         |  n_users, s.cohort_size,
-        |  round(n_users * 1.0 / s.cohort_size, 4) AS retention
+        |  ((2 * 10000 * n_users + s.cohort_size)
+        |    // (2 * s.cohort_size)) / 10000.0 AS retention
         |FROM g JOIN s USING (cohort_week)
         |WHERE week_offset >= 0
         |ORDER BY cohort_week, week_offset""".stripMargin,
@@ -6896,8 +6919,9 @@ object SparkEntry {
         |      LEFT JOIN tm t ON t.hod = g.hod AND t.event_type = g.event_type)
         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_cells,
         |  CAST(sum(actual) AS BIGINT) AS n_actual,
-        |  round(CAST(sum(CAST(round(abs(actual - forecast), 6)
-        |    AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS mae
+        |  ((2 * CAST(sum(CAST(round(abs(actual - forecast), 6)
+        |    AS DECIMAL(18,6))) * 1000000 AS BIGINT) + 100 * count(*))
+        |    // (2 * 100 * count(*))) / 10000.0 AS mae
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     // Dedup recall: exact ground truth via the inverted shingle index on
     // the hash-sampled docs; the banded-LSH + exact-verify pipeline is
@@ -6935,16 +6959,16 @@ object SparkEntry {
         |w AS (SELECT source, n_docs,
         |    CAST(sum(n_docs) OVER () AS BIGINT) AS n_total,
         |    CAST(count(*) OVER () AS BIGINT) AS n_strata FROM s),
-        |x AS (SELECT source, n_docs,
-        |    CAST(n_docs AS DOUBLE) / n_total AS obs_share,
-        |    1.0 / CAST(n_strata AS DOUBLE) AS target_share FROM w),
-        |y AS (SELECT source, n_docs, obs_share, target_share,
-        |    target_share / obs_share AS raw_w FROM x)
+        |y AS (SELECT source, n_docs, n_total, n_strata,
+        |    (2 * 1000000 * n_total + n_strata * n_docs)
+        |      // (2 * n_strata * n_docs) AS w6 FROM w)
         |SELECT source, n_docs,
-        |  round(obs_share, 6) AS obs_share,
-        |  round(target_share, 6) AS target_share,
-        |  round(raw_w, 6) AS raw_w,
-        |  round(least(greatest(raw_w, 0.1), 10.0), 6) AS weight
+        |  ((2 * 1000000 * n_docs + n_total) // (2 * n_total))
+        |    / 1000000.0 AS obs_share,
+        |  ((2 * 1000000 + n_strata) // (2 * n_strata)) / 1000000.0
+        |    AS target_share,
+        |  w6 / 1000000.0 AS raw_w,
+        |  least(greatest(w6, 100000), 10000000) / 1000000.0 AS weight
         |FROM y ORDER BY source""".stripMargin,
     // WoW growth: bounded week frame, lag window, exact inputs to the
     // two ratio divisions; first week NULL.
@@ -7112,16 +7136,19 @@ object SparkEntry {
         |cx AS (SELECT *, a + b + c + d AS n, a + b AS r1, a + c AS c1
         |  FROM cl),
         |t2 AS (SELECT *,
-        |    CAST(round(CAST(r1 AS DOUBLE) * c1 / n, 6) AS DECIMAL(18,6))
-        |      AS e_t,
-        |    CAST(CASE WHEN n > 1 THEN round(
-        |      CAST(r1 AS DOUBLE) * (n - r1) * c1 * (n - c1) /
-        |        (CAST(n AS DOUBLE) * n * (n - 1)), 6)
+        |    CAST(((2 * 1000000 * r1 * c1 + n) // (2 * n)) / 1000000.0
+        |      AS DECIMAL(18,6)) AS e_t,
+        |    CAST(CASE WHEN n > 1 THEN
+        |      CAST((2 * CAST(r1 AS HUGEINT) * (n - r1) * c1 * (n - c1)
+        |          * 1000000
+        |        + CAST(n AS HUGEINT) * n * (n - 1))
+        |        // (2 * CAST(n AS HUGEINT) * n * (n - 1)) AS BIGINT)
+        |        / 1000000.0
         |      ELSE 0.0 END AS DECIMAL(18,6)) AS v_t,
-        |    CAST(round(CAST(a AS DOUBLE) * d / n, 6) AS DECIMAL(18,6))
-        |      AS orn_t,
-        |    CAST(round(CAST(b AS DOUBLE) * c / n, 6) AS DECIMAL(18,6))
-        |      AS ord_t
+        |    CAST(((2 * 1000000 * a * d + n) // (2 * n)) / 1000000.0
+        |      AS DECIMAL(18,6)) AS orn_t,
+        |    CAST(((2 * 1000000 * b * c + n) // (2 * n)) / 1000000.0
+        |      AS DECIMAL(18,6)) AS ord_t
         |  FROM cx),
         |ag AS (SELECT CAST(sum(n) AS BIGINT) AS n_users,
         |    CAST(count(*) AS BIGINT) AS n_strata,
@@ -7136,7 +7163,9 @@ object SparkEntry {
         |  round(2.0 / (1.0 + exp(0.07056 * pow(abs(zz), 3.0) +
         |    1.5976 * abs(zz))), 6) AS p_value,
         |  CASE WHEN CAST(sord AS DOUBLE) > 0.0 THEN
-        |    round(CAST(sorn AS DOUBLE) / CAST(sord AS DOUBLE), 4) END
+        |    ((2 * 10000 * CAST(sorn * 1000000 AS BIGINT)
+        |      + CAST(sord * 1000000 AS BIGINT))
+        |      // (2 * CAST(sord * 1000000 AS BIGINT))) / 10000.0 END
         |    AS or_mh
         |FROM z""".stripMargin,
     // IPW ATE: the q_att_strat user reduce, empirical stratum
@@ -7167,23 +7196,30 @@ object SparkEntry {
         |us AS (SELECT * FROM s2 WHERE n_t > 0 AND n_c > 0),
         |ag AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_sup,
         |    CAST(count(*) AS BIGINT) AS n_strata_used,
-        |    sum(CAST(round(CAST(y_t AS DOUBLE) * n_s / n_t, 6)
-        |      AS DECIMAL(18,6))) AS wt,
-        |    sum(CAST(round(CAST(y_c AS DOUBLE) * n_s / n_c, 6)
-        |      AS DECIMAL(18,6))) AS wc,
-        |    sum(CAST(round(CAST(n_s AS DOUBLE) * n_s / n_t, 6)
-        |      AS DECIMAL(18,6))) AS w2t,
-        |    sum(CAST(round(CAST(n_s AS DOUBLE) * n_s / n_c, 6)
-        |      AS DECIMAL(18,6))) AS w2c
-        |  FROM us)
+        |    sum(CAST(((2 * 1000000 * y_t * n_s + n_t) // (2 * n_t))
+        |      / 1000000.0 AS DECIMAL(18,6))) AS wt,
+        |    sum(CAST(((2 * 1000000 * y_c * n_s + n_c) // (2 * n_c))
+        |      / 1000000.0 AS DECIMAL(18,6))) AS wc,
+        |    sum(CAST(((2 * 1000000 * n_s * n_s + n_t) // (2 * n_t))
+        |      / 1000000.0 AS DECIMAL(18,6))) AS w2t,
+        |    sum(CAST(((2 * 1000000 * n_s * n_s + n_c) // (2 * n_c))
+        |      / 1000000.0 AS DECIMAL(18,6))) AS w2c
+        |  FROM us),
+        |ag2 AS (SELECT *,
+        |    CAST((wt - wc) * 1000000 AS BIGINT) AS d6diff,
+        |    CAST(w2t * 1000000 AS BIGINT) AS w2t6,
+        |    CAST(w2c * 1000000 AS BIGINT) AS w2c6
+        |  FROM ag)
         |SELECT n_users, n_strata, n_sup, n_strata_used,
-        |  round((CAST(wt AS DOUBLE) - CAST(wc AS DOUBLE)) / n_sup, 4)
-        |    AS ate_ipw,
-        |  round(CAST(n_sup AS DOUBLE) * n_sup / CAST(w2t AS DOUBLE), 2)
-        |    AS ess_treated,
-        |  round(CAST(n_sup AS DOUBLE) * n_sup / CAST(w2c AS DOUBLE), 2)
-        |    AS ess_control
-        |FROM tot, ag""".stripMargin,
+        |  (CASE WHEN d6diff < 0
+        |    THEN -((2 * (-d6diff) + 100 * n_sup) // (2 * 100 * n_sup))
+        |    ELSE (2 * d6diff + 100 * n_sup) // (2 * 100 * n_sup) END)
+        |    / 10000.0 AS ate_ipw,
+        |  ((2 * 100000000 * n_sup * n_sup + w2t6) // (2 * w2t6))
+        |    / 100.0 AS ess_treated,
+        |  ((2 * 100000000 * n_sup * n_sup + w2c6) // (2 * w2c6))
+        |    / 100.0 AS ess_control
+        |FROM tot, ag2""".stripMargin,
     // Inter-arrival spectrum: exact microsecond gaps, bucket = bit
     // length of the gap (integer op, no floor(log2(double)) boundary),
     // shares from the bounded bucket frame.
@@ -7206,8 +7242,10 @@ object SparkEntry {
         |      AS BIGINT) AS cum
         |  FROM c)
         |SELECT bucket, n_gaps,
-        |  round(CAST(n_gaps AS DOUBLE) / total, 6) AS share,
-        |  round(CAST(cum AS DOUBLE) / total, 6) AS cum_share
+        |  ((2 * 1000000 * n_gaps + total) // (2 * total)) / 1000000.0
+        |    AS share,
+        |  ((2 * 1000000 * cum + total) // (2 * total)) / 1000000.0
+        |    AS cum_share
         |FROM t ORDER BY bucket""".stripMargin,
     // PACF: the q_ar2 equi-join ACF build at lags 1..3, then the
     // Durbin-Levinson recursion as one identical scalar tree.
@@ -7335,7 +7373,8 @@ object SparkEntry {
         |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
         |    CAST(sum(x) AS BIGINT) AS sx,
         |    CAST(sum(x * x) AS BIGINT) AS sxx FROM daily),
-        |m AS (SELECT round(CAST(sx AS DOUBLE) / n, 6) AS m FROM st),
+        |m AS (SELECT ((2 * 1000000 * sx + n) // (2 * n)) / 1000000.0
+        |    AS m FROM st),
         |g AS (SELECT p, idx, x FROM daily
         |  CROSS JOIN (SELECT unnest(range(2, 15)) AS p)),
         |tm AS (SELECT p,
@@ -7499,7 +7538,8 @@ object SparkEntry {
          |m AS (SELECT b, CAST(sw AS DOUBLE) / nw AS mean_b, sx, c FROM g)
          |SELECT CAST(count(*) AS BIGINT) AS n_replicas,
          |  max(c) AS n_orders,
-         |  round(CAST(max(sx) AS DOUBLE) / max(c), 4) AS point_mean,
+         |  ((2 * 100 * CAST(max(sx) * 100 AS BIGINT) + max(c))
+         |    // (2 * max(c))) / 10000.0 AS point_mean,
          |  round(quantile_cont(mean_b, 0.025), 4) AS lo95,
          |  round(quantile_cont(mean_b, 0.975), 4) AS hi95
          |FROM m""".stripMargin
@@ -7550,8 +7590,8 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_test,
         |  CAST(sum(CASE WHEN residual <= qhat THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_covered,
-        |  round(CAST(sum(CASE WHEN residual <= qhat THEN 1 ELSE 0 END)
-        |    AS DOUBLE) / count(*), 4) AS coverage
+        |  ((2 * 10000 * sum(CASE WHEN residual <= qhat THEN 1 ELSE 0
+        |    END) + count(*)) // (2 * count(*))) / 10000.0 AS coverage
         |FROM sr JOIN q ON q.event_type = sr.event_type
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // Markov eval: same lead window, argmax via (count DESC, type) rank,
@@ -7577,8 +7617,9 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_test,
         |  CAST(sum(CASE WHEN next_type = predicted THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_correct,
-        |  round(CAST(sum(CASE WHEN next_type = predicted THEN 1 ELSE 0 END)
-        |    AS DOUBLE) / count(*), 4) AS accuracy
+        |  ((2 * 10000 * sum(CASE WHEN next_type = predicted THEN 1
+        |    ELSE 0 END) + count(*)) // (2 * count(*))) / 10000.0
+        |    AS accuracy
         |FROM te JOIN p ON p.event_type = te.event_type
         |GROUP BY 1, 2 ORDER BY te.event_type""".stripMargin,
     // k-core peel: the kNN CTEs, undirected canonical edges, then three
@@ -7787,8 +7828,10 @@ object SparkEntry {
         |  FROM v GROUP BY 1),
         |t AS (SELECT g.*, sum(n_first) OVER () AS n_total FROM g)
         |SELECT key, n_present,
-        |  round(CAST(n_present AS DOUBLE) / n_total, 4) AS coverage,
-        |  round(CAST(n_numeric AS DOUBLE) / n_present, 4) AS numeric_share,
+        |  ((2 * 10000 * n_present + n_total) // (2 * n_total))
+        |    / 10000.0 AS coverage,
+        |  ((2 * 10000 * n_numeric + n_present) // (2 * n_present))
+        |    / 10000.0 AS numeric_share,
         |  min_num, max_num
         |FROM t WHERE key IS NOT NULL ORDER BY key""".stripMargin,
     // Ship lag: same join, quantile_cont over the integer day lags.
@@ -7831,7 +7874,12 @@ object SparkEntry {
         |    CAST(round((b - a) / greatest(a, b), 6) AS DECIMAL(18,6)) AS sv
         |  FROM p)
         |SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
-        |  round(CAST(sum(sv) AS DOUBLE) / count(*), 4) AS silhouette
+        |  (CASE WHEN sum(sv) < 0
+        |    THEN -((2 * CAST(-sum(sv) * 1000000 AS BIGINT)
+        |      + 100 * count(*)) // (2 * 100 * count(*)))
+        |    ELSE (2 * CAST(sum(sv) * 1000000 AS BIGINT)
+        |      + 100 * count(*)) // (2 * 100 * count(*)) END)
+        |    / 10000.0 AS silhouette
         |FROM s GROUP BY 1 ORDER BY label""".stripMargin,
     // Target encoding: same bounded segment frame, window-total global
     // mean, identical blend tree.
@@ -8166,8 +8214,9 @@ object SparkEntry {
         |    AS BIGINT) AS n_losers,
         |  CAST(sum(CASE WHEN lo.doc_id IS NOT NULL THEN d.n_chars
         |    ELSE 0 END) AS BIGINT) AS loser_chars,
-        |  round(CAST(sum(CASE WHEN lo.doc_id IS NOT NULL THEN d.n_chars
-        |    ELSE 0 END) AS DOUBLE) / sum(d.n_chars), 6) AS savings_share
+        |  ((2 * 1000000 * sum(CASE WHEN lo.doc_id IS NOT NULL
+        |      THEN d.n_chars ELSE 0 END) + sum(d.n_chars))
+        |    // (2 * sum(d.n_chars))) / 1000000.0 AS savings_share
         |FROM (SELECT doc_id, source, n_chars FROM documents
         |      WHERE text IS NOT NULL) d
         |LEFT JOIN lo ON lo.doc_id = d.doc_id
@@ -8254,8 +8303,9 @@ object SparkEntry {
         |best AS (SELECT *, row_number() OVER
         |    (ORDER BY reduction DESC, day) AS rn FROM r)
         |SELECT day AS last_day_before, n AS n_days, k AS n_before,
-        |  round(CAST(s1 AS DOUBLE) / k, 4) AS mean_before,
-        |  round(CAST(t1 - s1 AS DOUBLE) / (n - k), 4) AS mean_after,
+        |  ((2 * 10000 * s1 + k) // (2 * k)) / 10000.0 AS mean_before,
+        |  ((2 * 10000 * (t1 - s1) + (n - k)) // (2 * (n - k)))
+        |    / 10000.0 AS mean_after,
         |  round(reduction / sse_p, 6) AS var_explained,
         |  round(reduction, 4) AS sse_reduction
         |FROM best WHERE rn = 1""".stripMargin,
@@ -8288,7 +8338,8 @@ object SparkEntry {
         |      (CAST(1 AS DOUBLE) - r1 * r1), 6) AS phi1,
         |    round((r2 - r1 * r1) /
         |      (CAST(1 AS DOUBLE) - r1 * r1), 6) AS phi2 FROM r),
-        |mr AS (SELECT n, round(CAST(sx AS DOUBLE) / n, 6) AS m FROM st),
+        |mr AS (SELECT n, ((2 * 1000000 * sx + n) // (2 * n))
+        |    / 1000000.0 AS m FROM st),
         |tri AS (SELECT d.x, l1.x AS x1, l2.x AS x2 FROM daily d
         |  JOIN daily l1 ON d.day = l1.day + 1
         |  JOIN daily l2 ON d.day = l2.day + 2),
@@ -8339,16 +8390,27 @@ object SparkEntry {
         |nt AS (SELECT CAST(sum(n_t) AS BIGINT) AS nt_used,
         |    CAST(count(*) AS BIGINT) AS n_strata_used FROM us),
         |at AS (SELECT
-        |    sum(CAST(round((CAST(n_t AS DOUBLE) / nt_used) *
-        |      (CAST(y_t AS DOUBLE) / n_t - CAST(y_c AS DOUBLE) / n_c),
-        |      6) AS DECIMAL(18,6))) AS att_d,
+        |    sum(CAST((CASE WHEN y_t * n_c - y_c * n_t < 0
+        |      THEN -CAST((2 * 1000000 * (y_c * n_t - y_t * n_c)
+        |        + nt_used * n_c) // (2 * nt_used * n_c) AS DOUBLE)
+        |      ELSE CAST((2 * 1000000 * (y_t * n_c - y_c * n_t)
+        |        + nt_used * n_c) // (2 * nt_used * n_c) AS DOUBLE)
+        |      END) / 1000000.0 AS DECIMAL(18,6))) AS att_d,
         |    max(nt_used) AS nt_used,
         |    max(n_strata_used) AS n_strata_used
         |  FROM us, nt),
         |ns AS (SELECT CAST(count(*) AS BIGINT) AS n_strata FROM s)
         |SELECT n_users, n_treated, n_users - n_treated AS n_control,
-        |  round(CAST(yt AS DOUBLE) / n_treated -
-        |    CAST(yc AS DOUBLE) / (n_users - n_treated), 4) AS naive_diff,
+        |  (CASE WHEN yt * (n_users - n_treated) - yc * n_treated < 0
+        |    THEN -((2 * 10000 * (yc * n_treated
+        |        - yt * (n_users - n_treated))
+        |      + n_treated * (n_users - n_treated))
+        |      // (2 * n_treated * (n_users - n_treated)))
+        |    ELSE (2 * 10000 * (yt * (n_users - n_treated)
+        |        - yc * n_treated)
+        |      + n_treated * (n_users - n_treated))
+        |      // (2 * n_treated * (n_users - n_treated)) END)
+        |    / 10000.0 AS naive_diff,
         |  CAST(round(att_d, 4) AS DOUBLE) AS att,
         |  n_strata, n_strata_used, nt_used AS n_treated_on_support
         |FROM ov, at, ns""".stripMargin,
@@ -8387,7 +8449,10 @@ object SparkEntry {
         |  FROM ch LEFT JOIN e ON (e.mask & ch.bit) <> 0
         |  GROUP BY ch.channel, ch.ci)
         |SELECT t.channel,
-        |  round(CAST(phi24 AS DOUBLE) / 24.0, 6) AS phi,
+        |  (CASE WHEN phi24 < 0
+        |    THEN -((2 * 1000000 * (-phi24) + 24) // 48)
+        |    ELSE (2 * 1000000 * phi24 + 24) // 48 END) / 1000000.0
+        |    AS phi,
         |  touched_users, converted_touched
         |FROM terms t JOIN touch USING (channel, ci)
         |ORDER BY channel""".stripMargin,
@@ -8484,11 +8549,12 @@ object SparkEntry {
         |    CAST(sum(x) AS BIGINT) AS sx,
         |    CAST(sum(x * x) AS BIGINT) AS sxx FROM d GROUP BY 1)
         |SELECT event_type, n_days,
-        |  round(CAST(sx AS DOUBLE) / n_days, 4) AS mean_daily,
-        |  round((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n_days)
-        |    / n_days, 4) AS var_daily,
-        |  round(((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n_days)
-        |    / n_days) / (CAST(sx AS DOUBLE) / n_days), 4) AS fano
+        |  ((2 * 10000 * sx + n_days) // (2 * n_days)) / 10000.0
+        |    AS mean_daily,
+        |  ((2 * 10000 * (n_days * sxx - sx * sx) + n_days * n_days)
+        |    // (2 * n_days * n_days)) / 10000.0 AS var_daily,
+        |  ((2 * 10000 * (n_days * sxx - sx * sx) + n_days * sx)
+        |    // (2 * n_days * sx)) / 10000.0 AS fano
         |FROM s ORDER BY event_type""".stripMargin,
     // Peak concurrency: the q_events_sessions assignment rolled to
     // intervals, day-clamped, then the same ends-first sweep.
@@ -8853,7 +8919,11 @@ object SparkEntry {
         |it AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS s,
         |    CAST(sum(c * c) AS BIGINT) AS q FROM c GROUP BY 1),
         |vi AS (SELECT nu,
-        |    (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / nu) / nu AS v_i
+        |    CAST((2 * (CAST(nu AS HUGEINT) * q
+        |        - CAST(s AS HUGEINT) * s) * 1000000
+        |      + CAST(nu AS HUGEINT) * nu)
+        |      // (2 * CAST(nu AS HUGEINT) * nu) AS BIGINT)
+        |      / 1000000.0 AS v_i
         |  FROM it, nu),
         |sv AS (SELECT nu, CAST(count(*) AS BIGINT) AS k,
         |    sum(CAST(round(v_i, 6) AS DECIMAL(18,6))) AS sum_v
@@ -8862,16 +8932,25 @@ object SparkEntry {
         |  FROM c GROUP BY 1),
         |ta AS (SELECT CAST(sum(t) AS BIGINT) AS st,
         |    CAST(sum(t * t) AS BIGINT) AS qt FROM tu),
-        |vt AS (SELECT
-        |    (CAST(qt AS DOUBLE) - CAST(st AS DOUBLE) * st / nu) / nu
-        |      AS v_tot
-        |  FROM ta, nu)
+        |vt AS (SELECT nu AS nu_t,
+        |    CAST(nu AS HUGEINT) * qt - CAST(st AS HUGEINT) * st AS dd
+        |  FROM ta, nu),
+        |fin AS (SELECT nu, k, sum_v, nu_t, dd,
+        |    CAST(sum_v * 1000000 AS BIGINT) AS s6,
+        |    (dd * 1000000 - CAST(sum_v * 1000000 AS BIGINT)
+        |      * nu_t * nu_t) * k AS an,
+        |    (k - 1) * dd AS ad
+        |  FROM sv, vt)
         |SELECT nu AS n_users, k AS k_items,
         |  CAST(round(sum_v, 4) AS DOUBLE) AS sum_item_var,
-        |  round(v_tot, 4) AS total_var,
-        |  round(CAST(k AS DOUBLE) / (k - 1) *
-        |    (1.0 - CAST(sum_v AS DOUBLE) / v_tot), 6) AS alpha
-        |FROM sv, vt""".stripMargin,
+        |  CAST((2 * dd * 10000 + nu_t * nu_t)
+        |    // (2 * CAST(nu_t AS HUGEINT) * nu_t) AS BIGINT) / 10000.0
+        |    AS total_var,
+        |  (CASE WHEN an < 0
+        |    THEN -CAST((2 * (-an) + ad) // (2 * ad) AS BIGINT)
+        |    ELSE CAST((2 * an + ad) // (2 * ad) AS BIGINT) END)
+        |    / 1000000.0 AS alpha
+        |FROM fin""".stripMargin,
     // Durbin-Watson: exact-sum OLS per type, residuals 6-rounded into
     // decimal so both quadratic forms are exact; one final divide.
     "q_durbin_watson" ->
@@ -8895,8 +8974,11 @@ object SparkEntry {
         |e2 AS (SELECT *, e - lag(e, 1)
         |    OVER (PARTITION BY event_type ORDER BY day) AS de FROM e)
         |SELECT event_type, max(n) AS n_days,
-        |  round(CAST(sum(de * de) AS DOUBLE) /
-        |    CAST(sum(e * e) AS DOUBLE), 4) AS dw
+        |  CAST((2 * CAST(sum(de * de) * 1000000000000 AS HUGEINT)
+        |      * 10000
+        |    + CAST(sum(e * e) * 1000000000000 AS HUGEINT))
+        |    // (2 * CAST(sum(e * e) * 1000000000000 AS HUGEINT))
+        |    AS BIGINT) / 10000.0 AS dw
         |FROM e2 GROUP BY event_type ORDER BY event_type""".stripMargin,
     // Script mix: explicit ASCII classes (dialect-stable), exact counts,
     // terminating share ratios by exact integer half-up.
@@ -9042,7 +9124,8 @@ object SparkEntry {
          |tv AS (SELECT node, CAST(count(*) AS BIGINT) AS tv FROM
          |       (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
          |        UNION ALL SELECT c FROM tri) x GROUP BY 1),
-         |lc AS (SELECT CAST(round(2.0 * coalesce(tv, 0) / (d * (d - 1)), 8)
+         |lc AS (SELECT CAST(((2 * 100000000 * 2 * coalesce(tv, 0)
+         |           + d * (d - 1)) // (2 * d * (d - 1))) / 100000000.0
          |         AS DECIMAL(18,8)) AS c
          |       FROM deg LEFT JOIN tv USING (node) WHERE d >= 2),
          |la AS (SELECT CAST(count(*) AS BIGINT) AS n2, sum(c) AS sc FROM lc),

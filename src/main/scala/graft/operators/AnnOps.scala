@@ -1019,8 +1019,16 @@ object AnnOps {
       .groupBy(col("label"))
       .agg(
         count(lit(1)).as("n_vecs"),
-        round(sum(col("norm")).cast("double") / count(lit(1)), 4).as("avg_norm"),
-        round(sum(col("dim0")).cast("double") / count(lit(1)), 4).as("avg_dim0"))
+        sum(col("norm")).as("sn"), sum(col("dim0")).as("sd"))
+      // scale-8 decimal sums / count → exact integer half-up
+      // ([[ExactRound]]); dim0 can be negative → signed form
+      .withColumn("sn8", (col("sn") * 100000000L).cast("long"))
+      .withColumn("sd8", (col("sd") * 100000000L).cast("long"))
+      .select(col("label"), col("n_vecs"),
+        (ExactRound.halfUpPos("sn8", "10000 * n_vecs")
+          .cast("double") / 1e4).as("avg_norm"),
+        (ExactRound.halfUp("sd8", "10000 * n_vecs")
+          .cast("double") / 1e4).as("avg_dim0"))
       .orderBy(col("label"))
   }
 
@@ -1185,9 +1193,12 @@ object AnnOps {
         round((col("b") - col("a")) / greatest(col("a"), col("b")), 6)
           .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
       .groupBy(col("label"))
-      .agg(count(lit(1)).as("n_vectors"),
-        round(sum(col("s")).cast("double") / count(lit(1)), 4)
-          .as("silhouette"))
+      .agg(count(lit(1)).as("n_vectors"), sum(col("s")).as("ss"))
+      // signed 6-dp decimal sum / count → exact integer half-up
+      .withColumn("ss6", (col("ss") * 1000000).cast("long"))
+      .select(col("label"), col("n_vectors"),
+        (ExactRound.halfUp("ss6", "100 * n_vectors")
+          .cast("double") / 1e4).as("silhouette"))
       .orderBy(col("label"))
   }
 

@@ -372,10 +372,17 @@ object CatalogOps {
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
         (if (exactNdv) countDistinct(col(c))
          else approx_count_distinct(col(c), 0.02)).as(s"${c}__ndv"),
-        round(sum(length(col(c)).cast("long")).cast("double") / count(col(c)), 4)
-          .as(s"${c}__avglen"))
+        sum(length(col(c)).cast("long")).as(s"${c}__lensum"),
+        count(col(c)).as(s"${c}__cnt"))
     }
-    val wide = df.agg(aggs.head, aggs.tail: _*)
+    // avg_len = Σlen/count is a terminating quotient → exact integer
+    // half-up ([[ExactRound]]) computed on the one-row wide frame
+    val wide = columns.foldLeft(df.agg(aggs.head, aggs.tail: _*)) {
+      (acc, c) =>
+        acc.withColumn(s"${c}__avglen",
+          ExactRound.halfUpPos(s"10000 * `${c}__lensum`", s"`${c}__cnt`")
+            .cast("double") / 1e4)
+    }
     val stackExpr = columns.map { c =>
       s"'$c', `${c}__min`, `${c}__max`, `${c}__nulls`, `${c}__ndv`, `${c}__avglen`"
     }.mkString(s"stack(${columns.size}, ", ", ", ")")
@@ -616,8 +623,9 @@ object CatalogOps {
           lit(ct).as("child_table"), lit(cc).as("child_col"),
           lit(pt).as("parent_table"), lit(pc).as("parent_col"),
           col("n_child_distinct"), col("n_contained"),
-          round(col("n_contained").cast("double") / col("n_child_distinct"), 4)
-            .as("containment"))
+          // count/count → exact integer half-up ([[ExactRound]])
+          (ExactRound.halfUpPos("10000 * n_contained", "n_child_distinct")
+            .cast("double") / 1e4).as("containment"))
     }
     results.reduce(_ unionByName _)
       .orderBy(col("child_table"), col("child_col"), col("parent_table"))
@@ -838,8 +846,9 @@ object CatalogOps {
         .filter(v.isNotNull)
         .agg(count(lit(1)).as("n_values"), matchSums: _*)
       val shares = SemanticClasses.map { case (label, _) =>
-        round(col(s"__m_$label").cast("double") / col("n_values"), 4)
-          .as(s"pct_$label")
+        // count/count → exact integer half-up ([[ExactRound]])
+        (ExactRound.halfUpPos(s"10000 * `__m_$label`", "n_values")
+          .cast("double") / 1e4).as(s"pct_$label")
       }
       val inferred = SemanticClasses.foldRight(lit("text")) {
         case ((label, _), other) =>
@@ -901,10 +910,11 @@ object CatalogOps {
       struct(lit("n_langs").as("metric"),
         col("n_langs").cast("double").as("value")),
       struct(lit("mean_doc_tokens").as("metric"),
-        round(col("n_tokens").cast("double") / col("n_docs"), 4).as("value")),
+        (ExactRound.halfUpPos("10000 * n_tokens", "n_docs")
+          .cast("double") / 1e4).as("value")),
       struct(lit("exact_dup_rate").as("metric"),
-        round(lit(1.0) - col("n_uniq_texts").cast("double") / col("n_docs"), 4)
-          .as("value")))).as("m"))
+        (ExactRound.halfUpPos("10000 * (n_docs - n_uniq_texts)", "n_docs")
+          .cast("double") / 1e4).as("value")))).as("m"))
       .select(col("m.metric").as("metric"), col("m.value").as("value"))
       .orderBy(col("metric"))
   }
@@ -1393,10 +1403,11 @@ object CatalogOps {
           org.apache.spark.sql.expressions.Window.partitionBy()))
       .filter(col("key").isNotNull)
       .select(col("key"), col("n_present"),
-        round(col("n_present").cast("double") / col("n_total"), 4)
-          .as("coverage"),
-        round(col("n_numeric").cast("double") / col("n_present"), 4)
-          .as("numeric_share"),
+        // count/count → exact integer half-up ([[ExactRound]])
+        (ExactRound.halfUpPos("10000 * n_present", "n_total")
+          .cast("double") / 1e4).as("coverage"),
+        (ExactRound.halfUpPos("10000 * n_numeric", "n_present")
+          .cast("double") / 1e4).as("numeric_share"),
         col("min_num"), col("max_num"))
       .orderBy(col("key"))
   }
@@ -1455,9 +1466,12 @@ object CatalogOps {
         max(col("c")).as("n_orders"),
         max(col("sx")).as("sx"),
         expr("percentile(mean_b, array(0.025D, 0.975D))").as("q"))
+      // decimal-2 sum / count → exact integer half-up ([[ExactRound]])
+      .withColumn("sx2", (col("sx") * 100).cast("long"))
       .select(
         col("n_replicas"), col("n_orders"),
-        round(col("sx").cast("double") / col("n_orders"), 4).as("point_mean"),
+        (ExactRound.halfUpPos("100 * sx2", "n_orders")
+          .cast("double") / 1e4).as("point_mean"),
         round(col("q").getItem(0), 4).as("lo95"),
         round(col("q").getItem(1), 4).as("hi95"))
   }

@@ -443,8 +443,9 @@ object CorpusOps {
         sum(t - col("__kept")).as("truncated_tokens"))
       .select(col("bucket"), col("n_docs"), col("sum_tokens"),
         col("kept_tokens"), col("pad_tokens"), col("truncated_tokens"),
-        round(col("pad_tokens").cast("double") /
-          (col("bucket") * col("n_docs")), 4).as("pad_waste_rate"))
+        // int/int ratio → exact integer half-up ([[ExactRound]])
+        (ExactRound.halfUpPos("10000 * pad_tokens", "bucket * n_docs")
+          .cast("double") / 1e4).as("pad_waste_rate"))
       .orderBy(col("bucket"))
   }
 
@@ -676,15 +677,21 @@ object CorpusOps {
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("n_total", sum(col("n_docs")).over(wAll))
       .withColumn("n_strata", count(lit(1)).over(wAll))
-      .withColumn("obs_share", col("n_docs").cast("double") / col("n_total"))
-      .withColumn("target_share", lit(1.0) / col("n_strata"))
-      .withColumn("raw_w", col("target_share") / col("obs_share"))
+      // all four readouts are terminating integer ratios → exact
+      // integer half-up ([[ExactRound]]): obs = n/N, target = 1/k,
+      // raw_w = N/(k·n); the clip bounds (maxW, 1/maxW) are 6-dp
+      // representable, so clipping the 6-dp value equals rounding the
+      // clipped exact value (round is monotone)
+      .withColumn("w6",
+        ExactRound.halfUpPos("1000000 * n_total", "n_strata * n_docs"))
       .select(col(strataCol), col("n_docs"),
-        round(col("obs_share"), 6).as("obs_share"),
-        round(col("target_share"), 6).as("target_share"),
-        round(col("raw_w"), 6).as("raw_w"),
-        round(least(greatest(col("raw_w"), lit(1.0) / maxW), lit(maxW)), 6)
-          .as("weight"))
+        (ExactRound.halfUpPos("1000000 * n_docs", "n_total")
+          .cast("double") / 1e6).as("obs_share"),
+        (ExactRound.halfUpPos("1000000", "n_strata")
+          .cast("double") / 1e6).as("target_share"),
+        (col("w6").cast("double") / 1e6).as("raw_w"),
+        (least(greatest(col("w6"), lit(math.round(1e6 / maxW))),
+          lit(math.round(maxW * 1e6))).cast("double") / 1e6).as("weight"))
       .orderBy(col(strataCol))
   }
 

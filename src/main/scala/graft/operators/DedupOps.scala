@@ -787,12 +787,13 @@ object DedupOps extends org.apache.spark.internal.Logging {
           col("para_idx") =!= col("__first.para_idx"), lit(1L))
           .otherwise(lit(0L))).as("n_dup_paras"))
     val out = exact.join(paraStats, "source")
+      // count/count → exact integer half-up ([[ExactRound]])
       .select(col("source"), col("n_docs"), col("n_uniq_texts"),
-        round((col("n_docs") - col("n_uniq_texts")).cast("double") /
-          col("n_docs"), 4).as("exact_dup_rate"),
+        (ExactRound.halfUpPos("10000 * (n_docs - n_uniq_texts)",
+          "n_docs").cast("double") / 1e4).as("exact_dup_rate"),
         col("n_paras"), col("n_dup_paras"),
-        round(col("n_dup_paras").cast("double") / col("n_paras"), 4)
-          .as("para_dup_rate"))
+        (ExactRound.halfUpPos("10000 * n_dup_paras", "n_paras")
+          .cast("double") / 1e4).as("para_dup_rate"))
       .orderBy(col("source"))
       .localCheckpoint(true)
     paras.unpersist(false)
@@ -1017,10 +1018,13 @@ object DedupOps extends org.apache.spark.internal.Logging {
       .withColumn("inter",
         size(array_intersect(col("t_in"), col("t_out"))))
       .filter(col("inter").cast("double") / col("s_in") >= threshold)
+      // count/count → exact integer half-up ([[ExactRound]]); the
+      // threshold filter above keeps its double compare (same tree)
       .select(col("doc_in"), col("doc_out"),
         col("s_in").cast("long").as("s_in"),
         col("inter").cast("long").as("inter"),
-        round(col("inter").cast("double") / col("s_in"), 6)
+        (ExactRound.halfUpPos("1000000 * CAST(inter AS BIGINT)",
+          "CAST(s_in AS BIGINT)").cast("double") / 1e6)
           .as("containment"))
       .orderBy(col("doc_in"), col("doc_out"))
       .localCheckpoint(true)
@@ -1162,10 +1166,11 @@ object DedupOps extends org.apache.spark.internal.Logging {
         sum(coalesce(col("is_loser"), lit(0L))).as("n_losers"),
         sum(when(col("is_loser") === 1L, col("n_chars")).otherwise(0L))
           .as("loser_chars"))
+      // count/count → exact integer half-up ([[ExactRound]])
       .select(col("source"), col("n_docs"), col("total_chars"),
         col("n_losers"), col("loser_chars"),
-        round(col("loser_chars").cast("double") / col("total_chars"), 6)
-          .as("savings_share"))
+        (ExactRound.halfUpPos("1000000 * loser_chars", "total_chars")
+          .cast("double") / 1e6).as("savings_share"))
       .orderBy(col("source"))
   }
 
@@ -1188,9 +1193,10 @@ object DedupOps extends org.apache.spark.internal.Logging {
       .groupBy(floor(col("quality") * 10).cast("int").as("bucket"))
       .agg(count(lit(1)).as("n_docs"),
         sum(coalesce(col("is_dup"), lit(0L))).as("n_dup"))
+      // count/count → exact integer half-up ([[ExactRound]])
       .select(col("bucket"), col("n_docs"), col("n_dup"),
-        round(col("n_dup").cast("double") / col("n_docs"), 4)
-          .as("dup_share"))
+        (ExactRound.halfUpPos("10000 * n_dup", "n_docs")
+          .cast("double") / 1e4).as("dup_share"))
       .orderBy(col("bucket"))
   }
 

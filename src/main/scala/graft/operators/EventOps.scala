@@ -440,8 +440,10 @@ object EventOps {
       // surface as negative offsets — meaningless in a retention matrix
       .filter(col("week_offset") >= 0)
       .join(broadcast(sizes), "cohort_week")
+      // count/count → exact integer half-up ([[ExactRound]])
       .withColumn("retention",
-        round(col("n_users").cast("double") / col("cohort_size"), 4))
+        ExactRound.halfUpPos("10000 * n_users", "cohort_size")
+          .cast("double") / 1e4)
       .select(col("cohort_week"), col("week_offset"), col("n_users"),
         col("cohort_size"), col("retention"))
       .orderBy(col("cohort_week"), col("week_offset"))
@@ -499,7 +501,11 @@ object EventOps {
       .groupBy(col("event_type"))
       .agg(
         count(col("k")).as("n"),
-        round(sum(col("k")).cast("double") / count(col("k")), 4).as("avg_k"))
+        sum(col("k")).as("sk"))
+      // long sum / count → exact integer half-up ([[ExactRound]])
+      .select(col("event_type"), col("n"),
+        (ExactRound.halfUpPos("10000 * sk", "n")
+          .cast("double") / 1e4).as("avg_k"))
       .orderBy(col("event_type"))
 
   /** Positional (U-shaped) multi-touch attribution: every non-purchase
@@ -602,8 +608,11 @@ object EventOps {
       .agg(coalesce(sum(col("users")), lit(0L)).as("touched_users"),
         coalesce(sum(col("conv")), lit(0L)).as("converted_touched"))
     terms.join(touch, Seq("channel", "ci"))
+      // signed long / factorial constant → exact integer half-up
+      .withColumn("fct", lit(fact(n).toLong))
       .select(col("channel"),
-        round(col("phi24").cast("double") / fact(n), 6).as("phi"),
+        (ExactRound.halfUp("1000000 * phi24", "fct")
+          .cast("double") / 1e6).as("phi"),
         col("touched_users"), col("converted_touched"))
       .orderBy(col("channel"))
   }
@@ -719,9 +728,10 @@ object EventOps {
     val smoothed = contrib.groupBy(col("event_type"), col("t").as("day"))
       .agg(sum(col("c")).as("num"), sum(col("wt")).as("den"))
     daily.join(smoothed, Seq("event_type", "day"))
+      // long/long ratio → exact integer half-up ([[ExactRound]])
       .select(col("event_type"), col("day"), col("n"),
-        round(col("num").cast("double") / col("den").cast("double"), 4)
-          .as("ewma"))
+        (ExactRound.halfUpPos("10000 * num", "den")
+          .cast("double") / 1e4).as("ewma"))
       .orderBy(col("event_type"), col("day"))
   }
 
@@ -948,7 +958,12 @@ object EventOps {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_cells"),
         sum(col("actual")).as("n_actual"),
-        round(sum(col("term")).cast("double") / count(lit(1)), 4).as("mae"))
+        sum(col("term")).as("st"))
+      // 6-dp decimal sum / count at 4 dp → exact integer half-up
+      .withColumn("st6", (col("st") * 1000000).cast("long"))
+      .select(col("event_type"), col("n_cells"), col("n_actual"),
+        (ExactRound.halfUpPos("st6", "100 * n_cells")
+          .cast("double") / 1e4).as("mae"))
       .orderBy(col("event_type"))
       .localCheckpoint(true)
     ev.unpersist(false)
@@ -1494,8 +1509,10 @@ object EventOps {
         count(lit(1)).as("n_test"),
         sum(when(col("residual") <= col("qhat"), 1L).otherwise(0L))
           .as("n_covered"))
+      // count/count → exact integer half-up ([[ExactRound]])
       .withColumn("coverage",
-        round(col("n_covered").cast("double") / col("n_test"), 4))
+        ExactRound.halfUpPos("10000 * n_covered", "n_test")
+          .cast("double") / 1e4)
       .orderBy(col("event_type"))
       .localCheckpoint(true)
     ev.unpersist(false)
@@ -1540,8 +1557,10 @@ object EventOps {
       .agg(count(lit(1)).as("n_test"),
         sum(when(col("next_type") === col("predicted"), 1L).otherwise(0L))
           .as("n_correct"))
+      // count/count → exact integer half-up ([[ExactRound]])
       .withColumn("accuracy",
-        round(col("n_correct").cast("double") / col("n_test"), 4))
+        ExactRound.halfUpPos("10000 * n_correct", "n_test")
+          .cast("double") / 1e4)
       .orderBy(col("event_type"))
       .localCheckpoint(true)
     trans.unpersist(false)
@@ -1739,7 +1758,9 @@ object EventOps {
         round((col("r2") - col("r1") * col("r1")) /
           (lit(1.0) - col("r1") * col("r1")), 6).as("phi2"))
     val mrow = stats.select(col("n"),
-      round(col("sx").cast("double") / col("n"), 6).as("m"))
+      // integer mean → exact integer half-up ([[ExactRound]])
+      (ExactRound.halfUpPos("1000000 * sx", "n")
+        .cast("double") / 1e6).as("m"))
     val tri = daily
       .join(daily.select(date_add(col("day"), 1).as("day"),
         col("x").as("x1")), "day")
@@ -1816,10 +1837,11 @@ object EventOps {
     val ntu = used.agg(sum(col("n_t")).as("nt_used"),
       count(lit(1)).as("n_strata_used"))
     val att = used.crossJoin(broadcast(ntu))
+      // (n_t/N)·(ȳ_t − ȳ_c) clears to (y_t·n_c − y_c·n_t)/(N·n_c) —
+      // a SIGNED integer ratio → exact integer half-up
       .withColumn("contrib",
-        round((col("n_t").cast("double") / col("nt_used")) *
-          (col("y_t").cast("double") / col("n_t") -
-            col("y_c").cast("double") / col("n_c")), 6).cast(d6))
+        (ExactRound.halfUp("1000000 * (y_t * n_c - y_c * n_t)",
+          "nt_used * n_c").cast("double") / 1e6).cast(d6))
       .agg(sum(col("contrib")).as("att_d"),
         max(col("nt_used")).as("nt_used"),
         max(col("n_strata_used")).as("n_strata_used"))
@@ -1828,9 +1850,12 @@ object EventOps {
       .crossJoin(broadcast(nStrata))
       .select(col("n_users"), col("n_treated"),
         (col("n_users") - col("n_treated")).as("n_control"),
-        round(col("yt").cast("double") / col("n_treated") -
-          col("yc").cast("double") /
-            (col("n_users") - col("n_treated")), 4).as("naive_diff"),
+        // ȳ_t − ȳ_c clears to (yt·n_c − yc·n_t)/(n_t·n_c), SIGNED →
+        // exact integer half-up
+        (ExactRound.halfUp(
+          "10000 * (yt * (n_users - n_treated) - yc * n_treated)",
+          "n_treated * (n_users - n_treated)")
+          .cast("double") / 1e4).as("naive_diff"),
         round(col("att_d"), 4).cast("double").as("att"),
         col("n_strata"), col("n_strata_used"),
         col("nt_used").as("n_treated_on_support"))
@@ -1952,7 +1977,9 @@ object EventOps {
     val terms = daily
       .withColumn("p", explode(sequence(lit(2), lit(14))))
       .crossJoin(broadcast(stats.select(
-        round(col("sx").cast("double") / col("n"), 6).as("m"))))
+        // integer mean → exact integer half-up ([[ExactRound]])
+        (ExactRound.halfUpPos("1000000 * sx", "n")
+          .cast("double") / 1e6).as("m"))))
       .withColumn("ang", pi2 * (col("idx") % col("p")) / col("p"))
       .withColumn("ct", round(cos(col("ang")), 6))
       .withColumn("st", round(sin(col("ang")), 6))
@@ -2023,17 +2050,27 @@ object EventOps {
       .withColumn("r1", col("a") + col("b"))
       .withColumn("c1", col("a") + col("c"))
     val terms = cells
-      .withColumn("e_t", round(
-        col("r1").cast("double") * col("c1") / col("n"), 6).cast(d6))
-      .withColumn("v_t", when(col("n") > 1L, round(
-        col("r1").cast("double") * (col("n") - col("r1")) *
-          col("c1") * (col("n") - col("c1")) /
-          (col("n").cast("double") * col("n") * (col("n") - 1L)), 6))
+      // r1·c1/n is a terminating integer ratio → exact integer half-up
+      .withColumn("e_t",
+        (ExactRound.halfUpPos("1000000 * r1 * c1", "n")
+          .cast("double") / 1e6).cast(d6))
+      // the hypergeometric variance term is a terminating integer ratio
+      // whose ×10⁶ numerator exceeds int64 — staged through
+      // decimal(38,0); the a·d/n and b·c/n odds terms fit in longs
+      .withColumn("vn", (col("r1").cast(DecimalType(38, 0)) *
+        (col("n") - col("r1")) * col("c1") * (col("n") - col("c1")) *
+        1000000L).cast(DecimalType(38, 0)))
+      .withColumn("vd", (col("n").cast(DecimalType(38, 0)) * col("n") *
+        (col("n") - lit(1L))).cast(DecimalType(38, 0)))
+      .withColumn("v_t", when(col("n") > 1L,
+        ExactRound.halfUpPos("vn", "vd").cast("double") / 1e6)
         .otherwise(lit(0.0)).cast(d6))
-      .withColumn("orn_t", round(
-        col("a").cast("double") * col("d") / col("n"), 6).cast(d6))
-      .withColumn("ord_t", round(
-        col("b").cast("double") * col("c") / col("n"), 6).cast(d6))
+      .withColumn("orn_t",
+        (ExactRound.halfUpPos("1000000 * a * d", "n")
+          .cast("double") / 1e6).cast(d6))
+      .withColumn("ord_t",
+        (ExactRound.halfUpPos("1000000 * b * c", "n")
+          .cast("double") / 1e6).cast(d6))
     val agg = terms.agg(
       sum(col("n")).as("n_users"), count(lit(1)).as("n_strata"),
       sum(col("a")).as("sa"), sum(col("e_t")).as("se"),
@@ -2049,8 +2086,12 @@ object EventOps {
         round(lit(2.0) / (lit(1.0) +
           exp(lit(0.07056) * pow(abs(col("z")), 3.0) +
             lit(1.5976) * abs(col("z")))), 6).as("p_value"),
+        // ratio of 6-dp decimal sums (terminating) → exact integer
+        // half-up; guard unchanged
         when(col("sord").cast("double") > 0.0,
-          round(col("sorn").cast("double") / col("sord").cast("double"), 4))
+          ExactRound.halfUpPos(
+            "10000 * CAST(sorn * 1000000 AS BIGINT)",
+            "CAST(sord * 1000000 AS BIGINT)").cast("double") / 1e4)
           .as("or_mh"))
   }
 
@@ -2261,25 +2302,34 @@ object EventOps {
     val tot = strata.agg(sum(col("n_s")).as("n_users"),
       count(lit(1)).as("n_strata"))
     val used = strata.filter(col("n_t") > 0L && col("n_c") > 0L)
-    val agg = used.agg(
-      sum(col("n_s")).as("n_sup"), count(lit(1)).as("n_strata_used"),
-      sum(round(col("y_t").cast("double") * col("n_s") / col("n_t"), 6)
-        .cast(d6)).as("wt"),
-      sum(round(col("y_c").cast("double") * col("n_s") / col("n_c"), 6)
-        .cast(d6)).as("wc"),
-      sum(round(col("n_s").cast("double") * col("n_s") / col("n_t"), 6)
-        .cast(d6)).as("w2t"),
-      sum(round(col("n_s").cast("double") * col("n_s") / col("n_c"), 6)
-        .cast(d6)).as("w2c"))
+    // every per-stratum weight term and every readout is a terminating
+    // integer/decimal ratio → exact integer half-up ([[ExactRound]])
+    val agg = used
+      .withColumn("wt_t", (ExactRound.halfUpPos("1000000 * y_t * n_s",
+        "n_t").cast("double") / 1e6).cast(d6))
+      .withColumn("wc_t", (ExactRound.halfUpPos("1000000 * y_c * n_s",
+        "n_c").cast("double") / 1e6).cast(d6))
+      .withColumn("w2t_t", (ExactRound.halfUpPos("1000000 * n_s * n_s",
+        "n_t").cast("double") / 1e6).cast(d6))
+      .withColumn("w2c_t", (ExactRound.halfUpPos("1000000 * n_s * n_s",
+        "n_c").cast("double") / 1e6).cast(d6))
+      .agg(
+        sum(col("n_s")).as("n_sup"), count(lit(1)).as("n_strata_used"),
+        sum(col("wt_t")).as("wt"), sum(col("wc_t")).as("wc"),
+        sum(col("w2t_t")).as("w2t"), sum(col("w2c_t")).as("w2c"))
     val out = tot.crossJoin(broadcast(agg))
+      .withColumn("d6diff", ((col("wt") - col("wc")) * 1000000)
+        .cast("long"))
+      .withColumn("w2t6", (col("w2t") * 1000000).cast("long"))
+      .withColumn("w2c6", (col("w2c") * 1000000).cast("long"))
       .select(col("n_users"), col("n_strata"), col("n_sup"),
         col("n_strata_used"),
-        round((col("wt").cast("double") - col("wc").cast("double")) /
-          col("n_sup"), 4).as("ate_ipw"),
-        round(col("n_sup").cast("double") * col("n_sup") /
-          col("w2t").cast("double"), 2).as("ess_treated"),
-        round(col("n_sup").cast("double") * col("n_sup") /
-          col("w2c").cast("double"), 2).as("ess_control"))
+        (ExactRound.halfUp("d6diff", "100 * n_sup")
+          .cast("double") / 1e4).as("ate_ipw"),
+        (ExactRound.halfUpPos("100000000 * n_sup * n_sup", "w2t6")
+          .cast("double") / 1e2).as("ess_treated"),
+        (ExactRound.halfUpPos("100000000 * n_sup * n_sup", "w2c6")
+          .cast("double") / 1e2).as("ess_control"))
       .localCheckpoint(true)
     strata.unpersist(false)
     out
@@ -2312,11 +2362,14 @@ object EventOps {
       Window.unboundedFollowing)
     byB
       .withColumn("total", sum(col("n_gaps")).over(wAll))
+      .withColumn("cum", sum(col("n_gaps")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // count/count → exact integer half-up ([[ExactRound]])
       .select(col("bucket"), col("n_gaps"),
-        round(col("n_gaps").cast("double") / col("total"), 6).as("share"),
-        round(sum(col("n_gaps")).over(
-          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          .cast("double") / col("total"), 6).as("cum_share"))
+        (ExactRound.halfUpPos("1000000 * n_gaps", "total")
+          .cast("double") / 1e6).as("share"),
+        (ExactRound.halfUpPos("1000000 * cum", "total")
+          .cast("double") / 1e6).as("cum_share"))
       .orderBy(col("bucket"))
   }
 
@@ -2457,9 +2510,12 @@ object EventOps {
       .select(
         col("day").as("last_day_before"),
         col("n").as("n_days"), col("k").as("n_before"),
-        round(col("s1").cast("double") / col("k"), 4).as("mean_before"),
-        round((col("t1") - col("s1")).cast("double") /
-          (col("n") - col("k")), 4).as("mean_after"),
+        // integer means → exact integer half-up; the SSE terms stay in
+        // double (identical scalar tree both engines)
+        (ExactRound.halfUpPos("10000 * s1", "k")
+          .cast("double") / 1e4).as("mean_before"),
+        (ExactRound.halfUpPos("10000 * (t1 - s1)", "n - k")
+          .cast("double") / 1e4).as("mean_after"),
         round(col("reduction") / col("sse_p"), 6).as("var_explained"),
         round(col("reduction"), 4).as("sse_reduction"))
   }
@@ -2623,15 +2679,17 @@ object EventOps {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_days"), sum(col("x")).as("sx"),
         sum(col("x") * col("x")).as("sxx"))
+      // all three are integer ratios (terminating) → exact integer
+      // half-up: mean = sx/n, var = (n·sxx − sx²)/n², fano = var/mean =
+      // (n·sxx − sx²)/(n·sx); n·sxx ≥ sx² (Cauchy–Schwarz) keeps the
+      // numerators non-negative
       .select(col("event_type"), col("n_days"),
-        round(col("sx").cast("double") / col("n_days"), 4).as("mean_daily"),
-        round((col("sxx").cast("double") -
-          col("sx").cast("double") * col("sx") / col("n_days")) /
-          col("n_days"), 4).as("var_daily"),
-        round(((col("sxx").cast("double") -
-          col("sx").cast("double") * col("sx") / col("n_days")) /
-          col("n_days")) / (col("sx").cast("double") / col("n_days")), 4)
-          .as("fano"))
+        (ExactRound.halfUpPos("10000 * sx", "n_days")
+          .cast("double") / 1e4).as("mean_daily"),
+        (ExactRound.halfUpPos("10000 * (n_days * sxx - sx * sx)",
+          "n_days * n_days").cast("double") / 1e4).as("var_daily"),
+        (ExactRound.halfUpPos("10000 * (n_days * sxx - sx * sx)",
+          "n_days * sx").cast("double") / 1e4).as("fano"))
       .orderBy(col("event_type"))
 
   /** Bot / automation screen: per-user inter-event-gap regularity. Human
@@ -3051,30 +3109,46 @@ object EventOps {
       .agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nu = cnts.agg(countDistinct(col("user_id")).as("nu"))
+    // per-item variance (nu·q − s²)/nu² is a terminating integer ratio
+    // → exact integer half-up at 6 dp (decimal(38,0)-staged numerator)
     val items = cnts.groupBy(col("event_type"))
       .agg(sum(col("c")).as("s"), sum(col("c") * col("c")).as("q"))
       .crossJoin(broadcast(nu))
+      .withColumn("vin",
+        ((col("nu").cast(DecimalType(38, 0)) * col("q")
+          - col("s").cast(DecimalType(38, 0)) * col("s")) * 1000000L)
+          .cast(DecimalType(38, 0)))
       .select(col("nu"),
-        ((col("q").cast("double") -
-          col("s").cast("double") * col("s") / col("nu")) / col("nu"))
-          .as("v_i"))
+        (ExactRound.halfUpPos("vin", "nu * nu")
+          .cast("double") / 1e6).as("v_i"))
     val sumItemVar = items.groupBy(col("nu"))
       .agg(count(lit(1)).as("k"),
         sum(round(col("v_i"), 6).cast(DecimalType(18, 6))).as("sum_v"))
     val totals = cnts.groupBy(col("user_id"))
       .agg(sum(col("c")).as("t"))
       .agg(sum(col("t")).as("st"), sum(col("t") * col("t")).as("qt"))
-      .crossJoin(broadcast(nu))
-      .select(((col("qt").cast("double") -
-        col("st").cast("double") * col("st") / col("nu")) / col("nu"))
-        .as("v_tot"))
+      .crossJoin(broadcast(nu.select(col("nu").as("nu_t"))))
+      .select(col("st"), col("qt"), col("nu_t"))
+    // total_var = (nu·qt − st²)/nu² and alpha = k·(D·10⁶ − S6·nu²) /
+    // ((k−1)·D·10⁶) are terminating integer/decimal ratios → exact
+    // integer half-up; D·10⁶ and the alpha numerator exceed int64, so
+    // they stage through decimal(38,0). alpha is SIGNED.
     val out = sumItemVar.crossJoin(broadcast(totals))
+      .withColumn("dd", col("nu_t") * col("qt") - col("st") * col("st"))
+      .withColumn("s6", (col("sum_v") * 1000000).cast("long"))
+      .withColumn("tn",
+        (col("dd").cast(DecimalType(38, 0)) * 10000L)
+          .cast(DecimalType(38, 0)))
+      .withColumn("an",
+        ((col("dd").cast(DecimalType(38, 0)) * 1000000L
+          - col("s6").cast(DecimalType(38, 0)) * col("nu_t") * col("nu_t"))
+          * col("k")).cast(DecimalType(38, 0)))
+      .withColumn("ad", (col("k") - 1) * col("dd"))
       .select(col("nu").as("n_users"), col("k").as("k_items"),
         round(col("sum_v"), 4).cast("double").as("sum_item_var"),
-        round(col("v_tot"), 4).as("total_var"),
-        round(col("k").cast("double") / (col("k") - 1) *
-          (lit(1.0) - col("sum_v").cast("double") / col("v_tot")), 6)
-          .as("alpha"))
+        (ExactRound.halfUpPos("tn", "nu_t * nu_t")
+          .cast("double") / 1e4).as("total_var"),
+        (ExactRound.halfUp("an", "ad").cast("double") / 1e6).as("alpha"))
       .localCheckpoint(true)
     cnts.unpersist(false)
     out
@@ -3339,8 +3413,15 @@ object EventOps {
       .agg(max(col("n")).as("n_days"),
         sum(col("e") * col("e")).as("see"),
         sum(col("de") * col("de")).as("sdd"))
+      // ratio of exact scale-12 decimal sums (terminating) → exact
+      // integer half-up, staged through decimal(38,0) for the ×10¹⁶
+      // combined rescale
+      .withColumn("dwn", ((col("sdd") * lit(1000000000000L))
+        .cast(DecimalType(38, 0)) * 10000L).cast(DecimalType(38, 0)))
+      .withColumn("dwd", (col("see") * lit(1000000000000L))
+        .cast(DecimalType(38, 0)))
       .select(col("event_type"), col("n_days"),
-        round(col("sdd").cast("double") / col("see").cast("double"), 4)
+        (ExactRound.halfUpPos("dwn", "dwd").cast("double") / 1e4)
           .as("dw"))
       .orderBy(col("event_type"))
       .localCheckpoint(true)

@@ -61,7 +61,14 @@ object GraphOps {
     val ewd = edges
       .join(if (n <= maxBroadcastNodes) broadcast(degAsSrc) else degAsSrc, "src")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var pr = deg.select(col("node"), round(lit(1.0 / n), 12).as("pr"))
+    // the whole iteration runs in scale-12 LONG space with exact
+    // integer half-up ([[ExactRound]]): 1/n, pr/deg, and the damping
+    // update ((100−d2)·10¹² + d2·m12·n)/(100n) are all terminating
+    // quotients; the update numerator exceeds int64 at node scale, so
+    // it stages through decimal(38,0)
+    val d2 = math.round(damping * 100)
+    var pr = deg.select(col("node"),
+      lit((2L * 1000000000000L + n) / (2L * n)).as("pr12"))
     for (_ <- 1 to iters) {
       // rank frames are node-sized: when they fit the broadcast budget,
       // ship ranks to the edges (the persisted edge side is never
@@ -71,18 +78,23 @@ object GraphOps {
       val prSide = if (n <= maxBroadcastNodes) broadcast(pr) else pr
       pr = ewd
         .join(prSide, ewd("src") === pr("node"))
-        .select(col("dst"),
-          round(col("pr") / col("deg"), 12).cast(dec12).as("contrib"))
-        .groupBy(col("dst")).agg(sum(col("contrib")).as("m"))
+        .select(col("dst"), ExactRound.halfUpPos("pr12", "deg").as("c12"))
+        .groupBy(col("dst")).agg(sum(col("c12")).as("m12"))
+        .withColumn("num",
+          (col("m12").cast(DecimalType(38, 0)) * d2 * n
+            + lit(100L - d2) * lit(1000000000000L))
+            .cast(DecimalType(38, 0)))
         .select(col("dst").as("node"),
-          round(lit((1.0 - damping) / n) +
-            lit(damping) * col("m").cast("double"), 12).as("pr"))
+          ExactRound.halfUpPos("num", s"${100L * n}").as("pr12"))
     }
     val out = pr
       .join(deg, "node") // reattach degree for the report only
-      .select(col("node"), col("deg"), round(col("pr"), 6).as("pagerank"))
-      .orderBy(col("pagerank").desc, col("node"))
+      .select(col("node"), col("deg"), col("pr12"),
+        (ExactRound.halfUpPos("pr12", "1000000").cast("double") / 1e6)
+          .as("pagerank"))
+      .orderBy(col("pr12").desc, col("node"))
       .limit(k)
+      .drop("pr12")
       .localCheckpoint(true)
     ewd.unpersist(false)
     deg.unpersist(false)
@@ -151,23 +163,35 @@ object GraphOps {
     val deg = ewd.select(col("src").as("node"), col("deg")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = deg.count()
-    var pr = deg.select(col("node"), round(lit(1.0 / n), 12).as("pr"))
+    // the whole iteration runs in scale-12 LONG space with exact
+    // integer half-up ([[ExactRound]]): 1/n, pr/deg, and the damping
+    // update ((100−d2)·10¹² + d2·m12·n)/(100n) are all terminating
+    // quotients; the update numerator exceeds int64 at node scale, so
+    // it stages through decimal(38,0)
+    val d2 = math.round(damping * 100)
+    var pr = deg.select(col("node"),
+      lit((2L * 1000000000000L + n) / (2L * n)).as("pr12"))
     for (_ <- 1 to iters) {
       val prSide = if (n <= maxBroadcastNodes) broadcast(pr) else pr
       pr = ewd
         .join(prSide, ewd("src") === pr("node"))
-        .select(col("dst"),
-          round(col("pr") / col("deg"), 12).cast(dec12).as("contrib"))
-        .groupBy(col("dst")).agg(sum(col("contrib")).as("m"))
+        .select(col("dst"), ExactRound.halfUpPos("pr12", "deg").as("c12"))
+        .groupBy(col("dst")).agg(sum(col("c12")).as("m12"))
+        .withColumn("num",
+          (col("m12").cast(DecimalType(38, 0)) * d2 * n
+            + lit(100L - d2) * lit(1000000000000L))
+            .cast(DecimalType(38, 0)))
         .select(col("dst").as("node"),
-          round(lit((1.0 - damping) / n) +
-            lit(damping) * col("m").cast("double"), 12).as("pr"))
+          ExactRound.halfUpPos("num", s"${100L * n}").as("pr12"))
     }
     val out = pr
       .join(deg, "node")
-      .select(col("node"), col("deg"), round(col("pr"), 6).as("pagerank"))
-      .orderBy(col("pagerank").desc, col("node"))
+      .select(col("node"), col("deg"), col("pr12"),
+        (ExactRound.halfUpPos("pr12", "1000000").cast("double") / 1e6)
+          .as("pagerank"))
+      .orderBy(col("pr12").desc, col("node"))
       .limit(k)
+      .drop("pr12")
       .localCheckpoint(true)
     deg.unpersist(false)
     ewd.unpersist(false)
@@ -491,8 +515,11 @@ object GraphOps {
       .groupBy(col("node")).agg(count(lit(1)).as("tv"))
     val localAvg = deg.filter(col("d") >= 2)
       .join(tv, Seq("node"), "left")
-      .select(round(lit(2.0) * coalesce(col("tv"), lit(0L)) /
-        (col("d") * (col("d") - 1)), 8).cast(DecimalType(18, 8)).as("c"))
+      // per-node 2·tv/(d(d−1)) is a terminating integer ratio → exact
+      // integer half-up ([[ExactRound]])
+      .select((ExactRound.halfUpPos(
+        "100000000 * 2 * coalesce(tv, 0)", "d * (d - 1)")
+        .cast("double") / 1e8).cast(DecimalType(18, 8)).as("c"))
       .agg(count(lit(1)).as("n2"), sum(col("c")).as("sc"))
     val nEdges = und.agg(count(lit(1)).as("m"))
     val out = wedges.crossJoin(broadcast(tCnt))

@@ -135,8 +135,13 @@ object IncrementalTableStats {
           when(col("e_raw") <= lit(2.5 * m) && col("n_zero_regs") > 0,
             lit(m.toDouble) * log(lit(m.toDouble) / col("n_zero_regs")))
             .otherwise(col("e_raw")), 4).as("ndv_hll"))
+      // |round(est,4) − exact|/exact is terminating once the estimate
+      // is pinned at 4 dp → exact integer half-up ([[ExactRound]])
+      .withColumn("n4", round(col("ndv_hll") * 10000).cast("long"))
       .withColumn("rel_err",
-        round(abs(col("ndv_hll") - col("ndv_exact")) / col("ndv_exact"), 4))
+        ExactRound.halfUpPos("10000 * abs(n4 - 10000 * ndv_exact)",
+          "10000 * ndv_exact").cast("double") / 1e4)
+      .drop("n4")
       .orderBy(col("event_type"))
   }
 

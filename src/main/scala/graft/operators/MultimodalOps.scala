@@ -62,9 +62,12 @@ object MultimodalOps {
       .agg(
         count(lit(1)).as("n_docs"),
         sum(length(col("payload"))).as("total_bytes"),
-        round(sum(length(col("payload"))).cast("double") / count(lit(1)), 4)
-          .as("avg_bytes"),
         max(length(col("payload"))).cast("long").as("max_bytes"))
+      // bytes/count → exact integer half-up ([[ExactRound]])
+      .select(col("source"), col("n_docs"), col("total_bytes"),
+        (ExactRound.halfUpPos("10000 * total_bytes", "n_docs")
+          .cast("double") / 1e4).as("avg_bytes"),
+        col("max_bytes"))
       .orderBy(col("source"))
 
   /** Image width of the synthesized PPM payloads (16 RGB pixels per row =
