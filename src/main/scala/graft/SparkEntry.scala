@@ -893,9 +893,9 @@ object SparkEntry {
   private def calibCtePrefix: String =
     s"""WITH q AS (
        |  SELECT doc_id,
-       |    round(0.4 * least(1.0, n_tokens / 100.0)
-       |        + 0.4 * (n_distinct * 1.0 / n_tokens)
-       |        + 0.2 * least(1.0, (n_stop * 1.0 / n_tokens) * 10.0), 4)
+       |    ((2 * 10000 * (least(100, n_tokens) * n_tokens
+       |        + 100 * n_distinct + 50 * least(n_tokens, 10 * n_stop))
+       |        + 250 * n_tokens) // (2 * 250 * n_tokens)) / 10000.0
        |      AS quality
        |  FROM (
        |    SELECT doc_id,
@@ -962,9 +962,9 @@ object SparkEntry {
     s"""WITH feats AS (SELECT
        |    CASE WHEN lang IS NULL THEN NULL
        |         WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
-       |    round(len(list_filter(string_split(text, ' '),
-       |        t -> t IN ($stopList))) * 1.0
-       |      / len(string_split(text, ' ')), 4) AS x1,
+       |    ((2 * 10000 * len(list_filter(string_split(text, ' '),
+       |        t -> t IN ($stopList))) + len(string_split(text, ' ')))
+       |      // (2 * len(string_split(text, ' ')))) / 10000.0 AS x1,
        |    len(list_filter(string_split(text, ' '),
        |        t -> t IN ($stopList))) / CAST(10.0 AS DOUBLE) AS x2
        |  FROM documents WHERE text IS NOT NULL),
@@ -1280,9 +1280,9 @@ object SparkEntry {
          |    + 10000 * count(*)) // (2 * 10000 * count(*)) AS BIGINT)
          |    / 10000.0 AS mse FROM $rsrc)""".stripMargin
     s"""WITH feats AS (SELECT
-       |    round(len(list_filter(string_split(text, ' '),
-       |        t -> t IN ($stopList))) * 1.0
-       |      / len(string_split(text, ' ')), 4) AS x,
+       |    ((2 * 10000 * len(list_filter(string_split(text, ' '),
+       |        t -> t IN ($stopList))) + len(string_split(text, ' ')))
+       |      // (2 * len(string_split(text, ' ')))) / 10000.0 AS x,
        |    n_chars AS y
        |  FROM documents WHERE text IS NOT NULL),
        |f0 AS (SELECT CAST(((2 * 1000000 * sum(y) + count(*))
@@ -2208,9 +2208,9 @@ object SparkEntry {
     // a reverse-cumulative keep curve over the bounded histogram.
     "q_quality_sweep" ->
       s"""WITH q AS (
-         |  SELECT round(0.4 * least(1.0, n_tokens / 100.0)
-         |       + 0.4 * (n_distinct * 1.0 / n_tokens)
-         |       + 0.2 * least(1.0, (n_stop * 1.0 / n_tokens) * 10.0), 4) AS quality
+         |  SELECT ((2 * 10000 * (least(100, n_tokens) * n_tokens
+         |       + 100 * n_distinct + 50 * least(n_tokens, 10 * n_stop))
+         |       + 250 * n_tokens) // (2 * 250 * n_tokens)) / 10000.0 AS quality
          |  FROM (
          |    SELECT len(string_split(text, ' ')) AS n_tokens,
          |      len(list_distinct(string_split(text, ' '))) AS n_distinct,
@@ -2675,7 +2675,8 @@ object SparkEntry {
         |             AND dup3 <= 0.02 THEN 1 ELSE 0 END) AS n_keep
         |  FROM m GROUP BY source)
         |SELECT source, n_docs, CAST(n_keep AS BIGINT) AS n_keep,
-        |  round(CAST(n_keep AS DOUBLE) / n_docs, 4) AS keep_rate,
+        |  ((2 * 10000 * n_keep + n_docs) // (2 * n_docs)) / 10000.0
+        |    AS keep_rate,
         |  round((CAST(n_keep AS DOUBLE) / n_docs + (1.96 * 1.96) / (2 * CAST(n_docs AS DOUBLE))
         |    - 1.96 * sqrt(CAST(n_keep AS DOUBLE) / n_docs * (1.0 - CAST(n_keep AS DOUBLE) / n_docs)
         |        / CAST(n_docs AS DOUBLE)
@@ -2974,9 +2975,9 @@ object SparkEntry {
     // candidate-for-candidate.
     "q_stump" ->
       s"""WITH f AS (SELECT
-         |    round(len(list_filter(string_split(text, ' '),
-         |        t -> t IN ($stopList))) * 1.0
-         |      / len(string_split(text, ' ')), 4) AS x,
+         |    ((2 * 10000 * len(list_filter(string_split(text, ' '),
+         |        t -> t IN ($stopList))) + len(string_split(text, ' ')))
+         |      // (2 * len(string_split(text, ' ')))) / 10000.0 AS x,
          |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
          |  FROM documents
          |  WHERE text IS NOT NULL AND lang IS NOT NULL),
@@ -3000,27 +3001,35 @@ object SparkEntry {
          |  FROM cum, tot
          |  WHERE (n_pos - pos_l) + (n_neg - neg_l) > 0),
          |s AS (SELECT *,
-         |    round(CAST((pos_l*pos_l + neg_l*neg_l) * n_r
-         |        + (pos_r*pos_r + neg_r*neg_r) * n_l AS DOUBLE)
-         |      / (n_l * n_r), 9) AS score
+         |    CAST((2 * CAST((pos_l*pos_l + neg_l*neg_l) * n_r
+         |        + (pos_r*pos_r + neg_r*neg_r) * n_l AS HUGEINT)
+         |        * 1000000000 + n_l * n_r)
+         |      // (2 * CAST(n_l AS HUGEINT) * n_r) AS BIGINT) AS score9
          |  FROM cand),
          |best AS (SELECT *,
-         |    row_number() OVER (ORDER BY score DESC, x) AS rn FROM s)
+         |    row_number() OVER (ORDER BY score9 DESC, x) AS rn FROM s),
+         |bg AS (SELECT *,
+         |    (CAST(score9 AS HUGEINT) * n
+         |      - CAST(n_pos*n_pos + n_neg*n_neg AS HUGEINT) * 1000000000)
+         |      * 1000000 AS gn,
+         |    CAST(n AS HUGEINT) * n * 1000000000 AS gd
+         |  FROM best WHERE rn = 1)
          |SELECT x AS threshold,
-         |  round(score / n
-         |    - CAST(n_pos*n_pos + n_neg*n_neg AS DOUBLE) / n / n, 6)
-         |    AS gini_gain,
+         |  (CASE WHEN gn < 0
+         |    THEN -CAST((2 * (-gn) + gd) // (2 * gd) AS BIGINT)
+         |    ELSE CAST((2 * gn + gd) // (2 * gd) AS BIGINT) END)
+         |    / 1000000.0 AS gini_gain,
          |  n_l AS n_left, pos_l AS pos_left,
          |  n_r AS n_right, pos_r AS pos_right, n
-         |FROM best WHERE rn = 1""".stripMargin,
+         |FROM bg""".stripMargin,
     // AdaBoost: integer round-1 stump, 6-dp decimal reweighting, exact
     // decimal round-2 argmax, Laplace-smoothed alphas — replayed round
     // for round.
     "q_boost2" ->
       s"""WITH f AS (SELECT
-         |    round(len(list_filter(string_split(text, ' '),
-         |        t -> t IN ($stopList))) * 1.0
-         |      / len(string_split(text, ' ')), 4) AS x,
+         |    ((2 * 10000 * len(list_filter(string_split(text, ' '),
+         |        t -> t IN ($stopList))) + len(string_split(text, ' ')))
+         |      // (2 * len(string_split(text, ' ')))) / 10000.0 AS x,
          |    CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y
          |  FROM documents
          |  WHERE text IS NOT NULL AND lang IS NOT NULL),
@@ -4000,9 +4009,9 @@ object SparkEntry {
          |m AS (SELECT doc_id, min(reach) AS cluster_min FROM r GROUP BY doc_id),
          |q AS (
          |  SELECT doc_id,
-         |    round(0.4 * least(1.0, n_tokens / 100.0)
-         |        + 0.4 * (n_distinct * 1.0 / n_tokens)
-         |        + 0.2 * least(1.0, (n_stop * 1.0 / n_tokens) * 10.0), 4) AS quality
+         |    ((2 * 10000 * (least(100, n_tokens) * n_tokens
+         |        + 100 * n_distinct + 50 * least(n_tokens, 10 * n_stop))
+         |        + 250 * n_tokens) // (2 * 250 * n_tokens)) / 10000.0 AS quality
          |  FROM (
          |    SELECT doc_id,
          |      len(string_split(text, ' ')) AS n_tokens,
@@ -4202,15 +4211,16 @@ object SparkEntry {
     "q_lang_confusion" ->
       s"""WITH p AS (
          |  SELECT lang,
-         |    CASE WHEN round(len(list_filter(string_split(text, ' '),
-         |        t -> t IN ($stopList))) * 1.0
-         |        / len(string_split(text, ' ')), 4) >= 0.03
+         |    CASE WHEN ((2 * 10000 * len(list_filter(string_split(text, ' '),
+         |        t -> t IN ($stopList))) + len(string_split(text, ' ')))
+         |        // (2 * len(string_split(text, ' ')))) / 10000.0 >= 0.03
          |      THEN 'en' ELSE 'und' END AS lang_pred
          |  FROM documents WHERE text IS NOT NULL),
          |c AS (SELECT lang, lang_pred, count(*) AS n
          |      FROM p GROUP BY lang, lang_pred)
          |SELECT lang, lang_pred, n,
-         |  round(n * 1.0 / sum(n) OVER (PARTITION BY lang), 4)
+         |  ((2 * 10000 * n + sum(n) OVER (PARTITION BY lang))
+         |    // (2 * sum(n) OVER (PARTITION BY lang))) / 10000.0
          |    AS share_of_actual
          |FROM c ORDER BY lang, lang_pred""".stripMargin,
     "q_lang_quality" ->
@@ -4219,8 +4229,10 @@ object SparkEntry {
          |FROM (
          |  SELECT doc_id, lang,
          |    len(list_filter(string_split(text, ' '), t -> t IN ($stopList))) AS n_stop,
-         |    round(len(list_filter(string_split(text, ' '), t -> t IN ($stopList))) * 1.0
-         |      / len(string_split(text, ' ')), 4) AS stop_ratio
+         |    ((2 * 10000 * len(list_filter(string_split(text, ' '),
+         |        t -> t IN ($stopList))) + len(string_split(text, ' ')))
+         |      // (2 * len(string_split(text, ' ')))) / 10000.0
+         |      AS stop_ratio
          |  FROM documents WHERE text IS NOT NULL) t
          |ORDER BY doc_id""".stripMargin,
     "q_doc_quality" ->
@@ -4229,9 +4241,9 @@ object SparkEntry {
          |       WHEN quality >= 0.4 THEN 'medium' ELSE 'low' END AS quality_bucket
          |FROM (
          |  SELECT doc_id, n_tokens,
-         |    round(0.4 * least(1.0, n_tokens / 100.0)
-         |        + 0.4 * (n_distinct * 1.0 / n_tokens)
-         |        + 0.2 * least(1.0, (n_stop * 1.0 / n_tokens) * 10.0), 4) AS quality
+         |    ((2 * 10000 * (least(100, n_tokens) * n_tokens
+         |        + 100 * n_distinct + 50 * least(n_tokens, 10 * n_stop))
+         |        + 250 * n_tokens) // (2 * 250 * n_tokens)) / 10000.0 AS quality
          |  FROM (
          |    SELECT doc_id,
          |      len(string_split(text, ' ')) AS n_tokens,
@@ -4477,11 +4489,12 @@ object SparkEntry {
     "q_tree2" ->
       s"""WITH t0 AS (SELECT
          |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
-         |    round(len(list_filter(string_split(text, ' '),
-         |        t -> t IN ($stopList))) * 1.0
-         |      / len(string_split(text, ' ')), 4) AS f1,
-         |    round(len(list_distinct(string_split(text, ' '))) * 1.0
-         |      / len(string_split(text, ' ')), 4) AS f2
+         |    ((2 * 10000 * len(list_filter(string_split(text, ' '),
+         |        t -> t IN ($stopList))) + len(string_split(text, ' ')))
+         |      // (2 * len(string_split(text, ' ')))) / 10000.0 AS f1,
+         |    ((2 * 10000 * len(list_distinct(string_split(text, ' ')))
+         |        + len(string_split(text, ' ')))
+         |      // (2 * len(string_split(text, ' ')))) / 10000.0 AS f2
          |  FROM documents
          |  WHERE text IS NOT NULL AND lang IS NOT NULL),
          |h1 AS (SELECT feat, v, CAST(sum(y) AS BIGINT) AS pos_c,
@@ -4507,15 +4520,23 @@ object SparkEntry {
          |  FROM cu1, tot1
          |  WHERE (n_pos - pos_l) + (n_neg - neg_l) > 0),
          |s1 AS (SELECT *,
-         |    round(CAST((pos_l*pos_l + neg_l*neg_l) * n_r
-         |        + (pos_r*pos_r + neg_r*neg_r) * n_l AS DOUBLE)
-         |      / (n_l * n_r), 9) AS score
+         |    CAST((2 * CAST((pos_l*pos_l + neg_l*neg_l) * n_r
+         |        + (pos_r*pos_r + neg_r*neg_r) * n_l AS HUGEINT)
+         |        * 1000000000 + n_l * n_r)
+         |      // (2 * CAST(n_l AS HUGEINT) * n_r) AS BIGINT) AS score9
          |  FROM ca1),
-         |b1 AS (SELECT *, round(score / n
-         |      - CAST(n_pos*n_pos + n_neg*n_neg AS DOUBLE) / n / n, 6)
-         |      AS gini_gain
-         |  FROM (SELECT *, row_number() OVER
-         |      (ORDER BY score DESC, feat, v) AS rn FROM s1) r
+         |b1 AS (SELECT *,
+         |    (CASE WHEN gn < 0
+         |      THEN -CAST((2 * (-gn) + gd) // (2 * gd) AS BIGINT)
+         |      ELSE CAST((2 * gn + gd) // (2 * gd) AS BIGINT) END)
+         |      / 1000000.0 AS gini_gain
+         |  FROM (SELECT *,
+         |      (CAST(score9 AS HUGEINT) * n
+         |        - CAST(n_pos*n_pos + n_neg*n_neg AS HUGEINT)
+         |          * 1000000000) * 1000000 AS gn,
+         |      CAST(n AS HUGEINT) * n * 1000000000 AS gd,
+         |      row_number() OVER
+         |        (ORDER BY score9 DESC, feat, v) AS rn FROM s1) r
          |  WHERE rn = 1),
          |asg AS (SELECT t0.y, t0.f1, t0.f2,
          |    CASE WHEN (CASE WHEN b.feat = 'f1' THEN t0.f1 ELSE t0.f2 END)
@@ -4546,15 +4567,23 @@ object SparkEntry {
          |  FROM cu2 JOIN tot2 t ON t.node = cu2.node
          |  WHERE (t.n_pos - pos_l) + (t.n_neg - neg_l) > 0),
          |s2 AS (SELECT *,
-         |    round(CAST((pos_l*pos_l + neg_l*neg_l) * n_r
-         |        + (pos_r*pos_r + neg_r*neg_r) * n_l AS DOUBLE)
-         |      / (n_l * n_r), 9) AS score
+         |    CAST((2 * CAST((pos_l*pos_l + neg_l*neg_l) * n_r
+         |        + (pos_r*pos_r + neg_r*neg_r) * n_l AS HUGEINT)
+         |        * 1000000000 + n_l * n_r)
+         |      // (2 * CAST(n_l AS HUGEINT) * n_r) AS BIGINT) AS score9
          |  FROM ca2),
-         |b2 AS (SELECT *, round(score / n
-         |      - CAST(n_pos*n_pos + n_neg*n_neg AS DOUBLE) / n / n, 6)
-         |      AS gini_gain
-         |  FROM (SELECT *, row_number() OVER (PARTITION BY node
-         |      ORDER BY score DESC, feat, v) AS rn FROM s2) r
+         |b2 AS (SELECT *,
+         |    (CASE WHEN gn < 0
+         |      THEN -CAST((2 * (-gn) + gd) // (2 * gd) AS BIGINT)
+         |      ELSE CAST((2 * gn + gd) // (2 * gd) AS BIGINT) END)
+         |      / 1000000.0 AS gini_gain
+         |  FROM (SELECT *,
+         |      (CAST(score9 AS HUGEINT) * n
+         |        - CAST(n_pos*n_pos + n_neg*n_neg AS HUGEINT)
+         |          * 1000000000) * 1000000 AS gn,
+         |      CAST(n AS HUGEINT) * n * 1000000000 AS gd,
+         |      row_number() OVER (PARTITION BY node
+         |        ORDER BY score9 DESC, feat, v) AS rn FROM s2) r
          |  WHERE rn = 1)
          |SELECT node, feature, threshold, gini_gain, n, pos,
          |  n_left, pos_left, n_right, pos_right
@@ -4577,16 +4606,26 @@ object SparkEntry {
         |m AS (
         |  SELECT doc_id,
         |    len(tok) AS n_tokens,
+        |    (SELECT max(c) FROM (SELECT count(*) AS c FROM unnest(tok) AS u(x) GROUP BY x)) AS top_cnt,
         |    (SELECT max(c) FROM (SELECT count(*) AS c FROM unnest(tok) AS u(x) GROUP BY x)) * 1.0
         |      / len(tok) AS top_ratio,
+        |    CASE WHEN len(tok) >= 3
+        |      THEN len(tok) - 2 ELSE 0 END AS ng,
+        |    CASE WHEN len(tok) >= 3
+        |      THEN len(list_distinct(list_transform(range(1, len(tok) - 1),
+        |             i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])))
+        |      ELSE 0 END AS nd,
         |    CASE WHEN len(tok) >= 3 THEN
         |      1.0 - len(list_distinct(list_transform(range(1, len(tok) - 1),
         |              i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2]))) * 1.0 / (len(tok) - 2)
         |    ELSE 0.0 END AS dup3
         |  FROM t)
         |SELECT doc_id, n_tokens,
-        |  round(top_ratio, 4) AS top_token_ratio,
-        |  round(dup3, 4) AS dup_trigram_ratio,
+        |  ((2 * 10000 * top_cnt + n_tokens) // (2 * n_tokens))
+        |    / 10000.0 AS top_token_ratio,
+        |  CASE WHEN n_tokens >= 3
+        |    THEN ((2 * 10000 * (ng - nd) + ng) // (2 * ng)) / 10000.0
+        |    ELSE 0.0 END AS dup_trigram_ratio,
         |  (n_tokens BETWEEN 25 AND 10000 AND top_ratio <= 0.12 AND dup3 <= 0.02) AS keep
         |FROM m ORDER BY doc_id""".stripMargin,
     // Decontamination: the oracle replicates the engine exactly — per-doc
@@ -5602,9 +5641,9 @@ object SparkEntry {
     "q_score_norm" ->
       s"""WITH q AS (
          |  SELECT doc_id,
-         |    round(0.4 * least(1.0, n_tokens / 100.0)
-         |        + 0.4 * (n_distinct * 1.0 / n_tokens)
-         |        + 0.2 * least(1.0, (n_stop * 1.0 / n_tokens) * 10.0), 4)
+         |    ((2 * 10000 * (least(100, n_tokens) * n_tokens
+         |        + 100 * n_distinct + 50 * least(n_tokens, 10 * n_stop))
+         |        + 250 * n_tokens) // (2 * 250 * n_tokens)) / 10000.0
          |      AS quality
          |  FROM (
          |    SELECT doc_id,
@@ -5712,11 +5751,13 @@ object SparkEntry {
         |      / 60000000.0 AS minutes
         |  FROM s GROUP BY 1, 2)
         |SELECT CAST(count(*) AS BIGINT) AS n_sessions,
-        |  round(CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
-        |    AS DOUBLE) / count(*), 6) AS bounce_rate,
+        |  ((2 * 1000000 * sum(CASE WHEN n_events = 1 THEN 1 ELSE 0
+        |    END) + count(*)) // (2 * count(*))) / 1000000.0
+        |    AS bounce_rate,
         |  round(quantile_cont(minutes, 0.5), 4) AS median_minutes,
         |  round(quantile_cont(minutes, 0.9), 4) AS p90_minutes,
-        |  round(avg(n_events), 4) AS avg_events
+        |  ((2 * 10000 * sum(n_events) + count(*)) // (2 * count(*)))
+        |    / 10000.0 AS avg_events
         |FROM ses""".stripMargin,
     // Cohort LTV: decimal week sums, decimal cumulative window over the
     // bounded cohort × offset grid, per-user division on the ROUNDED
@@ -6980,9 +7021,19 @@ object SparkEntry {
         |l AS (SELECT week, n_events, wv,
         |    lag(n_events) OVER (ORDER BY week) AS pn,
         |    lag(wv) OVER (ORDER BY week) AS pv FROM wk)
-        |SELECT week, n_events, round(CAST(wv AS DOUBLE), 2) AS week_value,
-        |  round(CAST(n_events - pn AS DOUBLE) / pn, 6) AS events_wow,
-        |  round(CAST(wv - pv AS DOUBLE) / CAST(pv AS DOUBLE), 6) AS value_wow
+        |SELECT week, n_events, CAST(round(wv, 2) AS DOUBLE) AS week_value,
+        |  (CASE WHEN n_events - pn < 0
+        |    THEN -((2 * 1000000 * (pn - n_events) + pn) // (2 * pn))
+        |    ELSE (2 * 1000000 * (n_events - pn) + pn) // (2 * pn) END)
+        |    / 1000000.0 AS events_wow,
+        |  (CASE WHEN wv - pv < 0
+        |    THEN -((2 * 1000000 * CAST((pv - wv) * 100 AS BIGINT)
+        |      + CAST(pv * 100 AS BIGINT))
+        |      // (2 * CAST(pv * 100 AS BIGINT)))
+        |    ELSE (2 * 1000000 * CAST((wv - pv) * 100 AS BIGINT)
+        |      + CAST(pv * 100 AS BIGINT))
+        |      // (2 * CAST(pv * 100 AS BIGINT)) END)
+        |    / 1000000.0 AS value_wow
         |FROM l ORDER BY week""".stripMargin,
     // Frequent triples: the independent 3-way self-join formulation.
     "q_itemsets3" ->
@@ -8143,9 +8194,17 @@ object SparkEntry {
         |    lag(n_events) OVER (PARTITION BY event_type ORDER BY week)
         |      AS prev_n FROM wk)
         |SELECT event_type, week, n_events, prev_n,
-        |  round(CAST(n_events - prev_n AS DOUBLE) / prev_n, 6) AS wow
+        |  (CASE WHEN n_events - prev_n < 0
+        |    THEN -((2 * 1000000 * (prev_n - n_events) + prev_n)
+        |      // (2 * prev_n))
+        |    ELSE (2 * 1000000 * (n_events - prev_n) + prev_n)
+        |      // (2 * prev_n) END) / 1000000.0 AS wow
         |FROM l WHERE prev_n IS NOT NULL
-        |ORDER BY abs(round(CAST(n_events - prev_n AS DOUBLE) / prev_n, 6))
+        |ORDER BY abs((CASE WHEN n_events - prev_n < 0
+        |    THEN -((2 * 1000000 * (prev_n - n_events) + prev_n)
+        |      // (2 * prev_n))
+        |    ELSE (2 * 1000000 * (n_events - prev_n) + prev_n)
+        |      // (2 * prev_n) END) / 1000000.0)
         |  DESC, event_type, week LIMIT 5""".stripMargin,
     // Trimmed/winsorized means: 4-dp percentile fences, exact decimal
     // interior sum, fence products in double — the identical tree.

@@ -376,11 +376,19 @@ object EventOps {
         ((unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
           .cast("double") / 60000000.0).as("minutes"))
       .agg(count(lit(1)).as("n_sessions"),
-        round(sum(when(col("n_events") === 1, 1L).otherwise(0L))
-          .cast("double") / count(lit(1)), 6).as("bounce_rate"),
-        round(expr("percentile(minutes, 0.5)"), 4).as("median_minutes"),
-        round(expr("percentile(minutes, 0.9)"), 4).as("p90_minutes"),
-        round(avg(col("n_events")), 4).as("avg_events"))
+        sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounce"),
+        expr("percentile(minutes, 0.5)").as("med_m"),
+        expr("percentile(minutes, 0.9)").as("p90_m"),
+        sum(col("n_events")).as("se"))
+      // count ratios → exact integer half-up; the duration percentiles
+      // stay in double (interpolated, identical tree both engines)
+      .select(col("n_sessions"),
+        (ExactRound.halfUpPos("1000000 * n_bounce", "n_sessions")
+          .cast("double") / 1e6).as("bounce_rate"),
+        round(col("med_m"), 4).as("median_minutes"),
+        round(col("p90_m"), 4).as("p90_minutes"),
+        (ExactRound.halfUpPos("10000 * se", "n_sessions")
+          .cast("double") / 1e4).as("avg_events"))
 
   /** Cohort lifetime-value curve: cumulative per-user purchase value by
     * weeks since ACQUISITION (first purchase — the standard LTV cohort;
@@ -903,12 +911,16 @@ object EventOps {
     wk
       .withColumn("prev_n", lag(col("n_events"), 1).over(w))
       .withColumn("prev_v", lag(col("wk_value"), 1).over(w))
+      // SIGNED terminating ratios → exact integer half-up
+      .withColumn("v2d", ((col("wk_value") - col("prev_v")) * 100)
+        .cast("long"))
+      .withColumn("p2", (col("prev_v") * 100).cast("long"))
       .select(col("week"), col("n_events"),
-        round(col("wk_value").cast("double"), 2).as("week_value"),
-        round((col("n_events") - col("prev_n")).cast("double") /
-          col("prev_n"), 6).as("events_wow"),
-        round((col("wk_value") - col("prev_v")).cast("double") /
-          col("prev_v").cast("double"), 6).as("value_wow"))
+        round(col("wk_value"), 2).cast("double").as("week_value"),
+        (ExactRound.halfUp("1000000 * (n_events - prev_n)", "prev_n")
+          .cast("double") / 1e6).as("events_wow"),
+        (ExactRound.halfUp("1000000 * v2d", "p2")
+          .cast("double") / 1e6).as("value_wow"))
       .orderBy(col("week"))
   }
 
@@ -1626,9 +1638,10 @@ object EventOps {
       .agg(count(lit(1)).as("n_events"))
       .withColumn("prev_n", lag(col("n_events"), 1).over(wLag))
       .filter(col("prev_n").isNotNull)
+      // SIGNED int ratio → exact integer half-up ([[ExactRound]])
       .withColumn("wow",
-        round((col("n_events") - col("prev_n")).cast("double") /
-          col("prev_n"), 6))
+        ExactRound.halfUp("1000000 * (n_events - prev_n)", "prev_n")
+          .cast("double") / 1e6)
       .select(col("event_type"), col("week"), col("n_events"),
         col("prev_n"), col("wow"))
       .orderBy(abs(col("wow")).desc, col("event_type"), col("week"))

@@ -74,7 +74,9 @@ object TextOps {
         size(toks).cast("long").as("n_tokens"))
       .select(
         col("doc_id"), col("lang"), col("n_stop"),
-        round(col("n_stop") / col("n_tokens"), 4).as("stop_ratio"))
+        // count/count → exact integer half-up ([[ExactRound]])
+        (ExactRound.halfUpPos("10000 * n_stop", "n_tokens")
+          .cast("double") / 1e4).as("stop_ratio"))
       .withColumn("lang_pred",
         when(col("stop_ratio") >= 0.03, lit("en")).otherwise(lit("und")))
       .orderBy(col("doc_id"))
@@ -99,9 +101,13 @@ object TextOps {
     scored
       .groupBy(col("lang"), col("lang_pred"))
       .agg(count(lit(1)).as("n"))
+      .withColumn("__tot",
+        sum(col("n")).over(Window.partitionBy(col("lang"))))
+      // count/count → exact integer half-up ([[ExactRound]])
       .withColumn("share_of_actual",
-        round(col("n") / sum(col("n")).over(
-          Window.partitionBy(col("lang"))), 4))
+        ExactRound.halfUpPos("10000 * n", "__tot")
+          .cast("double") / 1e4)
+      .drop("__tot")
       .orderBy(col("lang"), col("lang_pred"))
 
   /** Multinomial Naive Bayes language classifier — the trained upgrade
@@ -670,16 +676,28 @@ object TextOps {
           col("n_r") +
           (col("pos_r") * col("pos_r") + col("neg_r") * col("neg_r")) *
             col("n_l"))
-      .withColumn("score", round(col("s_num").cast("double") /
-        (col("n_l") * col("n_r")), 9))
-    val wBest = Window.orderBy(col("score").desc, col("x"))
+      // score = s_num/(nL·nR) at 9 dp and the gain at 6 dp are
+      // terminating integer ratios → exact integer half-up; the ×10⁹
+      // numerators exceed int64, so they stage through decimal(38,0)
+      .withColumn("sn",
+        (col("s_num").cast(DecimalType(38, 0)) * 1000000000L)
+          .cast(DecimalType(38, 0)))
+      .withColumn("score9", ExactRound.halfUpPos("sn", "n_l * n_r"))
+    val wBest = Window.orderBy(col("score9").desc, col("x"))
     cand.withColumn("rn", row_number().over(wBest))
       .filter(col("rn") === 1)
+      .withColumn("gn",
+        ((col("score9").cast(DecimalType(38, 0)) * col("n")
+          - (col("n_pos") * col("n_pos") + col("n_neg") * col("n_neg"))
+            .cast(DecimalType(38, 0)) * 1000000000L) * 1000000L)
+          .cast(DecimalType(38, 0)))
+      .withColumn("gd",
+        (col("n").cast(DecimalType(38, 0)) * col("n") * 1000000000L)
+          .cast(DecimalType(38, 0)))
       .select(
         col("x").as("threshold"),
-        round(col("score") / col("n") -
-          (col("n_pos") * col("n_pos") + col("n_neg") * col("n_neg"))
-            .cast("double") / col("n") / col("n"), 6).as("gini_gain"),
+        (ExactRound.halfUp("gn", "gd").cast("double") / 1e6)
+          .as("gini_gain"),
         col("n_l").as("n_left"), col("pos_l").as("pos_left"),
         col("n_r").as("n_right"), col("pos_r").as("pos_right"),
         col("n"))
@@ -709,8 +727,11 @@ object TextOps {
         size(array_distinct(toks)).cast("long").as("n_dis"))
     val feats = base.select(
         (col("lang") === "en").cast("long").as("y"),
-        round(col("n_stop") / col("n_tok"), 4).as("f1"),
-        round(col("n_dis") / col("n_tok"), 4).as("f2"))
+        // count/count features → exact integer half-up ([[ExactRound]])
+        (ExactRound.halfUpPos("10000 * n_stop", "n_tok")
+          .cast("double") / 1e4).as("f1"),
+        (ExactRound.halfUpPos("10000 * n_dis", "n_tok")
+          .cast("double") / 1e4).as("f2"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val fv = explode(array(
       struct(lit("f1").as("feat"), col("f1").as("v")),
@@ -739,16 +760,26 @@ object TextOps {
             col("n_r") +
             (col("pos_r") * col("pos_r") + col("neg_r") * col("neg_r")) *
               col("n_l"))
-        .withColumn("score", round(col("s_num").cast("double") /
-          (col("n_l") * col("n_r")), 9))
-        .withColumn("gini_gain", round(col("score") / col("n") -
-          (col("n_pos") * col("n_pos") + col("n_neg") * col("n_neg"))
-            .cast("double") / col("n") / col("n"), 6))
+        // same exact-integer score/gain forms as [[giniStump]]
+        .withColumn("sn",
+          (col("s_num").cast(DecimalType(38, 0)) * 1000000000L)
+            .cast(DecimalType(38, 0)))
+        .withColumn("score9", ExactRound.halfUpPos("sn", "n_l * n_r"))
+        .withColumn("gn",
+          ((col("score9").cast(DecimalType(38, 0)) * col("n")
+            - (col("n_pos") * col("n_pos") + col("n_neg") * col("n_neg"))
+              .cast(DecimalType(38, 0)) * 1000000000L) * 1000000L)
+            .cast(DecimalType(38, 0)))
+        .withColumn("gd",
+          (col("n").cast(DecimalType(38, 0)) * col("n") * 1000000000L)
+            .cast(DecimalType(38, 0)))
+        .withColumn("gini_gain",
+          ExactRound.halfUp("gn", "gd").cast("double") / 1e6)
     }
     def best(cand: DataFrame, nodeKey: Seq[String]): DataFrame = {
       val wBest = Window
         .partitionBy(nodeKey.map(col): _*)
-        .orderBy(col("score").desc, col("feat"), col("v"))
+        .orderBy(col("score9").desc, col("feat"), col("v"))
       cand.withColumn("rn", row_number().over(wBest))
         .filter(col("rn") === 1)
     }
@@ -1202,11 +1233,13 @@ object TextOps {
         expr(stopFilterSql).cast("long").as("n_stop"))
       .select(
         col("doc_id"), col("n_tokens"),
-        round(
-          lit(0.4) * least(lit(1.0), col("n_tokens") / 100.0) +
-          lit(0.4) * (col("n_distinct") / col("n_tokens")) +
-          lit(0.2) * least(lit(1.0), (col("n_stop") / col("n_tokens")) * 10.0),
-          4).as("quality"))
+        // the weighted composite clears to ONE terminating integer
+        // ratio (min(100,t)·t + 100·d + 50·min(t,10s))/(250·t) → exact
+        // integer half-up ([[ExactRound]])
+        (ExactRound.halfUpPos(
+          "10000 * (least(100, n_tokens) * n_tokens + 100 * n_distinct" +
+            " + 50 * least(n_tokens, 10 * n_stop))",
+          "250 * n_tokens").cast("double") / 1e4).as("quality"))
       .withColumn("quality_bucket",
         when(col("quality") >= 0.7, "high")
           .when(col("quality") >= 0.4, "medium")
@@ -2136,6 +2169,8 @@ object TextOps {
       .select(
       col("doc_id"),
       size(col("__toks")).cast("long").as("n_tokens"),
+      size(col("__grams")).cast("long").as("ng"),
+      size(array_distinct(col("__grams"))).cast("long").as("nd"),
       when(size(col("__toks")) >= 3,
         lit(1.0) - size(array_distinct(col("__grams"))).cast("double") /
           size(col("__grams")))
@@ -2146,11 +2181,18 @@ object TextOps {
         length(col("text"))).as("digit_ratio"))
     metrics.join(topTok, "doc_id")
       .withColumn("top_ratio", col("top_cnt").cast("double") / col("n_tokens"))
+      // the two ROUNDED report columns are count ratios → exact integer
+      // half-up; the keep compares stay on the unrounded doubles
+      // (identical scalar tree on both engines)
       .select(
         col("doc_id"),
         col("n_tokens"),
-        round(col("top_ratio"), 4).as("top_token_ratio"),
-        round(col("dup3"), 4).as("dup_trigram_ratio"),
+        (ExactRound.halfUpPos("10000 * top_cnt", "n_tokens")
+          .cast("double") / 1e4).as("top_token_ratio"),
+        when(col("n_tokens") >= 3,
+          ExactRound.halfUpPos("10000 * (ng - nd)", "ng")
+            .cast("double") / 1e4)
+          .otherwise(lit(0.0)).as("dup_trigram_ratio"),
         (col("n_tokens").between(minTokens, maxTokens) &&
          col("top_ratio") <= maxTopTokenRatio &&
          col("dup3") <= maxDupTrigramRatio &&
@@ -2397,7 +2439,10 @@ object TextOps {
         lit(z2) / (lit(4.0) * nn * nn))) /
       (lit(1.0) + lit(z2) / nn)
     agg.select(col("source"), col("n_docs"), col("n_keep"),
-        round(p, 4).as("keep_rate"),
+        // count/count → exact integer half-up; wilson_lo stays in
+        // double (√-bearing, identical scalar tree both engines)
+        (ExactRound.halfUpPos("10000 * n_keep", "n_docs")
+          .cast("double") / 1e4).as("keep_rate"),
         round(wilsonLo, 4).as("wilson_lo"),
         (wilsonLo >= minRate).as("source_kept"))
       .orderBy(col("source"))
