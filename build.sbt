@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt "runMain graft.Bench"`
+// as JSON; sbt's trailing "[success] Total time: ..." banner was what it
+// saw instead (BENCH_r* `parsed: null` every round). Suppressing the
+// summary line leaves Bench's compact JSON line as the final output.
+ThisBuild / showSuccess := false
+ThisBuild / showTiming := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -21,6 +21,28 @@ import graft.operators._
   */
 final case class DataLake(spark: SparkSession, dir: String) {
 
+  // ---- string-SQL surface ----
+  /** Run an ANSI SQL string against the lake — the query-string API a
+    * lake service exposes beside the DataFrame one. Every lake table is
+    * (re-)registered as a session temp view named after its file
+    * (`region` … `embeddings`), then the string planes through
+    * `spark.sql`. The views are lazy logical plans over the parquet
+    * scans, so Catalyst applies the same pushdown/pruning as the
+    * DataFrame twin (DataLakeSqlSpec asserts a Q3-shaped string query
+    * is plan- and result-equivalent to the DataFrame form).
+    *
+    * Registration is per-call `createOrReplaceTempView` (idempotent,
+    * metadata-only): two DataLake handles over different dirs in one
+    * session each see their own tables as long as calls don't
+    * interleave mid-query — the same last-writer-wins contract any
+    * session-scoped catalog has. */
+  def sql(query: String): DataFrame = {
+    Lake.tableNames.foreach { t =>
+      Lake.table(spark, dir, t).createOrReplaceTempView(t)
+    }
+    spark.sql(query)
+  }
+
   // ---- catalog ----
   def tables: DataFrame = CatalogOps.catalogTables(spark, dir)
   def schema: DataFrame = CatalogOps.catalogSchema(spark, dir)
@@ -448,4 +470,23 @@ final case class DataLake(spark: SparkSession, dir: String) {
     CatalogOps.emdDrift(spark, dir, table, valueCol, sliceA, sliceB, binWidth)
   /** One-way ANOVA F + eta² of order value across market segments. */
   def anovaF(): DataFrame = CatalogOps.anovaFQuery(spark, dir)
+  /** Kruskal–Wallis rank one-way ANOVA across market segments. */
+  def kruskalWallis(): DataFrame = StatTests.kruskalWallis(spark, dir)
+  /** Brown–Forsythe (median-Levene) variance-homogeneity test. */
+  def brownForsythe(): DataFrame = StatTests.brownForsythe(spark, dir)
+  /** Jarque–Bera normality screen of daily counts per event type. */
+  def jarqueBera(): DataFrame = StatTests.jarqueBera(spark, dir)
+  /** Tukey HSD post-hoc pairwise panel over the market segments. */
+  def tukeyHsd(qCrit: Double = 3.858): DataFrame =
+    StatTests.tukeyHsd(spark, dir, qCrit)
+  /** Kendall's W concordance of event types over day blocks. */
+  def kendallW(): DataFrame = StatTests.kendallW(spark, dir)
+  /** Attribute p-chart over the daily error share. */
+  def pChart(): DataFrame = StatTests.pChart(spark, dir)
+  /** Inter-purchase gap profile per market segment. */
+  def purchaseGaps(repeatDays: Int = 30): DataFrame =
+    StatTests.purchaseGaps(spark, dir, repeatDays)
+  /** Hellinger + total-variation distances between source unigrams. */
+  def sourceDistance(vocabCap: Int = 10000): DataFrame =
+    TextOps.sourceDistance(documents, vocabCap)
 }

@@ -830,6 +830,25 @@ object SparkEntry {
     "q_emd"               -> CatalogOps.emdDriftQuery _,
     // One-way ANOVA F + eta^2 of order value across market segments
     "q_anova"             -> CatalogOps.anovaFQuery _,
+    // Kruskal-Wallis rank one-way ANOVA across market segments
+    "q_kruskal"           -> StatTests.kruskalWallis _,
+    // Brown-Forsythe (median Levene) variance-homogeneity test
+    "q_brown_forsythe"    -> StatTests.brownForsythe _,
+    // Jarque-Bera normality screen of daily counts per event type
+    "q_jarque_bera"       -> StatTests.jarqueBera _,
+    // Tukey HSD post-hoc pairwise mean-difference panel
+    "q_tukey_hsd"         -> ((s: SparkSession, d: String) =>
+      StatTests.tukeyHsd(s, d)),
+    // Kendall's W concordance of event types over day blocks
+    "q_kendall_w"         -> StatTests.kendallW _,
+    // Attribute p-chart over the daily error share
+    "q_p_chart"           -> StatTests.pChart _,
+    // Inter-purchase gap profile per market segment
+    "q_purchase_gaps"     -> ((s: SparkSession, d: String) =>
+      StatTests.purchaseGaps(s, d)),
+    // Hellinger + total-variation distances between source unigrams
+    "q_source_distance"   -> ((s: SparkSession, d: String) =>
+      TextOps.sourceDistance(s, d)),
   )
 
   /** [[TextOps.patternScan]] dictionary for the driver query: token
@@ -9452,6 +9471,290 @@ object SparkEntry {
         |  round(fstat, 4) AS f_stat,
         |  round(ssb / (ssb + ssw), 6) AS eta_sq
         |FROM f2 ORDER BY c_mktsegment""".stripMargin,
+    // Kruskal-Wallis: tie-averaged ranks as integer 2·r̄, per-group
+    // term + H + tie correction all exact integer half-up (HUGEINT).
+    "q_kruskal" ->
+      """WITH b AS (SELECT c_mktsegment,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS x2
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |pv AS (SELECT x2, CAST(count(*) AS BIGINT) AS t
+        |  FROM b GROUP BY 1),
+        |rk AS (SELECT x2, t,
+        |    2 * (CAST(sum(t) OVER (ORDER BY x2 ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) - t) + t + 1 AS ar2
+        |  FROM pv),
+        |sv AS (SELECT c_mktsegment, x2, CAST(count(*) AS BIGINT) AS c
+        |  FROM b GROUP BY 1, 2),
+        |sg AS (SELECT c_mktsegment, CAST(sum(c) AS BIGINT) AS n_g,
+        |    CAST(sum(c * ar2) AS BIGINT) AS s2_g
+        |  FROM sv JOIN rk USING (x2) GROUP BY 1),
+        |ti AS (SELECT CAST(sum(t) AS BIGINT) AS nn,
+        |    CAST(sum(t * t * t - t) AS HUGEINT) AS tc FROM rk),
+        |t2 AS (SELECT *, CAST((2 * CAST(s2_g AS HUGEINT) * s2_g * 100
+        |      + 4 * n_g) // (2 * 4 * n_g) AS BIGINT) AS t2_g
+        |  FROM sg),
+        |t3 AS (SELECT *, CAST(sum(t2_g) OVER () AS BIGINT) AS sum_t2
+        |  FROM t2),
+        |hh AS (SELECT *,
+        |    (CAST(sum_t2 AS HUGEINT) * 12
+        |      - CAST(nn AS HUGEINT) * (nn + 1) * (nn + 1) * 300)
+        |      * 10000 AS hn,
+        |    CAST(nn AS HUGEINT) * (nn + 1) * 100 AS hd,
+        |    (CAST(nn AS HUGEINT) * nn * nn - nn - tc) * 1000000 AS cn,
+        |    CAST(nn AS HUGEINT) * nn * nn - nn AS cd
+        |  FROM t3, ti),
+        |h2 AS (SELECT *,
+        |    CAST((CASE WHEN hn < 0
+        |      THEN -((2 * (-hn) + hd) // (2 * hd))
+        |      ELSE (2 * hn + hd) // (2 * hd) END) AS BIGINT) AS h4,
+        |    CAST((2 * cn + cd) // (2 * cd) AS BIGINT) AS c6
+        |  FROM hh)
+        |SELECT c_mktsegment, n_g,
+        |  ((2 * 10000 * s2_g + 2 * n_g) // (2 * 2 * n_g)) / 10000.0
+        |    AS mean_rank,
+        |  h4 / 10000.0 AS h_stat,
+        |  c6 / 1000000.0 AS tie_c,
+        |  (CASE WHEN h4 < 0
+        |    THEN -((2 * 1000000 * (-h4) + c6) // (2 * c6))
+        |    ELSE (2 * 1000000 * h4 + c6) // (2 * c6) END) / 10000.0
+        |    AS h_adj
+        |FROM h2 ORDER BY c_mktsegment""".stripMargin,
+    // Brown-Forsythe: half-cent exact |x − median| deviations into the
+    // anovaF moment replay.
+    "q_brown_forsythe" ->
+      """WITH b AS (SELECT c_mktsegment,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS x2
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |md AS (SELECT c_mktsegment,
+        |    CAST(round(quantile_cont(x2, 0.5) * 2) AS BIGINT) AS m2
+        |  FROM b GROUP BY 1),
+        |z AS (SELECT b.c_mktsegment, abs(b.x2 * 2 - m.m2) AS z2
+        |  FROM b JOIN md m ON m.c_mktsegment = b.c_mktsegment),
+        |g AS (SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_g,
+        |    CAST(sum(z2) AS BIGINT) AS s_g,
+        |    sum(CAST(z2 AS HUGEINT) * z2) AS q_g
+        |  FROM z GROUP BY 1),
+        |w AS (SELECT *,
+        |    CAST(count(*) OVER () AS BIGINT) AS k,
+        |    CAST(sum(n_g) OVER () AS BIGINT) AS n,
+        |    CAST(sum(s_g) OVER () AS BIGINT) AS s,
+        |    sum(CAST(round(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
+        |      / n_g, 6) AS DECIMAL(38,6))) OVER () AS sb,
+        |    sum(CAST(round(CAST(q_g AS DOUBLE) -
+        |      CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) / n_g, 6)
+        |      AS DECIMAL(38,6))) OVER () AS sw
+        |  FROM g),
+        |f AS (SELECT *,
+        |    CAST(sb AS DOUBLE) -
+        |      CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n AS ssb FROM w)
+        |SELECT c_mktsegment, n_g,
+        |  ((2 * 100 * s_g + 2 * n_g) // (2 * 2 * n_g)) / 10000.0
+        |    AS mean_absdev,
+        |  k - 1 AS df_between, n - k AS df_within,
+        |  round((ssb / CAST(k - 1 AS DOUBLE)) /
+        |    (CAST(sw AS DOUBLE) / CAST(n - k AS DOUBLE)), 4) AS f_stat
+        |FROM f ORDER BY c_mktsegment""".stripMargin,
+    // Jarque-Bera: exact power sums (HUGEINT for Σx³/Σx⁴), one
+    // √-bearing double tree for the moments and the statistic.
+    "q_jarque_bera" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+        |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS s1,
+        |    CAST(sum(x * x) AS BIGINT) AS s2,
+        |    sum(CAST(x AS HUGEINT) * x * x) AS s3,
+        |    sum(CAST(x AS HUGEINT) * x * x * x) AS s4
+        |  FROM d GROUP BY 1),
+        |m AS (SELECT *, CAST(s1 AS DOUBLE) / n AS mu FROM g),
+        |mm AS (SELECT *,
+        |    CAST(s2 AS DOUBLE) / n - mu * mu AS m2,
+        |    CAST(s3 AS DOUBLE) / n - 3.0 * mu * (CAST(s2 AS DOUBLE) / n)
+        |      + 2.0 * mu * mu * mu AS m3,
+        |    CAST(s4 AS DOUBLE) / n - 4.0 * mu * (CAST(s3 AS DOUBLE) / n)
+        |      + 6.0 * mu * mu * (CAST(s2 AS DOUBLE) / n)
+        |      - 3.0 * mu * mu * mu * mu AS m4
+        |  FROM m),
+        |sk AS (SELECT *, m3 / pow(m2, 1.5) AS skew,
+        |    m4 / (m2 * m2) AS kurt FROM mm)
+        |SELECT event_type, n AS n_days,
+        |  round(skew, 4) AS skewness, round(kurt, 4) AS kurtosis,
+        |  round(CAST(n AS DOUBLE) / 6.0 * (skew * skew
+        |    + (kurt - 3.0) * (kurt - 3.0) / 4.0), 4) AS jb,
+        |  CAST(n AS DOUBLE) / 6.0 * (skew * skew
+        |    + (kurt - 3.0) * (kurt - 3.0) / 4.0) > 5.991
+        |    AS reject_normal
+        |FROM sk ORDER BY event_type""".stripMargin,
+    // Tukey HSD: exact signed mean differences, anovaF MSW replay,
+    // literal q(k=5, inf) = 3.858, double compare tree.
+    "q_tukey_hsd" ->
+      """WITH b AS (SELECT c_mktsegment,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS x2
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |g AS (SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_g,
+        |    CAST(sum(x2) AS BIGINT) AS s_g,
+        |    sum(CAST(x2 AS HUGEINT) * x2) AS q_g
+        |  FROM b GROUP BY 1),
+        |ms AS (SELECT CAST(sum(n_g) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS k,
+        |    sum(CAST(round(CAST(q_g AS DOUBLE) -
+        |      CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) / n_g, 6)
+        |      AS DECIMAL(38,6))) AS sw
+        |  FROM g),
+        |ms2 AS (SELECT n, k,
+        |    CAST(sw AS DOUBLE) / CAST(n - k AS DOUBLE) AS msw FROM ms),
+        |p AS (SELECT a.c_mktsegment AS seg_a, b2.c_mktsegment AS seg_b,
+        |    a.n_g AS n_a, b2.n_g AS n_b, a.s_g AS s_a, b2.s_g AS s_b
+        |  FROM g a JOIN g b2 ON a.c_mktsegment < b2.c_mktsegment),
+        |pp AS (SELECT *,
+        |    (CAST(s_a AS HUGEINT) * n_b - CAST(s_b AS HUGEINT) * n_a)
+        |      * 100 AS dn,
+        |    CAST(n_a AS HUGEINT) * n_b AS dd,
+        |    sqrt(msw / 2.0 * (1.0 / n_a + 1.0 / n_b)) AS se_cents
+        |  FROM p, ms2)
+        |SELECT seg_a, seg_b, n_a, n_b,
+        |  (CASE WHEN dn < 0
+        |    THEN -CAST((2 * (-dn) + dd) // (2 * dd) AS BIGINT)
+        |    ELSE CAST((2 * dn + dd) // (2 * dd) AS BIGINT) END)
+        |    / 10000.0 AS mean_diff,
+        |  round(se_cents / 100.0, 4) AS se,
+        |  round(3.858 * se_cents / 100.0, 4) AS hsd,
+        |  abs((CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b)
+        |    / 100.0) > 3.858 * se_cents / 100.0 AS significant
+        |FROM pp ORDER BY seg_a, seg_b""".stripMargin,
+    // Kendall's W: per-day tie-averaged integer ranks over the
+    // zero-filled day x type grid; W one exact HUGEINT ratio.
+    "q_kendall_w" ->
+      """WITH d AS (SELECT CAST(ts AS DATE) AS day, event_type,
+        |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+        |dd AS (SELECT DISTINCT day FROM d),
+        |tt AS (SELECT DISTINCT event_type FROM d),
+        |grid AS (SELECT dd.day, tt.event_type, coalesce(d.x, 0) AS x
+        |  FROM dd CROSS JOIN tt
+        |  LEFT JOIN d ON d.day = dd.day AND d.event_type = tt.event_type),
+        |pv AS (SELECT day, x, CAST(count(*) AS BIGINT) AS t
+        |  FROM grid GROUP BY 1, 2),
+        |rk AS (SELECT day, x, t,
+        |    2 * (CAST(sum(t) OVER (PARTITION BY day ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) - t) + t + 1 AS ar2
+        |  FROM pv),
+        |rj AS (SELECT g.event_type, CAST(sum(ar2) AS BIGINT) AS r2_j
+        |  FROM grid g JOIN rk ON rk.day = g.day AND rk.x = g.x
+        |  GROUP BY 1),
+        |td AS (SELECT day, CAST(sum(t * t * t - t) AS BIGINT) AS t_d
+        |  FROM rk GROUP BY 1),
+        |to2 AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(t_d) AS BIGINT) AS ttx FROM td),
+        |kk AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |    sum(CAST(r2_j AS HUGEINT) * r2_j) AS sr2sq FROM rj),
+        |ww AS (SELECT *,
+        |    (sr2sq * 3
+        |      - CAST(n_days AS HUGEINT) * n_days * k * 3
+        |        * (k + 1) * (k + 1)) * 1000000 AS wn,
+        |    CAST(n_days AS HUGEINT) * n_days *
+        |      (CAST(k AS HUGEINT) * k * k - k)
+        |      - CAST(n_days AS HUGEINT) * ttx AS wd
+        |  FROM to2, kk)
+        |SELECT n_days, k AS k_types,
+        |  (CASE WHEN wn < 0
+        |    THEN -CAST((2 * (-wn) + wd) // (2 * wd) AS BIGINT)
+        |    ELSE CAST((2 * wn + wd) // (2 * wd) AS BIGINT) END)
+        |    / 1000000.0 AS w,
+        |  round(CAST(n_days AS DOUBLE) * (k - 1) *
+        |    ((CASE WHEN wn < 0
+        |      THEN -CAST((2 * (-wn) + wd) // (2 * wd) AS BIGINT)
+        |      ELSE CAST((2 * wn + wd) // (2 * wd) AS BIGINT) END)
+        |      / 1000000.0), 4) AS chi2
+        |FROM ww""".stripMargin,
+    // p-chart: exact share + centerline, √-bearing limit tree.
+    "q_p_chart" ->
+      """WITH d AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n_i,
+        |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS e_i
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT *, CAST(sum(e_i) OVER () AS BIGINT) AS se,
+        |    CAST(sum(n_i) OVER () AS BIGINT) AS sn FROM d),
+        |u AS (SELECT *,
+        |    CAST(se AS DOUBLE) / CAST(sn AS DOUBLE) AS pbar_d,
+        |    sqrt((CAST(se AS DOUBLE) / CAST(sn AS DOUBLE)) *
+        |      (1.0 - CAST(se AS DOUBLE) / CAST(sn AS DOUBLE)) /
+        |      CAST(n_i AS DOUBLE)) AS sig
+        |  FROM t)
+        |SELECT day, n_i, e_i,
+        |  ((2 * 1000000 * e_i + n_i) // (2 * n_i)) / 1000000.0 AS p_i,
+        |  ((2 * 1000000 * se + sn) // (2 * sn)) / 1000000.0 AS p_bar,
+        |  round(pbar_d + 3.0 * sig, 6) AS ucl,
+        |  round(greatest(pbar_d - 3.0 * sig, 0.0), 6) AS lcl,
+        |  CAST(e_i AS DOUBLE) / CAST(n_i AS DOUBLE) >
+        |    pbar_d + 3.0 * sig AS out_of_control
+        |FROM u ORDER BY day""".stripMargin,
+    // Purchase gaps: customer-windowed day gaps, exact mean/share,
+    // interpolated percentiles.
+    "q_purchase_gaps" ->
+      """WITH g AS (SELECT o_custkey,
+        |    CAST(date_diff('day',
+        |      lag(o_orderdate) OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate, o_orderkey),
+        |      o_orderdate) AS BIGINT) AS gap
+        |  FROM orders),
+        |j AS (SELECT c_mktsegment, gap
+        |  FROM g JOIN customer ON o_custkey = c_custkey
+        |  WHERE gap IS NOT NULL)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_gaps,
+        |  ((2 * 10000 * sum(gap) + count(*)) // (2 * count(*)))
+        |    / 10000.0 AS mean_gap_days,
+        |  round(quantile_cont(CAST(gap AS DOUBLE), 0.5), 4) AS p50_gap,
+        |  round(quantile_cont(CAST(gap AS DOUBLE), 0.9), 4) AS p90_gap,
+        |  ((2 * 10000 * sum(CASE WHEN gap <= 30 THEN 1 ELSE 0 END)
+        |    + count(*)) // (2 * count(*))) / 10000.0
+        |    AS repeat_30d_share
+        |FROM j GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
+    // Source distance panel: TV exact over the shared top-N vocab with
+    // each side's missing-mass correction; Hellinger keeps the JSD
+    // √-term discipline.
+    "q_source_distance" ->
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' '))
+        |      AS token
+        |  FROM documents WHERE text IS NOT NULL),
+        |ca AS (SELECT source, token, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM tok GROUP BY 1, 2),
+        |vocab AS (SELECT token FROM (
+        |    SELECT token, sum(cnt) AS c FROM ca GROUP BY token
+        |    ORDER BY c DESC, token LIMIT 10000)),
+        |cf AS (SELECT * FROM ca WHERE token IN (SELECT token FROM vocab)),
+        |tots AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS tot
+        |  FROM cf GROUP BY 1),
+        |cc AS (SELECT cf.source, cf.token, cf.cnt, t.tot
+        |  FROM cf JOIN tots t ON t.source = cf.source),
+        |pr AS (SELECT a.source AS src_a, b.source AS src_b,
+        |    a.tot AS ta, b.tot AS tb,
+        |    abs(CAST(a.cnt AS HUGEINT) * b.tot
+        |      - CAST(b.cnt AS HUGEINT) * a.tot) AS tv_t,
+        |    CAST(round(sqrt((CAST(a.cnt AS DOUBLE) / a.tot) *
+        |      (CAST(b.cnt AS DOUBLE) / b.tot)), 8) AS DECIMAL(28,8))
+        |      AS h_t,
+        |    a.cnt AS cnt_a, b.cnt AS cnt_b
+        |  FROM cc a JOIN cc b ON a.token = b.token
+        |    AND a.source < b.source),
+        |ag AS (SELECT src_a, src_b, max(ta) AS ta, max(tb) AS tb,
+        |    sum(tv_t) AS stv, CAST(sum(h_t) AS DOUBLE) AS sh,
+        |    CAST(sum(cnt_a) AS BIGINT) AS comm_a,
+        |    CAST(sum(cnt_b) AS BIGINT) AS comm_b
+        |  FROM pr GROUP BY 1, 2),
+        |fin AS (SELECT *,
+        |    (stv + CAST(ta - comm_a AS HUGEINT) * tb
+        |      + CAST(tb - comm_b AS HUGEINT) * ta) * 1000000 AS tvn,
+        |    CAST(ta AS HUGEINT) * tb * 2 AS tvd
+        |  FROM ag)
+        |SELECT src_a, src_b,
+        |  CAST((2 * tvn + tvd) // (2 * tvd) AS BIGINT) / 1000000.0
+        |    AS tv_distance,
+        |  round(1.0 - sh, 6) AS hellinger_sq
+        |FROM fin ORDER BY src_a, src_b""".stripMargin,
   )
 
   /** Oracle twin of CatalogOps.profile: one UNION ALL branch per column. */

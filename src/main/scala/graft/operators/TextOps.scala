@@ -2802,6 +2802,67 @@ object TextOps {
   def sourceJsd(spark: SparkSession, dir: String): DataFrame =
     sourceJsd(Lake.documents(spark, dir))
 
+  /** Hellinger + total-variation distance panel between source unigram
+    * distributions — the bounded-metric complements of [[sourceJsd]]
+    * (TV is the tightest distinguishability bound; Hellinger²
+    * tensorizes): same one-pass (source, token) frame and top-N vocab.
+    * TV is EXACT: ½Σ|p−q| over the shared vocab clears to one integer
+    * ratio (Σ|c_a·t_b − c_b·t_a| + (t_a−C_a)·t_b + (t_b−C_b)·t_a) /
+    * (2·t_a·t_b) — the two correction terms are each side's mass on
+    * tokens the other lacks — staged through decimal(38,0) and rounded
+    * once at 6 dp by exact integer half-up. Hellinger² = 1 − Σ√(p·q)
+    * keeps the [[sourceJsd]] √-discipline: per-term 8-dp-pinned decimal
+    * sum, one double readout (absent-token terms are 0 and drop out). */
+  def sourceDistance(docs: DataFrame, vocabCap: Int = 10000): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val countsAll = nonNull(docs)
+      .select(col("source"), explode(toks).as("token"))
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocab = countsAll.groupBy(col("token"))
+      .agg(sum(col("cnt")).as("c"))
+      .orderBy(col("c").desc, col("token")).limit(vocabCap)
+      .select(col("token"))
+    val counts = countsAll.join(broadcast(vocab), Seq("token"), "left_semi")
+    val tots = counts.groupBy(col("source")).agg(sum(col("cnt")).as("tot"))
+    val c = counts.join(broadcast(tots), Seq("source"))
+    val a = c.select(col("source").as("src_a"), col("token"),
+      col("cnt").as("ca"), col("tot").as("ta"))
+    val b = c.select(col("source").as("src_b"), col("token"),
+      col("cnt").as("cb"), col("tot").as("tb"))
+    val dec = DecimalType(28, 8)
+    val p = col("ca").cast("double") / col("ta")
+    val q = col("cb").cast("double") / col("tb")
+    val out = a.join(b, Seq("token")).filter(col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"), col("ta"), col("tb"),
+        abs(col("ca").cast(d38) * col("tb") - col("cb").cast(d38) * col("ta"))
+          .cast(d38).as("tv_t"),
+        round(sqrt(p * q), 8).cast(dec).as("h_t"),
+        col("ca"), col("cb"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(max(col("ta")).as("ta"), max(col("tb")).as("tb"),
+        sum(col("tv_t")).cast(d38).as("stv"),
+        sum(col("h_t")).cast("double").as("sh"),
+        sum(col("ca")).as("comm_a"), sum(col("cb")).as("comm_b"))
+      .withColumn("tvn",
+        ((col("stv")
+          + (col("ta") - col("comm_a")).cast(d38) * col("tb")
+          + (col("tb") - col("comm_b")).cast(d38) * col("ta")) * 1000000)
+          .cast(d38))
+      .withColumn("tvd", (col("ta").cast(d38) * col("tb") * 2).cast(d38))
+      .select(col("src_a"), col("src_b"),
+        (ExactRound.halfUpPos("tvn", "tvd").cast("double") / 1e6)
+          .as("tv_distance"),
+        round(lit(1.0) - col("sh"), 6).as("hellinger_sq"))
+      .orderBy(col("src_a"), col("src_b"))
+      .localCheckpoint(true)
+    countsAll.unpersist(false)
+    out
+  }
+
+  def sourceDistance(spark: SparkSession, dir: String): DataFrame =
+    sourceDistance(Lake.documents(spark, dir))
+
   /** Cross-source score normalization: each doc's quality score replaced
     * by its percent-rank WITHIN its source — the standard trick for
     * mixing heterogeneously-scored sources (one crawl's 0.6 is another's

@@ -510,7 +510,16 @@ class PlanShapeSpec extends SparkSpecBase {
         // q_friedman: the calendar-days × event-types zero-fill grid
         // (days.crossJoin(broadcast(types)) at EventOps.friedman) — both
         // sides bounded (the q_gap_fill dense-spine precedent)
-        "q_friedman")
+        "q_friedman",
+        // q_kendall_w: the same bounded days × types zero-fill grid as
+        // q_friedman, plus two one-row summary broadcasts
+        "q_kendall_w",
+        // q_kruskal: one-row tie-total broadcast over the ≤5-segment
+        // frame (the q_rec_coverage readout pattern)
+        "q_kruskal",
+        // q_tukey_hsd: the 5×5 segment pair grid (non-equi a < b) plus
+        // the one-row MSW broadcast — both sides dimension-bounded
+        "q_tukey_hsd")
     // collect ALL offenders before failing — a fail-fast assert hides
     // every offender behind the first and costs a full re-run per fix
     val offenders = scala.collection.mutable.LinkedHashSet[String]()
