@@ -489,4 +489,16 @@ final case class DataLake(spark: SparkSession, dir: String) {
   /** Hellinger + total-variation distances between source unigrams. */
   def sourceDistance(vocabCap: Int = 10000): DataFrame =
     TextOps.sourceDistance(documents, vocabCap)
+  /** Gunning fog readability index per source. */
+  def gunningFog(): DataFrame = TextOps.gunningFog(documents)
+  /** Session-depth histogram (engagement count-of-counts). */
+  def sessionDepths(): DataFrame = EventOps.sessionDepths(spark, dir)
+  /** Forward retention by lifecycle state (new/retained/resurrected). */
+  def stateRetention(): DataFrame = EventOps.stateRetention(spark, dir)
+  /** Top-1% customer revenue share per nation. */
+  def topPctShare(): DataFrame = Relational.topPctShare(spark, dir)
+  /** Novelty readout of the CF serving table vs the catalog baseline. */
+  def recNovelty(): DataFrame = Relational.recNovelty(spark, dir)
+  /** Davies–Bouldin clustering-quality index over embedding labels. */
+  def daviesBouldin(): DataFrame = AnnOps.daviesBouldin(spark, dir)
 }

@@ -849,6 +849,19 @@ object SparkEntry {
     // Hellinger + total-variation distances between source unigrams
     "q_source_distance"   -> ((s: SparkSession, d: String) =>
       TextOps.sourceDistance(s, d)),
+    // Gunning fog readability (complex-word twin of Flesch)
+    "q_gunning_fog"       -> ((s: SparkSession, d: String) =>
+      TextOps.gunningFog(s, d)),
+    // Session-depth histogram (engagement count-of-counts)
+    "q_session_depths"    -> EventOps.sessionDepths _,
+    // Forward retention by lifecycle state (new/retained/resurrected)
+    "q_state_retention"   -> EventOps.stateRetention _,
+    // Top-1% customer revenue share per nation
+    "q_top_pct_share"     -> Relational.topPctShare _,
+    // Novelty readout of the CF serving table vs the catalog baseline
+    "q_rec_novelty"       -> Relational.recNovelty _,
+    // Davies-Bouldin clustering-quality index over embedding labels
+    "q_davies_bouldin"    -> AnnOps.daviesBouldin _,
   )
 
   /** [[TextOps.patternScan]] dictionary for the driver query: token
@@ -9755,6 +9768,177 @@ object SparkEntry {
         |    AS tv_distance,
         |  round(1.0 - sh, 6) AS hellinger_sq
         |FROM fin ORDER BY src_a, src_b""".stripMargin,
+    // Gunning fog: per-token vowel-run complexity, the composite cleared
+    // to one integer ratio (2·sw² + 200·cw·ss)/(5·ss·sw).
+    "q_gunning_fog" ->
+      """WITH d AS (SELECT source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+        |    CAST(1 + length(regexp_replace(text, '[^.!?]', '', 'g'))
+        |      AS BIGINT) AS s
+        |  FROM documents WHERE text IS NOT NULL),
+        |cx AS (SELECT source, CAST(sum(CASE WHEN
+        |      length(regexp_replace(tok, '[aeiouAEIOU]+', 'V', 'g')) -
+        |      length(regexp_replace(tok, '[aeiouAEIOU]+', '', 'g')) >= 3
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS cw
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents WHERE text IS NOT NULL) u
+        |  GROUP BY source),
+        |g AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(w) AS BIGINT) AS sw, CAST(sum(s) AS BIGINT) AS ss
+        |  FROM d GROUP BY 1),
+        |j AS (SELECT g.source, g.n_docs, g.sw, g.ss, cx.cw,
+        |    (CAST(g.sw AS HUGEINT) * g.sw * 2
+        |      + CAST(cx.cw AS HUGEINT) * g.ss * 200) * 10000 AS fn,
+        |    CAST(g.ss AS HUGEINT) * g.sw * 5 AS fd
+        |  FROM g JOIN cx ON cx.source = g.source)
+        |SELECT source, n_docs, cw AS n_complex,
+        |  ((2 * 10000 * cw + sw) // (2 * sw)) / 10000.0
+        |    AS complex_share,
+        |  CAST((2 * fn + fd) // (2 * fd) AS BIGINT) / 10000.0
+        |    AS fog_index
+        |FROM j ORDER BY source""".stripMargin,
+    // Session depths: the q_session_stats session assignment rolled to
+    // a depth count-of-counts; shares exact integer half-up.
+    "q_session_depths" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL 1800 SECOND
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT user_id,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM g
+        |), dep AS (SELECT user_id, session_id,
+        |    CAST(count(*) AS BIGINT) AS depth FROM s GROUP BY 1, 2),
+        |h AS (SELECT depth, CAST(count(*) AS BIGINT) AS n_sessions
+        |  FROM dep GROUP BY 1),
+        |t AS (SELECT *, CAST(sum(n_sessions) OVER () AS BIGINT) AS total,
+        |    CAST(sum(n_sessions) OVER (ORDER BY depth
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum
+        |  FROM h)
+        |SELECT depth, n_sessions,
+        |  ((2 * 1000000 * n_sessions + total) // (2 * total))
+        |    / 1000000.0 AS share,
+        |  ((2 * 1000000 * cum + total) // (2 * total)) / 1000000.0
+        |    AS cum_share
+        |FROM t ORDER BY depth""".stripMargin,
+    // State retention: lifecycle label from the previous-active-day lag,
+    // next-day return by a (user, day+1) equi-ish self-join.
+    "q_state_retention" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |  FROM events),
+        |lbl AS (SELECT user_id, day,
+        |    lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev_day
+        |  FROM ud),
+        |st AS (SELECT user_id, day,
+        |    CASE WHEN prev_day IS NULL THEN 'new'
+        |         WHEN date_diff('day', prev_day, day) = 1 THEN 'retained'
+        |         ELSE 'resurrected' END AS state FROM lbl),
+        |j AS (SELECT st.state,
+        |    CASE WHEN u2.day IS NOT NULL THEN 1 ELSE 0 END AS ret
+        |  FROM st LEFT JOIN ud u2 ON u2.user_id = st.user_id
+        |    AND date_diff('day', st.day, u2.day) = 1)
+        |SELECT state, CAST(count(*) AS BIGINT) AS n_user_days,
+        |  CAST(sum(ret) AS BIGINT) AS n_return,
+        |  ((2 * 10000 * sum(ret) + count(*)) // (2 * count(*)))
+        |    / 10000.0 AS next_day_return_rate
+        |FROM j GROUP BY 1 ORDER BY state""".stripMargin,
+    // Top-1% share: per-nation rank window, k = ceil(n/100), one exact
+    // integer-cents ratio.
+    "q_top_pct_share" ->
+      """WITH sp AS (SELECT o_custkey,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS y
+        |  FROM orders GROUP BY 1),
+        |c AS (SELECT n.n_name AS nation, c_custkey,
+        |    CAST(y * 100 AS BIGINT) AS y2
+        |  FROM customer JOIN nation n ON c_nationkey = n_nationkey
+        |  JOIN sp ON o_custkey = c_custkey),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY nation
+        |      ORDER BY y2 DESC, c_custkey) AS rnk,
+        |    CAST(count(*) OVER (PARTITION BY nation) AS BIGINT) AS n_c
+        |  FROM c),
+        |r2 AS (SELECT *, (n_c + 99) // 100 AS k FROM r)
+        |SELECT nation, CAST(count(*) AS BIGINT) AS n_customers,
+        |  max(k) AS k,
+        |  ((2 * 1000000 * sum(CASE WHEN rnk <= k THEN y2 ELSE 0 END)
+        |    + sum(y2)) // (2 * sum(y2))) / 1000000.0 AS top_pct_share
+        |FROM r2 GROUP BY nation ORDER BY nation""".stripMargin,
+    // Recommender novelty: popularity shares pinned 8 dp, per-item
+    // -ln(p)/ln(2) terms 8-dp-decimal-summed, means exact half-up.
+    "q_rec_novelty" ->
+      s"""$recCtePrefix,
+         |topk AS (SELECT custkey, cand
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY custkey
+         |      ORDER BY score_d DESC, cand) AS rnk FROM sc) t
+         |  WHERE rnk <= 3),
+         |tot AS (SELECT CAST(sum(n_item) AS BIGINT) AS pop_tot
+         |  FROM itemn),
+         |wp AS (SELECT l_partkey,
+         |    CAST(((2 * 100000000 * CAST(n_item AS BIGINT) + pop_tot)
+         |      // (2 * pop_tot)) / 100000000.0 AS DECIMAL(18,8)) AS p
+         |  FROM itemn, tot),
+         |rsi AS (SELECT CAST(count(*) AS BIGINT) AS n_recs,
+         |    sum(CAST(round(-(ln(CAST(p AS DOUBLE)) / ln(2.0)), 8)
+         |      AS DECIMAL(18,8))) AS si_sum
+         |  FROM topk JOIN wp ON wp.l_partkey = topk.cand),
+         |csi AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+         |    sum(CAST(round(-(ln(CAST(p AS DOUBLE)) / ln(2.0)), 8)
+         |      AS DECIMAL(18,8))) AS cat_sum FROM wp)
+         |SELECT n_recs, n_items AS catalog_size,
+         |  ((2 * CAST(si_sum * 100000000 AS BIGINT) + 10000 * n_recs)
+         |    // (2 * 10000 * n_recs)) / 10000.0 AS mean_novelty_rec,
+         |  ((2 * CAST(cat_sum * 100000000 AS BIGINT) + 10000 * n_items)
+         |    // (2 * 10000 * n_items)) / 10000.0
+         |    AS mean_novelty_catalog
+         |FROM rsi, csi""".stripMargin,
+    // Davies-Bouldin: the silhouette centroid/fold machinery, s_i means
+    // exact half-up, the L x L ratio grid with 6-dp-pinned ratios.
+    "q_davies_bouldin" ->
+      """WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+        |cx AS (SELECT label, i,
+        |    CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,8)))
+        |      AS DOUBLE) / count(*) AS comp
+        |  FROM (SELECT label, embedding,
+        |          unnest(range(1, len(embedding) + 1)) AS i FROM e) t
+        |  GROUP BY 1, 2),
+        |cv AS (SELECT label AS clabel, list(comp ORDER BY i) AS cvec
+        |       FROM cx GROUP BY 1),
+        |own AS (SELECT e.label AS lbl,
+        |    CAST(round(sqrt(list_aggregate(list_transform(
+        |      range(1, len(e.embedding) + 1),
+        |      i -> (CAST(e.embedding[i] AS DOUBLE) - cv.cvec[i])
+        |         * (CAST(e.embedding[i] AS DOUBLE) - cv.cvec[i])),
+        |      'sum')), 6) AS DECIMAL(18,6)) AS d6
+        |  FROM e JOIN cv ON cv.clabel = e.label),
+        |si AS (SELECT lbl, CAST(count(*) AS BIGINT) AS n_vecs,
+        |    CAST(sum(d6) * 1000000 AS BIGINT) AS s6
+        |  FROM own GROUP BY 1),
+        |si2 AS (SELECT lbl, n_vecs,
+        |    ((2 * s6 + n_vecs) // (2 * n_vecs)) / 1000000.0 AS s_i
+        |  FROM si),
+        |pd AS (SELECT a.clabel AS la, b.clabel AS lb,
+        |    sqrt(list_aggregate(list_transform(range(1, len(a.cvec) + 1),
+        |      i -> (a.cvec[i] - b.cvec[i]) * (a.cvec[i] - b.cvec[i])),
+        |      'sum')) AS d_ij
+        |  FROM cv a CROSS JOIN cv b WHERE a.clabel <> b.clabel),
+        |rt AS (SELECT pd.la, sa.s_i AS s_a,
+        |    CAST(round((sa.s_i + sb.s_i) / pd.d_ij, 6) AS DECIMAL(18,6))
+        |      AS r
+        |  FROM pd JOIN si2 sa ON sa.lbl = pd.la
+        |    JOIN si2 sb ON sb.lbl = pd.lb),
+        |ag AS (SELECT la, max(s_a) AS s_i, max(r) AS worst_r
+        |  FROM rt GROUP BY 1),
+        |fin AS (SELECT *, CAST(count(*) OVER () AS BIGINT) AS k,
+        |    sum(worst_r) OVER () AS swr FROM ag)
+        |SELECT la AS label, round(s_i, 6) AS s_i,
+        |  CAST(worst_r AS DOUBLE) AS worst_neighbor_ratio,
+        |  ((2 * CAST(swr * 1000000 AS BIGINT) + 100 * k)
+        |    // (2 * 100 * k)) / 10000.0 AS davies_bouldin
+        |FROM fin ORDER BY label""".stripMargin,
   )
 
   /** Oracle twin of CatalogOps.profile: one UNION ALL branch per column. */

@@ -1202,6 +1202,69 @@ object AnnOps {
       .orderBy(col("label"))
   }
 
+  /** Davies–Bouldin clustering-quality index over the embedding labels
+    * — the ratio-form complement of [[silhouette]] (DB penalizes pairs
+    * of clusters that are individually loose AND mutually close; lower
+    * is better): s_i = mean distance to own centroid (per-vector
+    * distances 6-dp-pinned into decimal, mean by exact integer
+    * half-up), d_ij = centroid–centroid distance, DB = mean_i max_{j≠i}
+    * (s_i+s_j)/d_ij. Same decimal-centroid + codegen'd zip_with fold
+    * machinery as [[silhouette]]; everything after the per-vector pass
+    * lives on the L×L label grid. Emits per-label s_i with its worst
+    * neighbor ratio and the table-wide DB on every row. */
+  def daviesBouldin(spark: SparkSession, dir: String): DataFrame = {
+    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val emb = Lake.embeddings(spark, dir)
+    val cent = emb
+      .select(col("label"), posexplode(col("embedding")))
+      .groupBy(col("label"), col("pos"))
+      .agg((sum(col("col").cast(org.apache.spark.sql.types
+        .DecimalType(18, 8))).cast("double") / count(lit(1))).as("comp"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("comp")))),
+        x => x.getField("comp")).as("cvec"))
+      .localCheckpoint(true) // label-bounded; feeds own-dist + pair grid
+    val own = emb
+      .join(broadcast(cent), emb("label") === cent("label"))
+      .withColumn("dist", sqrt(expr(
+        """aggregate(zip_with(embedding, cvec,
+          |  (x, c) -> (CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)),
+          |  0D, (acc, v) -> acc + v)""".stripMargin)))
+      .select(emb("label").as("lbl"),
+        round(col("dist"), 6).cast(dec6).as("d6"))
+      .groupBy(col("lbl"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("d6")).as("sd"))
+      .withColumn("s6", (col("sd") * 1000000).cast("long"))
+      .select(col("lbl"), col("n_vecs"),
+        (ExactRound.halfUpPos("s6", "n_vecs").cast("double") / 1e6)
+          .as("s_i"))
+    val pairs = cent.select(col("label").as("la"), col("cvec").as("va"))
+      .crossJoin(broadcast(cent.select(col("label").as("lb"),
+        col("cvec").as("vb"))))
+      .filter(col("la") =!= col("lb"))
+      .withColumn("d_ij", sqrt(expr(
+        """aggregate(zip_with(va, vb,
+          |  (x, c) -> (x - c) * (x - c)),
+          |  0D, (acc, v) -> acc + v)""".stripMargin)))
+      .select(col("la"), col("lb"), col("d_ij"))
+    val ratios = pairs
+      .join(own.select(col("lbl").as("la"), col("s_i").as("s_a")), Seq("la"))
+      .join(own.select(col("lbl").as("lb"), col("s_i").as("s_b")), Seq("lb"))
+      .withColumn("r", (col("s_a") + col("s_b")) / col("d_ij"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    ratios.groupBy(col("la"))
+      .agg(max(col("s_a")).as("s_i"),
+        max(round(col("r"), 6).cast(dec6)).as("worst_r"))
+      .withColumn("k", count(lit(1)).over(wAll))
+      .withColumn("swr", sum(col("worst_r")).over(wAll))
+      .withColumn("w6", (col("swr") * 1000000).cast("long"))
+      .select(col("la").as("label"), round(col("s_i"), 6).as("s_i"),
+        col("worst_r").cast("double").as("worst_neighbor_ratio"),
+        (ExactRound.halfUpPos("w6", "100 * k").cast("double") / 1e4)
+          .as("davies_bouldin"))
+      .orderBy(col("label"))
+  }
+
   /** Matryoshka (truncated-dimension) retrieval eval: top-k recall of
     * brute-force search over the FIRST `keepDims` embedding dimensions
     * against full-dimension ground truth — the measurement behind the

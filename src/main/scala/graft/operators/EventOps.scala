@@ -230,6 +230,68 @@ object EventOps {
           .as("n_purchases"))
       .orderBy(col("user_id"), col("session_id"))
 
+  /** Session-depth histogram: sessions by event count, with share and
+    * cumulative share — the engagement-depth count-of-counts the
+    * duration-centric [[sessionStats]] summary hides (a median-2-minute
+    * corpus can be one-pagers or deep crawls; the depth histogram tells
+    * them apart). Shares by exact integer half-up; the depth frame is
+    * bounded by the longest session. */
+  def sessionDepths(spark: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.orderBy(col("depth"))
+    val wAll = wOrd.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    withSessionIds(spark, dir)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("depth"))
+      .groupBy(col("depth")).agg(count(lit(1)).as("n_sessions"))
+      .withColumn("total", sum(col("n_sessions")).over(wAll))
+      .withColumn("cum", sum(col("n_sessions")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("depth"), col("n_sessions"),
+        (ExactRound.halfUpPos("1000000 * n_sessions", "total")
+          .cast("double") / 1e6).as("share"),
+        (ExactRound.halfUpPos("1000000 * cum", "total")
+          .cast("double") / 1e6).as("cum_share"))
+      .orderBy(col("depth"))
+  }
+
+  /** Forward retention by lifecycle state: for each user-day, the
+    * growth-accounting state (new / retained / resurrected) and whether
+    * the user returns the NEXT calendar day — P(active tomorrow | state
+    * today), the conditional rates the [[dailyUsers]] decomposition
+    * cannot answer (is a resurrected user stickier than a new one?).
+    * One distinct user-day frame, one user-keyed window for the
+    * previous-active-day lag, one self-equi-join for tomorrow; rates by
+    * exact integer half-up over the 3-state frame. */
+  def stateRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Lake.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wU = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val labeled = ud
+      .withColumn("prev_day", lag(col("day"), 1).over(wU))
+      .withColumn("state",
+        when(col("prev_day").isNull, "new")
+          .when(datediff(col("day"), col("prev_day")) === 1, "retained")
+          .otherwise("resurrected"))
+    val out = labeled
+      .join(ud.select(col("user_id").as("u2"), col("day").as("next_day")),
+        labeled("user_id") === col("u2") &&
+          datediff(col("next_day"), labeled("day")) === 1, "left")
+      .groupBy(col("state"))
+      .agg(count(lit(1)).as("n_user_days"),
+        sum(when(col("next_day").isNotNull, 1L).otherwise(0L))
+          .as("n_return"))
+      .select(col("state"), col("n_user_days"), col("n_return"),
+        (ExactRound.halfUpPos("10000 * n_return", "n_user_days")
+          .cast("double") / 1e4).as("next_day_return_rate"))
+      .orderBy(col("state"))
+      .localCheckpoint(true)
+    ud.unpersist(false)
+    out
+  }
+
   /** Funnel: users whose first view precedes their first click precedes
     * their first purchase. One aggregation pass, no self-joins. */
   def funnel(spark: SparkSession, dir: String): DataFrame =

@@ -1204,6 +1204,49 @@ object Relational {
     out
   }
 
+  /** Novelty/serendipity readout of the [[itemKnnRecommend]] serving
+    * table — the third recommender health check beside hit-rate
+    * ([[cfHitRate]]) and coverage ([[recCoverage]]): a recommender can
+    * score well on both by pushing bestsellers; novelty = mean
+    * self-information −log₂(pop_share) of the recommended items (higher
+    * = less obvious) against the same readout for the catalog baseline.
+    * Per-item popularity shares are exact integer ratios pinned at 8 dp
+    * into decimal before the ln (the surprisal discipline); the two
+    * −log₂ means are one ln-bearing double tree. Dimension-sized frames
+    * throughout. */
+  def recNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val d8 = DecimalType(18, 8)
+    val itemN = Lake.lineitem(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg(countDistinct(col("l_orderkey")).as("n_item"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = itemN.agg(sum(col("n_item")).as("pop_tot"))
+    val withP = itemN.crossJoin(broadcast(tot))
+      .select(col("l_partkey"),
+        (ExactRound.halfUpPos("100000000 * n_item", "pop_tot")
+          .cast("double") / 1e8).cast(d8).as("p"))
+    val recs = itemKnnRecommend(spark, dir)
+      .select(col("partkey"))
+      .join(withP, col("partkey") === col("l_partkey"))
+    val recAgg = recs.agg(count(lit(1)).as("n_recs"),
+      sum(round(-log(2.0, col("p").cast("double")), 8).cast(d8))
+        .as("si_sum"))
+    val catAgg = withP.agg(count(lit(1)).as("n_items"),
+      sum(round(-log(2.0, col("p").cast("double")), 8).cast(d8))
+        .as("cat_sum"))
+    val out = recAgg.crossJoin(broadcast(catAgg))
+      .withColumn("r8", (col("si_sum") * 100000000L).cast("long"))
+      .withColumn("c8", (col("cat_sum") * 100000000L).cast("long"))
+      .select(col("n_recs"), col("n_items").as("catalog_size"),
+        (ExactRound.halfUpPos("r8", "10000 * n_recs")
+          .cast("double") / 1e4).as("mean_novelty_rec"),
+        (ExactRound.halfUpPos("c8", "10000 * n_items")
+          .cast("double") / 1e4).as("mean_novelty_catalog"))
+      .localCheckpoint(true)
+    itemN.unpersist(false)
+    out
+  }
+
   /** Frequent 3-itemsets over the shared basket artifact: every ordered
     * triple (a < b < c) co-ordered at least `minOrders` times — the next
     * rung above pair mining for bundle/recommendation work. The fan-out
@@ -2352,6 +2395,45 @@ object Relational {
       .localCheckpoint(true)
     base.unpersist(false)
     out
+  }
+
+  /** Top-1% customer revenue share per nation — the whale-dependence
+    * readout the Gini/Lorenz panels summarize away (a CFO asks "how
+    * much walks out if our top 1% of accounts churn?", not for a
+    * decile curve): per nation, customers ranked by lifetime spend
+    * DESC (custkey tie-break), k = ⌈n/100⌉, share = top-k revenue over
+    * the nation total as ONE exact integer-cents ratio. One customer
+    * reduce, one nation-PARTITIONED rank window (parallelism =
+    * |nations|; the [[abcPartsPar]] value-range fence applies verbatim
+    * if the partition key ever gets dimension-poor). */
+  def topPctShare(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val spend = Lake.orders(spark, dir)
+      .groupBy(col("o_custkey")).agg(sum(m(col("o_totalprice"))).as("y"))
+    val cust = Lake.customer(spark, dir)
+      .join(broadcast(Lake.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(spend, col("c_custkey") === col("o_custkey"))
+      .select(col("n_name").as("nation"), col("c_custkey"),
+        (col("y") * 100).cast("long").as("y2"))
+    val wRank = Window.partitionBy(col("nation"))
+      .orderBy(col("y2").desc, col("c_custkey"))
+    val wN = Window.partitionBy(col("nation"))
+    cust
+      .withColumn("rnk", row_number().over(wRank))
+      .withColumn("n_c", count(lit(1)).over(wN))
+      .withColumn("k", expr("(n_c + 99) div 100")) // ⌈n/100⌉
+      .groupBy(col("nation"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("y2")).as("tot2"),
+        sum(when(col("rnk") <= col("k"), col("y2")).otherwise(0L))
+          .as("top2"),
+        max(col("k")).as("k"))
+      .select(col("nation"), col("n_customers"), col("k"),
+        (ExactRound.halfUpPos("1000000 * top2", "tot2")
+          .cast("double") / 1e6).as("top_pct_share"))
+      .orderBy(col("nation"))
   }
 
   /** Herfindahl–Hirschman concentration of supplier revenue per nation

@@ -231,7 +231,7 @@ object StatTests {
       col("n_g").as("n_a"), col("s_g").as("s_a"))
     val b = g.select(col("c_mktsegment").as("seg_b"),
       col("n_g").as("n_b"), col("s_g").as("s_b"))
-    a.join(b, col("seg_a") < col("seg_b"))
+    a.join(broadcast(b), col("seg_a") < col("seg_b"))
       .crossJoin(broadcast(msw))
       // diff in dollars at 4 dp: (s_a·n_b − s_b·n_a)·100/(n_a·n_b·100²)
       .withColumn("dn",

@@ -2997,6 +2997,48 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** Gunning fog index per source — the complex-word readability twin
+    * of [[readability]]'s Flesch (Flesch counts every syllable; fog
+    * counts only the ≥3-syllable words a skimming reader stumbles on):
+    * fog = 0.4·(words/sentences + 100·complex/words) clears to ONE
+    * terminating integer ratio (2·sw² + 200·cw·ss)/(5·ss·sw) → exact
+    * integer half-up through decimal(38,0); the complex-word count
+    * explodes the token array once (vowel-run syllable proxy, the
+    * [[readability]] rule applied per token). Bounded source frame. */
+  def gunningFog(docs: DataFrame): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val perDoc = docs.filter(col("text").isNotNull)
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("w"),
+        (lit(1) + length(regexp_replace(col("text"), "[^.!?]", "")))
+          .cast("long").as("s"))
+    val complexTok = docs.filter(col("text").isNotNull)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("source"),
+        when(length(regexp_replace(col("tok"), "[aeiouAEIOU]+", "V")) -
+          length(regexp_replace(col("tok"), "[aeiouAEIOU]+", "")) >= 3,
+          1L).otherwise(0L).as("cx"))
+      .groupBy(col("source")).agg(sum(col("cx")).as("cw"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("sw"),
+        sum(col("s")).as("ss"))
+      .join(complexTok, Seq("source"))
+      .withColumn("fn",
+        ((col("sw").cast(d38) * col("sw") * 2
+          + col("cw").cast(d38) * col("ss") * 200) * 10000).cast(d38))
+      .withColumn("fd",
+        (col("ss").cast(d38) * col("sw") * 5).cast(d38))
+      .select(col("source"), col("n_docs"), col("cw").as("n_complex"),
+        (ExactRound.halfUpPos("10000 * cw", "sw")
+          .cast("double") / 1e4).as("complex_share"),
+        (ExactRound.halfUpPos("fn", "fd").cast("double") / 1e4)
+          .as("fog_index"))
+      .orderBy(col("source"))
+  }
+
+  def gunningFog(spark: SparkSession, dir: String): DataFrame =
+    gunningFog(Lake.documents(spark, dir))
+
   def readabilityQuery(spark: SparkSession, dir: String): DataFrame =
     readability(Lake.documents(spark, dir))
 

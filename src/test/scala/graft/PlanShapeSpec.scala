@@ -519,7 +519,13 @@ class PlanShapeSpec extends SparkSpecBase {
         "q_kruskal",
         // q_tukey_hsd: the 5×5 segment pair grid (non-equi a < b) plus
         // the one-row MSW broadcast — both sides dimension-bounded
-        "q_tukey_hsd")
+        "q_tukey_hsd",
+        // q_davies_bouldin: the label×label centroid pair grid
+        // (≤10×10, the q_silhouette centroid-broadcast pattern)
+        "q_davies_bouldin",
+        // q_rec_novelty: two one-row popularity-total / catalog-mean
+        // broadcasts (the q_rec_coverage readout pattern)
+        "q_rec_novelty")
     // collect ALL offenders before failing — a fail-fast assert hides
     // every offender behind the first and costs a full re-run per fix
     val offenders = scala.collection.mutable.LinkedHashSet[String]()
