@@ -17,6 +17,11 @@ run / fork := true
 // summary line leaves Bench's compact JSON line as the final output.
 ThisBuild / showSuccess := false
 ThisBuild / showTiming := false
+Global / excludeLintKeys ++= Set(showSuccess, showTiming)
+// ... and bypass sbt's logger for forked `run` output: the logger
+// prefixes every line with "[info] ", which would corrupt that final
+// JSON line too.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
