@@ -6187,7 +6187,7 @@ object SparkEntry {
         |    sum(u_t) AS u, sum(i_t) AS i FROM tm),
         |sc AS (SELECT n_customers, n_events, u, i,
         |    CAST(u * 100000000 AS HUGEINT) * 1000000 AS un,
-        |    CAST(i * 100000000 AS BIGINT) AS i8
+        |    CAST(i * 100000000 AS HUGEINT) AS i8
         |  FROM tot, ag)
         |SELECT n_customers, n_events,
         |  CAST((CASE WHEN un < 0

@@ -2001,7 +2001,10 @@ object Relational {
     // the numerator stages through decimal(38,0). se0/score_z are
     // √-bearing (non-terminating) and stay in double.
     tot.crossJoin(broadcast(agg))
-      .withColumn("i8", (col("i") * 100000000L).cast("long"))
+      // i·10⁸ exceeds int64 at sf0.1 (the information sum scales with
+      // corpus × balance variance) — decimal(38,0) staging, like un
+      .withColumn("i8",
+        (col("i") * 100000000L).cast(DecimalType(38, 0)))
       .withColumn("un",
         ((col("u") * 100000000L).cast(DecimalType(38, 0)) * 1000000L)
           .cast(DecimalType(38, 0)))

@@ -6,13 +6,14 @@ of stalling the whole sweep (the r10 empty-artifact failure mode).
 
 Usage: python3 tools/check_budget.py <sfDir> <verifyOutDir> [timeoutSec]
 """
-import os, subprocess, sys, time
+import json, os, subprocess, sys, time
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     budget = int(sys.argv[3]) if len(sys.argv) > 3 else 300
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     names = sorted(d for d in os.listdir(out_dir)
-                   if d.startswith("q_") and
+                   if d.startswith("q_") and d in oracle and
                    os.path.isdir(os.path.join(out_dir, d)))
     n_pass = n_fail = n_to = 0
     failures, timeouts = [], []
