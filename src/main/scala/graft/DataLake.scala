@@ -501,4 +501,15 @@ final case class DataLake(spark: SparkSession, dir: String) {
   def recNovelty(): DataFrame = Relational.recNovelty(spark, dir)
   /** Davies–Bouldin clustering-quality index over embedding labels. */
   def daviesBouldin(): DataFrame = AnnOps.daviesBouldin(spark, dir)
+  /** 2×2 risk/odds/risk-difference panel with Wald CIs over the arms. */
+  def riskPanel(): DataFrame = StatTests.riskPanel(spark, dir)
+  /** Exponential fit + exact KS distance of the inter-purchase gaps. */
+  def expFit(): DataFrame = StatTests.expFit(spark, dir)
+  /** Gamma moment fit of order value per market segment. */
+  def gammaFit(): DataFrame = StatTests.gammaFit(spark, dir)
+  /** Embedding isotropy proxy (mean-vector mass over mean norm²). */
+  def embeddingIsotropy(): DataFrame = AnnOps.embeddingIsotropy(spark, dir)
+  /** Shannon-entropy profile of listed categorical columns. */
+  def columnEntropy(targets: Seq[(String, String)]): DataFrame =
+    CatalogOps.columnEntropy(spark, dir, targets)
 }

@@ -862,6 +862,20 @@ object SparkEntry {
     "q_rec_novelty"       -> Relational.recNovelty _,
     // Davies-Bouldin clustering-quality index over embedding labels
     "q_davies_bouldin"    -> AnnOps.daviesBouldin _,
+    // 2x2 risk/odds/risk-difference panel with Wald CIs over the A/B arms
+    "q_risk_panel"        -> StatTests.riskPanel _,
+    // Exponential fit + exact KS distance of the inter-purchase gaps
+    "q_exp_fit"           -> StatTests.expFit _,
+    // Gamma moment fit of order value per market segment
+    "q_gamma_fit"         -> StatTests.gammaFit _,
+    // Embedding isotropy proxy (mean-vector mass over mean norm)
+    "q_embedding_isotropy" -> AnnOps.embeddingIsotropy _,
+    // Shannon-entropy profile of listed categorical columns
+    "q_column_entropy"    -> ((s: SparkSession, d: String) =>
+      CatalogOps.columnEntropy(s, d, Seq(
+        "lineitem" -> "l_returnflag", "lineitem" -> "l_linestatus",
+        "orders" -> "o_orderpriority", "customer" -> "c_mktsegment",
+        "events" -> "event_type", "documents" -> "lang"))),
   )
 
   /** [[TextOps.patternScan]] dictionary for the driver query: token
@@ -9939,6 +9953,158 @@ object SparkEntry {
         |  ((2 * CAST(swr * 1000000 AS BIGINT) + 100 * k)
         |    // (2 * 100 * k)) / 10000.0 AS davies_bouldin
         |FROM fin ORDER BY label""".stripMargin,
+    // 2x2 risk panel: Lehmer arm hash, exact point estimates, the
+    // ln/sqrt Wald-CI double tree replayed term for term.
+    "q_risk_panel" ->
+      """WITH u AS (SELECT user_id,
+        |    CAST(max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS bad
+        |  FROM events GROUP BY 1),
+        |ar AS (SELECT CASE WHEN ((user_id * 16807) % 2147483647) % 2 = 0
+        |      THEN 'A' ELSE 'B' END AS arm, bad FROM u),
+        |t AS (SELECT
+        |    CAST(sum(CASE WHEN arm = 'A' AND bad = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN arm = 'A' AND bad = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN arm = 'B' AND bad = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN arm = 'B' AND bad = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d
+        |  FROM ar),
+        |t2 AS (SELECT *, a * 2 + 1 AS aa, b * 2 + 1 AS bb,
+        |    c * 2 + 1 AS cc, d * 2 + 1 AS dd FROM t),
+        |e AS (SELECT *,
+        |    ln((CAST(aa AS DOUBLE) / (aa + bb)) /
+        |       (CAST(cc AS DOUBLE) / (cc + dd))) AS lnrr,
+        |    sqrt(2.0 / aa - 2.0 / (aa + bb) + 2.0 / cc
+        |      - 2.0 / (cc + dd)) AS serr,
+        |    ln((CAST(aa AS DOUBLE) * dd) / (CAST(bb AS DOUBLE) * cc))
+        |      AS lnor,
+        |    sqrt(2.0 / aa + 2.0 / bb + 2.0 / cc + 2.0 / dd) AS seor
+        |  FROM t2)
+        |SELECT a, b, c, d,
+        |  ((2 * 1000000 * aa * (cc + dd) + cc * (aa + bb))
+        |    // (2 * cc * (aa + bb))) / 1000000.0 AS risk_ratio,
+        |  ((2 * 1000000 * aa * dd + bb * cc) // (2 * bb * cc))
+        |    / 1000000.0 AS odds_ratio,
+        |  (CASE WHEN aa * (cc + dd) - cc * (aa + bb) < 0
+        |    THEN -((2 * 1000000 * (cc * (aa + bb) - aa * (cc + dd))
+        |      + (aa + bb) * (cc + dd)) // (2 * (aa + bb) * (cc + dd)))
+        |    ELSE (2 * 1000000 * (aa * (cc + dd) - cc * (aa + bb))
+        |      + (aa + bb) * (cc + dd)) // (2 * (aa + bb) * (cc + dd))
+        |    END) / 1000000.0 AS risk_diff,
+        |  round(exp(lnrr - 1.96 * serr), 6) AS rr_lo95,
+        |  round(exp(lnrr + 1.96 * serr), 6) AS rr_hi95,
+        |  round(exp(lnor - 1.96 * seor), 6) AS or_lo95,
+        |  round(exp(lnor + 1.96 * seor), 6) AS or_hi95
+        |FROM e""".stripMargin,
+    // Exponential fit: exact rate/mean ratios; the KS distance takes
+    // both ECDF step sides against the fitted CDF (one exp tree).
+    "q_exp_fit" ->
+      """WITH g AS (SELECT o_custkey,
+        |    CAST(date_diff('day',
+        |      lag(o_orderdate) OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate, o_orderkey),
+        |      o_orderdate) AS BIGINT) AS gap
+        |  FROM orders),
+        |gg AS (SELECT gap FROM g WHERE gap IS NOT NULL AND gap > 0),
+        |pg AS (SELECT gap, CAST(count(*) AS BIGINT) AS t
+        |  FROM gg GROUP BY 1),
+        |tt AS (SELECT CAST(sum(t) AS BIGINT) AS n,
+        |    CAST(sum(gap * t) AS BIGINT) AS sg FROM pg),
+        |ks AS (SELECT max(greatest(
+        |      abs(CAST(cum AS DOUBLE) / n - f),
+        |      abs(CAST(cum - t AS DOUBLE) / n - f))) AS d
+        |  FROM (SELECT gap, t,
+        |      CAST(sum(t) OVER (ORDER BY gap ROWS BETWEEN UNBOUNDED
+        |        PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |      n, 1.0 - exp(-(CAST(n AS DOUBLE) / sg) * gap) AS f
+        |    FROM pg, tt) x)
+        |SELECT n AS n_gaps,
+        |  ((2 * 1000000 * n + sg) // (2 * sg)) / 1000000.0
+        |    AS rate_per_day,
+        |  ((2 * 10000 * sg + n) // (2 * n)) / 10000.0 AS mean_gap_days,
+        |  round(d, 6) AS ks_distance
+        |FROM tt, ks""".stripMargin,
+    // Gamma moment fit: shape/scale cleared to integer ratios over the
+    // exact cents moments (HUGEINT).
+    "q_gamma_fit" ->
+      """WITH b AS (SELECT c_mktsegment,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS x2
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |g AS (SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x2) AS BIGINT) AS s,
+        |    sum(CAST(x2 AS HUGEINT) * x2) AS q
+        |  FROM b GROUP BY 1),
+        |h AS (SELECT *,
+        |    CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s AS vd
+        |  FROM g)
+        |SELECT c_mktsegment, n AS n_orders,
+        |  CAST((2 * 100 * CAST(s AS HUGEINT) + n) // (2 * n) AS BIGINT)
+        |    / 10000.0 AS mean_value,
+        |  CAST((2 * CAST(s AS HUGEINT) * s * (n - 1) * 1000000
+        |      + CAST(n AS HUGEINT) * vd)
+        |    // (2 * CAST(n AS HUGEINT) * vd) AS BIGINT) / 1000000.0
+        |    AS shape_k,
+        |  CAST((2 * vd * 10000 + CAST(s AS HUGEINT) * (n - 1) * 100)
+        |    // (2 * CAST(s AS HUGEINT) * (n - 1) * 100) AS BIGINT)
+        |    / 10000.0 AS scale_theta
+        |FROM h ORDER BY c_mktsegment""".stripMargin,
+    // Isotropy: per-dim decimal sums squared over n x mean norm-squared,
+    // one HUGEINT ratio.
+    "q_embedding_isotropy" ->
+      """WITH e AS (SELECT embedding FROM embeddings),
+        |dimsum AS (SELECT i,
+        |    sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,8)))
+        |      AS s_d
+        |  FROM (SELECT embedding,
+        |          unnest(range(1, len(embedding) + 1)) AS i FROM e) t
+        |  GROUP BY 1),
+        |dd AS (SELECT sum(CAST(s_d * 100000000 AS HUGEINT) *
+        |      CAST(s_d * 100000000 AS HUGEINT)) AS ss2,
+        |    CAST(count(*) AS BIGINT) AS d FROM dimsum),
+        |nr AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(n2) AS q
+        |  FROM (SELECT CAST(list_aggregate(list_transform(
+        |      CAST(embedding AS DOUBLE[]), x -> x * x), 'sum')
+        |      AS DECIMAL(28,8)) AS n2 FROM e) t),
+        |f AS (SELECT *, CAST(q * 100000000 AS HUGEINT) AS q8
+        |  FROM dd, nr)
+        |SELECT n AS n_vectors, d AS n_dims,
+        |  CAST((2 * q8 + 100 * n) // (2 * 100 * n) AS BIGINT)
+        |    / 1000000.0 AS mean_norm_sq,
+        |  CAST((2 * ss2 * 1000000 + q8 * n * 100000000)
+        |    // (2 * q8 * n * 100000000) AS BIGINT) / 1000000.0
+        |    AS isotropy_ratio
+        |FROM f""".stripMargin,
+    // Column entropy: shares pinned 8 dp before the ln, terms
+    // decimal-summed; generated per (table, column) target.
+    "q_column_entropy" -> (Seq(
+      "lineitem" -> "l_returnflag", "lineitem" -> "l_linestatus",
+      "orders" -> "o_orderpriority", "customer" -> "c_mktsegment",
+      "events" -> "event_type", "documents" -> "lang").map { case (t, c) =>
+      s"""SELECT '$t' AS tbl, '$c' AS column_name, n AS n_values, ndv,
+         |  CAST(round(hsum, 6) AS DOUBLE) AS entropy_nats,
+         |  round(CAST(hsum AS DOUBLE) / ln(CAST(ndv AS DOUBLE)), 6)
+         |    AS evenness
+         |FROM (
+         |  SELECT max(n) AS n, max(ndv) AS ndv,
+         |    sum(CAST(round(-p * ln(p), 8) AS DECIMAL(18,8))) AS hsum
+         |  FROM (
+         |    SELECT ((2 * 100000000 * cnt + n) // (2 * n)) / 100000000.0
+         |      AS p, n, ndv
+         |    FROM (SELECT CAST(count(*) AS BIGINT) AS cnt FROM $t
+         |          WHERE $c IS NOT NULL
+         |          GROUP BY CAST($c AS VARCHAR)) cc,
+         |      (SELECT CAST(count(*) AS BIGINT) AS n,
+         |         CAST(count(DISTINCT CAST($c AS VARCHAR)) AS BIGINT)
+         |           AS ndv
+         |       FROM $t WHERE $c IS NOT NULL) tt
+         |  ) x
+         |) y""".stripMargin
+    }.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+      "\n) z ORDER BY tbl, column_name")),
   )
 
   /** Oracle twin of CatalogOps.profile: one UNION ALL branch per column. */

@@ -1202,6 +1202,41 @@ object AnnOps {
       .orderBy(col("label"))
   }
 
+  /** Embedding isotropy proxy — ‖mean vector‖²/mean‖v‖² ∈ [0,1]: a
+    * healthy embedding space is roughly centered (ratio → 0); a
+    * collapsed one points everywhere the same way (ratio → 1) and
+    * cosine retrieval over it degenerates — the one-number space-health
+    * gate to run before trusting any ANN recall figure. Per-dim sums
+    * and per-vector norm² are exact scale-8 decimal sums, so the ratio
+    * Σ_d S_d²/(n·Q) is ONE terminating integer ratio through
+    * decimal(38,0). One corpus pass (posexplode), one d-row reduce. */
+  def embeddingIsotropy(spark: SparkSession, dir: String): DataFrame = {
+    val dec8 = org.apache.spark.sql.types.DecimalType(28, 8)
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val emb = Lake.embeddings(spark, dir)
+    val dims = emb.select(posexplode(col("embedding")))
+      .groupBy(col("pos"))
+      .agg(sum(col("col").cast("double").cast(dec8)).as("s_d"))
+      .agg(sum((((col("s_d") * 100000000L).cast(d38)) *
+        ((col("s_d") * 100000000L).cast(d38))).cast(d38)).as("ss2"),
+        count(lit(1)).as("d"))
+    val norms = emb.select(expr(
+      """CAST(aggregate(transform(cast(embedding as array<double>),
+        |  x -> x * x), cast(0 as double), (acc, x) -> acc + x)
+        |  AS DECIMAL(28,8))""".stripMargin).as("n2"))
+      .agg(count(lit(1)).as("n"), sum(col("n2")).as("q"))
+    dims.crossJoin(broadcast(norms))
+      .withColumn("q8", (col("q") * 100000000L).cast(d38))
+      .withColumn("inum", (col("ss2") * 1000000).cast(d38))
+      .withColumn("iden",
+        (col("q8") * col("n") * 100000000L).cast(d38))
+      .select(col("n").as("n_vectors"), col("d").as("n_dims"),
+        (ExactRound.halfUpPos("q8", "100 * n")
+          .cast("double") / 1e6).as("mean_norm_sq"),
+        (ExactRound.halfUpPos("inum", "iden").cast("double") / 1e6)
+          .as("isotropy_ratio"))
+  }
+
   /** Davies–Bouldin clustering-quality index over the embedding labels
     * — the ratio-form complement of [[silhouette]] (DB penalizes pairs
     * of clusters that are individually loose AND mutually close; lower

@@ -722,6 +722,41 @@ object CatalogOps {
   def fdDiscovery(spark: SparkSession, dir: String): DataFrame =
     functionalDependencies(spark, dir, FdCandidates)
 
+  /** Shannon-entropy profile of listed categorical columns — the
+    * information-density member of the profiling family (NDV says how
+    * many values exist; entropy says how evenly they're used, the
+    * number that actually predicts dictionary-encoding win and join-key
+    * skew): H = −Σ p·ln p with each share p pinned at 8 dp by exact
+    * integer half-up BEFORE the ln (the surprisal discipline — the ln
+    * terms 8-dp-decimal-sum order-free), plus the evenness ratio
+    * H/ln(NDV). One distinct-value reduce per column; the per-column
+    * frames are NDV-bounded. */
+  def columnEntropy(spark: SparkSession, dir: String,
+                    targets: Seq[(String, String)]): DataFrame = {
+    val d8 = DecimalType(18, 8)
+    val parts = targets.map { case (t, c) =>
+      val counts = Lake.table(spark, dir, t)
+        .filter(col(c).isNotNull)
+        .groupBy(col(c).cast("string").as("v"))
+        .agg(count(lit(1)).as("cnt"))
+      val tot = counts.agg(sum(col("cnt")).as("n"),
+        count(lit(1)).as("ndv"))
+      counts.crossJoin(broadcast(tot))
+        .withColumn("p",
+          (ExactRound.halfUpPos("100000000 * cnt", "n")
+            .cast("double") / 1e8))
+        .agg(max(col("n")).as("n"), max(col("ndv")).as("ndv"),
+          sum(round(-col("p") * log(col("p")), 8).cast(d8)).as("hsum"))
+        .select(lit(t).as("tbl"), lit(c).as("column_name"),
+          col("n").as("n_values"), col("ndv"),
+          round(col("hsum"), 6).cast("double").as("entropy_nats"),
+          round(col("hsum").cast("double") /
+            log(col("ndv").cast("double")), 6).as("evenness"))
+    }
+    parts.reduce(_ unionByName _)
+      .orderBy(col("tbl"), col("column_name"))
+  }
+
   /** Enum / dictionary-column detection: columns whose exact NDV is at
     * most `maxCard` are enumerable — the catalog then stores the full
     * dictionary (driving UI filters, dictionary encodings, and constraint

@@ -347,6 +347,129 @@ object StatTests {
       .orderBy(col("day"))
   }
 
+  /** 2×2 risk panel for the A/B arms × error outcome — the epidemiology
+    * readout (risk ratio, odds ratio, risk difference + Wald 95% CIs)
+    * beside the χ²/SRM screens, which say "different" but not "by how
+    * much": arms by the deterministic Lehmer user hash (the q_srm
+    * assignment), outcome = any `error` event. All estimates use the
+    * Haldane–Anscombe +½ continuity correction UNCONDITIONALLY (a zero
+    * cell otherwise leaves the odds ratio undefined — and at small SFs
+    * a cell IS zero), which doubles cleanly into integer space
+    * (A = 2a+1, …), so the three point estimates stay terminating
+    * integer ratios → exact integer half-up. The log-scale Wald CIs on
+    * the corrected counts are one ln/√ double tree. One user reduce, a
+    * 1-row 2×2 after. */
+  def riskPanel(spark: SparkSession, dir: String): DataFrame = {
+    val users = Lake.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "error", 1L).otherwise(0L))
+        .as("bad"))
+      .withColumn("arm",
+        when(expr("((user_id * 16807) % 2147483647) % 2") === 0, "A")
+          .otherwise("B"))
+    val t = users.agg(
+        sum(when(col("arm") === "A" && col("bad") === 1L, 1L)
+          .otherwise(0L)).as("a"),
+        sum(when(col("arm") === "A" && col("bad") === 0L, 1L)
+          .otherwise(0L)).as("b"),
+        sum(when(col("arm") === "B" && col("bad") === 1L, 1L)
+          .otherwise(0L)).as("c"),
+        sum(when(col("arm") === "B" && col("bad") === 0L, 1L)
+          .otherwise(0L)).as("d"))
+      .withColumn("aa", col("a") * 2 + 1)
+      .withColumn("bb", col("b") * 2 + 1)
+      .withColumn("cc", col("c") * 2 + 1)
+      .withColumn("dd", col("d") * 2 + 1)
+    val lnRr = log((col("aa").cast("double") / (col("aa") + col("bb"))) /
+      (col("cc").cast("double") / (col("cc") + col("dd"))))
+    val seRr = sqrt(lit(2.0) / col("aa")
+      - lit(2.0) / (col("aa") + col("bb"))
+      + lit(2.0) / col("cc") - lit(2.0) / (col("cc") + col("dd")))
+    val lnOr = log((col("aa").cast("double") * col("dd")) /
+      (col("bb").cast("double") * col("cc")))
+    val seOr = sqrt(lit(2.0) / col("aa") + lit(2.0) / col("bb")
+      + lit(2.0) / col("cc") + lit(2.0) / col("dd"))
+    t.select(col("a"), col("b"), col("c"), col("d"),
+        (ExactRound.halfUpPos("1000000 * aa * (cc + dd)",
+          "cc * (aa + bb)").cast("double") / 1e6).as("risk_ratio"),
+        (ExactRound.halfUpPos("1000000 * aa * dd", "bb * cc")
+          .cast("double") / 1e6).as("odds_ratio"),
+        (ExactRound.halfUp(
+          "1000000 * (aa * (cc + dd) - cc * (aa + bb))",
+          "(aa + bb) * (cc + dd)").cast("double") / 1e6).as("risk_diff"),
+        round(exp(lnRr - lit(1.96) * seRr), 6).as("rr_lo95"),
+        round(exp(lnRr + lit(1.96) * seRr), 6).as("rr_hi95"),
+        round(exp(lnOr - lit(1.96) * seOr), 6).as("or_lo95"),
+        round(exp(lnOr + lit(1.96) * seOr), 6).as("or_hi95"))
+  }
+
+  def expFit(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val gaps = Lake.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+      .withColumn("gap",
+        datediff(col("o_orderdate"),
+          lag(col("o_orderdate"), 1).over(w)).cast("long"))
+      .filter(col("gap").isNotNull && col("gap") > 0)
+    val perGap = gaps.groupBy(col("gap")).agg(count(lit(1)).as("t"))
+    val wOrd = Window.orderBy(col("gap"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = perGap.agg(sum(col("t")).as("n"),
+      sum(col("gap") * col("t")).as("sg"))
+    val ks = perGap
+      .withColumn("cum", sum(col("t")).over(wOrd))
+      .crossJoin(broadcast(tot))
+      .withColumn("lam", col("n").cast("double") / col("sg"))
+      .withColumn("f", lit(1.0) - exp(-col("lam") * col("gap")))
+      .withColumn("dHi",
+        abs(col("cum").cast("double") / col("n") - col("f")))
+      .withColumn("dLo",
+        abs((col("cum") - col("t")).cast("double") / col("n") - col("f")))
+      .agg(max(greatest(col("dHi"), col("dLo"))).as("d"))
+    tot.crossJoin(broadcast(ks))
+      .select(col("n").as("n_gaps"),
+        (ExactRound.halfUpPos("1000000 * n", "sg")
+          .cast("double") / 1e6).as("rate_per_day"),
+        (ExactRound.halfUpPos("10000 * sg", "n")
+          .cast("double") / 1e4).as("mean_gap_days"),
+        round(col("d"), 6).as("ks_distance"))
+  }
+
+/** Gamma moment fit of order value per market segment — the
+    * positive-skew distributional model beside the NB fit for counts:
+    * with m = s/n and v = (nq − s²)/(n(n−1)) over the exact cents
+    * sums, shape k = m²/v = s²(n−1)/(n(nq − s²)) and scale
+    * theta = v/m = (nq − s²)/(s(n−1)) are both TERMINATING integer
+    * ratios → exact integer half-up through decimal(38,0). One fact
+    * reduce; the ≤5-row scalar algebra after. */
+  def gammaFit(spark: SparkSession, dir: String): DataFrame = {
+    val g = segCents(spark, dir)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), sum(col("x2")).as("s"),
+        sum((col("x2").cast(d38) * col("x2")).cast(d38)).as("q"))
+    // m = s/n, v = (n·q − s²)/(n(n−1));
+    // shape = m²/v = s²(n−1)/(n(nq − s²));
+    // scale = v/m = (nq − s²)/(s(n−1)) — in cents; /100 to dollars
+    g.withColumn("vd", (col("n").cast(d38) * col("q")
+        - col("s").cast(d38) * col("s")).cast(d38))
+      .withColumn("kn",
+        ((col("s").cast(d38) * col("s") * (col("n") - 1)) * 1000000)
+          .cast(d38))
+      .withColumn("kd", (col("n").cast(d38) * col("vd")).cast(d38))
+      .withColumn("tn", (col("vd") * 10000).cast(d38))
+      .withColumn("td",
+        (col("s").cast(d38) * (col("n") - 1) * 100).cast(d38))
+      .select(col("c_mktsegment"), col("n").as("n_orders"),
+        (ExactRound.halfUpPos("100 * CAST(s AS DECIMAL(38,0))",
+          "n").cast("double") / 1e4).as("mean_value"),
+        (ExactRound.halfUpPos("kn", "kd").cast("double") / 1e6)
+          .as("shape_k"),
+        (ExactRound.halfUpPos("tn", "td").cast("double") / 1e4)
+          .as("scale_theta"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** Inter-purchase gap profile per market segment — the repeat-rhythm
     * readout behind RFM's recency axis: per customer, the day gaps
     * between consecutive orders (one customer-keyed window), then per

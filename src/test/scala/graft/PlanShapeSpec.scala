@@ -525,7 +525,10 @@ class PlanShapeSpec extends SparkSpecBase {
         "q_davies_bouldin",
         // q_rec_novelty: two one-row popularity-total / catalog-mean
         // broadcasts (the q_rec_coverage readout pattern)
-        "q_rec_novelty")
+        "q_rec_novelty",
+        // q_exp_fit / q_embedding_isotropy / q_column_entropy: one-row
+        // total/KS/norm broadcasts (the q_rec_coverage readout pattern)
+        "q_exp_fit", "q_embedding_isotropy", "q_column_entropy")
     // collect ALL offenders before failing — a fail-fast assert hides
     // every offender behind the first and costs a full re-run per fix
     val offenders = scala.collection.mutable.LinkedHashSet[String]()

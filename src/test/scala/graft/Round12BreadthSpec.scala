@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AnnOps, EventOps, Relational, TextOps}
+import graft.operators.{AnnOps, EventOps, Relational, StatTests, TextOps}
 
 /** Brute-force semantics for the round-12 second breadth batch:
   * Gunning fog, session depths, lifecycle-state retention, top-1%
@@ -101,6 +101,71 @@ class Round12BreadthSpec extends SparkSpecBase {
     // self-information of a share is positive and bounded by log2(total)
     assert(nr > 0 && nc > 0)
     assert(nr < 64 && nc < 64)
+  }
+
+  test("riskPanel: 2x2 partitions users, ratios match direct math") {
+    val out = StatTests.riskPanel(spark, Sf).collect()(0)
+    val (a, b2, c, d) =
+      (out.getLong(0), out.getLong(1), out.getLong(2), out.getLong(3))
+    val nUsers = Lake.events(spark, Sf)
+      .select(col("user_id")).distinct().count()
+    assert(a + b2 + c + d == nUsers)
+    // Haldane-corrected counts A = 2a+1, ...
+    val (ha, hb, hc, hd) =
+      (2 * a + 1.0, 2 * b2 + 1.0, 2 * c + 1.0, 2 * d + 1.0)
+    val rr = (ha / (ha + hb)) / (hc / (hc + hd))
+    assert(math.abs(out.getDouble(4) - rr) < 1e-4)
+    val or = (ha * hd) / (hb * hc)
+    assert(math.abs(out.getDouble(5) - or) < 1e-4)
+    assert(out.getDouble(7) <= rr && rr <= out.getDouble(8),
+      "RR must sit inside its Wald CI")
+  }
+
+  test("expFit: rate is n over gap-sum, KS in range") {
+    val out = StatTests.expFit(spark, Sf).collect()(0)
+    val n = out.getLong(0)
+    assert(n > 0)
+    assert(math.abs(out.getDouble(1) * out.getDouble(2) - 1.0) < 1e-3,
+      "rate x mean must be ~1")
+    val d = out.getDouble(3)
+    assert(d > 0 && d < 1)
+  }
+
+  test("gammaFit: shape x scale recovers the mean") {
+    val out = StatTests.gammaFit(spark, Sf).collect()
+    assert(out.length == 5)
+    for (r <- out) {
+      val (m, k, th) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(k > 0 && th > 0)
+      assert(math.abs(k * th - m) / m < 1e-2,
+        s"k*theta ${k * th} vs mean $m")
+    }
+  }
+
+  test("embeddingIsotropy: ratio bounded, norm positive") {
+    val out = AnnOps.embeddingIsotropy(spark, Sf).collect()(0)
+    assert(out.getLong(0) > 0 && out.getLong(1) == 64)
+    assert(out.getDouble(2) > 0)
+    val iso = out.getDouble(3)
+    assert(iso >= 0 && iso <= 1.0001, s"isotropy $iso")
+  }
+
+  test("columnEntropy matches a driver-side reference") {
+    val out = graft.operators.CatalogOps.columnEntropy(spark, Sf,
+      Seq("lineitem" -> "l_returnflag")).collect()(0)
+    val counts = Lake.lineitem(spark, Sf)
+      .filter(col("l_returnflag").isNotNull)
+      .groupBy(col("l_returnflag")).count()
+      .collect().map(_.getLong(1))
+    val n = counts.sum
+    val ref = counts.map { c =>
+      val p = math.round(c.toDouble / n * 1e8) / 1e8
+      -p * math.log(p)
+    }.sum
+    assert(out.getLong(3) == counts.length)
+    assert(math.abs(out.getDouble(4) - ref) < 1e-4,
+      s"entropy ${out.getDouble(4)} vs ref $ref")
+    assert(out.getDouble(5) > 0 && out.getDouble(5) <= 1.0001)
   }
 
   test("daviesBouldin: positive, one row per label, sane worst ratio") {
