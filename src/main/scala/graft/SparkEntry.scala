@@ -1973,7 +1973,8 @@ object SparkEntry {
         |base AS (SELECT doc_id, len(t) AS n_tokens FROM tok WHERE len(t) >= 3)
         |SELECT base.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
         |  coalesce(o, 0) AS n_boilerplate,
-        |  round(coalesce(o, 0) * 3 / n_tokens, 4) AS bp_density
+        |  ((2 * 10000 * coalesce(o, 0) * 3 + n_tokens)
+        |    // (2 * n_tokens)) / 10000.0 AS bp_density
         |FROM base LEFT JOIN occ USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
     // Exact set-similarity join: brute-force all-pairs trigram-set
@@ -2166,8 +2167,10 @@ object SparkEntry {
         |      FROM g GROUP BY doc_id, n, gram)
         |SELECT doc_id, CAST(n AS BIGINT) AS n,
         |  CAST(sum(c) AS BIGINT) AS n_grams,
-        |  round(max(c) / sum(c), 4) AS top_frac,
-        |  round(sum(CASE WHEN c > 1 THEN c ELSE 0 END) / sum(c), 4) AS dup_frac
+        |  ((2 * 10000 * max(c) + sum(c)) // (2 * sum(c))) / 10000.0
+        |    AS top_frac,
+        |  ((2 * 10000 * sum(CASE WHEN c > 1 THEN c ELSE 0 END) + sum(c))
+        |    // (2 * sum(c))) / 10000.0 AS dup_frac
         |FROM c GROUP BY doc_id, n ORDER BY doc_id, n""".stripMargin,
     // BPE pair learning: word frequencies, then weighted adjacent char
     // pairs via substr(word, i, 2); top-20 with lexicographic tie-break.
@@ -2697,7 +2700,8 @@ object SparkEntry {
          |        GROUP BY doc_id)
          |SELECT b.doc_id, b.n_tokens,
          |  coalesce(dup_tokens, 0) AS dup_tokens,
-         |  round(coalesce(dup_tokens, 0) / b.n_tokens, 4) AS dup_frac
+         |  ((2 * 10000 * coalesce(dup_tokens, 0) + b.n_tokens)
+         |    // (2 * b.n_tokens)) / 10000.0 AS dup_frac
          |FROM base b LEFT JOIN cov USING (doc_id)
          |ORDER BY b.doc_id""".stripMargin,
     // Domain gate: the q_quality_rules keep verdict aggregated by source,
@@ -4525,9 +4529,11 @@ object SparkEntry {
         |SELECT ridge_lambda, fold, n_train, n_test,
         |  round(b0, 4) AS b0, round(b1, 6) AS b1, round(b2, 6) AS b2,
         |  CAST(mse_dec AS DOUBLE) AS test_mse,
-        |  round(CAST(sum(mse_dec) OVER (PARTITION BY ridge_lambda)
-        |    AS DOUBLE) / count(*) OVER (PARTITION BY ridge_lambda), 4)
-        |    AS cv_mse
+        |  ((2 * CAST(sum(mse_dec) OVER (PARTITION BY ridge_lambda)
+        |      * 10000 AS BIGINT)
+        |    + count(*) OVER (PARTITION BY ridge_lambda))
+        |    // (2 * count(*) OVER (PARTITION BY ridge_lambda)))
+        |    / 10000.0 AS cv_mse
         |FROM msef ORDER BY ridge_lambda, fold""".stripMargin,
     // Depth-2 CART: level-wise histograms (feat, v) then (node, feat,
     // v), the stump's integer score/gain trees per node, deterministic
@@ -5829,8 +5835,9 @@ object SparkEntry {
         |SELECT CAST(cu.cohort_week AS timestamp) AS cohort_week, week_offset,
         |  round(CAST(wk_value AS DOUBLE), 2) AS week_value,
         |  round(CAST(cum AS DOUBLE), 2) AS cum_value,
-        |  round(round(CAST(cum AS DOUBLE), 2) / sz.cohort_size, 4)
-        |    AS ltv_per_user
+        |  ((2 * 100 * CAST(round(round(CAST(cum AS DOUBLE), 2) * 100)
+        |      AS BIGINT) + sz.cohort_size) // (2 * sz.cohort_size))
+        |    / 10000.0 AS ltv_per_user
         |FROM cu JOIN sz USING (cohort_week)
         |ORDER BY cohort_week, week_offset""".stripMargin,
     // Rolling 7-day actives: the bounded distinct (user, day) frame
@@ -6809,8 +6816,8 @@ object SparkEntry {
          |        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
          |        WHERE q.vec_id < 8) t WHERE rnk <= 5)
          |SELECT bf.q_id, CAST(count(lshk.neighbor_id) AS BIGINT) AS n_hit,
-         |  round(CAST(count(lshk.neighbor_id) AS DOUBLE) / count(*), 4)
-         |    AS recall
+         |  ((2 * 10000 * count(lshk.neighbor_id) + count(*))
+         |    // (2 * count(*))) / 10000.0 AS recall
          |FROM bf LEFT JOIN lshk
          |  ON bf.q_id = lshk.q_id AND bf.neighbor_id = lshk.neighbor_id
          |GROUP BY bf.q_id ORDER BY bf.q_id""".stripMargin,
@@ -6878,7 +6885,8 @@ object SparkEntry {
         |        FROM days JOIN ud ON ud.day BETWEEN days.day - 27 AND days.day
         |        GROUP BY 1)
         |SELECT dau.day AS day, dau.dau, mau.mau,
-        |  round(CAST(dau.dau AS DOUBLE) / mau.mau, 6) AS stickiness
+        |  ((2 * 1000000 * dau.dau + mau.mau) // (2 * mau.mau))
+        |    / 1000000.0 AS stickiness
         |FROM dau JOIN mau ON dau.day = mau.day
         |ORDER BY day""".stripMargin,
     // Chi-square independence: window totals over the bounded cell frame,
@@ -7606,7 +7614,8 @@ object SparkEntry {
         |    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
         |    WHERE q.vec_id < 8) t WHERE rnk <= 5)
         |SELECT bf.q_id, CAST(count(tr.neighbor_id) AS BIGINT) AS n_hit,
-        |  round(CAST(count(tr.neighbor_id) AS DOUBLE) / count(*), 4) AS recall
+        |  ((2 * 10000 * count(tr.neighbor_id) + count(*))
+        |    // (2 * count(*))) / 10000.0 AS recall
         |FROM bf LEFT JOIN tr
         |  ON bf.q_id = tr.q_id AND bf.neighbor_id = tr.neighbor_id
         |GROUP BY bf.q_id ORDER BY bf.q_id""".stripMargin,
@@ -9431,11 +9440,19 @@ object SparkEntry {
         |c AS (SELECT *,
         |    (CAST(sxx AS DOUBLE) - n * m * m) / CAST(n - 1 AS DOUBLE) AS v,
         |    n * sxx - sx * sx > (n - 1) * sx AS overdispersed FROM b)
-        |SELECT event_type, n AS n_days, round(m, 4) AS mean_daily,
-        |  round(v, 4) AS var_daily, overdispersed,
-        |  CASE WHEN overdispersed THEN round(m * m / (v - m), 4) END
-        |    AS r_hat,
-        |  CASE WHEN overdispersed THEN round(m / v, 6) END AS p_hat
+        |SELECT event_type, n AS n_days,
+        |  ((2 * 10000 * sx + n) // (2 * n)) / 10000.0 AS mean_daily,
+        |  ((2 * 10000 * (n * sxx - sx * sx) + n * (n - 1))
+        |    // (2 * n * (n - 1))) / 10000.0 AS var_daily,
+        |  overdispersed,
+        |  CASE WHEN overdispersed THEN
+        |    ((2 * 10000 * sx * sx * (n - 1)
+        |      + n * (n * sxx - sx * sx - (n - 1) * sx))
+        |      // (2 * n * (n * sxx - sx * sx - (n - 1) * sx))) / 10000.0
+        |    END AS r_hat,
+        |  CASE WHEN overdispersed THEN
+        |    ((2 * 1000000 * sx * (n - 1) + (n * sxx - sx * sx))
+        |      // (2 * (n * sxx - sx * sx))) / 1000000.0 END AS p_hat
         |FROM c ORDER BY event_type""".stripMargin,
     // EMD: the ksDrift bin frame, per-bin |dCDF| 8-rounded into decimal,
     // the value-scale product taken in decimal space (2-dp ties are

@@ -1096,7 +1096,9 @@ object AnnOps {
       .agg(count(lit(1)).as("k_exact"),
         sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
       .select(col("q_id"), col("n_hit"),
-        round(col("n_hit") / col("k_exact"), 4).as("recall"))
+        // count/count → exact integer half-up ([[ExactRound]])
+        (ExactRound.halfUpPos("10000 * n_hit", "k_exact")
+          .cast("double") / 1e4).as("recall"))
       .orderBy(col("q_id"))
   }
 
@@ -1324,7 +1326,9 @@ object AnnOps {
       .agg(count(lit(1)).as("k_exact"),
         sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
       .select(col("q_id"), col("n_hit"),
-        round(col("n_hit") / col("k_exact"), 4).as("recall"))
+        // count/count → exact integer half-up ([[ExactRound]])
+        (ExactRound.halfUpPos("10000 * n_hit", "k_exact")
+          .cast("double") / 1e4).as("recall"))
       .orderBy(col("q_id"))
   }
 }

@@ -479,7 +479,10 @@ object EventOps {
       .select(col("cohort_week"), col("week_offset"),
         round(col("wk_value").cast("double"), 2).as("week_value"),
         col("cum_value"),
-        round(col("cum_value") / col("cohort_size"), 4).as("ltv_per_user"))
+        // exact 2-dp cumulative value / count → exact integer half-up
+        (ExactRound.halfUpPos(
+          "100 * CAST(round(cum_value * 100) AS BIGINT)", "cohort_size")
+          .cast("double") / 1e4).as("ltv_per_user"))
       .orderBy(col("cohort_week"), col("week_offset"))
   }
 
@@ -1083,7 +1086,9 @@ object EventOps {
       .agg(countDistinct(col("user_id")).as("mau"))
     val out = dau.join(mau, Seq("day"))
       .select(col("day"), col("dau"), col("mau"),
-        round(col("dau") / col("mau"), 6).as("stickiness"))
+        // count/count → exact integer half-up ([[ExactRound]])
+        (ExactRound.halfUpPos("1000000 * dau", "mau")
+          .cast("double") / 1e6).as("stickiness"))
       .orderBy(col("day"))
       .localCheckpoint(true)
     ud.unpersist(false)
@@ -3254,14 +3259,24 @@ object EventOps {
       .withColumn("overdispersed",
         col("n") * col("sxx") - col("sx") * col("sx") >
           (col("n") - 1) * col("sx"))
+    // every readout is a terminating integer ratio over the exact
+    // power sums → exact integer half-up ([[ExactRound]]):
+    // m = sx/n, v = (n·sxx − sx²)/(n(n−1)),
+    // p̂ = m/v = sx(n−1)/(n·sxx − sx²),
+    // r̂ = m²/(v−m) = sx²(n−1)/(n(n·sxx − sx² − (n−1)sx))
     agg.select(col("event_type"), col("n").as("n_days"),
-      round(col("m"), 4).as("mean_daily"),
-      round(col("v"), 4).as("var_daily"),
+      (ExactRound.halfUpPos("10000 * sx", "n")
+        .cast("double") / 1e4).as("mean_daily"),
+      (ExactRound.halfUpPos("10000 * (n * sxx - sx * sx)",
+        "n * (n - 1)").cast("double") / 1e4).as("var_daily"),
       col("overdispersed"),
       when(col("overdispersed"),
-        round(col("m") * col("m") / (col("v") - col("m")), 4)).as("r_hat"),
+        ExactRound.halfUpPos("10000 * sx * sx * (n - 1)",
+          "n * (n * sxx - sx * sx - (n - 1) * sx)")
+          .cast("double") / 1e4).as("r_hat"),
       when(col("overdispersed"),
-        round(col("m") / col("v"), 6)).as("p_hat"))
+        ExactRound.halfUpPos("1000000 * sx * (n - 1)",
+          "n * sxx - sx * sx").cast("double") / 1e6).as("p_hat"))
       .orderBy(col("event_type"))
   }
 

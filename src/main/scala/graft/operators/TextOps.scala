@@ -1428,9 +1428,14 @@ object TextOps {
     // filters — dividing by the literal k would silently average a
     // dropped (lambda, fold) cell as zero
     scoredFold
+      // 4-dp decimal fold-mse sum / surviving-fold count → exact
+      // integer half-up (the interior per-fold mse stays the identical
+      // double tree — its numerator is the Cramer-solve composite)
+      .withColumn("m4s",
+        (sum(col("mse_dec")).over(wLam) * 10000).cast("long"))
+      .withColumn("nfold", count(lit(1)).over(wLam))
       .withColumn("cv_mse",
-        round(sum(col("mse_dec")).over(wLam).cast("double")
-          / count(lit(1)).over(wLam), 4))
+        ExactRound.halfUpPos("m4s", "nfold").cast("double") / 1e4)
       .select(col("ridge_lambda"), col("fold"),
         col("n_train"), col("n_test"),
         round(col("b0"), 4).as("b0"),
@@ -1917,8 +1922,9 @@ object TextOps {
     base.join(occ, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
         coalesce(col("occ"), lit(0L)).as("n_boilerplate"),
-        round(coalesce(col("occ"), lit(0L)) * lit(n) / col("n_tokens"), 4)
-          .as("bp_density"))
+        // count ratio → exact integer half-up ([[ExactRound]])
+        (ExactRound.halfUpPos(s"10000 * coalesce(occ, 0) * $n",
+          "n_tokens").cast("double") / 1e4).as("bp_density"))
       .orderBy(col("doc_id"))
   }
 
@@ -2314,8 +2320,11 @@ object TextOps {
         sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as("dup_c"))
       .select(col("doc_id"), col("n").cast("long").as("n"),
         col("n_grams").cast("long").as("n_grams"),
-        round(col("top_c") / col("n_grams"), 4).as("top_frac"),
-        round(col("dup_c") / col("n_grams"), 4).as("dup_frac"))
+        // count ratios → exact integer half-up ([[ExactRound]])
+        (ExactRound.halfUpPos("10000 * top_c", "n_grams")
+          .cast("double") / 1e4).as("top_frac"),
+        (ExactRound.halfUpPos("10000 * dup_c", "n_grams")
+          .cast("double") / 1e4).as("dup_frac"))
       .orderBy(col("doc_id"), col("n"))
   }
 
@@ -2405,8 +2414,9 @@ object TextOps {
     base.join(covered, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
         coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
-        round(coalesce(col("dup_tokens"), lit(0L)) / col("n_tokens"), 4)
-          .as("dup_frac"))
+        // count ratio → exact integer half-up ([[ExactRound]])
+        (ExactRound.halfUpPos("10000 * coalesce(dup_tokens, 0)",
+          "n_tokens").cast("double") / 1e4).as("dup_frac"))
       .orderBy(col("doc_id"))
   }
 
@@ -3405,6 +3415,9 @@ object TextOps {
         (expr("(2 * tf * 1000000 + df) div (2 * df)").cast("double") /
           1000000.0).as("tf_per_doc"),
         round(col("df_poisson"), 4).as("df_poisson"),
+        // EXEMPT from the ExactRound law: the denominator is
+        // exp-bearing (non-terminating), identical double tree both
+        // engines — see SURVEY §9f exemption (i)
         round(col("df").cast("double") / col("df_poisson"), 6)
           .as("clumpiness"))
       .orderBy(col("token"))
