@@ -19,8 +19,11 @@ import org.apache.spark.sql.functions.expr
   *
   * Callers stage the scaled numerator/denominator as LONG columns via
   * `withColumn` (overflow audit per site: 2·num + den must stay inside
-  * int64 at the target scale — sites where it cannot are documented as
-  * exempt in SURVEY.md §9f) and pass the column NAMES here; the helper
+  * int64 at the target scale, OR both operands stage through
+  * decimal(38,0) — in which case the QUOTIENT, a bounded statistic
+  * times 10^d, must still fit int64: SQL `div` casts its result to
+  * long and wraps silently past it, asserted by ExactRoundSpec) and
+  * pass the column NAMES here; the helper
   * returns the integer-valued Column to divide back by the output
   * scale's power of ten. The matching DuckDB oracle uses the identical
   * CASE with `//` in place of `div`.
