@@ -512,4 +512,49 @@ final case class DataLake(spark: SparkSession, dir: String) {
   /** Shannon-entropy profile of listed categorical columns. */
   def columnEntropy(targets: Seq[(String, String)]): DataFrame =
     CatalogOps.columnEntropy(spark, dir, targets)
+  /** HITS hubs & authorities over the directed bipartite trade graph. */
+  def hits(iters: Int = 2, k: Int = 10): DataFrame =
+    GraphOps.hits(spark, dir, iters, k)
+  /** Leave-one-out kNN label-vote eval over the shared 5-NN graph. */
+  def knnLabelEval(k: Int = 5): DataFrame =
+    AnnOps.knnLabelEval(spark, dir, k)
+  /** Approximate functional dependencies (Kivinen–Mannila g₃ error). */
+  def approxFds(candidates: Seq[(String, String, String)] =
+      CatalogOps.DefaultAfdCandidates): DataFrame =
+    CatalogOps.approxFds(spark, dir, candidates)
+  /** Hurst exponent of the daily series (aggregated-variance method). */
+  def hurst(blockSizes: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame =
+    EventOps.hurst(spark, dir, blockSizes)
+  /** Uplift (Qini) quintile readout of the A/B experiment. */
+  def upliftQuintiles(convertAt: Long = 15): DataFrame =
+    EventOps.upliftQuintiles(spark, dir, convertAt)
+  /** Greedy k-center (farthest-point) coreset over the embeddings. */
+  def kCenter(k: Int = 4): DataFrame = AnnOps.kCenter(spark, dir, k)
+  /** Held-out interpolated Kneser–Ney bigram scoring. */
+  def knHeldoutScore(): DataFrame = TextOps.knHeldoutScore(spark, dir)
+  /** Register a SUM/COUNT aggregate view over a lake table: builds the
+    * view parquet AND installs the automatic query-rewrite rule, so any
+    * matching aggregate (exact keys or distributive roll-up, group-key
+    * filters) reads the view instead of the fact table. */
+  def registerAggView(name: String, table: String, groupCols: Seq[String],
+                      valueCol: String, castTo: Option[String],
+                      mvPath: String): graft.plans.MvRewrite.MvDef =
+    graft.plans.MvRewrite.register(spark, name, s"$dir/$table.parquet",
+      groupCols, valueCol, castTo, mvPath)
+  /** Drop a registered aggregate view's rewrite. */
+  def deregisterAggView(table: String): Unit =
+    graft.plans.MvRewrite.deregister(spark, s"$dir/$table.parquet")
+  /** Documents as real multi-frame GIF89a payloads (LZW codec). */
+  def gifPayloads(batchSize: Int = 64): DataFrame =
+    GifCodec.gifPayloads(spark, dir, batchSize)
+  /** Scene cuts demuxed from the real GIF container. */
+  def gifSceneCuts(threshold: Double = 4.0): DataFrame =
+    GifCodec.gifSceneCuts(spark, dir, threshold)
+  /** Ljung–Box portmanteau whiteness test per event type. */
+  def ljungBox(maxLag: Int = 7): DataFrame =
+    EventOps.ljungBox(spark, dir, maxLag)
+  /** Key-candidate discovery (exact NDV == row count, no nulls). */
+  def keyDiscovery(candidates: Seq[(String, Seq[String])] =
+      CatalogOps.DefaultKeyCandidates): DataFrame =
+    CatalogOps.keyDiscovery(spark, dir, candidates)
 }

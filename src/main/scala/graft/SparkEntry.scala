@@ -876,6 +876,39 @@ object SparkEntry {
         "lineitem" -> "l_returnflag", "lineitem" -> "l_linestatus",
         "orders" -> "o_orderpriority", "customer" -> "c_mktsegment",
         "events" -> "event_type", "documents" -> "lang"))),
+    // HITS hubs & authorities over the directed bipartite trade graph
+    "q_hits"              -> ((s: SparkSession, d: String) =>
+      GraphOps.hits(s, d)),
+    // Leave-one-out kNN label-vote eval over the shared 5-NN graph
+    "q_knn_eval"          -> ((s: SparkSession, d: String) =>
+      AnnOps.knnLabelEval(s, d)),
+    // Approximate functional dependencies (Kivinen-Mannila g3 error)
+    "q_afd"               -> ((s: SparkSession, d: String) =>
+      CatalogOps.approxFds(s, d)),
+    // Hurst exponent of the daily series (aggregated-variance method)
+    "q_hurst"             -> ((s: SparkSession, d: String) =>
+      EventOps.hurst(s, d)),
+    // Uplift (Qini) quintile readout of the A/B experiment
+    "q_uplift"            -> ((s: SparkSession, d: String) =>
+      EventOps.upliftQuintiles(s, d)),
+    // Greedy k-center (farthest-point) coreset over the embeddings
+    "q_kcenter"           -> ((s: SparkSession, d: String) =>
+      AnnOps.kCenter(s, d)),
+    // Held-out interpolated Kneser-Ney bigram scoring
+    "q_kn_ppl"            -> ((s: SparkSession, d: String) =>
+      TextOps.knHeldoutScore(s, d)),
+    // Aggregate answered THROUGH the materialized-view rewrite rule
+    "q_mv_rewrite"        -> ((s: SparkSession, d: String) =>
+      graft.plans.MvRewrite.rewriteQuery(s, d)),
+    // Scene cuts through the REAL multi-frame GIF container (LZW codec)
+    "q_gif_scene_cuts"    -> ((s: SparkSession, d: String) =>
+      GifCodec.gifSceneCuts(s, d)),
+    // Ljung-Box portmanteau whiteness test per event type
+    "q_ljung_box"         -> ((s: SparkSession, d: String) =>
+      EventOps.ljungBox(s, d)),
+    // Key-candidate discovery (exact NDV == rowcount, no nulls)
+    "q_key_discovery"     -> ((s: SparkSession, d: String) =>
+      CatalogOps.keyDiscovery(s, d)),
   )
 
   /** [[TextOps.patternScan]] dictionary for the driver query: token
@@ -10122,6 +10155,365 @@ object SparkEntry {
          |) y""".stripMargin
     }.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
       "\n) z ORDER BY tbl, column_name")),
+    // HITS: 2 L1-normalized power-iteration rounds replayed as chained
+    // CTEs in the engine's exact scale-12 integer arithmetic.
+    "q_hits" ->
+      """WITH e AS (SELECT DISTINCT
+        |    'c' || CAST(o_custkey AS VARCHAR) AS src,
+        |    's' || CAST(l_suppkey AS VARCHAR) AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |nc AS (SELECT CAST(count(DISTINCT src) AS BIGINT) AS n FROM e),
+        |h0 AS (SELECT DISTINCT src AS node,
+        |    CAST((2 * 1000000000000 + n) // (2 * n) AS BIGINT) AS s12
+        |  FROM e, nc),
+        |a1r AS (SELECT e.dst AS node, CAST(sum(h0.s12) AS BIGINT) AS raw
+        |  FROM e JOIN h0 ON h0.node = e.src GROUP BY 1),
+        |a1 AS (SELECT node, CAST((2 * CAST(raw AS HUGEINT) * 1000000000000
+        |      + t) // (2 * t) AS BIGINT) AS s12
+        |  FROM a1r, (SELECT CAST(sum(raw) AS BIGINT) AS t FROM a1r) ta1),
+        |h1r AS (SELECT e.src AS node, CAST(sum(a1.s12) AS BIGINT) AS raw
+        |  FROM e JOIN a1 ON a1.node = e.dst GROUP BY 1),
+        |h1 AS (SELECT node, CAST((2 * CAST(raw AS HUGEINT) * 1000000000000
+        |      + t) // (2 * t) AS BIGINT) AS s12
+        |  FROM h1r, (SELECT CAST(sum(raw) AS BIGINT) AS t FROM h1r) th1),
+        |a2r AS (SELECT e.dst AS node, CAST(sum(h1.s12) AS BIGINT) AS raw
+        |  FROM e JOIN h1 ON h1.node = e.src GROUP BY 1),
+        |a2 AS (SELECT node, CAST((2 * CAST(raw AS HUGEINT) * 1000000000000
+        |      + t) // (2 * t) AS BIGINT) AS s12
+        |  FROM a2r, (SELECT CAST(sum(raw) AS BIGINT) AS t FROM a2r) ta2),
+        |h2r AS (SELECT e.src AS node, CAST(sum(a2.s12) AS BIGINT) AS raw
+        |  FROM e JOIN a2 ON a2.node = e.dst GROUP BY 1),
+        |h2 AS (SELECT node, CAST((2 * CAST(raw AS HUGEINT) * 1000000000000
+        |      + t) // (2 * t) AS BIGINT) AS s12
+        |  FROM h2r, (SELECT CAST(sum(raw) AS BIGINT) AS t FROM h2r) th2),
+        |ta AS (SELECT 'authority' AS side, node,
+        |    ((2 * s12 + 1000000) // 2000000) / 1000000.0 AS score
+        |  FROM a2 ORDER BY s12 DESC, node LIMIT 10),
+        |th AS (SELECT 'hub' AS side, node,
+        |    ((2 * s12 + 1000000) // 2000000) / 1000000.0 AS score
+        |  FROM h2 ORDER BY s12 DESC, node LIMIT 10)
+        |SELECT * FROM (SELECT * FROM ta UNION ALL SELECT * FROM th) u
+        |ORDER BY side, score DESC, node""".stripMargin,
+    // kNN label vote: the q_knn_graph edge CTEs + per-source majority
+    // (count DESC, label ASC) scored against the true label.
+    "q_knn_eval" ->
+      s"""WITH $lshOracleCtes,
+         |bkc AS (SELECT vec_id, bucket FROM (
+         |          SELECT vec_id, bucket,
+         |            count(*) OVER (PARTITION BY bucket) AS bn
+         |          FROM bk) WHERE bn <= 4096),
+         |pairs AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |          FROM bkc a JOIN bkc b
+         |            ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |sc AS (SELECT vec_a, vec_b,
+         |         list_cosine_similarity(ea.e, eb.e) AS s
+         |       FROM pairs JOIN emb ea ON ea.vec_id = pairs.vec_a
+         |                  JOIN emb eb ON eb.vec_id = pairs.vec_b),
+         |sym AS (SELECT vec_a AS src, vec_b AS dst, s FROM sc
+         |        UNION ALL SELECT vec_b, vec_a, s FROM sc),
+         |knn AS (SELECT src, dst FROM (SELECT src, dst,
+         |          row_number() OVER (PARTITION BY src
+         |            ORDER BY s DESC, dst) AS rnk FROM sym) t
+         |        WHERE rnk <= 5),
+         |votes AS (SELECT knn.src, em.label AS nb_label,
+         |    CAST(count(*) AS BIGINT) AS v
+         |  FROM knn JOIN embeddings em ON em.vec_id = knn.dst
+         |  GROUP BY 1, 2),
+         |pred AS (SELECT src AS vec_id, nb_label AS pred FROM (
+         |    SELECT src, nb_label, row_number() OVER (PARTITION BY src
+         |      ORDER BY v DESC, nb_label) AS rk FROM votes) t
+         |  WHERE rk = 1),
+         |sc2 AS (SELECT em.label,
+         |    CAST(count(*) AS BIGINT) AS n_vecs,
+         |    CAST(sum(CASE WHEN p.pred IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_voted,
+         |    CAST(sum(CASE WHEN p.pred = em.label THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_correct
+         |  FROM embeddings em LEFT JOIN pred p ON p.vec_id = em.vec_id
+         |  GROUP BY 1)
+         |SELECT label, n_vecs, n_voted, n_correct,
+         |  ((2 * 10000 * n_correct + greatest(n_voted, 1))
+         |    // (2 * greatest(n_voted, 1))) / 10000.0 AS acc_voted,
+         |  ((2 * 10000 * n_voted + n_vecs) // (2 * n_vecs)) / 10000.0
+         |    AS coverage
+         |FROM sc2 ORDER BY label""".stripMargin,
+    // Approximate FDs: one g3 branch per candidate, exact count ratios.
+    "q_afd" -> CatalogOps.DefaultAfdCandidates.map { case (tbl, det, dep) =>
+      s"""SELECT '$tbl' AS tbl, '$det' AS determinant, '$dep' AS dependent,
+         |  CAST(sum(tot) AS BIGINT) AS n_rows,
+         |  CAST(count(*) AS BIGINT) AS n_groups,
+         |  CAST(sum(tot) - sum(keep) AS BIGINT) AS violations,
+         |  ((2 * 1000000 * (sum(tot) - sum(keep)) + sum(tot))
+         |    // (2 * sum(tot))) / 1000000.0 AS g3_err,
+         |  CASE WHEN sum(tot) = sum(keep) THEN CAST(1 AS BIGINT)
+         |    ELSE CAST(0 AS BIGINT) END AS holds_exact
+         |FROM (SELECT x, max(c) AS keep, sum(c) AS tot
+         |  FROM (SELECT $det AS x, $dep AS y, count(*) AS c
+         |        FROM $tbl GROUP BY 1, 2) g GROUP BY 1) m"""
+        .stripMargin
+    }.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+      "\n) z ORDER BY tbl, determinant, dependent"),
+    // Hurst: exact block sums; ln-points pinned to decimal(18,9); the
+    // zero-variance guard mirrors Spark's null-ln (DuckDB ln(0) errors).
+    "q_hurst" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+        |idx AS (SELECT x, row_number() OVER (ORDER BY day) AS i
+        |  FROM daily),
+        |grid AS (SELECT unnest([1, 2, 4, 8]) AS m),
+        |blk AS (SELECT m, (i - 1) // m AS blk,
+        |    CAST(count(*) AS BIGINT) AS cnt, CAST(sum(x) AS BIGINT) AS s
+        |  FROM idx, grid GROUP BY 1, 2),
+        |pm AS (SELECT m, CAST(count(*) AS BIGINT) AS b,
+        |    CAST(sum(s) AS BIGINT) AS ss, sum(CAST(s AS HUGEINT) * s) AS sss
+        |  FROM blk WHERE cnt = m GROUP BY 1),
+        |pv AS (SELECT m, b,
+        |    (CAST(b AS DOUBLE) * CAST(sss AS DOUBLE)
+        |      - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE))
+        |      / (CAST(b AS DOUBLE) * CAST(b AS DOUBLE)
+        |        * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)) AS var_mean
+        |  FROM pm),
+        |pt AS (SELECT m, b, var_mean,
+        |    CAST(round(ln(CAST(m AS DOUBLE)), 9) AS DECIMAL(18,9)) AS lx,
+        |    CASE WHEN var_mean > 0 THEN
+        |      CAST(round(ln(var_mean), 9) AS DECIMAL(18,9)) END AS ly
+        |  FROM pv),
+        |rg AS (SELECT (CAST(count(*) AS DOUBLE)
+        |      * CAST(sum(lx * ly) AS DOUBLE)
+        |      - CAST(sum(lx) AS DOUBLE) * CAST(sum(ly) AS DOUBLE))
+        |    / (CAST(count(*) AS DOUBLE) * CAST(sum(lx * lx) AS DOUBLE)
+        |      - CAST(sum(lx) AS DOUBLE) * CAST(sum(lx) AS DOUBLE))
+        |      AS slope
+        |  FROM pt WHERE var_mean > 0)
+        |SELECT CAST(m AS BIGINT) AS block_size, b AS n_blocks,
+        |  round(var_mean, 6) AS var_of_means,
+        |  round(1.0 + slope / 2.0, 4) AS hurst
+        |FROM pt, rg ORDER BY block_size""".stripMargin,
+    // Uplift/Qini: same Lehmer arms as q_ab_readout; distinct-score
+    // cumulative quintiles; signed exact half-up on the integer ratios.
+    "q_uplift" ->
+      """WITH pu AS (SELECT user_id,
+        |    CASE WHEN sum(CASE WHEN event_type = 'purchase'
+        |      THEN 1 ELSE 0 END) >= 15 THEN 1 ELSE 0 END AS converted,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS score
+        |  FROM events GROUP BY 1),
+        |tr AS (SELECT *, CASE WHEN ((user_id * 16807) % 2147483647) % 2 = 0
+        |    THEN 1 ELSE 0 END AS treated FROM pu),
+        |bs AS (SELECT score, CAST(count(*) AS BIGINT) AS c
+        |  FROM tr GROUP BY 1),
+        |tt AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM bs),
+        |qm AS (SELECT score, least(5, 1 + (5 * (cum - 1)) // n) AS q
+        |  FROM (SELECT score, CAST(sum(c) OVER (ORDER BY score DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum FROM bs) x, tt),
+        |bk AS (SELECT q, CAST(sum(treated) AS BIGINT) AS n_t,
+        |    CAST(sum(treated * converted) AS BIGINT) AS conv_t,
+        |    CAST(sum(1 - treated) AS BIGINT) AS n_c,
+        |    CAST(sum((1 - treated) * converted) AS BIGINT) AS conv_c
+        |  FROM tr JOIN qm USING (score) GROUP BY 1),
+        |cu AS (SELECT q, n_t, conv_t, n_c, conv_c,
+        |    CAST(sum(conv_t) OVER w AS BIGINT) AS ct,
+        |    CAST(sum(conv_c) OVER w AS BIGINT) AS cc,
+        |    CAST(sum(n_t) OVER w AS BIGINT) AS nt,
+        |    CAST(sum(n_c) OVER w AS BIGINT) AS nc
+        |  FROM bk WINDOW w AS (ORDER BY q
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |fin AS (SELECT q, n_t, conv_t, n_c, conv_c,
+        |    (CAST(conv_t AS HUGEINT) * n_c
+        |      - CAST(conv_c AS HUGEINT) * n_t) * 1000000 AS un,
+        |    greatest(CAST(n_t AS HUGEINT) * n_c, 1) AS ud,
+        |    (CAST(ct AS HUGEINT) * nc
+        |      - CAST(cc AS HUGEINT) * nt) * 10000 AS qn,
+        |    greatest(CAST(nc AS HUGEINT), 1) AS qd
+        |  FROM cu)
+        |SELECT q AS quintile, n_t, conv_t, n_c, conv_c,
+        |  (CASE WHEN un < 0 THEN -((2 * (-un) + ud) // (2 * ud))
+        |    ELSE (2 * un + ud) // (2 * ud) END) / 1000000.0 AS uplift,
+        |  (CASE WHEN qn < 0 THEN -((2 * (-qn) + qd) // (2 * qd))
+        |    ELSE (2 * qn + qd) // (2 * qd) END) / 10000.0 AS qini
+        |FROM fin ORDER BY quintile""".stripMargin,
+    // k-center: the 4 greedy selection rounds unrolled as CTEs; d2 is
+    // the same double tree as the engine's codegen'd float dot.
+    "q_kcenter" ->
+      """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings),
+        |c1 AS (SELECT 1 AS cidx, vec_id AS cid, e AS cv FROM emb
+        |  ORDER BY vec_id LIMIT 1),
+        |d1 AS (SELECT v.vec_id, v.e,
+        |    min(list_dot_product(v.e, v.e)
+        |      - 2.0 * list_dot_product(v.e, c.cv)
+        |      + list_dot_product(c.cv, c.cv)) AS mind2
+        |  FROM emb v, c1 c GROUP BY 1, 2),
+        |c2 AS (SELECT 2 AS cidx, vec_id AS cid, e AS cv FROM d1
+        |  ORDER BY mind2 DESC, vec_id LIMIT 1),
+        |cc2 AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2),
+        |d2 AS (SELECT v.vec_id, v.e,
+        |    min(list_dot_product(v.e, v.e)
+        |      - 2.0 * list_dot_product(v.e, c.cv)
+        |      + list_dot_product(c.cv, c.cv)) AS mind2
+        |  FROM emb v, cc2 c GROUP BY 1, 2),
+        |c3 AS (SELECT 3 AS cidx, vec_id AS cid, e AS cv FROM d2
+        |  ORDER BY mind2 DESC, vec_id LIMIT 1),
+        |cc3 AS (SELECT * FROM cc2 UNION ALL SELECT * FROM c3),
+        |d3 AS (SELECT v.vec_id, v.e,
+        |    min(list_dot_product(v.e, v.e)
+        |      - 2.0 * list_dot_product(v.e, c.cv)
+        |      + list_dot_product(c.cv, c.cv)) AS mind2
+        |  FROM emb v, cc3 c GROUP BY 1, 2),
+        |c4 AS (SELECT 4 AS cidx, vec_id AS cid, e AS cv FROM d3
+        |  ORDER BY mind2 DESC, vec_id LIMIT 1),
+        |cc4 AS (SELECT * FROM cc3 UNION ALL SELECT * FROM c4),
+        |asg AS (SELECT vec_id, dd, cidx FROM (
+        |    SELECT v.vec_id, c.cidx,
+        |      list_dot_product(v.e, v.e)
+        |        - 2.0 * list_dot_product(v.e, c.cv)
+        |        + list_dot_product(c.cv, c.cv) AS dd,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        list_dot_product(v.e, v.e)
+        |          - 2.0 * list_dot_product(v.e, c.cv)
+        |          + list_dot_product(c.cv, c.cv), c.cidx) AS rk
+        |    FROM emb v, cc4 c) t WHERE rk = 1)
+        |SELECT CAST(g.cidx AS BIGINT) AS center_idx,
+        |  c.cid AS center_vec_id, g.n_assigned, g.radius2
+        |FROM (SELECT cidx, CAST(count(*) AS BIGINT) AS n_assigned,
+        |    round(max(dd), 6) AS radius2 FROM asg GROUP BY 1) g
+        |JOIN cc4 c USING (cidx) ORDER BY center_idx""".stripMargin,
+    // Kneser-Ney: REF = even doc_ids; d = 3/4 cleared to one integer-
+    // parameterized double tree; surprisal-family mean law.
+    "q_kn_ppl" ->
+      """WITH tok AS (SELECT doc_id, doc_id % 2 = 0 AS is_ref,
+        |    string_split(text, ' ') AS t
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 2),
+        |bi AS (SELECT doc_id, is_ref, t[i] AS w1, t[i+1] AS w2
+        |  FROM (SELECT doc_id, is_ref, t, unnest(range(1, len(t))) AS i
+        |        FROM tok) e),
+        |rb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+        |  FROM bi WHERE is_ref GROUP BY 1, 2),
+        |pf AS (SELECT w1, CAST(sum(c) AS BIGINT) AS cv,
+        |    CAST(count(*) AS BIGINT) AS n1v FROM rb GROUP BY 1),
+        |ct AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1w
+        |  FROM rb GROUP BY 1),
+        |tt AS (SELECT CAST(count(*) AS BIGINT) AS t,
+        |    CAST(count(DISTINCT w2) AS BIGINT) AS v FROM rb),
+        |sc AS (SELECT b.doc_id,
+        |    CASE WHEN rb.c IS NULL THEN 1 ELSE 0 END AS unseen,
+        |    CAST(round(-ln(CASE WHEN pf.cv IS NULL
+        |      THEN CAST(coalesce(ct.n1w, 0) + 1 AS DOUBLE)
+        |        / CAST(tt.t + tt.v + 1 AS DOUBLE)
+        |      ELSE (CAST(greatest(4 * coalesce(rb.c, 0) - 3, 0) AS DOUBLE)
+        |          * CAST(tt.t + tt.v + 1 AS DOUBLE)
+        |        + 3.0 * pf.n1v * CAST(coalesce(ct.n1w, 0) + 1 AS DOUBLE))
+        |        / (4.0 * pf.cv * CAST(tt.t + tt.v + 1 AS DOUBLE))
+        |      END), 6) AS DECIMAL(18,6)) AS neg_logp
+        |  FROM bi b LEFT JOIN rb ON rb.w1 = b.w1 AND rb.w2 = b.w2
+        |    LEFT JOIN pf ON pf.w1 = b.w1
+        |    LEFT JOIN ct ON ct.w2 = b.w2
+        |    CROSS JOIN tt
+        |  WHERE NOT b.is_ref)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(unseen) AS BIGINT) AS n_unseen,
+        |  ((2 * cast(sum(neg_logp) * 1000000 AS bigint) + 100 * count(*))
+        |    // (200 * count(*))) / 10000.0 AS avg_kn_surprisal
+        |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // GIF scene cuts: the oracle recomputes every frame mean from the
+    // source bytes in closed form — LZW is lossless, so any codec bit
+    // error (wrong width bump, palette off-by-one) hash-fails here.
+    // greatest(·,1) mirrors the encoder's ≥1-frame guarantee.
+    "q_gif_scene_cuts" ->
+      """WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS n
+        |  FROM documents WHERE text IS NOT NULL),
+        |fr AS (SELECT doc_id, f,
+        |    list_aggregate(list_transform(range(1, 257),
+        |      j -> CASE WHEN f * 256 + j <= n
+        |           THEN ascii(substr(text, CAST(f * 256 + j AS INT), 1))
+        |           ELSE 0 END), 'sum') / 256.0 AS mean_v
+        |  FROM (SELECT doc_id, text, n,
+        |          unnest(range(0, greatest((n + 255) // 256, 1))) AS f
+        |        FROM d) x),
+        |sc AS (SELECT doc_id, f, mean_v,
+        |    lag(mean_v) OVER (PARTITION BY doc_id ORDER BY f) AS prev
+        |  FROM fr)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+        |  CAST(sum(CASE WHEN abs(mean_v - prev) > 4.0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_cuts,
+        |  round(coalesce(max(abs(mean_v - prev)), 0.0), 4) AS max_jump
+        |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // Ljung-Box: acf moments exact, r pinned 6 dp through the decimal
+    // hop, r^2/c and Q by exact integer half-up, reject on pinned ints.
+    "q_ljung_box" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM daily GROUP BY 1),
+        |pr AS (SELECT a.event_type, k.k, CAST(count(*) AS BIGINT) AS c,
+        |    CAST(sum(a.x) AS BIGINT) AS sa,
+        |    CAST(sum(b.x) AS BIGINT) AS sb,
+        |    CAST(sum(a.x * b.x) AS BIGINT) AS sab
+        |  FROM daily a
+        |  JOIN (SELECT unnest(range(1, 8)) AS k) k ON true
+        |  JOIN daily b ON b.event_type = a.event_type
+        |    AND b.day = a.day + CAST(k.k AS INTEGER)
+        |  GROUP BY 1, 2),
+        |rk AS (SELECT p.event_type, p.c, s.n,
+        |    round((CAST(p.sab AS DOUBLE)
+        |      - (CAST(s.sx AS DOUBLE) / s.n) * p.sa
+        |      - (CAST(s.sx AS DOUBLE) / s.n) * p.sb
+        |      + p.c * (CAST(s.sx AS DOUBLE) / s.n)
+        |        * (CAST(s.sx AS DOUBLE) / s.n))
+        |      / (CAST(s.sxx AS DOUBLE)
+        |        - CAST(s.sx AS DOUBLE) * s.sx / s.n), 6) AS r6
+        |  FROM pr p JOIN st s USING (event_type)),
+        |tt AS (SELECT event_type, n, c,
+        |    CAST(CAST(r6 AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS rr
+        |  FROM rk),
+        |t2 AS (SELECT event_type, n,
+        |    (2 * rr * rr + c) // (2 * c) AS t12 FROM tt),
+        |ag AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n_days,
+        |    CAST(count(*) AS BIGINT) AS n_lags,
+        |    CAST(sum(t12) AS BIGINT) AS s12
+        |  FROM t2 GROUP BY 1),
+        |qq AS (SELECT *, CAST(s12 AS HUGEINT) * n_days * (n_days + 2)
+        |    * 10000 AS qn FROM ag),
+        |qf AS (SELECT *, CAST((2 * qn + 1000000000000)
+        |    // (2 * 1000000000000) AS BIGINT) AS q4 FROM qq)
+        |SELECT event_type, n_days, n_lags, q4 / 10000.0 AS q_stat,
+        |  CASE WHEN q4 > 140670 THEN CAST(1 AS BIGINT)
+        |    ELSE CAST(0 AS BIGINT) END AS lb_reject
+        |FROM qf ORDER BY event_type""".stripMargin,
+    // Key discovery: one exact-NDV branch per candidate; the composite
+    // counts distinct non-null tuples (Spark's countDistinct contract).
+    "q_key_discovery" -> CatalogOps.DefaultKeyCandidates.map {
+      case (tbl, cols) =>
+        val nn = cols.map(c => s"$c IS NOT NULL").mkString(" AND ")
+        val dExpr =
+          if (cols.length == 1) s"count(DISTINCT ${cols.head})"
+          else s"count(DISTINCT CASE WHEN $nn THEN " +
+            s"(${cols.mkString(", ")}) END)"
+        s"""SELECT '$tbl' AS tbl, '${cols.mkString(",")}' AS columns,
+           |  CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST($dExpr AS BIGINT) AS ndv,
+           |  CAST(sum(CASE WHEN $nn THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_nonnull,
+           |  CASE WHEN $dExpr = count(*)
+           |    AND sum(CASE WHEN $nn THEN 1 ELSE 0 END) = count(*)
+           |    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+           |    AS is_key
+           |FROM $tbl""".stripMargin
+    }.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+      "\n) z ORDER BY tbl, columns"),
+    // MV rewrite: the oracle aggregates the BASE table — a wrong
+    // rewrite (stale view, bad roll-up) hash-mismatches here.
+    "q_mv_rewrite" ->
+      """SELECT o_orderpriority,
+        |  round(cast(sum(cast(o_totalprice AS decimal(18,2))) AS double),
+        |    2) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders WHERE o_orderstatus IN ('F', 'O')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 
   /** Oracle twin of CatalogOps.profile: one UNION ALL branch per column. */

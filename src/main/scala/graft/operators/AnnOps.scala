@@ -1331,4 +1331,113 @@ object AnnOps {
           .cast("double") / 1e4).as("recall"))
       .orderBy(col("q_id"))
   }
+
+  /** Leave-one-out kNN label classification over the shared 5-NN graph —
+    * the EVAL the (kNN graph × label column) pair invites, and the
+    * standard label-quality / annotation-noise screen for a training
+    * corpus: each vector's label is predicted by majority vote among its
+    * graph neighbors (vote count DESC, label ASC on ties) and scored
+    * against its own label. Reported per TRUE label with coverage —
+    * vectors isolated under the LSH bucketing (no candidates anywhere)
+    * are counted in `n_vecs` but cast no vote, so a silent recall hole
+    * shows up as coverage < 1, never as inflated accuracy.
+    *
+    * Scale: the graph rides the persisted [[KnnGraphArtifact]] (built
+    * once per corpus version); the vote is one aggregate over its ≤ k·n
+    * rows, labels attach by broadcast of the node-sized (id, label)
+    * projection, and accuracy/coverage are count/count quotients →
+    * exact integer half-up ([[ExactRound]], 4 dp). */
+  def knnLabelEval(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val emb = Lake.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"))
+    val edges = knnFromPairs(KnnGraphArtifact.sharedPairs(spark, dir), k)
+      .select(col("src"), col("dst"))
+    val votes = edges
+      .join(broadcast(emb.select(col("vec_id").as("dst"),
+        col("label").as("nb_label"))), "dst")
+      .groupBy(col("src"), col("nb_label"))
+      .agg(count(lit(1)).as("v"))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("v").desc, col("nb_label"))
+    val pred = votes.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("src").as("vec_id"), col("nb_label").as("pred"))
+    emb.join(pred, Seq("vec_id"), "left")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("pred").isNotNull, 1L).otherwise(0L)).as("n_voted"),
+        sum(when(col("pred") === col("label"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("label"), col("n_vecs"), col("n_voted"), col("n_correct"),
+        // accuracy over VOTED vectors; an all-isolated label reads 0/0 →
+        // pinned to 0 by the greatest(·,1) guard in both engines
+        (ExactRound.halfUpPos("10000 * n_correct", "greatest(n_voted, 1)")
+          .cast("double") / 1e4).as("acc_voted"),
+        (ExactRound.halfUpPos("10000 * n_voted", "n_vecs")
+          .cast("double") / 1e4).as("coverage"))
+      .orderBy(col("label"))
+  }
+
+  /** Greedy k-center (farthest-point) coreset selection over the
+    * embedding corpus — the classic 2-approximation to the k-center
+    * cover, and the standard diversity-sampling primitive for curating
+    * a maximally-spread training subset: seed at the smallest vec_id,
+    * then `k`−1 times add the vector farthest (squared L2, larger
+    * d² wins, vec_id breaks ties) from the chosen set. Reports each
+    * center with its assigned-population size and coverage radius.
+    *
+    * Fully declarative — NO driver collect: each selection round is
+    * emb ⨯ broadcast(centers) (the ≤k-row center frame is the bounded
+    * side of an intentional product join) → per-vector min-d² → one
+    * TakeOrderedAndProject argmax appended to the center frame, eagerly
+    * materialized (1 row) to keep the loop's lineage flat. d² expands
+    * to ⟨x,x⟩ − 2⟨x,c⟩ + ⟨c,c⟩ over the codegen'd [[graft.functions
+    * .VectorExpressions]] float dot — the same sequential accumulation
+    * DuckDB's list_dot_product replays, so the doubles match
+    * bit-for-bit and the argmax/assignment order over them is exact.
+    *
+    * Scale: k passes over the corpus, each one broadcast product + one
+    * vec-keyed aggregate; nothing quadratic, nothing collected. */
+  def kCenter(spark: SparkSession, dir: String, k: Int = 4): DataFrame = {
+    require(k >= 1, "kCenter needs k >= 1")
+    import graft.functions.VectorFunctions.dotProductF
+    val emb = Lake.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def d2: Column =
+      dotProductF(col("embedding"), col("embedding")) -
+        lit(2.0) * dotProductF(col("embedding"), col("cvec")) +
+        dotProductF(col("cvec"), col("cvec"))
+    def minD2(centers: DataFrame): DataFrame =
+      emb.crossJoin(broadcast(centers))
+        .withColumn("dd", d2)
+        .groupBy(col("vec_id"), col("embedding"))
+        .agg(min(struct(col("dd"), col("cidx"))).as("m"))
+        .select(col("vec_id"), col("embedding"),
+          col("m.dd").as("mind2"), col("m.cidx").as("cidx"))
+    var centers = emb.orderBy(col("vec_id")).limit(1)
+      .select(lit(1).as("cidx"), col("vec_id").as("cid"),
+        col("embedding").as("cvec"))
+      .localCheckpoint(true)
+    for (step <- 2 to k) {
+      val next = minD2(centers)
+        .orderBy(col("mind2").desc, col("vec_id"))
+        .limit(1)
+        .select(lit(step).as("cidx"), col("vec_id").as("cid"),
+          col("embedding").as("cvec"))
+      centers = centers.unionByName(next).localCheckpoint(true)
+    }
+    val out = minD2(centers)
+      .groupBy(col("cidx"))
+      .agg(count(lit(1)).as("n_assigned"),
+        max(col("mind2")).as("r2"))
+      .join(broadcast(centers.select(col("cidx"), col("cid"))), "cidx")
+      .select(col("cidx").cast("long").as("center_idx"),
+        col("cid").as("center_vec_id"), col("n_assigned"),
+        round(col("r2"), 6).as("radius2"))
+      .orderBy(col("center_idx"))
+      .localCheckpoint(true)
+    emb.unpersist(false)
+    out
+  }
 }

@@ -1510,4 +1510,91 @@ object CatalogOps {
         round(col("q").getItem(0), 4).as("lo95"),
         round(col("q").getItem(1), 4).as("hi95"))
   }
+
+  /** The default candidate set for [[approxFds]]: one plausibly-exact
+    * dependency per shape (constant-valued dependents) and several
+    * deliberately-violated ones, so the report exercises both ends of
+    * the g₃ range on the synthetic lake. */
+  val DefaultAfdCandidates: Seq[(String, String, String)] = Seq(
+    ("documents", "source", "lang"),
+    ("documents", "lang", "source"),
+    ("orders", "o_custkey", "o_orderstatus"),
+    ("orders", "o_orderdate", "o_orderstatus"),
+    ("lineitem", "l_returnflag", "l_linestatus"))
+
+  /** Approximate functional-dependency discovery — the g₃ error of
+    * Kivinen–Mannila: for each candidate X→Y, the minimum fraction of
+    * rows whose deletion makes the FD exact, 1 − Σ_x max_y n(x,y) / N.
+    * The approximate complement of the exact [[fdReport]]-style screen:
+    * a NEAR-dependency (g₃ ≤ a few %) is a data-quality signal an exact
+    * test throws away entirely. Reports per candidate the row/group
+    * counts, the violating row mass, and g₃ pinned at 6 dp by exact
+    * integer half-up ([[ExactRound]] — count/count); `holds_exact`
+    * rides as a 0/1 long for cross-engine hash parity.
+    *
+    * Scale: one (X,Y) aggregate + one X reduce per candidate — fully
+    * map-side-combinable, no windows, output one row per candidate. */
+  /** The default [[keyDiscovery]] candidates: every table's expected
+    * primary key, the lineitem composite, and two deliberate NON-keys
+    * so the report exercises both verdicts. */
+  val DefaultKeyCandidates: Seq[(String, Seq[String])] = Seq(
+    ("region", Seq("r_regionkey")), ("nation", Seq("n_nationkey")),
+    ("customer", Seq("c_custkey")), ("supplier", Seq("s_suppkey")),
+    ("part", Seq("p_partkey")), ("orders", Seq("o_orderkey")),
+    ("orders", Seq("o_custkey")),
+    ("lineitem", Seq("l_orderkey", "l_linenumber")),
+    ("lineitem", Seq("l_orderkey")),
+    ("events", Seq("event_id")), ("documents", Seq("doc_id")),
+    ("embeddings", Seq("vec_id")))
+
+  /** Key-candidate discovery — the catalog primitive behind PK
+    * inference, join planning, and upsert-key validation: for each
+    * candidate column set, is (NDV == row count AND no nulls)? Exact
+    * distinct counts (one aggregate per candidate — at 100 TB the HLL
+    * twin [[profile]]'s `exactNdv = false` path screens first and this
+    * confirms survivors); a composite candidate counts distinct TUPLES
+    * with the all-columns-non-null convention both engines share.
+    * `is_key` rides as a 0/1 long for cross-engine hash parity. */
+  def keyDiscovery(spark: SparkSession, dir: String,
+                   candidates: Seq[(String, Seq[String])] =
+                     DefaultKeyCandidates): DataFrame = {
+    require(candidates.nonEmpty, "keyDiscovery needs candidates")
+    candidates.map { case (tbl, cols) =>
+      val t = Lake.table(spark, dir, tbl)
+      val nonNull = cols.map(c => col(c).isNotNull).reduce(_ && _)
+      t.agg(count(lit(1)).as("n_rows"),
+          countDistinct(cols.head, cols.tail: _*).as("ndv"),
+          sum(when(nonNull, 1L).otherwise(0L)).as("n_nonnull"))
+        .select(lit(tbl).as("tbl"),
+          lit(cols.mkString(",")).as("columns"),
+          col("n_rows"), col("ndv"), col("n_nonnull"),
+          when(col("ndv") === col("n_rows") &&
+            col("n_nonnull") === col("n_rows"), 1L).otherwise(0L)
+            .as("is_key"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("tbl"), col("columns"))
+  }
+
+  def approxFds(spark: SparkSession, dir: String,
+                candidates: Seq[(String, String, String)] =
+                  DefaultAfdCandidates): DataFrame = {
+    require(candidates.nonEmpty, "approxFds needs at least one candidate")
+    candidates.map { case (tbl, det, dep) =>
+      Lake.table(spark, dir, tbl)
+        .groupBy(col(det).as("x"), col(dep).as("y"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("x"))
+        .agg(max(col("c")).as("keep"), sum(col("c")).as("tot"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(col("keep")).as("kept"), sum(col("tot")).as("n_rows"))
+        .select(lit(tbl).as("tbl"), lit(det).as("determinant"),
+          lit(dep).as("dependent"), col("n_rows"), col("n_groups"),
+          (col("n_rows") - col("kept")).as("violations"),
+          (ExactRound.halfUpPos("1000000 * (n_rows - kept)", "n_rows")
+            .cast("double") / 1e6).as("g3_err"),
+          when(col("n_rows") === col("kept"), 1L).otherwise(0L)
+            .as("holds_exact"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("tbl"), col("determinant"), col("dependent"))
+  }
 }

@@ -3518,4 +3518,227 @@ object EventOps {
     daily.unpersist(false)
     out
   }
+
+  /** Hurst exponent of the daily event-count series by the
+    * aggregated-variance method — the long-range-dependence screen the
+    * short-lag diagnostics ([[acfQuery]], [[dispersionQuery]]'s Fano
+    * factor) cannot see: for block sizes m, the variance of m-block
+    * means of a self-similar series scales as m^(2H−2), so H falls out
+    * of the log-log slope. H ≈ ½ is memoryless; H → 1 means shocks
+    * persist (capacity planning must size for runs, not i.i.d. noise).
+    *
+    * Exactness: block means stay rational by carrying block SUMS
+    * (exact BIGINTs; squares staged through decimal(38,0) — a block sum
+    * can reach 10⁸ at 1000× this corpus, its square 10¹⁶·#blocks past
+    * int64) and deferring the /m² to the one double tree; the ln-space
+    * regression is transcendental, so each ln is pinned at 9 dp into
+    * decimal(18,9) — addition-order-independent sums — and the slope is
+    * one double expression of those exact sums, replayed verbatim by
+    * the oracle. Degenerate zero-variance points (constant series)
+    * drop out of the regression in both engines.
+    *
+    * Shape: one events scan → bounded calendar frame; the day index is
+    * a window on it, the m-grid is a map-side explode, and every later
+    * frame is ≤ #days rows. */
+  def hurst(spark: SparkSession, dir: String,
+            blockSizes: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+    require(blockSizes.nonEmpty, "hurst needs at least one block size")
+    val daily = Lake.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val idx = daily.withColumn("i",
+      row_number().over(Window.orderBy(col("day"))))
+    val perM = idx
+      .withColumn("m", explode(array(blockSizes.map(lit(_)): _*)))
+      .withColumn("blk", expr("(i - 1) div m"))
+      .groupBy(col("m"), col("blk"))
+      .agg(count(lit(1)).as("cnt"), sum(col("x")).as("s"))
+      .filter(col("cnt") === col("m")) // complete blocks only
+      .groupBy(col("m"))
+      .agg(count(lit(1)).as("b"), sum(col("s")).as("ss"),
+        sum((col("s").cast(DecimalType(38, 0)) * col("s"))
+          .cast(DecimalType(38, 0))).as("sss"))
+      // population variance of block means: (B·Σs² − (Σs)²)/(B²·m²)
+      .withColumn("var_mean",
+        (col("b").cast("double") * col("sss").cast("double")
+          - col("ss").cast("double") * col("ss").cast("double"))
+          / (col("b").cast("double") * col("b").cast("double")
+            * col("m").cast("double") * col("m").cast("double")))
+    val pts = perM.select(col("m"), col("b"), col("var_mean"),
+        expr("cast(round(ln(cast(m AS double)), 9) AS decimal(18,9))")
+          .as("lx"),
+        expr("cast(round(ln(var_mean), 9) AS decimal(18,9))").as("ly"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val reg = pts.filter(col("var_mean") > 0)
+      .agg(count(lit(1)).as("k"), sum(col("lx")).as("sx"),
+        sum(col("ly")).as("sy"),
+        sum(col("lx") * col("lx")).as("sxx"),
+        sum(col("lx") * col("ly")).as("sxy"))
+      .select(((col("k").cast("double") * col("sxy").cast("double")
+        - col("sx").cast("double") * col("sy").cast("double"))
+        / (col("k").cast("double") * col("sxx").cast("double")
+          - col("sx").cast("double") * col("sx").cast("double")))
+        .as("slope"))
+    val out = pts.crossJoin(broadcast(reg))
+      .select(col("m").cast("long").as("block_size"),
+        col("b").as("n_blocks"),
+        round(col("var_mean"), 6).as("var_of_means"),
+        round(lit(1.0) + col("slope") / lit(2.0), 4).as("hurst"))
+      .orderBy(col("block_size"))
+      .localCheckpoint(true)
+    pts.unpersist(false)
+    daily.unpersist(false)
+    out
+  }
+
+  /** Ljung–Box portmanteau whiteness test of each event type's daily
+    * series — the OMNIBUS complement of the lag-wise [[acfQuery]] and
+    * the residual-level [[durbinWatson]]: Q = n(n+2)·Σ_k r_k²/c_k over
+    * lags 1..`maxLag`, compared to the χ²₇ 95% critical value 14.067 (a
+    * literal, so no CDF library can disagree). c_k is the ACTUAL lag-k
+    * pair count from the calendar equi-join (equal to n−k on a gapless
+    * calendar; using the real count keeps the statistic honest when a
+    * type skips days).
+    *
+    * Determinism: r_k is the acf double tree pinned at 6 dp; each
+    * summand r_k²/c_k is then EXACT — R = r_k·10⁶ is an integer, the
+    * term is halfUpPos(R², c_k) at scale 12 ([[ExactRound]] — the
+    * quotient CAN terminate when c_k is 2^a5^b, so the double route is
+    * not tie-safe here) — and Q pins at 4 dp from the exact scale-12
+    * sum staged through decimal(38,0). The reject flag compares pinned
+    * integers, never doubles.
+    *
+    * Shape: one events scan → bounded per-type calendar frame; lag
+    * pairs via one 7-way explode + equi-join (the acf discipline); all
+    * later frames are type×lag-bounded. */
+  def ljungBox(spark: SparkSession, dir: String,
+               maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1, "ljungBox needs at least one lag")
+    val daily = Lake.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+    val pairs = daily
+      .withColumn("k", explode(sequence(lit(1), lit(maxLag))))
+      .withColumn("tday", date_add(col("day"), col("k")))
+      .select(col("event_type"), col("k"), col("tday"), col("x").as("xa"))
+      .join(daily.select(col("event_type"), col("day").as("tday"),
+        col("x").as("xb")), Seq("event_type", "tday"))
+    val rk = pairs
+      .groupBy(col("event_type"), col("k"))
+      .agg(count(lit(1)).as("c"), sum(col("xa")).as("sa"),
+        sum(col("xb")).as("sb"), sum(col("xa") * col("xb")).as("sab"))
+      .join(stats, Seq("event_type"))
+      .withColumn("m", col("sx").cast("double") / col("n"))
+      .withColumn("r6", round(
+        (col("sab").cast("double") - col("m") * col("sa") -
+          col("m") * col("sb") + col("c") * col("m") * col("m")) /
+          (col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx") / col("n")), 6))
+      // double → decimal(18,6) → exact integer (the surprisal-family
+      // routing: a direct double×10⁶→long cast truncates in Spark but
+      // ROUNDS in DuckDB — the decimal hop makes both engines round)
+      .withColumn("rr",
+        (col("r6").cast(DecimalType(18, 6)) * 1000000).cast("long"))
+      // r²/c at scale 12, exact (R² ≤ 10¹² fits long)
+      .withColumn("t12", ExactRound.halfUpPos("rr * rr", "c"))
+    val out = rk.groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_days"), count(lit(1)).as("n_lags"),
+        sum(col("t12")).as("s12"))
+      .withColumn("qn",
+        ((col("s12").cast(DecimalType(38, 0)) * col("n_days")
+          * (col("n_days") + 2)) * 10000).cast(DecimalType(38, 0)))
+      .withColumn("q4", ExactRound.halfUpPos("qn", "1000000000000"))
+      .select(col("event_type"), col("n_days"), col("n_lags"),
+        (col("q4").cast("double") / 1e4).as("q_stat"),
+        // χ²(7, 0.95) = 14.067: compare PINNED integers
+        when(col("q4") > 140670L, 1L).otherwise(0L).as("lb_reject"))
+      .orderBy(col("event_type"))
+      .localCheckpoint(true)
+    daily.unpersist(false)
+    out
+  }
+
+  /** Uplift (Qini) readout of the A/B experiment by targeting score —
+    * the policy question behind [[abReadout]]'s single average effect:
+    * if only the top-scored users were treated, how much conversion
+    * lift would the treatment actually buy? Users rank by a pre-metric
+    * engagement score (view count — correlated with but distinct from
+    * the purchase-threshold conversion), split into score quintiles by
+    * the distinct-value cumulative rule (every user with the same score
+    * lands in the same bucket — no per-user global window), and each
+    * bucket reports its arm sizes, per-arm conversion, the within-
+    * bucket uplift, and the cumulative Qini statistic
+    * convT − convC·nT/nC down the ranking.
+    *
+    * Exactness: uplift = (convT·nC − convC·nT)/(nT·nC) and Qini's
+    * correction are single integer ratios pinned by signed exact
+    * integer half-up ([[ExactRound]]); cross products stage through
+    * decimal(38,0) (user counts square past int64 at corpus scale);
+    * empty arms clamp the denominator to 1 in both engines.
+    *
+    * Shape: one events scan → one user aggregate; the quintile map is
+    * a window over the bounded distinct-score frame; the readout is a
+    * 5-row frame with a bounded cumulative window. Same Lehmer arm
+    * hash as [[abReadout]] (oracle-replayable, never rand()). */
+  def upliftQuintiles(spark: SparkSession, dir: String,
+                      convertAt: Long = 15): DataFrame = {
+    val dec38 = DecimalType(38, 0)
+    val perUser = Lake.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        when(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          >= convertAt, 1L).otherwise(0L).as("converted"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L))
+          .as("score"))
+      .withColumn("treated",
+        when(pmod(col("user_id") * lit(16807L), lit(2147483647L)) % 2 === 0,
+          1L).otherwise(0L))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val byScore = perUser.groupBy(col("score"))
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = byScore.agg(sum(col("c")).as("n"))
+    val qmap = byScore
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .crossJoin(broadcast(tot))
+      .select(col("score"),
+        least(lit(5L), lit(1L) + expr("(5 * (cum - 1)) div n")).as("q"))
+    val buckets = perUser.join(qmap, Seq("score"))
+      .groupBy(col("q"))
+      .agg(sum(col("treated")).as("n_t"),
+        sum(col("treated") * col("converted")).as("conv_t"),
+        sum(lit(1L) - col("treated")).as("n_c"),
+        sum((lit(1L) - col("treated")) * col("converted")).as("conv_c"))
+    val wQ = Window.orderBy(col("q"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val out = buckets
+      .withColumn("ct", sum(col("conv_t")).over(wQ))
+      .withColumn("cc", sum(col("conv_c")).over(wQ))
+      .withColumn("nt", sum(col("n_t")).over(wQ))
+      .withColumn("nc", sum(col("n_c")).over(wQ))
+      .withColumn("un",
+        ((col("conv_t").cast(dec38) * col("n_c")
+          - col("conv_c").cast(dec38) * col("n_t")) * 1000000).cast(dec38))
+      .withColumn("ud",
+        (col("n_t").cast(dec38) * col("n_c")).cast(dec38))
+      .withColumn("qn",
+        ((col("ct").cast(dec38) * col("nc")
+          - col("cc").cast(dec38) * col("nt")) * 10000).cast(dec38))
+      .select(col("q").as("quintile"),
+        col("n_t"), col("conv_t"), col("n_c"), col("conv_c"),
+        (ExactRound.halfUp("un", "greatest(ud, 1)").cast("double") / 1e6)
+          .as("uplift"),
+        (ExactRound.halfUp("qn", "greatest(nc, 1)").cast("double") / 1e4)
+          .as("qini"))
+      .orderBy(col("quintile"))
+      .localCheckpoint(true)
+    perUser.unpersist(false)
+    out
+  }
 }

@@ -541,4 +541,87 @@ object GraphOps {
   /** Registered query: global clustering of the 5-NN embedding graph. */
   def clusteringCoefQuery(spark: SparkSession, dir: String): DataFrame =
     clusteringCoef(AnnOps.knnGraph(spark, dir).select(col("src"), col("dst")))
+
+  /** HITS (hubs & authorities) over the DIRECTED bipartite trade graph —
+    * customers point at the suppliers they buy from, so the hub score
+    * ranks well-connected buyers and the authority score ranks suppliers
+    * favored by strong buyers: the asymmetric rank pair [[pageRank]]'s
+    * symmetric random walk cannot separate. Power iteration with L1
+    * normalization (staying on the sum-1 simplex keeps every update a
+    * terminating quotient — the textbook L2 norm would drag a √ into the
+    * loop): a ← Mᵀh/‖Mᵀh‖₁ then h ← Ma/‖Ma‖₁, `iters` rounds from the
+    * uniform hub start, top-`k` rows per side.
+    *
+    * Exactness: scores ride as scale-12 longs; each normalization
+    * numerator raw·10¹² exceeds int64 so it stages through
+    * decimal(38,0), pinned by exact integer half-up ([[ExactRound]]) —
+    * the quotient is ≤ 10¹² by construction (raw ≤ the L1 total). The
+    * oracle replays the rounds as chained CTEs over the same integers.
+    *
+    * Overflow audit: after normalization Σ score ≈ 10¹², so a raw sum is
+    * ≤ max-degree·10¹² ≈ 10¹⁶ (long-safe) and its scaled numerator
+    * ≤ 10²⁸ (decimal(38,0)-safe) at any corpus scale.
+    *
+    * Scale: the directed edge half comes from the shared
+    * [[TradeGraphArtifact]]; each half-round is one edge⋈score join
+    * (score frames are node-sized → broadcast under the cap, shuffle
+    * join beyond it — the [[pageRank]] rule) + one aggregate; L1 totals
+    * are one-row broadcasts. The edge frame is persisted for the loop
+    * and released once the bounded top-k materializes. */
+  def hits(spark: SparkSession, dir: String, iters: Int = 2, k: Int = 10,
+           maxBroadcastNodes: Long = 1L << 20): DataFrame = {
+    require(iters >= 1, "hits needs at least one iteration")
+    val edges = TradeGraphArtifact.sharedEdges(spark, dir)
+      .filter(col("src").startsWith("c"))
+      .select(col("src"), col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val hubs0 = edges.select(col("src")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // hub count probed once driver-side (bounded one-row aggregate — the
+    // pageRank precedent): seeds the uniform start and picks join sides
+    val nC = hubs0.count()
+    val dec38 = DecimalType(38, 0)
+    // each normalization consumes its raw-sum frame twice (L1 total +
+    // quotient) and feeds the NEXT round's join — persist the node-sized
+    // raw while both consumers run, eagerly materialize the normalized
+    // scores (truncating the loop's lineage: a lazy score frame would
+    // re-execute the whole prior round per consumer), release raw
+    def l1Normalize(raw0: DataFrame): DataFrame = {
+      val raw = raw0.persist(StorageLevel.MEMORY_AND_DISK)
+      val tot = raw.agg(sum(col("raw")).as("t"))
+      val out = raw.crossJoin(broadcast(tot))
+        .withColumn("num",
+          (col("raw").cast(dec38) * lit(1000000000000L)).cast(dec38))
+        .select(col("node"), ExactRound.halfUpPos("num", "t").as("s12"))
+        .localCheckpoint(true)
+      raw.unpersist(false)
+      out
+    }
+    def side(df: DataFrame): DataFrame =
+      if (nC <= maxBroadcastNodes) broadcast(df) else df
+    var h = hubs0.select(col("src").as("node"),
+      lit((2L * 1000000000000L + nC) / (2L * nC)).as("s12"))
+    var a: DataFrame = null
+    for (_ <- 1 to iters) {
+      a = l1Normalize(edges
+        .join(side(h.withColumnRenamed("node", "src")), "src")
+        .groupBy(col("dst")).agg(sum(col("s12")).as("raw"))
+        .withColumnRenamed("dst", "node"))
+      h = l1Normalize(edges
+        .join(side(a.withColumnRenamed("node", "dst")), "dst")
+        .groupBy(col("src")).agg(sum(col("s12")).as("raw"))
+        .withColumnRenamed("src", "node"))
+    }
+    def top(df: DataFrame, which: String): DataFrame =
+      df.orderBy(col("s12").desc, col("node")).limit(k)
+        .select(lit(which).as("side"), col("node"),
+          (ExactRound.halfUpPos("s12", "1000000").cast("double") / 1e6)
+            .as("score"))
+    val out = top(a, "authority").unionByName(top(h, "hub"))
+      .orderBy(col("side"), col("score").desc, col("node"))
+      .localCheckpoint(true)
+    hubs0.unpersist(false)
+    edges.unpersist(false)
+    out
+  }
 }

@@ -3452,4 +3452,86 @@ object TextOps {
         share(col("n_other")).as("share_other"))
       .orderBy(col("source"))
   }
+
+  /** HELD-OUT interpolated Kneser–Ney bigram scoring — the smoothing
+    * that separates a real LM-quality proxy from the MLE
+    * [[bigramSurprisal]] (which scores any unseen transition −ln 0) and
+    * the unigram [[heldoutPerplexity]] (blind to word order): absolute
+    * discounting with the freed mass routed to the CONTINUATION
+    * distribution (how many distinct contexts a word follows — "Kong"
+    * is frequent but only ever follows "Hong", so KN correctly doubts
+    * it in fresh contexts).
+    *
+    * Model (REF = even doc_ids), discount d = ¾ exactly:
+    * p(w|v) = max(c(vw)−d, 0)/c(v·) + d·N₁₊(v·)/c(v·) · p_cont(w),
+    * p_cont(w) = (N₁₊(·w)+1)/(T+V+1) — add-one floored so unseen
+    * continuations stay finite and the vocab sums to 1; an unseen
+    * PREFIX backs off to p_cont alone. With d = ¾ the whole ratio
+    * clears to (max(4c−3,0)·D + 3·N₁₊(v·)·(N₁₊(·w)+1)) / (4·c(v·)·D),
+    * D = T+V+1 — evaluated as ONE double tree feeding the ln (the
+    * transcendental exemption; integer staging would overflow int64 at
+    * corpus scale), per-bigram −ln p pinned at 6 dp into decimal sums,
+    * per-doc mean by exact integer half-up (the surprisal-family law).
+    * `n_unseen` (CUR bigrams absent from REF) rides as the exact
+    * novelty signal.
+    *
+    * Scale: all model tables (bigram counts, prefix stats, continuation
+    * stats) are vocab-bounded; the probe joins key by bigram/token; the
+    * (T, V) totals are a one-row broadcast. */
+  def knHeldoutScore(docs: DataFrame, refSlice: Column,
+                     curSlice: Column): DataFrame = {
+    val bi = nonNull(docs).filter((refSlice || curSlice) && size(toks) >= 2)
+      .select(col("doc_id"), when(refSlice, 1).otherwise(0).as("is_ref"),
+        explode(shinglesOf(toks, 2)).as("bigram"))
+      .select(col("doc_id"), col("is_ref"),
+        substring_index(col("bigram"), " ", 1).as("w1"),
+        substring_index(col("bigram"), " ", -1).as("w2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val refBi = bi.filter(col("is_ref") === 1)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prefix = refBi.groupBy(col("w1"))
+      .agg(sum(col("c")).as("cv"), count(lit(1)).as("n1v"))
+    val cont = refBi.groupBy(col("w2"))
+      .agg(count(lit(1)).as("n1w"))
+    val totals = refBi.agg(count(lit(1)).as("__t"),
+      countDistinct(col("w2")).as("__v"))
+    val out = bi.filter(col("is_ref") === 0)
+      .join(refBi, Seq("w1", "w2"), "left")
+      .join(prefix, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("dd", (col("__t") + col("__v") + 1).cast("double"))
+      .withColumn("pcn", (coalesce(col("n1w"), lit(0L)) + 1).cast("double"))
+      .withColumn("p",
+        when(col("cv").isNull, col("pcn") / col("dd"))
+          .otherwise(
+            (greatest(lit(4L) * coalesce(col("c"), lit(0L)) - 3L, lit(0L))
+              .cast("double") * col("dd")
+              + lit(3.0) * col("n1v") * col("pcn"))
+              / (lit(4.0) * col("cv") * col("dd"))))
+      .select(col("doc_id"),
+        when(col("c").isNull, 1L).otherwise(0L).as("unseen"),
+        round(-log(col("p")), 6).cast(DecimalType(18, 6)).as("neg_logp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("unseen")).as("n_unseen"),
+        sum(col("neg_logp")).as("total"))
+      // exact integer half-up mean (the surprisal-family tie fix)
+      .withColumn("__s", (col("total") * lit(1000000)).cast("long"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_unseen"),
+        (expr("(2 * __s + 100 * n_bigrams) div (200 * n_bigrams)")
+          .cast("double") / 10000.0).as("avg_kn_surprisal"))
+      .orderBy(col("doc_id"))
+      .localCheckpoint(true) // materialize + release (surprisal discipline)
+    refBi.unpersist(false)
+    bi.unpersist(false)
+    out
+  }
+
+  /** Lake-bound registered form — even doc_ids train, odd are scored,
+    * the [[heldoutPerplexity]] split convention. */
+  def knHeldoutScore(spark: SparkSession, dir: String): DataFrame =
+    knHeldoutScore(Lake.documents(spark, dir),
+      pmod(col("doc_id"), lit(2)) === 0, pmod(col("doc_id"), lit(2)) === 1)
 }

@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.plans.MvRewrite
+
+/** The materialized-view rewrite rule: plans that SHOULD read the view
+  * do (and match the base bit-for-bit), plans that must NOT be
+  * rewritten aren't. */
+class MvRewriteSpec extends SparkSpecBase {
+
+  private val base = s"$Sf/orders.parquet"
+  private val mvDir = {
+    val d = java.nio.file.Files.createTempDirectory("graft_mv_spec")
+    d.toFile.deleteOnExit()
+    new java.io.File(d.toFile, "mv_orders").getAbsolutePath
+  }
+
+  private def withView[A](f: => A): A = {
+    MvRewrite.register(spark, "t_orders", base,
+      Seq("o_orderpriority", "o_orderstatus"), "o_totalprice",
+      Some("decimal(18,2)"), mvDir)
+    try f finally MvRewrite.deregister(spark, base)
+  }
+
+  /** Root paths of every file scan in the optimized plan — the logical
+    * plan's toString does not print relation locations. */
+  private def scanPaths(df: DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString)
+          case _ => Seq.empty[String]
+        }
+    }.flatten
+
+  private def baseQuery(): DataFrame =
+    spark.read.parquet(base)
+      .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(round(sum(col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double"), 2).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"), col("o_orderstatus"))
+
+  test("exact-key query is rewritten to scan the view, values unchanged") {
+    // the reference runs OUTSIDE the registration window
+    val want = baseQuery().collect()
+    val (got, paths) = withView {
+      val df = baseQuery()
+      (df.collect(), scanPaths(df))
+    }
+    assert(paths.exists(_.contains("mv_orders")),
+      s"plan does not scan the view: $paths")
+    assert(!paths.exists(_.contains("orders.parquet")),
+      "plan still scans the base")
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("roll-up to a key subset re-aggregates the view, values unchanged") {
+    def q() = spark.read.parquet(base)
+      .groupBy(col("o_orderstatus"))
+      .agg(round(sum(col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double"), 2).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderstatus"))
+    val want = q().collect()
+    val (got, paths) = withView { (q().collect(), scanPaths(q())) }
+    assert(paths.exists(_.contains("mv_orders")),
+      s"roll-up not rewritten: $paths")
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("group-key filter is pushed to the view; non-key filter blocks") {
+    def filtered() = spark.read.parquet(base)
+      .filter(col("o_orderstatus") === "F")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+    val want = filtered().collect()
+    withView {
+      val df = filtered()
+      assert(scanPaths(df).exists(_.contains("mv_orders")))
+      assert(df.collect().toSeq == want.toSeq)
+      // a filter on a collapsed column disqualifies the plan
+      val blocked = spark.read.parquet(base)
+        .filter(col("o_totalprice") > 1000.0)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+      assert(!scanPaths(blocked).exists(_.contains("mv_orders")),
+        "value-column filter must not rewrite")
+    }
+  }
+
+  test("non-rewritable aggregates and other tables stay untouched") {
+    withView {
+      val minAgg = spark.read.parquet(base)
+        .groupBy(col("o_orderpriority"))
+        .agg(min(col("o_totalprice")).as("m"))
+      assert(!scanPaths(minAgg).exists(_.contains("mv_orders")),
+        "min must not rewrite")
+      val wrongValue = spark.read.parquet(base)
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("o_orderkey")).as("s"))
+      assert(!scanPaths(wrongValue).exists(_.contains("mv_orders")),
+        "a different value column must not rewrite")
+      val rawDouble = spark.read.parquet(base)
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("o_totalprice")).as("s"))
+      assert(!scanPaths(rawDouble).exists(_.contains("mv_orders")),
+        "the un-pinned double sum must not rewrite (fp order)")
+      val otherTable = spark.read.parquet(s"$Sf/lineitem.parquet")
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+      assert(!scanPaths(otherTable).exists(_.contains("mv_orders")))
+    }
+    // deregistered: the exact-match query reads the base again
+    val after = baseQuery()
+    assert(!scanPaths(after).exists(_.contains("mv_orders")))
+  }
+
+  test("registered q_mv_rewrite leaves no session-global registration") {
+    val out = MvRewrite.rewriteQuery(spark, Sf).collect()
+    assert(out.nonEmpty)
+    // values equal the base aggregate (the oracle's claim, locally)
+    val want = spark.read.parquet(base)
+      .filter(col("o_orderstatus").isin("F", "O"))
+      .groupBy(col("o_orderpriority"))
+      .agg(round(sum(col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double"), 2).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority")).collect()
+    assert(out.toSeq == want.toSeq)
+    // and the registration window is closed
+    val probe = spark.read.parquet(base)
+      .filter(col("o_orderstatus").isin("F", "O"))
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+    assert(!scanPaths(probe).exists(_.contains("graft_mv")),
+      "q_mv_rewrite must deregister its view")
+  }
+}

@@ -528,7 +528,23 @@ class PlanShapeSpec extends SparkSpecBase {
         "q_rec_novelty",
         // q_exp_fit / q_embedding_isotropy / q_column_entropy: one-row
         // total/KS/norm broadcasts (the q_rec_coverage readout pattern)
-        "q_exp_fit", "q_embedding_isotropy", "q_column_entropy")
+        "q_exp_fit", "q_embedding_isotropy", "q_column_entropy",
+        // q_hits: one-row L1-total broadcast per normalization round
+        // (the q_rec_coverage readout pattern)
+        "q_hits",
+        // q_hurst: one-row regression-slope broadcast over the ≤4-point
+        // block-size frame (the q_rec_coverage readout pattern)
+        "q_hurst",
+        // q_uplift: one-row user-total broadcast over the bounded
+        // distinct-score frame (the q_rec_coverage readout pattern)
+        "q_uplift",
+        // q_kcenter: the ≤k-row center frame broadcast over the corpus —
+        // each greedy round's intentional bounded product (the
+        // q_davies_bouldin centroid-broadcast pattern)
+        "q_kcenter",
+        // q_kn_ppl: the one-row (T, V) model-totals broadcast (the
+        // q_good_turing pattern)
+        "q_kn_ppl")
     // collect ALL offenders before failing — a fail-fast assert hides
     // every offender behind the first and costs a full re-run per fix
     val offenders = scala.collection.mutable.LinkedHashSet[String]()
