@@ -557,4 +557,18 @@ final case class DataLake(spark: SparkSession, dir: String) {
   def keyDiscovery(candidates: Seq[(String, Seq[String])] =
       CatalogOps.DefaultKeyCandidates): DataFrame =
     CatalogOps.keyDiscovery(spark, dir, candidates)
+  /** Newman modularity of the label-prop partition on the 5-NN graph. */
+  def modularity(): DataFrame = GraphOps.modularityQuery(spark, dir)
+  /** Label homophily (categorical assortativity) of the 5-NN graph. */
+  def labelHomophily(k: Int = 5): DataFrame =
+    AnnOps.labelHomophily(spark, dir, k)
+  /** Read a snapshot table through the V2 reader facade:
+    * `format("graft-snapshot")` with optional version/tag time travel. */
+  def readSnapshot(tableDir: String, version: Option[Long] = None,
+                   tag: Option[String] = None): DataFrame = {
+    var r = spark.read.format("graft-snapshot")
+    version.foreach(v => r = r.option("version", v))
+    tag.foreach(t => r = r.option("tag", t))
+    r.load(tableDir)
+  }
 }

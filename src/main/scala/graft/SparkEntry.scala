@@ -909,6 +909,13 @@ object SparkEntry {
     // Key-candidate discovery (exact NDV == rowcount, no nulls)
     "q_key_discovery"     -> ((s: SparkSession, d: String) =>
       CatalogOps.keyDiscovery(s, d)),
+    // Time travel THROUGH the V2 reader facade (format graft-snapshot)
+    "q_snapshot_source"   -> graft.sources.SnapshotSource.sourceReadQuery _,
+    // Newman modularity of the label-prop partition on the 5-NN graph
+    "q_modularity"        -> GraphOps.modularityQuery _,
+    // Label homophily (categorical assortativity) of the 5-NN graph
+    "q_label_homophily"   -> ((s: SparkSession, d: String) =>
+      AnnOps.labelHomophily(s, d)),
   )
 
   /** [[TextOps.patternScan]] dictionary for the driver query: token
@@ -10440,6 +10447,125 @@ object SparkEntry {
         |    AS BIGINT) AS n_cuts,
         |  round(coalesce(max(abs(mean_v - prev)), 0.0), 4) AS max_jump
         |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // Modularity: the q_label_prop iteration CTEs + canonical edges,
+    // contribution/Q as signed exact half-up from EXACT integer totals.
+    "q_modularity" ->
+      s"""WITH $lshOracleCtes,
+         |bkc AS (SELECT vec_id, bucket FROM (
+         |          SELECT vec_id, bucket,
+         |            count(*) OVER (PARTITION BY bucket) AS bn
+         |          FROM bk) WHERE bn <= 4096),
+         |pairs AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |          FROM bkc a JOIN bkc b
+         |            ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |sc AS (SELECT vec_a, vec_b,
+         |         list_cosine_similarity(ea.e, eb.e) AS s
+         |       FROM pairs JOIN emb ea ON ea.vec_id = pairs.vec_a
+         |                  JOIN emb eb ON eb.vec_id = pairs.vec_b),
+         |sym AS (SELECT vec_a AS src, vec_b AS dst, s FROM sc
+         |        UNION ALL SELECT vec_b, vec_a, s FROM sc),
+         |knn AS (SELECT src, dst FROM (SELECT src, dst,
+         |          row_number() OVER (PARTITION BY src
+         |            ORDER BY s DESC, dst) AS rnk FROM sym) t
+         |        WHERE rnk <= 5),
+         |und AS (SELECT DISTINCT src, dst FROM (
+         |          SELECT src, dst FROM knn WHERE src <> dst
+         |          UNION ALL SELECT dst, src FROM knn WHERE src <> dst)),
+         |l0 AS (SELECT DISTINCT src AS node, src AS label FROM und),
+         |n1 AS (SELECT e.src AS node, l.label, count(*) AS c
+         |       FROM und e JOIN l0 l ON l.node = e.dst GROUP BY 1, 2),
+         |l1 AS (SELECT node, label FROM (SELECT node, label,
+         |         row_number() OVER (PARTITION BY node
+         |           ORDER BY c DESC, label) AS rn FROM n1) t WHERE rn = 1),
+         |n2 AS (SELECT e.src AS node, l.label, count(*) AS c
+         |       FROM und e JOIN l1 l ON l.node = e.dst GROUP BY 1, 2),
+         |l2 AS (SELECT node, label FROM (SELECT node, label,
+         |         row_number() OVER (PARTITION BY node
+         |           ORDER BY c DESC, label) AS rn FROM n2) t WHERE rn = 1),
+         |n3 AS (SELECT e.src AS node, l.label, count(*) AS c
+         |       FROM und e JOIN l2 l ON l.node = e.dst GROUP BY 1, 2),
+         |l3 AS (SELECT node, label FROM (SELECT node, label,
+         |         row_number() OVER (PARTITION BY node
+         |           ORDER BY c DESC, label) AS rn FROM n3) t WHERE rn = 1),
+         |cnn AS (SELECT DISTINCT least(src, dst) AS a,
+         |          greatest(src, dst) AS b FROM knn WHERE src <> dst),
+         |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM cnn),
+         |ei AS (SELECT la.label AS community,
+         |    CAST(count(*) AS BIGINT) AS e_in
+         |  FROM cnn JOIN l3 la ON la.node = cnn.a
+         |           JOIN l3 lb ON lb.node = cnn.b
+         |  WHERE la.label = lb.label GROUP BY 1),
+         |dg AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+         |    SELECT a AS node FROM cnn
+         |    UNION ALL SELECT b FROM cnn) x GROUP BY 1),
+         |dt AS (SELECT l3.label AS community,
+         |    CAST(sum(d) AS BIGINT) AS d_tot,
+         |    CAST(count(*) AS BIGINT) AS n_nodes
+         |  FROM dg JOIN l3 ON l3.node = dg.node GROUP BY 1),
+         |per AS (SELECT dt.community, dt.n_nodes, dt.d_tot,
+         |    CAST(coalesce(ei.e_in, 0) AS BIGINT) AS e_in,
+         |    (CAST(coalesce(ei.e_in, 0) AS HUGEINT) * (4 * m)
+         |      - CAST(dt.d_tot AS HUGEINT) * dt.d_tot) * 1000000 AS cn,
+         |    4 * CAST(m AS HUGEINT) * m AS dd
+         |  FROM dt LEFT JOIN ei USING (community), mm),
+         |qq AS (SELECT sum(cn) AS qn FROM per)
+         |SELECT community, n_nodes, e_in, d_tot,
+         |  (CASE WHEN cn < 0 THEN -((2 * (-cn) + dd) // (2 * dd))
+         |    ELSE (2 * cn + dd) // (2 * dd) END) / 1000000.0
+         |    AS contribution,
+         |  (CASE WHEN qn < 0 THEN -((2 * (-qn) + dd) // (2 * dd))
+         |    ELSE (2 * qn + dd) // (2 * dd) END) / 1000000.0
+         |    AS modularity
+         |FROM per, qq ORDER BY n_nodes DESC, community LIMIT 20"""
+        .stripMargin,
+    // Label homophily: canonical kNN edges + true labels; r as one
+    // signed exact integer ratio.
+    "q_label_homophily" ->
+      s"""WITH $lshOracleCtes,
+         |bkc AS (SELECT vec_id, bucket FROM (
+         |          SELECT vec_id, bucket,
+         |            count(*) OVER (PARTITION BY bucket) AS bn
+         |          FROM bk) WHERE bn <= 4096),
+         |pairs AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |          FROM bkc a JOIN bkc b
+         |            ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |sc AS (SELECT vec_a, vec_b,
+         |         list_cosine_similarity(ea.e, eb.e) AS s
+         |       FROM pairs JOIN emb ea ON ea.vec_id = pairs.vec_a
+         |                  JOIN emb eb ON eb.vec_id = pairs.vec_b),
+         |sym AS (SELECT vec_a AS src, vec_b AS dst, s FROM sc
+         |        UNION ALL SELECT vec_b, vec_a, s FROM sc),
+         |knn AS (SELECT src, dst FROM (SELECT src, dst,
+         |          row_number() OVER (PARTITION BY src
+         |            ORDER BY s DESC, dst) AS rnk FROM sym) t
+         |        WHERE rnk <= 5),
+         |cnn AS (SELECT DISTINCT least(src, dst) AS a,
+         |          greatest(src, dst) AS b FROM knn WHERE src <> dst),
+         |lab AS (SELECT cnn.a, cnn.b, ea.label AS la, eb.label AS lb
+         |  FROM cnn JOIN embeddings ea ON ea.vec_id = cnn.a
+         |           JOIN embeddings eb ON eb.vec_id = cnn.b),
+         |bs AS (SELECT CAST(count(*) AS BIGINT) AS m,
+         |    CAST(sum(CASE WHEN la = lb THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_same FROM lab),
+         |t2 AS (SELECT sum(CAST(t AS HUGEINT) * t) AS t2 FROM (
+         |    SELECT l, CAST(count(*) AS BIGINT) AS t FROM (
+         |      SELECT la AS l FROM lab
+         |      UNION ALL SELECT lb FROM lab) x GROUP BY 1) y)
+         |SELECT m AS n_edges, n_same,
+         |  ((2 * 10000 * n_same + m) // (2 * m)) / 10000.0 AS same_share,
+         |  (CASE WHEN rn < 0 THEN -((2 * (-rn) + rd) // (2 * rd))
+         |    ELSE (2 * rn + rd) // (2 * rd) END) / 1000000.0
+         |    AS assortativity_r
+         |FROM (SELECT m, n_same,
+         |    (CAST(n_same AS HUGEINT) * m * 4 - t2) * 1000000 AS rn,
+         |    greatest(CAST(m AS HUGEINT) * m * 4 - t2, 1) AS rd
+         |  FROM bs, t2) z""".stripMargin,
+    // V2-source time travel: same v0 slice as q_snapshot_read, read
+    // through format("graft-snapshot") instead of the Scala API.
+    "q_snapshot_source" ->
+      """SELECT source, count(*) AS n_docs, max(doc_id) AS max_doc
+        |FROM documents WHERE doc_id < 250
+        |GROUP BY source ORDER BY source""".stripMargin,
     // Ljung-Box: acf moments exact, r pinned 6 dp through the decimal
     // hop, r^2/c and Q by exact integer half-up, reject on pinned ints.
     "q_ljung_box" ->

@@ -1378,6 +1378,61 @@ object AnnOps {
       .orderBy(col("label"))
   }
 
+  /** Label homophily (categorical assortativity) of the 5-NN embedding
+    * graph — Newman's mixing coefficient for the TRUE labels over the
+    * learned neighborhood structure: r = (Σ e_ii − Σ a_i²)/(1 − Σ a_i²),
+    * the embedding-space-coherence signal the numeric degree
+    * assortativity (trade graph) cannot give. r ≈ 1 means neighbors
+    * share labels far beyond chance (healthy space for label-aware
+    * sampling / kNN classification); r ≈ 0 means the kNN structure is
+    * label-blind. Clears to one SIGNED exact integer ratio:
+    * r = (4m·same − Σt_i²) / (4m² − Σt_i²) with m undirected edges,
+    * `same` the same-label edge count and t_i the per-label endpoint
+    * counts — staged decimal(38,0), pinned 6 dp ([[ExactRound]]); a
+    * single-label graph clamps the denominator to 1 (r reads 0, the
+    * honest "no mixing to measure").
+    *
+    * Shape: the canonical edge distinct over the shared
+    * [[KnnGraphArtifact]], two broadcast label attaches, one endpoint
+    * reduce; output is ONE row. */
+  def labelHomophily(spark: SparkSession, dir: String,
+                     k: Int = 5): DataFrame = {
+    val dec38 = DecimalType(38, 0)
+    val emb = Lake.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"))
+    val cnn = knnFromPairs(KnnGraphArtifact.sharedPairs(spark, dir), k)
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .join(broadcast(emb.select(col("vec_id").as("a"),
+        col("label").as("la"))), "a")
+      .join(broadcast(emb.select(col("vec_id").as("b"),
+        col("label").as("lb"))), "b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = cnn.agg(count(lit(1)).as("m"),
+      sum(when(col("la") === col("lb"), 1L).otherwise(0L)).as("n_same"))
+    val tSq = cnn.select(col("la").as("l"))
+      .unionByName(cnn.select(col("lb").as("l")))
+      .groupBy(col("l")).agg(count(lit(1)).as("t"))
+      .agg(sum((col("t").cast(dec38) * col("t")).cast(dec38)).as("t2"))
+    val out = base.crossJoin(broadcast(tSq))
+      .withColumn("rn",
+        ((col("n_same").cast(dec38) * col("m") * 4
+          - col("t2")) * 1000000).cast(dec38))
+      .withColumn("rd",
+        greatest((col("m").cast(dec38) * col("m") * 4 - col("t2"))
+          .cast(dec38), lit(1L).cast(dec38)))
+      .select(col("m").as("n_edges"), col("n_same"),
+        (ExactRound.halfUpPos("10000 * n_same", "m")
+          .cast("double") / 1e4).as("same_share"),
+        (ExactRound.halfUp("rn", "rd").cast("double") / 1e6)
+          .as("assortativity_r"))
+      .localCheckpoint(true)
+    cnn.unpersist(false)
+    out
+  }
+
   /** Greedy k-center (farthest-point) coreset selection over the
     * embedding corpus — the classic 2-approximation to the k-center
     * cover, and the standard diversity-sampling primitive for curating

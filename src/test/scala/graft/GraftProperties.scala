@@ -269,4 +269,34 @@ object GraftProperties extends Properties("graft") {
         .collect().map(r => (r.getString(0), r.getString(1))).toSet
       got == truth
     }
+
+  // byte streams spanning the LZW regimes: short literals, long runs
+  // (deep dictionary chains), alternating churn, and width-bump
+  // boundary lengths — the adversarial shapes for a variable-width codec
+  private val genBytes: Gen[Array[Byte]] = Gen.oneOf(
+    Gen.choose(0, 600).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0, 255)).map(_.map(_.toByte).toArray)),
+    Gen.choose(1, 20000).flatMap(n => Gen.choose(0, 255).map(b =>
+      Array.fill(n)(b.toByte))),
+    Gen.choose(1, 20000).map(n =>
+      Array.tabulate(n)(i => ((i * 7 + i / 253) & 0xFF).toByte)),
+    Gen.choose(200, 300).map(n => Array.tabulate(n)(i => (i & 0xFF).toByte)))
+
+  property("GIF LZW round-trips every byte stream exactly") =
+    forAll(genBytes) { d =>
+      java.util.Arrays.equals(
+        graft.operators.GifCodec.lzwDecode(
+          graft.operators.GifCodec.lzwEncode(d), d.length), d)
+    }
+
+  property("GIF container round-trips the zero-padded frame planes") =
+    forAll(Gen.choose(1, 4000).map(n =>
+      Array.tabulate(n)(i => ((i * 13 + 5) & 0xFF).toByte))) { d =>
+      val frames = graft.operators.GifCodec.gifDecode(
+        graft.operators.GifCodec.gifEncode(d))
+      val joined = frames.flatten.toArray
+      frames.length == math.max(1, (d.length + 255) / 256) &&
+        joined.take(d.length).sameElements(d) &&
+        joined.drop(d.length).forall(_ == 0)
+    }
 }

@@ -544,7 +544,13 @@ class PlanShapeSpec extends SparkSpecBase {
         "q_kcenter",
         // q_kn_ppl: the one-row (T, V) model-totals broadcast (the
         // q_good_turing pattern)
-        "q_kn_ppl")
+        "q_kn_ppl",
+        // q_modularity: the one-row exact-Q-total broadcast over the
+        // community frame (the q_rec_coverage readout pattern)
+        "q_modularity",
+        // q_label_homophily: the one-row endpoint-mass broadcast onto
+        // the one-row edge aggregate (the q_rec_coverage pattern)
+        "q_label_homophily")
     // collect ALL offenders before failing — a fail-fast assert hides
     // every offender behind the first and costs a full re-run per fix
     val offenders = scala.collection.mutable.LinkedHashSet[String]()

