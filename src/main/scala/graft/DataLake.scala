@@ -562,6 +562,8 @@ final case class DataLake(spark: SparkSession, dir: String) {
   /** Label homophily (categorical assortativity) of the 5-NN graph. */
   def labelHomophily(k: Int = 5): DataFrame =
     AnnOps.labelHomophily(spark, dir, k)
+  /** Two-NN intrinsic dimensionality of the embedding corpus. */
+  def intrinsicDim(): DataFrame = AnnOps.intrinsicDim(spark, dir)
   /** Read a snapshot table through the V2 reader facade:
     * `format("graft-snapshot")` with optional version/tag time travel. */
   def readSnapshot(tableDir: String, version: Option[Long] = None,

@@ -916,6 +916,9 @@ object SparkEntry {
     // Label homophily (categorical assortativity) of the 5-NN graph
     "q_label_homophily"   -> ((s: SparkSession, d: String) =>
       AnnOps.labelHomophily(s, d)),
+    // Two-NN intrinsic dimensionality of the embedding corpus
+    "q_intrinsic_dim"     -> ((s: SparkSession, d: String) =>
+      AnnOps.intrinsicDim(s, d)),
   )
 
   /** [[TextOps.patternScan]] dictionary for the driver query: token
@@ -10518,6 +10521,43 @@ object SparkEntry {
          |    AS modularity
          |FROM per, qq ORDER BY n_nodes DESC, community LIMIT 20"""
         .stripMargin,
+    // Two-NN intrinsic dim: euclidean d2 assembled from the exact
+    // cosine + norms (orientation-safe: the flipped UNION branch swaps
+    // the norm VALUES so the fp tree is positionally identical);
+    // ln-ratio terms 6-dp decimal-summed, ln2 as the 6-dp literal.
+    "q_intrinsic_dim" ->
+      s"""WITH $lshOracleCtes,
+         |bkc AS (SELECT vec_id, bucket FROM (
+         |          SELECT vec_id, bucket,
+         |            count(*) OVER (PARTITION BY bucket) AS bn
+         |          FROM bk) WHERE bn <= 4096),
+         |pairs AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |          FROM bkc a JOIN bkc b
+         |            ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |sc AS (SELECT vec_a, vec_b,
+         |         list_cosine_similarity(ea.e, eb.e) AS s,
+         |         list_dot_product(ea.e, ea.e) AS na,
+         |         list_dot_product(eb.e, eb.e) AS nb
+         |       FROM pairs JOIN emb ea ON ea.vec_id = pairs.vec_a
+         |                  JOIN emb eb ON eb.vec_id = pairs.vec_b),
+         |sym AS (SELECT vec_a AS src, vec_b AS dst, s, na, nb FROM sc
+         |        UNION ALL SELECT vec_b, vec_a, s, nb, na FROM sc),
+         |dd AS (SELECT src, dst,
+         |    na + nb - 2.0 * s * sqrt(na) * sqrt(nb) AS d2 FROM sym),
+         |rk AS (SELECT src, dst, d2, row_number() OVER (
+         |    PARTITION BY src ORDER BY d2 ASC, dst) AS rn FROM dd),
+         |tp AS (SELECT src, max(CASE WHEN rn = 1 THEN d2 END) AS d1,
+         |    max(CASE WHEN rn = 2 THEN d2 END) AS dd2
+         |  FROM rk WHERE rn <= 2 GROUP BY 1),
+         |tm AS (SELECT src,
+         |    CAST(round(0.5 * ln(dd2 / d1), 6) AS DECIMAL(18,6)) AS t6
+         |  FROM tp WHERE d1 > 0 AND dd2 IS NOT NULL)
+         |SELECT CAST(count(*) AS BIGINT) AS n_used,
+         |  ((2 * CAST(sum(t6) * 1000000 AS BIGINT) + count(*))
+         |    // (2 * count(*))) / 1000000.0 AS mean_log_ratio,
+         |  round(0.693147 / (CAST(sum(t6) AS DOUBLE) / count(*)), 4)
+         |    AS intrinsic_dim
+         |FROM tm""".stripMargin,
     // Label homophily: canonical kNN edges + true labels; r as one
     // signed exact integer ratio.
     "q_label_homophily" ->

@@ -1433,6 +1433,67 @@ object AnnOps {
     out
   }
 
+  /** Two-NN intrinsic dimensionality (Facco et al. 2017) of the
+    * embedding corpus — the curse-of-dimensionality diagnostic that
+    * pairs with [[hubness]] and [[embeddingIsotropy]]: data on a
+    * d-dimensional manifold has nearest/second-nearest distance ratios
+    * μ = r₂/r₁ distributed so that E[ln μ] = 1/d, hence
+    * ID ≈ ln 2 / mean(ln μ) under the estimator's Pareto form (the
+    * ln 2 enters as the 6-dp literal 0.693147 so both engines evaluate
+    * the identical tree — the mdePlanner z-literal precedent). Ambient
+    * dimension is 64; a much smaller ID says the corpus lives on a thin
+    * manifold and aggressive compression/quantization is safe.
+    *
+    * Mechanics: each vector's two nearest EUCLIDEAN neighbors among its
+    * LSH candidates (approximate-neighborhood convention of the whole
+    * kNN family), d² = |a|² + |b|² − 2·cos·|a||b| assembled from the
+    * shared pairs artifact's exact cosine plus codegen'd norms —
+    * orientation-safe because IEEE +/× are commutative. Per-vector
+    * ln-ratio terms ride 6-dp decimals (order-independent sums);
+    * vectors with r₁ = 0 (exact duplicates) or fewer than two
+    * candidates drop out, counted in the readout.
+    *
+    * Shape: candidate-bounded pair frame from the persisted artifact,
+    * one per-vector top-2 window, one reduce; one-row output. */
+  def intrinsicDim(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.dotProductF
+    val emb = Lake.embeddings(spark, dir)
+      .select(col("vec_id"),
+        dotProductF(col("embedding"), col("embedding")).as("n2"))
+    val pairs = KnnGraphArtifact.sharedPairs(spark, dir)
+      .select(col("vec_a"), col("vec_b"), col("cos_sim"))
+    val sym = pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"),
+        col("cos_sim").as("s"))
+      .unionByName(pairs.select(col("vec_b").as("src"),
+        col("vec_a").as("dst"), col("cos_sim").as("s")))
+      .join(broadcast(emb.select(col("vec_id").as("src"),
+        col("n2").as("na"))), "src")
+      .join(broadcast(emb.select(col("vec_id").as("dst"),
+        col("n2").as("nb"))), "dst")
+      .withColumn("d2",
+        col("na") + col("nb")
+          - lit(2.0) * col("s") * sqrt(col("na")) * sqrt(col("nb")))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("d2").asc, col("dst"))
+    val top2 = sym.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .groupBy(col("src"))
+      .agg(max(when(col("rn") === 1, col("d2"))).as("d1"),
+        max(when(col("rn") === 2, col("d2"))).as("dd2"))
+      .filter(col("d1") > 0 && col("dd2").isNotNull)
+      .select(col("src"),
+        round(lit(0.5) * log(col("dd2") / col("d1")), 6)
+          .cast(DecimalType(18, 6)).as("t6"))
+    top2.agg(count(lit(1)).as("n_used"), sum(col("t6")).as("s6"))
+      .withColumn("s6i", (col("s6") * 1000000).cast("long"))
+      .select(col("n_used"),
+        (ExactRound.halfUpPos("s6i", "n_used").cast("double") / 1e6)
+          .as("mean_log_ratio"),
+        round(lit(0.693147) /
+          (col("s6").cast("double") / col("n_used")), 4)
+          .as("intrinsic_dim"))
+  }
+
   /** Greedy k-center (farthest-point) coreset selection over the
     * embedding corpus — the classic 2-approximation to the k-center
     * cover, and the standard diversity-sampling primitive for curating

@@ -348,6 +348,48 @@ class Round12BatchCSpec extends SparkSpecBase {
     assert(r.getDouble(3) >= -1.0 && r.getDouble(3) <= 1.0)
   }
 
+  test("intrinsicDim matches a driver replay and sits in (0, ambient]") {
+    val out = AnnOps.intrinsicDim(spark, Sf).collect()
+    assert(out.length == 1)
+    val vecs = Lake.embeddings(spark, Sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) {
+        s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val pairs = graft.operators.KnnGraphArtifact.sharedPairs(spark, Sf)
+      .select(col("vec_a"), col("vec_b"), col("cos_sim")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val sym = pairs.flatMap { case (a, b, s) =>
+      Seq((a, b, s), (b, a, s)) }
+    val terms = sym.groupBy(_._1).toSeq.flatMap { case (src, es) =>
+      val na = dot(vecs(src), vecs(src))
+      val ds = es.map { case (_, dst, s) =>
+        val nb = dot(vecs(dst), vecs(dst))
+        (na + nb - 2.0 * s * math.sqrt(na) * math.sqrt(nb), dst)
+      }.sortBy(identity)
+      if (ds.length >= 2 && ds.head._1 > 0)
+        Some(BigDecimal(0.5 * math.log(ds(1)._1 / ds.head._1))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP))
+      else None
+    }
+    val n = terms.length.toLong
+    val s6 = terms.sum
+    val r = out.head
+    assert(r.getLong(0) == n, s"n_used ${r.getLong(0)} vs $n")
+    val s6i = (s6 * 1000000).toLongExact
+    assert(r.getDouble(1) ==
+      halfUp(BigInt(s6i), BigInt(n)).toDouble / 1e6, "mean_log_ratio")
+    val id = BigDecimal(0.693147 / (s6.toDouble / n))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(r.getDouble(2) - id) < 1e-9, s"id ${r.getDouble(2)} vs $id")
+    assert(r.getDouble(2) > 0.0 && r.getDouble(2) <= 64.0,
+      "ID must sit in (0, ambient 64]")
+  }
+
   test("knHeldoutScore: KN driver replay on the scored slice") {
     val out = TextOps.knHeldoutScore(spark, Sf).collect()
     assert(out.nonEmpty)
