@@ -34,6 +34,20 @@ import org.apache.spark.sql.SparkSession
   *    full sweep. Tail ≈ head sentinel medians → the session stayed
   *    clean end-to-end; inflated tail with quiet loadavg → in-session
   *    accumulation; inflated tail with inflated loadavg → host.
+  *
+  * Self-diagnosis of the slowest-K (the round-12 lesson — a concurrent
+  * memory-heavy co-process inflated ONLY the shuffle-heavy queries
+  * 10-26× while the deliberately scan-shaped sentinels stayed flat, so
+  * the artifact could not tell co-load from regression): after the
+  * sweep AND the tail sentinels, the sweep's own slowest-K
+  * (`SPARK_GRAFT_SLOWK`, default 10) are re-timed, and `slowest_tail`
+  * in the COMPACT line carries, per query, the sweep median + per-rep
+  * times + loadavg at its sweep slot, and the re-timed median + per-rep
+  * times + loadavg at the retime. A 95 s sweep median that re-reads
+  * ~4 s at sweep end is self-labelling co-load; one that repeats is a
+  * real plan cost. Read `slowest_tail` BEFORE adjudicating any
+  * slowest-20 delta.
+  *
   *  - `SPARK_GRAFT_ORDER=reverse` runs the sweep reverse-alphabetically
   *    (one-off A/B: if the inflated band follows sweep POSITION, it is
   *    in-session accumulation; if it follows the query NAMES, the code).
@@ -89,8 +103,10 @@ object Bench {
       val s = SparkEntry.queries.toSeq.sortBy(_._1)
       if (reverse) s.reverse else s
     }
+    def arr(xs: Seq[Double]): String = xs.map(fmt).mkString("[", ",", "]")
     val meta = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = ordered.zipWithIndex.map { case ((name, fn), i) =>
+    // (name, median, per-rep times, loadavg at this query's sweep slot)
+    val full = ordered.zipWithIndex.map { case ((name, fn), i) =>
       if (gcEvery > 0 && i > 0 && i % gcEvery == 0) System.gc()
       val off = (System.nanoTime() - sweepT0) / 1e9
       val load = loadAvg
@@ -102,8 +118,9 @@ object Bench {
       val med = if (ok.isEmpty) -1.0 else ok((ok.size - 1) / 2)
       meta += ("\"" + name + "\":{\"off\":" + fmt(off) + ",\"load\":" +
         fmt(load) + ",\"rdds\":" + nRdds + "}")
-      name -> med
+      (name, med, times, load)
     }
+    val results = full.map { case (name, med, _, _) => name -> med }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
@@ -118,6 +135,37 @@ object Bench {
         case None => -1.0
       }
       "\"" + s + "\":" + med
+    }.mkString("{", ",", "}")
+    // second pass over the sweep's own slowest-K: sweep median + per-rep
+    // + slot loadavg, then a fresh re-time (median + per-rep + loadavg).
+    // sweep >> tail at quiet tail load → the sweep number was co-load.
+    val slowK = math.max(0, sys.env.getOrElse("SPARK_GRAFT_SLOWK", "10").toInt)
+    val slowRetimed = full.filter(_._2 >= 0).sortBy(-_._2).take(slowK)
+      .map { case (name, med, sweepReps, sweepLoad) =>
+        val fn = SparkEntry.queries(name)
+        val tLoad = loadAvg
+        val ts = Seq.fill(reps)(timeOnce(name + "#slowtail", fn))
+        val ok = ts.filter(_ >= 0).sorted
+        val tMed = if (ok.isEmpty) -1.0 else ok((ok.size - 1) / 2)
+        (name, med, sweepReps, sweepLoad, tMed, ts, tLoad)
+      }
+    // verbose form for the full record line
+    val slowTail = slowRetimed.map {
+      case (name, med, sweepReps, sweepLoad, tMed, ts, tLoad) =>
+        "\"" + name + "\":{\"sweep\":" + med +
+          ",\"sweep_reps\":" + arr(sweepReps) +
+          ",\"sweep_load\":" + fmt(sweepLoad) +
+          ",\"tail\":" + tMed + ",\"tail_reps\":" + arr(ts) +
+          ",\"tail_load\":" + fmt(tLoad) + "}"
+    }.mkString("{", ",", "}")
+    // compact form for the final line (which must fit the driver's
+    // ~2000-char tail window beside `slowest`): tail median `t`,
+    // per-rep tail times `tr`, sweep-slot loadavg `sl`, retime loadavg
+    // `tl` — the sweep medians for the same queries lead `slowest`.
+    val slowTailC = slowRetimed.map {
+      case (name, _, _, sweepLoad, tMed, ts, tLoad) =>
+        "\"" + name + "\":{\"t\":" + fmt(tMed) + ",\"tr\":" + arr(ts) +
+          ",\"sl\":" + fmt(sweepLoad) + ",\"tl\":" + fmt(tLoad) + "}"
     }.mkString("{", ",", "}")
     val loadEnd = loadAvg
     val cards = Seq("lineitem", "orders", "events", "documents", "embeddings")
@@ -134,13 +182,14 @@ object Bench {
     // truncation AND parse on its own: r9's artifact-of-record lost every
     // per-query timing because the ~15 KB query_meta map printed after
     // the timings map. The compact line carries the numbers a round
-    // comparison actually needs — total, sentinels (head + tail), and
+    // comparison actually needs — total, sentinels (head + tail), the
+    // slowest-K retime (slowest_tail: the co-load self-diagnosis), and
     // the slowest-20 per-query medians (the only ones whose deltas get
     // adjudicated; sub-0.5 s queries are noise-dominated anyway).
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","repeats":$reps,"order":"${if (reverse) "reverse" else "forward"}","gc_every":$gcEvery,"tables":$cards,"query_meta":$metaJson,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"sentinels":$sent,"sentinels_tail":$tail,"queries":$qs}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","repeats":$reps,"order":"${if (reverse) "reverse" else "forward"}","gc_every":$gcEvery,"tables":$cards,"query_meta":$metaJson,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"sentinels":$sent,"sentinels_tail":$tail,"slowest_tail":$slowTail,"queries":$qs}""")
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(20)
-      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","repeats":$reps,"order":"${if (reverse) "reverse" else "forward"}","n_queries":${results.size},"artifact_builds":${graft.operators.ArtifactStore.buildsThisSession},"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"sentinels":$sent,"sentinels_tail":$tail,"slowest":$slowest}""")
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","repeats":$reps,"order":"${if (reverse) "reverse" else "forward"}","n_queries":${results.size},"artifact_builds":${graft.operators.ArtifactStore.buildsThisSession},"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"sentinels":$sent,"sentinels_tail":$tail,"slowest_tail":$slowTailC,"slowest":$slowest}""")
     spark.stop()
   }
 }

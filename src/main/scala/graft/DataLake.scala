@@ -573,4 +573,26 @@ final case class DataLake(spark: SparkSession, dir: String) {
     tag.foreach(t => r = r.option("tag", t))
     r.load(tableDir)
   }
+  /** Change-data feed of a snapshot table through the V2 reader facade:
+    * one row per changed `key` between the two committed versions, with
+    * change_type ∈ added|removed|updated and old/new payload structs.
+    * Materialized once per immutable version pair. */
+  def readSnapshotChanges(tableDir: String, vOld: Long, vNew: Long,
+                          key: String): DataFrame =
+    spark.read.format("graft-snapshot")
+      .option("changes", s"$vOld..$vNew").option("key", key).load(tableDir)
+  /** Build the min/max zone-map sidecar for a snapshot-table column —
+    * selective range reads through [[readSnapshot]] then skip files at
+    * planning time. Returns the indexed version. */
+  def analyzeSnapshotMinMax(tableDir: String, column: String,
+                            version: Option[Long] = None): Long =
+    graft.sources.SnapshotStats.indexMinMax(spark, tableDir, column, version)
+  /** Build the occupied-bucket point-lookup sidecar for a snapshot-table
+    * key column — equality/IN probes through [[readSnapshot]] then skip
+    * files the key provably is not in. Returns the indexed version. */
+  def analyzeSnapshotBuckets(tableDir: String, column: String,
+                             buckets: Int = 8192,
+                             version: Option[Long] = None): Long =
+    graft.sources.SnapshotStats.indexBuckets(
+      spark, tableDir, column, buckets, version)
 }

@@ -911,6 +911,9 @@ object SparkEntry {
       CatalogOps.keyDiscovery(s, d)),
     // Time travel THROUGH the V2 reader facade (format graft-snapshot)
     "q_snapshot_source"   -> graft.sources.SnapshotSource.sourceReadQuery _,
+    // Stats-sidecar FILE SKIPPING through the V2 facade: range-clustered
+    // commit + min/max sidecar, selective filter plans a pruned scan
+    "q_snapshot_pruned"   -> graft.sources.SnapshotSource.prunedReadQuery _,
     // Newman modularity of the label-prop partition on the 5-NN graph
     "q_modularity"        -> GraphOps.modularityQuery _,
     // Label homophily (categorical assortativity) of the 5-NN graph
@@ -10524,7 +10527,7 @@ object SparkEntry {
     // Two-NN intrinsic dim: euclidean d2 assembled from the exact
     // cosine + norms (orientation-safe: the flipped UNION branch swaps
     // the norm VALUES so the fp tree is positionally identical);
-    // ln-ratio terms 6-dp decimal-summed, ln2 as the 6-dp literal.
+    // ln-ratio terms 6-dp decimal-summed; Facco MLE ID = 1/mean(ln mu).
     "q_intrinsic_dim" ->
       s"""WITH $lshOracleCtes,
          |bkc AS (SELECT vec_id, bucket FROM (
@@ -10555,7 +10558,7 @@ object SparkEntry {
          |SELECT CAST(count(*) AS BIGINT) AS n_used,
          |  ((2 * CAST(sum(t6) * 1000000 AS BIGINT) + count(*))
          |    // (2 * count(*))) / 1000000.0 AS mean_log_ratio,
-         |  round(0.693147 / (CAST(sum(t6) AS DOUBLE) / count(*)), 4)
+         |  round(1.0 / (CAST(sum(t6) AS DOUBLE) / count(*)), 4)
          |    AS intrinsic_dim
          |FROM tm""".stripMargin,
     // Label homophily: canonical kNN edges + true labels; r as one
@@ -10605,6 +10608,15 @@ object SparkEntry {
     "q_snapshot_source" ->
       """SELECT source, count(*) AS n_docs, max(doc_id) AS max_doc
         |FROM documents WHERE doc_id < 250
+        |GROUP BY source ORDER BY source""".stripMargin,
+    // Stats-pruned V2 read: the engine answers through a sidecar-pruned
+    // file list; the oracle replays the predicate on the full table —
+    // a wrong file skip loses rows and hash-mismatches.
+    "q_snapshot_pruned" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  max(doc_id) AS max_doc
+        |FROM documents WHERE doc_id >= 50 AND doc_id < 250
         |GROUP BY source ORDER BY source""".stripMargin,
     // Ljung-Box: acf moments exact, r pinned 6 dp through the decimal
     // hop, r^2/c and Q by exact integer half-up, reject on pinned ints.

@@ -1437,12 +1437,12 @@ object AnnOps {
     * embedding corpus — the curse-of-dimensionality diagnostic that
     * pairs with [[hubness]] and [[embeddingIsotropy]]: data on a
     * d-dimensional manifold has nearest/second-nearest distance ratios
-    * μ = r₂/r₁ distributed so that E[ln μ] = 1/d, hence
-    * ID ≈ ln 2 / mean(ln μ) under the estimator's Pareto form (the
-    * ln 2 enters as the 6-dp literal 0.693147 so both engines evaluate
-    * the identical tree — the mdePlanner z-literal precedent). Ambient
-    * dimension is 64; a much smaller ID says the corpus lives on a thin
-    * manifold and aggressive compression/quantization is safe.
+    * μ = r₂/r₁ distributed Pareto(d), so E[ln μ] = 1/d and the MLE is
+    * ID = 1 / mean(ln μ) (the ln 2 numerator belongs to the MEDIAN
+    * variant, ln 2 / median(ln μ) — pairing it with the mean biases ID
+    * low by ×0.693; fixed per r12 ADVICE). Ambient dimension is 64; a
+    * much smaller ID says the corpus lives on a thin manifold and
+    * aggressive compression/quantization is safe.
     *
     * Mechanics: each vector's two nearest EUCLIDEAN neighbors among its
     * LSH candidates (approximate-neighborhood convention of the whole
@@ -1489,7 +1489,7 @@ object AnnOps {
       .select(col("n_used"),
         (ExactRound.halfUpPos("s6i", "n_used").cast("double") / 1e6)
           .as("mean_log_ratio"),
-        round(lit(0.693147) /
+        round(lit(1.0) /
           (col("s6").cast("double") / col("n_used")), 4)
           .as("intrinsic_dim"))
   }

@@ -72,11 +72,21 @@ object MvRewrite {
     (sessionKey(spark), canon(basePath))
 
   /** Build the view parquet from the base table and register it for
-    * rewriting in this session. Idempotent per (session, basePath). */
+    * rewriting in this session. Idempotent per (session, basePath).
+    *
+    * Re-registration safety: the prior registration (if any) is removed
+    * BEFORE the build runs. Otherwise the live rule would rewrite the
+    * rebuild's own aggregate to scan `mvPath` while `overwrite` is
+    * deleting that very directory — the job dies mid-scan, the view dir
+    * is destroyed, and the stale registry entry then throws inside the
+    * optimizer for every later query on the base. A failed rebuild now
+    * leaves the base UNREGISTERED (plans fall back to scanning the
+    * base — slower, never wrong) rather than registered-and-broken. */
   def register(spark: SparkSession, name: String, basePath: String,
                groupCols: Seq[String], valueCol: String,
                castTo: Option[String], mvPath: String): MvDef = {
     require(groupCols.nonEmpty, "an aggregate view needs grouping keys")
+    registry.remove(key(spark, basePath))
     val value = castTo.map(col(valueCol).cast).getOrElse(col(valueCol))
     val df = spark.read.parquet(basePath)
       .groupBy(groupCols.map(col): _*)
@@ -126,11 +136,15 @@ object MvRewrite {
       case _ => None
     }
 
+    /** Match ONLY a single-path scan whose one root equals the
+      * registered base: `spark.read.parquet(base, other)` scans two
+      * roots through one relation, and rewriting on a head-path match
+      * would silently drop `other`'s rows. */
     private def scanDef(lr: LogicalRelation): Option[MvDef] =
       lr.relation match {
-        case fs: HadoopFsRelation =>
-          fs.location.rootPaths.headOption.flatMap(p =>
-            registry.get((sessionKey(spark), p.toUri.getPath)))
+        case fs: HadoopFsRelation if fs.location.rootPaths.length == 1 =>
+          registry.get((sessionKey(spark),
+            fs.location.rootPaths.head.toUri.getPath))
         case _ => None
       }
 

@@ -19,6 +19,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *   spark.read.format("graft-snapshot").load(dir)                  // latest
   *   spark.read.format("graft-snapshot").option("version", 3).load(dir)
   *   spark.read.format("graft-snapshot").option("tag", "prod").load(dir)
+  *   spark.read.format("graft-snapshot")                       // change feed
+  *     .option("changes", "3..5").option("key", "doc_id").load(dir)
   * }}}
   *
   * The provider resolves which committed `v=N` directory the options
@@ -81,8 +83,11 @@ class SnapshotSource extends TableProvider with DataSourceRegister
     * claim/marker commit protocol entirely. Hiding the write capability
     * forces the writer down the V1 `CreatableRelationProvider` fallback
     * above, which commits properly. Reads keep the delegate's
-    * ScanBuilder, so pushdown/pruning are untouched. */
-  private final class ReadOnlySnapshot(delegate: ParquetTable)
+    * ScanBuilder — EXCEPT when the version carries [[SnapshotStats]]
+    * sidecars, where a [[PruningScanBuilder]] consumes the pushed
+    * filters to skip whole files before the delegate ever lists them. */
+  private final class ReadOnlySnapshot(spark: SparkSession, dir: String,
+                                       v: Long, delegate: ParquetTable)
       extends Table with org.apache.spark.sql.connector.catalog.SupportsRead {
     override def name(): String = delegate.name
     override def schema(): StructType = delegate.schema
@@ -92,7 +97,56 @@ class SnapshotSource extends TableProvider with DataSourceRegister
         org.apache.spark.sql.connector.catalog.TableCapability.BATCH_READ)
     override def newScanBuilder(options: CaseInsensitiveStringMap)
         : org.apache.spark.sql.connector.read.ScanBuilder =
-      delegate.newScanBuilder(options)
+      if (SnapshotStats.hasSidecars(spark, dir, v))
+        new PruningScanBuilder(spark, dir, v, options, delegate)
+      else delegate.newScanBuilder(options)
+  }
+
+  /** Planning-time file-skipping ScanBuilder: receives Catalyst filter
+    * pushdown FIRST (the same internal hook Spark's own FileScanBuilder
+    * uses), asks [[SnapshotStats.pruneFiles]] which of the version's
+    * files can possibly satisfy them, and — when files drop — swaps the
+    * delegate for a ParquetTable over exactly the surviving file list
+    * (schema pinned from the full table, so an empty survivor list
+    * still plans as a valid zero-row scan). Everything else — filter
+    * translation + row-group pushdown, column pruning, aggregate
+    * pushdown — forwards to the (possibly swapped) stock parquet
+    * builder, so a pruned scan keeps every other optimization.
+    * Pruning is metadata-only and conservative: a kept file is merely
+    * re-filtered by the delegate, never wrong. */
+  private final class PruningScanBuilder(
+      spark: SparkSession, dir: String, v: Long,
+      options: CaseInsensitiveStringMap, fullTable: ParquetTable)
+      extends org.apache.spark.sql.connector.read.ScanBuilder
+      with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+      with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+      with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+    import org.apache.spark.sql.catalyst.expressions.Expression
+
+    private var delegate = fullTable.newScanBuilder(options)
+
+    override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+      SnapshotStats.pruneFiles(spark, dir, v, filters).foreach { files =>
+        delegate = ParquetTable(
+          s"${fullTable.name} (${files.length} files after stats pruning)",
+          spark, options, files, Some(fullTable.schema),
+          classOf[ParquetFileFormat]).newScanBuilder(options)
+      }
+      delegate.pushFilters(filters)
+    }
+    override def pushedFilters
+        : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+      delegate.pushedFilters
+    override def pruneColumns(requiredSchema: StructType): Unit =
+      delegate.pruneColumns(requiredSchema)
+    override def pushAggregation(
+        agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+        : Boolean = delegate.pushAggregation(agg)
+    override def supportCompletePushDown(
+        agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+        : Boolean = delegate.supportCompletePushDown(agg)
+    override def build(): org.apache.spark.sql.connector.read.Scan =
+      delegate.build()
   }
 
   /** Placeholder for a table with no commits yet: schemaless and
@@ -115,8 +169,29 @@ class SnapshotSource extends TableProvider with DataSourceRegister
     val spark = SparkSession.active
     val explicit = Option(options.get("version")).map(_.toLong)
     val tag = Option(options.get("tag"))
-    require(explicit.isEmpty || tag.isEmpty,
-      "pass either version or tag, not both")
+    val changes = Option(options.get("changes"))
+    require(Seq(explicit, tag, changes).count(_.isDefined) <= 1,
+      "pass at most one of version, tag, changes")
+    // change-data-feed read: option("changes", "vOld..vNew") +
+    // option("key", <keyCol>) serves the rowDiff frame (key,
+    // change_type, old_row, new_row) through the same delegated parquet
+    // machinery — materialized once per immutable version pair, so
+    // every consumer after the first gets a plain pushdown-capable scan
+    changes.foreach { spec =>
+      val m = "^(\\d+)\\.\\.(\\d+)$".r.findFirstMatchIn(spec.trim)
+        .getOrElse(throw new IllegalArgumentException(
+          s"changes must be 'vOld..vNew' (two version numbers): '$spec'"))
+      val (vOld, vNew) = (m.group(1).toLong, m.group(2).toLong)
+      val key = Option(options.get("key")).getOrElse(
+        throw new IllegalArgumentException(
+          "a changes read needs the diff key column: .option(\"key\", <col>)"))
+      val cdc = SnapshotTable.materializeDiff(spark, dir, vOld, vNew, key)
+      // v = -1: the change feed has no stats sidecars of its own, so the
+      // wrapper always uses the delegate's stock ScanBuilder
+      return new ReadOnlySnapshot(spark, dir, -1L,
+        ParquetTable(s"graft-snapshot $dir changes v$vOld..v$vNew",
+          spark, options, Seq(cdc), None, classOf[ParquetFileFormat]))
+    }
     val committed = SnapshotTable.versions(spark, dir)
     if (committed.isEmpty && explicit.isEmpty && tag.isEmpty)
       return new EmptySnapshot(dir) // first write of a fresh table
@@ -131,7 +206,7 @@ class SnapshotSource extends TableProvider with DataSourceRegister
       throw new IllegalArgumentException(
         s"snapshot table $dir has no committed version $v " +
           "(vacuumed or never written)")
-    new ReadOnlySnapshot(
+    new ReadOnlySnapshot(spark, dir, v,
       ParquetTable(s"graft-snapshot $dir@v$v", spark, options,
         Seq(s"$dir/v=$v"), None, classOf[ParquetFileFormat]))
   }
@@ -167,6 +242,36 @@ object SnapshotSource {
     spark.read.format("graft-snapshot").option("version", 0L).load(tmp)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), max(col("doc_id")).as("max_doc"))
+      .orderBy(col("source"))
+  }
+
+  /** Registered-query form of STATS-PRUNED reading: commit the lake's
+    * documents table range-clustered on doc_id into 8 files, build the
+    * [[SnapshotStats]] min/max sidecar, then answer a selective range
+    * aggregate THROUGH the façade — the optimizer consults the sidecar
+    * and plans the scan over only the files whose [min,max] overlaps
+    * the predicate (SnapshotSourceSpec asserts the file count drops;
+    * this query puts the pruned plan's VALUES behind the DuckDB oracle,
+    * so a wrong skip hash-mismatches every round). */
+  def prunedReadQuery(spark: SparkSession, lakeDir: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val scratch = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(System.getProperty("java.io.tmpdir")),
+      s"graft_snapprune_q_${spark.sparkContext.applicationId}")
+    val f = scratch.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(scratch, true)
+    val tmp = s"$scratch/tbl"
+    val docs = graft.Lake.documents(spark, lakeDir)
+    SnapshotTable.write(spark, tmp,
+      docs.repartitionByRange(8, col("doc_id")))
+    SnapshotStats.indexMinMax(spark, tmp, "doc_id")
+    spark.read.format("graft-snapshot").load(tmp)
+      .filter(col("doc_id") >= 50 && col("doc_id") < 250)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        max(col("doc_id")).as("max_doc"))
       .orderBy(col("source"))
   }
 }

@@ -303,6 +303,36 @@ object SnapshotTable {
       .orderBy(col("source"))
   }
 
+  /** Materialize the v`vOld`→v`vNew` change feed once as a parquet
+    * sidecar under `_cdc/` and return its path — the storage half of
+    * the `option("changes", "vOld..vNew")` read on the V2 source.
+    * Committed versions are immutable, so a (key, vOld, vNew) diff is
+    * deterministic forever: the first reader pays the [[rowDiff]] join,
+    * every later reader (and every pushdown-capable engine pointed at
+    * the sidecar) gets a plain pruned parquet scan — the same
+    * amortization Iceberg/Delta changelog materialization makes.
+    * Concurrent first readers race benignly: each computes into its own
+    * temp dir and the loser of the atomic rename deletes its copy. */
+  def materializeDiff(spark: SparkSession, dir: String, vOld: Long,
+                      vNew: Long, key: String): String = {
+    requireRefName(key)
+    val target = new Path(dir, s"_cdc/${key}_v${vOld}_$vNew")
+    val f = fs(spark, dir)
+    if (f.exists(target)) return target.toString
+    val tmp = new Path(dir,
+      s"_cdc/.tmp_${key}_v${vOld}_${vNew}_${java.util.UUID.randomUUID()}")
+    rowDiff(spark, dir, vOld, vNew, key)
+      .write.mode("overwrite").parquet(tmp.toString)
+    f.mkdirs(target.getParent)
+    if (!f.rename(tmp, target)) {
+      // another reader materialized first; theirs is identical
+      f.delete(tmp, true)
+      if (!f.exists(target)) throw new java.io.IOException(
+        s"could not publish change feed $target")
+    }
+    target.toString
+  }
+
   /** Distribution drift of `valueCol` between two committed versions —
     * [[graft.operators.CatalogOps.distributionDrift]] over time travel:
     * the "did this commit shift the data?" check a lake runs next to

@@ -119,6 +119,46 @@ class MvRewriteSpec extends SparkSpecBase {
     assert(!scanPaths(after).exists(_.contains("mv_orders")))
   }
 
+  test("re-register rebuilds from the BASE (no self-rewrite suicide)") {
+    withView {
+      // second register on the SAME base while the first registration is
+      // live: the rebuild must read the base, not the view it is about
+      // to overwrite. Before the fix this threw mid-scan (overwrite
+      // deletes mvDir under the rewritten scan) and left a poisoned
+      // registry entry; now it completes and values still match.
+      MvRewrite.register(spark, "t_orders", base,
+        Seq("o_orderpriority", "o_orderstatus"), "o_totalprice",
+        Some("decimal(18,2)"), mvDir)
+      val df = baseQuery()
+      assert(scanPaths(df).exists(_.contains("mv_orders")),
+        "re-registration must leave a working rewrite")
+      val got = df.collect().toSeq
+      MvRewrite.deregister(spark, base)
+      assert(got == baseQuery().collect().toSeq)
+    }
+  }
+
+  test("multi-root scan that includes the base is NOT rewritten") {
+    // a second parquet directory with the same schema
+    val extraDir = java.nio.file.Files
+      .createTempDirectory("graft_mv_extra").toFile
+    extraDir.deleteOnExit()
+    val extra = new java.io.File(extraDir, "more_orders").getAbsolutePath
+    spark.read.parquet(base).limit(7).write.mode("overwrite").parquet(extra)
+    def multi() = spark.read.parquet(base, extra)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+    val want = multi().collect()
+    withView {
+      val df = multi()
+      assert(!scanPaths(df).exists(_.contains("mv_orders")),
+        "a two-root scan must not be rewritten to the view alone")
+      assert(df.collect().toSeq == want.toSeq,
+        "multi-path counts must include the extra root's rows")
+    }
+  }
+
   test("registered q_mv_rewrite leaves no session-global registration") {
     val out = MvRewrite.rewriteQuery(spark, Sf).collect()
     assert(out.nonEmpty)

@@ -383,7 +383,7 @@ class Round12BatchCSpec extends SparkSpecBase {
     val s6i = (s6 * 1000000).toLongExact
     assert(r.getDouble(1) ==
       halfUp(BigInt(s6i), BigInt(n)).toDouble / 1e6, "mean_log_ratio")
-    val id = BigDecimal(0.693147 / (s6.toDouble / n))
+    val id = BigDecimal(1.0 / (s6.toDouble / n))
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(math.abs(r.getDouble(2) - id) < 1e-9, s"id ${r.getDouble(2)} vs $id")
     assert(r.getDouble(2) > 0.0 && r.getDouble(2) <= 64.0,

@@ -1,8 +1,9 @@
 package graft
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.sources.{SnapshotSource, SnapshotTable}
+import graft.sources.{SnapshotSource, SnapshotStats, SnapshotTable}
 
 /** The V2 snapshot source: version resolution (latest / explicit /
   * tag / errors) and full parquet pushdown THROUGH the façade. */
@@ -72,6 +73,164 @@ class SnapshotSourceSpec extends SparkSpecBase {
     // class itself is what the registry serves
     val p = new SnapshotSource
     assert(p.shortName() == "graft-snapshot")
+  }
+
+  /** Files the (pre-AQE) physical plan's parquet scans would read. */
+  private def scannedFiles(df: DataFrame): Seq[String] =
+    df.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan match {
+          case f: org.apache.spark.sql.execution.datasources.v2.FileScan =>
+            f.fileIndex.inputFiles.toSeq
+          case _ => Seq.empty[String]
+        }
+    }.flatten
+
+  private def mkPrunedTable(prefix: String): String = {
+    import spark.implicits._
+    val d = new java.io.File(
+      java.nio.file.Files.createTempDirectory(prefix).toFile,
+      "t").getAbsolutePath
+    // k = 0..39, range-clustered into 4 files with disjoint k ranges
+    val df = spark.range(40).select(col("id").as("k"),
+      (col("id") % 4).cast("string").as("s"), (col("id") * 2.5).as("x"))
+    SnapshotTable.write(spark, d, df.repartitionByRange(4, col("k")))
+    d
+  }
+
+  test("min/max sidecar skips files at planning time, values identical") {
+    val d = mkPrunedTable("graft_snap_mm")
+    val want = SnapshotTable.read(spark, d)
+      .filter(col("k") < 10).collect().toSet
+    // before the sidecar exists: full 4-file scan
+    val before = spark.read.format("graft-snapshot").load(d)
+      .filter(col("k") < 10)
+    assert(scannedFiles(before).length == 4)
+    SnapshotStats.indexMinMax(spark, d, "k")
+    val after = spark.read.format("graft-snapshot").load(d)
+      .filter(col("k") < 10)
+    val files = scannedFiles(after)
+    assert(files.length < 4 && files.nonEmpty,
+      s"selective range filter must scan strictly fewer files: $files")
+    assert(after.collect().toSet == want, "pruned read lost or gained rows")
+    // row-group pushdown survives the pruning wrapper
+    val plan = after.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("LessThan(k,10"),
+      s"pushdown lost through the pruning builder:\n$plan")
+    // a predicate beyond every file's range plans a valid zero-file scan
+    val none = spark.read.format("graft-snapshot").load(d)
+      .filter(col("k") > 1000L)
+    assert(scannedFiles(none).isEmpty, "disjoint predicate must skip all files")
+    assert(none.count() == 0)
+    // an unprunable filter shape (non-literal) still answers correctly
+    val odd = spark.read.format("graft-snapshot").load(d)
+      .filter(col("k") % 2 === 1)
+    assert(odd.count() == 20)
+  }
+
+  test("bucket sidecar skips files on point lookups min/max cannot help") {
+    import spark.implicits._
+    val d = new java.io.File(
+      java.nio.file.Files.createTempDirectory("graft_snap_bk").toFile,
+      "t").getAbsolutePath
+    // written UNSORTED: round-robin over 4 files, so every file spans
+    // nearly the whole k range and a zone map is useless
+    val df = spark.range(400).select(col("id").as("k"),
+      (col("id") % 7).cast("string").as("s"))
+    SnapshotTable.write(spark, d, df.repartition(4))
+    SnapshotStats.indexBuckets(spark, d, "k", buckets = 8192)
+    val probe = spark.read.format("graft-snapshot").load(d)
+      .filter(col("k") === 123L)
+    val files = scannedFiles(probe)
+    assert(files.length < 4,
+      s"point lookup must skip files whose bucket set lacks the key: $files")
+    assert(probe.collect().map(_.getLong(0)).toSeq == Seq(123L))
+    // IN-list probes prune too, and never lose rows
+    val in = spark.read.format("graft-snapshot").load(d)
+      .filter(col("k").isin(5L, 77L, 311L))
+    assert(in.collect().map(_.getLong(0)).sorted.toSeq == Seq(5L, 77L, 311L))
+  }
+
+  test("a sidecar that does not cover the live files disables pruning") {
+    val d = mkPrunedTable("graft_snap_stale")
+    SnapshotStats.indexMinMax(spark, d, "k")
+    // corrupt the sidecar: drop one file's stats row
+    val scPath = s"$d/_stats/minmax_k/v=0"
+    val sc = spark.read.parquet(scPath).collect()
+    val dropped = spark.read.parquet(scPath)
+      .filter(col("file") =!= sc.head.getString(0))
+    val tmp = scPath + ".new"
+    dropped.write.mode("overwrite").parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(scPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(scPath), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(scPath))
+    val df = spark.read.format("graft-snapshot").load(d)
+      .filter(col("k") < 10)
+    assert(scannedFiles(df).length == 4,
+      "a partial sidecar must fall back to the full scan, not guess")
+    assert(df.count() == 10)
+  }
+
+  test("change feed through the facade: option(changes) = rowDiff, cached") {
+    import spark.implicits._
+    val d = new java.io.File(
+      java.nio.file.Files.createTempDirectory("graft_snap_cdc").toFile,
+      "t").getAbsolutePath
+    SnapshotTable.write(spark, d,
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+        .toDF("k", "s", "x"))
+    SnapshotTable.write(spark, d,
+      Seq((2L, "b", 21.0), (3L, "c", 30.0), (4L, "d", 40.0))
+        .toDF("k", "s", "x")) // 1 removed, 2 updated, 3 unchanged, 4 added
+    val feed = spark.read.format("graft-snapshot")
+      .option("changes", "0..1").option("key", "k").load(d)
+    val api = SnapshotTable.rowDiff(spark, d, 0L, 1L, "k")
+    assert(feed.columns.toSeq == api.columns.toSeq)
+    assert(feed.collect().map(_.toString).sorted.toSeq ==
+      api.collect().map(_.toString).sorted.toSeq)
+    assert(feed.filter(col("change_type") === "added").count() == 1)
+    // materialized once: the sidecar exists and a re-read scans it
+    val cdcDir = new java.io.File(s"$d/_cdc")
+    assert(cdcDir.isDirectory && cdcDir.list().exists(_.contains("k_v0_1")))
+    assert(spark.read.format("graft-snapshot")
+      .option("changes", "0..1").option("key", "k").load(d).count() == 3)
+    // incremental MV refresh consumes the FACADE feed and lands exactly
+    // on a direct aggregate of v1 (delta-rule maintenance is exact)
+    val mv0 = graft.operators.MaterializedAgg.define(
+      SnapshotTable.read(spark, d, Some(0L)), "s", "x")
+    val refreshed = graft.operators.MaterializedAgg
+      .refresh(mv0, feed, "s", "x")
+      .orderBy(col("s")).collect()
+    val direct = SnapshotTable.read(spark, d, Some(1L))
+      .groupBy(col("s"))
+      .agg(sum(col("x")).as("sum_value"), count(lit(1)).as("n_rows"))
+      .orderBy(col("s")).collect()
+    assert(refreshed.toSeq == direct.toSeq)
+    // malformed or conflicting options fail loudly
+    intercept[Exception] { spark.read.format("graft-snapshot")
+      .option("changes", "0..1").load(d).collect() }
+    intercept[Exception] { spark.read.format("graft-snapshot")
+      .option("changes", "zero..one").option("key", "k").load(d).collect() }
+    intercept[Exception] { spark.read.format("graft-snapshot")
+      .option("changes", "0..1").option("version", 1)
+      .option("key", "k").load(d).collect() }
+  }
+
+  test("registered q_snapshot_pruned: pruned scan, lake-replay values") {
+    val df = SnapshotSource.prunedReadQuery(spark, Sf)
+    val files = scannedFiles(df)
+    assert(files.nonEmpty && files.length < 8,
+      s"the registered query's plan must skip range-clustered files: " +
+        s"${files.length} of 8 scanned")
+    val want = Lake.documents(spark, Sf)
+      .filter(col("doc_id") >= 50 && col("doc_id") < 250)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy(col("source"))
+    assert(df.collect().toSeq == want.collect().toSeq)
   }
 
   test("write path: every save commits a version, history preserved") {
