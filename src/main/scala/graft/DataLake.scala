@@ -573,6 +573,14 @@ final case class DataLake(spark: SparkSession, dir: String) {
     tag.foreach(t => r = r.option("tag", t))
     r.load(tableDir)
   }
+  /** Cross-table atomic publish: every listed table's staged branch
+    * head promotes together, or none does (journaled two-phase; see
+    * [[graft.sources.SnapshotTable.publishAtomic]]). */
+  def publishSnapshotsAtomic(heads: Seq[(String, String)]): Map[String, Long] =
+    graft.sources.SnapshotTable.publishAtomic(spark, heads)
+  /** Roll crashed cross-table publishes forward and clear stale locks. */
+  def recoverSnapshotTxn(coordinatorDir: String): Seq[String] =
+    graft.sources.SnapshotTable.recoverTxn(spark, coordinatorDir)
   /** Change-data feed of a snapshot table through the V2 reader facade:
     * one row per changed `key` between the two committed versions, with
     * change_type ∈ added|removed|updated and old/new payload structs.

@@ -1110,6 +1110,19 @@ object Relational {
       .unionAll(sims
         .select(col("part_b").as("src"), col("part_a").as("cand"),
           col("cos")))
+    // the pageRank adaptive rule, applied to the scoring join: the
+    // similarity frame is DIMENSION-sized (support-gated co-occurring
+    // part pairs) — when it fits the broadcast budget, ship it to the
+    // owned-items side so the fan-out join never shuffles the fact
+    // stream; beyond the cap, fall back to the shuffle join. The counts
+    // double as eager materialization of the persisted frames.
+    val maxBroadcastRows = 1L << 20
+    val nPairs = sims.count()
+    val simBothJ =
+      if (2 * nPairs <= maxBroadcastRows) broadcast(simBoth) else simBoth
+    val nEval = heldItem.count()
+    val heldB =
+      if (nEval <= maxBroadcastRows) broadcast(heldItem) else heldItem
     // owned is consumed twice (scoring src side + held-item-exempt
     // candidate exclusion) — persist the distinct once
     val owned = tli.select(col("custkey"), col("l_partkey").as("item"))
@@ -1119,22 +1132,27 @@ object Relational {
     // bought the held-out part in a training order must still be able to
     // hit it, else the denominator counts structurally-impossible evals
     // (non-eval customers have no heldItem row → left join keeps all)
-    val ownedExcl = owned.join(heldItem, Seq("custkey"), "left")
+    val ownedExcl = owned.join(heldB, Seq("custkey"), "left")
       .filter(col("held_item").isNull || col("item") =!= col("held_item"))
       .select(col("custkey"), col("item"))
     val wK = Window.partitionBy(col("custkey"))
       .orderBy(col("score_d").desc, col("cand").asc)
+    // aggregate FIRST, exclude owned candidates AFTER: the sum over
+    // (custkey, cand) is unaffected by which groups are later dropped,
+    // so the anti-join moves from the raw fan-out (where it shuffled
+    // every scored row uncombined — the r12 9 s profile's spill site at
+    // 32 threads) to the partially-aggregated group frame
     val top = owned.select(col("custkey"), col("item").as("src"))
-      .join(simBoth, "src")
-      .join(ownedExcl.select(col("custkey"), col("item").as("cand")),
-        Seq("custkey", "cand"), "left_anti")
+      .join(simBothJ, "src")
       .groupBy(col("custkey"), col("cand"))
       .agg(sum(col("cos")).as("score_d"))
+      .join(ownedExcl.select(col("custkey"), col("item").as("cand")),
+        Seq("custkey", "cand"), "left_anti")
       .withColumn("rnk", row_number().over(wK))
       .filter(col("rnk") <= k)
-    val hits = top.join(heldItem,
+    val hits = top.join(heldB,
       Seq("custkey")).filter(col("cand") === col("held_item"))
-    val ne = heldItem.agg(count(lit(1)).as("n_eval"))
+    val ne = spark.range(1).select(lit(nEval).as("n_eval"))
     val hs = hits.agg(count(lit(1)).as("n_hits"),
       coalesce(sum(round(lit(1.0) / col("rnk"), 6).cast(d6)),
         lit(java.math.BigDecimal.ZERO).cast(d6)).as("srr"))

@@ -529,6 +529,130 @@ object SnapshotTable {
     v
   }
 
+  private val TxnPrefix = "_txn_"
+  private val TxnLock = "_txn_lock"
+
+  /** Publish several tables' staged branch heads ATOMICALLY — the
+    * cross-table transaction the per-table write-audit-publish flow
+    * cannot give (a pipeline that stages `documents` and its derived
+    * `doc_stats` must never expose one without the other). Two-phase,
+    * journaled:
+    *
+    *  1. LOCK: take `_txn_lock` in every table dir (atomic exclusive
+    *     create), in sorted-path order so two concurrent multi-table
+    *     publishers cannot deadlock. The lock extends the single-table
+    *     claim discipline across tables: competing publishers of any
+    *     overlapping set serialize here.
+    *  2. VALIDATE all heads under the lock (staged + fast-forwardable),
+    *     so promotion below cannot fail for semantic reasons.
+    *  3. JOURNAL: write `_txn_<id>` in the FIRST (sorted) table dir —
+    *     the coordinator — listing every (dir, version) pair, via the
+    *     same write-temp + atomic-rename as refs. The journal's
+    *     existence is the commit point: before it, nothing is
+    *     published ("neither"); from the instant it exists, the
+    *     transaction must complete ("together") — by this call, or by
+    *     [[recoverTxn]] after a crash.
+    *  4. PROMOTE each head (`_staged_N` → `_commit_N` marker, no data
+    *     rewrite), drop staged markers, delete the journal, release
+    *     the locks.
+    *
+    * Crash windows: before the journal → locks may linger (cleared by
+    * [[recoverTxn]]'s lock sweep given no journal) and no table
+    * changed; after the journal → [[recoverTxn]] rolls FORWARD
+    * (promotion is idempotent: an already-present commit marker is
+    * skipped), then cleans up. Readers between a crash and recovery can
+    * observe a prefix of the promotions — the standard WAL contract:
+    * run recovery before trusting cross-table consistency after a
+    * crash. All participating tables must share one filesystem (the
+    * journal's atomicity domain). Returns (dir → published version). */
+  def publishAtomic(spark: SparkSession,
+                    heads: Seq[(String, String)]): Map[String, Long] = {
+    require(heads.nonEmpty, "publishAtomic needs at least one (dir, branch)")
+    require(heads.map(_._1).distinct.size == heads.size,
+      "one branch per table dir per transaction")
+    val ordered = heads.sortBy(_._1)
+    val f = fs(spark, ordered.head._1)
+    val locked = scala.collection.mutable.ArrayBuffer.empty[Path]
+    def unlock(): Unit = { locked.foreach(f.delete(_, false)); locked.clear() }
+    try {
+      // 1. lock every table, sorted order
+      for ((dir, _) <- ordered) {
+        val lock = new Path(dir, TxnLock)
+        if (!atomicCreate(f, lock)) throw new IllegalStateException(
+          s"table $dir is locked by another cross-table publish " +
+            "(or a crashed one — run recoverTxn)")
+        locked += lock
+      }
+      // 2. validate every head under the lock
+      val resolved = ordered.map { case (dir, branch) =>
+        val v = branchVersion(spark, dir, branch).getOrElse(
+          throw new IllegalArgumentException(s"no branch '$branch' in $dir"))
+        if (!f.exists(new Path(dir, s"$StagedPrefix$v")))
+          throw new IllegalStateException(
+            s"branch '$branch' head v=$v of $dir is not staged")
+        latestVersion(spark, dir).foreach { main =>
+          if (main > v) throw new IllegalStateException(
+            s"main of $dir advanced to v=$main past branch '$branch' " +
+              s"head v=$v; re-write the branch before publishing")
+        }
+        dir -> v
+      }
+      // 3. journal in the coordinator (first sorted dir) — THE commit point
+      val txnId = java.util.UUID.randomUUID().toString
+      val journal = new Path(ordered.head._1, s"$TxnPrefix$txnId")
+      val body = resolved.map { case (d, v) => s"$d\t$v" }.mkString("\n")
+      val tmp = new Path(ordered.head._1, s".$TxnPrefix$txnId.tmp")
+      val out = f.create(tmp, true)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+      if (!f.rename(tmp, journal))
+        throw new java.io.IOException(s"could not journal txn $txnId")
+      // 4. promote all, clean up
+      promoteAll(f, resolved)
+      f.delete(journal, false)
+      unlock()
+      resolved.toMap
+    } finally unlock() // no-op on success; releases on pre-journal failure
+  }
+
+  /** Idempotent promotion: staged → committed for each pair; a pair
+    * already committed (recovery re-run) is skipped. */
+  private def promoteAll(f: org.apache.hadoop.fs.FileSystem,
+                         pairs: Seq[(String, Long)]): Unit =
+    for ((dir, v) <- pairs) {
+      atomicCreate(f, new Path(dir, s"$MarkerPrefix$v")) // false if committed
+      f.delete(new Path(dir, s"$StagedPrefix$v"), false)
+    }
+
+  /** Crash recovery for [[publishAtomic]]: roll every journaled
+    * transaction in `coordinatorDir` FORWARD (complete its promotions,
+    * delete the journal, release the participating tables' locks), and
+    * clear a journal-less stale lock on the coordinator itself. Returns
+    * the ids of the transactions completed. */
+  def recoverTxn(spark: SparkSession, coordinatorDir: String): Seq[String] = {
+    val f = fs(spark, coordinatorDir)
+    val base = new Path(coordinatorDir)
+    if (!f.exists(base)) return Seq.empty
+    val journals = f.listStatus(base).iterator.map(_.getPath)
+      .filter(_.getName.startsWith(TxnPrefix))
+      .filterNot(_.getName == TxnLock).toSeq
+    val done = journals.map { j =>
+      val in = f.open(j)
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val pairs = body.split("\n").toSeq.filter(_.contains("\t")).map { l =>
+        val Array(d, v) = l.split("\t"); (d, v.toLong)
+      }
+      promoteAll(f, pairs)
+      pairs.foreach { case (d, _) => f.delete(new Path(d, TxnLock), false) }
+      f.delete(j, false)
+      j.getName.stripPrefix(TxnPrefix)
+    }
+    // a lock with no journal is pre-commit-point residue: nothing was
+    // published, so clearing it simply re-opens the table
+    if (journals.isEmpty) f.delete(new Path(base, TxnLock), false)
+    done
+  }
+
   /** Delete a branch ref. Its staged data stays on disk until
     * [[vacuumStaged]]. */
   def dropBranch(spark: SparkSession, dir: String, name: String): Unit = {

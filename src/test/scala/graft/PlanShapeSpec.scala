@@ -259,6 +259,117 @@ class PlanShapeSpec extends SparkSpecBase {
       "a second cluster call must not re-scan the corpus (artifact reuse)")
   }
 
+  /** Substring-occurrence features over every plan a query executes —
+    * the raw material for the slowest-10 fingerprints below. Counts are
+    * AQE-noisy (initial + final plan sections), so fingerprints assert
+    * presence/absence, never exact counts. */
+  private def planFeatures(plans: Seq[String]): Map[String, Int] = {
+    def cnt(re: String): Int = plans.map(p => re.r.findAllIn(p).length).sum
+    Map(
+      "bhj" -> cnt("BroadcastHashJoin"),
+      "smj" -> cnt("SortMergeJoin"),
+      "cart" -> cnt("CartesianProduct"),
+      "window" -> cnt("Window"),
+      "single" -> cnt("SinglePartition"),
+      "pushed" -> cnt("PushedFilters: \\[[A-Z]"),
+      "topk" -> cnt("TakeOrderedAndProject"))
+  }
+
+  /** The slowest-10's healthy-plan invariants: the properties whose
+    * loss is exactly how these queries would silently regress (a lost
+    * broadcast → the fact stream shuffles; a lost pushdown → full
+    * scans; a surprise product → quadratic work). Each entry returns
+    * the violated claims; empty = healthy. */
+  private val slowFingerprints
+      : Seq[(String, Map[String, Int] => Seq[String])] = {
+    def claims(cs: (String, Map[String, Int] => Boolean)*)
+        (f: Map[String, Int]): Seq[String] =
+      cs.collect { case (msg, ok) if !ok(f) => msg }
+    Seq(
+      // scoring join ships the dimension-sized sim frame broadcast;
+      // filters reach the order/lineitem scans
+      "q_cf_eval" -> claims(
+        "no product join" -> (_("cart") == 0),
+        "scoring joins broadcast" -> (_("bhj") > 0),
+        "scan pushdown present" -> (_("pushed") > 0)) _,
+      // MM iteration: supplier-keyed broadcasts, no merge-join chains
+      "q_bradley_terry" -> claims(
+        "no product join" -> (_("cart") == 0),
+        "iteration joins broadcast" -> (_("bhj") > 0),
+        "top-k readout stays TakeOrdered" -> (_("topk") > 0)) _,
+      // bucketed set-similarity: bounded-side broadcasts + pushdown
+      "q_setsim_pairs" -> claims(
+        "no product join" -> (_("cart") == 0),
+        "bucket joins broadcast" -> (_("bhj") > 0),
+        "scan pushdown present" -> (_("pushed") > 0)) _,
+      // greedy k-center: every round ends in one TakeOrdered argmax
+      "q_kcenter" -> claims(
+        "no product join" -> (_("cart") == 0),
+        "per-round argmax is top-K, not global sort" -> (_("topk") > 0)) _,
+      // FD width: ONE one-row width broadcast is the only serial stage
+      "q_auto_hist" -> claims(
+        "no product join" -> (_("cart") == 0),
+        "at most one one-row serial stage" -> (_("single") <= 1)) _,
+      "q_source_jsd" -> claims(
+        "no product join" -> (_("cart") == 0),
+        "vocab joins broadcast" -> (_("bhj") > 0),
+        "scan pushdown present" -> (_("pushed") > 0)) _,
+      // version diff: full-outer can never broadcast — it must stay a
+      // key-shuffled join, and both version scans stay pushdown-capable
+      "q_snapshot_diff" -> claims(
+        "no product join" -> (_("cart") == 0),
+        "full-outer diff is a shuffled key join" -> (_("smj") > 0),
+        "version scans keep pushdown" -> (_("pushed") > 0)) _,
+      "q_join_cardinality" -> claims(
+        "no product join" -> (_("cart") == 0),
+        "profile joins broadcast" -> (_("bhj") > 0),
+        "scan pushdown present" -> (_("pushed") > 0)) _,
+      // façade time travel: one version-pruned pushdown scan, no window
+      "q_snapshot_read" -> claims(
+        "no product join" -> (_("cart") == 0),
+        "version scan keeps pushdown" -> (_("pushed") > 0),
+        "no serial stage" -> (_("single") == 0)) _,
+      // first-touch paths: user-partitioned windows only, single scan
+      "q_attribution" -> claims(
+        "no product join" -> (_("cart") == 0),
+        "path windows present (user-partitioned)" -> (_("window") > 0),
+        "no serial stage" -> (_("single") == 0)) _)
+  }
+
+  test("slowest-10 plan fingerprints: broadcasts, pushdown, no products") {
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    for ((name, check) <- slowFingerprints) {
+      val f = planFeatures(allPlansOf(SparkEntry.queries(name)(spark, Sf)))
+      check(f).foreach(v => offenders += s"$name: $v ($f)")
+    }
+    assert(offenders.isEmpty,
+      s"slowest-10 fingerprint violations:\n  ${offenders.mkString("\n  ")}")
+  }
+
+  test("the fingerprints have teeth: a lost broadcast is caught") {
+    import org.apache.spark.sql.functions._
+    // an auto-broadcast dimension join (no explicit hint), fingerprinted
+    // the same way as the slowest-10
+    def q() = Lake.orders(spark, Sf).join(
+      Lake.orders(spark, Sf).select(col("o_orderpriority")).distinct()
+        .withColumnRenamed("o_orderpriority", "p").limit(3),
+      col("o_orderpriority") === col("p"))
+      .groupBy(col("p")).agg(count(lit(1)).as("n"))
+    val healthy = planFeatures(allPlansOf(q()))
+    assert(healthy("bhj") > 0, s"setup: dim join should auto-broadcast: $healthy")
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // deliberately break the plan: planner may no longer broadcast
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val broken = planFeatures(allPlansOf(q()))
+      assert(broken("bhj") == 0,
+        s"break setup failed — join still broadcasts: $broken")
+      // ...and the fingerprint style used above catches exactly that
+      assert(!(broken("bhj") > 0) && (healthy("bhj") > 0),
+        "the broadcast fingerprint must separate healthy from broken")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("no registered query plans an unintended product join") {
     // the broad regression net: every SparkEntry query's physical plan is
     // free of CartesianProduct, except where the product IS the semantics

@@ -300,6 +300,90 @@ class SnapshotTableSpec extends SparkSpecBase {
       "vacuum is the ref-blind form — that is WHY expire exists")
   }
 
+  test("publishAtomic: staged heads of several tables promote together") {
+    val root = Files.createTempDirectory("graft_snap_txn").toString
+    val (a, b) = (s"$root/a", s"$root/b")
+    val docs = Lake.documents(spark, Sf)
+    for (d <- Seq(a, b)) {
+      SnapshotTable.write(spark, d, docs.filter("doc_id < 100"))
+      SnapshotTable.createBranch(spark, d, "wap")
+    }
+    val sa = SnapshotTable.writeBranch(spark, a, "wap", docs.filter("doc_id < 200"))
+    val sb = SnapshotTable.writeBranch(spark, b, "wap", docs.filter("doc_id < 300"))
+    assert(SnapshotTable.latestVersion(spark, a).contains(0L))
+    val published = SnapshotTable.publishAtomic(spark,
+      Seq(a -> "wap", b -> "wap"))
+    assert(published == Map(a -> sa, b -> sb))
+    assert(SnapshotTable.read(spark, a).count() == 200)
+    assert(SnapshotTable.read(spark, b).count() == 300)
+    // no transaction residue: journal, locks and staged markers all gone
+    for (d <- Seq(a, b)) {
+      val left = new java.io.File(d).list().toSeq
+        .filter(n => n.startsWith("_txn_") || n.startsWith("_staged_"))
+      assert(left.isEmpty, s"txn residue in $d: $left")
+    }
+  }
+
+  test("publishAtomic: a failed validation publishes NEITHER table") {
+    val root = Files.createTempDirectory("graft_snap_txn2").toString
+    val (a, b) = (s"$root/a", s"$root/b")
+    val docs = Lake.documents(spark, Sf)
+    for (d <- Seq(a, b)) {
+      SnapshotTable.write(spark, d, docs.filter("doc_id < 100"))
+      SnapshotTable.createBranch(spark, d, "wap")
+    }
+    SnapshotTable.writeBranch(spark, a, "wap", docs.filter("doc_id < 200"))
+    // b's branch head is its fork point — committed, NOT staged
+    intercept[IllegalStateException](
+      SnapshotTable.publishAtomic(spark, Seq(a -> "wap", b -> "wap")))
+    assert(SnapshotTable.latestVersion(spark, a).contains(0L),
+      "a validation failure must not publish the valid table either")
+    assert(SnapshotTable.latestVersion(spark, b).contains(0L))
+    // locks were released on abort: the corrected transaction goes through
+    SnapshotTable.writeBranch(spark, b, "wap", docs.filter("doc_id < 300"))
+    assert(SnapshotTable.publishAtomic(spark,
+      Seq(a -> "wap", b -> "wap")).size == 2)
+  }
+
+  test("publishAtomic crash window: recoverTxn rolls the journal forward") {
+    val root = Files.createTempDirectory("graft_snap_txn3").toString
+    // sorted order decides the coordinator — make it deterministic
+    val (a, b) = (s"$root/a", s"$root/b")
+    val docs = Lake.documents(spark, Sf)
+    for (d <- Seq(a, b)) {
+      SnapshotTable.write(spark, d, docs.filter("doc_id < 100"))
+      SnapshotTable.createBranch(spark, d, "wap")
+    }
+    val sa = SnapshotTable.writeBranch(spark, a, "wap", docs.filter("doc_id < 200"))
+    val sb = SnapshotTable.writeBranch(spark, b, "wap", docs.filter("doc_id < 300"))
+    // simulate a publisher that died right after the commit point: locks
+    // held, journal written, table a promoted, table b still staged
+    import java.nio.file.{Files => JFiles, Paths}
+    JFiles.createFile(Paths.get(a, "_txn_lock"))
+    JFiles.createFile(Paths.get(b, "_txn_lock"))
+    JFiles.write(Paths.get(a, "_txn_deadbeef"),
+      s"$a\t$sa\n$b\t$sb".getBytes("UTF-8"))
+    JFiles.createFile(Paths.get(a, s"_commit_$sa"))
+    JFiles.delete(Paths.get(a, s"_staged_$sa"))
+    // a competing publisher is blocked while the crash is unrecovered
+    intercept[IllegalStateException](
+      SnapshotTable.publishAtomic(spark, Seq(b -> "wap")))
+    val recovered = SnapshotTable.recoverTxn(spark, a)
+    assert(recovered == Seq("deadbeef"))
+    assert(SnapshotTable.latestVersion(spark, a).contains(sa))
+    assert(SnapshotTable.latestVersion(spark, b).contains(sb),
+      "recovery must complete the journaled transaction (together)")
+    assert(SnapshotTable.read(spark, b).count() == 300)
+    for (d <- Seq(a, b))
+      assert(!new java.io.File(d, "_txn_lock").exists(), s"lock left in $d")
+    // idempotent: a second recovery finds nothing
+    assert(SnapshotTable.recoverTxn(spark, a).isEmpty)
+    // a journal-less stale lock is cleared by recovery too
+    JFiles.createFile(Paths.get(b, "_txn_lock"))
+    SnapshotTable.recoverTxn(spark, b)
+    assert(!new java.io.File(b, "_txn_lock").exists())
+  }
+
   test("timeTravelQuery reuses one scratch dir across invocations") {
     val tmpRoot = new java.io.File(sys.props("java.io.tmpdir"))
     def snapDirs() = tmpRoot.listFiles()
