@@ -8088,8 +8088,8 @@ object SparkEntry {
         |s AS (SELECT dow, CAST(sum(det) AS DOUBLE) / count(*) AS seasonal
         |  FROM dt GROUP BY 1),
         |v AS (SELECT
-        |    CAST(round(x - trend - seasonal, 6) AS DECIMAL(18,6)) AS r,
-        |    CAST(round(x - trend, 6) AS DECIMAL(18,6)) AS dd
+        |    CAST(round(x - trend - seasonal, 6) AS DECIMAL(19,6)) AS r,
+        |    CAST(round(x - trend, 6) AS DECIMAL(19,6)) AS dd
         |  FROM dt JOIN s ON s.dow = dt.dow)
         |SELECT CAST(count(*) AS BIGINT) AS n_days,
         |  round((CAST(sum(r * r) AS DOUBLE) - CAST(sum(r) AS DOUBLE)
@@ -9129,10 +9129,11 @@ object SparkEntry {
         |    b * (CAST(st AS DOUBLE) / n) AS a FROM f2),
         |e AS (SELECT dt.event_type, dt.day, f3.n,
         |    CAST(round(CAST(x AS DOUBLE) - (a + b * t), 6)
-        |      AS DECIMAL(18,6)) AS e
+        |      AS DECIMAL(19,6)) AS e
         |  FROM dt JOIN f3 USING (event_type)),
-        |e2 AS (SELECT *, e - lag(e, 1)
-        |    OVER (PARTITION BY event_type ORDER BY day) AS de FROM e)
+        |e2 AS (SELECT *, CAST(e - lag(e, 1)
+        |    OVER (PARTITION BY event_type ORDER BY day)
+        |    AS DECIMAL(19,6)) AS de FROM e)
         |SELECT event_type, max(n) AS n_days,
         |  CAST((2 * CAST(sum(de * de) * 1000000000000 AS HUGEINT)
         |      * 10000
@@ -9581,10 +9582,10 @@ object SparkEntry {
         |  FROM sv JOIN rk USING (x2) GROUP BY 1),
         |ti AS (SELECT CAST(sum(t) AS BIGINT) AS nn,
         |    CAST(sum(t * t * t - t) AS HUGEINT) AS tc FROM rk),
-        |t2 AS (SELECT *, CAST((2 * CAST(s2_g AS HUGEINT) * s2_g * 100
-        |      + 4 * n_g) // (2 * 4 * n_g) AS BIGINT) AS t2_g
+        |t2 AS (SELECT *, (2 * CAST(s2_g AS HUGEINT) * s2_g * 100
+        |      + 4 * n_g) // (2 * 4 * n_g) AS t2_g
         |  FROM sg),
-        |t3 AS (SELECT *, CAST(sum(t2_g) OVER () AS BIGINT) AS sum_t2
+        |t3 AS (SELECT *, sum(t2_g) OVER () AS sum_t2
         |  FROM t2),
         |hh AS (SELECT *,
         |    (CAST(sum_t2 AS HUGEINT) * 12

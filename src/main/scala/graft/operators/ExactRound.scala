@@ -43,6 +43,19 @@ object ExactRound {
   def halfUpPos(num: String, den: String): Column =
     expr(s"(2 * ($num) + ($den)) div (2 * ($den))")
 
+  /** [[halfUpPos]] for quotients that themselves exceed int64 (the sf1
+    * catch: Kruskal–Wallis' per-group ×100 squared-rank-sum term reaches
+    * ~7·10¹⁹ at 1.5 M orders — SQL `div` wrapped it silently). Floor
+    * division rebuilt from exact decimal `%` and `/`:
+    * `(a − a mod b) / b` is an exactly-representable integer, so the
+    * decimal divide introduces no rounding; operands must already be
+    * decimal(38,0)-staged. The matching oracle keeps DuckDB's native
+    * HUGEINT `//`. */
+  def halfUpPosBig(num: String, den: String): Column =
+    expr(s"""CAST(((2 * ($num) + ($den))
+             - ((2 * ($num) + ($den)) % (2 * ($den))))
+             / (2 * ($den)) AS DECIMAL(38,0))""")
+
   /** The matching DuckDB oracle snippet for [[halfUp]]. */
   def oracleHalfUp(num: String, den: String): String =
     s"""CASE WHEN ($num) < 0

@@ -80,7 +80,10 @@ object StatTests {
       // square exceeds int64 → decimal(38,0) staging, pinned at 2 dp
       .withColumn("s2sq",
         ((col("s2_g").cast(d38) * col("s2_g")) * 100).cast(d38))
-      .withColumn("t2_g", ExactRound.halfUpPos("s2sq", "4 * n_g"))
+      // the QUOTIENT s2²·100/(4n_g) crosses int64 at sf1 (~7·10¹⁹ at
+      // 1.5 M orders) — `div` wraps silently there, so this one rides
+      // the decimal-space floor-division form
+      .withColumn("t2_g", ExactRound.halfUpPosBig("s2sq", "4 * n_g"))
       .withColumn("sum_t2", sum(col("t2_g")).over(wAll))
       .crossJoin(broadcast(ties))
       // H = (12·ΣT/100 − 3(N+1)·N(N+1)) / (N(N+1)), SIGNED at 4 dp

@@ -76,4 +76,33 @@ class ExactRoundSpec extends SparkSpecBase {
       s"got $got for the >int64-operand tie")
     assert(got == 1000000000000001L) // k + 0.5 rounds away from zero
   }
+
+  test("halfUpPosBig carries the law past an int64 QUOTIENT (sf1 kruskal)") {
+    import spark.implicits._
+    // `div` casts its result to long and WRAPS past int64 — the sf1
+    // crossing: kruskal's t2_g quotient ~7e19. halfUpPosBig's
+    // mod-and-divide floor form stays in decimal all the way.
+    val num = BigInt("68886370797849760779") // the quotient itself >int64
+    val den = 1L
+    val df = Seq(1).toDF("x")
+      .withColumn("num",
+        lit(new JBD(num.bigInteger)).cast(DecimalType(38, 0)))
+      .withColumn("den", lit(den).cast(DecimalType(38, 0)))
+    val wrapped = df.select(ExactRound.halfUpPos("num", "den").as("g"))
+      .collect()(0).getLong(0)
+    assert(wrapped < 0, "precondition: plain div wraps this quotient")
+    val big = df.select(ExactRound.halfUpPosBig("num", "den").as("g"))
+      .collect()(0).getDecimal(0)
+    assert(BigInt(big.toBigInteger) == refHalfUp(num, BigInt(den)),
+      s"got $big past-int64 quotient")
+    // and a half-tie past int64 still rounds away from zero
+    val tie = df
+      .withColumn("num", lit(new JBD(
+        BigInt("100000000000000000001").bigInteger)).cast(DecimalType(38, 0)))
+      .withColumn("den", lit(2L).cast(DecimalType(38, 0)))
+      .select(ExactRound.halfUpPosBig("num", "den").as("g"))
+      .collect()(0).getDecimal(0)
+    assert(BigInt(tie.toBigInteger) ==
+      refHalfUp(BigInt("100000000000000000001"), BigInt(2)))
+  }
 }
