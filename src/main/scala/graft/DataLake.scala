@@ -573,6 +573,14 @@ final case class DataLake(spark: SparkSession, dir: String) {
     tag.foreach(t => r = r.option("tag", t))
     r.load(tableDir)
   }
+  /** Incrementally refresh (or first-touch define) a sum/count view of
+    * a snapshot table from its CDC feed — the batch poll of
+    * [[graft.streaming.CdcRefreshStream]]; `attach` streams it. */
+  def refreshSnapshotView(srcDir: String, key: String, groupCol: String,
+                          valueCol: String, mvDir: String)
+      : Option[(Long, Long)] =
+    graft.streaming.CdcRefreshStream.catchUp(
+      spark, srcDir, key, groupCol, valueCol, mvDir)
   /** Cross-table atomic publish: every listed table's staged branch
     * head promotes together, or none does (journaled two-phase; see
     * [[graft.sources.SnapshotTable.publishAtomic]]). */

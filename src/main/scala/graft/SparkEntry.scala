@@ -914,6 +914,9 @@ object SparkEntry {
     // Stats-sidecar FILE SKIPPING through the V2 facade: range-clustered
     // commit + min/max sidecar, selective filter plans a pruned scan
     "q_snapshot_pruned"   -> graft.sources.SnapshotSource.prunedReadQuery _,
+    // Bucket-index point lookup through the facade: unsorted commit
+    // (zone maps useless), IN-probe skips files by occupied hash buckets
+    "q_snapshot_lookup"   -> graft.sources.SnapshotSource.pointLookupQuery _,
     // Newman modularity of the label-prop partition on the 5-NN graph
     "q_modularity"        -> GraphOps.modularityQuery _,
     // Label homophily (categorical assortativity) of the 5-NN graph
@@ -10610,6 +10613,12 @@ object SparkEntry {
       """SELECT source, count(*) AS n_docs, max(doc_id) AS max_doc
         |FROM documents WHERE doc_id < 250
         |GROUP BY source ORDER BY source""".stripMargin,
+    // Bucket-index point lookup: the engine answers through the
+    // occupied-bucket-pruned file list; the oracle replays the IN probe
+    // on the full table — a false-negative bucket loses rows.
+    "q_snapshot_lookup" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE doc_id IN (7, 123, 401) ORDER BY doc_id""".stripMargin,
     // Stats-pruned V2 read: the engine answers through a sidecar-pruned
     // file list; the oracle replays the predicate on the full table —
     // a wrong file skip loses rows and hash-mismatches.

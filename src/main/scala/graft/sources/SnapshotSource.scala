@@ -274,4 +274,31 @@ object SnapshotSource {
         max(col("doc_id")).as("max_doc"))
       .orderBy(col("source"))
   }
+
+  /** Registered-query form of BUCKET-INDEX point lookup — the
+    * zone-map-proof case [[prunedReadQuery]] cannot cover: the table is
+    * committed UNSORTED (hash round-robin into 8 files, so every file
+    * spans nearly the whole doc_id range and min/max stats skip
+    * nothing), then the occupied-bucket sidecar lets an IN-list probe
+    * skip the files that provably lack the keys' hash buckets
+    * (SnapshotSourceSpec asserts the file count; this query puts the
+    * bucket-pruned plan's VALUES behind the DuckDB oracle — a
+    * false-negative bucket set loses rows and hash-mismatches). */
+  def pointLookupQuery(spark: SparkSession, lakeDir: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val scratch = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(System.getProperty("java.io.tmpdir")),
+      s"graft_snaplookup_q_${spark.sparkContext.applicationId}")
+    val f = scratch.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(scratch, true)
+    val tmp = s"$scratch/tbl"
+    val docs = graft.Lake.documents(spark, lakeDir)
+    SnapshotTable.write(spark, tmp, docs.repartition(8))
+    SnapshotStats.indexBuckets(spark, tmp, "doc_id")
+    spark.read.format("graft-snapshot").load(tmp)
+      .filter(col("doc_id").isin(7L, 123L, 401L))
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
 }

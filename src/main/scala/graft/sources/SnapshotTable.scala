@@ -431,6 +431,18 @@ object SnapshotTable {
     } finally in.close()
   }
 
+  /** All tags of the table: name → version (skips torn/invalid refs). */
+  def tags(spark: SparkSession, dir: String): Map[String, Long] = {
+    val f = fs(spark, dir)
+    val base = new Path(dir)
+    if (!f.exists(base)) return Map.empty
+    f.listStatus(base).iterator.map(_.getPath.getName)
+      .filter(_.startsWith(TagPrefix))
+      .map(_.stripPrefix(TagPrefix))
+      .flatMap(n => refVersion(f, dir, s"$TagPrefix$n").map(n -> _))
+      .toMap
+  }
+
   /** Read the version a tag names. */
   def readTag(spark: SparkSession, dir: String, name: String): DataFrame =
     read(spark, dir, Some(tagVersion(spark, dir, name).getOrElse(

@@ -233,6 +233,19 @@ class SnapshotSourceSpec extends SparkSpecBase {
     assert(df.collect().toSeq == want.collect().toSeq)
   }
 
+  test("registered q_snapshot_lookup: bucket-pruned scan, lake-replay values") {
+    val df = SnapshotSource.pointLookupQuery(spark, Sf)
+    val files = scannedFiles(df)
+    assert(files.nonEmpty && files.length < 8,
+      s"the IN-probe must skip unsorted files by bucket: " +
+        s"${files.length} of 8 scanned")
+    val want = Lake.documents(spark, Sf)
+      .filter(col("doc_id").isin(7L, 123L, 401L))
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+    assert(df.collect().toSeq == want.collect().toSeq)
+  }
+
   test("write path: every save commits a version, history preserved") {
     import spark.implicits._
     val wdir = new java.io.File(
