@@ -68,8 +68,16 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPEATS", "3").toInt)
-    val gcEvery = sys.env.getOrElse("SPARK_GRAFT_GC_EVERY", "32").toInt
+    // env knobs parse DEFENSIVELY at sweep start: a malformed value must
+    // not NumberFormatException after (or worse, near the end of) a
+    // multi-hour sweep and lose every timing already collected
+    def envInt(name: String, default: Int): Int =
+      sys.env.get(name).flatMap(_.trim.toIntOption).getOrElse(default)
+    val reps = math.max(1, envInt("SPARK_GRAFT_REPEATS", 3))
+    val gcEvery = envInt("SPARK_GRAFT_GC_EVERY", 32)
+    // slowest-K retime width; SPARK_GRAFT_SLOWK=0 skips the retime pass
+    // entirely (saves ~reps×slowest-K wall-clock on a quick sweep)
+    val slowK = math.max(0, envInt("SPARK_GRAFT_SLOWK", 10))
     val reverse = sys.env.get("SPARK_GRAFT_ORDER").contains("reverse")
     val spark = GraftSession.builder("graft-bench", Some(s"local[$cpus]"), cpus.toInt)
       .config("spark.sql.shuffle.partitions", cpus)
@@ -139,7 +147,6 @@ object Bench {
     // second pass over the sweep's own slowest-K: sweep median + per-rep
     // + slot loadavg, then a fresh re-time (median + per-rep + loadavg).
     // sweep >> tail at quiet tail load → the sweep number was co-load.
-    val slowK = math.max(0, sys.env.getOrElse("SPARK_GRAFT_SLOWK", "10").toInt)
     val slowRetimed = full.filter(_._2 >= 0).sortBy(-_._2).take(slowK)
       .map { case (name, med, sweepReps, sweepLoad) =>
         val fn = SparkEntry.queries(name)
@@ -167,6 +174,15 @@ object Bench {
         "\"" + name + "\":{\"t\":" + fmt(tMed) + ",\"tr\":" + arr(ts) +
           ",\"sl\":" + fmt(sweepLoad) + ",\"tl\":" + fmt(tLoad) + "}"
     }.mkString("{", ",", "}")
+    // per-query sweep-slot loadavg for the COMPACT line (VERDICT_r13
+    // order 7): query_meta has it but only the full record line carries
+    // that, and the driver's tail window loses it — one array in sweep
+    // order (names recoverable: `queries` keys sorted ascending, reversed
+    // when order=reverse) makes EVERY per-query delta co-load-adjudicable
+    // from the artifact of record, not just the slowest-K.
+    val loadArr = full.map { case (_, _, _, load) =>
+      BigDecimal(load).setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
+    }.mkString("[", ",", "]")
     val loadEnd = loadAvg
     val cards = Seq("lineitem", "orders", "events", "documents", "embeddings")
       .map { t =>
@@ -189,7 +205,7 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","repeats":$reps,"order":"${if (reverse) "reverse" else "forward"}","gc_every":$gcEvery,"tables":$cards,"query_meta":$metaJson,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"sentinels":$sent,"sentinels_tail":$tail,"slowest_tail":$slowTail,"queries":$qs}""")
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(20)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","repeats":$reps,"order":"${if (reverse) "reverse" else "forward"}","n_queries":${results.size},"artifact_builds":${graft.operators.ArtifactStore.buildsThisSession},"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"sentinels":$sent,"sentinels_tail":$tail,"slowest_tail":$slowTailC,"slowest":$slowest}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","repeats":$reps,"order":"${if (reverse) "reverse" else "forward"}","n_queries":${results.size},"artifact_builds":${graft.operators.ArtifactStore.buildsThisSession},"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"query_loads":$loadArr,"sentinels":$sent,"sentinels_tail":$tail,"slowest_tail":$slowTailC,"slowest":$slowest}""")
     spark.stop()
   }
 }

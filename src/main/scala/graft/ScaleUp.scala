@@ -45,9 +45,17 @@ object ScaleUp {
     spark.stop()
   }
 
-  /** max(key)+1 — the per-replica shift base for one entity. */
+  /** max(key)+1 — the per-replica shift base for one entity. The read is
+    * defensive: an empty source table yields a NULL max and a non-bigint
+    * key would ClassCastException — both would otherwise surface as
+    * opaque errors mid-scale-up, so cast in the aggregate and fail with
+    * the key's name instead. */
   private def base(df: DataFrame, key: String): Long =
-    df.agg(max(col(key))).head.getLong(0) + 1L
+    Option(df.agg(max(col(key).cast("long"))).head.getAs[java.lang.Long](0))
+      .map(_.longValue + 1L)
+      .getOrElse(throw new IllegalArgumentException(
+        s"cannot derive a shift base for '$key': source table is empty " +
+          "(or the key column is all NULL)"))
 
   def scale(spark: SparkSession, src: String, dst: String,
             factor: Int): Unit = {

@@ -170,22 +170,31 @@ class SnapshotSource extends TableProvider with DataSourceRegister
     val explicit = Option(options.get("version")).map(_.toLong)
     val tag = Option(options.get("tag"))
     val changes = Option(options.get("changes"))
+    val evolve = Option(options.get("evolve")).exists(_.toBoolean)
     require(Seq(explicit, tag, changes).count(_.isDefined) <= 1,
       "pass at most one of version, tag, changes")
+    def keyOpt: String = Option(options.get("key")).getOrElse(
+      throw new IllegalArgumentException(
+        "a changes read needs the diff key column: .option(\"key\", <col>)"))
     // change-data-feed read: option("changes", "vOld..vNew") +
     // option("key", <keyCol>) serves the rowDiff frame (key,
     // change_type, old_row, new_row) through the same delegated parquet
     // machinery — materialized once per immutable version pair, so
-    // every consumer after the first gets a plain pushdown-capable scan
+    // every consumer after the first gets a plain pushdown-capable scan.
+    // vOld = -1 bootstraps: v0 arrives as all-`added`. "stream" instead
+    // of a range serves the feed CONTINUOUSLY via readStream
+    // ([[CdcStreamTable]] — micro-batch offsets are snapshot versions).
     changes.foreach { spec =>
-      val m = "^(\\d+)\\.\\.(\\d+)$".r.findFirstMatchIn(spec.trim)
+      if (spec.trim == "stream")
+        return new CdcStreamTable(spark, dir, keyOpt,
+          Option(options.get("startingVersion")).map(_.trim.toLong), options)
+      val m = "^(-1|\\d+)\\.\\.(\\d+)$".r.findFirstMatchIn(spec.trim)
         .getOrElse(throw new IllegalArgumentException(
-          s"changes must be 'vOld..vNew' (two version numbers): '$spec'"))
+          s"changes must be 'vOld..vNew' (two version numbers, vOld may " +
+            s"be -1 for genesis) or 'stream': '$spec'"))
       val (vOld, vNew) = (m.group(1).toLong, m.group(2).toLong)
-      val key = Option(options.get("key")).getOrElse(
-        throw new IllegalArgumentException(
-          "a changes read needs the diff key column: .option(\"key\", <col>)"))
-      val cdc = SnapshotTable.materializeDiff(spark, dir, vOld, vNew, key)
+      val cdc = SnapshotTable.materializeDiff(spark, dir, vOld, vNew,
+        keyOpt, evolve)
       // v = -1: the change feed has no stats sidecars of its own, so the
       // wrapper always uses the delegate's stock ScanBuilder
       return new ReadOnlySnapshot(spark, dir, -1L,
@@ -206,9 +215,22 @@ class SnapshotSource extends TableProvider with DataSourceRegister
       throw new IllegalArgumentException(
         s"snapshot table $dir has no committed version $v " +
           "(vacuumed or never written)")
-    new ReadOnlySnapshot(spark, dir, v,
-      ParquetTable(s"graft-snapshot $dir@v$v", spark, options,
-        Seq(s"$dir/v=$v"), None, classOf[ParquetFileFormat]))
+    // option("evolve","true"): serve the OLD version aligned to the
+    // LATEST committed schema (readEvolved through the façade) — the
+    // delegate parquet scan is planned with the latest schema as the
+    // specified schema, so columns newer commits added surface as NULL
+    // natively in the vectorized reader; a retyped column fails loudly
+    // at scan time (additive evolution is the contract, as in the Scala
+    // API). A consumer unioning across versions reads each with one
+    // uniform schema.
+    val evolvedSchema =
+      if (evolve && v != committed.last)
+        Some(SnapshotTable.read(spark, dir, Some(committed.last)).schema)
+      else None
+    new ReadOnlySnapshot(spark, dir, if (evolvedSchema.isEmpty) v else -1L,
+      ParquetTable(s"graft-snapshot $dir@v$v${if (evolve) " (evolved)" else ""}",
+        spark, options, Seq(s"$dir/v=$v"), evolvedSchema,
+        classOf[ParquetFileFormat]))
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =

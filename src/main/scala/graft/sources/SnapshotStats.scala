@@ -71,6 +71,44 @@ object SnapshotStats {
       throw new IllegalArgumentException(
         s"snapshot table $dir has no committed version"))
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** The version's live data files (what a scan would read) — the set
+    * every sidecar must cover exactly for pruning to engage. */
+  private def liveDataFiles(spark: SparkSession, dir: String, v: Long)
+      : Seq[String] = {
+    val f = fs(spark, dir)
+    val vDir = new Path(s"$dir/v=$v")
+    if (!f.exists(vDir)) return Seq.empty
+    f.listStatus(vDir).toSeq.map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }.map(_.toString)
+  }
+
+  /** Union coverage rows for committed data files the aggregate cannot
+    * represent — a ZERO-ROW file yields no `input_file_name()` group, and
+    * a sidecar missing it would fail the pruner's keyset-coverage check,
+    * silently disabling pruning for the version forever. The filler rows
+    * (`n_rows=0` + null stats / empty bucket set) keep coverage exact;
+    * null min/max conservatively keeps the empty file, an empty bucket
+    * set correctly skips it. O(files) driver rows — the same planning-
+    * time metadata class as the sidecar itself. */
+  private def writeCovered(spark: SparkSession, dir: String, v: Long,
+                           agg: DataFrame, zeroRow: String => org.apache.spark.sql.Row,
+                           path: String): Unit = {
+    val rows = agg.collect()
+    val have = rows.map(r => norm(r.getString(0))).toSet
+    val missing = liveDataFiles(spark, dir, v).filterNot(p => have(norm(p)))
+    val all = (rows.toSeq ++ missing.map(zeroRow))
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(all).asJava),
+      agg.schema)
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
   /** Build the min/max zone-map sidecar for `statCol` of `version`
     * (default latest). One scan of the version; the sidecar is O(files)
     * rows in one file. Returns the indexed version. */
@@ -78,13 +116,14 @@ object SnapshotStats {
                   version: Option[Long] = None): Long = {
     requireCol(statCol)
     val v = resolveVersion(spark, dir, version)
-    SnapshotTable.read(spark, dir, Some(v))
+    val agg = SnapshotTable.read(spark, dir, Some(v))
       .groupBy(input_file_name().as("file"))
       .agg(count(lit(1)).as("n_rows"),
         min(col(statCol)).as("min_val"),
         max(col(statCol)).as("max_val"))
-      .coalesce(1)
-      .write.mode("overwrite").parquet(minMaxPath(dir, statCol, v))
+    writeCovered(spark, dir, v, agg,
+      f => org.apache.spark.sql.Row(f, 0L, null, null),
+      minMaxPath(dir, statCol, v))
     v
   }
 
@@ -97,7 +136,7 @@ object SnapshotStats {
     requireCol(keyCol)
     require(buckets > 0, "bucket count must be positive")
     val v = resolveVersion(spark, dir, version)
-    SnapshotTable.read(spark, dir, Some(v))
+    val agg = SnapshotTable.read(spark, dir, Some(v))
       .groupBy(input_file_name().as("file"),
         // cast to long so driver-side probe literals hash identically
         // (xxhash64 is type-sensitive: int and bigint encodings differ)
@@ -106,8 +145,9 @@ object SnapshotStats {
       .groupBy(col("file"))
       .agg(sort_array(collect_set(col("__b"))).as("occupied"))
       .withColumn("n_buckets", lit(buckets.toLong))
-      .coalesce(1)
-      .write.mode("overwrite").parquet(bucketsPath(dir, keyCol, v))
+    writeCovered(spark, dir, v, agg,
+      f => org.apache.spark.sql.Row(f, Seq.empty[Long], buckets.toLong),
+      bucketsPath(dir, keyCol, v))
     v
   }
 
@@ -280,7 +320,14 @@ object SnapshotStats {
         .select(col("file"), col("min_val"), col("max_val")).collect()
       val byFile = rows.map(r => norm(r.getString(0)) ->
         (comparable(r.get(1)), comparable(r.get(2)))).toMap
-      if (byFile.keySet != liveByNorm.keySet) return None
+      if (byFile.keySet != liveByNorm.keySet) {
+        // correct but expensive: the scan proceeds UNPRUNED — say so,
+        // or a stale/partial sidecar silently costs full scans forever
+        log.warn(s"minmax sidecar for $dir v=$v column $c does not cover " +
+          s"the live file set (${byFile.size} indexed vs ${liveByNorm.size} " +
+          "live) — pruning disabled for this query; re-run indexMinMax")
+        return None
+      }
       keep = keep.filter { fn =>
         val (mn, mx) = byFile(fn)
         ps.forall(p => mayMatch(mn, mx, p))
@@ -302,7 +349,12 @@ object SnapshotStats {
         val nb = rows.head.getLong(2)
         val byFile = rows.map(r =>
           norm(r.getString(0)) -> r.getSeq[Long](1).toSet).toMap
-        if (byFile.keySet != liveByNorm.keySet) return None
+        if (byFile.keySet != liveByNorm.keySet) {
+          log.warn(s"bucket sidecar for $dir v=$v column $c does not cover " +
+            s"the live file set (${byFile.size} indexed vs ${liveByNorm.size} " +
+            "live) — pruning disabled for this query; re-run indexBuckets")
+          return None
+        }
         keep = keep.filter { fn =>
           val occ = byFile(fn)
           keys.forall(_.exists(k => occ.contains(bucketOf(k, nb))))

@@ -221,15 +221,66 @@ object SnapshotTable {
   /** [[diff]] with payloads: (key, change_type, old_row, new_row) — the
     * change-data-feed rows downstream incremental maintenance consumes
     * (e.g. [[graft.operators.MaterializedAgg.refresh]]). `old_row` is
-    * null for adds, `new_row` for removes; updates carry both. */
+    * null for adds, `new_row` for removes; updates carry both.
+    *
+    * `vOld = -1` is GENESIS: every row of `vNew` arrives as `added`
+    * (the initial-snapshot bootstrap of a changelog consumer).
+    *
+    * Schema drift between the versions fails LOUDLY with the
+    * [[schemaDiff]] report inline — a silent positional or
+    * name-intersection diff would mislabel changes; `evolve = true`
+    * instead TOLERATES additive drift by aligning the old version to
+    * the new version's schema (added columns read as NULL on the old
+    * side, so they surface as genuine `updated` payload differences). */
   def rowDiff(spark: SparkSession, dir: String, vOld: Long, vNew: Long,
-              key: String): DataFrame = {
-    val oldV = read(spark, dir, Some(vOld))
+              key: String, evolve: Boolean = false): DataFrame = {
     val newV = read(spark, dir, Some(vNew))
-    require(oldV.columns.toSeq == newV.columns.toSeq,
-      s"diff schema mismatch: v$vOld ${oldV.columns.toSeq} vs v$vNew ${newV.columns.toSeq}"
-        + " (use readEvolved to align schemas first)")
+    if (vOld == -1L) {
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], newV.schema)
+      return frameDiff(empty, newV, key)
+    }
+    val oldRaw = read(spark, dir, Some(vOld))
+    def shape(df: DataFrame) =
+      df.schema.fields.map(f => (f.name, f.dataType.simpleString)).toSeq
+    val oldV =
+      if (shape(oldRaw) == shape(newV)) oldRaw
+      else if (evolve) alignTo(oldRaw, newV.schema, vOld, vNew)
+      else {
+        val drift = schemaDiff(spark, dir, vOld, vNew).collect()
+          .map(r => s"${r.getString(0)} ${r.getString(1)}: " +
+            s"${Option(r.getString(2)).getOrElse("—")} → " +
+            s"${Option(r.getString(3)).getOrElse("—")}")
+          .mkString("; ")
+        throw new IllegalArgumentException(
+          s"diff schema drift between v$vOld and v$vNew of $dir [$drift] " +
+            "— pass evolve=true to align additively, or readEvolved first")
+      }
     frameDiff(oldV, newV, key)
+  }
+
+  /** Align `df` to `target`'s schema ADDITIVELY: absent columns become
+    * typed NULLs, order follows the target. Removed or retyped columns
+    * cannot be aligned and fail loudly (there is no value-preserving
+    * answer for them). */
+  private def alignTo(df: DataFrame, target: org.apache.spark.sql.types.StructType,
+                      vOld: Long, vNew: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val have = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val aligned = target.fields.map { f =>
+      have.get(f.name) match {
+        case Some(t) if t == f.dataType => col(f.name)
+        case Some(t) => throw new IllegalArgumentException(
+          s"cannot align v$vOld to v$vNew: column ${f.name} retyped " +
+            s"${t.simpleString} → ${f.dataType.simpleString}")
+        case None => lit(null).cast(f.dataType).as(f.name)
+      }
+    }
+    val extra = have.keySet -- target.fields.map(_.name)
+    require(extra.isEmpty,
+      s"cannot align v$vOld to v$vNew: columns removed: ${extra.toSeq.sorted
+        .mkString(", ")}")
+    df.select(aligned.toSeq: _*)
   }
 
   /** The change-data computation itself, over any two same-schema frames
@@ -314,14 +365,18 @@ object SnapshotTable {
     * Concurrent first readers race benignly: each computes into its own
     * temp dir and the loser of the atomic rename deletes its copy. */
   def materializeDiff(spark: SparkSession, dir: String, vOld: Long,
-                      vNew: Long, key: String): String = {
+                      vNew: Long, key: String,
+                      evolve: Boolean = false): String = {
     requireRefName(key)
-    val target = new Path(dir, s"_cdc/${key}_v${vOld}_$vNew")
+    // evolve-aligned diffs get their own sidecar name: same version pair,
+    // different row payloads (typed-NULL backfill on the old side)
+    val suffix = if (evolve) "_evolved" else ""
+    val target = new Path(dir, s"_cdc/${key}_v${vOld}_$vNew$suffix")
     val f = fs(spark, dir)
     if (f.exists(target)) return target.toString
     val tmp = new Path(dir,
       s"_cdc/.tmp_${key}_v${vOld}_${vNew}_${java.util.UUID.randomUUID()}")
-    rowDiff(spark, dir, vOld, vNew, key)
+    rowDiff(spark, dir, vOld, vNew, key, evolve)
       .write.mode("overwrite").parquet(tmp.toString)
     f.mkdirs(target.getParent)
     if (!f.rename(tmp, target)) {
@@ -586,13 +641,20 @@ object SnapshotTable {
     val f = fs(spark, ordered.head._1)
     val locked = scala.collection.mutable.ArrayBuffer.empty[Path]
     def unlock(): Unit = { locked.foreach(f.delete(_, false)); locked.clear() }
+    // once the journal exists the locks belong to the TRANSACTION, not
+    // this call: a post-journal failure must NOT release them (an
+    // interleaving publishAtomic could lock/validate/publish against
+    // tables whose journaled promotions haven't landed yet, and readers
+    // would see a partial publish on unlocked tables). Pre-journal
+    // failure releases everything — nothing was published.
+    var journaled = false
     try {
       // 1. lock every table, sorted order
       for ((dir, _) <- ordered) {
         val lock = new Path(dir, TxnLock)
         if (!atomicCreate(f, lock)) throw new IllegalStateException(
-          s"table $dir is locked by another cross-table publish " +
-            "(or a crashed one — run recoverTxn)")
+          s"table $dir is locked by another cross-table publish (or a " +
+            "crashed one — run recoverTxn over the participating dirs)")
         locked += lock
       }
       // 2. validate every head under the lock
@@ -618,12 +680,32 @@ object SnapshotTable {
       try out.write(body.getBytes("UTF-8")) finally out.close()
       if (!f.rename(tmp, journal))
         throw new java.io.IOException(s"could not journal txn $txnId")
-      // 4. promote all, clean up
-      promoteAll(f, resolved)
-      f.delete(journal, false)
+      journaled = true
+      // 4. promote all, clean up — failures here roll FORWARD: first
+      // inline (promotion is idempotent), and if that also fails the
+      // locks stay held and the error names the recovery entry point
+      try {
+        promoteAll(f, resolved)
+        f.delete(journal, false)
+      } catch {
+        case e: Exception =>
+          try {
+            promoteAll(f, resolved)
+            f.delete(journal, false)
+          } catch {
+            case _: Exception => throw new IllegalStateException(
+              s"txn $txnId journaled but promotion failed; tables remain " +
+                s"LOCKED — run recoverTxn(\"${ordered.head._1}\") to roll " +
+                "forward and release them", e)
+          }
+      }
       unlock()
       resolved.toMap
-    } finally unlock() // no-op on success; releases on pre-journal failure
+    } finally {
+      // no-op on success (already unlocked); releases on pre-journal
+      // failure only — post-journal the locks are the transaction's
+      if (!journaled) unlock()
+    }
   }
 
   /** Idempotent promotion: staged → committed for each pair; a pair
@@ -639,29 +721,51 @@ object SnapshotTable {
     * transaction in `coordinatorDir` FORWARD (complete its promotions,
     * delete the journal, release the participating tables' locks), and
     * clear a journal-less stale lock on the coordinator itself. Returns
-    * the ids of the transactions completed. */
-  def recoverTxn(spark: SparkSession, coordinatorDir: String): Seq[String] = {
-    val f = fs(spark, coordinatorDir)
-    val base = new Path(coordinatorDir)
-    if (!f.exists(base)) return Seq.empty
-    val journals = f.listStatus(base).iterator.map(_.getPath)
-      .filter(_.getName.startsWith(TxnPrefix))
-      .filterNot(_.getName == TxnLock).toSeq
-    val done = journals.map { j =>
-      val in = f.open(j)
-      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      val pairs = body.split("\n").toSeq.filter(_.contains("\t")).map { l =>
-        val Array(d, v) = l.split("\t"); (d, v.toLong)
+    * the ids of the transactions completed.
+    *
+    * A multi-table txn journals only in its COORDINATOR (first sorted
+    * dir) but locks EVERY participant — after a pre-journal crash the
+    * other participants stay locked with no journal anywhere naming
+    * them, so single-dir recovery cannot free them. Pass the full dir
+    * set through [[recoverTxnAll]] for that case. */
+  def recoverTxn(spark: SparkSession, coordinatorDir: String): Seq[String] =
+    recoverTxnAll(spark, Seq(coordinatorDir))
+
+  /** [[recoverTxn]] over every dir that participated (or might have) in
+    * crashed cross-table publishes: first rolls forward every journal
+    * found in ANY of the dirs, then clears the journal-less stale locks
+    * left by pre-journal crashes — on every dir given, not just the
+    * coordinator. Only run while no publisher is live (the standard WAL
+    * recovery contract): a lock held by an in-flight transaction whose
+    * coordinator is OUTSIDE `dirs` is indistinguishable from residue. */
+  def recoverTxnAll(spark: SparkSession, dirs: Seq[String]): Seq[String] = {
+    require(dirs.nonEmpty, "recoverTxnAll needs at least one table dir")
+    val f = fs(spark, dirs.head)
+    val done = dirs.flatMap { dir =>
+      val base = new Path(dir)
+      if (!f.exists(base)) Seq.empty[String]
+      else {
+        val journals = f.listStatus(base).iterator.map(_.getPath)
+          .filter(_.getName.startsWith(TxnPrefix))
+          .filterNot(_.getName == TxnLock).toSeq
+        journals.map { j =>
+          val in = f.open(j)
+          val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          val pairs = body.split("\n").toSeq.filter(_.contains("\t")).map { l =>
+            val Array(d, v) = l.split("\t"); (d, v.toLong)
+          }
+          promoteAll(f, pairs)
+          pairs.foreach { case (d, _) => f.delete(new Path(d, TxnLock), false) }
+          f.delete(j, false)
+          j.getName.stripPrefix(TxnPrefix)
+        }
       }
-      promoteAll(f, pairs)
-      pairs.foreach { case (d, _) => f.delete(new Path(d, TxnLock), false) }
-      f.delete(j, false)
-      j.getName.stripPrefix(TxnPrefix)
     }
-    // a lock with no journal is pre-commit-point residue: nothing was
-    // published, so clearing it simply re-opens the table
-    if (journals.isEmpty) f.delete(new Path(base, TxnLock), false)
+    // any lock still present has no journal in the given dirs: pre-
+    // commit-point residue — nothing was published, clearing it simply
+    // re-opens the table
+    dirs.foreach(d => f.delete(new Path(d, TxnLock), false))
     done
   }
 

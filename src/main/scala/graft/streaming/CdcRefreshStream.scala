@@ -26,10 +26,14 @@ import graft.sources.SnapshotTable
   * Scale: per refresh, work is proportional to the CHANGE — one
   * materialized-once CDC scan per new version plus a group-sized
   * full-outer merge — while the base table is touched only by the
-  * one-time define. [[attach]] bolts the catch-up onto any ticking
-  * stream via foreachBatch (the lake's streaming-sink escape hatch, as
-  * IngestStream/Scd2Stream); the poll is idempotent, so ANY trigger
-  * cadence is safe. */
+  * one-time define. [[attach]] is a plain readStream → foreachBatch
+  * over the snapshot CHANGELOG SOURCE itself
+  * (`format("graft-snapshot").option("changes", "stream")` —
+  * [[graft.sources.CdcStreamTable]]): new commits ARE the triggers, so
+  * the view refreshes exactly when the source moves, with no side
+  * ticker to provision. The fold still goes through [[catchUp]]'s
+  * tag-cursor (not the batch rows), so the exactly-once guarantee is
+  * the view's own regardless of Spark's checkpoint state. */
 object CdcRefreshStream {
 
   private def srcTag(v: Long) = s"src-v$v"
@@ -82,13 +86,22 @@ object CdcRefreshStream {
     }
   }
 
-  /** Drive [[catchUp]] from any ticking streaming frame (a file-source
-    * watcher, a rate source — content is ignored): every micro-batch
-    * polls the source table once. */
-  def attach(ticker: DataFrame, srcDir: String, key: String,
+  /** Keep the view continuously fresh: subscribe to the source table's
+    * own changelog stream and [[catchUp]] on every micro-batch. The
+    * batch ROWS are deliberately ignored (so they are never even read
+    * off the sidecars here) — offsets advancing is the signal; catchUp
+    * re-derives its span from the view's tags, which makes the poll
+    * idempotent under ANY trigger cadence or checkpoint replay. The
+    * source table needs at least one commit before attaching (the
+    * changelog stream pins its schema at start). */
+  def attach(spark: SparkSession, srcDir: String, key: String,
              groupCol: String, valueCol: String, mvDir: String,
              checkpointDir: String): StreamingQuery =
-    ticker.writeStream
+    spark.readStream.format("graft-snapshot")
+      .option("changes", "stream").option("key", key)
+      .option("startingVersion", -1L)
+      .load(srcDir)
+      .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         catchUp(batch.sparkSession, srcDir, key, groupCol, valueCol,

@@ -73,23 +73,20 @@ class CdcRefreshStreamSpec extends SparkSpecBase {
     assert(mvRows(mv) == wantRows(src, 1L))
   }
 
-  test("attach: a streaming ticker keeps the view fresh across commits") {
-    import spark.implicits._
+  test("attach: the source's own changelog stream keeps the view fresh") {
     val root = Files.createTempDirectory("graft_cdcmv_stream").toString
-    val (src, mv, ticks) = (s"$root/src", s"$root/mv", s"$root/ticks")
+    val (src, mv) = (s"$root/src", s"$root/mv")
     val docs = Lake.documents(spark, Sf)
     SnapshotTable.write(spark, src, docs.filter("doc_id < 150"))
-    Seq(1L).toDF("tick").write.parquet(ticks)
-    val ticker = spark.readStream
-      .schema(Seq(1L).toDF("tick").schema).parquet(ticks)
-    val query = CdcRefreshStream.attach(ticker, src, "doc_id", "source",
+    // plain readStream → foreachBatch over the snapshot changelog
+    // source: commits themselves are the triggers, no side ticker
+    val query = CdcRefreshStream.attach(spark, src, "doc_id", "source",
       "n_chars", mv, s"$root/ckpt")
     try {
       query.processAllAvailable()
       assert(mvRows(mv) == wantRows(src, 0L))
-      // a new source commit + a new tick → the view advances
+      // a new source commit alone advances the view
       SnapshotTable.write(spark, src, docs)
-      Seq(2L).toDF("tick").write.mode("append").parquet(ticks)
       query.processAllAvailable()
       assert(mvRows(mv) == wantRows(src, 1L))
       assert(CdcRefreshStream.cursor(spark, mv).contains(1L))
