@@ -59,6 +59,14 @@ class SnapshotSource extends TableProvider with DataSourceRegister
     val dir = parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft-snapshot needs a table directory: .save(<dir>)"))
     val spark = sqlContext.sparkSession
+    // .option("autoindex", "minmax:doc_id,buckets:doc_id") persists the
+    // auto-index property BEFORE committing, so this write and every
+    // later commit rebuild the named sidecars — façade twin of
+    // SnapshotTable.write(..., autoIndex = …)
+    parameters.get("autoindex").foreach { spec =>
+      SnapshotStats.setAutoIndex(spark, dir,
+        spec.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+    }
     val empty = SnapshotTable.versions(spark, dir).isEmpty
     mode match {
       case Append | Overwrite => SnapshotTable.write(spark, dir, data)

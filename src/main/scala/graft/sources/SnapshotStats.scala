@@ -151,6 +151,111 @@ object SnapshotStats {
     v
   }
 
+  // ---------------------------------------------------------------------
+  // auto-maintained sidecars (persisted table property)
+  // ---------------------------------------------------------------------
+
+  private val AutoIndexFile = "_autoindex"
+
+  /** One parsed auto-index spec. Rendered/parsed as `minmax:<col>` or
+    * `buckets:<col>[:<n>]` (n defaults to 8192). */
+  private final case class IndexSpec(kind: String, column: String,
+                                     buckets: Int) {
+    def render: String =
+      if (kind == "minmax") s"minmax:$column" else s"buckets:$column:$buckets"
+  }
+
+  private def parseSpec(s: String): IndexSpec = s.trim.split(':') match {
+    case Array("minmax", c) =>
+      requireCol(c); IndexSpec("minmax", c, 0)
+    case Array("buckets", c) =>
+      requireCol(c); IndexSpec("buckets", c, 8192)
+    case Array("buckets", c, n) if n.nonEmpty && n.forall(_.isDigit) =>
+      requireCol(c)
+      val b = n.toInt
+      require(b > 0, s"bucket count must be positive: '$s'")
+      IndexSpec("buckets", c, b)
+    case _ => throw new IllegalArgumentException(
+      s"auto-index spec must be 'minmax:<col>' or 'buckets:<col>[:<n>]': '$s'")
+  }
+
+  /** Persist the table's auto-index property: from now on EVERY commit
+    * ([[SnapshotTable.write]], merge/delete/compact — they all commit
+    * through write — and branch publishes) rebuilds these sidecars for
+    * the new version at write time, so file pruning never silently
+    * lapses on a fresh commit. Specs are validated BEFORE anything
+    * lands on disk; an empty list clears the property. Stored as one
+    * small text file beside the refs, written with the same
+    * temp + atomic-rename discipline. */
+  def setAutoIndex(spark: SparkSession, dir: String,
+                   specs: Seq[String]): Unit = {
+    val parsed = specs.map(parseSpec) // fail fast — bad spec never persists
+    val f = fs(spark, dir)
+    val base = new Path(dir)
+    if (!f.exists(base)) f.mkdirs(base)
+    val target = new Path(base, AutoIndexFile)
+    if (parsed.isEmpty) { f.delete(target, false); return }
+    val tmp = new Path(base, s".$AutoIndexFile.tmp")
+    val out = f.create(tmp, true)
+    try out.write(parsed.map(_.render).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    f.delete(target, false)
+    if (!f.rename(tmp, target))
+      throw new java.io.IOException(
+        s"could not persist the auto-index property in $dir")
+  }
+
+  /** The persisted auto-index specs (empty when the property is unset). */
+  def autoIndexSpecs(spark: SparkSession, dir: String): Seq[String] = {
+    val f = fs(spark, dir)
+    val p = new Path(dir, AutoIndexFile)
+    if (!f.exists(p)) return Seq.empty
+    val in = f.open(p)
+    val body =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    body.split('\n').toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Build every persisted spec's sidecar for `version` — the hook
+    * [[SnapshotTable]] calls after each commit. Returns the specs
+    * applied (empty when the property is unset). */
+  def applyAutoIndex(spark: SparkSession, dir: String,
+                     version: Long): Seq[String] =
+    autoIndexSpecs(spark, dir).map { s =>
+      val spec = parseSpec(s)
+      if (spec.kind == "minmax")
+        indexMinMax(spark, dir, spec.column, Some(version))
+      else
+        indexBuckets(spark, dir, spec.column, spec.buckets, Some(version))
+      s
+    }
+
+  /** Every sidecar family on the table and the versions it has indexed,
+    * sorted — `describe`'s raw material for the staleness report. */
+  def sidecarFamilies(spark: SparkSession, dir: String)
+      : Seq[(String, String, Seq[Long])] = {
+    val f = fs(spark, dir)
+    val root = new Path(dir, StatsDir)
+    if (!f.exists(root)) return Seq.empty
+    f.listStatus(root).toSeq.map(_.getPath).flatMap { p =>
+      val n = p.getName
+      val parsed =
+        if (n.startsWith("minmax_")) Some(("minmax", n.stripPrefix("minmax_")))
+        else if (n.startsWith("buckets_"))
+          Some(("buckets", n.stripPrefix("buckets_")))
+        else None
+      parsed.map { case (kind, c) =>
+        val vs = f.listStatus(p).toSeq.map(_.getPath.getName)
+          .filter(_.startsWith("v="))
+          .map(_.stripPrefix("v="))
+          .filter(s => s.nonEmpty && s.forall(_.isDigit))
+          .map(_.toLong).sorted
+        (kind, c, vs)
+      }
+    }.sortBy(t => (t._1, t._2))
+  }
+
   /** Columns with a sidecar of each kind for version `v` — the cheap
     * existence probe the read path uses to decide whether pruning is
     * even on the table. */

@@ -91,6 +91,36 @@ object SnapshotTable {
       case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
     }
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Rebuild the table's persisted auto-index sidecars for a freshly
+    * committed version ([[SnapshotStats.setAutoIndex]]). Best-effort BY
+    * DESIGN: the commit marker already exists, so an indexing failure
+    * must not make the caller believe the write failed — it logs, the
+    * scan falls back to unpruned (correct, slower), and [[describe]]
+    * surfaces the staleness until someone re-indexes. */
+  private def autoIndexAfterCommit(spark: SparkSession, dir: String,
+                                   v: Long): Unit =
+    try {
+      val applied = SnapshotStats.applyAutoIndex(spark, dir, v)
+      if (applied.nonEmpty)
+        log.info(s"auto-indexed $dir v=$v: ${applied.mkString(", ")}")
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        log.warn(s"auto-index of $dir v=$v failed — the commit stands, " +
+          "but pruning is stale until re-indexed (describe shows it)", e)
+    }
+
+  /** [[write]] that also persists the auto-index property first: this
+    * commit AND every later one (by any writer) rebuilds the named
+    * sidecars at write time — `autoIndex = Seq("minmax:doc_id",
+    * "buckets:doc_id:8192")`. */
+  def write(spark: SparkSession, dir: String, df: DataFrame,
+            autoIndex: Seq[String]): Long = {
+    SnapshotStats.setAutoIndex(spark, dir, autoIndex)
+    write(spark, dir, df)
+  }
+
   /** Commit `df` as the next version; returns the version number.
     * Safe under concurrent writers — see the claim protocol above. */
   def write(spark: SparkSession, dir: String, df: DataFrame): Long = {
@@ -113,6 +143,7 @@ object SnapshotTable {
       throw new IllegalStateException(
         s"commit marker for v=$v already exists in $dir despite our claim")
     f.delete(new Path(base, s"$ClaimPrefix$v"), false)
+    autoIndexAfterCommit(spark, dir, v)
     v
   }
 
@@ -437,6 +468,50 @@ object SnapshotTable {
     write(spark, dir, read(spark, dir).repartition(targetFiles))
   }
 
+  /** Table metadata report — one (kind, name, value) row per fact:
+    * commit history, refs (tags/branches), the persisted auto-index
+    * property, and per-sidecar-family FRESHNESS (`fresh @ v=N` vs
+    * `STALE: indexed v=M, latest v=N`), so an operator sees at a glance
+    * whether file pruning is live on the table's head or has lapsed
+    * (e.g. a commit made before the property was set, or a crashed
+    * auto-index). Driver-only metadata listing — no data read. */
+  def describe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val f = fs(spark, dir)
+    val vs = versions(spark, dir)
+    val latest = vs.lastOption
+    val header = Seq(
+      ("table", "location", dir),
+      ("table", "versions",
+        if (vs.isEmpty) "none"
+        else s"${vs.size} committed (v=${vs.head}..v=${vs.last})"),
+      ("table", "latest", latest.map(v => s"v=$v").getOrElse("none")))
+    val tagRows = tags(spark, dir).toSeq.sortBy(_._1)
+      .map { case (n, v) => ("tag", n, s"v=$v") }
+    val branchRows =
+      if (!f.exists(new Path(dir))) Seq.empty
+      else f.listStatus(new Path(dir)).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith(BranchPrefix)).map(_.stripPrefix(BranchPrefix))
+        .sorted.flatMap(n => branchVersion(spark, dir, n)
+          .map(v => ("branch", n, s"v=$v")))
+    val propRows = SnapshotStats.autoIndexSpecs(spark, dir)
+      .map(s => ("autoindex", s, "rebuilt on every commit"))
+    val sidecarRows = SnapshotStats.sidecarFamilies(spark, dir)
+      .map { case (kind, c, indexed) =>
+        val name = s"$kind:$c"
+        val state = (latest, indexed.lastOption) match {
+          case (Some(l), Some(i)) if i >= l => s"fresh @ v=$l"
+          case (Some(l), Some(i)) =>
+            s"STALE: indexed v=$i, latest v=$l — pruning off at head"
+          case (None, _) => "no committed version"
+          case (_, None) => "no indexed version"
+        }
+        ("sidecar", name, state)
+      }
+    (header ++ tagRows ++ branchRows ++ propRows ++ sidecarRows)
+      .toDF("kind", "name", "value")
+  }
+
   private val TagPrefix = "_tag_"
 
   private def requireRefName(name: String): Unit =
@@ -593,6 +668,7 @@ object SnapshotTable {
     if (!atomicCreate(f, new Path(dir, s"$MarkerPrefix$v")))
       throw new IllegalStateException(s"v=$v of $dir is already committed")
     f.delete(new Path(dir, s"$StagedPrefix$v"), false)
+    autoIndexAfterCommit(spark, dir, v)
     v
   }
 
@@ -700,6 +776,10 @@ object SnapshotTable {
           }
       }
       unlock()
+      // auto-index AFTER the transaction completes (outside the locks —
+      // sidecars are per-immutable-version, so no reader can race them);
+      // recovery-path promotions don't re-index: describe shows it
+      resolved.foreach { case (d, v) => autoIndexAfterCommit(spark, d, v) }
       resolved.toMap
     } finally {
       // no-op on success (already unlocked); releases on pre-journal

@@ -273,4 +273,73 @@ class SnapshotSourceSpec extends SparkSpecBase {
     d2.write.format("graft-snapshot").mode("ignore").save(wdir)
     assert(SnapshotTable.versions(spark, wdir) == Seq(0L, 1L, 2L))
   }
+
+  test("auto-index property keeps pruning live across commits") {
+    val d = new java.io.File(
+      java.nio.file.Files.createTempDirectory("graft_snap_auto").toFile,
+      "t").getAbsolutePath
+    def clustered(n: Long) = spark.range(n).select(col("id").as("k"),
+      (col("id") % 4).cast("string").as("s"))
+      .repartitionByRange(4, col("k"))
+    // v0: the write itself persists the property AND indexes v0
+    SnapshotTable.write(spark, d, clustered(40),
+      autoIndex = Seq("minmax:k"))
+    val v0 = spark.read.format("graft-snapshot").load(d)
+      .filter(col("k") < 10)
+    assert(scannedFiles(v0).length < 4,
+      "the autoIndex write must leave v0 pruned-readable")
+    // v1: a PLAIN write — no autoIndex argument — must stay pruned,
+    // because the property persisted; this is the "never silently
+    // lapses" contract
+    SnapshotTable.write(spark, d, clustered(80))
+    val v1 = spark.read.format("graft-snapshot").load(d)
+      .filter(col("k") < 10)
+    val files = scannedFiles(v1)
+    assert(files.length < 4 && files.nonEmpty,
+      s"a v+1 commit with the property set must keep pruning: $files")
+    assert(v1.collect().map(_.getLong(0)).sorted.toSeq == (0L until 10L),
+      "pruned v1 read lost or gained rows")
+    // façade write path twin: option("autoindex") persists + indexes
+    val d2 = new java.io.File(
+      java.nio.file.Files.createTempDirectory("graft_snap_auto2").toFile,
+      "t").getAbsolutePath
+    clustered(40).write.format("graft-snapshot")
+      .option("autoindex", "minmax:k").save(d2)
+    assert(scannedFiles(spark.read.format("graft-snapshot").load(d2)
+      .filter(col("k") < 10)).length < 4,
+      "option(autoindex) write must index its own commit")
+    // a malformed spec fails BEFORE anything persists
+    intercept[IllegalArgumentException] {
+      SnapshotStats.setAutoIndex(spark, d2, Seq("zonemap=k"))
+    }
+    assert(SnapshotStats.autoIndexSpecs(spark, d2) == Seq("minmax:k"),
+      "a rejected spec must not clobber the persisted property")
+  }
+
+  test("describe surfaces refs, the property, and sidecar staleness") {
+    val d = new java.io.File(
+      java.nio.file.Files.createTempDirectory("graft_snap_desc").toFile,
+      "t").getAbsolutePath
+    def frame(n: Long) = spark.range(n).select(col("id").as("k"),
+      (col("id") % 4).cast("string").as("s"))
+      .repartitionByRange(4, col("k"))
+    SnapshotTable.write(spark, d, frame(40))
+    SnapshotStats.indexMinMax(spark, d, "k") // v0 indexed manually
+    SnapshotTable.tag(spark, d, "prod", 0L)
+    SnapshotTable.write(spark, d, frame(80)) // v1: NOT indexed (no property)
+    val rows = SnapshotTable.describe(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    assert(rows(("table", "latest")) == "v=1")
+    assert(rows(("tag", "prod")) == "v=0")
+    assert(rows(("sidecar", "minmax:k")).contains("STALE"),
+      s"v1 has no sidecar — describe must say so: $rows")
+    // setting the property + committing v2 makes the head fresh again
+    SnapshotStats.setAutoIndex(spark, d, Seq("minmax:k"))
+    SnapshotTable.write(spark, d, frame(20))
+    val after = SnapshotTable.describe(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    assert(after(("autoindex", "minmax:k")).nonEmpty)
+    assert(after(("sidecar", "minmax:k")) == "fresh @ v=2",
+      s"auto-indexed head must describe as fresh: $after")
+  }
 }
