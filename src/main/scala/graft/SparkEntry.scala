@@ -900,6 +900,9 @@ object SparkEntry {
     // Aggregate answered THROUGH the materialized-view rewrite rule
     "q_mv_rewrite"        -> ((s: SparkSession, d: String) =>
       graft.plans.MvRewrite.rewriteQuery(s, d)),
+    // Join answered THROUGH the join-view rewrite rule
+    "q_mv_join_rewrite"   -> ((s: SparkSession, d: String) =>
+      graft.plans.MvRewrite.joinRewriteQuery(s, d)),
     // Scene cuts through the REAL multi-frame GIF container (LZW codec)
     "q_gif_scene_cuts"    -> ((s: SparkSession, d: String) =>
       GifCodec.gifSceneCuts(s, d)),
@@ -10701,6 +10704,17 @@ object SparkEntry {
         |    2) AS revenue,
         |  CAST(count(*) AS BIGINT) AS n_orders
         |FROM orders WHERE o_orderstatus IN ('F', 'O')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // JOIN-view rewrite: the oracle recomputes the REAL join — a wrong
+    // rewrite (lost rows, broken fan-out, mis-replayed side filter)
+    // hash-mismatches here.
+    "q_mv_join_rewrite" ->
+      """SELECT o_orderpriority,
+        |  round(cast(sum(cast(o_totalprice AS decimal(18,2))) AS double),
+        |    2) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 

@@ -6,7 +6,8 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.functions.{col, count, lit, sum}
@@ -102,6 +103,50 @@ object MvRewrite {
   def deregister(spark: SparkSession, basePath: String): Unit =
     registry.remove(key(spark, basePath))
 
+  /** A registered JOIN view: `mvPath` holds the parquet of
+    * `A ⋈ B ON A.keyA = B.keyB` — ALL columns of both sides, so any
+    * column-pruned query over the same join resolves in the view by
+    * name. Column names must be globally disjoint across the two sides
+    * (the TPC-H prefix convention), or the view's columns would be
+    * ambiguous; [[registerJoin]] enforces it. */
+  case class JoinDef(name: String, pathA: String, keyA: String,
+                     pathB: String, keyB: String, mvPath: String)
+
+  // keyed by (session UUID, canonical pathA, canonical pathB) — the
+  // rule also probes the swapped order (inner join commutes)
+  private val joinRegistry = TrieMap.empty[(String, String, String), JoinDef]
+
+  /** Build the join-view parquet and register it: any later
+    * `scan(pathA) ⋈ scan(pathB) ON keyA = keyB` inner join in this
+    * session — in either order, column-pruned or side-filtered — is
+    * answered from the view instead of re-joining the bases. Same
+    * re-registration discipline as [[register]]: the prior entry is
+    * removed BEFORE the rebuild so the build itself cannot be rewritten
+    * onto the directory it is overwriting, and a failed rebuild leaves
+    * the pair unregistered (fall back to the real join, never wrong). */
+  def registerJoin(spark: SparkSession, name: String,
+                   pathA: String, keyA: String,
+                   pathB: String, keyB: String, mvPath: String): JoinDef = {
+    joinRegistry.remove((sessionKey(spark), canon(pathA), canon(pathB)))
+    val a = spark.read.parquet(pathA)
+    val b = spark.read.parquet(pathB)
+    require(a.columns.contains(keyA), s"'$keyA' is not a column of $pathA")
+    require(b.columns.contains(keyB), s"'$keyB' is not a column of $pathB")
+    val clash = a.columns.toSet & b.columns.toSet
+    require(clash.isEmpty,
+      s"join-view sides must have disjoint column names; shared: $clash")
+    a.join(b, a(keyA) === b(keyB), "inner")
+      .write.mode("overwrite").parquet(mvPath)
+    val d = JoinDef(name, pathA, keyA, pathB, keyB, mvPath)
+    joinRegistry.put((sessionKey(spark), canon(pathA), canon(pathB)), d)
+    installRule(spark)
+    d
+  }
+
+  def deregisterJoin(spark: SparkSession, pathA: String,
+                     pathB: String): Unit =
+    joinRegistry.remove((sessionKey(spark), canon(pathA), canon(pathB)))
+
   /** Idempotently append the rewrite rule to the session's user-rule
     * optimizer batch. */
   def installRule(spark: SparkSession): Unit = synchronized {
@@ -116,10 +161,13 @@ object MvRewrite {
   final class RewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
     override def apply(plan: LogicalPlan): LogicalPlan = {
-      if (registry.isEmpty) return plan
+      if (registry.isEmpty && joinRegistry.isEmpty) return plan
       plan.transformUp {
-        case agg @ Aggregate(grouping, aggExprs, child, _) =>
+        case agg @ Aggregate(grouping, aggExprs, child, _)
+            if registry.nonEmpty =>
           rewrite(agg, grouping, aggExprs, child).getOrElse(agg)
+        case j: Join if joinRegistry.nonEmpty =>
+          rewriteJoin(j).getOrElse(j)
       }
     }
 
@@ -229,6 +277,93 @@ object MvRewrite {
       }
       Some(Aggregate(newGrouping, newAggExprs, filtered))
     }
+
+    /** Single-root scan path of a relation, or None (multi-root scans
+      * must never match — same hazard as the aggregate rewrite). */
+    private def scanRoot(lr: LogicalRelation): Option[String] =
+      lr.relation match {
+        case fs: HadoopFsRelation if fs.location.rootPaths.length == 1 =>
+          Some(fs.location.rootPaths.head.toUri.getPath)
+        case _ => None
+      }
+
+    /** Swap a matching `scan(A) ⋈ scan(B) ON keyA = keyB` inner join —
+      * in either side order, through attribute-only Projects and
+      * side-local Filters — for a Project over the view scan, aliased
+      * back to the ORIGINAL output exprIds so parents resolve unchanged.
+      * Side filters replay above the view (every side column exists in
+      * the view by name), where parquet pushdown re-plans them against
+      * the (join-cardinality-sized) view scan. */
+    private def rewriteJoin(j: Join): Option[LogicalPlan] = {
+      if (!spark.conf.get("spark.graft.mv.rewrite.enabled", "true")
+        .toBoolean) return None
+      if (j.joinType != Inner) return None
+      val cond = j.condition match {
+        case Some(c) => c
+        case None => return None
+      }
+      val (lrL, condsL) = unwrap(j.left) match {
+        case Some(x) => x
+        case None => return None
+      }
+      val (lrR, condsR) = unwrap(j.right) match {
+        case Some(x) => x
+        case None => return None
+      }
+      val pL = scanRoot(lrL) match {
+        case Some(p) => p
+        case None => return None
+      }
+      val pR = scanRoot(lrR) match {
+        case Some(p) => p
+        case None => return None
+      }
+      val sk = sessionKey(spark)
+      val d = joinRegistry.get((sk, pL, pR))
+        .orElse(joinRegistry.get((sk, pR, pL))) match {
+        case Some(x) => x
+        case None => return None
+      }
+      // which physical side is the registered A?
+      val aSide = if (canon(d.pathA) == pL) lrL else lrR
+      val bSide = if (aSide eq lrL) lrR else lrL
+      if (canon(d.pathA) != scanRoot(aSide).get ||
+          canon(d.pathB) != scanRoot(bSide).get) return None
+      // the condition must be exactly the registered key equality,
+      // each attr anchored to its own side's scan
+      val keyOk = cond match {
+        case EqualTo(x: AttributeReference, y: AttributeReference) =>
+          (x.name == d.keyA && y.name == d.keyB &&
+            aSide.outputSet.contains(x) && bSide.outputSet.contains(y)) ||
+          (x.name == d.keyB && y.name == d.keyA &&
+            bSide.outputSet.contains(x) && aSide.outputSet.contains(y))
+        case _ => false
+      }
+      if (!keyOk) return None
+      val conds = condsL ++ condsR
+      if (!conds.forall(_.deterministic)) return None
+      val mvRel = spark.read.parquet(d.mvPath).queryExecution.analyzed
+      val byName = mvRel.output.map(a => a.name -> a).toMap
+      // a duplicated output name cannot map unambiguously (self-join or
+      // drifted side schemas) — bail; so does any output or filter
+      // column the view lacks, or a dtype drift since the view build
+      val outNames = j.output.map(_.name)
+      if (outNames.distinct.size != outNames.size) return None
+      if (!j.output.forall(a => byName.get(a.name)
+        .exists(_.dataType == a.dataType))) return None
+      if (!conds.forall(_.references.forall(r => byName.contains(r.name))))
+        return None
+      val remapped = conds.map(_.transform {
+        case a: AttributeReference => byName(a.name)
+      })
+      val filtered = remapped.foldLeft(mvRel: LogicalPlan)(
+        (p, c) => Filter(c, p))
+      val outExprs: Seq[NamedExpression] = j.output.map { a =>
+        Alias(byName(a.name), a.name)(exprId = a.exprId,
+          qualifier = a.qualifier)
+      }
+      Some(Project(outExprs, filtered))
+    }
   }
 
   /** Registered-query form: builds a small view over `orders`, answers
@@ -263,5 +398,35 @@ object MvRewrite {
         .localCheckpoint(true) // execute (through the rewrite) NOW,
                                // inside the registration window
     } finally deregister(spark, base)
+  }
+
+  /** Registered-query form of the JOIN rewrite: builds the
+    * orders ⋈ customer view, answers a side-filtered priority report
+    * THROUGH the rewrite (the optimized plan scans the view — asserted
+    * in MvRewriteSpec), and cleans up. The DuckDB oracle recomputes the
+    * real join, so a wrong rewrite (lost rows, broken fan-out,
+    * mis-replayed side filter) hash-mismatches every round. */
+  def joinRewriteQuery(spark: SparkSession, dir: String): DataFrame = {
+    val ordersP = s"$dir/orders.parquet"
+    val custP = s"$dir/customer.parquet"
+    val mvPath = new java.io.File(
+      new java.io.File(sys.props("java.io.tmpdir"), "graft_mv"),
+      s"orders_cust_${Math.floorMod(canon(dir).hashCode.toLong, 1L << 20)}")
+      .getAbsolutePath
+    registerJoin(spark, "orders_x_customer",
+      ordersP, "o_custkey", custP, "c_custkey", mvPath)
+    try {
+      import org.apache.spark.sql.functions.round
+      spark.read.parquet(ordersP)
+        .join(spark.read.parquet(custP),
+          col("o_custkey") === col("c_custkey"), "inner")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .groupBy(col("o_orderpriority"))
+        .agg(round(sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("double"), 2).as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderpriority"))
+        .localCheckpoint(true) // execute through the rewrite NOW
+    } finally deregisterJoin(spark, ordersP, custP)
   }
 }

@@ -159,6 +159,113 @@ class MvRewriteSpec extends SparkSpecBase {
     }
   }
 
+  private val ordersP = s"$Sf/orders.parquet"
+  private val custP = s"$Sf/customer.parquet"
+  private val jvDir = {
+    val d = java.nio.file.Files.createTempDirectory("graft_mv_join")
+    d.toFile.deleteOnExit()
+    new java.io.File(d.toFile, "mv_join").getAbsolutePath
+  }
+
+  private def withJoinView[A](f: => A): A = {
+    MvRewrite.registerJoin(spark, "orders_x_customer",
+      ordersP, "o_custkey", custP, "c_custkey", jvDir)
+    try f finally MvRewrite.deregisterJoin(spark, ordersP, custP)
+  }
+
+  /** Run `q` with the rewrite conf-gated OFF — the reference values. */
+  private def withoutRewrite[A](f: => A): A = {
+    spark.conf.set("spark.graft.mv.rewrite.enabled", "false")
+    try f finally spark.conf.set("spark.graft.mv.rewrite.enabled", "true")
+  }
+
+  test("join-view: matching inner join rewrites to the view, values unchanged") {
+    def q() = spark.read.parquet(ordersP)
+      .join(spark.read.parquet(custP),
+        col("o_custkey") === col("c_custkey"), "inner")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("double"), 2).as("revenue"))
+      .orderBy(col("o_orderpriority"))
+    val want = q().collect()
+    withJoinView {
+      val df = q()
+      val paths = scanPaths(df)
+      assert(paths.exists(_.contains("mv_join")),
+        s"join not rewritten to the view: $paths")
+      assert(!paths.exists(_.contains("orders.parquet")),
+        "plan still scans the base fact table")
+      assert(df.collect().toSeq == want.toSeq)
+      // the swapped side order rewrites too (inner join commutes)
+      def sw() = spark.read.parquet(custP)
+        .join(spark.read.parquet(ordersP),
+          col("c_custkey") === col("o_custkey"), "inner")
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+        .orderBy(col("c_mktsegment"))
+      assert(scanPaths(sw()).exists(_.contains("mv_join")),
+        "swapped-order join must also rewrite")
+      val swWant = withoutRewrite { sw().collect() }
+      assert(sw().collect().toSeq == swWant.toSeq)
+    }
+  }
+
+  test("join-view teeth: non-matching joins stay on the base") {
+    withJoinView {
+      // outer joins must never rewrite (the view is the INNER join)
+      val outer = spark.read.parquet(ordersP)
+        .join(spark.read.parquet(custP),
+          col("o_custkey") === col("c_custkey"), "left")
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      assert(!scanPaths(outer).exists(_.contains("mv_join")),
+        "a left join must not rewrite")
+      // a different key equality is a different join
+      val wrongKey = spark.read.parquet(ordersP)
+        .join(spark.read.parquet(custP),
+          col("o_orderkey") === col("c_custkey"), "inner")
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      assert(!scanPaths(wrongKey).exists(_.contains("mv_join")),
+        "a different join key must not rewrite")
+      // a different table pair stays untouched
+      val otherPair = spark.read.parquet(s"$Sf/lineitem.parquet")
+        .join(spark.read.parquet(ordersP),
+          col("l_orderkey") === col("o_orderkey"), "inner")
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      assert(!scanPaths(otherPair).exists(_.contains("mv_join")),
+        "an unregistered pair must not rewrite")
+    }
+    // deregistered: the matching join reads the bases again
+    val after = spark.read.parquet(ordersP)
+      .join(spark.read.parquet(custP),
+        col("o_custkey") === col("c_custkey"), "inner")
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+    assert(!scanPaths(after).exists(_.contains("mv_join")),
+      "deregisterJoin must disable the rewrite")
+  }
+
+  test("registered q_mv_join_rewrite: view-answered, base-identical, clean") {
+    val out = MvRewrite.joinRewriteQuery(spark, Sf).collect()
+    assert(out.nonEmpty)
+    val want = spark.read.parquet(ordersP)
+      .join(spark.read.parquet(custP),
+        col("o_custkey") === col("c_custkey"), "inner")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .groupBy(col("o_orderpriority"))
+      .agg(round(sum(col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double"), 2).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority")).collect()
+    assert(out.toSeq == want.toSeq)
+    // the registration window is closed
+    val probe = spark.read.parquet(ordersP)
+      .join(spark.read.parquet(custP),
+        col("o_custkey") === col("c_custkey"), "inner")
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+    assert(!scanPaths(probe).exists(_.contains("graft_mv")),
+      "q_mv_join_rewrite must deregister its view")
+  }
+
   test("registered q_mv_rewrite leaves no session-global registration") {
     val out = MvRewrite.rewriteQuery(spark, Sf).collect()
     assert(out.nonEmpty)
