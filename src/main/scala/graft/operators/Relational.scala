@@ -1063,7 +1063,26 @@ object Relational {
     * ≥2-orders threshold is structural: leave-LAST-out needs at least
     * one training order to remain). */
   def cfHitRate(spark: SparkSession, dir: String,
-                minPairSupport: Long = 2, k: Int = 5): DataFrame = {
+                minPairSupport: Long = 2, k: Int = 5): DataFrame =
+    cfHitRate(spark, dir, minPairSupport, k, None)
+
+  /** [[cfHitRate]] with an optional pass-by-pass timing sink
+    * (`graft.CfEvalProfile` drives it): when `timings` is given, each
+    * internal stage is force-materialized in order and its wall time
+    * appended — zero overhead in the None path (the stages materialize
+    * exactly as before, lazily through their consumers). */
+  private[graft] def cfHitRate(spark: SparkSession, dir: String,
+                minPairSupport: Long, k: Int,
+                timings: Option[scala.collection.mutable.Buffer[(String, Double)]])
+      : DataFrame = {
+    def timed[A](name: String)(body: => A): A = timings match {
+      case None => body
+      case Some(buf) =>
+        val t0 = System.nanoTime()
+        val r = body
+        buf += name -> (System.nanoTime() - t0) / 1e9
+        r
+    }
     val d6 = DecimalType(18, 6)
     val wC = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
@@ -1117,10 +1136,13 @@ object Relational {
     // stream; beyond the cap, fall back to the shuffle join. The counts
     // double as eager materialization of the persisted frames.
     val maxBroadcastRows = 1L << 20
-    val nPairs = sims.count()
+    // profile mode only: materialize the train slice on its own first,
+    // so the sims timing below measures the pair+cosine retrain alone
+    timings.foreach { _ => timed("train_slice") { tli.count() } }
+    val nPairs = timed("retrain_sims") { sims.count() }
     val simBothJ =
       if (2 * nPairs <= maxBroadcastRows) broadcast(simBoth) else simBoth
-    val nEval = heldItem.count()
+    val nEval = timed("held_out_eval_pop") { heldItem.count() }
     val heldB =
       if (nEval <= maxBroadcastRows) broadcast(heldItem) else heldItem
     // owned is consumed twice (scoring src side + held-item-exempt
@@ -1128,6 +1150,7 @@ object Relational {
     val owned = tli.select(col("custkey"), col("l_partkey").as("item"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    timings.foreach { _ => timed("owned_distinct") { owned.count() } }
     // candidate exclusion EXEMPTS the held item: a customer who already
     // bought the held-out part in a training order must still be able to
     // hit it, else the denominator counts structurally-impossible evals
@@ -1156,7 +1179,7 @@ object Relational {
     val hs = hits.agg(count(lit(1)).as("n_hits"),
       coalesce(sum(round(lit(1.0) / col("rnk"), 6).cast(d6)),
         lit(java.math.BigDecimal.ZERO).cast(d6)).as("srr"))
-    val out = ne.crossJoin(broadcast(hs))
+    val readout = ne.crossJoin(broadcast(hs))
       // terminating quotients → exact integer half-up ([[ExactRound]]):
       // hit_rate is count/count; mrr is a 6-dp decimal sum over a count
       // read out at 4 dp, so the denominator carries the 10² rescale
@@ -1166,7 +1189,7 @@ object Relational {
           .cast("double") / 1e4).as("hit_rate"),
         (ExactRound.halfUpPos("s6", "100 * n_eval")
           .cast("double") / 1e4).as("mrr"))
-      .localCheckpoint(true)
+    val out = timed("score_rank_readout") { readout.localCheckpoint(true) }
     heldItem.unpersist(false)
     tli.unpersist(false)
     itemN.unpersist(false)
