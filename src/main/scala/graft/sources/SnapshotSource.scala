@@ -282,7 +282,12 @@ object SnapshotSource {
     * and plans the scan over only the files whose [min,max] overlaps
     * the predicate (SnapshotSourceSpec asserts the file count drops;
     * this query puts the pruned plan's VALUES behind the DuckDB oracle,
-    * so a wrong skip hash-mismatches every round). */
+    * so a wrong skip hash-mismatches every round).
+    *
+    * Bench note: the table is DELIBERATELY rebuilt (write + index) per
+    * invocation so the pruned read path sits behind the oracle every
+    * round — its bench time therefore measures mostly setup write cost,
+    * not the pruned scan. */
   def prunedReadQuery(spark: SparkSession, lakeDir: String)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
@@ -313,7 +318,11 @@ object SnapshotSource {
     * skip the files that provably lack the keys' hash buckets
     * (SnapshotSourceSpec asserts the file count; this query puts the
     * bucket-pruned plan's VALUES behind the DuckDB oracle — a
-    * false-negative bucket set loses rows and hash-mismatches). */
+    * false-negative bucket set loses rows and hash-mismatches).
+    *
+    * Bench note: like [[prunedReadQuery]], the per-invocation rebuild is
+    * deliberate (oracle coverage of the pruned path beats a cached
+    * fixture); its bench time is dominated by the setup write. */
   def pointLookupQuery(spark: SparkSession, lakeDir: String)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
