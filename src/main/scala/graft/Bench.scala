@@ -82,6 +82,9 @@ object Bench {
     val spark = GraftSession.builder("graft-bench", Some(s"local[$cpus]"), cpus.toInt)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // bound the long sweep's shuffle-file backlog (see Verify: the
+      // sf10 sweep hit ENOSPC from cleaner lag before this was set)
+      .config("spark.cleaner.periodicGC.interval", "5min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // stable artifact root (see Verify): bench runs measure QUERY cost,

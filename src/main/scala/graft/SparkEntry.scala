@@ -6109,16 +6109,17 @@ object SparkEntry {
         |    THEN s2 * (1.0 / n_a + 1.0 / n_b) END AS vn,
         |  m_b - m_a AS delta FROM s2t),
         |lt AS (SELECT *, CASE WHEN vn > 0 THEN
-        |    sqrt(vn / (vn + 25.0)) *
-        |      exp(delta * delta * 25.0 / (2.0 * vn * (vn + 25.0))) END AS lam
+        |    0.5 * ln(vn / (vn + 25.0)) +
+        |      delta * delta * 25.0 / (2.0 * vn * (vn + 25.0)) END AS loglam
         |  FROM vt),
         |pt AS (SELECT *,
-        |  CASE WHEN lam IS NOT NULL THEN least(1.0, 1.0 / lam) END AS p_raw
+        |  CASE WHEN loglam IS NOT NULL THEN least(1.0, exp(-loglam)) END
+        |    AS p_raw
         |  FROM lt),
         |fin AS (SELECT *, min(p_raw) OVER (ORDER BY day ROWS BETWEEN
         |    UNBOUNDED PRECEDING AND CURRENT ROW) AS p_always FROM pt)
         |SELECT day, n_a, n_b, round(delta, 4) AS lift,
-        |  round(lam, 6) AS lambda, round(p_always, 6) AS p_always,
+        |  round(loglam, 6) AS log_lambda, round(p_always, 6) AS p_always,
         |  p_always <= 0.05 AS significant
         |FROM fin ORDER BY day""".stripMargin,
     // Bot screen: exact epoch-µs gaps (deterministic (ts, event_id) lag
@@ -6249,11 +6250,11 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
         |tm AS (SELECT d_d,
         |    CAST(round(CAST(s1e_d AS DOUBLE)
-        |      - d_d * CAST(rs1 AS DOUBLE) / nr, 8) AS DECIMAL(18,8))
+        |      - d_d * CAST(rs1 AS DOUBLE) / nr, 8) AS DECIMAL(28,8))
         |      AS u_t,
         |    CAST(round(d_d * (CAST(rs2 AS DOUBLE) / nr
         |      - (CAST(rs1 AS DOUBLE) / nr) * (CAST(rs1 AS DOUBLE) / nr)),
-        |      8) AS DECIMAL(18,8)) AS i_t
+        |      8) AS DECIMAL(28,8)) AS i_t
         |  FROM rk WHERE d_d > 0),
         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_customers FROM b),
         |ag AS (SELECT CAST(sum(d_d) AS BIGINT) AS n_events,
@@ -10110,18 +10111,22 @@ object SparkEntry {
         |  FROM b GROUP BY 1),
         |h AS (SELECT *,
         |    CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s AS vd
-        |  FROM g)
+        |  FROM g),
+        |h2 AS (SELECT *,
+        |    CAST(s AS HUGEINT) * s * (n - 1) * 1000 AS ka,
+        |    CAST(n AS HUGEINT) * vd AS kd
+        |  FROM h),
+        |h3 AS (SELECT *, ka // kd AS kq1, ka % kd AS kr1 FROM h2)
         |SELECT c_mktsegment, n AS n_orders,
         |  CAST((2 * 100 * CAST(s AS HUGEINT) + n) // (2 * n) AS BIGINT)
         |    / 10000.0 AS mean_value,
-        |  CAST((2 * CAST(s AS HUGEINT) * s * (n - 1) * 1000000
-        |      + CAST(n AS HUGEINT) * vd)
-        |    // (2 * CAST(n AS HUGEINT) * vd) AS BIGINT) / 1000000.0
+        |  CAST(1000 * kq1
+        |      + (2 * 1000 * kr1 + kd) // (2 * kd) AS BIGINT) / 1000000.0
         |    AS shape_k,
         |  CAST((2 * vd * 10000 + CAST(s AS HUGEINT) * (n - 1) * 100)
         |    // (2 * CAST(s AS HUGEINT) * (n - 1) * 100) AS BIGINT)
         |    / 10000.0 AS scale_theta
-        |FROM h ORDER BY c_mktsegment""".stripMargin,
+        |FROM h3 ORDER BY c_mktsegment""".stripMargin,
     // Isotropy: per-dim decimal sums squared over n x mean norm-squared,
     // one HUGEINT ratio.
     "q_embedding_isotropy" ->

@@ -23,6 +23,14 @@ object Verify {
     val spark = GraftSession.builder("graft-verify", Some(s"local[$cpus]"), cpus.toInt)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // one session runs ~400 queries back-to-back: shuffle files live
+      // until the ContextCleaner GCs their driver-side handles, and with
+      // a large driver heap full GCs are rare — at sf10 the accumulated
+      // spill filled the disk mid-sweep (ENOSPC in q_containment's
+      // exchange). The cleaner's periodic GC (default 30 min) is the
+      // designed backstop; 5 min bounds the on-disk shuffle backlog to a
+      // few queries' worth at any SF.
+      .config("spark.cleaner.periodicGC.interval", "5min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // stable artifact root (unless the deployment names one): lets a

@@ -1292,16 +1292,23 @@ object EventOps {
       .withColumn("vn", when(col("n_a") > 0 && col("n_b") > 0,
         col("s2") * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))))
       .withColumn("delta", col("m_b") - col("m_a"))
-      .withColumn("lam", when(col("vn") > 0,
-        sqrt(col("vn") / (col("vn") + lit(tau2))) *
-          exp(col("delta") * col("delta") * lit(tau2) /
-            (lit(2.0) * col("vn") * (col("vn") + lit(tau2))))))
-      .withColumn("p_raw", when(col("lam").isNotNull,
-        least(lit(1.0), lit(1.0) / col("lam"))))
+      // Λ is reported in LOG space: at sf10 the raw mixture ratio
+      // reaches ~8·10¹² and the engines' libm exp() implementations
+      // split at the last repr digit (the decade sweep's catch; a
+      // double overflow to Inf waits a decade later). ln Λ =
+      // ½·ln(V/(V+τ²)) + δ²τ²/(2V(V+τ²)) never overflows, stays ~O(30),
+      // and rounds stably at 6 dp; the p-process uses exp(−lnΛ), which
+      // lives in [0,1] where 6-dp rounding absorbs any ulp split.
+      .withColumn("loglam", when(col("vn") > 0,
+        lit(0.5) * log(col("vn") / (col("vn") + lit(tau2))) +
+          col("delta") * col("delta") * lit(tau2) /
+            (lit(2.0) * col("vn") * (col("vn") + lit(tau2)))))
+      .withColumn("p_raw", when(col("loglam").isNotNull,
+        least(lit(1.0), exp(-col("loglam")))))
       .withColumn("p_always", min(col("p_raw")).over(wCum))
     cum.select(col("day"), col("n_a"), col("n_b"),
         round(col("delta"), 4).as("lift"),
-        round(col("lam"), 6).as("lambda"),
+        round(col("loglam"), 6).as("log_lambda"),
         round(col("p_always"), 6).as("p_always"),
         (col("p_always") <= alpha).as("significant"))
       .orderBy(col("day"))

@@ -421,7 +421,12 @@ object GraphOps {
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val m = cnn.count()
-    require(m > 0, "modularity needs at least one edge")
+    require(m > 0, "modularity needs at least one edge — an empty " +
+      "kNN-pair frame usually means every LSH bucket exceeded the " +
+      "hot-bucket cap (a saturated/duplicated corpus: the sf10 ScaleUp " +
+      "lake, where every vector has ~100 near-identical clones, empties " +
+      "the artifact this way); near-dedup the corpus first, or rebuild " +
+      "the artifact with a larger maxBucketSize")
     val assign = labelAssignments(edges0, iters) // checkpointed
     val eIn = cnn
       .join(assign.select(col("node").as("a"), col("label").as("la")), "a")

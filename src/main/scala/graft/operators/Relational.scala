@@ -2009,7 +2009,11 @@ object Relational {
   def coxChurn(spark: SparkSession, dir: String,
                horizonDays: Int = 90): DataFrame = {
     val d4 = DecimalType(18, 4)
-    val d8 = DecimalType(18, 8)
+    // (28,8), not (18,8): the per-duration information term d·Var(x)
+    // crossed 10 integer digits at sf10 (1.1e10 — the decade sweep's
+    // catch, same class as the sf1 crossings); 20 integer digits buys
+    // the next three decades. Oracle stages DECIMAL(28,8) identically.
+    val d8 = DecimalType(28, 8)
     val perCust = Lake.orders(spark, dir)
       .groupBy(col("o_custkey"))
       .agg(min(to_date(col("o_orderdate"))).as("first_d"),

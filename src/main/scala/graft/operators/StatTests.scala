@@ -454,19 +454,29 @@ object StatTests {
     // m = s/n, v = (n·q − s²)/(n(n−1));
     // shape = m²/v = s²(n−1)/(n(nq − s²));
     // scale = v/m = (nq − s²)/(s(n−1)) — in cents; /100 to dollars
+    // shape = round(10⁶·A/B)/10⁶ with A = s²(n−1), B = n·vd. At sf10
+    // 10⁶·A reaches 1.6e40 — past decimal(38) AND the oracle's HUGEINT
+    // (the decade sweep's catch) — so the quotient is SPLIT, exactly:
+    //   10³·A = Q₁·B + R₁  ⇒  round(10⁶A/B) = 10³Q₁ + round(10³R₁/B)
+    // (the first term divides exactly; R₁ < B keeps every operand
+    // under 10³⁸ through sf10 and the next decade). The oracle replays
+    // the identical Q₁/R₁ decomposition in HUGEINT.
     g.withColumn("vd", (col("n").cast(d38) * col("q")
         - col("s").cast(d38) * col("s")).cast(d38))
-      .withColumn("kn",
-        ((col("s").cast(d38) * col("s") * (col("n") - 1)) * 1000000)
+      .withColumn("ka",
+        ((col("s").cast(d38) * col("s") * (col("n") - 1)) * 1000)
           .cast(d38))
       .withColumn("kd", (col("n").cast(d38) * col("vd")).cast(d38))
+      .withColumn("kq1", expr("ka div kd"))
+      .withColumn("kr1", (col("ka") % col("kd")).cast(d38))
       .withColumn("tn", (col("vd") * 10000).cast(d38))
       .withColumn("td",
         (col("s").cast(d38) * (col("n") - 1) * 100).cast(d38))
       .select(col("c_mktsegment"), col("n").as("n_orders"),
         (ExactRound.halfUpPos("100 * CAST(s AS DECIMAL(38,0))",
           "n").cast("double") / 1e4).as("mean_value"),
-        (ExactRound.halfUpPos("kn", "kd").cast("double") / 1e6)
+        ((expr("1000 * kq1") +
+          ExactRound.halfUpPos("1000 * kr1", "kd")).cast("double") / 1e6)
           .as("shape_k"),
         (ExactRound.halfUpPos("tn", "td").cast("double") / 1e4)
           .as("scale_theta"))

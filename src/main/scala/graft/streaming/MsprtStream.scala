@@ -54,9 +54,12 @@ object MsprtStream {
         TimeMode.None(), OutputMode.Update())
   }
 
-  /** (lift, Λ, p) from one (A, B) cumulative moment pair — the identical
-    * scalar tree as the batch readout's per-day row. Returns NaN Λ and
-    * p = 1 when a side is degenerate (empty arm or zero variance). */
+  /** (lift, ln Λ, p) from one (A, B) cumulative moment pair — the
+    * identical scalar tree as the batch readout's per-day row (log
+    * space, like the batch readout: the raw ratio overflows repr
+    * stability and eventually double range as n grows). Returns NaN
+    * ln Λ and p = 1 when a side is degenerate (empty arm or zero
+    * variance). */
   def pValue(a: ArmMoments, b: ArmMoments, tau: Double = 5.0)
       : (Double, Double, Double) = {
     if (a.n < 2 || b.n < 2) return (Double.NaN, Double.NaN, 1.0)
@@ -68,8 +71,8 @@ object MsprtStream {
     if (!(vn > 0)) return (mb - ma, Double.NaN, 1.0)
     val tau2 = tau * tau
     val delta = mb - ma
-    val lam = math.sqrt(vn / (vn + tau2)) *
-      math.exp(delta * delta * tau2 / (2.0 * vn * (vn + tau2)))
-    (delta, lam, math.min(1.0, 1.0 / lam))
+    val loglam = 0.5 * math.log(vn / (vn + tau2)) +
+      delta * delta * tau2 / (2.0 * vn * (vn + tau2))
+    (delta, loglam, math.min(1.0, math.exp(-loglam)))
   }
 }

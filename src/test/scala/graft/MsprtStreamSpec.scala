@@ -42,7 +42,7 @@ class MsprtStreamSpec extends SparkSpecBase {
       assert(latest("B") == ArmMoments("B", 20L, 610.0, 18610.0), latest("B"))
 
       // the streaming combine must equal the batch readout on the same data
-      val (lift, lam, p) = MsprtStream.pValue(latest("A"), latest("B"))
+      val (lift, loglam, p) = MsprtStream.pValue(latest("A"), latest("B"))
       val ev = (0 until 10).flatMap(i => Seq(
           (0L, "2024-01-05 00:00:00", 10.0 + (i % 2)),
           (1L, "2024-01-05 00:00:00", 30.0 + (i % 2)),
@@ -54,9 +54,11 @@ class MsprtStreamSpec extends SparkSpecBase {
       def r6(x: Double) = BigDecimal(x).setScale(6,
         BigDecimal.RoundingMode.HALF_UP).toDouble
       assert(r6(lift) == b.getDouble(3), s"lift $lift vs $b")
-      // the planted effect saturates Λ to Infinity in BOTH forms
-      if (lam.isInfinite) assert(b.getDouble(4).isInfinite, s"lambda vs $b")
-      else assert(r6(lam) == b.getDouble(4), s"lambda $lam vs $b")
+      // log space never saturates: the planted effect's ln Λ is a big
+      // FINITE number in both forms (the raw ratio would be Infinity)
+      assert(loglam.isFinite && b.getDouble(4).isFinite,
+        s"log_lambda must be finite: $loglam vs $b")
+      assert(r6(loglam) == b.getDouble(4), s"log_lambda $loglam vs $b")
       assert(r6(p) == b.getDouble(5), s"p $p vs $b")
       assert(p < 0.05, "the planted 20-point lift must be significant")
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
