@@ -906,6 +906,9 @@ object SparkEntry {
     // Scene cuts through the REAL multi-frame GIF container (LZW codec)
     "q_gif_scene_cuts"    -> ((s: SparkSession, d: String) =>
       GifCodec.gifSceneCuts(s, d)),
+    // Per-pixel motion through the REAL RIFF/AVI container (DIB frames)
+    "q_avi_motion"        -> ((s: SparkSession, d: String) =>
+      AviCodec.aviMotion(s, d)),
     // Ljung-Box portmanteau whiteness test per event type
     "q_ljung_box"         -> ((s: SparkSession, d: String) =>
       EventOps.ljungBox(s, d)),
@@ -914,6 +917,9 @@ object SparkEntry {
       CatalogOps.keyDiscovery(s, d)),
     // Time travel THROUGH the V2 reader facade (format graft-snapshot)
     "q_snapshot_source"   -> graft.sources.SnapshotSource.sourceReadQuery _,
+    // The SQL-native catalog end to end: DDL + INSERT-commits-a-version
+    // + CALL snapshot_tag + tag time travel, pure spark.sql statements
+    "q_sql_catalog"       -> graft.sources.GraftCatalog.sqlCatalogQuery _,
     // Stats-sidecar FILE SKIPPING through the V2 facade: range-clustered
     // commit + min/max sidecar, selective filter plans a pruned scan
     "q_snapshot_pruned"   -> graft.sources.SnapshotSource.prunedReadQuery _,
@@ -10465,6 +10471,39 @@ object SparkEntry {
         |    AS BIGINT) AS n_cuts,
         |  round(coalesce(max(abs(mean_v - prev)), 0.0), 4) AS max_jump
         |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // AVI motion: the oracle recomputes every consecutive-frame byte
+    // delta from the source bytes in closed form — DIB storage is
+    // lossless, so any demux error (row order, stride, index lie)
+    // hash-fails. Single-frame docs arrive via the UNION branch (the
+    // transition unnest is empty for them); fixed-point means use the
+    // exact-integer half-up staging (denominators are not dyadic).
+    "q_avi_motion" ->
+      """WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS n
+        |  FROM documents WHERE text IS NOT NULL),
+        |tr AS (SELECT doc_id, text, n,
+        |    unnest(range(1, greatest((n + 767) // 768, 1))) AS k
+        |  FROM d),
+        |pd AS (SELECT doc_id, CAST(list_aggregate(list_transform(
+        |    range(0, 768), j -> abs(
+        |      (CASE WHEN k * 768 + j + 1 <= n
+        |        THEN ascii(substr(text, CAST(k * 768 + j + 1 AS INT), 1))
+        |        ELSE 0 END)
+        |      - (CASE WHEN (k - 1) * 768 + j + 1 <= n
+        |        THEN ascii(substr(text, CAST((k - 1) * 768 + j + 1 AS INT), 1))
+        |        ELSE 0 END))), 'sum') AS BIGINT) AS s
+        |  FROM tr),
+        |ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) + 1 AS n_frames,
+        |    CAST(sum(s) AS BIGINT) AS total_motion,
+        |    CAST(max(s) AS BIGINT) AS peak
+        |  FROM pd GROUP BY 1)
+        |SELECT doc_id, n_frames, total_motion,
+        |  ((2 * 10000 * total_motion + 768 * (n_frames - 1))
+        |    // (2 * 768 * (n_frames - 1))) / 10000.0 AS avg_motion,
+        |  ((2 * 10000 * peak + 768) // (2 * 768)) / 10000.0 AS peak_motion
+        |FROM ag
+        |UNION ALL
+        |SELECT doc_id, 1, 0, 0.0, 0.0 FROM d WHERE (n + 767) // 768 <= 1
+        |ORDER BY doc_id""".stripMargin,
     // Modularity: the q_label_prop iteration CTEs + canonical edges,
     // contribution/Q as signed exact half-up from EXACT integer totals.
     "q_modularity" ->
@@ -10621,6 +10660,20 @@ object SparkEntry {
       """SELECT source, count(*) AS n_docs, max(doc_id) AS max_doc
         |FROM documents WHERE doc_id < 250
         |GROUP BY source ORDER BY source""".stripMargin,
+    // SQL catalog end to end: the engine INSERTs two commits through
+    // GraftCatalog (append union semantics) and reads v0 back by tag;
+    // the oracle replays both snapshots off the lake table — a wrong
+    // append union, tag resolution, or version bleed hash-fails.
+    "q_sql_catalog" ->
+      """SELECT 'v0' AS snapshot, source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  max(doc_id) AS max_doc
+        |FROM documents WHERE doc_id < 250 GROUP BY source
+        |UNION ALL
+        |SELECT 'latest', source, count(*),
+        |  CAST(sum(n_chars) AS BIGINT), max(doc_id)
+        |FROM documents GROUP BY source
+        |ORDER BY snapshot, source""".stripMargin,
     // Bucket-index point lookup: the engine answers through the
     // occupied-bucket-pruned file list; the oracle replays the IN probe
     // on the full table — a false-negative bucket loses rows.

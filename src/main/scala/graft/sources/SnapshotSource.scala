@@ -35,6 +35,55 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * SnapshotSourceSpec: pushed filters reach the scan through the
   * façade). Registered under the short name `graft-snapshot` via the
   * standard DataSourceRegister service file. */
+/** Planning-time file-skipping ScanBuilder: receives Catalyst filter
+  * pushdown FIRST (the same internal hook Spark's own FileScanBuilder
+  * uses), asks [[SnapshotStats.pruneFiles]] which of the version's
+  * files can possibly satisfy them, and — when files drop — swaps the
+  * delegate for a ParquetTable over exactly the surviving file list
+  * (schema pinned from the full table, so an empty survivor list
+  * still plans as a valid zero-row scan). Everything else — filter
+  * translation + row-group pushdown, column pruning, aggregate
+  * pushdown — forwards to the (possibly swapped) stock parquet
+  * builder, so a pruned scan keeps every other optimization.
+  * Pruning is metadata-only and conservative: a kept file is merely
+  * re-filtered by the delegate, never wrong. Shared by the anonymous
+  * `format("graft-snapshot")` path and the name-addressed
+  * [[GraftCatalog]] tables. */
+private[sources] final class PruningScanBuilder(
+    spark: SparkSession, dir: String, v: Long,
+    options: CaseInsensitiveStringMap, fullTable: ParquetTable)
+    extends org.apache.spark.sql.connector.read.ScanBuilder
+    with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+  import org.apache.spark.sql.catalyst.expressions.Expression
+
+  private var delegate = fullTable.newScanBuilder(options)
+
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+    SnapshotStats.pruneFiles(spark, dir, v, filters).foreach { files =>
+      delegate = ParquetTable(
+        s"${fullTable.name} (${files.length} files after stats pruning)",
+        spark, options, files, Some(fullTable.schema),
+        classOf[ParquetFileFormat]).newScanBuilder(options)
+    }
+    delegate.pushFilters(filters)
+  }
+  override def pushedFilters
+      : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    delegate.pushedFilters
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    delegate.pruneColumns(requiredSchema)
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = delegate.pushAggregation(agg)
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = delegate.supportCompletePushDown(agg)
+  override def build(): org.apache.spark.sql.connector.read.Scan =
+    delegate.build()
+}
+
 class SnapshotSource extends TableProvider with DataSourceRegister
     with org.apache.spark.sql.sources.CreatableRelationProvider {
 
@@ -108,53 +157,6 @@ class SnapshotSource extends TableProvider with DataSourceRegister
       if (SnapshotStats.hasSidecars(spark, dir, v))
         new PruningScanBuilder(spark, dir, v, options, delegate)
       else delegate.newScanBuilder(options)
-  }
-
-  /** Planning-time file-skipping ScanBuilder: receives Catalyst filter
-    * pushdown FIRST (the same internal hook Spark's own FileScanBuilder
-    * uses), asks [[SnapshotStats.pruneFiles]] which of the version's
-    * files can possibly satisfy them, and — when files drop — swaps the
-    * delegate for a ParquetTable over exactly the surviving file list
-    * (schema pinned from the full table, so an empty survivor list
-    * still plans as a valid zero-row scan). Everything else — filter
-    * translation + row-group pushdown, column pruning, aggregate
-    * pushdown — forwards to the (possibly swapped) stock parquet
-    * builder, so a pruned scan keeps every other optimization.
-    * Pruning is metadata-only and conservative: a kept file is merely
-    * re-filtered by the delegate, never wrong. */
-  private final class PruningScanBuilder(
-      spark: SparkSession, dir: String, v: Long,
-      options: CaseInsensitiveStringMap, fullTable: ParquetTable)
-      extends org.apache.spark.sql.connector.read.ScanBuilder
-      with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
-      with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
-      with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
-    import org.apache.spark.sql.catalyst.expressions.Expression
-
-    private var delegate = fullTable.newScanBuilder(options)
-
-    override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
-      SnapshotStats.pruneFiles(spark, dir, v, filters).foreach { files =>
-        delegate = ParquetTable(
-          s"${fullTable.name} (${files.length} files after stats pruning)",
-          spark, options, files, Some(fullTable.schema),
-          classOf[ParquetFileFormat]).newScanBuilder(options)
-      }
-      delegate.pushFilters(filters)
-    }
-    override def pushedFilters
-        : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
-      delegate.pushedFilters
-    override def pruneColumns(requiredSchema: StructType): Unit =
-      delegate.pruneColumns(requiredSchema)
-    override def pushAggregation(
-        agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-        : Boolean = delegate.pushAggregation(agg)
-    override def supportCompletePushDown(
-        agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-        : Boolean = delegate.supportCompletePushDown(agg)
-    override def build(): org.apache.spark.sql.connector.read.Scan =
-      delegate.build()
   }
 
   /** Placeholder for a table with no commits yet: schemaless and

@@ -56,6 +56,19 @@ object SnapshotTable {
   def latestVersion(spark: SparkSession, dir: String): Option[Long] =
     versions(spark, dir).lastOption
 
+  /** (version, commit-time millis) per committed version, ascending —
+    * the marker file's mtime IS the commit instant (the marker is
+    * created exactly once, at publish). Powers `TIMESTAMP AS OF` through
+    * [[GraftCatalog]] and the history procedure. Driver-only metadata
+    * listing, O(versions). */
+  def commitTimes(spark: SparkSession, dir: String): Seq[(Long, Long)] = {
+    val f = fs(spark, dir)
+    versions(spark, dir).map { v =>
+      v -> f.getFileStatus(new Path(dir, s"$MarkerPrefix$v"))
+        .getModificationTime
+    }
+  }
+
   /** Smallest version number no commit, claim, or staged branch head has
     * used yet (staged versions hold data with the claim already dropped —
     * reusing their number would clobber an unpublished branch). */
