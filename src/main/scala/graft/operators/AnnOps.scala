@@ -418,7 +418,12 @@ object AnnOps {
     * d²-bounded. */
   def pcaPower(emb: DataFrame, iters: Int = 8): DataFrame = {
     val d8 = DecimalType(18, 8)
-    val x = emb.select(transform(col("embedding"), e => e.cast("double")).as("x"))
+    // fan the narrow vector frame out to core parallelism BEFORE the
+    // O(n·d²) upper-triangle explode: a one-file corpus scans as one
+    // task, which made the whole Gram pass a single 3.9 s task at
+    // local[32] (r14 profile); identity at scale (Par scaladoc)
+    val x = Par.fanOut(
+      emb.select(transform(col("embedding"), e => e.cast("double")).as("x")))
     val mu = x.select(posexplode(col("x")))
       .groupBy(col("pos").as("i"))
       .agg(round(sum(col("col").cast(d8)).cast("double") /

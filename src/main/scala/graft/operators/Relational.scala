@@ -934,7 +934,11 @@ object Relational {
   /** Per-basket ordered-pair fan-out shared by the market-basket family:
     * k·(k−1)/2 struct rows per basket, grouped to pair counts. */
   private def basketPairCounts(baskets: DataFrame, minOrders: Long): DataFrame =
-    baskets.select(explode(expr(
+    // fan the basket rows out to core parallelism before the k²/2 pair
+    // explode: the materialized artifact reads as a handful of tasks at
+    // bench scale, which serialized the heaviest pass of every basket
+    // consumer (r14 profile: 0.8 s on 4 tasks). Identity at scale.
+    Par.fanOut(baskets).select(explode(expr(
         """flatten(transform(items, (x, i) ->
           |  transform(slice(items, i + 2, size(items)),
           |            y -> struct(x AS pa, y AS pb))))""".stripMargin)).as("p"))
@@ -1022,12 +1026,18 @@ object Relational {
       .distinct()
     val w = Window.partitionBy(col("custkey"))
       .orderBy(col("score_d").desc, col("cand").asc)
+    // aggregate FIRST, exclude owned candidates AFTER (the cf_eval r13
+    // plan fix, applied to the serving path): the per-(custkey, cand)
+    // sum is unaffected by which groups are later dropped, so the
+    // anti-join moves from the raw scored fan-out to the partially
+    // aggregated group frame — one shuffle of groups, not of every
+    // scored row
     owned.select(col("custkey"), col("item").as("src"))
       .join(simBoth, "src")
-      .join(owned.select(col("custkey"), col("item").as("cand")),
-        Seq("custkey", "cand"), "left_anti")
       .groupBy(col("custkey"), col("cand"))
       .agg(sum(col("cos")).as("score_d"), count(lit(1)).as("n_src"))
+      .join(owned.select(col("custkey"), col("item").as("cand")),
+        Seq("custkey", "cand"), "left_anti")
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= topN)
       .select(col("custkey"), col("cand").as("partkey"),
@@ -2097,7 +2107,20 @@ object Relational {
                   topN: Int = 20): DataFrame = {
     val d6 = DecimalType(18, 6)
     val d8 = DecimalType(18, 8)
-    val ps = Lake.lineitem(spark, dir)
+    // fan the projected fact columns out to core parallelism before the
+    // decimal reduce: the one-file bench scan is a single task, which
+    // serialized this whole pass (1.4 s at local[32], r14 profile); the
+    // exchange doubles as the groupBy's required hash distribution so
+    // the aggregation itself never re-shuffles. Identity at scale.
+    // key the fan-out by l_partkey ALONE: hash(partkey) satisfies the
+    // clustered distribution of BOTH aggregations below (per-(part,supp)
+    // reduce, then the per-part pair expansion), so the whole
+    // scan→reduce→duel pipeline runs on ONE exchange instead of three
+    val ps = Par.fanOutBy(
+        Lake.lineitem(spark, dir)
+          .select(col("l_partkey"), col("l_suppkey"),
+            col("l_extendedprice"), col("l_quantity")),
+        col("l_partkey"))
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(sum(m(col("l_extendedprice"))).as("rev"),
         sum(m(col("l_quantity"))).as("qty"))
@@ -2130,9 +2153,19 @@ object Relational {
     // round(w/den, 6) are both terminating quotients (the r11 tie law);
     // the w·10^14 product exceeds int64 headroom at larger SFs, so that
     // one numerator stages through decimal(38,0)
-    def mmStep(p: DataFrame): DataFrame = sym
-      .join(p.select(col("i"), col("p6").as("pi6")), Seq("i"))
-      .join(p.select(col("i").as("j"), col("p6").as("pj6")), Seq("j"))
+    // strength frames are SUPPLIER-sized: the pageRank adaptive rule —
+    // probe the population once (bounded one-row aggregate) and, under
+    // the broadcast budget, ship strengths to the pair frame so sym is
+    // never shuffled or sorted per step (profiled: the two SMJ exchanges
+    // per MM step were ~2 s of the 5.8 s local[32] wall); beyond the
+    // cap, fall back to the shuffle join — the web-scale shape.
+    val maxBroadcastRows = 1L << 20
+    def mmStep(p: DataFrame, nSupp: Long): DataFrame = {
+      def side(d: DataFrame): DataFrame =
+        if (nSupp <= maxBroadcastRows) broadcast(d) else d
+      sym
+      .join(side(p.select(col("i"), col("p6").as("pi6"))), Seq("i"))
+      .join(side(p.select(col("i").as("j"), col("p6").as("pj6"))), Seq("j"))
       .withColumn("t8",
         ExactRound.halfUpPos("100000000000000 * n_ab", "pi6 + pj6"))
       .groupBy(col("i"))
@@ -2141,9 +2174,12 @@ object Relational {
         (col("w").cast(DecimalType(38, 0)) * lit(100000000000000L))
           .cast(DecimalType(38, 0)))
       .select(col("i"), ExactRound.halfUpPos("wn", "d8s").as("p6"))
+    }
     val p0 = sym.select(col("i")).distinct()
       .withColumn("p6", lit(1000000L))
-    val p2 = mmStep(mmStep(p0).localCheckpoint(true))
+      .localCheckpoint(true)
+    val nSupp = p0.count() // bounded driver probe, feeds the join rule
+    val p2 = mmStep(mmStep(p0, nSupp).localCheckpoint(true), nSupp)
     val readout = sym.groupBy(col("i"))
       .agg(sum(col("n_ab")).as("n_duels"), sum(col("w_i")).as("n_wins"))
     p2.join(readout, Seq("i"))

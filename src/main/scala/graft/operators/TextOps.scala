@@ -3480,8 +3480,18 @@ object TextOps {
     * (T, V) totals are a one-row broadcast. */
   def knHeldoutScore(docs: DataFrame, refSlice: Column,
                      curSlice: Column): DataFrame = {
-    val bi = nonNull(docs).filter((refSlice || curSlice) && size(toks) >= 2)
-      .select(col("doc_id"), when(refSlice, 1).otherwise(0).as("is_ref"),
+    // fan the filtered (doc_id, is_ref, text) rows out to core
+    // parallelism BEFORE the shingle explode: the one-file corpus scans
+    // as one task, which serialized the whole tokenize+shingle pass
+    // (2×2.3 s single-task jobs at local[32] — AQE races the probe and
+    // model branches into the same uncached partition; r14 profile).
+    // The exchange moves only the narrow pre-explosion rows. Identity
+    // at scale (Par scaladoc).
+    val bi = Par.fanOut(
+        nonNull(docs).filter((refSlice || curSlice) && size(toks) >= 2)
+          .select(col("doc_id"), when(refSlice, 1).otherwise(0).as("is_ref"),
+            col("text")))
+      .select(col("doc_id"), col("is_ref"),
         explode(shinglesOf(toks, 2)).as("bigram"))
       .select(col("doc_id"), col("is_ref"),
         substring_index(col("bigram"), " ", 1).as("w1"),
