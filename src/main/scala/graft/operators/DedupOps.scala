@@ -397,29 +397,63 @@ object DedupOps extends org.apache.spark.internal.Logging {
     * shares at least one intact band), verified with bit_count(xor) ≤
     * maxHamming. Same bucketed-join shape as MinHash-LSH. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    // the banded self-join reads the signatures twice; persist the narrow
-    // (doc_id, simhash) frame so the 60-bit-sum aggregate runs once
-    val sigs = simhash(docs)
+    // REPRESENTATIVE-level banding (the guide-§8 proxy rule: decide on
+    // small rows, expand heavy fan-out once): docs are first grouped by
+    // their full 60-bit signature, the banded self-join runs over the
+    // DISTINCT signatures only, and member lists expand AFTER the
+    // Hamming screen. Clone-heavy corpora (the ScaleUp ×k verbatim
+    // replicas; real crawl snapshots) turn each band bucket into a
+    // clique — the doc-level join explodes (m·k)²/2 per bucket (378 s
+    // at sf10) while the signature-level join pays k²/2 and the member
+    // cross-products are OUTPUT-sized. Same-signature docs (Hamming 0)
+    // never enter the join at all: their pairs come straight off the
+    // member array. Identical result set: two docs share a band iff
+    // their signatures do, and Hamming distance is a function of the
+    // signature pair.
+    val groups = simhash(docs)
+      .groupBy(col("simhash"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("members"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandMask = (1L << SimhashBandBits) - 1
-    val bands = sigs.select(col("doc_id"), col("simhash"),
+    val repBands = groups.select(col("simhash"),
       posexplode(array((0 until SimhashBands).map(b =>
         shiftright(col("simhash"), b * SimhashBandBits).bitwiseAND(bandMask)): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
-    // materialize the bounded pair result and release the signature cache
-    // immediately (surprisal discipline) — long-lived sessions must not
-    // accumulate per-call caches until the ContextCleaner runs
-    val out = bands.as("x").join(bands.as("y"),
+    // cross-signature candidates: banded equi-join over distinct sigs,
+    // Hamming screen map-side, dedup at signature-pair granularity
+    val candSig = repBands.as("x").join(repBands.as("y"),
         col("x.band") === col("y.band") &&
         col("x.band_key") === col("y.band_key") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.simhash") < col("y.simhash"))
+      .select(col("x.simhash").as("sa"), col("y.simhash").as("sb"),
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
       .distinct()
+    val cross = candSig
+      .join(groups.select(col("simhash").as("sa"), col("members").as("ma")), "sa")
+      .join(groups.select(col("simhash").as("sb"), col("members").as("mb")), "sb")
+      .select(explode(col("ma")).as("da"), col("mb"), col("hamming"))
+      .select(col("da"), explode(col("mb")).as("db"), col("hamming"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("hamming"))
+    // within-signature pairs: every ordered pair of a clone clique,
+    // Hamming 0 by construction (members are sorted, so a < b holds)
+    val within = groups.filter(size(col("members")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(members, (x, i) ->
+          |  transform(slice(members, i + 2, size(members)),
+          |            y -> struct(x AS doc_a, y AS doc_b))))""".stripMargin))
+        .as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"),
+        lit(0).cast("integer").as("hamming"))
+    // materialize the bounded pair result and release the group cache
+    // immediately (surprisal discipline) — long-lived sessions must not
+    // accumulate per-call caches until the ContextCleaner runs
+    val out = cross.unionByName(within)
       .filter(col("hamming") <= maxHamming)
       .orderBy(col("doc_a"), col("doc_b"))
       .localCheckpoint(true)
-    sigs.unpersist(false)
+    groups.unpersist(false)
     out
   }
 
@@ -496,10 +530,32 @@ object DedupOps extends org.apache.spark.internal.Logging {
     * ids to token arrays. Scales linearly in corpus + output size. */
   def setSimilarityJoin(docs: DataFrame, threshold: Double = 0.5,
                         n: Int = 3): DataFrame = {
+    // TEXT-REPRESENTATIVE collapse (guide §8 proxy rule, the r15
+    // simhashPairs discipline): verbatim-duplicate docs have identical
+    // shingle sets, so the whole AllPairs pipeline — shingling, df
+    // counts, prefix join, exact verify — runs over ONE representative
+    // per distinct text, and member lists expand output-side. A clone
+    // clique of m copies cost m²/2 verified candidates before (the
+    // sf10 "70 GB scratch" exclusion; 105 s at sf1 ×10 replication),
+    // and 1 rep row after. Exactness: identical text ⇒ identical set ⇒
+    // within-group Jaccard exactly 1.0 (emitted iff the set is
+    // non-empty AND 1.0 ≥ t — matching the old per-doc path, where
+    // shingle-less docs never entered the join); a cross-group pair's
+    // Jaccard depends only on the two sets, so the rep pair's verified
+    // value is every member pair's value. df counts shift from
+    // doc-multiplicity to distinct-text counts, which only REORDERS the
+    // global rarity order — prefix filtering is lossless under any
+    // total order, and the exact verify pins the output.
+    val textGroups = docs.filter(col("text").isNotNull)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("rep_id"),
+        sort_array(collect_list(col("doc_id"))).as("members"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val repDocs = textGroups.select(col("rep_id").as("doc_id"), col("text"))
     // two consumers (df counts, the ordered-set assembly join) — persist so
     // the tokenize+shingle explode runs once; released as soon as `ordered`
     // materializes below
-    val docSh = shingled(docs, n)
+    val docSh = shingled(repDocs, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfCounts = docSh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     // per-doc shingle list in global (df, shingle) order + its prefix.
@@ -555,11 +611,7 @@ object DedupOps extends org.apache.spark.internal.Logging {
         least(col("sa") - col("pos_a"), col("sb") - col("pos_b")) + 1 >= minOverlap)
       .select(col("doc_a"), col("doc_b")).distinct()
     val sets = ordered.select(col("doc_id"), col("tokens"), col("sz"))
-    // materialize the pair result (O(output), tiny next to the token-array
-    // cache) and release `ordered` NOW — in a long-lived session repeated
-    // calls must not strand corpus-sized MEMORY_AND_DISK frames until the
-    // ContextCleaner runs (the surprisal/cleanCorpus discipline)
-    val out = cand
+    val verifiedReps = cand
       .join(sets.select(col("doc_id").as("doc_a"), col("tokens").as("ta"),
         col("sz").as("sa")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("tokens").as("tb"),
@@ -569,9 +621,40 @@ object DedupOps extends org.apache.spark.internal.Logging {
         col("inter") / (col("sa") + col("sb") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+    // expand rep pairs to member pairs (output-sized; each unordered doc
+    // pair appears exactly once — text groups are disjoint)
+    val mem = textGroups.select(col("rep_id"), col("members"))
+    val cross = verifiedReps
+      .join(mem.select(col("rep_id").as("doc_a"), col("members").as("ma")),
+        "doc_a")
+      .join(mem.select(col("rep_id").as("doc_b"), col("members").as("mb")),
+        "doc_b")
+      .select(explode(col("ma")).as("da"), col("mb"), col("jaccard"))
+      .select(col("da"), explode(col("mb")).as("db"), col("jaccard"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("jaccard"))
+    // within-group pairs: identical sets, Jaccard exactly 1.0 — eligible
+    // only when the rep produced a non-empty shingle set (presence in
+    // `ordered`, the old path's implicit gate) and 1.0 clears t
+    val within = mem.filter(size(col("members")) >= 2 &&
+        lit(1.0) >= lit(threshold))
+      .join(ordered.select(col("doc_id").as("rep_id")), Seq("rep_id"),
+        "left_semi")
+      .select(explode(expr(
+        """flatten(transform(members, (x, i) ->
+          |  transform(slice(members, i + 2, size(members)),
+          |            y -> struct(x AS doc_a, y AS doc_b))))""".stripMargin))
+        .as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"), lit(1.0).as("jaccard"))
+    // materialize the pair result (O(output), tiny next to the token-array
+    // cache) and release the caches NOW — in a long-lived session repeated
+    // calls must not strand corpus-sized MEMORY_AND_DISK frames until the
+    // ContextCleaner runs (the surprisal/cleanCorpus discipline)
+    val out = cross.unionByName(within)
       .orderBy(col("doc_a"), col("doc_b"))
       .localCheckpoint(true)
     ordered.unpersist(false)
+    textGroups.unpersist(false)
     out
   }
 

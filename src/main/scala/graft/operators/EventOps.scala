@@ -598,12 +598,23 @@ object EventOps {
   def attribution(events: DataFrame): DataFrame = {
     val isP = when(col("event_type") === "purchase", 1L).otherwise(0L)
     // #purchases at-or-after each row: purchases count themselves, so a
-    // touch shares the value of exactly the purchase it precedes
-    val wBack = Window.partitionBy(col("user_id"))
+    // touch shares the value of exactly the purchase it precedes.
+    // Computed as (per-user total − #purchases strictly before): the
+    // whole-partition frame is evaluated once per partition and the
+    // growing unboundedPreceding frame incrementally — both O(n) —
+    // while a direct currentRow→unboundedFollowing sum re-scans the
+    // shrinking frame per row, O(n²) in a user's event count (the
+    // psmAtt lesson; a single bot/test user with 10⁶ events would
+    // serialize the stage at scale). Same exchange, same sort, exact
+    // long arithmetic — identical conv_grp on every row.
+    val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wAllU = byUser.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val wBefore = byUser.rowsBetween(Window.unboundedPreceding, -1)
     val touches = events
-      .withColumn("conv_grp", sum(isP).over(wBack))
+      .withColumn("conv_grp", sum(isP).over(wAllU) -
+        coalesce(sum(isP).over(wBefore), lit(0L)))
       .filter(col("conv_grp") > 0 && col("event_type") =!= "purchase")
     val wConv = Window.partitionBy(col("user_id"), col("conv_grp"))
     val wPos = wConv.orderBy(col("ts"), col("event_id"))

@@ -1238,7 +1238,10 @@ object Relational {
     * aggregate and one semi-join — nothing beyond the recommender's
     * existing cost. */
   def recCoverage(spark: SparkSession, dir: String): DataFrame = {
-    val recItems = itemKnnRecommend(spark, dir)
+    // serving table via the shared artifact (one build per corpus
+    // fingerprint, the BasketArtifact discipline) — rebuilding it
+    // inline cost 250 s of this readout's 250 s at sf10
+    val recItems = RecServingArtifact.sharedRecs(spark, dir)
       .select(col("partkey")).distinct()
     val itemN = Lake.lineitem(spark, dir)
       .groupBy(col("l_partkey"))
@@ -1289,7 +1292,9 @@ object Relational {
       .select(col("l_partkey"),
         (ExactRound.halfUpPos("100000000 * n_item", "pop_tot")
           .cast("double") / 1e8).cast(d8).as("p"))
-    val recs = itemKnnRecommend(spark, dir)
+    // shared serving-table artifact, as in [[recCoverage]] — the inline
+    // rebuild was 238 s of this readout's 238 s at sf10
+    val recs = RecServingArtifact.sharedRecs(spark, dir)
       .select(col("partkey"))
       .join(withP, col("partkey") === col("l_partkey"))
     val recAgg = recs.agg(count(lit(1)).as("n_recs"),
@@ -2202,12 +2207,25 @@ object Relational {
     * row's match independent (greedy without-replacement matching is
     * order-sequential and cannot parallelize).
     *
-    * Scale: per-customer outcome reduce, then ONE window pass
+    * Scale: per-customer outcome reduce, then window passes
     * partitioned by nation — parallelism equals |nations|; for a
     * dimension-poor key the value-range fence (per-(nation, balance
     * bucket) windows + a bounded per-bucket last/first-control
     * broadcast, the [[abcPartsPar]] construction) recovers full
-    * parallelism without changing a single match. */
+    * parallelism without changing a single match.
+    *
+    * Both neighbor probes are RUNNING frames (unboundedPreceding → -1):
+    * "first control after" in (x, ck) ASC order is exactly "last
+    * control before" in (x DESC, ck DESC) order — the rows strictly
+    * after the current one ascending are precisely the rows strictly
+    * before it descending, and first-non-null among them ascending is
+    * the one nearest the current row, i.e. last-non-null descending.
+    * Spark executes a growing unboundedPreceding frame incrementally
+    * (one update per row, O(n) per partition) but re-scans a shrinking
+    * `1 → unboundedFollowing` frame from scratch for every row (O(n²)
+    * per partition — measured 1191 s at sf10 with ~600k rows per
+    * nation; the descending rewrite makes it two O(n) passes that
+    * share one hash exchange on nk). */
   def psmAtt(spark: SparkSession, dir: String,
              caliper: Double = 100.0): DataFrame = {
     val spend = Lake.orders(spark, dir)
@@ -2223,14 +2241,16 @@ object Relational {
     val ord = Window.partitionBy(col("nk"))
       .orderBy(col("x"), col("ck"))
     val prevW = ord.rowsBetween(Window.unboundedPreceding, -1)
-    val nextW = ord.rowsBetween(1, Window.unboundedFollowing)
+    val nextW = Window.partitionBy(col("nk"))
+      .orderBy(col("x").desc, col("ck").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
     val ctlX = when(!col("treated"), col("x"))
     val ctlK = when(!col("treated"), col("ck"))
     val matched = cust
       .withColumn("px", last(ctlX, ignoreNulls = true).over(prevW))
       .withColumn("pk", last(ctlK, ignoreNulls = true).over(prevW))
-      .withColumn("nx", first(ctlX, ignoreNulls = true).over(nextW))
-      .withColumn("nnk", first(ctlK, ignoreNulls = true).over(nextW))
+      .withColumn("nx", last(ctlX, ignoreNulls = true).over(nextW))
+      .withColumn("nnk", last(ctlK, ignoreNulls = true).over(nextW))
       .filter(col("treated"))
       .withColumn("use_prev", col("px").isNotNull &&
         (col("nx").isNull || (col("x") - col("px")) <= (col("nx") - col("x"))))
