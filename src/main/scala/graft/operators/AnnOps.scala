@@ -676,7 +676,7 @@ object AnnOps {
     val emb = Lake.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
     val queries = defaultQueries(emb, nQueries)
-    val edges = knnFromPairs(KnnGraphArtifact.sharedPairs(spark, dir), graphK)
+    val edges = KnnGraphArtifact.sharedGraph(spark, dir, graphK)
       .select(col("src"), col("dst"))
       .localCheckpoint(true) // every round re-reads it; materialize once
     // deterministic entry points: the nEntries smallest non-query ids
@@ -1355,7 +1355,7 @@ object AnnOps {
   def knnLabelEval(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val emb = Lake.embeddings(spark, dir)
       .select(col("vec_id"), col("label"))
-    val edges = knnFromPairs(KnnGraphArtifact.sharedPairs(spark, dir), k)
+    val edges = KnnGraphArtifact.sharedGraph(spark, dir, k)
       .select(col("src"), col("dst"))
     val votes = edges
       .join(broadcast(emb.select(col("vec_id").as("dst"),
@@ -1405,7 +1405,7 @@ object AnnOps {
     val dec38 = DecimalType(38, 0)
     val emb = Lake.embeddings(spark, dir)
       .select(col("vec_id"), col("label"))
-    val cnn = knnFromPairs(KnnGraphArtifact.sharedPairs(spark, dir), k)
+    val cnn = KnnGraphArtifact.sharedGraph(spark, dir, k)
       .filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))

@@ -1062,9 +1062,29 @@ object DedupOps extends org.apache.spark.internal.Logging {
                       n: Int = 3,
                       maxShingleDf: Int = Int.MaxValue): DataFrame = {
     require(maxShingleDf >= 2, "maxShingleDf must allow at least one pair")
-    val docSh = shingled(docs, n)
+    // TEXT-REPRESENTATIVE collapse (the r15 setSimilarityJoin
+    // discipline): containment C(in→out) depends only on the two
+    // texts, so shingling, the prefix⋈index join and the exact verify
+    // run over ONE representative per distinct text (71 s → the
+    // representative cost at sf1 ×10 replication), and member lists
+    // expand output-side — identical-text pairs emit both directions
+    // at containment 1 straight off the member array, exactly the old
+    // doc-level rows. Shingle dfs stay DOC-multiplicity counts
+    // (each rep's shingles weighted by its member count), so the
+    // rarity order, the `maxShingleDf` cap, and therefore the exact
+    // candidate set are unchanged — only the join's row count shrinks.
+    val textGroups = docs.filter(col("text").isNotNull)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("rep_id"),
+        sort_array(collect_list(col("doc_id"))).as("members"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dfCounts = docSh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val repDocs = textGroups.select(col("rep_id").as("doc_id"), col("text"))
+    val docSh = shingled(repDocs, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val repW = textGroups.select(col("rep_id").as("doc_id"),
+      size(col("members")).cast("long").as("__w"))
+    val dfCounts = docSh.join(repW, "doc_id")
+      .groupBy(col("shingle")).agg(sum(col("__w")).as("df"))
     val ordered = docSh.join(dfCounts, "shingle")
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("df"), col("shingle"))))
@@ -1093,7 +1113,7 @@ object DedupOps extends org.apache.spark.internal.Logging {
       .filter(col("doc_in") =!= col("doc_out"))
       .select(col("doc_in"), col("doc_out"), col("s_in")).distinct()
     val sets = ordered.select(col("doc_id"), col("tokens"))
-    val out = cand
+    val verifiedReps = cand
       .join(sets.select(col("doc_id").as("doc_in"),
         col("tokens").as("t_in")), Seq("doc_in"))
       .join(sets.select(col("doc_id").as("doc_out"),
@@ -1101,8 +1121,43 @@ object DedupOps extends org.apache.spark.internal.Logging {
       .withColumn("inter",
         size(array_intersect(col("t_in"), col("t_out"))))
       .filter(col("inter").cast("double") / col("s_in") >= threshold)
-      // count/count → exact integer half-up ([[ExactRound]]); the
-      // threshold filter above keeps its double compare (same tree)
+      .select(col("doc_in"), col("doc_out"), col("s_in"), col("inter"))
+    // expand rep pairs to DIRECTED member pairs (output-sized; text
+    // groups are disjoint, so every ordered doc pair appears once)
+    val mem = textGroups.select(col("rep_id"), col("members"))
+    val cross = verifiedReps
+      .join(mem.select(col("rep_id").as("doc_in"), col("members").as("m_in")),
+        "doc_in")
+      .join(mem.select(col("rep_id").as("doc_out"), col("members").as("m_out")),
+        "doc_out")
+      .select(explode(col("m_in")).as("x"), col("m_out"), col("s_in"),
+        col("inter"))
+      .select(col("x"), explode(col("m_out")).as("y"), col("s_in"),
+        col("inter"))
+      .select(col("x").as("doc_in"), col("y").as("doc_out"), col("s_in"),
+        col("inter"))
+    // identical-text pairs: containment exactly 1 in BOTH directions
+    // (inter = s_in = sz) — eligible only when 1 clears t AND the old
+    // candidate machinery would have found the pair: at least one
+    // prefix shingle must SURVIVE the hot-shingle cap in the outer
+    // index (prefix ∩ idx_tokens non-empty; with the default unbounded
+    // cap this is just "the shingle set is non-empty"), so a capped
+    // run still generates nothing for saturated clone cliques, exactly
+    // as before
+    val within = mem.filter(size(col("members")) >= 2 &&
+        lit(1.0) >= lit(threshold))
+      .join(ordered.select(col("doc_id").as("rep_id"), col("sz"),
+        (size(array_intersect(col("prefix"), col("idx_tokens"))) > 0)
+          .as("__cap_ok")), "rep_id")
+      .filter(col("__cap_ok"))
+      .select(explode(col("members")).as("x"), col("members"), col("sz"))
+      .select(col("x"), explode(col("members")).as("y"), col("sz"))
+      .filter(col("x") =!= col("y"))
+      .select(col("x").as("doc_in"), col("y").as("doc_out"),
+        col("sz").as("s_in"), col("sz").as("inter"))
+    // count/count → exact integer half-up ([[ExactRound]]); the
+    // threshold filter above keeps its double compare (same tree)
+    val out = cross.unionByName(within)
       .select(col("doc_in"), col("doc_out"),
         col("s_in").cast("long").as("s_in"),
         col("inter").cast("long").as("inter"),
@@ -1112,6 +1167,7 @@ object DedupOps extends org.apache.spark.internal.Logging {
       .orderBy(col("doc_in"), col("doc_out"))
       .localCheckpoint(true)
     ordered.unpersist(false)
+    textGroups.unpersist(false)
     out
   }
 
@@ -1191,28 +1247,75 @@ object DedupOps extends org.apache.spark.internal.Logging {
     * the production pipeline it is auditing. */
   def dedupRecall(docs: DataFrame, foundPairs: DataFrame, threshold: Double,
                   sampleBuckets: Int): DataFrame = {
-    val sampled = docs.filter(col("text").isNotNull)
-      .filter(CorpusOps.sampleBucket < sampleBuckets)
-      .select(col("doc_id"))
-    val sh = shingled(docs)
+    // TEXT-REPRESENTATIVE collapse (the r15 setSimilarityJoin
+    // discipline): the ground-truth Jaccard between two docs depends
+    // only on their texts, so the shingle self-join — the audit's
+    // whole cost, and quadratic in clone multiplicity through the
+    // shared-shingle fan-out (28.7 s at sf1 ×10 replication) — runs
+    // over ONE representative per distinct text. Member lists (with
+    // their per-doc sample flags: sampleBucket is a pure doc_id
+    // function) expand AFTER the Jaccard screen, output-sized. An
+    // unordered doc pair enters the truth iff EITHER endpoint is
+    // sampled — exactly the old directed-join-then-least/greatest
+    // semantics; within-group pairs (identical text, Jaccard 1) carry
+    // the old path's implicit gates: a non-empty shingle set and
+    // 1.0 ≥ t.
+    val base = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"),
+        (CorpusOps.sampleBucket < sampleBuckets).as("is_s"))
+    val textGroups = base.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("rep_id"),
+        sort_array(collect_list(col("doc_id"))).as("members"),
+        sort_array(collect_list(when(col("is_s"), col("doc_id"))))
+          .as("smembers"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val repDocs = textGroups.select(col("rep_id").as("doc_id"), col("text"))
+    val sh = shingled(repDocs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val sShingle = sh.join(sampled, Seq("doc_id"), "left_semi")
+    val sReps = textGroups.filter(size(col("smembers")) > 0)
+      .select(col("rep_id").as("doc_id"))
+    val sShingle = sh.join(sReps, Seq("doc_id"), "left_semi")
     val shared = sShingle.as("s")
       .join(sh.as("o"), col("s.shingle") === col("o.shingle") &&
         col("s.doc_id") =!= col("o.doc_id"))
       .groupBy(col("s.doc_id").as("sd"), col("o.doc_id").as("od"))
       .agg(count(lit(1)).as("shared"))
-    val truePairs = shared
+    val repPairs = shared
       .join(broadcast(sizes.select(col("doc_id").as("sd"), col("sz").as("sz_a"))), "sd")
       .join(broadcast(sizes.select(col("doc_id").as("od"), col("sz").as("sz_b"))), "od")
       .filter(col("shared") /
         (col("sz_a") + col("sz_b") - col("shared")) >= threshold)
-      .select(least(col("sd"), col("od")).as("doc_a"),
-        greatest(col("sd"), col("od")).as("doc_b"))
+      .select(least(col("sd"), col("od")).as("ra"),
+        greatest(col("sd"), col("od")).as("rb"))
       .distinct()
+    val g = textGroups.select(col("rep_id"), col("members"), col("smembers"))
+    val cross = repPairs
+      .join(g.select(col("rep_id").as("ra"), col("members").as("ma"),
+        col("smembers").as("sma")), "ra")
+      .join(g.select(col("rep_id").as("rb"), col("members").as("mb"),
+        col("smembers").as("smb")), "rb")
+      .select(explode(col("ma")).as("x"), col("mb"), col("sma"), col("smb"))
+      .select(col("x"), explode(col("mb")).as("y"), col("sma"), col("smb"))
+      .filter(array_contains(col("sma"), col("x")) ||
+        array_contains(col("smb"), col("y")))
+      .select(least(col("x"), col("y")).as("doc_a"),
+        greatest(col("x"), col("y")).as("doc_b"))
+    val within = g.filter(size(col("members")) >= 2 &&
+        size(col("smembers")) > 0 && lit(1.0) >= lit(threshold))
+      .join(sh.select(col("doc_id").as("rep_id")), Seq("rep_id"), "left_semi")
+      .select(col("smembers"), explode(expr(
+        """flatten(transform(members, (x, i) ->
+          |  transform(slice(members, i + 2, size(members)),
+          |            y -> struct(x AS doc_a, y AS doc_b))))""".stripMargin))
+        .as("p"))
+      .filter(array_contains(col("smembers"), col("p.doc_a")) ||
+        array_contains(col("smembers"), col("p.doc_b")))
+      .select(col("p.doc_a"), col("p.doc_b"))
+    val truePairs = cross.unionByName(within)
       .localCheckpoint(true)
     sh.unpersist(false)
+    textGroups.unpersist(false)
     val found = foundPairs
       .select(col("doc_a"), col("doc_b"), lit(1L).as("hit"))
     truePairs

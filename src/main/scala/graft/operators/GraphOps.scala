@@ -243,7 +243,7 @@ object GraphOps {
   /** Registered query: triangle hot-spots of the 5-NN embedding graph
     * (the trade graph is bipartite, hence triangle-free by parity). */
   def trianglesQuery(spark: SparkSession, dir: String): DataFrame =
-    triangles(AnnOps.knnGraph(spark, dir).select(col("src"), col("dst")))
+    triangles(KnnGraphArtifact.sharedGraph(spark, dir).select(col("src"), col("dst")))
 
   /** Adamic–Adar link prediction: for every 2-hop pair NOT already
     * linked, score = Σ_z 1/ln(deg z) over the common neighbors z — the
@@ -288,7 +288,7 @@ object GraphOps {
 
   /** Registered query: link prediction over the 5-NN embedding graph. */
   def linkPredictQuery(spark: SparkSession, dir: String): DataFrame =
-    linkPredict(AnnOps.knnGraph(spark, dir).select(col("src"), col("dst")))
+    linkPredict(KnnGraphArtifact.sharedGraph(spark, dir).select(col("src"), col("dst")))
 
   /** 2-hop reach per node over a directed edge frame: how many DISTINCT
     * nodes are exactly two hops away (reachable via a neighbor, not a
@@ -325,7 +325,7 @@ object GraphOps {
     * shared [[KnnGraphArtifact]] pairs, so the sweep builds candidates
     * once across the whole graph family). */
   def twoHopQuery(spark: SparkSession, dir: String): DataFrame =
-    twoHopReach(AnnOps.knnGraph(spark, dir).select(col("src"), col("dst")))
+    twoHopReach(KnnGraphArtifact.sharedGraph(spark, dir).select(col("src"), col("dst")))
 
   /** Hubness diagnostic of a k-NN graph: IN-degree per node — how many
     * other vectors list this one among their k nearest. High-hubness
@@ -342,7 +342,7 @@ object GraphOps {
 
   /** Registered query: top in-degree hubs of the 5-NN embedding graph. */
   def hubnessQuery(spark: SparkSession, dir: String): DataFrame =
-    hubness(AnnOps.knnGraph(spark, dir).select(col("src"), col("dst")))
+    hubness(KnnGraphArtifact.sharedGraph(spark, dir).select(col("src"), col("dst")))
 
   /** Synchronous label propagation (community detection): every node
     * starts as its own community, and each round adopts the most frequent
@@ -469,11 +469,11 @@ object GraphOps {
 
   /** Registered query: modularity of the 5-NN label-prop partition. */
   def modularityQuery(spark: SparkSession, dir: String): DataFrame =
-    modularity(AnnOps.knnGraph(spark, dir).select(col("src"), col("dst")))
+    modularity(KnnGraphArtifact.sharedGraph(spark, dir).select(col("src"), col("dst")))
 
   /** Registered query: 3-round label propagation over the 5-NN graph. */
   def labelPropQuery(spark: SparkSession, dir: String): DataFrame =
-    labelPropagation(AnnOps.knnGraph(spark, dir).select(col("src"), col("dst")))
+    labelPropagation(KnnGraphArtifact.sharedGraph(spark, dir).select(col("src"), col("dst")))
 
   /** Bounded k-core peel over the 5-NN similarity graph: `rounds`
     * iterations of "drop every node with fewer than `k` undirected
@@ -491,7 +491,7 @@ object GraphOps {
                  rounds: Int = 3): DataFrame = {
     import spark.implicits._
     require(k >= 1 && rounds >= 1, "need k >= 1 and rounds >= 1")
-    var edges = AnnOps.knnGraph(spark, dir)
+    var edges = KnnGraphArtifact.sharedGraph(spark, dir)
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
@@ -622,7 +622,7 @@ object GraphOps {
 
   /** Registered query: global clustering of the 5-NN embedding graph. */
   def clusteringCoefQuery(spark: SparkSession, dir: String): DataFrame =
-    clusteringCoef(AnnOps.knnGraph(spark, dir).select(col("src"), col("dst")))
+    clusteringCoef(KnnGraphArtifact.sharedGraph(spark, dir).select(col("src"), col("dst")))
 
   /** HITS (hubs & authorities) over the DIRECTED bipartite trade graph —
     * customers point at the suppliers they buy from, so the hub score

@@ -122,4 +122,31 @@ object KnnGraphArtifact {
     }
     spark.read.parquet(dataDir)
   }
+
+  /** The RANKED k-NN graph as its own shared artifact, derived from
+    * [[sharedPairs]]. The scaladoc above argues pairs is the lowest
+    * shared form — true, but "the 5-NN graph is a cheap bounded window
+    * over it" was refuted by measurement (r15, sf1 ×10 lake): the
+    * symmetrize + per-source top-k window over the pairs frame was ONE
+    * ~10.7 s / 96.9 MB-shuffle job repeated IDENTICALLY by every
+    * graph-family consumer (two-hop, label propagation, modularity,
+    * clustering coefficient, link prediction, k-core, PageRank, HITS,
+    * hubness, triangles, graph-ANN, label eval) — the family's
+    * dominant cost at scale. So the ranked graph is materialized once
+    * per (corpus fingerprint, k) and consumers read the bounded
+    * k·N-edge list. Consumers that need the pre-ranking candidates
+    * (hard negatives: label filter BEFORE ranking) keep reading
+    * [[sharedPairs]]; `q_knn_graph` — whose declared RESULT is this
+    * graph — keeps computing it from the pairs on every invocation. */
+  def sharedGraph(spark: SparkSession, lakeDir: String,
+                  k: Int = 5): DataFrame = {
+    val dir = ArtifactStore.familyDir(spark, lakeDir, "knn_graph", s"k$k")
+    val fp = ArtifactStore.corpusFingerprint(spark, lakeDir, Seq("embeddings"))
+    val dataDir = ArtifactStore.resolve(spark, dir, fp) { out =>
+      ArtifactStore.refreshSources(spark, lakeDir, Seq("embeddings"))
+      AnnOps.knnFromPairs(sharedPairs(spark, lakeDir), k)
+        .write.mode("overwrite").parquet(out)
+    }
+    spark.read.parquet(dataDir)
+  }
 }
